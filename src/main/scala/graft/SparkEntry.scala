@@ -1,13 +1,49 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.functions.Bitmaps
+import graft.queries.{dec, MvPack, RelationalPack}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query (SURVEY.md §7.1 minimum end-to-end slice) on sf0.001:
+    * raw events → derived day/hour defaults (ref ods.action_001_dis.sql:3-4)
+    * → broadcast dimension enrichment with default-on-miss (dictGet, ref
+    * dim.dict_user_dim.sql:24) → fine-grained mergeable states (bitmap UV +
+    * decimal sums; ref dwm.mainpage_stat_mv_dis.sql:28-57) → merge-on-read
+    * rollup to (day, segment) (ref :60-70).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    Bitmaps.register(spark)
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val enriched = t.eventsWithDefaults
+      .join(broadcast(t.customer), col("user_id") === col("c_custkey"), "left_outer")
+      .withColumn("segment", coalesce(col("c_mktsegment"), lit("UNKNOWN")))
+    val state = enriched
+      .groupBy("day", "hour", "segment")
+      .agg(
+        Bitmaps.bitmap_agg(col("user_id")).as("uv_bm"),
+        sum(dec("value")).as("value_dec"),
+        count(lit(1)).as("cnt"))
+    state
+      .groupBy("day", "segment")
+      .agg(
+        Bitmaps.bitmap_cardinality(Bitmaps.bitmap_merge_agg(col("uv_bm"))).as("uv"),
+        sum(col("value_dec")).cast(DoubleType).as("total_value"),
+        sum(col("cnt")).as("cnt"))
+      .orderBy("day", "segment")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalPack.queries ++ MvPack.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    RelationalPack.oracle ++ MvPack.oracle
 }

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated testdata tables (see TESTDATA.md).
+  *
+  * Layout model mirrors the reference's layered warehouse (SURVEY.md §1.1,
+  * ref scripts/sql/ods.action_001_dis.sql): raw facts (`events`, `lineitem`)
+  * play the ods role, small tables (`customer`, `part`, `nation`, `region`)
+  * play the dim role and are broadcast-joined (ref dim.dict_user_dim.sql:2-20).
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
+  // rejects by default; read as long and rebuild the timestamp ourselves.
+  spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  private def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame    = t("region")
+  def nation: DataFrame    = t("nation")
+  def customer: DataFrame  = t("customer")
+  def supplier: DataFrame  = t("supplier")
+  def part: DataFrame      = t("part")
+  def orders: DataFrame    = t("orders")
+  def lineitem: DataFrame  = t("lineitem")
+  /** `ts` is TIMESTAMP(NANOS) in the source parquet; surfaced here as
+    * TIMESTAMP_NTZ (microsecond precision, truncating — exactly how DuckDB
+    * reads the same column, so oracle outputs align bit-for-bit). The other
+    * tables' timestamps already load as NTZ.
+    */
+  def events: DataFrame = {
+    val raw = t("events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts",
+        timestamp_micros(expr("ts div 1000"))
+          .cast(org.apache.spark.sql.types.TimestampNTZType))
+    else raw
+  }
+  def documents: DataFrame = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+
+  /** Raw events with the reference's server-side DEFAULT columns materialized:
+    * `day = toDate(second)`, `hour = toStartOfHour(second)`
+    * (ref ods.action_001_dis.sql:3-6; SURVEY.md §1.2).
+    */
+  def eventsWithDefaults: DataFrame =
+    events
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("hour", date_trunc("hour", col("ts")))
+}

@@ -1,0 +1,171 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.functions.{call_function, udf}
+import org.apache.spark.sql.types._
+import org.roaringbitmap.RoaringBitmap
+
+/** RoaringBitmap aggregate family — the Spark-native analog of ClickHouse's
+  * `groupBitmap` / `groupBitmapMergeState` / `bitmap*` scalar algebra
+  * (ref scripts/sql/dwm.mainpage_stat_mv_dis.sql:134-139, 184-185, 280-290;
+  * funnel doc usage in docs/物化视图的实战经验分享.md:1207-1238).
+  *
+  * Implemented as Catalyst [[TypedImperativeAggregate]]s (not Scala
+  * `Aggregator`s) so the bitmap buffer lives as a mutable JVM object during
+  * partial aggregation and is serialized only at the shuffle boundary —
+  * the same partial/final two-phase shape ClickHouse uses for `-State`/
+  * `-Merge`, and the design that scales: the map-side combine collapses each
+  * partition's uids into one bitmap before any data moves.
+  *
+  * Element domain is uint32 (the reference's `groupBitmap(UInt32)`); Long
+  * inputs outside [0, 2^32) throw rather than silently corrupt.
+  */
+object Bitmaps {
+
+  private[graft] def toBytes(bm: RoaringBitmap): Array[Byte] = {
+    bm.runOptimize()
+    val buf = ByteBuffer.allocate(bm.serializedSizeInBytes())
+    bm.serialize(buf)
+    buf.array()
+  }
+
+  private[graft] def fromBytes(b: Array[Byte]): RoaringBitmap = {
+    val bm = new RoaringBitmap()
+    bm.deserialize(ByteBuffer.wrap(b))
+    bm
+  }
+
+  private[graft] def toUint32(l: Long): Int = {
+    require(l >= 0L && l <= 0xFFFFFFFFL, s"bitmap element out of uint32 range: $l")
+    l.toInt
+  }
+
+  /** Register `bitmap_agg` / `bitmap_merge_agg` in the session's function
+    * registry (idempotent). Needed before the Column helpers below resolve.
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "bitmap_agg", exprs => BitmapAggregate(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "bitmap_merge_agg", exprs => BitmapMergeAggregate(exprs.head), "built-in")
+  }
+
+  /** groupBitmap: aggregate integral ids into a serialized RoaringBitmap. */
+  def bitmap_agg(c: Column): Column = call_function("bitmap_agg", c)
+
+  /** groupBitmapMergeState: OR together serialized bitmaps (state merge). */
+  def bitmap_merge_agg(c: Column): Column = call_function("bitmap_merge_agg", c)
+
+  // ---- scalar bitmap algebra (post-aggregation, small row counts) ----
+
+  private val cardUdf = udf { (b: Array[Byte]) =>
+    if (b == null) 0L else fromBytes(b).getLongCardinality
+  }
+  private val andUdf = udf { (a: Array[Byte], b: Array[Byte]) =>
+    if (a == null || b == null) null
+    else toBytes(RoaringBitmap.and(fromBytes(a), fromBytes(b)))
+  }
+  private val orUdf = udf { (a: Array[Byte], b: Array[Byte]) =>
+    if (a == null) b else if (b == null) a
+    else toBytes(RoaringBitmap.or(fromBytes(a), fromBytes(b)))
+  }
+  private val andCardUdf = udf { (a: Array[Byte], b: Array[Byte]) =>
+    if (a == null || b == null) 0L
+    else RoaringBitmap.andCardinality(fromBytes(a), fromBytes(b)).toLong
+  }
+  private val orCardUdf = udf { (a: Array[Byte], b: Array[Byte]) =>
+    if (a == null) cardUdfEval(b) else if (b == null) cardUdfEval(a)
+    else RoaringBitmap.orCardinality(fromBytes(a), fromBytes(b)).toLong
+  }
+  private def cardUdfEval(b: Array[Byte]): Long =
+    if (b == null) 0L else fromBytes(b).getLongCardinality
+
+  /** bitmapCardinality */
+  def bitmap_cardinality(c: Column): Column = cardUdf(c)
+  /** bitmapAnd (binary, nest for k-way — doc:1238) */
+  def bitmap_and(a: Column, b: Column): Column = andUdf(a, b)
+  /** bitmapOr */
+  def bitmap_or(a: Column, b: Column): Column = orUdf(a, b)
+  /** bitmapAndCardinality */
+  def bitmap_and_cardinality(a: Column, b: Column): Column = andCardUdf(a, b)
+  /** bitmapOrCardinality */
+  def bitmap_or_cardinality(a: Column, b: Column): Column = orCardUdf(a, b)
+}
+
+/** Shared shape for the two bitmap aggregates. */
+sealed abstract class BitmapAggregateBase
+    extends TypedImperativeAggregate[RoaringBitmap]
+    with UnaryLike[Expression] {
+  override def createAggregationBuffer(): RoaringBitmap = new RoaringBitmap()
+  override def merge(b: RoaringBitmap, o: RoaringBitmap): RoaringBitmap = { b.or(o); b }
+  override def eval(b: RoaringBitmap): Any = Bitmaps.toBytes(b)
+  override def serialize(b: RoaringBitmap): Array[Byte] = Bitmaps.toBytes(b)
+  override def deserialize(bytes: Array[Byte]): RoaringBitmap = Bitmaps.fromBytes(bytes)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+}
+
+/** `bitmap_agg(uid)` — ClickHouse `groupBitmapState(uid)`. Null inputs are
+  * skipped (matches CH aggregate null handling / the `-If` combinator when
+  * fed `when(cond, uid)`).
+  */
+case class BitmapAggregate(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends BitmapAggregateBase {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ByteType | ShortType | IntegerType | LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bitmap_agg requires an integral child, got ${t.simpleString}")
+  }
+  override def update(b: RoaringBitmap, row: InternalRow): RoaringBitmap = {
+    val v = child.eval(row)
+    if (v != null) b.add(Bitmaps.toUint32(v.asInstanceOf[Number].longValue()))
+    b
+  }
+  override def withNewMutableAggBufferOffset(o: Int): BitmapAggregate =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BitmapAggregate =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): BitmapAggregate =
+    copy(child = c)
+  override def prettyName: String = "bitmap_agg"
+}
+
+/** `bitmap_merge_agg(bm_binary)` — ClickHouse `groupBitmapMergeState`: OR
+  * together already-serialized bitmap states. Re-feeding raw ids here is a
+  * type error at analysis time (BinaryType expected) — by construction the
+  * misuse the reference doc warns about (doc:326-505) cannot compile.
+  */
+case class BitmapMergeAggregate(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends BitmapAggregateBase {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bitmap_merge_agg requires a BinaryType child (a serialized bitmap state), got ${t.simpleString}")
+  }
+  override def update(b: RoaringBitmap, row: InternalRow): RoaringBitmap = {
+    val v = child.eval(row)
+    if (v != null) b.or(Bitmaps.fromBytes(v.asInstanceOf[Array[Byte]]))
+    b
+  }
+  override def withNewMutableAggBufferOffset(o: Int): BitmapMergeAggregate =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BitmapMergeAggregate =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): BitmapMergeAggregate =
+    copy(child = c)
+  override def prettyName: String = "bitmap_merge_agg"
+}

@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.Bitmaps
+
+/** Declared queries for the reference's core capability: mergeable
+  * partial-aggregate state tables (SURVEY.md §2.4 A6/A7/A9/A11/A12, §2.3 J6).
+  *
+  * Each query runs the two-phase dance explicitly — inner aggregation to
+  * per-(fine keys) states, outer aggregation merging states at coarser keys —
+  * and the DuckDB oracle computes the same answer directly over raw rows.
+  * That *is* the reference's central correctness property: merge-on-read of
+  * incrementally-built states equals direct aggregation
+  * (docs/物化视图的实战经验分享.md:934-995).
+  */
+object MvPack {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // A6/A7/A9: -State at (day,hour,type), -Merge rollup to (day,type).
+    // Exact UV via RoaringBitmap states (A11), re-summable counters (A8).
+    "q20_state_rollup" -> { (s, dir) =>
+      Bitmaps.register(s)
+      val state = Tables(s, dir).eventsWithDefaults
+        .groupBy("day", "hour", "event_type")
+        .agg(
+          Bitmaps.bitmap_agg(col("user_id")).as("uv_bm"),
+          sum(dec("value")).as("value_dec"),
+          count(lit(1)).as("cnt"))
+      state
+        .groupBy("day", "event_type")
+        .agg(
+          Bitmaps.bitmap_cardinality(Bitmaps.bitmap_merge_agg(col("uv_bm"))).as("uv"),
+          sum(col("value_dec")).cast(DoubleType).as("total_value"),
+          sum(col("cnt")).as("cnt"))
+        .orderBy("day", "event_type")
+    },
+
+    // A12: bitmap funnel — view ∧ click ∧ purchase cardinalities per day
+    // (ref dwm.mainpage_stat_mv_dis.sql:280-290; bitmapAnd nesting doc:1238).
+    "q21_bitmap_funnel" -> { (s, dir) =>
+      Bitmaps.register(s)
+      val bm = Tables(s, dir).eventsWithDefaults
+        .groupBy("day")
+        .agg(
+          Bitmaps.bitmap_agg(when(col("event_type") === "view", col("user_id"))).as("view_bm"),
+          Bitmaps.bitmap_agg(when(col("event_type") === "click", col("user_id"))).as("click_bm"),
+          Bitmaps.bitmap_agg(when(col("event_type") === "purchase", col("user_id"))).as("purchase_bm"))
+      bm.select(
+          col("day"),
+          Bitmaps.bitmap_cardinality(col("view_bm")).as("view_uv"),
+          Bitmaps.bitmap_and_cardinality(col("view_bm"), col("click_bm")).as("vc_uv"),
+          Bitmaps.bitmap_cardinality(
+            Bitmaps.bitmap_and(Bitmaps.bitmap_and(col("view_bm"), col("click_bm")), col("purchase_bm"))
+          ).as("vcp_uv"))
+        .orderBy("day")
+    },
+
+    // J6: "union all max" wide table — two logs write disjoint metric columns
+    // into one state table; merge-on-read replaces the join
+    // (ref dwm.mainpage_stat_mv_dis.sql:157-238, doc:820-995).
+    "q22_wide_union" -> { (s, dir) =>
+      val e = Tables(s, dir).eventsWithDefaults
+        .withColumn("bucket", pmod(col("user_id"), lit(10)))
+      val log1 = e.filter(col("event_type").isin("view", "click"))
+        .groupBy("day", "bucket")
+        .agg(
+          sum(when(col("event_type") === "view", 1).otherwise(0)).as("view_cnt"),
+          sum(when(col("event_type") === "click", 1).otherwise(0)).as("click_cnt"))
+      val log2 = e.filter(col("event_type") === "purchase")
+        .groupBy("day", "bucket")
+        .agg(count(lit(1)).as("purchase_cnt"), sum(dec("value")).as("purchase_value_dec"))
+      log1.unionByName(log2, allowMissingColumns = true)
+        .groupBy("day", "bucket")
+        .agg(
+          coalesce(sum(col("view_cnt")), lit(0L)).as("view_cnt"),
+          coalesce(sum(col("click_cnt")), lit(0L)).as("click_cnt"),
+          coalesce(sum(col("purchase_cnt")), lit(0L)).as("purchase_cnt"),
+          coalesce(sum(col("purchase_value_dec")).cast(DoubleType), lit(0.0)).as("purchase_value"))
+        .orderBy("day", "bucket")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q20_state_rollup" ->
+      s"""SELECT CAST(ts AS DATE) AS day, event_type,
+         | COUNT(DISTINCT user_id) AS uv,
+         | ${moneySumSql("value")} AS total_value,
+         | COUNT(*) AS cnt
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q21_bitmap_funnel" ->
+      """WITH peruser AS (
+        |  SELECT CAST(ts AS DATE) AS day, user_id,
+        |    bool_or(event_type = 'view') AS v,
+        |    bool_or(event_type = 'click') AS c,
+        |    bool_or(event_type = 'purchase') AS p
+        |  FROM events GROUP BY 1, 2)
+        |SELECT day,
+        |  COUNT(CASE WHEN v THEN 1 END) AS view_uv,
+        |  COUNT(CASE WHEN v AND c THEN 1 END) AS vc_uv,
+        |  COUNT(CASE WHEN v AND c AND p THEN 1 END) AS vcp_uv
+        |FROM peruser GROUP BY day ORDER BY day""".stripMargin,
+
+    "q22_wide_union" ->
+      """SELECT CAST(ts AS DATE) AS day, user_id % 10 AS bucket,
+        | COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS view_cnt,
+        | COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS click_cnt,
+        | COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchase_cnt,
+        | COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS purchase_value
+        |FROM events
+        |WHERE event_type IN ('view', 'click', 'purchase')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}

@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Local dev harness that mimics the driver's correctness gate:
+run `graft.Verify` output (parquet per query + oracle_sql.json) against
+DuckDB over the same testdata tables, compare exactly.
+
+Dev-side tooling only — the shipped Scala library never depends on this.
+
+Usage: python3 tools/local_verify.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            got = pd.read_parquet(f"{out_dir}/{name}")
+            exp = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        ok, msg = compare(got, exp)
+        if ok:
+            n_pass += 1
+            print(f"PASS {name} ({len(got)} rows)")
+        else:
+            n_fail += 1
+            print(f"FAIL {name}: {msg}")
+    print(f"== {n_pass} pass / {n_fail} fail")
+    return 1 if n_fail else 0
+
+def compare(got, exp):
+    gc, ec = sorted(got.columns), sorted(exp.columns)
+    if gc != ec:
+        return False, f"schema mismatch: spark={gc} duck={ec}"
+    got, exp = got[gc], exp[gc]
+    if len(got) != len(exp):
+        return False, f"row count: spark={len(got)} duck={len(exp)}"
+    for c in gc:
+        g, e = got[c], exp[c]
+        try:
+            g2 = g.astype(e.dtype) if g.dtype != e.dtype else g
+        except Exception:
+            g2 = g
+        eq = (g2.values == e.values) | (pd.isna(g2).values & pd.isna(e).values)
+        if not eq.all():
+            i = int((~eq).argmax())
+            return False, (f"col {c} (dtypes {g.dtype}/{e.dtype}) differs at row {i}: "
+                           f"spark={g.iloc[i]!r} duck={e.iloc[i]!r}")
+    return True, ""
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
