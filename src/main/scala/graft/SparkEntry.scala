@@ -23,18 +23,20 @@ object SparkEntry {
     val enriched = t.eventsWithDefaults
       .join(broadcast(t.customer), col("user_id") === col("c_custkey"), "left_outer")
       .withColumn("segment", coalesce(col("c_mktsegment"), lit("UNKNOWN")))
-    val state = enriched
-      .groupBy("day", "hour", "segment")
-      .agg(
-        Bitmaps.bitmap_agg(col("user_id")).as("uv_bm"),
-        sum(dec("value")).as("value_dec"),
-        count(lit(1)).as("cnt"))
-    state
-      .groupBy("day", "segment")
-      .agg(
-        Bitmaps.bitmap_cardinality(Bitmaps.bitmap_merge_agg(col("uv_bm"))).as("uv"),
-        sum(col("value_dec")).cast(DoubleType).as("total_value"),
-        sum(col("cnt")).as("cnt"))
+
+    // Persist through the real MV pipeline: two insert batches into a
+    // day-partitioned state table, then merge-on-read at coarser keys.
+    val stPath = java.nio.file.Files.createTempDirectory("graft-entry-state").toString + "/t"
+    val st = new mv.StateTable(spark, stPath,
+      keys = Seq("day", "hour", "segment"), partitionCol = "day",
+      metrics = Seq(
+        mv.BitmapUvMetric("uv", col("user_id")),
+        mv.SumMetric("total_value", dec("value")),
+        mv.CountMetric("cnt")))
+    st.appendBatch(enriched.filter(col("event_id") % 2 === 0))
+    st.appendBatch(enriched.filter(col("event_id") % 2 === 1))
+    st.finalized(Seq("day", "segment"))
+      .withColumn("total_value", col("total_value").cast(DoubleType))
       .orderBy("day", "segment")
   }
 

@@ -1,0 +1,56 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Ingestion + storage-layout discipline for the layered warehouse
+  * (ods/dim/dwm/dws — SURVEY.md §1.1).
+  */
+object Warehouse {
+
+  /** Materialize the reference's server-side DEFAULT columns on a raw event
+    * batch: `day = toDate(second)`, `hour = toStartOfHour(second)`
+    * (ref ods.action_001_dis.sql:3-6 — generators insert only base columns,
+    * make_user_action_001.py:49).
+    */
+  def withTimeDefaults(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    df.withColumn("day", to_date(col(tsCol)))
+      .withColumn("hour", date_trunc("hour", col(tsCol)))
+
+  /** MergeTree-style write layout: PARTITION BY day directory layout +
+    * ORDER BY clustering within files (ref ods.action_001_dis.sql:18-22).
+    * Sorting within partitions is what makes Parquet row-group min/max
+    * stats act like the sparse primary index (SURVEY §2.1 S2).
+    */
+  def writeClustered(
+      df: DataFrame,
+      path: String,
+      partitionCol: String = "day",
+      orderCols: Seq[String] = Nil,
+      mode: String = "append"): Unit =
+    df.repartition(col(partitionCol))
+      .sortWithinPartitions((partitionCol +: orderCols).map(col): _*)
+      .write.mode(mode).partitionBy(partitionCol).parquet(path)
+
+  /** Idempotent partition reload — the reference's drop-partition + insert +
+    * delete-others dance (ref make_user_dim_info_toch.py:40-63) collapses to
+    * dynamic partition overwrite (SURVEY §2.1 S9).
+    */
+  def overwritePartitions(df: DataFrame, path: String, partitionCol: String = "day"): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** JSONL dimension source with explicit schema (ref files/user_dim.txt,
+    * read loop make_user_action_001.py:14-19; SURVEY §2.1 S4).
+    */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+}

@@ -1,0 +1,46 @@
+package graft.mv
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** A materialized view: a per-batch transform feeding a [[StateTable]] —
+  * ClickHouse's `CREATE MATERIALIZED VIEW ... TO dwm.x_local AS SELECT ...
+  * FROM ods.y_local GROUP BY ...` insert trigger
+  * (ref dwm.mainpage_stat_mv_dis.sql:28-57; trigger semantics doc:298-301).
+  *
+  * `transform` maps ONE raw insert batch to enriched rows (derived default
+  * columns, dictionary/broadcast joins — ref :41-50); the state table then
+  * partial-aggregates and appends. History is never touched; arbitrarily
+  * late rows are accepted and merge-on-read reconciles them — deliberately
+  * NOT a watermarked stateful streaming aggregation, which would drop late
+  * data the reference accepts (SURVEY §2.8 ST2, §7.4 risk 4).
+  *
+  * Multiple MVs may target the same StateTable with disjoint metric columns
+  * (the "union all max" wide-table pattern, ref :157-238) — absent metrics
+  * in a batch merge as identity because Spark aggregates ignore NULLs.
+  */
+final class MaterializedView(
+    val name: String,
+    transform: DataFrame => DataFrame,
+    val target: StateTable) {
+
+  /** Process one insert batch (the trigger firing). */
+  def processBatch(batch: DataFrame): Unit =
+    target.appendBatch(transform(batch))
+
+  /** Attach to a micro-batch stream: each micro-batch ≙ one insert batch
+    * (the generators' ~2000-row/10s cadence, ref make_user_action_001.py:50-62).
+    * The transform runs inside foreachBatch so dictionary broadcasts are
+    * re-resolved per batch (dictionary LIFETIME refresh, SURVEY §2.8 ST4).
+    */
+  def attach(stream: DataFrame, trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+      checkpoint: Option[String] = None): StreamingQuery = {
+    var w: DataStreamWriter[Row] = stream.writeStream
+      .queryName(name)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) => processBatch(batch) }
+    checkpoint.foreach(c => w = w.option("checkpointLocation", c))
+    w.start()
+  }
+}

@@ -1,0 +1,82 @@
+package graft.mv
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Bitmaps, Medians, Sketches}
+
+/** A mergeable metric column of a state table — the Spark analog of one
+  * `AggregateFunction(...)` / `SimpleAggregateFunction(...)` column of the
+  * reference's AggregatingMergeTree store (ref dwm.mainpage_stat_mv_dis.sql:2-20).
+  *
+  * Three faces, mirroring -State / -Merge / finalize (doc:314-505):
+  *  - `state`: aggregate raw input rows into a partial state
+  *  - `merge`: aggregate stored state values (column named [[name]]) into one
+  *  - `finish`: scalar finisher applied after merge (identity for plain sums)
+  *
+  * The invariant every Metric must satisfy (and tests assert):
+  *   finish(merge(states of any partition of the rows)) == finish(state(all rows))
+  * — the doc's OPTIMIZE-FINAL / pre-merge equivalence (doc:934-995).
+  */
+sealed trait Metric {
+  def name: String
+  def state: Column
+  def merge: Column
+  def finish: Column => Column = identity
+}
+
+/** SimpleAggregateFunction(sum): the partial IS the value; re-sum on merge
+  * (ref dwm.mainpage_stat_mv_dis.sql:10-13, doc:510-605). `src` should be an
+  * integral or DECIMAL column — money doubles belong in decimal (see
+  * graft.queries.dec) so merges stay order-independent.
+  */
+final case class SumMetric(name: String, src: Column) extends Metric {
+  val state: Column = sum(src).as(name)
+  val merge: Column = sum(col(name)).as(name)
+}
+
+/** Row counter; merges by re-sum. */
+final case class CountMetric(name: String) extends Metric {
+  val state: Column = count(lit(1)).as(name)
+  val merge: Column = sum(col(name)).as(name)
+}
+
+/** SimpleAggregateFunction(min). */
+final case class MinMetric(name: String, src: Column) extends Metric {
+  val state: Column = min(src).as(name)
+  val merge: Column = min(col(name)).as(name)
+}
+
+/** SimpleAggregateFunction(max). */
+final case class MaxMetric(name: String, src: Column) extends Metric {
+  val state: Column = max(src).as(name)
+  val merge: Column = max(col(name)).as(name)
+}
+
+/** AggregateFunction(groupBitmap, UInt32): exact UV as a RoaringBitmap state
+  * (ref dwm.mainpage_stat_mv_dis.sql:134-139). Finalizes to cardinality.
+  * Requires Bitmaps.register on the session (StateTable does this).
+  */
+final case class BitmapUvMetric(name: String, src: Column) extends Metric {
+  val state: Column = Bitmaps.bitmap_agg(src).as(name)
+  val merge: Column = Bitmaps.bitmap_merge_agg(col(name)).as(name)
+  override val finish: Column => Column = Bitmaps.bitmap_cardinality
+}
+
+/** AggregateFunction(uniqCombined): approximate UV as an HLL sketch
+  * (ref dwm.mainpage_stat_mv_dis.sql:9). Finalizes to the estimate.
+  */
+final case class HllUvMetric(name: String, src: Column, lgK: Int = 12) extends Metric {
+  val state: Column = Sketches.hll_state(src, lgK).as(name)
+  val merge: Column = Sketches.hll_merge_state(col(name)).as(name)
+  override val finish: Column => Column = Sketches.hll_estimate
+}
+
+/** AggregateFunction(medianExact): exact median needs all values, so the
+  * state is a sorted value array (ref dwm.mainpage_stat_mv_dis.sql:83).
+  */
+final case class MedianExactMetric(name: String, src: Column) extends Metric {
+  val state: Column = Medians.median_state(src).as(name)
+  val merge: Column = Medians.median_merge_state(col(name)).as(name)
+  override val finish: Column => Column = Medians.median_finalize
+}

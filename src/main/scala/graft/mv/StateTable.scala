@@ -1,0 +1,117 @@
+package graft.mv
+
+import java.time.LocalDate
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Bitmaps
+
+/** A persisted partial-aggregate state table — the Spark-native analog of a
+  * ReplicatedAggregatingMergeTree store behind a materialized view
+  * (ref scripts/sql/dwm.mainpage_stat_mv_dis.sql:2-25; SURVEY.md §1.1).
+  *
+  * Storage: day-partitioned Parquet (`<path>/<partitionCol>=YYYY-MM-DD/...`),
+  * rows sorted within partitions by the grouping keys — the MergeTree
+  * PARTITION BY + ORDER BY layout that makes partition pruning and row-group
+  * min/max skipping effective (ref ods.action_001_dis.sql:18-22).
+  *
+  * Lifecycle mirrors the reference exactly:
+  *  - [[append]]: each insert batch's partial aggregates land as new rows
+  *    (MV insert trigger, doc:298-301) — history is never recomputed, late
+  *    rows land in whatever day partition they carry (no watermark drop,
+  *    SURVEY §2.8 ST2).
+  *  - [[merged]]/[[finalized]]: merge-on-read collapses equal keys (the
+  *    SELECT ... -Merge read path, ref dwm.mainpage_stat_mv_dis.sql:60-70);
+  *    coarser `groupKeys` give the dws-style rollups (re-aggregation from
+  *    finer states replaces CUBE, SURVEY §2.4).
+  *  - [[compact]]: background-merge analog (OPTIMIZE FINAL, doc:953-995) —
+  *    rewrites each partition with equal keys pre-merged, atomically,
+  *    read-equivalent before and after.
+  *  - [[expire]]: TTL retention (ref ods.action_001_dis.sql:21) — drops
+  *    whole day partitions past the horizon.
+  *
+  * At cluster scale every operation here is partition-parallel: append is a
+  * map-side partial aggregate of the batch (no shuffle of history), reads
+  * prune to the queried days, and compaction shuffles only the keys within
+  * each rewritten partition.
+  */
+final class StateTable(
+    spark: SparkSession,
+    val path: String,
+    val keys: Seq[String],
+    val partitionCol: String,
+    val metrics: Seq[Metric]) {
+
+  Bitmaps.register(spark)
+
+  private def stateCols = metrics.map(_.state)
+  private def mergeCols = metrics.map(_.merge)
+
+  /** Aggregate a raw batch to state rows (the MV SELECT over one insert). */
+  def toStates(batch: DataFrame): DataFrame =
+    batch.groupBy(keys.map(col): _*).agg(stateCols.head, stateCols.tail: _*)
+
+  /** Append pre-aggregated state rows for one batch. */
+  def append(states: DataFrame): Unit =
+    states
+      .sortWithinPartitions(keys.map(col): _*)
+      .write.mode("append").partitionBy(partitionCol).parquet(path)
+
+  /** Aggregate + append a raw batch (insert-trigger semantics). */
+  def appendBatch(batch: DataFrame): Unit = append(toStates(batch))
+
+  /** Raw state rows as stored (pre-merge). */
+  def read(): DataFrame = spark.read.parquet(path)
+
+  /** Merge-on-read at the given (possibly coarser) keys; metric columns
+    * remain states (binary sketches / arrays / partial sums).
+    */
+  def merged(groupKeys: Seq[String] = keys): DataFrame =
+    read().groupBy(groupKeys.map(col): _*).agg(mergeCols.head, mergeCols.tail: _*)
+
+  /** Merge-on-read + finalize to scalar values (UV counts, medians, sums). */
+  def finalized(groupKeys: Seq[String] = keys): DataFrame = {
+    val m = merged(groupKeys)
+    m.select(groupKeys.map(col) ++ metrics.map(x => x.finish(col(x.name)).as(x.name)): _*)
+  }
+
+  /** Background-merge analog: rewrite the table with equal keys pre-merged.
+    * Write-to-temp + atomic rename per the doc's OPTIMIZE FINAL invariant —
+    * readers see the old or the new table, never a mix.
+    */
+  def compact(): Unit = {
+    val tmp = path + ".compact.tmp"
+    val old = path + ".compact.old"
+    merged(keys)
+      .sortWithinPartitions(keys.map(col): _*)
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(tmp)
+    val fs = FileSystem.get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val p = new Path(path); val t = new Path(tmp); val o = new Path(old)
+    if (fs.exists(o)) fs.delete(o, true)
+    if (!fs.rename(p, o)) sys.error(s"compact: failed to stage $path -> $old")
+    if (!fs.rename(t, p)) { fs.rename(o, p); sys.error(s"compact: failed to swap $tmp -> $path") }
+    fs.delete(o, true)
+  }
+
+  /** TTL: drop day partitions older than `days` before `today`
+    * (ref `TTL day + toIntervalDay(N)`, ods.action_001_dis.sql:21).
+    */
+  def expire(days: Int, today: LocalDate = LocalDate.now()): Seq[String] = {
+    val cutoff = today.minusDays(days.toLong)
+    val fs = FileSystem.get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val root = new Path(path)
+    if (!fs.exists(root)) return Nil
+    val dropped = fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter { p =>
+        p.getName.startsWith(partitionCol + "=") &&
+          (try LocalDate.parse(p.getName.drop(partitionCol.length + 1)).isBefore(cutoff)
+           catch { case _: Exception => false })
+      }
+    dropped.foreach(p => fs.delete(p, true))
+    dropped.map(_.getName)
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.mv._
+import graft.queries.dec
+
+/** Structured-Streaming MV wiring: a file-source stream of micro-batches
+  * (the generators' ~2000-row insert cadence, ref make_user_action_001.py:50-62)
+  * drives a MaterializedView via foreachBatch; merge-on-read must equal
+  * direct aggregation over everything ingested (SURVEY §2.8 ST1/ST2).
+  */
+class MvStreamingSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("ts", TimestampType),
+    StructField("uid", LongType),
+    StructField("etype", StringType),
+    StructField("value", DoubleType)))
+
+  test("streamed micro-batches into a state table == direct aggregation") {
+    import spark.implicits._
+    val srcDir = tmpDir("mvstream-src")
+    val stDir = tmpDir("mvstream-state") + "/t"
+    val ckDir = tmpDir("mvstream-ck")
+
+    val st = new StateTable(spark, stDir,
+      keys = Seq("day", "hour", "etype"), partitionCol = "day",
+      metrics = Seq(
+        BitmapUvMetric("uv", col("uid")),
+        SumMetric("value_sum", dec(col("value"))),
+        CountMetric("cnt")))
+
+    val mv = new MaterializedView("mv_test",
+      batch => graft.engine.Warehouse.withTimeDefaults(batch, "ts"),
+      st)
+
+    def writeBatch(rows: Seq[(String, Long, String, Double)], part: Int): Unit =
+      rows.toDF("ts_s", "uid", "etype", "value")
+        .select(col("ts_s").cast(TimestampType).as("ts"), col("uid"), col("etype"), col("value"))
+        .coalesce(1).write.mode("append").parquet(srcDir + s"/b$part")
+
+    // batch files appear over time; each parquet drop = one insert batch
+    val b1 = Seq(("2024-01-01 10:05:00", 1L, "view", 10.0), ("2024-01-01 10:40:00", 2L, "view", 5.5))
+    val b2 = Seq(("2024-01-01 10:10:00", 1L, "view", 2.0), ("2024-01-02 09:00:00", 3L, "click", 1.5))
+    val b3 = Seq(("2024-01-01 23:59:00", 4L, "view", 3.25)) // late for day 1
+    writeBatch(b1, 1)
+
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir + "/*")
+    val q = mv.attach(stream, Trigger.ProcessingTime("1 second"), Some(ckDir))
+    try {
+      writeBatch(b2, 2)
+      writeBatch(b3, 3)
+      // wait until all 3 batch files are ingested
+      val deadline = System.currentTimeMillis() + 60000
+      def ingested(): Boolean =
+        try st.read().agg(sum(col("cnt"))).collect()(0).getLong(0) == 5L
+        catch { case _: Exception => false }
+      while (!ingested() && System.currentTimeMillis() < deadline) Thread.sleep(300)
+      assert(ingested(), "stream did not ingest all batches in time")
+    } finally q.stop()
+
+    val all = (b1 ++ b2 ++ b3).toDF("ts_s", "uid", "etype", "value")
+      .select(col("ts_s").cast(TimestampType).as("ts"), col("uid"), col("etype"), col("value"))
+    val direct = graft.engine.Warehouse.withTimeDefaults(all, "ts")
+      .groupBy("day", "hour", "etype")
+      .agg(countDistinct(col("uid")).as("uv"),
+        sum(dec(col("value"))).as("value_sum"),
+        count(lit(1)).as("cnt"))
+
+    val gotRows = st.finalized().select("day", "hour", "etype", "uv", "value_sum", "cnt")
+      .collect().map(_.toSeq.map(_.toString)).sortBy(_.mkString("|"))
+    val expRows = direct.select("day", "hour", "etype", "uv", "value_sum", "cnt")
+      .collect().map(_.toSeq.map(_.toString)).sortBy(_.mkString("|"))
+    assert(gotRows.toSeq == expRows.toSeq)
+  }
+}

@@ -1,0 +1,150 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+import java.time.LocalDate
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.mv._
+import graft.queries.dec
+
+/** The reference's central correctness properties for state tables
+  * (doc:934-995 and SURVEY.md §5 form 2):
+  *  - merge-on-read over incrementally appended batches == direct aggregation
+  *    over all raw rows;
+  *  - compaction (OPTIMIZE FINAL analog) is read-equivalent;
+  *  - unwritten metrics merge as identity (union-max wide table, doc:848-995);
+  *  - late data lands in its own day and still reconciles (no watermark drop).
+  */
+class StateTableSpec extends SparkSpec {
+
+  private def mkEvents(rows: Seq[(String, String, Long, String, Double)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("day_s", "hour_s", "uid", "etype", "value")
+      .select(
+        to_date(col("day_s")).as("day"),
+        col("hour_s").cast(TimestampType).as("hour"),
+        col("uid"), col("etype"), col("value"))
+  }
+
+  private val batch1 = mkEvents(Seq(
+    ("2024-01-01", "2024-01-01 10:00:00", 1L, "view", 10.50),
+    ("2024-01-01", "2024-01-01 10:00:00", 2L, "view", 1.25),
+    ("2024-01-01", "2024-01-01 11:00:00", 1L, "click", 3.75),
+    ("2024-01-02", "2024-01-02 09:00:00", 3L, "view", 7.00)))
+  private val batch2 = mkEvents(Seq(
+    ("2024-01-01", "2024-01-01 10:00:00", 1L, "view", 2.25),   // same key as batch1 rows
+    ("2024-01-01", "2024-01-01 10:00:00", 4L, "view", 9.00),
+    ("2024-01-02", "2024-01-02 09:00:00", 3L, "view", 1.00),
+    ("2024-01-02", "2024-01-02 12:00:00", 5L, "click", 4.50)))
+  // batch3 is LATE: still carries day 2024-01-01 though it "arrives" last
+  private val batch3 = mkEvents(Seq(
+    ("2024-01-01", "2024-01-01 10:00:00", 6L, "view", 5.00),
+    ("2024-01-01", "2024-01-01 23:00:00", 1L, "view", 0.50)))
+
+  private def newTable(dir: String): StateTable = new StateTable(
+    spark, dir,
+    keys = Seq("day", "hour", "etype"),
+    partitionCol = "day",
+    metrics = Seq(
+      BitmapUvMetric("uv", col("uid")),
+      SumMetric("value_sum", dec(col("value"))),
+      CountMetric("cnt"),
+      MedianExactMetric("value_median", col("value")),
+      MaxMetric("value_max", col("value"))))
+
+  private def direct(groupKeys: Seq[String]): DataFrame = {
+    val all = batch1.unionByName(batch2).unionByName(batch3)
+    all.groupBy(groupKeys.map(col): _*).agg(
+      countDistinct(col("uid")).as("uv"),
+      sum(dec(col("value"))).as("value_sum"),
+      count(lit(1)).as("cnt"),
+      percentile(col("value"), lit(0.5)).as("value_median"),
+      max(col("value")).as("value_max"))
+  }
+
+  private def assertSameResult(a: DataFrame, b: DataFrame): Unit = {
+    val ac = a.columns.sorted
+    val aSorted = a.select(ac.map(col): _*)
+    val bSorted = b.select(ac.map(col): _*)
+    val aRows = aSorted.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val bRows = bSorted.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(aRows.toSeq.map(_.map {
+      case d: java.math.BigDecimal => d.doubleValue()
+      case x => x
+    }) == bRows.toSeq.map(_.map {
+      case d: java.math.BigDecimal => d.doubleValue()
+      case x => x
+    }))
+  }
+
+  test("merge-on-read over 3 appended batches == direct aggregation (incl. late data)") {
+    val dir = tmpDir("state")
+    val st = newTable(dir + "/t")
+    Seq(batch1, batch2, batch3).foreach(st.appendBatch)
+    assertSameResult(st.finalized(Seq("day", "hour", "etype")), direct(Seq("day", "hour", "etype")))
+  }
+
+  test("rollup to coarser keys from states == direct aggregation at those keys") {
+    val dir = tmpDir("state")
+    val st = newTable(dir + "/t")
+    Seq(batch1, batch2, batch3).foreach(st.appendBatch)
+    // note: only re-aggregable metrics survive a coarser rollup comparison
+    val got = st.finalized(Seq("day", "etype"))
+      .select("day", "etype", "uv", "value_sum", "cnt", "value_median", "value_max")
+    assertSameResult(got, direct(Seq("day", "etype")))
+  }
+
+  test("compaction is read-equivalent and reduces row count (doc:953-995)") {
+    val dir = tmpDir("state")
+    val st = newTable(dir + "/t")
+    Seq(batch1, batch2, batch3).foreach(st.appendBatch)
+    val before = st.finalized().collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val rawBefore = st.read().count()
+    st.compact()
+    val after = st.finalized().collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val rawAfter = st.read().count()
+    assert(before.toSeq == after.toSeq)
+    assert(rawAfter < rawBefore, s"compaction should collapse duplicate keys ($rawBefore -> $rawAfter)")
+    // idempotent
+    st.compact()
+    assert(st.read().count() == rawAfter)
+  }
+
+  test("TTL expire drops only partitions past the horizon (ods TTL, S10)") {
+    val dir = tmpDir("state")
+    val st = newTable(dir + "/t")
+    Seq(batch1, batch2).foreach(st.appendBatch)
+    val dropped = st.expire(days = 10, today = LocalDate.parse("2024-01-12"))
+    assert(dropped == Seq("day=2024-01-01"))
+    assert(st.read().select("day").distinct().collect().map(_.getDate(0).toString).toSeq == Seq("2024-01-02"))
+  }
+
+  test("union-max wide table: unwritten metrics merge as identity (doc:848-995)") {
+    import spark.implicits._
+    // two "logs" write disjoint metric columns into one wide store
+    val dir = tmpDir("state") + "/t"
+    val st = new StateTable(spark, dir,
+      keys = Seq("day", "id"), partitionCol = "day",
+      metrics = Seq(SumMetric("m1", col("m1_src")), SumMetric("m2", col("m2_src"))))
+    val log1 = Seq(("2024-01-01", 1L, 10001L), ("2024-01-01", 2L, 10002L),
+        ("2024-01-01", 3L, 10003L), ("2024-01-01", 3L, 10001L))
+      .toDF("day_s", "id", "m1_src")
+      .select(to_date(col("day_s")).as("day"), col("id"), col("m1_src"),
+        lit(null).cast(LongType).as("m2_src"))
+    val log2 = Seq(("2024-01-01", 1L, 1001L), ("2024-01-01", 1L, 1002L),
+        ("2024-01-01", 2L, 10001L), ("2024-01-01", 3L, 10001L))
+      .toDF("day_s", "id", "m2_src")
+      .select(to_date(col("day_s")).as("day"), col("id"),
+        lit(null).cast(LongType).as("m1_src"), col("m2_src"))
+    st.appendBatch(log1)
+    st.appendBatch(log2)
+    val got = st.finalized(Seq("id")).select("id", "m1", "m2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // doc:848-995's test.mv_union_max inputs with sum metrics on both columns:
+    // the property under test is identity-merge of the unwritten side
+    assert(got.toSeq == Seq((1L, 10001L, 2003L), (2L, 10002L, 10001L), (3L, 20004L, 10001L)))
+  }
+}
