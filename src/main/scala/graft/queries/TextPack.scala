@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.text.TextFunctions
+
+/** Declared queries for the training-data text pipeline over `documents`:
+  * dedup (exact + fuzzy), token/quality stats, fingerprints, language ID.
+  * Oracles exist wherever DuckDB can express the same computation exactly;
+  * hash-seeded ops (minhash/simhash, xxhash64-based) are declared without
+  * oracle (driver records rows-only) and verified in ScalaTest instead.
+  */
+object TextPack {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup accounting per (lang, source): md5-keyed distinct counts.
+    "q30_dedup_exact" -> { (s, dir) =>
+      Tables(s, dir).documents
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("docs"),
+          count_distinct(col("text")).as("uniq_texts"),
+          count_distinct(md5(col("text"))).as("uniq_md5"))
+        .orderBy("lang", "source")
+    },
+
+    // Per-doc token/char stats (token counting over whitespace).
+    "q31_doc_stats" -> { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          length(col("text")).as("text_len"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          size(array_distinct(TextFunctions.tokens(col("text")))).as("uniq_tokens"),
+          col("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // Quality features: stopword hits, punctuation, ratios (single double
+    // division — deterministic both sides).
+    "q32_quality" -> { (s, dir) =>
+      val f = TextFunctions.qualityFeatures(col("text"))
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          f.getField("n_tokens").as("n_tokens"),
+          f.getField("stopword_cnt").as("stopword_cnt"),
+          f.getField("uniq_ratio").as("uniq_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // Doc fingerprint: min over md5'd 3-token shingles (1-perm MinHash, the
+    // md5 variant so DuckDB can mirror it; the library's fast path is
+    // xxhash64 — see TextFunctions.fingerprint64).
+    "q33_fingerprint" -> { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          array_min(transform(TextFunctions.shingles(col("toks"), 3), sh => md5(sh))).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // Exact n-gram Jaccard near-dup pairs — shingle-join shape, no cross join.
+    "q34_ngram_jaccard" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(Tables(s, dir).documents, "text", "doc_id",
+          shingleSize = 3, threshold = 0.2)
+        .orderBy("id_a", "id_b")
+    },
+
+    // MinHash+LSH near-dup candidates (seeded xxhash64 — no SQL oracle;
+    // recall vs exact Jaccard is asserted in DedupSpec).
+    "q35_minhash_neardup" -> { (s, dir) =>
+      Dedup.minhashNearDups(Tables(s, dir).documents, "text", "doc_id",
+          numHashes = 64, bands = 16, threshold = 0.4)
+        .orderBy("id_a", "id_b")
+    },
+
+    // SimHash near-dup candidates (rows-only; verified in DedupSpec).
+    "q36_simhash_neardup" -> { (s, dir) =>
+      Dedup.simhashNearDups(Tables(s, dir).documents, "text", "doc_id", maxHamming = 12)
+        .orderBy("id_a", "id_b")
+    },
+
+    // Language ID heuristic (rows-only; sanity-checked in TextSpec).
+    "q37_langid" -> { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // Multimodal plumbing smoke: text bytes as fake blobs through the
+    // batched decode-stub pipeline (rows-only — mapPartitions stub).
+    "q38_multimodal_features" -> { (s, dir) =>
+      val media = graft.multimodal.Multimodal.fakeMediaFromText(
+        Tables(s, dir).documents, "doc_id", "text")
+      graft.multimodal.Multimodal.extractFeatures(media)
+        .select(col("media_id"), col("modality"), col("n_bytes"),
+          size(col("features")).as("feature_dim"))
+        .orderBy("media_id")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q30_dedup_exact" ->
+      """SELECT lang, source, COUNT(*) AS docs,
+        | COUNT(DISTINCT text) AS uniq_texts, COUNT(DISTINCT md5(text)) AS uniq_md5
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "q31_doc_stats" ->
+      """SELECT doc_id, LENGTH(text) AS text_len,
+        | len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS n_tokens,
+        | len(list_distinct(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))) AS uniq_tokens,
+        | n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q32_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+        |    text
+        |  FROM documents)
+        |SELECT doc_id, len(toks) AS n_tokens,
+        | len(list_filter(toks, x -> list_contains(
+        |   ['the','a','an','of','to','in','and','or','is','are','was','for','on','with','as','at','by','it','this','that'],
+        |   lower(x)))) AS stopword_cnt,
+        | CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q33_fingerprint" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS h
+        |  FROM tok, UNNEST(generate_series(1, len(toks) - 2)) AS t(i))
+        |SELECT doc_id, MIN(h) AS fp FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q34_ngram_jaccard" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+        |  FROM tok, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_b, id_a, inter,
+        |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin
+  )
+}

@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.similarity.Ann
+
+/** Declared queries for similarity search over `embeddings`
+  * (Array[Float], 64-dim). Cosine arithmetic is double-precision with a
+  * fixed fold order on both sides, so scores round identically; results
+  * round to 6 dp to keep the hash compare away from float edge noise.
+  */
+object VectorPack {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Full probe-vs-corpus cosine scoring (no top-k cutoff → no ranking
+    // instability in the declared result; the top-k path is q41).
+    "q40_cosine_probe" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("pvec"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"),
+          round(Ann.cosine(col("embedding"), col("pvec")), 6).as("cos_sim"))
+        .orderBy("vec_id")
+    },
+
+    // Exact brute-force top-10 neighbors for 3 probe vectors.
+    "q41_knn_brute" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val probes = e.filter(col("vec_id").isin(0, 1, 2))
+      Ann.bruteForceTopK(e, probes, "vec_id", "embedding", k = 10)
+        .select(col("probe_id"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"), col("rank"))
+        .orderBy("probe_id", "rank")
+    },
+
+    // LSH-bucketed approximate top-10 (scale path; recall vs q41 asserted
+    // in AnnSpec — rows-only here, hash-seeded bucketing).
+    "q42_knn_lsh" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val probes = e.filter(col("vec_id").isin(0, 1, 2))
+      val ix = Ann.lshIndex(e, "vec_id", "embedding", tables = 16, bits = 6)
+      Ann.lshTopK(ix, probes, "vec_id", "embedding", k = 10, tables = 16, bits = 6)
+        .select(col("probe_id"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"), col("rank"))
+        .orderBy("probe_id", "rank")
+    },
+
+    // Embedding-cosine near-duplicate pairs (rows-only; LSH-bucketed).
+    // Threshold sits where the synthetic corpus actually has pairs — random
+    // 64-dim embeddings top out near cos 0.5.
+    "q43_cosine_neardup" -> { (s, dir) =>
+      Ann.cosineNearDups(Tables(s, dir).embeddings, "vec_id", "embedding",
+          threshold = 0.3, tables = 6, bits = 5)
+        .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy("id_a", "id_b")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    // Mirrors the fold: per-index products in double, summed in index order.
+    "q40_cosine_probe" ->
+      """WITH p AS (SELECT embedding AS pvec FROM embeddings WHERE vec_id = 0),
+        |s AS (
+        |  SELECT e.vec_id,
+        |    list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.pvec[i] AS DOUBLE))) AS dot,
+        |    sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+        |    sqrt(list_sum(list_transform(p.pvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+        |  FROM embeddings e, p WHERE e.vec_id <> 0)
+        |SELECT vec_id, ROUND(dot / (na * nb), 6) AS cos_sim
+        |FROM s ORDER BY vec_id""".stripMargin
+  )
+}

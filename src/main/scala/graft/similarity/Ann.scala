@@ -1,0 +1,128 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Two paths, same interface:
+  *  - [[bruteForceTopK]]: exact — broadcast the (small) probe set against the
+  *    corpus, score every pair, per-probe top-k. O(corpus × probes) but
+  *    embarrassingly parallel and scan-shaped: at 100 TB this is one pass
+  *    over the corpus with no shuffle except the final per-probe top-k
+  *    (which AQE keeps tiny). The baseline and the verifier for the ANN path.
+  *  - [[lshTopK]]: approximate — random-hyperplane LSH; corpus is bucketed by
+  *    an nbits-bit sign signature (one shuffle, reusable as a persisted
+  *    index), probes only score their own bucket (+ optional multiprobe on
+  *    1-bit flips). Recall/cost dial = nbits/multiprobe.
+  *
+  * All arithmetic is double-precision built-in expressions (zip_with +
+  * aggregate) — codegen'd, deterministic, no UDF.
+  */
+object Ann {
+
+  /** Cosine similarity of two float-array columns, computed in double. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Exact top-k cosine neighbors for each probe row.
+    * `probes` must be broadcast-small (the usual query-batch case).
+    * Returns (probe_id, neighbor_id, cos_sim, rank).
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"))
+    val scored = c.crossJoin(broadcast(p))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cos_sim", cosine(col("cvec"), col("pvec")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "cos_sim", "rank")
+  }
+
+  /** Per-table bucket signatures from deterministic pseudo-random
+    * hyperplanes: plane component for (table, bit, dim) drawn in [-1,1) from
+    * xxhash64 — identical on every executor, no RNG state. Multi-table LSH
+    * (L independent tables of `bits` hyperplanes each) is the standard
+    * recall lever: a similar pair only needs to collide in ONE table.
+    * Returns an array<struct<tbl,bucket>> of length `tables`.
+    */
+  private def signaturesExpr(vec: Column, tables: Int, bits: Int): Column =
+    transform(sequence(lit(0), lit(tables - 1)), t => {
+      val bucket = aggregate(
+        transform(sequence(lit(0), lit(bits - 1)), b => {
+          val plane = t * bits + b
+          val dotv = aggregate(
+            zip_with(vec, sequence(lit(0), size(vec) - 1), (x, d) =>
+              x.cast(DoubleType) *
+                (xxhash64(plane, d).cast(DoubleType) / lit(Long.MaxValue.toDouble))),
+            lit(0.0), (acc, v) => acc + v)
+          when(dotv >= 0, call_function("shiftleft", lit(1L), b)).otherwise(0L)
+        }),
+        lit(0L), (acc, v) => acc.bitwiseOR(v))
+      struct(t.as("tbl"), bucket.as("bucket"))
+    })
+
+  /** Build the LSH "index": one row per (corpus row × table) keyed by
+    * (tbl, bucket). Persist/bucket this by the key to make repeated query
+    * batches shuffle-free; size is `tables ×` corpus — the usual LSH
+    * space-for-recall trade.
+    */
+  def lshIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      tables: Int = 8, bits: Int = 6): DataFrame =
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+        explode(signaturesExpr(col(vecCol), tables, bits)).as("bk"))
+      .select(col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"),
+        col("neighbor_id"), col("cvec"))
+
+  /** Approximate top-k: probes score only corpus rows sharing a bucket in
+    * at least one table, then exact-rerank. `tables`/`bits` must match the
+    * index build.
+    */
+  def lshTopK(
+      index: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      tables: Int = 8, bits: Int = 6): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"),
+        explode(signaturesExpr(col(vecCol), tables, bits)).as("bk"))
+      .select(col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"),
+        col("probe_id"), col("pvec"))
+    val scored = index.join(broadcast(p), Seq("tbl", "bucket"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .dropDuplicates("probe_id", "neighbor_id")
+      .withColumn("cos_sim", cosine(col("cvec"), col("pvec")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "cos_sim", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs via LSH buckets: pairs that share
+    * a bucket and clear the cosine threshold. The vector-space sibling of
+    * Dedup.minhashNearDups — same no-cross-join shape.
+    */
+  def cosineNearDups(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, tables: Int = 8, bits: Int = 6): DataFrame = {
+    val ix = lshIndex(corpus, idCol, vecCol, tables, bits)
+    val a = ix.select(col("tbl"), col("bucket"), col("neighbor_id").as("id_a"), col("cvec").as("va"))
+    val b = ix.select(col("tbl"), col("bucket"), col("neighbor_id").as("id_b"), col("cvec").as("vb"))
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos_sim", cosine(col("va"), col("vb")))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+  }
+}

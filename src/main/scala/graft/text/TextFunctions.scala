@@ -1,0 +1,126 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting. Everything
+  * here is composed from built-in Catalyst expressions (split / higher-order
+  * functions / xxhash64) so it stays inside whole-stage codegen — no Scala
+  * UDF in the per-row hot path, which is what makes a 100 TB document sweep
+  * CPU-bound instead of serialization-bound.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** BPE-ish subword-ish tokens: letter runs, digit runs, single punctuation
+    * marks — the usual pre-tokenizer regex shape.
+    */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** n-token shingles joined by single spaces (for MinHash / Jaccard).
+    *
+    * `toks` is referenced inside the element lambda, and higher-order
+    * functions evaluate interpreted — pass a *materialized* token-array
+    * column (project `tokens(text)` in a prior select), not an inline
+    * `tokens(text)` expression, or the tokenizer re-runs once per shingle.
+    */
+  def shingles(toks: Column, n: Int): Column =
+    transform(sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+
+  /** 64-bit doc fingerprint from a materialized token-array column: min over
+    * shingle hashes (a 1-perm MinHash — stable under small edits, unlike a
+    * whole-text hash).
+    */
+  def fingerprint64FromTokens(toks: Column, shingleSize: Int = 3): Column =
+    array_min(transform(shingles(toks, shingleSize), sh => xxhash64(sh)))
+
+  /** Convenience one-shot form — fine for ad-hoc use; pipelines should
+    * materialize tokens first (see [[shingles]]).
+    */
+  def fingerprint64(text: Column, shingleSize: Int = 3): Column =
+    fingerprint64FromTokens(tokens(text), shingleSize)
+
+  // ---- quality scoring ----------------------------------------------------
+
+  private val defaultStopwords = Seq(
+    "the", "a", "an", "of", "to", "in", "and", "or", "is", "are", "was",
+    "for", "on", "with", "as", "at", "by", "it", "this", "that")
+
+  /** Per-document quality features as a struct column. All counts are exact
+    * integers; ratios are single double divisions (deterministic).
+    */
+  def qualityFeatures(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val nChar = length(text)
+    val stopArr = array(stopwords.map(lit): _*)
+    val stopCnt = size(filter(toks, t => array_contains(stopArr, lower(t))))
+    val punctCnt = size(regexp_extract_all(text, lit("[\\p{Punct}]"), lit(0)))
+    val digitCnt = size(regexp_extract_all(text, lit("[0-9]"), lit(0)))
+    val uniqTok = size(array_distinct(toks))
+    struct(
+      nChar.as("n_chars"),
+      nTok.as("n_tokens"),
+      uniqTok.as("n_uniq_tokens"),
+      stopCnt.as("stopword_cnt"),
+      punctCnt.as("punct_cnt"),
+      digitCnt.as("digit_cnt"),
+      (stopCnt.cast(DoubleType) / nTok).as("stopword_ratio"),
+      (uniqTok.cast(DoubleType) / nTok).as("uniq_ratio"),
+      (nChar.cast(DoubleType) / nTok).as("avg_token_len"))
+  }
+
+  /** Composite quality score in [0,1] — the usual heuristic gate for
+    * pretraining corpora: enough tokens, sane word length, some stopwords,
+    * not too repetitive. Weights are arbitrary but fixed; deterministic.
+    */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text)
+    val lenOk = when(f("n_tokens").between(5, 10000), 1.0).otherwise(0.0)
+    val stopOk = when(f("stopword_ratio") > 0.01, 1.0).otherwise(0.0)
+    val repeatOk = when(f("uniq_ratio") > 0.2, 1.0).otherwise(0.0)
+    val wordOk = when(f("avg_token_len").between(2.0, 12.0), 1.0).otherwise(0.0)
+    (lenOk * 0.4 + stopOk * 0.2 + repeatOk * 0.2 + wordOk * 0.2)
+  }
+
+  // ---- language ID --------------------------------------------------------
+
+  /** Tiny per-language stopword lists for the n-gram/stopword-vote heuristic.
+    * Real pipelines use fastText-style models; the *Spark shape* (score per
+    * language from token hits, argmax) is what matters here.
+    */
+  private val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "für"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y", "que", "en", "un", "una"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "que", "un", "une", "dans", "pour"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不", "这", "他"))
+
+  /** Stopword-vote language ID: counts hits per language, returns the argmax
+    * (ties broken by list order, 'und' = undetermined when no hits). CJK text
+    * rarely whitespace-tokenizes, so zh also scores on character hits.
+    */
+  def langId(text: Column): Column = {
+    val toks = transform(tokens(text), lower _)
+    val scores = langStopwords.map { case (lang, words) =>
+      val arr = array(words.map(lit): _*)
+      val hits =
+        if (lang == "zh")
+          size(filter(split(text, ""), c => array_contains(arr, c)))
+        else
+          size(filter(toks, t => array_contains(arr, t)))
+      struct(hits.as("hits"), lit(lang).as("lang"))
+    }
+    val best = greatest(scores: _*) // struct compare: hits first, then lang
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Ann
+
+/** ANN verification: LSH path recall against the exact brute-force baseline
+  * on the driver's embeddings table.
+  */
+class AnnSpec extends SparkSpec {
+
+  private lazy val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+
+  test("cosine is exact: self-similarity 1, symmetric") {
+    val two = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id"), col("embedding"))
+    val selfSim = two.select(Ann.cosine(col("embedding"), col("embedding")).as("c"))
+      .collect().map(_.getDouble(0))
+    selfSim.foreach(c => assert(math.abs(c - 1.0) < 1e-12))
+  }
+
+  test("brute-force top-k: ranks are dense, scores non-increasing") {
+    val probes = emb.filter(col("vec_id") === 0)
+    val out = Ann.bruteForceTopK(emb, probes, "vec_id", "embedding", 10).collect()
+    assert(out.length == 10)
+    val scores = out.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos_sim"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("LSH top-k recall@10 >= 0.5 vs brute force") {
+    val probes = emb.filter(col("vec_id").isin(0, 1, 2, 3, 4))
+    val exact = Ann.bruteForceTopK(emb, probes, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ix = Ann.lshIndex(emb, "vec_id", "embedding", tables = 16, bits = 6)
+    val approx = Ann.lshTopK(ix, probes, "vec_id", "embedding", 10, tables = 16, bits = 6)
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall too low: $recall")
+  }
+
+  test("LSH index bucketing is deterministic across evaluations") {
+    val a = Ann.lshIndex(emb, "vec_id", "embedding", 4, 6)
+      .select("neighbor_id", "tbl", "bucket")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val b = Ann.lshIndex(emb, "vec_id", "embedding", 4, 6)
+      .select("neighbor_id", "tbl", "bucket")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(a == b)
+  }
+}
