@@ -1,23 +1,104 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.functions.Bitmaps
+import graft.mv._
+import graft.queries.dec
+
+/** Benchmark main — driver contract: ONE JSON line on stdout with total +
+  * per-query seconds at SPARK_GRAFT_SF_DIR.
+  *
+  * Method: per query, one untimed warmup run (plan + codegen + broadcast
+  * build), then two timed runs, report the min — steady-state latency, the
+  * quantity BASELINE.md's reference numbers measure (ClickHouse query times
+  * exclude server start too). Results are forced with a noop-format write so
+  * the whole plan executes without sink I/O.
+  *
+  * Also benches the reference's flagship ratio (BASELINE.md): the MV state
+  * table path vs direct aggregation over raw — `mv_state_query` reads a
+  * prebuilt compacted state table and merges; `mv_raw_query` computes the
+  * same answer from raw events. The reference sees ~1.3-2x in favor of
+  * states; state rows ≈ 1/n of raw.
+  */
 object Bench {
+
+  private val headline = Seq(
+    "q01_pricing_summary", // scan + multi-key hash agg, decimal sums
+    "q04_join_group",      // broadcast fact⋈dim + agg
+    "q05_dict_enrich",     // dictGet-style enrichment (baseline doc:679)
+    "q14_hourly_rollup",   // time-truncation rollup
+    "q18_scalar_math",     // raw scan + scalar math throughput
+    "q20_state_rollup",    // two-phase state/merge (bitmap UV)
+    "q21_bitmap_funnel",   // bitmap funnel (baseline doc:1235)
+    "q22_wide_union",      // multi-log wide table (baseline doc:1159/1205)
+    "q31_doc_stats",       // text token stats
+    "q34_ngram_jaccard",   // shingle-join near-dup
+    "q35_minhash_neardup", // MinHash LSH
+    "q40_cosine_probe",    // embedding cosine scan
+    "q41_knn_brute")       // brute-force top-k
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    Bitmaps.register(spark)
+
+    def force(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+
+    def bench(mk: () => DataFrame): Double = {
+      force(mk())                              // warmup: codegen + broadcasts
+      (1 to 3).map(_ => timed(force(mk()))).min
+    }
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    for (name <- headline if SparkEntry.queries.contains(name)) {
+      try results(name) = bench(() => SparkEntry.queries(name)(spark, sfDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); results(name) = -1.0
+      }
+    }
+
+    // MV flagship ratio: prebuilt compacted state table vs raw aggregation.
+    try {
+      val stPath = java.nio.file.Files.createTempDirectory("graft-bench-state").toString + "/t"
+      val st = new StateTable(spark, stPath,
+        keys = Seq("day", "hour", "event_type"), partitionCol = "day",
+        metrics = Seq(
+          BitmapUvMetric("uv", col("user_id")),
+          SumMetric("total_value", dec(col("value"))),
+          CountMetric("cnt")))
+      st.appendBatch(Tables(spark, sfDir).eventsWithDefaults)
+      st.compact()
+      results("mv_state_query") = bench(() =>
+        st.finalized(Seq("day", "event_type"))
+          .withColumn("total_value", col("total_value").cast(DoubleType)))
+      results("mv_raw_query") = bench(() =>
+        Tables(spark, sfDir).eventsWithDefaults
+          .groupBy("day", "event_type")
+          .agg(count_distinct(col("user_id")).as("uv"),
+            sum(dec(col("value"))).cast(DoubleType).as("total_value"),
+            count(lit(1)).as("cnt")))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] mv pair failed: ${e.getMessage}")
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

