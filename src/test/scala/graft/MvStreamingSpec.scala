@@ -79,4 +79,39 @@ class MvStreamingSpec extends SparkSpec {
       .collect().map(_.toSeq.map(_.toString)).sortBy(_.mkString("|"))
     assert(gotRows.toSeq == expRows.toSeq)
   }
+
+  test("ST4: dictionary snapshot refresh between batches changes enrichment") {
+    import spark.implicits._
+    // transform re-reads the dim snapshot per batch — the foreachBatch analog
+    // of dictionary LIFETIME reload (ref dim.dict_user_dim.sql:20)
+    val dimDir = tmpDir("dict-refresh") + "/dim"
+    val stDir = tmpDir("dict-refresh-state") + "/t"
+    def writeDim(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("uid", "segment").coalesce(1)
+        .write.mode("overwrite").parquet(dimDir)
+
+    val st = new StateTable(spark, stDir,
+      keys = Seq("day", "segment"), partitionCol = "day",
+      metrics = Seq(CountMetric("cnt")))
+    val mv = new MaterializedView("mv_dict",
+      batch => {
+        val dim = org.apache.spark.sql.functions.broadcast(spark.read.parquet(dimDir))
+        graft.engine.Warehouse.withTimeDefaults(batch, "ts")
+          .join(dim, Seq("uid"), "left_outer")
+          .withColumn("segment", coalesce(col("segment"), lit("UNKNOWN")))
+      }, st)
+
+    def batch(rows: Seq[(String, Long)]) =
+      rows.toDF("ts_s", "uid")
+        .select(col("ts_s").cast(TimestampType).as("ts"), col("uid"))
+
+    writeDim(Seq((1L, "OLD")))
+    mv.processBatch(batch(Seq(("2024-01-01 10:00:00", 1L))))
+    writeDim(Seq((1L, "NEW")))   // dictionary refresh between inserts
+    mv.processBatch(batch(Seq(("2024-01-01 11:00:00", 1L))))
+
+    val got = st.finalized(Seq("segment")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("OLD" -> 1L, "NEW" -> 1L))
+  }
 }

@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.engine.Warehouse
+
+/** Storage-layout and source coverage (SURVEY §2.1): JSONL dim source (S4),
+  * day-partition pruning on the clustered layout (S1), idempotent partition
+  * reload (S9), and the rebalance reconciliation invariant (§5 form 3:
+  * row/byte totals identical before and after data movement —
+  * ref data_rebalance.py:192-198,333-347).
+  */
+class WarehouseSpec extends SparkSpec {
+
+  test("S4: JSONL dimension source reads with explicit schema") {
+    val dir = tmpDir("jsonl")
+    val p = Paths.get(dir, "user_dim.txt")
+    Files.writeString(p,
+      """{"uid": 100000001, "platform": "android", "gender": "男", "age": 25}
+        |{"uid": 200000001, "platform": "ios", "gender": "女", "age": 31}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("uid", LongType), StructField("platform", StringType),
+      StructField("gender", StringType), StructField("age", ShortType)))
+    val df = Warehouse.readJsonl(spark, p.toString, schema)
+    assert(df.count() == 2)
+    assert(df.schema == schema)
+    assert(df.filter(col("platform") === "ios").select("uid").collect()(0).getLong(0) == 200000001L)
+  }
+
+  test("S1: day filter on clustered layout prunes partitions at the scan") {
+    import spark.implicits._
+    val dir = tmpDir("clustered") + "/t"
+    val df = Seq(("2024-01-01", 1L, 5.0), ("2024-01-02", 2L, 6.0), ("2024-01-03", 3L, 7.0))
+      .toDF("day_s", "uid", "v")
+      .select(to_date(col("day_s")).as("day"), col("uid"), col("v"))
+    Warehouse.writeClustered(df, dir, "day", Seq("uid"), mode = "overwrite")
+    val q = spark.read.parquet(dir).filter(col("day") === lit("2024-01-02").cast(DateType))
+    val scan = q.queryExecution.executedPlan.collectFirst { case s: FileSourceScanExec => s }
+    assert(scan.isDefined, "expected a FileSourceScanExec")
+    assert(scan.get.partitionFilters.nonEmpty, "day predicate must become a partition filter")
+    // and the pruned read really only touches one partition's rows
+    assert(q.count() == 1)
+  }
+
+  test("S9: dynamic partition overwrite reloads one day idempotently") {
+    import spark.implicits._
+    val dir = tmpDir("reload") + "/t"
+    def snap(rows: Seq[(String, Long)]) =
+      rows.toDF("day_s", "uid").select(to_date(col("day_s")).as("day"), col("uid"))
+    Warehouse.writeClustered(snap(Seq(("2024-01-01", 1L), ("2024-01-02", 2L))), dir, "day", Nil, "overwrite")
+    // reload day 2 with new content twice (idempotent), day 1 untouched
+    Warehouse.overwritePartitions(snap(Seq(("2024-01-02", 20L))), dir, "day")
+    Warehouse.overwritePartitions(snap(Seq(("2024-01-02", 20L))), dir, "day")
+    val got = spark.read.parquet(dir).collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString, r.getAs[Long]("uid"))).toSet
+    assert(got == Set(("2024-01-01", 1L), ("2024-01-02", 20L)))
+  }
+
+  test("reconciliation invariant: repartition (rebalance analog) preserves counts and sums") {
+    val df = spark.range(0, 10000)
+      .select(col("id"), (col("id") % 7).as("k"), (col("id") * 3).as("v"))
+    val before = df.agg(count(lit(1)), sum("v")).collect()(0)
+    val moved = df.repartition(17, col("k")) // cross-"shard" part movement
+    val after = moved.agg(count(lit(1)), sum("v")).collect()(0)
+    assert(before.getLong(0) == after.getLong(0))
+    assert(before.getLong(1) == after.getLong(1))
+    // per-partition totals also reconcile group-wise
+    val perKey = moved.groupBy("k").agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perKeyBefore = df.groupBy("k").agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perKey == perKeyBefore)
+  }
+}
