@@ -19,6 +19,7 @@ object VectorPack {
     // Full probe-vs-corpus cosine scoring (no top-k cutoff → no ranking
     // instability in the declared result; the top-k path is q41).
     "q40_cosine_probe" -> { (s, dir) =>
+      graft.functions.VectorOps.register(s)
       val e = Tables(s, dir).embeddings
       val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("pvec"))
       e.filter(col("vec_id") =!= 0)

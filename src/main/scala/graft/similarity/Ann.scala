@@ -18,18 +18,20 @@ import org.apache.spark.sql.types._
   *    index), probes only score their own bucket (+ optional multiprobe on
   *    1-bit flips). Recall/cost dial = nbits/multiprobe.
   *
-  * All arithmetic is double-precision built-in expressions (zip_with +
-  * aggregate) — codegen'd, deterministic, no UDF.
+  * Scoring runs through the tight-loop [[graft.functions.CosineSimilarity]]
+  * expression — double precision, fixed fold order, no per-element boxing.
   */
 object Ann {
 
-  /** Cosine similarity of two float-array columns, computed in double. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** Cosine similarity of two float-array columns, computed in double.
+    * Delegates to the tight-loop [[graft.functions.CosineSimilarity]]
+    * expression (requires `VectorOps.register` on the session — every Ann
+    * method does this; ad-hoc users call it once). Same index-order double
+    * fold as the composable zip_with/aggregate form, ~an order of magnitude
+    * less per-row allocation.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorOps.cosine_sim(a, b)
 
   /** Exact top-k cosine neighbors for each probe row.
     * `probes` must be broadcast-small (the usual query-batch case).
@@ -38,6 +40,7 @@ object Ann {
   def bruteForceTopK(
       corpus: DataFrame, probes: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
+    graft.functions.VectorOps.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"))
     val scored = c.crossJoin(broadcast(p))
@@ -79,11 +82,13 @@ object Ann {
     * space-for-recall trade.
     */
   def lshIndex(corpus: DataFrame, idCol: String, vecCol: String,
-      tables: Int = 8, bits: Int = 6): DataFrame =
+      tables: Int = 8, bits: Int = 6): DataFrame = {
+    graft.functions.VectorOps.register(corpus.sparkSession)
     corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
         explode(signaturesExpr(col(vecCol), tables, bits)).as("bk"))
       .select(col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"),
         col("neighbor_id"), col("cvec"))
+  }
 
   /** Approximate top-k: probes score only corpus rows sharing a bucket in
     * at least one table, then exact-rerank. `tables`/`bits` must match the
@@ -93,6 +98,7 @@ object Ann {
       index: DataFrame, probes: DataFrame,
       idCol: String, vecCol: String, k: Int,
       tables: Int = 8, bits: Int = 6): DataFrame = {
+    graft.functions.VectorOps.register(index.sparkSession)
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"),
         explode(signaturesExpr(col(vecCol), tables, bits)).as("bk"))
       .select(col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"),
@@ -115,6 +121,7 @@ object Ann {
   def cosineNearDups(
       corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, tables: Int = 8, bits: Int = 6): DataFrame = {
+    graft.functions.VectorOps.register(corpus.sparkSession)
     val ix = lshIndex(corpus, idCol, vecCol, tables, bits)
     val a = ix.select(col("tbl"), col("bucket"), col("neighbor_id").as("id_a"), col("cvec").as("va"))
     val b = ix.select(col("tbl"), col("bucket"), col("neighbor_id").as("id_b"), col("cvec").as("vb"))

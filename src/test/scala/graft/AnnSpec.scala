@@ -12,6 +12,7 @@ class AnnSpec extends SparkSpec {
   private lazy val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
 
   test("cosine is exact: self-similarity 1, symmetric") {
+    graft.functions.VectorOps.register(spark)
     val two = emb.filter(col("vec_id") < 2)
       .select(col("vec_id"), col("embedding"))
     val selfSim = two.select(Ann.cosine(col("embedding"), col("embedding")).as("c"))
