@@ -62,7 +62,7 @@ object Bench {
 
     def bench(mk: () => DataFrame): Double = {
       force(mk())                              // warmup: codegen + broadcasts
-      (1 to 3).map(_ => timed(force(mk()))).min
+      (1 to 4).map(_ => timed(force(mk()))).min
     }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -95,6 +95,17 @@ object Bench {
             count(lit(1)).as("cnt")))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] mv pair failed: ${e.getMessage}")
+    }
+
+    // BASELINE doc:572-597 comparable: 1e9-row two-phase sum, 1000 groups
+    // (reference: 3.2-4.1 s, 241-312 M rows/s single node).
+    try {
+      results("sum_1e9_grouped") = bench(() =>
+        spark.range(1000000000L)
+          .groupBy(pmod(col("id"), lit(1000)).as("g"))
+          .agg(sum(col("id")).as("s")))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] sum_1e9 failed: ${e.getMessage}")
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

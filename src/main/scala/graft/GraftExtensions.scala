@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** SparkSessionExtensions entry point — the idiomatic packaging for a Spark
+  * library's custom functions: start any session with
+  *
+  * {{{
+  *   spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * (or `.withExtensions(new GraftExtensions)`) and every graft function —
+  * bitmap aggregate family, MinHash, cosine, and the ClickHouse-dialect
+  * names — resolves in SQL without further setup. The per-session
+  * `ChCompat.register(spark)` call remains available for sessions created
+  * without extensions (the injected rule covers new sessions at build time).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    // Function registration needs a live session registry; inject via a
+    // no-op resolution rule that registers once on first analysis.
+    ext.injectResolutionRule { session =>
+      functions.ChCompat.register(session)
+      NoopRule
+    }
+  }
+}
+
+private object NoopRule
+  extends org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  override def apply(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) = p
+}

@@ -58,6 +58,13 @@ object ChCompat {
     f("bitmapOr") { es => BitmapBinaryExpr(es(0), es(1), "or") }
     f("bitmapAndCardinality") { es => BitmapBinaryExpr(es(0), es(1), "and_card") }
     f("bitmapOrCardinality") { es => BitmapBinaryExpr(es(0), es(1), "or_card") }
+    // parseDateTimeBestEffortOrZero (ref data_rebalance.py:137,149): parse
+    // failure yields epoch zero rather than NULL
+    f("parseDateTimeBestEffortOrZero") { es =>
+      Coalesce(Seq(
+        Cast(Cast(es.head, StringType), TimestampType, None, EvalMode.TRY),
+        Cast(Literal(0L), TimestampType)))
+    }
   }
 }
 
