@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Relational-completeness queries beyond the reference's own surface —
+  * window functions, rollup, semi/anti joins, set ops, string/null scalar
+  * coverage. The reference needs none of these (SURVEY §2.5: re-aggregation
+  * replaces CUBE; bitmap space replaces INTERSECT), but a library claiming
+  * "switch from the reference and keep going" should have them, and each is
+  * DuckDB-expressible so they join the oracle gate.
+  */
+object ExtendedPack {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Window functions: running decimal sum + dense rank per customer.
+    "q50_window_running" -> { (s, dir) =>
+      val o = Tables(s, dir).orders
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      o.filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).as("rn"),
+          sum(dec("o_totalprice")).over(w).cast(DoubleType).as("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // ROLLUP with grouping id (the CUBE-family the reference replaces with
+    // state re-aggregation — provided for completeness).
+    "q51_rollup" -> { (s, dir) =>
+      Tables(s, dir).lineitem
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("cnt"), sum(dec("l_quantity")).cast(DoubleType).as("qty"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("gid"), col("cnt"), col("qty"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+
+    // Left semi join (EXISTS).
+    "q52_semi_join" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.customer.join(t.orders.filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+
+    // Left anti join (NOT EXISTS): customers without any very large order.
+    "q53_anti_join" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.customer.join(t.orders.filter(col("o_totalprice") > 450000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // INTERSECT in id space (the relational complement of the bitmap-AND
+    // funnel — same answer as bitmap_and_cardinality per day).
+    "q54_intersect" -> { (s, dir) =>
+      val e = Tables(s, dir).events
+      e.filter(col("event_type") === "view").select("user_id")
+        .intersect(e.filter(col("event_type") === "click").select("user_id"))
+        .orderBy("user_id")
+    },
+
+    // EXCEPT: (day, user) pairs that viewed but didn't purchase that day.
+    "q55_except" -> { (s, dir) =>
+      val e = Tables(s, dir).eventsWithDefaults
+      e.filter(col("event_type") === "view").select("day", "user_id")
+        .except(e.filter(col("event_type") === "purchase").select("day", "user_id"))
+        .orderBy("day", "user_id")
+    },
+
+    // String scalar battery.
+    "q56_string_funcs" -> { (s, dir) =>
+      Tables(s, dir).part
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          substring(col("p_name"), 1, 5).as("prefix"),
+          length(col("p_name")).as("name_len"),
+          regexp_replace(col("p_name"), " ", "_").as("snake"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+        .orderBy("p_partkey")
+    },
+
+    // CASE/IN bucketing.
+    "q57_case_buckets" -> { (s, dir) =>
+      Tables(s, dir).orders
+        .withColumn("bucket",
+          when(col("o_totalprice") < 100000, "small")
+            .when(col("o_totalprice") < 300000, "medium")
+            .otherwise("large"))
+        .withColumn("pri",
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "hot").otherwise("cold"))
+        .groupBy("bucket", "pri")
+        .agg(count(lit(1)).as("cnt"), moneySum("o_totalprice").as("revenue"))
+        .orderBy("bucket", "pri")
+    },
+
+    // NULL-semantics battery over an outer join: count(col) vs count(*),
+    // nullif/coalesce interplay.
+    "q58_null_handling" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.events.join(t.customer, col("user_id") === col("c_custkey"), "left_outer")
+        .withColumn("seg_nb", nullif(col("c_mktsegment"), lit("BUILDING")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("rows_total"),
+          count(col("seg_nb")).as("seg_not_building"),
+          count(when(col("c_mktsegment").isNull, 1)).as("unmatched"),
+          count_distinct(coalesce(col("seg_nb"), lit("X"))).as("seg_variants"))
+        .orderBy("event_type")
+    },
+
+    // Scalar subquery: orders above the global average price.
+    "q59_scalar_subquery" -> { (s, dir) =>
+      val o = Tables(s, dir).orders
+      val avgRow = o.agg(
+        (sum(dec("o_totalprice")).cast(DoubleType) / count(lit(1))).as("avg_price"))
+      o.crossJoin(broadcast(avgRow))
+        .filter(col("o_totalprice") > col("avg_price") * 1.5)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q50_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        | ROW_NUMBER() OVER w AS rn,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_total
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q51_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | GROUPING(l_returnflag, l_linestatus) AS gid,
+        | COUNT(*) AS cnt,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q52_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q53_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q54_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'view'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'click'
+        |ORDER BY user_id""".stripMargin,
+
+    "q55_except" ->
+      """SELECT CAST(ts AS DATE) AS day, user_id FROM events WHERE event_type = 'view'
+        |EXCEPT
+        |SELECT CAST(ts AS DATE) AS day, user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY day, user_id""".stripMargin,
+
+    "q56_string_funcs" ->
+      """SELECT p_partkey, UPPER(p_name) AS uname, SUBSTRING(p_name, 1, 5) AS prefix,
+        | LENGTH(p_name) AS name_len, REPLACE(p_name, ' ', '_') AS snake,
+        | CONCAT_WS('|', p_brand, p_type) AS brand_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q57_case_buckets" ->
+      s"""SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+         |            WHEN o_totalprice < 300000 THEN 'medium'
+         |            ELSE 'large' END AS bucket,
+         |  CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'hot'
+         |       ELSE 'cold' END AS pri,
+         |  COUNT(*) AS cnt, ${moneySumSql("o_totalprice")} AS revenue
+         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q58_null_handling" ->
+      """SELECT event_type, COUNT(*) AS rows_total,
+        | COUNT(NULLIF(c_mktsegment, 'BUILDING')) AS seg_not_building,
+        | COUNT(CASE WHEN c_mktsegment IS NULL THEN 1 END) AS unmatched,
+        | COUNT(DISTINCT COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'X')) AS seg_variants
+        |FROM events LEFT JOIN customer ON user_id = c_custkey
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q59_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM orders) * 1.5
+        |ORDER BY o_orderkey""".stripMargin
+  )
+}

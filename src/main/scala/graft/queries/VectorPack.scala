@@ -51,6 +51,18 @@ object VectorPack {
         .orderBy("probe_id", "rank")
     },
 
+    // IVF-bucketed approximate top-10 (rows-only; the inverted-list scale
+    // path — recall vs brute force asserted in AnnSpec).
+    "q44_knn_ivf" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val probes = e.filter(col("vec_id").isin(0, 1, 2))
+      val ix = Ann.ivfIndex(e, "vec_id", "embedding", nlist = 16)
+      Ann.ivfTopK(ix, e, probes, "vec_id", "embedding", k = 10, nlist = 16, nprobe = 8)
+        .select(col("probe_id"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"), col("rank"))
+        .orderBy("probe_id", "rank")
+    },
+
     // Embedding-cosine near-duplicate pairs (rows-only; LSH-bucketed).
     // Threshold sits where the synthetic corpus actually has pairs — random
     // 64-dim embeddings top out near cos 0.5.

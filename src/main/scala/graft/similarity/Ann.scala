@@ -114,6 +114,84 @@ object Ann {
       .select("probe_id", "neighbor_id", "cos_sim", "rank")
   }
 
+  // ---- IVF (inverted-file) variant -----------------------------------------
+
+  /** Deterministic centroid pick: the `nlist` corpus vectors with the
+    * smallest xxhash64(id) — a seeded uniform sample standing in for k-means
+    * training (a production IVF would Lloyd-iterate these; the *index shape*
+    * — centroid assignment, inverted lists, nprobe search — is identical).
+    * Centroids are collected to the driver and broadcast: nlist ≤ a few
+    * thousand, the usual IVF regime.
+    */
+  private def pickCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int): Array[(Int, Array[Float])] =
+    corpus.select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(nlist)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) =>
+        i -> r.getSeq[Float](1).toArray
+      }
+
+  private def cosineLocal(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0 || nb == 0) -2.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** IVF index: each corpus row assigned to its nearest centroid's inverted
+    * list. One pass over the corpus; the result is partition-prunable by
+    * `list_id` when persisted (`partitionBy("list_id")`).
+    */
+  def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16): DataFrame = {
+    val cents = pickCentroids(corpus, idCol, vecCol, nlist)
+    val bc = corpus.sparkSession.sparkContext.broadcast(cents)
+    val assign = udf { (v: Seq[Float]) =>
+      val arr = v.toArray
+      var best = -1; var bestSim = -3.0
+      for ((cid, cvec) <- bc.value) {
+        val s = cosineLocal(arr, cvec)
+        if (s > bestSim) { bestSim = s; best = cid }
+      }
+      best
+    }
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      assign(col(vecCol)).as("list_id"))
+  }
+
+  /** IVF search: probe the `nprobe` nearest inverted lists, exact-rerank
+    * within them. Probes are broadcast; only `nprobe/nlist` of the corpus
+    * is scored.
+    */
+  def ivfTopK(index: DataFrame, corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents = pickCentroids(corpus, idCol, vecCol, nlist)
+    val bc = index.sparkSession.sparkContext.broadcast(cents)
+    val probeLists = udf { (v: Seq[Float]) =>
+      val arr = v.toArray
+      bc.value.map { case (cid, cvec) => (cid, cosineLocal(arr, cvec)) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(nprobe).map(_._1)
+    }
+    graft.functions.VectorOps.register(index.sparkSession)
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"))
+      .withColumn("list_id", explode(probeLists(col("pvec"))))
+    val scored = index.join(broadcast(p), Seq("list_id"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cos_sim", cosine(col("cvec"), col("pvec")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "cos_sim", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets: pairs that share
     * a bucket and clear the cosine threshold. The vector-space sibling of
     * Dedup.minhashNearDups — same no-cross-join shape.

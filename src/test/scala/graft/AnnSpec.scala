@@ -39,6 +39,23 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall too low: $recall")
   }
 
+  test("IVF top-k recall@10 >= 0.5 vs brute force, deterministic centroids") {
+    val probes = emb.filter(col("vec_id").isin(0, 1, 2, 3, 4))
+    val exact = Ann.bruteForceTopK(emb, probes, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ix = Ann.ivfIndex(emb, "vec_id", "embedding", nlist = 16)
+    val approx = Ann.ivfTopK(ix, emb, probes, "vec_id", "embedding", 10, nlist = 16, nprobe = 8)
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+    // determinism of the assignment
+    val a1 = Ann.ivfIndex(emb, "vec_id", "embedding", 8).select("neighbor_id", "list_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val a2 = Ann.ivfIndex(emb, "vec_id", "embedding", 8).select("neighbor_id", "list_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(a1 == a2)
+  }
+
   test("LSH index bucketing is deterministic across evaluations") {
     val a = Ann.lshIndex(emb, "vec_id", "embedding", 4, 6)
       .select("neighbor_id", "tbl", "bucket")
