@@ -1,0 +1,103 @@
+package graft.engine
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The reference's cross-shard rebalance tool (ref scripts/python/
+  * data_rebalance.py, 601 lines) re-expressed for Spark storage. The
+  * FETCH/DETACH/ATTACH part-move machinery collapses to a partition
+  * rewrite — what survives, faithfully, is the *logic*:
+  *
+  *  1. measure per-partition size (bytes/rows/files — :116-205's
+  *     system.parts queries);
+  *  2. detect skew with the same predicate —
+  *     `min(pb) <= avg(pb)*low AND max(pb) >= avg(pb)*high` (:159-160);
+  *  3. move data (repartition-rewrite of the skewed day — :239-282's
+  *     greedy part moves);
+  *  4. reconcile: row counts per partition must be identical before and
+  *     after, else report failure (:192-198, 333-347 `not_same_partition`).
+  */
+object Rebalance {
+
+  final case class PartitionStat(partition: String, files: Long, bytes: Long, rows: Long)
+  final case class Report(
+      rebalanced: Seq[String],
+      before: Map[String, Long],
+      after: Map[String, Long]) {
+    /** The reference's reconciliation gate. */
+    def consistent: Boolean = before == after
+    def inconsistent: Map[String, (Long, Long)] =
+      (before.keySet ++ after.keySet).iterator
+        .map(k => k -> (before.getOrElse(k, -1L), after.getOrElse(k, -1L)))
+        .filter { case (_, (b, a)) => b != a }.toMap
+  }
+
+  /** Per-partition file stats of a day-partitioned parquet table. */
+  def partitionStats(spark: SparkSession, path: String, partitionCol: String = "day"):
+      Seq[PartitionStat] = {
+    val fs = FileSystem.get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val root = new Path(path)
+    if (!fs.exists(root)) return Nil
+    val rowCounts = spark.read.parquet(path)
+      .groupBy(col(partitionCol).cast("string").as("p"))
+      .agg(count(lit(1)).as("rows"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))
+      .map { s =>
+        val files = fs.listStatus(s.getPath).filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        val value = s.getPath.getName.drop(partitionCol.length + 1)
+        PartitionStat(value, files.length.toLong, files.map(_.getLen).sum, rowCounts.getOrElse(value, 0L))
+      }
+      .sortBy(_.partition)
+  }
+
+  /** Skew detection — the reference's exact HAVING predicate over per-file
+    * sizes within each partition (data_rebalance.py:159-160): a partition is
+    * skewed when its smallest file ≤ avg·low AND its largest ≥ avg·high.
+    */
+  def detectSkew(spark: SparkSession, path: String, partitionCol: String = "day",
+      low: Double = 0.75, high: Double = 1.0): Seq[String] = {
+    val fs = FileSystem.get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val root = new Path(path)
+    if (!fs.exists(root)) return Nil
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))
+      .flatMap { s =>
+        val sizes = fs.listStatus(s.getPath)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_") && f.getLen > 0)
+          .map(_.getLen.toDouble)
+        if (sizes.length < 2) None
+        else {
+          val avg = sizes.sum / sizes.length
+          if (sizes.min <= avg * low && sizes.max >= avg * high)
+            Some(s.getPath.getName.drop(partitionCol.length + 1))
+          else None
+        }
+      }.sorted
+  }
+
+  /** Rebalance the named partitions (rewrite each with `targetFiles` evenly
+    * sized files via repartition), then reconcile row counts per partition.
+    */
+  def rebalance(spark: SparkSession, path: String, partitionCol: String = "day",
+      partitions: Seq[String], targetFiles: Int = 4): Report = {
+    val before = partitionStats(spark, path, partitionCol).map(s => s.partition -> s.rows).toMap
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      partitions.foreach { p =>
+        val part = spark.read.parquet(path)
+          .filter(col(partitionCol).cast("string") === p)
+        part.repartition(targetFiles)
+          .write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val after = partitionStats(spark, path, partitionCol).map(s => s.partition -> s.rows).toMap
+    Report(partitions, before, after)
+  }
+}
