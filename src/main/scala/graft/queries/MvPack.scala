@@ -109,9 +109,9 @@ object MvPack {
 
     "q22_wide_union" ->
       """SELECT CAST(ts AS DATE) AS day, user_id % 10 AS bucket,
-        | COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS view_cnt,
-        | COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS click_cnt,
-        | COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchase_cnt,
+        | CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS view_cnt,
+        | CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS click_cnt,
+        | CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase_cnt,
         | COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS purchase_value
         |FROM events
         |WHERE event_type IN ('view', 'click', 'purchase')

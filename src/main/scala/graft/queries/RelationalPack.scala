@@ -319,7 +319,7 @@ object RelationalPack {
     "q16_agg_if" ->
       """SELECT event_type,
         | COUNT(DISTINCT CASE WHEN value > 100 THEN user_id END) AS high_uv,
-        | SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS high_cnt,
+        | CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS high_cnt,
         | COUNT(*) AS cnt
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
