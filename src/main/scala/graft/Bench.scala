@@ -110,7 +110,15 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Driver contract: the JSON must be a bare stdout line (build.sbt sets
+    // run/outputStrategy := StdoutOutput so sbt doesn't "[info]"-prefix it).
+    // Also drop a file copy so the result survives any stdout mangling.
+    println(json)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_results.json"),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }
