@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 
 import graft.text.TextFunctions._
 
@@ -74,12 +75,17 @@ object Dedup {
     // explode shingles, build signatures with the tight-loop aggregate —
     // the distributed formulation (shuffle keyed by doc id), and ~100×
     // faster than evaluating k hashes in interpreted lambdas per shingle
+    // persist: `sigs` feeds BOTH sides of the bucket self-join below, and the
+    // signature pipeline (tokenize + shingle + k-hash aggregate) dominates the
+    // job's cost — without this the whole subtree runs twice. The result stays
+    // cached for the caller's (lazy) consumption; Spark's LRU evicts it.
     val sigs = df
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .select(col("id"), explode(array_distinct(shingles(col("toks"), shingleSize))).as("sh"))
       .groupBy("id")
       .agg(graft.functions.MinHash.minhash_agg(col("sh"), numHashes).as("sig"))
       .withColumn("bk", explode(lshBuckets(col("sig"), bands, rowsPerBand)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val a = sigs.select(col("bk"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = sigs.select(col("bk"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("bk"))
@@ -96,15 +102,36 @@ object Dedup {
     * shared shingles (shuffle on shingle), intersection counted per pair,
     * union from per-doc distinct-shingle counts. No cross join; the shingle
     * join is the scalable formulation of pairwise Jaccard.
+    *
+    * `maxShingleDf` caps a shingle's document frequency: a shingle shared by
+    * n docs yields n² candidate rows, so one stop-phrase shingle is THE
+    * quadratic hot key at scale. Shingles above the cap are dropped from
+    * both the intersection AND the per-doc sizes (consistently), i.e. the
+    * Jaccard is computed over the rare-shingle subsets — the standard
+    * stop-shingle filter from the MinHash literature. Default keeps exact
+    * semantics.
     */
   def ngramJaccardPairs(
       df: DataFrame,
       textCol: String,
       idCol: String,
       shingleSize: Int = 3,
-      threshold: Double = 0.2): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      threshold: Double = 0.2,
+      maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    // persist: `sh` is read three times (per-doc sizes + both self-join
+    // sides); the tokenize/shingle/explode subtree must evaluate once.
+    val shRaw = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .select(col("id"), explode(array_distinct(shingles(col("toks"), shingleSize))).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sh =
+      if (maxShingleDf == Int.MaxValue) shRaw
+      else {
+        // hot-shingle set is tiny by construction (only df > cap survives);
+        // left_anti lets AQE broadcast it
+        val hot = shRaw.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxShingleDf).select("sh")
+        shRaw.join(hot, Seq("sh"), "left_anti").persist(StorageLevel.MEMORY_AND_DISK)
+      }
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = sh.as("x").join(sh.as("y"), col("x.sh") === col("y.sh"))
       .filter(col("x.id") < col("y.id"))
@@ -151,21 +178,39 @@ object Dedup {
   /** Hamming distance between two simhashes (≤ k ⇒ near-dup). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: block on 16-bit chunks (a pair within Hamming
-    * distance ≤ 3 of 4 chunks must agree on ≥1 chunk — pigeonhole), then
-    * verify exact Hamming distance. Same no-cross-join shape as LSH.
+  /** SimHash near-dup pairs: block on bit chunks, then verify exact Hamming
+    * distance. Same no-cross-join shape as LSH.
+    *
+    * Recall guarantee comes from the pigeonhole principle: a pair differing
+    * in ≤ maxHamming bits, split across `maxHamming + 1` disjoint chunks,
+    * must agree exactly on at least one chunk — so the chunk count is
+    * DERIVED from maxHamming, not fixed (a fixed 4-chunk split silently
+    * loses pairs for maxHamming ≥ 4). Higher maxHamming ⇒ more, narrower
+    * chunks ⇒ bigger candidate buckets: the inherent simhash-blocking
+    * recall/cost trade.
     */
   def simhashNearDups(
       df: DataFrame,
       textCol: String,
       idCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming out of range: $maxHamming")
+    val chunks = maxHamming + 1
+    // chunk c covers `widths(c)` bits starting at bit `offsets(c)`; widths
+    // differ by at most 1 so the 64 bits are spread evenly
+    val widths = Array.tabulate(chunks)(c => 64 / chunks + (if (c < 64 % chunks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val chunkExprs: Seq[Column] = (0 until chunks).map { c =>
+      val mask = if (widths(c) == 64) -1L else (1L << widths(c)) - 1L
+      struct(lit(c).as("c"),
+        call_function("shiftright", col("sh"), lit(offsets(c))).bitwiseAND(lit(mask)).as("v"))
+    }
+    // persist: `chunked` feeds both sides of the chunk self-join
     val sigs = df
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .select(col("id"), simhash64FromTokens(col("toks")).as("sh"))
-    val chunked = sigs.withColumn("chunk", explode(transform(sequence(lit(0), lit(3)),
-      c => struct(c.as("c"),
-        call_function("shiftright", col("sh"), c * 16).bitwiseAND(0xFFFFL).as("v")))))
+    val chunked = sigs.withColumn("chunk", explode(array(chunkExprs: _*)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val a = chunked.select(col("chunk"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = chunked.select(col("chunk"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("chunk"))

@@ -63,10 +63,12 @@ object TextPack {
         .orderBy("doc_id")
     },
 
-    // Exact n-gram Jaccard near-dup pairs — shingle-join shape, no cross join.
+    // Exact n-gram Jaccard near-dup pairs — shingle-join shape, no cross
+    // join; shingles in >50 docs are stop-phrases and excluded consistently
+    // on both sides (the quadratic-hot-key guard at scale).
     "q34_ngram_jaccard" -> { (s, dir) =>
       Dedup.ngramJaccardPairs(Tables(s, dir).documents, "text", "doc_id",
-          shingleSize = 3, threshold = 0.2)
+          shingleSize = 3, threshold = 0.2, maxShingleDf = 50)
         .orderBy("id_a", "id_b")
     },
 
@@ -143,9 +145,12 @@ object TextPack {
       """WITH tok AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
         |  FROM documents),
-        |sh AS (
+        |sh0 AS (
         |  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
         |  FROM tok, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)),
+        |sh AS (
+        |  SELECT doc_id, sh FROM sh0
+        |  QUALIFY COUNT(*) OVER (PARTITION BY sh) <= 50),
         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         |inter AS (
         |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS inter

@@ -200,7 +200,10 @@ object Ann {
       corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, tables: Int = 8, bits: Int = 6): DataFrame = {
     graft.functions.VectorOps.register(corpus.sparkSession)
+    // persist: the index (corpus × tables rows, each with a `bits`-hyperplane
+    // signature evaluation) feeds both self-join sides — compute it once
     val ix = lshIndex(corpus, idCol, vecCol, tables, bits)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = ix.select(col("tbl"), col("bucket"), col("neighbor_id").as("id_a"), col("cvec").as("va"))
     val b = ix.select(col("tbl"), col("bucket"), col("neighbor_id").as("id_b"), col("cvec").as("vb"))
     a.join(b, Seq("tbl", "bucket"))

@@ -65,4 +65,45 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
     assert(!pairs.exists { case (a, b) => Set(a, b) == Set(4L, 5L) })
   }
+
+  test("simhash blocking is lossless: every pair within maxHamming is returned (pigeonhole)") {
+    import spark.implicits._
+    // a corpus dense enough to produce pairs across the whole 0..12 Hamming
+    // range — the maxHamming ≥ 4 regime the old fixed-4-chunk blocking lost
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+      "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron", "pi")
+    val corpus = (0 until 40).map { i =>
+      val txt = (0 until 12).map(j => words((i * 7 + j * (1 + i % 3)) % words.size)).mkString(" ")
+      (i.toLong, txt)
+    }.toDF("doc_id", "text")
+    val maxHamming = 12
+    val sigs = corpus.select(col("doc_id"), Dedup.simhash64(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truth = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= maxHamming
+    } yield (a, b)).toSet
+    assert(truth.nonEmpty, "fixture should contain pairs within Hamming 12")
+    val got = Dedup.simhashNearDups(corpus, "text", "doc_id", maxHamming = maxHamming)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth, s"missed: ${truth -- got}, spurious: ${got -- truth}")
+  }
+
+  test("ngram shingle-DF cap drops stop-phrase candidates but keeps rare-shingle pairs") {
+    import spark.implicits._
+    val boiler = "subscribe to our newsletter for daily updates and exclusive offers today"
+    val corpus = ((0 until 12).map { i =>
+      (i.toLong, s"$boiler unique document number $i talks about topic${i} and subject${i} only")
+    } :+ (100L, "rare matching pair of documents sharing many uncommon shingles together always")
+      :+ (101L, "rare matching pair of documents sharing many uncommon shingles together forever"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccardPairs(corpus, "text", "doc_id", 3,
+        threshold = 0.1, maxShingleDf = 5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // boilerplate shingles (df=12 > 5) no longer link the 12 spam docs...
+    assert(!capped.exists { case (a, b) => a < 12 && b < 12 },
+      s"boilerplate-only pairs survived the cap: $capped")
+    // ...but the genuinely-near pair on rare shingles is still found
+    assert(capped.contains((100L, 101L)))
+  }
 }
