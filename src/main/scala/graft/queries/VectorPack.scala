@@ -29,7 +29,9 @@ object VectorPack {
         .orderBy("vec_id")
     },
 
-    // Exact brute-force top-10 neighbors for 3 probe vectors.
+    // Exact brute-force top-10 neighbors for 3 probe vectors. Deterministic
+    // (double cosine in fixed fold order, ties by lowest neighbor id) —
+    // oracle-backed, same list-ops technique as q40.
     "q41_knn_brute" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
       val probes = e.filter(col("vec_id").isin(0, 1, 2))
@@ -56,8 +58,11 @@ object VectorPack {
     "q44_knn_ivf" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
       val probes = e.filter(col("vec_id").isin(0, 1, 2))
-      val ix = Ann.ivfIndex(e, "vec_id", "embedding", nlist = 16)
-      Ann.ivfTopK(ix, e, probes, "vec_id", "embedding", k = 10, nlist = 16, nprobe = 8)
+      // one centroid pick shared by index build and search — the corpus is
+      // scanned for centroids exactly once
+      val cents = Ann.pickCentroids(e, "vec_id", "embedding", nlist = 16)
+      val ix = Ann.ivfIndex(e, "vec_id", "embedding", cents)
+      Ann.ivfTopK(ix, cents, probes, "vec_id", "embedding", k = 10, nprobe = 8)
         .select(col("probe_id"), col("neighbor_id"),
           round(col("cos_sim"), 6).as("cos_sim"), col("rank"))
         .orderBy("probe_id", "rank")
@@ -86,6 +91,27 @@ object VectorPack {
         |    sqrt(list_sum(list_transform(p.pvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
         |  FROM embeddings e, p WHERE e.vec_id <> 0)
         |SELECT vec_id, ROUND(dot / (na * nb), 6) AS cos_sim
-        |FROM s ORDER BY vec_id""".stripMargin
+        |FROM s ORDER BY vec_id""".stripMargin,
+
+    // Same mirrored fold as q40; rank on the UNROUNDED score (as Spark does),
+    // ties by lowest neighbor id; rank surfaced as INT to match Spark's.
+    "q41_knn_brute" ->
+      """WITH p AS (
+        |  SELECT vec_id AS probe_id, embedding AS pvec
+        |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+        |s AS (
+        |  SELECT p.probe_id, e.vec_id AS neighbor_id,
+        |    list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.pvec[i] AS DOUBLE))) AS dot,
+        |    sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+        |    sqrt(list_sum(list_transform(p.pvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+        |  FROM embeddings e, p WHERE e.vec_id <> p.probe_id),
+        |r AS (
+        |  SELECT probe_id, neighbor_id, dot / (na * nb) AS cs,
+        |    CAST(ROW_NUMBER() OVER (
+        |      PARTITION BY probe_id ORDER BY dot / (na * nb) DESC, neighbor_id) AS INT) AS rank
+        |  FROM s)
+        |SELECT probe_id, neighbor_id, ROUND(cs, 6) AS cos_sim, rank
+        |FROM r WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin
   )
 }

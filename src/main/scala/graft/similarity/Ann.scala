@@ -1,7 +1,6 @@
 package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -33,9 +32,29 @@ object Ann {
   def cosine(a: Column, b: Column): Column =
     graft.functions.VectorOps.cosine_sim(a, b)
 
+  /** Per-probe top-k of a scored candidate set via the bounded-heap
+    * [[graft.functions.TopKByScore]] aggregate: each input partition reduces
+    * to ≤ k candidates per probe BEFORE the shuffle, so the exchange moves
+    * O(probes × k) rows regardless of corpus size. A
+    * `Window.partitionBy(probe_id)` would instead funnel every scored
+    * candidate of a probe through one task — the single-task bottleneck at
+    * 100 TB. Ties break by lowest neighbor_id (deterministic).
+    */
+  private def topKPerProbe(scored: DataFrame, k: Int): DataFrame = {
+    graft.functions.TopK.register(scored.sparkSession)
+    scored
+      .groupBy("probe_id")
+      .agg(graft.functions.TopK.topk_by_score(
+        struct(col("cos_sim").cast(DoubleType), col("neighbor_id").cast(LongType)), k).as("nn"))
+      .select(col("probe_id"), posexplode(col("nn")))
+      .select(col("probe_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("cos_sim"), (col("pos") + 1).cast(IntegerType).as("rank"))
+  }
+
   /** Exact top-k cosine neighbors for each probe row.
     * `probes` must be broadcast-small (the usual query-batch case).
-    * Returns (probe_id, neighbor_id, cos_sim, rank).
+    * Returns (probe_id, neighbor_id, cos_sim, rank); neighbor ids are
+    * surfaced as BIGINT (the heap aggregate's element type).
     */
   def bruteForceTopK(
       corpus: DataFrame, probes: DataFrame,
@@ -46,11 +65,7 @@ object Ann {
     val scored = c.crossJoin(broadcast(p))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .withColumn("cos_sim", cosine(col("cvec"), col("pvec")))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("probe_id", "neighbor_id", "cos_sim", "rank")
+    topKPerProbe(scored, k)
   }
 
   /** Per-table bucket signatures from deterministic pseudo-random
@@ -107,11 +122,7 @@ object Ann {
       .filter(col("neighbor_id") =!= col("probe_id"))
       .dropDuplicates("probe_id", "neighbor_id")
       .withColumn("cos_sim", cosine(col("cvec"), col("pvec")))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("probe_id", "neighbor_id", "cos_sim", "rank")
+    topKPerProbe(scored, k)
   }
 
   // ---- IVF (inverted-file) variant -----------------------------------------
@@ -123,7 +134,7 @@ object Ann {
     * Centroids are collected to the driver and broadcast: nlist ≤ a few
     * thousand, the usual IVF regime.
     */
-  private def pickCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+  def pickCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int): Array[(Int, Array[Float])] =
     corpus.select(col(idCol), col(vecCol))
       .orderBy(xxhash64(col(idCol)), col(idCol))
@@ -149,8 +160,15 @@ object Ann {
     * `list_id` when persisted (`partitionBy("list_id")`).
     */
   def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int = 16): DataFrame = {
-    val cents = pickCentroids(corpus, idCol, vecCol, nlist)
+      nlist: Int = 16): DataFrame =
+    ivfIndex(corpus, idCol, vecCol, pickCentroids(corpus, idCol, vecCol, nlist))
+
+  /** IVF index from pre-picked centroids — share ONE [[pickCentroids]] call
+    * between index build and search instead of re-scanning the corpus for
+    * each (the centroid pick is a full-corpus TakeOrdered).
+    */
+  def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Array[(Int, Array[Float])]): DataFrame = {
     val bc = corpus.sparkSession.sparkContext.broadcast(cents)
     val assign = udf { (v: Seq[Float]) =>
       val arr = v.toArray
@@ -171,8 +189,16 @@ object Ann {
     */
   def ivfTopK(index: DataFrame, corpus: DataFrame, probes: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cents = pickCentroids(corpus, idCol, vecCol, nlist)
+      nlist: Int = 16, nprobe: Int = 4): DataFrame =
+    ivfTopK(index, pickCentroids(corpus, idCol, vecCol, nlist), probes,
+      idCol, vecCol, k, nprobe)
+
+  /** IVF search against pre-picked centroids (pair with the matching
+    * [[ivfIndex]] overload to scan the corpus for centroids exactly once).
+    */
+  def ivfTopK(index: DataFrame, cents: Array[(Int, Array[Float])],
+      probes: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int): DataFrame = {
     val bc = index.sparkSession.sparkContext.broadcast(cents)
     val probeLists = udf { (v: Seq[Float]) =>
       val arr = v.toArray
@@ -185,11 +211,7 @@ object Ann {
     val scored = index.join(broadcast(p), Seq("list_id"))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .withColumn("cos_sim", cosine(col("cvec"), col("pvec")))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("probe_id", "neighbor_id", "cos_sim", "rank")
+    topKPerProbe(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs via LSH buckets: pairs that share

@@ -56,6 +56,30 @@ class AnnSpec extends SparkSpec {
     assert(a1 == a2)
   }
 
+  test("bounded-heap top-k matches a local exact ranking (partial-merge safe, ties by id)") {
+    // ground truth computed driver-side from the same double cosine
+    def cosLocal(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val all = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val probe = all(0L)
+    val expected = all.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cosLocal(v, probe)) }
+      .sortBy { case (id, s) => (-s, id) }
+      .take(15).map(_._1)
+    val probes = emb.filter(col("vec_id") === 0)
+    // repartition(7) forces multi-partition partial heaps + a real merge
+    val got = Ann.bruteForceTopK(emb.repartition(7), probes, "vec_id", "embedding", 15)
+      .collect().sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(got == expected)
+  }
+
   test("LSH index bucketing is deterministic across evaluations") {
     val a = Ann.lshIndex(emb, "vec_id", "embedding", 4, 6)
       .select("neighbor_id", "tbl", "bucket")
