@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.types._
 
 /** ClickHouse-dialect function names registered as Spark SQL functions, so
-  * the reference's queries run near-verbatim through `spark.sql(...)` —
+  * the reference's queries run verbatim through `spark.sql(...)` —
   * the "a user of the reference could switch" surface.
   *
   * Each name maps onto the Spark expression with matching semantics
@@ -15,7 +15,8 @@ import org.apache.spark.sql.types._
   * {{{
   *   toDate(second)            -> cast to date            (ods.action_001_dis.sql:3)
   *   toStartOfHour(second)     -> date_trunc('HOUR', ·)   (:4)
-  *   toUInt32(x) / toUInt64(x) -> floor + cast long       (truncating, dwm:50,114)
+  *   toUInt32(x)               -> truncate + wrap mod 2^32 (dwm:50,114)
+  *   toUInt64(x)               -> truncate to long        (see note below)
   *   uniqCombined(x)           -> approx_count_distinct   (doc:304-316)
   *   uniqExact(x)              -> count(distinct)         (doc:305)
   *   groupBitmap(x)            -> bitmap cardinality of bitmap_agg (dwm:134-139)
@@ -24,9 +25,24 @@ import org.apache.spark.sql.types._
   *   medianExact(x)            -> percentile(x, 0.5)      (dwm:83)
   * }}}
   *
-  * groupBitmapState/Merge are exposed under their Spark names
-  * (`bitmap_agg` / `bitmap_merge_agg`, see [[Bitmaps]]); `dictGet` is a
-  * join/broadcast concern, not a registry function (see [[DictGet]]).
+  * Plus the full `-State` / `-Merge` / `-If` combinator family the
+  * reference's flagship MV SELECT and read-side merge are written in
+  * (dwm.mainpage_stat_mv_dis.sql:28-70, 100-131, 184-200, 280-290):
+  * `uniqCombinedState[If]` / `uniqCombinedMerge[State]` / `uniqCombinedIf`
+  * over Spark's Datasketches HLL aggregates, `groupBitmapState[If]` /
+  * `groupBitmapMerge[State]` over [[Bitmaps]], `medianExactState` /
+  * `medianExactMerge[State]` over sorted-array states, `sumState` /
+  * `sumSimpleState` / `sumMerge` (SimpleAggregateFunction: the partial IS
+  * the value, doc:510-605), and `sumIf` / `countIf` / `uniqExactIf`.
+  *
+  * `dictGet('db.dict', 'attr', key)` resolves through the
+  * [[Dictionaries]] registry (ref dim.dict_user_dim.sql:24-27) — the
+  * dictionary must be registered on the session before the query is parsed.
+  *
+  * toUInt64 note: CH wraps negatives mod 2^64 into [2^63, 2^64) which has
+  * no JVM-long representation; our toUInt64 keeps the two's-complement
+  * bit pattern (same 64 bits, different sign display). toUInt32 wraps
+  * exactly (mask 0xFFFFFFFF), matching CH for all inputs.
   */
 object ChCompat {
 
@@ -38,26 +54,21 @@ object ChCompat {
     def f(name: String)(builder: Seq[Expression] => Expression): Unit =
       reg.createOrReplaceTempFunction(name, builder, "built-in")
 
+    // ---- scalar date/time/casts --------------------------------------
     f("toDate") { es => Cast(es.head, DateType) }
     f("toStartOfHour") { es => TruncTimestamp(Literal("HOUR"), es.head) }
     f("toStartOfDay") { es => TruncTimestamp(Literal("DAY"), es.head) }
-    // CH toUInt32/64 on fractional input truncates toward zero, as Cast does
-    f("toUInt32") { es => Cast(es.head, LongType) }
+    // CH toUInt32 truncates fractions toward zero (as Cast does) and wraps
+    // negatives/overflow mod 2^32 (Cast alone would pass negatives through)
+    f("toUInt32") { es => BitwiseAnd(Cast(es.head, LongType), Literal(0xFFFFFFFFL)) }
     f("toUInt64") { es => Cast(es.head, LongType) }
     f("toString") { es => Cast(es.head, StringType) }
-    f("uniqCombined") { es => new HyperLogLogPlusPlus(es.head) }
-    f("uniqExact") { es => Size(CollectSet(es.head).toAggregateExpression()) }
-    f("medianExact") { es => new Percentile(es.head, Literal(0.5)) }
-    f("groupBitmap") { es =>
-      // cardinality of the aggregated bitmap — scalar-on-aggregate needs the
-      // aggregate wrapped explicitly when composed inside another expression
-      BitmapCardinalityExpr(BitmapAggregate(es.head).toAggregateExpression())
-    }
-    f("bitmapCardinality") { es => BitmapCardinalityExpr(es.head) }
-    f("bitmapAnd") { es => BitmapBinaryExpr(es(0), es(1), "and") }
-    f("bitmapOr") { es => BitmapBinaryExpr(es(0), es(1), "or") }
-    f("bitmapAndCardinality") { es => BitmapBinaryExpr(es(0), es(1), "and_card") }
-    f("bitmapOrCardinality") { es => BitmapBinaryExpr(es(0), es(1), "or_card") }
+    f("now") { _ => Now() }
+    f("today") { _ => CurrentDate() }
+    // TTL arithmetic: day + toIntervalDay(92) + toIntervalHour(5)
+    // (ods.action_001_dis.sql:21, dwm.mainpage_stat_mv_dis.sql:18)
+    f("toIntervalDay") { es => new MakeDTInterval(es.head, Literal(0), Literal(0)) }
+    f("toIntervalHour") { es => new MakeDTInterval(Literal(0), es.head, Literal(0)) }
     // parseDateTimeBestEffortOrZero (ref data_rebalance.py:137,149): parse
     // failure yields epoch zero rather than NULL
     f("parseDateTimeBestEffortOrZero") { es =>
@@ -65,6 +76,108 @@ object ChCompat {
         Cast(Cast(es.head, StringType), TimestampType, None, EvalMode.TRY),
         Cast(Literal(0L), TimestampType)))
     }
+
+    // ---- uniq family (doc:304-505) -----------------------------------
+    f("uniqCombined") { es => new HyperLogLogPlusPlus(es.head) }
+    // distinct Count, not Size(CollectSet): no per-group value buffer
+    f("uniqExact") { es => Count(Seq(es.head)).toAggregateExpression(isDistinct = true) }
+    f("uniqExactIf") { es =>
+      Count(Seq(onlyIf(es(1), es(0)))).toAggregateExpression(isDistinct = true)
+    }
+    f("uniqCombinedState") { es => hllState(es.head) }
+    f("uniqCombinedStateIf") { es => hllState(onlyIf(es(1), es(0))) }
+    f("uniqCombinedMergeState") { es => hllMerge(es.head) }
+    f("uniqCombinedMerge") { es => HllSketchEstimate(hllMerge(es.head)) }
+    f("uniqCombinedIf") { es => HllSketchEstimate(hllState(onlyIf(es(1), es(0)))) }
+
+    // ---- sum/count combinators ---------------------------------------
+    // SimpleAggregateFunction(sum): the partial IS the value, so -State,
+    // -SimpleState and -Merge are all plain re-sum (doc:510-605)
+    f("sumState") { es => new Sum(es.head).toAggregateExpression() }
+    f("sumSimpleState") { es => new Sum(es.head).toAggregateExpression() }
+    f("sumMerge") { es => new Sum(es.head).toAggregateExpression() }
+    f("sumIf") { es => new Sum(onlyIf(es(1), es(0))).toAggregateExpression() }
+    f("countIf") { es => Count(Seq(onlyIf(es.head, Literal(1)))).toAggregateExpression() }
+    f("minIf") { es => Min(onlyIf(es(1), es(0))).toAggregateExpression() }
+    f("maxIf") { es => Max(onlyIf(es(1), es(0))).toAggregateExpression() }
+
+    // ---- bitmap family (dwm:134-139, 184-185, 280-290) ---------------
+    f("groupBitmap") { es =>
+      // cardinality of the aggregated bitmap — scalar-on-aggregate needs the
+      // aggregate wrapped explicitly when composed inside another expression
+      BitmapCardinalityExpr(BitmapAggregate(es.head).toAggregateExpression())
+    }
+    f("groupBitmapState") { es => BitmapAggregate(es.head).toAggregateExpression() }
+    f("groupBitmapStateIf") { es =>
+      BitmapAggregate(onlyIf(es(1), es(0))).toAggregateExpression()
+    }
+    f("groupBitmapMergeState") { es => BitmapMergeAggregate(es.head).toAggregateExpression() }
+    f("groupBitmapMerge") { es =>
+      BitmapCardinalityExpr(BitmapMergeAggregate(es.head).toAggregateExpression())
+    }
+    f("bitmapCardinality") { es => BitmapCardinalityExpr(es.head) }
+    f("bitmapAnd") { es => BitmapBinaryExpr(es(0), es(1), "and") }
+    f("bitmapOr") { es => BitmapBinaryExpr(es(0), es(1), "or") }
+    f("bitmapAndCardinality") { es => BitmapBinaryExpr(es(0), es(1), "and_card") }
+    f("bitmapOrCardinality") { es => BitmapBinaryExpr(es(0), es(1), "or_card") }
+
+    // ---- medianExact family (dwm:83,100,114) -------------------------
+    f("medianExact") { es => new Percentile(es.head, Literal(0.5)) }
+    f("medianExactState") { es =>
+      SortArray(CollectList(es.head).toAggregateExpression(), Literal(true))
+    }
+    f("medianExactMergeState") { es => medianMerged(es.head) }
+    f("medianExactMerge") { es => medianFinalize(medianMerged(es.head)) }
+
+    // ---- dictionary lookup (dim.dict_user_dim.sql:24-27) -------------
+    f("dictGet") { es =>
+      DictGetExpr(stringLit(es(0), "dictGet dictionary name"),
+        stringLit(es(1), "dictGet attribute name"), es(2))
+    }
+  }
+
+  /** The `-If` combinator: feed the value only where cond holds; Spark
+    * aggregates skip nulls, exactly CH's conditional-aggregate semantics.
+    * (Builders run on unresolved children, so the null literal is NullType
+    * and the analyzer's If coercion widens it to the value's type.)
+    */
+  private def onlyIf(cond: Expression, value: Expression): Expression =
+    If(cond, value, Literal(null))
+
+  /** uniqCombinedState: Datasketches HLL partial, lgK=12 everywhere so
+    * states written by any query merge with any other (doc:304-505).
+    */
+  private def hllState(child: Expression): AggregateExpression =
+    HllSketchAgg(child, Literal(12)).toAggregateExpression()
+
+  private def hllMerge(child: Expression): AggregateExpression =
+    HllUnionAgg(child, Literal(true)).toAggregateExpression()
+
+  /** Merge sorted-array median states: concat + re-sort. Built once and
+    * shared by reference inside medianFinalize so the aggregate runs once.
+    */
+  private def medianMerged(child: Expression): Expression =
+    SortArray(Flatten(CollectList(child).toAggregateExpression()), Literal(true))
+
+  /** Exact median of a sorted-array state — the expression twin of
+    * [[Medians.median_finalize]] (linear interpolation on even n).
+    * `sorted` is referenced multiple times as the SAME instance, so the
+    * planner computes the underlying aggregate exactly once.
+    */
+  private def medianFinalize(sorted: Expression): Expression = {
+    val n = Size(sorted)
+    def at(i: Expression) = Cast(ElementAt(sorted, Cast(i, IntegerType)), DoubleType)
+    val lo = at(IntegralDivide(Add(n, Literal(1)), Literal(2)))
+    val hi = at(Add(IntegralDivide(n, Literal(2)), Literal(1)))
+    If(EqualTo(n, Literal(0)), Literal.create(null, DoubleType),
+      If(EqualTo(Pmod(n, Literal(2)), Literal(1)), lo,
+        Divide(Add(lo, hi), Literal(2.0d))))
+  }
+
+  private def stringLit(e: Expression, what: String): String = e match {
+    case Literal(s, StringType) if s != null => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got: ${other.sql}")
   }
 }
 

@@ -1,0 +1,120 @@
+package graft.functions
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Session-wide dictionary registry backing the SQL-level
+  * `dictGet('db.dict', 'attr', key)` (ref dim.dict_user_dim.sql:2-27,
+  * usage :24-27 and dwm.mainpage_stat_mv_dis.sql:98): a named, broadcast
+  * point-lookup table with per-attribute declared defaults — the Spark
+  * analog of a HASHED-layout external dictionary.
+  *
+  * [[register]] snapshots a dim DataFrame into one broadcast map (every
+  * executor holds one copy — the same per-node-RAM constraint the
+  * reference's LAYOUT(HASHED()) imposes) and makes the name resolvable by
+  * the `dictGet` SQL function (see [[ChCompat.register]]). Re-registering
+  * a name swaps the snapshot — the LIFETIME refresh cycle (ref
+  * dim.dict_user_dim.sql:20) is "re-register per batch".
+  *
+  * Missing key ⇒ the attribute's declared default, else the CH type
+  * default ('' / 0) — never null, matching dictGet semantics.
+  */
+object Dictionaries {
+
+  final case class Dict(
+      bc: Broadcast[Map[Long, Map[String, Any]]],
+      types: Map[String, DataType],
+      defaults: Map[String, Any])
+
+  private val registry = new ConcurrentHashMap[String, Dict]()
+
+  /** Snapshot `dim` as dictionary `name`; `keyCol` is cast to long (the
+    * dictionary PRIMARY KEY is UInt64). Attribute defaults follow the
+    * dictionary DDL's `default` clauses; unlisted attrs get CH type
+    * defaults.
+    */
+  def register(
+      spark: SparkSession,
+      name: String,
+      dim: DataFrame,
+      keyCol: String,
+      defaults: Map[String, Any] = Map.empty): Unit = {
+    val attrs = dim.schema.fields.filter(_.name != keyCol).toSeq
+    val rows = dim
+      .select(col(keyCol).cast("long") +: attrs.map(f => col(f.name)): _*)
+      .na.drop(Seq(keyCol))
+      .collect()
+    val m = rows.map { r =>
+      r.getLong(0) -> attrs.zipWithIndex.map { case (f, i) => f.name -> r.get(i + 1) }.toMap
+    }.toMap
+    registry.put(name,
+      Dict(spark.sparkContext.broadcast(m), attrs.map(f => f.name -> f.dataType).toMap, defaults))
+  }
+
+  def drop(name: String): Unit = registry.remove(name)
+
+  private[functions] def lookup(name: String): Dict = {
+    val d = registry.get(name)
+    require(d != null,
+      s"dictGet: dictionary '$name' is not registered (Dictionaries.register it first)")
+    d
+  }
+
+  /** CH type default: '' for strings, 0 for numerics. */
+  private[functions] def typeDefault(t: DataType): Any = t match {
+    case StringType => ""
+    case LongType => 0L
+    case IntegerType => 0
+    case ShortType => 0.toShort
+    case DoubleType => 0.0
+    case FloatType => 0.0f
+    case _ => null
+  }
+}
+
+/** `dictGet(dict, attr, key)` as a Catalyst expression. The broadcast is
+  * captured at ANALYSIS time (dictionary must be registered before the
+  * query is parsed) and ships with the serialized plan — executors do a
+  * per-row hash-map probe, no shuffle, no join.
+  */
+case class DictGetExpr(dictName: String, attr: String, child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  private val dict = Dictionaries.lookup(dictName)
+  require(dict.types.contains(attr),
+    s"dictGet: dictionary '$dictName' has no attribute '$attr' " +
+      s"(has: ${dict.types.keys.mkString(", ")})")
+
+  override def dataType: DataType = dict.types(attr)
+  override def nullable: Boolean = false
+
+  @transient private lazy val default: Any =
+    dict.defaults.getOrElse(attr, Dictionaries.typeDefault(dataType))
+
+  private def toInternal(v: Any): Any = v match {
+    case s: String => UTF8String.fromString(s)
+    case other => other
+  }
+
+  override def nullSafeEval(key: Any): Any = {
+    val k = key.asInstanceOf[Number].longValue()
+    val v = dict.bc.value.get(k).flatMap(row => Option(row.getOrElse(attr, null)))
+    toInternal(v.getOrElse(default))
+  }
+
+  // a null key behaves like a missing key (CH dictGet never returns null)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val key = child.eval(input)
+    if (key == null) toInternal(default) else nullSafeEval(key)
+  }
+
+  override protected def withNewChildInternal(c: Expression): DictGetExpr = copy(child = c)
+  override def prettyName: String = "dictGet"
+}

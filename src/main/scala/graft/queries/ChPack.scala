@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.Tables
+import graft.functions.{ChCompat, Dictionaries}
+
+/** Declared queries exercising the ClickHouse-dialect SQL surface itself —
+  * the `-State`/`-Merge`/`-If` combinators and SQL `dictGet` running
+  * through `spark.sql`, gated against DuckDB oracles. Exact variants only
+  * (bitmap UV, count distinct): the approximate HLL forms are covered by
+  * tolerance assertions in ChCompatSpec instead.
+  */
+object ChPack {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Two-phase MV dance written in the CH dialect verbatim
+    // (ref dwm.mainpage_stat_mv_dis.sql:28-70, exact-bitmap variant :184-200):
+    // inner -State at (day,hour,event_type), outer -Merge to (day,event_type).
+    "q23_ch_dialect_mv" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).eventsWithDefaults.createOrReplaceTempView("graft_ch_events")
+      s.sql(
+        """SELECT day, event_type,
+          |       groupBitmapMerge(bm) AS uv,
+          |       CAST(sumMerge(val_dec) AS DOUBLE) AS total_value,
+          |       sumMerge(cnt) AS cnt
+          |FROM (
+          |  SELECT day, hour, event_type,
+          |         groupBitmapState(user_id) AS bm,
+          |         sumState(CAST(value AS DECIMAL(18,2))) AS val_dec,
+          |         countIf(true) AS cnt
+          |  FROM graft_ch_events
+          |  GROUP BY day, hour, event_type)
+          |GROUP BY day, event_type
+          |ORDER BY day, event_type""".stripMargin)
+    },
+
+    // SQL dictGet enrichment (ref dim.dict_user_dim.sql:24-27): broadcast
+    // point-lookup, no shuffle of the fact side beyond the aggregation.
+    "q24_dictget_sql" -> { (s, dir) =>
+      ChCompat.register(s)
+      val t = Tables(s, dir)
+      Dictionaries.register(s, "dim.dict_nation",
+        t.nation.select(col("n_nationkey"), col("n_name")), keyCol = "n_nationkey")
+      t.customer.createOrReplaceTempView("graft_ch_customer")
+      s.sql(
+        """SELECT dictGet('dim.dict_nation', 'n_name', toUInt64(c_nationkey)) AS nation,
+          |       uniqExact(c_custkey) AS uv,
+          |       CAST(sumIf(CAST(c_acctbal AS DECIMAL(18,2)), c_acctbal > 0) AS DOUBLE) AS pos_bal,
+          |       countIf(c_acctbal > 0) AS pos_cnt
+          |FROM graft_ch_customer
+          |GROUP BY nation
+          |ORDER BY nation""".stripMargin)
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q23_ch_dialect_mv" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type,
+        | COUNT(DISTINCT user_id) AS uv,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        | COUNT(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q24_dictget_sql" ->
+      """SELECT n.n_name AS nation,
+        | COUNT(DISTINCT c.c_custkey) AS uv,
+        | CAST(SUM(CASE WHEN c.c_acctbal > 0 THEN CAST(c.c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS pos_bal,
+        | CAST(COUNT(CASE WHEN c.c_acctbal > 0 THEN 1 END) AS BIGINT) AS pos_cnt
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

@@ -2,16 +2,20 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+import graft.engine.Catalog
 import graft.functions.ChCompat
 
-/** The reference's ClickHouse SQL runs near-verbatim after
-  * ChCompat.register — the dialect-parity surface.
+/** The reference's ClickHouse SQL runs verbatim after ChCompat.register +
+  * Catalog.register — the dialect-parity surface: `-State`/`-Merge`/`-If`
+  * combinators, SQL dictGet, db.table names, and the doc's golden cases.
   */
 class ChCompatSpec extends SparkSpec {
 
+  private val sf = "/root/testdata/sf0.001"
+
   test("reference-shaped UV/PV query runs verbatim-ish and matches DataFrame form") {
     ChCompat.register(spark)
-    Tables(spark, "/root/testdata/sf0.001").events.createOrReplaceTempView("action_log")
+    Tables(spark, sf).events.createOrReplaceTempView("action_log")
 
     // shape of dwm.mainpage_stat_mv_dis.sql:60-70 / dict_user_dim.sql:24-27
     val sqlOut = spark.sql(
@@ -25,7 +29,7 @@ class ChCompatSpec extends SparkSpec {
         |GROUP BY day, hour
         |ORDER BY day, hour""".stripMargin)
 
-    val dfOut = Tables(spark, "/root/testdata/sf0.001").events
+    val dfOut = Tables(spark, sf).events
       .filter(col("event_type") === "view")
       .groupBy(to_date(col("ts")).as("day"), date_trunc("HOUR", col("ts")).as("hour"))
       .agg(count_distinct(col("user_id")).as("uv"),
@@ -41,7 +45,7 @@ class ChCompatSpec extends SparkSpec {
 
   test("bitmap funnel SQL: groupBitmap states + bitmapAndCardinality (doc:1207-1238)") {
     ChCompat.register(spark)
-    Tables(spark, "/root/testdata/sf0.001").events.createOrReplaceTempView("action_log")
+    Tables(spark, sf).events.createOrReplaceTempView("action_log")
 
     val out = spark.sql(
       """WITH bm AS (
@@ -64,7 +68,7 @@ class ChCompatSpec extends SparkSpec {
       assert(r.getLong(1) >= r.getLong(2), "funnel monotone: view_uv >= view∧click")
     }
     // cross-check one day against exact distinct
-    Tables(spark, "/root/testdata/sf0.001").eventsWithDefaults.createOrReplaceTempView("e2")
+    Tables(spark, sf).eventsWithDefaults.createOrReplaceTempView("e2")
     val exact = spark.sql(
       """SELECT day, count(DISTINCT CASE WHEN event_type='view' THEN user_id END) FROM e2
         |GROUP BY day ORDER BY day""".stripMargin).collect()
@@ -73,7 +77,7 @@ class ChCompatSpec extends SparkSpec {
 
   test("groupBitmap one-shot and medianExact match their exact counterparts") {
     ChCompat.register(spark)
-    Tables(spark, "/root/testdata/sf0.001").lineitem.createOrReplaceTempView("li")
+    Tables(spark, sf).lineitem.createOrReplaceTempView("li")
     val r = spark.sql(
       """SELECT l_returnflag,
         |       groupBitmap(l_suppkey) AS uv,
@@ -82,8 +86,204 @@ class ChCompatSpec extends SparkSpec {
         |       percentile(l_quantity, 0.5) AS med_builtin
         |FROM li GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin).collect()
     r.foreach { row =>
-      assert(row.getLong(1) == row.getInt(2).toLong)
+      assert(row.getLong(1) == row.getLong(2))
       assert(row.getDouble(3) == row.getDouble(4))
     }
+  }
+
+  test("golden uv=7 state-merge case (doc:480-505)") {
+    ChCompat.register(spark)
+    // the doc's four insert batches, each pre-aggregated to a state, then
+    // merged — uniqCombinedMerge and groupBitmapMerge both recover uv=7
+    val out = spark.sql(
+      """WITH batches AS (
+        |  SELECT platform, ver,
+        |         uniqCombinedState(uid) AS xx,
+        |         groupBitmapState(uid) AS bm
+        |  FROM VALUES
+        |    (1,'android','1.1',1001),(1,'android','1.1',1002),(1,'android','1.1',1003),(1,'android','1.1',1004),
+        |    (2,'android','1.2',1009),(2,'android','1.2',1010),(2,'android','1.2',1130),(2,'android','1.2',1131),
+        |    (3,'android','1.1',2001),(3,'android','1.1',3002),(3,'android','1.1',1003),(3,'android','1.1',3004),
+        |    (4,'android','1.2',2009),(4,'android','1.2',1010),(4,'android','1.2',2130),(4,'android','1.2',2131)
+        |    AS t(batch, platform, ver, uid)
+        |  GROUP BY batch, platform, ver)
+        |SELECT platform, ver,
+        |       uniqCombinedMerge(xx) AS uv,
+        |       groupBitmapMerge(bm) AS uv_exact
+        |FROM batches GROUP BY platform, ver ORDER BY platform, ver""".stripMargin).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getLong(2) == 7L, s"uniqCombinedMerge uv for ${r.getString(1)}")
+      assert(r.getLong(3) == 7L, s"groupBitmapMerge uv for ${r.getString(1)}")
+    }
+  }
+
+  test("flagship MV SELECT + read-side merge run verbatim through db.table catalog") {
+    Catalog.register(spark, sf)
+    // MV SELECT with gender dict enrichment + median state
+    // (dwm.mainpage_stat_mv_dis.sql:100-131, bitmap columns :184-200)
+    val mv = spark.sql(
+      """SELECT day
+        |     ,hour
+        |     ,platform
+        |     ,ver
+        |     ,item_id
+        |     ,dictGet('dim.dict_user_dim', 'gender', toUInt64(uid)) as gender
+        |     ,uniqCombinedStateIf(uid, a.show_cnt>0) as shown_uv
+        |     ,sum(a.show_cnt) as shown_cnt
+        |     ,uniqCombinedStateIf(uid, a.click_cnt>0) as click_uv
+        |     ,sum(a.click_cnt) as click_cnt
+        |     ,sum(toUInt64(show_time/1000)) as show_time_sum
+        |     ,medianExactState(toUInt32(show_time/1000)) as show_time_median
+        |     ,groupBitmapStateIf(uid, a.show_cnt>0) as show_bm
+        |     ,groupBitmapStateIf(uid, a.click_cnt>0) as click_bm
+        |from ods.action_001_local as a
+        |group by day, hour, platform, ver, item_id, gender""".stripMargin)
+    val stDir = tmpDir("ch-mv-state")
+    mv.write.mode("overwrite").parquet(stDir)
+    Catalog.registerParquet(spark, "dws.mainpage_stat_mv_dis", stDir)
+
+    // read-side merge, verbatim shape (dwm.mainpage_stat_mv_dis.sql:60-70)
+    val merged = spark.sql(
+      """SELECT day
+        |     ,platform
+        |     ,uniqCombinedMerge(shown_uv) as shown_uv
+        |     ,sum(shown_cnt) as shown_cnt
+        |     ,uniqCombinedMerge(click_uv) as click_uv
+        |     ,sum(click_cnt) as click_cnt
+        |     ,sum(show_time_sum) as show_time_sum
+        |from dws.mainpage_stat_mv_dis
+        |group by day, platform
+        |order by day, platform""".stripMargin).collect()
+
+    val direct = spark.sql(
+      """SELECT day, platform,
+        |       count(DISTINCT CASE WHEN show_cnt>0 THEN uid END) AS shown_uv,
+        |       sum(show_cnt) AS shown_cnt,
+        |       count(DISTINCT CASE WHEN click_cnt>0 THEN uid END) AS click_uv,
+        |       sum(click_cnt) AS click_cnt,
+        |       sum(toUInt64(show_time/1000)) AS show_time_sum
+        |FROM ods.action_001_local
+        |GROUP BY day, platform ORDER BY day, platform""".stripMargin).collect()
+
+    assert(merged.length == direct.length && merged.nonEmpty)
+    merged.zip(direct).foreach { case (m, d) =>
+      assert(m.getDate(0) == d.getDate(0) && m.getString(1) == d.getString(1))
+      // HLL states merge to within sketch tolerance of the exact uv
+      assert(math.abs(m.getLong(2) - d.getLong(2)) <= math.max(1L, d.getLong(2) / 20),
+        s"shown_uv ${m.getLong(2)} vs exact ${d.getLong(2)}")
+      assert(math.abs(m.getLong(4) - d.getLong(4)) <= math.max(1L, d.getLong(4) / 20))
+      // SimpleAggregateFunction(sum) re-sums are exact
+      assert(m.getLong(3) == d.getLong(3))
+      assert(m.getLong(5) == d.getLong(5))
+      assert(m.getLong(6) == d.getLong(6))
+    }
+
+    // bitmap read-side funnel, verbatim shape (dwm.mainpage_stat_mv_dis.sql:280-290)
+    val funnel = spark.sql(
+      """select day
+        |     ,gender
+        |     ,bitmapCardinality(groupBitmapMergeState(show_bm)) as shown_uv
+        |     ,bitmapAndCardinality(groupBitmapMergeState(show_bm),groupBitmapMergeState(click_bm)) as show_click_uv
+        |from dws.mainpage_stat_mv_dis
+        |group by day,gender
+        |order by day,gender""".stripMargin).collect()
+    val funnelDirect = spark.sql(
+      """WITH peruser AS (
+        |  SELECT day, dictGet('dim.dict_user_dim', 'gender', toUInt64(uid)) AS gender, uid,
+        |         max(show_cnt) AS v, max(click_cnt) AS c
+        |  FROM ods.action_001_local GROUP BY day, gender, uid)
+        |SELECT day, gender,
+        |       count(CASE WHEN v > 0 THEN 1 END) AS shown_uv,
+        |       count(CASE WHEN v > 0 AND c > 0 THEN 1 END) AS show_click_uv
+        |FROM peruser GROUP BY day, gender ORDER BY day, gender""".stripMargin).collect()
+    assert(funnel.length == funnelDirect.length && funnel.nonEmpty)
+    funnel.zip(funnelDirect).foreach { case (f, d) =>
+      assert(f.getDate(0) == d.getDate(0) && f.getString(1) == d.getString(1))
+      assert(f.getLong(2) == d.getLong(2), "bitmap shown_uv is exact")
+      assert(f.getLong(3) == d.getLong(3), "bitmap show∧click uv is exact")
+    }
+
+    // median state family merges to the builtin percentile answer
+    val med = spark.sql(
+      """SELECT platform, medianExactMerge(show_time_median) AS med
+        |FROM dws.mainpage_stat_mv_dis GROUP BY platform ORDER BY platform""".stripMargin).collect()
+    val medDirect = spark.sql(
+      """SELECT platform, percentile(toUInt32(show_time/1000), 0.5) AS med
+        |FROM ods.action_001_local GROUP BY platform ORDER BY platform""".stripMargin).collect()
+    med.zip(medDirect).foreach { case (m, d) =>
+      assert(math.abs(m.getDouble(1) - d.getDouble(1)) < 1e-9)
+    }
+  }
+
+  test("dictGet SQL equals the join form (dim.dict_user_dim.sql:24-44)") {
+    Catalog.register(spark, sf)
+    // the doc's multi-value shape (dict_user_dim.sql:47-50). Dialect note:
+    // `group by platform` would hit Spark's source-column-over-alias
+    // resolution (the action table also has a platform column; CH prefers
+    // the alias) — gender isn't a source column, so the alias resolves.
+    val viaDict = spark.sql(
+      """select dictGet('dim.dict_user_dim', 'gender', toUInt64(uid)) as gender
+        |      ,uniqCombined(uid) as uv
+        |from dws.action_001_dis
+        |group by gender order by gender""".stripMargin).collect()
+    val viaJoin = spark.sql(
+      """select t2.gender as gender, uniqCombined(t1.uid) as uv
+        |from dws.action_001_dis t1
+        |join dim.dict_user_dim t2 on toUInt64(t1.uid) = t2.uid
+        |group by gender order by gender""".stripMargin).collect()
+    assert(viaDict.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      viaJoin.map(r => (r.getString(0), r.getLong(1))).toSeq)
+    assert(viaDict.nonEmpty)
+
+    // missing key -> declared default (age -1) or CH type default ('')
+    val miss = spark.sql(
+      """SELECT dictGet('dim.dict_user_dim', 'gender', toUInt64(999999999)) AS g,
+        |       dictGet('dim.dict_user_dim', 'age', toUInt64(999999999)) AS a""".stripMargin)
+      .collect().head
+    assert(miss.getString(0) == "")
+    assert(miss.getShort(1) == (-1).toShort)
+  }
+
+  test("-If combinators match their CASE-form equivalents") {
+    ChCompat.register(spark)
+    Tables(spark, sf).events.createOrReplaceTempView("action_log")
+    val r = spark.sql(
+      """SELECT sumIf(value, event_type = 'view') AS s1,
+        |       sum(CASE WHEN event_type = 'view' THEN value END) AS s2,
+        |       countIf(event_type = 'view') AS c1,
+        |       count(CASE WHEN event_type = 'view' THEN 1 END) AS c2,
+        |       uniqExactIf(user_id, event_type = 'view') AS u1,
+        |       count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS u2,
+        |       minIf(value, event_type = 'view') AS m1,
+        |       min(CASE WHEN event_type = 'view' THEN value END) AS m2,
+        |       maxIf(value, event_type = 'view') AS x1,
+        |       max(CASE WHEN event_type = 'view' THEN value END) AS x2,
+        |       uniqCombinedIf(user_id, event_type = 'view') AS a1,
+        |       uniqExactIf(user_id, event_type = 'view') AS a2
+        |FROM action_log""".stripMargin).collect().head
+    assert(r.getDouble(0) == r.getDouble(1))
+    assert(r.getLong(2) == r.getLong(3))
+    assert(r.getLong(4) == r.getLong(5))
+    assert(r.getDouble(6) == r.getDouble(7))
+    assert(r.getDouble(8) == r.getDouble(9))
+    // HLL vs exact within 5%
+    assert(math.abs(r.getLong(10) - r.getLong(11)) <= math.max(1L, r.getLong(11) / 20))
+  }
+
+  test("toUInt32 wraps mod 2^32; interval/now/today scalars evaluate") {
+    ChCompat.register(spark)
+    val r = spark.sql(
+      """SELECT toUInt32(-1) AS w1,
+        |       toUInt32(4.9) AS w2,
+        |       toUInt32(4294967301) AS w3,
+        |       CAST('2021-06-06' AS DATE) + toIntervalDay(92) + toIntervalHour(5) AS ttl,
+        |       CAST('2021-06-06' AS DATE) + INTERVAL 92 DAY + INTERVAL 5 HOUR AS ttl_native,
+        |       now() AS n, today() AS t""".stripMargin).collect().head
+    assert(r.getLong(0) == 4294967295L)
+    assert(r.getLong(1) == 4L)
+    assert(r.getLong(2) == 5L)
+    assert(r.get(3) == r.get(4), "toIntervalDay/Hour TTL arithmetic matches native INTERVAL")
+    assert(!r.isNullAt(5) && !r.isNullAt(6))
   }
 }

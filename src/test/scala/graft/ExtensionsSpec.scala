@@ -24,7 +24,7 @@ class ExtensionsSpec extends SparkSpec {
           |       toUInt32(medianExact(CAST(id AS DOUBLE))) AS med
           |FROM range(10)""".stripMargin).collect()(0)
       assert(r.getLong(0) == 10L)
-      assert(r.getInt(1) == 3)
+      assert(r.getLong(1) == 3L)
       assert(r.getLong(2) == 4L) // median of 0..9 = 4.5, toUInt32 truncates
     } finally {
       SparkSession.setDefaultSession(base)
