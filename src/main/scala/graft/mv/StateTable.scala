@@ -45,6 +45,7 @@ final class StateTable(
     val metrics: Seq[Metric]) {
 
   Bitmaps.register(spark)
+  recoverFromCompact()
 
   private def stateCols = metrics.map(_.state)
   private def mergeCols = metrics.map(_.merge)
@@ -80,6 +81,12 @@ final class StateTable(
   /** Background-merge analog: rewrite the table with equal keys pre-merged.
     * Write-to-temp + atomic rename per the doc's OPTIMIZE FINAL invariant —
     * readers see the old or the new table, never a mix.
+    *
+    * Single-writer discipline (like a MergeTree part set): concurrent
+    * compact/append calls are not coordinated. Between the two renames the
+    * live path briefly doesn't exist; a crash in that window strands the
+    * table at `.compact.old` — [[recoverFromCompact]] restores it on the
+    * next open.
     */
   def compact(): Unit = {
     val tmp = path + ".compact.tmp"
@@ -87,12 +94,34 @@ final class StateTable(
     merged(keys)
       .sortWithinPartitions(keys.map(col): _*)
       .write.mode("overwrite").partitionBy(partitionCol).parquet(tmp)
-    val fs = FileSystem.get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val fs = fileSystem()
     val p = new Path(path); val t = new Path(tmp); val o = new Path(old)
     if (fs.exists(o)) fs.delete(o, true)
     if (!fs.rename(p, o)) sys.error(s"compact: failed to stage $path -> $old")
     if (!fs.rename(t, p)) { fs.rename(o, p); sys.error(s"compact: failed to swap $tmp -> $path") }
     fs.delete(o, true)
+  }
+
+  private def fileSystem(): FileSystem =
+    FileSystem.get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+
+  /** Recovery for [[compact]]'s rename window. If a compact crashed after
+    * staging the live table away but before swapping the rewrite in, the
+    * staged copy is authoritative: restore it. Leftover `.compact.tmp` /
+    * `.compact.old` from a completed or failed compact are deleted.
+    */
+  private def recoverFromCompact(): Unit = {
+    val fs = fileSystem()
+    val p = new Path(path)
+    val t = new Path(path + ".compact.tmp")
+    val o = new Path(path + ".compact.old")
+    if (!fs.exists(p) && fs.exists(o)) {
+      if (!fs.rename(o, p)) sys.error(s"recover: failed to restore $o -> $path")
+    } else if (fs.exists(o)) {
+      // swap completed but cleanup didn't — the old copy is superseded
+      fs.delete(o, true)
+    }
+    if (fs.exists(t)) fs.delete(t, true)
   }
 
   /** TTL: drop day partitions older than `days` before `today`

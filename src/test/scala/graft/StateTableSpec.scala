@@ -113,6 +113,30 @@ class StateTableSpec extends SparkSpec {
     assert(st.read().count() == rawAfter)
   }
 
+  test("open recovers a table stranded mid-compact (crash between renames)") {
+    val dir = tmpDir("state")
+    val st = newTable(dir + "/t")
+    Seq(batch1, batch2).foreach(st.appendBatch)
+    val expected = st.finalized().collect().map(_.toSeq).sortBy(_.mkString("|"))
+
+    // simulate a crash after compact() staged the live table away but
+    // before the rewrite swapped in: path gone, .compact.old holds the data
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(dir + "/t")
+    val o = new org.apache.hadoop.fs.Path(dir + "/t.compact.old")
+    val t = new org.apache.hadoop.fs.Path(dir + "/t.compact.tmp")
+    assert(fs.rename(p, o))
+    fs.mkdirs(t) // half-written rewrite left behind
+    assert(!fs.exists(p))
+
+    val reopened = newTable(dir + "/t")
+    assert(fs.exists(p), "recovery must restore the staged table")
+    assert(!fs.exists(o) && !fs.exists(t), "recovery must clear staging dirs")
+    val got = reopened.finalized().collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(got.toSeq == expected.toSeq)
+  }
+
   test("TTL expire drops only partitions past the horizon (ods TTL, S10)") {
     val dir = tmpDir("state")
     val st = newTable(dir + "/t")
