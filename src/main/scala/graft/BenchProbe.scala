@@ -2,8 +2,14 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.storage.StorageLevel
 
-/** Scratch profiling main for slow bench queries. */
+import graft.text.TextFunctions._
+
+/** Scratch profiling main for slow bench queries. Currently: q35 minhash
+  * persist-vs-reuse experiment.
+  */
 object BenchProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -15,51 +21,51 @@ object BenchProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    functions.Bitmaps.register(spark)
+    graft.functions.MinHash.register(spark)
 
     def force(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
-    def t(name: String)(f: => DataFrame): Unit = {
-      force(f); // warm
-      val t0 = System.nanoTime(); force(f)
-      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    def bench(name: String)(mk: () => DataFrame): Unit = {
+      force(mk())
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); force(mk()); (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$name%-28s min=${times.min}%.2f s  runs=${times.map(t => f"$t%.2f").mkString(",")}")
     }
 
-    val e = Tables(spark, sfDir).eventsWithDefaults
-      .withColumn("bucket", pmod(col("user_id"), lit(10)))
-    e.cache().count()
+    val numHashes = 64; val bands = 16; val rowsPerBand = 4; val threshold = 0.5
 
-    t("base: events+defaults scan") { e.select(count(lit(1))) }
-    t("log1 agg only") {
-      e.filter(col("event_type").isin("view", "click"))
-        .groupBy("day", "bucket")
-        .agg(sum(when(col("event_type") === "view", 1).otherwise(0)).as("view_cnt"))
+    def sigsPlain() = Tables(spark, sfDir).documents
+      .select(col("doc_id").as("id"), tokens(col("text")).as("toks"))
+      .select(col("id"), explode(array_distinct(shingles(col("toks"), 3))).as("sh"))
+      .groupBy("id")
+      .agg(graft.functions.MinHash.minhash_agg(col("sh"), numHashes).as("sig"))
+
+    def pairs(sigs: DataFrame): DataFrame = {
+      val withBk = sigs.withColumn("bk",
+        explode(graft.dedup.Dedup.lshBuckets(col("sig"), bands, rowsPerBand)))
+      val a = withBk.select(col("bk"), col("id").as("id_a"), col("sig").as("sig_a"))
+      val b = withBk.select(col("bk"), col("id").as("id_b"), col("sig").as("sig_b"))
+      a.join(b, Seq("bk"))
+        .filter(col("id_a") < col("id_b"))
+        .dropDuplicates("id_a", "id_b")
+        .withColumn("est_jaccard",
+          aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v).cast(DoubleType) / numHashes)
+        .filter(col("est_jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("est_jaccard"))
     }
-    t("union two aggs") {
-      val l1 = e.filter(col("event_type").isin("view", "click"))
-        .groupBy("day", "bucket").agg(count(lit(1)).as("a"))
-      val l2 = e.filter(col("event_type") === "purchase")
-        .groupBy("day", "bucket").agg(count(lit(1)).as("b"))
-      l1.unionByName(l2.withColumn("a", lit(null)), allowMissingColumns = true)
+
+    bench("no-persist") { () => pairs(sigsPlain()) }
+    bench("persist-compact") { () =>
+      pairs(sigsPlain().persist(StorageLevel.MEMORY_AND_DISK))
     }
-    t("union + regroup") {
-      val l1 = e.filter(col("event_type").isin("view", "click"))
-        .groupBy("day", "bucket").agg(count(lit(1)).as("a"))
-      val l2 = e.filter(col("event_type") === "purchase")
-        .groupBy("day", "bucket").agg(count(lit(1)).as("b"))
-      l1.unionByName(l2, allowMissingColumns = true)
-        .groupBy("day", "bucket")
-        .agg(coalesce(sum(col("a")), lit(0L)).as("a2"), coalesce(sum(col("b")), lit(0L)).as("b2"))
-    }
-    t("full q22") { SparkEntry.queries("q22_wide_union")(spark, sfDir) }
-    t("q22 minus orderBy") {
-      val q = SparkEntry.queries("q22_wide_union")(spark, sfDir)
-      q // with order
-    }
-    t("funnel bitmaps day-only") {
-      e.groupBy("day").agg(
-        functions.Bitmaps.bitmap_agg(when(col("event_type") === "view", col("user_id"))).as("v"))
-    }
-    t("full q21") { SparkEntry.queries("q21_bitmap_funnel")(spark, sfDir) }
+
+    // does ReuseExchange already dedupe the unpersisted self-join?
+    val plan = pairs(sigsPlain()).queryExecution.executedPlan.toString
+    println("ReusedExchange in no-persist plan: " + plan.contains("ReusedExchange"))
+    println("HashAggregate(minhash) count: " +
+      plan.linesIterator.count(_.contains("minhash_agg")))
+
     spark.stop()
   }
 }

@@ -77,17 +77,20 @@ object Dedup {
     // faster than evaluating k hashes in interpreted lambdas per shingle
     // persist: `sigs` feeds BOTH sides of the bucket self-join below, and the
     // signature pipeline (tokenize + shingle + k-hash aggregate) dominates the
-    // job's cost — without this the whole subtree runs twice. The result stays
-    // cached for the caller's (lazy) consumption; Spark's LRU evicts it.
+    // job's cost — without this the whole subtree runs twice. Persist the
+    // COMPACT (id, sig) form, before the band explode: caching the exploded
+    // rows would store each signature `bands` times and pay columnar
+    // encode/decode on the multiplied width, costing more than the cheap
+    // re-derivation of band hashes per join side.
     val sigs = df
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .select(col("id"), explode(array_distinct(shingles(col("toks"), shingleSize))).as("sh"))
       .groupBy("id")
       .agg(graft.functions.MinHash.minhash_agg(col("sh"), numHashes).as("sig"))
-      .withColumn("bk", explode(lshBuckets(col("sig"), bands, rowsPerBand)))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val a = sigs.select(col("bk"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = sigs.select(col("bk"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val withBk = sigs.withColumn("bk", explode(lshBuckets(col("sig"), bands, rowsPerBand)))
+    val a = withBk.select(col("bk"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = withBk.select(col("bk"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("bk"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
@@ -205,12 +208,14 @@ object Dedup {
       struct(lit(c).as("c"),
         call_function("shiftright", col("sh"), lit(offsets(c))).bitwiseAND(lit(mask)).as("v"))
     }
-    // persist: `chunked` feeds both sides of the chunk self-join
+    // persist: the simhash pipeline feeds both sides of the chunk self-join.
+    // Cache the compact (id, sh) form — the chunk explode is a cheap
+    // re-derivation per side (see minhashNearDups' note).
     val sigs = df
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .select(col("id"), simhash64FromTokens(col("toks")).as("sh"))
-    val chunked = sigs.withColumn("chunk", explode(array(chunkExprs: _*)))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val chunked = sigs.withColumn("chunk", explode(array(chunkExprs: _*)))
     val a = chunked.select(col("chunk"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = chunked.select(col("chunk"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("chunk"))
