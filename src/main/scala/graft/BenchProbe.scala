@@ -59,12 +59,9 @@ object BenchProbe {
     bench("persist-compact") { () =>
       pairs(sigsPlain().persist(StorageLevel.MEMORY_AND_DISK))
     }
-
-    // does ReuseExchange already dedupe the unpersisted self-join?
-    val plan = pairs(sigsPlain()).queryExecution.executedPlan.toString
-    println("ReusedExchange in no-persist plan: " + plan.contains("ReusedExchange"))
-    println("HashAggregate(minhash) count: " +
-      plan.linesIterator.count(_.contains("minhash_agg")))
+    bench("q43_cosine_neardup") { () =>
+      SparkEntry.queries("q43_cosine_neardup")(spark, sfDir)
+    }
 
     spark.stop()
   }

@@ -222,15 +222,26 @@ object Ann {
       corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, tables: Int = 8, bits: Int = 6): DataFrame = {
     graft.functions.VectorOps.register(corpus.sparkSession)
-    // persist: the index (corpus × tables rows, each with a `bits`-hyperplane
-    // signature evaluation) feeds both self-join sides — compute it once
-    val ix = lshIndex(corpus, idCol, vecCol, tables, bits)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = ix.select(col("tbl"), col("bucket"), col("neighbor_id").as("id_a"), col("cvec").as("va"))
-    val b = ix.select(col("tbl"), col("bucket"), col("neighbor_id").as("id_b"), col("cvec").as("vb"))
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Two compact caches instead of one fat one: the hyperplane-signature
+    // pipeline (tables × bits × dim hashed dot products per row) must run
+    // once — but persisting it WITH the vectors would store every embedding
+    // `tables` times (the measured anti-win from the MinHash sibling). So
+    // cache an id-only bucket index + the corpus vectors once, generate
+    // candidate id pairs from the light index, and join vectors back for
+    // the exact cosine rerank — the standard candidates-then-fetch shape.
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec")).persist(mem)
+    val ix = base
+      .select(col("id"), explode(signaturesExpr(col("vec"), tables, bits)).as("bk"))
+      .select(col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"), col("id"))
+      .persist(mem)
+    val a = ix.select(col("tbl"), col("bucket"), col("id").as("id_a"))
+    val b = ix.select(col("tbl"), col("bucket"), col("id").as("id_b"))
     a.join(b, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
+      .join(base.select(col("id").as("id_a"), col("vec").as("va")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("vec").as("vb")), Seq("id_b"))
       .withColumn("cos_sim", cosine(col("va"), col("vb")))
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
