@@ -76,6 +76,10 @@ object ChCompat {
         Cast(Cast(es.head, StringType), TimestampType, None, EvalMode.TRY),
         Cast(Literal(0L), TimestampType)))
     }
+    // introspection scalars (doc:507-607 byteSize sizing experiments;
+    // hostName is the doc's which-shard probe — in Spark, which executor)
+    f("hostName") { _ => HostNameExpr() }
+    f("byteSize") { es => ByteSizeExpr(es.head) }
 
     // ---- uniq family (doc:304-505) -----------------------------------
     f("uniqCombined") { es => new HyperLogLogPlusPlus(es.head) }
@@ -179,6 +183,42 @@ object ChCompat {
     case other => throw new IllegalArgumentException(
       s"$what must be a string literal, got: ${other.sql}")
   }
+}
+
+/** hostName() — the executing host, evaluated executor-side per partition
+  * (CH uses it to see which shard answered; here, which executor).
+  */
+case class HostNameExpr()
+  extends LeafExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override lazy val deterministic: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.net.InetAddress.getLocalHost.getHostName)
+  override def prettyName: String = "hostName"
+}
+
+/** byteSize(x) — approximate in-memory size of a value, the quantity the
+  * reference doc compares across AggregateFunction vs SimpleAggregateFunction
+  * states (doc:507-607). Exact for binary/string payloads (the state-sizing
+  * use case); fixed-width types report their width.
+  */
+case class ByteSizeExpr(child: Expression)
+  extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = java.lang.Long.valueOf(v match {
+    case b: Array[Byte] => b.length.toLong
+    case s: org.apache.spark.unsafe.types.UTF8String => s.numBytes.toLong
+    case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+      child.dataType match {
+        case ArrayType(et, _) if et.defaultSize > 0 => a.numElements.toLong * et.defaultSize
+        case _ => a.numElements.toLong
+      }
+    case _ => child.dataType.defaultSize.toLong
+  })
+  override protected def withNewChildInternal(c: Expression): ByteSizeExpr = copy(child = c)
+  override def prettyName: String = "byteSize"
 }
 
 /** bitmapCardinality as a Catalyst expression (scalar over binary state). */

@@ -271,6 +271,52 @@ class ChCompatSpec extends SparkSpec {
     assert(math.abs(r.getLong(10) - r.getLong(11)) <= math.max(1L, r.getLong(11) / 20))
   }
 
+  test("states written by the Scala Metric API merge via the SQL combinators") {
+    import graft.mv._
+    Catalog.register(spark, sf)
+    val st = new StateTable(spark, tmpDir("interop") + "/t",
+      keys = Seq("day", "event_type"), partitionCol = "day",
+      metrics = Seq(
+        HllUvMetric("uv_hll", col("user_id")),
+        BitmapUvMetric("uv_bm", col("user_id")),
+        SumMetric("value_sum", queries.dec(col("value")))))
+    val ev = Tables(spark, sf).eventsWithDefaults
+    st.appendBatch(ev.filter(col("event_id") % 2 === 0))
+    st.appendBatch(ev.filter(col("event_id") % 2 === 1))
+    Catalog.registerParquet(spark, "dws.state_interop", st.path)
+
+    val viaSql = spark.sql(
+      """SELECT event_type,
+        |       uniqCombinedMerge(uv_hll) AS uv_hll,
+        |       groupBitmapMerge(uv_bm) AS uv_bm,
+        |       sumMerge(value_sum) AS value_sum
+        |FROM dws.state_interop
+        |GROUP BY event_type ORDER BY event_type""".stripMargin).collect()
+    val viaApi = st.finalized(Seq("event_type")).orderBy("event_type").collect()
+    assert(viaSql.length == viaApi.length && viaSql.nonEmpty)
+    viaSql.zip(viaApi).foreach { case (s, a) =>
+      assert(s.getString(0) == a.getString(0))
+      assert(s.getLong(1) == a.getLong(1), "HLL states interoperate bit-for-bit")
+      assert(s.getLong(2) == a.getLong(2), "bitmap states interoperate")
+      assert(s.getDecimal(3) == a.getDecimal(3), "sum partials re-sum identically")
+    }
+  }
+
+  test("byteSize shows the state-size story; hostName evaluates (doc:507-607)") {
+    ChCompat.register(spark)
+    val r = spark.sql(
+      """SELECT byteSize('abc') AS b1,
+        |       byteSize(uniqCombinedState(id)) AS hll_sz,
+        |       byteSize(groupBitmapState(id)) AS bm_sz,
+        |       byteSize(sumState(id)) AS sum_sz,
+        |       hostName() AS h
+        |FROM range(1000)""".stripMargin).collect().head
+    assert(r.getLong(0) == 3L)
+    // the doc's point: mergeable sketch states cost bytes, simple sums don't
+    assert(r.getLong(1) > r.getLong(3) && r.getLong(2) > r.getLong(3))
+    assert(r.getString(4).nonEmpty)
+  }
+
   test("toUInt32 wraps mod 2^32; interval/now/today scalars evaluate") {
     ChCompat.register(spark)
     val r = spark.sql(
