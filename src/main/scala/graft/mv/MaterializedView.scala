@@ -23,11 +23,17 @@ import org.apache.spark.sql.Row
 final class MaterializedView(
     val name: String,
     transform: DataFrame => DataFrame,
-    val target: StateTable) {
+    val target: StateTable,
+    preAggregated: Boolean = false) {
 
-  /** Process one insert batch (the trigger firing). */
+  /** Process one insert batch (the trigger firing). With `preAggregated`
+    * the transform already emits state rows (e.g. a CH-dialect `-State`
+    * SELECT, see [[MaterializedView.fromSql]]) and is appended as-is;
+    * otherwise the state table runs its own partial aggregation.
+    */
   def processBatch(batch: DataFrame): Unit =
-    target.appendBatch(transform(batch))
+    if (preAggregated) target.append(transform(batch))
+    else target.appendBatch(transform(batch))
 
   /** Attach to a micro-batch stream: each micro-batch ≙ one insert batch
     * (the generators' ~2000-row/10s cadence, ref make_user_action_001.py:50-62).
@@ -42,5 +48,34 @@ final class MaterializedView(
       .foreachBatch { (batch: DataFrame, _: Long) => processBatch(batch) }
     checkpoint.foreach(c => w = w.option("checkpointLocation", c))
     w.start()
+  }
+}
+
+object MaterializedView {
+
+  /** A materialized view defined by its ClickHouse-dialect SELECT — the
+    * literal `CREATE MATERIALIZED VIEW ... TO target AS <mvSql>` form
+    * (ref dwm.mainpage_stat_mv_dis.sql:40-57). Per insert batch the
+    * trigger fires over THAT BATCH ONLY (doc:298-301), so `sourceTable`
+    * (the `FROM` name in the SQL, e.g. `ods.action_001_local`) is rebound
+    * to a view of the batch before running the SELECT. The SELECT's
+    * `-State` columns land in the target as-is; merge-on-read finishes the
+    * job. Requires the SQL's output columns to match the target's keys +
+    * metric names (same contract as the reference's MV column list).
+    */
+  def fromSql(
+      name: String,
+      mvSql: String,
+      sourceTable: String,
+      target: StateTable): MaterializedView = {
+    val batchView = "graft_mv_batch_" + name.replaceAll("[^A-Za-z0-9_]", "_")
+    require(mvSql.contains(sourceTable),
+      s"MV SQL does not reference source table '$sourceTable'")
+    new MaterializedView(name, { batch =>
+      val s = batch.sparkSession
+      graft.functions.ChCompat.register(s)
+      batch.createOrReplaceTempView(batchView)
+      s.sql(mvSql.replace(sourceTable, batchView))
+    }, target, preAggregated = true)
   }
 }

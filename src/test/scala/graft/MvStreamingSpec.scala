@@ -114,4 +114,49 @@ class MvStreamingSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("OLD" -> 1L, "NEW" -> 1L))
   }
+
+  test("SQL-defined MV: the CH-dialect -State SELECT fires per insert batch") {
+    val sf = "/root/testdata/sf0.001"
+    graft.engine.Catalog.register(spark, sf)
+    val st = new StateTable(spark, tmpDir("mv-sql-state") + "/t",
+      keys = Seq("day", "hour", "platform"), partitionCol = "day",
+      metrics = Seq(
+        HllUvMetric("shown_uv", col("uid")),
+        SumMetric("shown_cnt", col("show_cnt")),
+        BitmapUvMetric("show_bm", col("uid"))))
+
+    // verbatim MV SELECT shape (dwm.mainpage_stat_mv_dis.sql:40-57 + :184-200)
+    val mv = MaterializedView.fromSql("mv_main_page_stat",
+      """SELECT day
+        |     ,hour
+        |     ,platform
+        |     ,uniqCombinedStateIf(uid, a.show_cnt>0) as shown_uv
+        |     ,sum(a.show_cnt) as shown_cnt
+        |     ,groupBitmapStateIf(uid, a.show_cnt>0) as show_bm
+        |from ods.action_001_local as a
+        |group by day, hour, platform""".stripMargin,
+      sourceTable = "ods.action_001_local",
+      target = st)
+
+    // two insert batches (the trigger fires once per batch)
+    val src = spark.table("ods.action_001_local")
+    mv.processBatch(src.filter(col("uid") % 2 === 0))
+    mv.processBatch(src.filter(col("uid") % 2 === 1))
+
+    val got = st.finalized(Seq("day", "platform")).orderBy("day", "platform").collect()
+    val direct = spark.sql(
+      """SELECT day, platform,
+        |       count(DISTINCT CASE WHEN show_cnt>0 THEN uid END) AS shown_uv,
+        |       sum(show_cnt) AS shown_cnt
+        |FROM ods.action_001_local
+        |GROUP BY day, platform ORDER BY day, platform""".stripMargin).collect()
+    assert(got.length == direct.length && got.nonEmpty)
+    got.zip(direct).foreach { case (g, d) =>
+      assert(g.getDate(0) == d.getDate(0) && g.getString(1) == d.getString(1))
+      // bitmap UV exact; HLL within sketch tolerance; sums exact
+      assert(g.getLong(4) == d.getLong(2), "bitmap UV from SQL states is exact")
+      assert(math.abs(g.getLong(2) - d.getLong(2)) <= math.max(1L, d.getLong(2) / 20))
+      assert(g.getLong(3) == d.getLong(3))
+    }
+  }
 }
