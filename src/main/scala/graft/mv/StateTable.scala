@@ -63,8 +63,13 @@ final class StateTable(
   /** Aggregate + append a raw batch (insert-trigger semantics). */
   def appendBatch(batch: DataFrame): Unit = append(toStates(batch))
 
-  /** Raw state rows as stored (pre-merge). */
-  def read(): DataFrame = spark.read.parquet(path)
+  /** Raw state rows as stored (pre-merge). mergeSchema unions the schemas
+    * of parts written before and after an ALTER-style widening (the
+    * reference's `add column if not exists` flow, ref
+    * dwm.mainpage_stat_mv_dis.sql:78-96, 157-182): parts that predate a
+    * metric surface it as NULL, which every merge treats as identity.
+    */
+  def read(): DataFrame = spark.read.option("mergeSchema", "true").parquet(path)
 
   /** Merge-on-read at the given (possibly coarser) keys; metric columns
     * remain states (binary sketches / arrays / partial sums).

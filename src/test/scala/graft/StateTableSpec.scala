@@ -113,6 +113,39 @@ class StateTableSpec extends SparkSpec {
     assert(st.read().count() == rawAfter)
   }
 
+  test("ALTER ADD COLUMN analog: metrics added after data exists merge as identity") {
+    import spark.implicits._
+    val dir = tmpDir("state") + "/t"
+    // v1 of the MV: one metric
+    val v1 = new StateTable(spark, dir,
+      keys = Seq("day", "id"), partitionCol = "day",
+      metrics = Seq(SumMetric("m1", col("m1_src"))))
+    v1.appendBatch(Seq(("2024-01-01", 1L, 10L), ("2024-01-01", 2L, 20L))
+      .toDF("day_s", "id", "m1_src")
+      .select(to_date(col("day_s")).as("day"), col("id"), col("m1_src")))
+
+    // "alter table add column m2": reopen with a widened metric list
+    // (ref dwm.mainpage_stat_mv_dis.sql:78-96) and append new-schema parts
+    val v2 = new StateTable(spark, dir,
+      keys = Seq("day", "id"), partitionCol = "day",
+      metrics = Seq(SumMetric("m1", col("m1_src")), MaxMetric("m2", col("m2_src"))))
+    v2.appendBatch(Seq(("2024-01-01", 1L, 5L, 100L), ("2024-01-01", 3L, 7L, 300L))
+      .toDF("day_s", "id", "m1_src", "m2_src")
+      .select(to_date(col("day_s")).as("day"), col("id"), col("m1_src"), col("m2_src")))
+
+    val got = v2.finalized(Seq("id")).select("id", "m1", "m2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .sortBy(_._1)
+    // pre-ALTER rows surface m2 as NULL -> identity under merge
+    assert(got.toSeq == Seq((1L, 15L, 100L), (2L, 20L, -1L), (3L, 7L, 300L)))
+    // compaction rewrites everything to the widened schema and is equivalent
+    v2.compact()
+    val after = v2.finalized(Seq("id")).select("id", "m1", "m2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .sortBy(_._1)
+    assert(after.toSeq == got.toSeq)
+  }
+
   test("open recovers a table stranded mid-compact (crash between renames)") {
     val dir = tmpDir("state")
     val st = newTable(dir + "/t")
