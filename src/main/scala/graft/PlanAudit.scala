@@ -20,7 +20,8 @@ object PlanAudit {
     functions.Bitmaps.register(spark)
 
     for (name <- Seq("q01_pricing_summary", "q02_filter_project", "q04_join_group",
-        "q05_dict_enrich", "q20_state_rollup", "q31_doc_stats", "q40_cosine_probe")) {
+        "q05_dict_enrich", "q20_state_rollup", "q23_ch_dialect_mv", "q24_dictget_sql",
+        "q31_doc_stats", "q40_cosine_probe")) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.executedPlan.toString
       println(s"===== $name =====")
