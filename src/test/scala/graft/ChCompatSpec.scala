@@ -245,6 +245,22 @@ class ChCompatSpec extends SparkSpec {
     assert(miss.getShort(1) == (-1).toShort)
   }
 
+  test("re-registering a dictionary swaps the snapshot (LIFETIME refresh)") {
+    import spark.implicits._
+    ChCompat.register(spark)
+    graft.functions.Dictionaries.register(spark, "dim.refresh_test",
+      Seq((1L, "old")).toDF("k", "v"), keyCol = "k")
+    assert(spark.sql("SELECT dictGet('dim.refresh_test', 'v', toUInt64(1))")
+      .collect().head.getString(0) == "old")
+    // the LIFETIME(MIN..MAX) cycle (ref dim.dict_user_dim.sql:20) is
+    // "re-register per refresh": the next parse sees the new snapshot
+    graft.functions.Dictionaries.register(spark, "dim.refresh_test",
+      Seq((1L, "new")).toDF("k", "v"), keyCol = "k")
+    assert(spark.sql("SELECT dictGet('dim.refresh_test', 'v', toUInt64(1))")
+      .collect().head.getString(0) == "new")
+    graft.functions.Dictionaries.drop("dim.refresh_test")
+  }
+
   test("-If combinators match their CASE-form equivalents") {
     ChCompat.register(spark)
     Tables(spark, sf).events.createOrReplaceTempView("action_log")
