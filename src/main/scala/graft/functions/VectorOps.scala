@@ -19,13 +19,97 @@ import org.apache.spark.sql.types._
   * stay bit-equal to the DuckDB oracle's mirrored fold.
   */
 object VectorOps {
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "mean_vector", exprs => MeanVectorAggregate(exprs.head), "built-in")
+  }
 
   /** Cosine similarity of two float/double array columns, in double. */
   def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  /** Element-wise mean of a float-array column (double accumulation) —
+    * the centroid update of a distributed k-means step.
+    */
+  def mean_vector(c: Column): Column = call_function("mean_vector", c)
 }
+
+/** Element-wise mean of array<float> rows — a [[TypedImperativeAggregate]]
+  * with map-side partial combine: each partition reduces to one
+  * (sum-vector, count) pair before the shuffle, so the exchange moves
+  * O(groups × dim) regardless of corpus size. The Lloyd-update primitive
+  * for [[graft.similarity.Ann.refineCentroids]].
+  */
+case class MeanVectorAggregate(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[MeanVecBuf]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"mean_vector requires array<float>, got ${t.simpleString}")
+  }
+
+  override def createAggregationBuffer(): MeanVecBuf = MeanVecBuf(null, 0L)
+
+  override def update(b: MeanVecBuf, row: org.apache.spark.sql.catalyst.InternalRow): MeanVecBuf = {
+    val v = child.eval(row)
+    if (v == null) return b
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val sums = if (b.sums == null) new Array[Double](n) else b.sums
+    var i = 0
+    while (i < math.min(n, sums.length)) { sums(i) += a.getFloat(i).toDouble; i += 1 }
+    MeanVecBuf(sums, b.count + 1)
+  }
+
+  override def merge(b: MeanVecBuf, o: MeanVecBuf): MeanVecBuf = {
+    if (o.sums == null) return b
+    if (b.sums == null) return o
+    var i = 0
+    while (i < math.min(b.sums.length, o.sums.length)) { b.sums(i) += o.sums(i); i += 1 }
+    MeanVecBuf(b.sums, b.count + o.count)
+  }
+
+  override def eval(b: MeanVecBuf): Any =
+    if (b.sums == null || b.count == 0L) null
+    else org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      b.sums.map(s => (s / b.count).toFloat))
+
+  override def serialize(b: MeanVecBuf): Array[Byte] = {
+    val n = if (b.sums == null) 0 else b.sums.length
+    val buf = java.nio.ByteBuffer.allocate(12 + 8 * n)
+    buf.putLong(b.count).putInt(n)
+    var i = 0
+    while (i < n) { buf.putDouble(b.sums(i)); i += 1 }
+    buf.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): MeanVecBuf = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    val count = buf.getLong; val n = buf.getInt
+    if (n == 0) MeanVecBuf(null, count)
+    else MeanVecBuf(Array.fill(n)(buf.getDouble), count)
+  }
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullable: Boolean = true
+  override def withNewMutableAggBufferOffset(o: Int): MeanVectorAggregate =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MeanVectorAggregate =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): MeanVectorAggregate =
+    copy(child = c)
+  override def prettyName: String = "mean_vector"
+}
+
+/** (element-wise double sums, row count) partial for [[MeanVectorAggregate]]. */
+case class MeanVecBuf(sums: Array[Double], count: Long)
 
 case class CosineSimilarity(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {

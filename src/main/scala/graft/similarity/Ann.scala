@@ -163,6 +163,31 @@ object Ann {
       nlist: Int = 16): DataFrame =
     ivfIndex(corpus, idCol, vecCol, pickCentroids(corpus, idCol, vecCol, nlist))
 
+  /** Lloyd (k-means) refinement of IVF centroids, fully distributed: each
+    * iteration assigns every corpus row to its nearest centroid (broadcast
+    * compare, no shuffle of vectors) and recomputes centroids with the
+    * map-side-combining [[graft.functions.MeanVectorAggregate]] — the
+    * exchange moves O(nlist × dim) partials, never vectors. Only the
+    * nlist centroid rows are collected per iteration. Empty clusters keep
+    * their previous centroid. Turns [[pickCentroids]]' seeded sample into
+    * proper k-means at any corpus size.
+    */
+  def refineCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Array[(Int, Array[Float])], iterations: Int = 2): Array[(Int, Array[Float])] = {
+    graft.functions.VectorOps.register(corpus.sparkSession)
+    var c = cents
+    for (_ <- 1 to iterations) {
+      val updated = ivfIndex(corpus, idCol, vecCol, c)
+        .groupBy("list_id")
+        .agg(graft.functions.VectorOps.mean_vector(col("cvec")).as("centroid"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+        .toMap
+      c = c.map { case (cid, old) => cid -> updated.getOrElse(cid, old) }
+    }
+    c
+  }
+
   /** IVF index from pre-picked centroids — share ONE [[pickCentroids]] call
     * between index build and search instead of re-scanning the corpus for
     * each (the centroid pick is a full-corpus TakeOrdered).

@@ -56,6 +56,40 @@ class AnnSpec extends SparkSpec {
     assert(a1 == a2)
   }
 
+  test("Lloyd refinement tightens clusters and keeps IVF recall") {
+    import graft.functions.VectorOps
+    VectorOps.register(spark)
+    def withinClusterSim(cents: Array[(Int, Array[Float])]): Double = {
+      val bc = spark.sparkContext.broadcast(cents.toMap)
+      val centCol = udf { (lid: Int) => bc.value(lid).toSeq }
+      Ann.ivfIndex(emb, "vec_id", "embedding", cents)
+        .withColumn("csim", Ann.cosine(col("cvec"), centCol(col("list_id"))))
+        .agg(avg("csim")).collect().head.getDouble(0)
+    }
+    val seed = Ann.pickCentroids(emb, "vec_id", "embedding", 16)
+    val refined = Ann.refineCentroids(emb, "vec_id", "embedding", seed, iterations = 2)
+    assert(refined.length == seed.length)
+    val before = withinClusterSim(seed)
+    val after = withinClusterSim(refined)
+    assert(after >= before - 1e-9,
+      s"Lloyd step should not loosen clusters: $before -> $after")
+
+    val probes = emb.filter(col("vec_id").isin(0, 1, 2, 3, 4))
+    val exact = Ann.bruteForceTopK(emb, probes, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ix = Ann.ivfIndex(emb, "vec_id", "embedding", refined)
+    val approx = Ann.ivfTopK(ix, refined, probes, "vec_id", "embedding", 10, nprobe = 8)
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"refined-IVF recall too low: $recall")
+
+    // mean_vector agrees with a driver-side mean
+    import spark.implicits._
+    val got = Seq(Seq(1.0f, 2.0f), Seq(3.0f, 6.0f)).toDF("v")
+      .agg(VectorOps.mean_vector(col("v"))).collect().head.getSeq[Float](0)
+    assert(got == Seq(2.0f, 4.0f))
+  }
+
   test("bounded-heap top-k matches a local exact ranking (partial-merge safe, ties by id)") {
     // ground truth computed driver-side from the same double cosine
     def cosLocal(a: Array[Float], b: Array[Float]): Double = {
