@@ -77,9 +77,28 @@ object ChCompat {
         Cast(Literal(0L), TimestampType)))
     }
     // introspection scalars (doc:507-607 byteSize sizing experiments;
-    // hostName is the doc's which-shard probe — in Spark, which executor)
+    // hostName is the doc's which-shard probe — in Spark, which executor;
+    // toTypeName reports Spark type names, not CH's — doc:897's debug aid)
     f("hostName") { _ => HostNameExpr() }
     f("byteSize") { es => ByteSizeExpr(es.head) }
+    f("toTypeName") { es => ToTypeNameExpr(es.head) }
+    // multiIf(c1,v1, c2,v2, ..., else) — CH's flat CASE form
+    f("multiIf") { es =>
+      require(es.length >= 3 && es.length % 2 == 1,
+        s"multiIf needs cond/value pairs plus an else, got ${es.length} args")
+      CaseWhen(es.dropRight(1).grouped(2).map(p => (p(0), p(1))).toSeq, Some(es.last))
+    }
+
+    // ---- common CH aggregate names beyond the reference's own queries ----
+    f("argMax") { es => MaxBy(es(0), es(1)).toAggregateExpression() }
+    f("argMin") { es => MinBy(es(0), es(1)).toAggregateExpression() }
+    f("groupArray") { es => CollectList(es.head).toAggregateExpression() }
+    f("groupUniqArray") { es => CollectSet(es.head).toAggregateExpression() }
+    // CH any/anyLast: an arbitrary-but-deterministic-per-run first/last value
+    f("any") { es => new First(es.head, true).toAggregateExpression() }
+    f("anyLast") { es => new Last(es.head, true).toAggregateExpression() }
+    f("quantileExact") { es => new Percentile(es(0), es(1)) }
+    f("quantileTDigest") { es => new ApproximatePercentile(es(0), es(1)) }
 
     // ---- uniq family (doc:304-505) -----------------------------------
     f("uniqCombined") { es => new HyperLogLogPlusPlus(es.head) }
@@ -219,6 +238,20 @@ case class ByteSizeExpr(child: Expression)
   })
   override protected def withNewChildInternal(c: Expression): ByteSizeExpr = copy(child = c)
   override def prettyName: String = "byteSize"
+}
+
+/** toTypeName(x) — the resolved Spark SQL type of the argument (CH's
+  * debug aid, doc:897; reports Spark names, e.g. BIGINT not UInt64).
+  */
+case class ToTypeNameExpr(child: Expression)
+  extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = true
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(child.dataType.sql)
+  override protected def withNewChildInternal(c: Expression): ToTypeNameExpr = copy(child = c)
+  override def prettyName: String = "toTypeName"
 }
 
 /** bitmapCardinality as a Catalyst expression (scalar over binary state). */

@@ -333,6 +333,38 @@ class ChCompatSpec extends SparkSpec {
     assert(r.getString(4).nonEmpty)
   }
 
+  test("argMax/any/groupArray/quantile/multiIf/toTypeName aliases behave") {
+    ChCompat.register(spark)
+    Tables(spark, sf).lineitem.createOrReplaceTempView("li_alias")
+    val r = spark.sql(
+      """SELECT argMax(l_orderkey, l_quantity) AS am,
+        |       max_by(l_orderkey, l_quantity) AS am2,
+        |       argMin(l_orderkey, l_quantity) AS an,
+        |       min_by(l_orderkey, l_quantity) AS an2,
+        |       size(groupArray(l_linenumber)) AS ga,
+        |       count(l_linenumber) AS ga2,
+        |       size(groupUniqArray(l_returnflag)) AS gu,
+        |       uniqExact(l_returnflag) AS gu2,
+        |       quantileExact(l_quantity, 0.5) AS q,
+        |       percentile(l_quantity, 0.5) AS q2,
+        |       quantileTDigest(l_quantity, 0.5) AS qt,
+        |       any(l_returnflag) AS a1,
+        |       anyLast(l_returnflag) AS a2
+        |FROM li_alias""".stripMargin).collect().head
+    assert(r.getLong(0) == r.getLong(1) && r.getLong(2) == r.getLong(3))
+    assert(r.getInt(4).toLong == r.getLong(5))
+    assert(r.getInt(6).toLong == r.getLong(7))
+    assert(r.getDouble(8) == r.getDouble(9))
+    assert(!r.isNullAt(10) && !r.isNullAt(11) && !r.isNullAt(12))
+
+    val s = spark.sql(
+      """SELECT multiIf(1 < 2, 'x', 1 > 2, 'y', 'z') AS mi,
+        |       toTypeName(l_orderkey) AS tn
+        |FROM li_alias LIMIT 1""".stripMargin).collect().head
+    assert(s.getString(0) == "x")
+    assert(s.getString(1) == "BIGINT")
+  }
+
   test("toUInt32 wraps mod 2^32; interval/now/today scalars evaluate") {
     ChCompat.register(spark)
     val r = spark.sql(
