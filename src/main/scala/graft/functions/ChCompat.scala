@@ -101,7 +101,10 @@ object ChCompat {
     f("quantileTDigest") { es => new ApproximatePercentile(es(0), es(1)) }
 
     // ---- uniq family (doc:304-505) -----------------------------------
-    f("uniqCombined") { es => new HyperLogLogPlusPlus(es.head) }
+    // one-shot = finalize(state): the same Datasketches HLL as the -State
+    // path, so uniqCombined(x) == uniqCombinedMerge(uniqCombinedState(x))
+    // exactly — CH's consistency guarantee between the two forms
+    f("uniqCombined") { es => HllSketchEstimate(hllState(es.head)) }
     // distinct Count, not Size(CollectSet): no per-group value buffer
     f("uniqExact") { es => Count(Seq(es.head)).toAggregateExpression(isDistinct = true) }
     f("uniqExactIf") { es =>

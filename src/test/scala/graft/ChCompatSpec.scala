@@ -33,7 +33,7 @@ class ChCompatSpec extends SparkSpec {
       .filter(col("event_type") === "view")
       .groupBy(to_date(col("ts")).as("day"), date_trunc("HOUR", col("ts")).as("hour"))
       .agg(count_distinct(col("user_id")).as("uv"),
-        approx_count_distinct(col("user_id")).as("uv_approx"),
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).as("uv_approx"),
         sum(col("value")).cast("long").as("pv_value"))
       .orderBy("day", "hour")
 
@@ -116,6 +116,17 @@ class ChCompatSpec extends SparkSpec {
       assert(r.getLong(2) == 7L, s"uniqCombinedMerge uv for ${r.getString(1)}")
       assert(r.getLong(3) == 7L, s"groupBitmapMerge uv for ${r.getString(1)}")
     }
+
+    // CH consistency guarantee: one-shot == merge-of-states, exactly
+    Tables(spark, sf).events.createOrReplaceTempView("consistency_src")
+    val oneshot = spark.sql(
+      "SELECT uniqCombined(user_id) FROM consistency_src").collect().head.getLong(0)
+    val merged = spark.sql(
+      """SELECT uniqCombinedMerge(st)
+        |FROM (SELECT uniqCombinedState(user_id) AS st
+        |      FROM consistency_src GROUP BY pmod(event_id, 7))""".stripMargin)
+      .collect().head.getLong(0)
+    assert(oneshot == merged, "uniqCombined == merge of its states")
   }
 
   test("flagship MV SELECT + read-side merge run verbatim through db.table catalog") {
