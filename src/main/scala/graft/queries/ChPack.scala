@@ -39,6 +39,22 @@ object ChPack {
           |ORDER BY day, event_type""".stripMargin)
     },
 
+    // db.table catalog layer (ref ods.action_001_dis.sql:2,31): the
+    // reference's layered names queried directly; the oracle mirrors the
+    // view's deterministic column derivations over raw events.
+    "q25_catalog_query" -> { (s, dir) =>
+      graft.engine.Catalog.register(s, dir)
+      s.sql(
+        """SELECT day, platform,
+          |       uniqExact(uid) AS uv,
+          |       sum(show_cnt) AS show_cnt,
+          |       sum(click_cnt) AS click_cnt,
+          |       sum(show_time) AS show_time_sum
+          |FROM dws.action_001_dis
+          |GROUP BY day, platform
+          |ORDER BY day, platform""".stripMargin)
+    },
+
     // SQL dictGet enrichment (ref dim.dict_user_dim.sql:24-27): broadcast
     // point-lookup, no shuffle of the fact side beyond the aggregation.
     "q24_dictget_sql" -> { (s, dir) =>
@@ -59,6 +75,17 @@ object ChPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q25_catalog_query" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        | CASE WHEN user_id % 2 = 0 THEN 'android' ELSE 'ios' END AS platform,
+        | COUNT(DISTINCT user_id) AS uv,
+        | CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS show_cnt,
+        | CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click_cnt,
+        | CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS show_time_sum
+        |  -- FLOOR mirrors Spark's truncating double->long cast (values >= 0)
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q23_ch_dialect_mv" ->
       """SELECT CAST(ts AS DATE) AS day, event_type,
         | COUNT(DISTINCT user_id) AS uv,

@@ -127,6 +127,17 @@ object ExtendedPack {
         .filter(col("o_totalprice") > col("avg_price") * 1.5)
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey")
+    },
+
+    // deliberate hot-key salting (graft.engine.Skew): result must equal the
+    // plain join the oracle computes — salting is a physical rewrite only
+    "q60_salted_join" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      graft.engine.Skew.saltedJoin(t.lineitem,
+          t.supplier.withColumnRenamed("s_suppkey", "l_suppkey"), Seq("l_suppkey"), salt = 8)
+        .groupBy(col("s_nationkey").as("nation"))
+        .agg(count(lit(1)).as("cnt"), moneySum(col("l_extendedprice")).as("revenue"))
+        .orderBy("nation")
     }
   )
 
@@ -199,6 +210,13 @@ object ExtendedPack {
         |WHERE o_totalprice > (
         |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
         |  FROM orders) * 1.5
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q60_salted_join" ->
+      """SELECT s.s_nationkey AS nation,
+        | COUNT(*) AS cnt,
+        | CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
