@@ -256,6 +256,75 @@ class ChCompatSpec extends SparkSpec {
     assert(miss.getShort(1) == (-1).toShort)
   }
 
+  test("action_002 MV + join-of-aggregates read query run verbatim (dwm:239-326)") {
+    Catalog.register(spark, sf)
+    // the 002 log's wide-table MV SELECT, verbatim shape (dwm:274-296)
+    val mv002 = spark.sql(
+      """SELECT day
+        |     ,hour
+        |     ,platform
+        |     ,ver
+        |     ,item_id
+        |     ,dictGet('dim.dict_user_dim', 'gender', toUInt64(uid)) as gender
+        |     ,uniqCombinedStateIf(uid, a.action_a_cnt>0) as acta_uv
+        |     ,sum(a.action_a_cnt) as acta_cnt
+        |     ,uniqCombinedStateIf(uid, a.action_b_cnt>0) as actb_uv
+        |     ,sum(a.action_b_cnt) as actb_cnt
+        |     ,groupBitmapStateIf(uid, a.action_a_cnt>0) as acta_bm
+        |     ,groupBitmapStateIf(uid, a.action_d_sum>0) as actd_bm
+        |from ods.action_002_local as a
+        |group by day, hour, platform, ver, item_id, gender""".stripMargin)
+    assert(mv002.count() > 0)
+
+    // the doc's left-join-of-aggregate-subqueries read (dwm:300-326;
+    // `USING (day, gender)` takes parens in Spark)
+    val joined = spark.sql(
+      """select t1.day, t1.gender, shown_uv, click_uv, acta_uv, actb_uv
+        |from (
+        |  SELECT day
+        |       ,dictGet('dim.dict_user_dim', 'gender', toUInt64(uid)) as gender
+        |       ,uniqCombinedIf(uid, a.show_cnt>0) as shown_uv
+        |       ,uniqCombinedIf(uid, a.click_cnt>0) as click_uv
+        |  from dws.action_001_dis as a
+        |  group by day, gender
+        |) as t1
+        |left join (
+        |  SELECT day
+        |       ,dictGet('dim.dict_user_dim', 'gender', toUInt64(uid)) as gender
+        |       ,uniqCombinedIf(uid, a.action_a_cnt>0) as acta_uv
+        |       ,uniqCombinedIf(uid, a.action_b_cnt>0) as actb_uv
+        |  from dws.action_002_dis as a
+        |  group by day, gender
+        |) as t2
+        |USING (day, gender)
+        |ORDER BY day, gender""".stripMargin).collect()
+    assert(joined.nonEmpty)
+    val exact = spark.sql(
+      """SELECT day, dictGet('dim.dict_user_dim', 'gender', toUInt64(uid)) AS gender,
+        |       count(DISTINCT CASE WHEN show_cnt>0 THEN uid END) AS shown_uv
+        |FROM dws.action_001_dis GROUP BY day, gender ORDER BY day, gender""".stripMargin)
+      .collect()
+    joined.zip(exact).foreach { case (j, e) =>
+      assert(j.getDate(0) == e.getDate(0) && j.getString(1) == e.getString(1))
+      assert(math.abs(j.getLong(2) - e.getLong(2)) <= math.max(1L, e.getLong(2) / 20))
+      assert(!j.isNullAt(4), "left-join brings 002 metrics for matching keys")
+    }
+  }
+
+  test("dictGet plans as a broadcast map probe, not a join") {
+    ChCompat.register(spark)
+    val t = Tables(spark, sf)
+    graft.functions.Dictionaries.register(spark, "dim.plan_nation",
+      t.nation.select(col("n_nationkey"), col("n_name")), keyCol = "n_nationkey")
+    t.customer.createOrReplaceTempView("plan_cust")
+    val plan = spark.sql(
+      """SELECT dictGet('dim.plan_nation', 'n_name', toUInt64(c_nationkey)) AS nation,
+        |       count(1) AS cnt
+        |FROM plan_cust GROUP BY nation""".stripMargin)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"dictGet must not plan a join:\n$plan")
+  }
+
   test("re-registering a dictionary swaps the snapshot (LIFETIME refresh)") {
     import spark.implicits._
     ChCompat.register(spark)
