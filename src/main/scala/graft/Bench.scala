@@ -34,6 +34,8 @@ object Bench {
     "q20_state_rollup",    // two-phase state/merge (bitmap UV)
     "q21_bitmap_funnel",   // bitmap funnel (baseline doc:1235)
     "q22_wide_union",      // multi-log wide table (baseline doc:1159/1205)
+    "q23_ch_dialect_mv",   // verbatim CH-dialect two-phase MV via spark.sql
+    "q25_catalog_query",   // db.table catalog view path
     "q31_doc_stats",       // text token stats
     "q34_ngram_jaccard",   // shingle-join near-dup
     "q35_minhash_neardup", // MinHash LSH
