@@ -81,8 +81,12 @@ object TextPack {
     },
 
     // SimHash near-dup candidates (rows-only; verified in DedupSpec).
+    // maxHamming=3 is the standard 64-bit simhash radius: 4 chunks of 16
+    // bits, bucket load N/2^16 — the scale-safe operating point. Larger
+    // radii derive more, narrower chunks whose buckets grow toward N
+    // (the inherent simhash-blocking trade, see Dedup.simhashNearDups).
     "q36_simhash_neardup" -> { (s, dir) =>
-      Dedup.simhashNearDups(Tables(s, dir).documents, "text", "doc_id", maxHamming = 12)
+      Dedup.simhashNearDups(Tables(s, dir).documents, "text", "doc_id", maxHamming = 3)
         .orderBy("id_a", "id_b")
     },
 
