@@ -99,13 +99,17 @@ object TextPack {
     },
 
     // Multimodal plumbing smoke: text bytes as fake blobs through the
-    // batched decode-stub pipeline (rows-only — mapPartitions stub).
+    // batched decode-stub pipeline, plus the REAL header sniffer (text
+    // bytes classify as 'unknown' format — the corrupt-blob path).
     "q38_multimodal_features" -> { (s, dir) =>
       val media = graft.multimodal.Multimodal.fakeMediaFromText(
         Tables(s, dir).documents, "doc_id", "text")
+      val meta = media.select(col("media_id"),
+        graft.multimodal.Multimodal.imageMeta(col("blob")).as("hdr"))
       graft.multimodal.Multimodal.extractFeatures(media)
+        .join(meta, Seq("media_id"))
         .select(col("media_id"), col("modality"), col("n_bytes"),
-          size(col("features")).as("feature_dim"))
+          size(col("features")).as("feature_dim"), col("hdr.format").as("sniffed"))
         .orderBy("media_id")
     }
   )
