@@ -26,10 +26,21 @@ object Catalog {
 
   val databases: Seq[String] = Seq("ods", "dim", "dwm", "dws")
 
+  // one catalog build per (session, data dir): view DDL is cheap but the
+  // dictionary snapshot is a driver collect + broadcast — don't redo it on
+  // every call (declared queries call register() unconditionally)
+  private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Create the layered databases + action/dim views over `sfDir` and
-    * register `dim.dict_user_dim` for SQL `dictGet`. Idempotent.
+    * register `dim.dict_user_dim` for SQL `dictGet`. Idempotent and
+    * memoized per (session, sfDir); use [[registerForce]] to rebuild
+    * (e.g. after the underlying data changed).
     */
-  def register(spark: SparkSession, sfDir: String): Unit = {
+  def register(spark: SparkSession, sfDir: String): Unit =
+    if (built.add(System.identityHashCode(spark) + "|" + sfDir)) registerForce(spark, sfDir)
+
+  /** Unconditional rebuild of the catalog views + dictionary snapshot. */
+  def registerForce(spark: SparkSession, sfDir: String): Unit = {
     ChCompat.register(spark)
     // events.parquet carries TIMESTAMP(NANOS); read as long, rebuild NTZ
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -94,8 +94,10 @@ object ChCompat {
     f("argMin") { es => MinBy(es(0), es(1)).toAggregateExpression() }
     f("groupArray") { es => CollectList(es.head).toAggregateExpression() }
     f("groupUniqArray") { es => CollectSet(es.head).toAggregateExpression() }
-    // CH any/anyLast: an arbitrary-but-deterministic-per-run first/last value
-    f("any") { es => new First(es.head, true).toAggregateExpression() }
+    // CH anyLast ≙ ignore-null last. CH `any` is deliberately NOT
+    // registered: Spark's built-in `any` is the boolean OR aggregate and
+    // replacing it would silently change standard Spark SQL in the same
+    // session — use Spark's `any_value` (same semantics as CH any).
     f("anyLast") { es => new Last(es.head, true).toAggregateExpression() }
     f("quantileExact") { es => new Percentile(es(0), es(1)) }
     f("quantileTDigest") { es => new ApproximatePercentile(es(0), es(1)) }
@@ -156,9 +158,12 @@ object ChCompat {
     f("medianExactMerge") { es => medianFinalize(medianMerged(es.head)) }
 
     // ---- dictionary lookup (dim.dict_user_dim.sql:24-27) -------------
+    // key is cast to long (dictionary PRIMARY KEY is UInt64); TRY mode
+    // makes uncastable keys act as missing rather than fail the job
     f("dictGet") { es =>
       DictGetExpr(stringLit(es(0), "dictGet dictionary name"),
-        stringLit(es(1), "dictGet attribute name"), es(2))
+        stringLit(es(1), "dictGet attribute name"),
+        Cast(es(2), LongType, None, EvalMode.TRY))
     }
   }
 
@@ -215,9 +220,11 @@ case class HostNameExpr()
   override def dataType: DataType = StringType
   override def nullable: Boolean = false
   override lazy val deterministic: Boolean = false
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+  // resolved once per executor JVM, not per row
+  @transient private lazy val host: org.apache.spark.unsafe.types.UTF8String =
     org.apache.spark.unsafe.types.UTF8String.fromString(
       java.net.InetAddress.getLocalHost.getHostName)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = host
   override def prettyName: String = "hostName"
 }
 

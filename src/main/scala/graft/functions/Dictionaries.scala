@@ -83,6 +83,11 @@ object Dictionaries {
   * captured at ANALYSIS time (dictionary must be registered before the
   * query is parsed) and ships with the serialized plan — executors do a
   * per-row hash-map probe, no shuffle, no join.
+  *
+  * The registered builder wraps the key in `CAST(... AS BIGINT)`, so any
+  * castable key type works and uncastable values behave as missing keys.
+  * Attribute values convert through the standard Catalyst converter, so
+  * date/decimal/etc. attributes surface correctly, not just strings.
   */
 case class DictGetExpr(dictName: String, attr: String, child: Expression)
   extends UnaryExpression with CodegenFallback {
@@ -93,26 +98,27 @@ case class DictGetExpr(dictName: String, attr: String, child: Expression)
       s"(has: ${dict.types.keys.mkString(", ")})")
 
   override def dataType: DataType = dict.types(attr)
-  override def nullable: Boolean = false
 
-  @transient private lazy val default: Any =
+  // never-null when a default exists for the type; types with no CH-style
+  // default (dates, decimals, ...) surface missing keys as NULL
+  override def nullable: Boolean = defaultExternal == null
+
+  @transient private lazy val defaultExternal: Any =
     dict.defaults.getOrElse(attr, Dictionaries.typeDefault(dataType))
 
-  private def toInternal(v: Any): Any = v match {
-    case s: String => UTF8String.fromString(s)
-    case other => other
-  }
+  @transient private lazy val toInternal: Any => Any =
+    org.apache.spark.sql.catalyst.CatalystTypeConverters.createToCatalystConverter(dataType)
 
   override def nullSafeEval(key: Any): Any = {
     val k = key.asInstanceOf[Number].longValue()
     val v = dict.bc.value.get(k).flatMap(row => Option(row.getOrElse(attr, null)))
-    toInternal(v.getOrElse(default))
+    toInternal(v.getOrElse(defaultExternal))
   }
 
-  // a null key behaves like a missing key (CH dictGet never returns null)
+  // a null (or uncastable) key behaves like a missing key
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val key = child.eval(input)
-    if (key == null) toInternal(default) else nullSafeEval(key)
+    if (key == null) toInternal(defaultExternal) else nullSafeEval(key)
   }
 
   override protected def withNewChildInternal(c: Expression): DictGetExpr = copy(child = c)

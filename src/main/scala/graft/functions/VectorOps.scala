@@ -63,16 +63,21 @@ case class MeanVectorAggregate(
     val a = v.asInstanceOf[ArrayData]
     val n = a.numElements()
     val sums = if (b.sums == null) new Array[Double](n) else b.sums
+    // jagged input would silently skew the mean — fail loudly instead
+    require(n == sums.length,
+      s"mean_vector: inconsistent vector dims in one group ($n vs ${sums.length})")
     var i = 0
-    while (i < math.min(n, sums.length)) { sums(i) += a.getFloat(i).toDouble; i += 1 }
+    while (i < n) { sums(i) += a.getFloat(i).toDouble; i += 1 }
     MeanVecBuf(sums, b.count + 1)
   }
 
   override def merge(b: MeanVecBuf, o: MeanVecBuf): MeanVecBuf = {
     if (o.sums == null) return b
     if (b.sums == null) return o
+    require(b.sums.length == o.sums.length,
+      s"mean_vector: inconsistent vector dims across partials (${b.sums.length} vs ${o.sums.length})")
     var i = 0
-    while (i < math.min(b.sums.length, o.sums.length)) { b.sums(i) += o.sums(i); i += 1 }
+    while (i < b.sums.length) { b.sums(i) += o.sums(i); i += 1 }
     MeanVecBuf(b.sums, b.count + o.count)
   }
 

@@ -69,13 +69,17 @@ object MaterializedView {
       sourceTable: String,
       target: StateTable): MaterializedView = {
     val batchView = "graft_mv_batch_" + name.replaceAll("[^A-Za-z0-9_]", "_")
-    require(mvSql.contains(sourceTable),
+    // word-boundary rebinding: don't mangle longer identifiers that merely
+    // contain the source name (ods.action_001_local_ext etc.)
+    val sourcePattern = ("(?<![A-Za-z0-9_.])" +
+      java.util.regex.Pattern.quote(sourceTable) + "(?![A-Za-z0-9_])").r
+    require(sourcePattern.findFirstIn(mvSql).isDefined,
       s"MV SQL does not reference source table '$sourceTable'")
     new MaterializedView(name, { batch =>
       val s = batch.sparkSession
       graft.functions.ChCompat.register(s)
       batch.createOrReplaceTempView(batchView)
-      s.sql(mvSql.replace(sourceTable, batchView))
+      s.sql(sourcePattern.replaceAllIn(mvSql, batchView))
     }, target, preAggregated = true)
   }
 }

@@ -104,12 +104,12 @@ object TextPack {
     "q38_multimodal_features" -> { (s, dir) =>
       val media = graft.multimodal.Multimodal.fakeMediaFromText(
         Tables(s, dir).documents, "doc_id", "text")
-      val meta = media.select(col("media_id"),
-        graft.multimodal.Multimodal.imageMeta(col("blob")).as("hdr"))
+        // sniff before the batched extractor: non-blob columns pass through,
+        // so no second scan or join is needed
+        .withColumn("sniffed", graft.multimodal.Multimodal.imageMeta(col("blob"))("format"))
       graft.multimodal.Multimodal.extractFeatures(media)
-        .join(meta, Seq("media_id"))
         .select(col("media_id"), col("modality"), col("n_bytes"),
-          size(col("features")).as("feature_dim"), col("hdr.format").as("sniffed"))
+          size(col("features")).as("feature_dim"), col("sniffed"))
         .orderBy("media_id")
     }
   )

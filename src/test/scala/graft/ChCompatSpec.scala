@@ -428,9 +428,13 @@ class ChCompatSpec extends SparkSpec {
         |       quantileExact(l_quantity, 0.5) AS q,
         |       percentile(l_quantity, 0.5) AS q2,
         |       quantileTDigest(l_quantity, 0.5) AS qt,
-        |       any(l_returnflag) AS a1,
+        |       any_value(l_returnflag) AS a1,
         |       anyLast(l_returnflag) AS a2
         |FROM li_alias""".stripMargin).collect().head
+    // Spark's boolean `any` must remain the built-in OR aggregate
+    val anyOr = spark.sql(
+      "SELECT any(l_quantity > 0) FROM li_alias").collect().head.getBoolean(0)
+    assert(anyOr)
     assert(r.getLong(0) == r.getLong(1) && r.getLong(2) == r.getLong(3))
     assert(r.getInt(4).toLong == r.getLong(5))
     assert(r.getInt(6).toLong == r.getLong(7))
