@@ -59,6 +59,18 @@ object Streams {
       .select(col(userCol), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("events"))
 
+  /** Streaming exact dedup: keep the first row per key, with state
+    * bounded by the watermark (duplicates are only guaranteed dropped if
+    * they arrive within `watermark` of the original — the bounded-state
+    * version of [[graft.dedup.Dedup.exact]]'s batch semantics).
+    */
+  def dedupWithinWatermark(
+      events: DataFrame, tsCol: String, watermark: String,
+      keyCols: String*): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   final case class FunnelEvent(user_id: Long, ts: Timestamp, event_type: String)
   final case class FunnelProgress(stage: Int, startedAtMs: Long)
   final case class FunnelCompletion(

@@ -56,6 +56,29 @@ class StreamsSpec extends SparkSpec {
     assert(math.abs(hits.head.duration_sec - 65.0) < 1e-9)
   }
 
+  test("streaming dedup drops within-watermark duplicates across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[FunnelEvent]
+    val out = Streams.dedupWithinWatermark(input.toDF(), "ts", "10 minutes", "user_id", "event_type")
+    val q = out.writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      input.addData(
+        FunnelEvent(1L, ts("2024-01-01 10:00:00"), "view"),
+        FunnelEvent(1L, ts("2024-01-01 10:00:05"), "view"),  // dup within batch
+        FunnelEvent(2L, ts("2024-01-01 10:00:10"), "view"))
+      q.processAllAvailable()
+      input.addData(
+        FunnelEvent(1L, ts("2024-01-01 10:01:00"), "view"),  // dup across batches
+        FunnelEvent(1L, ts("2024-01-01 10:01:00"), "click")) // new key
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").as[FunnelEvent].collect()
+        .map(e => (e.user_id, e.event_type)).sorted.toSeq
+      assert(got == Seq((1L, "click"), (1L, "view"), (2L, "view")))
+    } finally q.stop()
+  }
+
   test("funnel state carries across micro-batches (flatMapGroupsWithState)") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
