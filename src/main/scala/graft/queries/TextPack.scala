@@ -91,10 +91,12 @@ object TextPack {
     },
 
     // Language ID heuristic (rows-only; sanity-checked in TextSpec).
+    // Language ID: stopword-vote argmax, exactly mirrored by the DuckDB
+    // oracle (list lambdas for token hits, replace-count for zh chars,
+    // CASE cascade reproducing greatest-struct tie-breaking).
     "q37_langid" -> { (s, dir) =>
       Tables(s, dir).documents
-        .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"),
-          TextFunctions.qualityScore(col("text")).as("quality"))
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")
     },
 
@@ -139,6 +141,41 @@ object TextPack {
         |   lower(x)))) AS stopword_cnt,
         | CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q37_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, x -> list_contains(
+        |      ['the','and','of','to','in','is','that','it','was','for'], x))) AS h_en,
+        |    len(list_filter(toks, x -> list_contains(
+        |      ['der','die','das','und','ist','nicht','ein','mit','auf','für'], x))) AS h_de,
+        |    len(list_filter(toks, x -> list_contains(
+        |      ['el','la','los','las','es','y','que','en','un','una'], x))) AS h_es,
+        |    len(list_filter(toks, x -> list_contains(
+        |      ['le','la','les','et','est','que','un','une','dans','pour'], x))) AS h_fr,
+        |    (length(text) - length(replace(text, '的', ''))) +
+        |    (length(text) - length(replace(text, '是', ''))) +
+        |    (length(text) - length(replace(text, '了', ''))) +
+        |    (length(text) - length(replace(text, '在', ''))) +
+        |    (length(text) - length(replace(text, '我', ''))) +
+        |    (length(text) - length(replace(text, '有', ''))) +
+        |    (length(text) - length(replace(text, '和', ''))) +
+        |    (length(text) - length(replace(text, '不', ''))) +
+        |    (length(text) - length(replace(text, '这', ''))) +
+        |    (length(text) - length(replace(text, '他', ''))) AS h_zh
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(h_en, h_de, h_es, h_fr, h_zh) = 0 THEN 'und'
+        |       WHEN h_zh = greatest(h_en, h_de, h_es, h_fr, h_zh) THEN 'zh'
+        |       WHEN h_fr = greatest(h_en, h_de, h_es, h_fr) THEN 'fr'
+        |       WHEN h_es = greatest(h_en, h_de, h_es) THEN 'es'
+        |       WHEN h_en = greatest(h_en, h_de) THEN 'en'
+        |       ELSE 'de' END AS lang_pred
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     "q33_fingerprint" ->
       """WITH tok AS (
