@@ -142,6 +142,16 @@ object TextPack {
         | CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio
         |FROM t ORDER BY doc_id""".stripMargin,
 
+    // gates the multimodal PLUMBING outputs (batch shape, byte counts,
+    // sniffed format); the stub feature values themselves are not compared
+    "q38_multimodal_features" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        | 'image' AS modality,
+        | CAST(strlen(text) AS BIGINT) AS n_bytes,
+        | CAST(16 AS INT) AS feature_dim,
+        | 'unknown' AS sniffed
+        |FROM documents ORDER BY media_id""".stripMargin,
+
     "q37_langid" ->
       """WITH t AS (
         |  SELECT doc_id, text,
