@@ -26,18 +26,21 @@ object Catalog {
 
   val databases: Seq[String] = Seq("ods", "dim", "dwm", "dws")
 
-  // one catalog build per (session, data dir): view DDL is cheap but the
+  // memoize the session's CURRENT data dir: view DDL is cheap but the
   // dictionary snapshot is a driver collect + broadcast — don't redo it on
-  // every call (declared queries call register() unconditionally)
-  private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // every call (declared queries call register() unconditionally). The view
+  // names are global, so switching dirs must rebuild, and switching back
+  // must rebuild again — hence current-dir tracking, not a seen-set.
+  private val current = new java.util.concurrent.ConcurrentHashMap[Int, String]()
 
   /** Create the layered databases + action/dim views over `sfDir` and
-    * register `dim.dict_user_dim` for SQL `dictGet`. Idempotent and
-    * memoized per (session, sfDir); use [[registerForce]] to rebuild
-    * (e.g. after the underlying data changed).
+    * register `dim.dict_user_dim` for SQL `dictGet`. Idempotent per
+    * (session, current sfDir); use [[registerForce]] to rebuild in place
+    * (e.g. after the underlying data changed — the LIFETIME refresh).
     */
   def register(spark: SparkSession, sfDir: String): Unit =
-    if (built.add(System.identityHashCode(spark) + "|" + sfDir)) registerForce(spark, sfDir)
+    if (current.put(System.identityHashCode(spark), sfDir) != sfDir)
+      registerForce(spark, sfDir)
 
   /** Unconditional rebuild of the catalog views + dictionary snapshot. */
   def registerForce(spark: SparkSession, sfDir: String): Unit = {
