@@ -39,7 +39,7 @@ object Catalog {
     * (e.g. after the underlying data changed — the LIFETIME refresh).
     */
   def register(spark: SparkSession, sfDir: String): Unit =
-    if (current.put(System.identityHashCode(spark), sfDir) != sfDir)
+    if (current.get(System.identityHashCode(spark)) != sfDir)
       registerForce(spark, sfDir)
 
   /** Unconditional rebuild of the catalog views + dictionary snapshot. */
@@ -116,6 +116,9 @@ object Catalog {
 
     Dictionaries.register(spark, "dim.dict_user_dim", spark.table("dim.dict_user_dim"),
       keyCol = "uid", defaults = Map("age" -> (-1).toShort))
+    // memoize only after the whole build (incl. the dictionary collect)
+    // succeeded — a failed build must not suppress the retry
+    current.put(System.identityHashCode(spark), sfDir)
   }
 
   /** Register a written state table (e.g. an MV target the test just

@@ -48,7 +48,8 @@ object TextPack {
         .select(col("doc_id"),
           f.getField("n_tokens").as("n_tokens"),
           f.getField("stopword_cnt").as("stopword_cnt"),
-          f.getField("uniq_ratio").as("uniq_ratio"))
+          f.getField("uniq_ratio").as("uniq_ratio"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")
     },
 
@@ -139,17 +140,35 @@ object TextPack {
         | len(list_filter(toks, x -> list_contains(
         |   ['the','a','an','of','to','in','and','or','is','are','was','for','on','with','as','at','by','it','this','that'],
         |   lower(x)))) AS stopword_cnt,
-        | CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio
+        | CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio,
+        | -- all-DOUBLE arithmetic in Spark's evaluation order, so the sum's
+        | -- floating-point bits match exactly (decimal literals would not)
+        | (CASE WHEN len(toks) BETWEEN 5 AND 10000
+        |       THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.4 AS DOUBLE)
+        | + (CASE WHEN CAST(len(list_filter(toks, x -> list_contains(
+        |     ['the','a','an','of','to','in','and','or','is','are','was','for','on','with','as','at','by','it','this','that'],
+        |     lower(x)))) AS DOUBLE) / len(toks) > 0.01
+        |       THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.2 AS DOUBLE)
+        | + (CASE WHEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.2
+        |       THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.2 AS DOUBLE)
+        | + (CASE WHEN CAST(length(text) AS DOUBLE) / len(toks) BETWEEN 2.0 AND 12.0
+        |       THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.2 AS DOUBLE)
+        |   AS quality
         |FROM t ORDER BY doc_id""".stripMargin,
 
     // gates the multimodal PLUMBING outputs (batch shape, byte counts,
-    // sniffed format); the stub feature values themselves are not compared
+    // sniffed format); the stub feature values themselves are not compared.
+    // The sniff CASE mirrors ImageMetaExpr for the prefixes text CAN carry
+    // (ASCII 'GIF8'/'BM'; PNG's 0x89 and JPEG's 0xFF are not valid UTF-8
+    // lead bytes, so text never sniffs as those).
     "q38_multimodal_features" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
         | 'image' AS modality,
         | CAST(strlen(text) AS BIGINT) AS n_bytes,
         | CAST(16 AS INT) AS feature_dim,
-        | 'unknown' AS sniffed
+        | CASE WHEN text LIKE 'GIF8%' AND strlen(text) >= 10 THEN 'gif'
+        |      WHEN text LIKE 'BM%' AND strlen(text) >= 26 THEN 'bmp'
+        |      ELSE 'unknown' END AS sniffed
         |FROM documents ORDER BY media_id""".stripMargin,
 
     "q37_langid" ->
@@ -158,7 +177,7 @@ object TextPack {
         |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
         |  FROM documents),
         |h AS (
-        |  SELECT doc_id,
+        |  SELECT doc_id, text,
         |    len(list_filter(toks, x -> list_contains(
         |      ['the','and','of','to','in','is','that','it','was','for'], x))) AS h_en,
         |    len(list_filter(toks, x -> list_contains(
@@ -179,7 +198,8 @@ object TextPack {
         |    (length(text) - length(replace(text, '他', ''))) AS h_zh
         |  FROM t)
         |SELECT doc_id,
-        |  CASE WHEN greatest(h_en, h_de, h_es, h_fr, h_zh) = 0 THEN 'und'
+        |  CASE WHEN text IS NULL THEN 'und'
+        |       WHEN greatest(h_en, h_de, h_es, h_fr, h_zh) = 0 THEN 'und'
         |       WHEN h_zh = greatest(h_en, h_de, h_es, h_fr, h_zh) THEN 'zh'
         |       WHEN h_fr = greatest(h_en, h_de, h_es, h_fr) THEN 'fr'
         |       WHEN h_es = greatest(h_en, h_de, h_es) THEN 'es'

@@ -66,10 +66,10 @@ object Streams {
     */
   def dedupWithinWatermark(
       events: DataFrame, tsCol: String, watermark: String,
-      keyCols: String*): DataFrame =
+      firstKeyCol: String, restKeyCols: String*): DataFrame =
     events
       .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+      .dropDuplicatesWithinWatermark(firstKeyCol, restKeyCols: _*)
 
   final case class FunnelEvent(user_id: Long, ts: Timestamp, event_type: String)
   final case class FunnelProgress(stage: Int, startedAtMs: Long)
