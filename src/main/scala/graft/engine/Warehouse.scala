@@ -53,4 +53,26 @@ object Warehouse {
     */
   def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** Bucketed managed table: pre-shuffle the data ONCE at write time so
+    * every later join/aggregation on `bucketCols` is exchange-free — the
+    * co-located-join lever for fact⋈fact joins whose dims are too big to
+    * broadcast (SCALE.md §5). Sorted within buckets, sort-merge join also
+    * skips its sort. The 100 TB pattern: land hot fact tables bucketed by
+    * their dominant join key; repeated pipeline stages then read
+    * shuffle-free forever.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      numBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    val sorted = if (sortCols.isEmpty) bucketCols else sortCols
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(sorted.head, sorted.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+  }
 }

@@ -61,6 +61,39 @@ class WarehouseSpec extends SparkSpec {
     assert(got == Set(("2024-01-01", 1L), ("2024-01-02", 20L)))
   }
 
+  test("bucketed tables join and aggregate with zero exchanges") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    // managed tables land in the session's default warehouse dir; DROP
+    // TABLE below deletes their data (managed-table semantics)
+    Warehouse.writeBucketed(t.lineitem, "bk_lineitem", Seq("l_orderkey"), 4)
+    Warehouse.writeBucketed(t.orders, "bk_orders", Seq("o_orderkey"), 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      val joined = spark.table("bk_lineitem")
+        .join(spark.table("bk_orders"),
+          org.apache.spark.sql.functions.col("l_orderkey") ===
+            org.apache.spark.sql.functions.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("cnt"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join + same-key agg must be exchange-free:\n$plan")
+      // and it computes the right thing
+      val viaBuckets = joined.agg(
+        org.apache.spark.sql.functions.sum("cnt")).collect().head.getLong(0)
+      val direct = t.lineitem.join(t.orders,
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey")).count()
+      assert(viaBuckets == direct)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bk_lineitem")
+      spark.sql("DROP TABLE IF EXISTS bk_orders")
+    }
+  }
+
   test("reconciliation invariant: repartition (rebalance analog) preserves counts and sums") {
     val df = spark.range(0, 10000)
       .select(col("id"), (col("id") % 7).as("k"), (col("id") * 3).as("v"))
