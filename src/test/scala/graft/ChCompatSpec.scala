@@ -325,6 +325,36 @@ class ChCompatSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"dictGet must not plan a join:\n$plan")
   }
 
+  test("dictGet handles non-string attribute types and odd keys") {
+    import spark.implicits._
+    ChCompat.register(spark)
+    val dim = Seq((1L, java.sql.Date.valueOf("2024-03-01"), BigDecimal("12.50"), 3.5))
+      .toDF("k", "d", "m", "x")
+      .select(col("k"), col("d"), col("m").cast("decimal(18,2)").as("m"), col("x"))
+    graft.functions.Dictionaries.register(spark, "dim.typed_test", dim, keyCol = "k")
+    val hit = spark.sql(
+      """SELECT dictGet('dim.typed_test', 'd', toUInt64(1)) AS d,
+        |       dictGet('dim.typed_test', 'm', toUInt64(1)) AS m,
+        |       dictGet('dim.typed_test', 'x', toUInt64(1)) AS x""".stripMargin)
+      .collect().head
+    assert(hit.getDate(0) == java.sql.Date.valueOf("2024-03-01"))
+    assert(hit.getDecimal(1) == new java.math.BigDecimal("12.50"))
+    assert(hit.getDouble(2) == 3.5)
+    // missing key: date/decimal have no CH-style default -> NULL; double -> 0
+    val miss = spark.sql(
+      """SELECT dictGet('dim.typed_test', 'd', toUInt64(99)) AS d,
+        |       dictGet('dim.typed_test', 'm', toUInt64(99)) AS m,
+        |       dictGet('dim.typed_test', 'x', toUInt64(99)) AS x""".stripMargin)
+      .collect().head
+    assert(miss.isNullAt(0) && miss.isNullAt(1))
+    assert(miss.getDouble(2) == 0.0)
+    // uncastable key behaves as missing instead of failing the job
+    val weird = spark.sql(
+      "SELECT dictGet('dim.typed_test', 'x', 'not-a-number') AS x").collect().head
+    assert(weird.getDouble(0) == 0.0)
+    graft.functions.Dictionaries.drop("dim.typed_test")
+  }
+
   test("re-registering a dictionary swaps the snapshot (LIFETIME refresh)") {
     import spark.implicits._
     ChCompat.register(spark)
