@@ -56,6 +56,21 @@ class AnnSpec extends SparkSpec {
     assert(a1 == a2)
   }
 
+  test("IVF index round-trips through list_id-partitioned parquet") {
+    val cents = Ann.pickCentroids(emb, "vec_id", "embedding", 8)
+    val ix = Ann.ivfIndex(emb, "vec_id", "embedding", cents)
+    val dir = tmpDir("ivf-ix") + "/ix"
+    // the persisted form: one directory per inverted list, prunable
+    ix.write.partitionBy("list_id").parquet(dir)
+    val back = spark.read.parquet(dir)
+    val probes = emb.filter(col("vec_id").isin(0, 1, 2))
+    def run(index: org.apache.spark.sql.DataFrame) =
+      Ann.ivfTopK(index, cents, probes, "vec_id", "embedding", 5, nprobe = 4)
+        .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("neighbor_id"))).sorted.toSeq
+    assert(run(back) == run(ix), "persisted index answers identically")
+  }
+
   test("Lloyd refinement tightens clusters and keeps IVF recall") {
     import graft.functions.VectorOps
     VectorOps.register(spark)
