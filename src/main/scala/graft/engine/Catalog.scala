@@ -31,7 +31,11 @@ object Catalog {
   // every call (declared queries call register() unconditionally). The view
   // names are global, so switching dirs must rebuild, and switching back
   // must rebuild again — hence current-dir tracking, not a seen-set.
-  private val current = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+  // Weak keys: a dead session's entry can never alias a new session (an
+  // identity-hash key could, after GC), and entries don't accumulate.
+  private val current =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
 
   /** Create the layered databases + action/dim views over `sfDir` and
     * register `dim.dict_user_dim` for SQL `dictGet`. Idempotent per
@@ -39,7 +43,7 @@ object Catalog {
     * (e.g. after the underlying data changed — the LIFETIME refresh).
     */
   def register(spark: SparkSession, sfDir: String): Unit =
-    if (current.get(System.identityHashCode(spark)) != sfDir)
+    if (current.get(spark) != sfDir)
       registerForce(spark, sfDir)
 
   /** Unconditional rebuild of the catalog views + dictionary snapshot. */
@@ -118,7 +122,7 @@ object Catalog {
       keyCol = "uid", defaults = Map("age" -> (-1).toShort))
     // memoize only after the whole build (incl. the dictionary collect)
     // succeeded — a failed build must not suppress the retry
-    current.put(System.identityHashCode(spark), sfDir)
+    current.put(spark, sfDir)
   }
 
   /** Register a written state table (e.g. an MV target the test just

@@ -57,10 +57,11 @@ object Warehouse {
   /** Bucketed managed table: pre-shuffle the data ONCE at write time so
     * every later join/aggregation on `bucketCols` is exchange-free — the
     * co-located-join lever for fact⋈fact joins whose dims are too big to
-    * broadcast (SCALE.md §5). Sorted within buckets, sort-merge join also
-    * skips its sort. The 100 TB pattern: land hot fact tables bucketed by
-    * their dominant join key; repeated pipeline stages then read
-    * shuffle-free forever.
+    * broadcast (SCALE.md §5). The in-bucket sort buys parquet row-group
+    * clustering/stats, NOT sort-merge-join sort elision (Spark ignores
+    * bucket sort order at read since SPARK-28595). The 100 TB pattern:
+    * land hot fact tables bucketed by their dominant join key; repeated
+    * pipeline stages then read shuffle-free forever.
     */
   def writeBucketed(
       df: DataFrame,
@@ -68,6 +69,7 @@ object Warehouse {
       bucketCols: Seq[String],
       numBuckets: Int,
       sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty, "writeBucketed needs at least one bucket column")
     val sorted = if (sortCols.isEmpty) bucketCols else sortCols
     df.write.mode("overwrite")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)

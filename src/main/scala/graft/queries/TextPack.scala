@@ -43,13 +43,16 @@ object TextPack {
     // Quality features: stopword hits, punctuation, ratios (single double
     // division — deterministic both sides).
     "q32_quality" -> { (s, dir) =>
-      val f = TextFunctions.qualityFeatures(col("text"))
-      Tables(s, dir).documents
-        .select(col("doc_id"),
+      // materialize tokens once; each projected feature then works on the
+      // array, not its own re-tokenization (interpreted lambdas, no CSE)
+      val base = Tables(s, dir).documents
+        .select(col("doc_id"), col("text"), TextFunctions.tokens(col("text")).as("toks"))
+      val f = TextFunctions.qualityFeaturesFromTokens(col("toks"), col("text"))
+      base.select(col("doc_id"),
           f.getField("n_tokens").as("n_tokens"),
           f.getField("stopword_cnt").as("stopword_cnt"),
           f.getField("uniq_ratio").as("uniq_ratio"),
-          TextFunctions.qualityScore(col("text")).as("quality"))
+          TextFunctions.qualityScoreFromTokens(col("toks"), col("text")).as("quality"))
         .orderBy("doc_id")
     },
 

@@ -58,8 +58,17 @@ object TextFunctions {
   /** Per-document quality features as a struct column. All counts are exact
     * integers; ratios are single double divisions (deterministic).
     */
-  def qualityFeatures(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
-    val toks = tokens(text)
+  def qualityFeatures(text: Column, stopwords: Seq[String] = defaultStopwords): Column =
+    qualityFeaturesFromTokens(tokens(text), text, stopwords)
+
+  /** As [[qualityFeatures]], from a MATERIALIZED token-array column —
+    * prefer this in pipelines that project several features: the lambda
+    * subtrees are interpreted (no CSE), so an inline `tokens(text)` would
+    * re-split once per projected expression (see [[shingles]]' note).
+    */
+  def qualityFeaturesFromTokens(
+      toks: Column, text: Column,
+      stopwords: Seq[String] = defaultStopwords): Column = {
     val nTok = size(toks)
     val nChar = length(text)
     val stopArr = array(stopwords.map(lit): _*)
@@ -83,8 +92,12 @@ object TextFunctions {
     * pretraining corpora: enough tokens, sane word length, some stopwords,
     * not too repetitive. Weights are arbitrary but fixed; deterministic.
     */
-  def qualityScore(text: Column): Column = {
-    val f = qualityFeatures(text)
+  def qualityScore(text: Column): Column =
+    qualityScoreFromTokens(tokens(text), text)
+
+  /** As [[qualityScore]], from a materialized token-array column. */
+  def qualityScoreFromTokens(toks: Column, text: Column): Column = {
+    val f = qualityFeaturesFromTokens(toks, text)
     val lenOk = when(f("n_tokens").between(5, 10000), 1.0).otherwise(0.0)
     val stopOk = when(f("stopword_ratio") > 0.01, 1.0).otherwise(0.0)
     val repeatOk = when(f("uniq_ratio") > 0.2, 1.0).otherwise(0.0)
