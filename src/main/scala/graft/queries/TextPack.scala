@@ -29,13 +29,16 @@ object TextPack {
         .orderBy("lang", "source")
     },
 
-    // Per-doc token/char stats (token counting over whitespace).
+    // Per-doc token/char stats (token counting over whitespace);
+    // tokens materialized once, both stats derive from the array.
     "q31_doc_stats" -> { (s, dir) =>
       Tables(s, dir).documents
+        .select(col("doc_id"), col("text"), col("n_chars"),
+          TextFunctions.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
           length(col("text")).as("text_len"),
-          TextFunctions.tokenCount(col("text")).as("n_tokens"),
-          size(array_distinct(TextFunctions.tokens(col("text")))).as("uniq_tokens"),
+          size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("uniq_tokens"),
           col("n_chars"))
         .orderBy("doc_id")
     },
