@@ -55,21 +55,34 @@ final class StateTable(
     batch.groupBy(keys.map(col): _*).agg(stateCols.head, stateCols.tail: _*)
 
   /** Append pre-aggregated state rows for one batch. */
-  def append(states: DataFrame): Unit =
+  def append(states: DataFrame): Unit = {
     states
       .sortWithinPartitions(keys.map(col): _*)
       .write.mode("append").partitionBy(partitionCol).parquet(path)
+    cachedSchema = None // new parts may widen the union schema
+  }
 
   /** Aggregate + append a raw batch (insert-trigger semantics). */
   def appendBatch(batch: DataFrame): Unit = append(toStates(batch))
 
-  /** Raw state rows as stored (pre-merge). mergeSchema unions the schemas
-    * of parts written before and after an ALTER-style widening (the
-    * reference's `add column if not exists` flow, ref
-    * dwm.mainpage_stat_mv_dis.sql:78-96, 157-182): parts that predate a
-    * metric surface it as NULL, which every merge treats as identity.
+  // merged part schema, computed once per (instance, table state): the
+  // footer-listing merge job is paid on the first read after open/append,
+  // not on every merge-on-read
+  @volatile private var cachedSchema: Option[org.apache.spark.sql.types.StructType] = None
+
+  /** Raw state rows as stored (pre-merge). Part schemas are unioned so an
+    * ALTER-style widening works on live tables (the reference's
+    * `add column if not exists` flow, ref dwm.mainpage_stat_mv_dis.sql:78-96,
+    * 157-182): parts that predate a metric surface it as NULL, which every
+    * merge treats as identity.
     */
-  def read(): DataFrame = spark.read.option("mergeSchema", "true").parquet(path)
+  def read(): DataFrame = cachedSchema match {
+    case Some(schema) => spark.read.schema(schema).parquet(path)
+    case None =>
+      val df = spark.read.option("mergeSchema", "true").parquet(path)
+      cachedSchema = Some(df.schema)
+      df
+  }
 
   /** Merge-on-read at the given (possibly coarser) keys; metric columns
     * remain states (binary sketches / arrays / partial sums).
@@ -105,6 +118,7 @@ final class StateTable(
     if (!fs.rename(p, o)) sys.error(s"compact: failed to stage $path -> $old")
     if (!fs.rename(t, p)) { fs.rename(o, p); sys.error(s"compact: failed to swap $tmp -> $path") }
     fs.delete(o, true)
+    cachedSchema = None
   }
 
   private def fileSystem(): FileSystem =
