@@ -1,0 +1,34 @@
+package graft
+
+/** Wiring guard for the driver contract: every declared query must
+  * analyze (resolve + plan) against the smallest testdata, and every
+  * oracle key must name a declared query. Catches pack/SparkEntry
+  * breakage inside `sbt test` without waiting for the full Verify gate.
+  */
+class QueriesSpec extends SparkSpec {
+
+  test("every declared query analyzes at sf0.001") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
+      try {
+        val df = q(spark, "/root/testdata/sf0.001")
+        df.queryExecution.optimizedPlan // force analysis + optimization
+        if (df.schema.isEmpty) Some(s"$name: empty schema") else None
+      } catch { case e: Exception => Some(s"$name: ${e.getMessage.take(200)}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("every oracle entry names a declared query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("the declared ledger shape holds: 50 queries, 45 oracle-backed") {
+    assert(SparkEntry.queries.size == 50)
+    assert(SparkEntry.oracleSql.size == 45)
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("q35_minhash_neardup", "q36_simhash_neardup",
+      "q42_knn_lsh", "q43_cosine_neardup", "q44_knn_ivf"),
+      s"rows-only set changed: $rowsOnly — update COVERAGE.md's ledger")
+  }
+}
