@@ -157,6 +157,21 @@ object ChCompat {
     f("medianExactMergeState") { es => medianMerged(es.head) }
     f("medianExactMerge") { es => medianFinalize(medianMerged(es.head)) }
 
+    // ---- table functions ---------------------------------------------
+    // numbers(N) — CH's generated source (doc:565-597 sizing experiments;
+    // SURVEY §2.1 S8); output column is `number` like CH, not range()'s id
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "numbers", { es: Seq[Expression] =>
+        val n = es.head match {
+          case Literal(v, _) if v != null => v.toString.toLong
+          case other => throw new IllegalArgumentException(
+            s"numbers(N) needs an integer literal, got: ${other.sql}")
+        }
+        val range = org.apache.spark.sql.catalyst.plans.logical.Range(0L, n, 1L, None)
+        org.apache.spark.sql.catalyst.plans.logical.Project(
+          Seq(Alias(range.output.head, "number")()), range)
+      }, "built-in")
+
     // ---- dictionary lookup (dim.dict_user_dim.sql:24-27) -------------
     // key is cast to long (dictionary PRIMARY KEY is UInt64); TRY mode
     // makes uncastable keys act as missing rather than fail the job

@@ -479,6 +479,16 @@ class ChCompatSpec extends SparkSpec {
     assert(s.getString(1) == "BIGINT")
   }
 
+  test("numbers(N) table function generates like CH (doc:565-597)") {
+    ChCompat.register(spark)
+    val r = spark.sql(
+      "SELECT count(1) AS c, sum(number) AS s, min(number) AS mn FROM numbers(1000)")
+      .collect().head
+    assert(r.getLong(0) == 1000L)
+    assert(r.getLong(1) == 499500L)
+    assert(r.getLong(2) == 0L)
+  }
+
   test("toUInt32 wraps mod 2^32; interval/now/today scalars evaluate") {
     ChCompat.register(spark)
     val r = spark.sql(
