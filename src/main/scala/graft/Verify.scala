@@ -11,9 +11,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // bitmap/HLL/top-k states are compact objects: keep their partial
-      // aggregation hash-based instead of the 128-group sort fallback
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      // NOTE: deliberately NOT raising the objectHashAggregate sort-fallback
+      // threshold here (Bench does): the gate should exercise the default-
+      // config sort-based path of the state aggregates too
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

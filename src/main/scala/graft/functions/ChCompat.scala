@@ -158,16 +158,25 @@ object ChCompat {
     f("medianExactMerge") { es => medianFinalize(medianMerged(es.head)) }
 
     // ---- table functions ---------------------------------------------
-    // numbers(N) — CH's generated source (doc:565-597 sizing experiments;
-    // SURVEY §2.1 S8); output column is `number` like CH, not range()'s id
+    // numbers(N) / numbers(offset, N) — CH's generated source (doc:565-597
+    // sizing experiments; SURVEY §2.1 S8); output column is `number` like
+    // CH, not range()'s id
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       "numbers", { es: Seq[Expression] =>
-        val n = es.head match {
-          case Literal(v, _) if v != null => v.toString.toLong
+        def intLit(e: Expression, what: String): Long = e match {
+          case Literal(v: Number, ByteType | ShortType | IntegerType | LongType) =>
+            v.longValue()
           case other => throw new IllegalArgumentException(
-            s"numbers(N) needs an integer literal, got: ${other.sql}")
+            s"numbers: $what must be an integer literal, got: ${other.sql}")
         }
-        val range = org.apache.spark.sql.catalyst.plans.logical.Range(0L, n, 1L, None)
+        val (start, count) = es match {
+          case Seq(n) => (0L, intLit(n, "N"))
+          case Seq(off, n) => (intLit(off, "offset"), intLit(n, "N"))
+          case _ => throw new IllegalArgumentException(
+            s"numbers takes 1 or 2 arguments, got ${es.length}")
+        }
+        val range = org.apache.spark.sql.catalyst.plans.logical.Range(
+          start, start + count, 1L, None)
         org.apache.spark.sql.catalyst.plans.logical.Project(
           Seq(Alias(range.output.head, "number")()), range)
       }, "built-in")

@@ -67,8 +67,15 @@ final class StateTable(
 
   // merged part schema, computed once per (instance, table state): the
   // footer-listing merge job is paid on the first read after open/append,
-  // not on every merge-on-read
+  // not on every merge-on-read. The cache tracks THIS instance's writes
+  // only — a reader instance that must observe another writer's ALTER
+  // widening calls [[refresh]] (same contract as re-opening).
   @volatile private var cachedSchema: Option[org.apache.spark.sql.types.StructType] = None
+
+  /** Drop the cached part-schema union so the next read re-merges part
+    * footers — call after another process/instance widened the table.
+    */
+  def refresh(): Unit = cachedSchema = None
 
   /** Raw state rows as stored (pre-merge). Part schemas are unioned so an
     * ALTER-style widening works on live tables (the reference's

@@ -487,6 +487,15 @@ class ChCompatSpec extends SparkSpec {
     assert(r.getLong(0) == 1000L)
     assert(r.getLong(1) == 499500L)
     assert(r.getLong(2) == 0L)
+    // CH's offset form: numbers(10, 5) = rows 10..14
+    val o = spark.sql(
+      "SELECT min(number) AS mn, max(number) AS mx, count(1) AS c FROM numbers(10, 5)")
+      .collect().head
+    assert((o.getLong(0), o.getLong(1), o.getLong(2)) == ((10L, 14L, 5L)))
+    // malformed forms fail with the intended message, not a raw cast error
+    val e = intercept[Exception] { spark.sql("SELECT * FROM numbers(1.5)").collect() }
+    assert(e.getMessage.contains("integer literal") ||
+      Option(e.getCause).exists(_.getMessage.contains("integer literal")))
   }
 
   test("toUInt32 wraps mod 2^32; interval/now/today scalars evaluate") {
