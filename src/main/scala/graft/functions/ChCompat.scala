@@ -234,6 +234,25 @@ object ChCompat {
     case other => throw new IllegalArgumentException(
       s"$what must be a string literal, got: ${other.sql}")
   }
+
+  /** CH's `LIMIT n BY group` clause (first n rows per group in the given
+    * order) as a DataFrame transform — Spark's parser has no LIMIT BY, so
+    * this is the API-level equivalent: row_number over (by, order), keep
+    * rn <= n. Same distributed shape as CH's implementation: one shuffle
+    * on the BY key, each group reduced in its own task — the operator is
+    * only scale-safe when the BY key is high-cardinality (per-customer,
+    * per-document…), exactly as in CH. Callers must include a total
+    * tie-break in `order` for deterministic output.
+    */
+  def limitBy(df: org.apache.spark.sql.DataFrame, n: Int,
+      by: Seq[org.apache.spark.sql.Column],
+      order: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    df.withColumn("__rn", row_number().over(Window.partitionBy(by: _*).orderBy(order: _*)))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
 }
 
 /** hostName() — the executing host, evaluated executor-side per partition

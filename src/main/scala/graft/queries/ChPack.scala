@@ -55,6 +55,20 @@ object ChPack {
           |ORDER BY day, platform""".stripMargin)
     },
 
+    // CH `LIMIT n BY group` (top-2 orders per customer by price): the
+    // dialect clause Spark's parser lacks, via ChCompat.limitBy. BY key is
+    // o_custkey (high-cardinality) — the scale-safe shape; deterministic
+    // tie-break on o_orderkey.
+    "q26_limit_by" -> { (s, dir) =>
+      val o = Tables(s, dir).orders
+      ChCompat.limitBy(
+          o.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+          n = 2,
+          by = Seq(col("o_custkey")),
+          order = Seq(col("o_totalprice").desc, col("o_orderkey")))
+        .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+    },
+
     // SQL dictGet enrichment (ref dim.dict_user_dim.sql:24-27): broadcast
     // point-lookup, no shuffle of the fact side beyond the aggregation.
     "q24_dictget_sql" -> { (s, dir) =>
@@ -92,6 +106,13 @@ object ChPack {
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         | COUNT(*) AS cnt
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q26_limit_by" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM orders
+        |QUALIFY ROW_NUMBER() OVER (
+        |  PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 2
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
 
     "q24_dictget_sql" ->
       """SELECT n.n_name AS nation,

@@ -107,6 +107,37 @@ object TextPack {
         .orderBy("doc_id")
     },
 
+    // End-to-end corpus-cleaning pipeline — the composition a training-data
+    // run actually executes: score (language ID + quality + token count) →
+    // gate (quality ≥ 0.6, ≥ 5 tokens, identified language) → exact-dedup
+    // (keep lowest doc_id per identical text) → dataset-card stats per
+    // predicted language. One scan, one dedup shuffle (by text — identical
+    // payloads co-locate), one small aggregation; every stage is the
+    // declared-and-gated form of an operator proven alone (q37/q32/q30).
+    "q39_corpus_pipeline" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val scored = Tables(s, dir).documents
+        .select(col("doc_id"), col("lang"), col("text"),
+          TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("lang"), col("text"),
+          TextFunctions.langId(col("text")).as("lang_pred"),
+          size(col("toks")).as("n_tokens"),
+          TextFunctions.qualityScoreFromTokens(col("toks"), col("text")).as("quality"))
+      val kept = scored.filter(
+        col("quality") >= lit(0.6) && col("n_tokens") >= 5 && col("lang_pred") =!= "und")
+      val deduped = kept
+        .withColumn("rn",
+          row_number().over(Window.partitionBy(col("text")).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+      // label × prediction card: surfaces the langid confusion structure of
+      // the kept corpus, not just its size
+      deduped.groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("kept_docs"),
+          sum(col("n_tokens").cast(LongType)).as("total_tokens"),
+          sum(col("quality").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_quality"))
+        .orderBy("lang", "lang_pred")
+    },
+
     // Multimodal plumbing smoke: text bytes as fake blobs through the
     // batched decode-stub pipeline, plus the REAL header sniffer (text
     // bytes classify as 'unknown' format — the corrupt-blob path).
@@ -176,6 +207,68 @@ object TextPack {
         |      WHEN text LIKE 'BM%' AND strlen(text) >= 26 THEN 'bmp'
         |      ELSE 'unknown' END AS sniffed
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // Composes the proven q37 (langid) + q32 (quality) fragments verbatim,
+    // then the q30-style dedup as a QUALIFY, then decimal-exact card stats.
+    "q39_corpus_pipeline" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ltoks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, lang, text, toks,
+        |    len(list_filter(ltoks, x -> list_contains(
+        |      ['the','and','of','to','in','is','that','it','was','for'], x))) AS h_en,
+        |    len(list_filter(ltoks, x -> list_contains(
+        |      ['der','die','das','und','ist','nicht','ein','mit','auf','für'], x))) AS h_de,
+        |    len(list_filter(ltoks, x -> list_contains(
+        |      ['el','la','los','las','es','y','que','en','un','una'], x))) AS h_es,
+        |    len(list_filter(ltoks, x -> list_contains(
+        |      ['le','la','les','et','est','que','un','une','dans','pour'], x))) AS h_fr,
+        |    (length(text) - length(replace(text, '的', ''))) +
+        |    (length(text) - length(replace(text, '是', ''))) +
+        |    (length(text) - length(replace(text, '了', ''))) +
+        |    (length(text) - length(replace(text, '在', ''))) +
+        |    (length(text) - length(replace(text, '我', ''))) +
+        |    (length(text) - length(replace(text, '有', ''))) +
+        |    (length(text) - length(replace(text, '和', ''))) +
+        |    (length(text) - length(replace(text, '不', ''))) +
+        |    (length(text) - length(replace(text, '这', ''))) +
+        |    (length(text) - length(replace(text, '他', ''))) AS h_zh
+        |  FROM t),
+        |scored AS (
+        |  SELECT doc_id, lang, text,
+        |    CASE WHEN text IS NULL THEN 'und'
+        |         WHEN greatest(h_en, h_de, h_es, h_fr, h_zh) = 0 THEN 'und'
+        |         WHEN h_zh = greatest(h_en, h_de, h_es, h_fr, h_zh) THEN 'zh'
+        |         WHEN h_fr = greatest(h_en, h_de, h_es, h_fr) THEN 'fr'
+        |         WHEN h_es = greatest(h_en, h_de, h_es) THEN 'es'
+        |         WHEN h_en = greatest(h_en, h_de) THEN 'en'
+        |         ELSE 'de' END AS lang_pred,
+        |    len(toks) AS n_tokens,
+        |    (CASE WHEN len(toks) BETWEEN 5 AND 10000
+        |          THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.4 AS DOUBLE)
+        |    + (CASE WHEN CAST(len(list_filter(toks, x -> list_contains(
+        |        ['the','a','an','of','to','in','and','or','is','are','was','for','on','with','as','at','by','it','this','that'],
+        |        lower(x)))) AS DOUBLE) / len(toks) > 0.01
+        |          THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.2 AS DOUBLE)
+        |    + (CASE WHEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.2
+        |          THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.2 AS DOUBLE)
+        |    + (CASE WHEN CAST(length(text) AS DOUBLE) / len(toks) BETWEEN 2.0 AND 12.0
+        |          THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.2 AS DOUBLE)
+        |      AS quality
+        |  FROM h),
+        |kept AS (
+        |  SELECT * FROM scored
+        |  WHERE quality >= CAST(0.6 AS DOUBLE) AND n_tokens >= 5 AND lang_pred <> 'und'),
+        |dedup AS (
+        |  SELECT * FROM kept
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1)
+        |SELECT lang, lang_pred, COUNT(*) AS kept_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
+        |FROM dedup GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q37_langid" ->
       """WITH t AS (

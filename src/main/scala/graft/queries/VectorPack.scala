@@ -68,6 +68,22 @@ object VectorPack {
         .orderBy("probe_id", "rank")
     },
 
+    // Exact all-pairs cosine near-dup — the oracle-gated verifier twin of
+    // q43's LSH path (same threshold, same scoring expression). All-pairs
+    // is O(n²) by definition: the declared query is the CORRECTNESS anchor
+    // run at small SF; at 100 TB the LSH-bucketed q43 is the shape to run.
+    "q45_cosine_neardup_exact" -> { (s, dir) =>
+      graft.functions.VectorOps.register(s)
+      val e = Tables(s, dir).embeddings
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("cos_sim", Ann.cosine(col("va"), col("vb")))
+        .filter(col("cos_sim") >= 0.3)
+        .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy("id_a", "id_b")
+    },
+
     // Embedding-cosine near-duplicate pairs (rows-only; LSH-bucketed).
     // Threshold sits where the synthetic corpus actually has pairs — random
     // 64-dim embeddings top out near cos 0.5.
@@ -92,6 +108,20 @@ object VectorPack {
         |  FROM embeddings e, p WHERE e.vec_id <> 0)
         |SELECT vec_id, ROUND(dot / (na * nb), 6) AS cos_sim
         |FROM s ORDER BY vec_id""".stripMargin,
+
+    // Same mirrored per-index fold as q40, over the upper-triangle pairs;
+    // threshold compares the UNROUNDED double (as Spark does).
+    "q45_cosine_neardup_exact" ->
+      """WITH s AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(generate_series(1, len(a.embedding)),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS dot,
+        |    sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+        |    sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, ROUND(dot / (na * nb), 6) AS cos_sim
+        |FROM s WHERE dot / (na * nb) >= CAST(0.3 AS DOUBLE)
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // Same mirrored fold as q40; rank on the UNROUNDED score (as Spark does),
     // ties by lowest neighbor id; rank surfaced as INT to match Spark's.

@@ -513,4 +513,21 @@ class ChCompatSpec extends SparkSpec {
     assert(r.get(3) == r.get(4), "toIntervalDay/Hour TTL arithmetic matches native INTERVAL")
     assert(!r.isNullAt(5) && !r.isNullAt(6))
   }
+
+  test("limitBy keeps the first n rows per group in order (CH LIMIT n BY)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      ("a", 1, 30.0), ("a", 2, 30.0), ("a", 3, 10.0),
+      ("b", 4, 5.0), ("c", 5, 1.0), ("c", 6, 2.0), ("c", 7, 3.0))
+      .toDF("g", "id", "score")
+    val out = ChCompat.limitBy(df, 2,
+        by = Seq(col("g")), order = Seq(col("score").desc, col("id")))
+      .orderBy("g", "id")
+      .as[(String, Int, Double)].collect().toSeq
+    // ties (a,1)/(a,2) at 30.0 break by id; b keeps its single row; c keeps
+    // the two highest scores
+    assert(out == Seq(("a", 1, 30.0), ("a", 2, 30.0), ("b", 4, 5.0),
+      ("c", 6, 2.0), ("c", 7, 3.0)))
+  }
 }
