@@ -57,6 +57,29 @@ object Dedup {
         b.as("band"),
         xxhash64(b, concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)))).as("bucket")))
 
+  /** Signature-agreement Jaccard estimate between two minhash signatures
+    * (fraction of matching positions — the standard unbiased estimator).
+    */
+  def estJaccard(sigA: Column, sigB: Column, numHashes: Int): Column =
+    aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast(DoubleType) / numHashes
+
+  /** (id, sig) MinHash signatures for a corpus — the shared front of the
+    * one-shot [[minhashNearDups]] pipeline and the incremental
+    * [[NearDupIndex]]: explode distinct shingles, aggregate with the
+    * tight-loop k-hash aggregate (shuffle keyed by doc id, no interpreted
+    * per-shingle lambdas).
+    */
+  def minhashSignatures(
+      df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int, shingleSize: Int = 3): DataFrame = {
+    graft.functions.MinHash.register(df.sparkSession)
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"), explode(array_distinct(shingles(col("toks"), shingleSize))).as("sh"))
+      .groupBy("id")
+      .agg(graft.functions.MinHash.minhash_agg(col("sh"), numHashes).as("sig"))
+  }
+
   /** Candidate near-dup pairs via MinHash+LSH, verified with the estimated
     * Jaccard from signature agreement. Returns (id_a, id_b, est_jaccard)
     * with id_a < id_b, est_jaccard >= threshold.
@@ -82,11 +105,7 @@ object Dedup {
     // rows would store each signature `bands` times and pay columnar
     // encode/decode on the multiplied width, costing more than the cheap
     // re-derivation of band hashes per join side.
-    val sigs = df
-      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-      .select(col("id"), explode(array_distinct(shingles(col("toks"), shingleSize))).as("sh"))
-      .groupBy("id")
-      .agg(graft.functions.MinHash.minhash_agg(col("sh"), numHashes).as("sig"))
+    val sigs = minhashSignatures(df, textCol, idCol, numHashes, shingleSize)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val withBk = sigs.withColumn("bk", explode(lshBuckets(col("sig"), bands, rowsPerBand)))
     val a = withBk.select(col("bk"), col("id").as("id_a"), col("sig").as("sig_a"))
@@ -94,9 +113,7 @@ object Dedup {
     a.join(b, Seq("bk"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("est_jaccard",
-        aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast(DoubleType) / numHashes)
+      .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b"), numHashes))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
