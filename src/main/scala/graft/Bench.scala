@@ -39,6 +39,7 @@ object Bench {
     "q31_doc_stats",       // text token stats
     "q34_ngram_jaccard",   // shingle-join near-dup
     "q35_minhash_neardup", // MinHash LSH
+    "q39_corpus_pipeline", // end-to-end clean: langid+quality -> dedup -> card
     "q40_cosine_probe",    // embedding cosine scan
     "q41_knn_brute")       // brute-force top-k
 

@@ -65,6 +65,32 @@ class NearDupIndexSpec extends SparkSpec {
     assert(replay.isEmpty, s"replayed batch should fully dedup, kept $replay")
   }
 
+  test("streaming ingest via foreachBatch dedups against all prior batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val ix = new NearDupIndex(spark, tmp(), numHashes = 64, bands = 16)
+    val rows = corpus.as[(Long, String)].collect().toMap
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        ix.dedupAndAppend(batch, "text", "doc_id"): Unit
+      }
+      .start()
+    try {
+      input.addData((0L, rows(0L)), (4L, rows(4L)))
+      q.processAllAvailable()
+      input.addData((1L, rows(1L)), (5L, rows(5L))) // 1 = exact dup of 0
+      q.processAllAvailable()
+      input.addData((1L, rows(1L)))                 // replayed batch
+      q.processAllAvailable()
+      val indexed = ix.index.select("id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(indexed == Set(0L, 4L, 5L),
+        s"exact dup and replay must not enter the index: $indexed")
+    } finally q.stop()
+  }
+
   test("parameter stamp: reopening with different banding fails fast") {
     val path = tmp()
     new NearDupIndex(spark, path, numHashes = 64, bands = 16)
