@@ -20,15 +20,19 @@ import graft.text.TextFunctions._
   */
 object Dedup {
 
-  /** Exact dedup on a normalized text hash — one shuffle on the hash key.
-    * Keeps the lowest `idCol` per duplicate group (deterministic winner).
+  /** Exact dedup on a normalized text — one shuffle on the text key.
+    * Keeps the lowest `idCol` per duplicate group (deterministic winner:
+    * ids are expected unique). Implemented as `min_by` aggregation, NOT a
+    * row_number window: the aggregate gets map-side partial combine, so a
+    * text duplicated a million times reduces per-partition before the
+    * shuffle instead of funneling every copy through one window task —
+    * the hot-key-safe shape at 100 TB.
     */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val norm = lower(regexp_replace(col(textCol), "\\s+", " "))
-    val w = Window.partitionBy(xxhash64(norm), norm).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    df.groupBy(norm.as("__norm"))
+      .agg(min_by(struct(df.columns.map(col): _*), col(idCol)).as("__r"))
+      .select(col("__r.*"))
   }
 
   /** MinHash signature from a *materialized* shingle-array column;

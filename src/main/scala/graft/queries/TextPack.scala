@@ -115,7 +115,6 @@ object TextPack {
     // payloads co-locate), one small aggregation; every stage is the
     // declared-and-gated form of an operator proven alone (q37/q32/q30).
     "q39_corpus_pipeline" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val scored = Tables(s, dir).documents
         .select(col("doc_id"), col("lang"), col("text"),
           TextFunctions.tokens(col("text")).as("toks"))
@@ -125,10 +124,14 @@ object TextPack {
           TextFunctions.qualityScoreFromTokens(col("toks"), col("text")).as("quality"))
       val kept = scored.filter(
         col("quality") >= lit(0.6) && col("n_tokens") >= 5 && col("lang_pred") =!= "und")
+      // min_by dedup, not a row_number window: partial aggregation absorbs
+      // a hot duplicated text map-side (see Dedup.exact's scale note)
       val deduped = kept
-        .withColumn("rn",
-          row_number().over(Window.partitionBy(col("text")).orderBy(col("doc_id"))))
-        .filter(col("rn") === 1)
+        .groupBy(col("text"))
+        .agg(min_by(
+          struct(col("doc_id"), col("lang"), col("lang_pred"),
+            col("n_tokens"), col("quality")), col("doc_id")).as("r"))
+        .select(col("r.*"))
       // label × prediction card: surfaces the langid confusion structure of
       // the kept corpus, not just its size
       deduped.groupBy("lang", "lang_pred")
