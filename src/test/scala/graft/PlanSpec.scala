@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+/** Plan-shape regression guards: the scale posture (pushdown, pruning,
+  * broadcasts, pre-shuffle top-k reduction, single-scan pipelines) asserted
+  * mechanically on the declared queries, so a refactor that silently
+  * devolves a plan — a lost broadcast hint, a filter that stops reaching
+  * parquet, a window where an aggregate belongs — fails `sbt test` instead
+  * of surfacing as a 100 TB incident. AQE is disabled for this suite only
+  * (suites run sequentially in the forked test JVM): under AQE the
+  * unexecuted plan is an opaque AdaptiveSparkPlanExec; without it,
+  * `executedPlan` is the full static tree the assertions need. The shapes
+  * asserted here (pushdown, broadcast, TakeOrdered, aggregate style) are
+  * decided before AQE's runtime re-planning, which only re-partitions or
+  * upgrades joins — it never walks these back.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+  }
+
+  override def afterAll(): Unit = {
+    spark.conf.unset("spark.sql.adaptive.enabled")
+    super.afterAll()
+  }
+
+  private def planOf(name: String) =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
+
+  private def planStr(name: String) = planOf(name).toString
+
+  test("q02: comparison predicates are pushed to the parquet scan") {
+    val scans = planOf("q02_filter_project").collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    assert(scans.exists(_.metadata.get("PushedFilters").exists(_ != "[]")),
+      "expected non-empty PushedFilters on the lineitem scan")
+  }
+
+  test("q01: scan is column-pruned to the referenced subset") {
+    val scans = planOf("q01_pricing_summary").collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    // lineitem is 16 columns wide; the pricing summary needs 7
+    assert(scans.head.requiredSchema.length <= 7,
+      s"scan reads ${scans.head.requiredSchema.length} columns: ${scans.head.requiredSchema.fieldNames.mkString(",")}")
+  }
+
+  test("q04/q05: dimension joins broadcast — the fact side never shuffles for the join") {
+    for (q <- Seq("q04_join_group", "q05_dict_enrich")) {
+      val p = planStr(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: expected a broadcast join")
+      assert(!p.contains("SortMergeJoin"), s"$q: dim join degraded to SMJ")
+    }
+  }
+
+  test("q12: top-k plans as TakeOrderedAndProject, not global sort") {
+    val p = planStr("q12_topk")
+    assert(p.contains("TakeOrderedAndProject"), "expected TakeOrderedAndProject")
+  }
+
+  test("q41: brute-force top-k reduces via the heap aggregate, no per-probe window") {
+    val p = planStr("q41_knn_brute")
+    assert(p.contains("ObjectHashAggregate"),
+      "expected the TopKByScore ObjectHashAggregate")
+    assert(!p.contains("Window"),
+      "per-probe Window would funnel all scored candidates through one task")
+  }
+
+  test("q39: the corpus pipeline is a single documents scan") {
+    val scans = planOf("q39_corpus_pipeline").collect { case s: FileSourceScanExec => s }
+    assert(scans.length == 1,
+      s"pipeline should scan documents once, found ${scans.length} scans")
+  }
+
+  test("no accidental cartesian products in the relational pack") {
+    // q07 is the deliberate cross join; every other relational query must
+    // plan without a cartesian/nested-loop join
+    for (q <- Seq("q01_pricing_summary", "q02_filter_project", "q04_join_group",
+        "q06_subquery_join", "q08_compound_join", "q09_having_skew")) {
+      val p = planStr(q)
+      assert(!p.contains("CartesianProduct"), s"$q: CartesianProduct in plan")
+    }
+  }
+}
