@@ -98,24 +98,45 @@ final class NearDupIndex(
     * the index (id not already indexed — replay-idempotent; no near-dup
     * already indexed; in-batch groups keep the lowest id), then appends
     * ONLY the survivors — the canonical "dedup-as-you-ingest" loop of a
-    * training-data pipeline.
+    * training-data pipeline. The batch is signatured exactly ONCE; the
+    * history probe, the in-batch pass, and the appended rows all derive
+    * from the same persisted banded form (the signature pipeline is the
+    * dominant batch-side cost — never pay it twice).
     */
   def dedupAndAppend(docs: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.5): DataFrame = {
-    // ids already indexed (replayed batches dedup to nothing) ∪ near-dups
-    // of already-indexed docs
-    val seen = index.select(col("id")).distinct()
-    val dupOld = probe(docs, textCol, idCol, threshold)
-      .select(col("id")).distinct()
-      .union(seen).distinct()
-    val fresh = docs.join(dupOld,
-      docs(idCol) === dupOld("id"), "left_anti")
-    // in-batch: one-shot LSH on the survivors, keep lowest id per pair
-    val inBatch = Dedup.minhashNearDups(fresh, textCol, idCol,
-        numHashes, bands, threshold, shingleSize)
-      .select(col("id_b").as("__drop")).distinct()
-    val kept = fresh.join(inBatch, fresh(idCol) === inBatch("__drop"), "left_anti")
-    append(kept, textCol, idCol)
-    kept
+    checkOrStampMeta()
+    val b = banded(docs, textCol, idCol).persist(StorageLevel.MEMORY_AND_DISK)
+    // drop: ids already indexed (replayed batches dedup to nothing) ∪
+    // near-dups of already-indexed docs. `index` snapshots its parquet file
+    // listing HERE (InMemoryFileIndex lists at read time), so the returned
+    // DataFrame keeps answering against pre-append history even though the
+    // append below runs first
+    val ixAll = index
+    val ix = ixAll.select(col("band"), col("bucket"),
+      col("id").as("dup_of"), col("sig").as("sig_ix"))
+    val dupOld = b.join(ix, Seq("band", "bucket"))
+      .filter(col("id") =!= col("dup_of"))
+      .dropDuplicates("id", "dup_of")
+      .filter(Dedup.estJaccard(col("sig"), col("sig_ix"), numHashes) >= threshold)
+      .select("id")
+      .union(ixAll.select("id")).distinct()
+    val freshB = b.join(dupOld, Seq("id"), "left_anti")
+    // in-batch near-dups among the history survivors: bucket self-join of
+    // the same banded rows, keep the lowest id per pair
+    val xa = freshB.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val xb = freshB.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    val dupNew = xa.join(xb, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(Dedup.estJaccard(col("sig_a"), col("sig_b"), numHashes) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    val keptB = freshB.join(dupNew, Seq("id"), "left_anti")
+    keptB.select(col("band"), col("bucket"), col("id"), col("sig"))
+      .write.mode("append").parquet(dataGlob.toString)
+    val keptIds = keptB.select(col("id").as("__kept_id")).distinct()
+    docs.join(keptIds, docs(idCol) === col("__kept_id"), "left_semi")
   }
 }
