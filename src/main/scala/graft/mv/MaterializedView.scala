@@ -35,6 +35,16 @@ final class MaterializedView(
     if (preAggregated) target.append(transform(batch))
     else target.appendBatch(transform(batch))
 
+  /** Process one insert batch exactly once, keyed by the stream's batchId —
+    * a foreachBatch retry after a sink-side crash re-delivers the same id,
+    * and the state table's ledger makes the replay a no-op (ClickHouse's
+    * inserted-block dedup, here with durable markers). Returns false on a
+    * deduplicated replay.
+    */
+  def processBatchExactlyOnce(batch: DataFrame, batchId: Long): Boolean =
+    if (preAggregated) target.appendExactlyOnce(transform(batch), batchId)
+    else target.appendBatchExactlyOnce(transform(batch), batchId)
+
   /** Attach to a micro-batch stream: each micro-batch ≙ one insert batch
     * (the generators' ~2000-row/10s cadence, ref make_user_action_001.py:50-62).
     * The transform runs inside foreachBatch so dictionary broadcasts are
@@ -42,10 +52,17 @@ final class MaterializedView(
     */
   def attach(stream: DataFrame, trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
       checkpoint: Option[String] = None): StreamingQuery = {
+    // with a checkpoint, batch ids are stable across restarts — use the
+    // exactly-once path so a crash-and-replay can't double-ingest; without
+    // one, ids restart at 0 on every attach and must not be deduped on
+    val exactlyOnce = checkpoint.isDefined
     var w: DataStreamWriter[Row] = stream.writeStream
       .queryName(name)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) => processBatch(batch) }
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (exactlyOnce) { processBatchExactlyOnce(batch, id); () }
+        else processBatch(batch)
+      }
     checkpoint.foreach(c => w = w.option("checkpointLocation", c))
     w.start()
   }

@@ -46,6 +46,7 @@ final class StateTable(
 
   Bitmaps.register(spark)
   recoverFromCompact()
+  recoverInFlightIngest()
 
   private def stateCols = metrics.map(_.state)
   private def mergeCols = metrics.map(_.merge)
@@ -64,6 +65,84 @@ final class StateTable(
 
   /** Aggregate + append a raw batch (insert-trigger semantics). */
   def appendBatch(batch: DataFrame): Unit = append(toStates(batch))
+
+  /** Exactly-once append: the ClickHouse inserted-block dedup analog for
+    * foreachBatch retries. A batch is written to `_staging/<batchId>`,
+    * its files MOVED into the table under `batch-<batchId>-` names (renames,
+    * no data copy), and only then is the `_ledger/batch-<batchId>` marker
+    * created — the commit point. Replays of a committed id return false and
+    * touch nothing; a crash anywhere before the marker leaves only
+    * batch-tagged orphans that [[recoverInFlightIngest]] removes on the
+    * next open, after which the retry re-ingests cleanly. Underscore paths
+    * are invisible to Spark's file listing, so staging and ledger never
+    * pollute reads. Requires a stable batchId across retries — exactly what
+    * a checkpointed foreachBatch provides.
+    */
+  def appendExactlyOnce(states: DataFrame, batchId: Long): Boolean = {
+    val fs = fileSystem()
+    val marker = new Path(path, s"_ledger/batch-$batchId")
+    if (fs.exists(marker)) return false
+    cleanIngest(fs, batchId) // a previous attempt of this id may have died mid-move
+    val staging = new Path(path, s"_staging/$batchId")
+    states
+      .sortWithinPartitions(keys.map(col): _*)
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(staging.toString)
+    for (dayDir <- fs.listStatus(staging).toSeq
+         if dayDir.isDirectory && dayDir.getPath.getName.contains("=")) {
+      val target = new Path(path, dayDir.getPath.getName)
+      fs.mkdirs(target)
+      for (f <- fs.listStatus(dayDir.getPath).toSeq
+           if !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")) {
+        if (!fs.rename(f.getPath, new Path(target, s"batch-$batchId-${f.getPath.getName}")))
+          sys.error(s"exactly-once append: failed to move ${f.getPath} into $target")
+      }
+    }
+    fs.delete(staging, true)
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
+    cachedSchema = None
+    true
+  }
+
+  /** Aggregate + exactly-once append of a raw batch. */
+  def appendBatchExactlyOnce(batch: DataFrame, batchId: Long): Boolean =
+    appendExactlyOnce(toStates(batch), batchId)
+
+  /** Remove every trace of an uncommitted batch id: its staging dir and any
+    * batch-tagged files already moved into partition dirs.
+    */
+  private def cleanIngest(fs: FileSystem, batchId: Long): Unit = {
+    fs.delete(new Path(path, s"_staging/$batchId"), true)
+    val root = new Path(path)
+    if (fs.exists(root))
+      for (day <- fs.listStatus(root).toSeq if day.isDirectory && day.getPath.getName.contains("=");
+           f <- fs.listStatus(day.getPath).toSeq
+           if f.getPath.getName.startsWith(s"batch-$batchId-"))
+        fs.delete(f.getPath, false)
+  }
+
+  /** Open-time recovery for [[appendExactlyOnce]]: every batch id seen in
+    * staging or in batch-tagged data files whose ledger marker is missing
+    * was an in-flight ingest at crash time — remove its traces so the
+    * stream's retry re-ingests from scratch.
+    */
+  private def recoverInFlightIngest(): Unit = {
+    val fs = fileSystem()
+    val root = new Path(path)
+    if (!fs.exists(root)) return
+    val stagingIds = {
+      val st = new Path(path, "_staging")
+      if (fs.exists(st)) fs.listStatus(st).toSeq.map(_.getPath.getName)
+      else Nil
+    }
+    val movedIds = for {
+      day <- fs.listStatus(root).toSeq if day.isDirectory && day.getPath.getName.contains("=")
+      f <- fs.listStatus(day.getPath).toSeq if f.getPath.getName.startsWith("batch-")
+    } yield f.getPath.getName.drop("batch-".length).takeWhile(_ != '-')
+    for (id <- (stagingIds ++ movedIds).distinct; n <- scala.util.Try(id.toLong).toOption
+         if !fs.exists(new Path(path, s"_ledger/batch-$n")))
+      cleanIngest(fs, n)
+  }
 
   // merged part schema, computed once per (instance, table state): the
   // footer-listing merge job is paid on the first read after open/append,
@@ -124,6 +203,10 @@ final class StateTable(
     if (fs.exists(o)) fs.delete(o, true)
     if (!fs.rename(p, o)) sys.error(s"compact: failed to stage $path -> $old")
     if (!fs.rename(t, p)) { fs.rename(o, p); sys.error(s"compact: failed to swap $tmp -> $path") }
+    // the exactly-once ledger must survive the rewrite, or a late replay of
+    // a pre-compact batch would re-ingest rows the compacted parts contain
+    val oldLedger = new Path(old, "_ledger")
+    if (fs.exists(oldLedger)) fs.rename(oldLedger, new Path(path, "_ledger"))
     fs.delete(o, true)
     cachedSchema = None
   }
@@ -144,7 +227,11 @@ final class StateTable(
     if (!fs.exists(p) && fs.exists(o)) {
       if (!fs.rename(o, p)) sys.error(s"recover: failed to restore $o -> $path")
     } else if (fs.exists(o)) {
-      // swap completed but cleanup didn't — the old copy is superseded
+      // swap completed but cleanup didn't — rescue the exactly-once ledger
+      // if the crash hit before its move, then the old copy is superseded
+      val oldLedger = new Path(o, "_ledger")
+      if (fs.exists(oldLedger) && !fs.exists(new Path(path, "_ledger")))
+        fs.rename(oldLedger, new Path(path, "_ledger"))
       fs.delete(o, true)
     }
     if (fs.exists(t)) fs.delete(t, true)

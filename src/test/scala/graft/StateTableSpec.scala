@@ -179,6 +179,56 @@ class StateTableSpec extends SparkSpec {
     assert(st.read().select("day").distinct().collect().map(_.getDate(0).toString).toSeq == Seq("2024-01-02"))
   }
 
+  test("exactly-once append: replayed batch ids are no-ops, across reopen and compact") {
+    val dir = tmpDir("st-eo") + "/t"
+    val st = newTable(dir)
+    assert(st.appendBatchExactlyOnce(batch1, batchId = 0L))
+    assert(st.appendBatchExactlyOnce(batch2, batchId = 1L))
+    val once = st.finalized(Seq("day", "etype")).collect().toSet
+    // same ids replayed on this instance: deduplicated
+    assert(!st.appendBatchExactlyOnce(batch1, 0L))
+    assert(!st.appendBatchExactlyOnce(batch2, 1L))
+    assert(st.finalized(Seq("day", "etype")).collect().toSet == once)
+    // replay against a fresh instance (restart): the ledger is durable
+    assert(!newTable(dir).appendBatchExactlyOnce(batch1, 0L))
+    // the ledger survives compaction's tree rewrite
+    st.compact()
+    assert(!st.appendBatchExactlyOnce(batch2, 1L))
+    assert(st.finalized(Seq("day", "etype")).collect().toSet == once)
+    // and matches the plain-append result
+    val plainDir = tmpDir("st-eo-plain") + "/t"
+    val plain = newTable(plainDir)
+    plain.appendBatch(batch1); plain.appendBatch(batch2)
+    assert(plain.finalized(Seq("day", "etype")).collect().toSet == once)
+  }
+
+  test("exactly-once recovery: uncommitted batch traces are purged on open") {
+    import org.apache.hadoop.fs.Path
+    val dir = tmpDir("st-eo-rec") + "/t"
+    val st = newTable(dir)
+    assert(st.appendBatchExactlyOnce(batch1, 0L))
+    val before = st.finalized(Seq("day", "etype")).collect().toSet
+    // simulate a crash mid-ingest of batch id 7: a moved batch-tagged file
+    // in a partition dir and a leftover staging dir, with NO ledger marker
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val day = fs.listStatus(new Path(dir)).map(_.getPath)
+      .find(_.getName.startsWith("day=")).get
+    val orphanSrc = fs.listStatus(day).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    // copy an existing part file under a batch-7 name (duplicate rows)
+    org.apache.hadoop.fs.FileUtil.copy(fs, orphanSrc, fs,
+      new Path(day, "batch-7-orphan.parquet"), false,
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(dir, "_staging/7"))
+    // a fresh open purges the orphan; the committed batch is untouched
+    val st2 = newTable(dir)
+    assert(st2.finalized(Seq("day", "etype")).collect().toSet == before)
+    assert(!fs.exists(new Path(day, "batch-7-orphan.parquet")))
+    assert(!fs.exists(new Path(dir, "_staging/7")))
+    // the retry of id 7 now ingests cleanly
+    assert(st2.appendBatchExactlyOnce(batch2, 7L))
+  }
+
   test("union-max wide table: unwritten metrics merge as identity (doc:848-995)") {
     import spark.implicits._
     // two "logs" write disjoint metric columns into one wide store
