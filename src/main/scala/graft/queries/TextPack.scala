@@ -141,6 +141,18 @@ object TextPack {
         .orderBy("lang", "lang_pred")
     },
 
+    // BPE-ish regex tokenizer (letter runs | digit runs | single symbol),
+    // the subword-style counterpart of q31's whitespace tokens — DuckDB
+    // mirrors the exact regex through regexp_extract_all.
+    "q46_bpeish_tokens" -> { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"), TextFunctions.bpeishTokens(col("text")).as("bt"))
+        .select(col("doc_id"),
+          size(col("bt")).as("n_bpeish"),
+          size(array_distinct(col("bt"))).as("uniq_bpeish"))
+        .orderBy("doc_id")
+    },
+
     // Multimodal plumbing smoke: text bytes as fake blobs through the
     // batched decode-stub pipeline, plus the REAL header sniffer (text
     // bytes classify as 'unknown' format — the corrupt-blob path).
@@ -308,6 +320,12 @@ object TextPack {
         |       WHEN h_en = greatest(h_en, h_de) THEN 'en'
         |       ELSE 'de' END AS lang_pred
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q46_bpeish_tokens" ->
+      """SELECT doc_id,
+        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish,
+        | len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS uniq_bpeish
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q33_fingerprint" ->
       """WITH tok AS (
