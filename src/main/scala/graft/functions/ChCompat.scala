@@ -101,6 +101,9 @@ object ChCompat {
     f("anyLast") { es => new Last(es.head, true).toAggregateExpression() }
     f("quantileExact") { es => new Percentile(es(0), es(1)) }
     f("quantileTDigest") { es => new ApproximatePercentile(es(0), es(1)) }
+    // CH topK(k)(x) -> topK(x[, k]): SpaceSaving heavy hitters, values only
+    // (the est/err form is the library's freq_topk)
+    f("topK") { es => FreqTopK.buildAgg(es, valuesOnly = true) }
 
     // ---- uniq family (doc:304-505) -----------------------------------
     // one-shot = finalize(state): the same Datasketches HLL as the -State

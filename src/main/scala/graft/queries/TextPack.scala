@@ -103,7 +103,10 @@ object TextPack {
     // CASE cascade reproducing greatest-struct tie-breaking).
     "q37_langid" -> { (s, dir) =>
       Tables(s, dir).documents
-        .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+        .select(col("doc_id"), col("text"),
+          transform(TextFunctions.tokens(col("text")), t => lower(t)).as("ltoks"))
+        .select(col("doc_id"),
+          TextFunctions.langIdFromTokens(col("ltoks"), col("text")).as("lang_pred"))
         .orderBy("doc_id")
     },
 
@@ -118,8 +121,13 @@ object TextPack {
       val scored = Tables(s, dir).documents
         .select(col("doc_id"), col("lang"), col("text"),
           TextFunctions.tokens(col("text")).as("toks"))
+        // lowered tokens materialized once; langId's per-language filter
+        // lambdas then read the array instead of re-tokenizing (interpreted
+        // HOFs, no CSE)
+        .select(col("doc_id"), col("lang"), col("text"), col("toks"),
+          transform(col("toks"), t => lower(t)).as("ltoks"))
         .select(col("doc_id"), col("lang"), col("text"),
-          TextFunctions.langId(col("text")).as("lang_pred"),
+          TextFunctions.langIdFromTokens(col("ltoks"), col("text")).as("lang_pred"),
           size(col("toks")).as("n_tokens"),
           TextFunctions.qualityScoreFromTokens(col("toks"), col("text")).as("quality"))
       val kept = scored.filter(

@@ -122,15 +122,29 @@ object TextFunctions {
     * (ties broken by list order, 'und' = undetermined when no hits). CJK text
     * rarely whitespace-tokenizes, so zh also scores on character hits.
     */
-  def langId(text: Column): Column = {
-    val toks = transform(tokens(text), lower _)
+  def langId(text: Column): Column =
+    langIdFromTokens(transform(tokens(text), lower _), text)
+
+  /** As [[langId]], from a *materialized* lowercased token-array column —
+    * prefer this in pipelines: the four non-CJK language scores each run a
+    * filter lambda over the token array, and higher-order functions are
+    * interpreted, so an inline `transform(tokens(text), lower)` argument
+    * would re-split and re-lower the text once per language list (the same
+    * re-evaluation trap as minhashSignature's shingles).
+    */
+  def langIdFromTokens(ltoks: Column, text: Column): Column = {
     val scores = langStopwords.map { case (lang, words) =>
-      val arr = array(words.map(lit): _*)
       val hits =
         if (lang == "zh")
-          size(filter(split(text, ""), c => array_contains(arr, c)))
-        else
-          size(filter(toks, t => array_contains(arr, t)))
+          // occurrence count per CJK marker char via replace-shrinkage —
+          // codegen'd string ops, no per-character array materialization
+          words.map(w =>
+            length(text) - length(call_function("replace", text, lit(w), lit(""))))
+            .reduce(_ + _)
+        else {
+          val arr = array(words.map(lit): _*)
+          size(filter(ltoks, t => array_contains(arr, t)))
+        }
       struct(hits.as("hits"), lit(lang).as("lang"))
     }
     val best = greatest(scores: _*) // struct compare: hits first, then lang
