@@ -50,6 +50,7 @@ object ChCompat {
     Bitmaps.register(spark)
     MinHash.register(spark)
     VectorOps.register(spark)
+    FreqTopK.register(spark)
     val reg = spark.sessionState.functionRegistry
     def f(name: String)(builder: Seq[Expression] => Expression): Unit =
       reg.createOrReplaceTempFunction(name, builder, "built-in")
