@@ -55,6 +55,24 @@ object ChPack {
           |ORDER BY day, platform""".stripMargin)
     },
 
+    // CH topK (SpaceSaving heavy hitters) in its exact regime: per-day
+    // top-3 event types. Distinct event types ≪ the sketch's 64-counter
+    // capacity, so no eviction happens anywhere — estimates are exact
+    // counts with err 0, and the DuckDB count/row_number mirror hash-gates
+    // the whole partial/merge/eval path of the aggregate.
+    "q47_freq_topk" -> { (s, dir) =>
+      import org.apache.spark.sql.types.IntegerType
+      graft.functions.FreqTopK.register(s)
+      Tables(s, dir).eventsWithDefaults
+        .groupBy("day")
+        .agg(graft.functions.FreqTopK.freq_topk(col("event_type"), 3).as("t"))
+        .select(col("day"), org.apache.spark.sql.functions.posexplode(col("t")))
+        .select(col("day"),
+          (col("pos") + org.apache.spark.sql.functions.lit(1)).cast(IntegerType).as("rank"),
+          col("col.value").as("etype"), col("col.est").as("cnt"), col("col.err").as("err"))
+        .orderBy("day", "rank")
+    },
+
     // CH `LIMIT n BY group` (top-2 orders per customer by price): the
     // dialect clause Spark's parser lacks, via ChCompat.limitBy. BY key is
     // o_custkey (high-cardinality) — the scale-safe shape; deterministic
@@ -106,6 +124,19 @@ object ChPack {
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         | COUNT(*) AS cnt
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q47_freq_topk" ->
+      """WITH c AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type AS etype,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT day, etype, cnt,
+        |         CAST(ROW_NUMBER() OVER (
+        |           PARTITION BY day ORDER BY cnt DESC, etype) AS INT) AS rank
+        |  FROM c)
+        |SELECT day, rank, etype, cnt, CAST(0 AS BIGINT) AS err
+        |FROM r WHERE rank <= 3 ORDER BY day, rank""".stripMargin,
 
     "q26_limit_by" ->
       """SELECT o_custkey, o_orderkey, o_totalprice
