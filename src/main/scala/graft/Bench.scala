@@ -103,6 +103,24 @@ object Bench {
       System.err.println(s"[bench] mv pair failed: ${e.getMessage}")
     }
 
+    // Incremental dedup ingest: index half the corpus (untimed history
+    // build), then time one dedupAndAppend of the other half — the
+    // steady-state per-batch cost of dedup-as-you-ingest. Single cold run:
+    // the op appends to the index, so replays would measure the (empty)
+    // idempotent path instead.
+    try {
+      val ixPath = java.nio.file.Files.createTempDirectory("graft-bench-ndi").toString + "/ix"
+      val docs = Tables(spark, sfDir).documents
+      val ix = new graft.dedup.NearDupIndex(spark, ixPath, numHashes = 64, bands = 16)
+      ix.append(docs.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+      results("dedup_ingest_incremental") = timed {
+        ix.dedupAndAppend(docs.filter(col("doc_id") % 2 === 1), "text", "doc_id",
+          threshold = 0.4).count(): Unit
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] dedup ingest failed: ${e.getMessage}")
+    }
+
     // BASELINE doc:572-597 comparable: 1e9-row two-phase sum, 1000 groups
     // (reference: 3.2-4.1 s, 241-312 M rows/s single node).
     try {
