@@ -105,6 +105,19 @@ object ChCompat {
     // CH topK(k)(x) -> topK(x[, k]): SpaceSaving heavy hitters, values only
     // (the est/err form is the library's freq_topk)
     f("topK") { es => FreqTopK.buildAgg(es, valuesOnly = true) }
+    // retention(c1..cn): array of 0/1 flags — r[0] = 1 iff c1 held on any
+    // row of the group, r[i] = 1 iff BOTH c1 and ci held on (possibly
+    // different) rows — CH's cohort-retention aggregate, composed from
+    // plain boolean Max aggregates (no custom state)
+    f("retention") { es =>
+      require(es.nonEmpty, "retention needs at least one condition")
+      def met(c: Expression): Expression =
+        Coalesce(Seq(new Max(c).toAggregateExpression(), Literal(false)))
+      val base = met(es.head)
+      CreateArray(es.zipWithIndex.map { case (c, i) =>
+        Cast(if (i == 0) base else And(base, met(c)), IntegerType)
+      })
+    }
 
     // ---- uniq family (doc:304-505) -----------------------------------
     // one-shot = finalize(state): the same Datasketches HLL as the -State

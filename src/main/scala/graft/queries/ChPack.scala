@@ -73,6 +73,29 @@ object ChPack {
         .orderBy("day", "rank")
     },
 
+    // CH retention(): per-(day, user) view→click / view→purchase cohort
+    // flags, rolled up to per-day funnel counts — the relational twin of
+    // the bitmap funnel (q21), via the composed boolean-Max aggregate.
+    // (Array indexing is Spark's 0-based form.)
+    "q48_retention" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).eventsWithDefaults.createOrReplaceTempView("graft_ret_events")
+      s.sql(
+        """SELECT day,
+          |       SUM(r[0]) AS u_view,
+          |       SUM(r[1]) AS u_view_click,
+          |       SUM(r[2]) AS u_view_purchase,
+          |       COUNT(*) AS users
+          |FROM (
+          |  SELECT day, user_id,
+          |         retention(event_type = 'view', event_type = 'click',
+          |                   event_type = 'purchase') AS r
+          |  FROM graft_ret_events
+          |  GROUP BY day, user_id)
+          |GROUP BY day
+          |ORDER BY day""".stripMargin)
+    },
+
     // CH `LIMIT n BY group` (top-2 orders per customer by price): the
     // dialect clause Spark's parser lacks, via ChCompat.limitBy. BY key is
     // o_custkey (high-cardinality) — the scale-safe shape; deterministic
@@ -124,6 +147,20 @@ object ChPack {
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         | COUNT(*) AS cnt
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q48_retention" ->
+      """WITH per_user AS (
+        |  SELECT CAST(ts AS DATE) AS day, user_id,
+        |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS m_view,
+        |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS m_click,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS m_purchase
+        |  FROM events GROUP BY 1, 2)
+        |SELECT day,
+        |  CAST(SUM(m_view) AS BIGINT) AS u_view,
+        |  CAST(SUM(m_view * m_click) AS BIGINT) AS u_view_click,
+        |  CAST(SUM(m_view * m_purchase) AS BIGINT) AS u_view_purchase,
+        |  COUNT(*) AS users
+        |FROM per_user GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q47_freq_topk" ->
       """WITH c AS (

@@ -514,6 +514,26 @@ class ChCompatSpec extends SparkSpec {
     assert(!r.isNullAt(5) && !r.isNullAt(6))
   }
 
+  test("retention flags fire across DIFFERENT rows of a group, gated on the base") {
+    import spark.implicits._
+    ChCompat.register(spark)
+    Seq(
+      (1L, "view"), (1L, "click"),            // base + step on separate rows
+      (2L, "click"), (2L, "purchase"),        // steps without the base
+      (3L, "view"),                           // base only
+      (4L, "view"), (4L, "purchase"))         // base + later step
+      .toDF("uid", "et").createOrReplaceTempView("graft_ret_toy")
+    val got = spark.sql(
+      """SELECT uid, retention(et = 'view', et = 'click', et = 'purchase') AS r
+        |FROM graft_ret_toy GROUP BY uid ORDER BY uid""".stripMargin)
+      .as[(Long, Seq[Int])].collect().toSeq
+    assert(got == Seq(
+      (1L, Seq(1, 1, 0)),
+      (2L, Seq(0, 0, 0)), // no base -> later conditions don't count (CH semantics)
+      (3L, Seq(1, 0, 0)),
+      (4L, Seq(1, 0, 1))))
+  }
+
   test("limitBy keeps the first n rows per group in order (CH LIMIT n BY)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
