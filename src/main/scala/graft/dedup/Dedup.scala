@@ -78,7 +78,11 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       numHashes: Int, shingleSize: Int = 3): DataFrame = {
     graft.functions.MinHash.register(df.sparkSession)
-    df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+    // spread first: the k-hash work below must not run inside a
+    // single-task scan of a small/one-row-group file
+    graft.engine.Warehouse
+      .spreadForCompute(df.select(col(idCol).as("id"), col(textCol).as("__text")), "id")
+      .select(col("id"), tokens(col("__text")).as("toks"))
       .select(col("id"), explode(array_distinct(shingles(col("toks"), shingleSize))).as("sh"))
       .groupBy("id")
       .agg(graft.functions.MinHash.minhash_agg(col("sh"), numHashes).as("sig"))
@@ -144,7 +148,9 @@ object Dedup {
       maxShingleDf: Int = Int.MaxValue): DataFrame = {
     // persist: `sh` is read three times (per-doc sizes + both self-join
     // sides); the tokenize/shingle/explode subtree must evaluate once.
-    val shRaw = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+    val shRaw = graft.engine.Warehouse
+      .spreadForCompute(df.select(col(idCol).as("id"), col(textCol).as("__text")), "id")
+      .select(col("id"), tokens(col("__text")).as("toks"))
       .select(col("id"), explode(array_distinct(shingles(col("toks"), shingleSize))).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sh =
@@ -232,8 +238,9 @@ object Dedup {
     // persist: the simhash pipeline feeds both sides of the chunk self-join.
     // Cache the compact (id, sh) form — the chunk explode is a cheap
     // re-derivation per side (see minhashNearDups' note).
-    val sigs = df
-      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+    val sigs = graft.engine.Warehouse
+      .spreadForCompute(df.select(col(idCol).as("id"), col(textCol).as("__text")), "id")
+      .select(col("id"), tokens(col("__text")).as("toks"))
       .select(col("id"), simhash64FromTokens(col("toks")).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val chunked = sigs.withColumn("chunk", explode(array(chunkExprs: _*)))

@@ -115,9 +115,11 @@ final class NearDupIndex(
     val ixAll = index
     val ix = ixAll.select(col("band"), col("bucket"),
       col("id").as("dup_of"), col("sig").as("sig_ix"))
+    // no pair-level dropDuplicates here (unlike probe): only DISTINCT ids
+    // are needed, so band-duplicate candidate rows are collapsed by the one
+    // distinct below instead of an extra full shuffle of pair rows
     val dupOld = b.join(ix, Seq("band", "bucket"))
       .filter(col("id") =!= col("dup_of"))
-      .dropDuplicates("id", "dup_of")
       .filter(Dedup.estJaccard(col("sig"), col("sig_ix"), numHashes) >= threshold)
       .select("id")
       .union(ixAll.select("id")).distinct()
@@ -130,12 +132,21 @@ final class NearDupIndex(
       col("id").as("id_b"), col("sig").as("sig_b"))
     val dupNew = xa.join(xb, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .filter(Dedup.estJaccard(col("sig_a"), col("sig_b"), numHashes) >= threshold)
       .select(col("id_b").as("id")).distinct()
+    // materialize the survivors ONCE via an eager local checkpoint: the
+    // append write and the returned survivor DataFrame both read the
+    // checkpointed partitions instead of re-running the probe/self-join
+    // cascade. localCheckpoint (not persist): a cached plan here can be
+    // aliased by CacheManager's canonical-plan matching across successive
+    // ingest calls over the same index path, silently serving a previous
+    // batch's survivors; the checkpoint cuts lineage below the plan level
+    // and cannot alias.
     val keptB = freshB.join(dupNew, Seq("id"), "left_anti")
-    keptB.select(col("band"), col("bucket"), col("id"), col("sig"))
-      .write.mode("append").parquet(dataGlob.toString)
+      .select(col("band"), col("bucket"), col("id"), col("sig"))
+      .localCheckpoint(true)
+    b.unpersist()
+    keptB.write.mode("append").parquet(dataGlob.toString)
     val keptIds = keptB.select(col("id").as("__kept_id")).distinct()
     docs.join(keptIds, docs(idCol) === col("__kept_id"), "left_semi")
   }

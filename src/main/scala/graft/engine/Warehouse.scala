@@ -14,6 +14,22 @@ object Warehouse {
     * (ref ods.action_001_dis.sql:3-6 — generators insert only base columns,
     * make_user_action_001.py:49).
     */
+  /** Spread a narrow input across the session's shuffle parallelism before
+    * CPU-heavy per-row work (minhash signatures, language ID, per-element
+    * vector math). A small or single-row-group parquet file scans as one
+    * task, so everything downstream of it runs on one core until the first
+    * shuffle — this hash-repartitions by `key` (deterministic placement)
+    * when the scan is narrower than half the shuffle parallelism, and is a
+    * no-op on already-wide inputs (a 100 TB scan has thousands of splits;
+    * the guard keeps the extra exchange off the big-data path).
+    */
+  def spreadForCompute(df: DataFrame, key: String): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < math.max(2, target / 2))
+      df.repartition(target, org.apache.spark.sql.functions.col(key))
+    else df
+  }
+
   def withTimeDefaults(df: DataFrame, tsCol: String = "ts"): DataFrame =
     df.withColumn("day", to_date(col(tsCol)))
       .withColumn("hour", date_trunc("hour", col(tsCol)))

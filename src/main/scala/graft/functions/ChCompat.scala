@@ -51,6 +51,7 @@ object ChCompat {
     MinHash.register(spark)
     VectorOps.register(spark)
     FreqTopK.register(spark)
+    WindowFunnel.register(spark)
     val reg = spark.sessionState.functionRegistry
     def f(name: String)(builder: Seq[Expression] => Expression): Unit =
       reg.createOrReplaceTempFunction(name, builder, "built-in")

@@ -18,6 +18,14 @@ object TextPack {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** documents, hash-spread across the session's parallelism: the driver's
+    * parquet is a single row group (one scan task), and every query here
+    * does CPU-heavy per-row work (tokenize/langid/minhash) that must not
+    * run on one core. No-op on wide inputs (Warehouse.spreadForCompute).
+    */
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    graft.engine.Warehouse.spreadForCompute(Tables(s, dir).documents, "doc_id")
+
   val queries: Map[String, Q] = Map(
     // Exact dedup accounting per (lang, source): md5-keyed distinct counts.
     "q30_dedup_exact" -> { (s, dir) =>
@@ -32,7 +40,7 @@ object TextPack {
     // Per-doc token/char stats (token counting over whitespace);
     // tokens materialized once, both stats derive from the array.
     "q31_doc_stats" -> { (s, dir) =>
-      Tables(s, dir).documents
+      Tables(s, dir).documents // token split only — too light to pay a spread shuffle
         .select(col("doc_id"), col("text"), col("n_chars"),
           TextFunctions.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
@@ -48,7 +56,7 @@ object TextPack {
     "q32_quality" -> { (s, dir) =>
       // materialize tokens once; each projected feature then works on the
       // array, not its own re-tokenization (interpreted lambdas, no CSE)
-      val base = Tables(s, dir).documents
+      val base = docs(s, dir)
         .select(col("doc_id"), col("text"), TextFunctions.tokens(col("text")).as("toks"))
       val f = TextFunctions.qualityFeaturesFromTokens(col("toks"), col("text"))
       base.select(col("doc_id"),
@@ -63,7 +71,7 @@ object TextPack {
     // md5 variant so DuckDB can mirror it; the library's fast path is
     // xxhash64 — see TextFunctions.fingerprint64).
     "q33_fingerprint" -> { (s, dir) =>
-      Tables(s, dir).documents
+      docs(s, dir)
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
           array_min(transform(TextFunctions.shingles(col("toks"), 3), sh => md5(sh))).as("fp"))
@@ -102,7 +110,7 @@ object TextPack {
     // oracle (list lambdas for token hits, replace-count for zh chars,
     // CASE cascade reproducing greatest-struct tie-breaking).
     "q37_langid" -> { (s, dir) =>
-      Tables(s, dir).documents
+      docs(s, dir)
         .select(col("doc_id"), col("text"),
           transform(TextFunctions.tokens(col("text")), t => lower(t)).as("ltoks"))
         .select(col("doc_id"),
@@ -118,7 +126,7 @@ object TextPack {
     // payloads co-locate), one small aggregation; every stage is the
     // declared-and-gated form of an operator proven alone (q37/q32/q30).
     "q39_corpus_pipeline" -> { (s, dir) =>
-      val scored = Tables(s, dir).documents
+      val scored = docs(s, dir)
         .select(col("doc_id"), col("lang"), col("text"),
           TextFunctions.tokens(col("text")).as("toks"))
         // lowered tokens materialized once; langId's per-language filter
@@ -153,7 +161,7 @@ object TextPack {
     // the subword-style counterpart of q31's whitespace tokens — DuckDB
     // mirrors the exact regex through regexp_extract_all.
     "q46_bpeish_tokens" -> { (s, dir) =>
-      Tables(s, dir).documents
+      docs(s, dir)
         .select(col("doc_id"), TextFunctions.bpeishTokens(col("text")).as("bt"))
         .select(col("doc_id"),
           size(col("bt")).as("n_bpeish"),

@@ -60,6 +60,9 @@ object Ann {
       corpus: DataFrame, probes: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     graft.functions.VectorOps.register(corpus.sparkSession)
+    // no spread here: one cosine per (row × probe) is light — an extra
+    // exchange costs more than single-task scoring saves (measured); the
+    // heavy-signature paths (lshIndex/ivfIndex) do spread
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"))
     val scored = c.crossJoin(broadcast(p))
@@ -99,8 +102,12 @@ object Ann {
   def lshIndex(corpus: DataFrame, idCol: String, vecCol: String,
       tables: Int = 8, bits: Int = 6): DataFrame = {
     graft.functions.VectorOps.register(corpus.sparkSession)
-    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
-        explode(signaturesExpr(col(vecCol), tables, bits)).as("bk"))
+    // spread: the signature expression hashes tables × bits × dim values
+    // per row — the heaviest per-row math in this module
+    graft.engine.Warehouse.spreadForCompute(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")), "neighbor_id")
+      .select(col("neighbor_id"), col("cvec"),
+        explode(signaturesExpr(col("cvec"), tables, bits)).as("bk"))
       .select(col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"),
         col("neighbor_id"), col("cvec"))
   }
@@ -204,8 +211,9 @@ object Ann {
       }
       best
     }
-    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
-      assign(col(vecCol)).as("list_id"))
+    graft.engine.Warehouse.spreadForCompute(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")), "neighbor_id")
+      .select(col("neighbor_id"), col("cvec"), assign(col("cvec")).as("list_id"))
   }
 
   /** IVF search: probe the `nprobe` nearest inverted lists, exact-rerank
@@ -255,7 +263,8 @@ object Ann {
     // cache an id-only bucket index + the corpus vectors once, generate
     // candidate id pairs from the light index, and join vectors back for
     // the exact cosine rerank — the standard candidates-then-fetch shape.
-    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec")).persist(mem)
+    val base = graft.engine.Warehouse.spreadForCompute(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("vec")), "id").persist(mem)
     val ix = base
       .select(col("id"), explode(signaturesExpr(col("vec"), tables, bits)).as("bk"))
       .select(col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"), col("id"))

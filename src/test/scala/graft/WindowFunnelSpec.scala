@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.WindowFunnel
+
+/** windowFunnel: exact-existential chain semantics verified against
+  * brute-force subsequence enumeration on seeded random event sets.
+  */
+class WindowFunnelSpec extends SparkSpec {
+
+  /** Max funnel depth by explicit subsequence search (strictly increasing
+    * ts, every step within `window` of the chain start).
+    */
+  private def brute(evs: Seq[(Long, Int)], levels: Int, window: Long): Int = {
+    def extend(level: Int, start: Long, lastTs: Long): Int = {
+      if (level == levels) return level
+      var best = level
+      for ((ts, m) <- evs if ts > lastTs && (m & (1 << level)) != 0
+           && (level == 0 || ts - start <= window)) {
+        val s = if (level == 0) ts else start
+        best = math.max(best, extend(level + 1, s, ts))
+      }
+      best
+    }
+    extend(0, 0L, Long.MinValue)
+  }
+
+  test("hand-crafted chains: depth, window cutoff, ties never chain") {
+    import spark.implicits._
+    WindowFunnel.register(spark)
+    val rows = Seq(
+      // g1: clean 3-chain within window
+      ("g1", 1000000L, "view"), ("g1", 2000000L, "click"), ("g1", 3000000L, "buy"),
+      // g2: third step outside the 5s window of the chain start
+      ("g2", 1000000L, "view"), ("g2", 2000000L, "click"), ("g2", 9000000L, "buy"),
+      // g3: click arrives before any view — no chain past level 1
+      ("g3", 1000000L, "click"), ("g3", 2000000L, "view"),
+      // g4: view and click share a timestamp — ties must not chain
+      ("g4", 1000000L, "view"), ("g4", 1000000L, "click"),
+      // g5: a later view restarts the window and rescues the chain
+      ("g5", 1000000L, "view"), ("g5", 6000000L, "view"),
+      ("g5", 7000000L, "click"), ("g5", 10000000L, "buy"))
+      .toDF("g", "ts", "et")
+    rows.createOrReplaceTempView("graft_wf_toy")
+    val got = spark.sql(
+      """SELECT g, windowFunnel(ts, 5, et = 'view', et = 'click', et = 'buy') AS lvl
+        |FROM graft_wf_toy GROUP BY g ORDER BY g""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("g1" -> 3, "g2" -> 2, "g3" -> 1, "g4" -> 1, "g5" -> 3))
+  }
+
+  test("matches brute force on 300 seeded random groups (incl. ties)") {
+    import spark.implicits._
+    WindowFunnel.register(spark)
+    val rnd = new scala.util.Random(42)
+    val cases = (0 until 300).map { gid =>
+      val n = 1 + rnd.nextInt(8)
+      gid -> Seq.fill(n)((rnd.nextInt(8).toLong * 1000000L, 1 + rnd.nextInt(7)))
+    }
+    val rows = cases.flatMap { case (gid, evs) =>
+      evs.map { case (ts, m) =>
+        (gid, ts, (m & 1) != 0, (m & 2) != 0, (m & 4) != 0)
+      }
+    }
+    rows.toDF("g", "ts", "c0", "c1", "c2").repartition(8)
+      .createOrReplaceTempView("graft_wf_rand")
+    val got = spark.sql(
+      """SELECT g, windowFunnel(ts, 5, c0, c1, c2) AS lvl
+        |FROM graft_wf_rand GROUP BY g""".stripMargin)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    for ((gid, evs) <- cases) {
+      val expect = brute(evs, 3, 5000000L)
+      assert(got(gid) == expect,
+        s"group $gid: got ${got(gid)}, brute $expect, events $evs")
+    }
+  }
+}
