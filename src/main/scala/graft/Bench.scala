@@ -36,9 +36,11 @@ object Bench {
     "q22_wide_union",      // multi-log wide table (baseline doc:1159/1205)
     "q23_ch_dialect_mv",   // verbatim CH-dialect two-phase MV via spark.sql
     "q25_catalog_query",   // db.table catalog view path
+    "q28_doc_chunks",      // context-window chunking (explode throughput)
     "q31_doc_stats",       // text token stats
     "q34_ngram_jaccard",   // shingle-join near-dup
     "q35_minhash_neardup", // MinHash LSH
+    "q49_dup_clusters",    // near-dup pairs -> connected components
     "q39_corpus_pipeline", // end-to-end clean: langid+quality -> dedup -> card
     "q40_cosine_probe",    // embedding cosine scan
     "q41_knn_brute")       // brute-force top-k

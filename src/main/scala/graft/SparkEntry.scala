@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
 import graft.functions.Bitmaps
-import graft.queries.{dec, ChPack, ExtendedPack, MvPack, RelationalPack, TextPack, VectorPack}
+import graft.queries.{dec, ChPack, ExtendedPack, MvPack, PipelinePack, RelationalPack, TextPack, VectorPack}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -43,11 +43,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalPack.queries ++ MvPack.queries ++ ChPack.queries ++
-      TextPack.queries ++ VectorPack.queries ++ ExtendedPack.queries
+      TextPack.queries ++ VectorPack.queries ++ ExtendedPack.queries ++
+      PipelinePack.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalPack.oracle ++ MvPack.oracle ++ ChPack.oracle ++
-      TextPack.oracle ++ VectorPack.oracle ++ ExtendedPack.oracle
+      TextPack.oracle ++ VectorPack.oracle ++ ExtendedPack.oracle ++
+      PipelinePack.oracle
 }

@@ -1,0 +1,231 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.dedup.{Cluster, Dedup}
+import graft.text.{Curation, TextFunctions}
+
+/** Declared queries for dataset-curation operators — the steps between
+  * "scored corpus" and "training shards": deterministic splits, corpus
+  * mixing, context-window chunking, sequence packing, duplicate-cluster
+  * resolution, and per-group quality curation. Every query here is
+  * oracle-gated: the operators are hash-deterministic by construction
+  * (md5 buckets, total-order windows, min-label components), so DuckDB
+  * can mirror them exactly.
+  */
+object PipelinePack {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // q32's exact quality expression, reused by the q62 oracle (the DuckDB
+  // mirror of TextFunctions.qualityScoreFromTokens — all-DOUBLE arithmetic
+  // in Spark's evaluation order so the float bits match)
+  private val qualitySql =
+    """(CASE WHEN len(toks) BETWEEN 5 AND 10000
+      |      THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.4 AS DOUBLE)
+      |+ (CASE WHEN CAST(len(list_filter(toks, x -> list_contains(
+      |    ['the','a','an','of','to','in','and','or','is','are','was','for','on','with','as','at','by','it','this','that'],
+      |    lower(x)))) AS DOUBLE) / len(toks) > 0.01
+      |      THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.2 AS DOUBLE)
+      |+ (CASE WHEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.2
+      |      THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.2 AS DOUBLE)
+      |+ (CASE WHEN CAST(length(text) AS DOUBLE) / len(toks) BETWEEN 2.0 AND 12.0
+      |      THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.2 AS DOUBLE)""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // Deterministic train/val/test split (12/2/2 sixteenths by md5 bucket)
+    // with the per-split dataset card. Membership is a function of doc_id
+    // alone — re-runs and engine changes cannot leak rows across splits.
+    "q27_dataset_split" -> { (s, dir) =>
+      Tables(s, dir).documents
+        .select(Curation.assignSplit(col("doc_id"), salt = ":split").as("split"),
+          col("lang"), col("n_chars"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+        .orderBy("split", "lang")
+    },
+
+    // Context-window chunking: 200-char windows every 150 chars (50-char
+    // overlap). Emits stable per-document window ids and the chunk md5 —
+    // the downstream shard-writer's dedup key.
+    "q28_doc_chunks" -> { (s, dir) =>
+      Curation.chunk(Tables(s, dir).documents, "text", "doc_id",
+          size = 200, stride = 150)
+        .select(col("doc_id"), col("chunk_id"),
+          length(col("chunk")).as("chunk_len"), md5(col("chunk")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    // Sequence packing: per-language shards, documents in doc_id order
+    // packed into ≈2048-token bins; per-bin fill stats.
+    "q29_pack_sequences" -> { (s, dir) =>
+      val base = Tables(s, dir).documents
+        .select(col("doc_id"), col("lang"), TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("lang"), size(col("toks")).as("n_tokens"))
+      Curation.packGreedy(base, "lang", "doc_id", "n_tokens", capacity = 2048)
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens").cast(LongType)).as("bin_tokens"))
+        .orderBy("lang", "bin")
+    },
+
+    // Duplicate-cluster resolution: q34's exact near-dup pairs → connected
+    // components (min-label propagation + pointer jumping) → one canonical
+    // doc per cluster. The step pairwise dedup output actually needs: a~b,
+    // b~c must drop TWO of {a,b,c}, which pair-at-a-time filtering misses.
+    "q49_dup_clusters" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        shingleSize = 3, threshold = 0.2, maxShingleDf = 50)
+      val cc = Cluster.connectedComponents(pairs, "id_a", "id_b")
+      docs.select(col("doc_id"))
+        .join(cc.select(col("id").as("doc_id"), col("comp")), Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("comp"), col("doc_id")))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy("cluster_id")))
+        .withColumn("keep", col("doc_id") === col("cluster_id"))
+        .select("doc_id", "cluster_id", "cluster_size", "keep")
+        .orderBy("doc_id")
+    },
+
+    // Weighted corpus mixing: rebalance the en-heavy corpus by keeping en
+    // at 64/256 deterministically, everything else in full. Filter-only —
+    // no shuffle until the card aggregation.
+    "q61_corpus_mix" -> { (s, dir) =>
+      Tables(s, dir).documents
+        .filter(col("lang") =!= "en" ||
+          Curation.sampleDeterministic(col("doc_id"), lit(64), salt = ":mix"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+        .orderBy("lang")
+    },
+
+    // Per-language quality curation: top-5 docs by quality score via the
+    // bounded-heap topk_by_score aggregate — every partition reduces to ≤ k
+    // rows per group BEFORE the shuffle (the scale-safe form of the
+    // row_number-window top-k; ties broken by lowest doc_id, so the result
+    // is total-order deterministic).
+    "q62_quality_topk" -> { (s, dir) =>
+      graft.functions.TopK.register(s)
+      val scored = graft.engine.Warehouse
+        .spreadForCompute(Tables(s, dir).documents, "doc_id")
+        .select(col("doc_id"), col("lang"), col("text"),
+          TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("lang"),
+          struct(
+            TextFunctions.qualityScoreFromTokens(col("toks"), col("text")).as("score"),
+            col("doc_id").cast(LongType).as("id")).as("si"))
+      scored.groupBy("lang")
+        .agg(graft.functions.TopK.topk_by_score(col("si"), 5).as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), (col("pos") + 1).as("rk"),
+          col("col.id").as("doc_id"), col("col.score").as("quality"))
+        .orderBy("lang", "rk")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q27_dataset_split" ->
+      """WITH s AS (
+        |  SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 1)
+        |                   BETWEEN '0' AND '9'
+        |              OR substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 1) IN ('a','b')
+        |              THEN 'train'
+        |              WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 1) IN ('c','d')
+        |              THEN 'val'
+        |              ELSE 'test' END AS split,
+        |         lang, n_chars
+        |  FROM documents)
+        |SELECT split, lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q28_doc_chunks" ->
+      """SELECT doc_id, i AS chunk_id,
+        |  length(substring(text, CAST(i * 150 + 1 AS INT), 200)) AS chunk_len,
+        |  md5(substring(text, CAST(i * 150 + 1 AS INT), 200)) AS chunk_md5
+        |FROM documents,
+        |  UNNEST(generate_series(0, CAST(floor((length(text) - 1) / 150) AS BIGINT))) t(i)
+        |WHERE length(text) > 0
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q29_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, n_tokens,
+        |    (CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT)
+        |      - n_tokens) // 2048 AS bin
+        |  FROM t)
+        |SELECT lang, bin, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q34's pair CTE chain verbatim, then components as the transitive
+    // closure's per-node minimum (recursive CTE — the oracle twin of the
+    // distributed min-label loop).
+    "q49_dup_clusters" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+        |  FROM tok, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)),
+        |sh AS (
+        |  SELECT doc_id, sh FROM sh0
+        |  QUALIFY COUNT(*) OVER (PARTITION BY sh) <= 50),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, l) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.l FROM edges e JOIN reach r ON r.id = e.b),
+        |comp AS (SELECT id, MIN(l) AS comp FROM reach GROUP BY id)
+        |SELECT d.doc_id,
+        |  COALESCE(c.comp, d.doc_id) AS cluster_id,
+        |  COUNT(*) OVER (PARTITION BY COALESCE(c.comp, d.doc_id)) AS cluster_size,
+        |  d.doc_id = COALESCE(c.comp, d.doc_id) AS keep
+        |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // 64/256 = first md5 hex byte < '40' (two fixed-width hex digits
+    // compare lexicographically == numerically)
+    "q61_corpus_mix" ->
+      """SELECT lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents
+        |WHERE lang <> 'en'
+        |   OR substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 2) < '40'
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q62_quality_topk" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, text,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, lang,
+         |$qualitySql
+         |    AS quality
+         |  FROM t)
+         |SELECT lang,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS INT) AS rk,
+         |  doc_id, quality
+         |FROM q
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) <= 5
+         |ORDER BY lang, rk""".stripMargin
+  )
+}

@@ -1,0 +1,103 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Dataset-curation operators for training-data pipelines: deterministic
+  * splits, weighted corpus mixing, context-window chunking, and sequence
+  * packing. Everything here is a pure expression / window shape — no UDFs,
+  * no RNG state, no driver-side data — so results are identical across
+  * runs, executors, and engines (the DuckDB oracles mirror each operator
+  * exactly).
+  *
+  * Determinism is the point: train/val/test membership and sampling
+  * decisions must be a *function of the record*, not of partitioning or
+  * execution order, or a re-run of the pipeline silently reshuffles the
+  * split (and leaks val into train). All hashing below is md5 of the
+  * record key + a caller salt, so two pipelines with different salts draw
+  * independent assignments.
+  */
+object Curation {
+
+  /** First hex nibble of md5(key ‖ salt) as an int in [0, 16). */
+  def hashBucket16(key: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(key.cast(StringType), lit(salt))), 1, 1), 16, 10)
+      .cast(IntegerType)
+
+  /** First hex byte of md5(key ‖ salt) as an int in [0, 256) — the uniform
+    * unit for deterministic sampling (rates quantized to 1/256).
+    */
+  def hashBucket256(key: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(key.cast(StringType), lit(salt))), 1, 2), 16, 10)
+      .cast(IntegerType)
+
+  /** Deterministic train/val/test assignment: `trainBuckets`/16 of keys go
+    * to train, then `valBuckets`/16 to val, remainder to test (defaults:
+    * 12/2/2 = 75%/12.5%/12.5%). Membership depends only on (key, salt).
+    */
+  def assignSplit(
+      key: Column, salt: String = "",
+      trainBuckets: Int = 12, valBuckets: Int = 2): Column = {
+    require(trainBuckets >= 1 && valBuckets >= 1 && trainBuckets + valBuckets < 16,
+      s"split buckets out of range: $trainBuckets/$valBuckets of 16")
+    val b = hashBucket16(key, salt)
+    when(b < trainBuckets, "train")
+      .when(b < trainBuckets + valBuckets, "val")
+      .otherwise("test")
+  }
+
+  /** Keep predicate sampling `keepOutOf256`/256 of keys, deterministically.
+    * Filter-only (no shuffle); composes per-source for weighted corpus
+    * mixing — e.g. downsample an over-represented language while passing
+    * the rest through.
+    */
+  def sampleDeterministic(key: Column, keepOutOf256: Column, salt: String = ""): Column =
+    hashBucket256(key, salt) < keepOutOf256
+
+  /** Context-window chunking: split each text into windows of `size` chars
+    * every `stride` chars (overlap = size − stride), the standard shape for
+    * fitting long documents into a training context window. Returns
+    * (idCol, chunk_id, chunk) — one output row per window; empty texts
+    * produce no rows. Pure explode over a generated index sequence: the
+    * operator is embarrassingly parallel and chunk ids are stable (position
+    * within the document, not execution order).
+    */
+  def chunk(df: DataFrame, textCol: String, idCol: String,
+      size: Int, stride: Int): DataFrame = {
+    require(size >= 1 && stride >= 1, s"size/stride must be >= 1: $size/$stride")
+    // last window starts at the greatest multiple of `stride` < length
+    val lastIdx = floor((length(col("__t")) - 1) / lit(stride))
+    df.filter(length(col(textCol)) > 0)
+      .select(col(idCol), col(textCol).as("__t"))
+      .select(col(idCol), explode(sequence(lit(0L), lastIdx)).as("chunk_id"), col("__t"))
+      .select(col(idCol), col("chunk_id"),
+        col("__t").substr((col("chunk_id") * stride + 1).cast(IntegerType), lit(size))
+          .as("chunk"))
+  }
+
+  /** Capacity-quantized greedy sequence packing: within each `groupCol`
+    * (a shard — language, source, writer partition), documents in `orderCol`
+    * order are assigned to bins of ≈`capacity` total `weightCol` (token
+    * count): bin = preceding-cumulative-weight div capacity. This is the
+    * deterministic, single-window approximation of first-fit bin packing
+    * used to pack sequences into fixed training context windows — each bin
+    * overflows by at most one document's tail, and assignment depends only
+    * on the (group, order) total order, never on partitioning.
+    *
+    * Scale note: the running sum funnels each GROUP through one task — by
+    * design. Packing is a per-shard operation in real pipelines (bins must
+    * be contiguous in shard order); choose groups that fit a task, exactly
+    * as a per-worker packer would.
+    */
+  def packGreedy(df: DataFrame, groupCol: String, orderCol: String,
+      weightCol: String, capacity: Long): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1: $capacity")
+    val w = Window.partitionBy(groupCol).orderBy(orderCol)
+    df.withColumn("__cum", sum(col(weightCol).cast(LongType)).over(w))
+      // integer div (not floating floor): exact at any cumulative magnitude
+      .withColumn("bin", expr(s"(__cum - `$weightCol`) div ${capacity}L"))
+      .drop("__cum")
+  }
+}

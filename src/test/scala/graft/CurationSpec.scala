@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.Curation
+
+/** Curation operators: split determinism + proportions, chunk boundary
+  * arithmetic, packing invariants, deterministic sampling.
+  */
+class CurationSpec extends SparkSpec {
+
+  test("assignSplit is deterministic, total, and near the 12/2/2 proportions") {
+    val keys = spark.range(4000).select(col("id"))
+    val once = keys.select(col("id"), Curation.assignSplit(col("id"), ":s").as("sp"))
+    val twice = keys.select(col("id"), Curation.assignSplit(col("id"), ":s").as("sp"))
+    assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+
+    val bysp = once.groupBy("sp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bysp.keySet == Set("train", "val", "test"))
+    val train = bysp("train").toDouble / 4000
+    assert(train > 0.70 && train < 0.80, s"train fraction $train outside [0.70, 0.80]")
+
+    // a different salt draws an independent assignment (some keys move)
+    val other = keys.select(col("id"), Curation.assignSplit(col("id"), ":t").as("sp"))
+    assert(once.exceptAll(other).count() > 0)
+  }
+
+  test("sampleDeterministic keeps ≈ keep/256 and is a pure key function") {
+    val keys = spark.range(4096)
+    val kept = keys.filter(Curation.sampleDeterministic(col("id"), lit(64), ":m")).count()
+    val frac = kept.toDouble / 4096
+    assert(frac > 0.20 && frac < 0.30, s"64/256 sample kept $frac")
+    val keptAgain = keys.filter(Curation.sampleDeterministic(col("id"), lit(64), ":m")).count()
+    assert(kept == keptAgain)
+  }
+
+  test("chunk covers the text with the declared size/stride arithmetic") {
+    import spark.implicits._
+    val texts = Seq(
+      (1L, "a" * 500),  // 500 chars: chunks at 0,150,300,450
+      (2L, "b" * 200),  // exactly one full window + one 50-char tail
+      (3L, "c" * 37),   // shorter than one window
+      (4L, ""))         // empty: no rows
+      .toDF("doc_id", "text")
+    val got = Curation.chunk(texts, "text", "doc_id", size = 200, stride = 150)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2))
+
+    val expected = texts.collect().flatMap { r =>
+      val (id, t) = (r.getLong(0), r.getString(1))
+      (0 until (if (t.isEmpty) 0 else (t.length - 1) / 150 + 1)).map { i =>
+        (id, i.toLong, t.substring(i * 150, math.min(i * 150 + 200, t.length)))
+      }
+    }.sortBy(t => (t._1, t._2)).toSeq
+    assert(got.toSeq == expected)
+
+    // every non-final chunk overlaps the next by size - stride chars
+    got.toSeq.groupBy(_._1).values.foreach { cs =>
+      cs.sortBy(_._2).sliding(2).foreach {
+        case Seq((_, _, a), (_, _, b)) if a.length == 200 =>
+          assert(a.takeRight(50) == b.take(50))
+        case _ => ()
+      }
+    }
+  }
+
+  test("packGreedy: bins contiguous per group, conservation, bounded overflow") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 300).map(i => (i.toLong, s"g${i % 3}", rnd.nextInt(900) + 100))
+      .toDF("doc_id", "grp", "w")
+    val packed = Curation.packGreedy(docs, "grp", "doc_id", "w", capacity = 2048)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(2), r.getLong(3)))
+
+    // conservation: every doc assigned exactly once
+    assert(packed.length == 300)
+
+    packed.groupBy(_._1).values.foreach { rows =>
+      val inOrder = rows.sortBy(_._2)
+      // bins are monotone non-decreasing in doc order
+      assert(inOrder.map(_._4).toSeq.sliding(2).forall {
+        case Seq(a, b) => a <= b
+        case _ => true
+      })
+      // each bin's PRECEDING-cum span is < capacity: total weight per bin
+      // exceeds capacity by at most its last doc's tail
+      inOrder.groupBy(_._4).values.foreach { bin =>
+        val tot = bin.map(_._3.toLong).sum
+        val last = bin.maxBy(_._2)._3.toLong
+        assert(tot - last < 2048, s"bin overflow beyond one tail: tot=$tot last=$last")
+      }
+    }
+  }
+}
