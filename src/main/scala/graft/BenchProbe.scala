@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scratch profiling main. Currently: ObjectHashAggregate sort-fallback
-  * threshold impact on the bitmap state queries.
+/** Scratch profiling main. Currently: q49 connected-components round cost
+  * (pairs stage vs iterative loop) after the seeded-label change.
   */
 object BenchProbe {
   def main(args: Array[String]): Unit = {
@@ -28,14 +28,11 @@ object BenchProbe {
       println(f"$name%-34s min=${times.min}%.2f s  runs=${times.map(t => f"$t%.2f").mkString(",")}")
     }
 
-    for (threshold <- Seq("128", "1000000")) {
-      spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", threshold)
-      bench(s"q20_state_rollup thr=$threshold") { () =>
-        SparkEntry.queries("q20_state_rollup")(spark, sfDir)
-      }
-      bench(s"q21_bitmap_funnel thr=$threshold") { () =>
-        SparkEntry.queries("q21_bitmap_funnel")(spark, sfDir)
-      }
+    bench("q34_pairs_only") { () =>
+      SparkEntry.queries("q34_ngram_jaccard")(spark, sfDir)
+    }
+    bench("q49_dup_clusters") { () =>
+      SparkEntry.queries("q49_dup_clusters")(spark, sfDir)
     }
     spark.stop()
   }

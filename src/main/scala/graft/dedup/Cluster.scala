@@ -51,8 +51,11 @@ object Cluster {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var lbl = und.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
+    // seed labels with one aggregation: label(v) = min(v, min neighbor) —
+    // equivalent to (distinct nodes + one relax round) in a single shuffle
+    var lbl = und.groupBy(col("a").as("id"))
+      .agg(min(col("b")).as("__nmin"))
+      .select(col("id"), least(col("id"), col("__nmin")).as("comp"))
       .localCheckpoint(true)
     // monotone convergence metric: labels only decrease, so the label sum
     // strictly decreases every round until the fixpoint (decimal: no

@@ -76,6 +76,35 @@ class PlanSpec extends SparkSpec {
       s"pipeline should scan documents once, found ${scans.length} scans")
   }
 
+  test("q62: per-group quality top-k reduces via the heap aggregate, no window") {
+    val p = planStr("q62_quality_topk")
+    assert(p.contains("ObjectHashAggregate"),
+      "expected the TopKByScore ObjectHashAggregate")
+    assert(!p.contains("Window"),
+      "a per-language Window would sort every scored doc through one task")
+  }
+
+  test("Curation.chunk is shuffle-free (pure explode)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = Tables(spark, dir).documents
+    val plan = graft.text.Curation.chunk(docs, "text", "doc_id", 200, 150)
+      .queryExecution.executedPlan
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      "chunking must not exchange — it is embarrassingly parallel")
+  }
+
+  test("q61: deterministic mixing filters before the aggregation's exchange") {
+    // the md5 sample predicate must sit under the aggregate (filter-only
+    // pre-shuffle), not after it
+    val p = planOf("q61_corpus_mix")
+    val agg = p.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a }
+    assert(agg.nonEmpty)
+    val filterUnderAgg = agg.last.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f }
+    assert(filterUnderAgg.nonEmpty, "sample filter should precede the aggregate")
+  }
+
   test("no accidental cartesian products in the relational pack") {
     // q07 is the deliberate cross join; every other relational query must
     // plan without a cartesian/nested-loop join
