@@ -52,6 +52,7 @@ object ChCompat {
     VectorOps.register(spark)
     FreqTopK.register(spark)
     WindowFunnel.register(spark)
+    SequenceMatch.register(spark)
     val reg = spark.sessionState.functionRegistry
     def f(name: String)(builder: Seq[Expression] => Expression): Unit =
       reg.createOrReplaceTempFunction(name, builder, "built-in")

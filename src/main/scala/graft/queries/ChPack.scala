@@ -110,6 +110,37 @@ object ChPack {
         .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
     },
 
+    // CH sequenceMatch / sequenceCount (the funnel-family member next to
+    // windowFunnel and retention): per-(day, user) event-chain checks rolled
+    // up per day — existence of view→click→purchase, a time-guarded
+    // view→click within the hour, and the greedy non-overlapping
+    // view→purchase chain count. Events carry no (user, ts) ties in the
+    // testdata, so the oracle's ts-order mirrors the aggregate's
+    // (ts, mask)-order exactly.
+    "q66_sequence_match" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).eventsWithDefaults.createOrReplaceTempView("graft_seq_events")
+      s.sql(
+        """SELECT day,
+          |       countIf(m_chain) AS u_chain,
+          |       countIf(m_quick) AS u_quick,
+          |       CAST(SUM(n_vp) AS BIGINT) AS vp_chains,
+          |       COUNT(*) AS users
+          |FROM (
+          |  SELECT day, user_id,
+          |         sequenceMatch('(?1).*(?2).*(?3)', ts,
+          |           event_type = 'view', event_type = 'click',
+          |           event_type = 'purchase') AS m_chain,
+          |         sequenceMatch('(?1).*(?t<=3600)(?2)', ts,
+          |           event_type = 'view', event_type = 'click') AS m_quick,
+          |         sequenceCount('(?1).*(?2)', ts,
+          |           event_type = 'view', event_type = 'purchase') AS n_vp
+          |  FROM graft_seq_events
+          |  GROUP BY day, user_id)
+          |GROUP BY day
+          |ORDER BY day""".stripMargin)
+    },
+
     // SQL dictGet enrichment (ref dim.dict_user_dim.sql:24-27): broadcast
     // point-lookup, no shuffle of the fact side beyond the aggregation.
     "q24_dictget_sql" -> { (s, dir) =>
@@ -181,6 +212,64 @@ object ChPack {
         |QUALIFY ROW_NUMBER() OVER (
         |  PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 2
         |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+
+    // m_chain mirrors the matcher's earliest-chaining (optimal for
+    // wildcard-separated conditions: v1 = first view, c1 = first click
+    // after v1, then any purchase after c1); m_quick pairs each click with
+    // its latest preceding view (minimal gap ⇒ existence-equivalent);
+    // n_vp runs the greedy view→purchase automaton as a list_reduce
+    // (acc = 2·count + pending; a view sets pending, a purchase with
+    // pending banks a chain — exactly the leftmost non-overlapping scan).
+    "q66_sequence_match" ->
+      """WITH base AS (
+        |  SELECT CAST(ts AS DATE) AS day, user_id, ts, event_type FROM events),
+        |v1 AS (
+        |  SELECT day, user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS v1
+        |  FROM base GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT b.day, b.user_id,
+        |    MIN(CASE WHEN b.event_type = 'click' AND b.ts > v1.v1 THEN b.ts END) AS c1
+        |  FROM base b JOIN v1 ON b.day = v1.day AND b.user_id = v1.user_id
+        |  GROUP BY 1, 2),
+        |chain AS (
+        |  SELECT b.day, b.user_id,
+        |    MAX(CASE WHEN b.event_type = 'purchase' AND b.ts > c1.c1
+        |             THEN 1 ELSE 0 END) AS m_chain
+        |  FROM base b JOIN c1 ON b.day = c1.day AND b.user_id = c1.user_id
+        |  GROUP BY 1, 2),
+        |quick0 AS (
+        |  SELECT day, user_id, ts, event_type,
+        |    MAX(CASE WHEN event_type = 'view' THEN ts END) OVER (
+        |      PARTITION BY day, user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lastv
+        |  FROM base),
+        |quick AS (
+        |  SELECT day, user_id,
+        |    MAX(CASE WHEN event_type = 'click' AND lastv IS NOT NULL
+        |              AND epoch_us(ts) - epoch_us(lastv) <= CAST(3600 AS BIGINT) * 1000000
+        |             THEN 1 ELSE 0 END) AS m_quick
+        |  FROM quick0 GROUP BY 1, 2),
+        |vp AS (
+        |  SELECT day, user_id,
+        |    list_reduce(
+        |      list_prepend(0, list(
+        |        CASE WHEN event_type = 'view' THEN 1
+        |             WHEN event_type = 'purchase' THEN 2 ELSE 0 END ORDER BY ts)),
+        |      (acc, x) -> CASE WHEN x = 1 AND acc % 2 = 0 THEN acc + 1
+        |                      WHEN x = 2 AND acc % 2 = 1 THEN acc + 1
+        |                      ELSE acc END) // 2 AS n_vp
+        |  FROM base GROUP BY 1, 2)
+        |SELECT v1.day,
+        |  CAST(SUM(chain.m_chain) AS BIGINT) AS u_chain,
+        |  CAST(SUM(quick.m_quick) AS BIGINT) AS u_quick,
+        |  CAST(SUM(vp.n_vp) AS BIGINT) AS vp_chains,
+        |  COUNT(*) AS users
+        |FROM v1
+        |JOIN chain ON chain.day = v1.day AND chain.user_id = v1.user_id
+        |JOIN quick ON quick.day = v1.day AND quick.user_id = v1.user_id
+        |JOIN vp ON vp.day = v1.day AND vp.user_id = v1.user_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q24_dictget_sql" ->
       """SELECT n.n_name AS nation,

@@ -138,6 +138,39 @@ object ExtendedPack {
         .groupBy(col("s_nationkey").as("nation"))
         .agg(count(lit(1)).as("cnt"), moneySum(col("l_extendedprice")).as("revenue"))
         .orderBy("nation")
+    },
+
+    // ASOF join (CH `ASOF JOIN`, here graft.operators.AsOfJoin): each event
+    // picks the user's most recent order-day at-or-before the event — the
+    // window-formulation sort-merge, one shuffle per side, no interval
+    // explosion. Right side pre-aggregated to unique (user, day) so the
+    // best-match row is well-defined on both engines.
+    "q63_asof_join" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val left = t.events.select(col("event_id"), col("user_id"), col("ts"))
+      val right = t.orders
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").as("last_order_ts"))
+        .agg(count(lit(1)).as("day_orders"),
+          sum(dec("o_totalprice")).cast(DoubleType).as("day_total"))
+      graft.operators.AsOfJoin.asof(left, right, Seq("user_id"), "ts", "last_order_ts")
+        .select("event_id", "user_id", "last_order_ts", "day_orders", "day_total")
+        .orderBy("event_id")
+    },
+
+    // Sessionization (graft.operators.Sessionize): 30-minute-gap sessions
+    // per user over raw events, with per-session stats — one window pass,
+    // one aggregation, both keyed by user.
+    "q64_sessions" -> { (s, dir) =>
+      graft.operators.Sessionize.sessionStats(
+          Tables(s, dir).events, "user_id", "ts", gapSeconds = 1800L,
+          extra = Seq(sum(dec(col("value"))).cast(DoubleType).as("session_value")))
+        .withColumn("duration_sec",
+          col("session_end").cast("timestamp").cast(LongType)
+            - col("session_start").cast("timestamp").cast(LongType))
+        .select(col("user_id"), col("session_seq").cast(LongType).as("session_seq"),
+          col("session_start"), col("session_end"), col("n_events"),
+          col("session_value"), col("duration_sec"))
+        .orderBy("user_id", "session_seq")
     }
   )
 
@@ -217,6 +250,44 @@ object ExtendedPack {
         | COUNT(*) AS cnt,
         | CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // DuckDB's native ASOF LEFT JOIN is the oracle for the operator.
+    "q63_asof_join" ->
+      """WITH ro AS (
+        |  SELECT o_custkey AS user_id, o_orderdate AS od,
+        |    COUNT(*) AS day_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_total
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, ro.od AS last_order_ts,
+        |  ro.day_orders, ro.day_total
+        |FROM events e ASOF LEFT JOIN ro
+        |  ON e.user_id = ro.user_id AND e.ts >= ro.od
+        |ORDER BY e.event_id""".stripMargin,
+
+    // Gap-split sessions via lag + running sum. The micros comparison
+    // mirrors Spark's double-cast gap test exactly (microsecond-resolution
+    // diffs cannot flip a >1800s comparison at double precision), and
+    // date_diff('second') counts the same second boundaries as Spark's
+    // timestamp->long cast difference.
+    "q64_sessions" ->
+      """WITH f AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+        |         THEN 1 ELSE 0 END AS is_start
+        |  FROM events WHERE ts IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM f)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value,
+        |  date_diff('second', MIN(ts), MAX(ts)) AS duration_sec
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

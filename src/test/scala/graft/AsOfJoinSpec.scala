@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+
+/** AsOfJoin: window-formulation results verified against the brute-force
+  * definition (cross join + filter + best-match pick) on seeded random
+  * data, plus the edge cases that decide semantics: equal timestamps,
+  * strictness, tolerance, unmatched rows, duplicate right timestamps.
+  */
+class AsOfJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def mkLeft(rows: Seq[(Long, Long, String)]): DataFrame =
+    rows.toDF("k", "lts", "lval")
+  private def mkRight(rows: Seq[(Long, Long, String)]): DataFrame =
+    rows.toDF("k", "rts", "rval")
+
+  /** Brute-force asof: per left row, best right row by the rule. */
+  private def brute(left: Seq[(Long, Long, String)], right: Seq[(Long, Long, String)],
+      forward: Boolean, strict: Boolean): Map[(Long, Long, String), Option[(Long, String)]] =
+    left.map { case (k, lts, lv) =>
+      val cands = right.filter { case (rk, rts, _) =>
+        rk == k && (
+          if (forward && strict) rts > lts
+          else if (forward) rts >= lts
+          else if (strict) rts < lts
+          else rts <= lts)
+      }
+      val best = if (cands.isEmpty) None else {
+        val bestTs = if (forward) cands.map(_._2).min else cands.map(_._2).max
+        // tie-break: greatest payload struct == greatest (rts, rval)
+        val atTs = cands.filter(_._2 == bestTs)
+        Some((bestTs, atTs.map(_._3).max))
+      }
+      ((k, lts, lv), best)
+    }.toMap
+
+  private def runOp(left: Seq[(Long, Long, String)], right: Seq[(Long, Long, String)],
+      forward: Boolean, strict: Boolean): Map[(Long, Long, String), Option[(Long, String)]] =
+    AsOfJoin.asof(mkLeft(left), mkRight(right), Seq("k"), "lts", "rts",
+        forward = forward, strict = strict)
+      .collect()
+      .map { r =>
+        val m = if (r.isNullAt(3)) None
+          else Some((r.getLong(3), r.getString(4)))
+        ((r.getLong(0), r.getLong(1), r.getString(2)), m)
+      }.toMap
+
+  test("hand-crafted: backward picks latest at-or-before, unmatched is null") {
+    val left = Seq((1L, 10L, "a"), (1L, 5L, "b"), (1L, 2L, "c"), (2L, 7L, "d"))
+    val right = Seq((1L, 3L, "r3"), (1L, 8L, "r8"), (3L, 1L, "zz"))
+    val got = runOp(left, right, forward = false, strict = false)
+    assert(got((1L, 10L, "a")) == Some((8L, "r8")))
+    assert(got((1L, 5L, "b")) == Some((3L, "r3")))
+    assert(got((1L, 2L, "c")) == None)
+    assert(got((2L, 7L, "d")) == None)
+  }
+
+  test("equal timestamps: inclusive by default, excluded when strict") {
+    val left = Seq((1L, 5L, "a"))
+    val right = Seq((1L, 5L, "r5"), (1L, 1L, "r1"))
+    assert(runOp(left, right, forward = false, strict = false)((1L, 5L, "a"))
+      == Some((5L, "r5")))
+    assert(runOp(left, right, forward = false, strict = true)((1L, 5L, "a"))
+      == Some((1L, "r1")))
+    assert(runOp(left, right, forward = true, strict = false)((1L, 5L, "a"))
+      == Some((5L, "r5")))
+    assert(runOp(left, right, forward = true, strict = true)((1L, 5L, "a")) == None)
+  }
+
+  test("duplicate right timestamps resolve to the greatest payload") {
+    val left = Seq((1L, 9L, "a"))
+    val right = Seq((1L, 4L, "x"), (1L, 4L, "y"))
+    assert(runOp(left, right, forward = false, strict = false)((1L, 9L, "a"))
+      == Some((4L, "y")))
+  }
+
+  test("tolerance null-outs matches beyond the bound") {
+    // ts are seconds-scale longs; tolerance compares |lts - rts| directly
+    val left = mkLeft(Seq((1L, 100L, "a"), (1L, 10L, "b")))
+    val right = mkRight(Seq((1L, 4L, "r4")))
+    val got = AsOfJoin.asof(left, right, Seq("k"), "lts", "rts",
+        toleranceSeconds = Some(50L))
+      .collect().map(r => (r.getString(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    assert(got("a") == None)     // gap 96 > 50
+    assert(got("b") == Some(4L)) // gap 6 <= 50
+  }
+
+  test("seeded random: all four direction/strictness modes match brute force") {
+    val rnd = new scala.util.Random(42)
+    val left = Seq.fill(300)((rnd.nextInt(8).toLong, rnd.nextInt(50).toLong,
+      "l" + rnd.nextInt(1000)))
+    val right = Seq.fill(200)((rnd.nextInt(8).toLong, rnd.nextInt(50).toLong,
+      "r" + rnd.nextInt(1000)))
+    for (forward <- Seq(false, true); strict <- Seq(false, true)) {
+      val got = runOp(left, right, forward, strict)
+      val exp = brute(left, right, forward, strict)
+      // left rows may repeat (k, lts, lval); dedup map keys align both sides
+      assert(got == exp, s"forward=$forward strict=$strict")
+    }
+  }
+
+  test("plan: one shuffle per side, no cartesian") {
+    val p = AsOfJoin.asof(mkLeft(Seq((1L, 1L, "a"))), mkRight(Seq((1L, 1L, "r"))),
+      Seq("k"), "lts", "rts").queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+}
