@@ -43,7 +43,10 @@ object Bench {
     "q49_dup_clusters",    // near-dup pairs -> connected components
     "q39_corpus_pipeline", // end-to-end clean: langid+quality -> dedup -> card
     "q40_cosine_probe",    // embedding cosine scan
-    "q41_knn_brute")       // brute-force top-k
+    "q41_knn_brute",       // brute-force top-k
+    "q63_asof_join",       // ASOF join (union + one window pass)
+    "q64_sessions",        // sessionization (lag + running sum)
+    "q66_sequence_match")  // event-chain pattern aggregate
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
