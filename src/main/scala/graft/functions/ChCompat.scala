@@ -53,6 +53,7 @@ object ChCompat {
     FreqTopK.register(spark)
     WindowFunnel.register(spark)
     SequenceMatch.register(spark)
+    UniqUpTo.register(spark)
     val reg = spark.sessionState.functionRegistry
     def f(name: String)(builder: Seq[Expression] => Expression): Unit =
       reg.createOrReplaceTempFunction(name, builder, "built-in")

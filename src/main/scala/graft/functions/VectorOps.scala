@@ -25,6 +25,12 @@ object VectorOps {
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "mean_vector", exprs => MeanVectorAggregate(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "l2_norm", exprs => L2Norm(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "l2_normalize", exprs => L2Normalize(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "quantize_int8", exprs => QuantizeInt8(exprs.head), "built-in")
   }
 
   /** Cosine similarity of two float/double array columns, in double. */
@@ -34,6 +40,99 @@ object VectorOps {
     * the centroid update of a distributed k-means step.
     */
   def mean_vector(c: Column): Column = call_function("mean_vector", c)
+
+  /** Euclidean norm in double (index-order accumulation — oracle-mirrorable). */
+  def l2_norm(c: Column): Column = call_function("l2_norm", c)
+
+  /** Unit-normalized copy (double elements); null for a zero vector. */
+  def l2_normalize(c: Column): Column = call_function("l2_normalize", c)
+
+  /** Symmetric max-abs int8 quantization: code_i = floor(x_i·127/maxabs + 0.5)
+    * — the storage-shrink step before ANN indexing (4× over float32).
+    * Null for a zero vector.
+    */
+  def quantize_int8(c: Column): Column = call_function("quantize_int8", c)
+}
+
+/** Shared primitive-loop base for unary vector expressions. */
+trait VectorUnary extends Expression
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] with CodegenFallback {
+
+  def child: Expression
+
+  @transient protected lazy val childIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double>, got ${t.simpleString}")
+  }
+
+  protected def elem(a: ArrayData, i: Int): Double =
+    if (childIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  override def nullable: Boolean = true
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else evalVector(v.asInstanceOf[ArrayData])
+  }
+
+  protected def evalVector(a: ArrayData): Any
+}
+
+/** sqrt of the index-order sum of squares — bit-identical to the q40-style
+  * mirrored DuckDB fold.
+  */
+case class L2Norm(child: Expression) extends VectorUnary {
+  override def dataType: DataType = DoubleType
+  override protected def evalVector(a: ArrayData): Any = {
+    var s = 0.0; var i = 0; val n = a.numElements()
+    while (i < n) { val x = elem(a, i); s += x * x; i += 1 }
+    java.lang.Double.valueOf(math.sqrt(s))
+  }
+  override protected def withNewChildInternal(c: Expression): L2Norm = copy(child = c)
+  override def prettyName: String = "l2_norm"
+}
+
+case class L2Normalize(child: Expression) extends VectorUnary {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def evalVector(a: ArrayData): Any = {
+    var s = 0.0; var i = 0; val n = a.numElements()
+    while (i < n) { val x = elem(a, i); s += x * x; i += 1 }
+    if (s == 0.0) return null
+    val norm = math.sqrt(s)
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) { out(i) = elem(a, i) / norm; i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): L2Normalize = copy(child = c)
+  override def prettyName: String = "l2_normalize"
+}
+
+/** floor(x·127/maxabs + 0.5) per element (round-half-up, codes in
+  * [-127, 127] by construction — x = ±maxabs lands exactly on ±127).
+  */
+case class QuantizeInt8(child: Expression) extends VectorUnary {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def evalVector(a: ArrayData): Any = {
+    var mx = 0.0; var i = 0; val n = a.numElements()
+    while (i < n) { val x = math.abs(elem(a, i)); if (x > mx) mx = x; i += 1 }
+    if (mx == 0.0) return null
+    val out = new Array[Int](n)
+    i = 0
+    while (i < n) {
+      out(i) = math.floor(elem(a, i) * 127.0 / mx + 0.5).toInt
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): QuantizeInt8 = copy(child = c)
+  override def prettyName: String = "quantize_int8"
 }
 
 /** Element-wise mean of array<float> rows — a [[TypedImperativeAggregate]]

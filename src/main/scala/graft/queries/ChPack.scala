@@ -141,6 +141,26 @@ object ChPack {
           |ORDER BY day""".stripMargin)
     },
 
+    // CH uniqUpTo(N)(x): exact distinct count saturating at N+1, with a
+    // HARD O(N) per-group state bound (the point vs count distinct's
+    // expand plan: "does this group exceed N distinct" never buffers more
+    // than N+1 values, and saturated partials merge as one byte).
+    // Covers saturated (N=10 over users), unsaturated (N=5000), and
+    // string-typed (N=3 over event types) paths in one query.
+    "q68_uniq_up_to" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).eventsWithDefaults.createOrReplaceTempView("graft_upto_events")
+      s.sql(
+        """SELECT day,
+          |       uniqUpTo(10, user_id) AS uv_up10,
+          |       uniqUpTo(5000, user_id) AS uv_up5000,
+          |       uniqUpTo(3, event_type) AS types_up3,
+          |       uniqExact(user_id) AS uv_exact
+          |FROM graft_upto_events
+          |GROUP BY day
+          |ORDER BY day""".stripMargin)
+    },
+
     // SQL dictGet enrichment (ref dim.dict_user_dim.sql:24-27): broadcast
     // point-lookup, no shuffle of the fact side beyond the aggregation.
     "q24_dictget_sql" -> { (s, dir) =>
@@ -270,6 +290,14 @@ object ChPack {
         |JOIN quick ON quick.day = v1.day AND quick.user_id = v1.user_id
         |JOIN vp ON vp.day = v1.day AND vp.user_id = v1.user_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q68_uniq_up_to" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  LEAST(COUNT(DISTINCT user_id), 11) AS uv_up10,
+        |  LEAST(COUNT(DISTINCT user_id), 5001) AS uv_up5000,
+        |  LEAST(COUNT(DISTINCT event_type), 4) AS types_up3,
+        |  COUNT(DISTINCT user_id) AS uv_exact
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q24_dictget_sql" ->
       """SELECT n.n_name AS nation,

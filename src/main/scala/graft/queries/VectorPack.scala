@@ -84,6 +84,25 @@ object VectorPack {
         .orderBy("id_a", "id_b")
     },
 
+    // Embedding preprocessing: l2 norm + unit-normalize + symmetric int8
+    // quantization (the storage-shrink step before ANN indexing), exploded
+    // per dimension so every code and normalized value is hash-gated.
+    // All per-row expression work — no shuffle until the final sort.
+    "q65_embed_quantize" -> { (s, dir) =>
+      graft.functions.VectorOps.register(s)
+      Tables(s, dir).embeddings
+        .select(col("vec_id"),
+          graft.functions.VectorOps.l2_norm(col("embedding")).as("l2_norm"),
+          graft.functions.VectorOps.l2_normalize(col("embedding")).as("nvec"),
+          graft.functions.VectorOps.quantize_int8(col("embedding")).as("qvec"))
+        .select(col("vec_id"), col("l2_norm"),
+          posexplode(arrays_zip(col("nvec"), col("qvec"))))
+        .select(col("vec_id"), col("pos").as("i"),
+          round(col("col.nvec"), 6).as("nx"), col("col.qvec").as("q"),
+          round(col("l2_norm"), 6).as("l2_norm"))
+        .orderBy("vec_id", "i")
+    },
+
     // Embedding-cosine near-duplicate pairs (rows-only; LSH-bucketed).
     // Threshold sits where the synthetic corpus actually has pairs — random
     // 64-dim embeddings top out near cos 0.5.
@@ -122,6 +141,25 @@ object VectorPack {
         |SELECT id_a, id_b, ROUND(dot / (na * nb), 6) AS cos_sim
         |FROM s WHERE dot / (na * nb) >= CAST(0.3 AS DOUBLE)
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Same index-order sum-of-squares fold as q40 for the norm; maxabs is
+    // order-independent; the quantization expression (x·127/maxabs + 0.5,
+    // floored) is mirrored operation-for-operation so the codes match as
+    // integers and the rounded doubles match bit-for-bit.
+    "q65_embed_quantize" ->
+      """WITH b AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2n,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |  FROM embeddings)
+        |SELECT vec_id, CAST(i - 1 AS INT) AS i,
+        |  ROUND(CAST(embedding[i] AS DOUBLE) / l2n, 6) AS nx,
+        |  CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 127.0 / mx + 0.5) AS INT) AS q,
+        |  ROUND(l2n, 6) AS l2_norm
+        |FROM b, UNNEST(generate_series(1, len(embedding))) t(i)
+        |ORDER BY vec_id, i""".stripMargin,
 
     // Same mirrored fold as q40; rank on the UNROUNDED score (as Spark does),
     // ties by lowest neighbor id; rank surfaced as INT to match Spark's.
