@@ -68,6 +68,22 @@ object VectorPack {
         .orderBy("probe_id", "rank")
     },
 
+    // Product-quantized ANN (rows-only; seeded-deterministic k-means
+    // codebook is not SQL-mirrorable — recall proven in PqSpec via the
+    // shortlist+rerank pipeline): 8 bytes per vector instead of 256, ADC
+    // scoring = 8 table lookups per candidate.
+    "q67_knn_pq" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val probes = e.filter(col("vec_id").isin(0, 1, 2))
+      val cb = graft.similarity.Pq.trainCodebook(e, "vec_id", "embedding",
+        m = 8, ksub = 16, iterations = 1)
+      val enc = graft.similarity.Pq.encode(e, "vec_id", "embedding", cb)
+      graft.similarity.Pq.adcTopK(enc, cb, probes, "vec_id", "embedding", k = 10)
+        .select(col("probe_id"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"), col("rank"))
+        .orderBy("probe_id", "rank")
+    },
+
     // Exact all-pairs cosine near-dup — the oracle-gated verifier twin of
     // q43's LSH path (same threshold, same scoring expression). All-pairs
     // is O(n²) by definition: the declared query is the CORRECTNESS anchor

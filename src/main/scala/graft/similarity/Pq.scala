@@ -1,0 +1,220 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Product quantization (PQ) for embedding columns — the compression layer
+  * of large-scale ANN (Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011; the IVF-PQ combination is FAISS's
+  * workhorse at billion-vector scale).
+  *
+  * The vector space is split into `m` subspaces; each subspace gets its own
+  * `ksub`-centroid k-means codebook; a vector is stored as `m` small codes
+  * (m bytes at ksub ≤ 256) instead of `dim` floats — a 32× shrink for
+  * 64-dim float32 at m=8. Search uses ADC (asymmetric distance
+  * computation): per probe, ONE lookup table of `m × ksub` partial dot
+  * products is precomputed against the codebook; each candidate then costs
+  * `m` table lookups instead of `dim` multiplies.
+  *
+  * Distribution shape (the part that matters at 100 TB):
+  *  - training: one explode-to-subvectors pass per Lloyd iteration;
+  *    assignment is a broadcast-codebook map; the re-estimation exchange
+  *    moves O(m × ksub × dim/m) = O(ksub × dim) mean partials via the
+  *    map-side-combining `mean_vector` aggregate — never vectors;
+  *  - encoding: one scan, broadcast codebook, no shuffle;
+  *  - search: broadcast probes (with their LUTs), scan the code table,
+  *    per-probe top-k via the bounded-heap aggregate — O(probes × k)
+  *    rows cross the exchange.
+  *
+  * Codebooks are deterministic: seeded init (smallest xxhash64(id) sample,
+  * like [[Ann.pickCentroids]]) + Lloyd iterations in fixed double
+  * arithmetic — no RNG state, identical on every executor.
+  */
+object Pq {
+
+  /** [m][code][subdim] sub-centroids plus their squared norms. */
+  final case class Codebook(
+      m: Int, ksub: Int, dim: Int,
+      centroids: Array[Array[Array[Float]]]) {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subDim: Int = dim / m
+    /** |centroid|² per (m, code) — reconstruction norms are exact sums of
+      * these (subspaces are orthogonal coordinate blocks). */
+    lazy val cnorm2: Array[Array[Double]] =
+      centroids.map(_.map(c => { var s = 0.0; var i = 0
+        while (i < c.length) { s += c(i).toDouble * c(i); i += 1 }; s }))
+  }
+
+  private def l2Local(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+    s
+  }
+
+  private def nearestCode(sub: Array[Float], cents: Array[Array[Float]]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < cents.length) {
+      val d = l2Local(sub, cents(c))
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** (id, m_idx, subvec) rows — the training layout. */
+  private def subvectors(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, subDim: Int): DataFrame =
+    graft.engine.Warehouse.spreadForCompute(
+        corpus.select(col(idCol).as("id"), col(vecCol).as("vec")), "id")
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          i => slice(col("vec"), i * subDim + 1, lit(subDim)))))
+      .select(col("id"), col("pos").as("m_idx"), col("col").as("subvec"))
+
+  /** Train a PQ codebook: seeded deterministic init (the `ksub` corpus rows
+    * with smallest xxhash64(id) seed every subspace), then `iterations` of
+    * distributed Lloyd over all subspaces at once. Empty cells keep their
+    * previous centroid (the k-means empty-cluster convention).
+    */
+  def trainCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ksub: Int = 16, iterations: Int = 2): Codebook = {
+    val spark = corpus.sparkSession
+    graft.functions.VectorOps.register(spark)
+    val first = corpus.select(col(vecCol)).head()
+    val dim = first.getSeq[Float](0).length
+    require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
+    val subDim = dim / m
+
+    // init: one TakeOrdered over the corpus; sampled row j seeds code j in
+    // EVERY subspace (its j-th subvector slice)
+    val seed = corpus.select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(ksub)
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+    require(seed.length == ksub, s"corpus smaller than ksub=$ksub")
+    var cb = Array.tabulate(m, ksub) { (mi, c) =>
+      java.util.Arrays.copyOfRange(seed(c), mi * subDim, (mi + 1) * subDim)
+    }
+
+    val sub = subvectors(corpus, idCol, vecCol, m, subDim)
+    for (_ <- 1 to iterations) {
+      val bc = spark.sparkContext.broadcast(cb)
+      val assign = udf { (mi: Int, v: Seq[Float]) =>
+        nearestCode(v.toArray, bc.value(mi))
+      }
+      val updated = sub
+        .select(col("m_idx"), assign(col("m_idx"), col("subvec")).as("code"), col("subvec"))
+        .groupBy("m_idx", "code")
+        .agg(graft.functions.VectorOps.mean_vector(col("subvec")).as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2).toArray)
+        .toMap
+      cb = Array.tabulate(m, ksub) { (mi, c) => updated.getOrElse((mi, c), cb(mi)(c)) }
+    }
+    Codebook(m, ksub, dim, cb)
+  }
+
+  /** Encode the corpus: (id, codes array<int> of length m). One scan,
+    * broadcast codebook, no shuffle — persist/partition the result as the
+    * compressed index (m bytes of information per vector).
+    */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String, cb: Codebook): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(cb)
+    val enc = udf { (v: Seq[Float]) =>
+      val arr = v.toArray
+      val b = bc.value
+      Array.tabulate(b.m) { mi =>
+        nearestCode(java.util.Arrays.copyOfRange(arr, mi * b.subDim, (mi + 1) * b.subDim),
+          b.centroids(mi))
+      }
+    }
+    graft.engine.Warehouse.spreadForCompute(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec")), "neighbor_id")
+      .select(col("neighbor_id"), enc(col("vec")).as("codes"))
+  }
+
+  /** ADC top-k over an encoded corpus: per probe, precompute the
+    * `m × ksub` dot-product lookup table ONCE; each candidate costs m
+    * lookups (dot) + m lookups (reconstruction norm). Approximate cosine =
+    * dot(p, x̂) / (|p|·|x̂|); rerank against true vectors downstream if
+    * exactness at the top matters.
+    */
+  def adcTopK(encoded: DataFrame, cb: Codebook, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val spark = encoded.sparkSession
+    graft.functions.VectorOps.register(spark)
+    val bc = spark.sparkContext.broadcast(cb)
+    val lutOf = udf { (p: Seq[Float]) =>
+      val arr = p.toArray
+      val b = bc.value
+      val lut = new Array[Double](b.m * b.ksub)
+      var mi = 0
+      while (mi < b.m) {
+        var c = 0
+        while (c < b.ksub) {
+          val cent = b.centroids(mi)(c)
+          var s = 0.0; var i = 0
+          while (i < b.subDim) { s += arr(mi * b.subDim + i).toDouble * cent(i); i += 1 }
+          lut(mi * b.ksub + c) = s
+          c += 1
+        }
+        mi += 1
+      }
+      lut
+    }
+    val pnorm = udf { (p: Seq[Float]) =>
+      var s = 0.0; var i = 0
+      while (i < p.length) { s += p(i).toDouble * p(i); i += 1 }
+      math.sqrt(s)
+    }
+    val score = udf { (codes: Seq[Int], lut: Seq[Double], pn: Double) =>
+      val b = bc.value
+      var dot = 0.0; var xn2 = 0.0; var mi = 0
+      while (mi < b.m) {
+        val c = codes(mi)
+        dot += lut(mi * b.ksub + c)
+        xn2 += b.cnorm2(mi)(c)
+        mi += 1
+      }
+      if (xn2 == 0.0 || pn == 0.0) -2.0 else dot / (pn * math.sqrt(xn2))
+    }
+    val p = probes.select(col(idCol).as("probe_id"),
+      lutOf(col(vecCol)).as("lut"), pnorm(col(vecCol)).as("pn"))
+    val scored = encoded.crossJoin(broadcast(p))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cos_sim", score(col("codes"), col("lut"), col("pn")))
+      .drop("lut", "pn", "codes")
+    // reuse Ann's bounded-heap per-probe top-k (O(probes × k) exchange)
+    graft.functions.TopK.register(spark)
+    scored
+      .groupBy("probe_id")
+      .agg(graft.functions.TopK.topk_by_score(
+        struct(col("cos_sim").cast(DoubleType), col("neighbor_id").cast(LongType)), k).as("nn"))
+      .select(col("probe_id"), posexplode(col("nn")))
+      .select(col("probe_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("cos_sim"), (col("pos") + 1).cast(IntegerType).as("rank"))
+  }
+
+  /** Mean squared reconstruction error of a codebook over the corpus —
+    * the training objective; used to assert Lloyd iterations help.
+    */
+  def quantizationError(corpus: DataFrame, idCol: String, vecCol: String,
+      cb: Codebook): Double = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(cb)
+    val err = udf { (v: Seq[Float]) =>
+      val arr = v.toArray
+      val b = bc.value
+      var s = 0.0; var mi = 0
+      while (mi < b.m) {
+        val sub = java.util.Arrays.copyOfRange(arr, mi * b.subDim, (mi + 1) * b.subDim)
+        s += l2Local(sub, b.centroids(mi)(nearestCode(sub, b.centroids(mi))))
+        mi += 1
+      }
+      s
+    }
+    corpus.select(avg(err(col(vecCol)))).head().getDouble(0)
+  }
+}

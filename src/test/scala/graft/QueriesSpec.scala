@@ -23,12 +23,12 @@ class QueriesSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("the declared ledger shape holds: 67 queries, 62 oracle-backed") {
-    assert(SparkEntry.queries.size == 67)
+  test("the declared ledger shape holds: 68 queries, 62 oracle-backed") {
+    assert(SparkEntry.queries.size == 68)
     assert(SparkEntry.oracleSql.size == 62)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("q35_minhash_neardup", "q36_simhash_neardup",
-      "q42_knn_lsh", "q43_cosine_neardup", "q44_knn_ivf"),
+      "q42_knn_lsh", "q43_cosine_neardup", "q44_knn_ivf", "q67_knn_pq"),
       s"rows-only set changed: $rowsOnly — update COVERAGE.md's ledger")
   }
 }
