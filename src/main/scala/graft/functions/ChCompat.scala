@@ -54,6 +54,7 @@ object ChCompat {
     WindowFunnel.register(spark)
     SequenceMatch.register(spark)
     UniqUpTo.register(spark)
+    MapAggregates.register(spark)
     val reg = spark.sessionState.functionRegistry
     def f(name: String)(builder: Seq[Expression] => Expression): Unit =
       reg.createOrReplaceTempFunction(name, builder, "built-in")
@@ -108,6 +109,7 @@ object ChCompat {
     // CH topK(k)(x) -> topK(x[, k]): SpaceSaving heavy hitters, values only
     // (the est/err form is the library's freq_topk)
     f("topK") { es => FreqTopK.buildAgg(es, valuesOnly = true) }
+    f("topKWeighted") { es => FreqTopK.buildWeighted(es, valuesOnly = true) }
     // retention(c1..cn): array of 0/1 flags — r[0] = 1 iff c1 held on any
     // row of the group, r[i] = 1 iff BOTH c1 and ci held on (possibly
     // different) rows — CH's cohort-retention aggregate, composed from

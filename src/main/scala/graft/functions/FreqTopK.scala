@@ -9,7 +9,6 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types._
@@ -44,13 +43,33 @@ object FreqTopK {
     FreqTopKAgg(es.head, k, valuesOnly).toAggregateExpression()
   }
 
-  def register(spark: SparkSession): Unit =
+  private[functions] def buildWeighted(es: Seq[Expression], valuesOnly: Boolean): Expression = {
+    require(es.length == 2 || es.length == 3, "usage: topKWeighted(x, weight[, k])")
+    val k = es match {
+      case Seq(_, _) => 10
+      case Seq(_, _, Literal(v: Int, IntegerType)) => v
+      case _ => throw new IllegalArgumentException("topKWeighted: k must be an integer literal")
+    }
+    FreqTopKAgg(es.head, k, valuesOnly, weight = Some(es(1))).toAggregateExpression()
+  }
+
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "freq_topk", es => buildAgg(es, valuesOnly = false), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "freq_topk_weighted", es => buildWeighted(es, valuesOnly = false), "built-in")
+  }
 
   /** Frequent items with estimates: array<struct<value, est, err>>. */
   def freq_topk(x: Column, k: Int): Column =
     call_function("freq_topk", x, lit(k))
+
+  /** Weight-summing variant (CH topKWeighted): heaviest keys by summed
+    * BIGINT weight instead of row count — same sketch, increments of
+    * `weight` per row.
+    */
+  def freq_topk_weighted(x: Column, weight: Column, k: Int): Column =
+    call_function("freq_topk_weighted", x, weight, lit(k))
 }
 
 /** SpaceSaving counter set over Long or UTF8String keys. */
@@ -122,15 +141,22 @@ case class FreqTopKAgg(
     child: Expression,
     k: Int,
     valuesOnly: Boolean = false,
+    weight: Option[Expression] = None,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[FreqSketch] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[FreqSketch] {
 
   require(k > 0, s"topK: k must be positive, got $k")
   private val capacity = math.max(64, 8 * k)
 
+  override def children: Seq[Expression] = child +: weight.toSeq
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case LongType | StringType => TypeCheckResult.TypeCheckSuccess
+    case LongType | StringType => weight match {
+      case Some(w) if w.dataType != LongType => TypeCheckResult.TypeCheckFailure(
+        s"topKWeighted: weight must be BIGINT, got ${w.dataType.simpleString} (cast first)")
+      case _ => TypeCheckResult.TypeCheckSuccess
+    }
     case t => TypeCheckResult.TypeCheckFailure(
       s"topK requires a BIGINT or STRING key, got ${t.simpleString} (cast first)")
   }
@@ -139,10 +165,20 @@ case class FreqTopKAgg(
 
   override def update(buf: FreqSketch, row: InternalRow): FreqSketch = {
     val v = child.eval(row)
-    if (v != null) buf.add(v match {
-      case s: UTF8String => s.clone() // row-backed bytes are reused by Spark
-      case x => x
-    })
+    if (v != null) {
+      val inc = weight match {
+        case None => 1L
+        case Some(w) => w.eval(row) match {
+          case null => 0L
+          case x: Long => x
+        }
+      }
+      // zero/negative weights contribute nothing (CH skips non-positive)
+      if (inc > 0L) buf.add(v match {
+        case s: UTF8String => s.clone() // row-backed bytes are reused by Spark
+        case x => x
+      }, inc)
+    }
     buf
   }
 
@@ -207,7 +243,7 @@ case class FreqTopKAgg(
     copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): FreqTopKAgg =
     copy(inputAggBufferOffset = o)
-  override protected def withNewChildInternal(c: Expression): FreqTopKAgg =
-    copy(child = c)
-  override def prettyName: String = "freq_topk"
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): FreqTopKAgg =
+    copy(child = cs.head, weight = if (cs.length > 1) Some(cs(1)) else None)
+  override def prettyName: String = if (weight.isDefined) "freq_topk_weighted" else "freq_topk"
 }

@@ -161,6 +161,41 @@ object ChPack {
           |ORDER BY day""".stripMargin)
     },
 
+    // CH topKWeighted in its exact regime (5 event types ≪ 64-counter
+    // capacity — no eviction, est = exact weight sum, err = 0): per-day
+    // top-3 event types by summed integer-scaled value.
+    "q69_topk_weighted" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.{IntegerType, LongType}
+      graft.functions.FreqTopK.register(s)
+      Tables(s, dir).eventsWithDefaults
+        .withColumn("w", floor(col("value") * 1000).cast(LongType))
+        .groupBy("day")
+        .agg(graft.functions.FreqTopK.freq_topk_weighted(col("event_type"), col("w"), 3).as("t"))
+        .select(col("day"), posexplode(col("t")))
+        .select(col("day"), (col("pos") + lit(1)).cast(IntegerType).as("rank"),
+          col("col.value").as("etype"), col("col.est").as("wsum"), col("col.err").as("err"))
+        .orderBy("day", "rank")
+    },
+
+    // CH sumMap: per-day map of event_type → summed scaled value carried
+    // as ONE state per group (distinct keys, not rows), exploded back to
+    // rows for the gate. minMap/maxMap share the aggregate (spec-covered).
+    "q70_sum_map" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.LongType
+      graft.functions.MapAggregates.register(s)
+      Tables(s, dir).eventsWithDefaults
+        .withColumn("w", floor(col("value") * 1000).cast(LongType))
+        .groupBy("day")
+        .agg(graft.functions.MapAggregates.sum_map(
+          array(col("event_type")), array(col("w"))).as("m"))
+        .select(col("day"), col("m.values").as("vals"), posexplode(col("m.keys")))
+        .select(col("day"), col("col").as("etype"),
+          element_at(col("vals"), col("pos") + lit(1)).as("vsum"))
+        .orderBy("day", "etype")
+    },
+
     // SQL dictGet enrichment (ref dim.dict_user_dim.sql:24-27): broadcast
     // point-lookup, no shuffle of the fact side beyond the aggregation.
     "q24_dictget_sql" -> { (s, dir) =>
@@ -290,6 +325,24 @@ object ChPack {
         |JOIN quick ON quick.day = v1.day AND quick.user_id = v1.user_id
         |JOIN vp ON vp.day = v1.day AND vp.user_id = v1.user_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q69_topk_weighted" ->
+      """WITH c AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type AS etype,
+        |         CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS wsum
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT day, etype, wsum,
+        |         CAST(ROW_NUMBER() OVER (
+        |           PARTITION BY day ORDER BY wsum DESC, etype) AS INT) AS rank
+        |  FROM c)
+        |SELECT day, rank, etype, wsum, CAST(0 AS BIGINT) AS err
+        |FROM r WHERE rank <= 3 ORDER BY day, rank""".stripMargin,
+
+    "q70_sum_map" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type AS etype,
+        |  CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS vsum
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q68_uniq_up_to" ->
       """SELECT CAST(ts AS DATE) AS day,
