@@ -80,3 +80,16 @@ final case class MedianExactMetric(name: String, src: Column) extends Metric {
   val merge: Column = Medians.median_merge_state(col(name)).as(name)
   override val finish: Column => Column = Medians.median_finalize
 }
+
+/** AggregateFunction(sumMap): per-group key→sum breakdown map (CH metric
+  * tables carrying counter maps instead of one row per counter). The state
+  * is the sorted (keys, values) struct, and merging is just sumMap over
+  * the stored arrays — the aggregate is its own merge, so the OPTIMIZE-
+  * FINAL invariant holds by construction. State size ∝ the group's
+  * distinct keys. Requires MapAggregates.register (StateTable does this).
+  */
+final case class SumMapMetric(name: String, keys: Column, values: Column) extends Metric {
+  val state: Column = graft.functions.MapAggregates.sum_map(keys, values).as(name)
+  val merge: Column = graft.functions.MapAggregates
+    .sum_map(col(s"$name.keys"), col(s"$name.values")).as(name)
+}

@@ -45,6 +45,7 @@ final class StateTable(
     val metrics: Seq[Metric]) {
 
   Bitmaps.register(spark)
+  graft.functions.MapAggregates.register(spark)
   recoverFromCompact()
   recoverInFlightIngest()
 

@@ -57,6 +57,29 @@ class MapAggregatesSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("SumMapMetric: state-table merge-on-read equals direct aggregation") {
+    val dir = tmpDir("summap-state") + "/t"
+    val rows = Seq(
+      ("2024-01-01", "u1", Seq("view", "click"), Seq(1L, 2L)),
+      ("2024-01-01", "u2", Seq("view"), Seq(5L)),
+      ("2024-01-02", "u1", Seq("click"), Seq(3L)))
+      .toDF("day", "user", "ks", "vs")
+    val st = new graft.mv.StateTable(spark, dir,
+      keys = Seq("day", "user"), partitionCol = "day",
+      metrics = Seq(graft.mv.SumMapMetric("breakdown", $"ks", $"vs"),
+        graft.mv.CountMetric("cnt")))
+    // two appends + compact: the metric must survive partial/merge/compact
+    st.appendBatch(rows.filter($"user" === "u1"))
+    st.appendBatch(rows.filter($"user" === "u2"))
+    st.compact()
+    val got = st.finalized(Seq("day"))
+      .select($"day", $"breakdown.keys", $"breakdown.values", $"cnt")
+      .as[(String, Seq[String], Seq[Long], Long)].collect().toSet
+    assert(got == Set(
+      ("2024-01-01", Seq("click", "view"), Seq(2L, 6L), 2L),
+      ("2024-01-02", Seq("click"), Seq(3L), 1L)))
+  }
+
   test("topKWeighted: weight-summed ranking in the exact regime") {
     graft.functions.FreqTopK.register(spark)
     graft.functions.ChCompat.register(spark)
