@@ -248,8 +248,9 @@ object Pq {
     val p = probeTables(probes, cb, idCol, vecCol)
       .join(probes.select(col(idCol).as("probe_id"),
         explode(probeLists(col(vecCol))).as("list_id")), Seq("probe_id"))
-    val pruned = encoded.join(
-      ivf.select(col("neighbor_id"), col("list_id")), Seq("neighbor_id"))
+    val pruned =
+      if (encoded.columns.contains("list_id")) encoded // already prejoined/stored
+      else encoded.join(ivf.select(col("neighbor_id"), col("list_id")), Seq("neighbor_id"))
     val cand = pruned.join(broadcast(p), Seq("list_id"))
       .filter(col("neighbor_id") =!= col("probe_id"))
     scoreAndTopK(cand, cb, k)

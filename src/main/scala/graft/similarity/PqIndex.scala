@@ -1,0 +1,91 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF-PQ index — the on-disk form of the FAISS-style two-level
+  * layout, and the PQ sibling of [[IvfIndex]]: train once (coarse
+  * centroids + PQ codebook), then append embedding batches forever; the
+  * stored payload is `m` small codes per vector instead of the vector.
+  *
+  * Layout under `path`:
+  *  - `centroids/` — parquet (list_id INT, centroid ARRAY<FLOAT>): the
+  *    frozen coarse quantizer;
+  *  - `codebook/`  — parquet (m_idx INT, code INT, centroid ARRAY<FLOAT>):
+  *    the frozen PQ codebook;
+  *  - `data/`      — parquet (neighbor_id, codes ARRAY<INT>) partitioned
+  *    by `list_id`: searches with `nprobe` lists prune to `nprobe/nlist`
+  *    of the CODES at the file level — and the codes are already ~32×
+  *    smaller than the embeddings they stand for.
+  *
+  * Both quantizers are deterministic (seeded init + fixed-arithmetic
+  * Lloyd), so append-encoded batches are bit-identical to a rebuild with
+  * the same training corpus. Distribution drift needs an offline `build`
+  * + path swap, like IvfIndex.
+  */
+final class PqIndex(
+    spark: SparkSession,
+    path: String,
+    idCol: String = "vec_id",
+    vecCol: String = "embedding") {
+
+  private val centsPath = s"$path/centroids"
+  private val cbPath = s"$path/codebook"
+  private val dataPath = s"$path/data"
+
+  /** Train the coarse quantizer and PQ codebook on `corpus`, encode it,
+    * and write the full initial index (overwrites `path`).
+    */
+  def build(corpus: DataFrame, nlist: Int, m: Int = 8, ksub: Int = 16,
+      lloydIterations: Int = 2): Unit = {
+    import spark.implicits._
+    val cents = Ann.refineCentroids(corpus, idCol, vecCol,
+      Ann.pickCentroids(corpus, idCol, vecCol, nlist), lloydIterations)
+    cents.toSeq.map { case (i, v) => (i, v.toSeq) }
+      .toDF("list_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(centsPath)
+    val cb = Pq.trainCodebook(corpus, idCol, vecCol, m, ksub, lloydIterations)
+    (for (mi <- 0 until cb.m; c <- 0 until cb.ksub)
+      yield (mi, c, cb.centroids(mi)(c).toSeq))
+      .toDF("m_idx", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(cbPath)
+    writeBatch(corpus, cents, cb, overwrite = true)
+  }
+
+  /** The frozen coarse centroids. */
+  def centroids: Array[(Int, Array[Float])] =
+    spark.read.parquet(centsPath).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+
+  /** The frozen PQ codebook. */
+  def codebook: Pq.Codebook = {
+    val rows = spark.read.parquet(cbPath).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2).toArray)
+      .toMap
+    val m = rows.keySet.map(_._1).max + 1
+    val ksub = rows.keySet.map(_._2).max + 1
+    val dim = rows((0, 0)).length * m
+    Pq.Codebook(m, ksub, dim, Array.tabulate(m, ksub)((mi, c) => rows((mi, c))))
+  }
+
+  private def writeBatch(batch: DataFrame, cents: Array[(Int, Array[Float])],
+      cb: Pq.Codebook, overwrite: Boolean): Unit = {
+    val rows = Pq.encode(batch, idCol, vecCol, cb)
+      .join(Ann.ivfIndex(batch, idCol, vecCol, cents)
+        .select(col("neighbor_id"), col("list_id")), Seq("neighbor_id"))
+    rows.write.mode(if (overwrite) "overwrite" else "append")
+      .partitionBy("list_id").parquet(dataPath)
+  }
+
+  /** Encode a new batch against the frozen quantizers and append it. */
+  def append(batch: DataFrame): Unit =
+    writeBatch(batch, centroids, codebook, overwrite = false)
+
+  /** The persisted code table (list_id is the partition column). */
+  def index: DataFrame = spark.read.parquet(dataPath)
+
+  /** nprobe-list ADC search over everything indexed so far. */
+  def topK(probes: DataFrame, k: Int, nprobe: Int = 4): DataFrame =
+    Pq.ivfPqTopK(index, centroids, index, codebook, probes, idCol, vecCol, k, nprobe)
+}

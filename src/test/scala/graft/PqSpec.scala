@@ -103,6 +103,32 @@ class PqSpec extends SparkSpec {
     assert(pruned.nonEmpty)
   }
 
+  test("PqIndex: build/append round-trip, append == rebuild, pruned search works") {
+    import graft.similarity.PqIndex
+    val dir = tmpDir("pq-index") + "/ix"
+    val ix = new PqIndex(spark, dir)
+    val first = clustered.filter(col("vec_id") < 400)
+    val rest = clustered.filter(col("vec_id") >= 400)
+    ix.build(first, nlist = 8, m = 8, ksub = 16, lloydIterations = 1)
+    ix.append(rest)
+    // append-encoded rows are bit-identical to encoding the batch directly
+    // against the frozen quantizers
+    val stored = ix.index.collect()
+      .map(r => (r.getAs[Long]("neighbor_id"),
+        r.getAs[Seq[Int]]("codes"), r.getAs[Int]("list_id"))).toSet
+    val direct = Pq.encode(clustered, "vec_id", "embedding", ix.codebook)
+      .join(Ann.ivfIndex(clustered, "vec_id", "embedding", ix.centroids)
+        .select(col("neighbor_id"), col("list_id")), Seq("neighbor_id"))
+      .collect()
+      .map(r => (r.getAs[Long]("neighbor_id"),
+        r.getAs[Seq[Int]]("codes"), r.getAs[Int]("list_id"))).toSet
+    assert(stored == direct)
+    // search returns k dense-ranked rows per probe
+    val out = ix.topK(clustered.filter(col("vec_id") === 1), k = 5, nprobe = 4).collect()
+    assert(out.length == 5)
+    assert(out.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 5))
+  }
+
   test("ADC output shape: dense ranks, non-increasing scores") {
     val cb = Pq.trainCodebook(emb, "vec_id", "embedding", m = 8, ksub = 16, iterations = 1)
     val enc = Pq.encode(emb, "vec_id", "embedding", cb)
