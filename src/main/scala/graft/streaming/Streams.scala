@@ -86,6 +86,53 @@ object Streams {
     * across batches ordering is the stream's responsibility (use a
     * watermark + delayed trigger upstream if cross-batch reorder matters).
     */
+  final case class EnrichInput(
+      key: Long, ts: Timestamp, is_right: Boolean, value: String)
+  final case class DimVersion(tsMs: Long, value: String)
+  final case class Enriched(
+      key: Long, ts: Timestamp, value: String,
+      matched_value: Option[String], matched_ts: Option[Timestamp])
+
+  /** Streaming ASOF enrichment — the streaming twin of
+    * [[graft.operators.AsOfJoin]], and the event-time-versioned form of the
+    * dictionary refresh cycle (ST4): right-side rows are versioned dim
+    * updates, left-side rows are facts, and each fact is enriched with the
+    * LATEST dim version at-or-before its event time seen so far.
+    *
+    * Union both streams into [[EnrichInput]] (`is_right` = dim update).
+    * Per-key state is ONE (ts, value) pair — the newest dim version —
+    * so state is O(keys) like a broadcast dictionary, not O(history).
+    * Within a batch, events apply in (ts, right-before-left) order, so
+    * in-batch reordering is handled exactly; across batches a dim update
+    * that arrives AFTER a fact it should have enriched cannot rewrite the
+    * already-emitted fact (append semantics — the MV/merge-on-read path is
+    * the tool when late dims must reconcile).
+    */
+  def asofEnrich(input: Dataset[EnrichInput]): Dataset[Enriched] = {
+    import input.sparkSession.implicits._
+    input
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[DimVersion, Enriched](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[EnrichInput], state: GroupState[DimVersion]) =>
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[Enriched]
+          // right rows sort before left rows at equal ts (inclusive <=
+          // matching, same tie rule as the batch operator)
+          it.toSeq.sortBy(e => (e.ts.getTime, e.is_right != true)).foreach { e =>
+            if (e.is_right) {
+              if (st == null || e.ts.getTime >= st.tsMs) st = DimVersion(e.ts.getTime, e.value)
+            } else {
+              val m = Option(st).filter(_.tsMs <= e.ts.getTime)
+              out += Enriched(key, e.ts, e.value,
+                m.map(_.value), m.map(v => new Timestamp(v.tsMs)))
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   def funnelCompletions(
       events: Dataset[FunnelEvent],
       steps: Seq[String]): Dataset[FunnelCompletion] = {

@@ -79,6 +79,41 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming asof enrichment: dim versions carry across batches") {
+    import spark.implicits._
+    import graft.streaming.Streams.{EnrichInput, Enriched}
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[EnrichInput]
+    val q = Streams.asofEnrich(input.toDS()).writeStream
+      .format("memory").queryName("asof_out").outputMode("append").start()
+    try {
+      // batch 1: dim v1 at 10:00, fact at 10:05 (-> v1), fact at 09:00
+      // (before any dim -> unmatched), dim+fact at the same ts (inclusive)
+      input.addData(
+        EnrichInput(1L, ts("2024-01-01 10:00:00"), is_right = true, "v1"),
+        EnrichInput(1L, ts("2024-01-01 10:05:00"), is_right = false, "f1"),
+        EnrichInput(1L, ts("2024-01-01 09:00:00"), is_right = false, "f0"),
+        EnrichInput(2L, ts("2024-01-01 08:00:00"), is_right = true, "w1"),
+        EnrichInput(2L, ts("2024-01-01 08:00:00"), is_right = false, "g1"))
+      q.processAllAvailable()
+      // batch 2: facts enrich from batch-1 state; then dim v2 upgrades
+      // later facts within the same batch
+      input.addData(
+        EnrichInput(1L, ts("2024-01-01 10:10:00"), is_right = false, "f2"),
+        EnrichInput(1L, ts("2024-01-01 10:20:00"), is_right = true, "v2"),
+        EnrichInput(1L, ts("2024-01-01 10:30:00"), is_right = false, "f3"))
+      q.processAllAvailable()
+      val got = spark.table("asof_out").as[Enriched].collect()
+        .map(e => (e.key, e.value, e.matched_value)).toSet
+      assert(got == Set(
+        (1L, "f0", None),          // before any dim version
+        (1L, "f1", Some("v1")),
+        (2L, "g1", Some("w1")),    // same-ts dim matches (inclusive)
+        (1L, "f2", Some("v1")),    // state from batch 1
+        (1L, "f3", Some("v2"))))   // in-batch upgrade
+    } finally q.stop()
+  }
+
   test("funnel state carries across micro-batches (flatMapGroupsWithState)") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
