@@ -63,6 +63,52 @@ object ChCompat {
     f("toDate") { es => Cast(es.head, DateType) }
     f("toStartOfHour") { es => TruncTimestamp(Literal("HOUR"), es.head) }
     f("toStartOfDay") { es => TruncTimestamp(Literal("DAY"), es.head) }
+    f("toStartOfMinute") { es => TruncTimestamp(Literal("MINUTE"), es.head) }
+    f("toStartOfMonth") { es => Cast(TruncTimestamp(Literal("MONTH"), es.head), DateType) }
+    f("toStartOfQuarter") { es => Cast(TruncTimestamp(Literal("QUARTER"), es.head), DateType) }
+    // CH toMonday = Monday-start week truncation (toStartOfWeek's mode
+    // games are skipped — Spark/ISO weeks start Monday, same as toMonday)
+    f("toMonday") { es => Cast(TruncTimestamp(Literal("WEEK"), es.head), DateType) }
+    f("toYear") { es => Year(es.head) }
+    f("toQuarter") { es => Quarter(es.head) }
+    f("toMonth") { es => Month(es.head) }
+    f("toDayOfMonth") { es => DayOfMonth(es.head) }
+    f("toHour") { es => Hour(es.head) }
+    f("toMinute") { es => Minute(es.head) }
+    f("toSecond") { es => Second(es.head) }
+    // the PARTITION BY staples: toYYYYMM(ts) = 202401, toYYYYMMDD = 20240131
+    f("toYYYYMM") { es =>
+      Add(Multiply(Year(es.head), Literal(100)), Month(es.head))
+    }
+    f("toYYYYMMDD") { es =>
+      Add(Multiply(Add(Multiply(Year(es.head), Literal(100)), Month(es.head)),
+        Literal(100)), DayOfMonth(es.head))
+    }
+    // formatDateTime with CH/MySQL specifiers (%i = minute); translated to
+    // a Java pattern at registration time
+    f("formatDateTime") { es =>
+      val fmt = es(1) match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) => s.toString
+        case other => throw new IllegalArgumentException(
+          s"formatDateTime: format must be a string literal, got $other")
+      }
+      DateFormatClass(es.head, Literal(ChCompat.chFormatToJava(fmt)))
+    }
+    f("intDiv") { es => IntegralDivide(es(0), es(1), EvalMode.LEGACY) }
+    f("splitByChar") { es =>
+      val sep = es.head match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) => s.toString
+        case other => throw new IllegalArgumentException(
+          s"splitByChar: separator must be a string literal, got $other")
+      }
+      require(sep.length == 1, s"splitByChar: separator must be one char, got '$sep'")
+      StringSplit(es(1), Literal(java.util.regex.Pattern.quote(sep)), Literal(-1))
+    }
+    f("arrayStringConcat") { es =>
+      ArrayJoin(es.head, if (es.length > 1) es(1) else Literal(""), None)
+    }
+    f("empty") { es => EqualTo(Length(es.head), Literal(0)) }
+    f("notEmpty") { es => GreaterThan(Length(es.head), Literal(0)) }
     // CH toUInt32 truncates fractions toward zero (as Cast does) and wraps
     // negatives/overflow mod 2^32 (Cast alone would pass negatives through)
     f("toUInt32") { es => BitwiseAnd(Cast(es.head, LongType), Literal(0xFFFFFFFFL)) }
@@ -220,6 +266,42 @@ object ChCompat {
     */
   private def onlyIf(cond: Expression, value: Expression): Expression =
     If(cond, value, Literal(null))
+
+  /** CH/MySQL formatDateTime specifiers → Java DateTimeFormatter pattern.
+    * Note %i is minute (the MySQL convention CH follows); unsupported
+    * specifiers fail loudly rather than formatting garbage. Literal
+    * letters are single-quoted for Java; quotes themselves are doubled.
+    */
+  private[functions] def chFormatToJava(fmt: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        fmt.charAt(i + 1) match {
+          case 'Y' => out.append("yyyy")
+          case 'y' => out.append("yy")
+          case 'm' => out.append("MM")
+          case 'd' => out.append("dd")
+          case 'H' => out.append("HH")
+          case 'i' => out.append("mm")
+          case 'S' => out.append("ss")
+          case 'F' => out.append("yyyy-MM-dd")
+          case 'T' => out.append("HH:mm:ss")
+          case '%' => out.append('%')
+          case other => throw new IllegalArgumentException(
+            s"formatDateTime: unsupported specifier %$other in '$fmt'")
+        }
+        i += 2
+      } else {
+        if (c == '\'') out.append("''")
+        else if (c.isLetter) out.append('\'').append(c).append('\'')
+        else out.append(c)
+        i += 1
+      }
+    }
+    out.toString
+  }
 
   /** uniqCombinedState: Datasketches HLL partial, lgK=12 everywhere so
     * states written by any query merge with any other (doc:304-505).

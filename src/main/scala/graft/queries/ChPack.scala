@@ -196,6 +196,28 @@ object ChPack {
         .orderBy("day", "etype")
     },
 
+    // CH scalar-dialect battery: the date-partitioning staples
+    // (toYYYYMM/toStartOfMonth/toMonday), formatDateTime (MySQL-style
+    // specifiers, %i = minute), splitByChar/arrayStringConcat,
+    // empty/notEmpty, intDiv — all per-row expressions, gated row-exact.
+    "q71_ch_scalars" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).events.createOrReplaceTempView("graft_scalar_events")
+      s.sql(
+        """SELECT event_id,
+          |       toYYYYMM(ts) AS yyyymm,
+          |       toYYYYMMDD(ts) AS yyyymmdd,
+          |       toStartOfMonth(ts) AS month_start,
+          |       toMonday(ts) AS week_monday,
+          |       toYear(ts) AS y, toHour(ts) AS h,
+          |       formatDateTime(ts, '%Y-%m-%d %H:%i:%S') AS formatted,
+          |       arrayStringConcat(splitByChar(':', props), '|') AS props_split,
+          |       notEmpty(event_type) AS has_type,
+          |       intDiv(event_id, 7) AS id_div7
+          |FROM graft_scalar_events
+          |ORDER BY event_id""".stripMargin)
+    },
+
     // SQL dictGet enrichment (ref dim.dict_user_dim.sql:24-27): broadcast
     // point-lookup, no shuffle of the fact side beyond the aggregation.
     "q24_dictget_sql" -> { (s, dir) =>
@@ -325,6 +347,19 @@ object ChPack {
         |JOIN quick ON quick.day = v1.day AND quick.user_id = v1.user_id
         |JOIN vp ON vp.day = v1.day AND vp.user_id = v1.user_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q71_ch_scalars" ->
+      """SELECT event_id,
+        |  CAST(year(ts) * 100 + month(ts) AS INT) AS yyyymm,
+        |  CAST((year(ts) * 100 + month(ts)) * 100 + day(ts) AS INT) AS yyyymmdd,
+        |  CAST(date_trunc('month', ts) AS DATE) AS month_start,
+        |  CAST(date_trunc('week', ts) AS DATE) AS week_monday,
+        |  CAST(year(ts) AS INT) AS y, CAST(hour(ts) AS INT) AS h,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS formatted,
+        |  array_to_string(string_split(props, ':'), '|') AS props_split,
+        |  length(event_type) > 0 AS has_type,
+        |  event_id // 7 AS id_div7
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q69_topk_weighted" ->
       """WITH c AS (
