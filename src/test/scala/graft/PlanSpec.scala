@@ -114,4 +114,22 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$q: CartesianProduct in plan")
     }
   }
+
+  private def hashExchanges(name: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(planStr(name)).length
+
+  test("asof/session/aggregate plans keep their exchange budgets") {
+    // q63: one exchange per union side feeding ONE window pass; no joins
+    assert(hashExchanges("q63_asof_join") <= 2,
+      s"asof join grew extra shuffles: ${hashExchanges("q63_asof_join")}")
+    assert(!planStr("q63_asof_join").contains("CartesianProduct"))
+    // q64: the session aggregation must REUSE the window's user_id
+    // partitioning (HashPartitioning(user) satisfies clustering on
+    // (user, session_seq)) — exactly one exchange end-to-end
+    assert(hashExchanges("q64_sessions") == 1,
+      s"sessionize should be a single-exchange pipeline: ${hashExchanges("q64_sessions")}")
+    // q69/q70: object-hash aggregates, one partial/final exchange each
+    assert(hashExchanges("q69_topk_weighted") == 1)
+    assert(hashExchanges("q70_sum_map") == 1)
+  }
 }
