@@ -212,6 +212,36 @@ final class StateTable(
     cachedSchema = None
   }
 
+  /** MV-on-MV cascade — the reference's dwm → dws layering as a state-to-
+    * state rollup: re-aggregate THIS table's stored states at the (coarser)
+    * keys of `target` and append the result to it. No raw data is touched
+    * and nothing is finalized — states merge directly into states (bitmaps
+    * OR, HLL union, sums re-sum), so the cascade costs one scan of the
+    * source states, which are already ≪ raw.
+    *
+    * `target.metrics` must be a subset of this table's metrics by name
+    * (same state encodings — they merge with this table's merge
+    * expressions); `target.keys` must be a subset of this table's keys.
+    *
+    * Each `rollupTo` call APPENDS (insert-trigger semantics, like a CH MV
+    * firing on insert): roll a given slice up exactly once — the `where`
+    * filter scopes the slice (e.g. one closed day). Re-running a slice
+    * double-counts, exactly as re-inserting into a CH MV would; pair with
+    * the target's exactly-once ledger when the cascade is driven from a
+    * retried stream.
+    */
+  def rollupTo(target: StateTable, where: org.apache.spark.sql.Column = lit(true)): Unit = {
+    val missing = target.metrics.map(_.name).filterNot(n => metrics.exists(_.name == n))
+    require(missing.isEmpty, s"rollupTo: target metrics not in source: ${missing.mkString(",")}")
+    val badKeys = target.keys.filterNot(keys.contains)
+    require(badKeys.isEmpty, s"rollupTo: target keys not in source: ${badKeys.mkString(",")}")
+    val cols = metrics.filter(m => target.metrics.exists(_.name == m.name)).map(_.merge)
+    target.append(
+      read().filter(where)
+        .groupBy(target.keys.map(col): _*)
+        .agg(cols.head, cols.tail: _*))
+  }
+
   private def fileSystem(): FileSystem =
     FileSystem.get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
 

@@ -97,6 +97,32 @@ class StateTableSpec extends SparkSpec {
     assertSameResult(got, direct(Seq("day", "etype")))
   }
 
+  test("rollupTo cascades dwm states into a persisted dws table (MV-on-MV)") {
+    val dir = tmpDir("state")
+    val dwm = newTable(dir + "/dwm")
+    Seq(batch1, batch2, batch3).foreach(dwm.appendBatch)
+    // dws carries the re-aggregable subset at (day, etype)
+    val dws = new StateTable(spark, dir + "/dws",
+      keys = Seq("day", "etype"), partitionCol = "day",
+      metrics = Seq(
+        BitmapUvMetric("uv", col("uid")),
+        SumMetric("value_sum", dec(col("value"))),
+        CountMetric("cnt"),
+        MaxMetric("value_max", col("value"))))
+    // cascade one day at a time (insert-trigger semantics: each slice once)
+    dwm.rollupTo(dws, col("day") === to_date(lit("2024-01-01")))
+    dwm.rollupTo(dws, col("day") === to_date(lit("2024-01-02")))
+    val got = dws.finalized(Seq("day", "etype"))
+    val exp = direct(Seq("day", "etype"))
+      .select("day", "etype", "uv", "value_sum", "cnt", "value_max")
+    assertSameResult(got, exp)
+    // guard rails: unknown metric / key must be rejected
+    val bad = new StateTable(spark, dir + "/bad",
+      keys = Seq("day"), partitionCol = "day",
+      metrics = Seq(CountMetric("nope")))
+    intercept[IllegalArgumentException](dwm.rollupTo(bad))
+  }
+
   test("compaction is read-equivalent and reduces row count (doc:953-995)") {
     val dir = tmpDir("state")
     val st = newTable(dir + "/t")
