@@ -24,26 +24,41 @@ final class MaterializedView(
     val name: String,
     transform: DataFrame => DataFrame,
     val target: StateTable,
-    preAggregated: Boolean = false) {
+    preAggregated: Boolean = false,
+    cascades: Seq[StateTable] = Nil) {
+
+  /** This batch's state rows (the MV SELECT applied to the inserted block). */
+  private def batchStates(batch: DataFrame): DataFrame =
+    if (preAggregated) transform(batch) else target.toStates(transform(batch))
 
   /** Process one insert batch (the trigger firing). With `preAggregated`
     * the transform already emits state rows (e.g. a CH-dialect `-State`
     * SELECT, see [[MaterializedView.fromSql]]) and is appended as-is;
-    * otherwise the state table runs its own partial aggregation.
+    * otherwise the state table runs its own partial aggregation. Each
+    * `cascades` table then receives the SAME batch states re-aggregated at
+    * its keys — the MV-on-MV chain (dwm → dws) firing per inserted block.
     */
-  def processBatch(batch: DataFrame): Unit =
-    if (preAggregated) target.append(transform(batch))
-    else target.appendBatch(transform(batch))
+  def processBatch(batch: DataFrame): Unit = {
+    val states = batchStates(batch)
+    target.append(states)
+    cascades.foreach(c => target.cascadeBatch(c, states))
+  }
 
   /** Process one insert batch exactly once, keyed by the stream's batchId —
     * a foreachBatch retry after a sink-side crash re-delivers the same id,
     * and the state table's ledger makes the replay a no-op (ClickHouse's
-    * inserted-block dedup, here with durable markers). Returns false on a
-    * deduplicated replay.
+    * inserted-block dedup, here with durable markers). Every cascade table
+    * dedups the id against ITS OWN ledger, so a crash between the dwm and
+    * dws commits heals on replay — each table re-ingests only what it
+    * missed. Returns false when the primary append was a deduplicated
+    * replay.
     */
-  def processBatchExactlyOnce(batch: DataFrame, batchId: Long): Boolean =
-    if (preAggregated) target.appendExactlyOnce(transform(batch), batchId)
-    else target.appendBatchExactlyOnce(transform(batch), batchId)
+  def processBatchExactlyOnce(batch: DataFrame, batchId: Long): Boolean = {
+    val states = batchStates(batch)
+    val fresh = target.appendExactlyOnce(states, batchId)
+    cascades.foreach(c => target.cascadeBatchExactlyOnce(c, states, batchId))
+    fresh
+  }
 
   /** Attach to a micro-batch stream: each micro-batch ≙ one insert batch
     * (the generators' ~2000-row/10s cadence, ref make_user_action_001.py:50-62).

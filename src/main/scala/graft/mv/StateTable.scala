@@ -230,16 +230,30 @@ final class StateTable(
     * the target's exactly-once ledger when the cascade is driven from a
     * retried stream.
     */
-  def rollupTo(target: StateTable, where: org.apache.spark.sql.Column = lit(true)): Unit = {
+  def rollupTo(target: StateTable, where: org.apache.spark.sql.Column = lit(true)): Unit =
+    target.append(reaggregateFor(target, read().filter(where)))
+
+  /** Per-batch cascade (the MV-on-MV insert trigger firing for ONE inserted
+    * block): `states` — rows in THIS table's state encoding, e.g. the batch
+    * just appended here — re-aggregated at `target`'s keys and appended.
+    */
+  def cascadeBatch(target: StateTable, states: DataFrame): Unit =
+    target.append(reaggregateFor(target, states))
+
+  /** Exactly-once per-batch cascade: the target's own ledger dedups the
+    * batchId independently of this table's, so a crash between the two
+    * commits heals on replay (each table re-ingests only what it missed).
+    */
+  def cascadeBatchExactlyOnce(target: StateTable, states: DataFrame, batchId: Long): Boolean =
+    target.appendExactlyOnce(reaggregateFor(target, states), batchId)
+
+  private def reaggregateFor(target: StateTable, states: DataFrame): DataFrame = {
     val missing = target.metrics.map(_.name).filterNot(n => metrics.exists(_.name == n))
     require(missing.isEmpty, s"rollupTo: target metrics not in source: ${missing.mkString(",")}")
     val badKeys = target.keys.filterNot(keys.contains)
     require(badKeys.isEmpty, s"rollupTo: target keys not in source: ${badKeys.mkString(",")}")
     val cols = metrics.filter(m => target.metrics.exists(_.name == m.name)).map(_.merge)
-    target.append(
-      read().filter(where)
-        .groupBy(target.keys.map(col): _*)
-        .agg(cols.head, cols.tail: _*))
+    states.groupBy(target.keys.map(col): _*).agg(cols.head, cols.tail: _*)
   }
 
   private def fileSystem(): FileSystem =

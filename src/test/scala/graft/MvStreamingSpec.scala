@@ -80,6 +80,69 @@ class MvStreamingSpec extends SparkSpec {
     assert(gotRows.toSeq == expRows.toSeq)
   }
 
+  test("MV cascade: dwm and dws stay consistent per micro-batch, exactly-once") {
+    import spark.implicits._
+    val srcDir = tmpDir("cascade-src")
+    val base = tmpDir("cascade-state")
+    val ckDir = tmpDir("cascade-ck")
+
+    val dwm = new StateTable(spark, base + "/dwm",
+      keys = Seq("day", "hour", "etype"), partitionCol = "day",
+      metrics = Seq(
+        BitmapUvMetric("uv", col("uid")),
+        SumMetric("value_sum", dec(col("value"))),
+        CountMetric("cnt")))
+    val dws = new StateTable(spark, base + "/dws",
+      keys = Seq("day", "etype"), partitionCol = "day",
+      metrics = Seq(
+        BitmapUvMetric("uv", col("uid")),
+        SumMetric("value_sum", dec(col("value"))),
+        CountMetric("cnt")))
+
+    val mv = new MaterializedView("mv_cascade",
+      batch => graft.engine.Warehouse.withTimeDefaults(batch, "ts"),
+      dwm, cascades = Seq(dws))
+
+    def writeBatch(rows: Seq[(String, Long, String, Double)], part: Int): Unit =
+      rows.toDF("ts_s", "uid", "etype", "value")
+        .select(col("ts_s").cast(TimestampType).as("ts"), col("uid"), col("etype"), col("value"))
+        .coalesce(1).write.mode("append").parquet(srcDir + s"/b$part")
+
+    val b1 = Seq(("2024-01-01 10:05:00", 1L, "view", 10.0), ("2024-01-01 11:40:00", 2L, "view", 5.5))
+    val b2 = Seq(("2024-01-01 10:10:00", 1L, "view", 2.0), ("2024-01-02 09:00:00", 3L, "click", 1.5))
+    writeBatch(b1, 1)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir + "/*")
+    val q = mv.attach(stream, Trigger.ProcessingTime("1 second"), Some(ckDir))
+    try {
+      writeBatch(b2, 2)
+      val deadline = System.currentTimeMillis() + 60000
+      def ingested(): Boolean =
+        try dws.read().agg(sum(col("cnt"))).collect()(0).getLong(0) == 4L
+        catch { case _: Exception => false }
+      while (!ingested() && System.currentTimeMillis() < deadline) Thread.sleep(300)
+      assert(ingested(), "cascade did not ingest all batches in time")
+    } finally q.stop()
+
+    // the persisted dws equals the dwm rolled up at (day, etype) — the
+    // cascade fired once per block and never double-counted
+    val viaDwm = dwm.finalized(Seq("day", "etype"))
+      .select("day", "etype", "uv", "value_sum", "cnt")
+      .collect().map(_.toSeq.map(_.toString)).sortBy(_.mkString("|"))
+    val viaDws = dws.finalized(Seq("day", "etype"))
+      .select("day", "etype", "uv", "value_sum", "cnt")
+      .collect().map(_.toSeq.map(_.toString)).sortBy(_.mkString("|"))
+    assert(viaDws.toSeq == viaDwm.toSeq)
+
+    // replaying a committed batch id is a no-op on BOTH ledgers
+    val replay = Seq(("2024-01-01 10:05:00", 9L, "view", 99.0))
+      .toDF("ts_s", "uid", "etype", "value")
+      .select(col("ts_s").cast(TimestampType).as("ts"), col("uid"), col("etype"), col("value"))
+    assert(!mv.processBatchExactlyOnce(replay, 0L))
+    assert(dws.read().agg(sum(col("cnt"))).collect()(0).getLong(0) == 4L)
+  }
+
   test("ST4: dictionary snapshot refresh between batches changes enrichment") {
     import spark.implicits._
     // transform re-reads the dim snapshot per batch — the foreachBatch analog
