@@ -109,6 +109,34 @@ object ChCompat {
     }
     f("empty") { es => EqualTo(Length(es.head), Literal(0)) }
     f("notEmpty") { es => GreaterThan(Length(es.head), Literal(0)) }
+    // ---- CH array functions (lambda-first argument order) ------------
+    f("arrayMap") { es => ArrayTransform(es(1), es.head) }
+    f("arrayFilter") { es => ArrayFilter(es(1), es.head) }
+    f("arrayExists") { es => ArrayExists(es(1), es.head) }
+    f("arrayAll") { es => ArrayForAll(es(1), es.head) }
+    // the analyzer only admits lambda args when the registered function
+    // RESOLVES to a HigherOrderFunction, so arrayCount must BE one —
+    // an aggregate folding the user's predicate, not Size(ArrayFilter)
+    f("arrayCount") { es =>
+      val lf = es.head.asInstanceOf[LambdaFunction]
+      val acc = UnresolvedNamedLambdaVariable(Seq("__count_acc"))
+      val merge = LambdaFunction(
+        Add(acc, If(lf.function, Literal(1), Literal(0))), acc +: lf.arguments)
+      ArrayAggregate(es(1), Literal(0), merge, LambdaFunction.identity)
+    }
+    f("has") { es => ArrayContains(es(0), es(1)) }
+    f("hasAny") { es => ArraysOverlap(es(0), es(1)) }
+    f("arrayDistinct") { es => ArrayDistinct(es.head) }
+    f("arrayUniq") { es => Size(ArrayDistinct(es.head)) }
+    f("arraySort") { es => new SortArray(es.head) }
+    f("arrayReverse") { es => Reverse(es.head) }
+    f("indexOf") { es => ArrayPosition(es(0), es(1)) }
+    f("arrayConcat") { es => Concat(es) }
+    f("arrayFlatten") { es => Flatten(es.head) }
+    f("arraySlice") { es =>
+      if (es.length == 3) Slice(es(0), es(1), es(2))
+      else Slice(es(0), es(1), Subtract(Size(es(0)), Subtract(es(1), Literal(1))))
+    }
     // CH toUInt32 truncates fractions toward zero (as Cast does) and wraps
     // negatives/overflow mod 2^32 (Cast alone would pass negatives through)
     f("toUInt32") { es => BitwiseAnd(Cast(es.head, LongType), Literal(0xFFFFFFFFL)) }

@@ -218,6 +218,27 @@ object ChPack {
           |ORDER BY event_id""".stripMargin)
     },
 
+    // CH array-function battery over tokenized documents: lambda-first
+    // arrayMap/arrayFilter/arrayCount, has/indexOf (CH's 0-when-absent),
+    // arrayDistinct/arraySort/arraySlice composition — all HOF/array
+    // expressions, gated row-exact.
+    "q72_ch_arrays" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).documents
+        .select(col("doc_id"), graft.text.TextFunctions.tokens(col("text")).as("toks"))
+        .createOrReplaceTempView("graft_arr_docs")
+      s.sql(
+        """SELECT doc_id,
+          |       arrayCount(t -> length(t) > 4, toks) AS long_toks,
+          |       arrayUniq(toks) AS uniq_toks,
+          |       has(toks, 'the') AS has_the,
+          |       indexOf(toks, 'the') AS the_pos,
+          |       arrayStringConcat(arraySlice(arraySort(arrayDistinct(toks)), 1, 3), ',') AS first3,
+          |       arrayExists(t -> t = 'data', toks) AS mentions_data
+          |FROM graft_arr_docs
+          |ORDER BY doc_id""".stripMargin)
+    },
+
     // SQL dictGet enrichment (ref dim.dict_user_dim.sql:24-27): broadcast
     // point-lookup, no shuffle of the fact side beyond the aggregation.
     "q24_dictget_sql" -> { (s, dir) =>
@@ -347,6 +368,20 @@ object ChPack {
         |JOIN quick ON quick.day = v1.day AND quick.user_id = v1.user_id
         |JOIN vp ON vp.day = v1.day AND vp.user_id = v1.user_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q72_ch_arrays" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(toks, t -> length(t) > 4)) AS INT) AS long_toks,
+        |  CAST(len(list_distinct(toks)) AS INT) AS uniq_toks,
+        |  list_contains(toks, 'the') AS has_the,
+        |  CAST(COALESCE(list_position(toks, 'the'), 0) AS BIGINT) AS the_pos,
+        |  array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS first3,
+        |  len(list_filter(toks, t -> t = 'data')) > 0 AS mentions_data
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "q71_ch_scalars" ->
       """SELECT event_id,
