@@ -110,6 +110,7 @@ object PipelinePack {
     // is total-order deterministic).
     "q62_quality_topk" -> { (s, dir) =>
       graft.functions.TopK.register(s)
+      TextFunctions.register(s)
       val scored = graft.engine.Warehouse
         .spreadForCompute(Tables(s, dir).documents, "doc_id")
         .select(col("doc_id"), col("lang"), col("text"),

@@ -23,8 +23,10 @@ object TextPack {
     * does CPU-heavy per-row work (tokenize/langid/minhash) that must not
     * run on one core. No-op on wide inputs (Warehouse.spreadForCompute).
     */
-  private def docs(s: SparkSession, dir: String): DataFrame =
+  private def docs(s: SparkSession, dir: String): DataFrame = {
+    TextFunctions.register(s) // token_set_count behind quality/langid
     graft.engine.Warehouse.spreadForCompute(Tables(s, dir).documents, "doc_id")
+  }
 
   val queries: Map[String, Q] = Map(
     // Exact dedup accounting per (lang, source): md5-keyed distinct counts.

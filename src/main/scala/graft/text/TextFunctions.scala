@@ -1,8 +1,15 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{CreateArray, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Text-analysis primitives for large-scale training-data pipelines:
   * tokenization, quality scoring, language ID, fingerprinting. Everything
@@ -12,6 +19,35 @@ import org.apache.spark.sql.types._
   * CPU-bound instead of serialization-bound.
   */
 object TextFunctions {
+
+  /** Registers [[TokenSetCount]] as `token_set_count(arr, array('a',...),
+    * lowercase)` — the stopword-hit counter behind [[qualityFeatures]] and
+    * [[langId]]. Query packs and ChCompat call this; ad-hoc users of those
+    * two functions must too.
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "token_set_count", es => {
+        require(es.length == 3, "usage: token_set_count(arr, array('w',...), lowercase)")
+        val words = es(1) match {
+          case CreateArray(items, _) => items.map {
+            case Literal(s: UTF8String, StringType) => s.toString
+            case other => throw new IllegalArgumentException(
+              s"token_set_count: word list must be string literals, got $other")
+          }
+          case other => throw new IllegalArgumentException(
+            s"token_set_count: second arg must be an array literal, got $other")
+        }
+        val lc = es(2) match {
+          case Literal(b: Boolean, BooleanType) => b
+          case other => throw new IllegalArgumentException(
+            s"token_set_count: lowercase flag must be a boolean literal, got $other")
+        }
+        TokenSetCount(es.head, words, lc)
+      }, "built-in")
+
+  private[text] def tokenSetCount(arr: Column, words: Seq[String], lowercase: Boolean): Column =
+    call_function("token_set_count", arr, array(words.map(lit): _*), lit(lowercase))
 
   /** Whitespace tokens, empties dropped. */
   def tokens(text: Column): Column =
@@ -71,8 +107,10 @@ object TextFunctions {
       stopwords: Seq[String] = defaultStopwords): Column = {
     val nTok = size(toks)
     val nChar = length(text)
-    val stopArr = array(stopwords.map(lit): _*)
-    val stopCnt = size(filter(toks, t => array_contains(stopArr, lower(t))))
+    // hash-set expression, not a filter lambda: higher-order functions
+    // evaluate interpreted with a per-element linear array_contains scan;
+    // TokenSetCount is one primitive loop + O(1) set probes per token
+    val stopCnt = tokenSetCount(toks, stopwords, lowercase = true)
     val punctCnt = size(regexp_extract_all(text, lit("[\\p{Punct}]"), lit(0)))
     val digitCnt = size(regexp_extract_all(text, lit("[0-9]"), lit(0)))
     val uniqTok = size(array_distinct(toks))
@@ -141,13 +179,58 @@ object TextFunctions {
           words.map(w =>
             length(text) - length(call_function("replace", text, lit(w), lit(""))))
             .reduce(_ + _)
-        else {
-          val arr = array(words.map(lit): _*)
-          size(filter(ltoks, t => array_contains(arr, t)))
-        }
+        else tokenSetCount(ltoks, words, lowercase = false)
       struct(hits.as("hits"), lit(lang).as("lang"))
     }
     val best = greatest(scores: _*) // struct compare: hits first, then lang
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
+}
+
+/** Count of array elements present in a fixed word set — the hot inner
+  * loop of stopword-based quality scoring and language ID, as a primitive
+  * Catalyst expression: one `java.util.HashSet` probe per token instead of
+  * an interpreted lambda + linear `array_contains` scan. Exactly mirrors
+  * `size(filter(arr, t => array_contains(words, [lower](t))))` on non-null
+  * input (null elements skipped, null array → null), so the DuckDB oracles
+  * for q32/q37/q39 hold unchanged.
+  */
+case class TokenSetCount(child: Expression, words: Seq[String], lowercase: Boolean)
+  extends Expression with UnaryLike[Expression] with CodegenFallback {
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.length * 2)
+    words.foreach(w => s.add(UTF8String.fromString(if (lowercase) w.toLowerCase else w)))
+    s
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"token_set_count requires array<string>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val a = v.asInstanceOf[ArrayData]
+    var cnt = 0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val t = a.getUTF8String(i)
+        if (set.contains(if (lowercase) t.toLowerCase else t)) cnt += 1
+      }
+      i += 1
+    }
+    cnt
+  }
+
+  override protected def withNewChildInternal(c: Expression): TokenSetCount =
+    copy(child = c)
+  override def prettyName: String = "token_set_count"
 }

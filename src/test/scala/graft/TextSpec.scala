@@ -6,6 +6,11 @@ import graft.text.TextFunctions._
 
 class TextSpec extends SparkSpec {
 
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    graft.text.TextFunctions.register(spark) // token_set_count
+  }
+
   test("langId votes the right language on clear-cut snippets") {
     import spark.implicits._
     val samples = Seq(
