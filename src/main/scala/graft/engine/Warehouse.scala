@@ -44,10 +44,21 @@ object Warehouse {
       path: String,
       partitionCol: String = "day",
       orderCols: Seq[String] = Nil,
-      mode: String = "append"): Unit =
-    df.repartition(col(partitionCol))
+      mode: String = "append",
+      bloomFilterCols: Seq[String] = Nil): Unit = {
+    // Parquet bloom filters ≙ ClickHouse's `bloom_filter` skip index
+    // (SURVEY §2.1 S2's sparse-index family): point lookups on
+    // high-cardinality non-sort columns (user ids, request ids) skip row
+    // groups the min/max stats can't — stats on a column UNCORRELATED with
+    // the sort order span the whole value range in every row group, while
+    // the bloom filter answers "id definitely absent" per group.
+    val writer0 = df.repartition(col(partitionCol))
       .sortWithinPartitions((partitionCol +: orderCols).map(col): _*)
-      .write.mode(mode).partitionBy(partitionCol).parquet(path)
+      .write.mode(mode)
+    val writer = bloomFilterCols.foldLeft(writer0)((w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true"))
+    writer.partitionBy(partitionCol).parquet(path)
+  }
 
   /** Idempotent partition reload — the reference's drop-partition + insert +
     * delete-others dance (ref make_user_dim_info_toch.py:40-63) collapses to

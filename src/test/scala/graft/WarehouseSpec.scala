@@ -47,6 +47,30 @@ class WarehouseSpec extends SparkSpec {
     assert(q.count() == 1)
   }
 
+  test("S2: bloom-filter skip index lands in the parquet footers") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val dir = tmpDir("bloom") + "/t"
+    val df = (1 to 2000).map(i => ("2024-01-01", i.toLong * 7919L, i.toDouble))
+      .toDF("day_s", "uid", "v")
+      .select(to_date(col("day_s")).as("day"), col("uid"), col("v"))
+    Warehouse.writeClustered(df, dir, "day", Seq("v"),
+      mode = "overwrite", bloomFilterCols = Seq("uid"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+    val file = fs.listStatus(new org.apache.hadoop.fs.Path(dir + "/day=2024-01-01"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns.asScala
+      def offsetOf(name: String) =
+        cols.find(_.getPath.toDotString == name).get.getBloomFilterOffset
+      assert(offsetOf("uid") >= 0, "uid should carry a bloom filter")
+      assert(offsetOf("v") < 0, "v should NOT carry a bloom filter")
+    } finally reader.close()
+  }
+
   test("S9: dynamic partition overwrite reloads one day idempotently") {
     import spark.implicits._
     val dir = tmpDir("reload") + "/t"
