@@ -176,34 +176,20 @@ object Dedup {
       .select("id_a", "id_b", "inter", "jaccard")
   }
 
-  /** 64-bit SimHash over tokens: per-bit majority vote of token hashes.
-    * Built from integer expressions only (no UDF): for each bit position,
-    * count tokens whose hash has the bit set vs total, set bit if count
-    * exceeds half.
+  /** 64-bit SimHash over tokens: per-bit majority vote of token hashes,
+    * via the single-pass [[graft.functions.Simhash64Expr]] (one xxhash64
+    * per token + 64 counter bumps — the composed 64-bit-lambda HOF form
+    * evaluated interpreted and was the simhash pipeline's scale cost).
+    * Requires `Simhash.register` on the session (every entry point here
+    * does it).
     */
   def simhash64(text: Column): Column = simhash64FromTokens(tokens(text))
 
   /** SimHash from a materialized token-array column — prefer this in
-    * pipelines (see minhashSignature's note on lambda re-evaluation: the
-    * token split here is referenced 65× by the bit lambdas).
+    * pipelines (the tokenizer then runs once, not once per reference).
     */
-  def simhash64FromTokens(toks: Column): Column = {
-    val hs = transform(toks, t => xxhash64(t))
-    val n = size(hs)
-    // bit b of the simhash = 1 iff sum over tokens of bit b >= n/2
-    // (call_function because the Scala shiftright/shiftleft wrappers only
-    // accept literal Int shift amounts)
-    def shr(h: Column, b: Column): Column = call_function("shiftright", h, b)
-    def shl(h: Column, b: Column): Column = call_function("shiftleft", h, b)
-    val bits = sequence(lit(0), lit(63))
-    aggregate(
-      transform(bits, b =>
-        when(
-          aggregate(hs, lit(0L),
-            (acc, h) => acc + shr(h, b).bitwiseAND(1L)) * 2 >= n,
-          shl(lit(1L), b)).otherwise(0L)),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
-  }
+  def simhash64FromTokens(toks: Column): Column =
+    graft.functions.Simhash.simhash64(toks)
 
   /** Hamming distance between two simhashes (≤ k ⇒ near-dup). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -235,6 +221,7 @@ object Dedup {
       struct(lit(c).as("c"),
         call_function("shiftright", col("sh"), lit(offsets(c))).bitwiseAND(lit(mask)).as("v"))
     }
+    graft.functions.Simhash.register(df.sparkSession)
     // persist: the simhash pipeline feeds both sides of the chunk self-join.
     // Cache the compact (id, sh) form — the chunk explode is a cheap
     // re-derivation per side (see minhashNearDups' note).

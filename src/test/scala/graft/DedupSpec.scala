@@ -9,6 +9,11 @@ import graft.dedup.Dedup
   */
 class DedupSpec extends SparkSpec {
 
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    graft.functions.Simhash.register(spark)
+  }
+
   private lazy val docs = {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog while rain falls on the green hills of the valley"
