@@ -31,6 +31,7 @@ object VectorOps {
       "l2_normalize", exprs => L2Normalize(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "quantize_int8", exprs => QuantizeInt8(exprs.head), "built-in")
+    LshSignatures.register(spark)
   }
 
   /** Cosine similarity of two float/double array columns, in double. */

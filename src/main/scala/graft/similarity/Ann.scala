@@ -72,27 +72,18 @@ object Ann {
   }
 
   /** Per-table bucket signatures from deterministic pseudo-random
-    * hyperplanes: plane component for (table, bit, dim) drawn in [-1,1) from
-    * xxhash64 — identical on every executor, no RNG state. Multi-table LSH
-    * (L independent tables of `bits` hyperplanes each) is the standard
+    * hyperplanes: plane component for (table, bit, dim) drawn in [-1,1)
+    * from xxhash64 — identical on every executor, no RNG state. Multi-table
+    * LSH (L independent tables of `bits` hyperplanes each) is the standard
     * recall lever: a similar pair only needs to collide in ONE table.
-    * Returns an array<struct<tbl,bucket>> of length `tables`.
+    * Returns an array<struct<tbl,bucket>> of length `tables`, computed by
+    * the single-pass [[graft.functions.LshSignaturesExpr]] (planes cached
+    * per executor; the composed HOF form re-hashed every (plane, dim) pair
+    * per row — verified bit-identical, so persisted indexes stay valid).
+    * Requires `VectorOps.register` (every entry point here does it).
     */
   private def signaturesExpr(vec: Column, tables: Int, bits: Int): Column =
-    transform(sequence(lit(0), lit(tables - 1)), t => {
-      val bucket = aggregate(
-        transform(sequence(lit(0), lit(bits - 1)), b => {
-          val plane = t * bits + b
-          val dotv = aggregate(
-            zip_with(vec, sequence(lit(0), size(vec) - 1), (x, d) =>
-              x.cast(DoubleType) *
-                (xxhash64(plane, d).cast(DoubleType) / lit(Long.MaxValue.toDouble))),
-            lit(0.0), (acc, v) => acc + v)
-          when(dotv >= 0, call_function("shiftleft", lit(1L), b)).otherwise(0L)
-        }),
-        lit(0L), (acc, v) => acc.bitwiseOR(v))
-      struct(t.as("tbl"), bucket.as("bucket"))
-    })
+    graft.functions.LshSignatures.lsh_signatures(vec, tables, bits)
 
   /** Build the LSH "index": one row per (corpus row × table) keyed by
     * (tbl, bucket). Persist/bucket this by the key to make repeated query
