@@ -63,10 +63,13 @@ object Dedup {
 
   /** Signature-agreement Jaccard estimate between two minhash signatures
     * (fraction of matching positions — the standard unbiased estimator).
+    * Evaluated once per CANDIDATE PAIR, so it runs through the primitive
+    * [[graft.functions.SigMatchCount]] expression rather than an
+    * interpreted zip_with lambda (requires `MinHash.register`, which every
+    * pipeline entry point here calls).
     */
   def estJaccard(sigA: Column, sigB: Column, numHashes: Int): Column =
-    aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v).cast(DoubleType) / numHashes
+    graft.functions.MinHash.sig_match_count(sigA, sigB).cast(DoubleType) / numHashes
 
   /** (id, sig) MinHash signatures for a corpus — the shared front of the
     * one-shot [[minhashNearDups]] pipeline and the incremental

@@ -28,16 +28,60 @@ import org.apache.spark.unsafe.types.UTF8String
   * serialization happens only at the shuffle boundary.
   */
 object MinHash {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_agg",
       exprs => MinHashAggregate(exprs.head,
         exprs(1).eval(null).asInstanceOf[Number].intValue()),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sig_match_count", exprs => SigMatchCount(exprs(0), exprs(1)), "built-in")
+  }
 
   /** Signature column: group rows by doc first, one shingle per row. */
   def minhash_agg(shingle: Column, k: Int): Column =
     call_function("minhash_agg", shingle, org.apache.spark.sql.functions.lit(k))
+
+  /** Matching-position count between two signatures (primitive loop). */
+  def sig_match_count(a: Column, b: Column): Column =
+    call_function("sig_match_count", a, b)
+}
+
+/** Count of positions where two bigint signatures agree — the MinHash
+  * Jaccard-estimate numerator, evaluated once per CANDIDATE PAIR in every
+  * LSH verify, so the interpreted zip_with+aggregate form it replaces was
+  * per-pair lambda dispatch on the hottest dedup loop.
+  */
+case class SigMatchCount(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sig_match_count requires two array<bigint>, got ${l.simpleString} / ${r.simpleString}")
+    }
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SigMatchCount =
+    copy(left = l, right = r)
+  override def prettyName: String = "sig_match_count"
 }
 
 case class MinHashAggregate(
