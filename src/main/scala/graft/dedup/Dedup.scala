@@ -81,6 +81,7 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       numHashes: Int, shingleSize: Int = 3): DataFrame = {
     graft.functions.MinHash.register(df.sparkSession)
+    graft.text.TextFunctions.register(df.sparkSession) // shingles_n
     // spread first: the k-hash work below must not run inside a
     // single-task scan of a small/one-row-group file
     graft.engine.Warehouse
@@ -149,6 +150,7 @@ object Dedup {
       shingleSize: Int = 3,
       threshold: Double = 0.2,
       maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    graft.text.TextFunctions.register(df.sparkSession) // shingles_n
     // persist: `sh` is read three times (per-doc sizes + both self-join
     // sides); the tokenize/shingle/explode subtree must evaluate once.
     val shRaw = graft.engine.Warehouse

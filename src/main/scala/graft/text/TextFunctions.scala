@@ -25,7 +25,7 @@ object TextFunctions {
     * [[langId]]. Query packs and ChCompat call this; ad-hoc users of those
     * two functions must too.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "token_set_count", es => {
         require(es.length == 3, "usage: token_set_count(arr, array('w',...), lowercase)")
@@ -45,6 +45,17 @@ object TextFunctions {
         }
         TokenSetCount(es.head, words, lc)
       }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingles_n", es => {
+        val n = es(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"shingles_n: n must be an integer literal, got $other")
+        }
+        require(n >= 1, s"shingles_n: n must be positive, got $n")
+        ShinglesExpr(es.head, n)
+      }, "built-in")
+  }
 
   private[text] def tokenSetCount(arr: Column, words: Seq[String], lowercase: Boolean): Column =
     call_function("token_set_count", arr, array(words.map(lit): _*), lit(lowercase))
@@ -61,16 +72,15 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** n-token shingles joined by single spaces (for MinHash / Jaccard).
-    *
-    * `toks` is referenced inside the element lambda, and higher-order
-    * functions evaluate interpreted — pass a *materialized* token-array
-    * column (project `tokens(text)` in a prior select), not an inline
-    * `tokens(text)` expression, or the tokenizer re-runs once per shingle.
+  /** n-token shingles joined by single spaces (for MinHash / Jaccard),
+    * via the one-pass [[ShinglesExpr]] (the HOF transform-of-slice form
+    * evaluated interpreted with a per-shingle array allocation). Returns
+    * an empty array for documents shorter than n tokens (mirroring the
+    * DuckDB oracles' empty generate_series). Requires
+    * [[TextFunctions.register]] on the session.
     */
   def shingles(toks: Column, n: Int): Column =
-    transform(sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    call_function("shingles_n", toks, lit(n))
 
   /** 64-bit doc fingerprint from a materialized token-array column: min over
     * shingle hashes (a 1-perm MinHash — stable under small edits, unlike a
@@ -233,4 +243,50 @@ case class TokenSetCount(child: Expression, words: Seq[String], lowercase: Boole
   override protected def withNewChildInternal(c: Expression): TokenSetCount =
     copy(child = c)
   override def prettyName: String = "token_set_count"
+}
+
+/** All n-token shingles of a string array, space-joined, in one pass —
+  * byte-identical to `transform(sequence(0, len-n), i => concat_ws(" ",
+  * slice(toks, i+1, n)))` for len ≥ n (UTF8String.concatWs skips nulls
+  * exactly like concat_ws), and an empty array for shorter inputs where
+  * the HOF form's descending `sequence` was never well-defined.
+  */
+case class ShinglesExpr(child: Expression, n: Int)
+  extends Expression with UnaryLike[Expression] with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingles_n requires array<string>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val space = UTF8String.fromString(" ")
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val a = v.asInstanceOf[ArrayData]
+    val len = a.numElements()
+    if (len < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](len - n + 1)
+    val window = new Array[UTF8String](n)
+    var i = 0
+    while (i <= len - n) {
+      var j = 0
+      while (j < n) {
+        window(j) = if (a.isNullAt(i + j)) null else a.getUTF8String(i + j)
+        j += 1
+      }
+      out(i) = UTF8String.concatWs(space, window: _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): ShinglesExpr =
+    copy(child = c)
+  override def prettyName: String = "shingles_n"
 }

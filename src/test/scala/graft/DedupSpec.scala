@@ -12,6 +12,7 @@ class DedupSpec extends SparkSpec {
   override def beforeAll(): Unit = {
     super.beforeAll()
     graft.functions.Simhash.register(spark)
+    graft.text.TextFunctions.register(spark)
   }
 
   private lazy val docs = {
