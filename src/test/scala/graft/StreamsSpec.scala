@@ -79,6 +79,39 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sequenceMatch/windowFunnel run as streaming aggregations across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    graft.functions.ChCompat.register(spark)
+    val input = MemoryStream[FunnelEvent]
+    input.toDF().createOrReplaceTempView("seq_stream")
+    // complete mode: the TypedImperativeAggregate states live in the state
+    // store and must merge correctly across micro-batches
+    val q = spark.sql(
+      """SELECT user_id,
+        |  sequenceMatch('(?1).*(?2)', ts, event_type = 'view', event_type = 'buy') AS m,
+        |  windowFunnel(ts, 3600, event_type = 'view', event_type = 'buy') AS lvl
+        |FROM seq_stream GROUP BY user_id""".stripMargin)
+      .writeStream.format("memory").queryName("seq_stream_out")
+      .outputMode("complete").start()
+    try {
+      // batch 1: user 1 views; user 2 buys (no view yet)
+      input.addData(
+        FunnelEvent(1L, ts("2024-01-01 10:00:00"), "view"),
+        FunnelEvent(2L, ts("2024-01-01 10:00:00"), "buy"))
+      q.processAllAvailable()
+      val mid = spark.table("seq_stream_out").as[(Long, Boolean, Int)].collect()
+        .map { case (k, b, l) => k -> ((b, l)) }.toMap
+      assert(mid == Map(1L -> ((false, 1)), 2L -> ((false, 0))))
+      // batch 2: user 1 buys -> chain completes USING batch-1 state
+      input.addData(FunnelEvent(1L, ts("2024-01-01 10:30:00"), "buy"))
+      q.processAllAvailable()
+      val fin = spark.table("seq_stream_out").as[(Long, Boolean, Int)].collect()
+        .map { case (k, b, l) => k -> ((b, l)) }.toMap
+      assert(fin == Map(1L -> ((true, 2)), 2L -> ((false, 0))))
+    } finally q.stop()
+  }
+
   test("streaming asof enrichment: dim versions carry across batches") {
     import spark.implicits._
     import graft.streaming.Streams.{EnrichInput, Enriched}
