@@ -56,10 +56,7 @@ object Dedup {
     * bucket are candidate near-duplicates.
     */
   def lshBuckets(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => struct(
-        b.as("band"),
-        xxhash64(b, concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)))).as("bucket")))
+    graft.functions.MinHash.lsh_buckets(sig, bands, rowsPerBand)
 
   /** Signature-agreement Jaccard estimate between two minhash signatures
     * (fraction of matching positions — the standard unbiased estimator).

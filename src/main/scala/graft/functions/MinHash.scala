@@ -36,6 +36,10 @@ object MinHash {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sig_match_count", exprs => SigMatchCount(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lsh_buckets", exprs => LshBucketsExpr(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue(),
+        exprs(2).eval(null).asInstanceOf[Number].intValue()), "built-in")
   }
 
   /** Signature column: group rows by doc first, one shingle per row. */
@@ -45,6 +49,68 @@ object MinHash {
   /** Matching-position count between two signatures (primitive loop). */
   def sig_match_count(a: Column, b: Column): Column =
     call_function("sig_match_count", a, b)
+
+  /** Banded LSH bucket keys for a signature (primitive loop). */
+  def lsh_buckets(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    call_function("lsh_buckets", sig,
+      org.apache.spark.sql.functions.lit(bands),
+      org.apache.spark.sql.functions.lit(rowsPerBand))
+}
+
+/** Banded bucket keys — for band b, the xxhash64 of (b, the band's
+  * signature slice joined by commas), exactly what the composed
+  * `xxhash64(b, concat_ws(",", slice(sig, ...)))` HOF computed (chained
+  * seed-42 hash of an int then the joined string), in one loop per row
+  * instead of a per-band interpreted slice + lambda dispatch.
+  */
+case class LshBucketsExpr(child: Expression, bands: Int, rowsPerBand: Int)
+  extends Expression with UnaryLike[Expression]
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(bands >= 1 && rowsPerBand >= 1, s"bad bands/rowsPerBand: $bands/$rowsPerBand")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"lsh_buckets requires array<bigint>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("band", IntegerType, nullable = false),
+    StructField("bucket", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Any](bands)
+    val sb = new java.lang.StringBuilder(rowsPerBand * 20)
+    var b = 0
+    while (b < bands) {
+      sb.setLength(0)
+      val start = b * rowsPerBand
+      val end = math.min(start + rowsPerBand, n)
+      var i = start
+      while (i < end) {
+        if (i > start) sb.append(',')
+        sb.append(a.getLong(i))
+        i += 1
+      }
+      val h1 = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(b, IntegerType, 42L)
+      val h2 = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(UTF8String.fromString(sb.toString), StringType, h1)
+      out(b) = org.apache.spark.sql.catalyst.InternalRow(b, h2)
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): LshBucketsExpr =
+    copy(child = c)
+  override def prettyName: String = "lsh_buckets"
 }
 
 /** Count of positions where two bigint signatures agree — the MinHash
