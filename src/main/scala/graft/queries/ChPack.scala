@@ -239,6 +239,30 @@ object ChPack {
           |ORDER BY doc_id""".stripMargin)
     },
 
+    // windowFunnel under the hash gate: the two-level case (view →
+    // purchase within the hour) is exactly SQL-expressible — a chain
+    // exists iff some purchase has a strictly-earlier view within the
+    // window, i.e. the latest preceding view's gap clears it (minimal gap
+    // ⇒ existence-equivalent; no (user, ts) ties in the testdata). Deeper
+    // funnels are brute-force-verified in WindowFunnelSpec.
+    "q73_window_funnel" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).eventsWithDefaults.createOrReplaceTempView("graft_wf_events")
+      s.sql(
+        """SELECT day,
+          |       countIf(lvl >= 1) AS u_view,
+          |       countIf(lvl = 2) AS u_funnel,
+          |       COUNT(*) AS users
+          |FROM (
+          |  SELECT day, user_id,
+          |         windowFunnel(ts, 3600, event_type = 'view',
+          |                      event_type = 'purchase') AS lvl
+          |  FROM graft_wf_events
+          |  GROUP BY day, user_id)
+          |GROUP BY day
+          |ORDER BY day""".stripMargin)
+    },
+
     // SQL dictGet enrichment (ref dim.dict_user_dim.sql:24-27): broadcast
     // point-lookup, no shuffle of the fact side beyond the aggregation.
     "q24_dictget_sql" -> { (s, dir) =>
@@ -368,6 +392,28 @@ object ChPack {
         |JOIN quick ON quick.day = v1.day AND quick.user_id = v1.user_id
         |JOIN vp ON vp.day = v1.day AND vp.user_id = v1.user_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q73_window_funnel" ->
+      """WITH base AS (
+        |  SELECT CAST(ts AS DATE) AS day, user_id, ts, event_type FROM events),
+        |w AS (
+        |  SELECT day, user_id, ts, event_type,
+        |    MAX(CASE WHEN event_type = 'view' THEN ts END) OVER (
+        |      PARTITION BY day, user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lastv
+        |  FROM base),
+        |per_user AS (
+        |  SELECT day, user_id,
+        |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_view,
+        |    MAX(CASE WHEN event_type = 'purchase' AND lastv IS NOT NULL
+        |              AND epoch_us(ts) - epoch_us(lastv) <= CAST(3600 AS BIGINT) * 1000000
+        |             THEN 1 ELSE 0 END) AS chained
+        |  FROM w GROUP BY 1, 2)
+        |SELECT day,
+        |  CAST(SUM(has_view) AS BIGINT) AS u_view,
+        |  CAST(SUM(chained) AS BIGINT) AS u_funnel,
+        |  COUNT(*) AS users
+        |FROM per_user GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q72_ch_arrays" ->
       """WITH t AS (
