@@ -55,6 +55,7 @@ object ChCompat {
     SequenceMatch.register(spark)
     UniqUpTo.register(spark)
     MapAggregates.register(spark)
+    Simhash.register(spark)
     graft.text.TextFunctions.register(spark)
     val reg = spark.sessionState.functionRegistry
     def f(name: String)(builder: Seq[Expression] => Expression): Unit =
