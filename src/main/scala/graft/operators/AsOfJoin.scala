@@ -81,13 +81,17 @@ object AsOfJoin {
       .orderBy(tsOrd, tagOrd, col("__r").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    // NULL keys must not match: the window PARTITIONS nulls together (so a
+    // null-key left row would see null-key right rows), but join semantics
+    // — and DuckDB's ASOF oracle — treat null keys as unmatched.
+    val keysNotNull = keys.map(col(_).isNotNull).reduce(_ && _)
     val matchedRaw = last(col("__r"), ignoreNulls = true).over(w)
     val matched = toleranceSeconds match {
-      case None => matchedRaw
+      case None => when(keysNotNull, matchedRaw)
       case Some(tol) =>
         val gap = abs(col("__ts").cast("double") -
           matchedRaw.getField(rightTs).cast("double"))
-        when(gap <= tol, matchedRaw)
+        when(keysNotNull && gap <= tol, matchedRaw)
     }
 
     val out = l.unionByName(r)

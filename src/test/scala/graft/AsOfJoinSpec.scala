@@ -105,6 +105,27 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("multi-key join and null keys never matching") {
+    val left = Seq((1L, 10L, 100L, "a"), (1L, 20L, 100L, "b"), (2L, 10L, 50L, "c"))
+      .toDF("k1", "k2", "lts", "lval")
+    val right = Seq((1L, 10L, 90L, "r1"), (1L, 20L, 95L, "r2"))
+      .toDF("k1", "k2", "rts", "rval")
+    val got = AsOfJoin.asof(left, right, Seq("k1", "k2"), "lts", "rts")
+      .collect().map(r => (r.getString(3), if (r.isNullAt(5)) None else Some(r.getString(5))))
+      .toMap
+    assert(got == Map("a" -> Some("r1"), "b" -> Some("r2"), "c" -> None))
+
+    val leftN = Seq((Some(1L), 10L, "a"), (None, 10L, "n"))
+      .toDF("k", "lts", "lval")
+    val rightN = Seq((Some(1L), 5L, "r"), (None, 5L, "rn"))
+      .toDF("k", "rts", "rval")
+    val gotN = AsOfJoin.asof(leftN, rightN, Seq("k"), "lts", "rts")
+      .collect().map(r => (r.getString(2), if (r.isNullAt(3)) None else Some(r.getString(4))))
+      .toMap
+    assert(gotN == Map("a" -> Some("r"), "n" -> None),
+      "null keys must not asof-match")
+  }
+
   test("plan: one shuffle per side, no cartesian") {
     val p = AsOfJoin.asof(mkLeft(Seq((1L, 1L, "a"))), mkRight(Seq((1L, 1L, "r"))),
       Seq("k"), "lts", "rts").queryExecution.executedPlan.toString
