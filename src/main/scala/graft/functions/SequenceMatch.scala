@@ -27,11 +27,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - `(?tOPsecs)`      — time guard between the two neighboring `(?N)`
   *                         matches, OP ∈ {<, <=, >, >=, ==, !=} (seconds).
   *
-  * Semantics note (documented divergence): the pattern matches over the
-  * group's FULL ts-sorted event stream — adjacency (`(?1)(?2)` with no
-  * `.*`) means consecutive events in that stream. Equal timestamps are
-  * ordered by condition bitmask (a deterministic total order), where CH
-  * leaves tie order unspecified.
+  * Matching follows CH: events satisfying NO condition are skipped before
+  * matching, so `.`/`.*` and adjacency range over the condition-matching
+  * substream — `(?1)(?2)` matches view→noise→click when the conditions are
+  * (view, click). One residual divergence: equal timestamps are ordered by
+  * condition bitmask (a deterministic total order) where CH leaves tie
+  * order unspecified.
+  *
+  * Timestamp units: `ts` may be a timestamp (guards compare wall seconds)
+  * or a BIGINT, which is taken as CH's DateTime convention — epoch
+  * SECONDS — so `(?t<=3600)` bounds the gap to 3600 in the bigint's own
+  * units.
   *
   * `sequenceMatch` returns whether a match exists; `sequenceCount` counts
   * leftmost non-overlapping matches (CH semantics: search resumes after
@@ -74,7 +80,9 @@ object SequenceMatch {
 
   sealed trait Tok
   /** one event with condition n (1-based), optionally time-guarded vs the
-    * previous Cond match: guard = (op, micros) */
+    * previous Cond match: guard = (op, bound). `parse` leaves the bound in
+    * pattern units (seconds); [[scaleGuards]] converts it to the ts
+    * column's units before matching. */
   final case class Cond(n: Int, guard: Option[(String, Long)]) extends Tok
   case object AnyOne extends Tok
   case object AnyStar extends Tok
@@ -105,7 +113,7 @@ object SequenceMatch {
               if (!out.exists(_.isInstanceOf[Cond]))
                 fail("time guard needs a preceding (?N)")
               if (pendingGuard.isDefined) fail("duplicate time guard")
-              pendingGuard = Some((m.group(1), m.group(2).toLong * 1000000L))
+              pendingGuard = Some((m.group(1), m.group(2).toLong))
               i += m.matched.length
             case None => condRe.findPrefixMatchOf(rest) match {
               case Some(m) =>
@@ -124,6 +132,14 @@ object SequenceMatch {
     if (!out.exists(_.isInstanceOf[Cond])) fail("no (?N) condition")
     out.toIndexedSeq
   }
+
+  /** Guard bounds in the ts column's units: ×1e6 for timestamp columns
+    * (internal micros), ×1 for BIGINT epoch-second columns. */
+  def scaleGuards(toks: IndexedSeq[Tok], factor: Long): IndexedSeq[Tok] =
+    toks.map {
+      case Cond(n, Some((op, secs))) => Cond(n, Some((op, secs * factor)))
+      case t => t
+    }
 
   // ---- matching -----------------------------------------------------------
 
@@ -226,7 +242,11 @@ case class SequenceMatchAgg(
   extends TypedImperativeAggregate[FunnelEvents] {
 
   require(conds.nonEmpty && conds.length <= 32, "sequenceMatch: 1..32 conditions")
-  @transient private lazy val toks = SequenceMatch.parse(pattern)
+  // timestamp children eval to micros; BIGINT ts is CH epoch seconds, so
+  // guard bounds stay in seconds (no scaling)
+  @transient private lazy val toks = SequenceMatch.scaleGuards(
+    SequenceMatch.parse(pattern),
+    if (tsChild.dataType == LongType) 1L else 1000000L)
   // referenced condition indexes must exist
   SequenceMatch.parse(pattern).foreach {
     case SequenceMatch.Cond(n, _) => require(n <= conds.length,
@@ -262,9 +282,10 @@ case class SequenceMatchAgg(
         if (c != null && c.asInstanceOf[Boolean]) mask |= (1 << i)
         i += 1
       }
-      // unlike windowFunnel, events matching NO condition still occupy a
-      // position (`.`/adjacency semantics) — keep them
-      buf.events += ((tsVal.asInstanceOf[Long], mask))
+      // CH semantics: events matching NO condition are invisible to the
+      // pattern — `.`/`.*`/adjacency range over the condition-matching
+      // substream only (FunnelEvents.add drops mask == 0)
+      buf.add(tsVal.asInstanceOf[Long], mask)
     }
     buf
   }

@@ -51,24 +51,23 @@ case class Simhash64Expr(child: Expression)
     val a = v.asInstanceOf[ArrayData]
     val n = a.numElements()
     val counts = new Array[Int](64)
-    var nonNull = 0
     var i = 0
     while (i < n) {
-      if (!a.isNullAt(i)) {
-        // matches xxhash64(t): seed 42, UTF8 bytes
-        val h = XxHash64Function.hash(a.getUTF8String(i), StringType, 42L)
-        var b = 0
-        while (b < 64) {
-          counts(b) += ((h >>> b) & 1L).toInt
-          b += 1
-        }
-        nonNull += 1
+      // matches xxhash64(t): seed 42, UTF8 bytes; a null token leaves the
+      // seed untouched (xxhash64(NULL) = 42), so the composed form counted
+      // the seed's bits for null slots — hash identically for bit-identity
+      val h =
+        if (a.isNullAt(i)) 42L
+        else XxHash64Function.hash(a.getUTF8String(i), StringType, 42L)
+      var b = 0
+      while (b < 64) {
+        counts(b) += ((h >>> b) & 1L).toInt
+        b += 1
       }
       i += 1
     }
-    // the composed form compares against size(hs) = n INCLUDING null hash
-    // slots (xxhash64(null) keeps the seed; tokens() never yields nulls in
-    // practice) — mirror the n-denominator for exact equality
+    // majority vote over ALL n slots (incl. null-token seed hashes), the
+    // same denominator the composed form's size(hs) used
     var out = 0L
     var b = 0
     while (b < 64) {

@@ -17,7 +17,9 @@ import org.apache.spark.sql.types._
   * funnel level reachable through a strictly time-increasing event chain
   * e1 < e2 < … < eL (cond_i holds at e_i) with every step within `window`
   * of the chain's FIRST event. Spelled `windowFunnel(ts, window, c1..cN)`
-  * (the usual parameterized-aggregate arity adaptation).
+  * (the usual parameterized-aggregate arity adaptation). `ts` may be a
+  * timestamp (window in wall seconds) or a BIGINT taken as CH's DateTime
+  * epoch seconds (window in the bigint's own units).
   *
   * Semantics are exact-existential: the result is L iff SOME qualifying
   * chain of length L exists (ties in timestamp never chain — strict
@@ -68,7 +70,10 @@ case class WindowFunnelAgg(
   extends TypedImperativeAggregate[FunnelEvents] {
 
   require(conds.nonEmpty && conds.length <= 32, "windowFunnel: 1..32 conditions")
-  private val windowMicros = windowSeconds * 1000000L
+  // timestamp children eval to micros; BIGINT ts is CH's DateTime epoch
+  // seconds, so the window stays in the column's own units
+  @transient private lazy val windowScaled =
+    if (tsChild.dataType == LongType) windowSeconds else windowSeconds * 1000000L
 
   override def children: Seq[Expression] = tsChild +: conds
 
@@ -126,7 +131,7 @@ case class WindowFunnelAgg(
         var i = 1
         while (i < levels) {
           if ((mask & (1 << i)) != 0 && best(i - 1) != none &&
-              ts - best(i - 1) <= windowMicros && best(i - 1) > pending(i))
+              ts - best(i - 1) <= windowScaled && best(i - 1) > pending(i))
             pending(i) = best(i - 1)
           i += 1
         }

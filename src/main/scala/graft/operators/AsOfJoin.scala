@@ -29,7 +29,10 @@ import org.apache.spark.sql.functions._
   *     wins (a total, deterministic tie-break — pre-aggregate the right
   *     side to unique (key, ts) if that choice matters);
   *   - `toleranceSeconds` (pandas merge_asof-style) null-outs matches
-  *     farther than the bound from the left timestamp.
+  *     farther than the bound from the left timestamp;
+  *   - null keys and null timestamps never match, on either side (DuckDB
+  *     ASOF semantics): a null-ts left row gets no match, a null-ts right
+  *     row is ignored.
   */
 object AsOfJoin {
 
@@ -63,7 +66,12 @@ object AsOfJoin {
         lit(1).as("__tag"),
         struct(left.columns.map(col): _*).as("__l"),
         lit(null).cast(rStructT).as("__r")): _*)
-    val r = right.select(
+    // A null-ts right row has no position on the time axis: DuckDB ASOF
+    // (the oracle) and the null-key rule below both treat null ordering
+    // values as unmatchable, so drop them before the window — otherwise
+    // NULLS FIRST ordering would carry their payload to every left row
+    // that lacks a real match.
+    val r = right.filter(col(rightTs).isNotNull).select(
       keys.map(col) ++ Seq(
         col(rightTs).as("__ts"),
         lit(0).as("__tag"),
@@ -81,17 +89,20 @@ object AsOfJoin {
       .orderBy(tsOrd, tagOrd, col("__r").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    // NULL keys must not match: the window PARTITIONS nulls together (so a
-    // null-key left row would see null-key right rows), but join semantics
-    // — and DuckDB's ASOF oracle — treat null keys as unmatched.
-    val keysNotNull = keys.map(col(_).isNotNull).reduce(_ && _)
+    // NULL keys and a NULL left timestamp must not match: the window
+    // PARTITIONS nulls together (so a null-key left row would see null-key
+    // right rows) and orders null ts deterministically (so a null-ts left
+    // row would see some right row), but join semantics — and DuckDB's
+    // ASOF oracle — treat null keys/ordering values as unmatched.
+    val matchable =
+      (keys.map(col(_).isNotNull) :+ col("__ts").isNotNull).reduce(_ && _)
     val matchedRaw = last(col("__r"), ignoreNulls = true).over(w)
     val matched = toleranceSeconds match {
-      case None => when(keysNotNull, matchedRaw)
+      case None => when(matchable, matchedRaw)
       case Some(tol) =>
         val gap = abs(col("__ts").cast("double") -
           matchedRaw.getField(rightTs).cast("double"))
-        when(keysNotNull && gap <= tol, matchedRaw)
+        when(matchable && gap <= tol, matchedRaw)
     }
 
     val out = l.unionByName(r)

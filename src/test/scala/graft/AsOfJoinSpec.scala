@@ -126,6 +126,25 @@ class AsOfJoinSpec extends SparkSpec {
       "null keys must not asof-match")
   }
 
+  test("null timestamps never match, on either side") {
+    // null-ts right rows must be invisible (not carried by NULLS FIRST
+    // ordering to unmatched left rows); null-ts left rows must get no match
+    val leftN = Seq((1L, Some(10L), "a"), (1L, None, "nl"), (2L, Some(10L), "c"))
+      .toDF("k", "lts", "lval")
+    val rightN = Seq((1L, Some(5L), "r"), (1L, None, "nr"), (2L, None, "nr2"))
+      .toDF("k", "rts", "rval")
+    for (forward <- Seq(false, true); strict <- Seq(false, true)) {
+      val got = AsOfJoin.asof(
+          leftN, rightN.filter(lit(true)), Seq("k"), "lts", "rts",
+          forward = forward, strict = strict)
+        .collect().map(r => (r.getString(2), if (r.isNullAt(4)) None else Some(r.getString(4))))
+        .toMap
+      val expA = if (forward) None else Some("r") // r at ts 5 <= 10 only backward
+      assert(got == Map("a" -> expA, "nl" -> None, "c" -> None),
+        s"forward=$forward strict=$strict")
+    }
+  }
+
   test("plan: one shuffle per side, no cartesian") {
     val p = AsOfJoin.asof(mkLeft(Seq((1L, 1L, "a"))), mkRight(Seq((1L, 1L, "r"))),
       Seq("k"), "lts", "rts").queryExecution.executedPlan.toString

@@ -75,7 +75,11 @@ class SequenceMatchSpec extends SparkSpec {
       IndexedSeq(Cond(1, None), AnyStar, Cond(2, None)))
     assert(SequenceMatch.parse("(?1).(?2)") ==
       IndexedSeq(Cond(1, None), AnyOne, Cond(2, None)))
+    // parse keeps guard bounds in pattern units (seconds); the agg scales
+    // them to the ts column's units via scaleGuards
     assert(SequenceMatch.parse("(?1)(?t>=30)(?2)") ==
+      IndexedSeq(Cond(1, None), Cond(2, Some((">=", 30L)))))
+    assert(SequenceMatch.scaleGuards(SequenceMatch.parse("(?1)(?t>=30)(?2)"), 1000000L) ==
       IndexedSeq(Cond(1, None), Cond(2, Some((">=", 30000000L)))))
     intercept[IllegalArgumentException](SequenceMatch.parse(".*"))
     intercept[IllegalArgumentException](SequenceMatch.parse("(?t>5)(?1)"))
@@ -99,7 +103,8 @@ class SequenceMatchSpec extends SparkSpec {
         (rnd.nextInt(20).toLong * 1000000L, rnd.nextInt(8))) // mask over 3 conds
         .sorted
       for (p <- patterns) {
-        val toks = SequenceMatch.parse(p)
+        // ts are micros in this harness — scale guards the way the agg does
+        val toks = SequenceMatch.scaleGuards(SequenceMatch.parse(p), 1000000L)
         val em = SequenceMatch.matches(evs, toks)
         val bm = bruteMatches(evs, toks)
         assert(em == bm, s"trial $trial pattern $p evs $evs: match $em != $bm")
@@ -134,6 +139,43 @@ class SequenceMatchSpec extends SparkSpec {
         |FROM seq_events GROUP BY user_id ORDER BY user_id""".stripMargin)
       .as[(Long, Boolean, Long)].collect().toSeq
     assert(got == Seq((1L, true, 1L), (2L, false, 0L), (3L, true, 2L)))
+  }
+
+  test("CH semantics: events matching no condition are invisible to adjacency") {
+    SequenceMatch.register(spark)
+    val rows = Seq(
+      // u1: view -> noise -> click; CH '(?1)(?2)' matches (noise skipped)
+      (1L, 1L, "view"), (1L, 2L, "noise"), (1L, 3L, "click"),
+      // u2: view -> click -> view; '(?1)(?2)' adjacency over the matching
+      // stream holds; '(?1).(?2)' needs a third matching event between
+      (2L, 1L, "view"), (2L, 2L, "click"))
+      .map { case (u, t, e) => (u, new java.sql.Timestamp(t * 1000L), e) }
+      .toDF("user_id", "ts", "etype")
+    rows.createOrReplaceTempView("seq_adj")
+    val got = spark.sql(
+      """SELECT user_id,
+        |  sequenceMatch('(?1)(?2)', ts, etype = 'view', etype = 'click') AS adj,
+        |  sequenceMatch('(?1).(?2)', ts, etype = 'view', etype = 'click') AS gap1
+        |FROM seq_adj GROUP BY user_id ORDER BY user_id""".stripMargin)
+      .as[(Long, Boolean, Boolean)].collect().toSeq
+    // u1: matching stream is [view, click] -> adjacency true, no event for '.'
+    assert(got == Seq((1L, true, false), (2L, true, false)))
+  }
+
+  test("bigint ts is epoch seconds: guards compare in seconds") {
+    SequenceMatch.register(spark)
+    val rows = Seq(
+      (1L, 0L, "a"), (1L, 10L, "b"),    // gap 10 s
+      (2L, 0L, "a"), (2L, 7200L, "b"))  // gap 2 h
+      .toDF("user_id", "ts", "etype")   // ts stays BIGINT
+    rows.createOrReplaceTempView("seq_bigint")
+    val got = spark.sql(
+      """SELECT user_id,
+        |  sequenceMatch('(?1).*(?t<=3600)(?2)', ts, etype = 'a', etype = 'b') AS m
+        |FROM seq_bigint GROUP BY user_id ORDER BY user_id""".stripMargin)
+      .as[(Long, Boolean)].collect().toSeq
+    assert(got == Seq((1L, true), (2L, false)),
+      "epoch-second bigint ts must not be treated as micros")
   }
 
   test("time guard through SQL: gap bound decides the match") {

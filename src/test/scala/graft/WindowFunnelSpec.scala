@@ -29,18 +29,19 @@ class WindowFunnelSpec extends SparkSpec {
   test("hand-crafted chains: depth, window cutoff, ties never chain") {
     import spark.implicits._
     WindowFunnel.register(spark)
+    // bigint ts = CH DateTime epoch seconds; window 5 = 5 seconds
     val rows = Seq(
       // g1: clean 3-chain within window
-      ("g1", 1000000L, "view"), ("g1", 2000000L, "click"), ("g1", 3000000L, "buy"),
+      ("g1", 1L, "view"), ("g1", 2L, "click"), ("g1", 3L, "buy"),
       // g2: third step outside the 5s window of the chain start
-      ("g2", 1000000L, "view"), ("g2", 2000000L, "click"), ("g2", 9000000L, "buy"),
+      ("g2", 1L, "view"), ("g2", 2L, "click"), ("g2", 9L, "buy"),
       // g3: click arrives before any view — no chain past level 1
-      ("g3", 1000000L, "click"), ("g3", 2000000L, "view"),
+      ("g3", 1L, "click"), ("g3", 2L, "view"),
       // g4: view and click share a timestamp — ties must not chain
-      ("g4", 1000000L, "view"), ("g4", 1000000L, "click"),
+      ("g4", 1L, "view"), ("g4", 1L, "click"),
       // g5: a later view restarts the window and rescues the chain
-      ("g5", 1000000L, "view"), ("g5", 6000000L, "view"),
-      ("g5", 7000000L, "click"), ("g5", 10000000L, "buy"))
+      ("g5", 1L, "view"), ("g5", 6L, "view"),
+      ("g5", 7L, "click"), ("g5", 10L, "buy"))
       .toDF("g", "ts", "et")
     rows.createOrReplaceTempView("graft_wf_toy")
     val got = spark.sql(
@@ -56,7 +57,7 @@ class WindowFunnelSpec extends SparkSpec {
     val rnd = new scala.util.Random(42)
     val cases = (0 until 300).map { gid =>
       val n = 1 + rnd.nextInt(8)
-      gid -> Seq.fill(n)((rnd.nextInt(8).toLong * 1000000L, 1 + rnd.nextInt(7)))
+      gid -> Seq.fill(n)((rnd.nextInt(8).toLong, 1 + rnd.nextInt(7)))
     }
     val rows = cases.flatMap { case (gid, evs) =>
       evs.map { case (ts, m) =>
@@ -70,7 +71,7 @@ class WindowFunnelSpec extends SparkSpec {
         |FROM graft_wf_rand GROUP BY g""".stripMargin)
       .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
     for ((gid, evs) <- cases) {
-      val expect = brute(evs, 3, 5000000L)
+      val expect = brute(evs, 3, 5L)
       assert(got(gid) == expect,
         s"group $gid: got ${got(gid)}, brute $expect, events $evs")
     }
