@@ -1,10 +1,10 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch profiling main. Currently: q49 connected-components round cost
-  * (pairs stage vs iterative loop) after the seeded-label change.
+/** Dev tool: phase timing for the incremental dedup ingest loop (not part
+  * of the driver contract; run ad hoc while tuning).
   */
 object BenchProbe {
   def main(args: Array[String]): Unit = {
@@ -17,23 +17,29 @@ object BenchProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    functions.Bitmaps.register(spark)
 
-    def force(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
-    def bench(name: String)(mk: () => DataFrame): Unit = {
-      force(mk())
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime(); force(mk()); (System.nanoTime() - t0) / 1e9
-      }
-      println(f"$name%-34s min=${times.min}%.2f s  runs=${times.map(t => f"$t%.2f").mkString(",")}")
+    def timed(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
 
-    bench("q34_pairs_only") { () =>
-      SparkEntry.queries("q34_ngram_jaccard")(spark, sfDir)
+    val docs = Tables(spark, sfDir).documents
+    def freshIx() = {
+      val p = java.nio.file.Files.createTempDirectory("graft-probe-ndi").toString + "/ix"
+      val ix = new graft.dedup.NearDupIndex(spark, p, numHashes = 64, bands = 16)
+      ix.append(docs.filter(col("doc_id") % 3 === 0), "text", "doc_id")
+      ix.dedupAndAppend(docs.filter(col("doc_id") % 3 === 1), "text", "doc_id", 0.4).count()
+      ix
     }
-    bench("q49_dup_clusters") { () =>
-      SparkEntry.queries("q49_dup_clusters")(spark, sfDir)
-    }
+    val batch2 = docs.filter(col("doc_id") % 3 === 2)
+
+    val ix1 = freshIx()
+    timed("probe_only") { ix1.probe(batch2, "text", "doc_id", 0.4).count(): Unit }
+    val ix2 = freshIx()
+    timed("full_dedupAndAppend") { ix2.dedupAndAppend(batch2, "text", "doc_id", 0.4).count(): Unit }
+    val ix3 = freshIx()
+    timed("full_dedupAndAppend_2") { ix3.dedupAndAppend(batch2, "text", "doc_id", 0.4).count(): Unit }
     spark.stop()
   }
 }

@@ -10,37 +10,66 @@ import org.apache.spark.storage.StorageLevel
   * corpus (the reference's incremental-MV idea applied to dedup; cf.
   * graft.mv.StateTable for the aggregation twin).
   *
-  * Layout: parquet rows `(band INT, bucket LONG, id LONG, sig ARRAY<LONG>)`
-  * under `path` — one row per (doc × band). All hashes are seeded xxhash64
-  * (deterministic across runs/executors), so signatures computed in
-  * different batches are directly comparable; the banding parameters are
-  * fixed at construction and must not change over the index's life
-  * (enforced by a `_meta.json` stamp written on first append).
+  * Layout: ONE bucketed external table under `path/data`, registered in
+  * the session catalog (name derived from the path, so reopening binds to
+  * the same table), rows `(band INT, bucket LONG, id LONG, sig
+  * ARRAY<LONG>)`, CLUSTERED BY (bucket) — and every history join keys on
+  * `bucket` ALONE, so HashPartitioning(bucket) satisfies them all without
+  * subset-co-partitioning games. Bucket values are band-seeded xxhash64
+  * (LshBucketsExpr hashes (band, band rows)), so band can be dropped from
+  * the LSH join keys: cross-band equal buckets need an xxhash64 collision,
+  * and any such pair still faces est_jaccard verification downstream.
+  * Row kinds:
+  *  - band 0..bands-1 — one row per (doc × band), the LSH probe surface;
+  *  - band -1, bucket = id, sig null — one membership row per indexed
+  *    doc, the replay/dup check's target. Folding membership into the
+  *    same bucket layout means every history-side join is on the bucket
+  *    column, and each append is a single write. SORTED BY (band, bucket)
+  *    clusters the membership rows into dedicated row groups, so the
+  *    band = -1 scan prunes via parquet stats.
+  *
+  * All hashes are seeded xxhash64 (deterministic across runs/executors),
+  * so signatures computed in different batches are directly comparable;
+  * banding parameters and the bucket count are fixed at construction and
+  * must not change over the index's life (enforced by a `_meta.json`
+  * stamp written on first use).
   *
   * Scale shape: `append` is one shuffle (signature aggregate keyed by doc
-  * id) + an append-only write; `probe` shuffles only the BATCH by
-  * (band, bucket) and joins against the index — at 100 TB the index side
-  * can additionally be bucketed/sorted by (band, bucket) on write to make
-  * repeated probes exchange-free on the big side. No operation rewrites
-  * history; compaction is a plain parquet rewrite if small appended files
-  * accumulate.
+  * id) + one append-only bucketed write; every history-side relation in
+  * `probe`/`dedupAndAppend` is on the STREAMED side of its join — under
+  * AQE a normal-sized batch broadcasts and history is a single
+  * exchange-free, sort-free scan; a backfill-sized batch degrades to a
+  * sort-merge join whose history side is still exchange-free (bucketing
+  * satisfies the join's distribution; the in-bucket sort is spillable).
+  * Per-batch exchange volume is O(batch), never O(|history|) — the round-4
+  * formulation distinct-ed EVERY indexed id through an exchange per batch.
+  * No operation rewrites history; compaction is a plain rewrite of the
+  * bucketed table if small appended files accumulate.
   */
 final class NearDupIndex(
     spark: SparkSession,
     path: String,
     numHashes: Int = 64,
     bands: Int = 16,
-    shingleSize: Int = 3) {
+    shingleSize: Int = 3,
+    dataBuckets: Int = 32) {
 
   private val rowsPerBand = numHashes / bands
   require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
 
   private val metaPath = new org.apache.hadoop.fs.Path(path, "_meta.json")
   private def fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-  private def dataGlob = new org.apache.hadoop.fs.Path(path, "data")
+  private def dataPath = new org.apache.hadoop.fs.Path(path, "data")
+
+  // catalog name bound to this path — md5 keeps it stable across sessions
+  // and instances so a reopen appends to the same table
+  private val dataTable = "graft_ndi_data_" +
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
 
   private def checkOrStampMeta(): Unit = {
-    val expect = s"""{"numHashes":$numHashes,"bands":$bands,"shingleSize":$shingleSize}"""
+    val expect = s"""{"numHashes":$numHashes,"bands":$bands,""" +
+      s""""shingleSize":$shingleSize,"dataBuckets":$dataBuckets}"""
     if (fs.exists(metaPath)) {
       val in = fs.open(metaPath)
       val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
@@ -52,6 +81,38 @@ final class NearDupIndex(
     }
   }
 
+  private def ensureTable(): Unit =
+    if (!spark.catalog.tableExists(dataTable))
+      spark.sql(
+        s"""CREATE TABLE $dataTable (band INT, bucket BIGINT, id BIGINT, sig ARRAY<BIGINT>)
+           |USING PARQUET
+           |CLUSTERED BY (bucket) SORTED BY (band, bucket) INTO $dataBuckets BUCKETS
+           |LOCATION '$dataPath'""".stripMargin)
+
+  /** The persisted table, file listing snapshotted at call time: an append
+    * may have come through another session (foreachBatch hands out a
+    * cloned one) whose relation-cache refresh didn't touch this session's
+    * cache, so re-list on every read.
+    */
+  private def rawData: DataFrame = {
+    ensureTable()
+    spark.catalog.refreshTable(dataTable)
+    spark.table(dataTable)
+  }
+
+  // repartition to the bucket layout before writing: a bucketed write
+  // emits one file per (task × bucket), so an unaligned batch sprays
+  // partitions × buckets tiny files; pre-partitioning on the bucket hash
+  // (repartition and bucketing share Murmur3 HashPartitioning) makes each
+  // append exactly one file per bucket
+  private def writeData(rows: DataFrame): Unit =
+    rows.select("band", "bucket", "id", "sig")
+      .repartition(dataBuckets, col("bucket"))
+      .write.mode("append").format("parquet")
+      .bucketBy(dataBuckets, "bucket").sortBy("band", "bucket")
+      .option("path", dataPath.toString)
+      .saveAsTable(dataTable)
+
   /** Banded rows for a batch: (band, bucket, id, sig). */
   private def banded(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     Dedup.minhashSignatures(docs, textCol, idCol, numHashes, shingleSize)
@@ -59,21 +120,44 @@ final class NearDupIndex(
       .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"),
         col("id"), col("sig"))
 
+  /** Membership rows for a set of doc ids: band -1, bucket = id. */
+  private def membershipRows(ids: DataFrame): DataFrame =
+    ids.select(lit(-1).as("band"), col("id").as("bucket"),
+      col("id"), lit(null).cast("array<bigint>").as("sig"))
+
   /** Append a batch of documents to the index (signatures computed for the
-    * batch only). Append-only — no read or rewrite of existing parts.
+    * batch only). Append-only — no read or rewrite of existing parts. A
+    * membership row records every batch doc, including docs too short to
+    * yield a signature (they are "seen" for replay purposes even though no
+    * probe can find them).
     */
   def append(docs: DataFrame, textCol: String, idCol: String): Unit = {
     checkOrStampMeta()
-    banded(docs, textCol, idCol)
-      .write.mode("append").parquet(dataGlob.toString)
+    writeData(banded(docs, textCol, idCol)
+      .unionByName(membershipRows(docs.select(col(idCol).as("id")).dropDuplicates("id"))))
   }
 
-  /** The persisted index rows (empty DataFrame if nothing appended yet). */
-  def index: DataFrame =
-    if (fs.exists(dataGlob)) spark.read.parquet(dataGlob.toString)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType.fromDDL(
-        "band INT, bucket BIGINT, id BIGINT, sig ARRAY<BIGINT>"))
+  /** The persisted banded rows (empty DataFrame if nothing appended yet);
+    * membership rows are filtered out. Snapshots the file listing at call
+    * time.
+    */
+  def index: DataFrame = rawData.where(col("band") >= 0)
+
+  /** Ids of every doc ever appended (via the membership rows). */
+  def indexedIds: DataFrame =
+    rawData.where(col("band") === -1).select(col("bucket").as("id")).distinct()
+
+  /** Of `batchIds` (a single `id` column), the ones already indexed — the
+    * replay/membership check. Joins on the table's bucket columns
+    * (band = -1, bucket = id), so the history side streams without an
+    * exchange; output is at most one row per matching (membership row ×
+    * batch id).
+    */
+  private[graft] def replayMembers(batchIds: DataFrame): DataFrame = {
+    val member = rawData.where(col("band") === -1).select(col("bucket"))
+    val keyed = batchIds.select(col("id").as("bucket"), col("id"))
+    member.join(keyed, Seq("bucket")).select("id")
+  }
 
   /** Near-dup candidates of `docs` against everything indexed so far:
     * (id, dup_of, est_jaccard) where `dup_of` is an already-indexed doc
@@ -84,9 +168,14 @@ final class NearDupIndex(
   def probe(docs: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.5): DataFrame = {
     val b = banded(docs, textCol, idCol).persist(StorageLevel.MEMORY_AND_DISK)
-    val ix = index.select(col("band"), col("bucket"),
+    // history on the LEFT = the streamed side, joined on `bucket` ALONE —
+    // the table's single bucketing column, so only the batch side ever
+    // exchanges. Bucket values are band-seeded xxhash64 (LshBucketsExpr),
+    // so dropping band from the key admits only 2^-64 cross-band
+    // collisions, and those still face the est_jaccard verification.
+    val ix = index.select(col("bucket"),
       col("id").as("dup_of"), col("sig").as("sig_ix"))
-    b.join(ix, Seq("band", "bucket"))
+    ix.join(b.select(col("bucket"), col("id"), col("sig")), Seq("bucket"))
       .filter(col("id") =!= col("dup_of"))
       .dropDuplicates("id", "dup_of")
       .withColumn("est_jaccard", Dedup.estJaccard(col("sig"), col("sig_ix"), numHashes))
@@ -101,53 +190,60 @@ final class NearDupIndex(
     * training-data pipeline. The batch is signatured exactly ONCE; the
     * history probe, the in-batch pass, and the appended rows all derive
     * from the same persisted banded form (the signature pipeline is the
-    * dominant batch-side cost — never pay it twice).
+    * dominant batch-side cost — never pay it twice). Every history
+    * relation stays on the streamed/bucketed side of its join, so the
+    * per-batch exchange volume is O(batch) no matter how old the index is.
     */
   def dedupAndAppend(docs: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.5): DataFrame = {
     checkOrStampMeta()
     val b = banded(docs, textCol, idCol).persist(StorageLevel.MEMORY_AND_DISK)
-    // drop: ids already indexed (replayed batches dedup to nothing) ∪
-    // near-dups of already-indexed docs. `index` snapshots its parquet file
-    // listing HERE (InMemoryFileIndex lists at read time), so the returned
-    // DataFrame keeps answering against pre-append history even though the
-    // append below runs first
-    val ixAll = index
-    val ix = ixAll.select(col("band"), col("bucket"),
+    // `index`/`replayMembers` snapshot their file listings HERE (resolution
+    // time), so the probes below keep answering against pre-append history
+    // even though the append runs first
+    val ix = index.select(col("bucket"),
       col("id").as("dup_of"), col("sig").as("sig_ix"))
-    // no pair-level dropDuplicates here (unlike probe): only DISTINCT ids
-    // are needed, so band-duplicate candidate rows are collapsed by the one
-    // distinct below instead of an extra full shuffle of pair rows
-    val dupOld = b.join(ix, Seq("band", "bucket"))
+    // near-dups of already-indexed docs, joined on `bucket` alone (see
+    // probe). No pair-level dropDuplicates here (unlike probe): only ids
+    // are needed, and the anti-join below hash-builds the id set anyway,
+    // so band-duplicate candidate rows cost nothing extra.
+    val dupNear = ix.join(b.select(col("bucket"), col("id"), col("sig")), Seq("bucket"))
       .filter(col("id") =!= col("dup_of"))
       .filter(Dedup.estJaccard(col("sig"), col("sig_ix"), numHashes) >= threshold)
       .select("id")
-      .union(ixAll.select("id")).distinct()
-    val freshB = b.join(dupOld, Seq("id"), "left_anti")
-    // in-batch near-dups among the history survivors: bucket self-join of
-    // the same banded rows, keep the lowest id per pair
-    val xa = freshB.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val xb = freshB.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    val dupNew = xa.join(xb, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(Dedup.estJaccard(col("sig_a"), col("sig_b"), numHashes) >= threshold)
-      .select(col("id_b").as("id")).distinct()
-    // materialize the survivors ONCE via an eager local checkpoint: the
-    // append write and the returned survivor DataFrame both read the
-    // checkpointed partitions instead of re-running the probe/self-join
-    // cascade. localCheckpoint (not persist): a cached plan here can be
+    // ids already indexed (replayed batches dedup to nothing)
+    val dupReplay = replayMembers(b.select("id").dropDuplicates("id"))
+    val dupOld = dupNear.union(dupReplay)
+    // materialize the history survivors ONCE before the self-join: both
+    // self-join sides (and the final anti-join) would otherwise re-run the
+    // whole probe cascade — history scan included — per consumer.
+    // localCheckpoint (not persist) throughout: a cached plan here can be
     // aliased by CacheManager's canonical-plan matching across successive
     // ingest calls over the same index path, silently serving a previous
     // batch's survivors; the checkpoint cuts lineage below the plan level
     // and cannot alias.
-    val keptB = freshB.join(dupNew, Seq("id"), "left_anti")
+    val freshB = b.join(dupOld, Seq("id"), "left_anti")
       .select(col("band"), col("bucket"), col("id"), col("sig"))
       .localCheckpoint(true)
     b.unpersist()
-    keptB.write.mode("append").parquet(dataGlob.toString)
-    val keptIds = keptB.select(col("id").as("__kept_id")).distinct()
-    docs.join(keptIds, docs(idCol) === col("__kept_id"), "left_semi")
+    // in-batch near-dups among the history survivors: bucket self-join of
+    // the same banded rows, keep the lowest id per pair
+    val xa = freshB.select(col("bucket"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val xb = freshB.select(col("bucket"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    val dupNew = xa.join(xb, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(Dedup.estJaccard(col("sig_a"), col("sig_b"), numHashes) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    // the write and the returned survivor DataFrame both read these
+    // checkpointed partitions instead of re-running the pipeline
+    val keptB = freshB.join(dupNew, Seq("id"), "left_anti")
+      .select(col("band"), col("bucket"), col("id"), col("sig"))
+      .localCheckpoint(true)
+    val keptIds = keptB.select("id").dropDuplicates("id")
+    writeData(keptB.unionByName(membershipRows(keptIds)))
+    docs.join(keptIds.select(col("id").as("__kept_id")),
+      docs(idCol) === col("__kept_id"), "left_semi")
   }
 }

@@ -91,6 +91,53 @@ class NearDupIndexSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("plan: history sides of probe joins never exchange (O(batch) ingest)") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val path = tmp()
+    val ix = new NearDupIndex(spark, path, numHashes = 64, bands = 16)
+    ix.append(corpus.filter(col("doc_id") <= 3), "text", "doc_id")
+    // a join side that reads this index's persisted tables must not also
+    // contain an exchange — bucketing satisfies the join's distribution
+    def historySidesClean(p: SparkPlan): Unit = {
+      val joins = p.collect {
+        case j: SortMergeJoinExec => j: SparkPlan
+        case j: ShuffledHashJoinExec => j: SparkPlan
+      }
+      assert(joins.nonEmpty, s"expected a shuffled join in:\n$p")
+      for (j <- joins; side <- j.children) {
+        val history = side.collect {
+          case s: FileSourceScanExec
+            if s.relation.location.rootPaths.mkString(",").contains(path) => s
+        }
+        if (history.nonEmpty) {
+          assert(side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+            s"history scan sits under an exchange:\n$p")
+        }
+      }
+    }
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // worst case on purpose: no broadcast rescue, no AQE re-plan — the
+    // static plan itself must keep history exchange-free
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val batch = corpus.filter(col("doc_id") > 3)
+      historySidesClean(
+        ix.probe(batch, "text", "doc_id").queryExecution.executedPlan)
+      // the replay/membership check dedupAndAppend runs internally: the
+      // membership rows stream (band/bucket-aligned), only the batch's
+      // ids exchange
+      val members = ix.replayMembers(
+        batch.select(col("doc_id").as("id")).distinct())
+      historySidesClean(members.queryExecution.executedPlan)
+    } finally {
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+    }
+  }
+
   test("parameter stamp: reopening with different banding fails fast") {
     val path = tmp()
     new NearDupIndex(spark, path, numHashes = 64, bands = 16)
