@@ -132,6 +132,11 @@ class NearDupIndexSpec extends SparkSpec {
       val members = ix.replayMembers(
         batch.select(col("doc_id").as("id")).distinct())
       historySidesClean(members.queryExecution.executedPlan)
+      // REOPENING the index binds to the same catalog table — the
+      // bucketed, exchange-free probe shape must survive a restart
+      val reopened = new NearDupIndex(spark, path, numHashes = 64, bands = 16)
+      historySidesClean(
+        reopened.probe(batch, "text", "doc_id").queryExecution.executedPlan)
     } finally {
       spark.conf.unset("spark.sql.adaptive.enabled")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
