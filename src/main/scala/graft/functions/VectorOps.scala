@@ -32,6 +32,7 @@ object VectorOps {
     reg.createOrReplaceTempFunction(
       "quantize_int8", exprs => QuantizeInt8(exprs.head), "built-in")
     LshSignatures.register(spark)
+    VectorQuant.register(spark)
   }
 
   /** Cosine similarity of two float/double array columns, in double. */

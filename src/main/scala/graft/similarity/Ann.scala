@@ -143,16 +143,6 @@ object Ann {
         i -> r.getSeq[Float](1).toArray
       }
 
-  private def cosineLocal(a: Array[Float], b: Array[Float]): Double = {
-    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) {
-      val x = a(i).toDouble; val y = b(i).toDouble
-      dot += x * y; na += x * x; nb += y * y; i += 1
-    }
-    if (na == 0 || nb == 0) -2.0 else dot / (math.sqrt(na) * math.sqrt(nb))
-  }
-
   /** IVF index: each corpus row assigned to its nearest centroid's inverted
     * list. One pass over the corpus; the result is partition-prunable by
     * `list_id` when persisted (`partitionBy("list_id")`).
@@ -192,19 +182,16 @@ object Ann {
     */
   def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
       cents: Array[(Int, Array[Float])]): DataFrame = {
-    val bc = corpus.sparkSession.sparkContext.broadcast(cents)
-    val assign = udf { (v: Seq[Float]) =>
-      val arr = v.toArray
-      var best = -1; var bestSim = -3.0
-      for ((cid, cvec) <- bc.value) {
-        val s = cosineLocal(arr, cvec)
-        if (s > bestSim) { bestSim = s; best = cid }
-      }
-      best
-    }
+    // assignment = top-1 of the primitive nearest-centroids expression
+    // (tight double loop over a plan-literal centroid table) — the former
+    // per-row UDF boxed every vector element nlist times on the
+    // corpus-sized build path
+    graft.functions.VectorOps.register(corpus.sparkSession)
     graft.engine.Warehouse.spreadForCompute(
         corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")), "neighbor_id")
-      .select(col("neighbor_id"), col("cvec"), assign(col("cvec")).as("list_id"))
+      .select(col("neighbor_id"), col("cvec"),
+        graft.functions.VectorQuant.nearest_centroids(col("cvec"), cents, 1)
+          .getItem(0).as("list_id"))
   }
 
   /** IVF search: probe the `nprobe` nearest inverted lists, exact-rerank
@@ -223,15 +210,10 @@ object Ann {
   def ivfTopK(index: DataFrame, cents: Array[(Int, Array[Float])],
       probes: DataFrame, idCol: String, vecCol: String, k: Int,
       nprobe: Int): DataFrame = {
-    val bc = index.sparkSession.sparkContext.broadcast(cents)
-    val probeLists = udf { (v: Seq[Float]) =>
-      val arr = v.toArray
-      bc.value.map { case (cid, cvec) => (cid, cosineLocal(arr, cvec)) }
-        .sortBy { case (cid, s) => (-s, cid) }.take(nprobe).map(_._1)
-    }
     graft.functions.VectorOps.register(index.sparkSession)
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"))
-      .withColumn("list_id", explode(probeLists(col("pvec"))))
+      .withColumn("list_id", explode(
+        graft.functions.VectorQuant.nearest_centroids(col("pvec"), cents, nprobe)))
     val scored = index.join(broadcast(p), Seq("list_id"))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .withColumn("cos_sim", cosine(col("cvec"), col("pvec")))

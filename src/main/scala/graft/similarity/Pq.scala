@@ -101,12 +101,10 @@ object Pq {
 
     val sub = subvectors(corpus, idCol, vecCol, m, subDim)
     for (_ <- 1 to iterations) {
-      val bc = spark.sparkContext.broadcast(cb)
-      val assign = udf { (mi: Int, v: Seq[Float]) =>
-        nearestCode(v.toArray, bc.value(mi))
-      }
       val updated = sub
-        .select(col("m_idx"), assign(col("m_idx"), col("subvec")).as("code"), col("subvec"))
+        .select(col("m_idx"),
+          graft.functions.VectorQuant.pq_nearest_code(
+            col("m_idx"), col("subvec"), cb).as("code"), col("subvec"))
         .groupBy("m_idx", "code")
         .agg(graft.functions.VectorOps.mean_vector(col("subvec")).as("c"))
         .collect()
@@ -122,18 +120,11 @@ object Pq {
     * compressed index (m bytes of information per vector).
     */
   def encode(corpus: DataFrame, idCol: String, vecCol: String, cb: Codebook): DataFrame = {
-    val bc = corpus.sparkSession.sparkContext.broadcast(cb)
-    val enc = udf { (v: Seq[Float]) =>
-      val arr = v.toArray
-      val b = bc.value
-      Array.tabulate(b.m) { mi =>
-        nearestCode(java.util.Arrays.copyOfRange(arr, mi * b.subDim, (mi + 1) * b.subDim),
-          b.centroids(mi))
-      }
-    }
+    graft.functions.VectorOps.register(corpus.sparkSession)
     graft.engine.Warehouse.spreadForCompute(
         corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec")), "neighbor_id")
-      .select(col("neighbor_id"), enc(col("vec")).as("codes"))
+      .select(col("neighbor_id"),
+        graft.functions.VectorQuant.pq_encode(col("vec"), cb.centroids).as("codes"))
   }
 
   /** ADC top-k over an encoded corpus: per probe, precompute the
@@ -148,32 +139,12 @@ object Pq {
     */
   private def probeTables(probes: DataFrame, cb: Codebook,
       idCol: String, vecCol: String): DataFrame = {
-    val bc = probes.sparkSession.sparkContext.broadcast(cb)
-    val lutOf = udf { (p: Seq[Float]) =>
-      val arr = p.toArray
-      val b = bc.value
-      val lut = new Array[Double](b.m * b.ksub)
-      var mi = 0
-      while (mi < b.m) {
-        var c = 0
-        while (c < b.ksub) {
-          val cent = b.centroids(mi)(c)
-          var s = 0.0; var i = 0
-          while (i < b.subDim) { s += arr(mi * b.subDim + i).toDouble * cent(i); i += 1 }
-          lut(mi * b.ksub + c) = s
-          c += 1
-        }
-        mi += 1
-      }
-      lut
-    }
-    val pnorm = udf { (p: Seq[Float]) =>
-      var s = 0.0; var i = 0
-      while (i < p.length) { s += p(i).toDouble * p(i); i += 1 }
-      math.sqrt(s)
-    }
+    graft.functions.VectorOps.register(probes.sparkSession)
+    // pn = l2_norm: bit-identical to the former inline UDF (index-order
+    // double sum of squares, then sqrt)
     probes.select(col(idCol).as("probe_id"),
-      lutOf(col(vecCol)).as("lut"), pnorm(col(vecCol)).as("pn"))
+      graft.functions.VectorQuant.pq_lut(col(vecCol), cb.centroids).as("lut"),
+      graft.functions.VectorOps.l2_norm(col(vecCol)).as("pn"))
   }
 
   /** Score (codes, lut, pn) rows and reduce to per-probe top-k through the
@@ -181,21 +152,11 @@ object Pq {
     */
   private def scoreAndTopK(cand: DataFrame, cb: Codebook, k: Int): DataFrame = {
     val spark = cand.sparkSession
-    val bc = spark.sparkContext.broadcast(cb)
-    val score = udf { (codes: Seq[Int], lut: Seq[Double], pn: Double) =>
-      val b = bc.value
-      var dot = 0.0; var xn2 = 0.0; var mi = 0
-      while (mi < b.m) {
-        val c = codes(mi)
-        dot += lut(mi * b.ksub + c)
-        xn2 += b.cnorm2(mi)(c)
-        mi += 1
-      }
-      if (xn2 == 0.0 || pn == 0.0) -2.0 else dot / (pn * math.sqrt(xn2))
-    }
+    graft.functions.VectorOps.register(spark)
     graft.functions.TopK.register(spark)
     cand
-      .withColumn("cos_sim", score(col("codes"), col("lut"), col("pn")))
+      .withColumn("cos_sim", graft.functions.VectorQuant.pq_adc_score(
+        col("codes"), col("lut"), col("pn"), cb.centroids))
       .groupBy("probe_id")
       .agg(graft.functions.TopK.topk_by_score(
         struct(col("cos_sim").cast(DoubleType), col("neighbor_id").cast(LongType)), k).as("nn"))
@@ -232,22 +193,11 @@ object Pq {
       encoded: DataFrame, cb: Codebook,
       probes: DataFrame, idCol: String, vecCol: String,
       k: Int, nprobe: Int): DataFrame = {
-    val bc = ivf.sparkSession.sparkContext.broadcast(cents)
-    val probeLists = udf { (v: Seq[Float]) =>
-      val arr = v.toArray
-      bc.value.map { case (cid, cvec) =>
-        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-        val n = math.min(arr.length, cvec.length)
-        while (i < n) {
-          val x = arr(i).toDouble; val y = cvec(i).toDouble
-          dot += x * y; na += x * x; nb += y * y; i += 1
-        }
-        (cid, if (na == 0 || nb == 0) -2.0 else dot / (math.sqrt(na) * math.sqrt(nb)))
-      }.sortBy { case (cid, s) => (-s, cid) }.take(nprobe).map(_._1)
-    }
+    graft.functions.VectorOps.register(ivf.sparkSession)
     val p = probeTables(probes, cb, idCol, vecCol)
       .join(probes.select(col(idCol).as("probe_id"),
-        explode(probeLists(col(vecCol))).as("list_id")), Seq("probe_id"))
+        explode(graft.functions.VectorQuant.nearest_centroids(
+          col(vecCol), cents, nprobe)).as("list_id")), Seq("probe_id"))
     val pruned =
       if (encoded.columns.contains("list_id")) encoded // already prejoined/stored
       else encoded.join(ivf.select(col("neighbor_id"), col("list_id")), Seq("neighbor_id"))

@@ -129,6 +129,39 @@ class AnnSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("nearest_centroids expression is bit-identical to the UDF forms it replaced") {
+    // replicate the retired closures (assign: first strict max in array
+    // order; probeLists: sortBy (-sim, cid) take n) and demand 0 mismatches
+    // over the whole embeddings table, so persisted IVF indexes stay valid
+    def cosineLocal(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0 || nb == 0) -2.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cents = Ann.pickCentroids(emb, "vec_id", "embedding", 8)
+    graft.functions.VectorOps.register(spark)
+    val got = emb.select(col("vec_id"),
+        graft.functions.VectorQuant.nearest_centroids(col("embedding"), cents, 3).as("nc"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    for ((id, v) <- vecs) {
+      val exp = cents.map { case (cid, cvec) => (cid, cosineLocal(v, cvec)) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(3).map(_._1).toSeq
+      assert(got(id) == exp, s"probeLists mismatch for vec $id")
+      var best = -1; var bestSim = -3.0
+      for ((cid, cvec) <- cents) {
+        val s = cosineLocal(v, cvec)
+        if (s > bestSim) { bestSim = s; best = cid }
+      }
+      assert(got(id).head == best, s"assign mismatch for vec $id")
+    }
+  }
+
   test("LSH index bucketing is deterministic across evaluations") {
     val a = Ann.lshIndex(emb, "vec_id", "embedding", 4, 6)
       .select("neighbor_id", "tbl", "bucket")

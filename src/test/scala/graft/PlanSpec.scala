@@ -115,6 +115,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q44/q67: quantizer paths run on primitive expressions, no Scala UDFs") {
+    // IVF assignment/probing and the PQ encode/LUT/score path were
+    // interpreted per-row closures until round 5 — a ScalaUDF in these
+    // plans means the boxed hot loop crept back
+    for (q <- Seq("q44_knn_ivf", "q67_knn_pq")) {
+      assert(!planStr(q).contains("UDF"), s"$q: interpreted UDF in plan")
+    }
+  }
+
   private def hashExchanges(name: String): Int =
     "Exchange hashpartitioning".r.findAllIn(planStr(name)).length
 

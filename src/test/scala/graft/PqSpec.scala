@@ -129,6 +129,70 @@ class PqSpec extends SparkSpec {
     assert(out.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 5))
   }
 
+  test("pq expressions are bit-identical to the UDF forms they replaced") {
+    // local replicas of the retired closures; 0 mismatches over the whole
+    // embeddings table keeps persisted PqIndex layouts valid
+    def l2Local(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      s
+    }
+    def nearestCode(sub: Array[Float], cents: Array[Array[Float]]): Int = {
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cents.length) {
+        val d = l2Local(sub, cents(c))
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    val cb = Pq.trainCodebook(emb, "vec_id", "embedding", m = 8, ksub = 16, iterations = 1)
+    graft.functions.VectorOps.register(spark)
+    val rows = emb.select(col("vec_id"),
+        graft.functions.VectorQuant.pq_encode(col("embedding"), cb.centroids).as("codes"),
+        graft.functions.VectorQuant.pq_lut(col("embedding"), cb.centroids).as("lut"),
+        graft.functions.VectorOps.l2_norm(col("embedding")).as("pn"),
+        col("embedding"),
+        graft.functions.VectorQuant.pq_adc_score(
+          graft.functions.VectorQuant.pq_encode(col("embedding"), cb.centroids),
+          graft.functions.VectorQuant.pq_lut(col("embedding"), cb.centroids),
+          graft.functions.VectorOps.l2_norm(col("embedding")), cb.centroids).as("sc"))
+      .collect()
+    for (r <- rows) {
+      val v = r.getSeq[Float](4).toArray
+      val expCodes = (0 until cb.m).map { mi =>
+        nearestCode(java.util.Arrays.copyOfRange(v, mi * cb.subDim, (mi + 1) * cb.subDim),
+          cb.centroids(mi))
+      }
+      assert(r.getSeq[Int](1) == expCodes, s"codes mismatch for vec ${r.getLong(0)}")
+      val expLut = new Array[Double](cb.m * cb.ksub)
+      for (mi <- 0 until cb.m; c <- 0 until cb.ksub) {
+        val cent = cb.centroids(mi)(c)
+        var s = 0.0; var i = 0
+        while (i < cb.subDim) { s += v(mi * cb.subDim + i).toDouble * cent(i); i += 1 }
+        expLut(mi * cb.ksub + c) = s
+      }
+      assert(r.getSeq[Double](2).toArray.toSeq == expLut.toSeq,
+        s"lut mismatch for vec ${r.getLong(0)}")
+      var pn2 = 0.0
+      v.foreach(x => pn2 += x.toDouble * x)
+      assert(r.getDouble(3) == math.sqrt(pn2), s"pn mismatch for vec ${r.getLong(0)}")
+      // ADC score: expression vs the retired closure on this row's own
+      // (codes, lut, pn)
+      val codes = r.getSeq[Int](1)
+      var dot = 0.0; var xn2 = 0.0
+      for (mi <- 0 until cb.m) {
+        val c = codes(mi)
+        dot += expLut(mi * cb.ksub + c)
+        xn2 += cb.cnorm2(mi)(c)
+      }
+      val expScore = if (xn2 == 0.0 || r.getDouble(3) == 0.0) -2.0
+        else dot / (r.getDouble(3) * math.sqrt(xn2))
+      assert(r.getDouble(5) == expScore, s"adc score mismatch for vec ${r.getLong(0)}")
+    }
+  }
+
   test("ADC output shape: dense ranks, non-increasing scores") {
     val cb = Pq.trainCodebook(emb, "vec_id", "embedding", m = 8, ksub = 16, iterations = 1)
     val enc = Pq.encode(emb, "vec_id", "embedding", cb)
