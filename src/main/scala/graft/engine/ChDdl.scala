@@ -1,0 +1,340 @@
+package graft.engine
+
+import scala.collection.mutable
+
+/** Parser for the ClickHouse DDL dialect the reference's scripts are
+  * written in (ref scripts/sql, all files): `CREATE TABLE ... ENGINE =
+  * ...MergeTree` with PARTITION BY / PRIMARY KEY / ORDER BY / TTL /
+  * SETTINGS, `CREATE TABLE ... AS x ENGINE = Distributed(...)`,
+  * `CREATE MATERIALIZED VIEW ... TO target (cols) AS SELECT ...`,
+  * `CREATE DICTIONARY ... SOURCE(CLICKHOUSE(...)) LIFETIME(...)
+  * LAYOUT(...)`, and `ALTER TABLE ... ADD COLUMN / MODIFY ORDER BY`.
+  *
+  * This is a tolerant, statement-level parser — it recovers the structure
+  * [[ChReplay]] needs to instantiate Warehouse/StateTable/
+  * MaterializedView/Dictionaries objects, not a full grammar. The
+  * reference scripts mix `;`-terminated and bare statements, so splitting
+  * is keyword-anchored: a new statement starts at a top-level line opening
+  * with CREATE/ALTER/DROP/SELECT/WITH/INSERT (unless the previous
+  * statement is dangling on `AS`, which glues a materialized view to its
+  * SELECT). Comments (`--`) are stripped first.
+  */
+object ChDdl {
+
+  /** One column definition: CH type text is kept verbatim (e.g.
+    * `AggregateFunction(uniqCombined,UInt32)`); `default`/`comment` are the
+    * clause bodies; `after` is ALTER's position hint (ignored by Spark).
+    */
+  final case class Col(
+      name: String,
+      chType: String,
+      default: Option[String] = None,
+      comment: Option[String] = None,
+      after: Option[String] = None) {
+    def isAggState: Boolean = chType.toLowerCase.startsWith("aggregatefunction")
+    def isSimpleAggState: Boolean = chType.toLowerCase.startsWith("simpleaggregatefunction")
+    /** (function, value CH type) of an AggregateFunction/SimpleAggregateFunction. */
+    def aggSpec: Option[(String, String)] = {
+      val m = """(?i)(?:Simple)?AggregateFunction\s*\(\s*(\w+)\s*,\s*([^)]+)\)""".r
+      m.findFirstMatchIn(chType).map(g => (g.group(1), g.group(2).trim))
+    }
+  }
+
+  /** `TTL day + toIntervalDay(d) + toIntervalHour(h)`. */
+  final case class Ttl(days: Int, hours: Int)
+
+  sealed trait Stmt
+
+  final case class CreateTable(
+      name: String,
+      cols: Seq[Col],
+      engine: String,
+      engineArgs: Seq[String],
+      partitionBy: Option[String],
+      primaryKey: Seq[String],
+      orderBy: Seq[String],
+      ttl: Option[Ttl],
+      asTable: Option[String]) extends Stmt {
+    def isDistributed: Boolean = engine.equalsIgnoreCase("Distributed")
+    /** `Distributed(cluster, db, table, key)` → `db.table`. */
+    def distributedTarget: Option[String] =
+      if (isDistributed && engineArgs.length >= 3) Some(s"${engineArgs(1)}.${engineArgs(2)}")
+      else None
+    def isAggregating: Boolean = engine.toLowerCase.contains("aggregatingmergetree")
+    def isMergeTree: Boolean = engine.toLowerCase.contains("mergetree")
+  }
+
+  final case class CreateMaterializedView(
+      name: String,
+      to: String,
+      cols: Seq[Col],
+      select: String) extends Stmt {
+    /** The FROM table the insert trigger watches. */
+    def sourceTable: String =
+      """(?is)\bfrom\s+([A-Za-z_][\w.]*)""".r.findFirstMatchIn(select)
+        .map(_.group(1))
+        .getOrElse(sys.error(s"MV $name: no FROM table in select"))
+  }
+
+  final case class CreateDictionary(
+      name: String,
+      cols: Seq[Col],
+      primaryKey: String,
+      sourceDb: String,
+      sourceTable: String,
+      lifetimeMin: Int,
+      lifetimeMax: Int,
+      layout: String) extends Stmt {
+    def sourceName: String = s"$sourceDb.$sourceTable"
+  }
+
+  final case class AlterTable(
+      table: String,
+      addColumns: Seq[Col],
+      modifyColumns: Seq[Col],
+      newOrderBy: Option[Seq[String]]) extends Stmt
+
+  final case class DropStmt(sql: String) extends Stmt
+  final case class Query(sql: String) extends Stmt
+  /** Anything the replayer has no object mapping for. */
+  final case class Unparsed(sql: String) extends Stmt
+
+  // ---- statement splitting -------------------------------------------------
+
+  private def stripComments(s: String): String =
+    s.linesIterator.map { l =>
+      // no '--' inside string literals in the reference scripts
+      val i = l.indexOf("--")
+      if (i >= 0) l.substring(0, i) else l
+    }.mkString("\n")
+
+  private val startKw = """(?i)^(create|alter|drop|select|with|insert)\b""".r
+
+  /** Split a script into statement texts (see class doc for the rules). */
+  def splitStatements(script: String): Seq[String] = {
+    val text = stripComments(script)
+    val out = mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inStr = false
+    def flush(): Unit = {
+      val s = cur.toString.trim
+      if (s.nonEmpty) out += s
+      cur.clear()
+    }
+    for (line <- text.linesIterator) {
+      val t = line.trim
+      val dangling = """(?is).*\bas\s*$""".r.matches(cur.toString.trim)
+      if (depth == 0 && !inStr && startKw.findFirstIn(t).isDefined &&
+          cur.toString.trim.nonEmpty && !dangling)
+        flush()
+      var i = 0
+      while (i < line.length) {
+        val c = line.charAt(i)
+        if (inStr) {
+          cur += c
+          if (c == '\'') inStr = false
+        } else c match {
+          case '\'' => inStr = true; cur += c
+          case '(' => depth += 1; cur += c
+          case ')' => depth -= 1; cur += c
+          case ';' if depth == 0 => flush()
+          case _ => cur += c
+        }
+        i += 1
+      }
+      cur += '\n'
+    }
+    flush()
+    out.toSeq
+  }
+
+  // ---- statement parsing ---------------------------------------------------
+
+  def parse(script: String): Seq[Stmt] = splitStatements(script).map(parseStatement)
+
+  def parseStatement(sql: String): Stmt = {
+    val s = sql.trim
+    def heads(kw: String): Boolean =
+      ("""(?is)^""" + kw.replace(" ", "\\s+") + """\b""").r.findFirstIn(s).isDefined
+    if (heads("create materialized view")) parseMv(s)
+    else if (heads("create dictionary")) parseDictionary(s)
+    else if (heads("create table")) parseCreateTable(s)
+    else if (heads("alter table")) parseAlter(s)
+    else if (heads("drop")) DropStmt(s)
+    else if (heads("select") || heads("with")) Query(s)
+    else Unparsed(s)
+  }
+
+  /** Content of the balanced paren group opening at `open` (index of '('),
+    * and the index just past its ')'.
+    */
+  private def balanced(s: String, open: Int): (String, Int) = {
+    require(s.charAt(open) == '(', s"expected ( at $open")
+    var depth = 0
+    var inStr = false
+    var i = open
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return (s.substring(open + 1, i), i + 1)
+        case _ =>
+      }
+      i += 1
+    }
+    sys.error(s"unbalanced parens from $open in: ${s.take(120)}...")
+  }
+
+  /** Split on top-level commas (outside parens and strings). */
+  private def topLevelSplit(s: String): Seq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inStr = false
+    for (c <- s) {
+      if (inStr) { cur += c; if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true; cur += c
+        case '(' => depth += 1; cur += c
+        case ')' => depth -= 1; cur += c
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case _ => cur += c
+      }
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** `name Type [default expr] [comment 'c'] [after col]`. */
+  def parseCol(text: String): Col = {
+    val t = text.trim
+    val nameEnd = t.indexWhere(c => c.isWhitespace)
+    require(nameEnd > 0, s"bad column def: $t")
+    val name = t.substring(0, nameEnd)
+    var rest = t.substring(nameEnd).trim
+    // the type runs to the first top-level `default`/`comment`/`after`
+    val kw = """(?i)\b(default|comment|after)\b""".r
+    // type text itself contains no keywords in CH — safe to cut at first hit
+    val typeEnd = kw.findFirstMatchIn(rest).map(_.start).getOrElse(rest.length)
+    val chType = rest.substring(0, typeEnd).trim.replaceAll("\\s+", "")
+    rest = rest.substring(typeEnd)
+    def clause(k: String): Option[String] = {
+      val m = ("""(?i)\b""" + k + """\b""").r.findFirstMatchIn(rest)
+      m.map { mm =>
+        val tail = rest.substring(mm.end).trim
+        val stop = kw.findFirstMatchIn(tail).map(_.start).getOrElse(tail.length)
+        tail.substring(0, stop).trim
+      }
+    }
+    Col(name, chType,
+      default = clause("default").filter(_.nonEmpty),
+      comment = clause("comment").map(_.stripPrefix("'").stripSuffix("'")),
+      after = clause("after").filter(_.nonEmpty))
+  }
+
+  private def keyList(s: String, kw: String): Seq[String] = {
+    val m = ("""(?is)\b""" + kw + """\s+(\(([^)]*)\)|[\w.()]+)""").r.findFirstMatchIn(s)
+    m.toSeq.flatMap { mm =>
+      val body = Option(mm.group(2)).getOrElse(mm.group(1))
+      body.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    }
+  }
+
+  private def parseCreateTable(s: String): CreateTable = {
+    val head = """(?is)create\s+table\s+(?:if\s+not\s+exists\s+)?([\w.]+)(?:\s+on\s+cluster\s+\S+)?""".r
+      .findFirstMatchIn(s).getOrElse(sys.error(s"bad create table: ${s.take(80)}"))
+    val name = head.group(1)
+    var rest = s.substring(head.end)
+    // `as other.table` (Distributed shell) or an explicit column list
+    val asTable = """(?is)^\s*as\s+([\w.]+)""".r.findFirstMatchIn(rest).map(_.group(1))
+    val cols =
+      if (asTable.isDefined) Nil
+      else {
+        val open = rest.indexOf('(')
+        if (open < 0 || """(?is)^\s*engine""".r.findFirstIn(rest).isDefined) Nil
+        else {
+          val (body, end) = balanced(rest, open)
+          rest = rest.substring(end)
+          topLevelSplit(body).map(parseCol)
+        }
+      }
+    val engM = """(?is)\bengine\s*=\s*(\w+)""".r.findFirstMatchIn(s)
+      .getOrElse(sys.error(s"create table $name: no engine"))
+    val engine = engM.group(1)
+    val engineArgs = {
+      val after = s.substring(engM.end)
+      val t = after.dropWhile(_.isWhitespace)
+      if (t.startsWith("(")) topLevelSplit(balanced(t, 0)._1) else Nil
+    }
+    val ttl = """(?is)\bttl\s+\w+\s*\+\s*toIntervalDay\((\d+)\)(?:\s*\+\s*toIntervalHour\((\d+)\))?""".r
+      .findFirstMatchIn(s)
+      .map(m => Ttl(m.group(1).toInt, Option(m.group(2)).map(_.toInt).getOrElse(0)))
+    CreateTable(name, cols, engine, engineArgs,
+      partitionBy = keyList(s, "partition\\s+by").headOption,
+      primaryKey = keyList(s, "primary\\s+key"),
+      orderBy = keyList(s, "order\\s+by"),
+      ttl = ttl,
+      asTable = asTable)
+  }
+
+  private def parseMv(s: String): CreateMaterializedView = {
+    val head = """(?is)create\s+materialized\s+view\s+([\w.]+)(?:\s+on\s+cluster\s+\S+)?\s+to\s+([\w.]+)""".r
+      .findFirstMatchIn(s).getOrElse(sys.error(s"bad create mv: ${s.take(80)}"))
+    val rest = s.substring(head.end)
+    val open = rest.indexOf('(')
+    require(open >= 0, s"mv ${head.group(1)}: no column list")
+    val (body, end) = balanced(rest, open)
+    val tail = rest.substring(end)
+    val asM = """(?is)^\s*as\s+""".r.findFirstMatchIn(tail)
+      .getOrElse(sys.error(s"mv ${head.group(1)}: no AS SELECT"))
+    CreateMaterializedView(head.group(1), head.group(2),
+      topLevelSplit(body).map(parseCol), tail.substring(asM.end).trim)
+  }
+
+  private def parseDictionary(s: String): CreateDictionary = {
+    val head = """(?is)create\s+dictionary\s+([\w.]+)(?:\s+on\s+cluster\s+\S+)?""".r
+      .findFirstMatchIn(s).getOrElse(sys.error(s"bad create dictionary: ${s.take(80)}"))
+    val rest = s.substring(head.end)
+    val open = rest.indexOf('(')
+    require(open >= 0, s"dictionary ${head.group(1)}: no column list")
+    val (body, _) = balanced(rest, open)
+    val pk = """(?is)\bprimary\s+key\s+(\w+)""".r.findFirstMatchIn(s)
+      .map(_.group(1)).getOrElse(sys.error(s"dictionary ${head.group(1)}: no primary key"))
+    val srcDb = """(?is)\bdb\s+'([^']*)'""".r.findFirstMatchIn(s).map(_.group(1))
+      .getOrElse(sys.error(s"dictionary ${head.group(1)}: no source db"))
+    val srcTable = """(?is)\btable\s+'([^']*)'""".r.findFirstMatchIn(s).map(_.group(1))
+      .getOrElse(sys.error(s"dictionary ${head.group(1)}: no source table"))
+    val life = """(?is)\blifetime\s*\(\s*min\s+(\d+)\s+max\s+(\d+)\s*\)""".r.findFirstMatchIn(s)
+    val layout = """(?is)\blayout\s*\(\s*(\w+)""".r.findFirstMatchIn(s)
+      .map(_.group(1)).getOrElse("HASHED")
+    CreateDictionary(head.group(1), topLevelSplit(body).map(parseCol), pk,
+      srcDb, srcTable,
+      life.map(_.group(1).toInt).getOrElse(0), life.map(_.group(2).toInt).getOrElse(0),
+      layout)
+  }
+
+  private def parseAlter(s: String): AlterTable = {
+    val head = """(?is)alter\s+table\s+([\w.]+)(?:\s+on\s+cluster\s+\S+)?\s*""".r
+      .findFirstMatchIn(s).getOrElse(sys.error(s"bad alter: ${s.take(80)}"))
+    val adds = mutable.ArrayBuffer.empty[Col]
+    val mods = mutable.ArrayBuffer.empty[Col]
+    var orderBy: Option[Seq[String]] = None
+    for (sub <- topLevelSplit(s.substring(head.end))) {
+      val t = sub.trim
+      val lower = t.toLowerCase
+      if (lower.startsWith("add column"))
+        adds += parseCol(t.replaceAll("(?is)^add\\s+column\\s+(if\\s+not\\s+exists\\s+)?", ""))
+      else if (lower.startsWith("modify order by"))
+        orderBy = Some(keyList(t, "modify\\s+order\\s+by"))
+      else if (lower.startsWith("modify column"))
+        mods += parseCol(t.replaceAll("(?is)^modify\\s+column\\s+(if\\s+exists\\s+)?", ""))
+      // other subcommands (drop column, etc.) don't appear in the reference
+    }
+    AlterTable(head.group(1), adds.toSeq, mods.toSeq, orderBy)
+  }
+}

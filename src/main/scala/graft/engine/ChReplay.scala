@@ -1,0 +1,289 @@
+package graft.engine
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Dictionaries
+import graft.mv.{BitmapUvMetric, HllUvMetric, MaterializedView, MaxMetric, MedianExactMetric, Metric, MinMetric, StateTable, SumMetric}
+
+/** Executes parsed ClickHouse DDL ([[ChDdl]]) against this engine's
+  * objects — the translator that lets a user replay the reference's
+  * scripts file-verbatim (ref scripts/sql, all files) instead of
+  * hand-porting each CREATE into constructor calls:
+  *
+  *  - `CREATE TABLE ... AggregatingMergeTree` → a [[StateTable]] under
+  *    `warehouseDir` (keys = ORDER BY, partition = PARTITION BY, one
+  *    [[Metric]] per AggregateFunction/SimpleAggregateFunction column);
+  *  - `CREATE TABLE ... ENGINE=Distributed(c,db,t,..)` → a name alias
+  *    (every Spark table is already distributed — SURVEY §1.1);
+  *  - plain MergeTree tables → descriptors only: their storage is
+  *    whatever DataFrame the caller [[bind]]s (or a same-named catalog
+  *    view, e.g. [[Catalog]]'s); TTL/layout metadata is kept for
+  *    [[StateTable.expire]]-style maintenance;
+  *  - `CREATE MATERIALIZED VIEW ... TO t AS SELECT` →
+  *    [[MaterializedView.fromSql]] targeting t's StateTable, with the
+  *    SELECT's output conformed to t's declared columns by NAME — CH
+  *    insert semantics: surplus columns are discarded, missing simple
+  *    aggregates take the type default (0), missing aggregate states stay
+  *    empty. (This faithfully reproduces the reference's own
+  *    show_cnt/shown_cnt column-name mismatch, whose golden output shows
+  *    shown_cnt = 0 — doc:287-292.)
+  *  - `CREATE DICTIONARY` → [[Dictionaries.register]] from the source
+  *    table's bound DataFrame, with declared per-attribute defaults;
+  *  - `ALTER TABLE ADD COLUMN / MODIFY ORDER BY` → descriptor update +
+  *    StateTable rebuild at the same path (part schemas union on read, so
+  *    widening is metadata-only — the reference's live-ALTER flow,
+  *    ref dwm.mainpage_stat_mv_dis.sql:78-96);
+  *  - `DROP TABLE <mv>` → detaches that MV (drop-recreate flow);
+  *  - SELECT statements are collected in [[queries]] for the caller to
+  *    run (see [[runQuery]] for the two mechanical dialect shims).
+  */
+final class ChReplay(spark: SparkSession, warehouseDir: String) {
+  import ChDdl._
+
+  graft.functions.ChCompat.register(spark)
+
+  val tables = mutable.LinkedHashMap.empty[String, CreateTable]
+  val aliases = mutable.LinkedHashMap.empty[String, String]
+  val stateTables = mutable.LinkedHashMap.empty[String, StateTable]
+  val mvs = mutable.LinkedHashMap.empty[String, MaterializedView]
+  val dictionaries = mutable.ArrayBuffer.empty[String]
+  val queries = mutable.ArrayBuffer.empty[String]
+  private val mvSources = mutable.LinkedHashMap.empty[String, String]
+  private val bindings = mutable.Map.empty[String, DataFrame]
+
+  /** Bind a raw (MergeTree) table name to its storage DataFrame. */
+  def bind(name: String, df: DataFrame): Unit = bindings(name) = df
+
+  /** Follow Distributed aliases to the local table name. */
+  def resolve(name: String): String = aliases.get(name) match {
+    case Some(t) => resolve(t)
+    case None => name
+  }
+
+  private def sourceDf(name: String): DataFrame = {
+    val n = resolve(name)
+    bindings.getOrElse(n, spark.table(n))
+  }
+
+  def executeScript(script: String): Unit = ChDdl.parse(script).foreach(execute)
+
+  def execute(stmt: Stmt): Unit = stmt match {
+    case ct: CreateTable if ct.isDistributed =>
+      ct.distributedTarget.foreach(t => aliases(ct.name) = t)
+    case ct: CreateTable =>
+      tables(ct.name) = ct
+      if (ct.isAggregating) rebuildStateTable(ct.name)
+    case mv: CreateMaterializedView => buildMv(mv)
+    case d: CreateDictionary => buildDictionary(d)
+    case a: AlterTable => applyAlter(a)
+    case DropStmt(sql) =>
+      """(?is)drop\s+(?:table|view|dictionary)\s+(?:if\s+exists\s+)?([\w.]+)""".r
+        .findFirstMatchIn(sql).foreach { m =>
+          mvs.remove(m.group(1)); mvSources.remove(m.group(1)); ()
+        }
+    case Query(sql) => queries += sql
+    case _: Unparsed => ()
+  }
+
+  /** Fire the insert trigger: run `batch` through every MV watching
+    * `tableName` (CH semantics — MVs see only freshly inserted blocks).
+    */
+  def insert(tableName: String, batch: DataFrame): Unit = {
+    val t = resolve(tableName)
+    val watching = mvSources.collect { case (mv, src) if resolve(src) == t => mv }.toSeq
+    watching.foreach(mv => mvs(mv).processBatch(batch))
+  }
+
+  /** Register every state table (and its Distributed aliases) as an
+    * external parquet catalog table, so the scripts' SELECTs address
+    * `dws.x_dis` names verbatim. Re-call after ingests to re-list files.
+    */
+  def publish(): Unit =
+    for ((name, st) <- stateTables) {
+      val names = name +: aliases.collect { case (a, t) if resolve(t) == name => a }.toSeq
+      for (n <- names if n.contains('.')) {
+        spark.sql(s"CREATE DATABASE IF NOT EXISTS ${n.split('.')(0)}")
+        spark.sql(s"DROP TABLE IF EXISTS $n")
+        spark.sql(
+          s"CREATE TABLE $n USING parquet OPTIONS (mergeSchema 'true') LOCATION '${st.path}'")
+        // partitioned external tables track partitions in the catalog —
+        // discover the day=... directories the StateTable wrote
+        spark.sql(s"MSCK REPAIR TABLE $n")
+      }
+    }
+
+  /** Run one of the scripts' SELECTs with three mechanical shims: CH's
+    * paren-less `USING a,b` becomes `USING (a,b)`; literal date
+    * substitutions map the scripts' capture-day literals onto the replay's
+    * ingested days; and GROUP BY terms that name a SELECT alias become
+    * ordinals — ClickHouse resolves such names to the alias where Spark
+    * prefers the source column (the alias-shadowing divergence documented
+    * in [[graft.functions.ChCompat]]), and the ordinal implements CH's
+    * choice. Everything else (dictGet, -State/-Merge/-If, toUInt*) runs
+    * through the ChCompat dialect unchanged.
+    */
+  def runQuery(sql: String, substitutions: Map[String, String] = Map.empty): DataFrame = {
+    var q = """(?i)\busing\s+(\w+(?:\s*,\s*\w+)+)""".r
+      .replaceAllIn(sql, m => "USING (" + m.group(1).replaceAll("\\s+", "") + ")")
+    for ((from, to) <- substitutions) q = q.replace(from, to)
+    spark.sql(chAliasGroupBy(q))
+  }
+
+  /** CH alias-preference GROUP BY shim (subquery-free statements only —
+    * with nesting there is no single select list to resolve against, and
+    * the non-colliding cases Spark's own groupByAliases already handles).
+    */
+  private def chAliasGroupBy(q: String): String = {
+    if ("""(?is)\(\s*select\b""".r.findFirstIn(q).isDefined) return q
+    val selM = """(?is)^\s*select\s+""".r.findFirstMatchIn(q).getOrElse(return q)
+    // first top-level FROM bounds the select list
+    var depth = 0
+    var fromIdx = -1
+    var i = selM.end
+    while (i < q.length && fromIdx < 0) {
+      q.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case 'f' | 'F' if depth == 0 &&
+            """(?is)^\bfrom\b""".r.findFirstIn(q.substring(i, math.min(q.length, i + 5))).isDefined &&
+            (i == 0 || !q.charAt(i - 1).isLetterOrDigit) =>
+          fromIdx = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (fromIdx < 0) return q
+    val items = {
+      val out = mutable.ArrayBuffer.empty[String]
+      val cur = new StringBuilder
+      var d = 0
+      for (c <- q.substring(selM.end, fromIdx)) c match {
+        case '(' => d += 1; cur += c
+        case ')' => d -= 1; cur += c
+        case ',' if d == 0 => out += cur.toString; cur.clear()
+        case _ => cur += c
+      }
+      out += cur.toString
+      out.toSeq
+    }
+    val aliasOrdinal = items.zipWithIndex.flatMap { case (item, idx) =>
+      """(?is)\bas\s+(\w+)\s*$""".r.findFirstMatchIn(item.trim).map(_.group(1).toLowerCase -> (idx + 1))
+    }.toMap
+    """(?is)\b(group\s+by)\s+([\w\s,]+?)(?=\border\s+by\b|\bhaving\b|\blimit\b|\bsettings\b|$)""".r
+      .replaceAllIn(q, m => {
+        val terms = m.group(2).split(",").map(_.trim).filter(_.nonEmpty).map { t =>
+          aliasOrdinal.get(t.toLowerCase).map(_.toString).getOrElse(t)
+        }
+        m.group(1) + " " + terms.mkString(", ") + "\n"
+      })
+  }
+
+  // ---- builders ------------------------------------------------------------
+
+  private def rebuildStateTable(name: String): Unit = {
+    val ct = tables(name)
+    val keys = if (ct.orderBy.nonEmpty) ct.orderBy else ct.primaryKey
+    require(keys.nonEmpty, s"$name: AggregatingMergeTree needs ORDER BY/PRIMARY KEY")
+    val metrics = ct.cols.filter(c => c.isAggState || c.isSimpleAggState).map(metricFor(name, _))
+    stateTables(name) = new StateTable(spark,
+      s"$warehouseDir/${name.replace('.', '_')}",
+      keys, ct.partitionBy.getOrElse(keys.head), metrics)
+  }
+
+  private def metricFor(table: String, c: Col): Metric = c.aggSpec match {
+    case Some(("uniqCombined", _)) => HllUvMetric(c.name, col(c.name))
+    case Some(("sum", _)) => SumMetric(c.name, col(c.name))
+    case Some(("min", _)) => MinMetric(c.name, col(c.name))
+    case Some(("max", _)) => MaxMetric(c.name, col(c.name))
+    case Some(("groupBitmap", _)) => BitmapUvMetric(c.name, col(c.name))
+    case Some(("medianExact", _)) => MedianExactMetric(c.name, col(c.name))
+    case other => sys.error(s"$table.${c.name}: unsupported aggregate type ${c.chType} ($other)")
+  }
+
+  /** Spark type of a column's stored STATE — used only to type the null/
+    * default fill of columns a given MV does not produce.
+    */
+  private def stateType(c: Col): DataType = c.aggSpec match {
+    case Some(("uniqCombined", _)) | Some(("groupBitmap", _)) => BinaryType
+    case Some(("medianExact", t)) => ArrayType(valueType(t))
+    case Some((_, t)) => valueType(t) // simple aggregates store plain values
+    case None => valueType(c.chType)
+  }
+
+  private def valueType(chType: String): DataType = {
+    val t = chType.toLowerCase
+    if (t.startsWith("uint") || t.startsWith("int")) LongType
+    else if (t.startsWith("float")) DoubleType
+    else if (t == "date") DateType
+    else if (t.startsWith("datetime")) TimestampNTZType
+    else StringType
+  }
+
+  private def buildMv(mv: CreateMaterializedView): Unit = {
+    val targetName = resolve(mv.to)
+    val st = stateTables.getOrElse(targetName,
+      sys.error(s"MV ${mv.name}: target $targetName is not an aggregating table"))
+    // snapshot the target's declared columns NOW — CH conforms each insert
+    // to the table as it existed when the MV ran, and later ALTERs rebuild
+    // the MV anyway (the scripts' drop-recreate flow)
+    val declared = tables(targetName).cols
+    val conform = (df: DataFrame) => {
+      val present = df.columns.toSet
+      df.select(declared.map { c =>
+        if (present.contains(c.name)) col(c.name)
+        else if (c.isSimpleAggState)
+          // missing simple-aggregate column: CH type default (0), which is
+          // also the merge identity — reproduces the reference's
+          // show_cnt/shown_cnt mismatch golden (shown_cnt = 0, doc:287-292)
+          lit(0L).cast(stateType(c)).as(c.name)
+        else lit(null).cast(stateType(c)).as(c.name)
+      }: _*)
+    }
+    mvs(mv.name) = MaterializedView.fromSql(mv.name, mv.select, mv.sourceTable, st, conform)
+    mvSources(mv.name) = mv.sourceTable
+  }
+
+  private def buildDictionary(d: CreateDictionary): Unit = {
+    val src = sourceDf(d.sourceName)
+    val defaults = d.cols.filter(_.name != d.primaryKey).flatMap { c =>
+      c.default.map(v => c.name -> defaultValue(v, c.chType))
+    }.toMap
+    val projected = src.select(d.cols.map(c => col(c.name)): _*)
+    Dictionaries.register(spark, d.name, projected, d.primaryKey, defaults)
+    dictionaries += d.name
+  }
+
+  private def defaultValue(raw: String, chType: String): Any = {
+    val v = raw.trim
+    if (v.startsWith("'")) v.stripPrefix("'").stripSuffix("'")
+    else {
+      val t = chType.toLowerCase
+      if (t == "int16") v.toShort
+      else if (t.startsWith("int") || t.startsWith("uint")) v.toLong
+      else if (t.startsWith("float")) v.toDouble
+      else v
+    }
+  }
+
+  private def applyAlter(a: AlterTable): Unit = {
+    val name = resolve(a.table)
+    tables.get(name).foreach { ct =>
+      var cols = ct.cols
+      for (add <- a.addColumns if !cols.exists(_.name == add.name)) {
+        val idx = add.after.flatMap(p => Some(cols.indexWhere(_.name == p)).filter(_ >= 0))
+        cols = idx match {
+          case Some(i) => (cols.take(i + 1) :+ add) ++ cols.drop(i + 1)
+          case None => cols :+ add
+        }
+      }
+      for (m <- a.modifyColumns) cols = cols.map(c => if (c.name == m.name) m else c)
+      val updated = ct.copy(cols = cols, orderBy = a.newOrderBy.getOrElse(ct.orderBy))
+      tables(name) = updated
+      if (updated.isAggregating) rebuildStateTable(name)
+    }
+  }
+}

@@ -95,11 +95,16 @@ object MaterializedView {
     * job. Requires the SQL's output columns to match the target's keys +
     * metric names (same contract as the reference's MV column list).
     */
+  /** `conform` post-processes each batch's SELECT output before it lands
+    * in the target — e.g. [[graft.engine.ChReplay]] maps it onto the
+    * target table's declared columns by name (CH insert semantics).
+    */
   def fromSql(
       name: String,
       mvSql: String,
       sourceTable: String,
-      target: StateTable): MaterializedView = {
+      target: StateTable,
+      conform: DataFrame => DataFrame = identity): MaterializedView = {
     val batchView = "graft_mv_batch_" + name.replaceAll("[^A-Za-z0-9_]", "_")
     // word-boundary rebinding: don't mangle longer identifiers that merely
     // contain the source name (ods.action_001_local_ext etc.)
@@ -111,7 +116,7 @@ object MaterializedView {
       val s = batch.sparkSession
       graft.functions.ChCompat.register(s)
       batch.createOrReplaceTempView(batchView)
-      s.sql(sourcePattern.replaceAllIn(mvSql, batchView))
+      conform(s.sql(sourcePattern.replaceAllIn(mvSql, batchView)))
     }, target, preAggregated = true)
   }
 }

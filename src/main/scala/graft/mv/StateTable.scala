@@ -285,8 +285,18 @@ final class StateTable(
   /** TTL: drop day partitions older than `days` before `today`
     * (ref `TTL day + toIntervalDay(N)`, ods.action_001_dis.sql:21).
     */
-  def expire(days: Int, today: LocalDate = LocalDate.now()): Seq[String] = {
-    val cutoff = today.minusDays(days.toLong)
+  def expire(days: Int, today: LocalDate = LocalDate.now()): Seq[String] =
+    expire(days, 0, today.atStartOfDay)
+
+  /** TTL at the reference's full granularity — `TTL day +
+    * toIntervalDay(days) + toIntervalHour(hours)`
+    * (ref ods.action_001_dis.sql:21): a day partition's rows all expire at
+    * the same instant `day 00:00 + days + hours` (the TTL expression uses
+    * the partition date), so the whole partition drops once `now` passes
+    * it. Day-granularity callers get exactly the old behavior via the
+    * overload above.
+    */
+  def expire(days: Int, hours: Int, now: java.time.LocalDateTime): Seq[String] = {
     val fs = FileSystem.get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val root = new Path(path)
     if (!fs.exists(root)) return Nil
@@ -295,7 +305,9 @@ final class StateTable(
       .map(_.getPath)
       .filter { p =>
         p.getName.startsWith(partitionCol + "=") &&
-          (try LocalDate.parse(p.getName.drop(partitionCol.length + 1)).isBefore(cutoff)
+          (try LocalDate.parse(p.getName.drop(partitionCol.length + 1))
+             .atStartOfDay.plusDays(days.toLong).plusHours(hours.toLong)
+             .isBefore(now)
            catch { case _: Exception => false })
       }
     dropped.foreach(p => fs.delete(p, true))

@@ -1,0 +1,229 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Catalog, ChDdl, ChReplay}
+
+/** End-to-end replay of the reference's scripts, file-verbatim: every
+  * .sql file under the reference's scripts/sql is parsed by [[ChDdl]] and
+  * executed by [[ChReplay]] — tables, Distributed aliases, dictionaries,
+  * and all four materialized-view generations incl. the live-ALTER
+  * widening — then the scripts' own embedded SELECTs run (through the
+  * ChCompat dialect) and the doc's golden EQUIVALENCES are asserted on
+  * the driver data: MV merge-read == direct aggregation over raw
+  * (doc:287-292), dictGet == dictionary join (doc:674-701, 736-743), and
+  * the bitmap funnel == bitmaps built directly from raw (doc:1226-1233).
+  * The reference's own show_cnt/shown_cnt MV column mismatch is
+  * reproduced faithfully: its golden output shows shown_cnt = 0, and so
+  * does ours.
+  */
+class ChDdlReplaySpec extends SparkSpec {
+
+  private val sqlDir = "/root/reference/scripts/sql"
+  private val sf = "/root/testdata/sf0.001"
+
+  private def script(f: String): String =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$sqlDir/$f")), "UTF-8")
+
+  override def afterAll(): Unit = {
+    // the published external tables shadow names other suites re-create
+    // as views (shared session) — drop them
+    for (n <- Seq("dws.mainpage_stat_mv_dis", "dwm.mainpage_stat_mv_local"))
+      spark.sql(s"DROP TABLE IF EXISTS $n")
+    super.afterAll()
+  }
+
+  test("parser: statement inventory of every reference script") {
+    import ChDdl._
+    val a1 = parse(script("ods.action_001_dis.sql"))
+    assert(a1.length == 2)
+    val local = a1.head.asInstanceOf[CreateTable]
+    assert(local.name == "ods.action_001_local")
+    assert(local.cols.map(_.name) == Seq("day", "hour", "second", "insert_second",
+      "platform", "ip", "isp", "uid", "ver", "item_id", "show_cnt", "click_cnt", "show_time"))
+    assert(local.cols.head.default.contains("toDate(second)"))
+    assert(local.engine == "ReplicatedMergeTree")
+    assert(local.partitionBy.contains("day"))
+    assert(local.primaryKey == Seq("day", "hour"))
+    assert(local.orderBy == Seq("day", "hour", "platform", "item_id"))
+    assert(local.ttl.contains(Ttl(10, 4)), s"ttl was ${local.ttl}")
+    val dis = a1(1).asInstanceOf[CreateTable]
+    assert(dis.isDistributed && dis.distributedTarget.contains("ods.action_001_local"))
+    assert(dis.asTable.contains("ods.action_001_local"))
+
+    val dict = parse(script("dim.dict_user_dim.sql"))
+    val d = dict.collect { case x: CreateDictionary => x }
+    assert(d.length == 1)
+    assert(d.head.name == "dim.dict_user_dim" && d.head.primaryKey == "uid")
+    assert(d.head.sourceName == "dim.user_dim_dis")
+    assert(d.head.lifetimeMin == 1800 && d.head.lifetimeMax == 3600)
+    assert(d.head.layout.equalsIgnoreCase("HASHED"))
+    assert(d.head.cols.find(_.name == "age").flatMap(_.default).contains("-1"))
+    assert(dict.collect { case q: Query => q }.length == 4)
+
+    val dwm = parse(script("dwm.mainpage_stat_mv_dis.sql"))
+    val byType = dwm.groupBy(_.getClass.getSimpleName).view.mapValues(_.length).toMap
+    assert(byType("CreateTable") == 2, s"inventory: $byType")
+    assert(byType("CreateMaterializedView") == 4, s"inventory: $byType")
+    assert(byType("Query") == 4, s"inventory: $byType")
+    assert(byType("DropStmt") == 3, s"inventory: $byType")
+    assert(byType.getOrElse("Unparsed", 0) == 0, s"inventory: $byType")
+    val mvLocal = dwm.head.asInstanceOf[CreateTable]
+    assert(mvLocal.isAggregating && mvLocal.ttl.contains(Ttl(92, 5)))
+    assert(mvLocal.cols.find(_.name == "shown_uv").exists(
+      _.aggSpec.contains(("uniqCombined", "UInt32"))))
+    assert(mvLocal.cols.find(_.name == "shown_cnt").exists(_.isSimpleAggState))
+    val mvs = dwm.collect { case m: CreateMaterializedView => m }
+    assert(mvs.map(_.to).forall(_ == "dwm.mainpage_stat_mv_local"))
+    assert(mvs.head.sourceTable == "ods.action_001_local")
+    assert(mvs.last.sourceTable == "ods.action_002_local")
+    // the live-widening ALTERs: gender lands as a key (modify order by)
+    val alters = dwm.collect { case a: AlterTable => a }
+    assert(alters.exists(a => a.addColumns.exists(_.name == "gender") &&
+      a.newOrderBy.contains(Seq("day", "hour", "platform", "ver", "item_id", "gender"))))
+    assert(alters.flatMap(_.addColumns).map(_.name).distinct.size >= 14)
+  }
+
+  test("full replay: scripts run file-verbatim and the doc equivalences hold") {
+    Catalog.register(spark, sf)
+    val wh = tmpDir("graft-chreplay")
+    val replay = new ChReplay(spark, wh)
+
+    // raw-table storage: the dims' MergeTree tables are bound to driver
+    // data (the Catalog's user-dim view; a deterministic item dim)
+    replay.bind("ods.user_dim_local", spark.table("dim.dict_user_dim"))
+    replay.bind("ods.item_dim_local",
+      spark.range(0, 1000).select(col("id").as("item_id"),
+        pmod(col("id"), lit(7)).as("type_id"), (col("id") % 100 * 10).as("price")))
+
+    for (f <- Seq("ods.action_001_dis.sql", "ods.action_002_dis.sql",
+        "dim.user_dim_dis.sql", "dim.dict_user_dim.sql",
+        "dim.item_dim_dis.sql", "dim.dict_item_dim.sql"))
+      replay.executeScript(script(f))
+
+    // descriptors: TTLs, aliases, dictionaries all came from the DDL
+    assert(replay.tables("ods.action_001_local").ttl.contains(ChDdl.Ttl(10, 4)))
+    assert(replay.tables("ods.user_dim_local").ttl.contains(ChDdl.Ttl(3, 3)))
+    assert(replay.resolve("dws.action_001_dis") == "ods.action_001_local")
+    assert(replay.resolve("dim.user_dim_dis") == "ods.user_dim_local")
+    assert(replay.dictionaries.toSeq == Seq("dim.dict_user_dim", "dim.dict_item_dim"))
+    assert(spark.sql("SELECT dictGet('dim.dict_item_dim','type_id',toUInt64(13)) AS t")
+      .head().getLong(0) == 13 % 7)
+
+    // three ingest days — one per MV generation, like the doc's timeline
+    val days = spark.table("ods.action_001_local").select("day").distinct()
+      .orderBy("day").collect().map(_.getDate(0).toString)
+    assert(days.length >= 3, s"need 3 days at $sf, got ${days.length}")
+    val Array(d1, d2, d3) = days.take(3)
+    def a1(d: String) = spark.table("ods.action_001_local").filter(col("day") === lit(d))
+    def a2(d: String) = spark.table("ods.action_002_local").filter(col("day") === lit(d))
+
+    // walk the flagship script in order; after each MV generation appears,
+    // insert a day of raw data (CH MVs only see inserts made while live)
+    val dwmStmts = ChDdl.parse(script("dwm.mainpage_stat_mv_dis.sql"))
+    var mvGen = 0
+    for (st <- dwmStmts) {
+      replay.execute(st)
+      st match {
+        case _: ChDdl.CreateMaterializedView =>
+          mvGen += 1
+          if (mvGen == 1) replay.insert("ods.action_001_local", a1(d1))
+          if (mvGen == 2) replay.insert("ods.action_001_local", a1(d2))
+          if (mvGen == 4) {
+            replay.insert("ods.action_001_local", a1(d3))
+            replay.insert("ods.action_002_local", a2(d3))
+          }
+        case _ =>
+      }
+    }
+    assert(replay.mvs.keySet == Set("dwm.mv_main_page_stat_mv_001_local",
+      "dwm.mv_main_page_stat_mv_002_local"), "drop-recreate flow should leave the wide MVs")
+    replay.publish()
+    val dwmQueries = dwmStmts.collect { case q: ChDdl.Query => q.sql }
+
+    // ---- doc:287-292 — MV merge-read == direct aggregation over raw ------
+    val q1 = replay.runQuery(dwmQueries(0))
+      .collect().map(r => (r.getDate(0).toString, r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val direct1 = spark.sql(
+      s"""SELECT day, platform,
+         |       uniqCombinedIf(uid, show_cnt > 0) AS shown_uv,
+         |       uniqCombinedIf(uid, click_cnt > 0) AS click_uv,
+         |       sum(click_cnt) AS click_cnt,
+         |       sum(toUInt64(show_time/1000)) AS show_time_sum
+         |FROM ods.action_001_local
+         |WHERE day IN ('$d1','$d2','$d3') GROUP BY day, platform""".stripMargin)
+      .collect().map(r => (r.getDate(0).toString, r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(q1.keySet == direct1.keySet)
+    for ((k, (shownUv, shownCnt, clickUv, clickCnt, showTimeSum)) <- q1) {
+      val (dShownUv, dClickUv, dClickCnt, dShowTime) = direct1(k)
+      assert(shownUv == dShownUv, s"$k shown_uv")
+      assert(clickUv == dClickUv, s"$k click_uv")
+      assert(clickCnt == dClickCnt, s"$k click_cnt")
+      assert(showTimeSum == dShowTime, s"$k show_time_sum")
+      // the reference's own MV column-name mismatch (SELECT aliases
+      // show_cnt, table declares shown_cnt): its golden output shows
+      // shown_cnt = 0 — ours must too
+      assert(shownCnt == 0L, s"$k shown_cnt should reproduce the doc's 0 golden")
+    }
+
+    // ---- doc:674-701, 736-743 — dictGet form == join form ---------------
+    val dictQueries = ChDdl.parse(script("dim.dict_user_dim.sql"))
+      .collect { case q: ChDdl.Query => q.sql }
+    def rows(sql: String): Set[Seq[String]] =
+      replay.runQuery(sql, Map("'2021-06-05'" -> s"'$d1'"))
+        .collect().map(_.toSeq.map(String.valueOf)).toSet
+    assert(rows(dictQueries(0)) == rows(dictQueries(1)), "single-value dictGet == join")
+    assert(rows(dictQueries(2)) == rows(dictQueries(3)), "multi-value join == dictGet")
+    assert(rows(dictQueries(0)).nonEmpty)
+
+    // ---- wide-table read: states == direct two-log join (the script's
+    // own equivalence pair, golden doc:1153-1157) ------------------------
+    val sub = Map("'2021-06-06'" -> s"'$d3'")
+    val mvWide = replay.runQuery(dwmQueries(1), sub)
+      .collect().map(r => (r.getDate(0).toString, r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val directWide = replay.runQuery(dwmQueries(2), sub)
+      .collect().map(r => (r.getDate(0).toString, r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(mvWide == directWide, s"MV wide read != direct twin\n$mvWide\n$directWide")
+    assert(mvWide.nonEmpty)
+
+    // ---- doc:1226-1233 — bitmap funnel from states == from raw ----------
+    val funnel = replay.runQuery(dwmQueries(3), sub)
+      .collect().map(r => (r.getDate(0).toString, r.getString(1)) ->
+        (2 to 7).map(r.getLong)).toMap
+    val funnelDirect = spark.sql(
+      s"""WITH b1 AS (
+         |  SELECT day, dictGet('dim.dict_user_dim','gender',toUInt64(uid)) AS gender,
+         |         groupBitmapStateIf(uid, show_cnt > 0) AS show_bm,
+         |         groupBitmapStateIf(uid, click_cnt > 0) AS click_bm
+         |  FROM ods.action_001_local WHERE day = '$d3' GROUP BY day, gender),
+         |b2 AS (
+         |  SELECT day, dictGet('dim.dict_user_dim','gender',toUInt64(uid)) AS gender,
+         |         groupBitmapStateIf(uid, action_a_cnt > 0) AS acta_bm,
+         |         groupBitmapStateIf(uid, action_b_cnt > 0) AS actb_bm,
+         |         groupBitmapStateIf(uid, action_c_cnt > 0) AS actc_bm,
+         |         groupBitmapStateIf(uid, action_d_sum > 0) AS actd_bm
+         |  FROM ods.action_002_local WHERE day = '$d3' GROUP BY day, gender)
+         |SELECT day, gender,
+         |       bitmapCardinality(show_bm) AS shown_uv,
+         |       bitmapAndCardinality(show_bm, click_bm) AS show_click_uv,
+         |       bitmapAndCardinality(show_bm, bitmapAnd(click_bm, acta_bm)) AS show_click_a_uv,
+         |       bitmapAndCardinality(show_bm, bitmapAnd(bitmapAnd(click_bm, acta_bm), actb_bm)) AS show_click_ab_uv,
+         |       bitmapAndCardinality(show_bm, bitmapAnd(bitmapAnd(bitmapAnd(click_bm, acta_bm), actb_bm), actc_bm)) AS show_click_abc_uv,
+         |       bitmapAndCardinality(show_bm, bitmapAnd(bitmapAnd(bitmapAnd(bitmapAnd(click_bm, acta_bm), actb_bm), actc_bm), actd_bm)) AS show_click_abcd_uv
+         |FROM b1 JOIN b2 USING (day, gender)""".stripMargin)
+      .collect().map(r => (r.getDate(0).toString, r.getString(1)) ->
+        (2 to 7).map(r.getLong)).toMap
+    assert(funnel == funnelDirect, s"funnel != direct\n$funnel\n$funnelDirect")
+    funnel.values.foreach { steps =>
+      assert(steps.zip(steps.tail).forall { case (a, b) => a >= b },
+        s"funnel must be monotone non-increasing: $steps")
+    }
+    assert(funnel.nonEmpty)
+  }
+}

@@ -205,6 +205,20 @@ class StateTableSpec extends SparkSpec {
     assert(st.read().select("day").distinct().collect().map(_.getDate(0).toString).toSeq == Seq("2024-01-02"))
   }
 
+  test("TTL hour granularity: day + 10d + 4h expires only past the +4h boundary") {
+    // the reference's full TTL expression (ods.action_001_dis.sql:21):
+    // partition 2024-01-01 expires at 2024-01-11T04:00, not at midnight
+    val dir = tmpDir("state")
+    val st = newTable(dir + "/t")
+    Seq(batch1, batch2).foreach(st.appendBatch)
+    val before = st.expire(10, 4, java.time.LocalDateTime.parse("2024-01-11T04:00:00"))
+    assert(before.isEmpty, "at exactly day+10d+4h the partition is not yet past the horizon")
+    val after = st.expire(10, 4, java.time.LocalDateTime.parse("2024-01-11T04:00:01"))
+    assert(after == Seq("day=2024-01-01"))
+    assert(st.read().select("day").distinct().collect()
+      .map(_.getDate(0).toString).toSeq == Seq("2024-01-02"))
+  }
+
   test("exactly-once append: replayed batch ids are no-ops, across reopen and compact") {
     val dir = tmpDir("st-eo") + "/t"
     val st = newTable(dir)
