@@ -109,6 +109,21 @@ object Multimodal {
       "image_meta", exprs => ImageMetaExpr(exprs.head), "built-in")
     call_function("image_meta", blob)
   }
+
+  /** REAL (non-stub) container metadata across all three modalities:
+    * [[imageMeta]]'s image formats plus WAV/RIFF chunk walking (sample
+    * rate, channels, duration from the data-chunk size), MP4/ISO-BMFF atom
+    * walking (mvhd timescale/duration, first video trak's tkhd
+    * dimensions), and the Matroska/WebM EBML header (DocType). Container
+    * structure needs no codec library, so all of this runs for real at any
+    * scale; only pixel/sample DECODE stays behind [[decodeStub]]'s seam.
+    */
+  def mediaMeta(blob: Column): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "media_meta", exprs => MediaMetaExpr(exprs.head), "built-in")
+    call_function("media_meta", blob)
+  }
 }
 
 /** imageMeta(blob) → struct<format, width, height>; unknown/truncated
@@ -169,4 +184,189 @@ case class ImageMetaExpr(child: Expression)
 
   override protected def withNewChildInternal(c: Expression): ImageMetaExpr = copy(child = c)
   override def prettyName: String = "image_meta"
+}
+
+/** mediaMeta(blob) → struct<format, width, height, duration_ms,
+  * sample_rate, channels>; container headers only (no codec work), and
+  * unknown/truncated payloads yield ('unknown', null...) rather than
+  * failing — corrupt blobs are data, not errors, in a 100 TB crawl.
+  *
+  * Formats: the [[ImageMetaExpr]] image set; `wav` (RIFF chunk walk:
+  * fmt → sample_rate/channels, data size ÷ byte rate → duration);
+  * `mp4` (ISO-BMFF atom walk: moov→mvhd duration/timescale, first
+  * moov→trak→tkhd with nonzero size → width/height as 16.16 fixed);
+  * `matroska`/`webm` (EBML header vint walk → DocType — Segment-level
+  * duration needs the full element tree and stays out of scope).
+  */
+case class MediaMetaExpr(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true)))
+
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) | ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) | ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+  private def fourcc(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, "US-ASCII")
+
+  private def row(fmt: String, w: Integer = null, h: Integer = null,
+      durMs: java.lang.Long = null, rate: Integer = null, ch: Integer = null): InternalRow =
+    InternalRow(UTF8String.fromString(fmt),
+      if (w == null) null else w.intValue(),
+      if (h == null) null else h.intValue(),
+      if (durMs == null) null else durMs.longValue(),
+      if (rate == null) null else rate.intValue(),
+      if (ch == null) null else ch.intValue())
+
+  override def nullSafeEval(v: Any): Any = {
+    val b = v.asInstanceOf[Array[Byte]]
+    try {
+      if (b.length >= 12 && fourcc(b, 0) == "RIFF" && fourcc(b, 8) == "WAVE") wav(b)
+      else if (b.length >= 12 && fourcc(b, 4) == "ftyp") mp4(b)
+      else if (b.length >= 4 && (b(0) & 0xFF) == 0x1A && (b(1) & 0xFF) == 0x45 &&
+          (b(2) & 0xFF) == 0xDF && (b(3) & 0xFF) == 0xA3) matroska(b)
+      else {
+        // image formats: reuse the image header parse, widen the struct
+        val img = ImageMetaExpr(child).nullSafeEval(v).asInstanceOf[InternalRow]
+        InternalRow(img.getUTF8String(0),
+          if (img.isNullAt(1)) null else img.getInt(1),
+          if (img.isNullAt(2)) null else img.getInt(2),
+          null, null, null)
+      }
+    } catch {
+      // malformed vints, negative sizes, truncated headers — all data
+      case _: RuntimeException => row("unknown")
+    }
+  }
+
+  /** RIFF chunk walk: chunks are [id:4][size:le32][payload], word-aligned. */
+  private def wav(b: Array[Byte]): InternalRow = {
+    var i = 12
+    var rate: Integer = null
+    var ch: Integer = null
+    var byteRate = 0L
+    var dataSize = -1L
+    while (i + 8 <= b.length) {
+      val id = fourcc(b, i)
+      val size = le32(b, i + 4)
+      if (id == "fmt " && i + 24 <= b.length) {
+        ch = le16(b, i + 10)
+        rate = le32(b, i + 12).toInt
+        byteRate = le32(b, i + 16)
+      } else if (id == "data") {
+        dataSize = size
+      }
+      i += 8 + size.toInt + (size.toInt & 1) // chunks pad to even offsets
+    }
+    val dur: java.lang.Long =
+      if (dataSize >= 0 && byteRate > 0) dataSize * 1000L / byteRate else null
+    row("wav", durMs = dur, rate = rate, ch = ch)
+  }
+
+  /** ISO-BMFF atom walk over [start, end): returns the offset of the first
+    * atom with `name`, or -1. Atom = [size:be32][type:4cc]; size 1 means a
+    * 64-bit size follows, size 0 means to-end-of-enclosure.
+    */
+  private def findAtom(b: Array[Byte], start: Int, end: Int, name: String): Int = {
+    var i = start
+    while (i + 8 <= end) {
+      val size0 = be32(b, i)
+      val size = if (size0 == 1L && i + 16 <= end) be64(b, i + 8)
+        else if (size0 == 0L) (end - i).toLong
+        else size0
+      if (size < 8) return -1
+      if (fourcc(b, i + 4) == name) return i
+      i += size.toInt
+    }
+    -1
+  }
+
+  private def atomEnd(b: Array[Byte], at: Int, limit: Int): Int = {
+    val size0 = be32(b, at)
+    val size = if (size0 == 0L) (limit - at).toLong else size0
+    math.min(limit.toLong, at + size).toInt
+  }
+
+  private def mp4(b: Array[Byte]): InternalRow = {
+    val moov = findAtom(b, 0, b.length, "moov")
+    if (moov < 0) return row("mp4")
+    val moovEnd = atomEnd(b, moov, b.length)
+    var dur: java.lang.Long = null
+    val mvhd = findAtom(b, moov + 8, moovEnd, "mvhd")
+    if (mvhd >= 0) {
+      val version = b(mvhd + 8) & 0xFF
+      val (timescale, duration) =
+        if (version == 1) (be32(b, mvhd + 28), be64(b, mvhd + 32))
+        else (be32(b, mvhd + 20), be32(b, mvhd + 24))
+      if (timescale > 0) dur = duration * 1000L / timescale
+    }
+    // first trak whose tkhd carries a nonzero 16.16 width/height = video
+    var w: Integer = null
+    var h: Integer = null
+    var t = moov + 8
+    while (w == null && t >= 0 && t + 8 <= moovEnd) {
+      val trak = findAtom(b, t, moovEnd, "trak")
+      if (trak < 0) t = -1
+      else {
+        val trakEnd = atomEnd(b, trak, moovEnd)
+        val tkhd = findAtom(b, trak + 8, trakEnd, "tkhd")
+        if (tkhd >= 0) {
+          val version = b(tkhd + 8) & 0xFF
+          val base = if (version == 1) tkhd + 8 + 4 + 32 else tkhd + 8 + 4 + 20
+          // layer..matrix span 52 bytes before the fixed-point dims
+          val wOff = base + 52
+          if (wOff + 8 <= trakEnd) {
+            val wf = be32(b, wOff) >> 16
+            val hf = be32(b, wOff + 4) >> 16
+            if (wf > 0 && hf > 0) { w = wf.toInt; h = hf.toInt }
+          }
+        }
+        t = trakEnd
+      }
+    }
+    row("mp4", w = w, h = h, durMs = dur)
+  }
+
+  /** EBML vint at `i`: (value, width). For IDs the marker bit is kept
+    * (class ids compare with it); for sizes it is stripped.
+    */
+  private def vint(b: Array[Byte], i: Int, keepMarker: Boolean): (Long, Int) = {
+    val first = b(i) & 0xFF
+    val width = Integer.numberOfLeadingZeros(first) - 23 // 1..8 for valid vints
+    require(width >= 1 && width <= 8, s"bad vint at $i")
+    var value = if (keepMarker) first.toLong else (first & (0xFF >> width)).toLong
+    var k = 1
+    while (k < width) { value = (value << 8) | (b(i + k) & 0xFF); k += 1 }
+    (value, width)
+  }
+
+  private def matroska(b: Array[Byte]): InternalRow = {
+    // bytes 0-3 are the EBML header ID; then its size vint, then children
+    val (headerSize, szW) = vint(b, 4, keepMarker = false)
+    var i = 4 + szW
+    val end = math.min(b.length.toLong, i + headerSize).toInt
+    var doctype = "matroska"
+    while (i < end) {
+      val (id, idW) = vint(b, i, keepMarker = true)
+      val (size, sW) = vint(b, i + idW, keepMarker = false)
+      if (id == 0x4282L) // DocType
+        doctype = new String(b, i + idW + sW, size.toInt, "US-ASCII")
+      i += idW + sW + size.toInt
+    }
+    row(doctype) // "matroska" or "webm"
+  }
+
+  override protected def withNewChildInternal(c: Expression): MediaMetaExpr = copy(child = c)
+  override def prettyName: String = "media_meta"
 }

@@ -80,4 +80,90 @@ class MultimodalSpec extends SparkSpec {
       (1L, "png", 640, 480), (2L, "jpeg", 200, 100), (3L, "gif", 32, 16),
       (4L, "bmp", 64, 48), (5L, "unknown", -1, -1)))
   }
+
+  test("mediaMeta parses WAV/MP4/Matroska container headers from raw bytes") {
+    import spark.implicits._
+    // canonical PCM WAV: 8 kHz mono 16-bit, 0.5 s of data (8000 B)
+    def wav(rate: Int, channels: Int, bits: Int, dataBytes: Int): Array[Byte] = {
+      val byteRate = rate * channels * bits / 8
+      val b = java.nio.ByteBuffer.allocate(44 + dataBytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(36 + dataBytes).put("WAVE".getBytes)
+      b.put("fmt ".getBytes).putInt(16)
+        .putShort(1.toShort).putShort(channels.toShort)
+        .putInt(rate).putInt(byteRate)
+        .putShort((channels * bits / 8).toShort).putShort(bits.toShort)
+      b.put("data".getBytes).putInt(dataBytes)
+      b.array()
+    }
+    // minimal ISO-BMFF: ftyp + moov(mvhd v0 + trak(tkhd v0 with 16.16 dims))
+    def mp4(timescale: Int, duration: Int, w: Int, h: Int): Array[Byte] = {
+      val mvhd = java.nio.ByteBuffer.allocate(108)
+      mvhd.putInt(108).put("mvhd".getBytes).putInt(0) // v0 + flags
+        .putInt(0).putInt(0).putInt(timescale).putInt(duration)
+      val tkhd = java.nio.ByteBuffer.allocate(92)
+      tkhd.putInt(92).put("tkhd".getBytes).putInt(0)  // v0 + flags
+        .putInt(0).putInt(0).putInt(1).putInt(0).putInt(duration)
+        .put(new Array[Byte](52))                     // reserved..matrix
+        .putInt(w << 16).putInt(h << 16)
+      val trak = java.nio.ByteBuffer.allocate(8 + 92)
+      trak.putInt(8 + 92).put("trak".getBytes).put(tkhd.array())
+      val moov = java.nio.ByteBuffer.allocate(8 + 108 + 100)
+      moov.putInt(8 + 108 + 100).put("moov".getBytes)
+        .put(mvhd.array()).put(trak.array())
+      val b = java.nio.ByteBuffer.allocate(16 + 216)
+      b.putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0)
+      b.put(moov.array())
+      b.array()
+    }
+    // EBML header with DocType
+    def mkv(doctype: String): Array[Byte] = {
+      val dt = doctype.getBytes("US-ASCII")
+      val body = java.nio.ByteBuffer.allocate(2 + 1 + dt.length)
+      body.put(0x42.toByte).put(0x82.toByte)            // DocType id
+        .put((0x80 | dt.length).toByte).put(dt)         // 1-byte size vint
+      val b = java.nio.ByteBuffer.allocate(4 + 1 + body.capacity())
+      b.put(Array(0x1A, 0x45, 0xDF, 0xA3).map(_.toByte))
+        .put((0x80 | body.capacity()).toByte)            // header size vint
+        .put(body.array())
+      b.array()
+    }
+    val rows = Seq(
+      (1L, wav(8000, 1, 16, 8000)),        // 8000 B / 16000 B/s = 500 ms
+      (2L, mp4(1000, 2500, 1920, 1080)),   // 2500/1000 s = 2500 ms
+      (3L, mkv("matroska")),
+      (4L, mkv("webm")),
+      (5L, Array[Byte](0x42, 0x42)))
+    val got = rows.toDF("id", "blob")
+      .select(col("id"), Multimodal.mediaMeta(col("blob")).as("m"))
+      .select("id", "m.format", "m.width", "m.height", "m.duration_ms",
+        "m.sample_rate", "m.channels")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(5)) -1 else r.getInt(5),
+        if (r.isNullAt(6)) -1 else r.getInt(6)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, "wav", -1, -1, 500L, 8000, 1),
+      (2L, "mp4", 1920, 1080, 2500L, -1, -1),
+      (3L, "matroska", -1, -1, -1L, -1, -1),
+      (4L, "webm", -1, -1, -1L, -1, -1),
+      (5L, "unknown", -1, -1, -1L, -1, -1)))
+  }
+
+  test("mediaMeta still classifies image formats (shared header path)") {
+    import spark.implicits._
+    val png = {
+      val b = java.nio.ByteBuffer.allocate(24)
+      b.put(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+      b.putInt(13).put("IHDR".getBytes).putInt(320).putInt(240)
+      b.array()
+    }
+    val got = Seq((1L, png)).toDF("id", "blob")
+      .select(Multimodal.mediaMeta(col("blob")).as("m"))
+      .select("m.format", "m.width", "m.height").head()
+    assert((got.getString(0), got.getInt(1), got.getInt(2)) == ("png", 320, 240))
+  }
 }
