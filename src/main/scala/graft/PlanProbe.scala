@@ -2,25 +2,34 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev tool: print exchange/sort/window counts for the round's new
-  * operators (not part of the library surface).
+/** Dev tool: print per-declared-query plan stats (hash exchanges,
+  * cartesians) to seed/refresh PlanSpec's table-driven budgets.
   */
 object PlanProbe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.001"
-    for (q <- Seq("q63_asof_join", "q64_sessions", "q66_sequence_match",
-        "q69_topk_weighted", "q70_sum_map")) {
-      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
-      def c(s: String) = s.r.findAllIn(plan).length
-      println(s"$q exchanges=${c("Exchange hashpartitioning")} " +
-        s"rangeExchanges=${c("Exchange rangepartitioning")} " +
-        s"windows=${c("Window ")} sorts=${c("Sort ")} " +
-        s"cartesian=${c("CartesianProduct")}")
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+      try {
+        // tree collect, not string match: a string dump re-prints the plan
+        // cached inside InMemoryRelation, double-counting its exchanges
+        val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
+        val ex = plan.collect { case e: ShuffleExchangeExec => e }.length
+        val cart = plan.collect { case c: CartesianProductExec => c }.length
+        val bnlj = plan.collect { case j: BroadcastNestedLoopJoinExec => j }.length
+        println(s"PLANSTAT $name $ex $cart $bnlj")
+      } catch {
+        case e: Exception => println(s"PLANSTAT $name ERROR ${e.getClass.getSimpleName}")
+      }
     }
     spark.stop()
   }

@@ -46,6 +46,20 @@ object TextFunctions {
         TokenSetCount(es.head, words, lc)
       }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_set_count", es => {
+        require(es.length == 2, "usage: char_set_count(text, array('字',...))")
+        val chars = es(1) match {
+          case CreateArray(items, _) => items.map {
+            case Literal(s: UTF8String, StringType) => s.toString
+            case other => throw new IllegalArgumentException(
+              s"char_set_count: char list must be string literals, got $other")
+          }
+          case other => throw new IllegalArgumentException(
+            s"char_set_count: second arg must be an array literal, got $other")
+        }
+        CharSetCount(es.head, chars)
+      }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingles_n", es => {
         val n = es(1) match {
           case Literal(v: Int, IntegerType) => v
@@ -59,6 +73,9 @@ object TextFunctions {
 
   private[text] def tokenSetCount(arr: Column, words: Seq[String], lowercase: Boolean): Column =
     call_function("token_set_count", arr, array(words.map(lit): _*), lit(lowercase))
+
+  private[text] def charSetCount(text: Column, chars: Seq[String]): Column =
+    call_function("char_set_count", text, array(chars.map(lit): _*))
 
   /** Whitespace tokens, empties dropped. */
   def tokens(text: Column): Column =
@@ -184,11 +201,12 @@ object TextFunctions {
     val scores = langStopwords.map { case (lang, words) =>
       val hits =
         if (lang == "zh")
-          // occurrence count per CJK marker char via replace-shrinkage —
-          // codegen'd string ops, no per-character array materialization
-          words.map(w =>
-            length(text) - length(call_function("replace", text, lit(w), lit(""))))
-            .reduce(_ + _)
+          // ONE pass over the string counting CJK marker chars — the
+          // replace-shrinkage chain this replaces re-scanned (and
+          // re-allocated) the text once per marker char; occurrence
+          // totals are identical because the markers are distinct
+          // single BMP characters
+          charSetCount(text, words)
         else tokenSetCount(ltoks, words, lowercase = false)
       struct(hits.as("hits"), lit(lang).as("lang"))
     }
@@ -243,6 +261,53 @@ case class TokenSetCount(child: Expression, words: Seq[String], lowercase: Boole
   override protected def withNewChildInternal(c: Expression): TokenSetCount =
     copy(child = c)
   override def prettyName: String = "token_set_count"
+}
+
+/** Total occurrences of a fixed set of single BMP characters in a string,
+  * in ONE pass — the zh marker-char counter of [[TextFunctions.langId]].
+  * Replaces the replace-shrinkage chain (`length(text) -
+  * length(replace(text, c, ''))` summed per marker), which re-scanned and
+  * re-allocated the whole text once per marker char; totals are identical
+  * because the markers are distinct single characters, so q37's oracle
+  * holds unchanged.
+  */
+case class CharSetCount(child: Expression, chars: Seq[String])
+  extends Expression with UnaryLike[Expression] with CodegenFallback {
+
+  require(chars.nonEmpty && chars.forall(_.length == 1),
+    s"char_set_count: need single BMP characters, got $chars")
+
+  @transient private lazy val set: java.util.HashSet[Character] = {
+    val s = new java.util.HashSet[Character](chars.length * 2)
+    chars.foreach(c => s.add(c.charAt(0)))
+    s
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"char_set_count requires string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val s = v.asInstanceOf[UTF8String].toString
+    var cnt = 0
+    var i = 0
+    while (i < s.length) {
+      if (set.contains(s.charAt(i))) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+
+  override protected def withNewChildInternal(c: Expression): CharSetCount =
+    copy(child = c)
+  override def prettyName: String = "char_set_count"
 }
 
 /** All n-token shingles of a string array, space-joined, in one pass —

@@ -127,6 +127,68 @@ class PlanSpec extends SparkSpec {
   private def hashExchanges(name: String): Int =
     "Exchange hashpartitioning".r.findAllIn(planStr(name)).length
 
+  // Per-query exchange ceilings (ShuffleExchangeExec nodes in the plan
+  // TREE — hash AND range partitionings; subtrees persisted by the query
+  // itself collapse into InMemoryRelation, which is what executes, so the
+  // count is stable regardless of suite order). Measured from the plans as
+  // shipped (PlanProbe prints current numbers). A regression — a lost
+  // broadcast, a new accidental shuffle — fails by query name; a NEW query
+  // must declare its budget here before it ships.
+  private val exchangeBudgets = Map(
+    "q01_pricing_summary" -> 2, "q02_filter_project" -> 1, "q03_like" -> 1,
+    "q04_join_group" -> 2, "q05_dict_enrich" -> 3, "q06_subquery_join" -> 5,
+    "q07_cross_join" -> 1, "q08_compound_join" -> 2, "q09_having_skew" -> 2,
+    "q10_distinct" -> 2, "q11_count_distinct" -> 3, "q12_topk" -> 0,
+    "q13_union_all" -> 3, "q14_hourly_rollup" -> 2, "q15_json_extract" -> 2,
+    "q16_agg_if" -> 3, "q17_token_explode" -> 2, "q18_scalar_math" -> 1,
+    "q19_median" -> 2, "q20_state_rollup" -> 3, "q21_bitmap_funnel" -> 2,
+    "q22_wide_union" -> 3, "q23_ch_dialect_mv" -> 3, "q24_dictget_sql" -> 3,
+    "q25_catalog_query" -> 3, "q26_limit_by" -> 2, "q27_dataset_split" -> 2,
+    "q28_doc_chunks" -> 1, "q29_pack_sequences" -> 2, "q30_dedup_exact" -> 3,
+    "q31_doc_stats" -> 1, "q32_quality" -> 2, "q33_fingerprint" -> 2,
+    "q34_ngram_jaccard" -> 1, "q35_minhash_neardup" -> 1, "q36_simhash_neardup" -> 1,
+    "q37_langid" -> 2, "q38_multimodal_features" -> 1, "q39_corpus_pipeline" -> 4,
+    "q40_cosine_probe" -> 1, "q41_knn_brute" -> 2, "q42_knn_lsh" -> 3,
+    "q43_cosine_neardup" -> 1, "q44_knn_ivf" -> 2, "q45_cosine_neardup_exact" -> 1,
+    "q46_bpeish_tokens" -> 2, "q47_freq_topk" -> 2, "q48_retention" -> 3,
+    "q49_dup_clusters" -> 2, "q50_window_running" -> 2, "q51_rollup" -> 2,
+    "q52_semi_join" -> 1, "q53_anti_join" -> 1, "q54_intersect" -> 2,
+    "q55_except" -> 2, "q56_string_funcs" -> 1, "q57_case_buckets" -> 2,
+    "q58_null_handling" -> 3, "q59_scalar_subquery" -> 2, "q60_salted_join" -> 2,
+    "q61_corpus_mix" -> 2, "q62_quality_topk" -> 3, "q63_asof_join" -> 3,
+    "q64_sessions" -> 2, "q65_embed_quantize" -> 1, "q66_sequence_match" -> 3,
+    "q67_knn_pq" -> 2, "q68_uniq_up_to" -> 3, "q69_topk_weighted" -> 2,
+    "q70_sum_map" -> 2, "q71_ch_scalars" -> 1, "q72_ch_arrays" -> 1,
+    "q73_window_funnel" -> 3)
+
+  // broadcast nested-loop joins are legitimate exactly where a small probe
+  // set is broadcast against the corpus (deliberate cross-join shapes)
+  private val bnljAllowed = Set("q07_cross_join", "q40_cosine_probe",
+    "q41_knn_brute", "q45_cosine_neardup_exact", "q59_scalar_subquery",
+    "q67_knn_pq")
+
+  test("table-driven sweep: every declared query holds its exchange budget") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // cache entries left by other suites move the InMemoryRelation
+    // boundaries inside persisted pipelines; start from the state
+    // PlanProbe measures (only each query's OWN persists in play)
+    spark.sharedState.cacheManager.clearCache()
+    for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+      assert(exchangeBudgets.contains(name),
+        s"$name: new query without a declared exchange budget — measure with PlanProbe and add it")
+      val p = planOf(name)
+      val ex = p.collect { case e: ShuffleExchangeExec => e }.length
+      assert(ex <= exchangeBudgets(name),
+        s"$name: plan grew to $ex exchanges (budget ${exchangeBudgets(name)})")
+      assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+        s"$name: CartesianProduct in plan")
+      if (!bnljAllowed(name))
+        assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+          s"$name: unexpected nested-loop join")
+    }
+  }
+
   test("asof/session/aggregate plans keep their exchange budgets") {
     // q63: one exchange per union side feeding ONE window pass; no joins
     assert(hashExchanges("q63_asof_join") <= 2,
