@@ -83,6 +83,36 @@ object MvPack {
           coalesce(sum(col("purchase_cnt")), lit(0L)).as("purchase_cnt"),
           coalesce(sum(col("purchase_value_dec")).cast(DoubleType), lit(0.0)).as("purchase_value"))
         .orderBy("day", "bucket")
+    },
+
+    // Round 5: the DDL-replay surface under the driver's hash gate — the
+    // reference's flagship CREATE TABLE + dis shell + first-generation MV
+    // executed file-verbatim from its script (ChDdl/ChReplay), one insert
+    // of the whole action log, then the state table's merge-on-read at
+    // (day, platform). Declared columns are the exactly-mirrorable
+    // SimpleAggregateFunction sums — including shown_cnt, which the
+    // reference's own MV column-name mismatch pins to 0 (its golden
+    // output, doc:287-292); the HLL columns are gated by ChDdlReplaySpec.
+    "q74_ddl_replay" -> { (s, dir) =>
+      graft.engine.Catalog.register(s, dir)
+      val wh = java.nio.file.Files.createTempDirectory("graft-q74").toString
+      val replay = new graft.engine.ChReplay(s, wh)
+      val script = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(
+          "/root/reference/scripts/sql/dwm.mainpage_stat_mv_dis.sql")), "UTF-8")
+      // execute through the first MV generation (everything before the
+      // script's first embedded query)
+      graft.engine.ChDdl.parse(script)
+        .takeWhile { case _: graft.engine.ChDdl.Query => false; case _ => true }
+        .foreach(replay.execute)
+      replay.insert("ods.action_001_local", s.table("ods.action_001_local"))
+      replay.stateTables("dwm.mainpage_stat_mv_local")
+        .merged(Seq("day", "platform"))
+        .select(col("day"), col("platform"),
+          col("shown_cnt").cast(LongType).as("shown_cnt"),
+          col("click_cnt").cast(LongType).as("click_cnt"),
+          col("show_time_sum").cast(LongType).as("show_time_sum"))
+        .orderBy("day", "platform")
     }
   )
 
@@ -115,6 +145,18 @@ object MvPack {
         | COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS purchase_value
         |FROM events
         |WHERE event_type IN ('view', 'click', 'purchase')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // mirrors Catalog's action_001 projection + the MV's sums. TRUNC (not
+    // CAST) mirrors Spark's double->long truncation toward zero; the
+    // shown_cnt literal 0 IS the reference's column-name-mismatch golden.
+    "q74_ddl_replay" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        | CASE WHEN user_id % 2 = 0 THEN 'android' ELSE 'ios' END AS platform,
+        | CAST(0 AS BIGINT) AS shown_cnt,
+        | CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click_cnt,
+        | CAST(SUM(CAST(TRUNC(CAST(TRUNC(value * 1000) AS BIGINT) / 1000.0) AS BIGINT)) AS BIGINT) AS show_time_sum
+        |FROM events
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
