@@ -84,6 +84,28 @@ class ChDdlReplaySpec extends SparkSpec {
     assert(alters.exists(a => a.addColumns.exists(_.name == "gender") &&
       a.newOrderBy.contains(Seq("day", "hour", "platform", "ver", "item_id", "gender"))))
     assert(alters.flatMap(_.addColumns).map(_.name).distinct.size >= 14)
+
+    // every remaining script parses with zero unrecognized statements
+    val a2 = parse(script("ods.action_002_dis.sql"))
+    assert(a2.length == 2 &&
+      a2.head.asInstanceOf[CreateTable].cols.map(_.name).takeRight(3) ==
+        Seq("action_d_sum", "action_e_sum", "action_f_sum"))
+    val userDim = parse(script("dim.user_dim_dis.sql"))
+    assert(userDim.collect { case t: CreateTable => t.name } ==
+      Seq("ods.user_dim_local", "dim.user_dim_dis"))
+    assert(userDim.head.asInstanceOf[CreateTable].ttl.contains(Ttl(3, 3)))
+    val itemDim = parse(script("dim.item_dim_dis.sql"))
+    assert(itemDim.collect { case t: CreateTable => t.name } ==
+      Seq("ods.item_dim_local", "dim.item_dim_dis"))
+    val itemDict = parse(script("dim.dict_item_dim.sql"))
+    assert(itemDict.collect { case d: CreateDictionary => d.sourceName } ==
+      Seq("dim.item_dim_dis"))
+    for (f <- Seq("ods.action_001_dis.sql", "ods.action_002_dis.sql",
+        "dim.user_dim_dis.sql", "dim.dict_user_dim.sql",
+        "dim.item_dim_dis.sql", "dim.dict_item_dim.sql",
+        "dwm.mainpage_stat_mv_dis.sql"))
+      assert(parse(script(f)).collect { case u: Unparsed => u }.isEmpty,
+        s"$f: unrecognized statements")
   }
 
   test("full replay: scripts run file-verbatim and the doc equivalences hold") {
