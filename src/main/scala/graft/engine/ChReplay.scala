@@ -98,6 +98,20 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     watching.foreach(mv => mvs(mv).processBatch(batch))
   }
 
+  /** Enforce a table's DDL-declared TTL (`TTL day + toIntervalDay(d) +
+    * toIntervalHour(h)`) against its StateTable storage — returns the
+    * dropped partitions. The maintenance loop a CH server runs in the
+    * background, surfaced as an explicit call.
+    */
+  def expire(tableName: String, now: java.time.LocalDateTime): Seq[String] = {
+    val n = resolve(tableName)
+    val ttl = tables.get(n).flatMap(_.ttl).getOrElse(
+      sys.error(s"$n: no TTL declared in its DDL"))
+    val st = stateTables.getOrElse(n,
+      sys.error(s"$n: TTL enforcement needs StateTable storage"))
+    st.expire(ttl.days, ttl.hours, now)
+  }
+
   /** Register every state table (and its Distributed aliases) as an
     * external parquet catalog table, so the scripts' SELECTs address
     * `dws.x_dis` names verbatim. Re-call after ingests to re-list files.

@@ -247,5 +247,15 @@ class ChDdlReplaySpec extends SparkSpec {
         s"funnel must be monotone non-increasing: $steps")
     }
     assert(funnel.nonEmpty)
+
+    // ---- DDL-declared TTL enforced against the state table --------------
+    // dwm TTL is 92d + 5h: at d1+92d+6h only the d1 partition is past it
+    val horizon = java.time.LocalDate.parse(d1).atStartOfDay
+      .plusDays(92).plusHours(6)
+    val dropped = replay.expire("dws.mainpage_stat_mv_dis", horizon)
+    assert(dropped == Seq(s"day=$d1"), s"dropped $dropped")
+    val daysLeft = replay.stateTables("dwm.mainpage_stat_mv_local")
+      .read().select("day").distinct().collect().map(_.getDate(0).toString).toSet
+    assert(daysLeft == Set(d2, d3))
   }
 }
