@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.functions.{call_function, udf}
+import org.apache.spark.sql.functions.{call_function, coalesce, lit, when}
 import org.apache.spark.sql.types._
 import org.roaringbitmap.RoaringBitmap
 
@@ -56,6 +56,14 @@ object Bitmaps {
       "bitmap_agg", exprs => BitmapAggregate(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "bitmap_merge_agg", exprs => BitmapMergeAggregate(exprs.head), "built-in")
+    // raw (null-propagating) scalar algebra — the Column helpers below
+    // wrap these with the CH null conventions
+    reg.createOrReplaceTempFunction(
+      "bitmap_cardinality_raw", exprs => BitmapCardinalityExpr(exprs.head), "built-in")
+    for ((name, op) <- Seq("bitmap_and_raw" -> "and", "bitmap_or_raw" -> "or",
+        "bitmap_and_card_raw" -> "and_card", "bitmap_or_card_raw" -> "or_card"))
+      reg.createOrReplaceTempFunction(
+        name, exprs => BitmapBinaryExpr(exprs(0), exprs(1), op), "built-in")
   }
 
   /** groupBitmap: aggregate integral ids into a serialized RoaringBitmap. */
@@ -65,39 +73,30 @@ object Bitmaps {
   def bitmap_merge_agg(c: Column): Column = call_function("bitmap_merge_agg", c)
 
   // ---- scalar bitmap algebra (post-aggregation, small row counts) ----
+  // Native expressions (shared with the ChCompat SQL surface), wrapped in
+  // CASE/COALESCE for the null conventions the former UDF forms had: a
+  // NULL bitmap counts as empty for cardinalities and as identity for OR,
+  // but AND of a NULL is NULL (unknown ∧ x is unknown). Requires
+  // Bitmaps.register on the session (query packs and StateTable do this).
 
-  private val cardUdf = udf { (b: Array[Byte]) =>
-    if (b == null) 0L else fromBytes(b).getLongCardinality
-  }
-  private val andUdf = udf { (a: Array[Byte], b: Array[Byte]) =>
-    if (a == null || b == null) null
-    else toBytes(RoaringBitmap.and(fromBytes(a), fromBytes(b)))
-  }
-  private val orUdf = udf { (a: Array[Byte], b: Array[Byte]) =>
-    if (a == null) b else if (b == null) a
-    else toBytes(RoaringBitmap.or(fromBytes(a), fromBytes(b)))
-  }
-  private val andCardUdf = udf { (a: Array[Byte], b: Array[Byte]) =>
-    if (a == null || b == null) 0L
-    else RoaringBitmap.andCardinality(fromBytes(a), fromBytes(b)).toLong
-  }
-  private val orCardUdf = udf { (a: Array[Byte], b: Array[Byte]) =>
-    if (a == null) cardUdfEval(b) else if (b == null) cardUdfEval(a)
-    else RoaringBitmap.orCardinality(fromBytes(a), fromBytes(b)).toLong
-  }
-  private def cardUdfEval(b: Array[Byte]): Long =
-    if (b == null) 0L else fromBytes(b).getLongCardinality
-
-  /** bitmapCardinality */
-  def bitmap_cardinality(c: Column): Column = cardUdf(c)
-  /** bitmapAnd (binary, nest for k-way — doc:1238) */
-  def bitmap_and(a: Column, b: Column): Column = andUdf(a, b)
-  /** bitmapOr */
-  def bitmap_or(a: Column, b: Column): Column = orUdf(a, b)
-  /** bitmapAndCardinality */
-  def bitmap_and_cardinality(a: Column, b: Column): Column = andCardUdf(a, b)
-  /** bitmapOrCardinality */
-  def bitmap_or_cardinality(a: Column, b: Column): Column = orCardUdf(a, b)
+  /** bitmapCardinality — NULL counts 0 */
+  def bitmap_cardinality(c: Column): Column =
+    coalesce(call_function("bitmap_cardinality_raw", c), lit(0L))
+  /** bitmapAnd (binary, nest for k-way — doc:1238); NULL in, NULL out */
+  def bitmap_and(a: Column, b: Column): Column =
+    call_function("bitmap_and_raw", a, b)
+  /** bitmapOr — NULL is identity */
+  def bitmap_or(a: Column, b: Column): Column =
+    when(a.isNull, b).when(b.isNull, a)
+      .otherwise(call_function("bitmap_or_raw", a, b))
+  /** bitmapAndCardinality — any NULL side gives 0 */
+  def bitmap_and_cardinality(a: Column, b: Column): Column =
+    coalesce(call_function("bitmap_and_card_raw", a, b), lit(0L))
+  /** bitmapOrCardinality — a NULL side falls back to the other's count */
+  def bitmap_or_cardinality(a: Column, b: Column): Column =
+    when(a.isNull, bitmap_cardinality(b))
+      .when(b.isNull, bitmap_cardinality(a))
+      .otherwise(call_function("bitmap_or_card_raw", a, b))
 }
 
 /** Shared shape for the two bitmap aggregates. */

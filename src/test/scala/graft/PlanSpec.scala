@@ -186,6 +186,9 @@ class PlanSpec extends SparkSpec {
       if (!bnljAllowed(name))
         assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
           s"$name: unexpected nested-loop join")
+      // every per-row hot loop is a Catalyst expression; an interpreted
+      // Scala UDF anywhere in a declared plan is a regression
+      assert(!p.toString.contains("UDF"), s"$name: interpreted UDF in plan")
     }
   }
 
