@@ -49,6 +49,10 @@ object VectorQuant {
       require(es.length == 2, "usage: pq_lut(vec, codebookLit)")
       PqLutExpr(es.head, codebookLit(es(1)))
     }, "built-in")
+    reg.createOrReplaceTempFunction("pq_recon_error", es => {
+      require(es.length == 2, "usage: pq_recon_error(vec, codebookLit)")
+      PqReconErrorExpr(es.head, codebookLit(es(1)))
+    }, "built-in")
     reg.createOrReplaceTempFunction("pq_adc_score", es => {
       require(es.length == 4, "usage: pq_adc_score(codes, lut, pn, codebookLit)")
       val cb = codebookLit(es(3))
@@ -89,6 +93,12 @@ object VectorQuant {
   def pq_adc_score(codes: Column, lut: Column, pn: Column,
       cb: Array[Array[Array[Float]]]): Column =
     call_function("pq_adc_score", codes, lut, pn, cbLit(cb))
+
+  /** Squared reconstruction error of a vector under a codebook (summed
+    * over subspaces) — the k-means training objective.
+    */
+  def pq_recon_error(vec: Column, cb: Array[Array[Array[Float]]]): Column =
+    call_function("pq_recon_error", vec, cbLit(cb))
 
   private def cbLit(cb: Array[Array[Array[Float]]]): Column =
     typedLit(cb.toSeq.map(_.toSeq.map(_.toSeq)))
@@ -305,6 +315,58 @@ case class PqEncodeExpr(child: Expression, cb: Array[Array[Array[Float]]])
   override protected def withNewChildInternal(c: Expression): PqEncodeExpr =
     copy(child = c)
   override def prettyName: String = "pq_encode"
+}
+
+/** Squared reconstruction error under a codebook; see [[VectorQuant]].
+  * Same kernel as encode (nearest code per subspace) but returning the
+  * winning L2 distance sum instead of the codes.
+  */
+case class PqReconErrorExpr(child: Expression, cb: Array[Array[Array[Float]]])
+  extends Expression
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] with CodegenFallback {
+
+  require(cb.nonEmpty && cb.head.nonEmpty, "pq_recon_error: empty codebook")
+  private val m = cb.length
+  private val subDim = cb.head.head.length
+
+  @transient private lazy val isFloat = PqKernels.isFloatArray(child)
+  override def checkInputDataTypes(): TypeCheckResult =
+    PqKernels.vecTypeOk(child, "pq_recon_error")
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val a = v.asInstanceOf[ArrayData]
+    var total = 0.0
+    var mi = 0
+    while (mi < m) {
+      val cents = cb(mi)
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        val n = math.min(subDim, cent.length)
+        var s = 0.0; var i = 0
+        while (i < n) {
+          val x = if (isFloat) a.getFloat(mi * subDim + i).toDouble
+            else a.getDouble(mi * subDim + i)
+          val d = x - cent(i).toDouble
+          s += d * d; i += 1
+        }
+        if (s < bestD) bestD = s
+        c += 1
+      }
+      total += bestD
+      mi += 1
+    }
+    java.lang.Double.valueOf(total)
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqReconErrorExpr =
+    copy(child = c)
+  override def prettyName: String = "pq_recon_error"
 }
 
 /** Per-probe ADC lookup table; see [[VectorQuant]]. */

@@ -46,23 +46,6 @@ object Pq {
         while (i < c.length) { s += c(i).toDouble * c(i); i += 1 }; s }))
   }
 
-  private def l2Local(a: Array[Float], b: Array[Float]): Double = {
-    var s = 0.0; var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
-    s
-  }
-
-  private def nearestCode(sub: Array[Float], cents: Array[Array[Float]]): Int = {
-    var best = 0; var bestD = Double.MaxValue; var c = 0
-    while (c < cents.length) {
-      val d = l2Local(sub, cents(c))
-      if (d < bestD) { bestD = d; best = c }
-      c += 1
-    }
-    best
-  }
-
   /** (id, m_idx, subvec) rows — the training layout. */
   private def subvectors(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int, subDim: Int): DataFrame =
@@ -211,18 +194,9 @@ object Pq {
     */
   def quantizationError(corpus: DataFrame, idCol: String, vecCol: String,
       cb: Codebook): Double = {
-    val bc = corpus.sparkSession.sparkContext.broadcast(cb)
-    val err = udf { (v: Seq[Float]) =>
-      val arr = v.toArray
-      val b = bc.value
-      var s = 0.0; var mi = 0
-      while (mi < b.m) {
-        val sub = java.util.Arrays.copyOfRange(arr, mi * b.subDim, (mi + 1) * b.subDim)
-        s += l2Local(sub, b.centroids(mi)(nearestCode(sub, b.centroids(mi))))
-        mi += 1
-      }
-      s
-    }
-    corpus.select(avg(err(col(vecCol)))).head().getDouble(0)
+    graft.functions.VectorOps.register(corpus.sparkSession)
+    corpus.select(avg(
+      graft.functions.VectorQuant.pq_recon_error(col(vecCol), cb.centroids)))
+      .head().getDouble(0)
   }
 }
