@@ -108,6 +108,36 @@ class ChDdlReplaySpec extends SparkSpec {
         s"$f: unrecognized statements")
   }
 
+  test("parser: dialect variants beyond the reference's exact spelling") {
+    import ChDdl._
+    // IF NOT EXISTS, plain MergeTree with empty parens, single-col clauses
+    val t = parseStatement(
+      """create table if not exists db.t (
+        | k UInt64,
+        | v String default 'x' comment 'c'
+        |) engine=MergeTree()
+        |PARTITION BY k
+        |ORDER BY k
+        |TTL k + toIntervalDay(7)
+        |SETTINGS index_granularity = 8192;""".stripMargin).asInstanceOf[CreateTable]
+    assert(t.name == "db.t" && t.cols.map(_.name) == Seq("k", "v"))
+    assert(t.cols(1).default.contains("'x'") && t.cols(1).comment.contains("c"))
+    assert(t.orderBy == Seq("k") && t.partitionBy.contains("k"))
+    assert(t.ttl.contains(Ttl(7, 0)))
+    // statements split on semicolons even without keyword line starts
+    val multi = parse("select 1 as a; select 2 as b;")
+    assert(multi.length == 2 && multi.forall(_.isInstanceOf[Query]))
+    // aggregate column spec parsing
+    val agg = parseCol("m AggregateFunction( uniqCombined , UInt32 ) comment 'x'")
+    assert(agg.isAggState && agg.aggSpec.contains(("uniqCombined", "UInt32")))
+    val sagg = parseCol("s SimpleAggregateFunction(sum,UInt64)")
+    assert(sagg.isSimpleAggState && sagg.aggSpec.contains(("sum", "UInt64")))
+    // alter with only a modify-order-by
+    val a = parseStatement(
+      "alter table db.t on cluster c modify order by (k, v)").asInstanceOf[AlterTable]
+    assert(a.newOrderBy.contains(Seq("k", "v")) && a.addColumns.isEmpty)
+  }
+
   test("full replay: scripts run file-verbatim and the doc equivalences hold") {
     Catalog.register(spark, sf)
     val wh = tmpDir("graft-chreplay")
