@@ -237,11 +237,21 @@ object ChDdl {
       after = clause("after").filter(_.nonEmpty))
   }
 
+  /** Clause keywords that terminate an unparenthesized key list. */
+  private val clauseKw =
+    """(?is)\b(partition\s+by|primary\s+key|order\s+by|ttl|settings|engine)\b""".r
+
   private def keyList(s: String, kw: String): Seq[String] = {
-    val m = ("""(?is)\b""" + kw + """\s+(\(([^)]*)\)|[\w.()]+)""").r.findFirstMatchIn(s)
+    val m = ("""(?is)\b""" + kw + """\b""").r.findFirstMatchIn(s)
     m.toSeq.flatMap { mm =>
-      val body = Option(mm.group(2)).getOrElse(mm.group(1))
-      body.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val t = s.substring(mm.end).dropWhile(_.isWhitespace)
+      if (t.startsWith("(")) topLevelSplit(balanced(t, 0)._1)
+      else {
+        // unparenthesized multi-key (`ORDER BY a, b, c`) is valid CH: the
+        // clause body runs to the next clause keyword or statement end
+        val stop = clauseKw.findFirstMatchIn(t).map(_.start).getOrElse(t.length)
+        topLevelSplit(t.substring(0, stop))
+      }
     }
   }
 

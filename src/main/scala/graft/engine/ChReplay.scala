@@ -41,6 +41,29 @@ import graft.mv.{BitmapUvMetric, HllUvMetric, MaterializedView, MaxMetric, Media
   *  - SELECT statements are collected in [[queries]] for the caller to
   *    run (see [[runQuery]] for the two mechanical dialect shims).
   */
+object ChReplay {
+  /** Where the reference's .sql scripts live — overridable per deployment
+    * via `-Dgraft.reference.scripts=...` or `GRAFT_REFERENCE_SCRIPTS`.
+    */
+  def scriptsDir: String =
+    sys.props.get("graft.reference.scripts")
+      .orElse(sys.env.get("GRAFT_REFERENCE_SCRIPTS"))
+      .getOrElse("/root/reference/scripts/sql")
+
+  /** A scratch warehouse directory removed at JVM exit. */
+  def scratchWarehouse(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file._
+      import java.util.Comparator
+      try Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => { Files.deleteIfExists(p); () })
+      catch { case _: Exception => () }
+    }))
+    dir.toString
+  }
+}
+
 final class ChReplay(spark: SparkSession, warehouseDir: String) {
   import ChDdl._
 
@@ -154,12 +177,18 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
   private def chAliasGroupBy(q: String): String = {
     if ("""(?is)\(\s*select\b""".r.findFirstIn(q).isDefined) return q
     val selM = """(?is)^\s*select\s+""".r.findFirstMatchIn(q).getOrElse(return q)
-    // first top-level FROM bounds the select list
+    // first top-level FROM bounds the select list; a quoted literal may
+    // contain ' from ' or commas, so track single-quote state like
+    // splitStatements/topLevelSplit do
     var depth = 0
+    var inStr = false
     var fromIdx = -1
     var i = selM.end
     while (i < q.length && fromIdx < 0) {
-      q.charAt(i) match {
+      val c = q.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
         case '(' => depth += 1
         case ')' => depth -= 1
         case 'f' | 'F' if depth == 0 &&
@@ -175,11 +204,16 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
       val out = mutable.ArrayBuffer.empty[String]
       val cur = new StringBuilder
       var d = 0
-      for (c <- q.substring(selM.end, fromIdx)) c match {
-        case '(' => d += 1; cur += c
-        case ')' => d -= 1; cur += c
-        case ',' if d == 0 => out += cur.toString; cur.clear()
-        case _ => cur += c
+      var s = false
+      for (c <- q.substring(selM.end, fromIdx)) {
+        if (s) { cur += c; if (c == '\'') s = false }
+        else c match {
+          case '\'' => s = true; cur += c
+          case '(' => d += 1; cur += c
+          case ')' => d -= 1; cur += c
+          case ',' if d == 0 => out += cur.toString; cur.clear()
+          case _ => cur += c
+        }
       }
       out += cur.toString
       out.toSeq

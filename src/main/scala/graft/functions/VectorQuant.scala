@@ -223,13 +223,17 @@ case class NearestCentroidsExpr(
 private[functions] object PqKernels {
   def nearestCode(a: ArrayData, aIsFloat: Boolean, off: Int, len: Int,
       cents: Array[Array[Float]]): Int = {
+    // vectors shorter than m*subDim zero-pad the missing tail — the
+    // Arrays.copyOfRange semantics of the UDFs these expressions replaced
+    val avail = a.numElements()
     var best = 0; var bestD = Double.MaxValue; var c = 0
     while (c < cents.length) {
       val cent = cents(c)
       val n = math.min(len, cent.length)
       var s = 0.0; var i = 0
       while (i < n) {
-        val x = if (aIsFloat) a.getFloat(off + i).toDouble else a.getDouble(off + i)
+        val x = if (off + i >= avail) 0.0
+          else if (aIsFloat) a.getFloat(off + i).toDouble else a.getDouble(off + i)
         val d = x - cent(i).toDouble
         s += d * d; i += 1
       }
@@ -339,6 +343,7 @@ case class PqReconErrorExpr(child: Expression, cb: Array[Array[Array[Float]]])
     val v = child.eval(input)
     if (v == null) return null
     val a = v.asInstanceOf[ArrayData]
+    val avail = a.numElements() // short vectors zero-pad (copyOfRange semantics)
     var total = 0.0
     var mi = 0
     while (mi < m) {
@@ -350,7 +355,8 @@ case class PqReconErrorExpr(child: Expression, cb: Array[Array[Array[Float]]])
         val n = math.min(subDim, cent.length)
         var s = 0.0; var i = 0
         while (i < n) {
-          val x = if (isFloat) a.getFloat(mi * subDim + i).toDouble
+          val x = if (mi * subDim + i >= avail) 0.0
+            else if (isFloat) a.getFloat(mi * subDim + i).toDouble
             else a.getDouble(mi * subDim + i)
           val d = x - cent(i).toDouble
           s += d * d; i += 1
@@ -389,6 +395,7 @@ case class PqLutExpr(child: Expression, cb: Array[Array[Array[Float]]])
     val v = child.eval(input)
     if (v == null) return null
     val a = v.asInstanceOf[ArrayData]
+    val avail = a.numElements() // short vectors zero-pad (copyOfRange semantics)
     val lut = new Array[Double](m * ksub)
     var mi = 0
     while (mi < m) {
@@ -397,7 +404,8 @@ case class PqLutExpr(child: Expression, cb: Array[Array[Array[Float]]])
         val cent = cb(mi)(c)
         var s = 0.0; var i = 0
         while (i < subDim) {
-          val x = if (isFloat) a.getFloat(mi * subDim + i).toDouble
+          val x = if (mi * subDim + i >= avail) 0.0
+            else if (isFloat) a.getFloat(mi * subDim + i).toDouble
             else a.getDouble(mi * subDim + i)
           s += x * cent(i).toDouble
           i += 1

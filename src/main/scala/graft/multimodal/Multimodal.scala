@@ -267,7 +267,11 @@ case class MediaMetaExpr(child: Expression)
       } else if (id == "data") {
         dataSize = size
       }
-      i += 8 + size.toInt + (size.toInt & 1) // chunks pad to even offsets
+      // chunks pad to even offsets; advance in Long — a declared size that
+      // overflows Int or runs past the buffer means a corrupt file, and
+      // corrupt blobs are data: stop walking, keep whatever parsed so far
+      val next = i.toLong + 8L + size + (size & 1L)
+      if (next <= i || next > b.length) i = b.length else i = next.toInt
     }
     val dur: java.lang.Long =
       if (dataSize >= 0 && byteRate > 0) dataSize * 1000L / byteRate else null
@@ -287,7 +291,10 @@ case class MediaMetaExpr(child: Expression)
         else size0
       if (size < 8) return -1
       if (fourcc(b, i + 4) == name) return i
-      i += size.toInt
+      // advance in Long: a 64-bit size whose low half is 0 must not stall
+      val next = i.toLong + size
+      if (next <= i || next > end) return -1
+      i = next.toInt
     }
     -1
   }
@@ -360,9 +367,16 @@ case class MediaMetaExpr(child: Expression)
     while (i < end) {
       val (id, idW) = vint(b, i, keepMarker = true)
       val (size, sW) = vint(b, i + idW, keepMarker = false)
-      if (id == 0x4282L) // DocType
-        doctype = new String(b, i + idW + sW, size.toInt, "US-ASCII")
-      i += idW + sW + size.toInt
+      // advance in Long; a declared size past the element bound is corrupt —
+      // stop walking rather than stall or read out of bounds
+      val payload = i.toLong + idW + sW
+      val next = payload + size
+      if (next <= i || next > end) { i = end }
+      else {
+        if (id == 0x4282L) // DocType
+          doctype = new String(b, payload.toInt, size.toInt, "US-ASCII")
+        i = next.toInt
+      }
     }
     row(doctype) // "matroska" or "webm"
   }

@@ -95,11 +95,11 @@ object MvPack {
     // output, doc:287-292); the HLL columns are gated by ChDdlReplaySpec.
     "q74_ddl_replay" -> { (s, dir) =>
       graft.engine.Catalog.register(s, dir)
-      val wh = java.nio.file.Files.createTempDirectory("graft-q74").toString
+      val wh = graft.engine.ChReplay.scratchWarehouse("graft-q74")
       val replay = new graft.engine.ChReplay(s, wh)
       val script = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(
-          "/root/reference/scripts/sql/dwm.mainpage_stat_mv_dis.sql")), "UTF-8")
+          graft.engine.ChReplay.scriptsDir, "dwm.mainpage_stat_mv_dis.sql")), "UTF-8")
       // execute through the first MV generation (everything before the
       // script's first embedded query)
       graft.engine.ChDdl.parse(script)

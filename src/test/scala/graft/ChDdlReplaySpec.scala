@@ -136,6 +136,36 @@ class ChDdlReplaySpec extends SparkSpec {
     val a = parseStatement(
       "alter table db.t on cluster c modify order by (k, v)").asInstanceOf[AlterTable]
     assert(a.newOrderBy.contains(Seq("k", "v")) && a.addColumns.isEmpty)
+    // unparenthesized multi-key clauses — valid CH, just not the reference's
+    // spelling; all keys must survive, not only the first token
+    val mk = parseStatement(
+      """create table db.mk (a UInt64, b UInt64, c String, s SimpleAggregateFunction(sum,UInt64))
+        |engine = AggregatingMergeTree()
+        |partition by a
+        |order by a, b, cityHash64(c, a)
+        |TTL a + toIntervalDay(3)""".stripMargin).asInstanceOf[CreateTable]
+    assert(mk.orderBy == Seq("a", "b", "cityHash64(c, a)"),
+      s"unparenthesized multi-key ORDER BY lost keys: ${mk.orderBy}")
+    assert(mk.partitionBy.contains("a") && mk.ttl.contains(Ttl(3, 0)))
+    // ...and nested parens inside a parenthesized key list split top-level
+    val nk = parseStatement(
+      "create table db.nk (a UInt64, b String) engine=MergeTree() order by (a, cityHash64(b, a))")
+      .asInstanceOf[CreateTable]
+    assert(nk.orderBy == Seq("a", "cityHash64(b, a)"))
+  }
+
+  test("runQuery: quoted literal containing ' from ' and commas keeps the alias rewrite aligned") {
+    val replay = new ChReplay(spark, tmpDir("graft-aliasq"))
+    spark.range(0, 10).selectExpr("id % 3 AS k", "id AS v").createOrReplaceTempView("aliasq_t")
+    // CH resolves GROUP BY k to the SELECT alias (k % 2), not the source
+    // column; the literal stresses the select-list scanner — without quote
+    // tracking the ' from ' inside it misbounds the list and the rewrite
+    // silently degrades to Spark's source-column resolution (3 groups)
+    val got = replay.runQuery(
+      "SELECT 'a, from b' AS tag, k % 2 AS k, CAST(sum(v) AS BIGINT) AS s " +
+        "FROM aliasq_t GROUP BY tag, k ORDER BY k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a, from b", 0L, 33L), ("a, from b", 1L, 12L)))
   }
 
   test("full replay: scripts run file-verbatim and the doc equivalences hold") {

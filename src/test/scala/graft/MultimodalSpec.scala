@@ -153,6 +153,41 @@ class MultimodalSpec extends SparkSpec {
       (5L, "unknown", -1, -1, -1L, -1, -1)))
   }
 
+  test("mediaMeta terminates on malformed container sizes (corrupt blobs are data)") {
+    import spark.implicits._
+    // RIFF chunk whose le32 size truncates to a non-positive Int step
+    // (0xFFFFFFF8 → toInt -8 → old step 8 + (-8) + 0 = 0)
+    val badWav = {
+      val b = java.nio.ByteBuffer.allocate(24).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(16).put("WAVE".getBytes)
+      b.put("junk".getBytes).putInt(0xFFFFFFF8)
+      b.array()
+    }
+    // ISO-BMFF atom with a 64-bit size whose low 32 bits are 0 (old i += 0)
+    val badMp4 = {
+      val b = java.nio.ByteBuffer.allocate(40)
+      b.putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0)
+      b.putInt(1).put("free".getBytes).putLong(0x100000000L)
+      b.array()
+    }
+    // EBML element whose declared size truncates to -(idW+sW): id 2 B,
+    // size vint 8 B, value 0xFFFFFFF6 → toInt -10 → old step 0
+    val badMkv = {
+      val b = java.nio.ByteBuffer.allocate(4 + 1 + 10)
+      b.put(Array(0x1A, 0x45, 0xDF, 0xA3).map(_.toByte))
+        .put((0x80 | 10).toByte)                    // header size = 10
+        .put(0x42.toByte).put(0x82.toByte)          // DocType id
+        .put(0x01.toByte)                           // 8-byte size vint
+        .put(Array[Byte](0, 0, 0, -1, -1, -1, 0xF6.toByte))
+      b.array()
+    }
+    val got = Seq((1L, badWav), (2L, badMp4), (3L, badMkv)).toDF("id", "blob")
+      .select(col("id"), Multimodal.mediaMeta(col("blob")).as("m"))
+      .select("id", "m.format")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "wav"), (2L, "mp4"), (3L, "matroska")))
+  }
+
   test("mediaMeta still classifies image formats (shared header path)") {
     import spark.implicits._
     val png = {

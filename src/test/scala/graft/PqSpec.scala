@@ -193,6 +193,29 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("pq expressions zero-pad short vectors (copyOfRange semantics of the retired UDFs)") {
+    import spark.implicits._
+    import graft.functions.VectorQuant._
+    val cb = Pq.trainCodebook(emb, "vec_id", "embedding", m = 8, ksub = 16, iterations = 1)
+    val dim = cb.m * cb.subDim
+    // ragged mid-subspace cut and a fully empty vector: both must behave
+    // exactly as their explicitly zero-padded twins, deterministically
+    val ragged = Array.tabulate(dim - cb.subDim - 3)(i => (i % 7).toFloat - 3f)
+    def run(vs: Seq[(Long, Array[Float])]) =
+      vs.toDF("vec_id", "embedding")
+        .select(col("vec_id"),
+          pq_encode(col("embedding"), cb.centroids).as("codes"),
+          pq_lut(col("embedding"), cb.centroids).as("lut"),
+          pq_recon_error(col("embedding"), cb.centroids).as("err"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getSeq[Int](1), r.getSeq[Double](2), r.getDouble(3))))
+        .toMap
+    val short = run(Seq(1L -> ragged, 2L -> Array.empty[Float]))
+    val pad = run(Seq(1L -> java.util.Arrays.copyOf(ragged, dim),
+      2L -> new Array[Float](dim)))
+    assert(short == pad, "short vectors must encode as their zero-padded twins")
+  }
+
   test("ADC output shape: dense ranks, non-increasing scores") {
     val cb = Pq.trainCodebook(emb, "vec_id", "embedding", m = 8, ksub = 16, iterations = 1)
     val enc = Pq.encode(emb, "vec_id", "embedding", cb)
