@@ -1,0 +1,219 @@
+package graft
+
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{Cluster, Dedup, NearDupIndex}
+import graft.similarity.{IvfIndex, Pq}
+
+/** Scaling-evidence bench: measures the scaling CURVES behind SCALE.md's
+  * 100 TB claims on synthetic corpora (generated via `spark.range` + md5
+  * text — NOT the driver testdata, whose largest SF is too small to show
+  * asymptotics). One JSON line per measurement on stdout; a summary JSON
+  * last. Not part of the driver's per-round Bench contract — run manually:
+  *
+  *   sbt -batch "runMain graft.BenchScale"         # full curves (~5-10 min)
+  *   sbt -batch "runMain graft.BenchScale quick"   # 10x smaller, smoke
+  *
+  * What each curve proves (the asserted twins live in ScaleSpec):
+  *  - `ingest_amortization`: dedupAndAppend per-doc cost vs batch size at
+  *    fixed history — per-doc cost must FALL as batches grow, i.e. the
+  *    fixed per-ingest job/scheduler floor amortizes (the incremental-dedup
+  *    story depends on batch-sized, not corpus-sized, marginal cost).
+  *  - `probe_flat_history`: NearDupIndex.probe shuffle volume vs history
+  *    size at fixed batch — exchanged records/bytes must stay O(batch) as
+  *    history grows (history streams from the bucketed layout; only its
+  *    SCAN grows, and scans parallelize across executors at cluster scale).
+  *  - `cc_scaling`: near-dup pairs -> connectedComponents wall time vs
+  *    corpus size (label-propagation rounds stay O(log diameter)).
+  *  - `ivf_pq_scaling`: IVF build/search and PQ train/encode/ADC-search
+  *    wall time vs corpus size (search rides the pruned inverted lists).
+  */
+object BenchScale {
+
+  /** Deterministic synthetic corpus with planted near-dup groups: docs in a
+    * `groupSize` group share 36 of 40 md5-derived words (word-shingle
+    * Jaccard ~0.7 — above the usual 0.5 ingest threshold), the tail 4 words
+    * are per-doc. No RNG, no UDFs: pure Catalyst md5/concat.
+    */
+  def docs(spark: SparkSession, n: Long, groupSize: Int = 4): DataFrame = {
+    val group = (col("id") / groupSize).cast("long").cast("string")
+    val word: Int => org.apache.spark.sql.Column = j =>
+      substring(md5(concat_ws("-", lit("g"), group, lit(j.toString))), 1, 8)
+    val tail: Int => org.apache.spark.sql.Column = j =>
+      substring(md5(concat_ws("-", lit("d"), col("id").cast("string"), lit(j.toString))), 1, 8)
+    spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 36).map(word) ++ (36 until 40).map(tail): _*).as("text"))
+  }
+
+  /** Deterministic clustered embeddings: `clusters` well-separated centers
+    * (sin basis) plus a small per-vector perturbation.
+    */
+  def embeddings(spark: SparkSession, n: Long, dim: Int = 64,
+      clusters: Int = 64): DataFrame =
+    spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        j => (sin(pmod(col("id"), lit(clusters)) * (j + lit(1))) +
+          lit(0.05) * sin((col("id") + lit(1)) * (j + lit(13)))).cast("float"))
+        .as("embedding"))
+
+  /** Sum of shuffle records/bytes written across a static (AQE-off)
+    * executed plan — read AFTER an action has run the plan.
+    */
+  def exchangeStats(plan: SparkPlan): (Long, Long) = {
+    val ex = plan.collect { case e: ShuffleExchangeExec => e }
+    (ex.map(e => e.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)).sum,
+      ex.map(e => e.metrics.get("shuffleBytesWritten").map(_.value).getOrElse(0L)).sum)
+  }
+
+  /** Rows produced by file scans rooted under `path` in an executed plan. */
+  def scanRows(plan: SparkPlan, path: String): Long =
+    plan.collect {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths.mkString(",").contains(path) =>
+        s.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+    }.sum
+
+  /** Counts jobs and total shuffle-write bytes while attached. Listener
+    * delivery is async — call `drain()` (a bounded sleep) before reading.
+    */
+  final class CountListener extends SparkListener {
+    val jobs = new AtomicInteger
+    val shuffleBytes = new AtomicLong
+    override def onJobStart(e: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) { shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten); () }
+    }
+    def drain(): Unit = Thread.sleep(1000)
+  }
+
+  private def timed(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/ix"
+
+  def main(args: Array[String]): Unit = {
+    val quick = args.contains("quick")
+    val div = if (quick) 10 else 1
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val out = new StringBuilder
+    def emit(json: String): Unit = { println(json); out.append(json).append('\n'); () }
+
+    // ---- 1. ingest amortization: per-doc cost vs batch size --------------
+    // fixed 50k-doc history, batches spanning 100x; the per-ingest floor
+    // (signature agg + fused probe + checkpoint + bucketed write, a fixed
+    // number of jobs) amortizes, so ms/doc must fall monotonically
+    val histN = 50000L / div
+    // untimed warmup on a throwaway index: codegen + write-path class
+    // loading would otherwise pollute the smallest batch's measurement
+    locally {
+      val w = new NearDupIndex(spark, tmp("graft-scale-warm"), numHashes = 32, bands = 16)
+      w.append(docs(spark, 500), "text", "doc_id")
+      w.dedupAndAppend(docs(spark, 1000).filter(col("doc_id") >= 500),
+        "text", "doc_id", 0.5).count(): Unit
+    }
+    for (batchN <- Seq(2000L, 20000L, 200000L).map(_ / div)) {
+      val ix = new NearDupIndex(spark, tmp("graft-scale-ndi"), numHashes = 32, bands = 16)
+      ix.append(docs(spark, histN), "text", "doc_id")
+      val batch = docs(spark, histN + batchN).filter(col("doc_id") >= histN)
+      val l = new CountListener
+      spark.sparkContext.addSparkListener(l)
+      val sec = timed { ix.dedupAndAppend(batch, "text", "doc_id", 0.5).count(): Unit }
+      l.drain()
+      spark.sparkContext.removeSparkListener(l)
+      emit(s"""{"curve":"ingest_amortization","history":$histN,"batch":$batchN,""" +
+        s""""sec":$sec,"ms_per_doc":${sec * 1000 / batchN},"jobs":${l.jobs.get},""" +
+        s""""shuffle_mb":${l.shuffleBytes.get / 1e6}}""")
+    }
+
+    // ---- 2. probe shuffle volume vs history size -------------------------
+    // fixed 10k-doc probe batch against history spanning 25x; exchanged
+    // records must stay O(batch) (flat), only the history SCAN grows
+    val probeN = 10000L / div
+    for (hN <- Seq(20000L, 100000L, 500000L).map(_ / div)) {
+      val path = tmp("graft-scale-probe")
+      val ix = new NearDupIndex(spark, path, numHashes = 32, bands = 16)
+      ix.append(docs(spark, hN), "text", "doc_id")
+      val batch = docs(spark, hN + probeN).filter(col("doc_id") >= hN)
+      // static plan => readable metrics; broadcast off => the WORST case
+      // (a backfill-sized batch that must sort-merge) — with broadcast on,
+      // the batch side broadcasts and exchanged records are trivially zero
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val probe = ix.probe(batch, "text", "doc_id", 0.5)
+        // execute THIS QueryExecution's plan (a noop write or .count() would
+        // build a fresh one, leaving these metric accumulators at zero)
+        val plan = probe.queryExecution.executedPlan
+        val sec = timed { plan.execute().count(): Unit }
+        val (recs, bytes) = exchangeStats(plan)
+        emit(s"""{"curve":"probe_flat_history","history":$hN,"batch":$probeN,""" +
+          s""""sec":$sec,"exchange_records":$recs,"exchange_mb":${bytes / 1e6},""" +
+          s""""history_scan_rows":${scanRows(plan, path)}}""")
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      }
+    }
+
+    // ---- 3. connected components vs corpus size --------------------------
+    for (n <- Seq(20000L, 200000L, 1000000L).map(_ / div)) {
+      val d = docs(spark, n)
+      val sec = timed {
+        val pairs = Dedup.minhashNearDups(d, "text", "doc_id", 32, 16, 0.5)
+        Cluster.connectedComponents(pairs, "id_a", "id_b")
+          .write.format("noop").mode("overwrite").save()
+      }
+      emit(s"""{"curve":"cc_scaling","docs":$n,"sec":$sec}""")
+    }
+
+    // ---- 4. IVF + PQ build/search vs corpus size -------------------------
+    for (n <- Seq(32000L, 320000L, 1600000L).map(_ / div)) {
+      val emb = embeddings(spark, n)
+      val probes = embeddings(spark, 100)
+      val ivfPath = tmp("graft-scale-ivf")
+      val ivf = new IvfIndex(spark, ivfPath)
+      val buildSec = timed { ivf.build(emb, nlist = 64, lloydIterations = 1) }
+      val searchSec = timed {
+        ivf.topK(probes, k = 10, nprobe = 4)
+          .write.format("noop").mode("overwrite").save()
+      }
+      var cb: Pq.Codebook = null
+      val pqTrainSec = timed { cb = Pq.trainCodebook(emb, "vec_id", "embedding", 8, 32, 1) }
+      val enc = Pq.encode(emb, "vec_id", "embedding", cb)
+      val encPath = tmp("graft-scale-pq")
+      enc.write.mode("overwrite").parquet(encPath)
+      val encoded = spark.read.parquet(encPath)
+      val adcSec = timed {
+        Pq.adcTopK(encoded, cb, probes, "vec_id", "embedding", 10)
+          .write.format("noop").mode("overwrite").save()
+      }
+      emit(s"""{"curve":"ivf_pq_scaling","vectors":$n,"ivf_build_sec":$buildSec,""" +
+        s""""ivf_search_sec":$searchSec,"pq_train_sec":$pqTrainSec,"adc_search_sec":$adcSec}""")
+    }
+
+    emit(s"""{"metric":"bench_scale_done","quick":$quick}""")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_scale.jsonl"),
+      out.toString.getBytes("UTF-8")): Unit
+    catch { case _: Exception => () }
+    spark.stop()
+  }
+}

@@ -114,7 +114,7 @@ final class NearDupIndex(
       .saveAsTable(dataTable)
 
   /** Banded rows for a batch: (band, bucket, id, sig). */
-  private def banded(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+  private[graft] def banded(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     Dedup.minhashSignatures(docs, textCol, idCol, numHashes, shingleSize)
       .withColumn("bk", explode(Dedup.lshBuckets(col("sig"), bands, rowsPerBand)))
       .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"),
@@ -183,6 +183,29 @@ final class NearDupIndex(
       .select(col("id"), col("dup_of"), col("est_jaccard"))
   }
 
+  /** The fused history probe over a batch's banded rows: ids that are
+    * either near-dups of an indexed doc OR already indexed themselves
+    * (replay). Exposed for plan assertions — this is the exact join
+    * `dedupAndAppend` runs against history.
+    */
+  private[graft] def historyDupIds(bandedBatch: DataFrame, threshold: Double): DataFrame = {
+    val probeB = bandedBatch.select(col("bucket"), col("id"), col("sig"))
+      .unionByName(bandedBatch.select(col("id")).dropDuplicates("id")
+        .select(col("id").as("bucket"), col("id"),
+          lit(null).cast("array<bigint>").as("sig")))
+    val hist = rawData.select(col("band").as("h_band"), col("bucket"),
+      col("id").as("dup_of"), col("sig").as("sig_ix"))
+    // no pair-level dropDuplicates (unlike probe): only ids are needed, and
+    // the caller's anti-join hash-builds the id set anyway, so
+    // band-duplicate candidate rows cost nothing extra
+    hist.join(probeB, Seq("bucket"))
+      .where((col("h_band") === -1 && col("sig").isNull) ||
+        (col("h_band") >= 0 && col("sig").isNotNull &&
+          col("id") =!= col("dup_of") &&
+          Dedup.estJaccard(col("sig"), col("sig_ix"), numHashes) >= threshold))
+      .select("id")
+  }
+
   /** Ingest convenience: returns the batch rows that survive dedup against
     * the index (id not already indexed — replay-idempotent; no near-dup
     * already indexed; in-batch groups keep the lowest id), then appends
@@ -198,30 +221,27 @@ final class NearDupIndex(
       threshold: Double = 0.5): DataFrame = {
     checkOrStampMeta()
     val b = banded(docs, textCol, idCol).persist(StorageLevel.MEMORY_AND_DISK)
-    // `index`/`replayMembers` snapshot their file listings HERE (resolution
-    // time), so the probes below keep answering against pre-append history
-    // even though the append runs first
-    val ix = index.select(col("bucket"),
-      col("id").as("dup_of"), col("sig").as("sig_ix"))
-    // near-dups of already-indexed docs, joined on `bucket` alone (see
-    // probe). No pair-level dropDuplicates here (unlike probe): only ids
-    // are needed, and the anti-join below hash-builds the id set anyway,
-    // so band-duplicate candidate rows cost nothing extra.
-    val dupNear = ix.join(b.select(col("bucket"), col("id"), col("sig")), Seq("bucket"))
-      .filter(col("id") =!= col("dup_of"))
-      .filter(Dedup.estJaccard(col("sig"), col("sig_ix"), numHashes) >= threshold)
-      .select("id")
-    // ids already indexed (replayed batches dedup to nothing)
-    val dupReplay = replayMembers(b.select("id").dropDuplicates("id"))
-    val dupOld = dupNear.union(dupReplay)
+    // ONE fused history probe: membership rows and banded rows live in the
+    // same bucketed table, so the near-dup check (history band rows vs the
+    // batch's banded rows) and the replay/membership check (history band=-1
+    // rows, bucket = id, vs the batch's ids keyed the same way) ride a
+    // single scan + single bucket join. The probe side tags its two row
+    // kinds by sig nullness (member probes carry no signature); the history
+    // side by its band column. Mixed-kind bucket collisions (an xxhash64
+    // bucket numerically equal to a doc id) fall out in the WHERE.
+    // `rawData` snapshots its file listing HERE (resolution time), so the
+    // probe keeps answering against pre-append history even though the
+    // append runs first.
+    val dupOld = historyDupIds(b, threshold)
     // materialize the history survivors ONCE before the self-join: both
     // self-join sides (and the final anti-join) would otherwise re-run the
     // whole probe cascade — history scan included — per consumer.
-    // localCheckpoint (not persist) throughout: a cached plan here can be
-    // aliased by CacheManager's canonical-plan matching across successive
-    // ingest calls over the same index path, silently serving a previous
-    // batch's survivors; the checkpoint cuts lineage below the plan level
-    // and cannot alias.
+    // localCheckpoint (not persist): a cached plan here can be aliased by
+    // CacheManager's canonical-plan matching across successive ingest calls
+    // over the same index path, silently serving a previous batch's
+    // survivors; the checkpoint cuts lineage below the plan level and
+    // cannot alias. This is the call's single checkpoint — everything
+    // downstream is batch-sized arithmetic over these partitions.
     val freshB = b.join(dupOld, Seq("id"), "left_anti")
       .select(col("band"), col("bucket"), col("id"), col("sig"))
       .localCheckpoint(true)
@@ -236,12 +256,12 @@ final class NearDupIndex(
       .filter(col("id_a") < col("id_b"))
       .filter(Dedup.estJaccard(col("sig_a"), col("sig_b"), numHashes) >= threshold)
       .select(col("id_b").as("id")).distinct()
-    // the write and the returned survivor DataFrame both read these
-    // checkpointed partitions instead of re-running the pipeline
     val keptB = freshB.join(dupNew, Seq("id"), "left_anti")
       .select(col("band"), col("bucket"), col("id"), col("sig"))
-      .localCheckpoint(true)
     val keptIds = keptB.select("id").dropDuplicates("id")
+    // the write materializes keptB once; the returned survivor DataFrame
+    // re-derives it lazily from the checkpointed freshB (no history scan,
+    // no re-signaturing — just the batch-sized self-join + anti-join)
     writeData(keptB.unionByName(membershipRows(keptIds)))
     docs.join(keptIds.select(col("id").as("__kept_id")),
       docs(idCol) === col("__kept_id"), "left_semi")

@@ -169,7 +169,7 @@ object ChDdl {
   /** Content of the balanced paren group opening at `open` (index of '('),
     * and the index just past its ')'.
     */
-  private def balanced(s: String, open: Int): (String, Int) = {
+  private[engine] def balanced(s: String, open: Int): (String, Int) = {
     require(s.charAt(open) == '(', s"expected ( at $open")
     var depth = 0
     var inStr = false

@@ -170,12 +170,41 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     spark.sql(chAliasGroupBy(q))
   }
 
-  /** CH alias-preference GROUP BY shim (subquery-free statements only —
-    * with nesting there is no single select list to resolve against, and
-    * the non-colliding cases Spark's own groupByAliases already handles).
+  /** CH alias-preference GROUP BY shim, applied PER SELECT BLOCK: each
+    * subquery is masked behind a placeholder, rewritten recursively against
+    * its own select list, and spliced back — so the doc's nested multi-log
+    * formulations (doc:1163-1205) resolve GROUP BY names to their own
+    * block's aliases, CH-style, at any nesting depth.
     */
   private def chAliasGroupBy(q: String): String = {
-    if ("""(?is)\(\s*select\b""".r.findFirstIn(q).isDefined) return q
+    val sb = new StringBuilder
+    val subs = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    var inStr = false
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (inStr) { sb += c; if (c == '\'') inStr = false; i += 1 }
+      else if (c == '\'') { inStr = true; sb += c; i += 1 }
+      else if (c == '(' && {
+        var j = i + 1
+        while (j < q.length && q.charAt(j).isWhitespace) j += 1
+        q.regionMatches(true, j, "select", 0, 6)
+      }) {
+        val (body, end) = ChDdl.balanced(q, i)
+        subs += chAliasGroupBy(body)
+        sb.append("(\u0000").append(subs.length - 1).append("\u0000)")
+        i = end
+      } else { sb += c; i += 1 }
+    }
+    val flat = rewriteFlatBlock(sb.toString)
+    "\u0000(\\d+)\u0000".r.replaceAllIn(flat, m =>
+      java.util.regex.Matcher.quoteReplacement(subs(m.group(1).toInt)))
+  }
+
+  /** The single-block rewrite: `q` contains no nested SELECT (subqueries
+    * are masked), so its select list and GROUP BY belong to one scope.
+    */
+  private def rewriteFlatBlock(q: String): String = {
     val selM = """(?is)^\s*select\s+""".r.findFirstMatchIn(q).getOrElse(return q)
     // first top-level FROM bounds the select list; a quoted literal may
     // contain ' from ' or commas, so track single-quote state like

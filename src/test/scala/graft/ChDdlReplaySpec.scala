@@ -168,6 +168,19 @@ class ChDdlReplaySpec extends SparkSpec {
     assert(got == Seq(("a, from b", 0L, 33L), ("a, from b", 1L, 12L)))
   }
 
+  test("runQuery: alias shadowing rewrites inside subqueries (CH resolution at depth)") {
+    val replay = new ChReplay(spark, tmpDir("graft-aliasq2"))
+    spark.range(0, 10).selectExpr("id % 3 AS k", "id AS v").createOrReplaceTempView("aliasq_t")
+    // the inner block groups by k, which CH resolves to ITS select alias
+    // (k % 2); the rewrite must fire inside the subquery, where the round-5
+    // shim bailed out entirely
+    val got = replay.runQuery(
+      "SELECT t.k, t.s FROM (SELECT k % 2 AS k, CAST(sum(v) AS BIGINT) AS s " +
+        "FROM aliasq_t GROUP BY k) AS t ORDER BY t.k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 33L), (1L, 12L)))
+  }
+
   test("full replay: scripts run file-verbatim and the doc equivalences hold") {
     Catalog.register(spark, sf)
     val wh = tmpDir("graft-chreplay")
@@ -273,6 +286,25 @@ class ChDdlReplaySpec extends SparkSpec {
         (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
     assert(mvWide == directWide, s"MV wide read != direct twin\n$mvWide\n$directWide")
     assert(mvWide.nonEmpty)
+
+    // ---- doc:1161-1195 — the doc's NESTED multi-log LEFT JOIN formulation,
+    // read verbatim from the doc file and run through the per-block alias
+    // rewrite (each subquery groups by its own dictGet alias) -------------
+    import scala.jdk.CollectionConverters._
+    val docFile = {
+      val docs = java.nio.file.Paths.get(ChReplay.scriptsDir).getParent.getParent.resolve("docs")
+      java.nio.file.Files.list(docs).iterator().asScala
+        .find(_.toString.endsWith(".md")).getOrElse(fail("reference doc not found"))
+    }
+    val nestedSql = java.nio.file.Files.readAllLines(docFile).asScala
+      .slice(1161, 1196).mkString("\n")
+    assert(nestedSql.trim.startsWith("SELECT") && nestedSql.contains("LEFT JOIN"),
+      s"doc statement bounds moved:\n$nestedSql")
+    val nested = replay.runQuery(nestedSql, sub)
+      .collect().map(r => (r.getDate(0).toString, r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(nested == directWide,
+      s"doc's nested formulation != wide-table golden\n$nested\n$directWide")
 
     // ---- doc:1226-1233 — bitmap funnel from states == from raw ----------
     val funnel = replay.runQuery(dwmQueries(3), sub)

@@ -132,6 +132,11 @@ class NearDupIndexSpec extends SparkSpec {
       val members = ix.replayMembers(
         batch.select(col("doc_id").as("id")).distinct())
       historySidesClean(members.queryExecution.executedPlan)
+      // the FUSED ingest probe (near-dup + membership in one join over the
+      // whole bucketed table) — the exact join dedupAndAppend runs
+      historySidesClean(
+        ix.historyDupIds(ix.banded(batch, "text", "doc_id"), 0.5)
+          .queryExecution.executedPlan)
       // REOPENING the index binds to the same catalog table — the
       // bucketed, exchange-free probe shape must survive a restart
       val reopened = new NearDupIndex(spark, path, numHashes = 64, bands = 16)

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.NearDupIndex
+
+/** Asserted twins of BenchScale's scaling curves (SCALE.md §"Measured"):
+  * the two load-bearing properties of the incremental dedup path, measured
+  * here at two size points each so a regression fails the build instead of
+  * only bending a curve.
+  *
+  * 1. FLAT-HISTORY PROBE: the shuffle volume of a NearDupIndex probe is
+  *    O(batch) — growing the history 10x must not grow the exchanged
+  *    record count (history streams from the bucketed layout; only its
+  *    scan grows). Asserted on exchange METRICS, not wall time, so the
+  *    test is deterministic.
+  * 2. FALLING PER-DOC INGEST COST: dedupAndAppend has a fixed per-call
+  *    job floor; a 10x bigger batch must cost far less than 10x — the
+  *    floor amortizes. Wall-time based, with a wide (2x) margin over the
+  *    ~8x effect BenchScale measures.
+  */
+class ScaleSpec extends SparkSpec {
+
+  test("probe exchange volume is O(batch): flat across a 10x history growth") {
+    def probeStats(histN: Long): (Long, Long) = {
+      val path = tmpDir("graft-scale-spec") + "/ix"
+      val ix = new NearDupIndex(spark, path, numHashes = 32, bands = 16)
+      ix.append(BenchScale.docs(spark, histN), "text", "doc_id")
+      val batch = BenchScale.docs(spark, histN + 1000).filter(col("doc_id") >= histN)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val probe = ix.probe(batch, "text", "doc_id", 0.5)
+        val plan = probe.queryExecution.executedPlan
+        plan.execute().count(): Unit
+        val (recs, _) = BenchScale.exchangeStats(plan)
+        (recs, BenchScale.scanRows(plan, path))
+      } finally {
+        spark.conf.unset("spark.sql.adaptive.enabled")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+    val (recsSmall, scanSmall) = probeStats(3000)
+    val (recsBig, scanBig) = probeStats(30000)
+    assert(scanBig >= scanSmall * 5,
+      s"history axis did not scale: scanned $scanSmall -> $scanBig rows")
+    assert(recsBig <= (recsSmall * 1.2).toLong,
+      s"probe exchange volume grew with history: $recsSmall -> $recsBig records " +
+        s"(scan $scanSmall -> $scanBig rows) — the O(batch) property is broken")
+    assert(recsSmall > 0, "expected the batch side to exchange under no-broadcast")
+  }
+
+  test("per-doc ingest cost falls as batches grow: the job floor amortizes") {
+    def ingestSec(batchN: Long): Double = {
+      val ix = new NearDupIndex(spark, tmpDir("graft-scale-spec") + "/ix",
+        numHashes = 32, bands = 16)
+      ix.append(BenchScale.docs(spark, 3000), "text", "doc_id")
+      val batch = BenchScale.docs(spark, 3000 + batchN).filter(col("doc_id") >= 3000)
+      val t0 = System.nanoTime()
+      ix.dedupAndAppend(batch, "text", "doc_id", 0.5).count(): Unit
+      (System.nanoTime() - t0) / 1e9
+    }
+    ingestSec(400): Unit // warmup: codegen + write path, untimed
+    val perDocSmall = ingestSec(400) / 400
+    val perDocBig = ingestSec(4000) / 4000
+    assert(perDocBig < perDocSmall * 0.5,
+      f"per-doc cost did not amortize: ${perDocSmall * 1000}%.3f ms/doc at 400 " +
+        f"-> ${perDocBig * 1000}%.3f ms/doc at 4000")
+  }
+}
