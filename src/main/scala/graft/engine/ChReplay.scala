@@ -121,6 +121,23 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     watching.foreach(mv => mvs(mv).processBatch(batch))
   }
 
+  /** The Structured-Streaming twin of [[insert]]: attach every MV watching
+    * `tableName` to a micro-batch stream of that table (each micro-batch ≙
+    * one inserted block). One StreamingQuery per MV; with `checkpointDir`
+    * each gets its own checkpoint subdirectory and the exactly-once ledger
+    * path, so a crash-and-replay of a committed batch id is a no-op.
+    */
+  def attachStreams(tableName: String, stream: DataFrame,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 seconds"),
+      checkpointDir: Option[String] = None)
+      : Seq[org.apache.spark.sql.streaming.StreamingQuery] = {
+    val t = resolve(tableName)
+    mvSources.collect { case (mvName, src) if resolve(src) == t => mvName }.toSeq
+      .map(n => mvs(n).attach(stream, trigger,
+        checkpointDir.map(d => s"$d/${n.replace('.', '_')}")))
+  }
+
   /** Enforce a table's DDL-declared TTL (`TTL day + toIntervalDay(d) +
     * toIntervalHour(h)`) against its StateTable storage — returns the
     * dropped partitions. The maintenance loop a CH server runs in the

@@ -55,8 +55,10 @@ final class MaterializedView(
     */
   def processBatchExactlyOnce(batch: DataFrame, batchId: Long): Boolean = {
     val states = batchStates(batch)
-    val fresh = target.appendExactlyOnce(states, batchId)
-    cascades.foreach(c => target.cascadeBatchExactlyOnce(c, states, batchId))
+    // ledger namespace = MV name: several MVs may stream into the same
+    // wide target, each with its own foreachBatch id sequence from 0
+    val fresh = target.appendExactlyOnce(states, batchId, name)
+    cascades.foreach(c => target.cascadeBatchExactlyOnce(c, states, batchId, name))
     fresh
   }
 

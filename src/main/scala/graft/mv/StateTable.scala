@@ -79,12 +79,24 @@ final class StateTable(
     * pollute reads. Requires a stable batchId across retries — exactly what
     * a checkpointed foreachBatch provides.
     */
-  def appendExactlyOnce(states: DataFrame, batchId: Long): Boolean = {
+  /** The ledger token of (namespace, batchId). `ns` keeps independent
+    * writers apart: two MVs streaming into the SAME wide table each run
+    * their own foreachBatch id sequence starting at 0, so an un-namespaced
+    * ledger would drop the second writer's batch 0 as a "replay" of the
+    * first's. No '-' allowed (the recovery parser splits on it).
+    */
+  private def batchTok(batchId: Long, ns: String): String = {
+    val clean = ns.replaceAll("[^A-Za-z0-9_.]", "_")
+    if (clean.isEmpty) s"$batchId" else s"$clean.$batchId"
+  }
+
+  def appendExactlyOnce(states: DataFrame, batchId: Long, ns: String = ""): Boolean = {
     val fs = fileSystem()
-    val marker = new Path(path, s"_ledger/batch-$batchId")
+    val tok = batchTok(batchId, ns)
+    val marker = new Path(path, s"_ledger/batch-$tok")
     if (fs.exists(marker)) return false
-    cleanIngest(fs, batchId) // a previous attempt of this id may have died mid-move
-    val staging = new Path(path, s"_staging/$batchId")
+    cleanIngest(fs, tok) // a previous attempt of this id may have died mid-move
+    val staging = new Path(path, s"_staging/$tok")
     states
       .sortWithinPartitions(keys.map(col): _*)
       .write.mode("overwrite").partitionBy(partitionCol).parquet(staging.toString)
@@ -94,7 +106,7 @@ final class StateTable(
       fs.mkdirs(target)
       for (f <- fs.listStatus(dayDir.getPath).toSeq
            if !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")) {
-        if (!fs.rename(f.getPath, new Path(target, s"batch-$batchId-${f.getPath.getName}")))
+        if (!fs.rename(f.getPath, new Path(target, s"batch-$tok-${f.getPath.getName}")))
           sys.error(s"exactly-once append: failed to move ${f.getPath} into $target")
       }
     }
@@ -106,19 +118,19 @@ final class StateTable(
   }
 
   /** Aggregate + exactly-once append of a raw batch. */
-  def appendBatchExactlyOnce(batch: DataFrame, batchId: Long): Boolean =
-    appendExactlyOnce(toStates(batch), batchId)
+  def appendBatchExactlyOnce(batch: DataFrame, batchId: Long, ns: String = ""): Boolean =
+    appendExactlyOnce(toStates(batch), batchId, ns)
 
-  /** Remove every trace of an uncommitted batch id: its staging dir and any
-    * batch-tagged files already moved into partition dirs.
+  /** Remove every trace of an uncommitted batch token: its staging dir and
+    * any batch-tagged files already moved into partition dirs.
     */
-  private def cleanIngest(fs: FileSystem, batchId: Long): Unit = {
-    fs.delete(new Path(path, s"_staging/$batchId"), true)
+  private def cleanIngest(fs: FileSystem, tok: String): Unit = {
+    fs.delete(new Path(path, s"_staging/$tok"), true)
     val root = new Path(path)
     if (fs.exists(root))
       for (day <- fs.listStatus(root).toSeq if day.isDirectory && day.getPath.getName.contains("=");
            f <- fs.listStatus(day.getPath).toSeq
-           if f.getPath.getName.startsWith(s"batch-$batchId-"))
+           if f.getPath.getName.startsWith(s"batch-$tok-"))
         fs.delete(f.getPath, false)
   }
 
@@ -140,9 +152,9 @@ final class StateTable(
       day <- fs.listStatus(root).toSeq if day.isDirectory && day.getPath.getName.contains("=")
       f <- fs.listStatus(day.getPath).toSeq if f.getPath.getName.startsWith("batch-")
     } yield f.getPath.getName.drop("batch-".length).takeWhile(_ != '-')
-    for (id <- (stagingIds ++ movedIds).distinct; n <- scala.util.Try(id.toLong).toOption
-         if !fs.exists(new Path(path, s"_ledger/batch-$n")))
-      cleanIngest(fs, n)
+    for (tok <- (stagingIds ++ movedIds).distinct
+         if !fs.exists(new Path(path, s"_ledger/batch-$tok")))
+      cleanIngest(fs, tok)
   }
 
   // merged part schema, computed once per (instance, table state): the
@@ -244,8 +256,9 @@ final class StateTable(
     * batchId independently of this table's, so a crash between the two
     * commits heals on replay (each table re-ingests only what it missed).
     */
-  def cascadeBatchExactlyOnce(target: StateTable, states: DataFrame, batchId: Long): Boolean =
-    target.appendExactlyOnce(reaggregateFor(target, states), batchId)
+  def cascadeBatchExactlyOnce(target: StateTable, states: DataFrame, batchId: Long,
+      ns: String = ""): Boolean =
+    target.appendExactlyOnce(reaggregateFor(target, states), batchId, ns)
 
   private def reaggregateFor(target: StateTable, states: DataFrame): DataFrame = {
     val missing = target.metrics.map(_.name).filterNot(n => metrics.exists(_.name == n))

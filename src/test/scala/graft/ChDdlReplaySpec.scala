@@ -181,6 +181,72 @@ class ChDdlReplaySpec extends SparkSpec {
     assert(got == Seq((0L, 33L), (1L, 12L)))
   }
 
+  test("streaming DDL replay: streamed micro-batches == batch replay, exactly-once per MV") {
+    import org.apache.spark.sql.streaming.Trigger
+    Catalog.register(spark, sf)
+
+    // two replays of the SAME scripts: one fed through insert() (batch),
+    // one through attachStreams (Structured Streaming, one parquet file
+    // per day per log = one micro-batch); their state tables must agree
+    def build(wh: String): ChReplay = {
+      val r = new ChReplay(spark, wh)
+      r.bind("ods.user_dim_local", spark.table("dim.dict_user_dim"))
+      r.bind("ods.item_dim_local",
+        spark.range(0, 1000).select(col("id").as("item_id"),
+          pmod(col("id"), lit(7)).as("type_id"), (col("id") % 100 * 10).as("price")))
+      for (f <- Seq("ods.action_001_dis.sql", "ods.action_002_dis.sql",
+          "dim.user_dim_dis.sql", "dim.dict_user_dim.sql",
+          "dim.item_dim_dis.sql", "dim.dict_item_dim.sql",
+          "dwm.mainpage_stat_mv_dis.sql"))
+        r.executeScript(script(f))
+      r
+    }
+    val days = spark.table("ods.action_001_local").select("day").distinct()
+      .orderBy("day").collect().map(_.getDate(0).toString).take(3)
+    def a1(d: String) = spark.table("ods.action_001_local").filter(col("day") === lit(d))
+    def a2(d: String) = spark.table("ods.action_002_local").filter(col("day") === lit(d))
+
+    val rb = build(tmpDir("graft-sdr-batch"))
+    days.foreach(d => rb.insert("ods.action_001_local", a1(d)))
+    days.foreach(d => rb.insert("ods.action_002_local", a2(d)))
+
+    val rs = build(tmpDir("graft-sdr-stream"))
+    val src = tmpDir("graft-sdr-src")
+    val ck = tmpDir("graft-sdr-ck")
+    days.zipWithIndex.foreach { case (d, i) =>
+      a1(d).coalesce(1).write.parquet(s"$src/a1/b$i")
+      a2(d).coalesce(1).write.parquet(s"$src/a2/b$i")
+    }
+    def fileStream(sub: String, schema: org.apache.spark.sql.types.StructType) =
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$src/$sub/*")
+    val qs =
+      rs.attachStreams("ods.action_001_local", fileStream("a1", a1(days(0)).schema),
+        Trigger.AvailableNow(), Some(s"$ck/a1")) ++
+      rs.attachStreams("ods.action_002_local", fileStream("a2", a2(days(0)).schema),
+        Trigger.AvailableNow(), Some(s"$ck/a2"))
+    assert(qs.nonEmpty, "no DDL-defined MVs attached to the streams")
+    try qs.foreach(_.awaitTermination(120000): Unit) finally qs.foreach(_.stop())
+
+    assert(rb.stateTables.keySet == rs.stateTables.keySet)
+    for ((name, stB) <- rb.stateTables) {
+      def rows(st: graft.mv.StateTable) = st.finalized().collect()
+        .map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
+      assert(rows(stB) == rows(rs.stateTables(name)), s"$name: streamed != batch replay")
+      assert(rows(stB).nonEmpty, s"$name: empty state table")
+    }
+
+    // forced replay: re-delivering a committed batch id to an MV is a
+    // ledger no-op — and the ledger is per-MV, so BOTH wide-table writers
+    // committed their own batch 0 without colliding
+    val mv1 = rs.mvs("dwm.mv_main_page_stat_mv_001_local")
+    val mv2 = rs.mvs("dwm.mv_main_page_stat_mv_002_local")
+    val before = mv1.target.read().count()
+    assert(!mv1.processBatchExactlyOnce(a1(days(0)), 0L), "mv1 replay must dedup")
+    assert(!mv2.processBatchExactlyOnce(a2(days(0)), 0L), "mv2 replay must dedup")
+    assert(mv1.target.read().count() == before, "replay must not append")
+  }
+
   test("full replay: scripts run file-verbatim and the doc equivalences hold") {
     Catalog.register(spark, sf)
     val wh = tmpDir("graft-chreplay")
