@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.Dictionaries
-import graft.mv.{BitmapUvMetric, HllUvMetric, MaterializedView, MaxMetric, MedianExactMetric, Metric, MinMetric, StateTable, SumMetric}
+import graft.mv.{BitmapUvMetric, HllUvMetric, MaterializedView, MaxMetric, MedianExactMetric, Metric, MinMetric, QuantileSketchMetric, StateTable, SumMetric}
 
 /** Executes parsed ClickHouse DDL ([[ChDdl]]) against this engine's
   * objects — the translator that lets a user replay the reference's
@@ -74,6 +74,7 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
   val stateTables = mutable.LinkedHashMap.empty[String, StateTable]
   val mvs = mutable.LinkedHashMap.empty[String, MaterializedView]
   val dictionaries = mutable.ArrayBuffer.empty[String]
+  private val dictDdls = mutable.LinkedHashMap.empty[String, CreateDictionary]
   val queries = mutable.ArrayBuffer.empty[String]
   private val mvSources = mutable.LinkedHashMap.empty[String, String]
   private val bindings = mutable.Map.empty[String, DataFrame]
@@ -295,6 +296,7 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     case Some(("max", _)) => MaxMetric(c.name, col(c.name))
     case Some(("groupBitmap", _)) => BitmapUvMetric(c.name, col(c.name))
     case Some(("medianExact", _)) => MedianExactMetric(c.name, col(c.name))
+    case Some(("quantileTDigest", _)) => QuantileSketchMetric(c.name, col(c.name))
     case other => sys.error(s"$table.${c.name}: unsupported aggregate type ${c.chType} ($other)")
   }
 
@@ -348,7 +350,38 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     }.toMap
     val projected = src.select(d.cols.map(c => col(c.name)): _*)
     Dictionaries.register(spark, d.name, projected, d.primaryKey, defaults)
-    dictionaries += d.name
+    if (!dictionaries.contains(d.name)) dictionaries += d.name
+    dictDdls(d.name) = d
+  }
+
+  /** Start the LIFETIME refresh cycle for every replayed dictionary that
+    * declared one (`LIFETIME(MIN m MAX M)`, ref dim.dict_user_dim.sql:20):
+    * each re-registers from its re-resolved source every MIN seconds —
+    * ClickHouse picks uniformly in [MIN, MAX] to spread load across a
+    * fleet of servers; a single driver refreshes deterministically at the
+    * earliest legal moment. A refreshed snapshot is visible to every
+    * dictGet analyzed afterwards — in particular to SQL-defined MVs, whose
+    * per-batch spark.sql re-analyzes the SELECT, so a running pipeline
+    * picks up the new dimension data without restart. Sources bound to a
+    * catalog view re-resolve their file listing on each refresh; a
+    * `bind()`-ed DataFrame snapshot re-executes its plan.
+    *
+    * `scale` multiplies the declared seconds (tests shrink the cadence).
+    * Close the returned handle to stop the ticker; refresh failures are
+    * swallowed and retried next tick (the CH behavior — a broken source
+    * keeps serving the previous snapshot).
+    */
+  def startDictionaryTicker(scale: Double = 1.0): AutoCloseable = {
+    val exec = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => { val t = new Thread(r, "graft-dict-lifetime"); t.setDaemon(true); t })
+    for (d <- dictDdls.values if d.lifetimeMin > 0 || d.lifetimeMax > 0) {
+      val seconds = if (d.lifetimeMin > 0) d.lifetimeMin else d.lifetimeMax
+      val periodMs = math.max(50L, (seconds * scale * 1000).toLong)
+      exec.scheduleAtFixedRate(
+        () => try buildDictionary(d) catch { case _: Exception => () },
+        periodMs, periodMs, java.util.concurrent.TimeUnit.MILLISECONDS): Unit
+    }
+    () => { exec.shutdownNow(): Unit }
   }
 
   private def defaultValue(raw: String, chType: String): Any = {

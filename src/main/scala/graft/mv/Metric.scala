@@ -81,6 +81,22 @@ final case class MedianExactMetric(name: String, src: Column) extends Metric {
   override val finish: Column => Column = Medians.median_finalize
 }
 
+/** AggregateFunction(quantileTDigest)-role: BOUNDED approximate quantile
+  * state — the serving-table alternative to [[MedianExactMetric]]'s
+  * unbounded value array (SCALE.md §3). State is a GK summary capped at
+  * the compress threshold regardless of group size (documented divergence:
+  * GK, not t-digest — the bounded/mergeable/ε-approximate contract is the
+  * same). Finalizes to the `q`-quantile. Requires QuantileSketch.register
+  * (StateTable does this).
+  */
+final case class QuantileSketchMetric(name: String, src: Column,
+    q: Double = 0.5, eps: Double = 0.01) extends Metric {
+  val state: Column = graft.functions.QuantileSketch.quantile_state(src, eps).as(name)
+  val merge: Column = graft.functions.QuantileSketch.quantile_merge_state(col(name)).as(name)
+  override val finish: Column => Column =
+    c => graft.functions.QuantileSketch.quantile_value(c, q)
+}
+
 /** AggregateFunction(sumMap): per-group key→sum breakdown map (CH metric
   * tables carrying counter maps instead of one row per counter). The state
   * is the sorted (keys, values) struct, and merging is just sumMap over

@@ -46,6 +46,7 @@ final class StateTable(
 
   Bitmaps.register(spark)
   graft.functions.MapAggregates.register(spark)
+  graft.functions.QuantileSketch.register(spark)
   recoverFromCompact()
   recoverInFlightIngest()
 

@@ -1,7 +1,52 @@
 package graft.similarity
 
+import org.apache.hadoop.fs.Path
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+/** Shared maintenance plumbing for the persisted vector indexes: the tiny
+  * metadata files behind the drift metric and the offline
+  * rebuild-and-swap that answers centroid drift (SCALE.md §4).
+  */
+private[similarity] object IndexMaint {
+
+  def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def writeText(spark: SparkSession, p: Path, text: String): Unit = {
+    val f = fs(spark, p)
+    f.mkdirs(p.getParent)
+    val out = f.create(p, true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+  }
+
+  def readText(spark: SparkSession, p: Path): Option[String] = {
+    val f = fs(spark, p)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
+  }
+
+  /** Swap a freshly-built index directory into the live path: move the
+    * live tree aside, move the fresh tree in, drop the old one. Readers
+    * that already resolved their file listings keep their snapshot; new
+    * reads see the rebuilt index.
+    */
+  def swapIn(spark: SparkSession, livePath: String, freshPath: String): Unit = {
+    val live = new Path(livePath)
+    val f = fs(spark, live)
+    val old = new Path(livePath + "-old")
+    f.delete(old, true)
+    if (f.exists(live))
+      require(f.rename(live, old), s"swap: cannot move $live aside")
+    require(f.rename(new Path(freshPath), live), s"swap: cannot move $freshPath into $live")
+    f.delete(old, true): Unit
+  }
+}
 
 /** Persisted, incrementally-growable IVF index — the vector twin of
   * [[graft.dedup.NearDupIndex]]: train centroids once, then ingest
@@ -45,7 +90,59 @@ final class IvfIndex(
       .write.mode("overwrite").parquet(centsPath)
     Ann.ivfIndex(corpus, idCol, vecCol, c)
       .write.mode("overwrite").partitionBy("list_id").parquet(dataPath)
+    // drift baseline: how well the training corpus fits its own centroids
+    IndexMaint.writeText(spark, new Path(path, "_drift.json"),
+      s"""{"mean_assign_sim":${meanAssignSim(corpus)}}""")
   }
+
+  /** Mean cosine of each vector to its assigned (nearest) centroid — the
+    * coarse-quantizer fit statistic. One broadcast-assign pass + a scalar
+    * aggregate; nothing corpus-sized reaches the driver.
+    */
+  def meanAssignSim(batch: DataFrame): Double = {
+    import spark.implicits._
+    val cents = centroids
+    val centsDf = broadcast(cents.toSeq.map { case (i, v) => (i, v.toSeq) }
+      .toDF("list_id", "centroid"))
+    Ann.ivfIndex(batch, idCol, vecCol, cents)
+      .join(centsDf, Seq("list_id"))
+      .agg(avg(Ann.cosine(col("cvec"), col("centroid"))))
+      .head().getDouble(0)
+  }
+
+  /** The training-time fit recorded by [[build]]. */
+  def driftBaseline: Double =
+    IndexMaint.readText(spark, new Path(path, "_drift.json"))
+      .flatMap(s => """"mean_assign_sim":([-0-9.eE]+)""".r.findFirstMatchIn(s))
+      .map(_.group(1).toDouble)
+      .getOrElse(sys.error(s"$path: no drift baseline — index predates build()?"))
+
+  /** Centroid-drift metric for an incoming batch: how much worse it fits
+    * the frozen centroids than the training corpus did (positive = drift;
+    * ~0 = same distribution). Track this over appends; past a chosen
+    * threshold, run [[rebuildAndSwap]] offline.
+    */
+  def drift(batch: DataFrame): Double = driftBaseline - meanAssignSim(batch)
+
+  /** The answer to centroid drift (SCALE.md §4): train fresh centroids on
+    * `corpus` (typically everything indexed so far plus the drifted
+    * stream), build a complete new index at a sibling path, and swap it
+    * into `path`. Appends against the old centroids remain valid history;
+    * the swap is the ClickHouse-style background re-merge made explicit.
+    */
+  def rebuildAndSwap(corpus: DataFrame, nlist: Int, lloydIterations: Int = 2): Unit = {
+    val freshPath = s"$path-rebuild"
+    new IvfIndex(spark, freshPath, idCol, vecCol).build(corpus, nlist, lloydIterations)
+    IndexMaint.swapIn(spark, path, freshPath)
+  }
+
+  /** [[rebuildAndSwap]] from the index's own stored vectors — no external
+    * corpus needed (IVF keeps full vectors, unlike PQ).
+    */
+  def rebuildFromStoredAndSwap(nlist: Int, lloydIterations: Int = 2): Unit =
+    rebuildAndSwap(
+      index.select(col("neighbor_id").as(idCol), col("cvec").as(vecCol)),
+      nlist, lloydIterations)
 
   /** The frozen centroids (driver-side, nlist rows — the IVF regime). */
   def centroids: Array[(Int, Array[Float])] =

@@ -50,6 +50,46 @@ final class PqIndex(
       .toDF("m_idx", "code", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(cbPath)
     writeBatch(corpus, cents, cb, overwrite = true)
+    // drift baseline: the training corpus's own quantization error
+    IndexMaint.writeText(spark, new org.apache.hadoop.fs.Path(path, "_drift.json"),
+      s"""{"mean_recon_error":${meanReconError(corpus)}}""")
+  }
+
+  /** Mean squared PQ reconstruction error of a batch under the frozen
+    * codebook — the fine-quantizer fit statistic (one scan, primitive
+    * [[graft.functions.VectorQuant.pq_recon_error]] per row, scalar agg).
+    */
+  def meanReconError(batch: DataFrame): Double =
+    batch.agg(avg(graft.functions.VectorQuant.pq_recon_error(
+        col(vecCol), codebook.centroids)))
+      .head().getDouble(0)
+
+  /** The training-time error recorded by [[build]]. */
+  def driftBaseline: Double =
+    IndexMaint.readText(spark, new org.apache.hadoop.fs.Path(path, "_drift.json"))
+      .flatMap(s => """"mean_recon_error":([-0-9.eE]+)""".r.findFirstMatchIn(s))
+      .map(_.group(1).toDouble)
+      .getOrElse(sys.error(s"$path: no drift baseline — index predates build()?"))
+
+  /** Quantizer-drift metric for an incoming batch: reconstruction-error
+    * growth over the training baseline (positive = the codebook fits the
+    * new data worse; ~0 = same distribution). Past a chosen threshold,
+    * run [[rebuildAndSwap]] offline with a corpus that includes the
+    * drifted data.
+    */
+  def drift(batch: DataFrame): Double = meanReconError(batch) - driftBaseline
+
+  /** Offline rebuild + path swap for quantizer drift. PQ stores only
+    * codes, so the caller supplies the training corpus (the original
+    * vectors, e.g. the embeddings table both quantizers were fed from);
+    * the fresh index is built beside `path` and swapped in.
+    */
+  def rebuildAndSwap(corpus: DataFrame, nlist: Int, m: Int = 8, ksub: Int = 16,
+      lloydIterations: Int = 2): Unit = {
+    val freshPath = s"$path-rebuild"
+    new PqIndex(spark, freshPath, idCol, vecCol)
+      .build(corpus, nlist, m, ksub, lloydIterations)
+    IndexMaint.swapIn(spark, path, freshPath)
   }
 
   /** The frozen coarse centroids. */

@@ -152,6 +152,15 @@ class ChDdlReplaySpec extends SparkSpec {
       "create table db.nk (a UInt64, b String) engine=MergeTree() order by (a, cityHash64(b, a))")
       .asInstanceOf[CreateTable]
     assert(nk.orderBy == Seq("a", "cityHash64(b, a)"))
+    // quantileTDigest AggregateFunction columns build a bounded-median
+    // StateTable metric through the replayer
+    val qt = parseStatement(
+      """create table db.qt (k UInt64, med AggregateFunction(quantileTDigest, Float64))
+        |engine = AggregatingMergeTree() order by k""".stripMargin)
+      .asInstanceOf[CreateTable]
+    val qtReplay = new ChReplay(spark, tmpDir("graft-qt"))
+    qtReplay.execute(qt)
+    assert(qtReplay.stateTables.contains("db.qt"))
   }
 
   test("runQuery: quoted literal containing ' from ' and commas keeps the alias rewrite aligned") {
@@ -179,6 +188,40 @@ class ChDdlReplaySpec extends SparkSpec {
         "FROM aliasq_t GROUP BY k) AS t ORDER BY t.k")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == Seq((0L, 33L), (1L, 12L)))
+  }
+
+  test("dictionary LIFETIME ticker: refreshed snapshot visible without restart") {
+    import spark.implicits._
+    val dimDir = tmpDir("graft-dict-life") + "/dim"
+    def writeDim(seg: String): Unit = {
+      Seq((1L, seg)).toDF("uid", "segment").coalesce(1)
+        .write.mode("overwrite").parquet(dimDir)
+      spark.catalog.refreshByPath(dimDir)
+    }
+    writeDim("OLD")
+    spark.sql("CREATE DATABASE IF NOT EXISTS dimlife")
+    spark.sql(s"CREATE OR REPLACE VIEW dimlife.src AS SELECT * FROM parquet.`$dimDir`")
+    val replay = new ChReplay(spark, tmpDir("graft-dict-life-wh"))
+    replay.executeScript(
+      """CREATE DICTIONARY dimlife.d (
+        | uid UInt64,
+        | segment String default ''
+        |)
+        |PRIMARY KEY uid
+        |SOURCE(CLICKHOUSE(HOST 'localhost' PORT 9000 USER 'default' PASSWORD '' DB 'dimlife' TABLE 'src'))
+        |LIFETIME(MIN 1 MAX 2) LAYOUT(HASHED())""".stripMargin)
+    def seg(): String =
+      spark.sql("SELECT dictGet('dimlife.d','segment',toUInt64(1)) AS s").head().getString(0)
+    assert(seg() == "OLD")
+    // the ticker re-registers from the re-resolved source every LIFETIME
+    // MIN seconds; the pipeline (and this session) keeps running
+    val ticker = replay.startDictionaryTicker()
+    try {
+      writeDim("NEW")
+      val deadline = System.currentTimeMillis() + 20000
+      while (seg() != "NEW" && System.currentTimeMillis() < deadline) Thread.sleep(200)
+      assert(seg() == "NEW", "LIFETIME tick did not refresh the dictionary")
+    } finally ticker.close()
   }
 
   test("streaming DDL replay: streamed micro-batches == batch replay, exactly-once per MV") {

@@ -48,4 +48,46 @@ class IvfIndexSpec extends SparkSpec {
     // appended id appears among scored neighbors for at least one probe
     assert(got.nonEmpty)
   }
+
+  test("drift metric flags distribution shift; rebuild-and-swap restores fit") {
+    val base = emb.select("vec_id", "embedding")
+    val ix = new IvfIndex(spark, tmp())
+    ix.build(base, nlist = 8)
+    // same distribution: the metric stays near the training baseline
+    val same = base.filter(col("vec_id") < 100)
+    val driftSame = ix.drift(same)
+    assert(math.abs(driftSame) < 0.05, s"same-distribution drift $driftSame")
+    // negated vectors: maximally shifted relative to the trained centroids
+    val shifted = base.filter(col("vec_id") < 100)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+    val driftShift = ix.drift(shifted)
+    assert(driftShift > driftSame + 0.05,
+      s"shifted batch must read as drifted: $driftShift vs $driftSame")
+
+    // the prescribed answer: offline rebuild on the drifted union + swap
+    val combined = base.unionByName(shifted)
+    ix.rebuildAndSwap(combined, nlist = 8)
+    assert(ix.index.count() == combined.count(), "swap lost rows")
+    // new centroids fit the shifted data better, and the stored assignment
+    // equals a direct assignment under them (read-equivalence after swap)
+    assert(ix.drift(shifted) < driftShift, "rebuild did not reduce drift")
+    val direct = Ann.ivfIndex(combined, "vec_id", "embedding", ix.centroids)
+      .select("neighbor_id", "list_id")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val stored = ix.index.select("neighbor_id", "list_id")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(stored == direct, "post-swap lists must equal direct assignment")
+    // search still answers, and recall vs brute force holds up
+    val probes = emb.filter(col("vec_id").isin(0, 1, 2))
+    val got = ix.topK(probes, k = 5, nprobe = 4)
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = Ann.bruteForceTopK(combined, probes, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(got.intersect(exact).size >= (exact.size * 0.5).toInt,
+      s"post-swap recall too low: ${got.intersect(exact).size}/${exact.size}")
+    // rebuild from the index's OWN stored vectors also round-trips
+    ix.rebuildFromStoredAndSwap(nlist = 8)
+    assert(ix.index.count() == combined.count())
+  }
 }

@@ -216,6 +216,32 @@ class PqSpec extends SparkSpec {
     assert(short == pad, "short vectors must encode as their zero-padded twins")
   }
 
+  test("PqIndex drift metric flags shift; rebuild-and-swap restores fit") {
+    val path = java.nio.file.Files.createTempDirectory("graft-pq-drift").toString + "/ix"
+    val ix = new graft.similarity.PqIndex(spark, path)
+    ix.build(clustered, nlist = 8, m = 8, ksub = 16)
+    // training data reproduces its own baseline error
+    assert(math.abs(ix.drift(clustered)) < 1e-9)
+    // negated vectors: the codebook reconstructs them badly
+    val shifted = clustered
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+    val driftShift = ix.drift(shifted)
+    assert(driftShift > 0.01, s"shifted batch must raise recon error: $driftShift")
+
+    val combined = clustered.unionByName(shifted)
+    ix.rebuildAndSwap(combined, nlist = 8, m = 8, ksub = 16)
+    assert(ix.index.count() == combined.count(), "swap lost rows")
+    assert(ix.drift(shifted) < driftShift, "rebuild did not reduce recon error")
+    // post-swap search answers with the probe's cluster-mates on top
+    // (self-matches are excluded by design)
+    val probes = clustered.filter(col("vec_id") === 7)
+    val top = ix.topK(probes, k = 5, nprobe = 8).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
+    assert(top.nonEmpty && top.minBy(_._1)._2 % 25 == 7L,
+      s"post-swap ADC search should surface a cluster-mate first: ${top.toSeq}")
+  }
+
   test("ADC output shape: dense ranks, non-increasing scores") {
     val cb = Pq.trainCodebook(emb, "vec_id", "embedding", m = 8, ksub = 16, iterations = 1)
     val enc = Pq.encode(emb, "vec_id", "embedding", cb)

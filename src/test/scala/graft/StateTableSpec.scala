@@ -205,6 +205,37 @@ class StateTableSpec extends SparkSpec {
     assert(st.read().select("day").distinct().collect().map(_.getDate(0).toString).toSeq == Seq("2024-01-02"))
   }
 
+  test("QuantileSketchMetric: bounded state, merge/compact round-trip, tolerance vs exact") {
+    import spark.implicits._
+    val dir = tmpDir("state-qsk")
+    def mk(lo: Int, hi: Int) = (lo until hi)
+      .map(i => ("2024-01-01", (i % 7).toString, i.toDouble)).toDF("day", "g", "v")
+    def metrics = Seq(QuantileSketchMetric("v_med", col("v")), CountMetric("cnt"))
+    val st = new StateTable(spark, dir + "/t",
+      keys = Seq("day", "g"), partitionCol = "day", metrics = metrics)
+    st.appendBatch(mk(0, 20000))
+    st.appendBatch(mk(20000, 40000))
+    st.appendBatch(mk(40000, 60000))
+    st.compact()
+    // reopen: the merged-then-compacted sketch still answers
+    val st2 = new StateTable(spark, dir + "/t",
+      keys = Seq("day", "g"), partitionCol = "day", metrics = metrics)
+    val got = st2.finalized(Seq("day", "g")).select("g", "v_med").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = mk(0, 60000).groupBy("g")
+      .agg(percentile(col("v"), lit(0.5)).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == exact.keySet)
+    for ((g, m) <- exact)
+      assert(math.abs(got(g) - m) <= 0.02 * 60000,
+        s"group $g: sketch median ${got(g)} too far from exact $m")
+    // the state is BOUNDED: each group holds ~8571 values, which
+    // MedianExactMetric would store as an 8n-byte array; the sketch stays
+    // far under that regardless of group size
+    val maxLen = st2.read().agg(max(length(col("v_med")))).head().getInt(0)
+    assert(maxLen < 8 * (60000 / 7) / 2, s"sketch state not bounded: $maxLen bytes")
+  }
+
   test("TTL hour granularity: day + 10d + 4h expires only past the +4h boundary") {
     // the reference's full TTL expression (ods.action_001_dis.sql:21):
     // partition 2024-01-01 expires at 2024-01-11T04:00, not at midnight
