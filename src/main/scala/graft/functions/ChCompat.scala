@@ -255,6 +255,27 @@ object ChCompat {
     f("medianExactMergeState") { es => medianMerged(es.head) }
     f("medianExactMerge") { es => medianFinalize(medianMerged(es.head)) }
 
+    // ---- quantileTDigest -State family: the BOUNDED quantile state
+    // (GK summaries under the hood — see graft.functions.QuantileSketch
+    // for the documented algorithm divergence; same state contract) ----
+    f("quantileTDigestState") { es =>
+      QuantileSketchAggregate(es.head, 0.01).toAggregateExpression()
+    }
+    f("quantileTDigestMergeState") { es =>
+      QuantileSketchMergeAggregate(es.head).toAggregateExpression()
+    }
+    f("quantileTDigestMerge") { es =>
+      // quantileTDigestMerge(0.5)(state) is CH's parameterized spelling;
+      // the flat 2-arg form (state, q) is accepted here, 1-arg = median
+      val q = (if (es.length > 1) es(1) else Literal(0.5)).eval() match {
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+        case n: Number => n.doubleValue()
+        case other => sys.error(s"quantileTDigestMerge: bad quantile literal $other")
+      }
+      QuantileSketchValueExpr(
+        QuantileSketchMergeAggregate(es.head).toAggregateExpression(), q)
+    }
+
     // ---- table functions ---------------------------------------------
     // numbers(N) / numbers(offset, N) — CH's generated source (doc:565-597
     // sizing experiments; SURVEY §2.1 S8); output column is `number` like

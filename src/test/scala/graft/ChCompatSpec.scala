@@ -227,6 +227,31 @@ class ChCompatSpec extends SparkSpec {
     }
   }
 
+  test("quantileTDigest -State family: bounded two-phase quantile within tolerance") {
+    Catalog.register(spark, sf)
+    spark.sql(
+      """SELECT platform, hour, quantileTDigestState(toUInt32(show_time/1000)) AS st
+        |FROM ods.action_001_local GROUP BY platform, hour""".stripMargin)
+      .createOrReplaceTempView("qtd_states")
+    val merged = spark.sql(
+      """SELECT platform, quantileTDigestMerge(st) AS med,
+        |       quantileTDigestMerge(st, 0.9) AS p90
+        |FROM qtd_states GROUP BY platform ORDER BY platform""".stripMargin).collect()
+    val direct = spark.sql(
+      """SELECT platform, percentile(toUInt32(show_time/1000), 0.5) AS med
+        |FROM ods.action_001_local GROUP BY platform ORDER BY platform""".stripMargin).collect()
+    assert(merged.length == direct.length && merged.nonEmpty)
+    merged.zip(direct).foreach { case (m, d) =>
+      val exact = d.getDouble(1)
+      // eps=0.01 RANK error: near the median of this smooth distribution
+      // that is a small value shift — 10% value tolerance is generous
+      assert(math.abs(m.getDouble(1) - exact) <= math.max(1.0, exact * 0.1),
+        s"${m.getString(0)}: sketch median ${m.getDouble(1)} vs exact $exact")
+      assert(m.getDouble(2) >= m.getDouble(1),
+        "parameterized p90 must not be below the median")
+    }
+  }
+
   test("dictGet SQL equals the join form (dim.dict_user_dim.sql:24-44)") {
     Catalog.register(spark, sf)
     // the doc's multi-value shape (dict_user_dim.sql:47-50). Dialect note:
