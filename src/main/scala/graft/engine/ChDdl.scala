@@ -334,7 +334,18 @@ object ChDdl {
     val adds = mutable.ArrayBuffer.empty[Col]
     val mods = mutable.ArrayBuffer.empty[Col]
     var orderBy: Option[Seq[String]] = None
-    for (sub <- topLevelSplit(s.substring(head.end))) {
+    // ALTER subcommands separate on top-level commas, but an
+    // unparenthesized MODIFY ORDER BY a, b, c does too — glue fragments
+    // that don't open a new subcommand back onto the previous one
+    val subKw = """(?is)^(add|modify|drop|rename|clear|comment)\b""".r
+    val subs = topLevelSplit(s.substring(head.end))
+      .foldLeft(mutable.ArrayBuffer.empty[String]) { (acc, frag) =>
+        if (acc.nonEmpty && subKw.findFirstIn(frag.trim).isEmpty)
+          acc(acc.length - 1) = acc.last + ", " + frag
+        else acc += frag
+        acc
+      }
+    for (sub <- subs) {
       val t = sub.trim
       val lower = t.toLowerCase
       if (lower.startsWith("add column"))

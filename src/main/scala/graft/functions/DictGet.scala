@@ -9,13 +9,33 @@ import org.apache.spark.sql.functions._
   *
   * The broadcast-join formulation (see RelationalPack q05) is the preferred
   * Spark shape — Catalyst keeps it shuffle-free on the fact side — but this
-  * UDF form exists for parity, and the two are asserted equivalent in tests
-  * (the reference proves the same equivalence, doc:663-745).
+  * point-lookup form exists for parity, and the two are asserted equivalent
+  * in tests (the reference proves the same equivalence, doc:663-745). Both
+  * faces ride the native [[DictGetExpr]] Catalyst expression through the
+  * [[Dictionaries]] registry — no Scala UDF anywhere on the lookup path;
+  * these helpers just register an ad-hoc dictionary for a one-off dim.
   *
   * Refreshing a dictionary (LIFETIME 1800-3600s, ref dim.dict_user_dim.sql:20)
-  * ≙ rebuilding this broadcast from the current dim snapshot per batch.
+  * ≙ rebuilding this broadcast from the current dim snapshot per batch
+  * (re-call, or the scheduled form: `ChReplay.startDictionaryTicker`).
   */
 object DictGet {
+
+  private def adhoc(
+      spark: SparkSession,
+      dim: DataFrame,
+      keyCol: String,
+      attrCol: String,
+      attrType: String,
+      default: Any): Column => Column = {
+    ChCompat.register(spark)
+    val name = "graft_adhoc_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    Dictionaries.register(spark, name,
+      dim.select(col(keyCol), col(attrCol).cast(attrType)), keyCol,
+      Map(attrCol -> default))
+    key => call_function("dictGet", lit(name), lit(attrCol), key)
+  }
 
   /** Build a string-attribute dictionary from a dim table snapshot.
     * The dim side must be small enough to broadcast — same constraint the
@@ -26,17 +46,8 @@ object DictGet {
       dim: DataFrame,
       keyCol: String,
       attrCol: String,
-      default: String): Column => Column = {
-    val m = dim.select(col(keyCol).cast("long"), col(attrCol).cast("string"))
-      .na.drop(Seq(keyCol))
-      .collect()
-      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) default else r.getString(1)))
-      .toMap
-    val bc = spark.sparkContext.broadcast(m)
-    val fn = udf((k: java.lang.Long) =>
-      if (k == null) default else bc.value.getOrElse(k.longValue(), default))
-    (key: Column) => fn(key)
-  }
+      default: String): Column => Column =
+    adhoc(spark, dim, keyCol, attrCol, "string", default)
 
   /** Long-attribute variant (e.g. item price lookups, ref dict_item_dim). */
   def longDict(
@@ -44,15 +55,6 @@ object DictGet {
       dim: DataFrame,
       keyCol: String,
       attrCol: String,
-      default: Long): Column => Column = {
-    val m = dim.select(col(keyCol).cast("long"), col(attrCol).cast("long"))
-      .na.drop(Seq(keyCol))
-      .collect()
-      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) default else r.getLong(1)))
-      .toMap
-    val bc = spark.sparkContext.broadcast(m)
-    val fn = udf((k: java.lang.Long) =>
-      if (k == null) default else bc.value.getOrElse(k.longValue(), default))
-    (key: Column) => fn(key)
-  }
+      default: Long): Column => Column =
+    adhoc(spark, dim, keyCol, attrCol, "long", default)
 }

@@ -152,6 +152,14 @@ class ChDdlReplaySpec extends SparkSpec {
       "create table db.nk (a UInt64, b String) engine=MergeTree() order by (a, cityHash64(b, a))")
       .asInstanceOf[CreateTable]
     assert(nk.orderBy == Seq("a", "cityHash64(b, a)"))
+    // unparenthesized multi-key MODIFY ORDER BY survives the ALTER
+    // subcommand comma split
+    val am = parseStatement(
+      "alter table db.t modify order by k, v, w, add column if not exists c String")
+      .asInstanceOf[AlterTable]
+    assert(am.newOrderBy.contains(Seq("k", "v", "w")),
+      s"multi-key modify order by lost keys: ${am.newOrderBy}")
+    assert(am.addColumns.map(_.name) == Seq("c"))
     // quantileTDigest AggregateFunction columns build a bounded-median
     // StateTable metric through the replayer
     val qt = parseStatement(

@@ -9,7 +9,7 @@ import graft.functions.DictGet
   */
 class DictGetSpec extends SparkSpec {
 
-  test("dict_get UDF == broadcast left join + coalesce default") {
+  test("dict_get point-lookup form == broadcast left join + coalesce default") {
     import spark.implicits._
     val dim = Seq((1L, "android"), (2L, "ios"), (3L, "android"))
       .toDF("uid", "platform")
