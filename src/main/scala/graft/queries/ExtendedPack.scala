@@ -171,6 +171,65 @@ object ExtendedPack {
           col("session_start"), col("session_end"), col("n_events"),
           col("session_value"), col("duration_sec"))
         .orderBy("user_id", "session_seq")
+    },
+
+    // FULL OUTER join: two half-overlapping keyed sides, nulls surviving
+    // on both — the one outer-join shape the declared set didn't cover.
+    "q75_full_outer" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val o = t.orders.filter(col("o_custkey") <= 200)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec("o_totalprice")).cast(DoubleType).as("spend"))
+      val c = t.customer.filter(col("c_custkey").between(100, 300))
+        .select(col("c_custkey"), col("c_mktsegment"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_mktsegment"), col("n_orders"), col("spend"))
+        .orderBy("custkey")
+    },
+
+    // CUBE: all four grouping combinations + grouping id (q51's ROLLUP
+    // sibling — the reference replaces both with state re-aggregation).
+    "q76_cube" -> { (s, dir) =>
+      Tables(s, dir).orders
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("cnt"),
+          sum(dec("o_totalprice")).cast(DoubleType).as("revenue"))
+        .select(col("o_orderstatus"), col("o_orderpriority"), col("gid"),
+          col("cnt"), col("revenue"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+
+    // Window frames + rank family: bounded ROWS frame (moving sum), lag,
+    // ntile, percent_rank — deterministic under the tie-free
+    // (o_orderdate, o_orderkey) ordering.
+    "q77_window_frames" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables(s, dir).orders.filter(col("o_custkey") < 50)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(dec("o_totalprice")).over(w.rowsBetween(-2, 0))
+            .cast(DoubleType).as("moving3"),
+          lag(dec("o_totalprice"), 1).over(w).cast(DoubleType).as("prev_price"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // CH argMax/argMin ≙ Spark max_by/min_by (events have no (user, ts)
+    // ties at the driver SFs, so the picked rows are well-defined).
+    "q78_argmax" -> { (s, dir) =>
+      Tables(s, dir).events
+        .filter(col("user_id") <= 500)
+        .groupBy("user_id")
+        .agg(max_by(col("event_type"), col("ts")).as("last_event"),
+          max(col("ts")).as("last_ts"),
+          min_by(col("event_type"), col("ts")).as("first_event"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id")
     }
   )
 
@@ -288,6 +347,45 @@ object ExtendedPack {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value,
         |  date_diff('second', MIN(ts), MAX(ts)) AS duration_sec
-        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q75_full_outer" ->
+      """SELECT COALESCE(c_custkey, o_custkey) AS custkey, c_mktsegment, n_orders, spend
+        |FROM (SELECT c_custkey, c_mktsegment FROM customer
+        |      WHERE c_custkey BETWEEN 100 AND 300) c
+        |FULL OUTER JOIN (
+        |  SELECT o_custkey, COUNT(*) AS n_orders,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |  FROM orders WHERE o_custkey <= 200 GROUP BY o_custkey) o
+        |ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+
+    "q76_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | GROUPING(o_orderstatus, o_orderpriority) AS gid,
+        | COUNT(*) AS cnt,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q77_window_frames" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving3,
+        | CAST(LAG(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS prev_price,
+        | NTILE(4) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS quartile,
+        | PERCENT_RANK() OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS pr
+        |FROM orders WHERE o_custkey < 50
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q78_argmax" ->
+      """SELECT user_id, ARG_MAX(event_type, ts) AS last_event, MAX(ts) AS last_ts,
+        | ARG_MIN(event_type, ts) AS first_event, COUNT(*) AS n
+        |FROM events WHERE user_id <= 500
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }
