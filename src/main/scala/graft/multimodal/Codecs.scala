@@ -1,0 +1,210 @@
+package graft.multimodal
+
+import java.util.zip.Inflater
+
+/** Pure-JVM pixel/sample decoders for the formats that need NO external
+  * codec library: PNG (zlib rides `java.util.zip.Inflater`, plus the five
+  * scanline filters), uncompressed 24/32-bit BMP, and 16-bit PCM WAV.
+  * These take their formats OUT of the stub seam — real pixels/samples
+  * decode at any scale with nothing but the JDK. JPEG (DCT entropy
+  * coding) and compressed video/audio stay behind
+  * [[Multimodal.decodeStub]]: those genuinely need codec libraries this
+  * environment does not ship.
+  *
+  * All decoders return None on anything malformed/unsupported — corrupt
+  * blobs are data, not errors (same contract as the header parsers), and
+  * every loop advances monotonically.
+  */
+object Codecs {
+
+  /** Interleaved 8-bit pixels; channels ∈ {1 gray, 2 gray+alpha, 3 RGB,
+    * 4 RGBA}.
+    */
+  final case class Image(width: Int, height: Int, channels: Int, pixels: Array[Byte])
+
+  /** 16-bit PCM frames, channel-interleaved. */
+  final case class Pcm(sampleRate: Int, channels: Int, samples: Array[Short])
+
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
+      ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+
+  private def le32(b: Array[Byte], i: Int): Long =
+    ((b(i + 3) & 0xFFL) << 24) | ((b(i + 2) & 0xFFL) << 16) |
+      ((b(i + 1) & 0xFFL) << 8) | (b(i) & 0xFFL)
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    ((b(i + 1) & 0xFF) << 8) | (b(i) & 0xFF)
+
+  // ---- PNG -----------------------------------------------------------------
+
+  private val pngMagic = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  /** Full PNG decode: bit depth 8, color types 0/2/3/4/6, no interlace.
+    * Bit depths 1/2/4/16 and Adam7 are rare in training corpora and return
+    * None (callers fall back to the stub features).
+    */
+  def decodePng(blob: Array[Byte]): Option[Image] = {
+    if (blob.length < 8 + 25 || !blob.take(8).sameElements(pngMagic)) return None
+    var w = 0; var h = 0; var bitDepth = 0; var colorType = -1; var interlace = 0
+    var palette: Array[Byte] = null
+    val idat = new java.io.ByteArrayOutputStream()
+    var i = 8
+    var ok = true
+    while (ok && i + 8 <= blob.length) {
+      val len = be32(blob, i)
+      val typ = new String(blob, i + 4, 4, "US-ASCII")
+      val dataAt = i + 8
+      if (len < 0 || dataAt + len + 4 > blob.length) ok = false
+      else {
+        typ match {
+          case "IHDR" if len >= 13 =>
+            w = be32(blob, dataAt).toInt
+            h = be32(blob, dataAt + 4).toInt
+            bitDepth = blob(dataAt + 8) & 0xFF
+            colorType = blob(dataAt + 9) & 0xFF
+            interlace = blob(dataAt + 12) & 0xFF
+          case "PLTE" => palette = java.util.Arrays.copyOfRange(blob, dataAt, dataAt + len.toInt)
+          case "IDAT" => idat.write(blob, dataAt, len.toInt)
+          case _ => ()
+        }
+        i = dataAt + len.toInt + 4 // skip CRC; advance is strictly positive (8 + len + 4)
+      }
+    }
+    val bpp = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4; case _ => -1
+    }
+    if (!ok || w <= 0 || h <= 0 || bitDepth != 8 || bpp < 0 || interlace != 0 ||
+        idat.size() == 0 || w.toLong * h * bpp > 256L * 1024 * 1024) return None
+    // zlib-inflate the concatenated IDAT stream
+    val stride = w * bpp
+    val raw = new Array[Byte]((stride + 1) * h)
+    val inf = new Inflater()
+    inf.setInput(idat.toByteArray)
+    try {
+      var off = 0
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
+        off += n
+      }
+      if (off < raw.length) return None
+    } catch { case _: Exception => return None } finally inf.end()
+    // un-filter scanlines (None/Sub/Up/Average/Paeth)
+    val out = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      val filter = raw(y * (stride + 1)) & 0xFF
+      val src = y * (stride + 1) + 1
+      val dst = y * stride
+      var x = 0
+      while (x < stride) {
+        val cur = raw(src + x) & 0xFF
+        val left = if (x >= bpp) out(dst + x - bpp) & 0xFF else 0
+        val up = if (y > 0) out(dst + x - stride) & 0xFF else 0
+        val upLeft = if (y > 0 && x >= bpp) out(dst + x - stride - bpp) & 0xFF else 0
+        val recon = filter match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + (left + up) / 2
+          case 4 =>
+            val p = left + up - upLeft
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - upLeft)
+            cur + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else upLeft)
+          case _ => return None
+        }
+        out(dst + x) = (recon & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
+    if (colorType == 3) {
+      // palette indices -> RGB through PLTE
+      if (palette == null) return None
+      val rgb = new Array[Byte](w * h * 3)
+      var k = 0
+      while (k < w * h) {
+        val idx = (out(k) & 0xFF) * 3
+        if (idx + 2 >= palette.length) return None
+        rgb(k * 3) = palette(idx); rgb(k * 3 + 1) = palette(idx + 1); rgb(k * 3 + 2) = palette(idx + 2)
+        k += 1
+      }
+      Some(Image(w, h, 3, rgb))
+    } else Some(Image(w, h, bpp, out))
+  }
+
+  // ---- BMP -----------------------------------------------------------------
+
+  /** Uncompressed 24/32-bit BMP (BITMAPINFOHEADER, BI_RGB), top-down or
+    * bottom-up. Output is RGB (BMP stores BGR) / RGBA.
+    */
+  def decodeBmp(blob: Array[Byte]): Option[Image] = {
+    // reserved bytes 6-9 must be 0 — rules out text that happens to start
+    // with "BM" masquerading as a bitmap
+    if (blob.length < 54 || blob(0) != 'B' || blob(1) != 'M' ||
+        le32(blob, 6) != 0L) return None
+    val dataOff = le32(blob, 10).toInt
+    val w = le32(blob, 18).toInt
+    val hRaw = le32(blob, 22).toInt
+    val bits = le16(blob, 28)
+    val compression = le32(blob, 30)
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    if (w <= 0 || h == 0 || compression != 0 || (bits != 24 && bits != 32) ||
+        w.toLong * h * 4 > 256L * 1024 * 1024) return None
+    val srcBpp = bits / 8
+    val rowBytes = (w * srcBpp + 3) / 4 * 4 // rows pad to 4-byte boundaries
+    if (dataOff < 0 || dataOff.toLong + rowBytes.toLong * h > blob.length) return None
+    val channels = if (bits == 32) 4 else 3
+    val out = new Array[Byte](w * h * channels)
+    var y = 0
+    while (y < h) {
+      val srcRow = dataOff + (if (topDown) y else h - 1 - y) * rowBytes
+      var x = 0
+      while (x < w) {
+        val s = srcRow + x * srcBpp
+        val d = (y * w + x) * channels
+        out(d) = blob(s + 2)     // R (BMP is BGR)
+        out(d + 1) = blob(s + 1) // G
+        out(d + 2) = blob(s)     // B
+        if (channels == 4) out(d + 3) = blob(s + 3)
+        x += 1
+      }
+      y += 1
+    }
+    Some(Image(w, h, channels, out))
+  }
+
+  // ---- WAV -----------------------------------------------------------------
+
+  /** 16-bit PCM WAV sample decode (audioFormat 1). */
+  def decodeWav(blob: Array[Byte]): Option[Pcm] = {
+    if (blob.length < 12 || blob(0) != 'R' || blob(1) != 'I' || blob(2) != 'F' ||
+        blob(3) != 'F' || new String(blob, 8, 4, "US-ASCII") != "WAVE") return None
+    var rate = 0; var channels = 0; var bits = 0; var fmt = 0
+    var dataAt = -1; var dataLen = 0
+    var i = 12
+    while (i + 8 <= blob.length) {
+      val id = new String(blob, i, 4, "US-ASCII")
+      val size = le32(blob, i + 4)
+      if (id == "fmt " && i + 8 + 16 <= blob.length) {
+        fmt = le16(blob, i + 8)
+        channels = le16(blob, i + 10)
+        rate = le32(blob, i + 12).toInt
+        bits = le16(blob, i + 22)
+      } else if (id == "data") {
+        dataAt = i + 8
+        dataLen = math.min(size, (blob.length - dataAt).toLong).toInt
+      }
+      val next = i.toLong + 8L + size + (size & 1L)
+      if (next <= i || next > blob.length) i = blob.length else i = next.toInt
+    }
+    if (fmt != 1 || bits != 16 || rate <= 0 || channels <= 0 || dataAt < 0) return None
+    val n = dataLen / 2
+    val samples = new Array[Short](n)
+    var k = 0
+    while (k < n) { samples(k) = le16(blob, dataAt + k * 2).toShort; k += 1 }
+    Some(Pcm(rate, channels, samples))
+  }
+}

@@ -14,10 +14,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * The *Spark plumbing* here is real and tested — schema, partition-batched
   * processing (the Scala analog of `mapInPandas` batches), deterministic
-  * output shape. The actual codec work is STUBBED (this container ships no
-  * image/audio libraries): [[decodeStub]] derives fake-but-deterministic
-  * features from the raw bytes, and is the single seam where a real decoder
-  * (JavaCV / TwelveMonkeys / ffmpeg bindings) would plug in.
+  * output shape. Pixel/sample decode is REAL for the formats a bare JVM
+  * can decode ([[Codecs]]: PNG via JDK Inflater + scanline un-filtering,
+  * uncompressed BMP, 16-bit PCM WAV) — features for those come from actual
+  * pixels/samples. Formats that genuinely need codec libraries this
+  * container doesn't ship (JPEG's DCT entropy coding, compressed
+  * video/audio) fall back to [[decodeStub]], the remaining seam where a
+  * JavaCV / TwelveMonkeys / ffmpeg binding would plug in.
   */
 object Multimodal {
 
@@ -32,18 +35,60 @@ object Multimodal {
       StructField("height", IntegerType),
       StructField("duration_ms", LongType))))))
 
-  /** STUB decoder: a real implementation would decode `blob` with a codec
-    * library. This one computes a deterministic 16-bin byte histogram,
-    * L1-normalized — shape-compatible with a feature extractor, trivially
-    * reproducible in tests.
+  /** STUB decoder for the formats that need external codec libraries
+    * (JPEG, compressed video/audio): a deterministic 16-bin byte
+    * histogram, L1-normalized — shape-compatible with the real feature
+    * extractors below, trivially reproducible in tests.
     */
-  private[multimodal] def decodeStub(blob: Array[Byte]): Array[Float] = {
+  private[graft] def decodeStub(blob: Array[Byte]): Array[Float] = {
     val bins = new Array[Float](16)
     var i = 0
     while (i < blob.length) { bins((blob(i) & 0xFF) >> 4) += 1f; i += 1 }
     val n = math.max(1, blob.length).toFloat
     bins.map(_ / n)
   }
+
+  /** REAL image features: 16-bin luminance histogram over decoded pixels,
+    * L1-normalized (same 16-dim contract as the stub).
+    */
+  private[graft] def imageFeatures(img: Codecs.Image): Array[Float] = {
+    val bins = new Array[Float](16)
+    val px = img.pixels
+    val c = img.channels
+    val n = img.width * img.height
+    var i = 0
+    while (i < n) {
+      val lum =
+        if (c <= 2) px(i * c) & 0xFF
+        else ((px(i * c) & 0xFF) * 299 + (px(i * c + 1) & 0xFF) * 587 +
+          (px(i * c + 2) & 0xFF) * 114) / 1000
+      bins(lum >> 4) += 1f
+      i += 1
+    }
+    bins.map(_ / math.max(1, n).toFloat)
+  }
+
+  /** REAL audio features: 16-bin amplitude-magnitude histogram over
+    * decoded PCM samples, L1-normalized.
+    */
+  private[graft] def audioFeatures(p: Codecs.Pcm): Array[Float] = {
+    val bins = new Array[Float](16)
+    var i = 0
+    while (i < p.samples.length) {
+      val a = math.min(32767, math.abs(p.samples(i).toInt))
+      bins(a >> 11) += 1f // 32768 / 16 bins
+      i += 1
+    }
+    bins.map(_ / math.max(1, p.samples.length).toFloat)
+  }
+
+  /** Feature dispatch: real pixels/samples where the JVM can decode
+    * ([[Codecs]]), the stub histogram for codec-library formats.
+    */
+  private[graft] def decodeFeatures(blob: Array[Byte]): Array[Float] =
+    Codecs.decodePng(blob).orElse(Codecs.decodeBmp(blob)).map(imageFeatures)
+      .orElse(Codecs.decodeWav(blob).map(audioFeatures))
+      .getOrElse(decodeStub(blob))
 
   /** Batched per-partition feature extraction — the mapInPandas shape:
     * rows are processed in fixed-size batches so a real decoder could
@@ -64,7 +109,7 @@ object Multimodal {
         batch.iterator.map { r =>
           val blob = r.getAs[Array[Byte]](blobIdx)
           Row.fromSeq(keepIdx.map(r.get).toSeq :+
-            decodeStub(blob).toSeq :+ blob.length.toLong)
+            decodeFeatures(blob).toSeq :+ blob.length.toLong)
         }
       }
     }(enc)
@@ -101,7 +146,8 @@ object Multimodal {
     * from magic bytes and pixel dimensions parsed straight out of the
     * header — PNG IHDR, JPEG SOF scan, GIF logical screen, BMP info
     * header. No codec library involved, so this one runs for real at any
-    * scale; pixel decoding stays behind [[decodeStub]]'s seam.
+    * scale; pixel decoding is also real for PNG/BMP ([[Codecs]]), with
+    * only codec-library formats behind [[decodeStub]]'s seam.
     */
   def imageMeta(blob: Column): Column = {
     val spark = org.apache.spark.sql.SparkSession.active
@@ -116,7 +162,9 @@ object Multimodal {
     * walking (mvhd timescale/duration, first video trak's tkhd
     * dimensions), and the Matroska/WebM EBML header (DocType). Container
     * structure needs no codec library, so all of this runs for real at any
-    * scale; only pixel/sample DECODE stays behind [[decodeStub]]'s seam.
+    * scale; pixel/sample decode is real too for PNG/BMP/PCM-WAV
+    * ([[Codecs]]) — only codec-library formats (JPEG, compressed A/V)
+    * stay behind [[decodeStub]]'s seam.
     */
   def mediaMeta(blob: Column): Column = {
     val spark = org.apache.spark.sql.SparkSession.active

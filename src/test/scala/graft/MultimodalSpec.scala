@@ -188,6 +188,153 @@ class MultimodalSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, "wav"), (2L, "mp4"), (3L, "matroska")))
   }
 
+  test("Codecs: PNG round-trips exact pixels through zlib + all five scanline filters") {
+    import graft.multimodal.Codecs
+    // 4x5 RGB image; rows filtered with types 0..4 by OUR forward filter,
+    // so the decoder's un-filtering of every type is verified against the
+    // original raw pixels
+    val w = 4; val h = 5; val bpp = 3
+    val raw = Array.tabulate(h, w * bpp)((y, x) => ((y * 31 + x * 7) % 256).toByte)
+    def forwardFilter(y: Int, ftype: Int): Array[Byte] = {
+      val row = raw(y); val prev = if (y > 0) raw(y - 1) else new Array[Byte](w * bpp)
+      Array.tabulate(w * bpp) { x =>
+        val cur = row(x) & 0xFF
+        val left = if (x >= bpp) row(x - bpp) & 0xFF else 0
+        val up = prev(x) & 0xFF
+        val ul = if (x >= bpp) prev(x - bpp) & 0xFF else 0
+        val pred = ftype match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+        }
+        ((cur - pred) & 0xFF).toByte
+      }
+    }
+    val scanlines = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until h) {
+      scanlines.write(y % 5) // filter type cycles 0..4
+      scanlines.write(forwardFilter(y, y % 5))
+    }
+    val deflated = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(scanlines.toByteArray); d.finish()
+      val buf = new Array[Byte](4096)
+      val out = new java.io.ByteArrayOutputStream()
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(12 + data.length)
+      b.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      b.putInt(crc.getValue.toInt)
+      b.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte) // depth 8, RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val png = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", deflated) ++ chunk("IEND", Array.empty)
+    val img = Codecs.decodePng(png).getOrElse(fail("png did not decode"))
+    assert((img.width, img.height, img.channels) == (w, h, bpp))
+    assert(img.pixels.toSeq == raw.flatten.toSeq, "decoded pixels differ from source")
+    // garbage and truncation return cleanly, never hang or throw
+    assert(Codecs.decodePng(Array[Byte](1, 2, 3)).isEmpty)
+    Codecs.decodePng(png.dropRight(7)): Unit
+  }
+
+  test("Codecs: BMP (bottom-up, padded rows) and WAV PCM round-trip exactly") {
+    import graft.multimodal.Codecs
+    // 3x2 24-bit BMP: rows are stored bottom-up and pad 9 -> 12 bytes
+    val pix = Array( // (r,g,b) by (y,x), top-down
+      Array((255, 0, 0), (0, 255, 0), (0, 0, 255)),
+      Array((10, 20, 30), (40, 50, 60), (70, 80, 90)))
+    val rowBytes = 12
+    val hdr = java.nio.ByteBuffer.allocate(54).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hdr.put('B'.toByte).put('M'.toByte).putInt(54 + rowBytes * 2)
+      .putInt(0).putInt(54)                       // reserved, data offset
+      .putInt(40).putInt(3).putInt(2)             // header size, w, h (bottom-up)
+      .putShort(1).putShort(24).putInt(0).putInt(rowBytes * 2)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    val body = new java.io.ByteArrayOutputStream()
+    for (y <- Seq(1, 0)) {                        // bottom row first, BGR + 3 pad
+      for (x <- 0 until 3) {
+        val (r, g, b) = pix(y)(x)
+        body.write(b); body.write(g); body.write(r)
+      }
+      body.write(0); body.write(0); body.write(0)
+    }
+    val bmpBytes = hdr.array() ++ body.toByteArray
+    val img = Codecs.decodeBmp(bmpBytes).getOrElse(fail("bmp did not decode"))
+    assert((img.width, img.height, img.channels) == (3, 2, 3))
+    val got = for (y <- 0 until 2; x <- 0 until 3) yield (
+      img.pixels((y * 3 + x) * 3) & 0xFF,
+      img.pixels((y * 3 + x) * 3 + 1) & 0xFF,
+      img.pixels((y * 3 + x) * 3 + 2) & 0xFF)
+    assert(got.toSeq == pix.flatten.toSeq, "BMP pixels (RGB, top-down) differ")
+
+    // WAV: known 16-bit samples round-trip with rate/channels
+    val samples = Array[Short](0, 1000, -1000, 32767, -32768, 12345)
+    val wav = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    wav.put("RIFF".getBytes).putInt(36 + samples.length * 2).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(16).putShort(1).putShort(2)
+      .putInt(16000).putInt(16000 * 2 * 2).putShort(4).putShort(16)
+      .put("data".getBytes).putInt(samples.length * 2)
+    samples.foreach(s => wav.putShort(s))
+    val pcm = Codecs.decodeWav(wav.array()).getOrElse(fail("wav did not decode"))
+    assert((pcm.sampleRate, pcm.channels) == (16000, 2))
+    assert(pcm.samples.toSeq == samples.toSeq)
+  }
+
+  test("extractFeatures uses REAL pixels for decodable formats, stub for the rest") {
+    import spark.implicits._
+    import graft.multimodal.Codecs
+    // an all-black 8x8 PNG: every luminance lands in bin 0 — the byte
+    // histogram of the COMPRESSED stream could never look like this
+    val w = 8; val h = 8
+    val scan = new java.io.ByteArrayOutputStream()
+    for (_ <- 0 until h) { scan.write(0); scan.write(new Array[Byte](w * 3)) }
+    val deflated = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(scan.toByteArray); d.finish()
+      val buf = new Array[Byte](4096)
+      val out = new java.io.ByteArrayOutputStream()
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(12 + data.length)
+      b.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      b.putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val png = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", deflated) ++ chunk("IEND", Array.empty)
+    assert(Codecs.decodePng(png).isDefined)
+    val rows = Seq(
+      (1L, "image", png, ("png", w, h, 0L)),
+      (2L, "image", "plain text blob".getBytes, ("fake", 1, 1, 0L)))
+      .toDF("media_id", "modality", "blob", "meta")
+    val feats = Multimodal.extractFeatures(rows).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](r.fieldIndex("features"))).toMap
+    assert(feats(1L).head == 1.0f,
+      s"black PNG must put ALL luminance mass in bin 0, got ${feats(1L)}")
+    // the text blob still rides the stub byte histogram
+    val stub = graft.multimodal.Multimodal.decodeStub("plain text blob".getBytes)
+    assert(feats(2L).toSeq == stub.toSeq)
+  }
+
   test("mediaMeta still classifies image formats (shared header path)") {
     import spark.implicits._
     val png = {
