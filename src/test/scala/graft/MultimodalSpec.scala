@@ -335,6 +335,33 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(2L).toSeq == stub.toSeq)
   }
 
+  test("JPEG and GIF decode for real through the JDK's bundled ImageIO readers") {
+    import graft.multimodal.Multimodal
+    // flat mid-gray 16x16 image -> every luminance lands near bin 8; the
+    // byte histogram of a COMPRESSED stream could never concentrate there
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, 0x808080)
+    def encode(fmt: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out), s"JDK cannot encode $fmt")
+      out.toByteArray
+    }
+    for (fmt <- Seq("jpg", "gif")) {
+      val blob = encode(fmt)
+      val feats = Multimodal.decodeFeatures(blob)
+      // lossy codecs may wobble +-1 bin around 128>>4 = 8
+      val mass = feats(7) + feats(8) + feats(9)
+      assert(mass > 0.99f,
+        s"$fmt: decoded luminance mass around bin 8 was $mass (${feats.toSeq})")
+      assert(Multimodal.decodeStub(blob).toSeq != feats.toSeq,
+        s"$fmt: features must come from pixels, not compressed bytes")
+    }
+    // truncated JPEG: falls back to the stub, never throws
+    val cut = encode("jpg").take(20)
+    assert(Multimodal.decodeFeatures(cut).toSeq == Multimodal.decodeStub(cut).toSeq)
+  }
+
   test("mediaMeta still classifies image formats (shared header path)") {
     import spark.implicits._
     val png = {
