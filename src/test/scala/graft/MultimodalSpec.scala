@@ -335,6 +335,35 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(2L).toSeq == stub.toSeq)
   }
 
+  test("Codecs PNG/BMP agree pixel-exact with the JDK's independent ImageIO decoders") {
+    import graft.multimodal.Codecs
+    // random images encoded by ImageIO (whose PNG encoder picks its own
+    // scanline filters) must decode bit-identically through the hand-
+    // rolled decoders — two independent implementations cross-checked
+    val rnd = new scala.util.Random(42)
+    for ((w, h) <- Seq((1, 1), (7, 3), (32, 17))) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rnd.nextInt() & 0xFFFFFF)
+      for (fmt <- Seq("png", "bmp")) {
+        val out = new java.io.ByteArrayOutputStream()
+        assert(javax.imageio.ImageIO.write(img, fmt, out), s"JDK cannot encode $fmt")
+        val dec = (if (fmt == "png") Codecs.decodePng(out.toByteArray)
+          else Codecs.decodeBmp(out.toByteArray))
+          .getOrElse(fail(s"$fmt ${w}x$h did not decode"))
+        assert((dec.width, dec.height) == (w, h), s"$fmt dims")
+        for (y <- 0 until h; x <- 0 until w) {
+          val exp = img.getRGB(x, y)
+          val d = (y * w + x) * dec.channels
+          val got = ((dec.pixels(d) & 0xFF) << 16) |
+            ((dec.pixels(d + 1) & 0xFF) << 8) | (dec.pixels(d + 2) & 0xFF)
+          assert(got == (exp & 0xFFFFFF),
+            f"$fmt ($x,$y): got $got%06x want ${exp & 0xFFFFFF}%06x")
+        }
+      }
+    }
+  }
+
   test("JPEG and GIF decode for real through the JDK's bundled ImageIO readers") {
     import graft.multimodal.Multimodal
     // flat mid-gray 16x16 image -> every luminance lands near bin 8; the
