@@ -219,6 +219,26 @@ object ExtendedPack {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // Range join (graft.operators.RangeJoin): per purchase, the user's
+    // view events inside the following hour — a binned EQUI-join +
+    // residual filter, the scalable rewrite of a theta join that would
+    // otherwise nested-loop.
+    "q79_range_join" -> { (s, dir) =>
+      val e = Tables(s, dir).events
+      val points = e.filter(col("event_type") === "view")
+        .select(col("user_id"),
+          col("ts").cast("timestamp").cast(LongType).as("p"))
+      val iv = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").cast("timestamp").cast(LongType).as("lo"))
+        .withColumn("hi", col("lo") + lit(3600L))
+      graft.operators.RangeJoin.pointInInterval(points, iv,
+          Seq("user_id"), "p", "lo", "hi", binWidth = 3600L)
+        .groupBy("purchase_id")
+        .agg(count(lit(1)).as("n_views"))
+        .orderBy("purchase_id")
+    },
+
     // CH argMax/argMin ≙ Spark max_by/min_by (events have no (user, ts)
     // ties at the driver SFs, so the picked rows are well-defined).
     "q78_argmax" -> { (s, dir) =>
@@ -386,6 +406,20 @@ object ExtendedPack {
       """SELECT user_id, ARG_MAX(event_type, ts) AS last_event, MAX(ts) AS last_ts,
         | ARG_MIN(event_type, ts) AS first_event, COUNT(*) AS n
         |FROM events WHERE user_id <= 500
-        |GROUP BY user_id ORDER BY user_id""".stripMargin
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // the Spark side compares TRUNCATED-second longs, so the oracle
+    // truncates the same way (epoch_us // 1_000_000) before comparing
+    "q79_range_join" ->
+      """WITH v AS (
+        |  SELECT user_id, epoch_us(ts) // 1000000 AS p
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) // 1000000 AS lo
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT purchase_id, COUNT(*) AS n_views
+        |FROM p JOIN v USING (user_id)
+        |WHERE v.p >= p.lo AND v.p < p.lo + 3600
+        |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin
   )
 }

@@ -160,7 +160,8 @@ class PlanSpec extends SparkSpec {
     "q67_knn_pq" -> 2, "q68_uniq_up_to" -> 3, "q69_topk_weighted" -> 2,
     "q70_sum_map" -> 2, "q71_ch_scalars" -> 1, "q72_ch_arrays" -> 1,
     "q73_window_funnel" -> 3, "q74_ddl_replay" -> 2, "q75_full_outer" -> 3,
-    "q76_cube" -> 2, "q77_window_frames" -> 2, "q78_argmax" -> 2)
+    "q76_cube" -> 2, "q77_window_frames" -> 2, "q78_argmax" -> 2,
+    "q79_range_join" -> 2)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)
