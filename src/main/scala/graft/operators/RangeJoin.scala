@@ -18,6 +18,25 @@ import org.apache.spark.sql.types.LongType
   */
 object RangeJoin {
 
+  /** Hard ceiling on bins per interval: an interval spanning millions of
+    * bins (corrupt bound, wrong unit, wrong binWidth) would explode the
+    * build side into OOM territory — fail the TASK with a clear message
+    * instead. Raise binWidth (or split pathological intervals upstream)
+    * when this trips.
+    */
+  val MaxBinsPerInterval = 100000L
+
+  private def bins(lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column,
+      binWidth: Long) = {
+    val first = floor(lo / binWidth).cast(LongType)
+    val last = floor((hi - 1) / binWidth).cast(LongType)
+    explode(sequence(first,
+      when(last - first < MaxBinsPerInterval, last)
+        .otherwise(raise_error(concat(lit(
+          s"range join: interval spans more than $MaxBinsPerInterval bins of $binWidth ("),
+          lo, lit(".."), hi, lit(") — raise binWidth"))))))
+  }
+
   /** Point-in-interval: rows of `points` matched to every `intervals` row
     * with the same `keys` and `lo <= point < hi`. Each interval explodes
     * to the bins it covers; a point lives in exactly ONE bin, so each
@@ -35,9 +54,7 @@ object RangeJoin {
     require(binWidth > 0, "binWidth must be positive")
     val binned = intervals
       .filter(col(hiCol) > col(loCol))
-      .withColumn("__bin", explode(sequence(
-        floor(col(loCol) / binWidth).cast(LongType),
-        floor((col(hiCol) - 1) / binWidth).cast(LongType))))
+      .withColumn("__bin", bins(col(loCol), col(hiCol), binWidth))
     points
       .withColumn("__bin", floor(col(pointCol) / binWidth).cast(LongType))
       .join(binned, keys :+ "__bin")
@@ -63,9 +80,7 @@ object RangeJoin {
     require(binWidth > 0, "binWidth must be positive")
     def binned(df: DataFrame, lo: String, hi: String): DataFrame = df
       .filter(col(hi) > col(lo))
-      .withColumn("__bin", explode(sequence(
-        floor(col(lo) / binWidth).cast(LongType),
-        floor((col(hi) - 1) / binWidth).cast(LongType))))
+      .withColumn("__bin", bins(col(lo), col(hi), binWidth))
     binned(left, leftLo, leftHi)
       .join(binned(right, rightLo, rightHi), keys :+ "__bin")
       .filter(col(leftLo) < col(rightHi) && col(rightLo) < col(leftHi))

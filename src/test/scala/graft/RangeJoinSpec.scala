@@ -74,6 +74,18 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("pathological interval spans fail fast instead of exploding the build side") {
+    import spark.implicits._
+    val points = Seq((1L, "k", 5L)).toDF("pid", "key", "p")
+    val bad = Seq((1L, "k", 0L, Long.MaxValue / 2)).toDF("iid", "key", "lo", "hi")
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(points, bad, Seq("key"), "p", "lo", "hi", 1L).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("raise binWidth")), s"unexpected error: $e")
+  }
+
   test("plan: the bin rewrite is an equi-join — no nested loop, no cartesian") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     val (points, intervals) = fixtures
