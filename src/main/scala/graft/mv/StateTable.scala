@@ -85,6 +85,11 @@ final class StateTable(
     * their own foreachBatch id sequence starting at 0, so an un-namespaced
     * ledger would drop the second writer's batch 0 as a "replay" of the
     * first's. No '-' allowed (the recovery parser splits on it).
+    * MIGRATION NOTE: tables written before namespacing hold bare-id
+    * markers; those dedup only writers using the same empty namespace —
+    * a resumed stream whose MV now passes its name will re-ingest ids the
+    * old ledger committed. Re-create the checkpoint (or the table) when
+    * upgrading a live multi-writer pipeline.
     */
   private def batchTok(batchId: Long, ns: String): String = {
     val clean = ns.replaceAll("[^A-Za-z0-9_.]", "_")
