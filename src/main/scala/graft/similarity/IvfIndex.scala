@@ -46,6 +46,70 @@ private[similarity] object IndexMaint {
     require(f.rename(new Path(freshPath), live), s"swap: cannot move $freshPath into $live")
     f.delete(old, true): Unit
   }
+
+  /** Exactly-once append of a partitioned batch into `dataPath` — the
+    * [[graft.mv.StateTable.appendExactlyOnce]] protocol for the vector
+    * indexes: stage the batch, MOVE its files in under `batch-<id>-`
+    * names, then create the `_ledger/batch-<id>` marker (the commit
+    * point). Replays of a committed id return false and touch nothing;
+    * a crash before the marker leaves batch-tagged orphans that
+    * [[recoverInFlight]] removes on the next open. Underscore paths are
+    * invisible to Spark's listing, so staging/ledger never pollute reads.
+    */
+  def appendExactlyOnce(spark: SparkSession, dataPath: String, partitionCol: String,
+      rows: DataFrame, batchId: Long): Boolean = {
+    val root = new Path(dataPath)
+    val f = fs(spark, root)
+    val marker = new Path(dataPath, s"_ledger/batch-$batchId")
+    if (f.exists(marker)) return false
+    cleanBatch(f, root, batchId)
+    val staging = new Path(dataPath, s"_staging/$batchId")
+    rows.write.mode("overwrite").partitionBy(partitionCol).parquet(staging.toString)
+    for (part <- f.listStatus(staging).toSeq
+         if part.isDirectory && part.getPath.getName.contains("=")) {
+      val target = new Path(root, part.getPath.getName)
+      f.mkdirs(target)
+      for (file <- f.listStatus(part.getPath).toSeq
+           if !file.getPath.getName.startsWith("_") && !file.getPath.getName.startsWith(".")) {
+        if (!f.rename(file.getPath, new Path(target, s"batch-$batchId-${file.getPath.getName}")))
+          sys.error(s"exactly-once append: failed to move ${file.getPath} into $target")
+      }
+    }
+    f.delete(staging, true)
+    f.mkdirs(marker.getParent)
+    f.create(marker, true).close()
+    true
+  }
+
+  private def cleanBatch(f: org.apache.hadoop.fs.FileSystem, root: Path, batchId: Long): Unit = {
+    f.delete(new Path(root, s"_staging/$batchId"), true)
+    if (f.exists(root))
+      for (part <- f.listStatus(root).toSeq if part.isDirectory && part.getPath.getName.contains("=");
+           file <- f.listStatus(part.getPath).toSeq
+           if file.getPath.getName.startsWith(s"batch-$batchId-"))
+        f.delete(file.getPath, false)
+  }
+
+  /** Open-time recovery: remove traces of batch ids whose marker is
+    * missing (in-flight at crash time), so the stream's retry re-ingests
+    * from scratch.
+    */
+  def recoverInFlight(spark: SparkSession, dataPath: String): Unit = {
+    val root = new Path(dataPath)
+    val f = fs(spark, root)
+    if (!f.exists(root)) return
+    val stagingIds = {
+      val st = new Path(dataPath, "_staging")
+      if (f.exists(st)) f.listStatus(st).toSeq.map(_.getPath.getName) else Nil
+    }
+    val movedIds = for {
+      part <- f.listStatus(root).toSeq if part.isDirectory && part.getPath.getName.contains("=")
+      file <- f.listStatus(part.getPath).toSeq if file.getPath.getName.startsWith("batch-")
+    } yield file.getPath.getName.drop("batch-".length).takeWhile(_ != '-')
+    for (id <- (stagingIds ++ movedIds).distinct; n <- scala.util.Try(id.toLong).toOption
+         if !f.exists(new Path(dataPath, s"_ledger/batch-$n")))
+      cleanBatch(f, root, n)
+  }
 }
 
 /** Persisted, incrementally-growable IVF index — the vector twin of
@@ -75,6 +139,9 @@ final class IvfIndex(
 
   private val centsPath = s"$path/centroids"
   private val dataPath = s"$path/data"
+
+  // crash recovery for exactly-once appends: purge in-flight batch traces
+  IndexMaint.recoverInFlight(spark, dataPath)
 
   /** Train centroids on `corpus` (seeded pick + distributed Lloyd) and
     * write the full initial index. Overwrites any existing index at
@@ -156,6 +223,15 @@ final class IvfIndex(
   def append(batch: DataFrame): Unit =
     Ann.ivfIndex(batch, idCol, vecCol, centroids)
       .write.mode("append").partitionBy("list_id").parquet(dataPath)
+
+  /** Exactly-once [[append]] keyed by a stream's batchId: a foreachBatch
+    * retry of a committed id is a no-op, and a crash mid-append heals on
+    * the next open — the [[graft.mv.StateTable]] ledger protocol applied
+    * to the inverted lists. Returns false on a deduplicated replay.
+    */
+  def appendExactlyOnce(batch: DataFrame, batchId: Long): Boolean =
+    IndexMaint.appendExactlyOnce(spark, dataPath, "list_id",
+      Ann.ivfIndex(batch, idCol, vecCol, centroids), batchId)
 
   /** The persisted inverted lists (list_id is the partition column). */
   def index: DataFrame = spark.read.parquet(dataPath)

@@ -33,6 +33,9 @@ final class PqIndex(
   private val cbPath = s"$path/codebook"
   private val dataPath = s"$path/data"
 
+  // crash recovery for exactly-once appends: purge in-flight batch traces
+  IndexMaint.recoverInFlight(spark, dataPath)
+
   /** Train the coarse quantizer and PQ codebook on `corpus`, encode it,
     * and write the full initial index (overwrites `path`).
     */
@@ -109,18 +112,27 @@ final class PqIndex(
     Pq.Codebook(m, ksub, dim, Array.tabulate(m, ksub)((mi, c) => rows((mi, c))))
   }
 
-  private def writeBatch(batch: DataFrame, cents: Array[(Int, Array[Float])],
-      cb: Pq.Codebook, overwrite: Boolean): Unit = {
-    val rows = Pq.encode(batch, idCol, vecCol, cb)
+  private def batchRows(batch: DataFrame, cents: Array[(Int, Array[Float])],
+      cb: Pq.Codebook): DataFrame =
+    Pq.encode(batch, idCol, vecCol, cb)
       .join(Ann.ivfIndex(batch, idCol, vecCol, cents)
         .select(col("neighbor_id"), col("list_id")), Seq("neighbor_id"))
-    rows.write.mode(if (overwrite) "overwrite" else "append")
+
+  private def writeBatch(batch: DataFrame, cents: Array[(Int, Array[Float])],
+      cb: Pq.Codebook, overwrite: Boolean): Unit =
+    batchRows(batch, cents, cb).write.mode(if (overwrite) "overwrite" else "append")
       .partitionBy("list_id").parquet(dataPath)
-  }
 
   /** Encode a new batch against the frozen quantizers and append it. */
   def append(batch: DataFrame): Unit =
     writeBatch(batch, centroids, codebook, overwrite = false)
+
+  /** Exactly-once [[append]] keyed by a stream's batchId — see
+    * [[IvfIndex.appendExactlyOnce]]; returns false on a replay.
+    */
+  def appendExactlyOnce(batch: DataFrame, batchId: Long): Boolean =
+    IndexMaint.appendExactlyOnce(spark, dataPath, "list_id",
+      batchRows(batch, centroids, codebook), batchId)
 
   /** The persisted code table (list_id is the partition column). */
   def index: DataFrame = spark.read.parquet(dataPath)

@@ -49,6 +49,33 @@ class IvfIndexSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("exactly-once append: replays are no-ops, crash orphans purge on reopen") {
+    val path = tmp()
+    val ix = new IvfIndex(spark, path)
+    ix.build(emb.filter(col("vec_id") < 200).select("vec_id", "embedding"), nlist = 4)
+    val batch = emb.filter(col("vec_id").between(200, 299)).select("vec_id", "embedding")
+    assert(ix.appendExactlyOnce(batch, 1L), "first delivery must ingest")
+    val n = ix.index.count()
+    assert(n == 300)
+    assert(!ix.appendExactlyOnce(batch, 1L), "replayed id must dedup")
+    assert(ix.index.count() == n, "replay must not append")
+    assert(ix.appendExactlyOnce(
+      emb.filter(col("vec_id").between(300, 349)).select("vec_id", "embedding"), 2L))
+    assert(ix.index.count() == n + 50)
+    // simulate a crash mid-append: batch-tagged orphan without its marker
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/data")).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("=")).head.getPath
+    val orphanSrc = fs.listStatus(part).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    val orphan = new org.apache.hadoop.fs.Path(part, s"batch-9-${orphanSrc.getName}")
+    org.apache.hadoop.fs.FileUtil.copy(fs, orphanSrc, fs, orphan, false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(new IvfIndex(spark, path).index.count() == n + 50,
+      "reopen must purge the uncommitted batch's orphans")
+  }
+
   test("drift metric flags distribution shift; rebuild-and-swap restores fit") {
     val base = emb.select("vec_id", "embedding")
     val ix = new IvfIndex(spark, tmp())

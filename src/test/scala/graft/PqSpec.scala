@@ -233,6 +233,13 @@ class PqSpec extends SparkSpec {
     ix.rebuildAndSwap(combined, nlist = 8, m = 8, ksub = 16)
     assert(ix.index.count() == combined.count(), "swap lost rows")
     assert(ix.drift(shifted) < driftShift, "rebuild did not reduce recon error")
+    // exactly-once appends mirror IvfIndex's ledger protocol
+    val extra = clustered.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 200000).as("vec_id"), col("embedding"))
+    val preAppend = ix.index.count()
+    assert(ix.appendExactlyOnce(extra, 7L), "first delivery must ingest")
+    assert(!ix.appendExactlyOnce(extra, 7L), "replayed id must dedup")
+    assert(ix.index.count() == preAppend + 10)
     // post-swap search answers with the probe's cluster-mates on top
     // (self-matches are excluded by design)
     val probes = clustered.filter(col("vec_id") === 7)
