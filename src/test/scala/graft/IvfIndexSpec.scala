@@ -76,6 +76,34 @@ class IvfIndexSpec extends SparkSpec {
       "reopen must purge the uncommitted batch's orphans")
   }
 
+  test("streaming ingest: foreachBatch micro-batches append exactly once") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val ix = new IvfIndex(spark, tmp())
+    ix.build(emb.filter(col("vec_id") < 100).select("vec_id", "embedding"), nlist = 4)
+    val rows = emb.filter(col("vec_id").between(100, 199))
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        ix.appendExactlyOnce(batch, id): Unit
+      }
+      .start()
+    try {
+      input.addData(rows.take(50).toSeq)
+      q.processAllAvailable()
+      input.addData(rows.drop(50).toSeq)
+      q.processAllAvailable()
+      assert(ix.index.count() == 200, "both micro-batches must land")
+      // a redelivery of a committed id (restart-without-progress) dedups
+      assert(!ix.appendExactlyOnce(
+        rows.take(50).toSeq.toDF("vec_id", "embedding"), 0L))
+      assert(ix.index.count() == 200)
+    } finally q.stop()
+  }
+
   test("drift metric flags distribution shift; rebuild-and-swap restores fit") {
     val base = emb.select("vec_id", "embedding")
     val ix = new IvfIndex(spark, tmp())
