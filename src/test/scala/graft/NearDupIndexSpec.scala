@@ -91,6 +91,29 @@ class NearDupIndexSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("property: survivors of any batched ingest are pairwise below threshold") {
+    // 300 synthetic docs in planted near-dup groups of 4, ingested in 3
+    // arbitrary batches. For any two survivors x < y: when y arrived, x
+    // was already indexed (cross-batch) or a same-batch survivor — either
+    // way y would have been dropped if est_jaccard(x, y) >= t. So the
+    // final survivor set must contain NO pair at or above the threshold.
+    val ix = new NearDupIndex(spark, tmp(), numHashes = 32, bands = 16)
+    val docs = BenchScale.docs(spark, 300)
+    val survivors = (0 until 3).flatMap { b =>
+      ix.dedupAndAppend(docs.filter(col("doc_id") % 3 === b), "text", "doc_id", 0.5)
+        .select("doc_id").collect().map(_.getLong(0))
+    }.toSet
+    assert(survivors.nonEmpty && survivors.size < 300,
+      s"fixture should drop near-dups: kept ${survivors.size}")
+    val survDocs = docs.filter(col("doc_id").isin(survivors.toSeq: _*))
+    val pairs = Dedup.minhashNearDups(survDocs, "text", "doc_id", 32, 16, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.isEmpty,
+      s"surviving near-dup pairs: ${pairs.take(5).toSeq} (of ${pairs.length})")
+    // and a full replay of everything dedups to nothing
+    assert(ix.dedupAndAppend(docs, "text", "doc_id", 0.5).count() == 0)
+  }
+
   test("plan: history sides of probe joins never exchange (O(batch) ingest)") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
