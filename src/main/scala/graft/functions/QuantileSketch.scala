@@ -61,17 +61,28 @@ object QuantileSketch {
     new QuantileSummaries(threshold, eps, sampled, count, true)
   }
 
+  /** SQL literals arrive as whatever the parser typed them (Int, Decimal,
+    * Double…) — normalize to Double instead of blind-casting, matching the
+    * ChCompat quantileTDigest* handling.
+    */
+  private def evalDouble(e: Expression, what: String): Double = e.eval() match {
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case n: java.lang.Number => n.doubleValue()
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got: $other")
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("quantile_sketch_agg",
       exprs => QuantileSketchAggregate(exprs.head,
-        if (exprs.length > 1) exprs(1).eval().asInstanceOf[Double] else 0.01),
+        if (exprs.length > 1) evalDouble(exprs(1), "quantile_sketch_agg eps") else 0.01),
       "built-in")
     reg.createOrReplaceTempFunction("quantile_sketch_merge_agg",
       exprs => QuantileSketchMergeAggregate(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("quantile_sketch_value",
       exprs => QuantileSketchValueExpr(exprs.head,
-        exprs(1).eval().asInstanceOf[Double]), "built-in")
+        evalDouble(exprs(1), "quantile_sketch_value q")), "built-in")
   }
 
   /** quantileTDigestState-role: aggregate doubles into a bounded sketch. */

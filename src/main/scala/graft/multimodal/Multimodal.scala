@@ -94,8 +94,22 @@ object Multimodal {
     if (!isJpeg && !isGif) return None
     try {
       javax.imageio.ImageIO.setUseCache(false) // no temp-file spills on executors
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
-      if (img == null || img.getWidth.toLong * img.getHeight > 64L * 1024 * 1024) None
+      // Reject oversized images from the HEADER, before any pixel allocation:
+      // a corrupt/adversarial header declaring huge dimensions must not make
+      // ImageIO.read allocate width*height pixels (Codecs.decodePng/decodeBmp
+      // apply the same bound pre-allocation).
+      val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(blob))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); return None }
+      val reader = readers.next()
+      val img =
+        try {
+          reader.setInput(iis, true, true)
+          val (w0, h0) = (reader.getWidth(0), reader.getHeight(0))
+          if (w0 <= 0 || h0 <= 0 || w0.toLong * h0 > 64L * 1024 * 1024) null
+          else reader.read(0)
+        } finally { reader.dispose(); iis.close() }
+      if (img == null) None
       else {
         val w = img.getWidth
         val h = img.getHeight
@@ -116,7 +130,11 @@ object Multimodal {
         }
         Some(bins.map(_ / math.max(1, w * h).toFloat))
       }
-    } catch { case _: Throwable => None } // corrupt blobs are data
+    } catch {
+      // Corrupt blobs are data, but OOM/VM errors must propagate — an
+      // executor that swallowed an OutOfMemoryError is in an undefined state.
+      case scala.util.control.NonFatal(_) => None
+    }
   }
 
   /** Feature dispatch: real pixels/samples wherever the JVM can decode —

@@ -93,7 +93,15 @@ final class StateTable(
     */
   private def batchTok(batchId: Long, ns: String): String = {
     val clean = ns.replaceAll("[^A-Za-z0-9_.]", "_")
-    if (clean.isEmpty) s"$batchId" else s"$clean.$batchId"
+    // Sanitizing can collapse distinct raw names ("mv-1" vs "mv_1") into one
+    // token; a shared token would silently drop the second writer's batches
+    // as replays. Disambiguate with a short hash of the RAW name whenever the
+    // sanitizer changed anything (unchanged names keep their old tokens, so
+    // existing ledgers stay valid).
+    val tag =
+      if (clean == ns) clean
+      else f"$clean.h${scala.util.hashing.MurmurHash3.stringHash(ns) & 0xFFFFFFFFL}%08x"
+    if (tag.isEmpty) s"$batchId" else s"$tag.$batchId"
   }
 
   def appendExactlyOnce(states: DataFrame, batchId: Long, ns: String = ""): Boolean = {

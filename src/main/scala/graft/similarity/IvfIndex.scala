@@ -47,6 +47,20 @@ private[similarity] object IndexMaint {
     f.delete(old, true): Unit
   }
 
+  /** Open-time recovery for a crash inside [[swapIn]]: between
+    * rename(live, old) and rename(fresh, live) there is no live tree —
+    * if an open finds exactly that state, restore the `-old` tree so the
+    * index serves its pre-swap content (the [[graft.mv.StateTable]]
+    * recoverFromCompact posture applied to the index swap).
+    */
+  def recoverSwap(spark: SparkSession, livePath: String): Unit = {
+    val live = new Path(livePath)
+    val f = fs(spark, live)
+    val old = new Path(livePath + "-old")
+    if (!f.exists(live) && f.exists(old))
+      require(f.rename(old, live), s"swap recovery: cannot restore $old into $live")
+  }
+
   /** Exactly-once append of a partitioned batch into `dataPath` — the
     * [[graft.mv.StateTable.appendExactlyOnce]] protocol for the vector
     * indexes: stage the batch, MOVE its files in under `batch-<id>-`
@@ -140,7 +154,10 @@ final class IvfIndex(
   private val centsPath = s"$path/centroids"
   private val dataPath = s"$path/data"
 
-  // crash recovery for exactly-once appends: purge in-flight batch traces
+  // crash recovery: first heal a half-finished rebuild swap (restore the
+  // '-old' tree if the live path vanished mid-swap), then purge in-flight
+  // exactly-once batch traces
+  IndexMaint.recoverSwap(spark, path)
   IndexMaint.recoverInFlight(spark, dataPath)
 
   /** Train centroids on `corpus` (seeded pick + distributed Lloyd) and

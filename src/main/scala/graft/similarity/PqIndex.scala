@@ -33,7 +33,9 @@ final class PqIndex(
   private val cbPath = s"$path/codebook"
   private val dataPath = s"$path/data"
 
-  // crash recovery for exactly-once appends: purge in-flight batch traces
+  // crash recovery: heal a half-finished rebuild swap, then purge
+  // in-flight exactly-once batch traces
+  IndexMaint.recoverSwap(spark, path)
   IndexMaint.recoverInFlight(spark, dataPath)
 
   /** Train the coarse quantizer and PQ codebook on `corpus`, encode it,

@@ -145,4 +145,22 @@ class IvfIndexSpec extends SparkSpec {
     ix.rebuildFromStoredAndSwap(nlist = 8)
     assert(ix.index.count() == combined.count())
   }
+
+  test("crash mid-swap: the '-old' tree is restored on the next open") {
+    import org.apache.hadoop.fs.Path
+    val path = tmp()
+    val ix = new IvfIndex(spark, path)
+    val base = emb.filter(col("vec_id") < 300).select("vec_id", "embedding")
+    ix.build(base, nlist = 4)
+    val before = ix.index.count()
+    // simulate swapIn dying between rename(live, old) and rename(fresh, live):
+    // the live tree is gone, only the '-old' tree exists
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.rename(new Path(path), new Path(path + "-old")))
+    // a fresh open restores the pre-swap tree and serves reads
+    val reopened = new IvfIndex(spark, path)
+    assert(reopened.index.count() == before, "recovered index must serve pre-swap content")
+    assert(!fs.exists(new Path(path + "-old")), "recovery must consume the -old tree")
+    assert(reopened.centroids.length == 4)
+  }
 }

@@ -391,6 +391,27 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeFeatures(cut).toSeq == Multimodal.decodeStub(cut).toSeq)
   }
 
+  test("adversarial JPEG header declaring huge dimensions is rejected pre-decode") {
+    import graft.multimodal.Multimodal
+    // a REAL jpeg whose SOF0 dimension fields are patched to 65535x65535
+    // (4.3 gigapixels): the header-first guard must reject it from the
+    // declared size, without ImageIO.read allocating the pixel raster
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", out))
+    val blob = out.toByteArray
+    // find the SOF0 marker (FF C0); height/width are at offsets +5..+8
+    val sof = blob.indices.dropRight(1)
+      .find(i => (blob(i) & 0xFF) == 0xFF && (blob(i + 1) & 0xFF) == 0xC0)
+      .getOrElse(fail("no SOF0 marker in encoded jpeg"))
+    for (off <- 5 to 8) blob(sof + off) = 0xFF.toByte
+    assert(Multimodal.imageIoFeatures(blob).isEmpty,
+      "65535x65535 declared dimensions must be rejected from the header")
+    // and the public path degrades to the stub rather than throwing
+    assert(Multimodal.decodeFeatures(blob).toSeq == Multimodal.decodeStub(blob).toSeq)
+  }
+
   test("mediaMeta still classifies image formats (shared header path)") {
     import spark.implicits._
     val png = {

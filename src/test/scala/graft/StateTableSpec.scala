@@ -300,6 +300,43 @@ class StateTableSpec extends SparkSpec {
     assert(st2.appendBatchExactlyOnce(batch2, 7L))
   }
 
+  test("exactly-once namespaces: names colliding after sanitization stay distinct") {
+    // "mv-1" and "mv_1" both sanitize to "mv_1"; without disambiguation the
+    // second writer's batch 0 would be silently dropped as a replay
+    val dir = tmpDir("st-eo-ns") + "/t"
+    val st = newTable(dir)
+    assert(st.appendBatchExactlyOnce(batch1, 0L, ns = "mv-1"))
+    assert(st.appendBatchExactlyOnce(batch2, 0L, ns = "mv_1"),
+      "distinct raw namespaces must not share a ledger token")
+    // each namespace's own replay still dedups
+    assert(!st.appendBatchExactlyOnce(batch1, 0L, ns = "mv-1"))
+    assert(!st.appendBatchExactlyOnce(batch2, 0L, ns = "mv_1"))
+    // both writers' rows are present
+    val plainDir = tmpDir("st-eo-ns-plain") + "/t"
+    val plain = newTable(plainDir)
+    plain.appendBatch(batch1); plain.appendBatch(batch2)
+    assert(st.finalized(Seq("day", "etype")).collect().toSet ==
+      plain.finalized(Seq("day", "etype")).collect().toSet)
+    // unchanged (already-clean) names keep their old tokens: a pre-existing
+    // bare ledger written with ns="mv_1" is still honored by the same name
+    assert(!newTable(dir).appendBatchExactlyOnce(batch2, 0L, ns = "mv_1"))
+  }
+
+  test("quantile_sketch SQL: integer and decimal literals for eps/q are accepted") {
+    newTable(tmpDir("st-qs") + "/t") // constructor registers the SQL functions
+    import spark.implicits._
+    (1 to 100).map(_.toDouble).toDF("x").createOrReplaceTempView("qs_vals")
+    // q = 1 (integer literal) and eps = 0.01 (decimal literal) both normalize
+    val top = spark.sql(
+      "SELECT quantile_sketch_value(quantile_sketch_agg(x, 0.01), 1) AS v FROM qs_vals")
+      .head().getDouble(0)
+    assert(top == 100.0, s"q=1 (max) expected 100, got $top")
+    val med = spark.sql(
+      "SELECT quantile_sketch_value(quantile_sketch_agg(x), 0.5) AS v FROM qs_vals")
+      .head().getDouble(0)
+    assert(math.abs(med - 50.0) <= 2.0, s"median expected ~50, got $med")
+  }
+
   test("union-max wide table: unwritten metrics merge as identity (doc:848-995)") {
     import spark.implicits._
     // two "logs" write disjoint metric columns into one wide store
