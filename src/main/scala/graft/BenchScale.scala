@@ -103,6 +103,10 @@ object BenchScale {
   def main(args: Array[String]): Unit = {
     val quick = args.contains("quick")
     val div = if (quick) 10 else 1
+    // optional section filter: any of ingest/probe/cc/ivf/compact — run
+    // only the named curves (default: all), e.g. `runMain graft.BenchScale cc`
+    val sections = args.toSet.intersect(Set("ingest", "probe", "cc", "ivf", "compact"))
+    def on(s: String): Boolean = sections.isEmpty || sections.contains(s)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -120,6 +124,7 @@ object BenchScale {
     // fixed 50k-doc history, batches spanning 100x; the per-ingest floor
     // (signature agg + fused probe + checkpoint + bucketed write, a fixed
     // number of jobs) amortizes, so ms/doc must fall monotonically
+    if (on("ingest")) {
     val histN = 50000L / div
     // untimed warmup on a throwaway index: codegen + write-path class
     // loading would otherwise pollute the smallest batch's measurement
@@ -142,10 +147,12 @@ object BenchScale {
         s""""sec":$sec,"ms_per_doc":${sec * 1000 / batchN},"jobs":${l.jobs.get},""" +
         s""""shuffle_mb":${l.shuffleBytes.get / 1e6}}""")
     }
+    }
 
     // ---- 2. probe shuffle volume vs history size -------------------------
     // fixed 10k-doc probe batch against history spanning 25x; exchanged
     // records must stay O(batch) (flat), only the history SCAN grows
+    if (on("probe")) {
     val probeN = 10000L / div
     for (hN <- Seq(20000L, 100000L, 500000L).map(_ / div)) {
       val path = tmp("graft-scale-probe")
@@ -172,8 +179,10 @@ object BenchScale {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
       }
     }
+    }
 
     // ---- 3. connected components vs corpus size --------------------------
+    if (on("cc"))
     for (n <- Seq(20000L, 200000L, 1000000L).map(_ / div)) {
       val d = docs(spark, n)
       val sec = timed {
@@ -185,6 +194,7 @@ object BenchScale {
     }
 
     // ---- 4. IVF + PQ build/search vs corpus size -------------------------
+    if (on("ivf"))
     for (n <- Seq(32000L, 320000L, 1600000L).map(_ / div)) {
       val emb = embeddings(spark, n)
       val probes = embeddings(spark, 100)

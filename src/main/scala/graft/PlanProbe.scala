@@ -18,6 +18,12 @@ object PlanProbe {
     spark.sparkContext.setLogLevel("ERROR")
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // second arg = a query name: dump that one plan instead of the sweep
+    if (args.length > 1) {
+      println(SparkEntry.queries(args(1))(spark, dir).queryExecution.executedPlan.toString)
+      spark.stop()
+      return
+    }
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       try {
         // tree collect, not string match: a string dump re-prints the plan

@@ -151,7 +151,11 @@ class PlanSpec extends SparkSpec {
     "q40_cosine_probe" -> 1, "q41_knn_brute" -> 2, "q42_knn_lsh" -> 3,
     "q43_cosine_neardup" -> 1, "q44_knn_ivf" -> 2, "q45_cosine_neardup_exact" -> 1,
     "q46_bpeish_tokens" -> 2, "q47_freq_topk" -> 2, "q48_retention" -> 3,
-    "q49_dup_clusters" -> 2, "q50_window_running" -> 2, "q51_rollup" -> 2,
+    // q49: docs-side exchange + window + final sort. The cluster-map side
+    // of the join is exchange-FREE (the CC result leaf keeps hash(id)
+    // partitioning); a static broadcast of it would be wrong at scale, and
+    // AQE still broadcasts a small one at runtime.
+    "q49_dup_clusters" -> 3, "q50_window_running" -> 2, "q51_rollup" -> 2,
     "q52_semi_join" -> 1, "q53_anti_join" -> 1, "q54_intersect" -> 2,
     "q55_except" -> 2, "q56_string_funcs" -> 1, "q57_case_buckets" -> 2,
     "q58_null_handling" -> 3, "q59_scalar_subquery" -> 2, "q60_salted_join" -> 2,
