@@ -143,6 +143,88 @@ class MvStreamingSpec extends SparkSpec {
     assert(dws.read().agg(sum(col("cnt"))).collect()(0).getLong(0) == 4L)
   }
 
+  test("streamed quantile state: micro-batch merge == one-shot sketch, replay no-op") {
+    import spark.implicits._
+    // the AggregateFunction-column MV contract (ref dwm.mainpage_stat_mv_dis
+    // .sql:9-13) for the BOUNDED quantile state: GK summaries written per
+    // micro-batch must merge across batches to the same answer (within ε)
+    // as a single sketch over everything — the bitmap/HLL twins of this
+    // test already pass; this pins the quantile metric's streaming face
+    val srcDir = tmpDir("qstream-src")
+    val stDir = tmpDir("qstream-state") + "/t"
+    val ckDir = tmpDir("qstream-ck")
+
+    def quantTable(dir: String) = new StateTable(spark, dir,
+      keys = Seq("day", "etype"), partitionCol = "day",
+      metrics = Seq(
+        QuantileSketchMetric("v_med", col("value"), q = 0.5, eps = 0.01),
+        CountMetric("cnt")))
+    val st = quantTable(stDir)
+    val mv = new MaterializedView("mv_quant",
+      batch => graft.engine.Warehouse.withTimeDefaults(batch, "ts"), st)
+
+    // three micro-batches; "view" spans 1..90 split across batches (so the
+    // median can only be right if the states really merge), "click" is
+    // batch-local
+    def rows(vals: Range, etype: String): Seq[(String, Long, String, Double)] =
+      vals.map(v => ("2024-01-01 10:00:00", v.toLong, etype, v.toDouble))
+    val b1 = rows(1 to 30, "view") ++ rows(101 to 110, "click")
+    val b2 = rows(31 to 60, "view")
+    val b3 = rows(61 to 90, "view") ++ rows(111 to 130, "click")
+    val total = (b1 ++ b2 ++ b3).size.toLong
+
+    def writeBatch(rows: Seq[(String, Long, String, Double)], part: Int): Unit =
+      rows.toDF("ts_s", "uid", "etype", "value")
+        .select(col("ts_s").cast(TimestampType).as("ts"), col("uid"), col("etype"), col("value"))
+        .coalesce(1).write.mode("append").parquet(srcDir + s"/b$part")
+
+    writeBatch(b1, 1)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir + "/*")
+    val q = mv.attach(stream, Trigger.ProcessingTime("1 second"), Some(ckDir))
+    try {
+      writeBatch(b2, 2)
+      writeBatch(b3, 3)
+      val deadline = System.currentTimeMillis() + 60000
+      def ingested(): Boolean =
+        try st.read().agg(sum(col("cnt"))).collect()(0).getLong(0) == total
+        catch { case _: Exception => false }
+      while (!ingested() && System.currentTimeMillis() < deadline) Thread.sleep(300)
+      assert(ingested(), "stream did not ingest all batches in time")
+    } finally q.stop()
+
+    def medians(t: StateTable): Map[String, Double] =
+      t.finalized(Seq("etype")).select("etype", "v_med")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    // streamed (3 merged GK states per group) vs one-shot (single batch):
+    // each is within ε·n ranks of the exact median, so with consecutive
+    // integer values they sit within ±2 values of it and of each other
+    val streamed = medians(st)
+    val oneShot = {
+      val all = (b1 ++ b2 ++ b3).toDF("ts_s", "uid", "etype", "value")
+        .select(col("ts_s").cast(TimestampType).as("ts"), col("uid"), col("etype"), col("value"))
+      val plain = quantTable(tmpDir("qstream-oneshot") + "/t")
+      plain.appendBatch(graft.engine.Warehouse.withTimeDefaults(all, "ts"))
+      medians(plain)
+    }
+    assert(math.abs(streamed("view") - 45.5) <= 2.0,
+      s"view median ${streamed("view")} too far from exact 45.5")
+    assert(math.abs(streamed("click") - 115.5) <= 2.0,
+      s"click median ${streamed("click")} too far from exact 115.5")
+    for (g <- Seq("view", "click"))
+      assert(math.abs(streamed(g) - oneShot(g)) <= 2.0,
+        s"$g: merged-across-batches ${streamed(g)} vs one-shot ${oneShot(g)}")
+
+    // a foreachBatch replay of a committed id must leave the sketch alone
+    val replay = rows(1000 to 1050, "view").toDF("ts_s", "uid", "etype", "value")
+      .select(col("ts_s").cast(TimestampType).as("ts"), col("uid"), col("etype"), col("value"))
+    assert(!mv.processBatchExactlyOnce(replay, 0L))
+    assert(medians(st) == streamed, "replay must not move the quantile state")
+    assert(st.read().agg(sum(col("cnt"))).collect()(0).getLong(0) == total)
+  }
+
   test("ST4: dictionary snapshot refresh between batches changes enrichment") {
     import spark.implicits._
     // transform re-reads the dim snapshot per batch — the foreachBatch analog
