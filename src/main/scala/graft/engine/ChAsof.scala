@@ -1,0 +1,169 @@
+package graft.engine
+
+import java.util.concurrent.atomic.AtomicInteger
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** ClickHouse `ASOF JOIN` dialect → [[graft.operators.AsOfJoin]]: lets a
+  * CH user run the literal syntax
+  *
+  *   SELECT ... FROM l [la] ASOF [LEFT] JOIN r [ra]
+  *     ON la.k = ra.k [AND ...] AND la.t >= ra.t
+  *   [WHERE ...] [ORDER BY ...]
+  *
+  * (ref doc's join-dialect surface; CH docs ASOF JOIN) without hand-porting
+  * to the Scala operator. The ON clause must carry ≥1 equality and exactly
+  * one inequality between the two sides' time columns — `>=`/`>` pick the
+  * latest right row at-or-before/strictly-before the left time (CH's
+  * default ASOF direction), `<=`/`<` the earliest at-or-after/strictly-
+  * after; either operand order is accepted (`ra.t <= la.t` ≡ `la.t >= ra.t`).
+  *
+  * Translation: resolve both table references, rename the right join keys
+  * onto the left's names, run the window-formulation sort-merge
+  * ([[graft.operators.AsOfJoin.asof]] — one shuffle per side, no interval
+  * explosion), register the result as a temp view, and splice that view
+  * into the original query with the side qualifiers stripped (the joined
+  * view carries every left column plus the right payload under their
+  * original names). `ASOF JOIN` without LEFT is the inner form: left rows
+  * with no match are dropped (CH inner-ASOF semantics).
+  *
+  * Constraints (same as the Scala operator, checked with clear errors):
+  * non-key right columns — including the right time column — must not
+  * collide with left column names; project/alias the right side first
+  * (CH users do the same to disambiguate, since the output here is one
+  * flat namespace, not a qualified one).
+  */
+object ChAsof {
+
+  private val viewSeq = new AtomicInteger
+
+  private val asofJoinRe =
+    ("(?is)\\bfrom\\s+([\\w.]+)(?:\\s+(?:as\\s+)?(?!asof\\b)(\\w+))?" +
+      "\\s+asof\\s+(left\\s+)?join\\s+([\\w.]+)(?:\\s+(?:as\\s+)?(?!on\\b)(\\w+))?" +
+      "\\s+on\\s+(.*?)(?=\\bwhere\\b|\\bgroup\\s+by\\b|\\border\\s+by\\b|" +
+      "\\bhaving\\b|\\blimit\\b|\\bwindow\\b|\\bsettings\\b|$)").r
+
+  /** Does the query contain an ASOF JOIN to translate? */
+  def applies(sql: String): Boolean = asofJoinRe.findFirstIn(sql).isDefined
+
+  /** Run `sql`, translating one ASOF JOIN clause; table references resolve
+    * through `resolve` (defaults to the session catalog / temp views).
+    */
+  def sql(spark: SparkSession, query: String,
+      resolve: String => DataFrame = null): DataFrame = {
+    val r = Option(resolve).getOrElse((n: String) => spark.table(n))
+    spark.sql(rewrite(spark, query, r))
+  }
+
+  /** Rewrite the ASOF JOIN span of `query` into a plain FROM over a temp
+    * view holding the executed asof join; throws if no ASOF JOIN present.
+    */
+  def rewrite(spark: SparkSession, query: String,
+      resolve: String => DataFrame): String = {
+    val m = asofJoinRe.findFirstMatchIn(query).getOrElse(
+      sys.error("ChAsof: no ASOF JOIN clause in query"))
+    val (leftName, leftAlias) = (m.group(1), Option(m.group(2)))
+    val isLeft = m.group(3) != null
+    val (rightName, rightAlias) = (m.group(4), Option(m.group(5)))
+    val onClause = m.group(6).trim
+
+    val leftDf = resolve(leftName)
+    val rightDf = resolve(rightName)
+    val lQuals = (leftAlias.toSeq :+ leftName) ++ leftName.split('.').lastOption
+    val rQuals = (rightAlias.toSeq :+ rightName) ++ rightName.split('.').lastOption
+
+    // classify each operand: which side does `alias.col` / bare `col` name?
+    def side(term: String): (Char, String) = {
+      val dot = term.lastIndexOf('.')
+      if (dot > 0) {
+        val (qual, c) = (term.substring(0, dot), term.substring(dot + 1))
+        if (lQuals.exists(_.equalsIgnoreCase(qual))) ('l', c)
+        else if (rQuals.exists(_.equalsIgnoreCase(qual))) ('r', c)
+        else sys.error(s"ChAsof: unknown qualifier '$qual' in ON term '$term'")
+      } else {
+        val inL = leftDf.columns.exists(_.equalsIgnoreCase(term))
+        val inR = rightDf.columns.exists(_.equalsIgnoreCase(term))
+        if (inL && inR) sys.error(
+          s"ChAsof: ambiguous ON term '$term' (qualify it with the table alias)")
+        else if (inL) ('l', term)
+        else if (inR) ('r', term)
+        else sys.error(s"ChAsof: ON term '$term' is in neither side")
+      }
+    }
+
+    val condRe = """(?s)^([\w.]+)\s*(>=|<=|!?=|<>|>|<)\s*([\w.]+)$""".r
+    var keyPairs = Vector.empty[(String, String)] // (left col, right col)
+    var timePair: Option[(String, String, String)] = None // (op as l-vs-r, lcol, rcol)
+    for (raw <- onClause.split("(?i)\\band\\b").map(_.trim).filter(_.nonEmpty)) {
+      val cm = condRe.findFirstMatchIn(raw).getOrElse(
+        sys.error(s"ChAsof: unsupported ON condition '$raw'"))
+      val (s1, c1) = side(cm.group(1))
+      val (s2, c2) = side(cm.group(3))
+      if (s1 == s2) sys.error(s"ChAsof: ON condition '$raw' references one side twice")
+      // normalize to left-operand-first (flip the comparator when the
+      // condition was written right-side-first: `ra.t <= la.t` ≡ `la.t >= ra.t`)
+      val (lc, rc) = if (s1 == 'l') (c1, c2) else (c2, c1)
+      val op = if (s1 == 'l') cm.group(2)
+        else cm.group(2) match {
+          case ">=" => "<="
+          case "<=" => ">="
+          case ">" => "<"
+          case "<" => ">"
+          case other => other
+        }
+      op match {
+        case "=" => keyPairs :+= (lc, rc)
+        case ">=" | "<=" | ">" | "<" =>
+          if (timePair.isDefined) sys.error(
+            "ChAsof: ASOF JOIN needs exactly ONE inequality in ON; found a second: " + raw)
+          timePair = Some((op, lc, rc))
+        case other => sys.error(s"ChAsof: operator '$other' not allowed in ASOF ON")
+      }
+    }
+    if (keyPairs.isEmpty) sys.error("ChAsof: ASOF JOIN needs at least one equality key")
+    val (op, leftTs, rightTs) = timePair.getOrElse(
+      sys.error("ChAsof: ASOF JOIN needs one inequality (the time condition)"))
+    val (forward, strict) = op match {
+      case ">=" => (false, false)
+      case ">" => (false, true)
+      case "<=" => (true, false)
+      case "<" => (true, true)
+    }
+
+    // rename right keys onto the left's names (the operator's contract);
+    // refuse renames that would collide with an existing right column
+    var right2 = rightDf
+    for ((lk, rk) <- keyPairs if !lk.equalsIgnoreCase(rk)) {
+      require(!rightDf.columns.exists(_.equalsIgnoreCase(lk)),
+        s"ChAsof: cannot rename right key $rk -> $lk: right already has a column $lk")
+      right2 = right2.withColumnRenamed(rk, lk)
+    }
+
+    val joined = graft.operators.AsOfJoin.asof(
+      leftDf, right2, keyPairs.map(_._1), leftTs, rightTs, forward, strict)
+    val result = if (isLeft) joined else joined.filter(col(rightTs).isNotNull)
+
+    val view = s"graft_asof_join_${viewSeq.incrementAndGet()}"
+    result.createOrReplaceTempView(view)
+
+    // splice: FROM <view> replaces the whole ASOF span, then strip the two
+    // sides' qualifiers everywhere outside string literals (the view is one
+    // flat namespace carrying both sides' original column names)
+    val spliced = query.substring(0, m.start) + s" FROM $view " + query.substring(m.end)
+    val quals = (lQuals ++ rQuals).distinct.filter(_.nonEmpty)
+    stripQualifiers(spliced, quals)
+  }
+
+  /** Remove `qual.` prefixes outside single-quoted literals. */
+  private def stripQualifiers(sql: String, quals: Seq[String]): String = {
+    val pat = ("(?i)(?<![\\w.])(?:" +
+      quals.map(Pattern.quote).mkString("|") + ")\\.").r
+    // protect string literals: replace only in even-indexed splits
+    val parts = sql.split("'", -1)
+    parts.zipWithIndex.map { case (p, i) =>
+      if (i % 2 == 0) pat.replaceAllIn(p, "") else p
+    }.mkString("'")
+  }
+}

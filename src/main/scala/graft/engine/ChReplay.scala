@@ -185,6 +185,9 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     var q = """(?i)\busing\s+(\w+(?:\s*,\s*\w+)+)""".r
       .replaceAllIn(sql, m => "USING (" + m.group(1).replaceAll("\\s+", "") + ")")
     for ((from, to) <- substitutions) q = q.replace(from, to)
+    // CH ASOF JOIN: execute the asof span through the window-formulation
+    // operator and splice the result view back into the query
+    if (ChAsof.applies(q)) q = ChAsof.rewrite(spark, q, sourceDf)
     spark.sql(chAliasGroupBy(q))
   }
 

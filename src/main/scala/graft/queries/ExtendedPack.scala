@@ -157,6 +157,30 @@ object ExtendedPack {
         .orderBy("event_id")
     },
 
+    // CH ASOF JOIN *dialect* (engine.ChAsof): the literal `ASOF JOIN ...
+    // ON k = k AND t > t2` syntax a ClickHouse user writes, translated
+    // onto the same window-formulation operator as q63 — here the INNER +
+    // STRICT variant (unmatched left rows dropped, equal timestamps do
+    // not match), with alias-qualified select/WHERE exercising the
+    // qualifier splice.
+    "q80_asof_sql" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.events.select(col("event_id"), col("user_id"), col("ts"))
+        .createOrReplaceTempView("graft_asof_events")
+      t.orders
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").as("od"))
+        .agg(count(lit(1)).as("day_orders"),
+          sum(dec("o_totalprice")).cast(DoubleType).as("day_total"))
+        .createOrReplaceTempView("graft_asof_daily_orders")
+      graft.engine.ChAsof.sql(s,
+        """SELECT e.event_id, e.user_id, o.od AS last_order_day,
+          |       o.day_orders, o.day_total
+          |FROM graft_asof_events e ASOF JOIN graft_asof_daily_orders o
+          |  ON e.user_id = o.user_id AND e.ts > o.od
+          |WHERE e.event_id % 5 = 0
+          |ORDER BY e.event_id""".stripMargin)
+    },
+
     // Sessionization (graft.operators.Sessionize): 30-minute-gap sessions
     // per user over raw events, with per-session stats — one window pass,
     // one aggregation, both keyed by user.
@@ -342,6 +366,21 @@ object ExtendedPack {
         |  ro.day_orders, ro.day_total
         |FROM events e ASOF LEFT JOIN ro
         |  ON e.user_id = ro.user_id AND e.ts >= ro.od
+        |ORDER BY e.event_id""".stripMargin,
+
+    // DuckDB's ASOF (inner) JOIN with the strict comparator mirrors the
+    // dialect form exactly.
+    "q80_asof_sql" ->
+      """WITH ro AS (
+        |  SELECT o_custkey AS user_id, o_orderdate AS od,
+        |    COUNT(*) AS day_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_total
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, ro.od AS last_order_day,
+        |  ro.day_orders, ro.day_total
+        |FROM events e ASOF JOIN ro
+        |  ON e.user_id = ro.user_id AND e.ts > ro.od
+        |WHERE e.event_id % 5 = 0
         |ORDER BY e.event_id""".stripMargin,
 
     // Gap-split sessions via lag + running sum. The micros comparison

@@ -165,7 +165,11 @@ class PlanSpec extends SparkSpec {
     "q70_sum_map" -> 2, "q71_ch_scalars" -> 1, "q72_ch_arrays" -> 1,
     "q73_window_funnel" -> 3, "q74_ddl_replay" -> 2, "q75_full_outer" -> 3,
     "q76_cube" -> 2, "q77_window_frames" -> 2, "q78_argmax" -> 2,
-    "q79_range_join" -> 2)
+    "q79_range_join" -> 2,
+    // q80: the asof view (tagged union window: one exchange per side
+    // inside the checkpointless union = 2) + the final range sort; the
+    // WHERE rides the window output
+    "q80_asof_sql" -> 3)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)
