@@ -174,17 +174,33 @@ object Multimodal {
     }(enc)
   }
 
-  /** Frame sampling for video blobs: split the payload into `frames` equal
-    * chunks (stub for keyframe extraction) and emit one feature row per
-    * sampled frame — the explode-shaped operator a video pipeline needs.
+  /** Frame sampling for video blobs, KEYFRAME-AWARE where the container
+    * allows: MP4 blobs with a parseable video sample table land each of the
+    * `frames` samples on a true sync-sample (keyframe) byte range —
+    * `frames` evenly spaced picks over the stss list, each substring an
+    * exact [offset, offset+size) payload ([[IsoBmff.syncSampleRanges]],
+    * pure byte arithmetic, no codec). Everything else falls back to equal
+    * chunks (the blind split a payload without a sample index forces).
+    * Emits one feature row per sampled frame — the explode-shaped operator
+    * a video pipeline needs.
     */
   def sampleFrames(media: DataFrame, frames: Int): DataFrame = {
-    val chunked = media.withColumn("frame_idx", explode(sequence(lit(0), lit(frames - 1))))
+    val spark = org.apache.spark.sql.SparkSession.active
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "mp4_sync_samples", exprs => Mp4SyncSamplesExpr(exprs.head), "built-in")
+    val pick = s"element_at(__sync, cast(frame_idx * __n / $frames as int) + 1)"
+    val chunked = media
+      .withColumn("__sync", call_function("mp4_sync_samples", col("blob")))
+      .withColumn("__n", coalesce(size(col("__sync")), lit(0)))
+      .withColumn("frame_idx", explode(sequence(lit(0), lit(frames - 1))))
       .withColumn("frame_blob",
-        expr(s"substring(blob, cast(frame_idx * length(blob) / $frames as int) + 1, " +
-          s"cast(length(blob) / $frames as int))"))
+        when(col("__n") > 0,
+          expr(s"substring(blob, cast($pick.offset as int) + 1, cast($pick.size as int))"))
+          .otherwise(
+            expr(s"substring(blob, cast(frame_idx * length(blob) / $frames as int) + 1, " +
+              s"cast(length(blob) / $frames as int))")))
     extractFeatures(
-      chunked.drop("blob").withColumnRenamed("frame_blob", "blob"))
+      chunked.drop("blob", "__sync", "__n").withColumnRenamed("frame_blob", "blob"))
   }
 
   /** Wrap a text corpus as fake media rows (test/bench helper): bytes of the
@@ -316,16 +332,13 @@ case class MediaMetaExpr(child: Expression)
     StructField("sample_rate", IntegerType, nullable = true),
     StructField("channels", IntegerType, nullable = true)))
 
-  private def be32(b: Array[Byte], i: Int): Long =
-    ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) | ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
-  private def be64(b: Array[Byte], i: Int): Long =
-    (be32(b, i) << 32) | be32(b, i + 4)
+  private def be32(b: Array[Byte], i: Int): Long = IsoBmff.be32(b, i)
+  private def be64(b: Array[Byte], i: Int): Long = IsoBmff.be64(b, i)
   private def le16(b: Array[Byte], i: Int): Int =
     (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
   private def le32(b: Array[Byte], i: Int): Long =
     (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) | ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
-  private def fourcc(b: Array[Byte], i: Int): String =
-    new String(b, i, 4, "US-ASCII")
+  private def fourcc(b: Array[Byte], i: Int): String = IsoBmff.fourcc(b, i)
 
   private def row(fmt: String, w: Integer = null, h: Integer = null,
       durMs: java.lang.Long = null, rate: Integer = null, ch: Integer = null): InternalRow =
@@ -385,32 +398,11 @@ case class MediaMetaExpr(child: Expression)
     row("wav", durMs = dur, rate = rate, ch = ch)
   }
 
-  /** ISO-BMFF atom walk over [start, end): returns the offset of the first
-    * atom with `name`, or -1. Atom = [size:be32][type:4cc]; size 1 means a
-    * 64-bit size follows, size 0 means to-end-of-enclosure.
-    */
-  private def findAtom(b: Array[Byte], start: Int, end: Int, name: String): Int = {
-    var i = start
-    while (i + 8 <= end) {
-      val size0 = be32(b, i)
-      val size = if (size0 == 1L && i + 16 <= end) be64(b, i + 8)
-        else if (size0 == 0L) (end - i).toLong
-        else size0
-      if (size < 8) return -1
-      if (fourcc(b, i + 4) == name) return i
-      // advance in Long: a 64-bit size whose low half is 0 must not stall
-      val next = i.toLong + size
-      if (next <= i || next > end) return -1
-      i = next.toInt
-    }
-    -1
-  }
+  private def findAtom(b: Array[Byte], start: Int, end: Int, name: String): Int =
+    IsoBmff.findAtom(b, start, end, name)
 
-  private def atomEnd(b: Array[Byte], at: Int, limit: Int): Int = {
-    val size0 = be32(b, at)
-    val size = if (size0 == 0L) (limit - at).toLong else size0
-    math.min(limit.toLong, at + size).toInt
-  }
+  private def atomEnd(b: Array[Byte], at: Int, limit: Int): Int =
+    IsoBmff.atomEnd(b, at, limit)
 
   private def mp4(b: Array[Byte]): InternalRow = {
     val moov = findAtom(b, 0, b.length, "moov")
@@ -490,4 +482,226 @@ case class MediaMetaExpr(child: Expression)
 
   override protected def withNewChildInternal(c: Expression): MediaMetaExpr = copy(child = c)
   override def prettyName: String = "media_meta"
+}
+
+/** Shared ISO-BMFF (MP4) byte-level helpers plus the sample-table parse
+  * that makes video frame sampling KEYFRAME-AWARE without any codec:
+  * `stsc` maps samples to chunks, `stco`/`co64` place chunks in the file,
+  * `stsz` sizes each sample, and `stss` lists the sync samples
+  * (ISO/IEC 14496-12 §8.6.2: no `stss` atom ⇒ every sample is sync).
+  * Pure byte arithmetic — the payload boundaries are exact even though
+  * decoding the frames inside them still needs codec libraries.
+  */
+private[graft] object IsoBmff {
+
+  def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) | ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+  def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+  def fourcc(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, "US-ASCII")
+
+  /** ISO-BMFF atom walk over [start, end): returns the offset of the first
+    * atom with `name`, or -1. Atom = [size:be32][type:4cc]; size 1 means a
+    * 64-bit size follows, size 0 means to-end-of-enclosure.
+    */
+  def findAtom(b: Array[Byte], start: Int, end: Int, name: String): Int = {
+    var i = start
+    while (i + 8 <= end) {
+      val size0 = be32(b, i)
+      val size = if (size0 == 1L && i + 16 <= end) be64(b, i + 8)
+        else if (size0 == 0L) (end - i).toLong
+        else size0
+      if (size < 8) return -1
+      if (fourcc(b, i + 4) == name) return i
+      // advance in Long: a 64-bit size whose low half is 0 must not stall
+      val next = i.toLong + size
+      if (next <= i || next > end) return -1
+      i = next.toInt
+    }
+    -1
+  }
+
+  def atomEnd(b: Array[Byte], at: Int, limit: Int): Int = {
+    val size0 = be32(b, at)
+    val size = if (size0 == 0L) (limit - at).toLong else size0
+    math.min(limit.toLong, at + size).toInt
+  }
+
+  /** Walk a `/`-separated atom path from `start` (first child position),
+    * returning (offset, end) of the final atom, or null.
+    */
+  private def descend(b: Array[Byte], start: Int, end: Int,
+      path: String*): (Int, Int) = {
+    var at = start
+    var lim = end
+    for (name <- path) {
+      val found = findAtom(b, at, lim, name)
+      if (found < 0) return null
+      lim = atomEnd(b, found, lim)
+      at = found + 8
+    }
+    (at - 8, lim)
+  }
+
+  // adversarial-header bound: a declared sample count past this (or past
+  // what the atom's own bytes can hold) is corrupt, not big
+  private val MaxSamples = 1 << 20
+
+  /** Byte ranges (offset, size) of the first VIDEO trak's sync samples
+    * (keyframes), in sample order, capped at `maxRanges`. Empty when the
+    * blob is not MP4, has no video trak, the tables are corrupt/truncated,
+    * or a range falls outside the blob (media data not in this file).
+    */
+  def syncSampleRanges(b: Array[Byte], maxRanges: Int = 4096): Array[(Long, Long)] = {
+    try {
+      if (b.length < 12 || fourcc(b, 4) != "ftyp") return Array.empty
+      val moov = findAtom(b, 0, b.length, "moov")
+      if (moov < 0) return Array.empty
+      val moovEnd = atomEnd(b, moov, b.length)
+      var t = moov + 8
+      while (t >= 0 && t + 8 <= moovEnd) {
+        val trak = findAtom(b, t, moovEnd, "trak")
+        if (trak < 0) return Array.empty
+        val trakEnd = atomEnd(b, trak, moovEnd)
+        val mdia = findAtom(b, trak + 8, trakEnd, "mdia")
+        if (mdia >= 0) {
+          val mdiaEnd = atomEnd(b, mdia, trakEnd)
+          val hdlr = findAtom(b, mdia + 8, mdiaEnd, "hdlr")
+          // handler_type sits after the 8-byte header + version/flags(4) +
+          // pre_defined(4)
+          val isVideo = hdlr >= 0 && hdlr + 20 <= mdiaEnd &&
+            fourcc(b, hdlr + 16) == "vide"
+          if (isVideo) {
+            val stbl = descend(b, mdia + 8, mdiaEnd, "minf", "stbl")
+            if (stbl == null) return Array.empty
+            return stblSyncRanges(b, stbl._1, stbl._2, maxRanges)
+          }
+        }
+        t = trakEnd
+      }
+      Array.empty
+    } catch { case scala.util.control.NonFatal(_) => Array.empty }
+  }
+
+  /** A full-box table atom's (payload offset after version/flags, entry
+    * count), validated so `count * entryBytes` fits inside the atom — a
+    * forged count cannot force a huge allocation or an out-of-bounds read.
+    */
+  private def tableAt(b: Array[Byte], stbl: Int, stblEnd: Int, name: String,
+      entryBytes: Int, countAt: Int = 12): (Int, Int) = {
+    val at = findAtom(b, stbl + 8, stblEnd, name)
+    if (at < 0) return null
+    val end = atomEnd(b, at, stblEnd)
+    if (at + countAt + 4 > end) return null
+    val count = be32(b, at + countAt)
+    if (count < 0 || count > MaxSamples ||
+      at + countAt + 4 + count * entryBytes.toLong > end) return null
+    (at + countAt + 4, count.toInt)
+  }
+
+  private def stblSyncRanges(b: Array[Byte], stbl: Int, stblEnd: Int,
+      maxRanges: Int): Array[(Long, Long)] = {
+    // stsz: fixed sample_size at +12, count at +16, per-sample sizes after
+    val stszAt = findAtom(b, stbl + 8, stblEnd, "stsz")
+    if (stszAt < 0) return Array.empty
+    val fixedSize = be32(b, stszAt + 12)
+    val stsz =
+      if (fixedSize == 0L) tableAt(b, stbl, stblEnd, "stsz", 4, countAt = 16)
+      else { // constant-size samples: count still at +16, no entry table
+        val end = atomEnd(b, stszAt, stblEnd)
+        if (stszAt + 20 > end) null
+        else {
+          val n = be32(b, stszAt + 16)
+          if (n < 0 || n > MaxSamples) null else (stszAt + 20, n.toInt)
+        }
+      }
+    if (stsz == null) return Array.empty
+    val (stszOff, nSamples) = stsz
+    def sampleSize(i: Int): Long =
+      if (fixedSize != 0L) fixedSize else be32(b, stszOff + 4 * i)
+
+    // chunk offsets: stco (be32) or co64 (be64)
+    val (chunkOff, nChunks, off64) = {
+      val t32 = tableAt(b, stbl, stblEnd, "stco", 4)
+      if (t32 != null) (t32._1, t32._2, false)
+      else {
+        val t64 = tableAt(b, stbl, stblEnd, "co64", 8)
+        if (t64 == null) return Array.empty
+        (t64._1, t64._2, true)
+      }
+    }
+    def chunkOffset(c: Int): Long =
+      if (off64) be64(b, chunkOff + 8 * c) else be32(b, chunkOff + 4 * c)
+
+    // stsc runs: (first_chunk, samples_per_chunk, desc) — expand chunk by
+    // chunk, assigning consecutive sample indices
+    val stsc = tableAt(b, stbl, stblEnd, "stsc", 12)
+    if (stsc == null) return Array.empty
+    val (stscOff, nRuns) = stsc
+
+    // stss: 1-based sync sample numbers; absent ⇒ all samples sync
+    val stss = tableAt(b, stbl, stblEnd, "stss", 4)
+    val sync: Int => Boolean =
+      if (stss == null) _ => true
+      else {
+        val (off, n) = stss
+        val set = (0 until n).map(i => be32(b, off + 4 * i)).toSet
+        s => set.contains((s + 1).toLong)
+      }
+
+    val out = Array.newBuilder[(Long, Long)]
+    var produced = 0
+    var sample = 0
+    var run = 0
+    var chunk = 0 // 0-based
+    while (chunk < nChunks && sample < nSamples && produced < maxRanges) {
+      // advance the run while the NEXT run starts at or before this chunk
+      while (run + 1 < nRuns && be32(b, stscOff + 12 * (run + 1)) <= chunk + 1) run += 1
+      val perChunk = be32(b, stscOff + 12 * run + 4)
+      if (perChunk <= 0 || perChunk > MaxSamples) return out.result()
+      var within = 0L
+      var s = 0
+      while (s < perChunk && sample < nSamples && produced < maxRanges) {
+        val sz = sampleSize(sample)
+        if (sz < 0) return out.result()
+        val off = chunkOffset(chunk) + within
+        if (sync(sample) && off >= 0 && sz > 0 && off + sz <= b.length) {
+          out += ((off, sz))
+          produced += 1
+        }
+        within += sz
+        sample += 1
+        s += 1
+      }
+      chunk += 1
+    }
+    out.result()
+  }
+}
+
+/** mp4_sync_samples(blob) → array<struct<offset BIGINT, size BIGINT>> of
+  * the first video trak's keyframe byte ranges, NULL for anything that is
+  * not an MP4 with a parseable video sample table — the dispatch signal
+  * [[Multimodal.sampleFrames]] uses to choose keyframe-aware sampling
+  * over blind equal chunking.
+  */
+case class Mp4SyncSamplesExpr(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("offset", LongType, nullable = false),
+    StructField("size", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val ranges = IsoBmff.syncSampleRanges(v.asInstanceOf[Array[Byte]])
+    if (ranges.isEmpty) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      ranges.map { case (o, s) => InternalRow(o, s) })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Mp4SyncSamplesExpr =
+    copy(child = c)
+  override def prettyName: String = "mp4_sync_samples"
 }

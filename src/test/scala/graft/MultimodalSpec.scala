@@ -41,6 +41,95 @@ class MultimodalSpec extends SparkSpec {
     assert(out.select("frame_idx").distinct().count() == 4)
   }
 
+  // --- a hand-built MP4 with known sample tables -------------------------
+  // atoms: ftyp, moov(trak(mdia(hdlr:vide, minf(stbl(stsz,stsc,stco,stss))))),
+  // mdat with 6 samples of sizes 10..60 in two 3-sample chunks
+  private def atom(name: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    java.nio.ByteBuffer.allocate(8 + body.length)
+      .putInt(8 + body.length).put(name.getBytes("US-ASCII")).put(body).array()
+  }
+  private def be(xs: Int*): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(4 * xs.length)
+    xs.foreach(b.putInt)
+    b.array()
+  }
+  private val mp4SampleSizes = Seq(10, 20, 30, 40, 50, 60)
+
+  /** (blob, sync byte ranges) — stss marks samples 1 and 4 (1-based). */
+  private def craftMp4(withStss: Boolean = true): (Array[Byte], Seq[(Long, Long)]) = {
+    val samples = mp4SampleSizes.zipWithIndex.map { case (n, i) =>
+      Array.fill(n)((0x10 * (i + 1)).toByte) // distinctive per-sample bytes
+    }
+    val mdatBody = samples.flatten.toArray
+    val ftyp = atom("ftyp", "isomiso2".getBytes("US-ASCII"))
+    def moovFor(c1: Int, c2: Int): Array[Byte] = {
+      val hdlr = atom("hdlr", be(0, 0), "vide".getBytes("US-ASCII"), be(0, 0, 0))
+      val stsz = atom("stsz", be(0, 0, 6), be(mp4SampleSizes: _*))
+      val stsc = atom("stsc", be(0, 1), be(1, 3, 1)) // all chunks: 3 samples
+      val stco = atom("stco", be(0, 2), be(c1, c2))
+      val stss = atom("stss", be(0, 2), be(1, 4))
+      val stbl = atom("stbl",
+        if (withStss) Array(stsz, stsc, stco, stss).flatten else Array(stsz, stsc, stco).flatten)
+      atom("moov", atom("trak", atom("mdia", hdlr, atom("minf", stbl))))
+    }
+    // chunk offsets depend on moov's length; moov's length does not depend
+    // on the offset VALUES — resolve with a probe pass
+    val moovLen = moovFor(0, 0).length
+    val mdatStart = ftyp.length + moovLen + 8
+    val c1 = mdatStart
+    val c2 = mdatStart + mp4SampleSizes.take(3).sum
+    val blob = ftyp ++ moovFor(c1, c2) ++ atom("mdat", mdatBody)
+    val offsets = mp4SampleSizes.scanLeft(0)(_ + _)
+    val ranges = (0 until 6).map { i =>
+      val off = (if (i < 3) c1 + offsets(i) else c2 + (offsets(i) - offsets(3))).toLong
+      (off, mp4SampleSizes(i).toLong)
+    }
+    (blob, if (withStss) Seq(ranges(0), ranges(3)) else ranges)
+  }
+
+  test("MP4 sample tables: stss keyframes land on exact byte ranges") {
+    import graft.multimodal.IsoBmff
+    val (blob, expect) = craftMp4()
+    assert(IsoBmff.syncSampleRanges(blob).toSeq == expect)
+    // the declared ranges really contain the per-sample fill bytes
+    for (((off, sz), i) <- expect.zip(Seq(0, 3)))
+      assert(blob.slice(off.toInt, (off + sz).toInt).forall(_ == (0x10 * (i + 1)).toByte),
+        s"sample $i range does not hold its fill bytes")
+    // no stss atom => every sample is a sync sample (ISO 14496-12 8.6.2)
+    val (noStss, all) = craftMp4(withStss = false)
+    assert(IsoBmff.syncSampleRanges(noStss).toSeq == all)
+    // a forged stsz count cannot force a huge allocation: table is rejected
+    val forged = blob.clone()
+    val stszAt = blob.indices.find(i => i + 4 < blob.length &&
+      new String(blob, i, 4, "US-ASCII") == "stsz").get
+    java.nio.ByteBuffer.wrap(forged, stszAt + 12, 4).putInt(Int.MaxValue)
+    assert(IsoBmff.syncSampleRanges(forged).isEmpty)
+  }
+
+  test("sampleFrames on MP4 picks keyframe payloads, not blind chunks") {
+    import spark.implicits._
+    val (blob, expect) = craftMp4()
+    val media = Seq((1L, "video", blob)).toDF("media_id", "modality", "blob")
+    val out = Multimodal.sampleFrames(media, frames = 2)
+      .select("media_id", "frame_idx", "features", "n_bytes").collect()
+    assert(out.length == 2)
+    // each sampled frame is EXACTLY a sync sample's byte range: n_bytes
+    // matches and the features equal the stub histogram of that exact slice
+    for ((r, (off, sz)) <- out.sortBy(_.getInt(1)).zip(expect)) {
+      assert(r.getLong(3) == sz, s"frame ${r.getInt(1)}: n_bytes ${r.getLong(3)} != $sz")
+      val slice = blob.slice(off.toInt, (off + sz).toInt)
+      assert(r.getSeq[Float](2) == Multimodal.decodeStub(slice).toSeq,
+        s"frame ${r.getInt(1)} features are not the keyframe slice's")
+    }
+    // a non-MP4 blob still falls back to equal chunks (same row contract)
+    val fake = Multimodal.sampleFrames(
+      Seq((2L, "video", Array.fill[Byte](120)(7))).toDF("media_id", "modality", "blob"),
+      frames = 4)
+    assert(fake.count() == 4)
+    assert(fake.select("n_bytes").collect().forall(_.getLong(0) == 30L))
+  }
+
   test("imageMeta parses real PNG/JPEG/GIF/BMP headers from raw bytes") {
     import spark.implicits._
     def png(w: Int, h: Int): Array[Byte] = {
