@@ -12,7 +12,7 @@ import graft.queries.dec
   * per-query seconds at SPARK_GRAFT_SF_DIR.
   *
   * Method: per query, one untimed warmup run (plan + codegen + broadcast
-  * build), then two timed runs, report the min — steady-state latency, the
+  * build), then four timed runs, report the min — steady-state latency, the
   * quantity BASELINE.md's reference numbers measure (ClickHouse query times
   * exclude server start too). Results are forced with a noop-format write so
   * the whole plan executes without sink I/O.

@@ -9,6 +9,7 @@ import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.functions._
 
 import graft.dedup.{Cluster, Dedup, NearDupIndex}
+import graft.mv.{CountMetric, StateTable, SumMetric}
 import graft.similarity.{IvfIndex, Pq}
 
 /** Scaling-evidence bench: measures the scaling CURVES behind SCALE.md's
@@ -217,6 +218,45 @@ object BenchScale {
       }
       emit(s"""{"curve":"ivf_pq_scaling","vectors":$n,"ivf_build_sec":$buildSec,""" +
         s""""ivf_search_sec":$searchSec,"pq_train_sec":$pqTrainSec,"adc_search_sec":$adcSec}""")
+    }
+
+    // ---- 5. compaction cost vs part count --------------------------------
+    // a state table accumulates parts per append; merge-on-read pays for
+    // every part until compact() (the OPTIMIZE FINAL analog) folds the tree
+    // back to O(states). The background cost at 100 TB: read cost grows
+    // with the part count, compact pays one bounded merge, the read returns
+    // to the states floor regardless of how many parts went in.
+    if (on("compact"))
+    for (appends <- Seq(8, 32, 128).map(p => math.max(2, p / div))) {
+      val days = 4
+      val keysPerDay = 2000
+      val st = new StateTable(spark, tmp("graft-scale-compact"),
+        keys = Seq("day", "k"), partitionCol = "day",
+        metrics = Seq(SumMetric("v", col("v_src")), CountMetric("cnt")))
+      val batch = spark.range(days.toLong * keysPerDay).select(
+        expr(s"date_add(date'2024-01-01', cast(id % $days as int))").as("day"),
+        (col("id") / days).cast("long").as("k"),
+        (col("id") % 97).cast("double").as("v_src"))
+      for (_ <- 0 until appends) st.appendBatch(batch)
+      def readSec(): Double = timed {
+        st.merged().write.format("noop").mode("overwrite").save()
+      }
+      val before = readSec()
+      val check = st.merged().agg(sum(col("cnt"))).head().getLong(0)
+      val l = new CountListener
+      spark.sparkContext.addSparkListener(l)
+      val compactSec = timed { st.compact() }
+      l.drain()
+      spark.sparkContext.removeSparkListener(l)
+      val after = readSec()
+      require(st.merged().agg(sum(col("cnt"))).head().getLong(0) == check,
+        "compaction changed the merged result")
+      emit(s"""{"curve":"compact_scaling","appends":$appends,""" +
+        s""""states":${days * keysPerDay},""" +
+        s""""raw_state_rows":${appends.toLong * days * keysPerDay},""" +
+        s""""read_sec_before":$before,"compact_sec":$compactSec,""" +
+        s""""compact_shuffle_mb":${l.shuffleBytes.get / 1e6},""" +
+        s""""read_sec_after":$after}""")
     }
 
     emit(s"""{"metric":"bench_scale_done","quick":$quick}""")

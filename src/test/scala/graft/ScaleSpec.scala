@@ -67,4 +67,46 @@ class ScaleSpec extends SparkSpec {
       f"per-doc cost did not amortize: ${perDocSmall * 1000}%.3f ms/doc at 400 " +
         f"-> ${perDocBig * 1000}%.3f ms/doc at 4000")
   }
+
+  test("compaction restores O(states) reads: post-compact scan is flat in parts") {
+    import graft.mv.{CountMetric, StateTable, SumMetric}
+    // asserted on SCAN METRICS (deterministic), not wall time: before
+    // compact a merged read pays every part's rows; after compact it pays
+    // exactly the states floor no matter how many parts went in
+    def scans(appends: Int): (Long, Long, Long) = {
+      val path = tmpDir("graft-scale-compact") + "/t"
+      val st = new StateTable(spark, path,
+        keys = Seq("day", "k"), partitionCol = "day",
+        metrics = Seq(SumMetric("v", col("v_src")), CountMetric("cnt")))
+      val batch = spark.range(2L * 500).select(
+        expr("date_add(date'2024-01-01', cast(id % 2 as int))").as("day"),
+        (col("id") / 2).cast("long").as("k"),
+        (col("id") % 97).cast("double").as("v_src"))
+      for (_ <- 0 until appends) st.appendBatch(batch)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        def scanOf(): Long = {
+          val plan = st.merged().queryExecution.executedPlan
+          plan.execute().count(): Unit
+          BenchScale.scanRows(plan, path)
+        }
+        val check = st.merged().agg(sum(col("cnt"))).head().getLong(0)
+        val pre = scanOf()
+        st.compact()
+        val post = scanOf()
+        assert(st.merged().agg(sum(col("cnt"))).head().getLong(0) == check,
+          "compaction changed the merged result")
+        (pre, post, check)
+      } finally spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+    val (pre4, post4, check4) = scans(4)
+    val (pre16, post16, check16) = scans(16)
+    assert(pre16 >= pre4 * 3, s"parts axis did not scale: $pre4 -> $pre16 scanned rows")
+    assert(post4 == post16,
+      s"post-compact scan must be flat in pre-compact parts: $post4 vs $post16")
+    assert(post16.toDouble <= pre16 / 3.0,
+      s"compaction did not collapse the read: $pre16 -> $post16 scanned rows")
+    // and the merged answer scaled with the appends, so both tables were real
+    assert(check16 == check4 * 4)
+  }
 }
