@@ -79,13 +79,18 @@ object ChDdl {
   final case class CreateDictionary(
       name: String,
       cols: Seq[Col],
-      primaryKey: String,
+      primaryKeys: Seq[String],
       sourceDb: String,
       sourceTable: String,
       lifetimeMin: Int,
       lifetimeMax: Int,
       layout: String) extends Stmt {
     def sourceName: String = s"$sourceDb.$sourceTable"
+    /** COMPLEX_KEY_* layouts (or a multi-column PRIMARY KEY) key the
+      * dictionary by a typed tuple instead of a single UInt64.
+      */
+    def isComplexKey: Boolean =
+      layout.toUpperCase.startsWith("COMPLEX_KEY") || primaryKeys.length > 1
   }
 
   final case class AlterTable(
@@ -313,8 +318,9 @@ object ChDdl {
     val open = rest.indexOf('(')
     require(open >= 0, s"dictionary ${head.group(1)}: no column list")
     val (body, _) = balanced(rest, open)
-    val pk = """(?is)\bprimary\s+key\s+(\w+)""".r.findFirstMatchIn(s)
-      .map(_.group(1)).getOrElse(sys.error(s"dictionary ${head.group(1)}: no primary key"))
+    val pk = """(?is)\bprimary\s+key\s+(\w+(?:\s*,\s*\w+)*)""".r.findFirstMatchIn(s)
+      .map(_.group(1).split(",").map(_.trim).toSeq)
+      .getOrElse(sys.error(s"dictionary ${head.group(1)}: no primary key"))
     val srcDb = """(?is)\bdb\s+'([^']*)'""".r.findFirstMatchIn(s).map(_.group(1))
       .getOrElse(sys.error(s"dictionary ${head.group(1)}: no source db"))
     val srcTable = """(?is)\btable\s+'([^']*)'""".r.findFirstMatchIn(s).map(_.group(1))

@@ -162,7 +162,16 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
       val names = name +: aliases.collect { case (a, t) if resolve(t) == name => a }.toSeq
       for (n <- names if n.contains('.')) {
         spark.sql(s"CREATE DATABASE IF NOT EXISTS ${n.split('.')(0)}")
-        spark.sql(s"DROP TABLE IF EXISTS $n")
+        // the name may exist as a VIEW (e.g. Catalog.registerParquet from a
+        // previous consumer of the same name) — DROP TABLE refuses views,
+        // so drop whichever object type is actually there
+        val existing =
+          try Option(spark.catalog.getTable(n))
+          catch { case _: org.apache.spark.sql.AnalysisException => None }
+        existing.foreach { t =>
+          if (t.tableType == "VIEW") spark.sql(s"DROP VIEW IF EXISTS $n")
+          else spark.sql(s"DROP TABLE IF EXISTS $n")
+        }
         spark.sql(
           s"CREATE TABLE $n USING parquet OPTIONS (mergeSchema 'true') LOCATION '${st.path}'")
         // partitioned external tables track partitions in the catalog —
@@ -348,11 +357,14 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
 
   private def buildDictionary(d: CreateDictionary): Unit = {
     val src = sourceDf(d.sourceName)
-    val defaults = d.cols.filter(_.name != d.primaryKey).flatMap { c =>
+    val defaults = d.cols.filterNot(c => d.primaryKeys.contains(c.name)).flatMap { c =>
       c.default.map(v => c.name -> defaultValue(v, c.chType))
     }.toMap
     val projected = src.select(d.cols.map(c => col(c.name)): _*)
-    Dictionaries.register(spark, d.name, projected, d.primaryKey, defaults)
+    if (d.isComplexKey)
+      Dictionaries.registerComplex(spark, d.name, projected, d.primaryKeys, defaults)
+    else
+      Dictionaries.register(spark, d.name, projected, d.primaryKeys.head, defaults)
     if (!dictionaries.contains(d.name)) dictionaries += d.name
     dictDdls(d.name) = d
   }

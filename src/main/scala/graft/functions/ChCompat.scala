@@ -302,12 +302,24 @@ object ChCompat {
 
     // ---- dictionary lookup (dim.dict_user_dim.sql:24-27) -------------
     // key is cast to long (dictionary PRIMARY KEY is UInt64); TRY mode
-    // makes uncastable keys act as missing rather than fail the job
+    // makes uncastable keys act as missing rather than fail the job.
+    // COMPLEX_KEY_HASHED dictionaries take the key tuple instead:
+    // dictGet(d, a, tuple(k1, k2)) or the flat dictGet(d, a, k1, k2).
     f("dictGet") { es =>
-      DictGetExpr(stringLit(es(0), "dictGet dictionary name"),
-        stringLit(es(1), "dictGet attribute name"),
-        Cast(es(2), LongType, None, EvalMode.TRY))
+      val dictName = stringLit(es(0), "dictGet dictionary name")
+      val attr = stringLit(es(1), "dictGet attribute name")
+      es.drop(2) match {
+        case Seq(t: CreateNamedStruct) =>
+          DictGetComplexExpr(dictName, attr, t.valExprs)
+        case Seq(single) =>
+          DictGetExpr(dictName, attr, Cast(single, LongType, None, EvalMode.TRY))
+        case multi =>
+          DictGetComplexExpr(dictName, attr, multi)
+      }
     }
+    // CH tuple(...) — here only meaningful as the dictGet key carrier, but
+    // it resolves anywhere a struct does
+    f("tuple")(es => CreateStruct(es))
   }
 
   /** The `-If` combinator: feed the value only where cond holds; Spark

@@ -281,6 +281,76 @@ class ChCompatSpec extends SparkSpec {
     assert(miss.getShort(1) == (-1).toShort)
   }
 
+  test("COMPLEX_KEY_HASHED dictGet: tuple and flat key forms, defaults, nulls") {
+    import spark.implicits._
+    graft.functions.ChCompat.register(spark)
+    // (country, tier) -> cpm dictionary: a string+int tuple key
+    val dim = Seq(
+      ("US", 1, 9.5, "premium"), ("US", 2, 4.0, "mid"),
+      ("DE", 1, 7.25, "premium")).toDF("country", "tier", "cpm", "segment")
+    graft.functions.Dictionaries.registerComplex(spark, "dim.dict_cpm", dim,
+      Seq("country", "tier"), defaults = Map("cpm" -> -1.0))
+    Seq(("US", 1), ("US", 2), ("DE", 1), ("FR", 1))
+      .toDF("country", "tier").createOrReplaceTempView("cpm_probe")
+
+    val got = spark.sql(
+      """SELECT country, tier,
+        |       dictGet('dim.dict_cpm', 'cpm', tuple(country, tier)) AS cpm,
+        |       dictGet('dim.dict_cpm', 'segment', country, tier) AS segment
+        |FROM cpm_probe ORDER BY country, tier""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      ("DE", 1, 7.25, "premium"),
+      ("FR", 1, -1.0, ""),    // missing key: declared default / type default
+      ("US", 1, 9.5, "premium"),
+      ("US", 2, 4.0, "mid")))
+
+    // a null key component is a missing key, not an error
+    val nullKey = spark.sql(
+      "SELECT dictGet('dim.dict_cpm', 'cpm', tuple(CAST(NULL AS STRING), 1)) AS c")
+      .collect().head.getDouble(0)
+    assert(nullKey == -1.0)
+
+    // arity and kind mismatches fail with clear messages
+    val arity = intercept[Exception](spark.sql(
+      "SELECT dictGet('dim.dict_cpm', 'cpm', tuple('US', 1, 2))").collect())
+    assert(arity.getMessage.contains("key is (country, tier)"))
+    val kind = intercept[Exception](spark.sql(
+      "SELECT dictGet('dim.dict_cpm', 'cpm', toUInt64(1))").collect())
+    assert(kind.getMessage.contains("complex (tuple) key"))
+  }
+
+  test("CREATE DICTIONARY with COMPLEX_KEY_HASHED layout replays onto the tuple registry") {
+    import spark.implicits._
+    val ddl =
+      """CREATE DICTIONARY dim.dict_geo_price (
+        |  country String,
+        |  tier UInt32,
+        |  price Float64 default -1
+        |)
+        |PRIMARY KEY country, tier
+        |SOURCE(CLICKHOUSE(db 'dim' table 'geo_price_src'))
+        |LIFETIME(MIN 60 MAX 120)
+        |LAYOUT(COMPLEX_KEY_HASHED())""".stripMargin
+    val parsed = graft.engine.ChDdl.parse(ddl)
+    val d = parsed.collect { case x: graft.engine.ChDdl.CreateDictionary => x }.head
+    assert(d.primaryKeys == Seq("country", "tier"))
+    assert(d.isComplexKey)
+    assert(d.layout.equalsIgnoreCase("COMPLEX_KEY_HASHED"))
+
+    val replay = new graft.engine.ChReplay(spark,
+      graft.engine.ChReplay.scratchWarehouse("graft-ckh-dict"))
+    replay.bind("dim.geo_price_src",
+      Seq(("US", 1, 9.5), ("DE", 2, 3.5)).toDF("country", "tier", "price"))
+    parsed.foreach(replay.execute)
+    val got = replay.runQuery(
+      "SELECT dictGet('dim.dict_geo_price', 'price', tuple('DE', 2)) AS p, " +
+        "dictGet('dim.dict_geo_price', 'price', tuple('XX', 9)) AS miss")
+      .collect().head
+    assert(got.getDouble(0) == 3.5)
+    assert(got.getDouble(1) == -1.0) // declared default
+  }
+
   test("action_002 MV + join-of-aggregates read query run verbatim (dwm:239-326)") {
     Catalog.register(spark, sf)
     // the 002 log's wide-table MV SELECT, verbatim shape (dwm:274-296)

@@ -56,7 +56,7 @@ class ChDdlReplaySpec extends SparkSpec {
     val dict = parse(script("dim.dict_user_dim.sql"))
     val d = dict.collect { case x: CreateDictionary => x }
     assert(d.length == 1)
-    assert(d.head.name == "dim.dict_user_dim" && d.head.primaryKey == "uid")
+    assert(d.head.name == "dim.dict_user_dim" && d.head.primaryKeys == Seq("uid"))
     assert(d.head.sourceName == "dim.user_dim_dis")
     assert(d.head.lifetimeMin == 1800 && d.head.lifetimeMax == 3600)
     assert(d.head.layout.equalsIgnoreCase("HASHED"))
