@@ -41,8 +41,9 @@ object ChAsof {
 
   private val asofJoinRe =
     ("(?is)\\bfrom\\s+([\\w.]+)(?:\\s+(?:as\\s+)?(?!asof\\b)(\\w+))?" +
-      "\\s+asof\\s+(left\\s+)?join\\s+([\\w.]+)(?:\\s+(?:as\\s+)?(?!on\\b)(\\w+))?" +
-      "\\s+on\\s+(.*?)(?=\\bwhere\\b|\\bgroup\\s+by\\b|\\border\\s+by\\b|" +
+      "\\s+asof\\s+(left\\s+)?join\\s+([\\w.]+)(?:\\s+(?:as\\s+)?(?!on\\b|using\\b)(\\w+))?" +
+      "\\s+(?:on\\s+(.*?)|using\\s*\\(([^)]*)\\)\\s*)" +
+      "(?=\\bwhere\\b|\\bgroup\\s+by\\b|\\border\\s+by\\b|" +
       "\\bhaving\\b|\\blimit\\b|\\bwindow\\b|\\bsettings\\b|$)").r
 
   /** Does the query contain an ASOF JOIN to translate? */
@@ -67,7 +68,9 @@ object ChAsof {
     val (leftName, leftAlias) = (m.group(1), Option(m.group(2)))
     val isLeft = m.group(3) != null
     val (rightName, rightAlias) = (m.group(4), Option(m.group(5)))
-    val onClause = m.group(6).trim
+    val onClause = Option(m.group(6)).map(_.trim)
+    val usingCols = Option(m.group(7))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
 
     val leftDf = resolve(leftName)
     val rightDf = resolve(rightName)
@@ -96,7 +99,18 @@ object ChAsof {
     val condRe = """(?s)^([\w.]+)\s*(>=|<=|!?=|<>|>|<)\s*([\w.]+)$""".r
     var keyPairs = Vector.empty[(String, String)] // (left col, right col)
     var timePair: Option[(String, String, String)] = None // (op as l-vs-r, lcol, rcol)
-    for (raw <- onClause.split("(?i)\\band\\b").map(_.trim).filter(_.nonEmpty)) {
+    // the USING form (CH: last USING column is the time axis, `>=`
+    // semantics): same-named keys on both sides, and the shared time
+    // column is aliased on the right so the operator's no-collision
+    // contract holds; the alias is dropped from the output below
+    val usingRightTs = "__asof_using_rts"
+    for (cols <- usingCols) {
+      require(cols.length >= 2,
+        s"ChAsof: ASOF USING needs >= 2 columns (keys..., time), got (${cols.mkString(", ")})")
+      keyPairs = cols.init.map(c => (c, c)).toVector
+      timePair = Some((">=", cols.last, usingRightTs))
+    }
+    for (raw <- onClause.toSeq.flatMap(_.split("(?i)\\band\\b")).map(_.trim).filter(_.nonEmpty)) {
       val cm = condRe.findFirstMatchIn(raw).getOrElse(
         sys.error(s"ChAsof: unsupported ON condition '$raw'"))
       val (s1, c1) = side(cm.group(1))
@@ -140,10 +154,15 @@ object ChAsof {
         s"ChAsof: cannot rename right key $rk -> $lk: right already has a column $lk")
       right2 = right2.withColumnRenamed(rk, lk)
     }
+    if (usingCols.isDefined) right2 = right2.withColumnRenamed(leftTs, rightTs)
 
     val joined = graft.operators.AsOfJoin.asof(
       leftDf, right2, keyPairs.map(_._1), leftTs, rightTs, forward, strict)
-    val result = if (isLeft) joined else joined.filter(col(rightTs).isNotNull)
+    val matched = if (isLeft) joined else joined.filter(col(rightTs).isNotNull)
+    // USING output is one flat namespace: the right time column only
+    // existed under its alias for the join — drop it (CH USING keeps the
+    // left's)
+    val result = if (usingCols.isDefined) matched.drop(usingRightTs) else matched
 
     val view = s"graft_asof_join_${viewSeq.incrementAndGet()}"
     result.createOrReplaceTempView(view)

@@ -68,6 +68,23 @@ object VectorPack {
         .orderBy("probe_id", "rank")
     },
 
+    // Full-probe IVF = exhaustive search: with nprobe = nlist every
+    // inverted list is scanned, and each corpus vector lives in exactly one
+    // list, so the scored set — and therefore the exact top-k — must be
+    // bit-identical to q41's brute force. This puts the IVF join/scoring
+    // machinery itself under the DuckDB hash gate; q44's nprobe<nlist run
+    // stays the (rows-only) scale path it gates.
+    "q81_knn_ivf_full" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val probes = e.filter(col("vec_id").isin(0, 1, 2))
+      val cents = Ann.pickCentroids(e, "vec_id", "embedding", nlist = 16)
+      val ix = Ann.ivfIndex(e, "vec_id", "embedding", cents)
+      Ann.ivfTopK(ix, cents, probes, "vec_id", "embedding", k = 10, nprobe = 16)
+        .select(col("probe_id"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"), col("rank"))
+        .orderBy("probe_id", "rank")
+    },
+
     // Product-quantized ANN (rows-only; seeded-deterministic k-means
     // codebook is not SQL-mirrorable — recall proven in PqSpec via the
     // shortlist+rerank pipeline): 8 bytes per vector instead of 256, ADC
@@ -180,6 +197,27 @@ object VectorPack {
     // Same mirrored fold as q40; rank on the UNROUNDED score (as Spark does),
     // ties by lowest neighbor id; rank surfaced as INT to match Spark's.
     "q41_knn_brute" ->
+      """WITH p AS (
+        |  SELECT vec_id AS probe_id, embedding AS pvec
+        |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+        |s AS (
+        |  SELECT p.probe_id, e.vec_id AS neighbor_id,
+        |    list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.pvec[i] AS DOUBLE))) AS dot,
+        |    sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+        |    sqrt(list_sum(list_transform(p.pvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+        |  FROM embeddings e, p WHERE e.vec_id <> p.probe_id),
+        |r AS (
+        |  SELECT probe_id, neighbor_id, dot / (na * nb) AS cs,
+        |    CAST(ROW_NUMBER() OVER (
+        |      PARTITION BY probe_id ORDER BY dot / (na * nb) DESC, neighbor_id) AS INT) AS rank
+        |  FROM s)
+        |SELECT probe_id, neighbor_id, ROUND(cs, 6) AS cos_sim, rank
+        |FROM r WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
+
+    // Exhaustive IVF (nprobe = nlist) scores exactly the brute-force set,
+    // so the oracle is q41's exact-cosine top-k, verbatim.
+    "q81_knn_ivf_full" ->
       """WITH p AS (
         |  SELECT vec_id AS probe_id, embedding AS pvec
         |  FROM embeddings WHERE vec_id IN (0, 1, 2)),

@@ -109,6 +109,25 @@ class ChAsofSpec extends SparkSpec {
     assert(gotRows.forall(_.getString(1).endsWith("l.k")))
   }
 
+  test("USING form: last column is the time axis, right ts dropped from output") {
+    // CH `ASOF JOIN ... USING (k, t)` — same-named columns on both sides,
+    // the last one the >= time condition, output carrying the LEFT's ts
+    leftDf.withColumnRenamed("lts", "ts").createOrReplaceTempView("asof_lu")
+    rightDf.withColumnRenamed("rts", "ts").createOrReplaceTempView("asof_ru")
+    val got = ChAsof.sql(spark,
+      "SELECT k, ts, lval, rval FROM asof_lu ASOF LEFT JOIN asof_ru USING (k, ts)")
+    val want = AsOfJoin.asof(
+      leftDf.withColumnRenamed("lts", "ts"), rightDf, Seq("k"), "ts", "rts")
+      .select("k", "ts", "lval", "rval")
+    assert(rows(got) == rows(want))
+    // the view's namespace holds exactly one ts column (the left's)
+    val viewCols = ChAsof.sql(spark,
+      "SELECT * FROM asof_lu ASOF JOIN asof_ru USING (k, ts)")
+    assert(!viewCols.columns.exists(_.startsWith("__asof")),
+      s"right-ts alias leaked into the output: ${viewCols.columns.mkString(", ")}")
+    assert(viewCols.columns.count(_ == "ts") == 1)
+  }
+
   test("malformed ON clauses fail with clear errors") {
     setup()
     def err(sql: String): String =

@@ -169,7 +169,9 @@ class PlanSpec extends SparkSpec {
     // q80: the asof view (tagged union window: one exchange per side
     // inside the checkpointless union = 2) + the final range sort; the
     // WHERE rides the window output
-    "q80_asof_sql" -> 3)
+    "q80_asof_sql" -> 3,
+    // q81: full-probe IVF — same shape as q44 (list join + top-k + sort)
+    "q81_knn_ivf_full" -> 2)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)
