@@ -101,6 +101,10 @@ object ChDdl {
 
   final case class DropStmt(sql: String) extends Stmt
   final case class Query(sql: String) extends Stmt
+  /** `OPTIMIZE TABLE t [PARTITION p] [FINAL]` — the manual background-merge
+    * trigger (ref doc:954 `OPTIMIZE TABLE test.mv_union_max FINAL`).
+    */
+  final case class OptimizeTable(table: String, finalMerge: Boolean) extends Stmt
   /** Anything the replayer has no object mapping for. */
   final case class Unparsed(sql: String) extends Stmt
 
@@ -166,6 +170,7 @@ object ChDdl {
     else if (heads("create dictionary")) parseDictionary(s)
     else if (heads("create table")) parseCreateTable(s)
     else if (heads("alter table")) parseAlter(s)
+    else if (heads("optimize table")) parseOptimize(s)
     else if (heads("drop")) DropStmt(s)
     else if (heads("select") || heads("with")) Query(s)
     else Unparsed(s)
@@ -332,6 +337,12 @@ object ChDdl {
       srcDb, srcTable,
       life.map(_.group(1).toInt).getOrElse(0), life.map(_.group(2).toInt).getOrElse(0),
       layout)
+  }
+
+  private def parseOptimize(s: String): OptimizeTable = {
+    val m = """(?is)^optimize\s+table\s+([\w.]+)(?:\s+on\s+cluster\s+\S+)?(.*)$""".r
+      .findFirstMatchIn(s).getOrElse(sys.error(s"bad optimize: ${s.take(80)}"))
+    OptimizeTable(m.group(1), """(?is)\bfinal\b""".r.findFirstIn(m.group(2)).isDefined)
   }
 
   private def parseAlter(s: String): AlterTable = {

@@ -109,6 +109,11 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
         .findFirstMatchIn(sql).foreach { m =>
           mvs.remove(m.group(1)); mvSources.remove(m.group(1)); ()
         }
+    case OptimizeTable(name, _) =>
+      // the manual background-merge trigger (ref doc:954): fold the state
+      // table's accumulated parts — a no-op for plain MergeTree bindings,
+      // whose storage has no merge debt here
+      stateTables.get(resolve(name)).foreach(_.compact())
     case Query(sql) => queries += sql
     case _: Unparsed => ()
   }

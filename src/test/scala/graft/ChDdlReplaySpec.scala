@@ -467,4 +467,43 @@ class ChDdlReplaySpec extends SparkSpec {
       .read().select("day").distinct().collect().map(_.getDate(0).toString).toSet
     assert(daysLeft == Set(d2, d3))
   }
+
+  test("OPTIMIZE TABLE ... FINAL folds state-table parts (doc:954)") {
+    import ChDdl._
+    // parser: table name, ON CLUSTER tolerated, FINAL flag
+    assert(parseStatement("OPTIMIZE TABLE test.mv_union_max FINAL") ==
+      OptimizeTable("test.mv_union_max", finalMerge = true))
+    assert(parseStatement("optimize table db.t on cluster c partition '2024-01-01'") ==
+      OptimizeTable("db.t", finalMerge = false))
+
+    val replay = new ChReplay(spark, ChReplay.scratchWarehouse("graft-optimize"))
+    replay.executeScript(
+      """create table dws.opt_local (
+        | day Date,
+        | k UInt64,
+        | v SimpleAggregateFunction(sum, UInt64)
+        |) engine=AggregatingMergeTree()
+        |PARTITION BY day ORDER BY (day, k);
+        |create table dws.opt_dis (day Date, k UInt64, v UInt64)
+        | engine=Distributed(c, dws, opt_local, rand());""".stripMargin)
+    import spark.implicits._
+    def batch = Seq(("2024-01-01", 1L, 10L), ("2024-01-01", 2L, 5L))
+      .toDF("day_s", "k", "v")
+      .select(org.apache.spark.sql.functions.to_date(col("day_s")).as("day"),
+        col("k"), col("v"))
+    val st = replay.stateTables("dws.opt_local")
+    (1 to 3).foreach(_ => st.appendBatch(batch))
+    def parts(): Int = {
+      val dir = new java.io.File(st.path, "day=2024-01-01")
+      dir.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    val before = parts()
+    assert(before >= 3, s"expected >=3 parts before optimize, got $before")
+    val mergedBefore = st.finalized().collect().map(_.toSeq).toSet
+    // the Distributed alias resolves to the local table, like every DDL path
+    replay.execute(parseStatement("OPTIMIZE TABLE dws.opt_dis FINAL"))
+    assert(parts() < before, s"optimize did not fold parts: $before -> ${parts()}")
+    assert(st.finalized().collect().map(_.toSeq).toSet == mergedBefore,
+      "optimize changed the merged result")
+  }
 }
