@@ -171,6 +171,42 @@ object TextPack {
         .orderBy("doc_id")
     },
 
+    // Dedup-grade normalization under the gate: the corpus text is clean,
+    // so a messy variant is CONSTRUCTED identically on both engines
+    // (upper-cased head + punctuation + doubled spacing) — the hash then
+    // proves lowercase folding, Unicode-class punctuation stripping, and
+    // whitespace collapse agree with DuckDB's independent regex engine.
+    // The invariant column pins the property that matters: normalizing
+    // the messy form recovers the normalization of the original.
+    "q82_normalize_dedup" -> { (s, dir) =>
+      val messy = concat(upper(substring(col("text"), 1, 40)), lit(" ,,  !! "),
+        col("text"), lit("  ...  "))
+      docs(s, dir).select(
+          col("doc_id"),
+          TextFunctions.normalizeForDedup(messy).as("norm_text"),
+          md5(TextFunctions.normalizeForDedup(messy)).as("norm_sig"),
+          (TextFunctions.normalizeForDedup(messy) ===
+            concat(lower(substring(col("text"), 1, 40)), lit(" "), col("text")))
+            .as("recovers_original"))
+        .orderBy("doc_id")
+    },
+
+    // PII-style redaction under the gate: emails/URLs/long digit runs are
+    // injected deterministically per doc, then scrubbed — both engines
+    // construct and redact the same strings, so the hash proves the three
+    // sentinel regexes (and their precedence) agree.
+    "q83_redact_pii" -> { (s, dir) =>
+      val dirty = concat(
+        lit("contact user"), col("doc_id").cast("string"), lit("@example.com visit "),
+        lit("https://ex.io/p/"), col("doc_id").cast("string"), lit("?id=99887766554 call "),
+        (col("doc_id") * 1000000 + 7654321).cast("string"), lit(" - "), col("text"))
+      docs(s, dir).select(
+          col("doc_id"),
+          TextFunctions.redactPii(dirty).as("clean_text"),
+          (length(dirty) - length(TextFunctions.redactPii(dirty))).as("removed_chars"))
+        .orderBy("doc_id")
+    },
+
     // Multimodal plumbing smoke: text bytes as fake blobs through the
     // batched decode-stub pipeline, plus the REAL header sniffer (text
     // bytes classify as 'unknown' format — the corrupt-blob path).
@@ -188,6 +224,43 @@ object TextPack {
   )
 
   val oracle: Map[String, String] = Map(
+    // Same messy construction, DuckDB's RE2 doing the normalization;
+    // 'g' = global replace (Spark's regexp_replace default).
+    "q82_normalize_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    upper(substring(text, 1, 40)) || ' ,,  !! ' || text || '  ...  ' AS messy,
+        |    lower(substring(text, 1, 40)) || ' ' || text AS expect
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, expect,
+        |    trim(regexp_replace(regexp_replace(lower(messy),
+        |      '[^\p{L}\p{Nd}\s]+', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text
+        |  FROM m)
+        |SELECT doc_id, norm_text, md5(norm_text) AS norm_sig,
+        |  norm_text = expect AS recovers_original
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    // Same injected PII, DuckDB's RE2 doing the scrubbing.
+    "q83_redact_pii" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@example.com visit https://ex.io/p/' || CAST(doc_id AS VARCHAR) ||
+        |    '?id=99887766554 call ' ||
+        |    CAST(doc_id * 1000000 + 7654321 AS VARCHAR) || ' - ' || text AS dirty
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, dirty,
+        |    regexp_replace(regexp_replace(regexp_replace(dirty,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      'https?://[^\s]+', '<URL>', 'g'),
+        |      '[0-9]{7,}', '<NUM>', 'g') AS clean_text
+        |  FROM d)
+        |SELECT doc_id, clean_text,
+        |  length(dirty) - length(clean_text) AS removed_chars
+        |FROM r ORDER BY doc_id""".stripMargin,
+
     "q30_dedup_exact" ->
       """SELECT lang, source, COUNT(*) AS docs,
         | COUNT(DISTINCT text) AS uniq_texts, COUNT(DISTINCT md5(text)) AS uniq_md5

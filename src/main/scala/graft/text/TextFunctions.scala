@@ -112,6 +112,30 @@ object TextFunctions {
   def fingerprint64(text: Column, shingleSize: Int = 3): Column =
     fingerprint64FromTokens(tokens(text), shingleSize)
 
+  /** Dedup-grade canonical text form: lowercase, punctuation/symbols to
+    * spaces (Unicode letter/digit classes, so accents and non-Latin
+    * scripts survive), whitespace collapsed, trimmed. Case and spacing
+    * differences are not content differences in a training corpus — hash
+    * THIS form for exact dedup, shingle it for near-dup. Pure Catalyst
+    * (lower + regexp_replace), codegen'd, no UDF.
+    */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^\\p{L}\\p{Nd}\\s]+", " "), "\\s+", " "))
+
+  /** PII-style redaction for pre-training scrubbing: emails, URLs, then
+    * long digit runs (7+, phone/account-shaped) replaced with typed
+    * sentinels. Email before URL (addresses embed dots, not schemes),
+    * URL before digits (URLs may embed long numbers). Pure Catalyst.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "https?://[^\\s]+", "<URL>"),
+      "[0-9]{7,}", "<NUM>")
+
   // ---- quality scoring ----------------------------------------------------
 
   private val defaultStopwords = Seq(

@@ -171,7 +171,10 @@ class PlanSpec extends SparkSpec {
     // WHERE rides the window output
     "q80_asof_sql" -> 3,
     // q81: full-probe IVF — same shape as q44 (list join + top-k + sort)
-    "q81_knn_ivf_full" -> 2)
+    "q81_knn_ivf_full" -> 2,
+    // q82/q83: compute-spread (regex-heavy rows) + final sort — no
+    // aggregation, no join
+    "q82_normalize_dedup" -> 2, "q83_redact_pii" -> 2)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)

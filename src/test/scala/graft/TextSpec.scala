@@ -51,6 +51,43 @@ class TextSpec extends SparkSpec {
     assert(fp == fp2)
   }
 
+  test("normalizeForDedup: case/punct/space variants collapse to one form; Unicode survives") {
+    import spark.implicits._
+    import graft.text.TextFunctions
+    val variants = Seq(
+      "Hello,  World! 42",
+      "hello world 42",
+      "HELLO -- world ... 42",
+      "  hello\tworld\n42  ")
+    val norms = variants.toDF("t")
+      .select(TextFunctions.normalizeForDedup(col("t")).as("n"))
+      .collect().map(_.getString(0)).toSet
+    assert(norms == Set("hello world 42"), s"got $norms")
+    // accents and non-Latin letters are content, not punctuation
+    val uni = Seq("Café crème — 北京 42!").toDF("t")
+      .select(TextFunctions.normalizeForDedup(col("t"))).head().getString(0)
+    assert(uni == "café crème 北京 42")
+  }
+
+  test("redactPii: email/url/number sentinels with the declared precedence") {
+    import spark.implicits._
+    import graft.text.TextFunctions
+    val got = Seq(
+      "mail a.b+c@ex-ample.org now",
+      "see https://x.io/p?id=123456789 ok",
+      "call 12345678 x",
+      "short 123456 stays",
+      "no pii here").toDF("t")
+      .select(TextFunctions.redactPii(col("t")).as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq(
+      "mail <EMAIL> now",
+      "see <URL> ok",       // the URL's digit run is inside the URL sentinel
+      "call <NUM> x",
+      "short 123456 stays", // 6 digits: below the 7+ threshold
+      "no pii here"))
+  }
+
   test("quality features: exact counts on a known sentence") {
     import spark.implicits._
     val df = Seq("The quick fox, the lazy dog.").toDF("text")
