@@ -202,7 +202,10 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     // CH ASOF JOIN: execute the asof span through the window-formulation
     // operator and splice the result view back into the query
     if (ChAsof.applies(q)) q = ChAsof.rewrite(spark, q, sourceDf)
-    spark.sql(chAliasGroupBy(q))
+    // CH ORDER BY ... WITH FILL: run the stripped query, densify the axis
+    if (graft.operators.WithFill.applies(q))
+      graft.operators.WithFill.sql(spark, chAliasGroupBy(q))
+    else spark.sql(chAliasGroupBy(q))
   }
 
   /** CH alias-preference GROUP BY shim, applied PER SELECT BLOCK: each

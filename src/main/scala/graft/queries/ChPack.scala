@@ -279,10 +279,37 @@ object ChPack {
           |FROM graft_ch_customer
           |GROUP BY nation
           |ORDER BY nation""".stripMargin)
+    },
+
+    // CH ORDER BY ... WITH FILL (operators.WithFill): a sparse hourly
+    // report densified onto the 0..24 grid — missing hours surface with
+    // null counts, original rows untouched; the CH report-densification
+    // modifier a time-series user expects.
+    "q84_with_fill" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).events.createOrReplaceTempView("graft_fill_events")
+      graft.operators.WithFill.sql(s,
+        """SELECT toHour(ts) AS h, count(*) AS purchases
+          |FROM graft_fill_events
+          |WHERE event_type = 'purchase' AND user_id % 50 = 0
+          |GROUP BY h
+          |ORDER BY h WITH FILL FROM 0 TO 24""".stripMargin)
     }
   )
 
   val oracle: Map[String, String] = Map(
+    // generate_series LEFT JOIN = the densified grid; TO 24 is exclusive
+    // (CH semantics), so the axis is 0..23 inclusive.
+    "q84_with_fill" ->
+      """WITH hh AS (
+        |  SELECT CAST(extract(hour FROM ts) AS INT) AS h, count(*) AS purchases
+        |  FROM events WHERE event_type = 'purchase' AND user_id % 50 = 0
+        |  GROUP BY 1),
+        |axis AS (SELECT CAST(generate_series AS INT) AS h FROM generate_series(0, 23))
+        |SELECT axis.h AS h, hh.purchases AS purchases
+        |FROM axis LEFT JOIN hh USING (h)
+        |ORDER BY h""".stripMargin,
+
     "q25_catalog_query" ->
       """SELECT CAST(ts AS DATE) AS day,
         | CASE WHEN user_id % 2 = 0 THEN 'android' ELSE 'ios' END AS platform,

@@ -174,7 +174,11 @@ class PlanSpec extends SparkSpec {
     "q81_knn_ivf_full" -> 2,
     // q82/q83: compute-spread (regex-heavy rows) + final sort — no
     // aggregation, no join
-    "q82_normalize_dedup" -> 2, "q83_redact_pii" -> 2)
+    "q82_normalize_dedup" -> 2, "q83_redact_pii" -> 2,
+    // q84: hourly agg (2: partial+final under the alias group-by) + the
+    // hole anti-join's tiny-key exchange + the densified sort — all over
+    // a 24-row report tail
+    "q84_with_fill" -> 4)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)
