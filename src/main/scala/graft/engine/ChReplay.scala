@@ -196,8 +196,10 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     * through the ChCompat dialect unchanged.
     */
   def runQuery(sql: String, substitutions: Map[String, String] = Map.empty): DataFrame = {
-    var q = """(?i)\busing\s+(\w+(?:\s*,\s*\w+)+)""".r
-      .replaceAllIn(sql, m => "USING (" + m.group(1).replaceAll("\\s+", "") + ")")
+    // mechanical dialect shims first (PREWHERE, FORMAT, WITH TOTALS)
+    var q = ChSql(sql)
+    q = """(?i)\busing\s+(\w+(?:\s*,\s*\w+)+)""".r
+      .replaceAllIn(q, m => "USING (" + m.group(1).replaceAll("\\s+", "") + ")")
     for ((from, to) <- substitutions) q = q.replace(from, to)
     // CH ASOF JOIN: execute the asof span through the window-formulation
     // operator and splice the result view back into the query

@@ -281,6 +281,21 @@ object ChPack {
           |ORDER BY nation""".stripMargin)
     },
 
+    // CH PREWHERE + GROUP BY ... WITH TOTALS + trailing FORMAT, all via
+    // the string-level ChSql shims: PREWHERE reads as a pushed filter,
+    // TOTALS becomes GROUPING SETS ((keys), ()) — the grand-total row's
+    // keys are NULL (the Spark/DuckDB convention; CH renders defaults).
+    "q85_with_totals" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).events.createOrReplaceTempView("graft_totals_events")
+      s.sql(graft.engine.ChSql(
+        """SELECT event_type, count(*) AS n, uniqExact(user_id) AS uv
+          |FROM graft_totals_events PREWHERE user_id % 7 = 0
+          |GROUP BY event_type WITH TOTALS
+          |ORDER BY event_type
+          |FORMAT TabSeparated""".stripMargin))
+    },
+
     // CH ORDER BY ... WITH FILL (operators.WithFill): a sparse hourly
     // report densified onto the 0..24 grid — missing hours surface with
     // null counts, original rows untouched; the CH report-densification
@@ -298,6 +313,15 @@ object ChPack {
   )
 
   val oracle: Map[String, String] = Map(
+    // GROUPING SETS mirrors the TOTALS rewrite; NULLS FIRST matches
+    // Spark's ascending-null ordering for the totals row.
+    "q85_with_totals" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uv
+        |FROM events WHERE user_id % 7 = 0
+        |GROUP BY GROUPING SETS ((event_type), ())
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
+
     // generate_series LEFT JOIN = the densified grid; TO 24 is exclusive
     // (CH semantics), so the axis is 0..23 inclusive.
     "q84_with_fill" ->

@@ -281,6 +281,30 @@ class ChCompatSpec extends SparkSpec {
     assert(miss.getShort(1) == (-1).toShort)
   }
 
+  test("ChSql shims: PREWHERE (merging), FORMAT strip, WITH TOTALS rewrite") {
+    import graft.engine.ChSql
+    import spark.implicits._
+    def norm(s: String) = s.replaceAll("\\s+", " ").trim
+    assert(norm(ChSql.prewhere("SELECT x FROM t PREWHERE a > 0")) ==
+      "SELECT x FROM t WHERE a > 0")
+    // PREWHERE + WHERE conjoin (CH applies both)
+    assert(norm(ChSql.prewhere("SELECT x FROM t PREWHERE a > 0 WHERE b < 2")) ==
+      "SELECT x FROM t WHERE (a > 0) AND b < 2")
+    assert(norm(ChSql.stripFormat("SELECT 1 FORMAT TabSeparated;")) == "SELECT 1")
+    assert(norm(ChSql.withTotals("SELECT a, count(*) FROM t GROUP BY a WITH TOTALS")) ==
+      "SELECT a, count(*) FROM t GROUP BY GROUPING SETS ((a), ())")
+
+    // end-to-end: totals row appended, both filters applied
+    Seq((1, "x"), (2, "x"), (3, "y"), (8, "y")).toDF("v", "g")
+      .createOrReplaceTempView("chsql_t")
+    val got = spark.sql(ChSql(
+      """SELECT g, count(*) AS n FROM chsql_t
+        |PREWHERE v < 5 WHERE v > 1
+        |GROUP BY g WITH TOTALS ORDER BY g FORMAT CSV""".stripMargin))
+      .collect().map(r => (if (r.isNullAt(0)) "TOTALS" else r.getString(0)) -> r.getLong(1))
+    assert(got.toSeq == Seq("TOTALS" -> 2L, "x" -> 1L, "y" -> 1L))
+  }
+
   test("COMPLEX_KEY_HASHED dictGet: tuple and flat key forms, defaults, nulls") {
     import spark.implicits._
     graft.functions.ChCompat.register(spark)

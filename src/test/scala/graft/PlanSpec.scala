@@ -178,7 +178,9 @@ class PlanSpec extends SparkSpec {
     // q84: hourly agg (2: partial+final under the alias group-by) + the
     // hole anti-join's tiny-key exchange + the densified sort — all over
     // a 24-row report tail
-    "q84_with_fill" -> 4)
+    "q84_with_fill" -> 4,
+    // q85: grouping-sets expand + distinct-agg exchanges + final sort
+    "q85_with_totals" -> 3)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)

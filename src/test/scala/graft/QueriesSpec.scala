@@ -23,9 +23,9 @@ class QueriesSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("the declared ledger shape holds: 84 queries, 78 oracle-backed") {
-    assert(SparkEntry.queries.size == 84)
-    assert(SparkEntry.oracleSql.size == 78)
+  test("the declared ledger shape holds: 85 queries, 79 oracle-backed") {
+    assert(SparkEntry.queries.size == 85)
+    assert(SparkEntry.oracleSql.size == 79)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("q35_minhash_neardup", "q36_simhash_neardup",
       "q42_knn_lsh", "q43_cosine_neardup", "q44_knn_ivf", "q67_knn_pq"),
