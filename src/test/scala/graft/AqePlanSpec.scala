@@ -83,6 +83,30 @@ class AqePlanSpec extends SparkSpec {
     assert(hash == 1, s"sessionize ran $hash hash exchanges under AQE (want 1)")
   }
 
+  test("q49: the cluster-map join side is exchange-free in the AQE final plan") {
+    // the CC result leaf carries hash(id) partitioning; the docs⋈clusters
+    // join must consume it in place — a shuffle (or a broadcast REBUILD of
+    // the docs side) appearing here would re-pay what the leaf already paid
+    val flat = flatten(queryPlan("q49_dup_clusters"))
+    val joins = flat.filter {
+      case _: BroadcastHashJoinExec | _: SortMergeJoinExec | _: ShuffledHashJoinExec => true
+      case _ => false
+    }
+    assert(joins.nonEmpty, "q49: expected the docs left-join in the AQE final plan")
+    var sawLeaf = false
+    for (j <- joins; side <- j.children) {
+      val sideFlat = flatten(side)
+      // the CC side is the one rooted at the checkpointed RDD scan
+      val isCcSide = sideFlat.exists(_.nodeName.contains("ExistingRDD"))
+      if (isCcSide) {
+        sawLeaf = true
+        assert(!sideFlat.exists(_.isInstanceOf[ShuffleExchangeExec]),
+          s"q49: the cluster-map leaf ran under a shuffle exchange")
+      }
+    }
+    assert(sawLeaf, "q49: no checkpointed cluster-map leaf found under the join")
+  }
+
   test("NearDupIndex probes: history never sits under an exchange in the executed plan") {
     val path = tmpDir("graft-aqe-ndi") + "/ix"
     val ix = new NearDupIndex(spark, path, numHashes = 32, bands = 16)
