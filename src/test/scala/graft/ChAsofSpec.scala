@@ -128,6 +128,23 @@ class ChAsofSpec extends SparkSpec {
     assert(viewCols.columns.count(_ == "ts") == 1)
   }
 
+  test("ChReplay.runQuery resolves ASOF sides through bindings and shims compose") {
+    import graft.engine.ChReplay
+    val replay = new ChReplay(spark, ChReplay.scratchWarehouse("graft-asof-replay"))
+    replay.bind("ods.quotes", rightDf)
+    replay.bind("ods.trades", leftDf)
+    // ASOF through the replay's own source resolution, composed with the
+    // PREWHERE and FORMAT shims that runQuery applies first
+    val got = replay.runQuery(
+      """SELECT l.k, l.lts, r.rval FROM ods.trades l ASOF LEFT JOIN ods.quotes r
+        |  ON l.k = r.k AND l.lts >= r.rts
+        |PREWHERE l.k = 1
+        |ORDER BY l.lts
+        |FORMAT TabSeparated""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == Seq((1L, 10L, "a"), (1L, 20L, "b")))
+  }
+
   test("malformed ON clauses fail with clear errors") {
     setup()
     def err(sql: String): String =
