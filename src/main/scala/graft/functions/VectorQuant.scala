@@ -49,6 +49,14 @@ object VectorQuant {
       require(es.length == 2, "usage: pq_lut(vec, codebookLit)")
       PqLutExpr(es.head, codebookLit(es(1)))
     }, "built-in")
+    reg.createOrReplaceTempFunction("pq_decode", es => {
+      require(es.length == 2, "usage: pq_decode(codes, codebookLit)")
+      PqDecodeExpr(es.head, codebookLit(es(1)))
+    }, "built-in")
+    reg.createOrReplaceTempFunction("pq_adc_dot", es => {
+      require(es.length == 2, "usage: pq_adc_dot(codes, lut)")
+      PqAdcDotExpr(es(0), es(1))
+    }, "built-in")
     reg.createOrReplaceTempFunction("pq_recon_error", es => {
       require(es.length == 2, "usage: pq_recon_error(vec, codebookLit)")
       PqReconErrorExpr(es.head, codebookLit(es(1)))
@@ -99,6 +107,21 @@ object VectorQuant {
     */
   def pq_recon_error(vec: Column, cb: Array[Array[Array[Float]]]): Column =
     call_function("pq_recon_error", vec, cbLit(cb))
+
+  /** Reconstructed vector from m codes: the concatenation of each
+    * subspace's chosen sub-centroid (x̂ in ADC notation). For residual
+    * coding the caller adds the coarse centroid back on top.
+    */
+  def pq_decode(codes: Column, cb: Array[Array[Array[Float]]]): Column =
+    call_function("pq_decode", codes, cbLit(cb))
+
+  /** Just the LUT-sum half of ADC: Σ_m lut[m·ksub + code_m] — dot(probe,
+    * reconstruction). Norm handling is the caller's (residual coding keeps
+    * reconstruction norms per encoded row, not per codebook cell).
+    * m and ksub come from the runtime array lengths — no literal needed.
+    */
+  def pq_adc_dot(codes: Column, lut: Column): Column =
+    call_function("pq_adc_dot", codes, lut)
 
   private def cbLit(cb: Array[Array[Array[Float]]]): Column =
     typedLit(cb.toSeq.map(_.toSeq.map(_.toSeq)))
@@ -421,6 +444,89 @@ case class PqLutExpr(child: Expression, cb: Array[Array[Array[Float]]])
   override protected def withNewChildInternal(c: Expression): PqLutExpr =
     copy(child = c)
   override def prettyName: String = "pq_lut"
+}
+
+/** Reconstruction of a code row: concat of chosen sub-centroids; see
+  * [[VectorQuant.pq_decode]].
+  */
+case class PqDecodeExpr(child: Expression, cb: Array[Array[Array[Float]]])
+  extends Expression
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] with CodegenFallback {
+
+  require(cb.nonEmpty && cb.head.nonEmpty, "pq_decode: empty codebook")
+  private val m = cb.length
+  private val subDim = cb.head.head.length
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_decode requires array<int> codes, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val a = v.asInstanceOf[ArrayData]
+    require(a.numElements() == m, s"pq_decode: expected $m codes, got ${a.numElements()}")
+    val out = new Array[Float](m * subDim)
+    var mi = 0
+    while (mi < m) {
+      val cent = cb(mi)(a.getInt(mi))
+      System.arraycopy(cent, 0, out, mi * subDim, math.min(subDim, cent.length))
+      mi += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqDecodeExpr =
+    copy(child = c)
+  override def prettyName: String = "pq_decode"
+}
+
+/** LUT-sum half of ADC (dot of probe with the reconstruction); m/ksub are
+  * inferred from the runtime array lengths. See [[VectorQuant.pq_adc_dot]].
+  */
+case class PqAdcDotExpr(codes: Expression, lut: Expression)
+  extends Expression
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] with CodegenFallback {
+
+  override def left: Expression = codes
+  override def right: Expression = lut
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!codes.dataType.isInstanceOf[ArrayType] ||
+        codes.dataType.asInstanceOf[ArrayType].elementType != IntegerType)
+      TypeCheckResult.TypeCheckFailure("pq_adc_dot: codes must be array<int>")
+    else if (!lut.dataType.isInstanceOf[ArrayType] ||
+        lut.dataType.asInstanceOf[ArrayType].elementType != DoubleType)
+      TypeCheckResult.TypeCheckFailure("pq_adc_dot: lut must be array<double>")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def eval(input: InternalRow): Any = {
+    val cv = codes.eval(input)
+    val lv = lut.eval(input)
+    if (cv == null || lv == null) return null
+    val ca = cv.asInstanceOf[ArrayData]
+    val la = lv.asInstanceOf[ArrayData]
+    val m = ca.numElements()
+    if (m == 0) return java.lang.Double.valueOf(0.0)
+    val ksub = la.numElements() / m
+    var dot = 0.0; var mi = 0
+    while (mi < m) {
+      dot += la.getDouble(mi * ksub + ca.getInt(mi))
+      mi += 1
+    }
+    java.lang.Double.valueOf(dot)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcDotExpr =
+    copy(codes = l, lut = r)
+  override def prettyName: String = "pq_adc_dot"
 }
 
 /** ADC cosine score of one candidate; see [[VectorQuant]]. */

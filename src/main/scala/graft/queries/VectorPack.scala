@@ -101,6 +101,33 @@ object VectorPack {
         .orderBy("probe_id", "rank")
     },
 
+    // Residual IVF-PQ (FAISS IndexIVFPQ layout) + exact rerank, under the
+    // hash gate via the q81 construction: nprobe = nlist probes every
+    // list, the ADC shortlist width exceeds the corpus so the shortlist is
+    // the full candidate set, and rerank rescores with the same exact
+    // cosine kernel as q41 — so the declared result is q41's verbatim.
+    // This gates residual encode (assignment, codes, recon norms), LUT/ADC
+    // scoring (a null/NaN anywhere breaks the heap), and the refine join
+    // end-to-end; ADC *ranking quality* is asserted in IvfPqSpec on
+    // clustered data, where PQ's reconstruction guarantee actually bites
+    // (on random uniform embeddings a partial shortlist has no recall
+    // floor to promise). nprobe < nlist is the rows-only scale path q44/
+    // q67 already gate.
+    "q86_knn_ivfpq_rerank" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val probes = e.filter(col("vec_id").isin(0, 1, 2))
+      val cents = Ann.pickCentroids(e, "vec_id", "embedding", nlist = 16)
+      val cb = graft.similarity.IvfPq.train(e, "vec_id", "embedding", cents,
+        m = 8, ksub = 16, iterations = 1)
+      val enc = graft.similarity.IvfPq.encode(e, "vec_id", "embedding", cents, cb)
+      val shortlist = graft.similarity.IvfPq.topK(enc, cents, cb, probes,
+        "vec_id", "embedding", k = 600, nprobe = 16)
+      graft.similarity.IvfPq.rerank(shortlist, e, probes, "vec_id", "embedding", k = 10)
+        .select(col("probe_id"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"), col("rank"))
+        .orderBy("probe_id", "rank")
+    },
+
     // Exact all-pairs cosine near-dup — the oracle-gated verifier twin of
     // q43's LSH path (same threshold, same scoring expression). All-pairs
     // is O(n²) by definition: the declared query is the CORRECTNESS anchor
@@ -197,6 +224,28 @@ object VectorPack {
     // Same mirrored fold as q40; rank on the UNROUNDED score (as Spark does),
     // ties by lowest neighbor id; rank surfaced as INT to match Spark's.
     "q41_knn_brute" ->
+      """WITH p AS (
+        |  SELECT vec_id AS probe_id, embedding AS pvec
+        |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+        |s AS (
+        |  SELECT p.probe_id, e.vec_id AS neighbor_id,
+        |    list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.pvec[i] AS DOUBLE))) AS dot,
+        |    sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+        |    sqrt(list_sum(list_transform(p.pvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+        |  FROM embeddings e, p WHERE e.vec_id <> p.probe_id),
+        |r AS (
+        |  SELECT probe_id, neighbor_id, dot / (na * nb) AS cs,
+        |    CAST(ROW_NUMBER() OVER (
+        |      PARTITION BY probe_id ORDER BY dot / (na * nb) DESC, neighbor_id) AS INT) AS rank
+        |  FROM s)
+        |SELECT probe_id, neighbor_id, ROUND(cs, 6) AS cos_sim, rank
+        |FROM r WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
+
+    // Full-probe residual IVF-PQ with a corpus-wide shortlist + exact
+    // rerank reduces to the exact top-10 (the q81 construction), so the
+    // oracle is q41's exact-cosine top-k, verbatim.
+    "q86_knn_ivfpq_rerank" ->
       """WITH p AS (
         |  SELECT vec_id AS probe_id, embedding AS pvec
         |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
