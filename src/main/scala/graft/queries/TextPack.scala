@@ -191,6 +191,24 @@ object TextPack {
         .orderBy("doc_id")
     },
 
+    // Benchmark decontamination under the gate: the "eval set" is 20-token
+    // snippets (normalized tokens 5..24) of every 10th document — both
+    // engines construct the identical eval set from the corpus itself, so
+    // the report (which docs share an 8-token shingle with it, and how
+    // many distinct shingles) is fully hash-checked. n=8 instead of the
+    // published 13 keeps the snippets long enough to shingle at this SF.
+    "q87_decontaminate" -> { (s, dir) =>
+      graft.text.TextFunctions.register(s)
+      val d = docs(s, dir)
+      val norm = graft.text.TextFunctions.normalizeForDedup(col("text"))
+      val bench = d.filter(col("doc_id") % 10 === 0)
+        .select(array_join(
+          slice(graft.text.TextFunctions.tokens(norm), 5, 20), " ").as("bench_text"))
+      graft.text.Curation.contaminationReport(d, "doc_id", "text",
+          bench, "bench_text", n = 8)
+        .orderBy("doc_id")
+    },
+
     // PII-style redaction under the gate: emails/URLs/long digit runs are
     // injected deterministically per doc, then scrubbed — both engines
     // construct and redact the same strings, so the hash proves the three
@@ -226,6 +244,30 @@ object TextPack {
   val oracle: Map[String, String] = Map(
     // Same messy construction, DuckDB's RE2 doing the normalization;
     // 'g' = global replace (Spark's regexp_replace default).
+    // Mirrors the pipeline stage-for-stage: normalize (q82's regex chain),
+    // tokenize (split on the collapsed single spaces), slice the eval
+    // snippets, shingle both sides with 8-grams, join, count distinct.
+    // COUNT of a DISTINCT set is BIGINT on both engines.
+    "q87_decontaminate" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^\p{L}\p{Nd}\s]+', ' ', 'g'), '\s+', ' ', 'g')) AS nt
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, list_filter(string_split(nt, ' '), x -> x <> '') AS toks
+        |  FROM norm),
+        |bench AS (
+        |  SELECT DISTINCT array_to_string(bt[i:i+7], ' ') AS sh
+        |  FROM (SELECT toks[5:24] AS bt FROM tok WHERE doc_id % 10 = 0) b,
+        |    UNNEST(generate_series(1, len(bt) - 7)) AS t(i)),
+        |docsh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS sh
+        |  FROM tok, UNNEST(generate_series(1, len(toks) - 7)) AS t(i))
+        |SELECT doc_id, COUNT(*) AS matched_shingles
+        |FROM docsh JOIN bench USING (sh)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
     "q82_normalize_dedup" ->
       """WITH m AS (
         |  SELECT doc_id,

@@ -77,6 +77,55 @@ object Curation {
           .as("chunk"))
   }
 
+  /** Distinct normalized n-token shingles of an evaluation set — the probe
+    * set for [[contaminationReport]]. Normalization is the dedup canonical
+    * form ([[TextFunctions.normalizeForDedup]]): contamination checks must
+    * not be defeated by case or punctuation differences.
+    */
+  def benchmarkShingles(bench: DataFrame, textCol: String, n: Int): DataFrame = {
+    TextFunctions.register(bench.sparkSession)
+    bench
+      .select(explode(TextFunctions.shingles(
+        TextFunctions.tokens(TextFunctions.normalizeForDedup(col(textCol))), n)).as("sh"))
+      .distinct()
+  }
+
+  /** Benchmark decontamination — the eval-set n-gram overlap test (the
+    * GPT-3 appendix-C posture, kept by PaLM/Llama: a training document is
+    * contaminated if it shares any `n`-token shingle with an evaluation
+    * document; 13 tokens is the published default). Returns one row per
+    * CONTAMINATED doc: (idCol, matched_shingles = distinct eval shingles
+    * it contains). [[decontaminate]] is the filtering twin.
+    *
+    * Scale shape: eval sets are MB-sized against a 100 TB corpus, so the
+    * distinct benchmark shingles broadcast; detection is ONE corpus scan
+    * (normalize → shingle → broadcast hash join) and the only exchange is
+    * the per-doc count over the hits — sized by contamination, not by the
+    * corpus.
+    */
+  def contaminationReport(docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 13): DataFrame = {
+    TextFunctions.register(docs.sparkSession)
+    val probe = benchmarkShingles(bench, benchTextCol, n)
+    docs
+      .select(col(idCol), explode(TextFunctions.shingles(
+        TextFunctions.tokens(TextFunctions.normalizeForDedup(col(textCol))), n)).as("sh"))
+      .join(broadcast(probe), Seq("sh"))
+      .groupBy(idCol)
+      .agg(count_distinct(col("sh")).as("matched_shingles"))
+  }
+
+  /** Drop every document sharing an `n`-token shingle with the eval set —
+    * an anti-join against [[contaminationReport]]'s ids; the corpus is
+    * scanned once, nothing corpus-sized shuffles.
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 13): DataFrame =
+    docs.join(
+      contaminationReport(docs, idCol, textCol, bench, benchTextCol, n)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Capacity-quantized greedy sequence packing: within each `groupCol`
     * (a shard — language, source, writer partition), documents in `orderCol`
     * order are assigned to bins of ≈`capacity` total `weightCol` (token

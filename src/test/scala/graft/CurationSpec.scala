@@ -92,4 +92,35 @@ class CurationSpec extends SparkSpec {
       }
     }
   }
+
+  test("decontaminate drops exactly the eval-overlapping docs; clean corpus re-reports empty") {
+    import spark.implicits._
+    // corpus: 40 distinct synthetic docs; doc 7 and 23 quote the benchmark
+    // verbatim mid-text, doc 31 quotes it with case/punct noise (must still
+    // be caught through normalization); everything else is disjoint tokens
+    val benchText = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = (0 until 40).map { i =>
+      val body = (0 until 30).map(j => s"w${i}_$j").mkString(" ")
+      val text = i match {
+        case 7 | 23 => s"prefix $benchText suffix $body"
+        case 31 => s"intro The QUICK, brown FOX jumps over the lazy DOG tonight!! $body"
+        case _ => body
+      }
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val bench = Seq(benchText).toDF("bench_text")
+
+    val report = Curation.contaminationReport(docs, "doc_id", "text", bench, "bench_text", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(report.keySet == Set(7L, 23L, 31L), s"wrong contamination set: ${report.keySet}")
+    // the 10-token benchmark has three 8-shingles; verbatim quotes match all
+    assert(report(7L) == 3 && report(23L) == 3 && report(31L) == 3, s"$report")
+
+    val clean = Curation.decontaminate(docs, "doc_id", "text", bench, "bench_text", n = 8)
+    assert(clean.count() == 37)
+    assert(clean.filter(col("doc_id").isin(7, 23, 31)).isEmpty)
+    // idempotence: a decontaminated corpus reports nothing
+    assert(Curation.contaminationReport(clean, "doc_id", "text", bench, "bench_text", n = 8)
+      .isEmpty)
+  }
 }
