@@ -1,7 +1,6 @@
 package graft.engine
 
 import java.util.concurrent.atomic.AtomicInteger
-import java.util.regex.Pattern
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
@@ -78,23 +77,8 @@ object ChAsof {
     val rQuals = (rightAlias.toSeq :+ rightName) ++ rightName.split('.').lastOption
 
     // classify each operand: which side does `alias.col` / bare `col` name?
-    def side(term: String): (Char, String) = {
-      val dot = term.lastIndexOf('.')
-      if (dot > 0) {
-        val (qual, c) = (term.substring(0, dot), term.substring(dot + 1))
-        if (lQuals.exists(_.equalsIgnoreCase(qual))) ('l', c)
-        else if (rQuals.exists(_.equalsIgnoreCase(qual))) ('r', c)
-        else sys.error(s"ChAsof: unknown qualifier '$qual' in ON term '$term'")
-      } else {
-        val inL = leftDf.columns.exists(_.equalsIgnoreCase(term))
-        val inR = rightDf.columns.exists(_.equalsIgnoreCase(term))
-        if (inL && inR) sys.error(
-          s"ChAsof: ambiguous ON term '$term' (qualify it with the table alias)")
-        else if (inL) ('l', term)
-        else if (inR) ('r', term)
-        else sys.error(s"ChAsof: ON term '$term' is in neither side")
-      }
-    }
+    def side(term: String): (Char, String) =
+      ChJoinSyntax.sideOf(term, lQuals, rQuals, leftDf, rightDf, "ChAsof")
 
     val condRe = """(?s)^([\w.]+)\s*(>=|<=|!?=|<>|>|<)\s*([\w.]+)$""".r
     var keyPairs = Vector.empty[(String, String)] // (left col, right col)
@@ -172,17 +156,6 @@ object ChAsof {
     // flat namespace carrying both sides' original column names)
     val spliced = query.substring(0, m.start) + s" FROM $view " + query.substring(m.end)
     val quals = (lQuals ++ rQuals).distinct.filter(_.nonEmpty)
-    stripQualifiers(spliced, quals)
-  }
-
-  /** Remove `qual.` prefixes outside single-quoted literals. */
-  private def stripQualifiers(sql: String, quals: Seq[String]): String = {
-    val pat = ("(?i)(?<![\\w.])(?:" +
-      quals.map(Pattern.quote).mkString("|") + ")\\.").r
-    // protect string literals: replace only in even-indexed splits
-    val parts = sql.split("'", -1)
-    parts.zipWithIndex.map { case (p, i) =>
-      if (i % 2 == 0) pat.replaceAllIn(p, "") else p
-    }.mkString("'")
+    ChJoinSyntax.stripQualifiers(spliced, quals)
   }
 }

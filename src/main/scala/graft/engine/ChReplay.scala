@@ -204,6 +204,8 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     // CH ASOF JOIN: execute the asof span through the window-formulation
     // operator and splice the result view back into the query
     if (ChAsof.applies(q)) q = ChAsof.rewrite(spark, q, sourceDf)
+    // CH ANY-strictness joins: deterministic one-row-per-key reduction
+    if (ChAnyJoin.applies(q)) q = ChAnyJoin.rewrite(spark, q, sourceDf)
     // CH ORDER BY ... WITH FILL: run the stripped query, densify the axis
     if (graft.operators.WithFill.applies(q))
       graft.operators.WithFill.sql(spark, chAliasGroupBy(q))

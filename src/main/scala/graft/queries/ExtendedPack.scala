@@ -181,6 +181,27 @@ object ExtendedPack {
           |ORDER BY e.event_id""".stripMargin)
     },
 
+    // CH ANY-strictness join through the SQL dialect: each order picks ONE
+    // lineitem. ClickHouse's ANY keeps an arbitrary match; ours is the
+    // deterministic refinement (smallest non-key tuple, see AnyJoin), so
+    // the whole answer — not just its shape — sits under the hash gate
+    // (DuckDB mirrors the pick with a ROW_NUMBER-1 join).
+    "q88_any_join_sql" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.orders.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .createOrReplaceTempView("graft_any_orders")
+      t.lineitem.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
+        .createOrReplaceTempView("graft_any_lines")
+      graft.engine.ChAnyJoin.sql(s,
+        """SELECT o.o_orderkey, o.o_totalprice, l.l_linenumber,
+          |       l.l_quantity, l.l_extendedprice
+          |FROM graft_any_orders o ANY LEFT JOIN graft_any_lines l
+          |  ON o.o_orderkey = l.l_orderkey
+          |WHERE o.o_custkey % 3 = 0
+          |ORDER BY o.o_orderkey""".stripMargin)
+    },
+
     // Sessionization (graft.operators.Sessionize): 30-minute-gap sessions
     // per user over raw events, with per-session stats — one window pass,
     // one aggregation, both keyed by user.
@@ -370,6 +391,22 @@ object ExtendedPack {
 
     // DuckDB's ASOF (inner) JOIN with the strict comparator mirrors the
     // dialect form exactly.
+    // The deterministic ANY pick: per l_orderkey, the row with the
+    // smallest (l_linenumber, l_quantity, l_extendedprice) tuple — a
+    // ROW_NUMBER-1 join in SQL.
+    "q88_any_join_sql" ->
+      """WITH l AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |    ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_linenumber, l_quantity, l_extendedprice) AS rn
+        |  FROM lineitem)
+        |SELECT o.o_orderkey, o.o_totalprice, l.l_linenumber,
+        |  l.l_quantity, l.l_extendedprice
+        |FROM orders o LEFT JOIN l
+        |  ON o.o_orderkey = l.l_orderkey AND l.rn = 1
+        |WHERE o.o_custkey % 3 = 0
+        |ORDER BY o.o_orderkey""".stripMargin,
+
     "q80_asof_sql" ->
       """WITH ro AS (
         |  SELECT o_custkey AS user_id, o_orderdate AS od,
