@@ -12,7 +12,9 @@ package graft.engine
   *  - `GROUP BY ... WITH TOTALS` — the grand-total companion row, as
   *    `GROUPING SETS ((keys), ())`. Documented divergence: CH renders the
   *    totals row's key columns as type defaults (0/''), grouping sets
-  *    yield NULLs — the relational convention Spark and DuckDB share.
+  *    yield NULLs — the relational convention Spark and DuckDB share;
+  *  - `GLOBAL` join/IN prefix — CH's ship-to-every-shard hint; Catalyst
+  *    owns distribution, the keyword drops.
   */
 object ChSql {
 
@@ -36,6 +38,15 @@ object ChSql {
       java.util.regex.Matcher.quoteReplacement(
         s"GROUP BY GROUPING SETS ((${m.group(1).trim}), ())"))
 
+  /** Drop CH's `GLOBAL` distribution keyword (GLOBAL [ANY|…] JOIN /
+    * GLOBAL [NOT] IN): on CH it forces shipping the right side to every
+    * shard; Catalyst owns distribution (broadcast vs shuffle) from
+    * statistics, and on one engine the unprefixed form is semantically
+    * identical.
+    */
+  def stripGlobal(q: String): String =
+    q.replaceAll("(?i)\\bglobal\\s+(?=((any|all|left|right|inner|full|cross|semi|anti|asof)\\s+)*join\\b|(not\\s+)?in\\s*\\()", "")
+
   /** All shims, in the order they compose. */
-  def apply(q: String): String = withTotals(stripFormat(prewhere(q)))
+  def apply(q: String): String = withTotals(stripFormat(prewhere(stripGlobal(q))))
 }

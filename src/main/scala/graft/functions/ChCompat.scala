@@ -182,6 +182,17 @@ object ChCompat {
     f("anyLast") { es => new Last(es.head, true).toAggregateExpression() }
     f("quantileExact") { es => new Percentile(es(0), es(1)) }
     f("quantileTDigest") { es => new ApproximatePercentile(es(0), es(1)) }
+    // CH plural quantiles(p1,...,pn)(x) in the flat spelling
+    // (x, p1, ..., pn): one aggregation pass, array out — explode for a
+    // row-per-quantile result
+    f("quantilesExact") { es =>
+      require(es.length >= 2, s"quantilesExact needs (x, p1, ...), got ${es.length} args")
+      new Percentile(es(0), CreateArray(es.drop(1)))
+    }
+    f("quantilesTDigest") { es =>
+      require(es.length >= 2, s"quantilesTDigest needs (x, p1, ...), got ${es.length} args")
+      new ApproximatePercentile(es(0), CreateArray(es.drop(1)))
+    }
     // CH topK(k)(x) -> topK(x[, k]): SpaceSaving heavy hitters, values only
     // (the est/err form is the library's freq_topk)
     f("topK") { es => FreqTopK.buildAgg(es, valuesOnly = true) }

@@ -200,6 +200,32 @@ object ChPack {
     // (toYYYYMM/toStartOfMonth/toMonday), formatDateTime (MySQL-style
     // specifiers, %i = minute), splitByChar/arrayStringConcat,
     // empty/notEmpty, intDiv — all per-row expressions, gated row-exact.
+    // CH plural quantiles (one pass, array out, exploded per quantile)
+    // plus the GLOBAL keyword shim: the dialect text uses GLOBAL ANY JOIN
+    // — GLOBAL strips (Catalyst owns distribution), ANY resolves through
+    // ChAnyJoin, quantilesExact aggregates the flat spelling.
+    "q90_quantiles_multi" -> { (s, dir) =>
+      ChCompat.register(s)
+      val t = Tables(s, dir)
+      t.lineitem.select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+        .createOrReplaceTempView("graft_qm_lines")
+      t.orders.select(col("o_orderkey"), col("o_orderpriority"))
+        .createOrReplaceTempView("graft_qm_orders")
+      val sql =
+        """SELECT o.o_orderpriority AS pri,
+          |       quantilesExact(l.l_quantity, 0.25, 0.5, 0.75, 0.9) AS qs,
+          |       count(*) AS cnt
+          |FROM graft_qm_lines l GLOBAL ANY INNER JOIN graft_qm_orders o
+          |  ON l.l_orderkey = o.o_orderkey
+          |GROUP BY o.o_orderpriority""".stripMargin
+      val stripped = graft.engine.ChSql(sql)
+      graft.engine.ChAnyJoin.sql(s, stripped)
+        .select(org.apache.spark.sql.functions.posexplode(col("qs")),
+          col("pri"), col("cnt"))
+        .select(col("pri"), col("pos").as("qi"), col("col").as("q"), col("cnt"))
+        .orderBy("pri", "qi")
+    },
+
     "q71_ch_scalars" -> { (s, dir) =>
       ChCompat.register(s)
       Tables(s, dir).events.createOrReplaceTempView("graft_scalar_events")
@@ -479,6 +505,20 @@ object ChPack {
         |  array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS first3,
         |  len(list_filter(toks, t -> t = 'data')) > 0 AS mentions_data
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    // quantile_cont's list form mirrors the one-pass plural quantiles;
+    // the ANY join is trivially the plain join (unique order keys).
+    "q90_quantiles_multi" ->
+      """WITH j AS (
+        |  SELECT o.o_orderpriority AS pri, l.l_quantity
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |q AS (
+        |  SELECT pri, quantile_cont(l_quantity, [0.25, 0.5, 0.75, 0.9]) AS qs,
+        |    COUNT(*) AS cnt
+        |  FROM j GROUP BY pri)
+        |SELECT pri, CAST(i - 1 AS INT) AS qi, qs[i] AS q, cnt
+        |FROM q, UNNEST(generate_series(1, 4)) t(i)
+        |ORDER BY pri, qi""".stripMargin,
 
     "q71_ch_scalars" ->
       """SELECT event_id,

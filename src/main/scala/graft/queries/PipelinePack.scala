@@ -103,6 +103,18 @@ object PipelinePack {
         .orderBy("lang")
     },
 
+    // Stratified quota sampling: cap every source at 10 docs, drawn by
+    // the deterministic md5 order (Curation.stratifiedSample — bounded-
+    // heap per-group selection, not a window funnel). Both engines rank
+    // by the same 13-hex-digit md5 prefix, so the exact sampled set is
+    // hash-gated.
+    "q89_stratified_sample" -> { (s, dir) =>
+      Curation.stratifiedSample(Tables(s, dir).documents, Seq("source"), "doc_id",
+          quota = 10, salt = ":strat")
+        .select("doc_id", "source", "lang", "n_chars")
+        .orderBy("doc_id")
+    },
+
     // Per-language quality curation: top-5 docs by quality score via the
     // bounded-heap topk_by_score aggregate — every partition reduces to ≤ k
     // rows per group BEFORE the shuffle (the scale-safe form of the
@@ -211,6 +223,17 @@ object PipelinePack {
         |WHERE lang <> 'en'
         |   OR substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 2) < '40'
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // The deterministic draw: rank within each source by the 13-hex-digit
+    // md5 prefix (fixed-width hex compares lexicographically ==
+    // numerically), ties by doc_id — the mirror of the heap's
+    // (-hash, lowest-id) order.
+    "q89_stratified_sample" ->
+      """SELECT doc_id, source, lang, n_chars
+        |FROM documents
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+        |  ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 13), doc_id) <= 10
+        |ORDER BY doc_id""".stripMargin,
 
     "q62_quality_topk" ->
       s"""WITH t AS (

@@ -77,6 +77,44 @@ object Curation {
           .as("chunk"))
   }
 
+  /** Stratified quota sampling: keep up to `quota` rows per group, drawn
+    * deterministically — the rows whose md5(key ‖ salt) is smallest within
+    * the group (a uniform pseudo-random order that any engine reproduces;
+    * different salts draw independent samples). The corpus-mixing
+    * companion to [[sampleDeterministic]]: rate-sampling thins by a
+    * fraction, quota-sampling caps over-represented strata (languages,
+    * sources, domains) at an absolute size.
+    *
+    * Scale shape: per-group selection rides the bounded-heap
+    * [[graft.functions.TopK]] aggregate — each input partition reduces to
+    * ≤ quota candidates per group BEFORE the shuffle (exchange is
+    * O(groups × quota)), then a semi-join fetches the winners' rows. A
+    * `Window.partitionBy(group)` row_number would funnel each stratum
+    * through one task — the single-task bottleneck this avoids.
+    *
+    * The hash is truncated to 13 hex digits (52 bits): exact in the
+    * heap's double score, and its numeric order equals the hex string's
+    * lexicographic order, so a SQL mirror is `ORDER BY
+    * substring(md5(...), 1, 13), key`. Hash ties break by lowest key.
+    * `keyCol` must be unique (it identifies the sampled rows) and
+    * integral (it rides the heap as a long).
+    */
+  def stratifiedSample(df: DataFrame, groupCols: Seq[String], keyCol: String,
+      quota: Int, salt: String = ""): DataFrame = {
+    require(quota >= 1, s"quota must be >= 1: $quota")
+    graft.functions.TopK.register(df.sparkSession)
+    val h = conv(substring(md5(concat(col(keyCol).cast(StringType), lit(salt))), 1, 13), 16, 10)
+      .cast(LongType)
+    val picked = df
+      .select(groupCols.map(col) :+ col(keyCol).cast(LongType).as("__k") :+ h.as("__h"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.TopK.topk_by_score(
+        struct(negate(col("__h")).cast(DoubleType), col("__k")), quota).as("__nn"))
+      .select(explode(col("__nn")).as("__e"))
+      .select(col("__e.id").as("__k"))
+    df.join(picked, col(keyCol).cast(LongType) === picked("__k"), "left_semi")
+  }
+
   /** Distinct normalized n-token shingles of an evaluation set — the probe
     * set for [[contaminationReport]]. Normalization is the dedup canonical
     * form ([[TextFunctions.normalizeForDedup]]): contamination checks must

@@ -281,6 +281,17 @@ class ChCompatSpec extends SparkSpec {
     assert(miss.getShort(1) == (-1).toShort)
   }
 
+  test("plural quantiles: one aggregation pass, array out, exact and sketch forms") {
+    import spark.implicits._
+    graft.functions.ChCompat.register(spark)
+    Seq(1.0, 2.0, 3.0, 4.0, 5.0).toDF("x").createOrReplaceTempView("chq_t")
+    val r = spark.sql(
+      """SELECT quantilesExact(x, 0.0, 0.5, 1.0) AS qs,
+        |       quantilesTDigest(x, 0.25, 0.5) AS qt FROM chq_t""".stripMargin).head()
+    assert(r.getSeq[Double](0) == Seq(1.0, 3.0, 5.0))
+    assert(r.getSeq[Double](1)(1) == 3.0)
+  }
+
   test("ChSql shims: PREWHERE (merging), FORMAT strip, WITH TOTALS rewrite") {
     import graft.engine.ChSql
     import spark.implicits._
@@ -293,6 +304,16 @@ class ChCompatSpec extends SparkSpec {
     assert(norm(ChSql.stripFormat("SELECT 1 FORMAT TabSeparated;")) == "SELECT 1")
     assert(norm(ChSql.withTotals("SELECT a, count(*) FROM t GROUP BY a WITH TOTALS")) ==
       "SELECT a, count(*) FROM t GROUP BY GROUPING SETS ((a), ())")
+    // GLOBAL drops before joins and IN, stays elsewhere (it could be a name)
+    assert(norm(ChSql.stripGlobal("SELECT 1 FROM a GLOBAL ANY LEFT JOIN b ON a.k = b.k")) ==
+      "SELECT 1 FROM a ANY LEFT JOIN b ON a.k = b.k")
+    assert(norm(ChSql.stripGlobal("SELECT 1 FROM a GLOBAL JOIN b USING (k)")) ==
+      "SELECT 1 FROM a JOIN b USING (k)")
+    assert(norm(ChSql.stripGlobal("SELECT x FROM t WHERE k GLOBAL IN (SELECT k FROM s)")) ==
+      "SELECT x FROM t WHERE k IN (SELECT k FROM s)")
+    assert(norm(ChSql.stripGlobal("SELECT x FROM t WHERE k GLOBAL NOT IN (1, 2)")) ==
+      "SELECT x FROM t WHERE k NOT IN (1, 2)")
+    assert(norm(ChSql.stripGlobal("SELECT global FROM t")) == "SELECT global FROM t")
 
     // end-to-end: totals row appended, both filters applied
     Seq((1, "x"), (2, "x"), (3, "y"), (8, "y")).toDF("v", "g")

@@ -93,6 +93,39 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("stratifiedSample: exact quota per stratum, deterministic, salt-independent draws") {
+    import spark.implicits._
+    // 4 strata of sizes 50/50/8/50 — the size-8 stratum survives in full
+    val docs = (0 until 158).map { i =>
+      val g = if (i < 50) "a" else if (i < 100) "b" else if (i < 108) "c" else "d"
+      (i.toLong, g, s"text $i")
+    }.toDF("doc_id", "grp", "text")
+
+    val once = Curation.stratifiedSample(docs, Seq("grp"), "doc_id", quota = 10, salt = ":x")
+    val counts = once.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("a" -> 10, "b" -> 10, "c" -> 8, "d" -> 10), s"$counts")
+
+    // sampled rows keep their full original shape
+    assert(once.columns.toSeq == docs.columns.toSeq)
+
+    // pure function of (key, salt): re-run identical, new salt draws differently
+    val twice = Curation.stratifiedSample(docs, Seq("grp"), "doc_id", quota = 10, salt = ":x")
+    assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+    val other = Curation.stratifiedSample(docs, Seq("grp"), "doc_id", quota = 10, salt = ":y")
+    assert(once.exceptAll(other).count() > 0)
+
+    // the pick is the smallest md5 prefixes within each stratum (local replica)
+    def h(id: Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:x".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      md.substring(0, 13)
+    }
+    val expectA = (0L until 50L).sortBy(i => (h(i), i)).take(10).toSet
+    val gotA = once.filter(col("grp") === "a").collect().map(_.getLong(0)).toSet
+    assert(gotA == expectA)
+  }
+
   test("decontaminate drops exactly the eval-overlapping docs; clean corpus re-reports empty") {
     import spark.implicits._
     // corpus: 40 distinct synthetic docs; doc 7 and 23 quote the benchmark
