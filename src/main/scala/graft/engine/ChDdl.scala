@@ -54,6 +54,7 @@ object ChDdl {
       primaryKey: Seq[String],
       orderBy: Seq[String],
       ttl: Option[Ttl],
+      sampleBy: Option[String],
       asTable: Option[String]) extends Stmt {
     def isDistributed: Boolean = engine.equalsIgnoreCase("Distributed")
     /** `Distributed(cluster, db, table, key)` → `db.table`. */
@@ -249,7 +250,7 @@ object ChDdl {
 
   /** Clause keywords that terminate an unparenthesized key list. */
   private val clauseKw =
-    """(?is)\b(partition\s+by|primary\s+key|order\s+by|ttl|settings|engine)\b""".r
+    """(?is)\b(partition\s+by|primary\s+key|order\s+by|sample\s+by|ttl|settings|engine)\b""".r
 
   private def keyList(s: String, kw: String): Seq[String] = {
     val m = ("""(?is)\b""" + kw + """\b""").r.findFirstMatchIn(s)
@@ -299,6 +300,7 @@ object ChDdl {
       primaryKey = keyList(s, "primary\\s+key"),
       orderBy = keyList(s, "order\\s+by"),
       ttl = ttl,
+      sampleBy = keyList(s, "sample\\s+by").headOption,
       asTable = asTable)
   }
 

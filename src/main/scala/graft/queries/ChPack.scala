@@ -200,6 +200,19 @@ object ChPack {
     // (toYYYYMM/toStartOfMonth/toMonday), formatDateTime (MySQL-style
     // specifiers, %i = minute), splitByChar/arrayStringConcat,
     // empty/notEmpty, intDiv — all per-row expressions, gated row-exact.
+    // CH SAMPLE clause: a fixed quarter of documents offset past the
+    // midpoint of the hash space, keyed by doc_id. The md5-range predicate
+    // is a pure key function, so the exact slice — membership, counts,
+    // sums — sits under the hash gate.
+    "q91_sample_clause" -> { (s, dir) =>
+      Tables(s, dir).documents.createOrReplaceTempView("graft_sample_docs")
+      val q =
+        """SELECT lang, count(*) AS docs, sum(n_chars) AS chars
+          |FROM graft_sample_docs SAMPLE 0.25 OFFSET 0.5
+          |GROUP BY lang ORDER BY lang""".stripMargin
+      s.sql(graft.engine.ChSample.rewrite(q, _ => Some("doc_id")))
+    },
+
     // CH plural quantiles (one pass, array out, exploded per quantile)
     // plus the GLOBAL keyword shim: the dialect text uses GLOBAL ANY JOIN
     // — GLOBAL strips (Catalyst owns distribution), ANY resolves through
@@ -505,6 +518,15 @@ object ChPack {
         |  array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS first3,
         |  len(list_filter(toks, t -> t = 'data')) > 0 AS mentions_data
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    // [0.5, 0.75) of the md5 hash space as 13-hex-digit string bounds
+    // (fixed-width hex compares lexicographically == numerically).
+    "q91_sample_clause" ->
+      """SELECT lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) >= '8000000000000'
+        |  AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) < 'c000000000000'
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // quantile_cont's list form mirrors the one-pass plural quantiles;
     // the ANY join is trivially the plain join (unique order keys).
