@@ -311,6 +311,34 @@ object ChCompat {
           Seq(Alias(range.output.head, "number")()), range)
       }, "built-in")
 
+    // merge('db', 'tables_regexp') — CH's union table function: every
+    // table of `db` whose name matches the (unanchored) regex, unioned BY
+    // NAME, with the `_table` virtual column naming each row's source.
+    // Missing columns resolve as NULL (documented divergence: CH fills
+    // type defaults). Tables enumerate at plan construction — the regex
+    // is against the catalog, resolution stays with the analyzer.
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "merge", { es: Seq[Expression] =>
+        require(es.length == 2, s"merge takes (db, tables_regexp), got ${es.length} args")
+        val db = stringLit(es(0), "merge database")
+        val re = stringLit(es(1), "merge tables_regexp").r
+        val matches = spark.catalog.listTables(db).collect()
+          .filter(t => re.findFirstIn(t.name).isDefined)
+          .sortBy(_.name)
+        require(matches.nonEmpty, s"merge: no tables in '$db' match '${re.pattern}'")
+        import org.apache.spark.sql.catalyst.analysis.{UnresolvedRelation, UnresolvedStar}
+        import org.apache.spark.sql.catalyst.plans.logical.{Project, Union}
+        val scans = matches.toSeq.map { t =>
+          // temp views live outside the database namespace — single-part name
+          val rel = UnresolvedRelation(
+            if (t.isTemporary) Seq(t.name) else Seq(db, t.name))
+          Project(Seq(UnresolvedStar(None),
+            Alias(Literal(t.name), "_table")()), rel)
+        }
+        if (scans.length == 1) scans.head
+        else Union(scans, byName = true, allowMissingCol = true)
+      }, "built-in")
+
     // ---- dictionary lookup (dim.dict_user_dim.sql:24-27) -------------
     // key is cast to long (dictionary PRIMARY KEY is UInt64); TRY mode
     // makes uncastable keys act as missing rather than fail the job.

@@ -200,6 +200,22 @@ object ChPack {
     // (toYYYYMM/toStartOfMonth/toMonday), formatDateTime (MySQL-style
     // specifiers, %i = minute), splitByChar/arrayStringConcat,
     // empty/notEmpty, intDiv — all per-row expressions, gated row-exact.
+    // CH merge() table function: three shard views unioned by name with
+    // the _table virtual column attributing each row — counts and exact
+    // id ranges per shard under the gate.
+    "q92_merge_tables" -> { (s, dir) =>
+      ChCompat.register(s)
+      val e = Tables(s, dir).events
+      e.filter(col("event_id") % 3 === 0).createOrReplaceTempView("graft_evt_shard_a")
+      e.filter(col("event_id") % 3 === 1).createOrReplaceTempView("graft_evt_shard_b")
+      e.filter(col("event_id") % 3 === 2).createOrReplaceTempView("graft_evt_shard_c")
+      s.sql(
+        """SELECT _table, count(*) AS cnt,
+          |       min(event_id) AS min_id, max(event_id) AS max_id
+          |FROM merge('default', '^graft_evt_shard')
+          |GROUP BY _table ORDER BY _table""".stripMargin)
+    },
+
     // CH SAMPLE clause: a fixed quarter of documents offset past the
     // midpoint of the hash space, keyed by doc_id. The md5-range predicate
     // is a pure key function, so the exact slice — membership, counts,
@@ -518,6 +534,18 @@ object ChPack {
         |  array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS first3,
         |  len(list_filter(toks, t -> t = 'data')) > 0 AS mentions_data
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    // The three shards reconstructed as literal-tagged unions.
+    "q92_merge_tables" ->
+      """WITH u AS (
+        |  SELECT 'graft_evt_shard_a' AS _table, event_id FROM events WHERE event_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 'graft_evt_shard_b' AS _table, event_id FROM events WHERE event_id % 3 = 1
+        |  UNION ALL
+        |  SELECT 'graft_evt_shard_c' AS _table, event_id FROM events WHERE event_id % 3 = 2)
+        |SELECT _table, COUNT(*) AS cnt,
+        |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+        |FROM u GROUP BY _table ORDER BY _table""".stripMargin,
 
     // [0.5, 0.75) of the md5 hash space as 13-hex-digit string bounds
     // (fixed-width hex compares lexicographically == numerically).

@@ -281,6 +281,28 @@ class ChCompatSpec extends SparkSpec {
     assert(miss.getShort(1) == (-1).toShort)
   }
 
+  test("merge() table function: regex union by name, _table attribution, NULL fill") {
+    import spark.implicits._
+    graft.functions.ChCompat.register(spark)
+    Seq((1, "a"), (2, "b")).toDF("id", "v").createOrReplaceTempView("chm_part_one")
+    Seq((3, "c", 9.5)).toDF("id", "v", "extra").createOrReplaceTempView("chm_part_two")
+    Seq((99, "z")).toDF("id", "v").createOrReplaceTempView("chm_other")
+
+    val got = spark.sql(
+      "SELECT _table, id, v, extra FROM merge('default', '^chm_part') ORDER BY id")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(got.toSeq == Seq(
+      ("chm_part_one", 1, "a", None), ("chm_part_one", 2, "b", None),
+      ("chm_part_two", 3, "c", Some(9.5))))
+
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM merge('default', '^no_such_prefix_x')").collect()
+    }
+    assert(e.getMessage.contains("no tables"))
+  }
+
   test("plural quantiles: one aggregation pass, array out, exact and sketch forms") {
     import spark.implicits._
     graft.functions.ChCompat.register(spark)
