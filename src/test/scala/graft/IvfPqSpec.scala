@@ -115,6 +115,51 @@ class IvfPqSpec extends SparkSpec {
     assert(ranks == (1 to 10))
   }
 
+  test("IvfPqIndex: build/append round-trip, exactly-once, drift + rebuild-and-swap") {
+    import graft.similarity.IvfPqIndex
+    val dir = tmpDir("ivfpq-index") + "/ix"
+    val ix = new IvfPqIndex(spark, dir)
+    val first = clustered.filter(col("vec_id") < 400)
+    val rest = clustered.filter(col("vec_id") >= 400)
+    ix.build(first, nlist = 8, m = 8, ksub = 16, lloydIterations = 1)
+    ix.append(rest)
+
+    // append-encoded rows are bit-identical to encoding directly against
+    // the frozen quantizers (codes AND stored norms)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("neighbor_id"), r.getAs[Int]("list_id"),
+        r.getAs[collection.Seq[Int]]("codes").toSeq, r.getAs[Double]("rnorm"))
+    val stored = ix.index.collect().map(key).toSet
+    val direct = graft.similarity.IvfPq
+      .encode(clustered, "vec_id", "embedding", ix.centroids, ix.codebook)
+      .collect().map(key).toSet
+    assert(stored == direct)
+
+    // exactly-once appends dedup replays
+    val extra = clustered.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val pre = ix.index.count()
+    assert(ix.appendExactlyOnce(extra, 3L), "first delivery must ingest")
+    assert(!ix.appendExactlyOnce(extra, 3L), "replayed id must dedup")
+    assert(ix.index.count() == pre + 10)
+
+    // drift: training data ~0; negated vectors reconstruct badly; rebuild heals
+    assert(math.abs(ix.drift(first)) < 1e-9)
+    val shifted = clustered
+      .select((col("vec_id") + 200000).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+    val d = ix.drift(shifted)
+    assert(d > 0.01, s"shifted batch must raise residual recon error: $d")
+    ix.rebuildAndSwap(clustered.unionByName(shifted), nlist = 8, m = 8, ksub = 16)
+    assert(ix.drift(shifted) < d, "rebuild did not reduce recon error")
+
+    // post-swap search: dense ranks, cluster-mate on top
+    val top = ix.topK(clustered.filter(col("vec_id") === 7), k = 5, nprobe = 8).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
+    assert(top.nonEmpty && top.minBy(_._1)._2 % 25 == 7L,
+      s"post-swap search should surface a cluster-mate first: ${top.toSeq}")
+  }
+
   test("pq_decode / pq_adc_dot agree with local replicas") {
     graft.functions.VectorOps.register(spark)
     graft.functions.VectorQuant.register(spark)
