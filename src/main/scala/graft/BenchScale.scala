@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 import graft.dedup.{Cluster, Dedup, NearDupIndex}
 import graft.mv.{CountMetric, StateTable, SumMetric}
-import graft.similarity.{IvfIndex, Pq}
+import graft.similarity.{IvfIndex, IvfPqIndex, Pq}
 
 /** Scaling-evidence bench: measures the scaling CURVES behind SCALE.md's
   * 100 TB claims on synthetic corpora (generated via `spark.range` + md5
@@ -216,8 +216,18 @@ object BenchScale {
         Pq.adcTopK(encoded, cb, probes, "vec_id", "embedding", 10)
           .write.format("noop").mode("overwrite").save()
       }
+      // residual IVF-PQ (the persisted two-level layout): build = refined
+      // coarse k-means + residual codebook + encode; search = nprobe-pruned
+      // residual ADC over the stored codes
+      val ipq = new IvfPqIndex(spark, tmp("graft-scale-ivfpq"))
+      val ipqBuildSec = timed { ipq.build(emb, nlist = 64, m = 8, ksub = 32, lloydIterations = 1) }
+      val ipqSearchSec = timed {
+        ipq.topK(probes, k = 10, nprobe = 4)
+          .write.format("noop").mode("overwrite").save()
+      }
       emit(s"""{"curve":"ivf_pq_scaling","vectors":$n,"ivf_build_sec":$buildSec,""" +
-        s""""ivf_search_sec":$searchSec,"pq_train_sec":$pqTrainSec,"adc_search_sec":$adcSec}""")
+        s""""ivf_search_sec":$searchSec,"pq_train_sec":$pqTrainSec,"adc_search_sec":$adcSec,""" +
+        s""""ivfpq_build_sec":$ipqBuildSec,"ivfpq_search_sec":$ipqSearchSec}""")
     }
 
     // ---- 5. compaction cost vs part count --------------------------------
