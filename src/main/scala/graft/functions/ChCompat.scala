@@ -126,6 +126,11 @@ object ChCompat {
         Add(acc, If(lf.function, Literal(1), Literal(0))), acc +: lf.arguments)
       ArrayAggregate(es(1), Literal(0), merge, LambdaFunction.identity)
     }
+    // CH arrayJoin(arr): duplicate the row per element — exactly Spark's
+    // explode generator; resolves anywhere a generator does (SELECT list /
+    // LATERAL VIEW), with CH's one-arrayJoin-per-SELECT restriction
+    // becoming Spark's one-generator-per-SELECT analysis error
+    f("arrayJoin") { es => Explode(es.head) }
     f("has") { es => ArrayContains(es(0), es(1)) }
     f("hasAny") { es => ArraysOverlap(es(0), es(1)) }
     f("arrayDistinct") { es => ArrayDistinct(es.head) }

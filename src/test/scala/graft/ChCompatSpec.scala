@@ -303,6 +303,17 @@ class ChCompatSpec extends SparkSpec {
     assert(e.getMessage.contains("no tables"))
   }
 
+  test("arrayJoin duplicates the row per element, like CH (explode semantics)") {
+    import spark.implicits._
+    graft.functions.ChCompat.register(spark)
+    Seq((1, Seq("a", "b")), (2, Seq("c")), (3, Seq.empty[String]))
+      .toDF("id", "arr").createOrReplaceTempView("chaj_t")
+    val got = spark.sql("SELECT id, arrayJoin(arr) AS v FROM chaj_t ORDER BY id, v")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    // empty arrays drop the row — CH arrayJoin semantics
+    assert(got == Seq((1, "a"), (1, "b"), (2, "c")))
+  }
+
   test("plural quantiles: one aggregation pass, array out, exact and sketch forms") {
     import spark.implicits._
     graft.functions.ChCompat.register(spark)

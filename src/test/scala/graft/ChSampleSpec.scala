@@ -67,8 +67,12 @@ class ChSampleSpec extends SparkSpec {
     assert(ct.sampleBy.contains("id"))
     assert(ct.orderBy == Seq("grp", "id"), "SAMPLE BY must not bleed into ORDER BY")
 
+    // external table on a temp path — a managed one would leave its
+    // location under ./spark-warehouse and poison the next JVM's metastore
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_chs")
-    t.write.mode("overwrite").saveAsTable("graft_chs.events_local")
+    spark.sql("DROP TABLE IF EXISTS graft_chs.events_local")
+    t.write.mode("overwrite").option("path", tmpDir("chsample-tbl") + "/t")
+      .saveAsTable("graft_chs.events_local")
     val full = rep.runQuery("SELECT count(*) AS n FROM graft_chs.events_local")
       .head().getLong(0)
     val half = rep.runQuery("SELECT count(*) AS n FROM graft_chs.events_local SAMPLE 0.5")

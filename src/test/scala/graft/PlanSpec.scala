@@ -180,7 +180,27 @@ class PlanSpec extends SparkSpec {
     // a 24-row report tail
     "q84_with_fill" -> 4,
     // q85: grouping-sets expand + distinct-agg exchanges + final sort
-    "q85_with_totals" -> 3)
+    "q85_with_totals" -> 3,
+    // q86: the ADC shortlist heap agg + the rerank fetch join + final
+    // sort; probes and LUTs broadcast, the code table never re-exchanges
+    "q86_knn_ivfpq_rerank" -> 3,
+    // q87: doc-shingle explode feeds the broadcast probe join (no
+    // exchange), then per-doc count agg + sort; the bench side's distinct
+    // adds its own small exchange
+    "q87_decontaminate" -> 4,
+    // q88: right-side min(struct) dedup agg + the outer join's exchange;
+    // the deterministic pick is aggregation-shaped, not a window funnel
+    "q88_any_join_sql" -> 2,
+    // q89: per-stratum heap agg + the winners' semi-join fetch
+    "q89_stratified_sample" -> 2,
+    // q90: ANY dedup agg + join exchange + the quantile agg
+    "q90_quantiles_multi" -> 3,
+    // q91: sample predicate rides the scan (no exchange of its own);
+    // group agg + sort
+    "q91_sample_clause" -> 2,
+    // q92: three-way by-name union into one agg + sort — the union
+    // itself is exchange-free
+    "q92_merge_tables" -> 2)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)
