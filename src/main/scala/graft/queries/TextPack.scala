@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -191,6 +191,48 @@ object TextPack {
         .orderBy("doc_id")
     },
 
+    // Gopher-style repetition filters (Rae et al. 2021 §A1.1: duplicate
+    // n-gram fractions and the most-frequent-n-gram character fraction —
+    // the standard repetition quality gates before training). Duplicate
+    // fractions are pure array expressions; the top 2-gram is the
+    // aggregation-shaped mode per doc (explode → count → max_by with a
+    // total (cnt, gram) order, so ties are deterministic in both engines).
+    "q93_repetition" -> { (s, dir) =>
+      TextFunctions.register(s)
+      val base = graft.engine.Warehouse.spreadForCompute(docs(s, dir), "doc_id")
+        .select(col("doc_id"), col("text"),
+          TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("text"),
+          size(col("toks")).as("n_tokens"),
+          TextFunctions.shingles(col("toks"), 2).as("g2"),
+          TextFunctions.shingles(col("toks"), 3).as("g3"))
+      def dupFrac(g: Column): Column =
+        when(size(g) === 0, lit(0.0))
+          .otherwise((size(g) - size(array_distinct(g))).cast(DoubleType) / size(g))
+      val top = base.select(col("doc_id"), explode(col("g2")).as("sh"))
+        .groupBy("doc_id", "sh").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(max_by(struct(col("sh"), col("cnt")),
+          struct(col("cnt"), col("sh"))).as("top"))
+        .select(col("doc_id"), col("top.sh").as("top_2gram"),
+          col("top.cnt").as("top_2gram_count"))
+      val charFrac =
+        when(length(col("text")) === 0, lit(null))
+          .otherwise((length(col("top_2gram")) * col("top_2gram_count"))
+            .cast(DoubleType) / length(col("text")))
+      base.join(top, Seq("doc_id"), "left_outer")
+        .withColumn("dup2", dupFrac(col("g2")))
+        .withColumn("dup3", dupFrac(col("g3")))
+        .withColumn("tcf", charFrac)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("dup2"), 6).as("dup_2gram_frac"),
+          round(col("dup3"), 6).as("dup_3gram_frac"),
+          col("top_2gram"), col("top_2gram_count"),
+          round(col("tcf"), 6).as("top_char_frac"),
+          (coalesce(col("tcf"), lit(0.0)) <= 0.2 && col("dup3") <= 0.6).as("keep"))
+        .orderBy("doc_id")
+    },
+
     // Benchmark decontamination under the gate: the "eval set" is 20-token
     // snippets (normalized tokens 5..24) of every 10th document — both
     // engines construct the identical eval set from the corpus itself, so
@@ -244,6 +286,44 @@ object TextPack {
   val oracle: Map[String, String] = Map(
     // Same messy construction, DuckDB's RE2 doing the normalization;
     // 'g' = global replace (Spark's regexp_replace default).
+    // Mirror: list shingles for the duplicate fractions, a windowed mode
+    // pick (cnt DESC, gram DESC — the max_by (cnt, gram) order) for the
+    // top 2-gram; all fractions on unrounded doubles, rounded at the edge.
+    "q93_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, text, toks,
+        |    list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+        |      i -> toks[i] || ' ' || toks[i+1]) AS g2,
+        |    list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3
+        |  FROM tok),
+        |cnts AS (
+        |  SELECT doc_id, sh, COUNT(*) AS cnt
+        |  FROM (SELECT doc_id, unnest(g2) AS sh FROM g) GROUP BY 1, 2),
+        |top AS (
+        |  SELECT doc_id, sh AS top_2gram, cnt AS top_2gram_count FROM cnts
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, sh DESC) = 1),
+        |f AS (
+        |  SELECT g.doc_id, CAST(len(toks) AS INT) AS n_tokens,
+        |    CASE WHEN len(g2) = 0 THEN 0.0
+        |      ELSE CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2) END AS dup2,
+        |    CASE WHEN len(g3) = 0 THEN 0.0
+        |      ELSE CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3) END AS dup3,
+        |    t.top_2gram, t.top_2gram_count,
+        |    CASE WHEN len(text) = 0 THEN NULL
+        |      ELSE CAST(len(t.top_2gram) * t.top_2gram_count AS DOUBLE) / len(text)
+        |    END AS tcf
+        |  FROM g LEFT JOIN top t ON g.doc_id = t.doc_id)
+        |SELECT doc_id, n_tokens,
+        |  ROUND(dup2, 6) AS dup_2gram_frac, ROUND(dup3, 6) AS dup_3gram_frac,
+        |  top_2gram, top_2gram_count, ROUND(tcf, 6) AS top_char_frac,
+        |  (COALESCE(tcf, 0.0) <= 0.2 AND dup3 <= 0.6) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
+
     // Mirrors the pipeline stage-for-stage: normalize (q82's regex chain),
     // tokenize (split on the collapsed single spaces), slice the eval
     // snippets, shingle both sides with 8-grams, join, count distinct.

@@ -200,7 +200,10 @@ class PlanSpec extends SparkSpec {
     "q91_sample_clause" -> 2,
     // q92: three-way by-name union into one agg + sort — the union
     // itself is exchange-free
-    "q92_merge_tables" -> 2)
+    "q92_merge_tables" -> 2,
+    // q93: the top-2-gram mode agg (partial+final over (doc, gram)) +
+    // the report join back to the expression side + final sort
+    "q93_repetition" -> 3)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)
