@@ -87,10 +87,18 @@ object ChAnyJoin {
     }
     if (keyPairs.isEmpty) sys.error("ChAnyJoin: ANY join needs at least one equality key")
 
-    // rename right keys onto the left's names (one flat output namespace)
+    // rename right keys onto the left's names (one flat output namespace);
+    // a key pair may not reuse a column either side, and each collision
+    // check runs against the PROGRESSIVELY renamed frame — checking the
+    // original would spuriously reject `l.a = r.b AND l.b = r.c` (b is
+    // renamed away before the second pair needs the name)
+    require(keyPairs.map(_._1.toLowerCase).distinct.size == keyPairs.size,
+      s"ChAnyJoin: duplicate left key in ON: ${keyPairs.map(_._1).mkString(", ")}")
+    require(keyPairs.map(_._2.toLowerCase).distinct.size == keyPairs.size,
+      s"ChAnyJoin: duplicate right key in ON: ${keyPairs.map(_._2).mkString(", ")}")
     var right2 = rightDf
     for ((lk, rk) <- keyPairs if !lk.equalsIgnoreCase(rk)) {
-      require(!rightDf.columns.exists(_.equalsIgnoreCase(lk)),
+      require(!right2.columns.exists(_.equalsIgnoreCase(lk)),
         s"ChAnyJoin: cannot rename right key $rk -> $lk: right already has a column $lk")
       right2 = right2.withColumnRenamed(rk, lk)
     }

@@ -131,10 +131,17 @@ object ChAsof {
     }
 
     // rename right keys onto the left's names (the operator's contract);
-    // refuse renames that would collide with an existing right column
+    // refuse renames that would collide with an existing right column —
+    // checked against the PROGRESSIVELY renamed frame, so chains like
+    // `l.a = r.b AND l.b = r.c` (b renamed away before the second pair
+    // needs the name) pass, and duplicate key reuse is rejected up front
+    require(keyPairs.map(_._1.toLowerCase).distinct.size == keyPairs.size,
+      s"ChAsof: duplicate left key in ON: ${keyPairs.map(_._1).mkString(", ")}")
+    require(keyPairs.map(_._2.toLowerCase).distinct.size == keyPairs.size,
+      s"ChAsof: duplicate right key in ON: ${keyPairs.map(_._2).mkString(", ")}")
     var right2 = rightDf
     for ((lk, rk) <- keyPairs if !lk.equalsIgnoreCase(rk)) {
-      require(!rightDf.columns.exists(_.equalsIgnoreCase(lk)),
+      require(!right2.columns.exists(_.equalsIgnoreCase(lk)),
         s"ChAsof: cannot rename right key $rk -> $lk: right already has a column $lk")
       right2 = right2.withColumnRenamed(rk, lk)
     }

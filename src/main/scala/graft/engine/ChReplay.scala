@@ -202,8 +202,9 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
       .replaceAllIn(q, m => "USING (" + m.group(1).replaceAll("\\s+", "") + ")")
     for ((from, to) <- substitutions) q = q.replace(from, to)
     // CH SAMPLE clause: hash-range filter over the table's SAMPLE BY key
+    // (view-splicing form, so SAMPLE composes with the join shims below)
     if (ChSample.applies(q))
-      q = ChSample.rewrite(q, t => tables.get(resolve(t)).flatMap(_.sampleBy))
+      q = ChSample.rewriteViews(spark, q, t => tables.get(resolve(t)).flatMap(_.sampleBy))
     // CH ASOF JOIN: execute the asof span through the window-formulation
     // operator and splice the result view back into the query
     if (ChAsof.applies(q)) q = ChAsof.rewrite(spark, q, sourceDf)

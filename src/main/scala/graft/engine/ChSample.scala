@@ -56,23 +56,52 @@ object ChSample {
   private def hexBound(x: Double): String =
     f"${math.min((x * 4503599627370496.0).toLong, 4503599627370495L)}%013x"
 
-  /** Rewrite every `FROM t [alias] SAMPLE f [OFFSET m]` span;
-    * `sampleKeyFor` supplies the table's SAMPLE BY expression.
+  /** Parse one matched SAMPLE span → (table, alias, range predicate). */
+  private def parsed(m: scala.util.matching.Regex.Match,
+      sampleKeyFor: String => Option[String]): (String, String, String) = {
+    val table = m.group(1)
+    val alias = Option(m.group(2)).getOrElse(table.split('.').last)
+    val f = frac(m.group(3), "SAMPLE fraction")
+    val off = Option(m.group(4)).map(frac(_, "OFFSET", isOffset = true)).getOrElse(0.0)
+    require(off + f <= 1.0 + 1e-12,
+      s"ChSample: SAMPLE $f OFFSET $off runs past the end of the hash space " +
+        "(fraction + offset must be <= 1) — the slice would silently shrink")
+    val key = sampleKeyFor(table).getOrElse(sys.error(
+      s"ChSample: table $table declares no SAMPLE BY key"))
+    val h = s"substring(md5(cast(($key) as string)), 1, 13)"
+    val hi = off + f
+    val pred =
+      if (hi >= 1.0) s"$h >= '${hexBound(off)}'"
+      else s"$h >= '${hexBound(off)}' AND $h < '${hexBound(hi)}'"
+    (table, alias, pred)
+  }
+
+  /** Rewrite every `FROM t [alias] SAMPLE f [OFFSET m]` span into a
+    * filtered subquery; `sampleKeyFor` supplies the table's SAMPLE BY
+    * expression. Pure string-level — fine standalone, but a subquery in
+    * FROM defeats the downstream string-level join translators; inside
+    * [[ChReplay.runQuery]] use [[rewriteViews]].
     */
   def rewrite(query: String, sampleKeyFor: String => Option[String]): String =
     sampleRe.replaceAllIn(query, m => {
-      val table = m.group(1)
-      val alias = Option(m.group(2)).getOrElse(table.split('.').last)
-      val f = frac(m.group(3), "SAMPLE fraction")
-      val off = Option(m.group(4)).map(frac(_, "OFFSET", isOffset = true)).getOrElse(0.0)
-      val key = sampleKeyFor(table).getOrElse(sys.error(
-        s"ChSample: table $table declares no SAMPLE BY key"))
-      val h = s"substring(md5(cast(($key) as string)), 1, 13)"
-      val hi = off + f
-      val pred =
-        if (hi >= 1.0) s"$h >= '${hexBound(off)}'"
-        else s"$h >= '${hexBound(off)}' AND $h < '${hexBound(hi)}'"
+      val (table, alias, pred) = parsed(m, sampleKeyFor)
       java.util.regex.Matcher.quoteReplacement(
         s" FROM (SELECT * FROM $table WHERE $pred) $alias ")
+    })
+
+  private val viewSeq = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Like [[rewrite]], but splices a TEMP VIEW holding the filtered scan,
+    * so `SAMPLE` composes with the ASOF/ANY join translators (their
+    * regexes need a plain `FROM <name> [alias]` span, not a subquery).
+    */
+  def rewriteViews(spark: org.apache.spark.sql.SparkSession, query: String,
+      sampleKeyFor: String => Option[String]): String =
+    sampleRe.replaceAllIn(query, m => {
+      val (table, alias, pred) = parsed(m, sampleKeyFor)
+      val view = s"graft_sample_${viewSeq.incrementAndGet()}"
+      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $view AS " +
+        s"SELECT * FROM $table WHERE $pred")
+      java.util.regex.Matcher.quoteReplacement(s" FROM $view $alias ")
     })
 }

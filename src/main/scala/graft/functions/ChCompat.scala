@@ -327,7 +327,12 @@ object ChCompat {
         require(es.length == 2, s"merge takes (db, tables_regexp), got ${es.length} args")
         val db = stringLit(es(0), "merge database")
         val re = stringLit(es(1), "merge tables_regexp").r
+        // listTables(db) returns session temp views for ANY db argument;
+        // CH merge() is database-scoped, so temp views only participate
+        // when the caller targets the session's current database
+        val tempOk = db.equalsIgnoreCase(spark.catalog.currentDatabase)
         val matches = spark.catalog.listTables(db).collect()
+          .filter(t => !t.isTemporary || tempOk)
           .filter(t => re.findFirstIn(t.name).isDefined)
           .sortBy(_.name)
         require(matches.nonEmpty, s"merge: no tables in '$db' match '${re.pattern}'")

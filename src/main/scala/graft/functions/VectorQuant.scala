@@ -473,8 +473,14 @@ case class PqDecodeExpr(child: Expression, cb: Array[Array[Array[Float]]])
     val out = new Array[Float](m * subDim)
     var mi = 0
     while (mi < m) {
-      val cent = cb(mi)(a.getInt(mi))
-      System.arraycopy(cent, 0, out, mi * subDim, math.min(subDim, cent.length))
+      val c = a.getInt(mi)
+      require(c >= 0 && c < cb(mi).length,
+        s"pq_decode: code $c out of range [0, ${cb(mi).length}) in subspace $mi — " +
+          "codes were produced by a different codebook")
+      val cent = cb(mi)(c)
+      require(cent.length == subDim,
+        s"pq_decode: ragged codebook — sub-centroid ($mi, $c) has ${cent.length} dims, expected $subDim")
+      System.arraycopy(cent, 0, out, mi * subDim, subDim)
       mi += 1
     }
     ArrayData.toArrayData(out)
@@ -515,10 +521,16 @@ case class PqAdcDotExpr(codes: Expression, lut: Expression)
     val la = lv.asInstanceOf[ArrayData]
     val m = ca.numElements()
     if (m == 0) return java.lang.Double.valueOf(0.0)
+    require(la.numElements() % m == 0,
+      s"pq_adc_dot: LUT length ${la.numElements()} not divisible by $m codes — " +
+        "codes and LUT come from different codebooks")
     val ksub = la.numElements() / m
     var dot = 0.0; var mi = 0
     while (mi < m) {
-      dot += la.getDouble(mi * ksub + ca.getInt(mi))
+      val c = ca.getInt(mi)
+      require(c >= 0 && c < ksub,
+        s"pq_adc_dot: code $c out of range [0, $ksub) in subspace $mi")
+      dot += la.getDouble(mi * ksub + c)
       mi += 1
     }
     java.lang.Double.valueOf(dot)

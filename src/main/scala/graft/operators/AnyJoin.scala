@@ -22,8 +22,15 @@ object AnyJoin {
 
   /** One deterministic row per key tuple: for each key, keep the row with
     * the smallest non-key tuple (struct comparison = lexicographic over
-    * the frame's column order, ascending, nulls first). Column order out:
-    * keys, then the remaining columns in frame order.
+    * the frame's column order, ascending, NULLS FIRST — Spark's struct
+    * ordering). Column order out: keys, then the remaining columns in
+    * frame order.
+    *
+    * SQL mirrors must match the null order explicitly: a plain
+    * `ROW_NUMBER() OVER (ORDER BY c1, c2, ...)` defaults to NULLS LAST in
+    * DuckDB/Postgres and would pick a different row when a smallest-tuple
+    * candidate carries a NULL — write `ORDER BY c1 NULLS FIRST, ...` (the
+    * q88 oracle's columns are non-null, so it is unaffected).
     */
   def firstRowPerKey(df: DataFrame, keys: Seq[String]): DataFrame = {
     val nonKeys = df.columns.filterNot(c => keys.exists(_.equalsIgnoreCase(c))).toSeq

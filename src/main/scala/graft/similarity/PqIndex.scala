@@ -43,21 +43,14 @@ final class PqIndex(
     */
   def build(corpus: DataFrame, nlist: Int, m: Int = 8, ksub: Int = 16,
       lloydIterations: Int = 2): Unit = {
-    import spark.implicits._
     val cents = Ann.refineCentroids(corpus, idCol, vecCol,
       Ann.pickCentroids(corpus, idCol, vecCol, nlist), lloydIterations)
-    cents.toSeq.map { case (i, v) => (i, v.toSeq) }
-      .toDF("list_id", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(centsPath)
+    PqLayout.writeCentroids(spark, centsPath, cents)
     val cb = Pq.trainCodebook(corpus, idCol, vecCol, m, ksub, lloydIterations)
-    (for (mi <- 0 until cb.m; c <- 0 until cb.ksub)
-      yield (mi, c, cb.centroids(mi)(c).toSeq))
-      .toDF("m_idx", "code", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(cbPath)
+    PqLayout.writeCodebook(spark, cbPath, cb)
     writeBatch(corpus, cents, cb, overwrite = true)
     // drift baseline: the training corpus's own quantization error
-    IndexMaint.writeText(spark, new org.apache.hadoop.fs.Path(path, "_drift.json"),
-      s"""{"mean_recon_error":${meanReconError(corpus)}}""")
+    PqLayout.writeDriftBaseline(spark, path, meanReconError(corpus))
   }
 
   /** Mean squared PQ reconstruction error of a batch under the frozen
@@ -70,11 +63,7 @@ final class PqIndex(
       .head().getDouble(0)
 
   /** The training-time error recorded by [[build]]. */
-  def driftBaseline: Double =
-    IndexMaint.readText(spark, new org.apache.hadoop.fs.Path(path, "_drift.json"))
-      .flatMap(s => """"mean_recon_error":([-0-9.eE]+)""".r.findFirstMatchIn(s))
-      .map(_.group(1).toDouble)
-      .getOrElse(sys.error(s"$path: no drift baseline — index predates build()?"))
+  def driftBaseline: Double = PqLayout.readDriftBaseline(spark, path)
 
   /** Quantizer-drift metric for an incoming batch: reconstruction-error
     * growth over the training baseline (positive = the codebook fits the
@@ -98,21 +87,10 @@ final class PqIndex(
   }
 
   /** The frozen coarse centroids. */
-  def centroids: Array[(Int, Array[Float])] =
-    spark.read.parquet(centsPath).collect()
-      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
-      .sortBy(_._1)
+  def centroids: Array[(Int, Array[Float])] = PqLayout.readCentroids(spark, centsPath)
 
   /** The frozen PQ codebook. */
-  def codebook: Pq.Codebook = {
-    val rows = spark.read.parquet(cbPath).collect()
-      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2).toArray)
-      .toMap
-    val m = rows.keySet.map(_._1).max + 1
-    val ksub = rows.keySet.map(_._2).max + 1
-    val dim = rows((0, 0)).length * m
-    Pq.Codebook(m, ksub, dim, Array.tabulate(m, ksub)((mi, c) => rows((mi, c))))
-  }
+  def codebook: Pq.Codebook = PqLayout.readCodebook(spark, cbPath)
 
   private def batchRows(batch: DataFrame, cents: Array[(Int, Array[Float])],
       cb: Pq.Codebook): DataFrame =

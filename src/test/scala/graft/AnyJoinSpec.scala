@@ -85,6 +85,27 @@ class AnyJoinSpec extends SparkSpec {
     assert(e3.getMessage.contains("collide"))
   }
 
+  test("multi-key ON with swapped names: rename chain passes; key reuse rejected") {
+    // l.a = r.b AND l.b = r.c — right's own `b` is renamed away before the
+    // second pair needs the name, so the chain must be legal
+    val l = Seq((1, 10, "L1"), (2, 20, "L2")).toDF("a", "b", "lv")
+    val r = Seq((1, 10, "R1"), (1, 10, "R0"), (2, 99, "R2")).toDF("b", "c", "rv")
+    l.createOrReplaceTempView("aj_ml")
+    r.createOrReplaceTempView("aj_mr")
+    val got = ChAnyJoin.sql(spark,
+      "SELECT a, b, rv FROM aj_ml l ANY LEFT JOIN aj_mr r ON l.a = r.b AND l.b = r.c")
+      .collect().map(x => (x.getInt(0), x.getInt(1), x.getString(2))).toSet
+    assert(got == Set((1, 10, "R0"), (2, 20, null)))
+
+    // the same right column driving two key pairs is an error, not a
+    // silent no-op rename
+    val e = intercept[IllegalArgumentException] {
+      ChAnyJoin.sql(spark,
+        "SELECT 1 FROM aj_ml l ANY LEFT JOIN aj_mr r ON l.a = r.c AND l.b = r.c")
+    }
+    assert(e.getMessage.contains("duplicate right key"))
+  }
+
   test("replay routes ANY joins: runQuery executes the dialect form") {
     val wh = tmpDir("anyjoin-replay")
     val rep = new graft.engine.ChReplay(spark, wh)

@@ -301,6 +301,15 @@ class ChCompatSpec extends SparkSpec {
       spark.sql("SELECT * FROM merge('default', '^no_such_prefix_x')").collect()
     }
     assert(e.getMessage.contains("no tables"))
+
+    // database-scoped: temp views must NOT leak into another db's merge
+    // (listTables returns them for any db argument)
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_merge_other")
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM merge('graft_merge_other', '^chm_part')").collect()
+    }
+    assert(e2.getMessage.contains("no tables"),
+      s"temp views leaked into graft_merge_other: ${e2.getMessage}")
   }
 
   test("arrayJoin duplicates the row per element, like CH (explode semantics)") {

@@ -81,6 +81,30 @@ class ChSampleSpec extends SparkSpec {
     assert(math.abs(half / 2000.0 - 0.5) < 0.05, s"got $half")
   }
 
+  test("SAMPLE composes with the ANY join translator through runQuery") {
+    val rep = new graft.engine.ChReplay(spark, tmpDir("chsample-compose"))
+    rep.executeScript(
+      """CREATE TABLE graft_chc.facts (
+        |  id UInt64, grp UInt8
+        |) ENGINE = MergeTree ORDER BY id SAMPLE BY id;""".stripMargin)
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_chc")
+    spark.sql("DROP TABLE IF EXISTS graft_chc.facts")
+    t.write.mode("overwrite").option("path", tmpDir("chsample-compose-tbl") + "/t")
+      .saveAsTable("graft_chc.facts")
+    Seq((0, "zero"), (1, "one"), (2, "two"), (3, "three"), (4, "four"),
+        (5, "five"), (6, "six"))
+      .toDF("grp", "label").createOrReplaceTempView("chs_dim")
+    // SAMPLE rewrites to a temp view (not a subquery), so the ANY JOIN
+    // regex downstream still sees FROM <name> <alias> and translates
+    val out = rep.runQuery(
+      """SELECT d.label, count(*) AS n
+        |FROM graft_chc.facts f SAMPLE 0.5 ANY LEFT JOIN chs_dim d ON f.grp = d.grp
+        |GROUP BY d.label ORDER BY d.label""".stripMargin).collect()
+    assert(out.length == 7, s"expected all 7 labels, got ${out.length}")
+    val n = out.map(_.getLong(1)).sum
+    assert(math.abs(n / 2000.0 - 0.5) < 0.05, s"sampled rowcount off: $n")
+  }
+
   test("error contract: no SAMPLE BY key, row-count form, out-of-range fractions") {
     t
     val e1 = intercept[RuntimeException] {
@@ -95,5 +119,12 @@ class ChSampleSpec extends SparkSpec {
       ChSample.rewrite("SELECT id FROM chs_t SAMPLE 0.5 OFFSET 1.5", _ => Some("id"))
     }
     assert(e3.getMessage.contains("OFFSET"))
+    // fraction + offset past the end would silently shrink the slice
+    val e4 = intercept[IllegalArgumentException] {
+      ChSample.rewrite("SELECT id FROM chs_t SAMPLE 0.5 OFFSET 0.75", _ => Some("id"))
+    }
+    assert(e4.getMessage.contains("past the end"))
+    // exactly reaching the end is legal (the [off, 1) tail slice)
+    assert(ids("SELECT id FROM chs_t SAMPLE 0.25 OFFSET 0.75").nonEmpty)
   }
 }
