@@ -107,6 +107,21 @@ class AqePlanSpec extends SparkSpec {
     assert(sawLeaf, "q49: no checkpointed cluster-map leaf found under the join")
   }
 
+  test("q86/q89: probe-side joins stay broadcast in the adaptive final plan") {
+    // q86's rerank fetch: the shortlisted (probe, neighbor) pairs and the
+    // probes themselves are tiny against the corpus — both joins must
+    // resolve to broadcasts, never a corpus-wide sort-merge. q89's
+    // winner-fetch semi-join: groups × quota ids against the corpus —
+    // same posture.
+    for (q <- Seq("q86_knn_ivfpq_rerank", "q89_stratified_sample")) {
+      val flat = flatten(queryPlan(q))
+      assert(flat.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        s"$q: no BroadcastHashJoin in the AQE final plan")
+      assert(!flat.exists(_.isInstanceOf[SortMergeJoinExec]),
+        s"$q: a probe-sized join ran as SortMergeJoin under AQE")
+    }
+  }
+
   test("NearDupIndex probes: history never sits under an exchange in the executed plan") {
     val path = tmpDir("graft-aqe-ndi") + "/ix"
     val ix = new NearDupIndex(spark, path, numHashes = 32, bands = 16)
