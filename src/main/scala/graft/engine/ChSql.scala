@@ -14,7 +14,10 @@ package graft.engine
   *    totals row's key columns as type defaults (0/''), grouping sets
   *    yield NULLs — the relational convention Spark and DuckDB share;
   *  - `GLOBAL` join/IN prefix — CH's ship-to-every-shard hint; Catalyst
-  *    owns distribution, the keyword drops.
+  *    owns distribution, the keyword drops;
+  *  - scalar `WITH <expr> AS <name>` aliases (CH's expression-first
+  *    form) — inlined as `(expr)` through the body; real CTE lists pass
+  *    through to Spark untouched.
   */
 object ChSql {
 
@@ -47,6 +50,72 @@ object ChSql {
   def stripGlobal(q: String): String =
     q.replaceAll("(?i)\\bglobal\\s+(?=((any|all|left|right|inner|full|cross|semi|anti|asof)\\s+)*join\\b|(not\\s+)?in\\s*\\()", "")
 
+  /** CH scalar WITH aliases: `WITH <expr> AS <name>, ... SELECT` binds
+    * expression-first names (the reverse of a SQL CTE's `name AS
+    * (subquery)`). When EVERY item of the leading WITH list is
+    * scalar-form, the list is stripped and each name is inlined as
+    * `(expr)` throughout the body (outside string literals). Lists with
+    * any CTE-form item pass through untouched — Spark owns real CTEs,
+    * and CH itself forbids mixing the two forms in one list.
+    */
+  def scalarWith(q: String): String = {
+    val m = """(?is)^\s*with\s+""".r.findFirstMatchIn(q).getOrElse(return q)
+    // scan the WITH list: top-level commas separate items; the first
+    // top-level SELECT keyword starts the body
+    var depth = 0
+    var i = m.end
+    var itemStart = i
+    val items = scala.collection.mutable.ArrayBuffer.empty[String]
+    var bodyStart = -1
+    var inStr = false
+    def isIdentChar(c: Char) = c.isLetterOrDigit || c == '_'
+    while (i < q.length && bodyStart < 0) {
+      val c = q.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 =>
+          items += q.substring(itemStart, i); itemStart = i + 1
+        case 's' | 'S' if depth == 0 && !isIdentChar(q.charAt(i - 1)) &&
+            """(?is)^select\b""".r.findFirstIn(q.substring(i)).isDefined =>
+          items += q.substring(itemStart, i); bodyStart = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (bodyStart < 0) return q
+    // scalar form ends in a bare identifier (`expr AS name`); a CTE item
+    // ends in the parenthesized subquery (`name AS (select ...)`) and
+    // does not match — any such item leaves the whole query untouched.
+    // `(SELECT ...) AS name` scalar subqueries also pass through: CH
+    // allows them, but inlining is Spark-dialect-sensitive — out of scope.
+    val scalarItem = """(?is)^\s*(.*?)\s+as\s+(\w+)\s*$""".r
+    val binds = items.map(_.trim).filter(_.nonEmpty).map { it =>
+      scalarItem.findFirstMatchIn(it) match {
+        case Some(sm) if !sm.group(1).trim.startsWith("(") =>
+          (sm.group(2), sm.group(1).trim)
+        case _ => return q
+      }
+    }
+    var body = q.substring(bodyStart)
+    // reverse order: a later alias may reference an earlier one
+    // (`WITH 2 AS a, a*3 AS b`) — inlining b first lets the a-pass then
+    // resolve the reference inside b's expansion
+    for ((name, expr) <- binds.reverse) {
+      val pat = ("(?i)\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
+      val parts = body.split("'", -1)
+      body = parts.zipWithIndex.map { case (p, j) =>
+        if (j % 2 == 0)
+          pat.replaceAllIn(p, java.util.regex.Matcher.quoteReplacement(s"($expr)"))
+        else p
+      }.mkString("'")
+    }
+    body
+  }
+
   /** All shims, in the order they compose. */
-  def apply(q: String): String = withTotals(stripFormat(prewhere(stripGlobal(q))))
+  def apply(q: String): String =
+    withTotals(stripFormat(prewhere(stripGlobal(scalarWith(q)))))
 }

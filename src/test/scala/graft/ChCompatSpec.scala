@@ -356,6 +356,22 @@ class ChCompatSpec extends SparkSpec {
     assert(norm(ChSql.stripGlobal("SELECT x FROM t WHERE k GLOBAL NOT IN (1, 2)")) ==
       "SELECT x FROM t WHERE k NOT IN (1, 2)")
     assert(norm(ChSql.stripGlobal("SELECT global FROM t")) == "SELECT global FROM t")
+    // CH scalar WITH (expression-first): inlined through the body,
+    // chained references resolve, string literals untouched
+    assert(norm(ChSql.scalarWith("WITH 2 AS n SELECT n + 1 AS v FROM t WHERE x < n")) ==
+      "SELECT (2) + 1 AS v FROM t WHERE x < (2)")
+    assert(norm(ChSql.scalarWith("WITH 2 AS a, a * 3 AS b SELECT b FROM t")) ==
+      "SELECT ((2) * 3) FROM t")
+    assert(norm(ChSql.scalarWith("WITH 10 AS lim SELECT 'lim is lim' AS s, lim FROM t")) ==
+      "SELECT 'lim is lim' AS s, (10) FROM t")
+    // real CTE lists pass through untouched (Spark owns them)
+    val cte = "WITH t2 AS (SELECT x FROM t) SELECT x FROM t2"
+    assert(ChSql.scalarWith(cte) == cte)
+    // end-to-end: a scalar WITH query actually runs
+    Seq(1, 2, 3, 9).toDF("v").createOrReplaceTempView("chsw_t")
+    val swGot = spark.sql(ChSql("WITH 3 AS cutoff SELECT count(*) AS n FROM chsw_t WHERE v <= cutoff"))
+      .head().getLong(0)
+    assert(swGot == 3L)
 
     // end-to-end: totals row appended, both filters applied
     Seq((1, "x"), (2, "x"), (3, "y"), (8, "y")).toDF("v", "g")
