@@ -210,6 +210,8 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     if (ChAsof.applies(q)) q = ChAsof.rewrite(spark, q, sourceDf)
     // CH ANY-strictness joins: deterministic one-row-per-key reduction
     if (ChAnyJoin.applies(q)) q = ChAnyJoin.rewrite(spark, q, sourceDf)
+    // CH ARRAY JOIN clause: row-expanding explode projection
+    if (ChArrayJoin.applies(q)) q = ChArrayJoin.rewrite(spark, q, sourceDf)
     // CH ORDER BY ... WITH FILL: run the stripped query, densify the axis
     if (graft.operators.WithFill.applies(q))
       graft.operators.WithFill.sql(spark, chAliasGroupBy(q))

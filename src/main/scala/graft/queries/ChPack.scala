@@ -200,6 +200,34 @@ object ChPack {
     // (toYYYYMM/toStartOfMonth/toMonday), formatDateTime (MySQL-style
     // specifiers, %i = minute), splitByChar/arrayStringConcat,
     // empty/notEmpty, intDiv — all per-row expressions, gated row-exact.
+    // CH ARRAY JOIN clause under the gate: per-token frequencies via the
+    // row-expanding FROM modifier (bare form — the array column is
+    // replaced by its elements).
+    "q95_array_join_clause" -> { (s, dir) =>
+      graft.text.TextFunctions.register(s)
+      Tables(s, dir).documents.filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          graft.text.TextFunctions.tokens(col("text")).as("tok"))
+        .createOrReplaceTempView("graft_ajc_docs")
+      graft.engine.ChArrayJoin.sql(s,
+        """SELECT tok, count(*) AS cnt
+          |FROM graft_ajc_docs ARRAY JOIN tok
+          |GROUP BY tok ORDER BY tok""".stripMargin)
+    },
+
+    // CH scalar WITH aliases under the gate: expression-first constants
+    // inlined through filter and select — the oracle writes them inline.
+    "q94_scalar_with" -> { (s, dir) =>
+      Tables(s, dir).lineitem.createOrReplaceTempView("graft_sw_lineitem")
+      s.sql(graft.engine.ChSql(
+        """WITH 25 AS qty_cut, 0.05 AS disc_cut
+          |SELECT l_returnflag, count(*) AS cnt,
+          |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+          |FROM graft_sw_lineitem
+          |WHERE l_quantity > qty_cut AND l_discount >= disc_cut
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+    },
+
     // CH merge() table function: three shard views unioned by name with
     // the _table virtual column attributing each row — counts and exact
     // id ranges per shard under the gate.
@@ -534,6 +562,22 @@ object ChPack {
         |  array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS first3,
         |  len(list_filter(toks, t -> t = 'data')) > 0 AS mentions_data
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q95_array_join_clause" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tok
+        |  FROM documents WHERE doc_id < 50)
+        |SELECT tok, COUNT(*) AS cnt
+        |FROM (SELECT unnest(tok) AS tok FROM d)
+        |GROUP BY tok ORDER BY tok""".stripMargin,
+
+    "q94_scalar_with" ->
+      """SELECT l_returnflag, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |FROM lineitem
+        |WHERE l_quantity > 25 AND l_discount >= 0.05
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // The three shards reconstructed as literal-tagged unions.
     "q92_merge_tables" ->

@@ -203,7 +203,11 @@ class PlanSpec extends SparkSpec {
     "q92_merge_tables" -> 2,
     // q93: the top-2-gram mode agg (partial+final over (doc, gram)) +
     // the report join back to the expression side + final sort
-    "q93_repetition" -> 3)
+    "q93_repetition" -> 3,
+    // q94: inlined-constant filter rides the scan; group agg + sort
+    "q94_scalar_with" -> 2,
+    // q95: explode is per-row; token-frequency agg + sort
+    "q95_array_join_clause" -> 2)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)
