@@ -212,6 +212,8 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     if (ChAnyJoin.applies(q)) q = ChAnyJoin.rewrite(spark, q, sourceDf)
     // CH ARRAY JOIN clause: row-expanding explode projection
     if (ChArrayJoin.applies(q)) q = ChArrayJoin.rewrite(spark, q, sourceDf)
+    // CH LIMIT n BY: per-group heads via one row_number window
+    if (ChLimitBy.applies(q)) q = ChLimitBy.rewrite(q)
     // CH ORDER BY ... WITH FILL: run the stripped query, densify the axis
     if (graft.operators.WithFill.applies(q))
       graft.operators.WithFill.sql(spark, chAliasGroupBy(q))

@@ -111,6 +111,102 @@ object ChCompat {
     }
     f("empty") { es => EqualTo(Length(es.head), Literal(0)) }
     f("notEmpty") { es => GreaterThan(Length(es.head), Literal(0)) }
+    // ---- CH URL functions (composed on ParseUrl — codegen'd java.net
+    // parsing, no UDF). CH returns '' where java yields null/absent, so
+    // every part is coalesced onto ''. Divergence notes: no public-suffix
+    // list ships here, so topLevelDomain is the last dot label (CH agrees
+    // for ordinary hosts; differs on exotic multi-part suffix queries via
+    // firstSignificantSubdomain, which is out of scope).
+    def urlPart(url: Expression, part: String): Expression =
+      Coalesce(Seq(ParseUrl(Seq(url, Literal(part)), failOnError = false), Literal("")))
+    f("protocol") { es => urlPart(es.head, "PROTOCOL") }
+    f("domain") { es => urlPart(es.head, "HOST") }
+    f("domainWithoutWWW") { es =>
+      RegExpReplace(urlPart(es.head, "HOST"), Literal("^www\\."), Literal(""))
+    }
+    f("topLevelDomain") { es =>
+      RegExpExtract(urlPart(es.head, "HOST"), Literal("\\.([^.]+)$"), Literal(1))
+    }
+    f("path") { es => urlPart(es.head, "PATH") }
+    f("queryString") { es => urlPart(es.head, "QUERY") }
+    f("fragment") { es => urlPart(es.head, "REF") }
+    // pathFull = path + ?query + #fragment (CH includes both)
+    f("pathFull") { es =>
+      val q = ParseUrl(Seq(es.head, Literal("QUERY")), failOnError = false)
+      val r = ParseUrl(Seq(es.head, Literal("REF")), failOnError = false)
+      Concat(Seq(
+        urlPart(es.head, "PATH"),
+        Coalesce(Seq(Concat(Seq(Literal("?"), q)), Literal(""))),
+        Coalesce(Seq(Concat(Seq(Literal("#"), r)), Literal("")))))
+    }
+    f("queryStringAndFragment") { es =>
+      val r = ParseUrl(Seq(es.head, Literal("REF")), failOnError = false)
+      Concat(Seq(
+        urlPart(es.head, "QUERY"),
+        Coalesce(Seq(Concat(Seq(Literal("#"), r)), Literal("")))))
+    }
+    f("extractURLParameter") { es =>
+      Coalesce(Seq(ParseUrl(Seq(es.head, Literal("QUERY"), es(1)), failOnError = false),
+        Literal("")))
+    }
+    f("cutQueryString") { es =>
+      RegExpReplace(es.head, Literal("\\?[^#]*"), Literal(""))
+    }
+    f("cutFragment") { es =>
+      RegExpReplace(es.head, Literal("#.*$"), Literal(""))
+    }
+    f("cutQueryStringAndFragment") { es =>
+      RegExpReplace(es.head, Literal("[?#].*$"), Literal(""))
+    }
+    f("cutWWW") { es =>
+      RegExpReplace(es.head, Literal("^((?:[A-Za-z][A-Za-z0-9+.-]*://)?)www\\."), Literal("$1"))
+    }
+    // ---- CH string-search functions ----------------------------------
+    // CH position counts BYTES (1-based; 0 = absent) where Spark counts
+    // characters — identical on ASCII, documented divergence beyond;
+    // positionUTF8 (characters on both engines) is the exact twin.
+    f("position") { es => StringLocate(es(1), es.head, Literal(1)) }
+    f("positionUTF8") { es => StringLocate(es(1), es.head, Literal(1)) }
+    f("positionCaseInsensitive") { es =>
+      StringLocate(Lower(es(1)), Lower(es.head), Literal(1))
+    }
+    // hasToken: the needle appears as a whole token, i.e. bounded by
+    // non-alphanumeric bytes or the string edges (the CH tokenbf
+    // tokenizer contract). Needle must be a literal — it is compiled
+    // into the match regex.
+    f("hasToken") { es =>
+      val tok = es(1) match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) => s.toString
+        case other => throw new IllegalArgumentException(
+          s"hasToken: token must be a string literal, got $other")
+      }
+      require(tok.nonEmpty && tok.forall(_.isLetterOrDigit),
+        s"hasToken: token must be non-empty alphanumeric, got '$tok'")
+      RLike(es.head, Literal(
+        "(^|[^A-Za-z0-9])" + java.util.regex.Pattern.quote(tok) + "([^A-Za-z0-9]|$)"))
+    }
+    f("multiSearchAny") { es =>
+      val x = UnresolvedNamedLambdaVariable(Seq("__ms_x"))
+      ArrayExists(es(1), LambdaFunction(Contains(es.head, x), Seq(x)))
+    }
+    f("countSubstrings") { es =>
+      If(Or(IsNull(es(1)), EqualTo(Length(es(1)), Literal(0))), Literal(0L),
+        IntegralDivide(
+          Subtract(Length(es.head), Length(StringReplace(es.head, es(1), Literal("")))),
+          Length(es(1)), EvalMode.LEGACY))
+    }
+    f("match") { es => RLike(es.head, es(1)) }
+    f("extractAll") { es =>
+      // CH: the capturing group if the pattern has one, else the whole match
+      val grp = es(1) match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType)
+          if java.util.regex.Pattern.compile(s.toString).matcher("").groupCount() > 0 => 1
+        case _ => 0
+      }
+      RegExpExtractAll(es.head, es(1), Literal(grp))
+    }
+    f("replaceAll") { es => StringReplace(es.head, es(1), es(2)) }
+    f("replaceRegexpAll") { es => RegExpReplace(es.head, es(1), es(2)) }
     // ---- CH array functions (lambda-first argument order) ------------
     f("arrayMap") { es => ArrayTransform(es(1), es.head) }
     f("arrayFilter") { es => ArrayFilter(es(1), es.head) }

@@ -379,6 +379,70 @@ object ChPack {
           |FORMAT TabSeparated""".stripMargin))
     },
 
+    // CH URL function battery over deterministically synthesized URLs
+    // (the testdata carries no URL column; both sides build the same
+    // string from customer keys, then THIS side parses it back with the
+    // ParseUrl-composed CH functions while the oracle re-derives each
+    // part from the raw pieces — an independent construction/parse
+    // cross-check). Expression-only, codegen'd, no UDF.
+    "q97_url_funcs" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).customer.createOrReplaceTempView("graft_url_customer")
+      s.sql(
+        """SELECT url,
+          |       protocol(url) AS proto,
+          |       domain(url) AS host,
+          |       domainWithoutWWW(url) AS host_nw,
+          |       topLevelDomain(url) AS tld,
+          |       path(url) AS pth,
+          |       pathFull(url) AS pth_full,
+          |       queryString(url) AS qs,
+          |       fragment(url) AS frag,
+          |       extractURLParameter(url, 'id') AS p_id,
+          |       extractURLParameter(url, 'n') AS p_n,
+          |       cutQueryStringAndFragment(url) AS base,
+          |       cutWWW(url) AS no_www
+          |FROM (
+          |  SELECT concat('https://www.seg-', lower(c_mktsegment), '.example.com',
+          |                '/cust/', CAST(c_custkey AS STRING),
+          |                '?id=', CAST(c_custkey % 97 AS STRING),
+          |                '&n=', CAST(c_nationkey AS STRING),
+          |                '#s', CAST(c_custkey % 5 AS STRING)) AS url
+          |  FROM graft_url_customer)
+          |ORDER BY url""".stripMargin)
+    },
+
+    // CH string-search battery (position / hasToken / multiSearchAny /
+    // countSubstrings / match) over the documents corpus; booleans cast
+    // to BIGINT so both engines hash the same ints.
+    "q98_string_search" -> { (s, dir) =>
+      ChCompat.register(s)
+      s.read.parquet(dir + "/documents.parquet").createOrReplaceTempView("graft_ss_docs")
+      s.sql(
+        """SELECT doc_id,
+          |       CAST(position(text, 'merge') AS BIGINT) AS pos_merge,
+          |       CAST(positionCaseInsensitive(text, 'MERGE') AS BIGINT) AS pos_ci,
+          |       CAST(hasToken(text, 'merge') AS BIGINT) AS has_merge,
+          |       CAST(multiSearchAny(text, array('spark', 'flink')) AS BIGINT) AS any_hit,
+          |       countSubstrings(text, 'table') AS n_table,
+          |       CAST(match(text, 'h..h') AS BIGINT) AS re_hit
+          |FROM graft_ss_docs
+          |ORDER BY doc_id""".stripMargin)
+    },
+
+    // CH LIMIT n BY (engine.ChLimitBy): per-group heads in ORDER BY
+    // order — top-2 orders per customer bucket by price, the SQL face of
+    // q26's Scala-API limitBy. One window over the BY key, no driver
+    // funnel; total ORDER BY (unique o_orderkey) keeps it deterministic.
+    "q96_limit_by_sql" -> { (s, dir) =>
+      Tables(s, dir).orders.createOrReplaceTempView("graft_lb_orders")
+      graft.engine.ChLimitBy.sql(s,
+        """SELECT o_custkey % 10 AS bucket, o_orderkey, o_totalprice
+          |FROM graft_lb_orders
+          |ORDER BY bucket, o_totalprice DESC, o_orderkey
+          |LIMIT 2 BY bucket""".stripMargin)
+    },
+
     // CH ORDER BY ... WITH FILL (operators.WithFill): a sparse hourly
     // report densified onto the 0..24 grid — missing hours surface with
     // null counts, original rows untouched; the CH report-densification
@@ -404,6 +468,59 @@ object ChPack {
         |FROM events WHERE user_id % 7 = 0
         |GROUP BY GROUPING SETS ((event_type), ())
         |ORDER BY event_type NULLS FIRST""".stripMargin,
+
+    // independent re-derivation: the oracle never parses the URL — it
+    // rebuilds every part from the same raw pieces the Spark side
+    // concatenated, so a parse bug on the Spark side cannot cancel out.
+    "q97_url_funcs" ->
+      """WITH u AS (
+        |  SELECT c_custkey, c_nationkey,
+        |         lower(c_mktsegment) AS seg,
+        |         'www.seg-' || lower(c_mktsegment) || '.example.com' AS host,
+        |         '/cust/' || CAST(c_custkey AS VARCHAR) AS pth,
+        |         'id=' || CAST(c_custkey % 97 AS VARCHAR) ||
+        |           '&n=' || CAST(c_nationkey AS VARCHAR) AS qs,
+        |         's' || CAST(c_custkey % 5 AS VARCHAR) AS frag
+        |  FROM customer)
+        |SELECT 'https://' || host || pth || '?' || qs || '#' || frag AS url,
+        |       'https' AS proto,
+        |       host,
+        |       'seg-' || seg || '.example.com' AS host_nw,
+        |       'com' AS tld,
+        |       pth,
+        |       pth || '?' || qs || '#' || frag AS pth_full,
+        |       qs,
+        |       frag,
+        |       CAST(c_custkey % 97 AS VARCHAR) AS p_id,
+        |       CAST(c_nationkey AS VARCHAR) AS p_n,
+        |       'https://' || host || pth AS base,
+        |       'https://seg-' || seg || '.example.com' || pth || '?' || qs || '#' || frag AS no_www
+        |FROM u
+        |ORDER BY url""".stripMargin,
+
+    // strpos/regexp mirrors of the string-search battery; every count
+    // and flag cast to BIGINT on both sides.
+    "q98_string_search" ->
+      """SELECT doc_id,
+        |       CAST(strpos(text, 'merge') AS BIGINT) AS pos_merge,
+        |       CAST(strpos(lower(text), 'merge') AS BIGINT) AS pos_ci,
+        |       CAST(regexp_matches(text, '(^|[^A-Za-z0-9])merge([^A-Za-z0-9]|$)') AS BIGINT) AS has_merge,
+        |       CAST((strpos(text, 'spark') > 0 OR strpos(text, 'flink') > 0) AS BIGINT) AS any_hit,
+        |       CAST((length(text) - length(replace(text, 'table', ''))) / 5 AS BIGINT) AS n_table,
+        |       CAST(regexp_matches(text, 'h..h') AS BIGINT) AS re_hit
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // row_number mirror of the LIMIT BY rewrite; total ORDER BY keeps
+    // row order deterministic on both sides.
+    "q96_limit_by_sql" ->
+      """SELECT bucket, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey % 10 AS bucket, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey % 10
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 2
+        |ORDER BY bucket, o_totalprice DESC, o_orderkey""".stripMargin,
 
     // generate_series LEFT JOIN = the densified grid; TO 24 is exclusive
     // (CH semantics), so the axis is 0..23 inclusive.

@@ -748,4 +748,69 @@ class ChCompatSpec extends SparkSpec {
     assert(out == Seq(("a", 1, 30.0), ("a", 2, 30.0), ("b", 4, 5.0),
       ("c", 6, 2.0), ("c", 7, 3.0)))
   }
+
+  test("URL functions: absent parts are '' (CH), cut/extract edges") {
+    ChCompat.register(spark)
+    def one(expr: String): String =
+      spark.sql(s"SELECT $expr AS v").head().getString(0)
+    // full URL
+    val u = "'https://www.shop.example.co/a/b?x=1&y=2#frag'"
+    assert(one(s"protocol($u)") == "https")
+    assert(one(s"domain($u)") == "www.shop.example.co")
+    assert(one(s"domainWithoutWWW($u)") == "shop.example.co")
+    assert(one(s"topLevelDomain($u)") == "co")
+    assert(one(s"path($u)") == "/a/b")
+    assert(one(s"pathFull($u)") == "/a/b?x=1&y=2#frag")
+    assert(one(s"queryString($u)") == "x=1&y=2")
+    assert(one(s"fragment($u)") == "frag")
+    assert(one(s"queryStringAndFragment($u)") == "x=1&y=2#frag")
+    assert(one(s"extractURLParameter($u, 'y')") == "2")
+    assert(one(s"cutQueryString($u)") == "https://www.shop.example.co/a/b#frag")
+    assert(one(s"cutFragment($u)") == "https://www.shop.example.co/a/b?x=1&y=2")
+    assert(one(s"cutQueryStringAndFragment($u)") == "https://www.shop.example.co/a/b")
+    assert(one(s"cutWWW($u)") == "https://shop.example.co/a/b?x=1&y=2#frag")
+    // absent parts come back '' (CH's non-nullable String convention)
+    val bare = "'https://example.com/p'"
+    assert(one(s"queryString($bare)") == "")
+    assert(one(s"fragment($bare)") == "")
+    assert(one(s"extractURLParameter($bare, 'x')") == "")
+    assert(one(s"pathFull($bare)") == "/p")
+    // dotless host: topLevelDomain has no dot label to extract
+    assert(one("topLevelDomain('http://localhost/x')") == "")
+    // cutWWW only cuts a LEADING www. of the host, not path occurrences
+    assert(one("cutWWW('https://a.com/www.b')") == "https://a.com/www.b")
+  }
+
+  test("string search: position/hasToken/multiSearchAny/countSubstrings edges") {
+    ChCompat.register(spark)
+    def oneL(expr: String): Long =
+      spark.sql(s"SELECT CAST($expr AS BIGINT) AS v").head().getLong(0)
+    // CH position(haystack, needle) arg order, 1-based, 0 when absent
+    assert(oneL("position('hello world', 'world')") == 7L)
+    assert(oneL("position('hello', 'xyz')") == 0L)
+    assert(oneL("positionCaseInsensitive('Hello World', 'WORLD')") == 7L)
+    // hasToken: whole tokens only, string edges count as boundaries
+    assert(oneL("hasToken('merge sort', 'merge')") == 1L)
+    assert(oneL("hasToken('a merge b', 'merge')") == 1L)
+    assert(oneL("hasToken('merges', 'merge')") == 0L)
+    assert(oneL("hasToken('x.merge.y', 'merge')") == 1L)
+    val e = intercept[Exception](
+      spark.sql("SELECT hasToken('a b', concat('a', 'b'))").head())
+    assert(e.getMessage.toLowerCase.contains("literal"))
+    // multiSearchAny over an array of needles
+    assert(oneL("multiSearchAny('spark flink', array('beam', 'flink'))") == 1L)
+    assert(oneL("multiSearchAny('spark', array('beam', 'trino'))") == 0L)
+    // countSubstrings counts non-overlapping occurrences; empty needle = 0
+    assert(oneL("countSubstrings('aXbXcX', 'X')") == 3L)
+    assert(oneL("countSubstrings('aaaa', 'aa')") == 2L)
+    assert(oneL("countSubstrings('abc', '')") == 0L)
+    // match = regexp partial match; extractAll takes group 1 if present
+    assert(oneL("match('h00h', 'h..h')") == 1L)
+    val arr = spark.sql("SELECT extractAll('a1 b22 c3', '[a-z](\\\\d+)') AS v")
+      .head().getSeq[String](0)
+    assert(arr == Seq("1", "22", "3"))
+    val whole = spark.sql("SELECT extractAll('a1 b22', '[a-z]\\\\d+') AS v")
+      .head().getSeq[String](0)
+    assert(whole == Seq("a1", "b22"))
+  }
 }

@@ -207,7 +207,11 @@ class PlanSpec extends SparkSpec {
     // q94: inlined-constant filter rides the scan; group agg + sort
     "q94_scalar_with" -> 2,
     // q95: explode is per-row; token-frequency agg + sort
-    "q95_array_join_clause" -> 2)
+    "q95_array_join_clause" -> 2,
+    // q96: LIMIT BY rewrite = one window over the BY key + final sort
+    "q96_limit_by_sql" -> 2,
+    // q97/q98: expression-only batteries — the sort is the one exchange
+    "q97_url_funcs" -> 1, "q98_string_search" -> 1)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)
