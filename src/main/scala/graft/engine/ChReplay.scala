@@ -212,12 +212,41 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     if (ChAnyJoin.applies(q)) q = ChAnyJoin.rewrite(spark, q, sourceDf)
     // CH ARRAY JOIN clause: row-expanding explode projection
     if (ChArrayJoin.applies(q)) q = ChArrayJoin.rewrite(spark, q, sourceDf)
+    // CH FROM t FINAL: merged-one-row-per-key read of a state table
+    q = applyFinal(q)
     // CH LIMIT n BY: per-group heads via one row_number window
     if (ChLimitBy.applies(q)) q = ChLimitBy.rewrite(q)
     // CH ORDER BY ... WITH FILL: run the stripped query, densify the axis
     if (graft.operators.WithFill.applies(q))
       graft.operators.WithFill.sql(spark, chAliasGroupBy(q))
     else spark.sql(chAliasGroupBy(q))
+  }
+
+  /** CH `FROM t FINAL` / `JOIN t FINAL`: read the table as if its merge
+    * debt were fully paid — one row per ORDER BY key, every
+    * SimpleAggregateFunction column re-aggregated to its plain value and
+    * every AggregateFunction column merged to a single state (still
+    * consumable by `-Merge`), which is exactly [[StateTable.merged]].
+    * The rewrite splices a temp view of that merged read over each
+    * `<table> FINAL` span; any alias after FINAL is preserved. Like CH,
+    * FINAL is only meaningful on merging engines — a name with no
+    * backing state table is refused rather than silently un-merged.
+    *
+    * Scale note: merged() is one map-side-combined aggregate over the
+    * table's key partitioning — the same cost CH pays executing FINAL
+    * (it merges on read); it does NOT force a compact().
+    */
+  private def applyFinal(q: String): String = {
+    val re = """(?i)\b(from|join)\s+([A-Za-z_][\w.]*)\s+final\b""".r
+    re.replaceAllIn(q, m => {
+      val name = m.group(2)
+      val st = stateTables.getOrElse(resolve(name), sys.error(
+        s"$name FINAL: FINAL needs an AggregatingMergeTree-backed table " +
+          s"(known: ${stateTables.keys.mkString(", ")})"))
+      val view = "graft_final_" + resolve(name).replaceAll("[^A-Za-z0-9_]", "_")
+      st.merged().createOrReplaceTempView(view)
+      java.util.regex.Matcher.quoteReplacement(s"${m.group(1)} $view")
+    })
   }
 
   /** CH alias-preference GROUP BY shim, applied PER SELECT BLOCK: each

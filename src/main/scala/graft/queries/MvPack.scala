@@ -85,6 +85,38 @@ object MvPack {
         .orderBy("day", "bucket")
     },
 
+    // CH `SELECT ... FROM t FINAL` (ChReplay.applyFinal): the merge-debt-
+    // free read of an Aggregating table — SimpleAggregateFunction columns
+    // come back as plain values with NO -Merge/GROUP BY in the query, the
+    // idiom CH users reach FINAL for. The table is DDL-declared, filled
+    // by two appends with overlapping keys (so unmerged parts exist and
+    // FINAL visibly folds them), and read through the dialect.
+    "q99_final_clause" -> { (s, dir) =>
+      val wh = graft.engine.ChReplay.scratchWarehouse("graft-q99")
+      val replay = new graft.engine.ChReplay(s, wh)
+      replay.executeScript(
+        """CREATE TABLE test.final_t (
+          |  day Date,
+          |  event_type String,
+          |  clicks SimpleAggregateFunction(sum, UInt64),
+          |  val_sum SimpleAggregateFunction(sum, Decimal(18,2)),
+          |  val_max SimpleAggregateFunction(max, Float64)
+          |) ENGINE = AggregatingMergeTree()
+          |PARTITION BY day ORDER BY (day, event_type);""".stripMargin)
+      def batch(df: DataFrame) = df.select(
+        col("day"), col("event_type"),
+        lit(1L).as("clicks"), dec("value").as("val_sum"), col("value").as("val_max"))
+      val e = Tables(s, dir).eventsWithDefaults
+      val st = replay.stateTables("test.final_t")
+      st.appendBatch(batch(e.filter(col("event_id") % 2 === 0)))
+      st.appendBatch(batch(e.filter(col("event_id") % 2 === 1)))
+      replay.runQuery(
+        """SELECT day, event_type, clicks,
+          |       CAST(val_sum AS DOUBLE) AS val_sum, val_max
+          |FROM test.final_t FINAL
+          |ORDER BY day, event_type""".stripMargin)
+    },
+
     // Round 5: the DDL-replay surface under the driver's hash gate — the
     // reference's flagship CREATE TABLE + dis shell + first-generation MV
     // executed file-verbatim from its script (ChDdl/ChReplay), one insert
@@ -146,6 +178,15 @@ object MvPack {
         |FROM events
         |WHERE event_type IN ('view', 'click', 'purchase')
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the FINAL read folds both appended part sets, so the oracle is the
+    // plain direct aggregation over raw events at the table's keys.
+    "q99_final_clause" ->
+      s"""SELECT CAST(ts AS DATE) AS day, event_type,
+         | COUNT(*) AS clicks,
+         | ${moneySumSql("value")} AS val_sum,
+         | MAX(value) AS val_max
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // mirrors Catalog's action_001 projection + the MV's sums. TRUNC (not
     // CAST) mirrors Spark's double->long truncation toward zero; the

@@ -506,4 +506,45 @@ class ChDdlReplaySpec extends SparkSpec {
     assert(st.finalized().collect().map(_.toSeq).toSet == mergedBefore,
       "optimize changed the merged result")
   }
+
+  test("SELECT ... FROM t FINAL reads merge-debt-free (simple + state columns)") {
+    val replay = new ChReplay(spark, ChReplay.scratchWarehouse("graft-selfinal"))
+    replay.executeScript(
+      """create table dws.fin_local (
+        | day Date,
+        | k UInt64,
+        | v SimpleAggregateFunction(sum, UInt64),
+        | uv AggregateFunction(groupBitmap, UInt64)
+        |) engine=AggregatingMergeTree()
+        |PARTITION BY day ORDER BY (day, k);
+        |create table dws.fin_dis (day Date, k UInt64)
+        | engine=Distributed(c, dws, fin_local, rand());""".stripMargin)
+    import spark.implicits._
+    def batch(users: Seq[Long]) = users.toDF("uid")
+      .select(org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.lit("2024-01-01")).as("day"),
+        (col("uid") % 2).as("k"), org.apache.spark.sql.functions.lit(1L).as("v"),
+        col("uid").as("uv"))
+    val st = replay.stateTables("dws.fin_local")
+    st.appendBatch(batch(Seq(1L, 2L, 3L)))
+    st.appendBatch(batch(Seq(2L, 3L, 4L)))
+    // simple column read plain — NO GROUP BY, NO -Merge — through the
+    // Distributed alias, with a trailing table alias preserved
+    val got = replay.runQuery(
+      "SELECT day, k, v FROM dws.fin_dis FINAL t ORDER BY k")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // v counts rows per k across both parts: k=0 saw uids {2},{2,4};
+    // k=1 saw {1,3},{3}
+    assert(got.toSeq == Seq((0L, 3L), (1L, 3L)))
+    // AggregateFunction column survives as a state: -Merge still applies
+    val uv = replay.runQuery(
+      "SELECT k, groupBitmapMerge(uv) AS uv FROM dws.fin_local FINAL GROUP BY k ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(uv.toSeq == Seq((0L, 2L), (1L, 2L))) // k=0: {2,4}; k=1: {1,3}
+    // FINAL on a table with no state backing is refused, like CH on a
+    // non-merging engine
+    val e = intercept[RuntimeException](
+      replay.runQuery("SELECT * FROM nowhere.t FINAL"))
+    assert(e.getMessage.contains("FINAL"))
+  }
 }

@@ -211,7 +211,9 @@ class PlanSpec extends SparkSpec {
     // q96: LIMIT BY rewrite = one window over the BY key + final sort
     "q96_limit_by_sql" -> 2,
     // q97/q98: expression-only batteries — the sort is the one exchange
-    "q97_url_funcs" -> 1, "q98_string_search" -> 1)
+    "q97_url_funcs" -> 1, "q98_string_search" -> 1,
+    // q99: the FINAL merged() aggregate + final sort
+    "q99_final_clause" -> 2)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)
