@@ -72,6 +72,26 @@ object PipelinePack {
         .orderBy("lang", "bin")
     },
 
+    // Corpus TF-IDF scoring in exact integer arithmetic (reciprocal-df
+    // weights, Curation.tfIdfScore): the canonical distributed shape —
+    // token df aggregate, token-keyed join back, doc-keyed weighted sum.
+    "q100_tfidf" -> { (s, dir) =>
+      Curation.tfIdfScore(Tables(s, dir).documents, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // Corpus-adaptive stopword removal: tokens in >78% of all documents
+    // (39/50 — chosen to split the testdata's df spectrum so both kept
+    // and dropped tokens are exercised) drop from every document; the
+    // cleaned text keeps token order.
+    "q101_stopword_clean" -> { (s, dir) =>
+      Curation.removeCorpusStopwords(Tables(s, dir).documents,
+          "doc_id", "text", maxDfNum = 39, maxDfDen = 50)
+        .select(col("doc_id"), col("lang"), col("cleaned"),
+          length(col("cleaned")).as("clean_chars"))
+        .orderBy("doc_id")
+    },
+
     // Duplicate-cluster resolution: q34's exact near-dup pairs → connected
     // components (min-label propagation + pointer jumping) → one canonical
     // doc per cluster. The step pairwise dedup output actually needs: a~b,
@@ -176,6 +196,49 @@ object PipelinePack {
         |  FROM t)
         |SELECT lang, bin, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // same integer TF-IDF: df over per-doc distinct tokens, reciprocal
+    // weights via integer division (// floors like Spark's div on
+    // positives), BIGINT sums — exact under any summation order.
+    "q100_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t.tok
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+        |  WHERE length(t.tok) > 0),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id,
+        |       CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |       CAST(sum(tf * ((n_docs * 1000000) // df)) AS BIGINT) AS score_scaled
+        |FROM tf JOIN dft USING (tok), n
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // unnest + generate_subscripts keeps token positions, so the cleaned
+    // string reassembles in original order; stoplist = tokens in >39/50
+    // of docs by integer compare.
+    "q101_stopword_clean" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(text, ' ')) AS tok,
+        |         generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents),
+        |toks2 AS (SELECT * FROM toks WHERE length(tok) > 0),
+        |dft AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks2 GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |stop AS (SELECT tok FROM dft, n WHERE df * 50 > n_docs * 39),
+        |kept AS (
+        |  SELECT doc_id, tok, pos FROM toks2
+        |  WHERE tok NOT IN (SELECT tok FROM stop)),
+        |clean AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, d.lang,
+        |       COALESCE(c.cleaned, '') AS cleaned,
+        |       CAST(length(COALESCE(c.cleaned, '')) AS INT) AS clean_chars
+        |FROM documents d LEFT JOIN clean c USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // q34's pair CTE chain verbatim, then components as the transitive
     // closure's per-node minimum (recursive CTE — the oracle twin of the

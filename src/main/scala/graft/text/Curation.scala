@@ -178,6 +178,73 @@ object Curation {
     * be contiguous in shard order); choose groups that fit a task, exactly
     * as a per-worker packer would.
     */
+  /** Corpus TF-IDF document scores in exact integer arithmetic:
+    * `score_scaled = Σ_tokens tf(t,d) · ((N·scale) div df(t))` plus the
+    * document token count. The reciprocal-df weight `(N·scale) div df`
+    * stands in for `ln(N/df)` so the score is a BIGINT — identical under
+    * any summation order and engine (floating ln + float Σ would tie the
+    * result to reduction order; an oracle-gated operator must not).
+    * Rank/filters behave like classic TF-IDF: rare tokens weigh more,
+    * corpus-saturated tokens weigh ~scale.
+    *
+    * Shape (the canonical distributed TF-IDF, no driver state):
+    * tokenize → (doc, token) partial counts → token-keyed df aggregate →
+    * one token-keyed join back → doc-keyed weighted sum. The df side is
+    * vocabulary-sized (Zipf-bounded), never corpus-sized; N arrives as a
+    * broadcast 1-row cross join, not a driver `.count()`.
+    */
+  def tfIdfScore(docs: DataFrame, idCol: String, textCol: String,
+      scale: Long = 1000000L): DataFrame = {
+    val toks = docs.select(col(idCol),
+        explode(split(col(textCol), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val tf = toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfT, "tok")
+      .crossJoin(broadcast(n))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * expr(s"(n_docs * ${scale}L) div df")).as("score_scaled"))
+  }
+
+  /** Corpus-adaptive stopword removal (the C4/CCNet cleanup move where
+    * the stopword list comes from the corpus itself, not a fixed table):
+    * tokens present in more than `maxDfNum/maxDfDen` of all documents are
+    * dropped from every document; surviving tokens keep their original
+    * order. Returns `docs` with `cleanedCol` added ('' when every token
+    * was dropped). The df threshold compares integers
+    * (`df·den > N·num`) — no float boundary.
+    *
+    * Shape: the discovered stoplist is tiny BY CONSTRUCTION (only tokens
+    * in >num/den of ALL docs qualify — a Zipf head, bounded by den/num),
+    * so membership is a broadcast anti-join; reassembly is one doc-keyed
+    * aggregate ordering (pos, token) pairs inside each value-complete
+    * group, the same per-document bound every text op here carries.
+    */
+  def removeCorpusStopwords(docs: DataFrame, idCol: String, textCol: String,
+      cleanedCol: String = "cleaned",
+      maxDfNum: Int = 1, maxDfDen: Int = 2): DataFrame = {
+    require(maxDfNum > 0 && maxDfDen > 0, "df threshold must be positive")
+    val toks = docs.select(col(idCol),
+        posexplode(split(col(textCol), " "))).toDF(idCol, "pos", "tok")
+      .filter(length(col("tok")) > 0)
+    val dfT = toks.select(col(idCol), col("tok")).distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val stop = dfT.crossJoin(broadcast(n))
+      .filter(col("df") * lit(maxDfDen.toLong) > col("n_docs") * lit(maxDfNum.toLong))
+      .select("tok")
+    val cleaned = toks.join(broadcast(stop), Seq("tok"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x("tok"))).as(cleanedCol))
+    docs.join(cleaned, Seq(idCol), "left")
+      .withColumn(cleanedCol, coalesce(col(cleanedCol), lit("")))
+  }
+
   def packGreedy(df: DataFrame, groupCol: String, orderCol: String,
       weightCol: String, capacity: Long): DataFrame = {
     require(capacity >= 1, s"capacity must be >= 1: $capacity")

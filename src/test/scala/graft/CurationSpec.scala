@@ -126,6 +126,42 @@ class CurationSpec extends SparkSpec {
     assert(gotA == expectA)
   }
 
+  test("tfIdfScore matches a brute-force integer TF-IDF on a known corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a c"),   // tf: a=2 b=1 c=1
+      (2L, "a b"),       // tf: a=1 b=1
+      (3L, "c d d"))     // tf: c=1 d=2
+      .toDF("doc_id", "text")
+    // df: a=2 b=2 c=2 d=1; N=3; w(t) = (3*1000000) div df
+    val wa = 3000000L / 2; val wd = 3000000L / 1
+    val got = graft.text.Curation.tfIdfScore(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 2 * wa + 1 * wa + 1 * wa),
+      (2L, 2L, 1 * wa + 1 * wa),
+      (3L, 3L, 1 * wa + 2 * wd)))
+  }
+
+  test("removeCorpusStopwords drops high-df tokens, keeps order, '' when all dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat the mat"),
+      (2L, "the dog"),
+      (3L, "the the"),
+      (4L, ""))
+      .toDF("doc_id", "text")
+    // df(the)=3 of 4 > 1/2; everything else below
+    val got = graft.text.Curation
+      .removeCorpusStopwords(docs, "doc_id", "text", maxDfNum = 1, maxDfDen = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "cleaned")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, "cat mat"), (2L, "dog"), (3L, ""), (4L, "")))
+  }
+
   test("decontaminate drops exactly the eval-overlapping docs; clean corpus re-reports empty") {
     import spark.implicits._
     // corpus: 40 distinct synthetic docs; doc 7 and 23 quote the benchmark

@@ -213,13 +213,20 @@ class PlanSpec extends SparkSpec {
     // q97/q98: expression-only batteries — the sort is the one exchange
     "q97_url_funcs" -> 1, "q98_string_search" -> 1,
     // q99: the FINAL merged() aggregate + final sort
-    "q99_final_clause" -> 2)
+    "q99_final_clause" -> 2,
+    // q100: (doc,tok) tf agg + tok df agg + scalar-N agg + tok join +
+    // doc-keyed sum + sort — the canonical distributed TF-IDF spine
+    "q100_tfidf" -> 6,
+    // q101: same spine minus the weight join (stoplist broadcasts)
+    "q101_stopword_clean" -> 5)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)
   private val bnljAllowed = Set("q07_cross_join", "q40_cosine_probe",
     "q41_knn_brute", "q45_cosine_neardup_exact", "q59_scalar_subquery",
-    "q67_knn_pq")
+    "q67_knn_pq",
+    // the 1-row corpus-count broadcast (scalar N), not a data cross join
+    "q100_tfidf", "q101_stopword_clean")
 
   test("table-driven sweep: every declared query holds its exchange budget") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
