@@ -25,6 +25,25 @@ object BenchProbe {
     }
 
     val docs = Tables(spark, sfDir).documents
+
+    if (args.contains("q49")) {
+      // phase split of the dup-cluster pipeline: pair generation vs CC vs
+      // the full declared query (join + window + sort tail)
+      def pairs() = graft.dedup.Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        shingleSize = 3, threshold = 0.2, maxShingleDf = 50)
+      for (i <- 1 to 3) {
+        timed(s"pairs_only_$i") { pairs().count(): Unit }
+        timed(s"pairs_plus_cc_$i") {
+          graft.dedup.Cluster.connectedComponents(pairs(), "id_a", "id_b").count(): Unit
+        }
+        timed(s"full_q49_$i") {
+          SparkEntry.queries("q49_dup_clusters")(spark, sfDir).count(): Unit
+        }
+      }
+      spark.stop()
+      return
+    }
+
     def freshIx() = {
       val p = java.nio.file.Files.createTempDirectory("graft-probe-ndi").toString + "/ix"
       val ix = new graft.dedup.NearDupIndex(spark, p, numHashes = 64, bands = 16)

@@ -64,9 +64,11 @@ object Cluster {
     // partitioned by the probe endpoint so every round's relax join reads it
     // exchange-free from cache
     val sym = edges.select(col(srcCol).cast(LongType).as("a"), col(dstCol).cast(LongType).as("b"))
+    // no distinct(): min-relax is idempotent to duplicate edges, so a
+    // dedup pass would buy nothing but one more O(E) exchange — duplicate
+    // neighbors collapse in the map-side combine of every relax aggregate
     val und = sym.union(sym.select(col("b").as("a"), col("a").as("b")))
       .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
-      .distinct()
       .repartition(col("a"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
