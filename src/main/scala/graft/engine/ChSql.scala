@@ -35,6 +35,17 @@ object ChSql {
   def stripFormat(q: String): String =
     q.replaceAll("(?is)\\bformat\\s+\\w+\\s*;?\\s*$", "")
 
+  /** Drop a trailing `SETTINGS k = v[, ...]` clause — CH's per-query
+    * engine knobs (max_threads, max_memory_usage, ...); Spark's execution
+    * tuning lives in the session conf, and none of the reference's knobs
+    * change query SEMANTICS. Composes before [[stripFormat]] order-wise:
+    * CH grammar puts SETTINGS before FORMAT.
+    */
+  def stripSettings(q: String): String =
+    q.replaceAll(
+      "(?is)\\bsettings\\s+\\w+\\s*=\\s*[^,;]+(\\s*,\\s*\\w+\\s*=\\s*[^,;]+)*" +
+        "(?=\\s*(format\\s+\\w+\\s*)?;?\\s*$)", "")
+
   /** `GROUP BY keys WITH TOTALS` → `GROUP BY GROUPING SETS ((keys), ())`. */
   def withTotals(q: String): String =
     """(?is)\bgroup\s+by\s+(.*?)\s+with\s+totals\b""".r.replaceAllIn(q, m =>
@@ -117,5 +128,5 @@ object ChSql {
 
   /** All shims, in the order they compose. */
   def apply(q: String): String =
-    withTotals(stripFormat(prewhere(stripGlobal(scalarWith(q)))))
+    withTotals(stripSettings(stripFormat(prewhere(stripGlobal(scalarWith(q))))))
 }

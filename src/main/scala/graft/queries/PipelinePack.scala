@@ -92,6 +92,16 @@ object PipelinePack {
         .orderBy("doc_id")
     },
 
+    // BPE merge-candidate table: corpus-wide adjacent-token-pair counts
+    // (Curation.tokenPairCounts), top-50 under a total (cnt, pair) order —
+    // the first round of byte-pair-encoding tokenizer training as one
+    // aggregate. TakeOrdered tail, no global sort.
+    "q102_bpe_pairs" -> { (s, dir) =>
+      Curation.tokenPairCounts(Tables(s, dir).documents, "text")
+        .orderBy(col("cnt").desc, col("tok_a"), col("tok_b"))
+        .limit(50)
+    },
+
     // Duplicate-cluster resolution: q34's exact near-dup pairs → connected
     // components (min-label propagation + pointer jumping) → one canonical
     // doc per cluster. The step pairwise dedup output actually needs: a~b,
@@ -239,6 +249,20 @@ object PipelinePack {
         |       CAST(length(COALESCE(c.cleaned, '')) AS INT) AS clean_chars
         |FROM documents d LEFT JOIN clean c USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // aligned twin unnests over shifted 1-based list slices reproduce the
+    // zip_with pairing exactly; same total order at the top-50 cut.
+    "q102_bpe_pairs" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS a FROM documents),
+        |pairs AS (
+        |  SELECT unnest(a[1:len(a)-1]) AS tok_a, unnest(a[2:len(a)]) AS tok_b
+        |  FROM toks WHERE len(a) >= 2)
+        |SELECT tok_a, tok_b, count(*) AS cnt
+        |FROM pairs
+        |WHERE length(tok_a) > 0 AND length(tok_b) > 0
+        |GROUP BY 1, 2
+        |ORDER BY cnt DESC, tok_a, tok_b
+        |LIMIT 50""".stripMargin,
 
     // q34's pair CTE chain verbatim, then components as the transitive
     // closure's per-node minimum (recursive CTE — the oracle twin of the

@@ -245,6 +245,30 @@ object Curation {
       .withColumn(cleanedCol, coalesce(col(cleanedCol), lit("")))
   }
 
+  /** Corpus-wide adjacent-token-pair frequencies — the merge-candidate
+    * table of one BPE training round (count every neighboring token pair;
+    * the argmax pair is the next merge). Returns (tok_a, tok_b, cnt).
+    *
+    * Shape: pairing is a per-row `zip_with` over two shifted slices (no
+    * shuffle, no UDF); the count is ONE (tok_a, tok_b)-keyed aggregate
+    * whose map-side combine absorbs hot pairs — the exchange carries at
+    * most one row per distinct pair per partition, never corpus-sized.
+    */
+  def tokenPairCounts(docs: DataFrame, textCol: String): DataFrame = {
+    val a = split(col(textCol), " ")
+    val n = size(a)
+    val pairs = when(n >= 2,
+      zip_with(
+        slice(a, lit(1), n - 1), slice(a, lit(2), n - 1),
+        (x, y) => struct(x.as("tok_a"), y.as("tok_b"))))
+      .otherwise(array().cast("array<struct<tok_a:string,tok_b:string>>"))
+    docs.select(explode(pairs).as("p"))
+      .select(col("p.tok_a").as("tok_a"), col("p.tok_b").as("tok_b"))
+      .filter(length(col("tok_a")) > 0 && length(col("tok_b")) > 0)
+      .groupBy("tok_a", "tok_b")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   def packGreedy(df: DataFrame, groupCol: String, orderCol: String,
       weightCol: String, capacity: Long): DataFrame = {
     require(capacity >= 1, s"capacity must be >= 1: $capacity")

@@ -344,6 +344,16 @@ class ChCompatSpec extends SparkSpec {
     assert(norm(ChSql.prewhere("SELECT x FROM t PREWHERE a > 0 WHERE b < 2")) ==
       "SELECT x FROM t WHERE (a > 0) AND b < 2")
     assert(norm(ChSql.stripFormat("SELECT 1 FORMAT TabSeparated;")) == "SELECT 1")
+    // SETTINGS strip: single and multi-knob, composed with FORMAT either
+    // side, and a mid-query 'settings' name is left alone
+    assert(norm(ChSql.stripSettings("SELECT 1 SETTINGS max_threads = 8")) == "SELECT 1")
+    assert(norm(ChSql.stripSettings(
+      "SELECT 1 SETTINGS max_threads = 8, max_memory_usage = 10000000;")) == "SELECT 1 ;")
+    assert(norm(ChSql(
+      "SELECT a FROM t ORDER BY a SETTINGS max_threads = 4 FORMAT Pretty")) ==
+      "SELECT a FROM t ORDER BY a")
+    assert(norm(ChSql.stripSettings("SELECT settings FROM t WHERE a = 1")) ==
+      "SELECT settings FROM t WHERE a = 1")
     assert(norm(ChSql.withTotals("SELECT a, count(*) FROM t GROUP BY a WITH TOTALS")) ==
       "SELECT a, count(*) FROM t GROUP BY GROUPING SETS ((a), ())")
     // GLOBAL drops before joins and IN, stays elsewhere (it could be a name)

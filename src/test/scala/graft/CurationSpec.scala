@@ -162,6 +162,16 @@ class CurationSpec extends SparkSpec {
       (1L, "cat mat"), (2L, "dog"), (3L, ""), (4L, "")))
   }
 
+  test("tokenPairCounts counts adjacent pairs, skips short and empty docs") {
+    import spark.implicits._
+    val docs = Seq("a b a b c", "b c", "x", "").toDF("text")
+    val got = graft.text.Curation.tokenPairCounts(docs, "text")
+      .orderBy("tok_a", "tok_b")
+      .as[(String, String, Long)].collect().toSeq
+    // doc1 pairs: (a,b) (b,a) (a,b) (b,c); doc2: (b,c); doc3/doc4: none
+    assert(got == Seq(("a", "b", 2L), ("b", "a", 1L), ("b", "c", 2L)))
+  }
+
   test("decontaminate drops exactly the eval-overlapping docs; clean corpus re-reports empty") {
     import spark.implicits._
     // corpus: 40 distinct synthetic docs; doc 7 and 23 quote the benchmark

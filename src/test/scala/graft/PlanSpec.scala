@@ -218,7 +218,10 @@ class PlanSpec extends SparkSpec {
     // doc-keyed sum + sort — the canonical distributed TF-IDF spine
     "q100_tfidf" -> 6,
     // q101: same spine minus the weight join (stoplist broadcasts)
-    "q101_stopword_clean" -> 5)
+    "q101_stopword_clean" -> 5,
+    // q102: per-row zip_with pairing + ONE pair-keyed count; top-50 is
+    // TakeOrdered, not a sort exchange
+    "q102_bpe_pairs" -> 1)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)
