@@ -106,7 +106,7 @@ object BenchScale {
     val div = if (quick) 10 else 1
     // optional section filter: any of ingest/probe/cc/ivf/compact — run
     // only the named curves (default: all), e.g. `runMain graft.BenchScale cc`
-    val sections = args.toSet.intersect(Set("ingest", "probe", "cc", "ivf", "compact"))
+    val sections = args.toSet.intersect(Set("ingest", "probe", "cc", "ivf", "compact", "tfidf"))
     def on(s: String): Boolean = sections.isEmpty || sections.contains(s)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -267,6 +267,33 @@ object BenchScale {
         s""""read_sec_before":$before,"compact_sec":$compactSec,""" +
         s""""compact_shuffle_mb":${l.shuffleBytes.get / 1e6},""" +
         s""""read_sec_after":$after}""")
+    }
+
+    // ---- 6. TF-IDF spine vs corpus size ----------------------------------
+    // the (doc,token) tf aggregate + token df aggregate + join-back spine
+    // must scale linearly in total tokens: exchanged records grow ~N,
+    // per-doc wall cost falls (fixed job floor amortizes)
+    if (on("tfidf"))
+    for (n <- Seq(20000L, 200000L, 1000000L).map(_ / div)) {
+      val d = docs(spark, n)
+      // static plan for readable metrics; broadcast OFF so every size point
+      // runs the same (worst-case, 100 TB-relevant) shuffle-join regime —
+      // small points would otherwise broadcast the df side and exchange
+      // 6x fewer token-volumes, bending the curve for plan reasons
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val scored = graft.text.Curation.tfIdfScore(d, "doc_id", "text")
+        val plan = scored.queryExecution.executedPlan
+        val sec = timed { plan.execute().count(): Unit }
+        val (recs, bytes) = exchangeStats(plan)
+        emit(s"""{"curve":"tfidf_scaling","docs":$n,"sec":$sec,""" +
+          s""""ms_per_kdoc":${sec * 1e6 / n},"exchange_records":$recs,""" +
+          s""""exchange_mb":${bytes / 1e6}}""")
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      }
     }
 
     emit(s"""{"metric":"bench_scale_done","quick":$quick}""")

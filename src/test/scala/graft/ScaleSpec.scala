@@ -109,4 +109,31 @@ class ScaleSpec extends SparkSpec {
     // and the merged answer scaled with the appends, so both tables were real
     assert(check16 == check4 * 4)
   }
+
+  test("TF-IDF exchange volume is linear in the corpus: no quadratic term") {
+    // asserted on exchange METRICS (deterministic): the tf/df/join-back
+    // spine must exchange O(total tokens) records — a 5x corpus may
+    // exchange ~5x records (plus the vocab-sized df side), never more
+    def stats(n: Long): Long = {
+      // broadcast off: both points run the shuffle-join regime a 100 TB
+      // corpus forces, so the ratio reflects volume, not a plan change
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val plan = graft.text.Curation
+          .tfIdfScore(BenchScale.docs(spark, n), "doc_id", "text")
+          .queryExecution.executedPlan
+        plan.execute().count(): Unit
+        BenchScale.exchangeStats(plan)._1
+      } finally {
+        spark.conf.unset("spark.sql.adaptive.enabled")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+    val r1 = stats(2000)
+    val r5 = stats(10000)
+    assert(r1 > 0, "expected a measurable exchange")
+    assert(r5 <= r1 * 6,
+      s"TF-IDF exchange grew superlinearly: $r1 records at 2k docs -> $r5 at 10k")
+  }
 }
