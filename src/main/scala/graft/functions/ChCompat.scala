@@ -240,6 +240,71 @@ object ChCompat {
       if (es.length == 3) Slice(es(0), es(1), es(2))
       else Slice(es(0), es(1), Subtract(Size(es(0)), Subtract(es(1), Literal(1))))
     }
+    // ---- CH array analytics (series math over per-row arrays) --------
+    // index-lambda forms: Spark's HOF lambdas take (element, 0-based
+    // index); element_at is 1-based, so element_at(a, i) IS the previous
+    // element at lambda index i — the off-by-one the shapes below lean on
+    def lamVar(n: String) = UnresolvedNamedLambdaVariable(Seq(n))
+    f("arrayEnumerate") { es =>
+      val (x, i) = (lamVar("__en_x"), lamVar("__en_i"))
+      ArrayTransform(es.head, LambdaFunction(Add(i, Literal(1)), Seq(x, i)))
+    }
+    // running sums: one functional fold, O(n) per row, bigint lanes
+    f("arrayCumSum") { es =>
+      val acc = lamVar("__cs_acc"); val x = lamVar("__cs_x"); val fin = lamVar("__cs_fin")
+      val accSum = GetStructField(acc, 0, Some("s"))
+      val zero = CreateNamedStruct(Seq(
+        Literal("s"), Literal(0L),
+        Literal("out"), Literal.create(Seq.empty[Long], ArrayType(LongType))))
+      val merge = LambdaFunction(CreateNamedStruct(Seq(
+        Literal("s"), Add(accSum, Cast(x, LongType)),
+        Literal("out"), ArrayAppend(GetStructField(acc, 1, Some("out")),
+          Add(accSum, Cast(x, LongType))))), Seq(acc, x))
+      ArrayAggregate(es.head, zero, merge,
+        LambdaFunction(GetStructField(fin, 1, Some("out")), Seq(fin)))
+    }
+    // neighbor deltas: [0, a1-a0, a2-a1, ...] (CH pins the first lane 0)
+    f("arrayDifference") { es =>
+      val (x, i) = (lamVar("__df_x"), lamVar("__df_i"))
+      ArrayTransform(es.head, LambdaFunction(
+        Subtract(x, If(EqualTo(i, Literal(0)), x, ElementAt(es.head, i))), Seq(x, i)))
+    }
+    // collapse CONSECUTIVE duplicates (run-length heads), nulls compared
+    // null-safely like CH
+    f("arrayCompact") { es =>
+      val (x, i) = (lamVar("__cp_x"), lamVar("__cp_i"))
+      ArrayFilter(es.head, LambdaFunction(
+        Or(EqualTo(i, Literal(0)), Not(EqualNullSafe(x, ElementAt(es.head, i)))),
+        Seq(x, i)))
+    }
+    f("arraySum") { es =>
+      val acc = lamVar("__as_acc"); val x = lamVar("__as_x")
+      ArrayAggregate(es.head, Literal(0L),
+        LambdaFunction(Add(acc, Cast(x, LongType)), Seq(acc, x)),
+        LambdaFunction.identity)
+    }
+    f("arrayAvg") { es =>
+      val acc = lamVar("__av_acc"); val x = lamVar("__av_x")
+      val s = ArrayAggregate(es.head, Literal(0.0),
+        LambdaFunction(Add(acc, Cast(x, DoubleType)), Seq(acc, x)),
+        LambdaFunction.identity)
+      If(EqualTo(Size(es.head), Literal(0)), Literal(0.0),
+        Divide(s, Cast(Size(es.head), DoubleType)))
+    }
+    f("arrayMin") { es => ArrayMin(es.head) }
+    f("arrayMax") { es => ArrayMax(es.head) }
+    f("arrayReverseSort") { es => new SortArray(es.head, Literal(false)) }
+    f("arrayZip") { es => ArraysZip(es) }
+    f("arrayPushBack") { es => ArrayAppend(es(0), es(1)) }
+    f("arrayPushFront") { es => ArrayPrepend(es(0), es(1)) }
+    f("arrayPopBack") { es =>
+      If(LessThanOrEqual(Size(es.head), Literal(0)), es.head,
+        Slice(es.head, Literal(1), Subtract(Size(es.head), Literal(1))))
+    }
+    f("arrayPopFront") { es =>
+      If(LessThanOrEqual(Size(es.head), Literal(0)), es.head,
+        Slice(es.head, Literal(2), Subtract(Size(es.head), Literal(1))))
+    }
     // CH toUInt32 truncates fractions toward zero (as Cast does) and wraps
     // negatives/overflow mod 2^32 (Cast alone would pass negatives through)
     f("toUInt32") { es => BitwiseAnd(Cast(es.head, LongType), Literal(0xFFFFFFFFL)) }

@@ -322,6 +322,32 @@ object ChPack {
           |ORDER BY doc_id""".stripMargin)
     },
 
+    // CH array series math (arrayEnumerate / arrayCumSum / arrayDifference
+    // / arrayCompact / arraySum / arrayMin / arrayMax / arrayPop*) over
+    // per-doc token-length arrays — the per-row fold/index-lambda family
+    // a series analyst leans on; all expression-composed, bigint lanes.
+    "q103_ch_array_math" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).documents
+        .select(col("doc_id"), graft.text.TextFunctions.tokens(col("text")).as("toks"))
+        .createOrReplaceTempView("graft_arrm_docs")
+      s.sql(
+        """SELECT doc_id,
+          |       concat_ws(',', arraySlice(arrayEnumerate(toks), 1, 3)) AS enum3,
+          |       concat_ws(',', arrayCumSum(lens)) AS cum_lens,
+          |       concat_ws(',', arrayDifference(lens)) AS diffs,
+          |       concat_ws(',', arrayCompact(lens)) AS rle_heads,
+          |       arraySum(lens) AS sum_len,
+          |       arrayMin(lens) AS min_len,
+          |       arrayMax(lens) AS max_len,
+          |       size(arrayPopFront(lens)) AS popf_n,
+          |       size(arrayPopBack(lens)) AS popb_n
+          |FROM (
+          |  SELECT doc_id, toks, arrayMap(t -> toUInt64(length(t)), toks) AS lens
+          |  FROM graft_arrm_docs)
+          |ORDER BY doc_id""".stripMargin)
+    },
+
     // windowFunnel under the hash gate: the two-level case (view →
     // purchase within the hour) is exactly SQL-expressible — a chain
     // exists iff some purchase has a strictly-earlier view within the
@@ -497,6 +523,34 @@ object ChPack {
         |       'https://seg-' || seg || '.example.com' || pth || '?' || qs || '#' || frag AS no_www
         |FROM u
         |ORDER BY url""".stripMargin,
+
+    // index-driven list mirrors: generate_series(1, len) plays the lambda
+    // index, 1-based slicing re-derives each running construct; array
+    // lanes serialize to ','-joined strings on BOTH sides (ragged lists
+    // hash unevenly across compare stacks; strings are content-exact).
+    "q103_ch_array_math" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |l AS (SELECT doc_id, list_transform(toks, tk -> length(tk)) AS lens FROM t)
+        |SELECT doc_id,
+        |  array_to_string(list_transform(generate_series(1, least(3, len(lens))),
+        |                                  i -> CAST(i AS VARCHAR)), ',') AS enum3,
+        |  array_to_string(list_transform(generate_series(1, len(lens)),
+        |                 i -> CAST(CAST(list_sum(lens[1:i]) AS BIGINT) AS VARCHAR)), ',') AS cum_lens,
+        |  array_to_string(list_transform(generate_series(1, len(lens)),
+        |                 i -> CAST(CASE WHEN i = 1 THEN 0 ELSE lens[i] - lens[i-1] END AS VARCHAR)), ',') AS diffs,
+        |  array_to_string(list_transform(list_filter(generate_series(1, len(lens)),
+        |                             i -> i = 1 OR lens[i] IS DISTINCT FROM lens[i-1]),
+        |                 i -> CAST(lens[i] AS VARCHAR)), ',') AS rle_heads,
+        |  CAST(list_sum(lens) AS BIGINT) AS sum_len,
+        |  CAST(list_min(lens) AS BIGINT) AS min_len,
+        |  CAST(list_max(lens) AS BIGINT) AS max_len,
+        |  CAST(greatest(len(lens) - 1, 0) AS INT) AS popf_n,
+        |  CAST(greatest(len(lens) - 1, 0) AS INT) AS popb_n
+        |FROM l
+        |ORDER BY doc_id""".stripMargin,
 
     // strpos/regexp mirrors of the string-search battery; every count
     // and flag cast to BIGINT on both sides.

@@ -221,7 +221,9 @@ class PlanSpec extends SparkSpec {
     "q101_stopword_clean" -> 5,
     // q102: per-row zip_with pairing + ONE pair-keyed count; top-50 is
     // TakeOrdered, not a sort exchange
-    "q102_bpe_pairs" -> 1)
+    "q102_bpe_pairs" -> 1,
+    // q103: per-row array folds; the sort is the one exchange
+    "q103_ch_array_math" -> 1)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)

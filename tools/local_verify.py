@@ -48,8 +48,17 @@ def compare(got, exp):
     got, exp = got[gc], exp[gc]
     if len(got) != len(exp):
         return False, f"row count: spark={len(got)} duck={len(exp)}"
+    def norm_cell(v):
+        # list/array cells (quantilesExact, the array-math battery) compare
+        # structurally — tuples are hashable and element-order-preserving
+        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+            return tuple(norm_cell(x) for x in v)
+        return v
     for c in gc:
         g, e = got[c], exp[c]
+        if g.dtype == object or e.dtype == object:
+            g = g.map(norm_cell)
+            e = e.map(norm_cell)
         try:
             g2 = g.astype(e.dtype) if g.dtype != e.dtype else g
         except Exception:
