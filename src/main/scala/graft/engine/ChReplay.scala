@@ -237,15 +237,26 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     * (it merges on read); it does NOT force a compact().
     */
   private def applyFinal(q: String): String = {
+    // string-literal mask, like every scanner in this file: a quoted
+    // '... from t final ...' must not trigger the rewrite
+    val inStr = new Array[Boolean](q.length)
+    var quoted = false
+    for (i <- 0 until q.length) {
+      if (q.charAt(i) == '\'') quoted = !quoted
+      inStr(i) = quoted
+    }
     val re = """(?i)\b(from|join)\s+([A-Za-z_][\w.]*)\s+final\b""".r
     re.replaceAllIn(q, m => {
-      val name = m.group(2)
-      val st = stateTables.getOrElse(resolve(name), sys.error(
-        s"$name FINAL: FINAL needs an AggregatingMergeTree-backed table " +
-          s"(known: ${stateTables.keys.mkString(", ")})"))
-      val view = "graft_final_" + resolve(name).replaceAll("[^A-Za-z0-9_]", "_")
-      st.merged().createOrReplaceTempView(view)
-      java.util.regex.Matcher.quoteReplacement(s"${m.group(1)} $view")
+      if (inStr(m.start)) java.util.regex.Matcher.quoteReplacement(m.matched)
+      else {
+        val name = m.group(2)
+        val st = stateTables.getOrElse(resolve(name), sys.error(
+          s"$name FINAL: FINAL needs an AggregatingMergeTree-backed table " +
+            s"(known: ${stateTables.keys.mkString(", ")})"))
+        val view = "graft_final_" + resolve(name).replaceAll("[^A-Za-z0-9_]", "_")
+        st.merged().createOrReplaceTempView(view)
+        java.util.regex.Matcher.quoteReplacement(s"${m.group(1)} $view")
+      }
     })
   }
 

@@ -41,10 +41,14 @@ object ChSql {
     * change query SEMANTICS. Composes before [[stripFormat]] order-wise:
     * CH grammar puts SETTINGS before FORMAT.
     */
-  def stripSettings(q: String): String =
+  def stripSettings(q: String): String = {
+    // a value is a quoted literal (commas/semicolons inside are fine,
+    // '' escapes a quote) or a bare token
+    val v = "(?:'(?:[^']|'')*'|[^,;\\s]+)"
     q.replaceAll(
-      "(?is)\\bsettings\\s+\\w+\\s*=\\s*[^,;]+(\\s*,\\s*\\w+\\s*=\\s*[^,;]+)*" +
+      s"(?is)\\bsettings\\s+\\w+\\s*=\\s*$v(\\s*,\\s*\\w+\\s*=\\s*$v)*" +
         "(?=\\s*(format\\s+\\w+\\s*)?;?\\s*$)", "")
+  }
 
   /** `GROUP BY keys WITH TOTALS` → `GROUP BY GROUPING SETS ((keys), ())`. */
   def withTotals(q: String): String =

@@ -150,7 +150,9 @@ object ChCompat {
         Literal("")))
     }
     f("cutQueryString") { es =>
-      RegExpReplace(es.head, Literal("\\?[^#]*"), Literal(""))
+      // only a '?' BEFORE any '#' starts a query string — '?' inside the
+      // fragment is legal and stays (CH agrees)
+      RegExpReplace(es.head, Literal("^([^#?]*)\\?[^#]*"), Literal("$1"))
     }
     f("cutFragment") { es =>
       RegExpReplace(es.head, Literal("#.*$"), Literal(""))
@@ -249,7 +251,12 @@ object ChCompat {
       val (x, i) = (lamVar("__en_x"), lamVar("__en_i"))
       ArrayTransform(es.head, LambdaFunction(Add(i, Literal(1)), Seq(x, i)))
     }
-    // running sums: one functional fold, O(n) per row, bigint lanes
+    // running sums: one functional fold over the row's array, bigint
+    // lanes. Cost note: ArrayAppend copies the accumulated output each
+    // step, so the fold is O(n²) element copies for an n-element lane —
+    // fine for per-document arrays (tens to hundreds of tokens), not a
+    // shape for 1e5-element lanes (no immutable-array O(n) exists at the
+    // expression level; CH pays a native loop here)
     f("arrayCumSum") { es =>
       val acc = lamVar("__cs_acc"); val x = lamVar("__cs_x"); val fin = lamVar("__cs_fin")
       val accSum = GetStructField(acc, 0, Some("s"))

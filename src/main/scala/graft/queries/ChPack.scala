@@ -544,7 +544,7 @@ object ChPack {
         |  array_to_string(list_transform(list_filter(generate_series(1, len(lens)),
         |                             i -> i = 1 OR lens[i] IS DISTINCT FROM lens[i-1]),
         |                 i -> CAST(lens[i] AS VARCHAR)), ',') AS rle_heads,
-        |  CAST(list_sum(lens) AS BIGINT) AS sum_len,
+        |  CAST(COALESCE(list_sum(lens), 0) AS BIGINT) AS sum_len,
         |  CAST(list_min(lens) AS BIGINT) AS min_len,
         |  CAST(list_max(lens) AS BIGINT) AS max_len,
         |  CAST(greatest(len(lens) - 1, 0) AS INT) AS popf_n,

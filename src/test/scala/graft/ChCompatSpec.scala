@@ -354,6 +354,9 @@ class ChCompatSpec extends SparkSpec {
       "SELECT a FROM t ORDER BY a")
     assert(norm(ChSql.stripSettings("SELECT settings FROM t WHERE a = 1")) ==
       "SELECT settings FROM t WHERE a = 1")
+    // quoted values may contain commas/semicolons
+    assert(norm(ChSql.stripSettings(
+      "SELECT 1 SETTINGS log_comment = 'a,b;c', max_threads = 2")) == "SELECT 1")
     assert(norm(ChSql.withTotals("SELECT a, count(*) FROM t GROUP BY a WITH TOTALS")) ==
       "SELECT a, count(*) FROM t GROUP BY GROUPING SETS ((a), ())")
     // GLOBAL drops before joins and IN, stays elsewhere (it could be a name)
@@ -789,6 +792,9 @@ class ChCompatSpec extends SparkSpec {
     assert(one("topLevelDomain('http://localhost/x')") == "")
     // cutWWW only cuts a LEADING www. of the host, not path occurrences
     assert(one("cutWWW('https://a.com/www.b')") == "https://a.com/www.b")
+    // a '?' inside the fragment is NOT a query string (CH agrees)
+    assert(one("cutQueryString('http://a/p#f?x')") == "http://a/p#f?x")
+    assert(one("cutQueryString('http://a/p?q=1#f?x')") == "http://a/p#f?x")
   }
 
   test("string search: position/hasToken/multiSearchAny/countSubstrings edges") {

@@ -546,5 +546,11 @@ class ChDdlReplaySpec extends SparkSpec {
     val e = intercept[RuntimeException](
       replay.runQuery("SELECT * FROM nowhere.t FINAL"))
     assert(e.getMessage.contains("FINAL"))
+    // a quoted literal containing 'from t final' must NOT trigger the
+    // rewrite (string-literal masking, like every shim in ChReplay)
+    val lit = replay.runQuery(
+      "SELECT k, 'copied from xyz final' AS note FROM dws.fin_local FINAL ORDER BY k")
+      .collect().map(_.getString(1)).distinct
+    assert(lit.toSeq == Seq("copied from xyz final"))
   }
 }
