@@ -92,6 +92,25 @@ object PipelinePack {
         .orderBy("doc_id")
     },
 
+    // Token-budget corpus selection (Curation.selectByTokenBudget): the
+    // best docs by (quality DESC, doc_id) until an 8k-token budget is
+    // spent — bucket-granular verdicts, doc-level resolution only inside
+    // the one boundary tie-class.
+    "q104_token_budget" -> { (s, dir) =>
+      TextFunctions.register(s)
+      val scored = Tables(s, dir).documents
+        .select(col("doc_id"), col("lang"), col("text"),
+          TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("lang"),
+          size(col("toks")).as("n_tokens"),
+          TextFunctions.qualityScoreFromTokens(col("toks"), col("text")).as("quality"))
+        .filter(col("n_tokens") > 0)
+      Curation.selectByTokenBudget(scored, "doc_id", "quality", "n_tokens",
+          budget = 8000L)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
+        .orderBy("doc_id")
+    },
+
     // BPE merge-candidate table: corpus-wide adjacent-token-pair counts
     // (Curation.tokenPairCounts), top-50 under a total (cnt, pair) order —
     // the first round of byte-pair-encoding tokenizer training as one
@@ -249,6 +268,27 @@ object PipelinePack {
         |       CAST(length(COALESCE(c.cleaned, '')) AS INT) AS clean_chars
         |FROM documents d LEFT JOIN clean c USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // the oracle is the direct formulation the bucket decomposition must
+    // equal: one global cumulative sum over (quality DESC, doc_id), keep
+    // while the running total BEFORE the doc is under budget.
+    "q104_token_budget" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, text,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, lang, CAST(len(toks) AS INT) AS n_tokens,
+         |         $qualitySql AS quality
+         |  FROM t WHERE len(toks) > 0),
+         |o AS (
+         |  SELECT *, COALESCE(SUM(n_tokens) OVER (
+         |    ORDER BY quality DESC, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM s)
+         |SELECT doc_id, lang, n_tokens, quality
+         |FROM o WHERE cum_before < 8000
+         |ORDER BY doc_id""".stripMargin,
 
     // aligned twin unnests over shifted 1-based list slices reproduce the
     // zip_with pairing exactly; same total order at the top-50 cut.

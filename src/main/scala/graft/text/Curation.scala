@@ -245,6 +245,50 @@ object Curation {
       .withColumn(cleanedCol, coalesce(col(cleanedCol), lit("")))
   }
 
+  /** Token-budget corpus selection — "keep the best docs until the budget
+    * is spent": documents ordered by (score DESC, id ASC) are kept while
+    * the running token total BEFORE each document is still under `budget`
+    * (so the document that crosses the line is the last one in). The
+    * deterministic primitive behind quality-curriculum mixing ("top N
+    * billion tokens by quality").
+    *
+    * Scale shape — NO global ordered window over the corpus: scores from
+    * gate-style scorers form a SMALL set of tie-classes, so
+    *   (1) per-score bucket token totals aggregate in one exchange;
+    *   (2) running totals across buckets ride a window over that tiny
+    *       bucket table (driver-size, like WithFill's axis);
+    *   (3) every bucket is decided wholesale — fully in (prefix fits) or
+    *       fully out (budget already spent) — except the ONE boundary
+    *       bucket, whose docs resolve by an id-ordered prefix sum within
+    *       that bucket alone (sequential by necessity — the same
+    *       per-shard funnel posture packGreedy documents).
+    * Precondition: every row has `tokensCol` >= 1 (filter empties first);
+    * zero-token rows at an exact budget edge would make bucket-granular
+    * and doc-granular verdicts disagree.
+    */
+  def selectByTokenBudget(docs: DataFrame, idCol: String, scoreCol: String,
+      tokensCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    val b = docs.groupBy(col(scoreCol))
+      .agg(sum(col(tokensCol).cast(LongType)).as("__btok"))
+    // tiny table: one row per distinct score — the unpartitioned window is
+    // bounded by the scorer's value set, not the corpus
+    val wB = Window.orderBy(col(scoreCol).desc)
+    val cum = b.withColumn("__bcum_before",
+      coalesce(sum(col("__btok")).over(wB) - col("__btok"), lit(0L)))
+    val withB = docs.join(broadcast(cum), Seq(scoreCol))
+    val fullyIn = col("__bcum_before") + col("__btok") <= budget
+    val open = col("__bcum_before") < budget
+    val wD = Window.partitionBy(col(scoreCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boundary = withB.filter(open && !fullyIn)
+      .withColumn("__din", coalesce(sum(col(tokensCol).cast(LongType)).over(wD), lit(0L)))
+      .filter(col("__bcum_before") + col("__din") < budget)
+      .drop("__din")
+    withB.filter(fullyIn).unionByName(boundary)
+      .drop("__btok", "__bcum_before")
+  }
+
   /** Corpus-wide adjacent-token-pair frequencies — the merge-candidate
     * table of one BPE training round (count every neighboring token pair;
     * the argmax pair is the next merge). Returns (tok_a, tok_b, cnt).

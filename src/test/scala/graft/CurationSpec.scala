@@ -162,6 +162,35 @@ class CurationSpec extends SparkSpec {
       (1L, "cat mat"), (2L, "dog"), (3L, ""), (4L, "")))
   }
 
+  test("selectByTokenBudget == global ordered prefix, boundary bucket split doc-wise") {
+    import spark.implicits._
+    // three score classes; budget 10 lands INSIDE the 0.5 class:
+    // class 0.9 (6 tokens total) fully in, class 0.5 resolved by doc_id,
+    // class 0.1 fully out
+    val docs = Seq(
+      (1L, 0.9, 4), (2L, 0.9, 2),
+      (3L, 0.5, 3), (4L, 0.5, 2), (5L, 0.5, 9),
+      (6L, 0.1, 1))
+      .toDF("id", "score", "toks")
+    val kept = graft.text.Curation
+      .selectByTokenBudget(docs, "id", "score", "toks", budget = 10L)
+      .select("id").as[Long].collect().toSet
+    // order: 1(cum0) 2(cum4) | 3(cum6) 4(cum9) 5(cum11) | 6(cum20)
+    // keep while cum_before < 10: ids 1,2,3,4 in; 5 crosses? cum_before(5)=11 >= 10 -> out
+    assert(kept == Set(1L, 2L, 3L, 4L))
+    // budget larger than the corpus keeps everything; budget 0 keeps nothing
+    assert(graft.text.Curation
+      .selectByTokenBudget(docs, "id", "score", "toks", 1000L).count() == 6)
+    assert(graft.text.Curation
+      .selectByTokenBudget(docs, "id", "score", "toks", 0L).count() == 0)
+    // the crossing doc IS kept when its own prefix is under budget
+    val kept2 = graft.text.Curation
+      .selectByTokenBudget(docs, "id", "score", "toks", budget = 7L)
+      .select("id").as[Long].collect().toSet
+    // cum_before: 1->0, 2->4, 3->6 (crosses: 6 < 7, kept), 4->9 out
+    assert(kept2 == Set(1L, 2L, 3L))
+  }
+
   test("tokenPairCounts counts adjacent pairs, skips short and empty docs") {
     import spark.implicits._
     val docs = Seq("a b a b c", "b c", "x", "").toDF("text")

@@ -223,7 +223,10 @@ class PlanSpec extends SparkSpec {
     // TakeOrdered, not a sort exchange
     "q102_bpe_pairs" -> 1,
     // q103: per-row array folds; the sort is the one exchange
-    "q103_ch_array_math" -> 1)
+    "q103_ch_array_math" -> 1,
+    // q104: bucket-total agg + tiny bucket window + boundary-bucket window
+    // + final sort; the corpus side only broadcast-joins the bucket table
+    "q104_token_budget" -> 4)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)
