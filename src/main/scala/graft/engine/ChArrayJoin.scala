@@ -37,8 +37,18 @@ object ChArrayJoin {
       "(?=\\s+where\\b|\\s+group\\s+by\\b|\\s+order\\s+by\\b|" +
       "\\s+having\\b|\\s+limit\\b|\\s+settings\\b|\\s*$)").r
 
+  // expression-operand form: `FROM t [alias] [LEFT] ARRAY JOIN <expr> AS
+  // name` where <expr> is a computed array (after ChSql's literal shim,
+  // the doc's `[tuple, ...]` idiom arrives as `array(tuple(...), ...)`).
+  // The operand needs balanced-paren scanning, so only the prefix is
+  // regex-matched; rewriteExprForm consumes the operand manually.
+  private val exprPrefixRe =
+    ("(?is)\\bfrom\\s+([\\w.]+)(?:\\s+(?:as\\s+)?(?!left\\b|array\\b)(\\w+))?" +
+      "\\s+(left\\s+)?array\\s+join\\s+(?=\\w+\\s*\\()").r
+
   /** Does the query contain an ARRAY JOIN clause to translate? */
-  def applies(sql: String): Boolean = arrayJoinRe.findFirstIn(sql).isDefined
+  def applies(sql: String): Boolean =
+    arrayJoinRe.findFirstIn(sql).isDefined || exprPrefixRe.findFirstIn(sql).isDefined
 
   /** Run `sql`, translating one ARRAY JOIN clause; table references
     * resolve through `resolve` (defaults to the session catalog).
@@ -54,7 +64,14 @@ object ChArrayJoin {
     */
   def rewrite(spark: SparkSession, query: String,
       resolve: String => DataFrame): String = {
-    val m = arrayJoinRe.findFirstMatchIn(query).getOrElse(
+    // an expression operand (`array(...)`, any fn call) also PREFIX-matches
+    // the column-form regex but would mis-scan at its first comma — the
+    // earliest-starting form wins, expr form on ties
+    val exprM = exprPrefixRe.findFirstMatchIn(query)
+    val simpleM = arrayJoinRe.findFirstMatchIn(query)
+    if (exprM.isDefined && simpleM.forall(_.start >= exprM.get.start))
+      return rewriteExprForm(spark, query, resolve)
+    val m = simpleM.getOrElse(
       sys.error("ChArrayJoin: no ARRAY JOIN clause in query"))
     val (tableName, alias) = (m.group(1), Option(m.group(2)))
     val isLeft = m.group(3) != null
@@ -94,6 +111,53 @@ object ChArrayJoin {
     val view = s"graft_array_join_${viewSeq.incrementAndGet()}"
     out.createOrReplaceTempView(view)
     val spliced = query.substring(0, m.start) + s" FROM $view " + query.substring(m.end)
-    ChJoinSyntax.stripQualifiers(spliced, quals)
+    val res = ChJoinSyntax.stripQualifiers(spliced, quals)
+    // translate any remaining clause (one per UNION ALL branch)
+    if (applies(res)) rewrite(spark, res, resolve) else res
+  }
+
+  /** The expression-operand form, rewritten purely at the string level
+    * (the operand is a computed array, so there is no column to resolve):
+    *
+    *   FROM t [LEFT] ARRAY JOIN <expr> AS name
+    *     → FROM (SELECT *, explode[_outer](<expr>) AS name FROM t)
+    *
+    * Every occurrence rewrites (the doc's UNION ALL idiom repeats the
+    * clause per branch). CH requires AS on an expression operand and so
+    * does this shim.
+    */
+  private def rewriteExprForm(spark: SparkSession, query: String,
+      resolve: String => DataFrame): String = {
+    val m = exprPrefixRe.findFirstMatchIn(query).getOrElse(
+      sys.error("ChArrayJoin: no ARRAY JOIN clause in query"))
+    val (tableName, alias) = (m.group(1), Option(m.group(2)))
+    val isLeft = m.group(3) != null
+    // consume the balanced operand expression
+    var i = m.end; var depth = 0; var inStr = false
+    while (i < query.length && {
+      val c = query.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false; true }
+      else c match {
+        case '\'' => inStr = true; true
+        case '(' | '[' => depth += 1; true
+        case ')' | ']' => depth -= 1; depth >= 0
+        case _ => depth > 0 || !c.isWhitespace
+      }
+    }) i += 1
+    val expr = query.substring(m.end, i).trim
+    val asM = """(?is)^\s+as\s+(\w+)""".r.findFirstMatchIn(query.substring(i)).getOrElse(
+      sys.error("ChArrayJoin: an expression ARRAY JOIN operand needs AS <name>"))
+    val name = asM.group(1)
+    val fn = if (isLeft) "explode_outer" else "explode"
+    // resolve the base through the caller (replay bindings included) and
+    // splice it as a view, like the column form does
+    val baseView = s"graft_array_join_${viewSeq.incrementAndGet()}"
+    resolve(tableName).createOrReplaceTempView(baseView)
+    val sub = s"(SELECT *, $fn($expr) AS $name FROM $baseView)" +
+      alias.map(a => s" $a").getOrElse("")
+    val spliced = query.substring(0, m.start) + s" FROM $sub " +
+      query.substring(i + asM.end)
+    // recurse: translate any remaining clause (UNION ALL branches)
+    if (applies(spliced)) rewrite(spark, spliced, resolve) else spliced
   }
 }

@@ -130,7 +130,88 @@ object ChSql {
     body
   }
 
+  /** CH bracket array literals — `[e1, e2, ...]` → `array(e1, ...)` —
+    * with parenthesized TUPLE elements directly inside a literal becoming
+    * `tuple(...)` (struct fields col1, col2, ... — which is what the
+    * [[tupleIndex]] rewrite below targets). The doc's hand-built-rows
+    * idiom `ARRAY JOIN [('android','1.1',1001), ...] AS a` (doc:335-495)
+    * parses through these two shims verbatim. A `[` directly after an
+    * identifier, `)` or `]` is a SUBSCRIPT and is left alone (the lexer
+    * rule every SQL dialect uses).
+    */
+  def chLiterals(q: String): String = {
+    val sb = new StringBuilder
+    var i = 0; var inStr = false
+    def balancedBracket(from: Int): Int = {
+      var d = 0; var j = from; var s = false
+      while (j < q.length) {
+        val c = q.charAt(j)
+        if (s) { if (c == '\'') s = false }
+        else c match {
+          case '\'' => s = true
+          case '[' => d += 1
+          case ']' => d -= 1; if (d == 0) return j
+          case _ =>
+        }
+        j += 1
+      }
+      sys.error(s"chLiterals: unbalanced [ at $from")
+    }
+    def splitTop(body: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var d = 0; var s = false; var start = 0
+      for (j <- 0 until body.length) body.charAt(j) match {
+        case '\'' if !s => s = true
+        case '\'' => s = false
+        case c if s =>
+        case '(' | '[' => d += 1
+        case ')' | ']' => d -= 1
+        case ',' if d == 0 => out += body.substring(start, j); start = j + 1
+        case _ =>
+      }
+      out += body.substring(start)
+      out.toSeq
+    }
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (inStr) { sb += c; if (c == '\'') inStr = false; i += 1 }
+      else if (c == '\'') { inStr = true; sb += c; i += 1 }
+      else if (c == '[' && {
+        // a subscript `a[1]` has its identifier (or closing paren/bracket)
+        // IMMEDIATELY before the bracket; any whitespace (or start/other
+        // punctuation) before `[` means a literal
+        val prev = if (i == 0) ' ' else q.charAt(i - 1)
+        !(prev.isLetterOrDigit || prev == '_' || prev == ')' || prev == ']')
+      }) {
+        val end = balancedBracket(i)
+        val items = splitTop(q.substring(i + 1, end)).map { raw =>
+          val e = chLiterals(raw).trim
+          // (a, b, ...) with a top-level comma is a CH tuple literal;
+          // (expr) without one is plain grouping (CH agrees)
+          if (e.startsWith("(") && e.endsWith(")") &&
+              splitTop(e.substring(1, e.length - 1)).length > 1) "tuple" + e
+          else e
+        }
+        sb.append("array(").append(items.mkString(", ")).append(")")
+        i = end + 1
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  /** CH positional tuple access `x.1` → Spark's `x.col1` (unnamed-struct
+    * field names). Identifier-dot-digits only — a float like `1.1` has no
+    * identifier prefix and stays.
+    */
+  def tupleIndex(q: String): String =
+    q.split("'", -1).zipWithIndex.map { case (seg, j) =>
+      if (j % 2 == 0)
+        seg.replaceAll("\\b([A-Za-z_]\\w*)\\.(\\d+)", "$1.col$2")
+      else seg
+    }.mkString("'")
+
   /** All shims, in the order they compose. */
   def apply(q: String): String =
-    withTotals(stripSettings(stripFormat(prewhere(stripGlobal(scalarWith(q))))))
+    withTotals(stripSettings(stripFormat(prewhere(stripGlobal(scalarWith(
+      tupleIndex(chLiterals(q))))))))
 }

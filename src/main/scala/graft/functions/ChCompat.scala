@@ -57,6 +57,14 @@ object ChCompat {
     MapAggregates.register(spark)
     Simhash.register(spark)
     graft.text.TextFunctions.register(spark)
+    // CH's one-row system table (`FROM system.one` — the doc's hand-built
+    // rows idiom, doc:335-495, selects literals from it); guarded so the
+    // catalog round-trip runs once per session
+    if (!spark.catalog.databaseExists("system") ||
+        !spark.catalog.tableExists("system.one")) {
+      spark.sql("CREATE DATABASE IF NOT EXISTS system")
+      spark.sql("CREATE OR REPLACE VIEW system.one AS SELECT 0 AS dummy")
+    }
     val reg = spark.sessionState.functionRegistry
     def f(name: String)(builder: Seq[Expression] => Expression): Unit =
       reg.createOrReplaceTempFunction(name, builder, "built-in")

@@ -322,6 +322,42 @@ object ChPack {
           |ORDER BY doc_id""".stripMargin)
     },
 
+    // The doc's hand-built-rows state-merge lesson run FILE-VERBATIM
+    // (doc:412-495): `FROM system.one ARRAY JOIN [(tuple), ...] AS a`
+    // with positional tuple access a.1/a.2/a.3, four UNION ALL "batches"
+    // of uniqCombinedState, merged with uniqCombinedMerge — the golden
+    // uv=7 case. Exercises the whole shim chain: bracket array literals →
+    // array(), tuple literals → tuple(), a.N → a.colN, the
+    // expression-operand ARRAY JOIN rewrite, and system.one. The SQL is
+    // extracted from the reference doc at runtime (run-the-original
+    // posture, like q74's script replay); only the deterministic ORDER BY
+    // is appended.
+    "q105_doc_handrows" -> { (s, dir) =>
+      // locate by listing (the filename is non-ASCII; a literal would tie
+      // correctness to the JVM's filename encoding)
+      val docsDir = java.nio.file.Paths.get(graft.engine.ChReplay.scriptsDir,
+        "..", "..", "docs").normalize()
+      val stream = java.nio.file.Files.list(docsDir)
+      val docPath = try {
+        val it = stream.iterator()
+        var found: java.nio.file.Path = null
+        while (it.hasNext && found == null) {
+          val p = it.next()
+          if (p.getFileName.toString.endsWith(".md")) found = p
+        }
+        require(found != null, s"no .md doc under $docsDir")
+        found
+      } finally stream.close()
+      val txt = new String(java.nio.file.Files.readAllBytes(docPath), "UTF-8")
+      val anchor = txt.indexOf("uniqCombinedMerge(xx) AS uv")
+      require(anchor >= 0, s"doc anchor not found in $docPath")
+      val sql = txt.substring(txt.lastIndexOf("SELECT", anchor),
+        txt.indexOf("Query id:", anchor)).trim
+      val replay = new graft.engine.ChReplay(s,
+        graft.engine.ChReplay.scratchWarehouse("graft-q105"))
+      replay.runQuery(sql + "\nORDER BY platform, ver")
+    },
+
     // CH array series math (arrayEnumerate / arrayCumSum / arrayDifference
     // / arrayCompact / arraySum / arrayMin / arrayMax / arrayPop*) over
     // per-doc token-length arrays — the per-row fold/index-lambda family
@@ -523,6 +559,18 @@ object ChPack {
         |       'https://seg-' || seg || '.example.com' || pth || '?' || qs || '#' || frag AS no_www
         |FROM u
         |ORDER BY url""".stripMargin,
+
+    // the doc's four batches inlined as VALUES; exact distinct per
+    // (platform, ver) = the doc's golden uv=7 on both rows.
+    "q105_doc_handrows" ->
+      """WITH v(platform, ver, uid) AS (VALUES
+        |  ('android','1.1',1001),('android','1.1',1002),('android','1.1',1003),('android','1.1',1004),
+        |  ('android','1.2',1009),('android','1.2',1010),('android','1.2',1130),('android','1.2',1131),
+        |  ('android','1.1',2001),('android','1.1',3002),('android','1.1',1003),('android','1.1',3004),
+        |  ('android','1.2',2009),('android','1.2',1010),('android','1.2',2130),('android','1.2',2131))
+        |SELECT platform, ver, CAST(COUNT(DISTINCT uid) AS BIGINT) AS uv
+        |FROM v GROUP BY platform, ver
+        |ORDER BY platform, ver""".stripMargin,
 
     // index-driven list mirrors: generate_series(1, len) plays the lambda
     // index, 1-based slicing re-derives each running construct; array

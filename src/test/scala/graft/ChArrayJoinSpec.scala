@@ -66,4 +66,27 @@ class ChArrayJoinSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("no column"))
   }
+
+  test("expression operand: computed arrays explode in a subquery, per UNION branch") {
+    graft.functions.ChCompat.register(spark)
+    // the doc's hand-built-rows idiom after the ChSql literal shims
+    val got = ChArrayJoin.sql(spark,
+      """SELECT a.col1 AS k, a.col2 AS v FROM system.one
+        | ARRAY JOIN array(tuple('x', 1), tuple('y', 2)) AS a
+        |ORDER BY k""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(got == Seq(("x", 1), ("y", 2)))
+    // one clause per UNION ALL branch, all translated
+    val u = ChArrayJoin.sql(spark,
+      """SELECT x FROM system.one ARRAY JOIN array(1, 2) AS x
+        |UNION ALL
+        |SELECT x FROM system.one ARRAY JOIN array(3) AS x
+        |ORDER BY x""".stripMargin)
+      .collect().map(_.getInt(0)).toSeq
+    assert(u == Seq(1, 2, 3))
+    // an expression operand without AS is refused like CH
+    val e = intercept[RuntimeException](ChArrayJoin.sql(spark,
+      "SELECT 1 FROM system.one ARRAY JOIN array(1, 2)"))
+    assert(e.getMessage.contains("AS"))
+  }
 }

@@ -357,6 +357,22 @@ class ChCompatSpec extends SparkSpec {
     // quoted values may contain commas/semicolons
     assert(norm(ChSql.stripSettings(
       "SELECT 1 SETTINGS log_comment = 'a,b;c', max_threads = 2")) == "SELECT 1")
+    // CH bracket array literals -> array(); tuple elements -> tuple();
+    // subscripts and string contents stay; grouping parens stay
+    assert(norm(ChSql.chLiterals("SELECT [1, 2, 3] AS a")) ==
+      "SELECT array(1, 2, 3) AS a")
+    assert(norm(ChSql.chLiterals("SELECT [('x', 1), ('y', 2)] AS a")) ==
+      "SELECT array(tuple('x', 1), tuple('y', 2)) AS a")
+    assert(norm(ChSql.chLiterals("SELECT [[1,2],[3]] AS a")) ==
+      "SELECT array(array(1, 2), array(3)) AS a")
+    assert(norm(ChSql.chLiterals("SELECT arr[1] FROM t WHERE s = '[x]'")) ==
+      "SELECT arr[1] FROM t WHERE s = '[x]'")
+    assert(norm(ChSql.chLiterals("SELECT [(1+2), 3] AS a")) ==
+      "SELECT array((1+2), 3) AS a")
+    // positional tuple access a.1 -> a.col1; floats untouched
+    assert(ChSql.tupleIndex("SELECT a.1, a.23 FROM t WHERE x = 1.5") ==
+      "SELECT a.col1, a.col23 FROM t WHERE x = 1.5")
+    assert(ChSql.tupleIndex("SELECT 'a.1' FROM t") == "SELECT 'a.1' FROM t")
     assert(norm(ChSql.withTotals("SELECT a, count(*) FROM t GROUP BY a WITH TOTALS")) ==
       "SELECT a, count(*) FROM t GROUP BY GROUPING SETS ((a), ())")
     // GLOBAL drops before joins and IN, stays elsewhere (it could be a name)

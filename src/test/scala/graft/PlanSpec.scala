@@ -226,7 +226,10 @@ class PlanSpec extends SparkSpec {
     "q103_ch_array_math" -> 1,
     // q104: bucket-total agg + tiny bucket window + boundary-bucket window
     // + final sort; the corpus side only broadcast-joins the bucket table
-    "q104_token_budget" -> 4)
+    "q104_token_budget" -> 4,
+    // q105: four hand-built state branches + the merge agg + sort over
+    // literally a 16-row input — all exchanges carry constants
+    "q105_doc_handrows" -> 5)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)

@@ -23,9 +23,9 @@ class QueriesSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("the declared ledger shape holds: 104 queries, 98 oracle-backed") {
-    assert(SparkEntry.queries.size == 104)
-    assert(SparkEntry.oracleSql.size == 98)
+  test("the declared ledger shape holds: 105 queries, 99 oracle-backed") {
+    assert(SparkEntry.queries.size == 105)
+    assert(SparkEntry.oracleSql.size == 99)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("q35_minhash_neardup", "q36_simhash_neardup",
       "q42_knn_lsh", "q43_cosine_neardup", "q44_knn_ivf", "q67_knn_pq"),
