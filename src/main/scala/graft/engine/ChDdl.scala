@@ -107,6 +107,13 @@ object ChDdl {
     */
   final case class OptimizeTable(table: String, finalMerge: Boolean) extends Stmt
   /** Anything the replayer has no object mapping for. */
+  /** `INSERT INTO t [(c1, c2)] SELECT ...` — CH's column-subset insert
+    * (doc:848-860: writing only (id, m1) into the union-max table). The
+    * SELECT's output binds to `cols` POSITIONALLY, CH-style; an empty
+    * `cols` means the table's full declared column list.
+    */
+  final case class InsertSelect(table: String, cols: Seq[String], select: String) extends Stmt
+
   final case class Unparsed(sql: String) extends Stmt
 
   // ---- statement splitting -------------------------------------------------
@@ -174,7 +181,21 @@ object ChDdl {
     else if (heads("optimize table")) parseOptimize(s)
     else if (heads("drop")) DropStmt(s)
     else if (heads("select") || heads("with")) Query(s)
+    else if (heads("insert into")) parseInsert(s)
     else Unparsed(s)
+  }
+
+  private def parseInsert(s: String): Stmt = {
+    val m = ("""(?is)^insert\s+into\s+(?:table\s+)?([\w.]+)""" +
+      """\s*(?:\(([^)]*)\))?\s*(?=(select|with)\b)""").r.findFirstMatchIn(s)
+    m match {
+      case Some(mm) =>
+        val cols = Option(mm.group(2)).toSeq
+          .flatMap(_.split(",")).map(_.trim.stripPrefix("`").stripSuffix("`"))
+          .filter(_.nonEmpty)
+        InsertSelect(mm.group(1), cols, s.substring(mm.end).trim)
+      case None => Unparsed(s) // INSERT ... VALUES and friends
+    }
   }
 
   /** Content of the balanced paren group opening at `open` (index of '('),
@@ -226,7 +247,8 @@ object ChDdl {
     val t = text.trim
     val nameEnd = t.indexWhere(c => c.isWhitespace)
     require(nameEnd > 0, s"bad column def: $t")
-    val name = t.substring(0, nameEnd)
+    // the doc's DDL quotes names with backticks (`id` UInt32); scripts don't
+    val name = t.substring(0, nameEnd).stripPrefix("`").stripSuffix("`")
     var rest = t.substring(nameEnd).trim
     // the type runs to the first top-level `default`/`comment`/`after`
     val kw = """(?i)\b(default|comment|after)\b""".r

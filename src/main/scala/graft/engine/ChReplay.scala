@@ -115,7 +115,51 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
       // whose storage has no merge debt here
       stateTables.get(resolve(name)).foreach(_.compact())
     case Query(sql) => queries += sql
+    case ins: InsertSelect => executeInsert(ins)
     case _: Unparsed => ()
+  }
+
+  /** `INSERT INTO t (cols) SELECT ...` — the doc's hand-fed state writes
+    * (doc:848-860: (id, m1) then (id, m2) into the union-max table). The
+    * SELECT runs through [[runQuery]] (full dialect), binds to `cols`
+    * positionally, and:
+    *  - an aggregating target appends the rows AS STATES (the SELECT
+    *    already produced `-State` columns), with unwritten columns
+    *    conformed exactly like an MV insert — simple aggregates take the
+    *    type default 0, aggregate states stay empty (stored NULL here;
+    *    CH stores a zero-element state — same merge identity, documented
+    *    divergence of [[buildMv]]'s conform);
+    *  - a plain (MergeTree) target unions into its binding and fires the
+    *    MVs watching it, CH insert-trigger semantics.
+    */
+  private def executeInsert(ins: InsertSelect): Unit = {
+    val out = runQuery(ins.select)
+    val target = resolve(ins.table)
+    val named =
+      if (ins.cols.isEmpty) out
+      else {
+        require(ins.cols.length == out.columns.length,
+          s"INSERT INTO $target: ${ins.cols.length} columns declared, " +
+            s"SELECT produces ${out.columns.length}")
+        out.toDF(ins.cols: _*)
+      }
+    stateTables.get(target) match {
+      case Some(st) =>
+        val declared = tables(target).cols
+        val present = named.columns.map(_.toLowerCase).toSet
+        val conformed = named.select(declared.map { c =>
+          if (present.contains(c.name.toLowerCase)) col(c.name)
+          else if (c.isSimpleAggState) lit(0L).cast(stateType(c)).as(c.name)
+          else lit(null).cast(stateType(c)).as(c.name)
+        }: _*)
+        st.append(conformed)
+      case None =>
+        bindings(target) = bindings.get(target) match {
+          case Some(prev) => prev.unionByName(named, allowMissingColumns = true)
+          case None => named
+        }
+        insert(ins.table, named)
+    }
   }
 
   /** Fire the insert trigger: run `batch` through every MV watching

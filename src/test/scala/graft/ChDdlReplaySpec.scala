@@ -553,4 +553,67 @@ class ChDdlReplaySpec extends SparkSpec {
       .collect().map(_.getString(1)).distinct
     assert(lit.toSeq == Seq("copied from xyz final"))
   }
+
+  test("doc union-max lesson runs verbatim: DDL + column-subset INSERTs + merge (doc:820-995)") {
+    val replay = new ChReplay(spark, ChReplay.scratchWarehouse("graft-umax"))
+    // the doc's CREATE TABLE text verbatim (backticked names, paren-less
+    // AggregatingMergeTree) — doc:822-830
+    replay.executeScript(
+      """CREATE TABLE test.mv_union_max
+        |(
+        |    `id` UInt32,
+        |    `m1` AggregateFunction(uniqCombined, UInt32),
+        |    `m2` AggregateFunction(sum, UInt32)
+        |)
+        |ENGINE = AggregatingMergeTree
+        |ORDER BY id""".stripMargin)
+    // the doc's m1-only INSERT verbatim — doc:848-860: tuple literals off
+    // system.one, positional access, column-subset (id, m1)
+    replay.execute(ChDdl.parseStatement(
+      """INSERT INTO test.mv_union_max (id, m1) SELECT
+        |    id,
+        |    uniqCombinedState(uid) AS m1
+        |FROM
+        |(
+        |    SELECT
+        |        a1.1 AS id,
+        |        toUInt32(a1.2) AS uid
+        |    FROM system.one
+        |    ARRAY JOIN [(1, 10001), (2, 10002), (3, 10003), (3, 10001)] AS a1
+        |)
+        |GROUP BY id""".stripMargin))
+    // the m2-only second write the doc then describes ("再写入m2指标，
+    // 不写入m1指标") — amounts implied by its merge golden (doc:940-947)
+    replay.execute(ChDdl.parseStatement(
+      """INSERT INTO test.mv_union_max (id, m2) SELECT
+        |    id,
+        |    sumState(v) AS m2
+        |FROM
+        |(
+        |    SELECT
+        |        a1.1 AS id,
+        |        toUInt32(a1.2) AS v
+        |    FROM system.one
+        |    ARRAY JOIN [(1, 1001), (1, 1002), (2, 10001), (3, 10001)] AS a1
+        |)
+        |GROUP BY id""".stripMargin))
+    replay.publish()
+    // the doc's merge SELECT — golden: (1,1,2003), (2,1,10001), (3,2,10001)
+    def merged() = replay.runQuery(
+      """SELECT
+        |    id,
+        |    uniqCombinedMerge(m1) AS m1,
+        |    sumMerge(m2) AS m2
+        |FROM test.mv_union_max
+        |GROUP BY id
+        |ORDER BY id""".stripMargin)
+      .collect().map(r =>
+        (r.getAs[Number]("id").longValue, r.getLong(1), r.getLong(2))).toSeq
+    val golden = Seq((1L, 1L, 2003L), (2L, 1L, 10001L), (3L, 2L, 10001L))
+    assert(merged() == golden)
+    // doc:954 OPTIMIZE FINAL — the merge is read-equivalent after folding
+    replay.execute(ChDdl.parseStatement("OPTIMIZE TABLE test.mv_union_max FINAL"))
+    spark.sql("REFRESH TABLE test.mv_union_max")
+    assert(merged() == golden)
+  }
 }
