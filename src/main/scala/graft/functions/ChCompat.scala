@@ -46,6 +46,13 @@ import org.apache.spark.sql.types._
   */
 object ChCompat {
 
+  /** True while this thread is inside the system.one catalog setup — breaks
+    * the register → catalog → analyzer-build → register recursion when the
+    * extensions path invokes register during analyzer construction.
+    */
+  private val inCatalogSetup: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
+
   def register(spark: SparkSession): Unit = {
     Bitmaps.register(spark)
     MinHash.register(spark)
@@ -58,12 +65,23 @@ object ChCompat {
     Simhash.register(spark)
     graft.text.TextFunctions.register(spark)
     // CH's one-row system table (`FROM system.one` — the doc's hand-built
-    // rows idiom, doc:335-495, selects literals from it); guarded so the
-    // catalog round-trip runs once per session
-    if (!spark.catalog.databaseExists("system") ||
-        !spark.catalog.tableExists("system.one")) {
-      spark.sql("CREATE DATABASE IF NOT EXISTS system")
-      spark.sql("CREATE OR REPLACE VIEW system.one AS SELECT 0 AS dummy")
+    // rows idiom, doc:335-495, selects literals from it). The catalog
+    // round-trip needs the session's ANALYZER; when register() itself runs
+    // from inside analyzer construction (GraftExtensions injects it as a
+    // resolution-rule builder), touching spark.catalog here would re-enter
+    // the builder and recurse without bound. The thread-local guard makes
+    // the nested call skip the catalog block — function registration (all
+    // registry-only, analyzer-free) still happens, analyzer construction
+    // completes, and the OUTER frame then creates system.one normally.
+    if (!inCatalogSetup.get()) {
+      inCatalogSetup.set(true)
+      try {
+        if (!spark.catalog.databaseExists("system") ||
+            !spark.catalog.tableExists("system.one")) {
+          spark.sql("CREATE DATABASE IF NOT EXISTS system")
+          spark.sql("CREATE OR REPLACE VIEW system.one AS SELECT 0 AS dummy")
+        }
+      } finally inCatalogSetup.set(false)
     }
     val reg = spark.sessionState.functionRegistry
     def f(name: String)(builder: Seq[Expression] => Expression): Unit =
