@@ -56,6 +56,18 @@ object ChSql {
       java.util.regex.Matcher.quoteReplacement(
         s"GROUP BY GROUPING SETS ((${m.group(1).trim}), ())"))
 
+  /** `GROUP BY keys WITH ROLLUP` → `GROUP BY ROLLUP(keys)` (likewise
+    * CUBE) — identical subtotal-row semantics in Spark and DuckDB
+    * (super-aggregate rows carry NULL keys; CH renders type defaults,
+    * the same documented divergence as WITH TOTALS). Runs BEFORE
+    * [[withTotals]] in [[apply]] so a `WITH TOTALS` never swallows a
+    * `WITH ROLLUP` suffix into its key list.
+    */
+  def withRollupCube(q: String): String =
+    """(?is)\bgroup\s+by\s+(.*?)\s+with\s+(rollup|cube)\b""".r.replaceAllIn(q,
+      m => java.util.regex.Matcher.quoteReplacement(
+        s"GROUP BY ${m.group(2).toUpperCase}(${m.group(1).trim})"))
+
   /** Drop CH's `GLOBAL` distribution keyword (GLOBAL [ANY|…] JOIN /
     * GLOBAL [NOT] IN): on CH it forces shipping the right side to every
     * shard; Catalyst owns distribution (broadcast vs shuffle) from
@@ -212,6 +224,6 @@ object ChSql {
 
   /** All shims, in the order they compose. */
   def apply(q: String): String =
-    withTotals(stripSettings(stripFormat(prewhere(stripGlobal(scalarWith(
-      tupleIndex(chLiterals(q))))))))
+    withTotals(withRollupCube(stripSettings(stripFormat(prewhere(stripGlobal(
+      scalarWith(tupleIndex(chLiterals(q)))))))))
 }

@@ -310,19 +310,53 @@ object ChCompat {
         Or(EqualTo(i, Literal(0)), Not(EqualNullSafe(x, ElementAt(es.head, i)))),
         Seq(x, i)))
     }
-    f("arraySum") { es =>
+    def arraySumOf(arr: Expression): Expression = {
       val acc = lamVar("__as_acc"); val x = lamVar("__as_x")
-      ArrayAggregate(es.head, Literal(0L),
+      ArrayAggregate(arr, Literal(0L),
         LambdaFunction(Add(acc, Cast(x, LongType)), Seq(acc, x)),
         LambdaFunction.identity)
     }
-    f("arrayAvg") { es =>
+    def arrayAvgOf(arr: Expression): Expression = {
       val acc = lamVar("__av_acc"); val x = lamVar("__av_x")
-      val s = ArrayAggregate(es.head, Literal(0.0),
+      val s = ArrayAggregate(arr, Literal(0.0),
         LambdaFunction(Add(acc, Cast(x, DoubleType)), Seq(acc, x)),
         LambdaFunction.identity)
-      If(EqualTo(Size(es.head), Literal(0)), Literal(0.0),
-        Divide(s, Cast(Size(es.head), DoubleType)))
+      If(EqualTo(Size(arr), Literal(0)), Literal(0.0),
+        Divide(s, Cast(Size(arr), DoubleType)))
+    }
+    f("arraySum") { es => arraySumOf(es.head) }
+    f("arrayAvg") { es => arrayAvgOf(es.head) }
+    // CH arrayReduce('agg', arr): apply an aggregate-function NAME to one
+    // row's array. The name is a string literal (CH agrees — it is parsed,
+    // not computed), so this is plan-time dispatch onto the same expression
+    // shapes the arrayX twins use — no new execution machinery, still
+    // per-row/codegen-friendly. Empty arrays give NULL for any/anyLast
+    // (CH renders type defaults — the NULL-vs-default divergence every
+    // super-aggregate shim here documents).
+    f("arrayReduce") { es =>
+      val name = es.head match {
+        case lit if lit.foldable => String.valueOf(lit.eval()).toLowerCase
+        case _ => throw new IllegalArgumentException(
+          "arrayReduce: aggregate name must be a string literal")
+      }
+      val arr = es(1)
+      name match {
+        case "sum" => arraySumOf(arr)
+        case "min" => ArrayMin(arr)
+        case "max" => ArrayMax(arr)
+        case "avg" => arrayAvgOf(arr)
+        case "count" => Cast(Size(arr), LongType)
+        case "uniq" | "uniqexact" => Cast(Size(ArrayDistinct(arr)), LongType)
+        case "any" =>
+          If(EqualTo(Size(arr), Literal(0)), Literal(null),
+            ElementAt(arr, Literal(1)))
+        case "anylast" =>
+          If(EqualTo(Size(arr), Literal(0)), Literal(null),
+            ElementAt(arr, Size(arr)))
+        case other => throw new IllegalArgumentException(
+          s"arrayReduce: unsupported aggregate '$other' (supported: sum, min, " +
+            "max, avg, count, uniq, uniqExact, any, anyLast)")
+      }
     }
     f("arrayMin") { es => ArrayMin(es.head) }
     f("arrayMax") { es => ArrayMax(es.head) }

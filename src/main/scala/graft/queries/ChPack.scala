@@ -384,6 +384,31 @@ object ChPack {
           |ORDER BY doc_id""".stripMargin)
     },
 
+    // CH arrayReduce('agg', arr): the aggregate-by-name face of the
+    // per-row array family — plan-time dispatch onto the arrayX
+    // lowerings (q103's machinery), here over the same token-length
+    // lanes so every supported name is value-gated at once.
+    "q107_array_reduce" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).documents
+        .select(col("doc_id"), graft.text.TextFunctions.tokens(col("text")).as("toks"))
+        .createOrReplaceTempView("graft_arrr_docs")
+      s.sql(
+        """SELECT doc_id,
+          |       arrayReduce('sum', lens) AS r_sum,
+          |       arrayReduce('min', lens) AS r_min,
+          |       arrayReduce('max', lens) AS r_max,
+          |       arrayReduce('avg', lens) AS r_avg,
+          |       arrayReduce('count', lens) AS r_cnt,
+          |       arrayReduce('uniqExact', lens) AS r_uniq,
+          |       arrayReduce('any', lens) AS r_any,
+          |       arrayReduce('anyLast', lens) AS r_last
+          |FROM (
+          |  SELECT doc_id, arrayMap(t -> toUInt64(length(t)), toks) AS lens
+          |  FROM graft_arrr_docs)
+          |ORDER BY doc_id""".stripMargin)
+    },
+
     // windowFunnel under the hash gate: the two-level case (view →
     // purchase within the hour) is exactly SQL-expressible — a chain
     // exists iff some purchase has a strictly-earlier view within the
@@ -439,6 +464,24 @@ object ChPack {
           |GROUP BY event_type WITH TOTALS
           |ORDER BY event_type
           |FORMAT TabSeparated""".stripMargin))
+    },
+
+    // CH GROUP BY ... WITH ROLLUP (ChSql.withRollupCube): hierarchical
+    // subtotals — (flag, status), (flag), () — in ONE pass; Spark lowers
+    // ROLLUP to a single Expand + hash aggregate, no per-level re-scan,
+    // so at 100 TB this costs one scan + one shuffle like the plain
+    // GROUP BY. Super-aggregate keys are NULL (Spark/DuckDB convention;
+    // CH renders type defaults — same documented divergence as TOTALS).
+    "q106_with_rollup" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).lineitem.createOrReplaceTempView("graft_ru_lineitem")
+      s.sql(graft.engine.ChSql(
+        """SELECT l_returnflag, l_linestatus,
+          |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |       count(*) AS n
+          |FROM graft_ru_lineitem
+          |GROUP BY l_returnflag, l_linestatus WITH ROLLUP
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin))
     },
 
     // CH URL function battery over deterministically synthesized URLs
@@ -531,6 +574,16 @@ object ChPack {
         |GROUP BY GROUPING SETS ((event_type), ())
         |ORDER BY event_type NULLS FIRST""".stripMargin,
 
+    // DuckDB shares Spark's ROLLUP NULL-key convention; NULLS FIRST
+    // matches Spark's ascending-null sort for the subtotal rows.
+    "q106_with_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
     // independent re-derivation: the oracle never parses the URL — it
     // rebuilds every part from the same raw pieces the Spark side
     // concatenated, so a parse bug on the Spark side cannot cancel out.
@@ -597,6 +650,27 @@ object ChPack {
         |  CAST(list_max(lens) AS BIGINT) AS max_len,
         |  CAST(greatest(len(lens) - 1, 0) AS INT) AS popf_n,
         |  CAST(greatest(len(lens) - 1, 0) AS INT) AS popb_n
+        |FROM l
+        |ORDER BY doc_id""".stripMargin,
+
+    // list_* mirrors of the by-name dispatch; any/anyLast are the first/
+    // last element (deterministic on a per-row array, unlike the
+    // aggregate forms over unordered groups).
+    "q107_array_reduce" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |l AS (SELECT doc_id, list_transform(toks, tk -> length(tk)) AS lens FROM t)
+        |SELECT doc_id,
+        |  CAST(COALESCE(list_sum(lens), 0) AS BIGINT) AS r_sum,
+        |  CAST(list_min(lens) AS BIGINT) AS r_min,
+        |  CAST(list_max(lens) AS BIGINT) AS r_max,
+        |  CAST(list_avg(lens) AS DOUBLE) AS r_avg,
+        |  CAST(len(lens) AS BIGINT) AS r_cnt,
+        |  CAST(len(list_distinct(lens)) AS BIGINT) AS r_uniq,
+        |  CAST(lens[1] AS BIGINT) AS r_any,
+        |  CAST(lens[len(lens)] AS BIGINT) AS r_last
         |FROM l
         |ORDER BY doc_id""".stripMargin,
 

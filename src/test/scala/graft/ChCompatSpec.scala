@@ -375,6 +375,16 @@ class ChCompatSpec extends SparkSpec {
     assert(ChSql.tupleIndex("SELECT 'a.1' FROM t") == "SELECT 'a.1' FROM t")
     assert(norm(ChSql.withTotals("SELECT a, count(*) FROM t GROUP BY a WITH TOTALS")) ==
       "SELECT a, count(*) FROM t GROUP BY GROUPING SETS ((a), ())")
+    // WITH ROLLUP / WITH CUBE lower onto Spark's own hierarchies; composed
+    // ChSql() keeps a WITH TOTALS suffix out of a rollup key list
+    assert(norm(ChSql.withRollupCube(
+      "SELECT a, b, count(*) FROM t GROUP BY a, b WITH ROLLUP")) ==
+      "SELECT a, b, count(*) FROM t GROUP BY ROLLUP(a, b)")
+    assert(norm(ChSql.withRollupCube(
+      "SELECT a, b, count(*) FROM t GROUP BY a, b WITH CUBE ORDER BY a")) ==
+      "SELECT a, b, count(*) FROM t GROUP BY CUBE(a, b) ORDER BY a")
+    assert(norm(ChSql("SELECT a FROM t GROUP BY a WITH ROLLUP SETTINGS max_threads = 2")) ==
+      "SELECT a FROM t GROUP BY ROLLUP(a)")
     // GLOBAL drops before joins and IN, stays elsewhere (it could be a name)
     assert(norm(ChSql.stripGlobal("SELECT 1 FROM a GLOBAL ANY LEFT JOIN b ON a.k = b.k")) ==
       "SELECT 1 FROM a ANY LEFT JOIN b ON a.k = b.k")
@@ -844,5 +854,43 @@ class ChCompatSpec extends SparkSpec {
     val whole = spark.sql("SELECT extractAll('a1 b22', '[a-z]\\\\d+') AS v")
       .head().getSeq[String](0)
     assert(whole == Seq("a1", "b22"))
+  }
+
+  test("arrayReduce dispatches by literal name; WITH ROLLUP/CUBE run end-to-end") {
+    ChCompat.register(spark)
+    val r = spark.sql(graft.engine.ChSql.chLiterals(
+      """SELECT arrayReduce('sum', [3, 1, 2, 2]) AS s,
+        |       arrayReduce('min', [3, 1, 2, 2]) AS mn,
+        |       arrayReduce('max', [3, 1, 2, 2]) AS mx,
+        |       arrayReduce('avg', [3, 1, 2, 2]) AS av,
+        |       arrayReduce('count', [3, 1, 2, 2]) AS c,
+        |       arrayReduce('uniqExact', [3, 1, 2, 2]) AS u,
+        |       arrayReduce('any', [3, 1, 2, 2]) AS a,
+        |       arrayReduce('anyLast', [3, 1, 2, 2]) AS al""".stripMargin)).head()
+    assert(r.getLong(0) == 8L && r.getInt(1) == 1 && r.getInt(2) == 3)
+    assert(r.getDouble(3) == 2.0 && r.getLong(4) == 4L && r.getLong(5) == 3L)
+    assert(r.getInt(6) == 3 && r.getInt(7) == 2)
+    // empty arrays: NULL for any/anyLast (CH renders defaults — documented)
+    val e = spark.sql(
+      "SELECT arrayReduce('any', array()) AS a, arrayReduce('anyLast', array()) AS b").head()
+    assert(e.isNullAt(0) && e.isNullAt(1))
+    val bad = intercept[Exception](
+      spark.sql("SELECT arrayReduce('median', array(1))").head())
+    assert(bad.getMessage.contains("unsupported aggregate"))
+    // ROLLUP through the full shim chain, on-engine subtotal values
+    spark.range(6).selectExpr("id % 2 AS a", "id % 3 AS b", "id AS v")
+      .createOrReplaceTempView("chru_t")
+    val roll = spark.sql(graft.engine.ChSql(
+      """SELECT a, b, sum(v) AS s FROM chru_t
+        |GROUP BY a, b WITH ROLLUP
+        |ORDER BY a, b""".stripMargin)).collect()
+    assert(roll.length == 1 + 2 + 6) // grand total + 2 a-subtotals + 6 cells
+    val grand = roll.find(r0 => r0.isNullAt(0) && r0.isNullAt(1)).get
+    assert(grand.getLong(2) == 15L)
+    val cube = spark.sql(graft.engine.ChSql(
+      """SELECT a, b, sum(v) AS s FROM chru_t
+        |GROUP BY a, b WITH CUBE
+        |ORDER BY a, b""".stripMargin)).collect()
+    assert(cube.length == 1 + 2 + 3 + 6) // +3 b-subtotals
   }
 }
