@@ -152,6 +152,19 @@ object PipelinePack {
         .orderBy("lang")
     },
 
+    // Temperature-flattened mixing (Curation.temperatureMix, α = 0.5):
+    // over-represented languages are downsampled toward ∝ sqrt(n) shares
+    // of a 250-doc target — en keeps ~35% of its rows, fr ~65%. The
+    // EXACT selected membership is hash-gated: sqrt is IEEE-correctly-
+    // rounded on every engine and the weight total sums as DECIMAL, so
+    // the oracle reproduces each keep-rate bit-for-bit.
+    "q108_temperature_mix" -> { (s, dir) =>
+      Curation.temperatureMix(Tables(s, dir).documents, "lang", "doc_id",
+          targetTotal = 250, alpha = 0.5, salt = ":temp")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+
     // Stratified quota sampling: cap every source at 10 docs, drawn by
     // the deterministic md5 order (Curation.stratifiedSample — bounded-
     // heap per-group selection, not a window funnel). Both engines rank
@@ -350,6 +363,25 @@ object PipelinePack {
         |WHERE lang <> 'en'
         |   OR substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 2) < '40'
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // keep-rate mirror: identical expression order (w·T)/(tw·n), decimal
+    // weight total, and the md5 byte compared against the rate's 2-digit
+    // hex rendering (fixed-width lowercase hex orders like the integer).
+    "q108_temperature_mix" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n,
+        |        CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(38,9)) AS w FROM c),
+        |t AS (SELECT SUM(w) AS tw FROM w),
+        |r AS (SELECT lang,
+        |        CAST(floor(least(1.0,
+        |          CAST(w AS DOUBLE) * 250.0 / (CAST(tw AS DOUBLE) * CAST(n AS DOUBLE))
+        |        ) * 256) AS INT) AS keep256
+        |      FROM w, t)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d JOIN r USING (lang)
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':temp'), 1, 2)
+        |      < printf('%02x', keep256)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // The deterministic draw: rank within each source by the 13-hex-digit
     // md5 prefix (fixed-width hex compares lexicographically ==

@@ -115,6 +115,45 @@ object Curation {
     df.join(picked, col(keyCol).cast(LongType) === picked("__k"), "left_semi")
   }
 
+  /** Temperature-flattened corpus mixing (the multilingual-LM sampling
+    * move: draw source i with probability ∝ n_i^α, α < 1 upweighting
+    * under-represented sources). Given a token/doc `targetTotal`, each
+    * source keeps ≈ targetTotal · w_i/Σw_j of its rows (capped at all of
+    * them), selected by the same deterministic md5 filter as
+    * [[sampleDeterministic]] — membership is a function of (key, salt),
+    * never of execution order.
+    *
+    * Exactness: at the default α = 0.5 the weight is `sqrt(n_i)` — IEEE
+    * 754 requires sqrt correctly rounded, so every engine computes the
+    * identical double and a SQL oracle can mirror the keep-rates exactly;
+    * the weights then sum as DECIMAL (order-independent) before the final
+    * double arithmetic, so the rate never depends on partitioning. Other
+    * α go through `pow` (reproducible within the JVM; 1-ulp cross-engine).
+    *
+    * Shape: one tiny per-source count aggregate → broadcast keep-rate
+    * join → filter. The corpus is scanned once and never shuffled.
+    */
+  def temperatureMix(docs: DataFrame, sourceCol: String, keyCol: String,
+      targetTotal: Long, alpha: Double = 0.5, salt: String = ""): DataFrame = {
+    require(targetTotal >= 0, s"targetTotal must be >= 0: $targetTotal")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
+    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+    val w =
+      if (alpha == 0.5) sqrt(col("__n").cast(DoubleType))
+      else pow(col("__n").cast(DoubleType), lit(alpha))
+    val weighted = counts.withColumn("__w", w.cast(DecimalType(38, 9)))
+    val tot = weighted.agg(sum(col("__w")).as("__tw"))
+    val rates = weighted.crossJoin(broadcast(tot))
+      .withColumn("__keep256", floor(least(lit(1.0),
+        col("__w").cast(DoubleType) * lit(targetTotal.toDouble) /
+          (col("__tw").cast(DoubleType) * col("__n").cast(DoubleType))) * 256)
+        .cast(IntegerType))
+      .select(col(sourceCol), col("__keep256"))
+    docs.join(broadcast(rates), Seq(sourceCol))
+      .filter(hashBucket256(col(keyCol), salt) < col("__keep256"))
+      .drop("__keep256")
+  }
+
   /** Distinct normalized n-token shingles of an evaluation set — the probe
     * set for [[contaminationReport]]. Normalization is the dedup canonical
     * form ([[TextFunctions.normalizeForDedup]]): contamination checks must

@@ -231,4 +231,43 @@ class CurationSpec extends SparkSpec {
     assert(Curation.contaminationReport(clean, "doc_id", "text", bench, "bench_text", n = 8)
       .isEmpty)
   }
+
+  test("temperatureMix flattens toward sqrt shares, deterministic, caps at 1") {
+    import spark.implicits._
+    // skewed corpus: big=800, mid=160, small=40
+    val docs = ((0 until 800).map(i => (i.toLong, "big")) ++
+      (800 until 960).map(i => (i.toLong, "mid")) ++
+      (960 until 1000).map(i => (i.toLong, "small"))).toDF("doc_id", "src")
+
+    val once = Curation.temperatureMix(docs, "src", "doc_id", targetTotal = 400)
+      .collect().map(_.getLong(0)).toSet
+    val again = Curation.temperatureMix(docs, "src", "doc_id", targetTotal = 400)
+      .collect().map(_.getLong(0)).toSet
+    assert(once == again) // pure key function, no RNG state
+
+    // kept fraction must INCREASE as source size decreases (the flattening)
+    val byScr = Curation.temperatureMix(docs, "src", "doc_id", targetTotal = 400)
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fBig = byScr("big") / 800.0
+    val fMid = byScr("mid") / 160.0
+    val fSmall = byScr("small") / 40.0
+    assert(fBig < fMid && fMid < fSmall, s"not flattened: $fBig $fMid $fSmall")
+    // total lands near the target (1/256 rate quantization + hash noise)
+    val total = byScr.values.sum
+    assert(total > 300 && total < 500, s"total $total far from 400")
+
+    // a target >= the corpus keeps everything (rate caps at 1 → 256/256)
+    assert(Curation.temperatureMix(docs, "src", "doc_id", targetTotal = 5000)
+      .count() == 1000)
+    // α = 1 degenerates to proportional sampling: equal keep-rates
+    val prop = Curation.temperatureMix(docs, "src", "doc_id",
+        targetTotal = 400, alpha = 1.0)
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = Seq(prop("big") / 800.0, prop("mid") / 160.0, prop("small") / 40.0)
+    assert(rates.max - rates.min < 0.15, s"α=1 rates spread: $rates")
+    // different salts draw independent (here: different) member sets
+    val salted = Curation.temperatureMix(docs, "src", "doc_id",
+      targetTotal = 400, salt = ":other").collect().map(_.getLong(0)).toSet
+    assert(salted != once)
+  }
 }
