@@ -27,6 +27,12 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // leave a visible artifact: without it a throwing query simply
+        // VANISHES from the correctness report (no parquet dir → no row)
+        // instead of surfacing as a failure — round-7 lesson (q25/q74)
+        try Files.writeString(Paths.get(s"$outDir/$name._error"),
+          s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(2000)}")
+        catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -49,10 +49,20 @@ object Catalog {
   /** Unconditional rebuild of the catalog views + dictionary snapshot. */
   def registerForce(spark: SparkSession, sfDir: String): Unit = {
     ChCompat.register(spark)
-    // events.parquet carries TIMESTAMP(NANOS); read as long, rebuild NTZ
+    // events.parquet has shipped `ts` as both TIMESTAMP(NANOS) (loads as
+    // BIGINT under nanosAsLong) and TIMESTAMP(MICROS) (loads as NTZ) across
+    // testdata generations — probe the actual footer type and emit the
+    // matching cast into the view SQL, same branch as Tables.events.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     databases.foreach(db => spark.sql(s"CREATE DATABASE IF NOT EXISTS $db"))
     val ev = s"$sfDir/events.parquet"
+    val secondExpr =
+      spark.read.parquet(ev).schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          "CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"
+        case org.apache.spark.sql.types.TimestampNTZType => "ts"
+        case _ => "CAST(ts AS TIMESTAMP_NTZ)"
+      }
 
     // ods.action_001_local (ref ods.action_001_dis.sql:2-22): second is the
     // event time; day/hour are the server-side DEFAULT materializations.
@@ -71,7 +81,7 @@ object Catalog {
          |       CASE WHEN event_type = 'view'  THEN 1 ELSE 0 END       AS show_cnt,
          |       CASE WHEN event_type = 'click' THEN 1 ELSE 0 END       AS click_cnt,
          |       CAST(value * 1000 AS BIGINT)                           AS show_time
-         |FROM (SELECT *, CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ) AS second
+         |FROM (SELECT *, $secondExpr AS second
          |      FROM parquet.`$ev`)""".stripMargin)
 
     // ods.action_002_local (ref dwm.mainpage_stat_mv_dis.sql:239-262): the
@@ -90,7 +100,7 @@ object Catalog {
          |       CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END    AS action_b_cnt,
          |       CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END    AS action_c_cnt,
          |       CAST(value AS BIGINT)                                  AS action_d_sum
-         |FROM (SELECT *, CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ) AS second
+         |FROM (SELECT *, $secondExpr AS second
          |      FROM parquet.`$ev`)""".stripMargin)
 
     // Distributed aliases (ref ods.action_001_dis.sql:24-31)

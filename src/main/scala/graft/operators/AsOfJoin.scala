@@ -97,11 +97,24 @@ object AsOfJoin {
     val matchable =
       (keys.map(col(_).isNotNull) :+ col("__ts").isNotNull).reduce(_ && _)
     val matchedRaw = last(col("__r"), ignoreNulls = true).over(w)
+    // timestamp/date axes don't cast to DOUBLE directly (TIMESTAMP_NTZ
+    // rejects the cast outright) — route them through unix_micros; the
+    // session-TZ interpretation cancels in the difference (UTC sessions
+    // always; DST-TZ sessions only off across a transition).
+    def seconds(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+      dt match {
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType |
+             org.apache.spark.sql.types.DateType =>
+          (unix_micros(c.cast("timestamp")).cast("double")) / lit(1e6)
+        case _ => c.cast("double")
+      }
     val matched = toleranceSeconds match {
       case None => when(matchable, matchedRaw)
       case Some(tol) =>
-        val gap = abs(col("__ts").cast("double") -
-          matchedRaw.getField(rightTs).cast("double"))
+        val unionTsType = l.unionByName(r).schema("__ts").dataType
+        val gap = abs(seconds(col("__ts"), unionTsType) -
+          seconds(matchedRaw.getField(rightTs), right.schema(rightTs).dataType))
         when(matchable && gap <= tol, matchedRaw)
     }
 

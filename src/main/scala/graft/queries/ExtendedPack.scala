@@ -202,6 +202,67 @@ object ExtendedPack {
           |ORDER BY o.o_orderkey""".stripMargin)
     },
 
+    // RIGHT ANY JOIN through the dialect (q88's mirror image): every order
+    // row survives, each picking the deterministic smallest lineitem — the
+    // anyRight path + the RIGHT keyword parse, under the same hash gate.
+    "q109_any_right_sql" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.orders.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .createOrReplaceTempView("graft_anyr_orders")
+      t.lineitem.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
+        .createOrReplaceTempView("graft_anyr_lines")
+      // the dialect's output is one flat namespace under the LEFT key
+      // names (the right key is renamed onto l_orderkey for the join) —
+      // address the key as l.l_orderkey and alias it back
+      graft.engine.ChAnyJoin.sql(s,
+        """SELECT l.l_orderkey AS o_orderkey, o.o_totalprice, l.l_linenumber,
+          |       l.l_quantity, l.l_extendedprice
+          |FROM graft_anyr_lines l ANY RIGHT JOIN graft_anyr_orders o
+          |  ON l.l_orderkey = o.o_orderkey
+          |WHERE o.o_custkey % 7 = 1
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // ASOF JOIN USING form (CH: last USING column is the time axis, `>=`
+    // semantics) — same-named keys both sides, output keeps the left's
+    // time column; exercises the dialect's USING parse + right-ts aliasing.
+    "q110_asof_using_sql" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.events.select(col("event_id"), col("user_id"), col("ts"))
+        .createOrReplaceTempView("graft_asofu_events")
+      t.orders
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").as("ts"))
+        .agg(count(lit(1)).as("day_orders"),
+          sum(dec("o_totalprice")).cast(DoubleType).as("day_total"))
+        .createOrReplaceTempView("graft_asofu_daily")
+      graft.engine.ChAsof.sql(s,
+        """SELECT event_id, user_id, day_orders, day_total
+          |FROM graft_asofu_events e ASOF LEFT JOIN graft_asofu_daily o
+          |  USING (user_id, ts)
+          |WHERE event_id % 7 = 0
+          |ORDER BY event_id""".stripMargin)
+    },
+
+    // ASOF with tolerance (pandas merge_asof-style): matches farther than
+    // 25 years behind the event are nulled out — the toleranceSeconds path
+    // over real timestamp columns, mirrored in SQL by a post-join CASE on
+    // the microsecond gap.
+    "q111_asof_tolerance" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val left = t.events.filter(col("event_id") % 4 === 0)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val right = t.orders
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").as("od"))
+        .agg(count(lit(1)).as("day_orders"),
+          sum(dec("o_totalprice")).cast(DoubleType).as("day_total"))
+      graft.operators.AsOfJoin.asof(left, right, Seq("user_id"), "ts", "od",
+          toleranceSeconds = Some(788400000L)) // 25 × 365-day years
+        .select(col("event_id"), col("user_id"), col("od"),
+          col("day_orders"), col("day_total"))
+        .orderBy("event_id")
+    },
+
     // Sessionization (graft.operators.Sessionize): 30-minute-gap sessions
     // per user over raw events, with per-session stats — one window pass,
     // one aggregation, both keyed by user.
@@ -419,6 +480,57 @@ object ExtendedPack {
         |  ON e.user_id = ro.user_id AND e.ts > ro.od
         |WHERE e.event_id % 5 = 0
         |ORDER BY e.event_id""".stripMargin,
+
+    // RIGHT ANY ≡ LEFT ANY with sides swapped: per-order smallest lineitem
+    // tuple via ROW_NUMBER-1, every order surviving.
+    "q109_any_right_sql" ->
+      """WITH l AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |    ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_linenumber, l_quantity, l_extendedprice) AS rn
+        |  FROM lineitem)
+        |SELECT o.o_orderkey, o.o_totalprice, l.l_linenumber,
+        |  l.l_quantity, l.l_extendedprice
+        |FROM orders o LEFT JOIN l
+        |  ON o.o_orderkey = l.l_orderkey AND l.rn = 1
+        |WHERE o.o_custkey % 7 = 1
+        |ORDER BY o.o_orderkey""".stripMargin,
+
+    // The USING form is `>=` against the shared time column; DuckDB mirror
+    // written in the ON form (the output columns are identical).
+    "q110_asof_using_sql" ->
+      """WITH ro AS (
+        |  SELECT o_custkey AS user_id, o_orderdate AS od,
+        |    COUNT(*) AS day_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_total
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, ro.day_orders, ro.day_total
+        |FROM events e ASOF LEFT JOIN ro
+        |  ON e.user_id = ro.user_id AND e.ts >= ro.od
+        |WHERE e.event_id % 7 = 0
+        |ORDER BY e.event_id""".stripMargin,
+
+    // Tolerance: ASOF-match first, then null the payload where the gap
+    // exceeds the bound — exact integer-microsecond mirror of Spark's
+    // double-seconds comparison (boundary hits need ts micros == 0).
+    "q111_asof_tolerance" ->
+      """WITH ro AS (
+        |  SELECT o_custkey AS user_id, o_orderdate AS od,
+        |    COUNT(*) AS day_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_total
+        |  FROM orders GROUP BY 1, 2),
+        |j AS (
+        |  SELECT e.event_id, e.user_id, e.ts, ro.od, ro.day_orders, ro.day_total
+        |  FROM (SELECT * FROM events WHERE event_id % 4 = 0) e
+        |  ASOF LEFT JOIN ro ON e.user_id = ro.user_id AND e.ts >= ro.od)
+        |SELECT event_id, user_id,
+        |  CASE WHEN ok THEN od END AS od,
+        |  CASE WHEN ok THEN day_orders END AS day_orders,
+        |  CASE WHEN ok THEN day_total END AS day_total
+        |FROM (SELECT *,
+        |        abs(epoch_us(ts) - epoch_us(od)) <= CAST(788400000 AS BIGINT) * 1000000 AS ok
+        |      FROM j)
+        |ORDER BY event_id""".stripMargin,
 
     // Gap-split sessions via lag + running sum. The micros comparison
     // mirrors Spark's double-cast gap test exactly (microsecond-resolution

@@ -151,7 +151,9 @@ object Curation {
       .select(col(sourceCol), col("__keep256"))
     docs.join(broadcast(rates), Seq(sourceCol))
       .filter(hashBucket256(col(keyCol), salt) < col("__keep256"))
-      .drop("__keep256")
+      // the USING join moves the key to position 0 — restore the caller's
+      // column order (the operator contract is schema-preserving filtering)
+      .select(docs.columns.map(col): _*)
   }
 
   /** Distinct normalized n-token shingles of an evaluation set — the probe

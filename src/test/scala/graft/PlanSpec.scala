@@ -229,7 +229,20 @@ class PlanSpec extends SparkSpec {
     "q104_token_budget" -> 4,
     // q105: four hand-built state branches + the merge agg + sort over
     // literally a 16-row input — all exchanges carry constants
-    "q105_doc_handrows" -> 5)
+    "q105_doc_handrows" -> 5,
+    // q106: ROLLUP expand feeds one grouping agg + the final sort
+    "q106_with_rollup" -> 2,
+    // q107: per-row aggregate() folds; the sort is the one exchange
+    "q107_array_reduce" -> 1,
+    // q108: per-source count agg + the keep-rate rate agg + result group
+    // agg + final sort; the rate table itself broadcasts back to the docs
+    "q108_temperature_mix" -> 4,
+    // q109: the ANY-pick min(struct) agg + the right-outer join exchange
+    "q109_any_right_sql" -> 2,
+    // q110/q111: right-side daily agg + the asof window's union exchange +
+    // final sort — same spine as q63/q80
+    "q110_asof_using_sql" -> 3,
+    "q111_asof_tolerance" -> 3)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)
@@ -237,7 +250,9 @@ class PlanSpec extends SparkSpec {
     "q41_knn_brute", "q45_cosine_neardup_exact", "q59_scalar_subquery",
     "q67_knn_pq",
     // the 1-row corpus-count broadcast (scalar N), not a data cross join
-    "q100_tfidf", "q101_stopword_clean")
+    "q100_tfidf", "q101_stopword_clean",
+    // the 1-row weight-total broadcast inside temperatureMix's keep-rate
+    "q108_temperature_mix")
 
   test("table-driven sweep: every declared query holds its exchange budget") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
