@@ -26,6 +26,28 @@ object BenchProbe {
 
     val docs = Tables(spark, sfDir).documents
 
+    if (args.contains("rg")) {
+      // scan-parallelism probe: the driver's regenerated testdata writes ONE
+      // row group per file, so a parquet scan is a single task no matter the
+      // core count — measure whether paying an exchange to re-spread beats
+      // the single-task scan on the q01 shape (it should not at 13 MB).
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      def agg(df: org.apache.spark.sql.DataFrame): Unit = {
+        df.groupBy("l_returnflag", "l_linestatus")
+          .agg(sum(col("l_quantity").cast("decimal(18,2)")),
+            sum(col("l_extendedprice").cast("decimal(18,2)")),
+            avg("l_discount"), count(lit(1))).collect(): Unit
+      }
+      println(s"scan partitions = ${li.rdd.getNumPartitions}")
+      agg(li); agg(li.repartition(32)) // warm both paths
+      for (i <- 1 to 3) {
+        timed(s"scan_1rg_$i") { agg(li) }
+        timed(s"repartition32_$i") { agg(li.repartition(32)) }
+      }
+      spark.stop()
+      return
+    }
+
     if (args.contains("q49")) {
       // phase split of the dup-cluster pipeline: pair generation vs CC vs
       // the full declared query (join + window + sort tail)

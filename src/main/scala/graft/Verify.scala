@@ -30,8 +30,10 @@ object Verify {
         // leave a visible artifact: without it a throwing query simply
         // VANISHES from the correctness report (no parquet dir → no row)
         // instead of surfacing as a failure — round-7 lesson (q25/q74)
-        try Files.writeString(Paths.get(s"$outDir/$name._error"),
-          s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(2000)}")
+        val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(6)
+          .map(c => s"${c.getClass.getName}: ${String.valueOf(c.getMessage).take(2000)}")
+          .mkString("\ncaused by: ")
+        try Files.writeString(Paths.get(s"$outDir/$name._error"), chain)
         catch { case _: Throwable => () }
       }
     }

@@ -130,6 +130,20 @@ object Catalog {
 
     Dictionaries.register(spark, "dim.dict_user_dim", spark.table("dim.dict_user_dim"),
       keyCol = "uid", defaults = Map("age" -> (-1).toShort))
+
+    // dim.dict_item_dim (ref dim.dict_item_dim.sql:2-11, item_dim_dis.sql:
+    // 2-11): one row per item_id with deterministic derived attributes
+    // (type_id, price) — queryable view + broadcast dictionary, with the
+    // DDL's declared defaults (type_id 0, price 0).
+    spark.sql(
+      s"""CREATE OR REPLACE VIEW dim.dict_item_dim AS
+         |SELECT DISTINCT
+         |       pmod(event_id, 1000)                                   AS item_id,
+         |       pmod(pmod(event_id, 1000), 7)                          AS type_id,
+         |       pmod(event_id, 1000) % 100 * 10                        AS price
+         |FROM parquet.`$ev`""".stripMargin)
+    Dictionaries.register(spark, "dim.dict_item_dim", spark.table("dim.dict_item_dim"),
+      keyCol = "item_id", defaults = Map("type_id" -> 0L, "price" -> 0L))
     // memoize only after the whole build (incl. the dictionary collect)
     // succeeded — a failed build must not suppress the retry
     current.put(spark, sfDir)

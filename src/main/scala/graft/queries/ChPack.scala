@@ -55,6 +55,22 @@ object ChPack {
           |ORDER BY day, platform""".stripMargin)
     },
 
+    // The item-dim side of the catalog (ref dim.dict_item_dim.sql:24-27
+    // usage comment: dictGet('dim.dict_item_dim','type_id',toUInt64(item_id)))
+    // — per-item-type engagement with a price-weighted click revenue, both
+    // attributes resolved through the broadcast dictionary in SQL.
+    "q112_item_dict_sql" -> { (s, dir) =>
+      graft.engine.Catalog.register(s, dir)
+      s.sql(
+        """SELECT dictGet('dim.dict_item_dim', 'type_id', toUInt64(item_id)) AS type_id,
+          |       sum(show_cnt) AS shows,
+          |       sum(click_cnt) AS clicks,
+          |       sum(click_cnt * dictGet('dim.dict_item_dim', 'price', toUInt64(item_id))) AS click_rev
+          |FROM dws.action_001_dis
+          |GROUP BY type_id
+          |ORDER BY type_id""".stripMargin)
+    },
+
     // CH topK (SpaceSaving heavy hitters) in its exact regime: per-day
     // top-3 event types. Distinct event types ≪ the sketch's 64-counter
     // capacity, so no eviction happens anywhere — estimates are exact
@@ -720,6 +736,17 @@ object ChPack {
         |  -- FLOOR mirrors Spark's truncating double->long cast (values >= 0)
         |FROM events
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // mirrors the item-dim view's derivations: item_id = event_id % 1000,
+    // type_id = item_id % 7, price = item_id % 100 * 10.
+    "q112_item_dict_sql" ->
+      """SELECT (event_id % 1000) % 7 AS type_id,
+        | CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS shows,
+        | CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+        | CAST(SUM(CASE WHEN event_type = 'click'
+        |          THEN (event_id % 1000) % 100 * 10 ELSE 0 END) AS BIGINT) AS click_rev
+        |FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q23_ch_dialect_mv" ->
       """SELECT CAST(ts AS DATE) AS day, event_type,

@@ -263,6 +263,27 @@ object ExtendedPack {
         .orderBy("event_id")
     },
 
+    // Strict-FORWARD ASOF through the dialect (`<` picks the earliest
+    // right row strictly after the left time): each view event finds the
+    // user's NEXT purchase — the time-to-conversion shape. q80 covers
+    // strict-backward; this gates the forward scan direction.
+    "q114_asof_forward_sql" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.events.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .createOrReplaceTempView("graft_fwd_views")
+      t.events.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("pts"))
+        .agg(max(col("event_id")).as("purchase_id"))
+        .createOrReplaceTempView("graft_fwd_purchases")
+      graft.engine.ChAsof.sql(s,
+        """SELECT e.event_id, e.user_id, p.pts, p.purchase_id
+          |FROM graft_fwd_views e ASOF LEFT JOIN graft_fwd_purchases p
+          |  ON e.user_id = p.user_id AND e.ts < p.pts
+          |WHERE e.event_id % 6 = 0
+          |ORDER BY e.event_id""".stripMargin)
+    },
+
     // Sessionization (graft.operators.Sessionize): 30-minute-gap sessions
     // per user over raw events, with per-session stats — one window pass,
     // one aggregation, both keyed by user.
@@ -508,6 +529,19 @@ object ExtendedPack {
         |FROM events e ASOF LEFT JOIN ro
         |  ON e.user_id = ro.user_id AND e.ts >= ro.od
         |WHERE e.event_id % 7 = 0
+        |ORDER BY e.event_id""".stripMargin,
+
+    // DuckDB ASOF supports all four comparators; `<` mirrors the strict-
+    // forward direction natively.
+    "q114_asof_forward_sql" ->
+      """WITH p AS (
+        |  SELECT user_id, ts AS pts, MAX(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, p.pts, p.purchase_id
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'view') e
+        |ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts < p.pts
+        |WHERE e.event_id % 6 = 0
         |ORDER BY e.event_id""".stripMargin,
 
     // Tolerance: ASOF-match first, then null the payload where the gap

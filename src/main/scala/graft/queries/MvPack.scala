@@ -145,6 +145,76 @@ object MvPack {
           col("click_cnt").cast(LongType).as("click_cnt"),
           col("show_time_sum").cast(LongType).as("show_time_sum"))
         .orderBy("day", "platform")
+    },
+
+    // Round 8: the FULL ods→dwm→dws cascade as a gate query — all seven
+    // reference scripts replayed file-verbatim (final MV generation for
+    // BOTH logs), three days of each action log delivered as one-file
+    // micro-batches through attachStreams (Structured Streaming +
+    // exactly-once checkpoints), then the wide table read merge-debt-free
+    // at (day, gender). Gated columns are the exactly-mirrorable ones:
+    // the SimpleAggregateFunction sums (incl. the shown_cnt=0 column-name
+    // -mismatch golden, doc:287-292) and the EXACT per-group UVs via
+    // bitmap cardinalities; the HLL columns stay spec-gated
+    // (ChDdlReplaySpec) by design.
+    "q113_stream_cascade" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      graft.engine.Catalog.register(s, dir)
+      val wh = graft.engine.ChReplay.scratchWarehouse("graft-q113")
+      val replay = new graft.engine.ChReplay(s, wh)
+      replay.bind("ods.user_dim_local", s.table("dim.dict_user_dim"))
+      replay.bind("ods.item_dim_local", s.table("dim.dict_item_dim"))
+      def script(f: String) = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(graft.engine.ChReplay.scriptsDir, f)), "UTF-8")
+      for (f <- Seq("ods.action_001_dis.sql", "ods.action_002_dis.sql",
+          "dim.user_dim_dis.sql", "dim.dict_user_dim.sql",
+          "dim.item_dim_dis.sql", "dim.dict_item_dim.sql",
+          "dwm.mainpage_stat_mv_dis.sql"))
+        graft.engine.ChDdl.parse(script(f))
+          .filterNot(_.isInstanceOf[graft.engine.ChDdl.Query])
+          .foreach(replay.execute)
+      val days = s.table("ods.action_001_local").select("day").distinct()
+        .orderBy("day").collect().map(_.getDate(0).toString).take(3)
+      val src = graft.engine.ChReplay.scratchWarehouse("graft-q113-src")
+      val ck = graft.engine.ChReplay.scratchWarehouse("graft-q113-ck")
+      def log(t: String) = s.table(t)
+      days.zipWithIndex.foreach { case (d, i) =>
+        log("ods.action_001_local").filter(col("day") === lit(d))
+          .coalesce(1).write.parquet(s"$src/a1/b$i")
+        log("ods.action_002_local").filter(col("day") === lit(d))
+          .coalesce(1).write.parquet(s"$src/a2/b$i")
+      }
+      def stream(sub: String, schema: org.apache.spark.sql.types.StructType) =
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(s"$src/$sub/*")
+      val qs =
+        replay.attachStreams("ods.action_001_local",
+          stream("a1", log("ods.action_001_local").schema),
+          Trigger.AvailableNow(), Some(s"$ck/a1")) ++
+        replay.attachStreams("ods.action_002_local",
+          stream("a2", log("ods.action_002_local").schema),
+          Trigger.AvailableNow(), Some(s"$ck/a2"))
+      require(qs.nonEmpty, "q113: no DDL-defined MVs attached")
+      try qs.foreach(_.awaitTermination(300000): Unit) finally qs.foreach(_.stop())
+      replay.stateTables("dwm.mainpage_stat_mv_local")
+        .merged(Seq("day", "gender"))
+        .createOrReplaceTempView("graft_q113_wide")
+      s.sql(
+        """SELECT day, gender,
+          |       CAST(shown_cnt AS BIGINT) AS shown_cnt,
+          |       CAST(click_cnt AS BIGINT) AS click_cnt,
+          |       CAST(show_time_sum AS BIGINT) AS show_time_sum,
+          |       CAST(acta_cnt AS BIGINT) AS acta_cnt,
+          |       CAST(actb_cnt AS BIGINT) AS actb_cnt,
+          |       CAST(actc_cnt AS BIGINT) AS actc_cnt,
+          |       COALESCE(bitmapCardinality(show_bm), CAST(0 AS BIGINT)) AS show_uv,
+          |       COALESCE(bitmapCardinality(click_bm), CAST(0 AS BIGINT)) AS click_uv,
+          |       COALESCE(bitmapCardinality(acta_bm), CAST(0 AS BIGINT)) AS acta_uv,
+          |       COALESCE(bitmapCardinality(actb_bm), CAST(0 AS BIGINT)) AS actb_uv,
+          |       COALESCE(bitmapCardinality(actc_bm), CAST(0 AS BIGINT)) AS actc_uv,
+          |       COALESCE(bitmapCardinality(actd_bm), CAST(0 AS BIGINT)) AS actd_uv
+          |FROM graft_q113_wide
+          |ORDER BY day, gender""".stripMargin)
     }
   )
 
@@ -198,6 +268,35 @@ object MvPack {
         | CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click_cnt,
         | CAST(SUM(CAST(TRUNC(CAST(TRUNC(value * 1000) AS BIGINT) / 1000.0) AS BIGINT)) AS BIGINT) AS show_time_sum
         |FROM events
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // mirrors the catalog's action_001/action_002 derivations + both
+    // final-generation MV select lists at (day, gender): gender from the
+    // user-dim derivation (uid % 3), counters from event_type, actd from
+    // the truncating double->long cast of value, UVs as exact distincts
+    // (the bitmap columns are exact by construction).
+    "q113_stream_cascade" ->
+      """WITH d3 AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day FROM events ORDER BY day LIMIT 3),
+        |a AS (
+        |  SELECT CAST(ts AS DATE) AS day, user_id,
+        |    CASE CAST(user_id % 3 AS INT)
+        |         WHEN 0 THEN 'male' WHEN 1 THEN 'female' ELSE '' END AS gender,
+        |    event_type, value
+        |  FROM events WHERE CAST(ts AS DATE) IN (SELECT day FROM d3))
+        |SELECT day, gender,
+        |  CAST(0 AS BIGINT) AS shown_cnt,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click_cnt,
+        |  CAST(SUM(CAST(TRUNC(CAST(TRUNC(value * 1000) AS BIGINT) / 1000.0) AS BIGINT)) AS BIGINT) AS show_time_sum,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS acta_cnt,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS actb_cnt,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS actc_cnt,
+        |  COUNT(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS show_uv,
+        |  COUNT(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS click_uv,
+        |  COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS acta_uv,
+        |  COUNT(DISTINCT CASE WHEN event_type = 'signup' THEN user_id END) AS actb_uv,
+        |  COUNT(DISTINCT CASE WHEN event_type = 'error' THEN user_id END) AS actc_uv,
+        |  COUNT(DISTINCT CASE WHEN CAST(TRUNC(value) AS BIGINT) > 0 THEN user_id END) AS actd_uv
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -91,6 +91,24 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got("b") == Some(4L)) // gap 6 <= 50
   }
 
+  test("tolerance on TIMESTAMP_NTZ axes (no direct double cast exists)") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // q111's shape: both time axes are TIMESTAMP_NTZ — the gap must route
+    // through unix_micros, not a (rejected) NTZ->DOUBLE cast
+    val left = Seq((1L, "2024-01-10 00:00:00", "a"), (1L, "2024-01-01 01:00:00", "b"))
+      .toDF("k", "lts", "lval")
+      .withColumn("lts", expr("CAST(lts AS TIMESTAMP_NTZ)"))
+    val right = Seq((1L, "2024-01-01 00:00:00", "r"))
+      .toDF("k", "rts", "rval")
+      .withColumn("rts", expr("CAST(rts AS TIMESTAMP_NTZ)"))
+    val got = AsOfJoin.asof(left, right, Seq("k"), "lts", "rts",
+        toleranceSeconds = Some(86400L)) // 1 day
+      .select(col("lval"), col("rval"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got("a") == None)        // 9 days back > 1 day tolerance
+    assert(got("b") == Some("r"))   // 1 hour back
+  }
+
   test("seeded random: all four direction/strictness modes match brute force") {
     val rnd = new scala.util.Random(42)
     val left = Seq.fill(300)((rnd.nextInt(8).toLong, rnd.nextInt(50).toLong,

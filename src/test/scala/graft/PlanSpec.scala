@@ -242,7 +242,14 @@ class PlanSpec extends SparkSpec {
     // q110/q111: right-side daily agg + the asof window's union exchange +
     // final sort — same spine as q63/q80
     "q110_asof_using_sql" -> 3,
-    "q111_asof_tolerance" -> 3)
+    "q111_asof_tolerance" -> 3,
+    // q112: dictGet rides the scan (broadcast map); group agg + sort
+    "q112_item_dict_sql" -> 2,
+    // q113: the streaming cascade runs at construction; the DECLARED plan
+    // is the wide table's merge-on-read agg + final sort
+    "q113_stream_cascade" -> 2,
+    // q114: purchase-side agg + the forward-asof union exchange + sort
+    "q114_asof_forward_sql" -> 3)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)
