@@ -215,6 +215,36 @@ object MvPack {
           |       COALESCE(bitmapCardinality(actd_bm), CAST(0 AS BIGINT)) AS actd_uv
           |FROM graft_q113_wide
           |ORDER BY day, gender""".stripMargin)
+    },
+
+    // ST3 under the hash gate: a REAL Structured Streaming tumbling-window
+    // aggregation (readStream → window() → complete mode → memory sink,
+    // Trigger.AvailableNow) over the raw events file — the streamed answer
+    // must equal DuckDB's batch GROUP BY over the same rows. q14 gates the
+    // truncation formulation in batch; this gates the streaming engine
+    // path end-to-end.
+    "q115_stream_tumbling" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val raw = s.read.parquet(s"$dir/events.parquet") // on-disk schema (ts varies)
+      // the file-stream source needs a directory/glob, not a bare file path
+      val st0 = s.readStream.schema(raw.schema).parquet(s"$dir/events.parquet*")
+      val st =
+        if (raw.schema("ts").dataType == LongType)
+          st0.withColumn("ts", timestamp_micros(expr("ts div 1000"))
+            .cast(TimestampNTZType))
+        else st0
+      val sink = "graft_q115_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = st
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(dec("value")).cast(DoubleType).as("val_sum"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(sink).trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination(300000) finally q.stop()
+      s.table(sink)
+        .select(col("w.start").as("hour"), col("event_type"),
+          col("cnt"), col("val_sum"))
+        .orderBy("hour", "event_type")
     }
   )
 
@@ -297,6 +327,14 @@ object MvPack {
         |  COUNT(DISTINCT CASE WHEN event_type = 'signup' THEN user_id END) AS actb_uv,
         |  COUNT(DISTINCT CASE WHEN event_type = 'error' THEN user_id END) AS actc_uv,
         |  COUNT(DISTINCT CASE WHEN CAST(TRUNC(value) AS BIGINT) > 0 THEN user_id END) AS actd_uv
-        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // 1-hour tumbling windows align to the epoch, so window.start is the
+    // hour truncation.
+    "q115_stream_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        | COUNT(*) AS cnt,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -249,7 +249,10 @@ class PlanSpec extends SparkSpec {
     // is the wide table's merge-on-read agg + final sort
     "q113_stream_cascade" -> 2,
     // q114: purchase-side agg + the forward-asof union exchange + sort
-    "q114_asof_forward_sql" -> 3)
+    "q114_asof_forward_sql" -> 3,
+    // q115: the streaming window agg runs at construction; the DECLARED
+    // plan reads the memory sink — its one exchange is the final sort
+    "q115_stream_tumbling" -> 1)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)
