@@ -31,7 +31,7 @@ object Dedup {
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val norm = lower(regexp_replace(col(textCol), "\\s+", " "))
     df.groupBy(norm.as("__norm"))
-      .agg(min_by(struct(df.columns.map(col): _*), col(idCol)).as("__r"))
+      .agg(min_by(struct(df.columns.toSeq.map(col): _*), col(idCol)).as("__r"))
       .select(col("__r.*"))
   }
 

@@ -35,7 +35,7 @@ object Skew {
       s"saltedJoin supports inner/left join types, got: $joinType")
     val saltCol = "__graft_salt"
     val s = skewed.withColumn(saltCol,
-      pmod(xxhash64(struct(skewed.columns.map(col): _*)), lit(salt)).cast("int"))
+      pmod(xxhash64(struct(skewed.columns.toSeq.map(col): _*)), lit(salt)).cast("int"))
     val o = other.withColumn(saltCol, explode(sequence(lit(0), lit(salt - 1))))
     s.join(o, keys :+ saltCol, joinType).drop(saltCol)
   }

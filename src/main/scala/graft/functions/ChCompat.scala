@@ -728,8 +728,8 @@ case class ByteSizeExpr(child: Expression)
     case s: org.apache.spark.unsafe.types.UTF8String => s.numBytes.toLong
     case a: org.apache.spark.sql.catalyst.util.ArrayData =>
       child.dataType match {
-        case ArrayType(et, _) if et.defaultSize > 0 => a.numElements.toLong * et.defaultSize
-        case _ => a.numElements.toLong
+        case ArrayType(et, _) if et.defaultSize > 0 => a.numElements().toLong * et.defaultSize
+        case _ => a.numElements().toLong
       }
     case _ => child.dataType.defaultSize.toLong
   })

@@ -57,14 +57,14 @@ object AsOfJoin {
     require(collisions.isEmpty,
       s"asof: right payload columns collide with left: ${collisions.mkString(", ")}")
 
-    val lStructT = left.select(struct(left.columns.map(col): _*).as("s")).schema("s").dataType
+    val lStructT = left.select(struct(left.columns.toSeq.map(col): _*).as("s")).schema("s").dataType
     val rStructT = right.select(struct(payload.map(col): _*).as("s")).schema("s").dataType
 
     val l = left.select(
       keys.map(col) ++ Seq(
         col(leftTs).as("__ts"),
         lit(1).as("__tag"),
-        struct(left.columns.map(col): _*).as("__l"),
+        struct(left.columns.toSeq.map(col): _*).as("__l"),
         lit(null).cast(rStructT).as("__r")): _*)
     // A null-ts right row has no position on the time axis: DuckDB ASOF
     // (the oracle) and the null-key rule below both treat null ordering
@@ -122,7 +122,7 @@ object AsOfJoin {
       .withColumn("__m", matched)
       .filter(col("__tag") === 1)
     out.select(
-      left.columns.map(c => col(s"__l.$c").as(c)) ++
+      left.columns.toSeq.map(c => col(s"__l.$c").as(c)) ++
         payload.map(p => col(s"__m.$p").as(p)): _*)
   }
 

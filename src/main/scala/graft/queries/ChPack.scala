@@ -577,6 +577,21 @@ object ChPack {
           |WHERE event_type = 'purchase' AND user_id % 50 = 0
           |GROUP BY h
           |ORDER BY h WITH FILL FROM 0 TO 24""".stripMargin)
+    },
+
+    // WITH FILL + INTERPOLATE (both supported forms: carry-forward and
+    // linear per-step accumulation) — CH evaluates the expression against
+    // the PREVIOUS row, so `max_uid + 10` climbs by 10 per filled hour.
+    "q116_fill_interpolate" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).events.createOrReplaceTempView("graft_fill2_events")
+      graft.operators.WithFill.sql(s,
+        """SELECT toHour(ts) AS h, count(*) AS purchases, max(user_id) AS max_uid
+          |FROM graft_fill2_events
+          |WHERE event_type = 'purchase' AND user_id % 97 = 0
+          |GROUP BY h
+          |ORDER BY h WITH FILL FROM 0 TO 24
+          |  INTERPOLATE (purchases AS purchases, max_uid AS max_uid + 10)""".stripMargin)
     }
   )
 
@@ -726,6 +741,36 @@ object ChPack {
         |FROM axis LEFT JOIN hh USING (h)
         |ORDER BY h""".stripMargin,
 
+    // the closed-form mirror of CH's sequential INTERPOLATE walk: group
+    // filled rows with the last real row before them (prefix count of
+    // real rows), carry = that row's value, linear = value + slope*steps.
+    "q116_fill_interpolate" ->
+      """WITH hh AS (
+        |  SELECT CAST(extract(hour FROM ts) AS INT) AS h,
+        |         count(*) AS purchases, MAX(user_id) AS max_uid
+        |  FROM events WHERE event_type = 'purchase' AND user_id % 97 = 0
+        |  GROUP BY 1),
+        |axis AS (SELECT CAST(generate_series AS INT) AS h FROM generate_series(0, 23)),
+        |grid AS (
+        |  SELECT axis.h AS h, hh.purchases, hh.max_uid,
+        |         hh.h IS NULL AS filled
+        |  FROM axis LEFT JOIN hh ON axis.h = hh.h),
+        |runs AS (
+        |  SELECT *, SUM(CASE WHEN filled THEN 0 ELSE 1 END)
+        |              OVER (ORDER BY h) AS run
+        |  FROM grid),
+        |pos AS (
+        |  SELECT *,
+        |    FIRST_VALUE(purchases) OVER (PARTITION BY run ORDER BY h) AS pv,
+        |    FIRST_VALUE(max_uid) OVER (PARTITION BY run ORDER BY h) AS fv,
+        |    ROW_NUMBER() OVER (PARTITION BY run ORDER BY h) - 1 AS steps
+        |  FROM runs)
+        |SELECT h,
+        |  CASE WHEN filled AND run > 0 THEN pv ELSE purchases END AS purchases,
+        |  CAST(CASE WHEN filled AND run > 0 THEN fv + 10 * steps
+        |       ELSE max_uid END AS BIGINT) AS max_uid
+        |FROM pos ORDER BY h""".stripMargin,
+
     "q25_catalog_query" ->
       """SELECT CAST(ts AS DATE) AS day,
         | CASE WHEN user_id % 2 = 0 THEN 'android' ELSE 'ios' END AS platform,
@@ -826,25 +871,30 @@ object ChPack {
         |              AND epoch_us(ts) - epoch_us(lastv) <= CAST(3600 AS BIGINT) * 1000000
         |             THEN 1 ELSE 0 END) AS m_quick
         |  FROM quick0 GROUP BY 1, 2),
+        |codes AS (
+        |  -- greedy non-overlapping (V..P) count == V->P transitions in the
+        |  -- V/P subsequence (a completed match resets the scan, so extra Vs
+        |  -- inside a run never match retroactively). Pure LAG windows:
+        |  -- DuckDB's list(ORDER BY) inside a grouped aggregate proved
+        |  -- UNSTABLE at sf0.1 row counts (same CTE, 3 different sums).
+        |  SELECT day, user_id,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 2 END AS code,
+        |    LAG(CASE WHEN event_type = 'view' THEN 1 ELSE 2 END)
+        |      OVER (PARTITION BY day, user_id ORDER BY ts) AS prev
+        |  FROM base WHERE event_type IN ('view', 'purchase')),
         |vp AS (
         |  SELECT day, user_id,
-        |    list_reduce(
-        |      list_prepend(0, list(
-        |        CASE WHEN event_type = 'view' THEN 1
-        |             WHEN event_type = 'purchase' THEN 2 ELSE 0 END ORDER BY ts)),
-        |      (acc, x) -> CASE WHEN x = 1 AND acc % 2 = 0 THEN acc + 1
-        |                      WHEN x = 2 AND acc % 2 = 1 THEN acc + 1
-        |                      ELSE acc END) // 2 AS n_vp
-        |  FROM base GROUP BY 1, 2)
+        |    SUM(CASE WHEN code = 2 AND prev = 1 THEN 1 ELSE 0 END) AS n_vp
+        |  FROM codes GROUP BY 1, 2)
         |SELECT v1.day,
         |  CAST(SUM(chain.m_chain) AS BIGINT) AS u_chain,
         |  CAST(SUM(quick.m_quick) AS BIGINT) AS u_quick,
-        |  CAST(SUM(vp.n_vp) AS BIGINT) AS vp_chains,
+        |  CAST(SUM(COALESCE(vp.n_vp, 0)) AS BIGINT) AS vp_chains,
         |  COUNT(*) AS users
         |FROM v1
         |JOIN chain ON chain.day = v1.day AND chain.user_id = v1.user_id
         |JOIN quick ON quick.day = v1.day AND quick.user_id = v1.user_id
-        |JOIN vp ON vp.day = v1.day AND vp.user_id = v1.user_id
+        |LEFT JOIN vp ON vp.day = v1.day AND vp.user_id = v1.user_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q73_window_funnel" ->

@@ -120,8 +120,12 @@ object VectorPack {
       val cb = graft.similarity.IvfPq.train(e, "vec_id", "embedding", cents,
         m = 8, ksub = 16, iterations = 1)
       val enc = graft.similarity.IvfPq.encode(e, "vec_id", "embedding", cents, cb)
+      // correctness anchor: the shortlist must COVER the corpus for the
+      // ≡-brute-force guarantee to hold at any SF (600 covered sf0.01's
+      // 500 vectors but not sf0.1's 2000). Recall at fixed shortlist
+      // budgets is PqSpec's job; this query gates the machinery end-to-end.
       val shortlist = graft.similarity.IvfPq.topK(enc, cents, cb, probes,
-        "vec_id", "embedding", k = 600, nprobe = 16)
+        "vec_id", "embedding", k = e.count().toInt, nprobe = 16)
       graft.similarity.IvfPq.rerank(shortlist, e, probes, "vec_id", "embedding", k = 10)
         .select(col("probe_id"), col("neighbor_id"),
           round(col("cos_sim"), 6).as("cos_sim"), col("rank"))

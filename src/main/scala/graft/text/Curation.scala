@@ -153,7 +153,7 @@ object Curation {
       .filter(hashBucket256(col(keyCol), salt) < col("__keep256"))
       // the USING join moves the key to position 0 — restore the caller's
       // column order (the operator contract is schema-preserving filtering)
-      .select(docs.columns.map(col): _*)
+      .select(docs.columns.toSeq.map(col): _*)
   }
 
   /** Distinct normalized n-token shingles of an evaluation set — the probe

@@ -252,7 +252,10 @@ class PlanSpec extends SparkSpec {
     "q114_asof_forward_sql" -> 3,
     // q115: the streaming window agg runs at construction; the DECLARED
     // plan reads the memory sink — its one exchange is the final sort
-    "q115_stream_tumbling" -> 1)
+    "q115_stream_tumbling" -> 1,
+    // q116: hour agg + the fill union's singleton windows (run-id prefix
+    // sum + per-run offset) + final sort — all report-sized
+    "q116_fill_interpolate" -> 4)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)

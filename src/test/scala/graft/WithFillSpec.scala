@@ -34,6 +34,35 @@ class WithFillSpec extends SparkSpec {
     assert(stepped.toSeq == Seq(0, 1, 2, 4, 6))
   }
 
+  test("INTERPOLATE: carry-forward and linear accumulation, CH prev-row walk") {
+    Seq((1, 10, 100L), (4, 40, 400L)).toDF("h", "n", "m")
+      .createOrReplaceTempView("wf_i")
+    val got = WithFill.sql(spark,
+      """SELECT h, n, m FROM wf_i
+        |ORDER BY h WITH FILL FROM 0 TO 6
+        |  INTERPOLATE (n, m AS m + 5)""".stripMargin)
+      .collect().map(r => (r.getInt(0),
+        if (r.isNullAt(1)) -1 else r.getInt(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (0, -1, -1L),       // before the first real row: stays null (CH)
+      (1, 10, 100L),      // real
+      (2, 10, 105L),      // filled: carry n, m+5 per step
+      (3, 10, 110L),
+      (4, 40, 400L),      // real resets the walk
+      (5, 40, 405L)))
+  }
+
+  test("INTERPOLATE: unsupported expression and unknown column are refused") {
+    Seq((1, 10)).toDF("h", "n").createOrReplaceTempView("wf_bad")
+    val e1 = intercept[Exception](WithFill.sql(spark,
+      "SELECT h, n FROM wf_bad ORDER BY h WITH FILL INTERPOLATE (n AS n * 2)"))
+    assert(e1.getMessage.contains("unsupported form"))
+    val e2 = intercept[Exception](WithFill.sql(spark,
+      "SELECT h, n FROM wf_bad ORDER BY h WITH FILL INTERPOLATE (zz)"))
+    assert(e2.getMessage.contains("no such column"))
+  }
+
   test("empty result without bounds errors; bad step errors") {
     Seq.empty[(Int, Int)].toDF("h", "n").createOrReplaceTempView("wf_empty")
     val e = intercept[Exception](WithFill.sql(spark,
