@@ -242,4 +242,44 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** SemDeDup-style semantic deduplication: documents whose embeddings sit
+    * in one connected component under cosine ≥ `threshold` collapse to the
+    * min-id representative. Returns one row per input row:
+    * (idCol, cluster_id, cluster_size, keep) — the same contract as the
+    * n-gram cluster resolution (q49), so downstream keep-filters compose.
+    *
+    * `exact = true` scores ALL pairs (O(n²) — the correctness anchor, run
+    * at small corpus sizes and mirrored by the SQL oracle); `exact =
+    * false` generates candidates from LSH hyperplane buckets
+    * ([[graft.similarity.Ann.cosineNearDups]] — the no-cross-join 100 TB
+    * shape) and verifies exact cosine on candidates only. Both feed the
+    * same pointer-jumping connected components, so the only recall seam is
+    * candidate generation — measured in DedupSpec, not assumed.
+    */
+  def semanticClusters(
+      emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      exact: Boolean = false, tables: Int = 8, bits: Int = 6): DataFrame = {
+    graft.functions.VectorOps.register(emb.sparkSession)
+    val pairs =
+      if (exact) {
+        val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+        val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+        a.join(b, col("id_a") < col("id_b"))
+          .withColumn("cos_sim",
+            graft.similarity.Ann.cosine(col("__va"), col("__vb")))
+          .filter(col("cos_sim") >= threshold)
+          .select("id_a", "id_b")
+      } else graft.similarity.Ann
+        .cosineNearDups(emb, idCol, vecCol, threshold, tables, bits)
+        .select("id_a", "id_b")
+    val cc = Cluster.connectedComponents(pairs, "id_a", "id_b")
+    emb.select(col(idCol))
+      .join(cc.select(col("id").as(idCol), col("comp")), Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("comp"), col(idCol)))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .withColumn("keep", col(idCol) === col("cluster_id"))
+      .select(col(idCol), col("cluster_id"), col("cluster_size"), col("keep"))
+  }
 }

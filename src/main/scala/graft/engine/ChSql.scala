@@ -222,8 +222,18 @@ object ChSql {
       else seg
     }.mkString("'")
 
+  /** CH `dateDiff('unit', a, b)` (quoted unit, boundary-crossing
+    * semantics): Spark's PARSER grabs 3-arg datediff before function
+    * lookup and demands an unquoted unit with complete-interval
+    * semantics, so the registry alone can't shadow it — rewrite to the
+    * registered `chDateDiff` instead. The unquoted Spark form passes
+    * through untouched.
+    */
+  def dateDiff(q: String): String =
+    q.replaceAll("(?i)\\bdateDiff\\s*\\(\\s*'", "chDateDiff('")
+
   /** All shims, in the order they compose. */
   def apply(q: String): String =
     withTotals(withRollupCube(stripSettings(stripFormat(prewhere(stripGlobal(
-      scalarWith(tupleIndex(chLiterals(q)))))))))
+      scalarWith(tupleIndex(chLiterals(dateDiff(q))))))))))
 }

@@ -112,6 +112,74 @@ object ChCompat {
       Add(Multiply(Add(Multiply(Year(es.head), Literal(100)), Month(es.head)),
         Literal(100)), DayOfMonth(es.head))
     }
+    f("toStartOfYear") { es => Cast(TruncTimestamp(Literal("YEAR"), es.head), DateType) }
+    // CH toStartOfWeek: mode 0/2 = Sunday-start, mode 1/3 = Monday-start
+    // (the default mode is 0 — toMonday is the Monday shorthand)
+    f("toStartOfWeek") { es =>
+      val monday = es.lift(1) match {
+        case Some(Literal(m: Int, IntegerType)) => m == 1 || m == 3
+        case Some(other) => throw new IllegalArgumentException(
+          s"toStartOfWeek: mode must be an int literal, got $other")
+        case None => false
+      }
+      if (monday) Cast(TruncTimestamp(Literal("WEEK"), es.head), DateType)
+      else DateSub(Cast(es.head, DateType),
+        Subtract(DayOfWeek(es.head), Literal(1))) // DayOfWeek: Sunday = 1
+    }
+    f("toDayOfWeek") { es => Add(WeekDay(es.head), Literal(1)) } // CH: Monday = 1
+    f("toDayOfYear") { es => DayOfYear(es.head) }
+    // CH DateTime is wall-clock seconds — TIMESTAMP_NTZ is the faithful type
+    f("toDateTime") { es => Cast(es.head, TimestampNTZType) }
+    // timestamp->long cast = whole seconds since epoch (CH UInt32 analog)
+    f("toUnixTimestamp") { es => Cast(Cast(es.head, TimestampType), LongType) }
+    // CH add*/subtract* family — calendar-aware month/year arithmetic,
+    // fixed-duration below a day (naive timestamps: no DST games)
+    for ((name, unit) <- Seq("addSeconds" -> "SECOND", "addMinutes" -> "MINUTE",
+        "addHours" -> "HOUR", "addDays" -> "DAY", "addWeeks" -> "WEEK",
+        "addMonths" -> "MONTH", "addYears" -> "YEAR")) {
+      f(name) { es => TimestampAdd(unit, es(1), es(0)) }
+      f(name.replace("add", "subtract")) { es =>
+        TimestampAdd(unit, UnaryMinus(es(1)), es(0)) }
+    }
+    // CH dateDiff('unit', a, b): BOUNDARY CROSSINGS from a to b (calendar
+    // semantics — dateDiff('day', 23:59, 00:01) = 1), not complete
+    // intervals, so Spark's TimestampDiff (complete units) is the wrong
+    // tool; built from truncations instead. DuckDB's date_diff counts the
+    // same boundaries, so oracles mirror 1:1. Registered as chDateDiff:
+    // Spark's parser special-cases 3-arg datediff before function lookup,
+    // so the CH spelling reaches this via ChSql.dateDiff's rewrite.
+    f("chDateDiff") { es =>
+      val unit = es.head match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+          s.toString.toLowerCase
+        case other => throw new IllegalArgumentException(
+          s"dateDiff: unit must be a string literal, got $other")
+      }
+      val (a, b) = (es(1), es(2))
+      def secs(e: Expression) = Cast(Cast(e, TimestampType), LongType)
+      def floorDiv(e: Expression, d: Long) =
+        IntegralDivide(e, Literal(d), EvalMode.LEGACY)
+      def dayDiff(x: Expression, y: Expression) =
+        Cast(DateDiff(Cast(y, DateType), Cast(x, DateType)), LongType)
+      def monthIdx(e: Expression) =
+        Add(Multiply(Year(e), Literal(12)), Month(e))
+      unit match {
+        case "second" => Subtract(secs(b), secs(a))
+        case "minute" => Subtract(floorDiv(secs(b), 60), floorDiv(secs(a), 60))
+        case "hour" => Subtract(floorDiv(secs(b), 3600), floorDiv(secs(a), 3600))
+        case "day" => dayDiff(a, b)
+        case "week" => floorDiv(dayDiff( // Monday boundaries, like CH
+          Cast(TruncTimestamp(Literal("WEEK"), a), DateType),
+          Cast(TruncTimestamp(Literal("WEEK"), b), DateType)), 7)
+        case "month" => Cast(Subtract(monthIdx(b), monthIdx(a)), LongType)
+        case "quarter" => Cast(Subtract(
+          Add(Multiply(Year(b), Literal(4)), Quarter(b)),
+          Add(Multiply(Year(a), Literal(4)), Quarter(a))), LongType)
+        case "year" => Cast(Subtract(Year(b), Year(a)), LongType)
+        case other => throw new IllegalArgumentException(
+          s"dateDiff: unsupported unit '$other'")
+      }
+    }
     // formatDateTime with CH/MySQL specifiers (%i = minute); translated to
     // a Java pattern at registration time
     f("formatDateTime") { es =>
@@ -470,6 +538,14 @@ object ChCompat {
     f("countIf") { es => Count(Seq(onlyIf(es.head, Literal(1)))).toAggregateExpression() }
     f("minIf") { es => Min(onlyIf(es(1), es(0))).toAggregateExpression() }
     f("maxIf") { es => Max(onlyIf(es(1), es(0))).toAggregateExpression() }
+    f("avgIf") { es => new Average(onlyIf(es(1), es(0))).toAggregateExpression() }
+    // CH avgWeighted(x, w) = Σ(x·w)/Σ(w) — two aggregates under one ratio
+    // (double division, like CH's Float64 result)
+    f("avgWeighted") { es =>
+      Divide(
+        Cast(new Sum(Multiply(es(0), es(1))).toAggregateExpression(), DoubleType),
+        Cast(new Sum(es(1)).toAggregateExpression(), DoubleType))
+    }
 
     // ---- bitmap family (dwm:134-139, 184-185, 280-290) ---------------
     f("groupBitmap") { es =>

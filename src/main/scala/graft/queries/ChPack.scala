@@ -71,6 +71,53 @@ object ChPack {
           |ORDER BY type_id""".stripMargin)
     },
 
+    // The CH date-arithmetic battery: dateDiff in all eight units
+    // (boundary-crossing semantics — NOT complete intervals), the
+    // add*/subtract* family, toUnixTimestamp, Sunday/Monday week starts,
+    // toDayOfWeek/Year, toStartOfYear — plus avgIf/avgWeighted per day.
+    "q118_ch_date_math" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).events.createOrReplaceTempView("graft_dm_events")
+      s.sql(graft.engine.ChSql(
+        """SELECT event_id,
+          |  dateDiff('second', ts, toDateTime('2024-01-15 12:00:00')) AS d_sec,
+          |  dateDiff('minute', ts, toDateTime('2024-01-15 12:00:00')) AS d_min,
+          |  dateDiff('hour',   ts, toDateTime('2024-01-15 12:00:00')) AS d_hour,
+          |  dateDiff('day',    ts, toDateTime('2024-01-15 12:00:00')) AS d_day,
+          |  dateDiff('week',   ts, toDateTime('2024-01-15 12:00:00')) AS d_week,
+          |  dateDiff('month',  ts, toDateTime('2024-02-20 00:00:00')) AS d_month,
+          |  dateDiff('quarter', ts, toDateTime('2024-07-01 00:00:00')) AS d_quarter,
+          |  dateDiff('year',   ts, toDateTime('2026-01-01 00:00:00')) AS d_year,
+          |  toUnixTimestamp(ts) AS ux,
+          |  toUnixTimestamp(addDays(ts, 3)) AS ux_add_d,
+          |  toUnixTimestamp(subtractHours(ts, 7)) AS ux_sub_h,
+          |  toUnixTimestamp(addMonths(ts, 1)) AS ux_add_mo,
+          |  toUnixTimestamp(addSeconds(ts, 90)) AS ux_add_s,
+          |  toStartOfWeek(ts) AS week_sun,
+          |  toStartOfWeek(ts, 1) AS week_mon,
+          |  toDayOfWeek(ts) AS dow,
+          |  toDayOfYear(ts) AS doy,
+          |  toStartOfYear(ts) AS y0
+          |FROM graft_dm_events
+          |WHERE event_id % 17 = 0
+          |ORDER BY event_id""".stripMargin))
+    },
+
+    // avgIf / avgWeighted per day over events — the missing -If/-Weighted
+    // average aggregates next to sumIf/countIf/minIf/maxIf.
+    "q119_avg_family" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).events.createOrReplaceTempView("graft_avg_events")
+      s.sql(
+        """SELECT toDate(ts) AS day,
+          |  round(avgIf(user_id, event_type = 'purchase'), 6) AS avg_uid_purchase,
+          |  round(avgWeighted(user_id, user_id % 7 + 1), 6) AS avg_uid_weighted,
+          |  count(*) AS cnt
+          |FROM graft_avg_events
+          |GROUP BY day
+          |ORDER BY day""".stripMargin)
+    },
+
     // CH topK (SpaceSaving heavy hitters) in its exact regime: per-day
     // top-3 event types. Distinct event types ≪ the sketch's 64-counter
     // capacity, so no eviction happens anywhere — estimates are exact
@@ -781,6 +828,43 @@ object ChPack {
         |  -- FLOOR mirrors Spark's truncating double->long cast (values >= 0)
         |FROM events
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // date_diff counts the same boundary crossings as CH dateDiff; the
+    // interval family and week/epoch math mirror 1:1 (naive timestamps,
+    // UTC session; dayofweek is 0=Sunday in DuckDB, isodow is 1=Monday).
+    "q118_ch_date_math" ->
+      """SELECT event_id,
+        |  date_diff('second',  ts, TIMESTAMP '2024-01-15 12:00:00') AS d_sec,
+        |  date_diff('minute',  ts, TIMESTAMP '2024-01-15 12:00:00') AS d_min,
+        |  date_diff('hour',    ts, TIMESTAMP '2024-01-15 12:00:00') AS d_hour,
+        |  date_diff('day',     ts, TIMESTAMP '2024-01-15 12:00:00') AS d_day,
+        |  date_diff('week',    ts, TIMESTAMP '2024-01-15 12:00:00') AS d_week,
+        |  date_diff('month',   ts, TIMESTAMP '2024-02-20 00:00:00') AS d_month,
+        |  date_diff('quarter', ts, TIMESTAMP '2024-07-01 00:00:00') AS d_quarter,
+        |  date_diff('year',    ts, TIMESTAMP '2026-01-01 00:00:00') AS d_year,
+        |  epoch_us(ts) // 1000000 AS ux,
+        |  epoch_us(ts + INTERVAL 3 DAY) // 1000000 AS ux_add_d,
+        |  epoch_us(ts - INTERVAL 7 HOUR) // 1000000 AS ux_sub_h,
+        |  epoch_us(ts + INTERVAL 1 MONTH) // 1000000 AS ux_add_mo,
+        |  epoch_us(ts + INTERVAL 90 SECOND) // 1000000 AS ux_add_s,
+        |  CAST(ts AS DATE) - CAST(dayofweek(ts) AS INT) AS week_sun,
+        |  CAST(date_trunc('week', ts) AS DATE) AS week_mon,
+        |  CAST(isodow(ts) AS INT) AS dow,
+        |  CAST(dayofyear(ts) AS INT) AS doy,
+        |  CAST(date_trunc('year', ts) AS DATE) AS y0
+        |FROM events WHERE event_id % 17 = 0
+        |ORDER BY event_id""".stripMargin,
+
+    // AVG(bigint) is an exact integer sum over one double division in both
+    // engines — no float-summation-order seam (the reason the battery
+    // averages uids, not values).
+    "q119_avg_family" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  ROUND(AVG(CASE WHEN event_type = 'purchase' THEN user_id END), 6) AS avg_uid_purchase,
+        |  ROUND(CAST(SUM(user_id * (user_id % 7 + 1)) AS DOUBLE)
+        |        / SUM(user_id % 7 + 1), 6) AS avg_uid_weighted,
+        |  COUNT(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // mirrors the item-dim view's derivations: item_id = event_id % 1000,
     // type_id = item_id % 7, price = item_id % 100 * 10.

@@ -175,6 +175,18 @@ object VectorPack {
           threshold = 0.3, tables = 6, bits = 5)
         .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
         .orderBy("id_a", "id_b")
+    },
+
+    // SemDeDup-style semantic dedup (Dedup.semanticClusters): cosine-
+    // connected components collapse to the min-id representative. The
+    // declared query runs the EXACT all-pairs anchor (mirrored by a
+    // recursive-CTE oracle); the LSH candidate path is the 100 TB shape,
+    // refinement-tested in DedupSpec.
+    "q117_semantic_dedup" -> { (s, dir) =>
+      graft.functions.VectorOps.register(s)
+      graft.dedup.Dedup.semanticClusters(Tables(s, dir).embeddings,
+          "vec_id", "embedding", threshold = 0.3, exact = true)
+        .orderBy("vec_id")
     }
   )
 
@@ -205,6 +217,33 @@ object VectorPack {
         |SELECT id_a, id_b, ROUND(dot / (na * nb), 6) AS cos_sim
         |FROM s WHERE dot / (na * nb) >= CAST(0.3 AS DOUBLE)
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q45's exact pair set + the q49-style recursive-CTE connected
+    // components, collapsed to min-id representatives.
+    "q117_semantic_dedup" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(generate_series(1, len(a.embedding)),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS dot,
+        |    sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+        |    sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM s WHERE dot / (na * nb) >= CAST(0.3 AS DOUBLE)),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, l) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.l FROM edges e JOIN reach r ON r.id = e.b),
+        |comp AS (SELECT id, MIN(l) AS comp FROM reach GROUP BY id)
+        |SELECT e.vec_id,
+        |  COALESCE(c.comp, e.vec_id) AS cluster_id,
+        |  COUNT(*) OVER (PARTITION BY COALESCE(c.comp, e.vec_id)) AS cluster_size,
+        |  e.vec_id = COALESCE(c.comp, e.vec_id) AS keep
+        |FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
 
     // Same index-order sum-of-squares fold as q40 for the norm; maxabs is
     // order-independent; the quantization expression (x·127/maxabs + 0.5,

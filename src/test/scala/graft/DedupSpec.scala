@@ -112,4 +112,53 @@ class DedupSpec extends SparkSpec {
     // ...but the genuinely-near pair on rare shingles is still found
     assert(capped.contains((100L, 101L)))
   }
+
+  test("semanticClusters: exact path resolves known cosine clusters to min-id reps") {
+    import spark.implicits._
+    // two tight clusters ({0,1,2} around e1, {10,11} around e2) + an
+    // isolated vector; clusters are transitive via the shared direction
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.14f, 0.0f)),
+      (2L, Array(0.99f, -0.14f, 0.0f)),
+      (10L, Array(0.0f, 1.0f, 0.0f)),
+      (11L, Array(0.0f, 0.99f, 0.14f)),
+      (20L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val got = Dedup.semanticClusters(vecs, "vec_id", "embedding",
+        threshold = 0.9, exact = true)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(got(0L) == (0L, 3L, true) && got(1L) == (0L, 3L, false)
+      && got(2L) == (0L, 3L, false), s"cluster A wrong: $got")
+    assert(got(10L) == (10L, 2L, true) && got(11L) == (10L, 2L, false))
+    assert(got(20L) == (20L, 1L, true), "singleton must be its own kept rep")
+  }
+
+  test("semanticClusters: LSH path is a refinement of the exact clustering") {
+    // LSH candidates ⊆ exact pairs (candidates are exact-cosine verified),
+    // so every LSH cluster must sit inside one exact cluster — the only
+    // seam is recall, never precision.
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val exact = Dedup.semanticClusters(emb, "vec_id", "embedding",
+        threshold = 0.3, exact = true)
+      .select("vec_id", "cluster_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = Dedup.semanticClusters(emb, "vec_id", "embedding",
+        threshold = 0.3, tables = 8, bits = 5)
+      .select("vec_id", "cluster_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lsh.keySet == exact.keySet)
+    // refinement: ids sharing an LSH cluster share the exact cluster
+    val violations = lsh.groupBy(_._2).values.flatMap { members =>
+      val exactLabels = members.keys.map(exact).toSet
+      if (exactLabels.size > 1) Some(members.keys.toSeq.sorted) else None
+    }
+    assert(violations.isEmpty, s"LSH clusters crossing exact clusters: $violations")
+    // and the LSH path should find a non-trivial share of the merges
+    val exactMerged = exact.count { case (id, c) => id != c }
+    val lshMerged = lsh.count { case (id, c) => id != c }
+    assert(exactMerged > 0, "testdata should contain cosine>=0.3 clusters")
+    assert(lshMerged * 2 >= exactMerged,
+      s"LSH recall collapsed: $lshMerged of $exactMerged merges")
+  }
 }

@@ -255,7 +255,14 @@ class PlanSpec extends SparkSpec {
     "q115_stream_tumbling" -> 1,
     // q116: hour agg + the fill union's singleton windows (run-id prefix
     // sum + per-run offset) + final sort — all report-sized
-    "q116_fill_interpolate" -> 4)
+    "q116_fill_interpolate" -> 4,
+    // q117: the exact-anchor all-pairs feed + CC relax exchanges + the
+    // cluster-size window + final sort
+    "q117_semantic_dedup" -> 4,
+    // q118: expression-only battery — the sort is the one exchange
+    "q118_ch_date_math" -> 1,
+    // q119: group agg + final sort
+    "q119_avg_family" -> 2)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)
@@ -265,7 +272,9 @@ class PlanSpec extends SparkSpec {
     // the 1-row corpus-count broadcast (scalar N), not a data cross join
     "q100_tfidf", "q101_stopword_clean",
     // the 1-row weight-total broadcast inside temperatureMix's keep-rate
-    "q108_temperature_mix")
+    "q108_temperature_mix",
+    // q117's exact anchor shares q45's all-pairs shape (id_a < id_b join)
+    "q117_semantic_dedup")
 
   test("table-driven sweep: every declared query holds its exchange budget") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
