@@ -229,8 +229,17 @@ object ChSql {
     * registered `chDateDiff` instead. The unquoted Spark form passes
     * through untouched.
     */
-  def dateDiff(q: String): String =
-    q.replaceAll("(?i)\\bdateDiff\\s*\\(\\s*'", "chDateDiff('")
+  def dateDiff(q: String): String = {
+    // the trailing quote of the match belongs to the unit literal — keep
+    // the rewrite OUTSIDE string literals by only touching even segments
+    // (same masking trick as tupleIndex), re-attaching the quote
+    q.split("'", -1).zipWithIndex.map { case (seg, j) =>
+      // a code segment ending in `dateDiff(` means the next quote opens
+      // the unit literal — exactly the CH quoted-unit form
+      if (j % 2 == 0) seg.replaceAll("(?i)\\bdateDiff\\s*\\(\\s*$", "chDateDiff(")
+      else seg
+    }.mkString("'")
+  }
 
   /** All shims, in the order they compose. */
   def apply(q: String): String =

@@ -751,6 +751,33 @@ class ChCompatSpec extends SparkSpec {
     assert(!r.isNullAt(5) && !r.isNullAt(6))
   }
 
+  test("dateDiff: boundary-crossing semantics, negatives, literal-safe rewrite") {
+    ChCompat.register(spark)
+    val r = spark.sql(graft.engine.ChSql(
+      """SELECT
+        |  dateDiff('day',    toDateTime('2024-01-01 23:59:59'), toDateTime('2024-01-02 00:00:01')) AS dd,
+        |  dateDiff('hour',   toDateTime('2024-01-01 10:59:00'), toDateTime('2024-01-01 11:01:00')) AS dh,
+        |  dateDiff('month',  toDateTime('2024-01-31 00:00:00'), toDateTime('2024-02-01 00:00:00')) AS dm,
+        |  dateDiff('week',   toDateTime('2024-01-14 00:00:00'), toDateTime('2024-01-15 00:00:00')) AS dw,
+        |  dateDiff('year',   toDateTime('2024-12-31 23:59:59'), toDateTime('2025-01-01 00:00:00')) AS dy,
+        |  dateDiff('second', toDateTime('2024-01-01 00:00:00'), toDateTime('2024-01-01 00:00:02')) AS ds,
+        |  dateDiff('day',    toDateTime('2024-01-05 00:00:00'), toDateTime('2024-01-02 12:00:00')) AS neg
+        |""".stripMargin).trim).head()
+    // 2 seconds apart but a day boundary crossed — CH counts 1 (Spark's
+    // native complete-interval timestampdiff would say 0)
+    assert(r.getLong(0) == 1L)
+    assert(r.getLong(1) == 1L, "hour boundary")
+    assert(r.getLong(2) == 1L, "month boundary")
+    assert(r.getLong(3) == 1L, "Sunday->Monday crosses the week boundary")
+    assert(r.getLong(4) == 1L, "year boundary")
+    assert(r.getLong(5) == 2L)
+    assert(r.getLong(6) == -3L, "reversed operands count negative")
+    // the rewrite must not touch string literals containing 'dateDiff('
+    val lit = spark.sql(graft.engine.ChSql(
+      "SELECT 'dateDiff(''x'') in text' AS t")).head().getString(0)
+    assert(lit == "dateDiff('x') in text")
+  }
+
   test("retention flags fire across DIFFERENT rows of a group, gated on the base") {
     import spark.implicits._
     ChCompat.register(spark)
