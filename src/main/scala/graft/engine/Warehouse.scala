@@ -98,6 +98,21 @@ object Warehouse {
       sortCols: Seq[String] = Nil): Unit = {
     require(bucketCols.nonEmpty, "writeBucketed needs at least one bucket column")
     val sorted = if (sortCols.isEmpty) bucketCols else sortCols
+    // a managed-table location left by a PREVIOUS JVM is invisible to this
+    // session's catalog, and saveAsTable refuses to reuse it
+    // (LOCATION_ALREADY_EXISTS) — clear the orphan before writing
+    val ss = df.sparkSession
+    if (!ss.catalog.tableExists(table)) {
+      val wh = java.net.URI.create(ss.conf.get("spark.sql.warehouse.dir"))
+      val dir = java.nio.file.Paths.get(
+        if (wh.getScheme == "file") wh.getPath
+        else wh.toString).resolve(table.toLowerCase)
+      if (java.nio.file.Files.exists(dir)) {
+        import java.util.Comparator
+        java.nio.file.Files.walk(dir).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      }
+    }
     df.write.mode("overwrite")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(sorted.head, sorted.tail: _*)

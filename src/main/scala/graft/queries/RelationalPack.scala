@@ -215,6 +215,27 @@ object RelationalPack {
         .agg(percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
           count(lit(1)).as("cnt"))
         .orderBy("l_returnflag")
+    },
+
+    // O2/S2 promoted to the hash gate: fact⋈fact through BUCKETED tables
+    // (Warehouse.writeBucketed — co-located join, the 100 TB lever for
+    // repeated joins on one key). The exchange-free plan property is
+    // pinned in WarehouseSpec; this query verifies the bucketed READ path
+    // end-to-end against DuckDB over the raw parquet.
+    "q120_bucketed_join" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      graft.engine.Warehouse.writeBucketed(
+        t.lineitem.select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
+        "graft_q120_li", Seq("l_orderkey"), numBuckets = 8)
+      graft.engine.Warehouse.writeBucketed(
+        t.orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus")),
+        "graft_q120_ord", Seq("o_orderkey"), numBuckets = 8)
+      s.table("graft_q120_li")
+        .join(s.table("graft_q120_ord"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(dec("l_extendedprice")).cast(DoubleType).as("revenue"))
+        .orderBy("o_orderstatus")
     }
   )
 
@@ -336,6 +357,14 @@ object RelationalPack {
 
     "q19_median" ->
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty, COUNT(*) AS cnt
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the bucketed tables hold the same rows as the raw parquet — the
+    // oracle joins the originals directly.
+    "q120_bucketed_join" ->
+      s"""SELECT o.o_orderstatus, COUNT(*) AS n_lines,
+         | ${moneySumSql("l.l_extendedprice")} AS revenue
+         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -262,7 +262,10 @@ class PlanSpec extends SparkSpec {
     // q118: expression-only battery — the sort is the one exchange
     "q118_ch_date_math" -> 1,
     // q119: group agg + final sort
-    "q119_avg_family" -> 2)
+    "q119_avg_family" -> 2,
+    // q120: the bucketed JOIN is exchange-free (WarehouseSpec pins it);
+    // the non-bucket-key regroup + final sort remain
+    "q120_bucketed_join" -> 2)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)
