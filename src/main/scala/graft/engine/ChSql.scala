@@ -241,8 +241,24 @@ object ChSql {
     }.mkString("'")
   }
 
+  /** CH `xxHash64(...)` (seed 0 over bytes): the name case-insensitively
+    * collides with Spark's built-in seed-42 `xxhash64` — and in Spark 4
+    * even `functions.xxhash64` resolves by NAME through the session
+    * registry, so shadowing the name would silently change every seeded
+    * hash in the library (MinHash signatures, LSH buckets, codebook
+    * seeding) and any user SQL. The dialect layer owns the CH spelling
+    * instead: exact-case `xxHash64(` rewrites to the separately
+    * registered `chXxHash64`; Spark's all-lowercase spelling (and any
+    * other casing) passes through to the built-in untouched.
+    */
+  def xxHash(q: String): String =
+    q.split("'", -1).zipWithIndex.map { case (seg, j) =>
+      if (j % 2 == 0) seg.replaceAll("\\bxxHash64\\s*\\(", "chXxHash64(")
+      else seg
+    }.mkString("'")
+
   /** All shims, in the order they compose. */
   def apply(q: String): String =
     withTotals(withRollupCube(stripSettings(stripFormat(prewhere(stripGlobal(
-      scalarWith(tupleIndex(chLiterals(dateDiff(q))))))))))
+      scalarWith(tupleIndex(chLiterals(dateDiff(xxHash(q)))))))))))
 }

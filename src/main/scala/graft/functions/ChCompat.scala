@@ -63,6 +63,7 @@ object ChCompat {
     UniqUpTo.register(spark)
     MapAggregates.register(spark)
     Simhash.register(spark)
+    Hashes.register(spark)
     graft.text.TextFunctions.register(spark)
     // CH's one-row system table (`FROM system.one` — the doc's hand-built
     // rows idiom, doc:335-495, selects literals from it). The catalog

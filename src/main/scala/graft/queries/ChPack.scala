@@ -118,6 +118,45 @@ object ChPack {
           |ORDER BY day""".stripMargin)
     },
 
+    // CH hash family, DuckDB-mirrorable slice: halfMD5 is first-8-MD5-
+    // bytes big-endian, so `lpad(hex(halfMD5(x)),16,'0')` must equal
+    // DuckDB's `upper(substr(md5(x),1,16))` value-for-value — gating the
+    // expression + codegen + the byte-level MD5/endianness convention.
+    "q121_half_md5" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).documents.createOrReplaceTempView("graft_hm_docs")
+      s.sql(
+        """SELECT doc_id,
+          |       lpad(hex(halfMD5(text)), 16, '0')   AS h_text,
+          |       lpad(hex(halfMD5(source)), 16, '0') AS h_source,
+          |       pmod(halfMD5(concat(source, '/', CAST(doc_id AS STRING))), 64) AS shard
+          |FROM graft_hm_docs
+          |WHERE doc_id % 3 = 0
+          |ORDER BY doc_id""".stripMargin)
+    },
+
+    // The sharding/sampling primitives CH puts under SAMPLE BY /
+    // Distributed keys: sipHash64 / xxHash64 / intHash64 bucket counts
+    // over events uids, in CH spelling through the ChSql dialect layer
+    // (which owns the xxHash64 → chXxHash64 rewrite — the bare name would
+    // shadow Spark's seed-42 built-in). No DuckDB mirror exists for these
+    // algorithms (rows-only in the gate); the bit-exactness evidence is
+    // HashesSpec's published reference vectors, and this query pins the
+    // end-to-end sharding shape (every bucket hit, totals preserved).
+    "q122_hash_shard" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).events.createOrReplaceTempView("graft_hs_events")
+      s.sql(graft.engine.ChSql(
+        """SELECT pmod(sipHash64(user_id), 16)  AS sip_bucket,
+          |       count(*)                       AS cnt,
+          |       count(DISTINCT user_id)        AS uids,
+          |       min(pmod(xxHash64(user_id), 16))  AS xx_min,
+          |       max(pmod(intHash64(user_id), 16)) AS int_max
+          |FROM graft_hs_events
+          |GROUP BY sip_bucket
+          |ORDER BY sip_bucket""".stripMargin))
+    },
+
     // CH topK (SpaceSaving heavy hitters) in its exact regime: per-day
     // top-3 event types. Distinct event types ≪ the sketch's 64-counter
     // capacity, so no eviction happens anywhere — estimates are exact
@@ -865,6 +904,19 @@ object ChPack {
         |        / SUM(user_id % 7 + 1), 6) AS avg_uid_weighted,
         |  COUNT(*) AS cnt
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // halfMD5's full-value mirror: first 16 md5 hex digits uppercased ==
+    // Spark's lpad(hex(<first-8-bytes-BE-as-int64>),16,'0'); the shard
+    // column re-derives pmod through DuckDB's UBIGINT domain.
+    "q121_half_md5" ->
+      """SELECT doc_id,
+        |  upper(substr(md5(text), 1, 16))   AS h_text,
+        |  upper(substr(md5(source), 1, 16)) AS h_source,
+        |  CAST(CAST(('0x' || substr(md5(source || '/' || CAST(doc_id AS VARCHAR)), 1, 16))
+        |            AS UBIGINT) % 64 AS BIGINT) AS shard
+        |FROM documents
+        |WHERE doc_id % 3 = 0
+        |ORDER BY doc_id""".stripMargin,
 
     // mirrors the item-dim view's derivations: item_id = event_id % 1000,
     // type_id = item_id % 7, price = item_id % 100 * 10.

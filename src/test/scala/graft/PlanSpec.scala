@@ -265,7 +265,11 @@ class PlanSpec extends SparkSpec {
     "q119_avg_family" -> 2,
     // q120: the bucketed JOIN is exchange-free (WarehouseSpec pins it);
     // the non-bucket-key regroup + final sort remain
-    "q120_bucketed_join" -> 2)
+    "q120_bucketed_join" -> 2,
+    // q121: expression-only hash battery — the sort is the one exchange
+    "q121_half_md5" -> 1,
+    // q122: bucket group agg (with distinct-uid expand) + final sort
+    "q122_hash_shard" -> 3)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)
