@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.Tables
 import graft.dedup.{Cluster, Dedup}
-import graft.text.{Curation, TextFunctions}
+import graft.text.{Curation, Importance, TextFunctions}
 
 /** Declared queries for dataset-curation operators — the steps between
   * "scored corpus" and "training shards": deterministic splits, corpus
@@ -77,6 +77,34 @@ object PipelinePack {
     // token df aggregate, token-keyed join back, doc-keyed weighted sum.
     "q100_tfidf" -> { (s, dir) =>
       Curation.tfIdfScore(Tables(s, dir).documents, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // DSIR data selection, exact integer anchor (Importance.featureHits):
+    // per-document summed corpus frequencies of its unigram+bigram
+    // features in the target corpus (lang='en') and the raw corpus —
+    // pins the featurization + counting machinery the hashed scoring
+    // path reuses, in pure integers DuckDB mirrors exactly.
+    "q123_dsir_hits" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      Importance.featureHits(docs, docs.filter(col("lang") === "en"),
+          "doc_id", "text")
+        .select(col("doc_id"), col("n_feats"), col("tgt_hits"), col("raw_hits"))
+        .orderBy("doc_id")
+    },
+
+    // DSIR production path: hashed-ngram importance scores (8192 buckets,
+    // α=0.5) + deterministic Gumbel-top-k resample of 100 docs. Float
+    // log-weights have no stable cross-engine bit pattern (rows-only in
+    // the gate); ImportanceSpec pins determinism, target-affinity, and
+    // the hashed/exact agreement property.
+    "q124_dsir_select" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val scored = Importance.dsirScores(docs,
+        docs.filter(col("lang") === "en"), "doc_id", "text")
+      Importance.resampleTopK(scored, "doc_id", "dsir_score", 100, seed = 7L)
+        .select(col("doc_id"), col("lang"), col("source"),
+          round(col("dsir_score"), 4).as("score_r4"))
         .orderBy("doc_id")
     },
 
@@ -256,6 +284,33 @@ object PipelinePack {
         |FROM tf JOIN dft USING (tok), n
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // features = unigrams ++ adjacent bigrams ('_'-joined); DuckDB's
+    // 1-indexed list lambdas rebuild the same multiset, then the two
+    // count tables join back per document feature occurrence.
+    "q123_dsir_hits" ->
+      """WITH u AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |feats AS (
+        |  SELECT doc_id,
+        |         unnest(toks || list_transform(range(1, len(toks)),
+        |                                       i -> toks[i] || '_' || toks[i+1])) AS f
+        |  FROM u),
+        |tgt AS (
+        |  SELECT f, count(*) AS tgt_cnt FROM feats
+        |  WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+        |  GROUP BY f),
+        |rawc AS (SELECT f, count(*) AS raw_cnt FROM feats GROUP BY f)
+        |SELECT fe.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_feats,
+        |       CAST(sum(coalesce(t.tgt_cnt, 0)) AS BIGINT) AS tgt_hits,
+        |       CAST(sum(r.raw_cnt) AS BIGINT) AS raw_hits
+        |FROM feats fe
+        |LEFT JOIN tgt t USING (f)
+        |JOIN rawc r USING (f)
+        |GROUP BY fe.doc_id
+        |ORDER BY fe.doc_id""".stripMargin,
 
     // unnest + generate_subscripts keeps token positions, so the cleaned
     // string reassembles in original order; stoplist = tokens in >39/50

@@ -269,7 +269,15 @@ class PlanSpec extends SparkSpec {
     // q121: expression-only hash battery — the sort is the one exchange
     "q121_half_md5" -> 1,
     // q122: bucket group agg (with distinct-uid expand) + final sort
-    "q122_hash_shard" -> 3)
+    "q122_hash_shard" -> 3,
+    // q123: exact anchor — feature-keyed tgt/raw count aggs + the
+    // per-doc feature join + doc regroup + final sort (the deliberately
+    // join-heavy shape; the hashed q124 path is the scale shape)
+    "q123_dsir_hits" -> 7,
+    // q124: two bucket-count aggs + the buckets-row densify/collect +
+    // the top-k (TakeOrderedAndProject, no global sort) + final sort;
+    // the ratios array broadcasts
+    "q124_dsir_select" -> 9)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)
@@ -280,6 +288,8 @@ class PlanSpec extends SparkSpec {
     "q100_tfidf", "q101_stopword_clean",
     // the 1-row weight-total broadcast inside temperatureMix's keep-rate
     "q108_temperature_mix",
+    // the 1-row hashed-ngram log-ratios array broadcast (DSIR scoring)
+    "q124_dsir_select",
     // q117's exact anchor shares q45's all-pairs shape (id_a < id_b join)
     "q117_semantic_dedup")
 

@@ -33,7 +33,10 @@ class QueriesSpec extends SparkSpec {
       "q42_knn_lsh", "q43_cosine_neardup", "q44_knn_ivf", "q67_knn_pq",
       // sipHash64/xxHash64/intHash64 have no DuckDB implementation; the
       // bit-exactness evidence is HashesSpec's published reference vectors
-      "q122_hash_shard"),
+      "q122_hash_shard",
+      // float log-weights have no stable cross-engine bit pattern; the
+      // integer anchor q123 hash-gates the shared featurization/counting
+      "q124_dsir_select"),
       s"rows-only set changed: $rowsOnly — update COVERAGE.md's ledger")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size - rowsOnly.size)
   }
