@@ -65,6 +65,7 @@ object ChCompat {
     Simhash.register(spark)
     Hashes.register(spark)
     graft.text.TextFunctions.register(spark)
+    graft.text.Bpe.register(spark)
     // CH's one-row system table (`FROM system.one` — the doc's hand-built
     // rows idiom, doc:335-495, selects literals from it). The catalog
     // round-trip needs the session's ANALYZER; when register() itself runs

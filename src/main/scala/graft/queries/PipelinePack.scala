@@ -93,6 +93,26 @@ object PipelinePack {
         .orderBy("doc_id")
     },
 
+    // Real BPE token counting (Bpe.train on the corpus word-frequency
+    // table + the bpeEncode expression): per-document piece counts under
+    // 40 learned merges next to the whitespace/char baselines (40 lands
+    // mid-fusion on the testdata's small vocabulary — 100 merges fuse
+    // every word whole and the count collapses to the word count). Training
+    // is deterministic (lexicographic tie-breaks, (count,word) vocab
+    // cut) but the merge loop is not expressible in DuckDB SQL — rows-
+    // only in the gate; BpeSpec pins the classic-example merges, rank-
+    // order application, reconstruction, and monotonicity.
+    "q125_bpe_encode" -> { (s, dir) =>
+      graft.text.Bpe.register(s)
+      val docs = Tables(s, dir).documents
+      val merges = graft.text.Bpe.train(docs, "text", numMerges = 40)
+      docs.select(col("doc_id"),
+          graft.text.Bpe.tokenCount(col("text"), merges).as("n_bpe"),
+          size(split(col("text"), " ")).as("n_ws_tokens"),
+          length(regexp_replace(col("text"), " ", "")).as("n_chars"))
+        .orderBy("doc_id")
+    },
+
     // DSIR production path: hashed-ngram importance scores (8192 buckets,
     // α=0.5) + deterministic Gumbel-top-k resample of 100 docs. Float
     // log-weights have no stable cross-engine bit pattern (rows-only in

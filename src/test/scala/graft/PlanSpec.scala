@@ -277,7 +277,10 @@ class PlanSpec extends SparkSpec {
     // q124: two bucket-count aggs + the buckets-row densify/collect +
     // the top-k (TakeOrderedAndProject, no global sort) + final sort;
     // the ratios array broadcasts
-    "q124_dsir_select" -> 9)
+    "q124_dsir_select" -> 9,
+    // q125: training runs at construction (word-frequency collect); the
+    // DECLARED plan is one scan + the encode expression + final sort
+    "q125_bpe_encode" -> 1)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)

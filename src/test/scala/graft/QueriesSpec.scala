@@ -36,7 +36,10 @@ class QueriesSpec extends SparkSpec {
       "q122_hash_shard",
       // float log-weights have no stable cross-engine bit pattern; the
       // integer anchor q123 hash-gates the shared featurization/counting
-      "q124_dsir_select"),
+      "q124_dsir_select",
+      // the BPE merge loop is not expressible in DuckDB SQL; BpeSpec
+      // pins the classic-example merges and the reconstruction property
+      "q125_bpe_encode"),
       s"rows-only set changed: $rowsOnly — update COVERAGE.md's ledger")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size - rowsOnly.size)
   }
