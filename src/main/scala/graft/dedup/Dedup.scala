@@ -282,4 +282,57 @@ object Dedup {
       .withColumn("keep", col(idCol) === col("cluster_id"))
       .select(col(idCol), col("cluster_id"), col("cluster_size"), col("keep"))
   }
+
+  /** Duplicated-span detection — the window-fingerprint form of
+    * suffix-array ExactSubstr dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): every k-token window of
+    * every document is fingerprinted; a fingerprint occurring at least
+    * `minCount` times corpus-wide (across documents OR repeated inside
+    * one — self-repetition is duplication too) marks its k token
+    * positions as duplicated. Per document: the duplicated-window count,
+    * the number of tokens covered by at least one duplicated window
+    * (interval union, not k·windows — overlapping spans count once), the
+    * covered fraction, and the `keep` verdict (`dup_frac < maxDupFrac`,
+    * the drop-or-trim filter signal).
+    *
+    * Scale shape: fingerprints are md5 digests, so the corpus-wide count
+    * and the membership semi-join move fixed-width digests, not text.
+    * Three hash-keyed exchanges (window count with map-side combine,
+    * digest semi-join, per-doc aggregates) — no all-pairs step, and a
+    * window duplicated a million times costs its occurrence count, never
+    * a pairwise blowup (the failure mode of pair-join dedup on
+    * boilerplate).
+    */
+  def duplicatedSpans(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, minCount: Long = 2, maxDupFrac: Double = 0.5): DataFrame = {
+    require(k >= 1, s"window size must be >= 1: $k")
+    require(minCount >= 2, s"minCount < 2 marks everything duplicated: $minCount")
+    val toks = df
+      .select(col(idCol).as("id"),
+        filter(split(col(textCol), "\\s+"), t => length(t) > 0).as("toks"))
+      .select(col("id"), col("toks"), size(col("toks")).as("n_tokens"))
+    val wins = toks
+      .filter(col("n_tokens") >= k)
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), col("n_tokens") - k),
+          i => md5(concat_ws(" ", slice(col("toks"), i + lit(1), lit(k)))))))
+      .select(col("id"), col("pos").as("w_pos"), col("col").as("win"))
+    val dup = wins.groupBy("win").agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= minCount)
+    val marked = wins.join(dup.select("win"), Seq("win"), "left_semi")
+    val perDoc = marked.groupBy("id").agg(count(lit(1)).as("dup_windows"))
+    val covered = marked
+      .select(col("id"), explode(sequence(col("w_pos"), col("w_pos") + (k - 1))).as("t"))
+      .distinct()
+      .groupBy("id").agg(count(lit(1)).as("dup_tokens"))
+    toks.select(col("id"), col("n_tokens"))
+      .join(perDoc, Seq("id"), "left")
+      .join(covered, Seq("id"), "left")
+      .na.fill(0L, Seq("dup_windows", "dup_tokens"))
+      .withColumn("dup_frac",
+        col("dup_tokens").cast(DoubleType) / col("n_tokens"))
+      .withColumn("keep", col("dup_frac") < lit(maxDupFrac))
+      .select(col("id").as(idCol), col("n_tokens"), col("dup_windows"),
+        col("dup_tokens"), col("dup_frac"), col("keep"))
+  }
 }

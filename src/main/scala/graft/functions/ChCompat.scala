@@ -549,6 +549,25 @@ object ChCompat {
         Cast(new Sum(es(1)).toAggregateExpression(), DoubleType))
     }
 
+    // ---- second/higher-moment statistics (CH stat aggregates) ---------
+    // covarPop/varPop/stddevPop + Samp twins map onto Spark's co-moment
+    // aggregates (same population/sample formulas as CH's Float64 forms).
+    // skewPop = m3/m2^1.5 — Spark's skewness IS the population formula;
+    // kurtPop = m4/m2^2, Spark's kurtosis is the EXCESS form, so +3.
+    // For hash-gate-exact statistics use graft.functions.Moments instead
+    // (integer moments, order-insensitive); these carry CH's own
+    // float-accumulation contract for dialect queries.
+    f("covarPop") { es => CovPopulation(es(0), es(1)).toAggregateExpression() }
+    f("covarSamp") { es => CovSample(es(0), es(1)).toAggregateExpression() }
+    f("varPop") { es => VariancePop(es.head).toAggregateExpression() }
+    f("varSamp") { es => VarianceSamp(es.head).toAggregateExpression() }
+    f("stddevPop") { es => StddevPop(es.head).toAggregateExpression() }
+    f("stddevSamp") { es => StddevSamp(es.head).toAggregateExpression() }
+    f("skewPop") { es => Skewness(es.head).toAggregateExpression() }
+    f("kurtPop") { es =>
+      Add(Kurtosis(es.head).toAggregateExpression(), Literal(3.0d))
+    }
+
     // ---- bitmap family (dwm:134-139, 184-185, 280-290) ---------------
     f("groupBitmap") { es =>
       // cardinality of the aggregated bitmap — scalar-on-aggregate needs the

@@ -377,10 +377,65 @@ object ExtendedPack {
           min_by(col("event_type"), col("ts")).as("first_event"),
           count(lit(1)).as("n"))
         .orderBy("user_id")
+    },
+
+    // Exact-moment statistics (Moments): corr / covarPop / varPop /
+    // stddevPop per return flag from overflow-free BIGINT raw moments
+    // (quantity as-is; prices truncated to whole dollars so Σy² fits at
+    // any tested SF), combined in one fixed IEEE tree after the
+    // aggregate — bit-identical under any partitioning, so the float
+    // statistics themselves are hash-gated, not rounded.
+    "q127_stats_moments" -> { (s, dir) =>
+      import graft.functions.Moments
+      val li = Tables(s, dir).lineitem
+      Moments.aggregate(li, Seq("l_returnflag"),
+          col("l_quantity"), floor(col("l_extendedprice")))
+        .select(col("l_returnflag"), col("n"), col("sx"), col("sy"),
+          Moments.varPop(col("sxx"), col("sx"), col("n")).as("qty_var"),
+          Moments.stddevPop(col("syy"), col("sy"), col("n")).as("price_sd"),
+          Moments.covarPop(col("sxy"), col("sx"), col("sy"), col("n")).as("qp_covar"),
+          Moments.corr(col("sxy"), col("sx"), col("sy"),
+            col("sxx"), col("syy"), col("n")).as("qp_corr"))
+        .orderBy("l_returnflag")
     }
   )
 
   val oracle: Map[String, String] = Map(
+    // the moment combination mirrored operation-for-operation: every
+    // div/mul/sub/sqrt below is the same single IEEE op Spark executes,
+    // over identical BIGINT sums — the gate hashes full double bits.
+    "q127_stats_moments" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+        |    CAST(SUM(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+        |    CAST(SUM(CAST(floor(l_extendedprice) AS BIGINT)
+        |           * CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS syy,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)
+        |           * CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n, sx, sy,
+        |  CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS qty_var,
+        |  sqrt(CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) AS price_sd,
+        |  CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS qp_covar,
+        |  (CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+        |  / (sqrt(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+        |       - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |         * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+        |     * sqrt(CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+        |       - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |         * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))) AS qp_corr
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "q50_window_running" ->
       """SELECT o_custkey, o_orderkey,
         | ROW_NUMBER() OVER w AS rn,

@@ -213,6 +213,19 @@ object PipelinePack {
         .orderBy("doc_id")
     },
 
+    // Duplicated-span detection (Dedup.duplicatedSpans — Lee et al. 2022
+    // ExactSubstr dedup in its window-fingerprint form): 5-token windows
+    // occurring ≥2 times corpus-wide mark their positions duplicated;
+    // per-doc covered-token counts (interval union) drive the
+    // drop-or-trim verdict at 50%. On this corpus: 71 docs carry some
+    // duplication, 47 cross the drop line, 24 are partial — all three
+    // verdict classes exercised.
+    "q126_dup_spans" -> { (s, dir) =>
+      Dedup.duplicatedSpans(Tables(s, dir).documents, "text", "doc_id",
+          k = 5, minCount = 2, maxDupFrac = 0.5)
+        .orderBy("doc_id")
+    },
+
     // Stratified quota sampling: cap every source at 10 docs, drawn by
     // the deterministic md5 order (Curation.stratifiedSample — bounded-
     // heap per-group selection, not a window funnel). Both engines rank
@@ -457,6 +470,36 @@ object PipelinePack {
         |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':temp'), 1, 2)
         |      < printf('%02x', keep256)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // window fingerprints as md5 over the space-joined 5-token slice;
+    // coverage = COUNT(DISTINCT position) over exploded spans — the same
+    // interval-union the Spark side computes.
+    "q126_dup_spans" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |base AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM tok),
+        |w AS (
+        |  SELECT doc_id, i - 1 AS w_pos, md5(array_to_string(toks[i:i+4], ' ')) AS win
+        |  FROM base, UNNEST(generate_series(1, n_tokens - 4)) t(i)
+        |  WHERE n_tokens >= 5),
+        |d AS (SELECT win FROM w GROUP BY win HAVING COUNT(*) >= 2),
+        |m AS (SELECT doc_id, w_pos FROM w WHERE win IN (SELECT win FROM d)),
+        |pw AS (SELECT doc_id, COUNT(*) AS dup_windows FROM m GROUP BY doc_id),
+        |cov AS (
+        |  SELECT doc_id, COUNT(DISTINCT t) AS dup_tokens
+        |  FROM m, UNNEST(generate_series(w_pos, w_pos + 4)) s(t)
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |  CAST(b.n_tokens AS INT) AS n_tokens,
+        |  CAST(COALESCE(pw.dup_windows, 0) AS BIGINT) AS dup_windows,
+        |  CAST(COALESCE(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |  CAST(COALESCE(cov.dup_tokens, 0) AS DOUBLE) / b.n_tokens AS dup_frac,
+        |  (CAST(COALESCE(cov.dup_tokens, 0) AS DOUBLE) / b.n_tokens) < 0.5 AS keep
+        |FROM base b
+        |LEFT JOIN pw USING (doc_id)
+        |LEFT JOIN cov USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
 
     // The deterministic draw: rank within each source by the 13-hex-digit
     // md5 prefix (fixed-width hex compares lexicographically ==

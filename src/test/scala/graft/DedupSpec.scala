@@ -134,6 +134,50 @@ class DedupSpec extends SparkSpec {
     assert(got(20L) == (20L, 1L, true), "singleton must be its own kept rep")
   }
 
+  test("duplicatedSpans: coverage is the interval union, verdicts split on the threshold") {
+    import spark.implicits._
+    // 10 tokens each; docs 0 and 1 share tokens 0..5 ("a b c d e f") —
+    // with k=3 that is 4 duplicated windows covering 6 tokens per doc;
+    // doc 2 repeats its own 3-token phrase ("x y z ... x y z") — SELF-
+    // repetition, 2 occurrences of one fingerprint → 6 covered tokens;
+    // doc 3 shares nothing.
+    val docs = Seq(
+      (0L, "a b c d e f g1 h1 i1 j1"),
+      (1L, "a b c d e f g2 h2 i2 j2"),
+      (2L, "x y z m1 m2 m3 m4 x y z"),
+      (3L, "p q r s t u v w pp qq")).toDF("doc_id", "text")
+    val r = Dedup.duplicatedSpans(docs, "text", "doc_id", k = 3,
+        minCount = 2, maxDupFrac = 0.5)
+      .orderBy("doc_id")
+      .as[(Long, Int, Long, Long, Double, Boolean)].collect()
+    assert(r(0) == ((0L, 10, 4L, 6L, 0.6, false)))
+    assert(r(1) == ((1L, 10, 4L, 6L, 0.6, false)))
+    assert(r(2) == ((2L, 10, 2L, 6L, 0.6, false)))
+    assert(r(3) == ((3L, 10, 0L, 0L, 0.0, true)))
+  }
+
+  test("duplicatedSpans matches a brute-force window count on the planted corpus") {
+    // brute force: materialize every k-window string, count occurrences,
+    // mark positions, union intervals per doc — pure Scala ground truth
+    val k = 4
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val wins = rows.flatMap { case (id, t) =>
+      val ts = t.split("\\s+").filter(_.nonEmpty)
+      ts.sliding(k).zipWithIndex.map { case (w, i) => (id, i, w.mkString(" ")) }
+    }
+    val counts = wins.groupBy(_._3).view.mapValues(_.length).toMap
+    val dupPos = wins.filter(w => counts(w._3) >= 2)
+    val expWindows = dupPos.groupBy(_._1).view.mapValues(_.length).toMap
+    val expCovered = dupPos.groupBy(_._1).view
+      .mapValues(_.flatMap(w => w._2 until (w._2 + k)).distinct.length).toMap
+    val got = Dedup.duplicatedSpans(docs, "text", "doc_id", k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    for ((id, dw, dt) <- got) {
+      assert(dw == expWindows.getOrElse(id, 0).toLong, s"doc $id windows")
+      assert(dt == expCovered.getOrElse(id, 0).toLong, s"doc $id coverage")
+    }
+  }
+
   test("semanticClusters: LSH path is a refinement of the exact clustering") {
     // LSH candidates ⊆ exact pairs (candidates are exact-cosine verified),
     // so every LSH cluster must sit inside one exact cluster — the only

@@ -280,7 +280,12 @@ class PlanSpec extends SparkSpec {
     "q124_dsir_select" -> 9,
     // q125: training runs at construction (word-frequency collect); the
     // DECLARED plan is one scan + the encode expression + final sort
-    "q125_bpe_encode" -> 1)
+    "q125_bpe_encode" -> 1,
+    // q126: window-count agg + digest semi-join + per-doc window/coverage
+    // aggs + final sort — every exchange keyed by md5 digest or doc id
+    "q126_dup_spans" -> 5,
+    // q127: the one raw-moment group agg + final sort
+    "q127_stats_moments" -> 2)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)
