@@ -81,6 +81,40 @@ object Warehouse {
   def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Delimited-text source — the CH text FORMAT family (`CSV`,
+    * `CSVWithNames`, `TSV`/`TabSeparated`, `TSVWithNames`; the doc's
+    * `FORMAT` clause and `clickhouse-client --format` ingest edge).
+    * Schema is explicit (CH's column-list contract — no inference drift),
+    * `header` toggles the WithNames variant, `delimiter` picks CSV vs
+    * TSV. Reads stay splittable (single-line records), so a 100 TB text
+    * drop parallelizes like any other scan; text is an ingest/export
+    * edge here, not hot storage — convert to parquet/bucketed tables for
+    * repeated queries.
+    */
+  def readDelimited(spark: SparkSession, path: String, schema: StructType,
+      delimiter: String = ",", header: Boolean = false): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("delimiter", delimiter)
+      .option("header", header)
+      // read back exactly what writeDelimited (and CH) emit
+      .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+      .option("nullValue", "\\N")
+      .csv(path)
+
+  /** Delimited-text sink — the write side of [[readDelimited]]; CH's
+    * `SELECT ... INTO OUTFILE ... FORMAT CSVWithNames` analog. One file
+    * per partition (distributed write), quoting only where needed.
+    */
+  def writeDelimited(df: DataFrame, path: String,
+      delimiter: String = ",", header: Boolean = false): Unit =
+    df.write.mode("overwrite")
+      .option("delimiter", delimiter)
+      .option("header", header)
+      .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+      .option("nullValue", "\\N")
+      .csv(path)
+
   /** Bucketed managed table: pre-shuffle the data ONCE at write time so
     * every later join/aggregation on `bucketCols` is exchange-free — the
     * co-located-join lever for fact⋈fact joins whose dims are too big to

@@ -236,6 +236,25 @@ object RelationalPack {
         .agg(count(lit(1)).as("n_lines"),
           sum(dec("l_extendedprice")).cast(DoubleType).as("revenue"))
         .orderBy("o_orderstatus")
+    },
+
+    // S4 widened to the CH text FORMAT family: the documents table takes
+    // a full round trip through CSVWithNames (Warehouse.writeDelimited →
+    // readDelimited with explicit schema — quoting, header, free-text
+    // values with embedded delimiters), then re-aggregates; the oracle
+    // reads the original parquet, so any value corrupted in the text
+    // round trip breaks the hash.
+    "q128_csv_roundtrip" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q128-csv")
+        .toString + "/docs_csv"
+      graft.engine.Warehouse.writeDelimited(docs, tmp, header = true)
+      graft.engine.Warehouse.readDelimited(s, tmp, docs.schema, header = true)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_chars")).as("chars"),
+          sum(length(col("text"))).as("text_chars"))
+        .orderBy("lang", "source")
     }
   )
 
@@ -365,6 +384,16 @@ object RelationalPack {
       s"""SELECT o.o_orderstatus, COUNT(*) AS n_lines,
          | ${moneySumSql("l.l_extendedprice")} AS revenue
          |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-         |GROUP BY 1 ORDER BY 1""".stripMargin
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // oracle reads the ORIGINAL parquet — equality gates that the CSV
+    // round trip preserved every text/count value exactly.
+    "q128_csv_roundtrip" ->
+      """SELECT lang, source, COUNT(*) AS docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |  CAST(SUM(length(text)) AS BIGINT) AS text_chars
+        |FROM documents
+        |GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin
   )
 }

@@ -68,6 +68,21 @@ object VectorPack {
         .orderBy("probe_id", "rank")
     },
 
+    // Cluster-balanced diversity sampling (Curation.clusterBalancedSample,
+    // the DataComp move): 8 seeded k-means clusters over the embedding
+    // space, a deterministic 20-vector quota from each — dense regions
+    // can't crowd the sample. iterations=0 keeps the whole path a pure
+    // function of (ids, salt); rows-only in the gate (the seeded centroid
+    // pick is xxhash64-ordered, which DuckDB can't mirror) — CurationSpec
+    // pins determinism, quotas, and the balance property.
+    "q129_cluster_sample" -> { (s, dir) =>
+      graft.text.Curation.clusterBalancedSample(
+          Tables(s, dir).embeddings, "vec_id", "embedding",
+          k = 8, quota = 20, iterations = 0, salt = ":cbs")
+        .select(col("vec_id"), col("cluster_id"))
+        .orderBy("vec_id")
+    },
+
     // Full-probe IVF = exhaustive search: with nprobe = nlist every
     // inverted list is scanned, and each corpus vector lives in exactly one
     // list, so the scored set — and therefore the exact top-k — must be

@@ -71,6 +71,38 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(firstKeyCol, restKeyCols: _*)
 
+  /** Watermarked stream-stream interval join: pair each left-stream row
+    * with same-key right-stream rows whose event time falls in
+    * `[leftTs, leftTs + maxGap]` — e.g. "views joined to the purchases
+    * they led to within an hour". Both sides carry watermarks AND the
+    * join condition carries the time bound; together they let Spark
+    * expire buffered rows on both sides (an unconstrained stream-stream
+    * join buffers forever — the unbounded-state trap). State per side is
+    * O(rows inside the watermark+gap horizon), independent of stream
+    * length.
+    *
+    * Column names must be disjoint across sides apart from the join keys
+    * (pass pre-renamed frames); `keys` maps left column → right column.
+    * `maxGap` / watermarks are SQL interval strings ("1 HOUR").
+    */
+  def intervalJoin(
+      left: DataFrame, leftTs: String, leftWatermark: String,
+      right: DataFrame, rightTs: String, rightWatermark: String,
+      keys: Seq[(String, String)], maxGap: String): DataFrame = {
+    require(keys.nonEmpty, "intervalJoin needs at least one key pair")
+    val l = left.withWatermark(leftTs, leftWatermark).alias("l")
+    val r = right.withWatermark(rightTs, rightWatermark).alias("r")
+    val keyCond = keys.map { case (lk, rk) => col(s"l.$lk") === col(s"r.$rk") }
+      .reduce(_ && _)
+    val timeCond = col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+      col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $maxGap")
+    // drop the RIGHT key copies by reference — drop-by-name would take
+    // the left ones too when a key shares its name across sides
+    keys.foldLeft(l.join(r, keyCond && timeCond)) {
+      case (df, (_, rk)) => df.drop(col(s"r.$rk"))
+    }
+  }
+
   final case class FunnelEvent(user_id: Long, ts: Timestamp, event_type: String)
   final case class FunnelProgress(stage: Int, startedAtMs: Long)
   final case class FunnelCompletion(

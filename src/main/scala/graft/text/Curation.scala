@@ -363,4 +363,33 @@ object Curation {
       .withColumn("bin", expr(s"(__cum - `$weightCol`) div ${capacity}L"))
       .drop("__cum")
   }
+
+  /** Cluster-balanced embedding sampling — the DataComp/SemDeDup-adjacent
+    * diversity move: k-means-cluster the embedding space, then draw an
+    * equal deterministic quota from every cluster, so dense regions can't
+    * crowd the sample the way uniform sampling lets them. Composes the
+    * IVF machinery ([[graft.similarity.Ann.pickCentroids]] seeded pick,
+    * optional distributed Lloyd refinement, broadcast-literal assignment —
+    * no vector shuffle) with [[stratifiedSample]]'s bounded-heap
+    * per-cluster draw. Output: (idCol, cluster_id) for the selected rows.
+    *
+    * Determinism: with `iterations = 0` the whole path is a pure function
+    * of (ids, salt) — seeded centroid pick, literal-table assignment, md5
+    * draw. Lloyd iterations refine centroids through float mean partials
+    * whose merge order is partition-dependent, so refined assignments are
+    * run-stable but not bit-pinned — use 0 where exact reproducibility
+    * outranks cluster quality.
+    */
+  def clusterBalancedSample(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, quota: Int, iterations: Int = 0, salt: String = ""): DataFrame = {
+    require(k >= 1, s"cluster count must be >= 1: $k")
+    import graft.similarity.Ann
+    val cents0 = Ann.pickCentroids(emb, idCol, vecCol, k)
+    val cents =
+      if (iterations > 0) Ann.refineCentroids(emb, idCol, vecCol, cents0, iterations)
+      else cents0
+    val assigned = Ann.ivfIndex(emb, idCol, vecCol, cents)
+      .select(col("neighbor_id").as(idCol), col("list_id").as("cluster_id"))
+    stratifiedSample(assigned, Seq("cluster_id"), idCol, quota, salt)
+  }
 }

@@ -126,6 +126,45 @@ class CurationSpec extends SparkSpec {
     assert(gotA == expectA)
   }
 
+  test("clusterBalancedSample: balanced quotas from skewed clusters, deterministic") {
+    import spark.implicits._
+    // 3 well-separated synthetic clusters with skewed sizes 160/30/10 —
+    // uniform sampling would give cluster 0 ~80% of any draw
+    val rnd = new scala.util.Random(7)
+    def vec(center: Array[Float]): Array[Float] =
+      center.map(c => c + (rnd.nextFloat() - 0.5f) * 0.05f)
+    val centers = Array(
+      Array.fill(8)(0f).updated(0, 1f),
+      Array.fill(8)(0f).updated(3, 1f),
+      Array.fill(8)(0f).updated(6, 1f))
+    val rows = (0 until 160).map(i => (i.toLong, vec(centers(0)))) ++
+      (160 until 190).map(i => (i.toLong, vec(centers(1)))) ++
+      (190 until 200).map(i => (i.toLong, vec(centers(2))))
+    val emb = rows.toDF("vec_id", "embedding")
+    val s1 = Curation.clusterBalancedSample(emb, "vec_id", "embedding",
+      k = 3, quota = 8, iterations = 0, salt = ":t")
+      .select("vec_id", "cluster_id").as[(Long, Int)].collect().toSet
+    // deterministic: a second run returns the identical set
+    val s2 = Curation.clusterBalancedSample(emb, "vec_id", "embedding",
+      k = 3, quota = 8, iterations = 0, salt = ":t")
+      .select("vec_id", "cluster_id").as[(Long, Int)].collect().toSet
+    assert(s1 == s2, "cluster-balanced draw must be deterministic")
+    // per-cluster quota respected; no cluster exceeds it
+    val byCluster = s1.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byCluster.values.forall(_ <= 8))
+    // balance: with 3 seeded centroids over 3 separated blobs, the draw
+    // is near-uniform across clusters — the dominant source contributes
+    // at most quota of the ≤24 rows, vs ~80% under uniform sampling
+    val fromDominant = s1.count(_._1 < 160)
+    assert(s1.size >= 16 && fromDominant <= 8 + 4,
+      s"dominant cluster crowded the sample: $fromDominant of ${s1.size}")
+    // refined path (Lloyd) still respects quotas and stays run-stable
+    val r1 = Curation.clusterBalancedSample(emb, "vec_id", "embedding",
+      k = 3, quota = 8, iterations = 2, salt = ":t")
+      .select("vec_id", "cluster_id").as[(Long, Int)].collect().toSet
+    assert(r1.groupBy(_._2).view.mapValues(_.size).toMap.values.forall(_ <= 8))
+  }
+
   test("tfIdfScore matches a brute-force integer TF-IDF on a known corpus") {
     import spark.implicits._
     val docs = Seq(

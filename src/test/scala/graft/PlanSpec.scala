@@ -285,7 +285,13 @@ class PlanSpec extends SparkSpec {
     // aggs + final sort — every exchange keyed by md5 digest or doc id
     "q126_dup_spans" -> 5,
     // q127: the one raw-moment group agg + final sort
-    "q127_stats_moments" -> 2)
+    "q127_stats_moments" -> 2,
+    // q128: the CSV write happens at construction; the declared plan is
+    // the text scan + group agg + final sort
+    "q128_csv_roundtrip" -> 2,
+    // q129: spread repartition + per-cluster heap agg + the semi-join
+    // back + final sort; centroid pick collects at construction
+    "q129_cluster_sample" -> 4)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)

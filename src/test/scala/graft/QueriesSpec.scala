@@ -39,7 +39,10 @@ class QueriesSpec extends SparkSpec {
       "q124_dsir_select",
       // the BPE merge loop is not expressible in DuckDB SQL; BpeSpec
       // pins the classic-example merges and the reconstruction property
-      "q125_bpe_encode"),
+      "q125_bpe_encode",
+      // the seeded centroid pick is xxhash64-ordered (no DuckDB mirror);
+      // CurationSpec pins determinism, quotas, and balance
+      "q129_cluster_sample"),
       s"rows-only set changed: $rowsOnly — update COVERAGE.md's ledger")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size - rowsOnly.size)
   }

@@ -79,6 +79,39 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs within the gap across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val views = MemoryStream[FunnelEvent]
+    val buys = MemoryStream[FunnelEvent]
+    val out = Streams.intervalJoin(
+      views.toDF().select(col("user_id"), col("ts").as("view_ts")),
+      "view_ts", "10 minutes",
+      buys.toDF().select(col("user_id").as("buy_user"), col("ts").as("buy_ts")),
+      "buy_ts", "10 minutes",
+      keys = Seq("user_id" -> "buy_user"), maxGap = "1 HOUR")
+    val q = out.writeStream
+      .format("memory").queryName("ij_out").outputMode("append").start()
+    try {
+      views.addData(
+        FunnelEvent(1L, ts("2024-01-01 10:00:00"), "view"),
+        FunnelEvent(2L, ts("2024-01-01 10:05:00"), "view"))
+      q.processAllAvailable()
+      buys.addData(
+        FunnelEvent(1L, ts("2024-01-01 10:30:00"), "buy"),   // in gap (batch 2 vs batch-1 view)
+        FunnelEvent(1L, ts("2024-01-01 11:30:00"), "buy"),   // outside the 1h gap
+        FunnelEvent(2L, ts("2024-01-01 10:04:00"), "buy"),   // before the view
+        FunnelEvent(3L, ts("2024-01-01 10:10:00"), "buy"))   // no matching view
+      q.processAllAvailable()
+      val got = spark.table("ij_out")
+        .select(col("user_id"), col("view_ts"), col("buy_ts")).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+      assert(got == Set((1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00"))))
+      // schema: right key copy dropped, left key kept once
+      assert(spark.table("ij_out").columns.toSeq == Seq("user_id", "view_ts", "buy_ts"))
+    } finally q.stop()
+  }
+
   test("sequenceMatch/windowFunnel run as streaming aggregations across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

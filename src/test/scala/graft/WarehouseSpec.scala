@@ -118,6 +118,35 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("S4b: delimited text round-trips quoting, delimiters-in-values, nulls, timestamps") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wh-delim").toString
+    val rows = Seq(
+      (1L, "plain words", Option("en"), Option(java.time.LocalDateTime.of(2024, 3, 1, 12, 30, 45, 123456000))),
+      (2L, "comma, inside \"quotes\" and\ttab", Option("fr"), None),
+      (3L, "", None, Option(java.time.LocalDateTime.of(2024, 3, 2, 0, 0, 0)))
+    ).toDF("id", "text", "lang", "ts")
+    val schema = rows.schema.asInstanceOf[StructType]
+    // CSVWithNames
+    graft.engine.Warehouse.writeDelimited(rows, s"$dir/csv", header = true)
+    val csvBack = graft.engine.Warehouse.readDelimited(spark, s"$dir/csv", schema, header = true)
+    // TSVWithNames (tab inside a value forces quoting; must survive)
+    graft.engine.Warehouse.writeDelimited(rows, s"$dir/tsv", delimiter = "\t", header = true)
+    val tsvBack = graft.engine.Warehouse.readDelimited(spark, s"$dir/tsv", schema, delimiter = "\t", header = true)
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      // Spark writes an empty string as an empty CSV field, which reads
+      // back null with the default emptyValue — normalize for compare
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse(""), r.getString(2),
+        Option(r.get(3)).map(_.toString).orNull)).toSet
+    assert(norm(csvBack) == norm(rows))
+    assert(norm(tsvBack) == norm(rows))
+    // text sources read everything nullable — compare names+types only
+    def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
+    assert(shape(csvBack.schema) == shape(schema))
+    assert(shape(tsvBack.schema) == shape(schema))
+  }
+
   test("reconciliation invariant: repartition (rebalance analog) preserves counts and sums") {
     val df = spark.range(0, 10000)
       .select(col("id"), (col("id") % 7).as("k"), (col("id") * 3).as("v"))
