@@ -333,6 +333,7 @@ object ChCompat {
     f("arrayReverse") { es => Reverse(es.head) }
     f("indexOf") { es => ArrayPosition(es(0), es(1)) }
     f("arrayConcat") { es => Concat(es) }
+    f("arrayIntersect") { es => es.reduceLeft(ArrayIntersect(_, _)) }
     f("arrayFlatten") { es => Flatten(es.head) }
     f("arraySlice") { es =>
       if (es.length == 3) Slice(es(0), es(1), es(2))
@@ -483,6 +484,14 @@ object ChCompat {
     // replacing it would silently change standard Spark SQL in the same
     // session — use Spark's `any_value` (same semantics as CH any).
     f("anyLast") { es => new Last(es.head, true).toAggregateExpression() }
+    // CH groupArraySorted(N)(x) in the flat spelling (x, N): the smallest
+    // N values in ascending order — collect + sort + slice; bounded
+    // output, but the collect buffer is group-sized (like medianExact;
+    // use topK/topk_by_score when the group can be huge)
+    f("groupArraySorted") { es =>
+      Slice(new SortArray(CollectList(es(0)).toAggregateExpression()),
+        Literal(1), es(1))
+    }
     f("quantileExact") { es => new Percentile(es(0), es(1)) }
     f("quantileTDigest") { es => new ApproximatePercentile(es(0), es(1)) }
     // CH plural quantiles(p1,...,pn)(x) in the flat spelling

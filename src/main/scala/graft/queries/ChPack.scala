@@ -678,6 +678,30 @@ object ChPack {
           |GROUP BY h
           |ORDER BY h WITH FILL FROM 0 TO 24
           |  INTERPOLATE (purchases AS purchases, max_uid AS max_uid + 10)""".stripMargin)
+    },
+
+    // groupArraySorted(x, N) (the bounded ordered-collect aggregate) +
+    // arrayIntersect through the dialect: lowest-5 doc ids per language
+    // and keyword-vocabulary hits per doc, both value-gated. The
+    // intersection is arraySort-wrapped — CH and Spark both return
+    // first-array order, but the gate compares canonical forms.
+    "q131_group_array_sorted" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).documents
+        .select(col("doc_id"), col("lang"),
+          graft.text.TextFunctions.tokens(col("text")).as("toks"))
+        .createOrReplaceTempView("graft_gas_docs")
+      s.sql(
+        """SELECT lang,
+          |       concat_ws(',', groupArraySorted(doc_id, 5)) AS low_ids,
+          |       sum(n_kw) AS kw_hits
+          |FROM (
+          |  SELECT lang, doc_id,
+          |         size(arrayIntersect(arrayDistinct(toks),
+          |              array('table', 'scan', 'row', 'agg'))) AS n_kw
+          |  FROM graft_gas_docs)
+          |GROUP BY lang
+          |ORDER BY lang""".stripMargin)
     }
   )
 
@@ -1165,6 +1189,24 @@ object ChPack {
         | CAST(SUM(CASE WHEN c.c_acctbal > 0 THEN CAST(c.c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS pos_bal,
         | CAST(COUNT(CASE WHEN c.c_acctbal > 0 THEN 1 END) AS BIGINT) AS pos_cnt
         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // list(x) sorted+sliced mirrors the bounded ordered collect;
+    // list_intersect dedups like Spark's array_intersect, and both sides
+    // canonicalize by sorting before the string join.
+    "q131_group_array_sorted" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |u AS (
+        |  SELECT lang, doc_id,
+        |    len(list_intersect(list_distinct(toks),
+        |        ['table', 'scan', 'row', 'agg'])) AS n_kw
+        |  FROM t)
+        |SELECT lang,
+        |  array_to_string(list_sort(list(doc_id))[1:5], ',') AS low_ids,
+        |  CAST(SUM(n_kw) AS BIGINT) AS kw_hits
+        |FROM u GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -128,6 +128,22 @@ object PipelinePack {
         .orderBy("doc_id")
     },
 
+    // CCNet-style perplexity quality scoring (LangModel): an add-α bigram
+    // LM trained on the en slice scores every document; per-doc mean NLL
+    // and perplexity. Join-based exact scoring (the KenLM role) — the
+    // broadcast-hash twin is q124's DSIR path. Float ln/exp bits vary
+    // across math libraries → rows-only; LangModelSpec pins the
+    // hand-computed model and the separation property.
+    "q130_perplexity" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val (bg, cx, v) = graft.text.LangModel.train(
+        docs.filter(col("lang") === "en"), "text")
+      graft.text.LangModel.score(docs, "doc_id", "text", bg, cx, v)
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("nll"), 6).as("nll_r6"), round(col("ppl"), 4).as("ppl_r4"))
+        .orderBy("doc_id")
+    },
+
     // Corpus-adaptive stopword removal: tokens in >78% of all documents
     // (39/50 — chosen to split the testdata's df spectrum so both kept
     // and dropped tokens are exercised) drop from every document; the

@@ -291,7 +291,12 @@ class PlanSpec extends SparkSpec {
     "q128_csv_roundtrip" -> 2,
     // q129: spread repartition + per-cluster heap agg + the semi-join
     // back + final sort; centroid pick collects at construction
-    "q129_cluster_sample" -> 4)
+    "q129_cluster_sample" -> 4,
+    // q130: bigram/context count aggs + the per-doc regroup + final
+    // sort; the n-gram joins ride the count aggs' partitioning
+    "q130_perplexity" -> 4,
+    // q131: one group agg (ordered-collect + sum) + final sort
+    "q131_group_array_sorted" -> 2)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)

@@ -42,7 +42,10 @@ class QueriesSpec extends SparkSpec {
       "q125_bpe_encode",
       // the seeded centroid pick is xxhash64-ordered (no DuckDB mirror);
       // CurationSpec pins determinism, quotas, and balance
-      "q129_cluster_sample"),
+      "q129_cluster_sample",
+      // ln/exp last bits differ across math libraries; LangModelSpec
+      // pins the hand-computed model and the separation property
+      "q130_perplexity"),
       s"rows-only set changed: $rowsOnly — update COVERAGE.md's ledger")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size - rowsOnly.size)
   }
