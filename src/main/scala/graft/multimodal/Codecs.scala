@@ -176,6 +176,70 @@ object Codecs {
     Some(Image(w, h, channels, out))
   }
 
+  // ---- resize / encode ------------------------------------------------------
+
+  /** Nearest-neighbor resample to (w, h) — the thumbnail / canonical-size
+    * step of an image pipeline. Channel-preserving, pure integer index
+    * math (`floor(dst · src / out)`), allocation = one output buffer.
+    */
+  def resizeNearest(img: Image, w: Int, h: Int): Image = {
+    require(w > 0 && h > 0, s"resize target must be positive: ${w}x$h")
+    val out = new Array[Byte](w * h * img.channels)
+    var y = 0
+    while (y < h) {
+      val sy = (y.toLong * img.height / h).toInt
+      var x = 0
+      while (x < w) {
+        val sx = (x.toLong * img.width / w).toInt
+        val s = (sy * img.width + sx) * img.channels
+        val d = (y * w + x) * img.channels
+        var c = 0
+        while (c < img.channels) { out(d + c) = img.pixels(s + c); c += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    Image(w, h, img.channels, out)
+  }
+
+  /** 24-bit uncompressed BMP encode — the round-trippable pure-JVM sink
+    * format ([[decodeBmp]] reads it straight back). Any input channel
+    * count: gray replicates to RGB, alpha drops.
+    */
+  def encodeBmp(img: Image): Array[Byte] = {
+    val rowBytes = (img.width * 3 + 3) / 4 * 4
+    val dataSize = rowBytes * img.height
+    val out = new Array[Byte](54 + dataSize)
+    def le16(i: Int, v: Int): Unit = {
+      out(i) = (v & 0xFF).toByte; out(i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    def le32w(i: Int, v: Int): Unit = {
+      out(i) = (v & 0xFF).toByte; out(i + 1) = ((v >> 8) & 0xFF).toByte
+      out(i + 2) = ((v >> 16) & 0xFF).toByte; out(i + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    le32w(2, 54 + dataSize); le32w(10, 54)
+    le32w(14, 40); le32w(18, img.width); le32w(22, img.height)
+    le16(26, 1); le16(28, 24); le32w(30, 0); le32w(34, dataSize)
+    val c = img.channels
+    var y = 0
+    while (y < img.height) {
+      val dstRow = 54 + (img.height - 1 - y) * rowBytes // bottom-up
+      var x = 0
+      while (x < img.width) {
+        val s = (y * img.width + x) * c
+        val (r, g, b) =
+          if (c <= 2) { val v = img.pixels(s); (v, v, v) }
+          else (img.pixels(s), img.pixels(s + 1), img.pixels(s + 2))
+        val d = dstRow + x * 3
+        out(d) = b; out(d + 1) = g; out(d + 2) = r // BGR on disk
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   // ---- WAV -----------------------------------------------------------------
 
   /** 16-bit PCM WAV sample decode (audioFormat 1). */

@@ -88,7 +88,7 @@ object Multimodal {
     * JPEG/GIF magics so text blobs never reach AWT. Returns the same
     * 16-bin luminance histogram as [[imageFeatures]].
     */
-  private[graft] def imageIoFeatures(blob: Array[Byte]): Option[Array[Float]] = {
+  private[graft] def imageIoImage(blob: Array[Byte]): Option[Codecs.Image] = {
     val isJpeg = blob.length > 3 && (blob(0) & 0xFF) == 0xFF && (blob(1) & 0xFF) == 0xD8
     val isGif = blob.length > 6 && blob(0) == 'G' && blob(1) == 'I' && blob(2) == 'F'
     if (!isJpeg && !isGif) return None
@@ -113,7 +113,7 @@ object Multimodal {
       else {
         val w = img.getWidth
         val h = img.getHeight
-        val bins = new Array[Float](16)
+        val px = new Array[Byte](w * h * 3)
         val row = new Array[Int](w)
         var y = 0
         while (y < h) {
@@ -121,14 +121,15 @@ object Multimodal {
           var x = 0
           while (x < w) {
             val rgb = row(x)
-            val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
-              (rgb & 0xFF) * 114) / 1000
-            bins(lum >> 4) += 1f
+            val d = (y * w + x) * 3
+            px(d) = ((rgb >> 16) & 0xFF).toByte
+            px(d + 1) = ((rgb >> 8) & 0xFF).toByte
+            px(d + 2) = (rgb & 0xFF).toByte
             x += 1
           }
           y += 1
         }
-        Some(bins.map(_ / math.max(1, w * h).toFloat))
+        Some(Codecs.Image(w, h, 3, px))
       }
     } catch {
       // Corrupt blobs are data, but OOM/VM errors must propagate — an
@@ -136,6 +137,16 @@ object Multimodal {
       case scala.util.control.NonFatal(_) => None
     }
   }
+
+  private[graft] def imageIoFeatures(blob: Array[Byte]): Option[Array[Float]] =
+    imageIoImage(blob).map(imageFeatures)
+
+  /** Full image pixel decode across every JVM-decodable format:
+    * [[Codecs]] PNG/BMP (pure bytes) then JPEG/GIF via ImageIO.
+    */
+  private[graft] def decodeImage(blob: Array[Byte]): Option[Codecs.Image] =
+    Codecs.decodePng(blob).orElse(Codecs.decodeBmp(blob))
+      .orElse(imageIoImage(blob))
 
   /** Feature dispatch: real pixels/samples wherever the JVM can decode —
     * [[Codecs]] (PNG/BMP/PCM-WAV, pure bytes) then [[imageIoFeatures]]
@@ -169,6 +180,43 @@ object Multimodal {
           val blob = r.getAs[Array[Byte]](blobIdx)
           Row.fromSeq(keepIdx.map(r.get).toSeq :+
             decodeFeatures(blob).toSeq :+ blob.length.toLong)
+        }
+      }
+    }(enc)
+  }
+
+  /** Batched image resize — the canonical-size/thumbnail pipeline step,
+    * same mapInPandas batch shape as [[extractFeatures]]: decode real
+    * pixels wherever the JVM can (PNG/BMP pure-byte, JPEG/GIF via
+    * ImageIO), nearest-neighbor resample to (width, height), re-encode as
+    * 24-bit BMP (the pure-JVM round-trippable sink — [[Codecs.decodeBmp]]
+    * reads the output straight back). Undecodable blobs pass through
+    * UNCHANGED with `resized = false` (corrupt data is data); meta
+    * width/height update only on success.
+    */
+  def resizeImages(media: DataFrame, width: Int, height: Int,
+      batchSize: Int = 64): DataFrame = {
+    require(width > 0 && height > 0, s"target must be positive: ${width}x$height")
+    val metaIdx = media.schema.fieldIndex("meta")
+    val blobIdx = media.schema.fieldIndex("blob")
+    val outSchema = StructType(media.schema.fields :+
+      StructField("resized", BooleanType, nullable = false))
+    val enc = Encoders.row(outSchema)
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val blob = r.getAs[Array[Byte]](blobIdx)
+          decodeImage(blob) match {
+            case Some(img) =>
+              val bmp = Codecs.encodeBmp(Codecs.resizeNearest(img, width, height))
+              val meta = r.getAs[Row](metaIdx)
+              val newMeta =
+                if (meta == null) Row("bmp", width, height, null)
+                else Row("bmp", width, height, meta.get(3))
+              Row.fromSeq(r.toSeq.updated(blobIdx, bmp).updated(metaIdx, newMeta)
+                :+ true)
+            case None => Row.fromSeq(r.toSeq :+ false)
+          }
         }
       }
     }(enc)

@@ -338,6 +338,50 @@ class MultimodalSpec extends SparkSpec {
     Codecs.decodePng(png.dropRight(7)): Unit
   }
 
+  test("Codecs: encodeBmp/decodeBmp are inverse; resizeNearest block math is exact") {
+    import graft.multimodal.Codecs
+    // 3x2 RGB (odd width exercises the 4-byte row padding on encode)
+    val src = Codecs.Image(3, 2, 3, Array[Int](
+      255, 0, 0, 0, 255, 0, 0, 0, 255,
+      10, 20, 30, 40, 50, 60, 70, 80, 90).map(_.toByte))
+    val back = Codecs.decodeBmp(Codecs.encodeBmp(src)).getOrElse(fail("round-trip"))
+    assert((back.width, back.height, back.channels) == (3, 2, 3))
+    assert(back.pixels.toSeq == src.pixels.toSeq)
+    // grayscale replicates to RGB through the 24-bit encode
+    val gray = Codecs.Image(2, 1, 1, Array[Byte](7, 9))
+    val g = Codecs.decodeBmp(Codecs.encodeBmp(gray)).getOrElse(fail("gray"))
+    assert(g.pixels.toSeq == Seq[Byte](7, 7, 7, 9, 9, 9))
+    // upscale 2x2 -> 4x4: every source pixel becomes a 2x2 block
+    val two = Codecs.Image(2, 2, 1, Array[Byte](1, 2, 3, 4))
+    val up = Codecs.resizeNearest(two, 4, 4)
+    assert(up.pixels.toSeq == Seq[Byte](1, 1, 2, 2, 1, 1, 2, 2, 3, 3, 4, 4, 3, 3, 4, 4))
+    // downscale 4x4 -> 2x2 picks the top-left of each block
+    assert(Codecs.resizeNearest(up, 2, 2).pixels.toSeq == two.pixels.toSeq)
+  }
+
+  test("resizeImages resizes every decodable blob to target, passes junk through") {
+    import spark.implicits._
+    import graft.multimodal.Codecs
+    val src = Codecs.encodeBmp(Codecs.Image(3, 2, 3,
+      Array.tabulate(18)(i => (i * 13).toByte)))
+    val junk = "definitely not pixels".getBytes
+    val rows = Seq(
+      (1L, "image", src, ("bmp", 3, 2, 0L)),
+      (2L, "image", junk, ("fake", 1, 1, 0L)))
+      .toDF("media_id", "modality", "blob", "meta")
+    val out = Multimodal.resizeImages(rows, 4, 4).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("resized"))
+    val resized = Codecs.decodeBmp(out(1L).getAs[Array[Byte]]("blob"))
+      .getOrElse(fail("resized blob must decode"))
+    assert((resized.width, resized.height) == (4, 4))
+    val m = out(1L).getAs[org.apache.spark.sql.Row]("meta")
+    assert((m.getString(0), m.getInt(1), m.getInt(2)) == ("bmp", 4, 4))
+    assert(!out(2L).getAs[Boolean]("resized"))
+    assert(out(2L).getAs[Array[Byte]]("blob").toSeq == junk.toSeq,
+      "undecodable blobs must pass through unchanged")
+  }
+
   test("Codecs: BMP (bottom-up, padded rows) and WAV PCM round-trip exactly") {
     import graft.multimodal.Codecs
     // 3x2 24-bit BMP: rows are stored bottom-up and pad 9 -> 12 bytes
