@@ -106,7 +106,8 @@ object BenchScale {
     val div = if (quick) 10 else 1
     // optional section filter: any of ingest/probe/cc/ivf/compact — run
     // only the named curves (default: all), e.g. `runMain graft.BenchScale cc`
-    val sections = args.toSet.intersect(Set("ingest", "probe", "cc", "ivf", "compact", "tfidf"))
+    val sections = args.toSet.intersect(
+      Set("ingest", "probe", "cc", "ivf", "compact", "tfidf", "spans"))
     def on(s: String): Boolean = sections.isEmpty || sections.contains(s)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -296,10 +297,42 @@ object BenchScale {
       }
     }
 
+    // ---- 7. duplicated-span detection vs corpus size ---------------------
+    // the window-digest count + semi-join + coverage spine: exchanged
+    // records ∝ corpus token windows (each a fixed-width digest), so
+    // ms/kdoc must stay flat-to-falling as the fixed job floor amortizes.
+    // docs() plants 4-doc near-dup groups sharing 36 of 40 words, so real
+    // duplicated spans exist at every size point.
+    if (on("spans"))
+    for (n <- Seq(20000L, 200000L, 1000000L).map(_ / div)) {
+      val d = docs(spark, n)
+      // same worst-case regime as the tfidf curve: static plan, no
+      // broadcast, so every size point exchanges the full digest stream
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val spans = Dedup.duplicatedSpans(d, "text", "doc_id", k = 5)
+        val plan = spans.queryExecution.executedPlan
+        val sec = timed { plan.execute().count(): Unit }
+        val (recs, bytes) = exchangeStats(plan)
+        emit(s"""{"curve":"span_scaling","docs":$n,"sec":$sec,""" +
+          s""""ms_per_kdoc":${sec * 1e6 / n},"exchange_records":$recs,""" +
+          s""""exchange_mb":${bytes / 1e6}}""")
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      }
+    }
+
     emit(s"""{"metric":"bench_scale_done","quick":$quick}""")
+    // full runs refresh the file; a section-filtered run APPENDS so it
+    // can't silently drop the other curves' recorded points
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_scale.jsonl"),
-      out.toString.getBytes("UTF-8")): Unit
+      out.toString.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      if (sections.isEmpty) java.nio.file.StandardOpenOption.TRUNCATE_EXISTING
+      else java.nio.file.StandardOpenOption.APPEND): Unit
     catch { case _: Exception => () }
     spark.stop()
   }

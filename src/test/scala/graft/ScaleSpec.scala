@@ -136,4 +136,30 @@ class ScaleSpec extends SparkSpec {
     assert(r5 <= r1 * 6,
       s"TF-IDF exchange grew superlinearly: $r1 records at 2k docs -> $r5 at 10k")
   }
+
+  test("duplicated-span exchange volume is linear: constant records per doc") {
+    // the digest-count + semi-join + coverage spine moves a fixed-width
+    // digest stream ∝ token windows; per-doc exchanged records must be
+    // CONSTANT across corpus growth (BenchScale measures 278/doc at every
+    // point of the 50x curve — here two points gate the ratio)
+    def stats(n: Long): Long = {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val plan = graft.dedup.Dedup
+          .duplicatedSpans(BenchScale.docs(spark, n), "text", "doc_id", k = 5)
+          .queryExecution.executedPlan
+        plan.execute().count(): Unit
+        BenchScale.exchangeStats(plan)._1
+      } finally {
+        spark.conf.unset("spark.sql.adaptive.enabled")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+    val r1 = stats(2000)
+    val r5 = stats(10000)
+    assert(r1 > 0, "expected a measurable exchange")
+    assert(r5 <= r1 * 6,
+      s"span-dedup exchange grew superlinearly: $r1 records at 2k docs -> $r5 at 10k")
+  }
 }
