@@ -558,6 +558,39 @@ object ChCompat {
         Cast(new Sum(es(1)).toAggregateExpression(), DoubleType))
     }
 
+    // ---- JSON family (CH JSONExtract* / visitParam* / simpleJSON*) ----
+    // CH's key arguments are NAMES, not paths — build the '$.name' path
+    // inline (non-literal keys parse per row, same as CH). The visitParam/
+    // simpleJSON spellings are CH's no-nesting fast path; on well-formed
+    // JSON they agree with the full parser, so both map to GetJsonObject.
+    // Divergence note: JSONExtractString on a JSON `null` returns SQL NULL
+    // here (CH returns '').
+    def jsonPath(key: Expression): Expression =
+      Concat(Seq(Literal("$."), key))
+    def jsonGet(es: Seq[Expression]): Expression =
+      GetJsonObject(es(0), jsonPath(es(1)))
+    for (n <- Seq("JSONExtractString", "visitParamExtractString",
+        "simpleJSONExtractString", "JSONExtractRaw"))
+      f(n) { es => jsonGet(es) }
+    for ((n, t) <- Seq("JSONExtractInt" -> LongType,
+        "visitParamExtractInt" -> LongType, "simpleJSONExtractInt" -> LongType,
+        "JSONExtractUInt" -> LongType,
+        "JSONExtractFloat" -> DoubleType, "visitParamExtractFloat" -> DoubleType,
+        "simpleJSONExtractFloat" -> DoubleType,
+        "JSONExtractBool" -> BooleanType, "visitParamExtractBool" -> BooleanType))
+      f(n) { es => Cast(jsonGet(es), t) }
+    for (n <- Seq("JSONHas", "visitParamHas", "simpleJSONHas"))
+      f(n) { es => IsNotNull(jsonGet(es)) }
+    f("JSONExtractKeys") { es =>
+      if (es.length == 1) JsonObjectKeys(es.head)
+      else JsonObjectKeys(jsonGet(es))
+    }
+    // array length for arrays, key count for objects (CH's length contract)
+    f("JSONLength") { es =>
+      val j = if (es.length == 1) es.head else jsonGet(es)
+      Coalesce(Seq(LengthOfJsonArray(j), Size(JsonObjectKeys(j))))
+    }
+
     // ---- second/higher-moment statistics (CH stat aggregates) ---------
     // covarPop/varPop/stddevPop + Samp twins map onto Spark's co-moment
     // aggregates (same population/sample formulas as CH's Float64 forms).

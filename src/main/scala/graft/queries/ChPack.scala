@@ -680,6 +680,27 @@ object ChPack {
           |  INTERPOLATE (purchases AS purchases, max_uid AS max_uid + 10)""".stripMargin)
     },
 
+    // The CH JSON function family (JSONExtract*/JSONHas/JSONLength +
+    // visitParam fast-path spellings) through verbatim SQL over the
+    // events props column — typed extraction, presence tests, and the
+    // array-length/object-size length contract, all value-gated against
+    // DuckDB's json extension.
+    "q132_ch_json" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).events.createOrReplaceTempView("graft_json_events")
+      s.sql(
+        """SELECT event_type,
+          |       count(CASE WHEN JSONHas(props, 'k') THEN 1 END) AS has_k,
+          |       count(CASE WHEN visitParamHas(props, 'missing') THEN 1 END) AS has_missing,
+          |       min(JSONExtractInt(props, 'k')) AS min_k,
+          |       max(JSONExtractFloat(props, 'k')) AS max_kf,
+          |       min(JSONExtractString(props, 'k')) AS min_ks,
+          |       sum(JSONLength(props)) AS key_counts
+          |FROM graft_json_events
+          |GROUP BY event_type
+          |ORDER BY event_type""".stripMargin)
+    },
+
     // groupArraySorted(x, N) (the bounded ordered-collect aggregate) +
     // arrayIntersect through the dialect: lowest-5 doc ids per language
     // and keyword-vocabulary hits per doc, both value-gated. The
@@ -1190,6 +1211,22 @@ object ChPack {
         | CAST(COUNT(CASE WHEN c.c_acctbal > 0 THEN 1 END) AS BIGINT) AS pos_cnt
         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // DuckDB's json extension mirrors every member: extract_string for
+    // the string/typed forms, json_keys length for the object-size arm.
+    "q132_ch_json" ->
+      """SELECT event_type,
+        |  COUNT(CASE WHEN json_extract(props, '$.k') IS NOT NULL THEN 1 END) AS has_k,
+        |  COUNT(CASE WHEN json_extract(props, '$.missing') IS NOT NULL THEN 1 END) AS has_missing,
+        |  CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS max_kf,
+        |  MIN(json_extract_string(props, '$.k')) AS min_ks,
+        |  CAST(SUM(CASE WHEN json_type(props) = 'ARRAY'
+        |                THEN json_array_length(props)
+        |                ELSE len(json_keys(props)) END) AS BIGINT) AS key_counts
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     // list(x) sorted+sliced mirrors the bounded ordered collect;
     // list_intersect dedups like Spark's array_intersect, and both sides

@@ -815,6 +815,33 @@ class ChCompatSpec extends SparkSpec {
       ("c", 6, 2.0), ("c", 7, 3.0)))
   }
 
+  test("JSON family: typed extraction, presence, length, visitParam spellings") {
+    ChCompat.register(spark)
+    val j = """'{"s": "hi", "i": 42, "f": 2.5, "b": true, "a": [1, 2, 3]}'"""
+    def row(expr: String) = spark.sql(s"SELECT $expr AS v").head()
+    assert(row(s"JSONExtractString($j, 's')").getString(0) == "hi")
+    assert(row(s"visitParamExtractString($j, 's')").getString(0) == "hi")
+    assert(row(s"simpleJSONExtractString($j, 's')").getString(0) == "hi")
+    assert(row(s"JSONExtractInt($j, 'i')").getLong(0) == 42L)
+    assert(row(s"JSONExtractFloat($j, 'f')").getDouble(0) == 2.5)
+    assert(row(s"JSONExtractBool($j, 'b')").getBoolean(0))
+    assert(row(s"JSONHas($j, 'i')").getBoolean(0))
+    assert(!row(s"JSONHas($j, 'zz')").getBoolean(0))
+    assert(row(s"JSONExtractInt($j, 'zz')").isNullAt(0))
+    // length: object -> key count, array (via key path) -> element count
+    assert(row(s"JSONLength($j)").getInt(0) == 5)
+    assert(row(s"JSONLength($j, 'a')").getInt(0) == 3)
+    assert(row(s"JSONLength('[7, 8]')").getInt(0) == 2)
+    // keys of the object, order as stored
+    assert(row(s"JSONExtractKeys($j)").getSeq[String](0) ==
+      Seq("s", "i", "f", "b", "a"))
+    // non-literal key: the path builds per row
+    val dynamic = spark.sql(
+      s"SELECT JSONExtractInt($j, k) AS v FROM VALUES ('i'), ('zz') t(k) ORDER BY k")
+      .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSeq
+    assert(dynamic == Seq(42L, -1L))
+  }
+
   test("URL functions: absent parts are '' (CH), cut/extract edges") {
     ChCompat.register(spark)
     def one(expr: String): String =

@@ -296,7 +296,9 @@ class PlanSpec extends SparkSpec {
     // sort; the n-gram joins ride the count aggs' partitioning
     "q130_perplexity" -> 4,
     // q131: one group agg (ordered-collect + sum) + final sort
-    "q131_group_array_sorted" -> 2)
+    "q131_group_array_sorted" -> 2,
+    // q132: expression-only JSON battery — group agg + final sort
+    "q132_ch_json" -> 2)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)
