@@ -447,6 +447,32 @@ object ChCompat {
     // negatives/overflow mod 2^32 (Cast alone would pass negatives through)
     f("toUInt32") { es => BitwiseAnd(Cast(es.head, LongType), Literal(0xFFFFFFFFL)) }
     f("toUInt64") { es => Cast(es.head, LongType) }
+    // signed to* casts truncate toward zero AND wrap two's-complement on
+    // overflow (CH's contract; Spark 4's ANSI Cast would throw instead,
+    // so the wrap is explicit: sign-extending shift pairs keep the value
+    // in range before the final in-range cast). Unsigned sub-64 forms
+    // wrap via bit masks (toUInt8(300) = 44, toUInt16(-1) = 65535).
+    def wrapSigned(e: Expression, bits: Int, t: DataType): Expression =
+      Cast(ShiftRight(ShiftLeft(Cast(e, LongType), Literal(64 - bits)),
+        Literal(64 - bits)), t)
+    f("toInt8") { es => wrapSigned(es.head, 8, ByteType) }
+    f("toInt16") { es => wrapSigned(es.head, 16, ShortType) }
+    f("toInt32") { es => wrapSigned(es.head, 32, IntegerType) }
+    f("toInt64") { es => Cast(es.head, LongType) }
+    f("toUInt8") { es => BitwiseAnd(Cast(es.head, LongType), Literal(0xFFL)) }
+    f("toUInt16") { es => BitwiseAnd(Cast(es.head, LongType), Literal(0xFFFFL)) }
+    f("toFloat32") { es => Cast(es.head, FloatType) }
+    f("toFloat64") { es => Cast(es.head, DoubleType) }
+    // toDecimalN(x, s): CH's N names the coefficient width (32/64/128 bit
+    // → 9/18/38 decimal digits); s must be a literal scale
+    def decScale(e: Expression): Int = e match {
+      case Literal(i: Int, IntegerType) => i
+      case other => throw new IllegalArgumentException(
+        s"toDecimal scale must be an integer literal, got $other")
+    }
+    f("toDecimal32") { es => Cast(es.head, DecimalType(9, decScale(es(1)))) }
+    f("toDecimal64") { es => Cast(es.head, DecimalType(18, decScale(es(1)))) }
+    f("toDecimal128") { es => Cast(es.head, DecimalType(38, decScale(es(1)))) }
     f("toString") { es => Cast(es.head, StringType) }
     f("now") { _ => Now() }
     f("today") { _ => CurrentDate() }

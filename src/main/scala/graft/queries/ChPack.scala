@@ -680,6 +680,28 @@ object ChPack {
           |  INTERPOLATE (purchases AS purchases, max_uid AS max_uid + 10)""".stripMargin)
     },
 
+    // The CH numeric cast family (toInt8/16/32/64, toUInt8/16 wrap mod
+    // 2^n, toFloat32/64, toDecimalN with the 9/18/38-digit widths) in
+    // verbatim SQL; inputs are integral or decimal-exact so every cast
+    // value-gates (sum of toDecimal64 goes through the exact decimal
+    // accumulator before ONE double cast).
+    "q133_ch_casts" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).lineitem.createOrReplaceTempView("graft_cast_li")
+      s.sql(
+        """SELECT l_returnflag,
+          |       sum(toInt32(l_quantity)) AS q_sum,
+          |       sum(toInt8(l_linenumber)) AS ln_sum,
+          |       sum(toUInt8(l_orderkey)) AS u8_sum,
+          |       sum(toUInt16(l_orderkey)) AS u16_sum,
+          |       CAST(sum(toDecimal64(l_extendedprice, 2)) AS DOUBLE) AS price_sum,
+          |       min(toFloat32(l_discount)) AS disc_min,
+          |       max(toInt64(l_partkey)) AS pk_max
+          |FROM graft_cast_li
+          |GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)
+    },
+
     // The CH JSON function family (JSONExtract*/JSONHas/JSONLength +
     // visitParam fast-path spellings) through verbatim SQL over the
     // events props column — typed extraction, presence tests, and the
@@ -1211,6 +1233,22 @@ object ChPack {
         | CAST(COUNT(CASE WHEN c.c_acctbal > 0 THEN 1 END) AS BIGINT) AS pos_cnt
         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // unsigned wraps mirror as % 2^n (keys are nonnegative); the decimal
+    // sum is the exact accumulator both engines share before the one
+    // double cast.
+    "q133_ch_casts" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS INT)) AS BIGINT) AS q_sum,
+        |  CAST(SUM(CAST(l_linenumber AS TINYINT)) AS BIGINT) AS ln_sum,
+        |  CAST(SUM(l_orderkey % 256) AS BIGINT) AS u8_sum,
+        |  CAST(SUM(l_orderkey % 65536) AS BIGINT) AS u16_sum,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+        |  MIN(CAST(l_discount AS REAL)) AS disc_min,
+        |  CAST(MAX(l_partkey) AS BIGINT) AS pk_max
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     // DuckDB's json extension mirrors every member: extract_string for
     // the string/typed forms, json_keys length for the object-size arm.

@@ -815,6 +815,22 @@ class ChCompatSpec extends SparkSpec {
       ("c", 6, 2.0), ("c", 7, 3.0)))
   }
 
+  test("numeric casts: unsigned wrap mod 2^n, signed wrap, decimal widths") {
+    ChCompat.register(spark)
+    val r = spark.sql(
+      """SELECT toUInt8(300), toUInt8(-1), toUInt16(-1), toInt8(300),
+        |       toFloat32(2.5), toDecimal64(3.14159, 2),
+        |       toDecimal32(1.5, 1), toInt16(70000)""".stripMargin).head()
+    assert(r.getLong(0) == 44L, "toUInt8(300) wraps mod 256")
+    assert(r.getLong(1) == 255L, "toUInt8(-1) = 2^8-1")
+    assert(r.getLong(2) == 65535L, "toUInt16(-1) = 2^16-1")
+    assert(r.getByte(3) == 44.toByte, "toInt8 wraps two's-complement like CH")
+    assert(r.getFloat(4) == 2.5f)
+    assert(r.getDecimal(5).toString == "3.14")
+    assert(r.getDecimal(6).toString == "1.5")
+    assert(r.getShort(7) == 4464.toShort, "toInt16 wraps mod 2^16 signed")
+  }
+
   test("JSON family: typed extraction, presence, length, visitParam spellings") {
     ChCompat.register(spark)
     val j = """'{"s": "hi", "i": 42, "f": 2.5, "b": true, "a": [1, 2, 3]}'"""

@@ -298,7 +298,9 @@ class PlanSpec extends SparkSpec {
     // q131: one group agg (ordered-collect + sum) + final sort
     "q131_group_array_sorted" -> 2,
     // q132: expression-only JSON battery — group agg + final sort
-    "q132_ch_json" -> 2)
+    "q132_ch_json" -> 2,
+    // q133: expression-only cast battery — group agg + final sort
+    "q133_ch_casts" -> 2)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)
