@@ -22,9 +22,17 @@ import org.apache.spark.sql.types._
   * epoch seconds (window in the bigint's own units).
   *
   * Semantics are exact-existential: the result is L iff SOME qualifying
-  * chain of length L exists (ties in timestamp never chain — strict
-  * order). Verified against brute-force subsequence enumeration in
-  * WindowFunnelSpec.
+  * chain of length L exists (ties in timestamp never chain — CH's
+  * `strict_increase` is this baseline already; its no-mode tie behavior
+  * is insertion-order-dependent, which a distributed engine cannot
+  * reproduce, so the deterministic refinement is the default). Verified
+  * against brute-force subsequence enumeration in WindowFunnelSpec.
+  *
+  * CH's interrupting modes ride as string literals between the window
+  * and the conditions — `windowFunnel(ts, w, 'strict_order', c1, …)`:
+  * `strict_order` (any stored event between chain steps interrupts) and
+  * `strict_dedup` (an event repeating an already-matched condition
+  * interrupts) switch eval to CH's documented greedy forward scan.
   *
   * Shape: a [[TypedImperativeAggregate]] whose state is the group's
   * (ts, condition-bitmask) pairs — like `medianExact`, deliberately
@@ -41,18 +49,39 @@ object WindowFunnel {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "windowFunnel", es => {
-        require(es.length >= 3, "usage: windowFunnel(ts, windowSeconds, cond1, ...)")
+        require(es.length >= 3,
+          "usage: windowFunnel(ts, windowSeconds, ['mode', ...] cond1, ...)")
         val window = es(1) match {
           case Literal(v: Int, IntegerType) => v.toLong
           case Literal(v: Long, LongType) => v
           case other => throw new IllegalArgumentException(
             s"windowFunnel: windowSeconds must be an integer literal, got $other")
         }
-        WindowFunnelAgg(es.head, window, es.drop(2)).toAggregateExpression()
+        // CH's mode arguments ride between the window and the conditions
+        // as string literals ('strict_order' / 'strict_dedup' /
+        // 'strict_increase')
+        val (modeLits, conds) = es.drop(2).span {
+          case Literal(_, StringType) => true
+          case _ => false
+        }
+        val modes = modeLits.map {
+          case Literal(s, StringType) => String.valueOf(s)
+        }.toSet
+        val known = Set("strict_order", "strict_dedup", "strict_increase")
+        val unknown = modes -- known
+        require(unknown.isEmpty, s"windowFunnel: unknown modes $unknown")
+        WindowFunnelAgg(es.head, window, conds,
+          strictOrder = modes("strict_order"),
+          strictDedup = modes("strict_dedup")).toAggregateExpression()
       }, "built-in")
 
   def window_funnel(ts: Column, windowSeconds: Long, conds: Column*): Column =
     call_function("windowFunnel", (ts +: lit(windowSeconds) +: conds): _*)
+
+  def window_funnel_modes(ts: Column, windowSeconds: Long, modes: Seq[String],
+      conds: Column*): Column =
+    call_function("windowFunnel",
+      (ts +: lit(windowSeconds) +: modes.map(lit(_))) ++ conds: _*)
 }
 
 /** Aggregation state: (event micros, condition bitmask) pairs. */
@@ -65,6 +94,8 @@ case class WindowFunnelAgg(
     tsChild: Expression,
     windowSeconds: Long,
     conds: Seq[Expression],
+    strictOrder: Boolean = false,
+    strictDedup: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[FunnelEvents] {
@@ -113,6 +144,8 @@ case class WindowFunnelAgg(
   }
 
   override def eval(buf: FunnelEvents): Any = {
+    if (strictOrder || strictDedup)
+      return greedyEval(buf.events.sortBy(e => (e._1, e._2)).toSeq)
     val evs = buf.events.sortBy(_._1)
     val levels = conds.length
     val none = Long.MinValue
@@ -148,6 +181,53 @@ case class WindowFunnelAgg(
     var i = 0
     while (i < levels) { if (best(i) != none) level = i + 1; i += 1 }
     level
+  }
+
+  /** CH's interrupting modes run its documented GREEDY forward scan (the
+    * exact-existential DP above can't express "some other event broke the
+    * chain" — interruption depends on what lies between chosen steps).
+    * One pass over the (ts, mask)-sorted events, one live chain:
+    *
+    *  - an event carrying the next needed condition (strictly later than
+    *    the last step, within window of the chain start) ADVANCES;
+    *  - otherwise, under `strict_order` every stored event interrupts,
+    *    and under `strict_dedup` an event repeating an already-matched
+    *    condition interrupts — an interrupted position restarts at level
+    *    1 if the event itself carries cond₁, else resets;
+    *  - anything else is ignored (non-chain events are invisible without
+    *    strict_order, as in CH).
+    *
+    * An event carrying BOTH the next condition and an interrupting bit
+    * advances (advance wins — the tie CH leaves unspecified). The result
+    * is the max level any chain reached. `strict_increase` is the
+    * baseline contract here already (ties never chain), so it adds no
+    * separate branch.
+    */
+  private def greedyEval(evs: Seq[(Long, Int)]): Int = {
+    var maxLevel = 0
+    var level = 0
+    var matched = 0
+    var start = 0L
+    var lastStep = 0L
+    evs.foreach { case (ts, mask) =>
+      if (level > 0 && ts - start > windowScaled) { level = 0; matched = 0 }
+      val needBit = 1 << level
+      if (level < conds.length && (mask & needBit) != 0 &&
+          (level == 0 || ts > lastStep)) {
+        if (level == 0) start = ts
+        matched |= needBit
+        lastStep = ts
+        level += 1
+        if (level > maxLevel) maxLevel = level
+      } else if (level > 0 &&
+          (strictOrder || (strictDedup && (mask & matched) != 0))) {
+        if ((mask & 1) != 0) {
+          level = 1; matched = 1; start = ts; lastStep = ts
+          if (maxLevel < 1) maxLevel = 1
+        } else { level = 0; matched = 0 }
+      }
+    }
+    maxLevel
   }
 
   override def serialize(buf: FunnelEvents): Array[Byte] = {

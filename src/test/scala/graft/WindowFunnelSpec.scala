@@ -51,6 +51,64 @@ class WindowFunnelSpec extends SparkSpec {
     assert(got == Map("g1" -> 3, "g2" -> 2, "g3" -> 1, "g4" -> 1, "g5" -> 3))
   }
 
+  test("strict_order: any stored event between steps interrupts (CH's A->B->D->C)") {
+    import spark.implicits._
+    WindowFunnel.register(spark)
+    val rows = Seq(
+      // CH doc example: A B D C — D interrupts the A->B->C search at level 2
+      ("g1", 1L, "A"), ("g1", 2L, "B"), ("g1", 3L, "D"), ("g1", 4L, "C"),
+      // no intervention — full chain
+      ("g2", 1L, "A"), ("g2", 2L, "B"), ("g2", 3L, "C"),
+      // interrupter carries cond1 — the chain RESTARTS there and completes
+      ("g3", 1L, "A"), ("g3", 2L, "B"), ("g3", 3L, "A"),
+      ("g3", 4L, "B"), ("g3", 5L, "C"),
+      // untracked event types are not stored, so they cannot interrupt
+      ("g4", 1L, "A"), ("g4", 2L, "Z"), ("g4", 3L, "B"), ("g4", 4L, "C"))
+      .toDF("g", "ts", "et")
+    rows.createOrReplaceTempView("graft_wf_so")
+    val got = spark.sql(
+      """SELECT g, windowFunnel(ts, 100, 'strict_order',
+        |         et = 'A', et = 'B', et = 'C', et = 'D') AS lvl
+        |FROM graft_wf_so GROUP BY g ORDER BY g""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    // g1: A,B then D interrupts (D is cond4, stored) -> 2; g4: Z untracked -> 3
+    assert(got == Map("g1" -> 2, "g2" -> 3, "g3" -> 3, "g4" -> 3), got.toString)
+  }
+
+  test("strict_dedup: repeating an already-matched condition interrupts") {
+    import spark.implicits._
+    WindowFunnel.register(spark)
+    val rows = Seq(
+      // A B A C: the second A repeats matched cond1 between B and C -> 2
+      ("g1", 1L, "A"), ("g1", 2L, "B"), ("g1", 3L, "A"), ("g1", 4L, "C"),
+      // A B C clean -> 3
+      ("g2", 1L, "A"), ("g2", 2L, "B"), ("g2", 3L, "C"),
+      // the repeat is cond1 itself -> restart at 1, then B C completes
+      ("g3", 1L, "A"), ("g3", 2L, "A"), ("g3", 3L, "B"), ("g3", 4L, "C"),
+      // an UNmatched condition between steps does not interrupt dedup
+      ("g4", 1L, "A"), ("g4", 2L, "D"), ("g4", 3L, "B"), ("g4", 4L, "C"))
+      .toDF("g", "ts", "et")
+    rows.createOrReplaceTempView("graft_wf_sd")
+    val got = spark.sql(
+      """SELECT g, windowFunnel(ts, 100, 'strict_dedup',
+        |         et = 'A', et = 'B', et = 'C', et = 'D') AS lvl
+        |FROM graft_wf_sd GROUP BY g ORDER BY g""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("g1" -> 2, "g2" -> 3, "g3" -> 3, "g4" -> 3), got.toString)
+  }
+
+  test("strict_increase is the baseline contract: mode accepted, same result") {
+    import spark.implicits._
+    WindowFunnel.register(spark)
+    Seq(("g", 1L, "A"), ("g", 1L, "B"), ("g", 2L, "B"))
+      .toDF("g", "ts", "et").createOrReplaceTempView("graft_wf_si")
+    val q = (mode: String) => spark.sql(
+      s"""SELECT windowFunnel(ts, 5$mode, et = 'A', et = 'B') AS lvl
+         |FROM graft_wf_si GROUP BY g""".stripMargin).head().getInt(0)
+    assert(q("") == 2)
+    assert(q(", 'strict_increase'") == 2)
+  }
+
   test("matches brute force on 300 seeded random groups (incl. ties)") {
     import spark.implicits._
     WindowFunnel.register(spark)
