@@ -303,6 +303,59 @@ object Dedup {
     * a pairwise blowup (the failure mode of pair-join dedup on
     * boilerplate).
     */
+  /** The REMOVAL half of span dedup (Lee et al. 2022 keep-one-occurrence
+    * policy): for every duplicated k-token window fingerprint, the
+    * occurrence with the smallest (doc id, position) is the CANONICAL one
+    * and survives; every other occurrence marks its k token positions for
+    * removal, the per-document removal set is the interval union, and the
+    * text rebuilds from the surviving tokens in order. Documents shrink;
+    * exactly one copy of every duplicated span remains corpus-wide (in
+    * its lowest-address home) — unlike document-level dedup, boilerplate
+    * shared by otherwise-distinct documents is trimmed, not the documents
+    * dropped.
+    *
+    * Output: (idCol, n_tokens, kept_tokens, cleaned). Same exchange
+    * shape as [[duplicatedSpans]] plus one min_by per fingerprint (the
+    * winner election — map-side combined, one row per distinct window).
+    */
+  def trimDuplicatedSpans(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, minCount: Long = 2): DataFrame = {
+    require(k >= 1, s"window size must be >= 1: $k")
+    require(minCount >= 2, s"minCount < 2 marks everything duplicated: $minCount")
+    val toks = df
+      .select(col(idCol).as("id"),
+        filter(split(col(textCol), "\\s+"), t => length(t) > 0).as("toks"))
+      .select(col("id"), col("toks"), size(col("toks")).as("n_tokens"))
+    val wins = toks
+      .filter(col("n_tokens") >= k)
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), col("n_tokens") - k),
+          i => md5(concat_ws(" ", slice(col("toks"), i + lit(1), lit(k)))))))
+      .select(col("id"), col("pos").as("w_pos"), col("col").as("win"))
+    // winner election: one aggregate elects the canonical occurrence per
+    // DUPLICATED fingerprint (count and min_by combine map-side)
+    val winners = wins.groupBy("win")
+      .agg(count(lit(1)).as("__cnt"),
+        min_by(struct(col("id"), col("w_pos")), struct(col("id"), col("w_pos")))
+          .as("__keep"))
+      .filter(col("__cnt") >= minCount)
+      .select(col("win"), col("__keep.id").as("__kid"), col("__keep.w_pos").as("__kpos"))
+    val losers = wins.join(winners, Seq("win"))
+      .filter(col("id") =!= col("__kid") || col("w_pos") =!= col("__kpos"))
+    val removed = losers
+      .select(col("id"), explode(sequence(col("w_pos"), col("w_pos") + (k - 1))).as("t"))
+      .distinct()
+      .groupBy("id")
+      .agg(collect_list(col("t")).as("__drop"))
+    toks
+      .join(removed, Seq("id"), "left")
+      .withColumn("__drop", coalesce(col("__drop"), typedlit(Array.empty[Int])))
+      .select(col("id").as(idCol), col("n_tokens"),
+        (col("n_tokens") - size(col("__drop"))).as("kept_tokens"),
+        concat_ws(" ", filter(col("toks"),
+          (_, i) => not(array_contains(col("__drop"), i)))).as("cleaned"))
+  }
+
   def duplicatedSpans(df: DataFrame, textCol: String, idCol: String,
       k: Int = 5, minCount: Long = 2, maxDupFrac: Double = 0.5): DataFrame = {
     require(k >= 1, s"window size must be >= 1: $k")

@@ -128,6 +128,17 @@ object PipelinePack {
         .orderBy("doc_id")
     },
 
+    // The REMOVAL half of span dedup (Dedup.trimDuplicatedSpans — Lee et
+    // al.'s keep-one-occurrence policy): each duplicated 5-token window
+    // survives only at its lowest-(doc, pos) home; every other occurrence's
+    // positions drop and the text rebuilds from the survivors. The exact
+    // cleaned strings hash-gate.
+    "q134_trim_spans" -> { (s, dir) =>
+      Dedup.trimDuplicatedSpans(Tables(s, dir).documents, "text", "doc_id",
+          k = 5, minCount = 2)
+        .orderBy("doc_id")
+    },
+
     // CCNet-style perplexity quality scoring (LangModel): an add-α bigram
     // LM trained on the en slice scores every document; per-doc mean NLL
     // and perplexity. Join-based exact scoring (the KenLM role) — the
@@ -515,6 +526,46 @@ object PipelinePack {
         |FROM base b
         |LEFT JOIN pw USING (doc_id)
         |LEFT JOIN cov USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
+
+    // winner election mirrors as ROW_NUMBER-1 over (doc, pos); removal =
+    // 0-based loser-window positions against 1-based token subscripts;
+    // reassembly is q101's ordered string_agg.
+    "q134_trim_spans" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |base AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM tok),
+        |w AS (
+        |  SELECT doc_id, i - 1 AS w_pos, md5(array_to_string(toks[i:i+4], ' ')) AS win
+        |  FROM base, UNNEST(generate_series(1, n_tokens - 4)) t(i)
+        |  WHERE n_tokens >= 5),
+        |m AS (
+        |  SELECT doc_id, w_pos,
+        |         COUNT(*) OVER (PARTITION BY win) AS cnt,
+        |         ROW_NUMBER() OVER (PARTITION BY win ORDER BY doc_id, w_pos) AS rn
+        |  FROM w),
+        |losers AS (SELECT doc_id, w_pos FROM m WHERE cnt >= 2 AND rn > 1),
+        |drop0 AS (
+        |  SELECT DISTINCT doc_id, t
+        |  FROM losers, UNNEST(generate_series(w_pos, w_pos + 4)) s(t)),
+        |tokpos AS (
+        |  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+        |  FROM base),
+        |kept AS (
+        |  SELECT tp.doc_id, tp.tok, tp.pos
+        |  FROM tokpos tp
+        |  LEFT JOIN drop0 d ON d.doc_id = tp.doc_id AND d.t = tp.pos - 1
+        |  WHERE d.doc_id IS NULL),
+        |clean AS (
+        |  SELECT doc_id, COUNT(*) AS kept_tokens,
+        |         string_agg(tok, ' ' ORDER BY pos) AS cleaned
+        |  FROM kept GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |  CAST(b.n_tokens AS INT) AS n_tokens,
+        |  CAST(COALESCE(c.kept_tokens, 0) AS INT) AS kept_tokens,
+        |  COALESCE(c.cleaned, '') AS cleaned
+        |FROM base b LEFT JOIN clean c USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
 
     // The deterministic draw: rank within each source by the 13-hex-digit

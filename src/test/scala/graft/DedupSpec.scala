@@ -178,6 +178,33 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("trimDuplicatedSpans keeps the canonical occurrence, trims the rest") {
+    import spark.implicits._
+    // docs 0 and 1 share "a b c d e f"; doc 0 is the lowest home, so the
+    // span survives there and doc 1 loses tokens 0..5; doc 2 self-repeats
+    // "x y z" — the pos-0 copy survives, the pos-7 copy trims
+    val docs = Seq(
+      (0L, "a b c d e f g1 h1 i1 j1"),
+      (1L, "a b c d e f g2 h2 i2 j2"),
+      (2L, "x y z m1 m2 m3 m4 x y z")).toDF("doc_id", "text")
+    val r = Dedup.trimDuplicatedSpans(docs, "text", "doc_id", k = 3)
+      .orderBy("doc_id")
+      .as[(Long, Int, Int, String)].collect()
+    assert(r(0) == ((0L, 10, 10, "a b c d e f g1 h1 i1 j1")),
+      "canonical home must keep everything")
+    assert(r(1) == ((1L, 10, 4, "g2 h2 i2 j2")),
+      "the non-canonical copy trims the shared span")
+    assert(r(2) == ((2L, 10, 7, "x y z m1 m2 m3 m4")),
+      "self-repetition keeps the first copy only")
+    // corpus-wide: exactly one copy of every formerly-duplicated window
+    // remains after the trim
+    val cleaned = Dedup.trimDuplicatedSpans(docs, "text", "doc_id", k = 3)
+      .select(col("doc_id"), col("cleaned").as("text"))
+    val still = Dedup.duplicatedSpans(cleaned, "text", "doc_id", k = 3)
+      .agg(sum(col("dup_windows"))).collect().head.getLong(0)
+    assert(still == 0L, "no duplicated window may survive the trim")
+  }
+
   test("semanticClusters: LSH path is a refinement of the exact clustering") {
     // LSH candidates ⊆ exact pairs (candidates are exact-cosine verified),
     // so every LSH cluster must sit inside one exact cluster — the only

@@ -300,7 +300,10 @@ class PlanSpec extends SparkSpec {
     // q132: expression-only JSON battery — group agg + final sort
     "q132_ch_json" -> 2,
     // q133: expression-only cast battery — group agg + final sort
-    "q133_ch_casts" -> 2)
+    "q133_ch_casts" -> 2,
+    // q134: winner-election agg + loser join + removal-set agg + final
+    // sort — the q126 spine plus one min_by per fingerprint
+    "q134_trim_spans" -> 4)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)
