@@ -655,6 +655,23 @@ object ChCompat {
     f("bitmapOr") { es => BitmapBinaryExpr(es(0), es(1), "or") }
     f("bitmapAndCardinality") { es => BitmapBinaryExpr(es(0), es(1), "and_card") }
     f("bitmapOrCardinality") { es => BitmapBinaryExpr(es(0), es(1), "or_card") }
+    // the rest of CH's bitmap algebra (doc:1207-1238 uses and/or; the
+    // full family completes the surface): xor/andnot + cardinalities,
+    // membership predicates, array round-trips, extrema, subset slicing
+    f("bitmapXor") { es => BitmapBinaryExpr(es(0), es(1), "xor") }
+    f("bitmapAndnot") { es => BitmapBinaryExpr(es(0), es(1), "andnot") }
+    f("bitmapXorCardinality") { es => BitmapBinaryExpr(es(0), es(1), "xor_card") }
+    f("bitmapAndnotCardinality") { es => BitmapBinaryExpr(es(0), es(1), "andnot_card") }
+    f("bitmapHasAll") { es => BitmapBinaryExpr(es(0), es(1), "has_all") }
+    f("bitmapHasAny") { es => BitmapBinaryExpr(es(0), es(1), "has_any") }
+    f("bitmapContains") { es => BitmapContainsExpr(es(0), es(1)) }
+    f("bitmapToArray") { es => BitmapUnaryExpr(es.head, "to_array") }
+    f("bitmapMin") { es => BitmapUnaryExpr(es.head, "min") }
+    f("bitmapMax") { es => BitmapUnaryExpr(es.head, "max") }
+    f("bitmapBuild") { es => BitmapBuildExpr(es.head) }
+    f("bitmapSubsetInRange") { es => BitmapSubsetExpr(es(0), es(1), es(2), "range") }
+    f("bitmapSubsetLimit") { es => BitmapSubsetExpr(es(0), es(1), es(2), "limit") }
+    f("subBitmap") { es => BitmapSubsetExpr(es(0), es(1), es(2), "sub") }
 
     // ---- medianExact family (dwm:83,100,114) -------------------------
     f("medianExact") { es => new Percentile(es.head, Literal(0.5)) }
@@ -926,26 +943,167 @@ case class BitmapCardinalityExpr(child: Expression)
   override def prettyName: String = "bitmapCardinality"
 }
 
-/** bitmapAnd / bitmapOr / *Cardinality as Catalyst expressions. */
+/** bitmapAnd / bitmapOr / bitmapXor / bitmapAndnot (+ their cardinality
+  * and predicate forms) as Catalyst expressions over serialized states.
+  */
 case class BitmapBinaryExpr(left: Expression, right: Expression, op: String)
   extends BinaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.roaringbitmap.RoaringBitmap
   override def dataType: DataType = op match {
-    case "and" | "or" => BinaryType
+    case "and" | "or" | "xor" | "andnot" => BinaryType
+    case "has_all" | "has_any" => BooleanType
     case _ => LongType
   }
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = Bitmaps.fromBytes(l.asInstanceOf[Array[Byte]])
     val b = Bitmaps.fromBytes(r.asInstanceOf[Array[Byte]])
     op match {
-      case "and" => Bitmaps.toBytes(org.roaringbitmap.RoaringBitmap.and(a, b))
-      case "or" => Bitmaps.toBytes(org.roaringbitmap.RoaringBitmap.or(a, b))
+      case "and" => Bitmaps.toBytes(RoaringBitmap.and(a, b))
+      case "or" => Bitmaps.toBytes(RoaringBitmap.or(a, b))
+      case "xor" => Bitmaps.toBytes(RoaringBitmap.xor(a, b))
+      case "andnot" => Bitmaps.toBytes(RoaringBitmap.andNot(a, b))
       case "and_card" => java.lang.Long.valueOf(
-        org.roaringbitmap.RoaringBitmap.andCardinality(a, b).toLong)
+        RoaringBitmap.andCardinality(a, b).toLong)
       case "or_card" => java.lang.Long.valueOf(
-        org.roaringbitmap.RoaringBitmap.orCardinality(a, b).toLong)
+        RoaringBitmap.orCardinality(a, b).toLong)
+      case "xor_card" => java.lang.Long.valueOf(
+        RoaringBitmap.orCardinality(a, b).toLong -
+          RoaringBitmap.andCardinality(a, b).toLong)
+      case "andnot_card" => java.lang.Long.valueOf(
+        a.getLongCardinality - RoaringBitmap.andCardinality(a, b).toLong)
+      // hasAll(a, b): does a contain EVERY element of b (empty b → true)
+      case "has_all" => java.lang.Boolean.valueOf(
+        RoaringBitmap.andCardinality(a, b).toLong == b.getLongCardinality)
+      case "has_any" => java.lang.Boolean.valueOf(RoaringBitmap.intersects(a, b))
     }
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): BitmapBinaryExpr =
     copy(left = l, right = r)
   override def prettyName: String = s"bitmap_$op"
+}
+
+/** bitmapContains(bitmap, x) — membership of one uint32. */
+case class BitmapContainsExpr(left: Expression, right: Expression)
+  extends BinaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val bm = Bitmaps.fromBytes(l.asInstanceOf[Array[Byte]])
+    val x = r match {
+      case i: java.lang.Integer => i.longValue()
+      case j: java.lang.Long => j.longValue()
+    }
+    java.lang.Boolean.valueOf(x >= 0L && x <= 0xFFFFFFFFL &&
+      bm.contains(Bitmaps.toUint32(x)))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BitmapContainsExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "bitmapContains"
+}
+
+/** bitmapToArray / bitmapMin / bitmapMax / bitmapBuild and the subset
+  * family — unary-ish scalar forms over serialized states. `op`:
+  *  - to_array: ascending BIGINT array of the members
+  *  - min / max: smallest/largest member, 0 when empty (CH's convention)
+  */
+case class BitmapUnaryExpr(child: Expression, op: String)
+  extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = op match {
+    case "to_array" => ArrayType(LongType, containsNull = false)
+    case _ => LongType
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val bm = Bitmaps.fromBytes(v.asInstanceOf[Array[Byte]])
+    op match {
+      case "to_array" =>
+        val out = new Array[Any](bm.getCardinality)
+        val it = bm.iterator()
+        var i = 0
+        while (it.hasNext) { out(i) = it.next().toLong & 0xFFFFFFFFL; i += 1 }
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+      case "min" => java.lang.Long.valueOf(
+        if (bm.isEmpty) 0L else bm.first().toLong & 0xFFFFFFFFL)
+      case "max" => java.lang.Long.valueOf(
+        if (bm.isEmpty) 0L else bm.last().toLong & 0xFFFFFFFFL)
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): BitmapUnaryExpr = copy(child = c)
+  override def prettyName: String = s"bitmap_$op"
+}
+
+/** bitmapBuild(array) — serialize an integral array into a bitmap state
+  * (the literal-set entry point of the doc's funnel recipes).
+  */
+case class BitmapBuildExpr(child: Expression)
+  extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val bm = new org.roaringbitmap.RoaringBitmap()
+    val et = child.dataType.asInstanceOf[ArrayType].elementType
+    var i = 0
+    while (i < arr.numElements()) {
+      val x = et match {
+        case LongType => arr.getLong(i)
+        case IntegerType => arr.getInt(i).toLong
+        case ShortType => arr.getShort(i).toLong
+        case _ => throw new IllegalArgumentException(
+          s"bitmapBuild: integral array required, got ${child.dataType.simpleString}")
+      }
+      bm.add(Bitmaps.toUint32(x))
+      i += 1
+    }
+    Bitmaps.toBytes(bm)
+  }
+  override protected def withNewChildInternal(c: Expression): BitmapBuildExpr = copy(child = c)
+  override def prettyName: String = "bitmapBuild"
+}
+
+/** bitmapSubsetInRange(bm, start, end) — members in [start, end);
+  * bitmapSubsetLimit(bm, start, n) — the n smallest members ≥ start;
+  * subBitmap(bm, offset, n) — n members starting at rank `offset`
+  * (0-based) in ascending order. All return serialized bitmaps.
+  */
+case class BitmapSubsetExpr(first: Expression, second: Expression,
+    third: Expression, op: String)
+  extends TernaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = BinaryType
+  private def asLong(v: Any): Long = v match {
+    case i: java.lang.Integer => i.longValue()
+    case j: java.lang.Long => j.longValue()
+  }
+  override def nullSafeEval(b: Any, p1: Any, p2: Any): Any = {
+    val bm = Bitmaps.fromBytes(b.asInstanceOf[Array[Byte]])
+    val a = asLong(p1)
+    val c = asLong(p2)
+    val out = new org.roaringbitmap.RoaringBitmap()
+    op match {
+      case "range" =>
+        val it = bm.iterator()
+        while (it.hasNext) {
+          val x = it.next().toLong & 0xFFFFFFFFL
+          if (x >= a && x < c) out.add(x.toInt)
+        }
+      case "limit" =>
+        val it = bm.iterator()
+        var taken = 0L
+        while (it.hasNext && taken < c) {
+          val x = it.next().toLong & 0xFFFFFFFFL
+          if (x >= a) { out.add(x.toInt); taken += 1 }
+        }
+      case "sub" =>
+        val it = bm.iterator()
+        var rank = 0L
+        var taken = 0L
+        while (it.hasNext && taken < c) {
+          val x = it.next()
+          if (rank >= a) { out.add(x); taken += 1 }
+          rank += 1
+        }
+    }
+    Bitmaps.toBytes(out)
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): BitmapSubsetExpr =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = s"bitmapSubset_$op"
 }

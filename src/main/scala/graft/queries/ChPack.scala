@@ -680,6 +680,36 @@ object ChPack {
           |  INTERPOLATE (purchases AS purchases, max_uid AS max_uid + 10)""".stripMargin)
     },
 
+    // The full CH bitmap algebra beyond and/or (xor/andnot +
+    // cardinalities, membership predicates, array round-trip, extrema,
+    // subset slicing, bitmapBuild) in one verbatim-SQL battery over
+    // view/purchase uid bitmaps, each value mirrored by DuckDB list
+    // algebra over the same distinct-uid sets.
+    "q135_bitmap_algebra" -> { (s, dir) =>
+      ChCompat.register(s)
+      graft.functions.Bitmaps.register(s)
+      Tables(s, dir).events.createOrReplaceTempView("graft_bm_events")
+      s.sql(
+        """WITH b AS (
+          |  SELECT groupBitmapStateIf(user_id, event_type = 'view') AS bv,
+          |         groupBitmapStateIf(user_id, event_type = 'purchase') AS bp
+          |  FROM graft_bm_events WHERE user_id < 500)
+          |SELECT bitmapCardinality(bv) AS n_view,
+          |       bitmapCardinality(bp) AS n_buy,
+          |       bitmapXorCardinality(bv, bp) AS n_xor,
+          |       bitmapAndnotCardinality(bv, bp) AS n_viewonly,
+          |       bitmapHasAll(bv, bitmapSubsetLimit(bv, 0, 10)) AS hasall_self,
+          |       bitmapHasAny(bv, bp) AS overlap,
+          |       bitmapContains(bv, 42) AS has42,
+          |       bitmapMin(bp) AS min_buy,
+          |       bitmapMax(bp) AS max_buy,
+          |       concat_ws(',', bitmapToArray(bitmapSubsetLimit(bp, 100, 5))) AS first5_ge100,
+          |       bitmapCardinality(bitmapSubsetInRange(bv, 100, 200)) AS views_100_200,
+          |       bitmapCardinality(subBitmap(bv, 10, 7)) AS sub7,
+          |       bitmapCardinality(bitmapAndnot(bv, bitmapBuild(array(1L, 2L, 3L)))) AS minus3
+          |FROM b""".stripMargin)
+    },
+
     // The CH numeric cast family (toInt8/16/32/64, toUInt8/16 wrap mod
     // 2^n, toFloat32/64, toDecimalN with the 9/18/38-digit widths) in
     // verbatim SQL; inputs are integral or decimal-exact so every cast
@@ -1233,6 +1263,32 @@ object ChPack {
         | CAST(COUNT(CASE WHEN c.c_acctbal > 0 THEN 1 END) AS BIGINT) AS pos_cnt
         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // sorted distinct-uid lists mirror every bitmap value: xor = union
+    // minus intersection, andnot = left minus intersection, subsets =
+    // ordered list slices/filters.
+    "q135_bitmap_algebra" ->
+      """WITH lv AS (
+        |  SELECT list_sort(list(DISTINCT user_id)) AS l FROM events
+        |  WHERE event_type = 'view' AND user_id < 500),
+        |lp AS (
+        |  SELECT list_sort(list(DISTINCT user_id)) AS l FROM events
+        |  WHERE event_type = 'purchase' AND user_id < 500)
+        |SELECT
+        |  CAST(len(lv.l) AS BIGINT) AS n_view,
+        |  CAST(len(lp.l) AS BIGINT) AS n_buy,
+        |  CAST(len(list_distinct(lv.l || lp.l)) - len(list_intersect(lv.l, lp.l)) AS BIGINT) AS n_xor,
+        |  CAST(len(lv.l) - len(list_intersect(lv.l, lp.l)) AS BIGINT) AS n_viewonly,
+        |  true AS hasall_self,
+        |  len(list_intersect(lv.l, lp.l)) > 0 AS overlap,
+        |  list_contains(lv.l, 42) AS has42,
+        |  CAST(COALESCE(lp.l[1], 0) AS BIGINT) AS min_buy,
+        |  CAST(COALESCE(lp.l[-1], 0) AS BIGINT) AS max_buy,
+        |  array_to_string(list_filter(lp.l, x -> x >= 100)[1:5], ',') AS first5_ge100,
+        |  CAST(len(list_filter(lv.l, x -> x >= 100 AND x < 200)) AS BIGINT) AS views_100_200,
+        |  CAST(least(7, greatest(0, len(lv.l) - 10)) AS BIGINT) AS sub7,
+        |  CAST(len(list_filter(lv.l, x -> x NOT IN (1, 2, 3))) AS BIGINT) AS minus3
+        |FROM lv, lp""".stripMargin,
 
     // unsigned wraps mirror as % 2^n (keys are nonnegative); the decimal
     // sum is the exact accumulator both engines share before the one

@@ -58,6 +58,48 @@ class BitmapSpec extends SparkSpec {
     assert(row.getLong(3) == (a | b).size.toLong)
   }
 
+  test("extended algebra (xor/andnot/subsets/extrema) == set algebra via SQL names") {
+    import spark.implicits._
+    register(spark)
+    graft.functions.ChCompat.register(spark)
+    val a = Set(1L, 3L, 5L, 7L, 60L, 61L, 100L, 250L)
+    val b = Set(5L, 7L, 9L, 61L, 400L)
+    a.toSeq.map(("a", _)).++(b.toSeq.map(("b", _))).toDF("tag", "uid")
+      .createOrReplaceTempView("graft_bm_ext")
+    val r = spark.sql(
+      """WITH s AS (
+        |  SELECT groupBitmapStateIf(uid, tag = 'a') AS ba,
+        |         groupBitmapStateIf(uid, tag = 'b') AS bb
+        |  FROM graft_bm_ext)
+        |SELECT bitmapXorCardinality(ba, bb),
+        |       bitmapAndnotCardinality(ba, bb),
+        |       bitmapCardinality(bitmapXor(ba, bb)),
+        |       bitmapCardinality(bitmapAndnot(bb, ba)),
+        |       bitmapHasAll(ba, bitmapBuild(array(3L, 60L))),
+        |       bitmapHasAll(ba, bitmapBuild(array(3L, 4L))),
+        |       bitmapHasAny(ba, bb),
+        |       bitmapHasAny(ba, bitmapBuild(array(2L, 4L))),
+        |       bitmapContains(ba, 60), bitmapContains(ba, 59),
+        |       bitmapMin(ba), bitmapMax(ba),
+        |       bitmapToArray(bitmapSubsetInRange(ba, 5, 100)),
+        |       bitmapToArray(bitmapSubsetLimit(ba, 6, 3)),
+        |       bitmapToArray(subBitmap(ba, 2, 3)),
+        |       bitmapMin(bitmapBuild(array()))
+        |FROM s""".stripMargin).collect().head
+    assert(r.getLong(0) == ((a diff b) ++ (b diff a)).size.toLong)
+    assert(r.getLong(1) == (a diff b).size.toLong)
+    assert(r.getLong(2) == ((a diff b) ++ (b diff a)).size.toLong)
+    assert(r.getLong(3) == (b diff a).size.toLong)
+    assert(r.getBoolean(4) && !r.getBoolean(5))
+    assert(r.getBoolean(6) && !r.getBoolean(7))
+    assert(r.getBoolean(8) && !r.getBoolean(9))
+    assert(r.getLong(10) == 1L && r.getLong(11) == 250L)
+    assert(r.getSeq[Long](12) == Seq(5L, 7L, 60L, 61L), "range [5,100)")
+    assert(r.getSeq[Long](13) == Seq(7L, 60L, 61L), "3 smallest >= 6")
+    assert(r.getSeq[Long](14) == Seq(5L, 7L, 60L), "3 members from rank 2")
+    assert(r.getLong(15) == 0L, "empty bitmap min is 0 (CH convention)")
+  }
+
   test("uint32 boundary values round-trip") {
     import spark.implicits._
     register(spark)

@@ -303,7 +303,10 @@ class PlanSpec extends SparkSpec {
     "q133_ch_casts" -> 2,
     // q134: winner-election agg + loser join + removal-set agg + final
     // sort — the q126 spine plus one min_by per fingerprint
-    "q134_trim_spans" -> 4)
+    "q134_trim_spans" -> 4,
+    // q135: one global bitmap aggregate; the algebra is scalar on the
+    // single result row
+    "q135_bitmap_algebra" -> 1)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)
