@@ -207,6 +207,57 @@ object ChCompat {
     }
     f("empty") { es => EqualTo(Length(es.head), Literal(0)) }
     f("notEmpty") { es => GreaterThan(Length(es.head), Literal(0)) }
+    // splitByString: literal multi-char separator (regex-quoted under
+    // Spark's regex split). CH drops NOTHING — trailing empties ride, so
+    // limit -1 matches.
+    f("splitByString") { es =>
+      val sep = es.head match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) => s.toString
+        case other => throw new IllegalArgumentException(
+          s"splitByString: separator must be a string literal, got $other")
+      }
+      require(sep.nonEmpty, "splitByString: separator must be non-empty")
+      StringSplit(es(1), Literal(java.util.regex.Pattern.quote(sep)), Literal(-1))
+    }
+    // CH string-name aliases onto exact-semantics Spark natives. The
+    // *UTF8 spellings are the same operation here: Spark strings are
+    // already character-addressed (CH splits the names because its plain
+    // forms are byte-addressed).
+    f("lengthUTF8") { es => Length(es.head) }
+    f("lowerUTF8") { es => Lower(es.head) }
+    f("upperUTF8") { es => Upper(es.head) }
+    f("reverseUTF8") { es => Reverse(es.head) }
+    f("substringUTF8") { es => Substring(es(0), es(1), es(2)) }
+    f("leftPad") { es =>
+      new StringLPad(es(0), es(1), if (es.length > 2) es(2) else Literal(" "))
+    }
+    f("rightPad") { es =>
+      new StringRPad(es(0), es(1), if (es.length > 2) es(2) else Literal(" "))
+    }
+    f("trimBoth") { es => new StringTrim(es.head) }
+    f("trimLeft") { es => new StringTrimLeft(es.head) }
+    f("trimRight") { es => new StringTrimRight(es.head) }
+    // array predicates/counts CH spells beyond has/hasAny
+    f("hasAll") { es => EqualTo(Size(ArrayExcept(es(1), es(0))), Literal(0)) }
+    f("countEqual") { es =>
+      Size(ArrayFilter(es(0), LambdaFunction(
+        EqualNullSafe(UnresolvedNamedLambdaVariable(Seq("ce_x")), es(1)),
+        Seq(UnresolvedNamedLambdaVariable(Seq("ce_x"))))))
+    }
+    // occurrence numbering: arrayEnumerateUniq(a)[i] = 1-based index of
+    // a[i] among equal values so far (O(n²) per row — per-row arrays)
+    f("arrayEnumerateUniq") { es =>
+      val arr = es.head
+      ArrayTransform(arr, LambdaFunction(
+        Size(ArrayFilter(
+          Slice(arr, Literal(1), Add(UnresolvedNamedLambdaVariable(Seq("aeu_i")), Literal(1))),
+          LambdaFunction(
+            EqualNullSafe(UnresolvedNamedLambdaVariable(Seq("aeu_y")),
+              UnresolvedNamedLambdaVariable(Seq("aeu_x"))),
+            Seq(UnresolvedNamedLambdaVariable(Seq("aeu_y")))))),
+        Seq(UnresolvedNamedLambdaVariable(Seq("aeu_x")),
+          UnresolvedNamedLambdaVariable(Seq("aeu_i")))))
+    }
     // ---- CH URL functions (composed on ParseUrl — codegen'd java.net
     // parsing, no UDF). CH returns '' where java yields null/absent, so
     // every part is coalesced onto ''. Divergence notes: no public-suffix

@@ -815,6 +815,30 @@ class ChCompatSpec extends SparkSpec {
       ("c", 6, 2.0), ("c", 7, 3.0)))
   }
 
+  test("string/array alias battery: splitByString, pads, trims, hasAll, enumerateUniq") {
+    ChCompat.register(spark)
+    def row(expr: String) = spark.sql(s"SELECT $expr AS v").head()
+    assert(row("splitByString('--', 'a--b----c')").getSeq[String](0) ==
+      Seq("a", "b", "", "c"))
+    assert(row("splitByString('.', 'a.b.c')").getSeq[String](0) ==
+      Seq("a", "b", "c"), "literal separator must not act as regex")
+    assert(row("lengthUTF8('héllo')").getInt(0) == 5, "character, not byte, length")
+    assert(row("leftPad('7', 3, '0')").getString(0) == "007")
+    assert(row("rightPad('ab', 4)").getString(0) == "ab  ")
+    assert(row("trimBoth('  x  ')").getString(0) == "x")
+    assert(row("trimLeft('  x  ')").getString(0) == "x  ")
+    assert(row("trimRight('  x  ')").getString(0) == "  x")
+    assert(row("hasAll(array(1, 2, 3, 4), array(2, 4))").getBoolean(0))
+    assert(!row("hasAll(array(1, 2), array(2, 5))").getBoolean(0))
+    assert(row("hasAll(array(1), array())").getBoolean(0), "empty needle is subset")
+    assert(row("countEqual(array(1, 2, 1, 1), 1)").getInt(0) == 3)
+    assert(row("countEqual(array(1, 2), 9)").getInt(0) == 0)
+    assert(row("arrayEnumerateUniq(array('a','b','a','a','b'))").getSeq[Int](0) ==
+      Seq(1, 1, 2, 3, 2), "per-value occurrence numbering")
+    assert(row("reverseUTF8('abc')").getString(0) == "cba")
+    assert(row("substringUTF8('abcdef', 2, 3)").getString(0) == "bcd")
+  }
+
   test("numeric casts: unsigned wrap mod 2^n, signed wrap, decimal widths") {
     ChCompat.register(spark)
     val r = spark.sql(
