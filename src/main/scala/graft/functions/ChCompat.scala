@@ -66,6 +66,7 @@ object ChCompat {
     Hashes.register(spark)
     graft.text.TextFunctions.register(spark)
     graft.text.Bpe.register(spark)
+    ForEach.register(spark)
     // CH's one-row system table (`FROM system.one` — the doc's hand-built
     // rows idiom, doc:335-495, selects literals from it). The catalog
     // round-trip needs the session's ANALYZER; when register() itself runs

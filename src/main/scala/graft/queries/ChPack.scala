@@ -680,6 +680,30 @@ object ChPack {
           |  INTERPOLATE (purchases AS purchases, max_uid AS max_uid + 10)""".stripMargin)
     },
 
+    // The -ForEach combinator family (sum/min/max/avgForEach): element-
+    // wise aggregation of per-row arrays — metric lanes per event type.
+    // Integer lanes keep BIGINT-exact sums under any merge order; avg is
+    // exact-sum / presence-count, one double division per lane.
+    "q136_foreach" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).events.createOrReplaceTempView("graft_fe_events")
+      s.sql(
+        """SELECT event_type,
+          |       concat_ws(',', sumForEach(lanes)) AS lane_sums,
+          |       concat_ws(',', minForEach(lanes)) AS lane_mins,
+          |       concat_ws(',', maxForEach(lanes)) AS lane_maxs,
+          |       element_at(avgForEach(lanes), 1) AS avg_hi,
+          |       element_at(avgForEach(lanes), 2) AS avg_mod10,
+          |       element_at(avgForEach(lanes), 3) AS avg_mod7
+          |FROM (
+          |  SELECT event_type,
+          |         array(CASE WHEN value > 2.5 THEN 1L ELSE 0L END,
+          |               user_id % 10, event_id % 7) AS lanes
+          |  FROM graft_fe_events)
+          |GROUP BY event_type
+          |ORDER BY event_type""".stripMargin)
+    },
+
     // The full CH bitmap algebra beyond and/or (xor/andnot +
     // cardinalities, membership predicates, array round-trip, extrema,
     // subset slicing, bitmapBuild) in one verbatim-SQL battery over
@@ -1263,6 +1287,26 @@ object ChPack {
         | CAST(COUNT(CASE WHEN c.c_acctbal > 0 THEN 1 END) AS BIGINT) AS pos_cnt
         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // per-lane scalar aggregates rebuilt as the same comma-joined string;
+    // avg = exact integer sum / count in one double division.
+    "q136_foreach" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |    CASE WHEN value > 2.5 THEN 1 ELSE 0 END AS hi,
+        |    user_id % 10 AS m10, event_id % 7 AS m7
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(SUM(hi) AS BIGINT) || ',' || CAST(SUM(m10) AS BIGINT)
+        |    || ',' || CAST(SUM(m7) AS BIGINT) AS lane_sums,
+        |  CAST(MIN(hi) AS BIGINT) || ',' || CAST(MIN(m10) AS BIGINT)
+        |    || ',' || CAST(MIN(m7) AS BIGINT) AS lane_mins,
+        |  CAST(MAX(hi) AS BIGINT) || ',' || CAST(MAX(m10) AS BIGINT)
+        |    || ',' || CAST(MAX(m7) AS BIGINT) AS lane_maxs,
+        |  CAST(SUM(hi) AS DOUBLE) / COUNT(*) AS avg_hi,
+        |  CAST(SUM(m10) AS DOUBLE) / COUNT(*) AS avg_mod10,
+        |  CAST(SUM(m7) AS DOUBLE) / COUNT(*) AS avg_mod7
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // sorted distinct-uid lists mirror every bitmap value: xor = union
     // minus intersection, andnot = left minus intersection, subsets =

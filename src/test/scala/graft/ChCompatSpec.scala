@@ -815,6 +815,34 @@ class ChCompatSpec extends SparkSpec {
       ("c", 6, 2.0), ("c", 7, 3.0)))
   }
 
+  test("-ForEach combinators: element-wise lanes, ragged arrays, empty groups") {
+    ChCompat.register(spark)
+    import spark.implicits._
+    // ragged: result length = longest; each lane aggregates where present
+    Seq(Seq(1L, 10L), Seq(2L, 20L, 300L), Seq(3L)).toDF("a")
+      .createOrReplaceTempView("graft_fe_rag")
+    val r = spark.sql(
+      """SELECT sumForEach(a) AS s, minForEach(a) AS mn, maxForEach(a) AS mx,
+        |       avgForEach(a) AS av FROM graft_fe_rag""".stripMargin).head()
+    assert(r.getSeq[Long](0) == Seq(6L, 30L, 300L))
+    assert(r.getSeq[Long](1) == Seq(1L, 10L, 300L))
+    assert(r.getSeq[Long](2) == Seq(3L, 20L, 300L))
+    assert(r.getSeq[Double](3) == Seq(2.0, 15.0, 300.0),
+      "avg divides by per-lane presence count")
+    // double arrays ride double lanes
+    val d = spark.sql(
+      "SELECT sumForEach(a) AS s FROM VALUES (array(1.5D, 2.0D)), (array(0.5D, 1.0D)) t(a)")
+      .head().getSeq[Double](0)
+    assert(d == Seq(2.0, 3.0))
+    // partition-merge agreement: same result at any parallelism
+    val big = (1 to 997).map(i => Seq(i.toLong, (i % 13).toLong))
+    val one = big.toDF("a").repartition(1)
+      .selectExpr("sumForEach(a) AS s").head().getSeq[Long](0)
+    val many = big.toDF("a").repartition(17)
+      .selectExpr("sumForEach(a) AS s").head().getSeq[Long](0)
+    assert(one == many)
+  }
+
   test("string/array alias battery: splitByString, pads, trims, hasAll, enumerateUniq") {
     ChCompat.register(spark)
     def row(expr: String) = spark.sql(s"SELECT $expr AS v").head()

@@ -306,7 +306,9 @@ class PlanSpec extends SparkSpec {
     "q134_trim_spans" -> 4,
     // q135: one global bitmap aggregate; the algebra is scalar on the
     // single result row
-    "q135_bitmap_algebra" -> 1)
+    "q135_bitmap_algebra" -> 1,
+    // q136: one object-hash group agg (ForEach lanes) + final sort
+    "q136_foreach" -> 2)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)
