@@ -67,6 +67,7 @@ object ChCompat {
     graft.text.TextFunctions.register(spark)
     graft.text.Bpe.register(spark)
     ForEach.register(spark)
+    StatAggregates.register(spark)
     // CH's one-row system table (`FROM system.one` — the doc's hand-built
     // rows idiom, doc:335-495, selects literals from it). The catalog
     // round-trip needs the session's ANALYZER; when register() itself runs
@@ -634,6 +635,31 @@ object ChCompat {
       Divide(
         Cast(new Sum(Multiply(es(0), es(1))).toAggregateExpression(), DoubleType),
         Cast(new Sum(es(1)).toAggregateExpression(), DoubleType))
+    }
+    // CH sumCount(x) = (sum, count) tuple in one pass — two built-in
+    // aggregates under one struct (both codegen'd, map-side combined)
+    f("sumCount") { es =>
+      CreateNamedStruct(Seq(
+        Literal("sum"), new Sum(es.head).toAggregateExpression(),
+        Literal("count"), Count(Seq(es.head)).toAggregateExpression()))
+    }
+    // CH boundingRatio(x, y): slope between the leftmost and rightmost
+    // points — (y@max(x) − y@min(x)) / (max(x) − min(x))
+    f("boundingRatio") { es =>
+      Divide(
+        Cast(Subtract(MaxBy(es(1), es(0)).toAggregateExpression(),
+          MinBy(es(1), es(0)).toAggregateExpression()), DoubleType),
+        Cast(Subtract(Max(es(0)).toAggregateExpression(),
+          Min(es(0)).toAggregateExpression()), DoubleType))
+    }
+    // CH simpleLinearRegression(x, y) = (k, b) fitting y = k·x + b —
+    // Spark's numerically-stable REGR_* aggregates under one struct
+    f("simpleLinearRegression") { es =>
+      val y = Cast(es(1), DoubleType)
+      val x = Cast(es(0), DoubleType)
+      CreateNamedStruct(Seq(
+        Literal("k"), RegrSlope(y, x).toAggregateExpression(),
+        Literal("b"), RegrIntercept(y, x).toAggregateExpression()))
     }
 
     // ---- JSON family (CH JSONExtract* / visitParam* / simpleJSON*) ----

@@ -1,0 +1,758 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** ClickHouse's statistical aggregate family
+  * (reference doc surface: the CH built-in aggregates beyond the query
+  * scripts — entropy, cramersV/cramersVBiasCorrected, theilsU,
+  * contingency, quantileExactWeighted, deltaSum/deltaSumTimestamp,
+  * rankCorr, intervalLengthSum).
+  *
+  * Scale shapes:
+  *  - entropy / the association family carry a per-group DISTINCT-value
+  *    (or value-pair) count map — O(cardinality), map-side combined,
+  *    the same bounded-vocabulary contract CH documents for sumMap.
+  *  - quantileExactWeighted carries value → Σweight (distinct values).
+  *  - deltaSum is O(1) state (sum, first, last) with CH's documented
+  *    merge-order caveat; deltaSumTimestamp is the deterministic form —
+  *    its state collects (ts, value) pairs (group-sized, like
+  *    medianExact) and evaluates in ts order.
+  *  - rankCorr collects the group's pairs (rank transforms are global
+  *    per group — CH pays the same).
+  *  - intervalLengthSum keeps a compacted disjoint-interval list —
+  *    O(islands), not O(rows).
+  *
+  * Every eval sorts its state before the float reduction so results are
+  * bit-deterministic under any partitioning / merge order.
+  */
+object StatAggregates {
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def f(name: String)(b: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+
+    f("entropy") { es => EntropyAgg(es.head).toAggregateExpression() }
+    f("cramersV") { es => AssocAgg(es(0), es(1), "cramersV").toAggregateExpression() }
+    f("cramersVBiasCorrected") { es =>
+      AssocAgg(es(0), es(1), "cramersVBiasCorrected").toAggregateExpression()
+    }
+    f("theilsU") { es => AssocAgg(es(0), es(1), "theilsU").toAggregateExpression() }
+    f("contingency") { es => AssocAgg(es(0), es(1), "contingency").toAggregateExpression() }
+    // CH quantileExactWeighted(level)(x, w) in the library's flat
+    // spelling (x, w, level) — same convention as quantileExact(x, p)
+    f("quantileExactWeighted") { es =>
+      QuantileExactWeightedAgg(es(0), es(1), es(2)).toAggregateExpression()
+    }
+    f("medianExactWeighted") { es =>
+      QuantileExactWeightedAgg(es(0), es(1),
+        org.apache.spark.sql.catalyst.expressions.Literal(0.5d)).toAggregateExpression()
+    }
+    f("deltaSum") { es => DeltaSumAgg(es.head).toAggregateExpression() }
+    f("deltaSumTimestamp") { es =>
+      DeltaSumTimestampAgg(es(0), es(1)).toAggregateExpression()
+    }
+    f("rankCorr") { es => RankCorrAgg(es(0), es(1)).toAggregateExpression() }
+    f("intervalLengthSum") { es =>
+      IntervalLengthSumAgg(es(0), es(1)).toAggregateExpression()
+    }
+  }
+
+  def entropy(c: Column): Column = call_function("entropy", c)
+  def cramers_v(x: Column, y: Column): Column = call_function("cramersV", x, y)
+  def theils_u(x: Column, y: Column): Column = call_function("theilsU", x, y)
+  def rank_corr(x: Column, y: Column): Column = call_function("rankCorr", x, y)
+  def interval_length_sum(s: Column, e: Column): Column =
+    call_function("intervalLengthSum", s, e)
+
+  /** Shannon entropy of a count multiset: log2(n) − (Σ c·log2 c)/n,
+    * summed in sorted-count order for bit determinism. */
+  private[functions] def shannon(counts: Array[Long]): Double = {
+    val n = counts.sum.toDouble
+    if (n == 0) return 0d
+    java.util.Arrays.sort(counts)
+    var s = 0d
+    var i = 0
+    while (i < counts.length) {
+      val c = counts(i).toDouble
+      if (c > 0) s += c * (math.log(c) / math.log(2))
+      i += 1
+    }
+    math.log(n) / math.log(2) - s / n
+  }
+}
+
+// ---------------------------------------------------------------------------
+// shared string-keyed count-map plumbing
+// ---------------------------------------------------------------------------
+
+/** value (canonical string form) → count. */
+final class CountMapBuf {
+  private[graft] val m = mutable.HashMap.empty[String, Long]
+  def add(k: String, c: Long): Unit = m.update(k, m.getOrElse(k, 0L) + c)
+}
+
+private[functions] trait StringKeyed { self: TypedImperativeAggregate[_] =>
+  /** canonical per-row key: null input → no contribution (CH skips nulls). */
+  protected def keyOf(e: Expression, row: InternalRow): String = {
+    val v = e.eval(row)
+    if (v == null) null
+    else e.dataType match {
+      case StringType => v.asInstanceOf[UTF8String].toString
+      case _ => v.toString
+    }
+  }
+  protected def writeCountMap(m: mutable.HashMap[String, Long]): Array[Byte] = {
+    val items = m.toSeq
+    val enc = items.map { case (k, _) => k.getBytes(StandardCharsets.UTF_8) }
+    val bb = ByteBuffer.allocate(4 + enc.map(_.length + 12).sum)
+    bb.putInt(items.size)
+    items.zip(enc).foreach { case ((_, c), kb) =>
+      bb.putInt(kb.length); bb.put(kb); bb.putLong(c)
+    }
+    bb.array()
+  }
+  protected def readCountMap(bytes: Array[Byte], into: CountMapBuf): Unit = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    var i = 0
+    while (i < n) {
+      val kb = new Array[Byte](bb.getInt); bb.get(kb)
+      into.add(new String(kb, StandardCharsets.UTF_8), bb.getLong)
+      i += 1
+    }
+  }
+}
+
+/** CH `entropy(x)`: Shannon entropy (base 2) of the value distribution. */
+case class EntropyAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[CountMapBuf] with UnaryLike[Expression]
+  with StringKeyed {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+  override def createAggregationBuffer(): CountMapBuf = new CountMapBuf
+
+  override def update(buf: CountMapBuf, row: InternalRow): CountMapBuf = {
+    val k = keyOf(child, row)
+    if (k != null) buf.add(k, 1L)
+    buf
+  }
+  override def merge(buf: CountMapBuf, other: CountMapBuf): CountMapBuf = {
+    other.m.foreach { case (k, c) => buf.add(k, c) }
+    buf
+  }
+  override def eval(buf: CountMapBuf): Any =
+    StatAggregates.shannon(buf.m.values.toArray)
+
+  override def serialize(buf: CountMapBuf): Array[Byte] = writeCountMap(buf.m)
+  override def deserialize(b: Array[Byte]): CountMapBuf = {
+    val buf = new CountMapBuf; readCountMap(b, buf); buf
+  }
+  override def withNewMutableAggBufferOffset(o: Int): EntropyAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): EntropyAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): EntropyAgg =
+    copy(child = c)
+  override def prettyName: String = "entropy"
+}
+
+/** (x, y) pair counts → the CH categorical-association family:
+  * cramersV, cramersVBiasCorrected, theilsU, contingency. Pair keys ride
+  * one string with a 0x00 separator (neither side may contain NUL). */
+case class AssocAgg(
+    xChild: Expression,
+    yChild: Expression,
+    stat: String,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[CountMapBuf] with BinaryLike[Expression]
+  with StringKeyed {
+
+  override def left: Expression = xChild
+  override def right: Expression = yChild
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+  override def createAggregationBuffer(): CountMapBuf = new CountMapBuf
+
+  override def update(buf: CountMapBuf, row: InternalRow): CountMapBuf = {
+    val kx = keyOf(xChild, row)
+    val ky = keyOf(yChild, row)
+    if (kx != null && ky != null) buf.add(kx + "\u0000" + ky, 1L)
+    buf
+  }
+  override def merge(buf: CountMapBuf, other: CountMapBuf): CountMapBuf = {
+    other.m.foreach { case (k, c) => buf.add(k, c) }
+    buf
+  }
+
+  override def eval(buf: CountMapBuf): Any = {
+    // contingency table in sorted-cell order (bit-deterministic sums)
+    val cells = buf.m.toSeq.map { case (k, c) =>
+      val i = k.indexOf('\u0000')
+      (k.substring(0, i), k.substring(i + 1), c)
+    }.sortBy(t => (t._1, t._2))
+    if (cells.isEmpty) return 0d
+    val rowTot = mutable.TreeMap.empty[String, Long]
+    val colTot = mutable.TreeMap.empty[String, Long]
+    cells.foreach { case (x, y, c) =>
+      rowTot.update(x, rowTot.getOrElse(x, 0L) + c)
+      colTot.update(y, colTot.getOrElse(y, 0L) + c)
+    }
+    val n = cells.map(_._3).sum.toDouble
+    val r = rowTot.size
+    val q = colTot.size
+
+    def chi2: Double = {
+      // all r×q cells (absent observed = 0), sorted iteration
+      val obs = cells.map(t => (t._1, t._2) -> t._3.toDouble).toMap
+      var s = 0d
+      for ((x, rx) <- rowTot; (y, cy) <- colTot) {
+        val e = rx.toDouble * cy.toDouble / n
+        val o = obs.getOrElse((x, y), 0d)
+        s += (o - e) * (o - e) / e
+      }
+      s
+    }
+
+    stat match {
+      case "cramersV" =>
+        val d = math.min(r - 1, q - 1)
+        if (d <= 0) 0d else math.sqrt(chi2 / n / d)
+      case "cramersVBiasCorrected" =>
+        if (n <= 1) return 0d
+        val phi2 = chi2 / n
+        val phi2c = math.max(0d, phi2 - (r - 1d) * (q - 1d) / (n - 1d))
+        val rc = r - (r - 1d) * (r - 1d) / (n - 1d)
+        val qc = q - (q - 1d) * (q - 1d) / (n - 1d)
+        val d = math.min(rc - 1d, qc - 1d)
+        if (d <= 0) 0d else math.sqrt(phi2c / d)
+      case "contingency" =>
+        val c2 = chi2
+        math.sqrt(c2 / (c2 + n))
+      case "theilsU" =>
+        // uncertainty coefficient U(x|y) = (H(X) − H(X|Y)) / H(X)
+        val hx = StatAggregates.shannon(rowTot.values.toArray)
+        if (hx == 0d) return 0d
+        // H(X|Y) = Σ_y p(y)·H(X|Y=y), accumulated in sorted order
+        var hxy = 0d
+        for ((y, cy) <- colTot) {
+          val sub = cells.filter(_._2 == y).map(_._3).toArray
+          hxy += cy.toDouble / n * StatAggregates.shannon(sub)
+        }
+        (hx - hxy) / hx
+      case other => throw new IllegalStateException(s"unknown stat $other")
+    }
+  }
+
+  override def serialize(buf: CountMapBuf): Array[Byte] = writeCountMap(buf.m)
+  override def deserialize(b: Array[Byte]): CountMapBuf = {
+    val buf = new CountMapBuf; readCountMap(b, buf); buf
+  }
+  override def withNewMutableAggBufferOffset(o: Int): AssocAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): AssocAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): AssocAgg =
+    copy(xChild = l, yChild = r)
+  override def prettyName: String = stat
+}
+
+// ---------------------------------------------------------------------------
+// quantileExactWeighted
+// ---------------------------------------------------------------------------
+
+final class WeightedQuantileBuf {
+  private[graft] val m = mutable.HashMap.empty[Long, Long] // value bits → Σweight
+}
+
+/** CH `quantileExactWeighted(level)(x, w)`: exact weighted quantile over a
+  * value → Σweight map. CH's selection rule: ascending scan, return the
+  * first value whose accumulated weight ≥ level · totalWeight.
+  * Long inputs keep a Long result; doubles ride their raw bits in the
+  * same map (sort order restored via the eval decode).
+  */
+case class QuantileExactWeightedAgg(
+    valueChild: Expression,
+    weightChild: Expression,
+    levelChild: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[WeightedQuantileBuf] {
+
+  override def children: Seq[Expression] = Seq(valueChild, weightChild, levelChild)
+
+  private lazy val level: Double = levelChild.eval(InternalRow.empty) match {
+    case d: Double => d
+    case f: Float => f.toDouble
+    case n: Number => n.doubleValue()
+    case other => throw new IllegalArgumentException(
+      s"quantileExactWeighted: level must be a numeric literal, got $other")
+  }
+
+  private val isLong = valueChild.dataType match {
+    case LongType | IntegerType | ShortType => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (valueChild.dataType, weightChild.dataType) match {
+      case (LongType | IntegerType | ShortType | DoubleType | FloatType,
+            LongType | IntegerType | ShortType) if levelChild.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "quantileExactWeighted(x, w, level): numeric x, integral w, literal level")
+    }
+
+  override def dataType: DataType = if (isLong) LongType else DoubleType
+  override def nullable: Boolean = true
+  override def createAggregationBuffer(): WeightedQuantileBuf = new WeightedQuantileBuf
+
+  private def valueBits(row: InternalRow): Option[Long] = {
+    val v = valueChild.eval(row)
+    if (v == null) None
+    else Some(valueChild.dataType match {
+      case LongType => v.asInstanceOf[Long]
+      case IntegerType => v.asInstanceOf[Int].toLong
+      case ShortType => v.asInstanceOf[Short].toLong
+      case DoubleType => java.lang.Double.doubleToLongBits(v.asInstanceOf[Double])
+      case FloatType => java.lang.Double.doubleToLongBits(v.asInstanceOf[Float].toDouble)
+    })
+  }
+  private def weightOf(row: InternalRow): Long = weightChild.eval(row) match {
+    case null => 0L
+    case l: Long => l
+    case i: Int => i.toLong
+    case s: Short => s.toLong
+  }
+
+  override def update(buf: WeightedQuantileBuf, row: InternalRow): WeightedQuantileBuf = {
+    valueBits(row).foreach { k =>
+      val w = weightOf(row)
+      if (w > 0) buf.m.update(k, buf.m.getOrElse(k, 0L) + w)
+    }
+    buf
+  }
+  override def merge(buf: WeightedQuantileBuf, o: WeightedQuantileBuf): WeightedQuantileBuf = {
+    o.m.foreach { case (k, w) => buf.m.update(k, buf.m.getOrElse(k, 0L) + w) }
+    buf
+  }
+
+  override def eval(buf: WeightedQuantileBuf): Any = {
+    if (buf.m.isEmpty) return null
+    def decode(bits: Long): Double =
+      if (isLong) bits.toDouble else java.lang.Double.longBitsToDouble(bits)
+    val items = buf.m.toArray.sortBy { case (bits, _) => decode(bits) }
+    val total = items.map(_._2).sum
+    val threshold = level * total
+    var acc = 0L
+    var i = 0
+    while (i < items.length) {
+      acc += items(i)._2
+      if (acc >= threshold)
+        return if (isLong) items(i)._1
+        else java.lang.Double.longBitsToDouble(items(i)._1)
+      i += 1
+    }
+    if (isLong) items.last._1 else java.lang.Double.longBitsToDouble(items.last._1)
+  }
+
+  override def serialize(buf: WeightedQuantileBuf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.m.size * 16)
+    bb.putInt(buf.m.size)
+    buf.m.foreach { case (k, w) => bb.putLong(k); bb.putLong(w) }
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): WeightedQuantileBuf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new WeightedQuantileBuf
+    val n = bb.getInt
+    var i = 0
+    while (i < n) { buf.m.update(bb.getLong, bb.getLong); i += 1 }
+    buf
+  }
+  override def withNewMutableAggBufferOffset(o: Int): QuantileExactWeightedAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): QuantileExactWeightedAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): QuantileExactWeightedAgg =
+    copy(valueChild = cs(0), weightChild = cs(1), levelChild = cs(2))
+  override def prettyName: String = "quantileExactWeighted"
+}
+
+// ---------------------------------------------------------------------------
+// deltaSum / deltaSumTimestamp
+// ---------------------------------------------------------------------------
+
+final class DeltaSumBuf {
+  var seen = false
+  var first = 0d
+  var last = 0d
+  var sum = 0d
+}
+
+/** CH `deltaSum(x)`: sum of positive consecutive differences in data
+  * order. O(1) state (sum, first, last); carries CH's own documented
+  * caveat — partial-state merge order is not data order under a shuffle,
+  * so distributed results depend on merge order exactly as in CH
+  * (use deltaSumTimestamp for the deterministic form). */
+case class DeltaSumAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[DeltaSumBuf] with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType | ShortType | DoubleType | FloatType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"deltaSum: numeric required, got ${t.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+  override def createAggregationBuffer(): DeltaSumBuf = new DeltaSumBuf
+
+  private def num(row: InternalRow): Option[Double] = child.eval(row) match {
+    case null => None
+    case d: Double => Some(d)
+    case f: Float => Some(f.toDouble)
+    case l: Long => Some(l.toDouble)
+    case i: Int => Some(i.toDouble)
+    case s: Short => Some(s.toDouble)
+  }
+
+  override def update(buf: DeltaSumBuf, row: InternalRow): DeltaSumBuf = {
+    num(row).foreach { v =>
+      if (!buf.seen) { buf.seen = true; buf.first = v }
+      else if (v > buf.last) buf.sum += v - buf.last
+      buf.last = v
+    }
+    buf
+  }
+  override def merge(buf: DeltaSumBuf, o: DeltaSumBuf): DeltaSumBuf = {
+    if (o.seen) {
+      if (!buf.seen) { buf.seen = true; buf.first = o.first; buf.last = o.last; buf.sum = o.sum }
+      else {
+        if (o.first > buf.last) buf.sum += o.first - buf.last
+        buf.sum += o.sum
+        buf.last = o.last
+      }
+    }
+    buf
+  }
+  override def eval(buf: DeltaSumBuf): Any = buf.sum
+
+  override def serialize(buf: DeltaSumBuf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(25)
+    bb.put(if (buf.seen) 1.toByte else 0.toByte)
+    bb.putDouble(buf.first); bb.putDouble(buf.last); bb.putDouble(buf.sum)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): DeltaSumBuf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new DeltaSumBuf
+    buf.seen = bb.get() == 1
+    buf.first = bb.getDouble; buf.last = bb.getDouble; buf.sum = bb.getDouble
+    buf
+  }
+  override def withNewMutableAggBufferOffset(o: Int): DeltaSumAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): DeltaSumAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): DeltaSumAgg =
+    copy(child = c)
+  override def prettyName: String = "deltaSum"
+}
+
+final class PairListBuf {
+  private[graft] val buf = mutable.ArrayBuffer.empty[(Double, Double)]
+}
+
+private[functions] trait PairCollecting { self: TypedImperativeAggregate[PairListBuf] =>
+  protected def aChild: Expression
+  protected def bChild: Expression
+
+  protected def numOf(e: Expression, row: InternalRow): Option[Double] =
+    e.eval(row) match {
+      case null => None
+      case d: Double => Some(d)
+      case f: Float => Some(f.toDouble)
+      case l: Long => Some(l.toDouble)
+      case i: Int => Some(i.toDouble)
+      case s: Short => Some(s.toDouble)
+      case ts: java.lang.Long => Some(ts.toDouble)
+    }
+
+  override def createAggregationBuffer(): PairListBuf = new PairListBuf
+  override def update(buf: PairListBuf, row: InternalRow): PairListBuf = {
+    for (a <- numOf(aChild, row); b <- numOf(bChild, row)) buf.buf += ((a, b))
+    buf
+  }
+  override def merge(buf: PairListBuf, o: PairListBuf): PairListBuf = {
+    buf.buf ++= o.buf; buf
+  }
+  override def serialize(buf: PairListBuf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.buf.length * 16)
+    bb.putInt(buf.buf.length)
+    buf.buf.foreach { case (a, b) => bb.putDouble(a); bb.putDouble(b) }
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): PairListBuf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new PairListBuf
+    val n = bb.getInt
+    var i = 0
+    while (i < n) { buf.buf += ((bb.getDouble, bb.getDouble)); i += 1 }
+    buf
+  }
+}
+
+/** CH `deltaSumTimestamp(value, ts)` — the deterministic deltaSum: pairs
+  * sort by (ts, value) at eval and positive deltas accumulate in that
+  * order, so the result is independent of partitioning. State is
+  * group-sized (like medianExact) — the price of exact order recovery. */
+case class DeltaSumTimestampAgg(
+    valueChild: Expression,
+    tsChild: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[PairListBuf] with BinaryLike[Expression]
+  with PairCollecting {
+
+  override def left: Expression = valueChild
+  override def right: Expression = tsChild
+  override protected def aChild: Expression = tsChild
+  override protected def bChild: Expression = valueChild
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (valueChild.dataType, tsChild.dataType) match {
+      case (LongType | IntegerType | ShortType | DoubleType | FloatType,
+            LongType | IntegerType | ShortType | DoubleType | TimestampType | TimestampNTZType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (v, t) => TypeCheckResult.TypeCheckFailure(
+        s"deltaSumTimestamp(value, ts): numeric value + numeric/timestamp ts, " +
+          s"got (${v.simpleString}, ${t.simpleString})")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+
+  override def eval(buf: PairListBuf): Any = {
+    val sorted = buf.buf.toArray.sortBy(p => (p._1, p._2)) // (ts, value)
+    var sum = 0d
+    var i = 1
+    while (i < sorted.length) {
+      val d = sorted(i)._2 - sorted(i - 1)._2
+      if (d > 0) sum += d
+      i += 1
+    }
+    sum
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): DeltaSumTimestampAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): DeltaSumTimestampAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DeltaSumTimestampAgg =
+    copy(valueChild = l, tsChild = r)
+  override def prettyName: String = "deltaSumTimestamp"
+}
+
+/** CH `rankCorr(x, y)`: Spearman rank correlation, exact — average ranks
+  * on ties, Pearson over the rank pairs (accumulated in sorted order). */
+case class RankCorrAgg(
+    xChild: Expression,
+    yChild: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[PairListBuf] with BinaryLike[Expression]
+  with PairCollecting {
+
+  override def left: Expression = xChild
+  override def right: Expression = yChild
+  override protected def aChild: Expression = xChild
+  override protected def bChild: Expression = yChild
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (xChild.dataType, yChild.dataType) match {
+      case (LongType | IntegerType | ShortType | DoubleType | FloatType,
+            LongType | IntegerType | ShortType | DoubleType | FloatType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"rankCorr: numeric inputs required, got (${a.simpleString}, ${b.simpleString})")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  /** average-rank transform (ties share the mean of their positions). */
+  private def ranks(vs: Array[Double]): Array[Double] = {
+    val idx = vs.indices.toArray.sortBy(vs)
+    val out = new Array[Double](vs.length)
+    var i = 0
+    while (i < idx.length) {
+      var j = i
+      while (j + 1 < idx.length && vs(idx(j + 1)) == vs(idx(i))) j += 1
+      val avg = (i + j + 2) / 2.0 // mean of 1-based positions i+1..j+1
+      var k = i
+      while (k <= j) { out(idx(k)) = avg; k += 1 }
+      i = j + 1
+    }
+    out
+  }
+
+  override def eval(buf: PairListBuf): Any = {
+    val n = buf.buf.length
+    if (n < 2) return null
+    // deterministic processing order
+    val pairs = buf.buf.toArray.sortBy(p => (p._1, p._2))
+    val rx = ranks(pairs.map(_._1))
+    val ry = ranks(pairs.map(_._2))
+    var sx = 0d; var sy = 0d
+    var i = 0
+    while (i < n) { sx += rx(i); sy += ry(i); i += 1 }
+    val mx = sx / n; val my = sy / n
+    var cov = 0d; var vx = 0d; var vy = 0d
+    i = 0
+    while (i < n) {
+      val dx = rx(i) - mx; val dy = ry(i) - my
+      cov += dx * dy; vx += dx * dx; vy += dy * dy
+      i += 1
+    }
+    if (vx == 0d || vy == 0d) null else cov / math.sqrt(vx * vy)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): RankCorrAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): RankCorrAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): RankCorrAgg =
+    copy(xChild = l, yChild = r)
+  override def prettyName: String = "rankCorr"
+}
+
+// ---------------------------------------------------------------------------
+// intervalLengthSum
+// ---------------------------------------------------------------------------
+
+final class IntervalBuf {
+  /** pending (possibly overlapping) segments; compacted to disjoint
+    * sorted islands whenever it grows past the watermark. */
+  private[graft] var segs = mutable.ArrayBuffer.empty[(Double, Double)]
+  private[graft] def compact(): Unit = {
+    if (segs.length <= 1) return
+    val sorted = segs.sortBy(_._1)
+    val out = mutable.ArrayBuffer.empty[(Double, Double)]
+    var (cs, ce) = sorted.head
+    var i = 1
+    while (i < sorted.length) {
+      val (s, e) = sorted(i)
+      if (s <= ce) { if (e > ce) ce = e }
+      else { out += ((cs, ce)); cs = s; ce = e }
+      i += 1
+    }
+    out += ((cs, ce))
+    segs = out
+  }
+}
+
+/** CH `intervalLengthSum(start, end)`: total length of the union of the
+  * group's [start, end] segments (overlaps counted once, adjacent
+  * segments merge, start > end rows ignored). State is the compacted
+  * disjoint-island list — O(islands), not O(rows). Integral inputs
+  * return BIGINT (CH UInt64), floats return DOUBLE (CH Float64). */
+case class IntervalLengthSumAgg(
+    startChild: Expression,
+    endChild: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[IntervalBuf] with BinaryLike[Expression] {
+
+  override def left: Expression = startChild
+  override def right: Expression = endChild
+
+  private val isLong = (startChild.dataType, endChild.dataType) match {
+    case (LongType | IntegerType | ShortType, LongType | IntegerType | ShortType) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (startChild.dataType, endChild.dataType) match {
+      case (LongType | IntegerType | ShortType | DoubleType | FloatType,
+            LongType | IntegerType | ShortType | DoubleType | FloatType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"intervalLengthSum: numeric bounds required, got (${a.simpleString}, ${b.simpleString})")
+    }
+  override def dataType: DataType = if (isLong) LongType else DoubleType
+  override def nullable: Boolean = false
+  override def createAggregationBuffer(): IntervalBuf = new IntervalBuf
+
+  private def num(e: Expression, row: InternalRow): Option[Double] =
+    e.eval(row) match {
+      case null => None
+      case d: Double => Some(d)
+      case f: Float => Some(f.toDouble)
+      case l: Long => Some(l.toDouble)
+      case i: Int => Some(i.toDouble)
+      case s: Short => Some(s.toDouble)
+    }
+
+  override def update(buf: IntervalBuf, row: InternalRow): IntervalBuf = {
+    for (s <- num(startChild, row); e <- num(endChild, row)) {
+      if (s <= e) {
+        buf.segs += ((s, e))
+        if (buf.segs.length >= 256) buf.compact()
+      }
+    }
+    buf
+  }
+  override def merge(buf: IntervalBuf, o: IntervalBuf): IntervalBuf = {
+    buf.segs ++= o.segs
+    buf.compact()
+    buf
+  }
+  override def eval(buf: IntervalBuf): Any = {
+    buf.compact()
+    var total = 0d
+    buf.segs.foreach { case (s, e) => total += e - s }
+    if (isLong) total.toLong else total
+  }
+
+  override def serialize(buf: IntervalBuf): Array[Byte] = {
+    buf.compact()
+    val bb = ByteBuffer.allocate(4 + buf.segs.length * 16)
+    bb.putInt(buf.segs.length)
+    buf.segs.foreach { case (s, e) => bb.putDouble(s); bb.putDouble(e) }
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): IntervalBuf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new IntervalBuf
+    val n = bb.getInt
+    var i = 0
+    while (i < n) { buf.segs += ((bb.getDouble, bb.getDouble)); i += 1 }
+    buf
+  }
+  override def withNewMutableAggBufferOffset(o: Int): IntervalLengthSumAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): IntervalLengthSumAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): IntervalLengthSumAgg =
+    copy(startChild = l, endChild = r)
+  override def prettyName: String = "intervalLengthSum"
+}

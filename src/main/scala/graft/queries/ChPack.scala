@@ -704,6 +704,105 @@ object ChPack {
           |ORDER BY event_type""".stripMargin)
     },
 
+    // CH one-pass helper aggregates: sumCount's (sum, count) tuple,
+    // boundingRatio's endpoint slope, simpleLinearRegression's (k, b) —
+    // all composite built-in aggregates (codegen'd, map-side combined),
+    // no custom state.
+    "q137_stat_pack" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).lineitem.createOrReplaceTempView("graft_stat_li")
+      s.sql(
+        """SELECT l_returnflag,
+          |       sumCount(CAST(l_quantity AS BIGINT)).sum AS qty_sum,
+          |       sumCount(CAST(l_quantity AS BIGINT)).count AS qty_cnt,
+          |       round(boundingRatio(l_orderkey * 10 + l_linenumber,
+          |                           l_extendedprice), 6) AS bratio,
+          |       round(simpleLinearRegression(l_quantity, l_extendedprice).k, 6) AS slr_k,
+          |       round(simpleLinearRegression(l_quantity, l_extendedprice).b, 6) AS slr_b
+          |FROM graft_stat_li
+          |GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)
+    },
+
+    // The CH categorical-statistics family: Shannon entropy and the
+    // association measures (cramersV / bias-corrected, theilsU,
+    // contingency) over event_type × a bounded user cohort — one
+    // pair-count map per aggregate, map-side combined, sorted-order
+    // float reduction (bit-deterministic under any partitioning).
+    "q138_entropy_assoc" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).events.createOrReplaceTempView("graft_ent_events")
+      s.sql(
+        """SELECT round(entropy(event_type), 6) AS h_type,
+          |       round(entropy(user_id % 10), 6) AS h_mod,
+          |       round(cramersV(event_type, user_id % 3), 6) AS cv,
+          |       round(cramersVBiasCorrected(event_type, user_id % 3), 6) AS cvbc,
+          |       round(theilsU(event_type, user_id % 3), 6) AS tu,
+          |       round(contingency(event_type, user_id % 3), 6) AS cg
+          |FROM graft_ent_events""".stripMargin)
+    },
+
+    // CH intervalLengthSum: union length of [start, end] segments per
+    // group (overlaps once, adjacent merge) — compacted-island state,
+    // O(islands) through the exchange; integral in, BIGINT-exact out.
+    "q139_interval_sum" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).events.createOrReplaceTempView("graft_iv_events")
+      s.sql(
+        """SELECT event_type,
+          |       intervalLengthSum(user_id * 37 % 10000,
+          |                         user_id * 37 % 10000 + event_id % 7) AS covered
+          |FROM graft_iv_events
+          |GROUP BY event_type
+          |ORDER BY event_type""".stripMargin)
+    },
+
+    // CH deltaSumTimestamp: positive consecutive deltas in (ts, value)
+    // order — the deterministic deltaSum (plain deltaSum keeps CH's own
+    // merge-order caveat and stays spec-tested).
+    "q140_delta_sum" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).events.createOrReplaceTempView("graft_ds_events")
+      s.sql(
+        """SELECT event_type,
+          |       round(deltaSumTimestamp(value, ts), 6) AS dsum
+          |FROM graft_ds_events
+          |GROUP BY event_type
+          |ORDER BY event_type""".stripMargin)
+    },
+
+    // CH quantileExactWeighted / medianExactWeighted: exact weighted
+    // quantiles over a value → Σweight map (CH's ascending-scan rule:
+    // first value with accumulated ≥ level·total) — integer in/out,
+    // hash-exact.
+    "q141_weighted_quantile" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).lineitem.createOrReplaceTempView("graft_wq_li")
+      s.sql(
+        """SELECT l_returnflag,
+          |       quantileExactWeighted(CAST(l_quantity AS BIGINT), l_linenumber, 0.5D) AS wmed,
+          |       medianExactWeighted(CAST(l_quantity AS BIGINT), l_linenumber) AS wmed2,
+          |       quantileExactWeighted(CAST(l_quantity AS BIGINT), l_linenumber, 0.9D) AS wq90
+          |FROM graft_wq_li
+          |GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)
+    },
+
+    // CH rankCorr: exact Spearman correlation (average ranks on ties,
+    // Pearson over rank pairs in sorted order) — group-sized state like
+    // medianExact; the rank transform is inherently per-group-global.
+    "q142_rank_corr" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).lineitem.createOrReplaceTempView("graft_rc_li")
+      s.sql(
+        """SELECT l_returnflag,
+          |       round(rankCorr(l_quantity, l_extendedprice), 6) AS rc,
+          |       round(rankCorr(l_quantity, l_discount), 6) AS rc_disc
+          |FROM graft_rc_li
+          |GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)
+    },
+
     // The full CH bitmap algebra beyond and/or (xor/andnot +
     // cardinalities, membership predicates, array round-trip, extrema,
     // subset slicing, bitmapBuild) in one verbatim-SQL battery over
@@ -1307,6 +1406,118 @@ object ChPack {
         |  CAST(SUM(m10) AS DOUBLE) / COUNT(*) AS avg_mod10,
         |  CAST(SUM(m7) AS DOUBLE) / COUNT(*) AS avg_mod7
         |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // sumCount/boundingRatio/simpleLinearRegression rebuilt from DuckDB
+    // built-ins (arg_max/arg_min endpoints; regr_slope/regr_intercept)
+    "q137_stat_pack" ->
+      """WITH t AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) q,
+        |         l_orderkey * 10 + l_linenumber x, l_extendedprice y,
+        |         l_quantity qd
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  SUM(q) AS qty_sum,
+        |  COUNT(q) AS qty_cnt,
+        |  ROUND((arg_max(y, x) - arg_min(y, x)) / CAST(MAX(x) - MIN(x) AS DOUBLE), 6) AS bratio,
+        |  ROUND(regr_slope(y, qd), 6) AS slr_k,
+        |  ROUND(regr_intercept(y, qd), 6) AS slr_b
+        |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the same contingency-table math spelled out: chi-square over all
+    // r×c cells, entropies via LOG2, ratios per the CH formulas
+    "q138_entropy_assoc" ->
+      """WITH p AS (
+        |  SELECT event_type AS x, CAST(user_id % 3 AS VARCHAR) AS y FROM events),
+        |cells AS (SELECT x, y, CAST(COUNT(*) AS DOUBLE) c FROM p GROUP BY x, y),
+        |rt AS (SELECT x, SUM(c) r FROM cells GROUP BY x),
+        |ct AS (SELECT y, SUM(c) q FROM cells GROUP BY y),
+        |tot AS (SELECT SUM(c) n FROM cells),
+        |dims AS (SELECT (SELECT COUNT(*) FROM rt) rr, (SELECT COUNT(*) FROM ct) qq),
+        |chi AS (
+        |  SELECT SUM(POWER(COALESCE(cells.c, 0) - rt.r * ct.q / tot.n, 2)
+        |             / (rt.r * ct.q / tot.n)) chi2
+        |  FROM rt CROSS JOIN ct CROSS JOIN tot
+        |  LEFT JOIN cells ON cells.x = rt.x AND cells.y = ct.y),
+        |hx AS (SELECT -SUM(r / tot.n * LOG2(r / tot.n)) h FROM rt CROSS JOIN tot),
+        |hxy AS (SELECT -SUM(c / tot.n * LOG2(c / ct.q)) h
+        |        FROM cells JOIN ct USING (y) CROSS JOIN tot)
+        |SELECT
+        |  ROUND((SELECT entropy(event_type) FROM events), 6) AS h_type,
+        |  ROUND((SELECT entropy(user_id % 10) FROM events), 6) AS h_mod,
+        |  ROUND(SQRT(chi.chi2 / tot.n / LEAST(dims.rr - 1, dims.qq - 1)), 6) AS cv,
+        |  ROUND(SQRT(
+        |    GREATEST(0, chi.chi2 / tot.n
+        |                - (dims.rr - 1) * (dims.qq - 1) / (tot.n - 1))
+        |    / LEAST(dims.rr - POWER(dims.rr - 1, 2) / (tot.n - 1) - 1,
+        |            dims.qq - POWER(dims.qq - 1, 2) / (tot.n - 1) - 1)), 6) AS cvbc,
+        |  ROUND((hx.h - hxy.h) / hx.h, 6) AS tu,
+        |  ROUND(SQRT(chi.chi2 / (chi.chi2 + tot.n)), 6) AS cg
+        |FROM chi CROSS JOIN tot CROSS JOIN dims CROSS JOIN hx CROSS JOIN hxy""".stripMargin,
+
+    // classic island aggregation: a segment starts a new island when its
+    // start exceeds the running max end of everything before it
+    "q139_interval_sum" ->
+      """WITH iv AS (
+        |  SELECT event_type, user_id * 37 % 10000 s,
+        |         user_id * 37 % 10000 + event_id % 7 e
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, s, e,
+        |         MAX(e) OVER (PARTITION BY event_type ORDER BY s, e
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) pmax
+        |  FROM iv),
+        |g AS (
+        |  SELECT event_type, s, e,
+        |         SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY event_type ORDER BY s, e) grp
+        |  FROM m),
+        |isl AS (SELECT event_type, grp, MAX(e) - MIN(s) len FROM g GROUP BY 1, 2)
+        |SELECT event_type, SUM(len) AS covered
+        |FROM isl GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // positive lag-deltas in (ts, value) order
+    "q140_delta_sum" ->
+      """WITH o AS (
+        |  SELECT event_type, value,
+        |         LAG(value) OVER (PARTITION BY event_type ORDER BY ts, value) pv
+        |  FROM events)
+        |SELECT event_type,
+        |       ROUND(SUM(CASE WHEN value > pv THEN value - pv ELSE 0 END), 6) AS dsum
+        |FROM o GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // CH's ascending-scan rule: first value whose cumulative weight
+    // reaches level * total
+    "q141_weighted_quantile" ->
+      """WITH w AS (
+        |  SELECT l_returnflag rf, CAST(l_quantity AS BIGINT) v,
+        |         SUM(l_linenumber) wt
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT rf, v,
+        |         SUM(wt) OVER (PARTITION BY rf ORDER BY v) cum,
+        |         SUM(wt) OVER (PARTITION BY rf) tot
+        |  FROM w)
+        |SELECT rf AS l_returnflag,
+        |       MIN(CASE WHEN cum >= 0.5 * tot THEN v END) AS wmed,
+        |       MIN(CASE WHEN cum >= 0.5 * tot THEN v END) AS wmed2,
+        |       MIN(CASE WHEN cum >= 0.9 * tot THEN v END) AS wq90
+        |FROM c GROUP BY rf ORDER BY rf""".stripMargin,
+
+    // Spearman = Pearson over average ranks (ties share their mean rank)
+    "q142_rank_corr" ->
+      """WITH r AS (
+        |  SELECT l_returnflag rf,
+        |    RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+        |      + (COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1) / 2.0 rx,
+        |    RANK() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+        |      + (COUNT(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1) / 2.0 ry,
+        |    RANK() OVER (PARTITION BY l_returnflag ORDER BY l_discount)
+        |      + (COUNT(*) OVER (PARTITION BY l_returnflag, l_discount) - 1) / 2.0 rd
+        |  FROM lineitem)
+        |SELECT rf AS l_returnflag,
+        |       ROUND(corr(rx, ry), 6) AS rc,
+        |       ROUND(corr(rx, rd), 6) AS rc_disc
+        |FROM r GROUP BY rf ORDER BY rf""".stripMargin,
 
     // sorted distinct-uid lists mirror every bitmap value: xor = union
     // minus intersection, andnot = left minus intersection, subsets =

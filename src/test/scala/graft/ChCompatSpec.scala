@@ -843,6 +843,139 @@ class ChCompatSpec extends SparkSpec {
     assert(one == many)
   }
 
+  test("statistical aggregates: entropy, association family, closed forms") {
+    ChCompat.register(spark)
+    import spark.implicits._
+    // uniform 2-value distribution → exactly 1 bit
+    Seq("a", "a", "b", "b").toDF("x").createOrReplaceTempView("graft_ent2")
+    assert(spark.sql("SELECT entropy(x) e FROM graft_ent2").head().getDouble(0) == 1.0)
+    // 3:1 split → 2 − (3·log2 3)/4
+    Seq("a", "a", "a", "b").toDF("x").createOrReplaceTempView("graft_ent31")
+    val h = spark.sql("SELECT entropy(x) e FROM graft_ent31").head().getDouble(0)
+    assert(math.abs(h - (2.0 - 3.0 * math.log(3) / math.log(2) / 4.0)) < 1e-12)
+    // perfect association: x == y → cramersV = theilsU = 1, contingency = √(n/2n)
+    Seq(("a", "a"), ("b", "b"), ("a", "a"), ("b", "b"))
+      .toDF("x", "y").createOrReplaceTempView("graft_asc_perfect")
+    val p = spark.sql(
+      """SELECT cramersV(x, y) cv, theilsU(x, y) tu, contingency(x, y) cg
+        |FROM graft_asc_perfect""".stripMargin).head()
+    assert(p.getDouble(0) == 1.0)
+    assert(p.getDouble(1) == 1.0)
+    assert(math.abs(p.getDouble(2) - math.sqrt(0.5)) < 1e-12)
+    // independence: each (x, y) cell equally filled → chi2 = 0 → all zero
+    val ind = for (x <- Seq("a", "b"); y <- Seq("p", "q")) yield (x, y)
+    ind.toDF("x", "y").createOrReplaceTempView("graft_asc_ind")
+    val z = spark.sql(
+      """SELECT cramersV(x, y) cv, cramersVBiasCorrected(x, y) cvbc,
+        |       theilsU(x, y) tu, contingency(x, y) cg FROM graft_asc_ind""".stripMargin).head()
+    assert(z.getDouble(0) == 0.0 && z.getDouble(1) == 0.0 &&
+      z.getDouble(2) == 0.0 && z.getDouble(3) == 0.0)
+    // parallelism invariance (sorted-order eval): 17 partitions == 1
+    val big = (1 to 500).map(i => (s"k${i % 7}", s"v${i % 3}"))
+    def cvAt(parts: Int) = big.toDF("x", "y").repartition(parts)
+      .selectExpr("cramersV(x, y) cv", "entropy(x) h").head()
+    assert(cvAt(1) == cvAt(17))
+  }
+
+  test("quantileExactWeighted: CH ascending-scan rule, weights, types") {
+    ChCompat.register(spark)
+    import spark.implicits._
+    Seq((1L, 1), (2L, 1), (3L, 1), (4L, 1), (5L, 1))
+      .toDF("v", "w").createOrReplaceTempView("graft_wq_flat")
+    // uniform weights: threshold 2.5 → first cum ≥ 2.5 is v=3
+    assert(spark.sql(
+      "SELECT quantileExactWeighted(v, w, 0.5D) q FROM graft_wq_flat").head().getLong(0) == 3L)
+    // heavy tail wins: weights (1,1,1,1,10) → total 14, thr 7 → v=5
+    Seq((1L, 1), (2L, 1), (3L, 1), (4L, 1), (5L, 10))
+      .toDF("v", "w").createOrReplaceTempView("graft_wq_heavy")
+    assert(spark.sql(
+      "SELECT quantileExactWeighted(v, w, 0.5D) q FROM graft_wq_heavy").head().getLong(0) == 5L)
+    // medianExactWeighted alias; double values keep a double result
+    Seq((1.5, 1), (2.5, 2), (9.0, 1))
+      .toDF("v", "w").createOrReplaceTempView("graft_wq_dbl")
+    val d = spark.sql("SELECT medianExactWeighted(v, w) q FROM graft_wq_dbl").head()
+    assert(d.getDouble(0) == 2.5)
+    // level 0 → minimum, level 1 → maximum
+    val ext = spark.sql(
+      """SELECT quantileExactWeighted(v, w, 0.0D) lo,
+        |       quantileExactWeighted(v, w, 1.0D) hi FROM graft_wq_flat""".stripMargin).head()
+    assert(ext.getLong(0) == 1L && ext.getLong(1) == 5L)
+  }
+
+  test("deltaSum family: positive deltas, timestamp determinism") {
+    ChCompat.register(spark)
+    import spark.implicits._
+    // single partition: plain deltaSum follows data order
+    Seq(4.0, 5.0, 1.0, 2.0).toDF("v").repartition(1)
+      .createOrReplaceTempView("graft_dsum_one")
+    assert(spark.sql("SELECT deltaSum(v) d FROM graft_dsum_one")
+      .head().getDouble(0) == 2.0)
+    // deltaSumTimestamp: order comes from ts, not partitioning
+    val rows = Seq((10L, 1.0), (20L, 3.0), (30L, 2.0), (40L, 7.0))
+    def dst(parts: Int) = rows.toDF("ts", "v").repartition(parts)
+      .selectExpr("deltaSumTimestamp(v, ts) d").head().getDouble(0)
+    assert(dst(1) == 7.0, "(1→3)+2 + (2→7)+5")
+    assert(dst(7) == 7.0, "shuffled partitions must not change the result")
+  }
+
+  test("rankCorr: monotonic ±1, ties, null on constant input") {
+    ChCompat.register(spark)
+    import spark.implicits._
+    Seq((1.0, 10.0), (2.0, 20.0), (3.0, 35.0), (4.0, 70.0))
+      .toDF("x", "y").createOrReplaceTempView("graft_rc_mono")
+    assert(spark.sql("SELECT rankCorr(x, y) r FROM graft_rc_mono")
+      .head().getDouble(0) == 1.0)
+    assert(spark.sql("SELECT rankCorr(x, -y) r FROM graft_rc_mono")
+      .head().getDouble(0) == -1.0)
+    // constant column → zero rank variance → NULL (undefined)
+    Seq((1.0, 5.0), (2.0, 5.0)).toDF("x", "y")
+      .createOrReplaceTempView("graft_rc_const")
+    assert(spark.sql("SELECT rankCorr(x, y) r FROM graft_rc_const").head().isNullAt(0))
+    // ties get average ranks: x = (1,1,2), y = (1,2,3) → rx = (1.5,1.5,3)
+    Seq((1.0, 1.0), (1.0, 2.0), (2.0, 3.0)).toDF("x", "y")
+      .createOrReplaceTempView("graft_rc_tie")
+    val r = spark.sql("SELECT rankCorr(x, y) r FROM graft_rc_tie").head().getDouble(0)
+    assert(math.abs(r - math.sqrt(3.0) / 2.0) < 1e-12) // closed form for this fixture
+  }
+
+  test("intervalLengthSum: union semantics, adjacency, parallelism") {
+    ChCompat.register(spark)
+    import spark.implicits._
+    // [1,3] ∪ [2,5] ∪ [7,8] → 4 + 1 = 5
+    Seq((1L, 3L), (2L, 5L), (7L, 8L)).toDF("s", "e")
+      .createOrReplaceTempView("graft_iv_basic")
+    assert(spark.sql("SELECT intervalLengthSum(s, e) l FROM graft_iv_basic")
+      .head().getLong(0) == 5L)
+    // adjacent segments merge ([1,2] ∪ [2,3] = [1,3]); points add 0;
+    // inverted rows ignored
+    Seq((1L, 2L), (2L, 3L), (9L, 9L), (8L, 4L)).toDF("s", "e")
+      .createOrReplaceTempView("graft_iv_adj")
+    assert(spark.sql("SELECT intervalLengthSum(s, e) l FROM graft_iv_adj")
+      .head().getLong(0) == 2L)
+    // double input → double out; compaction across many partitions
+    val many = (0 until 1000).map(i => ((i % 100).toDouble, (i % 100) + 1.5))
+    def tot(parts: Int) = many.toDF("s", "e").repartition(parts)
+      .selectExpr("intervalLengthSum(s, e) l").head().getDouble(0)
+    assert(tot(1) == 100.5 && tot(13) == 100.5) // [0, 100.5] fully covered
+  }
+
+  test("sumCount / boundingRatio / simpleLinearRegression composites") {
+    ChCompat.register(spark)
+    import spark.implicits._
+    Seq((1L, 3.0), (2L, 5.0), (3L, 7.0), (4L, 9.0))
+      .toDF("x", "y").createOrReplaceTempView("graft_slr")
+    val r = spark.sql(
+      """SELECT sumCount(x).sum s, sumCount(x).count c,
+        |       boundingRatio(x, y) br,
+        |       simpleLinearRegression(x, y).k k,
+        |       simpleLinearRegression(x, y).b b
+        |FROM graft_slr""".stripMargin).head()
+    assert(r.getLong(0) == 10L && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 2.0) // (9−3)/(4−1)
+    assert(math.abs(r.getDouble(3) - 2.0) < 1e-12) // y = 2x + 1 exactly
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)
+  }
+
   test("string/array alias battery: splitByString, pads, trims, hasAll, enumerateUniq") {
     ChCompat.register(spark)
     def row(expr: String) = spark.sql(s"SELECT $expr AS v").head()

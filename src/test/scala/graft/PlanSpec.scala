@@ -308,7 +308,17 @@ class PlanSpec extends SparkSpec {
     // single result row
     "q135_bitmap_algebra" -> 1,
     // q136: one object-hash group agg (ForEach lanes) + final sort
-    "q136_foreach" -> 2)
+    "q136_foreach" -> 2,
+    // q137: one hash group agg + final sort
+    "q137_stat_pack" -> 2,
+    // q138: global single-group aggregate — one partial→final exchange
+    // per the two scalar subquery entropies plus the main agg
+    "q138_entropy_assoc" -> 3,
+    // q139–q142: one object-hash group agg + final sort each
+    "q139_interval_sum" -> 2,
+    "q140_delta_sum" -> 2,
+    "q141_weighted_quantile" -> 2,
+    "q142_rank_corr" -> 2)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)
