@@ -68,6 +68,7 @@ object ChCompat {
     graft.text.Bpe.register(spark)
     ForEach.register(spark)
     StatAggregates.register(spark)
+    StringDistance.register(spark)
     // CH's one-row system table (`FROM system.one` — the doc's hand-built
     // rows idiom, doc:335-495, selects literals from it). The catalog
     // round-trip needs the session's ANALYZER; when register() itself runs

@@ -803,6 +803,29 @@ object ChPack {
           |ORDER BY l_returnflag""".stripMargin)
     },
 
+    // The CH string-distance family (record-linkage / fuzzy-dedup
+    // primitives): editDistance, true Damerau-Levenshtein, Jaro /
+    // Jaro-Winkler, byte Hamming, character-set Jaccard — every value
+    // mirrored by the DuckDB built-in of the same definition.
+    // (ngramDistance / ngramSearch have no DuckDB twin — spec-pinned.)
+    "q143_string_distance" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).part.createOrReplaceTempView("graft_sd_part")
+      s.sql(
+        """SELECT p_partkey,
+          |       editDistance(p_name, p_type) AS ed,
+          |       damerauLevenshteinDistance(substring(p_name, 1, 12),
+          |                                  substring(p_type, 1, 12)) AS dl,
+          |       round(jaroSimilarity(p_name, p_type), 6) AS js,
+          |       round(jaroWinklerSimilarity(p_name, p_type), 6) AS jw,
+          |       byteHammingDistance(rpad(p_name, 10, '.'),
+          |                           rpad(p_type, 10, '.')) AS bh,
+          |       round(stringJaccardIndex(p_name, p_type), 6) AS sj
+          |FROM graft_sd_part
+          |WHERE p_partkey <= 500
+          |ORDER BY p_partkey""".stripMargin)
+    },
+
     // The full CH bitmap algebra beyond and/or (xor/andnot +
     // cardinalities, membership predicates, array round-trip, extrema,
     // subset slicing, bitmapBuild) in one verbatim-SQL battery over
@@ -1422,6 +1445,20 @@ object ChPack {
         |  ROUND(regr_slope(y, qd), 6) AS slr_k,
         |  ROUND(regr_intercept(y, qd), 6) AS slr_b
         |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // same-definition DuckDB text built-ins per metric
+    "q143_string_distance" ->
+      """SELECT p_partkey,
+        |       levenshtein(p_name, p_type) AS ed,
+        |       damerau_levenshtein(substring(p_name, 1, 12),
+        |                           substring(p_type, 1, 12)) AS dl,
+        |       ROUND(jaro_similarity(p_name, p_type), 6) AS js,
+        |       ROUND(jaro_winkler_similarity(p_name, p_type), 6) AS jw,
+        |       hamming(rpad(p_name, 10, '.'), rpad(p_type, 10, '.')) AS bh,
+        |       ROUND(jaccard(p_name, p_type), 6) AS sj
+        |FROM part
+        |WHERE p_partkey <= 500
+        |ORDER BY p_partkey""".stripMargin,
 
     // the same contingency-table math spelled out: chi-square over all
     // r×c cells, entropies via LOG2, ratios per the CH formulas

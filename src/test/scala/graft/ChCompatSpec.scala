@@ -976,6 +976,36 @@ class ChCompatSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)
   }
 
+  test("string distances: DL transpositions, Jaro-Winkler, ngram measures") {
+    ChCompat.register(spark)
+    def row(expr: String) = spark.sql(s"SELECT $expr AS v").head()
+    // true Damerau-Levenshtein: CA→ABC is 2 (OSA would say 3)
+    assert(row("damerauLevenshteinDistance('CA', 'ABC')").getInt(0) == 2)
+    assert(row("damerauLevenshteinDistance('abcdef', 'abdcef')").getInt(0) == 1)
+    assert(row("editDistance('kitten', 'sitting')").getInt(0) == 3)
+    // Jaro / Jaro-Winkler classics
+    assert(math.abs(row("jaroSimilarity('MARTHA', 'MARHTA')").getDouble(0)
+      - 0.9444444444444445) < 1e-12)
+    assert(math.abs(row("jaroWinklerSimilarity('MARTHA', 'MARHTA')").getDouble(0)
+      - 0.9611111111111111) < 1e-12)
+    assert(math.abs(row("jaroWinklerSimilarity('DWAYNE', 'DUANE')").getDouble(0)
+      - 0.84) < 1e-12)
+    // hamming: common-prefix mismatches + length difference
+    assert(row("byteHammingDistance('karolin', 'kathrin')").getInt(0) == 3)
+    assert(row("byteHammingDistance('abc', 'abcdd')").getInt(0) == 2)
+    // character-set Jaccard
+    assert(row("stringJaccardIndex('abc', 'bcd')").getDouble(0) == 0.5)
+    assert(row("stringJaccardIndex('aab', 'ab')").getDouble(0) == 1.0)
+    // 4-gram distance: 0 = identical, 1 = nothing shared; search is
+    // asymmetric containment
+    assert(row("ngramDistance('abcdefgh', 'abcdefgh')").getDouble(0) == 0.0)
+    assert(row("ngramDistance('abcdefgh', 'zzzzyyyy')").getDouble(0) == 1.0)
+    assert(row("ngramSearch('the quick brown fox', 'quick')").getDouble(0) == 1.0)
+    assert(row("ngramSearch('the quick brown fox', 'zzzzz')").getDouble(0) == 0.0)
+    // null propagation
+    assert(row("jaroSimilarity(CAST(NULL AS STRING), 'x')").isNullAt(0))
+  }
+
   test("string/array alias battery: splitByString, pads, trims, hasAll, enumerateUniq") {
     ChCompat.register(spark)
     def row(expr: String) = spark.sql(s"SELECT $expr AS v").head()

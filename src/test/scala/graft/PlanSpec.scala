@@ -318,7 +318,9 @@ class PlanSpec extends SparkSpec {
     "q139_interval_sum" -> 2,
     "q140_delta_sum" -> 2,
     "q141_weighted_quantile" -> 2,
-    "q142_rank_corr" -> 2)
+    "q142_rank_corr" -> 2,
+    // q143: per-row scalar distances, one global sort
+    "q143_string_distance" -> 1)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)
