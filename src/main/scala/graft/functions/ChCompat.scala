@@ -1,8 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.types._
 
 /** ClickHouse-dialect function names registered as Spark SQL functions, so
@@ -451,6 +454,104 @@ object ChCompat {
     }
     f("arraySum") { es => arraySumOf(es.head) }
     f("arrayAvg") { es => arrayAvgOf(es.head) }
+    // ---- CH array completion: product, clamped cumsum, fill / split,
+    // rotate, shingles, AUC ---------------------------------------------
+    f("arrayProduct") { es =>
+      val acc = lamVar("__pr_acc"); val x = lamVar("__pr_x")
+      ArrayAggregate(es.head, Literal(1.0),
+        LambdaFunction(Multiply(acc, Cast(x, DoubleType)), Seq(acc, x)),
+        LambdaFunction.identity)
+    }
+    // running sum clamped at zero (CH's non-negative scan): s = max(0, s+x)
+    f("arrayCumSumNonNegative") { es =>
+      val acc = lamVar("__cn_acc"); val x = lamVar("__cn_x"); val fin = lamVar("__cn_fin")
+      val accSum = GetStructField(acc, 0, Some("s"))
+      val clamped = Greatest(Seq(Literal(0L), Add(accSum, Cast(x, LongType))))
+      val zero = CreateNamedStruct(Seq(
+        Literal("s"), Literal(0L),
+        Literal("out"), Literal.create(Seq.empty[Long], ArrayType(LongType))))
+      val merge = LambdaFunction(CreateNamedStruct(Seq(
+        Literal("s"), clamped,
+        Literal("out"), ArrayAppend(GetStructField(acc, 1, Some("out")), clamped))),
+        Seq(acc, x))
+      ArrayAggregate(es.head, zero, merge,
+        LambdaFunction(GetStructField(fin, 1, Some("out")), Seq(fin)))
+    }
+    // forward fill: where the predicate is false the element takes the
+    // previous (already-filled) value; a false head stays as-is
+    def fillOf(lf: LambdaFunction, arr: Expression, backward: Boolean): Expression = {
+      // a lambda-taking registration must RESOLVE to a HigherOrderFunction
+      // at top level, so the backward form reverses inside the fold: scan
+      // Reverse(arr) and un-reverse in the finish lambda
+      val tag = if (backward) "r" else "f"
+      val out = lamVar(s"__fl_out$tag"); val fin = lamVar(s"__fl_fin$tag")
+      val x = lf.arguments.head
+      val scanned = if (backward) Reverse(arr) else arr
+      val merge = LambdaFunction(
+        ArrayAppend(out, If(lf.function, x,
+          If(EqualTo(Size(out), Literal(0)), x, ElementAt(out, Literal(-1))))),
+        out +: lf.arguments)
+      val finish = if (backward) LambdaFunction(Reverse(fin), Seq(fin))
+        else LambdaFunction.identity
+      ArrayAggregate(scanned, Slice(arr, Literal(1), Literal(0)), merge, finish)
+    }
+    f("arrayFill") { es =>
+      fillOf(es.head.asInstanceOf[LambdaFunction], es(1), backward = false)
+    }
+    f("arrayReverseFill") { es =>
+      fillOf(es.head.asInstanceOf[LambdaFunction], es(1), backward = true)
+    }
+    // arraySplit cuts BEFORE each element where the predicate holds;
+    // arrayReverseSplit cuts AFTER. Accumulator: (piece-closed?, pieces).
+    def splitOf(lf: LambdaFunction, arr: Expression, after: Boolean): Expression = {
+      val tag = if (after) "a" else "b"
+      val acc = lamVar(s"__sp_acc$tag"); val fin = lamVar(s"__sp_fin$tag")
+      val x = lf.arguments.head
+      val closed = GetStructField(acc, 0, Some("closed"))
+      val out = GetStructField(acc, 1, Some("out"))
+      val emptyPieces = Slice(CreateArray(Seq(Slice(arr, Literal(1), Literal(0)))),
+        Literal(1), Literal(0))
+      val startNew = if (after) Or(closed, EqualTo(Size(out), Literal(0)))
+        else Or(lf.function, EqualTo(Size(out), Literal(0)))
+      val appended = If(startNew,
+        ArrayAppend(out, CreateArray(Seq(x))),
+        ArrayAppend(Slice(out, Literal(1), Subtract(Size(out), Literal(1))),
+          ArrayAppend(ElementAt(out, Literal(-1)), x)))
+      val zero = CreateNamedStruct(Seq(
+        Literal("closed"), Literal(true), Literal("out"), emptyPieces))
+      val merge = LambdaFunction(CreateNamedStruct(Seq(
+        Literal("closed"), if (after) lf.function else Literal(false),
+        Literal("out"), appended)), acc +: lf.arguments)
+      ArrayAggregate(arr, zero, merge,
+        LambdaFunction(GetStructField(fin, 1, Some("out")), Seq(fin)))
+    }
+    f("arraySplit") { es =>
+      splitOf(es.head.asInstanceOf[LambdaFunction], es(1), after = false)
+    }
+    f("arrayReverseSplit") { es =>
+      splitOf(es.head.asInstanceOf[LambdaFunction], es(1), after = true)
+    }
+    def rotL(arr: Expression, n: Expression): Expression = {
+      val k = Pmod(Cast(n, IntegerType), Size(arr))
+      If(LessThanOrEqual(Size(arr), Literal(0)), arr,
+        Concat(Seq(Slice(arr, Add(k, Literal(1)), Subtract(Size(arr), k)),
+          Slice(arr, Literal(1), k))))
+    }
+    f("arrayRotateLeft") { es => rotL(es(0), es(1)) }
+    f("arrayRotateRight") { es => rotL(es(0), UnaryMinus(es(1))) }
+    // consecutive n-windows: [a,b,c,d] / 2 → [[a,b],[b,c],[c,d]]
+    f("arrayShingles") { es =>
+      val arr = es(0); val n = Cast(es(1), IntegerType)
+      val i = lamVar("__sh_i")
+      val empty = Slice(CreateArray(Seq(arr)), Literal(1), Literal(0))
+      If(LessThan(Size(arr), n), empty,
+        ArrayTransform(
+          new Sequence(Literal(1), Subtract(Size(arr), Subtract(n, Literal(1)))),
+          LambdaFunction(Slice(arr, i, n), Seq(i))))
+    }
+    // exact ROC AUC over per-row (scores, labels) arrays — ties get the
+    // average-rank half credit
+    f("arrayAUC") { es => ArrayAucExpr(es(0), es(1)) }
     // CH arrayReduce('agg', arr): apply an aggregate-function NAME to one
     // row's array. The name is a string literal (CH agrees — it is parsed,
     // not computed), so this is plan-time dispatch onto the same expression
@@ -1185,4 +1286,61 @@ case class BitmapSubsetExpr(first: Expression, second: Expression,
       f: Expression, s: Expression, t: Expression): BitmapSubsetExpr =
     copy(first = f, second = s, third = t)
   override def prettyName: String = s"bitmapSubset_$op"
+}
+
+/** CH `arrayAUC(scores, labels)`: exact ROC AUC from one row's parallel
+  * arrays — rank-sum form with average ranks on score ties (the same
+  * half-credit CH assigns). NULL when either class is absent. */
+case class ArrayAucExpr(left: Expression, right: Expression)
+  extends Expression with BinaryLike[Expression] with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def eval(input: InternalRow): Any = {
+    val l = left.eval(input)
+    val r = right.eval(input)
+    if (l == null || r == null) return null
+    val scoresArr = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val labelsArr = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = scoresArr.numElements()
+    if (n == 0 || labelsArr.numElements() != n) return null
+    def numAt(a: org.apache.spark.sql.catalyst.util.ArrayData,
+        t: DataType, i: Int): Double = t match {
+      case DoubleType => a.getDouble(i)
+      case FloatType => a.getFloat(i).toDouble
+      case LongType => a.getLong(i).toDouble
+      case IntegerType => a.getInt(i).toDouble
+      case ShortType => a.getShort(i).toDouble
+      case BooleanType => if (a.getBoolean(i)) 1d else 0d
+      case other => throw new IllegalArgumentException(
+        s"arrayAUC: numeric/boolean arrays required, got ${other.simpleString}")
+    }
+    val st = left.dataType.asInstanceOf[ArrayType].elementType
+    val lt = right.dataType.asInstanceOf[ArrayType].elementType
+    val pairs = Array.tabulate(n) { i =>
+      (numAt(scoresArr, st, i), numAt(labelsArr, lt, i) > 0)
+    }.sortBy(_._1)
+    var pos = 0L
+    var rankSumPos = 0d
+    var i = 0
+    while (i < n) {
+      var j = i
+      while (j + 1 < n && pairs(j + 1)._1 == pairs(i)._1) j += 1
+      val avgRank = (i + j + 2) / 2.0 // 1-based average rank of the tie run
+      var k = i
+      while (k <= j) {
+        if (pairs(k)._2) { pos += 1; rankSumPos += avgRank }
+        k += 1
+      }
+      i = j + 1
+    }
+    val neg = n - pos
+    if (pos == 0 || neg == 0) null
+    else (rankSumPos - pos * (pos + 1) / 2.0) / (pos.toDouble * neg)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayAucExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "arrayAUC"
 }

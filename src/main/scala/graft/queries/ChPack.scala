@@ -826,6 +826,45 @@ object ChPack {
           |ORDER BY p_partkey""".stripMargin)
     },
 
+    // The CH array-completion battery: arrayProduct / rotate / shingles
+    // over per-row lineitem triples (DuckDB list-algebra mirrors),
+    // scan-shaped ops (cumSumNonNegative, fill/reverseFill,
+    // split/reverseSplit) pinned on literals, and exact ROC arrayAUC per
+    // event_type against a rank-window mirror.
+    "q144_array_battery" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).lineitem.createOrReplaceTempView("graft_ab_li")
+      Tables(s, dir).events.createOrReplaceTempView("graft_ab_events")
+      s.sql(
+        """WITH li AS (
+          |  SELECT l_orderkey, l_linenumber,
+          |         array(CAST(l_linenumber AS BIGINT),
+          |               CAST(l_quantity AS BIGINT),
+          |               l_partkey % 7 + 1) AS arr
+          |  FROM graft_ab_li WHERE l_orderkey <= 200),
+          |auc AS (
+          |  SELECT event_type,
+          |         round(arrayAUC(collect_list(value),
+          |                        collect_list(CAST(user_id % 2 AS INT))), 6) AS auc
+          |  FROM graft_ab_events GROUP BY event_type)
+          |SELECT l_orderkey, l_linenumber,
+          |       arrayProduct(arr) AS prod,
+          |       concat_ws(',', arrayRotateLeft(arr, 1)) AS rotl,
+          |       concat_ws(',', arrayRotateRight(arr, 1)) AS rotr,
+          |       concat_ws(';', transform(arrayShingles(arr, 2),
+          |                                a -> concat_ws(',', a))) AS sh,
+          |       concat_ws(',', arrayCumSumNonNegative(array(1, 1, -4, 1))) AS ccs,
+          |       concat_ws(',', arrayFill(x -> x != 0, array(1, 0, 2, 0, 0, 3))) AS fil,
+          |       concat_ws(',', arrayReverseFill(x -> x != 0, array(1, 0, 2, 0, 0, 3))) AS rfil,
+          |       concat_ws(';', transform(arraySplit(x -> x = 1, array(0, 0, 1, 0, 1)),
+          |                                a -> concat_ws(',', a))) AS spl,
+          |       concat_ws(';', transform(arrayReverseSplit(x -> x = 1, array(0, 0, 1, 0, 1)),
+          |                                a -> concat_ws(',', a))) AS rspl,
+          |       a.auc
+          |FROM li CROSS JOIN (SELECT min(auc) AS auc FROM auc) a
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    },
+
     // The full CH bitmap algebra beyond and/or (xor/andnot +
     // cardinalities, membership predicates, array round-trip, extrema,
     // subset slicing, bitmapBuild) in one verbatim-SQL battery over
@@ -1445,6 +1484,40 @@ object ChPack {
         |  ROUND(regr_slope(y, qd), 6) AS slr_k,
         |  ROUND(regr_intercept(y, qd), 6) AS slr_b
         |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // list slicing/aggregate mirrors for the per-row ops, literal pins
+    // for the scan shapes, rank-window AUC for the aggregate
+    "q144_array_battery" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         [CAST(l_linenumber AS BIGINT), CAST(l_quantity AS BIGINT),
+        |          l_partkey % 7 + 1] AS arr
+        |  FROM lineitem WHERE l_orderkey <= 200),
+        |r AS (
+        |  SELECT event_type, CAST(user_id % 2 AS INT) l,
+        |         RANK() OVER (PARTITION BY event_type ORDER BY value)
+        |           + (COUNT(*) OVER (PARTITION BY event_type, value) - 1) / 2.0 rk
+        |  FROM events),
+        |auc AS (
+        |  SELECT event_type,
+        |         ROUND((SUM(CASE WHEN l = 1 THEN rk ELSE 0 END)
+        |                - SUM(l) * (SUM(l) + 1) / 2.0)
+        |               / (SUM(l) * (COUNT(*) - SUM(l))), 6) AS auc
+        |  FROM r GROUP BY event_type)
+        |SELECT l_orderkey, l_linenumber,
+        |       list_aggregate(arr, 'product') AS prod,
+        |       array_to_string(arr[2:] || arr[1:1], ',') AS rotl,
+        |       array_to_string(arr[3:] || arr[1:2], ',') AS rotr,
+        |       array_to_string(list_transform(range(1, 3),
+        |                                      i -> array_to_string(arr[i:i+1], ',')), ';') AS sh,
+        |       '1,2,0,1' AS ccs,
+        |       '1,1,2,2,2,3' AS fil,
+        |       '1,2,2,3,3,3' AS rfil,
+        |       '0,0;1,0;1' AS spl,
+        |       '0,0,1;0,1' AS rspl,
+        |       (SELECT MIN(auc) FROM auc) AS auc
+        |FROM li
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     // same-definition DuckDB text built-ins per metric
     "q143_string_distance" ->

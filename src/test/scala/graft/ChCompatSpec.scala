@@ -976,6 +976,43 @@ class ChCompatSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)
   }
 
+  test("array completion: product, clamped cumsum, fill/split, rotate, shingles, AUC") {
+    ChCompat.register(spark)
+    def row(expr: String) = spark.sql(s"SELECT $expr AS v").head()
+    assert(row("arrayProduct(array(2, 3, 4))").getDouble(0) == 24.0)
+    assert(row("arrayProduct(array())").getDouble(0) == 1.0)
+    assert(row("concat_ws(',', arrayCumSumNonNegative(array(1, 1, -4, 1)))")
+      .getString(0) == "1,2,0,1")
+    // CH doc example: nulls forward-fill from the last kept value
+    assert(row("concat_ws(',', arrayFill(x -> x != 0, array(0, 0, 5, 0)))")
+      .getString(0) == "0,0,5,5", "false head stays as-is")
+    assert(row("concat_ws(',', arrayReverseFill(x -> x != 0, array(1, 0, 2, 0)))")
+      .getString(0) == "1,2,2,0", "false tail stays as-is")
+    // split before / after the matching element
+    assert(row("concat_ws(';', transform(arraySplit(x -> x = 1, array(1, 2, 3, 1, 4)), a -> concat_ws(',', a)))")
+      .getString(0) == "1,2,3;1,4")
+    assert(row("concat_ws(';', transform(arrayReverseSplit(x -> x = 1, array(1, 2, 3, 1, 4)), a -> concat_ws(',', a)))")
+      .getString(0) == "1;2,3,1;4")
+    // rotation: negative amounts swap direction; over-length wraps
+    assert(row("concat_ws(',', arrayRotateLeft(array(1, 2, 3, 4), 1))").getString(0) == "2,3,4,1")
+    assert(row("concat_ws(',', arrayRotateLeft(array(1, 2, 3, 4), -1))").getString(0) == "4,1,2,3")
+    assert(row("concat_ws(',', arrayRotateRight(array(1, 2, 3, 4), 6))").getString(0) == "3,4,1,2")
+    assert(row("concat_ws(',', arrayRotateLeft(array(), 3))").getString(0) == "")
+    // shingles: windows of n; n > size → empty
+    assert(row("concat_ws(';', transform(arrayShingles(array(1, 2, 3, 4), 2), a -> concat_ws(',', a)))")
+      .getString(0) == "1,2;2,3;3,4")
+    assert(row("size(arrayShingles(array(1, 2), 3))").getInt(0) == 0)
+    // AUC: perfect separation 1.0; random-ish fixture closed form; tie credit
+    assert(row("arrayAUC(array(0.1D, 0.2D, 0.8D, 0.9D), array(0, 0, 1, 1))")
+      .getDouble(0) == 1.0)
+    assert(row("arrayAUC(array(0.9D, 0.2D, 0.8D, 0.1D), array(0, 0, 1, 1))")
+      .getDouble(0) == 0.25)
+    assert(row("arrayAUC(array(0.5D, 0.5D), array(0, 1))").getDouble(0) == 0.5,
+      "score ties split the credit")
+    assert(row("arrayAUC(array(0.5D, 0.7D), array(1, 1))").isNullAt(0),
+      "single-class input is undefined")
+  }
+
   test("string distances: DL transpositions, Jaro-Winkler, ngram measures") {
     ChCompat.register(spark)
     def row(expr: String) = spark.sql(s"SELECT $expr AS v").head()

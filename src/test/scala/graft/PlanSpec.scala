@@ -320,7 +320,10 @@ class PlanSpec extends SparkSpec {
     "q141_weighted_quantile" -> 2,
     "q142_rank_corr" -> 2,
     // q143: per-row scalar distances, one global sort
-    "q143_string_distance" -> 1)
+    "q143_string_distance" -> 1,
+    // q144: events AUC aggregate (1) + its min re-agg (1) + the lineitem
+    // sort (1); the AUC scalar broadcasts onto the per-row battery
+    "q144_array_battery" -> 3)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)
@@ -334,7 +337,9 @@ class PlanSpec extends SparkSpec {
     // the 1-row hashed-ngram log-ratios array broadcast (DSIR scoring)
     "q124_dsir_select",
     // q117's exact anchor shares q45's all-pairs shape (id_a < id_b join)
-    "q117_semantic_dedup")
+    "q117_semantic_dedup",
+    // the 1-row AUC scalar broadcast onto the per-row array battery
+    "q144_array_battery")
 
   test("table-driven sweep: every declared query holds its exchange budget") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
