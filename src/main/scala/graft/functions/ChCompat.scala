@@ -140,6 +140,94 @@ object ChCompat {
     f("toDateTime") { es => Cast(es.head, TimestampNTZType) }
     // timestamp->long cast = whole seconds since epoch (CH UInt32 analog)
     f("toUnixTimestamp") { es => Cast(Cast(es.head, TimestampType), LongType) }
+    // epoch seconds of a wall-clock value (UTC session — build.sbt pins it)
+    def epochOf(e: Expression): Expression = Cast(Cast(e, TimestampType), LongType)
+    // CH timeSlot: round down to the half-hour
+    f("timeSlot") { es =>
+      Cast(SecondsToTimestamp(Multiply(IntegralDivide(epochOf(es.head),
+        Literal(1800L)), Literal(1800L))), TimestampNTZType)
+    }
+    // CH timeSlots(start, duration[, size]): every size-aligned slot the
+    // [start, start+duration] window touches
+    f("timeSlots") { es =>
+      val size = if (es.length >= 3) Cast(es(2), LongType) else Literal(1800L)
+      val u = epochOf(es(0))
+      val t = UnresolvedNamedLambdaVariable(Seq("__ts_t"))
+      ArrayTransform(
+        new Sequence(Multiply(IntegralDivide(u, size), size),
+          Add(u, Cast(es(1), LongType)), size),
+        LambdaFunction(Cast(SecondsToTimestamp(t), TimestampNTZType), Seq(t)))
+    }
+    // CH toRelative*Num: units elapsed since the epoch (month/year are
+    // calendar positions, like CH)
+    f("toRelativeSecondNum") { es => epochOf(es.head) }
+    f("toRelativeMinuteNum") { es => IntegralDivide(epochOf(es.head), Literal(60L)) }
+    f("toRelativeHourNum") { es => IntegralDivide(epochOf(es.head), Literal(3600L)) }
+    f("toRelativeDayNum") { es =>
+      DateDiff(Cast(es.head, DateType), Cast(Literal("1970-01-01"), DateType))
+    }
+    f("toRelativeMonthNum") { es =>
+      Add(Multiply(Year(es.head), Literal(12)), Month(es.head))
+    }
+    f("toRelativeYearNum") { es => Year(es.head) }
+    // Modified Julian Day: days since 1858-11-17
+    f("toModifiedJulianDay") { es =>
+      DateDiff(Cast(es.head, DateType), Cast(Literal("1858-11-17"), DateType))
+    }
+    f("fromModifiedJulianDay") { es =>
+      DateAdd(Cast(Literal("1858-11-17"), DateType), es.head)
+    }
+    f("monthName") { es => DateFormatClass(Cast(es.head, TimestampType), Literal("MMMM")) }
+    // CH dateName('part', d): the named/numbered component as a string
+    f("dateName") { es =>
+      val part = es.head match {
+        case lit if lit.foldable => String.valueOf(lit.eval()).toLowerCase
+        case _ => throw new IllegalArgumentException(
+          "dateName: part must be a string literal")
+      }
+      val d = es(1)
+      val e: Expression = part match {
+        case "year" => Year(d)
+        case "quarter" => Quarter(d)
+        case "month" => DateFormatClass(Cast(d, TimestampType), Literal("MMMM"))
+        case "week" => WeekOfYear(d)
+        case "dayofyear" => DayOfYear(d)
+        case "day" => DayOfMonth(d)
+        case "weekday" => DateFormatClass(Cast(d, TimestampType), Literal("EEEE"))
+        case "hour" => Hour(d)
+        case "minute" => Minute(d)
+        case "second" => Second(d)
+        case other => throw new IllegalArgumentException(s"dateName: unknown part '$other'")
+      }
+      Cast(e, StringType)
+    }
+    // CH age('unit', s, e): COMPLETE units between s and e (vs dateDiff's
+    // boundary crossings) — months_between carries the day/time compare,
+    // fixed-duration units divide the epoch difference
+    f("age") { es =>
+      val unit = es.head match {
+        case lit if lit.foldable => String.valueOf(lit.eval()).toLowerCase
+        case _ => throw new IllegalArgumentException("age: unit must be a string literal")
+      }
+      val (s, e) = (es(1), es(2))
+      def bySeconds(n: Long): Expression =
+        IntegralDivide(Subtract(epochOf(e), epochOf(s)), Literal(n))
+      def months: Expression = Cast(
+        new Floor(MonthsBetween(Cast(e, TimestampType), Cast(s, TimestampType),
+          Literal(false), None)),
+        LongType)
+      unit match {
+        case "second" => bySeconds(1L)
+        case "minute" => bySeconds(60L)
+        case "hour" => bySeconds(3600L)
+        case "day" => bySeconds(86400L)
+        case "week" => bySeconds(604800L)
+        case "month" => months
+        case "quarter" => IntegralDivide(months, Literal(3L))
+        case "year" => IntegralDivide(months, Literal(12L))
+        case other => throw new IllegalArgumentException(s"age: unknown unit '$other'")
+      }
+    }
     // CH add*/subtract* family — calendar-aware month/year arithmetic,
     // fixed-duration below a day (naive timestamps: no DST games)
     for ((name, unit) <- Seq("addSeconds" -> "SECOND", "addMinutes" -> "MINUTE",
@@ -648,6 +736,53 @@ object ChCompat {
     f("hostName") { _ => HostNameExpr() }
     f("byteSize") { es => ByteSizeExpr(es.head) }
     f("toTypeName") { es => ToTypeNameExpr(es.head) }
+    // float classification (CH isFinite/isInfinite/ifNotFinite; isNaN is
+    // Spark's case-insensitive isnan already)
+    def finite(x: Expression): Expression = {
+      val d = Cast(x, DoubleType)
+      Not(Or(IsNaN(d), Or(EqualTo(d, Literal(Double.PositiveInfinity)),
+        EqualTo(d, Literal(Double.NegativeInfinity)))))
+    }
+    f("isFinite") { es => finite(es.head) }
+    f("isInfinite") { es =>
+      val d = Cast(es.head, DoubleType)
+      Or(EqualTo(d, Literal(Double.PositiveInfinity)),
+        EqualTo(d, Literal(Double.NegativeInfinity)))
+    }
+    f("ifNotFinite") { es => If(finite(es(0)), es(0), es(1)) }
+    // CH transform(x, from, to[, default]): literal value remapping.
+    // The 2-arg lambda form stays Spark's higher-order transform — the
+    // arity + argument shape disambiguates, so registering the name does
+    // not break standard Spark SQL in the same session.
+    f("transform") { es =>
+      if (es.length == 2) ArrayTransform(es(0), es(1))
+      else {
+        require(es.length == 3 || es.length == 4,
+          s"transform(x, from, to[, default]): got ${es.length} args")
+        val (from, to) = (es(1), es(2))
+        require(from.foldable && to.foldable,
+          "transform: from/to must be literal arrays")
+        def items(e: Expression): Seq[Expression] = {
+          val et = e.dataType.asInstanceOf[ArrayType].elementType
+          val a = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          (0 until a.numElements()).map(i => Literal(a.get(i, et), et))
+        }
+        val (ks, vs) = (items(from), items(to))
+        require(ks.length == vs.length, "transform: from/to lengths differ")
+        val default = if (es.length == 4) es(3) else es(0)
+        CaseKeyWhen(es(0), ks.zip(vs).flatMap(p => Seq(p._1, p._2)) :+ default)
+      }
+    }
+    // CH multiSearch family over a needle array
+    f("multiSearchAllPositions") { es =>
+      val n = UnresolvedNamedLambdaVariable(Seq("__ms_n"))
+      ArrayTransform(es(1),
+        LambdaFunction(new StringLocate(n, es(0)), Seq(n)))
+    }
+    f("multiSearchAny") { es =>
+      val n = UnresolvedNamedLambdaVariable(Seq("__msa_n"))
+      ArrayExists(es(1), LambdaFunction(Contains(es(0), n), Seq(n)))
+    }
     // multiIf(c1,v1, c2,v2, ..., else) — CH's flat CASE form
     f("multiIf") { es =>
       require(es.length >= 3 && es.length % 2 == 1,

@@ -865,6 +865,37 @@ object ChPack {
           |ORDER BY l_orderkey, l_linenumber""".stripMargin)
     },
 
+    // The CH date-helper battery: timeSlot(s), epoch-relative unit
+    // numbers, Modified Julian Day round-trip, month/day names, age()
+    // complete-unit arithmetic, plus transform() value remapping and the
+    // multiSearch needle-array family — all composites over codegen'd
+    // built-ins.
+    "q145_date_helpers" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).events.createOrReplaceTempView("graft_dh_events")
+      s.sql(
+        """SELECT event_id,
+          |       timeSlot(ts) AS slot,
+          |       size(timeSlots(ts, 3600)) AS nslots,
+          |       toRelativeHourNum(ts) AS rel_hour,
+          |       toRelativeDayNum(ts) AS rel_day,
+          |       toRelativeMonthNum(ts) AS rel_month,
+          |       toModifiedJulianDay(toDate(ts)) AS mjd,
+          |       fromModifiedJulianDay(toModifiedJulianDay(toDate(ts))) AS mjd_rt,
+          |       monthName(ts) AS mname,
+          |       dateName('weekday', ts) AS wname,
+          |       age('hour', timestamp'2024-01-01 00:00:00', ts) AS age_h,
+          |       age('day', timestamp'2024-01-01 00:00:00', ts) AS age_d,
+          |       transform(event_type, array('view', 'purchase'),
+          |                 array('V', 'P'), '?') AS tcode,
+          |       concat_ws(',', multiSearchAllPositions(event_type,
+          |                                              array('ie', 'ur', 'xx'))) AS mpos,
+          |       multiSearchAny(event_type, array('chase', 'zz')) AS many
+          |FROM graft_dh_events
+          |WHERE event_id <= 500
+          |ORDER BY event_id""".stripMargin)
+    },
+
     // The full CH bitmap algebra beyond and/or (xor/andnot +
     // cardinalities, membership predicates, array round-trip, extrema,
     // subset slicing, bitmapBuild) in one verbatim-SQL battery over
@@ -1484,6 +1515,30 @@ object ChPack {
         |  ROUND(regr_slope(y, qd), 6) AS slr_k,
         |  ROUND(regr_intercept(y, qd), 6) AS slr_b
         |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // epoch arithmetic, strftime names, and position scans per helper
+    "q145_date_helpers" ->
+      """SELECT event_id,
+        |  make_timestamp((epoch(ts)::BIGINT // 1800 * 1800) * 1000000) AS slot,
+        |  ((epoch(ts)::BIGINT + 3600) // 1800 - epoch(ts)::BIGINT // 1800 + 1) AS nslots,
+        |  epoch(ts)::BIGINT // 3600 AS rel_hour,
+        |  datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS rel_day,
+        |  year(ts) * 12 + month(ts) AS rel_month,
+        |  datediff('day', DATE '1858-11-17', CAST(ts AS DATE)) AS mjd,
+        |  CAST(ts AS DATE) AS mjd_rt,
+        |  strftime(ts, '%B') AS mname,
+        |  strftime(ts, '%A') AS wname,
+        |  (epoch(ts)::BIGINT - epoch(TIMESTAMP '2024-01-01 00:00:00')::BIGINT) // 3600 AS age_h,
+        |  (epoch(ts)::BIGINT - epoch(TIMESTAMP '2024-01-01 00:00:00')::BIGINT) // 86400 AS age_d,
+        |  CASE event_type WHEN 'view' THEN 'V' WHEN 'purchase' THEN 'P'
+        |       ELSE '?' END AS tcode,
+        |  array_to_string([position('ie' IN event_type),
+        |                   position('ur' IN event_type),
+        |                   position('xx' IN event_type)], ',') AS mpos,
+        |  (event_type LIKE '%chase%' OR event_type LIKE '%zz%') AS many
+        |FROM events
+        |WHERE event_id <= 500
+        |ORDER BY event_id""".stripMargin,
 
     // list slicing/aggregate mirrors for the per-row ops, literal pins
     // for the scan shapes, rank-window AUC for the aggregate

@@ -976,6 +976,42 @@ class ChCompatSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)
   }
 
+  test("date helpers: age complete units, MJD vectors, timeSlots, dateName") {
+    ChCompat.register(spark)
+    def row(expr: String) = spark.sql(s"SELECT $expr AS v").head()
+    // age counts COMPLETE units (dateDiff counts boundary crossings)
+    assert(row("age('day', timestamp'2024-01-01 23:59:00', timestamp'2024-01-02 00:01:00')")
+      .getLong(0) == 0L)
+    assert(row("age('month', timestamp'2024-01-15 00:00:00', timestamp'2024-03-14 00:00:00')")
+      .getLong(0) == 1L)
+    assert(row("age('month', timestamp'2024-01-15 00:00:00', timestamp'2024-03-15 00:00:00')")
+      .getLong(0) == 2L)
+    assert(row("age('year', timestamp'2020-06-01 00:00:00', timestamp'2024-05-31 00:00:00')")
+      .getLong(0) == 3L)
+    // MJD epoch: 1858-11-17 is day 0; 2000-01-01 is 51544 (published)
+    assert(row("toModifiedJulianDay(toDate('1858-11-17'))").getInt(0) == 0)
+    assert(row("toModifiedJulianDay(toDate('2000-01-01'))").getInt(0) == 51544)
+    assert(row("CAST(fromModifiedJulianDay(51544) AS STRING)").getString(0) == "2000-01-01")
+    // timeSlot / timeSlots
+    assert(row("CAST(timeSlot(timestamp'2024-01-05 10:44:30') AS STRING)")
+      .getString(0) == "2024-01-05 10:30:00")
+    assert(row("concat_ws(',', transform(timeSlots(timestamp'2024-01-05 10:44:30', 1800), t -> CAST(t AS STRING)))")
+      .getString(0) == "2024-01-05 10:30:00,2024-01-05 11:00:00")
+    assert(row("dateName('month', toDate('2024-04-09'))").getString(0) == "April")
+    assert(row("dateName('weekday', toDate('2024-04-09'))").getString(0) == "Tuesday")
+    // transform: CH mapping form and Spark lambda form coexist
+    assert(row("transform(5, array(1, 5, 9), array(10, 50, 90), -1)").getInt(0) == 50)
+    assert(row("transform(7, array(1, 5, 9), array(10, 50, 90))").getInt(0) == 7,
+      "3-arg form keeps the input on a miss")
+    assert(row("concat_ws(',', transform(array(1, 2), x -> x * 10))").getString(0) == "10,20")
+    // float classification
+    assert(row("isFinite(1.5D)").getBoolean(0))
+    assert(!row("isFinite(CAST('inf' AS DOUBLE))").getBoolean(0))
+    assert(row("isInfinite(CAST('-inf' AS DOUBLE))").getBoolean(0))
+    assert(row("ifNotFinite(CAST('nan' AS DOUBLE), 42.0D)").getDouble(0) == 42.0)
+    assert(row("multiSearchAny('hello world', array('lo w', 'zz'))").getBoolean(0))
+  }
+
   test("array completion: product, clamped cumsum, fill/split, rotate, shingles, AUC") {
     ChCompat.register(spark)
     def row(expr: String) = spark.sql(s"SELECT $expr AS v").head()

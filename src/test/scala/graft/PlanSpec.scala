@@ -323,7 +323,9 @@ class PlanSpec extends SparkSpec {
     "q143_string_distance" -> 1,
     // q144: events AUC aggregate (1) + its min re-agg (1) + the lineitem
     // sort (1); the AUC scalar broadcasts onto the per-row battery
-    "q144_array_battery" -> 3)
+    "q144_array_battery" -> 3,
+    // q145: per-row date scalars, one global sort
+    "q145_date_helpers" -> 1)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)
