@@ -72,6 +72,7 @@ object ChCompat {
     ForEach.register(spark)
     StatAggregates.register(spark)
     StringDistance.register(spark)
+    GeoFormat.register(spark)
     // CH's one-row system table (`FROM system.one` — the doc's hand-built
     // rows idiom, doc:335-495, selects literals from it). The catalog
     // round-trip needs the session's ANALYZER; when register() itself runs

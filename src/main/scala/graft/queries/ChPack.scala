@@ -896,6 +896,40 @@ object ChPack {
           |ORDER BY event_id""".stripMargin)
     },
 
+    // The CH geo + display-format battery: haversine great-circle
+    // distances over synthetic coordinates (formula-mirrored in DuckDB),
+    // geohash round-trips, ray-cast pointInPolygon, and the readable
+    // formatters / unicode bar — deterministic pins where no SQL mirror
+    // exists.
+    "q146_geo_format" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).events.createOrReplaceTempView("graft_geo_events")
+      s.sql(
+        """WITH pts AS (
+          |  SELECT event_id,
+          |         CAST(user_id % 360 AS DOUBLE) - 180 + 0.5 AS lon,
+          |         CAST(user_id % 170 AS DOUBLE) - 85 + 0.25 AS lat
+          |  FROM graft_geo_events WHERE event_id <= 500)
+          |SELECT event_id,
+          |       round(greatCircleDistance(lon, lat, -73.9857D, 40.7484D), 2) AS gcd,
+          |       round(geohashDecode(geohashEncode(lon, lat, 9)).longitude, 2) AS gh_lon,
+          |       round(geohashDecode(geohashEncode(lon, lat, 9)).latitude, 2) AS gh_lat,
+          |       pointInPolygon(tuple(lon, lat),
+          |                      array(tuple(-180.0D, -90.0D), tuple(0.0D, -90.0D),
+          |                            tuple(0.0D, 90.0D), tuple(-180.0D, 90.0D))) AS west,
+          |       geohashEncode(10.40744D, 57.64911D, 11) AS gh_pin,
+          |       pointInPolygon(tuple(3.0D, 3.0D),
+          |                      array(tuple(6.0D, 0.0D), tuple(8.0D, 4.0D),
+          |                            tuple(5.0D, 8.0D), tuple(0.0D, 2.0D))) AS pip_pin,
+          |       formatReadableSize(1110) AS fsize,
+          |       formatReadableQuantity(1110) AS fqty,
+          |       formatReadableTimeDelta(117) AS fdelta,
+          |       bar(5, 0, 10, 10) AS bar5,
+          |       bar(2.25D, 0, 10, 10) AS bar_frac
+          |FROM pts
+          |ORDER BY event_id""".stripMargin)
+    },
+
     // The full CH bitmap algebra beyond and/or (xor/andnot +
     // cardinalities, membership predicates, array round-trip, extrema,
     // subset slicing, bitmapBuild) in one verbatim-SQL battery over
@@ -1515,6 +1549,32 @@ object ChPack {
         |  ROUND(regr_slope(y, qd), 6) AS slr_k,
         |  ROUND(regr_intercept(y, qd), 6) AS slr_b
         |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the same haversine spelled in SQL; geohash-9 cell centers collapse
+    // to the source coordinate at 2 decimals; display pins are literals
+    "q146_geo_format" ->
+      """WITH pts AS (
+        |  SELECT event_id,
+        |         CAST(user_id % 360 AS DOUBLE) - 180 + 0.5 AS lon,
+        |         CAST(user_id % 170 AS DOUBLE) - 85 + 0.25 AS lat
+        |  FROM events WHERE event_id <= 500)
+        |SELECT event_id,
+        |  ROUND(2 * 6372797.560856 * ASIN(SQRT(
+        |    POW(SIN((RADIANS(40.7484) - RADIANS(lat)) / 2), 2)
+        |    + COS(RADIANS(lat)) * COS(RADIANS(40.7484))
+        |      * POW(SIN((RADIANS(-73.9857) - RADIANS(lon)) / 2), 2))), 2) AS gcd,
+        |  ROUND(lon, 2) AS gh_lon,
+        |  ROUND(lat, 2) AS gh_lat,
+        |  lon < 0 AS west,
+        |  'u4pruydqqvj' AS gh_pin,
+        |  TRUE AS pip_pin,
+        |  '1.08 KiB' AS fsize,
+        |  '1.11 thousand' AS fqty,
+        |  '1 minute, 57 seconds' AS fdelta,
+        |  '█████' AS bar5,
+        |  '██▎' AS bar_frac
+        |FROM pts
+        |ORDER BY event_id""".stripMargin,
 
     // epoch arithmetic, strftime names, and position scans per helper
     "q145_date_helpers" ->

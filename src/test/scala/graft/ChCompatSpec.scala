@@ -976,6 +976,45 @@ class ChCompatSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)
   }
 
+  test("geo + format scalars: haversine, geohash vectors, polygon, bar") {
+    ChCompat.register(spark)
+    def row(expr: String) = spark.sql(s"SELECT $expr AS v").head()
+    // Paris→NYC great circle ≈ 5 837 km on CH's sphere radius
+    val d = row("greatCircleDistance(2.3522D, 48.8566D, -73.9857D, 40.7484D)").getDouble(0)
+    assert(math.abs(d - 5.837e6) < 2e4, s"got $d")
+    assert(row("greatCircleDistance(10.0D, 20.0D, 10.0D, 20.0D)").getDouble(0) == 0.0)
+    // geoDistance uses the WGS-84 mean radius — slightly different sphere
+    val g = row("geoDistance(2.3522D, 48.8566D, -73.9857D, 40.7484D)").getDouble(0)
+    assert(math.abs(g - d) < 2e3 && g != d)
+    // published geohash vectors (wiki): and decode returns the cell center
+    assert(row("geohashEncode(10.40744D, 57.64911D, 11)").getString(0) == "u4pruydqqvj")
+    assert(row("geohashEncode(-5.6D, 42.6D, 5)").getString(0) == "ezs42")
+    val c = spark.sql(
+      "SELECT geohashDecode('ezs42').longitude lon, geohashDecode('ezs42').latitude lat").head()
+    assert(math.abs(c.getDouble(0) - (-5.60302734375)) < 1e-10)
+    assert(math.abs(c.getDouble(1) - 42.60498046875) < 1e-10)
+    // ray casting: CH doc example + a concave polygon
+    assert(row("pointInPolygon(tuple(3.0D, 3.0D), array(tuple(6.0D, 0.0D), tuple(8.0D, 4.0D), tuple(5.0D, 8.0D), tuple(0.0D, 2.0D)))").getBoolean(0))
+    assert(!row("pointInPolygon(tuple(10.0D, 10.0D), array(tuple(6.0D, 0.0D), tuple(8.0D, 4.0D), tuple(5.0D, 8.0D), tuple(0.0D, 2.0D)))").getBoolean(0))
+    // concave "C": the notch is outside
+    assert(!row("pointInPolygon(tuple(2.0D, 2.0D), array(tuple(0.0D, 0.0D), tuple(4.0D, 0.0D), tuple(4.0D, 1.0D), tuple(1.0D, 1.0D), tuple(1.0D, 3.0D), tuple(4.0D, 3.0D), tuple(4.0D, 4.0D), tuple(0.0D, 4.0D)))").getBoolean(0))
+    // readable formats (CH doc examples)
+    assert(row("formatReadableSize(1)").getString(0) == "1.00 B")
+    assert(row("formatReadableSize(1110)").getString(0) == "1.08 KiB")
+    assert(row("formatReadableSize(1048576)").getString(0) == "1.00 MiB")
+    assert(row("formatReadableQuantity(123456789)").getString(0) == "123.46 million")
+    assert(row("formatReadableQuantity(12)").getString(0) == "12.00")
+    assert(row("formatReadableTimeDelta(117)").getString(0) == "1 minute, 57 seconds")
+    assert(row("formatReadableTimeDelta(90061)").getString(0)
+      == "1 day, 1 hour, 1 minute, 1 second")
+    assert(row("formatReadableTimeDelta(0)").getString(0) == "0 seconds")
+    // bar: full blocks + eighth fractions, clamped
+    assert(row("bar(5, 0, 10, 10)").getString(0) == "█████")
+    assert(row("bar(2.25D, 0, 10, 10)").getString(0) == "██▎")
+    assert(row("bar(99, 0, 10, 10)").getString(0) == "██████████")
+    assert(row("bar(-5, 0, 10, 10)").getString(0) == "")
+  }
+
   test("date helpers: age complete units, MJD vectors, timeSlots, dateName") {
     ChCompat.register(spark)
     def row(expr: String) = spark.sql(s"SELECT $expr AS v").head()

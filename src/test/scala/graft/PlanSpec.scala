@@ -325,7 +325,9 @@ class PlanSpec extends SparkSpec {
     // sort (1); the AUC scalar broadcasts onto the per-row battery
     "q144_array_battery" -> 3,
     // q145: per-row date scalars, one global sort
-    "q145_date_helpers" -> 1)
+    "q145_date_helpers" -> 1,
+    // q146: per-row geo/format scalars, one global sort
+    "q146_geo_format" -> 1)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)
