@@ -66,6 +66,15 @@ object StatAggregates {
       DeltaSumTimestampAgg(es(0), es(1)).toAggregateExpression()
     }
     f("rankCorr") { es => RankCorrAgg(es(0), es(1)).toAggregateExpression() }
+    f("studentTTest") { es =>
+      TTestAgg(es(0), es(1), welch = false).toAggregateExpression()
+    }
+    f("welchTTest") { es =>
+      TTestAgg(es(0), es(1), welch = true).toAggregateExpression()
+    }
+    f("mannWhitneyUTest") { es =>
+      MannWhitneyAgg(es(0), es(1)).toAggregateExpression()
+    }
     f("intervalLengthSum") { es =>
       IntervalLengthSumAgg(es(0), es(1)).toAggregateExpression()
     }
@@ -755,4 +764,279 @@ case class IntervalLengthSumAgg(
   override protected def withNewChildrenInternal(l: Expression, r: Expression): IntervalLengthSumAgg =
     copy(startChild = l, endChild = r)
   override def prettyName: String = "intervalLengthSum"
+}
+
+// ---------------------------------------------------------------------------
+// two-sample tests: studentTTest / welchTTest / mannWhitneyUTest
+// ---------------------------------------------------------------------------
+
+/** Special-function helpers for the test p-values (classic public-domain
+  * numerics: Lanczos log-gamma, Lentz continued-fraction incomplete beta). */
+private[functions] object StatMath {
+  private val lanczos = Array(
+    676.5203681218851, -1259.1392167224028, 771.32342877765313,
+    -176.61502916214059, 12.507343278686905, -0.13857109526572012,
+    9.9843695780195716e-6, 1.5056327351493116e-7)
+
+  def lgamma(xIn: Double): Double = {
+    if (xIn < 0.5)
+      math.log(math.Pi / math.sin(math.Pi * xIn)) - lgamma(1 - xIn)
+    else {
+      val x = xIn - 1
+      var a = 0.99999999999980993
+      var i = 0
+      while (i < lanczos.length) { a += lanczos(i) / (x + i + 1); i += 1 }
+      val t = x + lanczos.length - 0.5
+      0.5 * math.log(2 * math.Pi) + (x + 0.5) * math.log(t) - t + math.log(a)
+    }
+  }
+
+  /** regularized incomplete beta I_x(a, b). */
+  def betainc(a: Double, b: Double, x: Double): Double = {
+    if (x <= 0) return 0d
+    if (x >= 1) return 1d
+    val lbeta = lgamma(a + b) - lgamma(a) - lgamma(b) +
+      a * math.log(x) + b * math.log(1 - x)
+    if (x < (a + 1) / (a + b + 2)) math.exp(lbeta) * betacf(a, b, x) / a
+    else 1 - math.exp(lgamma(a + b) - lgamma(a) - lgamma(b) +
+      b * math.log(1 - x) + a * math.log(x)) * betacf(b, a, 1 - x) / b
+  }
+
+  private def betacf(a: Double, b: Double, x: Double): Double = {
+    val eps = 1e-14
+    val fpmin = 1e-300
+    val qab = a + b; val qap = a + 1; val qam = a - 1
+    var c = 1d
+    var d = 1 - qab * x / qap
+    if (math.abs(d) < fpmin) d = fpmin
+    d = 1 / d
+    var h = d
+    var m = 1
+    while (m <= 300) {
+      val m2 = 2 * m
+      var aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+      d = 1 + aa * d; if (math.abs(d) < fpmin) d = fpmin
+      c = 1 + aa / c; if (math.abs(c) < fpmin) c = fpmin
+      d = 1 / d
+      h *= d * c
+      aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+      d = 1 + aa * d; if (math.abs(d) < fpmin) d = fpmin
+      c = 1 + aa / c; if (math.abs(c) < fpmin) c = fpmin
+      d = 1 / d
+      val del = d * c
+      h *= del
+      if (math.abs(del - 1) < eps) return h
+      m += 1
+    }
+    h
+  }
+
+  /** two-sided Student p-value: P(|T_df| > t) = I_{df/(df+t²)}(df/2, 1/2). */
+  def studentP(t: Double, df: Double): Double =
+    if (df <= 0 || t.isNaN) Double.NaN
+    else betainc(df / 2, 0.5, df / (df + t * t))
+
+  /** standard normal two-sided p via erfc(|z|/√2) (Abramowitz–Stegun 7.1.26
+    * rational erf approximation, |err| < 1.5e-7). */
+  def normalTwoSidedP(z: Double): Double = {
+    val x = math.abs(z) / math.sqrt(2)
+    val t = 1 / (1 + 0.3275911 * x)
+    val y = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741 +
+      t * (-1.453152027 + t * 1.061405429)))) * math.exp(-x * x)
+    y // = erfc(x), already the two-sided tail
+  }
+}
+
+final class TTestBuf {
+  // Welford per group: n, mean, M2
+  val n = new Array[Long](2)
+  val mean = new Array[Double](2)
+  val m2 = new Array[Double](2)
+  def add(g: Int, v: Double): Unit = {
+    n(g) += 1
+    val d = v - mean(g)
+    mean(g) += d / n(g)
+    m2(g) += d * (v - mean(g))
+  }
+  def mergeFrom(o: TTestBuf): Unit = {
+    var g = 0
+    while (g < 2) {
+      if (o.n(g) > 0) {
+        if (n(g) == 0) { n(g) = o.n(g); mean(g) = o.mean(g); m2(g) = o.m2(g) }
+        else {
+          val nA = n(g).toDouble; val nB = o.n(g).toDouble
+          val d = o.mean(g) - mean(g)
+          val nT = nA + nB
+          m2(g) += o.m2(g) + d * d * nA * nB / nT
+          mean(g) += d * nB / nT
+          n(g) += o.n(g)
+        }
+      }
+      g += 1
+    }
+  }
+}
+
+/** CH `studentTTest(value, index)` / `welchTTest(value, index)`:
+  * two-sample location tests over 0/1-indexed samples. O(1) Welford
+  * state per group, exact merge; returns (t_statistic, p_value). */
+case class TTestAgg(
+    valueChild: Expression,
+    indexChild: Expression,
+    welch: Boolean,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TTestBuf] with BinaryLike[Expression] {
+
+  override def left: Expression = valueChild
+  override def right: Expression = indexChild
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (valueChild.dataType, indexChild.dataType) match {
+      case (LongType | IntegerType | ShortType | DoubleType | FloatType,
+            LongType | IntegerType | ShortType | BooleanType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (v, i) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName(value, index): numeric value + 0/1 index, " +
+          s"got (${v.simpleString}, ${i.simpleString})")
+    }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("t_statistic", DoubleType, nullable = true),
+    StructField("p_value", DoubleType, nullable = true)))
+  override def nullable: Boolean = false
+  override def createAggregationBuffer(): TTestBuf = new TTestBuf
+
+  private def numV(row: InternalRow): Option[Double] = valueChild.eval(row) match {
+    case null => None
+    case d: Double => Some(d)
+    case f: Float => Some(f.toDouble)
+    case l: Long => Some(l.toDouble)
+    case i: Int => Some(i.toDouble)
+    case s: Short => Some(s.toDouble)
+  }
+  private def groupOf(row: InternalRow): Option[Int] = indexChild.eval(row) match {
+    case null => None
+    case b: Boolean => Some(if (b) 1 else 0)
+    case l: Long => Some(if (l != 0) 1 else 0)
+    case i: Int => Some(if (i != 0) 1 else 0)
+    case s: Short => Some(if (s != 0) 1 else 0)
+  }
+
+  override def update(buf: TTestBuf, row: InternalRow): TTestBuf = {
+    for (v <- numV(row); g <- groupOf(row)) buf.add(g, v)
+    buf
+  }
+  override def merge(buf: TTestBuf, o: TTestBuf): TTestBuf = { buf.mergeFrom(o); buf }
+
+  override def eval(buf: TTestBuf): Any = {
+    val n0 = buf.n(0).toDouble; val n1 = buf.n(1).toDouble
+    if (n0 < 2 || n1 < 2) return InternalRow(null, null)
+    val diff = buf.mean(0) - buf.mean(1)
+    val (t, df) =
+      if (welch) {
+        val v0 = buf.m2(0) / (n0 - 1); val v1 = buf.m2(1) / (n1 - 1)
+        val se0 = v0 / n0; val se1 = v1 / n1
+        val tt = diff / math.sqrt(se0 + se1)
+        val dd = (se0 + se1) * (se0 + se1) /
+          (se0 * se0 / (n0 - 1) + se1 * se1 / (n1 - 1))
+        (tt, dd)
+      } else {
+        val s2p = (buf.m2(0) + buf.m2(1)) / (n0 + n1 - 2)
+        (diff / math.sqrt(s2p * (1 / n0 + 1 / n1)), n0 + n1 - 2)
+      }
+    InternalRow(t, StatMath.studentP(t, df))
+  }
+
+  override def serialize(buf: TTestBuf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(48)
+    var g = 0
+    while (g < 2) {
+      bb.putLong(buf.n(g)); bb.putDouble(buf.mean(g)); bb.putDouble(buf.m2(g))
+      g += 1
+    }
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): TTestBuf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new TTestBuf
+    var g = 0
+    while (g < 2) {
+      buf.n(g) = bb.getLong; buf.mean(g) = bb.getDouble; buf.m2(g) = bb.getDouble
+      g += 1
+    }
+    buf
+  }
+  override def withNewMutableAggBufferOffset(o: Int): TTestAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TTestAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TTestAgg =
+    copy(valueChild = l, indexChild = r)
+  override def prettyName: String = if (welch) "welchTTest" else "studentTTest"
+}
+
+/** CH `mannWhitneyUTest(value, index)`: rank-sum U (reported for the
+  * smaller side: U = min(U0, U1)) with the tie-corrected normal
+  * approximation and continuity correction for the p-value. Collects the
+  * group's pairs (rank transforms are per-group-global, like rankCorr). */
+case class MannWhitneyAgg(
+    valueChild: Expression,
+    indexChild: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[PairListBuf] with BinaryLike[Expression]
+  with PairCollecting {
+
+  override def left: Expression = valueChild
+  override def right: Expression = indexChild
+  override protected def aChild: Expression = valueChild
+  override protected def bChild: Expression = indexChild
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("u_statistic", DoubleType, nullable = true),
+    StructField("p_value", DoubleType, nullable = true)))
+  override def nullable: Boolean = false
+
+  override def eval(buf: PairListBuf): Any = {
+    val pairs = buf.buf.toArray.sortBy(_._1)
+    val n = pairs.length
+    val n1 = pairs.count(_._2 != 0d).toDouble
+    val n0 = n - n1
+    if (n0 < 1 || n1 < 1) return InternalRow(null, null)
+    // average ranks + tie runs in one sorted pass
+    var r0 = 0d // rank sum of group 0
+    var tieTerm = 0d // Σ (t³ − t)
+    var i = 0
+    while (i < n) {
+      var j = i
+      while (j + 1 < n && pairs(j + 1)._1 == pairs(i)._1) j += 1
+      val run = (j - i + 1).toDouble
+      val avgRank = (i + j + 2) / 2.0
+      if (run > 1) tieTerm += run * run * run - run
+      var k = i
+      while (k <= j) {
+        if (pairs(k)._2 == 0d) r0 += avgRank
+        k += 1
+      }
+      i = j + 1
+    }
+    val u0 = r0 - n0 * (n0 + 1) / 2
+    val u1 = n0 * n1 - u0
+    val u = math.min(u0, u1)
+    val mu = n0 * n1 / 2
+    val nn = n.toDouble
+    val sigma2 = n0 * n1 / 12 * ((nn + 1) - tieTerm / (nn * (nn - 1)))
+    if (sigma2 <= 0) return InternalRow(u, null)
+    val z = (u - mu + 0.5) / math.sqrt(sigma2) // continuity toward the mean
+    InternalRow(u, StatMath.normalTwoSidedP(z))
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): MannWhitneyAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MannWhitneyAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MannWhitneyAgg =
+    copy(valueChild = l, indexChild = r)
+  override def prettyName: String = "mannWhitneyUTest"
 }

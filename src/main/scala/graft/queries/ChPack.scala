@@ -930,6 +930,22 @@ object ChPack {
           |ORDER BY event_id""".stripMargin)
     },
 
+    // The CH two-sample test family: Student / Welch t statistics and the
+    // tie-corrected Mann-Whitney U over the even/odd user cohorts —
+    // Welford O(1) state for the t-tests, rank collection for U; the
+    // statistics mirror in DuckDB aggregate/window SQL (p-values have no
+    // DuckDB special functions and are spec-pinned instead).
+    "q147_two_sample_tests" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).events.createOrReplaceTempView("graft_tt_events")
+      s.sql(
+        """SELECT round(studentTTest(value, user_id % 2).t_statistic, 6) AS st_t,
+          |       round(welchTTest(value, user_id % 2).t_statistic, 6) AS wt_t,
+          |       round(mannWhitneyUTest(value, user_id % 2).u_statistic, 1) AS mw_u,
+          |       count(*) AS n
+          |FROM graft_tt_events""".stripMargin)
+    },
+
     // The full CH bitmap algebra beyond and/or (xor/andnot +
     // cardinalities, membership predicates, array round-trip, extrema,
     // subset slicing, bitmapBuild) in one verbatim-SQL battery over
@@ -1549,6 +1565,36 @@ object ChPack {
         |  ROUND(regr_slope(y, qd), 6) AS slr_k,
         |  ROUND(regr_intercept(y, qd), 6) AS slr_b
         |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // pooled/Welch t from FILTER aggregates; U from tie-averaged ranks
+    "q147_two_sample_tests" ->
+      """WITH s AS (
+        |  SELECT AVG(value) FILTER (user_id % 2 = 0) m0,
+        |         AVG(value) FILTER (user_id % 2 = 1) m1,
+        |         VAR_SAMP(value) FILTER (user_id % 2 = 0) v0,
+        |         VAR_SAMP(value) FILTER (user_id % 2 = 1) v1,
+        |         CAST(COUNT(*) FILTER (user_id % 2 = 0) AS DOUBLE) n0,
+        |         CAST(COUNT(*) FILTER (user_id % 2 = 1) AS DOUBLE) n1,
+        |         COUNT(*) n
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id % 2 g,
+        |         RANK() OVER (ORDER BY value)
+        |           + (COUNT(*) OVER (PARTITION BY value) - 1) / 2.0 rk
+        |  FROM events),
+        |u AS (
+        |  SELECT SUM(rk) FILTER (g = 0) r0,
+        |         CAST(COUNT(*) FILTER (g = 0) AS DOUBLE) n0,
+        |         CAST(COUNT(*) FILTER (g = 1) AS DOUBLE) n1
+        |  FROM r)
+        |SELECT
+        |  ROUND((s.m0 - s.m1) / SQRT(((s.n0 - 1) * s.v0 + (s.n1 - 1) * s.v1)
+        |        / (s.n0 + s.n1 - 2) * (1 / s.n0 + 1 / s.n1)), 6) AS st_t,
+        |  ROUND((s.m0 - s.m1) / SQRT(s.v0 / s.n0 + s.v1 / s.n1), 6) AS wt_t,
+        |  ROUND(LEAST(u.r0 - u.n0 * (u.n0 + 1) / 2,
+        |              u.n0 * u.n1 - (u.r0 - u.n0 * (u.n0 + 1) / 2)), 1) AS mw_u,
+        |  s.n AS n
+        |FROM s CROSS JOIN u""".stripMargin,
 
     // the same haversine spelled in SQL; geohash-9 cell centers collapse
     // to the source coordinate at 2 decimals; display pins are literals

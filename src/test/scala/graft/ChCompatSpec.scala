@@ -976,6 +976,43 @@ class ChCompatSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)
   }
 
+  test("two-sample tests: t statistics, closed-form and integrated p-values") {
+    ChCompat.register(spark)
+    import spark.implicits._
+    // g0 = {1, 2}, g1 = {3, 5}: t = −2.2360680, df = 2 → closed-form
+    // p = 1 − |t|/√(2+t²) = 0.1548457; Welch df = 1.4705882 → numerically
+    // integrated p = 0.1987274 (Simpson over the t density, independent
+    // of the expression's incomplete-beta path)
+    Seq((1.0, 0), (2.0, 0), (3.0, 1), (5.0, 1)).toDF("v", "g")
+      .createOrReplaceTempView("graft_tt_small")
+    val r = spark.sql(
+      """SELECT studentTTest(v, g).t_statistic st, studentTTest(v, g).p_value sp,
+        |       welchTTest(v, g).t_statistic wt, welchTTest(v, g).p_value wp
+        |FROM graft_tt_small""".stripMargin).head()
+    assert(math.abs(r.getDouble(0) - (-2.23606797749979)) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 0.15484574527148343) < 1e-10)
+    assert(math.abs(r.getDouble(2) - (-2.23606797749979)) < 1e-12)
+    assert(math.abs(r.getDouble(3) - 0.19872738893552322) < 1e-7)
+    // Mann-Whitney: disjoint {1,2,3} vs {4,5,6} → U = 0, z = −1.7457431,
+    // p = erfc(|z|/√2) = 0.0808556 (hand-computed)
+    Seq((1.0, 0), (2.0, 0), (3.0, 0), (4.0, 1), (5.0, 1), (6.0, 1))
+      .toDF("v", "g").createOrReplaceTempView("graft_mw_small")
+    val m = spark.sql(
+      """SELECT mannWhitneyUTest(v, g).u_statistic u,
+        |       mannWhitneyUTest(v, g).p_value p FROM graft_mw_small""".stripMargin).head()
+    assert(m.getDouble(0) == 0.0)
+    assert(math.abs(m.getDouble(1) - 0.0808555983700523) < 1e-6)
+    // parallelism invariance: Welford merge must be exact
+    val big = (1 to 2000).map(i => (math.sin(i).abs * 10, i % 2))
+    def tAt(parts: Int) = big.toDF("v", "g").repartition(parts)
+      .selectExpr("studentTTest(v, g).t_statistic t").head().getDouble(0)
+    assert(math.abs(tAt(1) - tAt(17)) < 1e-9)
+    // degenerate: one group absent → null result
+    Seq((1.0, 0), (2.0, 0)).toDF("v", "g").createOrReplaceTempView("graft_tt_one")
+    assert(spark.sql("SELECT studentTTest(v, g).t_statistic t FROM graft_tt_one")
+      .head().isNullAt(0))
+  }
+
   test("geo + format scalars: haversine, geohash vectors, polygon, bar") {
     ChCompat.register(spark)
     def row(expr: String) = spark.sql(s"SELECT $expr AS v").head()

@@ -327,7 +327,9 @@ class PlanSpec extends SparkSpec {
     // q145: per-row date scalars, one global sort
     "q145_date_helpers" -> 1,
     // q146: per-row geo/format scalars, one global sort
-    "q146_geo_format" -> 1)
+    "q146_geo_format" -> 1,
+    // q147: one global two-sample aggregate (partial → final)
+    "q147_two_sample_tests" -> 1)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)
