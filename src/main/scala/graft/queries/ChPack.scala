@@ -946,6 +946,27 @@ object ChPack {
           |FROM graft_tt_events""".stripMargin)
     },
 
+    // CH sequence aggregates: time-weighted exponentialMovingAverage
+    // (deterministic ts-sorted weighting) and the maxIntersections sweep
+    // over half-open intervals — both mirrored by explicit DuckDB
+    // aggregate/window SQL. (groupArrayMovingSum/Avg carry CH's
+    // arrival-order caveat and stay spec-pinned on one partition.)
+    "q148_sequence_aggs" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).events.createOrReplaceTempView("graft_sq_events")
+      s.sql(
+        """SELECT event_type,
+          |       round(exponentialMovingAverage(value,
+          |               toUnixTimestamp(ts), 3600.0D), 6) AS ema,
+          |       maxIntersections(user_id % 1000,
+          |                        user_id % 1000 + event_id % 20) AS mx,
+          |       maxIntersectionsPosition(user_id % 1000,
+          |                                user_id % 1000 + event_id % 20) AS mx_pos
+          |FROM graft_sq_events
+          |GROUP BY event_type
+          |ORDER BY event_type""".stripMargin)
+    },
+
     // The full CH bitmap algebra beyond and/or (xor/andnot +
     // cardinalities, membership predicates, array round-trip, extrema,
     // subset slicing, bitmapBuild) in one verbatim-SQL battery over
@@ -1566,6 +1587,44 @@ object ChPack {
         |  ROUND(regr_intercept(y, qd), 6) AS slr_b
         |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    // EMA = Σ x·2^((t−t_max)/hl) / Σ 2^((t−t_max)/hl); sweep = +1/−1
+    // boundary deltas, ends before starts at the same point, max prefix
+    "q148_sequence_aggs" ->
+      """WITH e AS (
+        |  SELECT event_type, value, CAST(FLOOR(epoch(ts)) AS BIGINT) t,
+        |         user_id % 1000 s, user_id % 1000 + event_id % 20 en
+        |  FROM events),
+        |ema AS (
+        |  SELECT e.event_type,
+        |         SUM(e.value * POW(2, (e.t - m.tmax) / 3600.0))
+        |           / SUM(POW(2, (e.t - m.tmax) / 3600.0)) r
+        |  FROM e JOIN (SELECT event_type, MAX(t) tmax FROM e GROUP BY event_type) m
+        |    ON e.event_type = m.event_type
+        |  GROUP BY e.event_type),
+        |b AS (
+        |  SELECT event_type, s AS p, 1 AS d FROM e WHERE s < en
+        |  UNION ALL
+        |  SELECT event_type, en AS p, -1 AS d FROM e WHERE s < en),
+        |sweep AS (
+        |  SELECT event_type, p,
+        |         SUM(SUM(d)) OVER (PARTITION BY event_type ORDER BY p) depth
+        |  FROM b GROUP BY event_type, p),
+        |mx AS (
+        |  SELECT event_type, MAX(depth) m FROM sweep GROUP BY event_type),
+        |pos AS (
+        |  SELECT sweep.event_type, MIN(p) mp
+        |  FROM sweep JOIN mx ON sweep.event_type = mx.event_type
+        |             AND sweep.depth = mx.m
+        |  GROUP BY sweep.event_type)
+        |SELECT ema.event_type,
+        |       ROUND(ema.r, 6) AS ema,
+        |       mx.m AS mx,
+        |       pos.mp AS mx_pos
+        |FROM ema
+        |JOIN mx ON ema.event_type = mx.event_type
+        |JOIN pos ON ema.event_type = pos.event_type
+        |ORDER BY ema.event_type""".stripMargin,
+
     // pooled/Welch t from FILTER aggregates; U from tie-averaged ranks
     "q147_two_sample_tests" ->
       """WITH s AS (
@@ -1625,17 +1684,17 @@ object ChPack {
     // epoch arithmetic, strftime names, and position scans per helper
     "q145_date_helpers" ->
       """SELECT event_id,
-        |  make_timestamp((epoch(ts)::BIGINT // 1800 * 1800) * 1000000) AS slot,
-        |  ((epoch(ts)::BIGINT + 3600) // 1800 - epoch(ts)::BIGINT // 1800 + 1) AS nslots,
-        |  epoch(ts)::BIGINT // 3600 AS rel_hour,
+        |  make_timestamp((CAST(FLOOR(epoch(ts)) AS BIGINT) // 1800 * 1800) * 1000000) AS slot,
+        |  ((CAST(FLOOR(epoch(ts)) AS BIGINT) + 3600) // 1800 - CAST(FLOOR(epoch(ts)) AS BIGINT) // 1800 + 1) AS nslots,
+        |  CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS rel_hour,
         |  datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS rel_day,
         |  year(ts) * 12 + month(ts) AS rel_month,
         |  datediff('day', DATE '1858-11-17', CAST(ts AS DATE)) AS mjd,
         |  CAST(ts AS DATE) AS mjd_rt,
         |  strftime(ts, '%B') AS mname,
         |  strftime(ts, '%A') AS wname,
-        |  (epoch(ts)::BIGINT - epoch(TIMESTAMP '2024-01-01 00:00:00')::BIGINT) // 3600 AS age_h,
-        |  (epoch(ts)::BIGINT - epoch(TIMESTAMP '2024-01-01 00:00:00')::BIGINT) // 86400 AS age_d,
+        |  (CAST(FLOOR(epoch(ts)) AS BIGINT) - epoch(TIMESTAMP '2024-01-01 00:00:00')::BIGINT) // 3600 AS age_h,
+        |  (CAST(FLOOR(epoch(ts)) AS BIGINT) - epoch(TIMESTAMP '2024-01-01 00:00:00')::BIGINT) // 86400 AS age_d,
         |  CASE event_type WHEN 'view' THEN 'V' WHEN 'purchase' THEN 'P'
         |       ELSE '?' END AS tcode,
         |  array_to_string([position('ie' IN event_type),

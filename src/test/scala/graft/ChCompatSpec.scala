@@ -976,6 +976,44 @@ class ChCompatSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)
   }
 
+  test("sequence aggregates: moving sums, EMA weighting, intersections sweep") {
+    ChCompat.register(spark)
+    import spark.implicits._
+    // moving sums carry CH's arrival-order contract — pin on 1 partition
+    Seq(1L, 2L, 3L, 4L).toDF("v").repartition(1)
+      .createOrReplaceTempView("graft_mv_one")
+    val mv = spark.sql(
+      """SELECT concat_ws(',', groupArrayMovingSum(v)) run,
+        |       concat_ws(',', groupArrayMovingSum(v, 2)) win,
+        |       concat_ws(',', groupArrayMovingAvg(v, 2)) avg
+        |FROM graft_mv_one""".stripMargin).head()
+    assert(mv.getString(0) == "1,3,6,10")
+    assert(mv.getString(1) == "1,3,5,7")
+    assert(mv.getString(2) == "0.5,1.5,2.5,3.5", "CH divides by window size, not count")
+    // EMA: latest point weight 1, one halflife back weight 1/2
+    Seq((0L, 10.0), (10L, 20.0)).toDF("t", "v")
+      .createOrReplaceTempView("graft_ema2")
+    val e = spark.sql(
+      "SELECT exponentialMovingAverage(v, t, 10.0D) e FROM graft_ema2").head().getDouble(0)
+    assert(math.abs(e - (20.0 * 1 + 10.0 * 0.5) / 1.5) < 1e-12)
+    // partitioning invariance (ts-sorted eval)
+    val pts = (1 to 500).map(i => (i.toLong, (i % 13).toDouble))
+    def emaAt(parts: Int) = pts.toDF("t", "v").repartition(parts)
+      .selectExpr("exponentialMovingAverage(v, t, 50.0D) e").head().getDouble(0)
+    assert(emaAt(1) == emaAt(11))
+    // sweep: [1,5) [2,6) [4,7) overlap 3 starting at 4; touching ends
+    // don't overlap ([1,2) + [2,3))
+    Seq((1L, 5L), (2L, 6L), (4L, 7L)).toDF("s", "e")
+      .createOrReplaceTempView("graft_mi3")
+    val mi = spark.sql(
+      """SELECT maxIntersections(s, e) m, maxIntersectionsPosition(s, e) p
+        |FROM graft_mi3""".stripMargin).head()
+    assert(mi.getLong(0) == 3L && mi.getLong(1) == 4L)
+    Seq((1L, 2L), (2L, 3L)).toDF("s", "e").createOrReplaceTempView("graft_mi_touch")
+    assert(spark.sql("SELECT maxIntersections(s, e) m FROM graft_mi_touch")
+      .head().getLong(0) == 1L)
+  }
+
   test("two-sample tests: t statistics, closed-form and integrated p-values") {
     ChCompat.register(spark)
     import spark.implicits._

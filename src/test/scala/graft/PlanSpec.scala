@@ -329,7 +329,9 @@ class PlanSpec extends SparkSpec {
     // q146: per-row geo/format scalars, one global sort
     "q146_geo_format" -> 1,
     // q147: one global two-sample aggregate (partial → final)
-    "q147_two_sample_tests" -> 1)
+    "q147_two_sample_tests" -> 1,
+    // q148: one object-hash group agg + final sort
+    "q148_sequence_aggs" -> 2)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)
