@@ -967,6 +967,27 @@ object ChPack {
           |ORDER BY event_type""".stripMargin)
     },
 
+    // CH sketch/display aggregates under exact regimes: uniqTheta (theta
+    // sketch — exact below its 4096 nominal entries; 150/1500 distinct
+    // here), anyHeavy (Boyer-Moore — guaranteed at the planted 2/3
+    // majority), histogram (adaptive centroids — exact when distinct ≤
+    // bins), sparkbar over a full residue domain.
+    "q149_sketch_aggs" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).events.createOrReplaceTempView("graft_sk_events")
+      s.sql(
+        """SELECT event_type,
+          |       uniqTheta(user_id) AS ut,
+          |       anyHeavy(CASE WHEN event_id % 3 < 2 THEN 'M'
+          |                     ELSE concat('x', event_id) END) AS heavy,
+          |       concat_ws(';', transform(histogram(CAST(user_id % 4 AS DOUBLE), 8),
+          |                b -> concat(b.lower, ':', b.upper, ':', b.height))) AS hist,
+          |       sparkbar(CAST(user_id % 8 AS DOUBLE), 1.0D, 8) AS bar
+          |FROM graft_sk_events
+          |GROUP BY event_type
+          |ORDER BY event_type""".stripMargin)
+    },
+
     // The full CH bitmap algebra beyond and/or (xor/andnot +
     // cardinalities, membership predicates, array round-trip, extrema,
     // subset slicing, bitmapBuild) in one verbatim-SQL battery over
@@ -1586,6 +1607,46 @@ object ChPack {
         |  ROUND(regr_slope(y, qd), 6) AS slr_k,
         |  ROUND(regr_intercept(y, qd), 6) AS slr_b
         |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // exact mirrors: COUNT DISTINCT, the planted majority literal,
+    // midpoint bins from per-value counts, level chars from bucket ratios
+    "q149_sketch_aggs" ->
+      """WITH hc AS (
+        |  SELECT event_type, CAST(user_id % 4 AS DOUBLE) v,
+        |         CAST(COUNT(*) AS DOUBLE) cnt
+        |  FROM events GROUP BY 1, 2),
+        |hist0 AS (
+        |  SELECT event_type, v, cnt,
+        |         COALESCE((LAG(v) OVER w + v) / 2,
+        |                  MIN(v) OVER (PARTITION BY event_type)) lo,
+        |         COALESCE((LEAD(v) OVER w + v) / 2,
+        |                  MAX(v) OVER (PARTITION BY event_type)) hi
+        |  FROM hc
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY v)),
+        |hist AS (
+        |  SELECT event_type,
+        |         STRING_AGG(CAST(lo AS VARCHAR) || ':' || CAST(hi AS VARCHAR)
+        |           || ':' || CAST(cnt AS VARCHAR), ';' ORDER BY v) h
+        |  FROM hist0 GROUP BY event_type),
+        |bc AS (
+        |  SELECT event_type, user_id % 8 r, CAST(COUNT(*) AS DOUBLE) y
+        |  FROM events GROUP BY 1, 2),
+        |bc2 AS (
+        |  SELECT event_type, r,
+        |         (['▁','▂','▃','▄','▅','▆','▇','█'])[
+        |           CAST(CEIL(y / MAX(y) OVER (PARTITION BY event_type) * 8) AS INT)] ch
+        |  FROM bc),
+        |bars AS (
+        |  SELECT event_type, STRING_AGG(ch, '' ORDER BY r) b
+        |  FROM bc2 GROUP BY event_type),
+        |agg AS (
+        |  SELECT event_type, COUNT(DISTINCT user_id) ut
+        |  FROM events GROUP BY event_type)
+        |SELECT agg.event_type, agg.ut, 'M' AS heavy, hist.h AS hist, bars.b AS bar
+        |FROM agg
+        |JOIN hist ON agg.event_type = hist.event_type
+        |JOIN bars ON agg.event_type = bars.event_type
+        |ORDER BY agg.event_type""".stripMargin,
 
     // EMA = Σ x·2^((t−t_max)/hl) / Σ 2^((t−t_max)/hl); sweep = +1/−1
     // boundary deltas, ends before starts at the same point, max prefix

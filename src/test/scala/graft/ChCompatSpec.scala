@@ -976,6 +976,53 @@ class ChCompatSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)
   }
 
+  test("sketch aggregates: histogram, sparkbar, LTTB, anyHeavy, uniqTheta") {
+    ChCompat.register(spark)
+    import spark.implicits._
+    // exact regime: distinct ≤ bins → heights are exact counts
+    Seq(1.0, 1.0, 2.0, 3.0, 3.0, 3.0).toDF("v").createOrReplaceTempView("graft_hg_small")
+    val h = spark.sql(
+      """SELECT concat_ws(';', transform(histogram(v, 5),
+        |         b -> concat(b.lower, ':', b.upper, ':', b.height))) s
+        |FROM graft_hg_small""".stripMargin).head().getString(0)
+    assert(h == "1.0:1.5:2.0;1.5:2.5:1.0;2.5:3.0:3.0")
+    // adaptive regime invariants: ≤ nbins bins, Σheight = rows, range kept
+    val many = (1 to 5000).map(i => math.sin(i) * 100)
+    many.toDF("v").repartition(13).createOrReplaceTempView("graft_hg_big")
+    val bins = spark.sql("SELECT histogram(v, 10) h FROM graft_hg_big")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(bins.length <= 10)
+    assert(math.abs(bins.map(_.getDouble(2)).sum - 5000.0) < 1e-6)
+    assert(bins.head.getDouble(0) == many.min && bins.last.getDouble(1) == many.max)
+    // sparkbar: two equal + one half bucket
+    Seq((0.0, 4.0), (1.0, 2.0), (2.0, 4.0)).toDF("x", "y")
+      .createOrReplaceTempView("graft_sb3")
+    assert(spark.sql("SELECT sparkbar(x, y, 3) b FROM graft_sb3")
+      .head().getString(0) == "█▄█")
+    // LTTB: picks the max-area middle point, keeps endpoints
+    Seq((0.0, 0.0), (1.0, 5.0), (2.0, 1.0), (3.0, 4.0), (4.0, 0.0))
+      .toDF("x", "y").createOrReplaceTempView("graft_lt5")
+    val lt = spark.sql(
+      """SELECT concat_ws(';', transform(largestTriangleThreeBuckets(x, y, 3),
+        |         p -> concat(p.x, ',', p.y))) s FROM graft_lt5""".stripMargin)
+      .head().getString(0)
+    assert(lt == "0.0,0.0;1.0,5.0;4.0,0.0")
+    assert(spark.sql(
+      "SELECT size(largestTriangleThreeBuckets(x, y, 10)) n FROM graft_lt5")
+      .head().getInt(0) == 5, "n beyond input size returns all points")
+    // anyHeavy: planted 2/3 majority survives any partitioning
+    val maj = (1 to 900).map(i => if (i % 3 < 2) "M" else s"x$i")
+    def heavyAt(parts: Int) = maj.toDF("v").repartition(parts)
+      .selectExpr("anyHeavy(v) h").head().getString(0)
+    assert(heavyAt(1) == "M" && heavyAt(17) == "M")
+    // uniqTheta: exact below nominal entries; close above
+    assert(spark.range(0, 3000).selectExpr("uniqTheta(id % 1000) u")
+      .head().getLong(0) == 1000L)
+    val est = spark.range(0, 200000).repartition(16)
+      .selectExpr("uniqTheta(id) u").head().getLong(0)
+    assert(math.abs(est - 200000.0) / 200000.0 < 0.05)
+  }
+
   test("sequence aggregates: moving sums, EMA weighting, intersections sweep") {
     ChCompat.register(spark)
     import spark.implicits._

@@ -331,7 +331,9 @@ class PlanSpec extends SparkSpec {
     // q147: one global two-sample aggregate (partial → final)
     "q147_two_sample_tests" -> 1,
     // q148: one object-hash group agg + final sort
-    "q148_sequence_aggs" -> 2)
+    "q148_sequence_aggs" -> 2,
+    // q149: one object-hash group agg + final sort
+    "q149_sketch_aggs" -> 2)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)
