@@ -786,6 +786,125 @@ object ChCompat {
       val n = UnresolvedNamedLambdaVariable(Seq("__msa_n"))
       ArrayExists(es(1), LambdaFunction(Contains(es(0), n), Seq(n)))
     }
+    // ---- CH Map-type functions (Spark MapType carries them natively) --
+    f("mapFromArrays") { es => MapFromArrays(es(0), es(1)) }
+    f("mapKeys") { es => MapKeys(es.head) }
+    f("mapValues") { es => MapValues(es.head) }
+    f("mapContains") { es => ArrayContains(MapKeys(es(0)), es(1)) }
+    f("mapAdd") { es => es.reduceLeft(MapArithExpr(_, _, add = true)) }
+    f("mapSubtract") { es => es.reduceLeft(MapArithExpr(_, _, add = false)) }
+    f("mapPopulateSeries") { es =>
+      MapPopulateExpr(es.head, if (es.length >= 2) Some(es(1)) else None)
+    }
+    // ---- date completions ---------------------------------------------
+    // CH toTime: keep the time of day, pin the date to 1970-01-02
+    f("toTime") { es =>
+      Cast(SecondsToTimestamp(Add(
+        Pmod(Cast(Cast(es.head, TimestampType), LongType), Literal(86400L)),
+        Literal(86400L))), TimestampNTZType)
+    }
+    f("toISOWeek") { es => WeekOfYear(es.head) }
+    // ISO year = calendar year of the ISO week's Thursday
+    f("toISOYear") { es =>
+      val d = Cast(es.head, DateType)
+      Year(DateAdd(d, Subtract(Literal(4), Add(WeekDay(d), Literal(1)))))
+    }
+    f("toLastDayOfMonth") { es => LastDay(es.head) }
+    // toStartOfInterval(t, INTERVAL n unit): day-time intervals truncate
+    // on the epoch-micros grid; year-month intervals on the month grid
+    f("toStartOfInterval") { es =>
+      // interval literals carry micros (day-time) / months (year-month)
+      // internally — read the foldable value, not a unit-dependent cast
+      require(es(1).foldable, "toStartOfInterval: INTERVAL literal required")
+      (es(1).dataType, es(1).eval()) match {
+        case (_: DayTimeIntervalType, us: java.lang.Long) =>
+          val ivSec = math.max(1L, us.longValue() / 1000000L)
+          val sec = Cast(Cast(es.head, TimestampType), LongType)
+          Cast(SecondsToTimestamp(Multiply(
+            IntegralDivide(sec, Literal(ivSec)), Literal(ivSec))), TimestampNTZType)
+        case (_: YearMonthIntervalType, months: java.lang.Integer) =>
+          val n = math.max(1, months.intValue())
+          val m0 = Add(Multiply(Year(es.head), Literal(12L)),
+            Subtract(Cast(Month(es.head), LongType), Literal(1L)))
+          val mt = Multiply(IntegralDivide(m0, Literal(n.toLong)), Literal(n.toLong))
+          Cast(MakeDate(Cast(IntegralDivide(mt, Literal(12L)), IntegerType),
+            Cast(Add(Pmod(mt, Literal(12L)), Literal(1L)), IntegerType),
+            Literal(1)), TimestampNTZType)
+        case (other, _) => throw new IllegalArgumentException(
+          s"toStartOfInterval: INTERVAL literal required, got ${other.simpleString}")
+      }
+    }
+    // parseDateTime with the CH/MySQL specifiers formatDateTime uses
+    f("parseDateTime") { es =>
+      val fmt = es(1) match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) => s.toString
+        case other => throw new IllegalArgumentException(
+          s"parseDateTime: format must be a string literal, got $other")
+      }
+      Cast(SecondsToTimestamp(UnixTimestamp(es.head,
+        Literal(ChCompat.chFormatToJava(fmt)))), TimestampNTZType)
+    }
+    // best-effort parse: ISO (native cast), slashed/dotted forms, bare
+    // unix seconds — first non-null wins, null if nothing fits
+    f("parseDateTimeBestEffort") { es =>
+      val s = es.head
+      def tryFmt(p: String): Expression =
+        SecondsToTimestamp(UnixTimestamp(s, Literal(p), None, failOnError = false))
+      Cast(Coalesce(Seq(
+        Cast(s, TimestampType, None, EvalMode.TRY),
+        tryFmt("yyyy/MM/dd HH:mm:ss"),
+        tryFmt("yyyy/MM/dd"),
+        tryFmt("dd.MM.yyyy HH:mm:ss"),
+        tryFmt("dd.MM.yyyy"),
+        If(RLike(s, Literal("^\\d{9,10}$")),
+          SecondsToTimestamp(Cast(s, LongType)), Literal(null, TimestampType))
+      )), TimestampNTZType)
+    }
+    f("fromUnixTimestamp") { es =>
+      if (es.length == 1) Cast(SecondsToTimestamp(es.head), TimestampNTZType)
+      else {
+        val fmt = es(1) match {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) => s.toString
+          case other => throw new IllegalArgumentException(
+            s"fromUnixTimestamp: format must be a string literal, got $other")
+        }
+        DateFormatClass(SecondsToTimestamp(es.head),
+          Literal(ChCompat.chFormatToJava(fmt)))
+      }
+    }
+    // CH dateTrunc spelling of date_trunc (unit first, like Spark)
+    f("dateTrunc") { es => TruncTimestamp(es(0), es(1)) }
+    // ---- misc aggregates / aliases ------------------------------------
+    // exactly one distinct value → that value, else NULL
+    f("singleValueOrNull") { es =>
+      If(EqualTo(Count(Seq(es.head)).toAggregateExpression(isDistinct = true),
+        Literal(1L)), Min(es.head).toAggregateExpression(), Literal(null, NullType))
+    }
+    // CH groupConcat / arrayStringConcat-over-groupArray shorthand
+    // (arrival order, like CH without ORDER BY)
+    f("groupConcat") { es =>
+      val sep = if (es.length >= 2) es(1) else Literal("")
+      ArrayJoin(CollectList(es.head).toAggregateExpression(), sep, None)
+    }
+    // CH window-frame spellings of lag/lead
+    f("lagInFrame") { es =>
+      new Lag(es(0), if (es.length >= 2) es(1) else Literal(1),
+        if (es.length >= 3) es(2) else Literal(null), false)
+    }
+    f("leadInFrame") { es =>
+      new Lead(es(0), if (es.length >= 2) es(1) else Literal(1),
+        if (es.length >= 3) es(2) else Literal(null), false)
+    }
+    // typed empty-array constructors
+    for ((n, t) <- Seq(
+        "emptyArrayUInt8" -> LongType, "emptyArrayUInt16" -> LongType,
+        "emptyArrayUInt32" -> LongType, "emptyArrayUInt64" -> LongType,
+        "emptyArrayInt8" -> LongType, "emptyArrayInt16" -> LongType,
+        "emptyArrayInt32" -> LongType, "emptyArrayInt64" -> LongType,
+        "emptyArrayFloat32" -> DoubleType, "emptyArrayFloat64" -> DoubleType,
+        "emptyArrayString" -> StringType, "emptyArrayDate" -> DateType,
+        "emptyArrayDateTime" -> TimestampNTZType))
+      f(n) { _ => Literal.create(Array.empty[Any], ArrayType(t)) }
     // multiIf(c1,v1, c2,v2, ..., else) — CH's flat CASE form
     f("multiIf") { es =>
       require(es.length >= 3 && es.length % 2 == 1,
@@ -1481,4 +1600,144 @@ case class ArrayAucExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayAucExpr =
     copy(left = l, right = r)
   override def prettyName: String = "arrayAUC"
+}
+
+/** CH `mapAdd` / `mapSubtract` over Spark maps: per-key numeric
+  * combination, sorted-key output (bit-deterministic). */
+case class MapArithExpr(left: Expression, right: Expression, add: Boolean)
+  extends Expression with BinaryLike[Expression] with CodegenFallback {
+
+  private def mt: MapType = left.dataType.asInstanceOf[MapType]
+  override def dataType: DataType = left.dataType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (MapType(k1, v1, _), MapType(k2, v2, _))
+        if k1 == k2 && v1 == v2 && (v1 match {
+          case LongType | IntegerType | ShortType | DoubleType | FloatType => true
+          case _ => false
+        }) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (a, b) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: same-typed numeric maps required, got " +
+          s"(${a.simpleString}, ${b.simpleString})")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val l = left.eval(input)
+    val r = right.eval(input)
+    if (l == null || r == null) return null
+    val kt = mt.keyType
+    val vt = mt.valueType
+    val acc = scala.collection.mutable.LinkedHashMap.empty[Any, Double]
+    def ingest(m: Any, sign: Double): Unit = {
+      val md = m.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+      val ks = md.keyArray(); val vs = md.valueArray()
+      var i = 0
+      while (i < md.numElements()) {
+        val k = ks.get(i, kt) match {
+          case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
+          case other => other
+        }
+        val v = vs.get(i, vt) match {
+          case d: java.lang.Double => d.doubleValue()
+          case f: java.lang.Float => f.toDouble
+          case l: java.lang.Long => l.toDouble
+          case n: java.lang.Integer => n.toDouble
+          case s: java.lang.Short => s.toDouble
+        }
+        acc.update(k, acc.getOrElse(k, 0d) + sign * v)
+        i += 1
+      }
+    }
+    ingest(l, 1d)
+    ingest(r, if (add) 1d else -1d)
+    val sorted = kt match {
+      case StringType => acc.toSeq.sortBy(_._1.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+      case LongType => acc.toSeq.sortBy(_._1.asInstanceOf[Long])
+      case IntegerType => acc.toSeq.sortBy(_._1.asInstanceOf[Int])
+      case _ => acc.toSeq
+    }
+    def back(v: Double): Any = vt match {
+      case DoubleType => v
+      case FloatType => v.toFloat
+      case LongType => v.toLong
+      case IntegerType => v.toInt
+      case ShortType => v.toShort
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(sorted.map(_._1).toArray),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(sorted.map(p => back(p._2)).toArray))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MapArithExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = if (add) "mapAdd" else "mapSubtract"
+}
+
+/** CH `mapPopulateSeries(m[, max])`: integer-keyed map densified from
+  * its min key (or 1) through max (default: the max key), gaps at 0. */
+case class MapPopulateExpr(child: Expression, maxChild: Option[Expression])
+  extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = child +: maxChild.toSeq
+  private def mt: MapType = child.dataType.asInstanceOf[MapType]
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case MapType(LongType | IntegerType, _, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"mapPopulateSeries: integer-keyed map required, got ${t.simpleString}")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val m = child.eval(input)
+    if (m == null) return null
+    val md = m.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+    val kt = mt.keyType
+    val vt = mt.valueType
+    val pairs = scala.collection.mutable.HashMap.empty[Long, Any]
+    val ks = md.keyArray(); val vs = md.valueArray()
+    var i = 0
+    while (i < md.numElements()) {
+      val k = ks.get(i, kt) match {
+        case l: java.lang.Long => l.longValue()
+        case n: java.lang.Integer => n.longValue()
+      }
+      pairs.update(k, vs.get(i, vt))
+      i += 1
+    }
+    if (pairs.isEmpty) return m
+    val lo = pairs.keys.min
+    val hi = maxChild.map(_.eval(input)) match {
+      case Some(l: java.lang.Long) => l.longValue()
+      case Some(n: java.lang.Integer) => n.longValue()
+      case _ => pairs.keys.max
+    }
+    val zero: Any = vt match {
+      case DoubleType => 0d
+      case FloatType => 0f
+      case LongType => 0L
+      case IntegerType => 0
+      case ShortType => 0.toShort
+      case _ => null
+    }
+    val keysOut = (lo to hi).toArray
+    def keyBack(k: Long): Any = kt match {
+      case LongType => k
+      case IntegerType => k.toInt
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        keysOut.map(keyBack).toArray[Any]),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        keysOut.map(k => pairs.getOrElse(k, zero)).toArray[Any]))
+  }
+
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): MapPopulateExpr =
+    copy(child = cs(0), maxChild = if (cs.length >= 2) Some(cs(1)) else None)
+  override def prettyName: String = "mapPopulateSeries"
 }

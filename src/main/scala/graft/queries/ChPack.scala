@@ -988,6 +988,47 @@ object ChPack {
           |ORDER BY event_type""".stripMargin)
     },
 
+    // CH Map functions (mapAdd/mapPopulateSeries/mapFromArrays over
+    // Spark's native MapType, sorted-key rendering) + the remaining date
+    // completions (toTime, ISO week/year, last day, toStartOfInterval on
+    // both interval kinds, parseDateTime [BestEffort], fromUnixTimestamp,
+    // dateTrunc spelling) and singleValueOrNull.
+    "q150_maps_dates" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).events.createOrReplaceTempView("graft_mp_events")
+      s.sql(
+        """WITH sv AS (
+          |  SELECT singleValueOrNull(CASE WHEN event_type = 'view'
+          |                                THEN event_type END) AS only_view,
+          |         singleValueOrNull(user_id % 2) AS mixed
+          |  FROM graft_mp_events)
+          |SELECT event_id,
+          |       concat_ws(',', transform(map_entries(
+          |         mapAdd(mapFromArrays(array(1L, 2L), array(event_id, user_id)),
+          |                mapFromArrays(array(2L, 3L), array(10L, 20L)))),
+          |         e -> concat(e.key, ':', e.value))) AS madd,
+          |       concat_ws(',', transform(map_entries(
+          |         mapPopulateSeries(mapFromArrays(array(1L, 4L),
+          |                                         array(event_id % 5, 7L)))),
+          |         e -> concat(e.key, ':', e.value))) AS mpop,
+          |       mapContains(mapFromArrays(array('a', 'b'), array(1, 2)), 'a') AS mhas,
+          |       CAST(toTime(ts) AS STRING) AS tt,
+          |       toISOWeek(ts) AS iw,
+          |       toISOYear(ts) AS iy,
+          |       CAST(toLastDayOfMonth(ts) AS STRING) AS ld,
+          |       CAST(toStartOfInterval(ts, INTERVAL 15 MINUTE) AS STRING) AS si15,
+          |       CAST(toStartOfInterval(ts, INTERVAL 2 MONTH) AS STRING) AS si2m,
+          |       CAST(parseDateTime('2024-03-05 10:20:30',
+          |                          '%Y-%m-%d %H:%i:%S') AS STRING) AS pdt,
+          |       CAST(parseDateTimeBestEffort('2024/03/05 10:20:30') AS STRING) AS pbe,
+          |       fromUnixTimestamp(1700000000, '%Y-%m-%d') AS fut,
+          |       CAST(dateTrunc('hour', ts) AS STRING) AS dtr,
+          |       sv.only_view, sv.mixed
+          |FROM graft_mp_events CROSS JOIN sv
+          |WHERE event_id <= 300
+          |ORDER BY event_id""".stripMargin)
+    },
+
     // The full CH bitmap algebra beyond and/or (xor/andnot +
     // cardinalities, membership predicates, array round-trip, extrema,
     // subset slicing, bitmapBuild) in one verbatim-SQL battery over
@@ -1607,6 +1648,31 @@ object ChPack {
         |  ROUND(regr_slope(y, qd), 6) AS slr_k,
         |  ROUND(regr_intercept(y, qd), 6) AS slr_b
         |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // sorted-key renderings written out; ISO helpers are native DuckDB
+    "q150_maps_dates" ->
+      """SELECT event_id,
+        |  '1:' || event_id || ',2:' || (user_id + 10) || ',3:20' AS madd,
+        |  '1:' || (event_id % 5) || ',2:0,3:0,4:7' AS mpop,
+        |  TRUE AS mhas,
+        |  '1970-01-02 ' || strftime(ts, '%H:%M:%S') AS tt,
+        |  CAST(weekofyear(ts) AS INT) AS iw,
+        |  CAST(isoyear(ts) AS INT) AS iy,
+        |  CAST(last_day(CAST(ts AS DATE)) AS VARCHAR) AS ld,
+        |  CAST(make_timestamp(CAST(FLOOR(epoch(ts)) AS BIGINT) // 900 * 900
+        |       * 1000000) AS VARCHAR) AS si15,
+        |  CAST(CASE WHEN month(ts) % 2 = 0
+        |            THEN date_trunc('month', ts) - INTERVAL 1 MONTH
+        |            ELSE date_trunc('month', ts) END AS VARCHAR) AS si2m,
+        |  '2024-03-05 10:20:30' AS pdt,
+        |  '2024-03-05 10:20:30' AS pbe,
+        |  '2023-11-14' AS fut,
+        |  CAST(date_trunc('hour', ts) AS VARCHAR) AS dtr,
+        |  'view' AS only_view,
+        |  CAST(NULL AS BIGINT) AS mixed
+        |FROM events
+        |WHERE event_id <= 300
+        |ORDER BY event_id""".stripMargin,
 
     // exact mirrors: COUNT DISTINCT, the planted majority literal,
     // midpoint bins from per-value counts, level chars from bucket ratios

@@ -976,6 +976,57 @@ class ChCompatSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)
   }
 
+  test("map functions and date completions: arithmetic, series, intervals") {
+    ChCompat.register(spark)
+    def row(expr: String) = spark.sql(s"SELECT $expr AS v").head()
+    def s(expr: String) = row(expr).getString(0)
+    // map arithmetic: sorted keys, subtraction can go negative
+    assert(s("concat_ws(',', transform(map_entries(mapAdd(mapFromArrays(array(3L, 1L), array(10L, 1L)), mapFromArrays(array(3L, 2L), array(5L, 7L)))), e -> concat(e.key, ':', e.value)))")
+      == "1:1,2:7,3:15")
+    assert(s("concat_ws(',', transform(map_entries(mapSubtract(mapFromArrays(array(1L), array(3L)), mapFromArrays(array(1L, 2L), array(5L, 2L)))), e -> concat(e.key, ':', e.value)))")
+      == "1:-2,2:-2")
+    assert(s("concat_ws(',', transform(map_entries(mapPopulateSeries(mapFromArrays(array(2L, 5L), array(9L, 1L)), 6)), e -> concat(e.key, ':', e.value)))")
+      == "2:9,3:0,4:0,5:1,6:0", "series runs min-key .. max arg")
+    assert(row("mapContains(mapFromArrays(array('a'), array(1)), 'b')").getBoolean(0) == false)
+    assert(s("concat_ws(',', mapKeys(mapFromArrays(array('k'), array(7))))") == "k")
+    // toTime pins the date, keeps the clock
+    assert(s("CAST(toTime(timestamp'2024-06-15 13:45:17') AS STRING)")
+      == "1970-01-02 13:45:17")
+    // ISO week/year: 2021-01-01 is ISO week 53 of ISO year 2020
+    assert(row("toISOWeek(toDate('2021-01-01'))").getInt(0) == 53)
+    assert(row("toISOYear(toDate('2021-01-01'))").getInt(0) == 2020)
+    assert(s("CAST(toLastDayOfMonth(toDate('2024-02-10')) AS STRING)") == "2024-02-29")
+    // interval truncation on both interval kinds
+    assert(s("CAST(toStartOfInterval(timestamp'2024-01-05 10:44:30', INTERVAL 15 MINUTE) AS STRING)")
+      == "2024-01-05 10:30:00")
+    assert(s("CAST(toStartOfInterval(timestamp'2024-05-20 10:00:00', INTERVAL 3 MONTH) AS STRING)")
+      == "2024-04-01 00:00:00")
+    // parse family
+    assert(s("CAST(parseDateTime('05/03/2024 10:20', '%d/%m/%Y %H:%i') AS STRING)")
+      == "2024-03-05 10:20:00")
+    assert(s("CAST(parseDateTimeBestEffort('1700000000') AS STRING)")
+      == "2023-11-14 22:13:20", "bare unix seconds")
+    assert(row("parseDateTimeBestEffort('not a date')").isNullAt(0))
+    assert(s("fromUnixTimestamp(1700000000, '%Y-%m-%d %H:%i:%S')")
+      == "2023-11-14 22:13:20")
+    // aggregates: singleValueOrNull + groupConcat
+    assert(spark.sql("SELECT singleValueOrNull(v) s FROM VALUES (1), (1), (1) t(v)")
+      .head().getInt(0) == 1)
+    assert(spark.sql("SELECT singleValueOrNull(v) s FROM VALUES (1), (2) t(v)")
+      .head().isNullAt(0))
+    assert(spark.sql(
+      "SELECT groupConcat(v, '-') g FROM (SELECT v FROM VALUES ('a'), ('b'), ('c') t(v) ORDER BY v)")
+      .head().getString(0).split("-").sorted.mkString("-") == "a-b-c")
+    // lagInFrame/leadInFrame resolve as window functions
+    val lf = spark.sql(
+      """SELECT v, lagInFrame(v) OVER (ORDER BY v) p,
+        |       leadInFrame(v, 1, -1) OVER (ORDER BY v) n
+        |FROM VALUES (1), (2), (3) t(v) ORDER BY v""".stripMargin).collect()
+    assert(lf.map(r => (if (r.isNullAt(1)) -99 else r.getInt(1), r.getInt(2))).toSeq
+      == Seq((-99, 2), (1, 3), (2, -1)))
+    assert(row("size(emptyArrayUInt64())").getInt(0) == 0)
+  }
+
   test("sketch aggregates: histogram, sparkbar, LTTB, anyHeavy, uniqTheta") {
     ChCompat.register(spark)
     import spark.implicits._

@@ -333,7 +333,10 @@ class PlanSpec extends SparkSpec {
     // q148: one object-hash group agg + final sort
     "q148_sequence_aggs" -> 2,
     // q149: one object-hash group agg + final sort
-    "q149_sketch_aggs" -> 2)
+    "q149_sketch_aggs" -> 2,
+    // q150: singleValueOrNull's COUNT(DISTINCT) two-phase (2) broadcast
+    // onto per-row map/date scalars + final sort (1)
+    "q150_maps_dates" -> 3)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)
@@ -349,7 +352,9 @@ class PlanSpec extends SparkSpec {
     // q117's exact anchor shares q45's all-pairs shape (id_a < id_b join)
     "q117_semantic_dedup",
     // the 1-row AUC scalar broadcast onto the per-row array battery
-    "q144_array_battery")
+    "q144_array_battery",
+    // the 1-row singleValueOrNull scalars broadcast onto the map battery
+    "q150_maps_dates")
 
   test("table-driven sweep: every declared query holds its exchange budget") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
