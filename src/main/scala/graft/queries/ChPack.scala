@@ -1029,6 +1029,28 @@ object ChPack {
           |ORDER BY event_id""".stripMargin)
     },
 
+    // CH sequenceNextNode: the next-event-after-chain funnel aggregate —
+    // 'head' (chain anchored at the user's first event) and
+    // 'first_match' (chain anchored at the first cond1 hit), both
+    // forward. Mirrored by DuckDB ordered-list indexing per user.
+    "q151_sequence_next_node" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).events.createOrReplaceTempView("graft_snn_events")
+      s.sql(
+        """SELECT user_id,
+          |       sequenceNextNode('forward', 'head', ts, event_type, true,
+          |                        event_type = 'view',
+          |                        event_type = 'click') AS after_vc,
+          |       sequenceNextNode('forward', 'first_match', ts, event_type, true,
+          |                        event_type = 'signup') AS after_signup,
+          |       sequenceNextNode('backward', 'last_match', ts, event_type, true,
+          |                        event_type = 'purchase') AS before_last_purchase
+          |FROM graft_snn_events
+          |WHERE user_id <= 200
+          |GROUP BY user_id
+          |ORDER BY user_id""".stripMargin)
+    },
+
     // The full CH bitmap algebra beyond and/or (xor/andnot +
     // cardinalities, membership predicates, array round-trip, extrema,
     // subset slicing, bitmapBuild) in one verbatim-SQL battery over
@@ -1648,6 +1670,22 @@ object ChPack {
         |  ROUND(regr_slope(y, qd), 6) AS slr_k,
         |  ROUND(regr_intercept(y, qd), 6) AS slr_b
         |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // ordered-list indexing per user; backward+last_match resolves to
+    // the event just before the earliest match in ascending order
+    "q151_sequence_next_node" ->
+      """WITH ul AS (
+        |  SELECT user_id, list(event_type ORDER BY ts, event_type) ev
+        |  FROM events WHERE user_id <= 200 GROUP BY user_id)
+        |SELECT user_id,
+        |  CASE WHEN len(ev) >= 3 AND ev[1] = 'view' AND ev[2] = 'click'
+        |       THEN ev[3] END AS after_vc,
+        |  CASE WHEN list_position(ev, 'signup') > 0
+        |        AND list_position(ev, 'signup') < len(ev)
+        |       THEN ev[list_position(ev, 'signup') + 1] END AS after_signup,
+        |  CASE WHEN list_position(ev, 'purchase') > 1
+        |       THEN ev[list_position(ev, 'purchase') - 1] END AS before_last_purchase
+        |FROM ul ORDER BY user_id""".stripMargin,
 
     // sorted-key renderings written out; ISO helpers are native DuckDB
     "q150_maps_dates" ->

@@ -976,6 +976,39 @@ class ChCompatSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)
   }
 
+  test("sequenceNextNode: all base anchors, direction, partitioning invariance") {
+    ChCompat.register(spark)
+    import spark.implicits._
+    // one user's day: A B C B D
+    val evs = Seq((1L, "A"), (2L, "B"), (3L, "C"), (4L, "B"), (5L, "D"))
+      .map { case (t, e) => (1L, t, e) }
+    def run(parts: Int, call: String): org.apache.spark.sql.Row = {
+      evs.toDF("uid", "ts", "ev").repartition(parts)
+        .createOrReplaceTempView("graft_snn_fix")
+      spark.sql(s"SELECT $call AS v FROM graft_snn_fix GROUP BY uid").head()
+    }
+    // head: chain (A, B) anchored at the first event → next is C
+    assert(run(1, "sequenceNextNode('forward', 'head', ts, ev, true, ev = 'A', ev = 'B')")
+      .getString(0) == "C")
+    // head with a failing first condition → null
+    assert(run(1, "sequenceNextNode('forward', 'head', ts, ev, true, ev = 'B')").isNullAt(0))
+    // first_match on B → next is C; last_match on B → next is D
+    assert(run(1, "sequenceNextNode('forward', 'first_match', ts, ev, true, ev = 'B')")
+      .getString(0) == "C")
+    assert(run(1, "sequenceNextNode('forward', 'last_match', ts, ev, true, ev = 'B')")
+      .getString(0) == "D")
+    // backward first_match on B: descending order D B C B A — first B hit
+    // is the later one, next (earlier in time) is C
+    assert(run(1, "sequenceNextNode('backward', 'first_match', ts, ev, true, ev = 'B')")
+      .getString(0) == "C")
+    // base_cond gates the anchor
+    assert(run(1, "sequenceNextNode('forward', 'first_match', ts, ev, ev != 'B', ev = 'B')")
+      .isNullAt(0))
+    // partitioning must not change the outcome
+    assert(run(7, "sequenceNextNode('forward', 'last_match', ts, ev, true, ev = 'B')")
+      .getString(0) == "D")
+  }
+
   test("map functions and date completions: arithmetic, series, intervals") {
     ChCompat.register(spark)
     def row(expr: String) = spark.sql(s"SELECT $expr AS v").head()

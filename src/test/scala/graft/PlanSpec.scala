@@ -336,7 +336,9 @@ class PlanSpec extends SparkSpec {
     "q149_sketch_aggs" -> 2,
     // q150: singleValueOrNull's COUNT(DISTINCT) two-phase (2) broadcast
     // onto per-row map/date scalars + final sort (1)
-    "q150_maps_dates" -> 3)
+    "q150_maps_dates" -> 3,
+    // q151: one object-hash group agg + final sort
+    "q151_sequence_next_node" -> 2)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)
