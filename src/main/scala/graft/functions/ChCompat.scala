@@ -787,6 +787,137 @@ object ChCompat {
       val n = UnresolvedNamedLambdaVariable(Seq("__msa_n"))
       ArrayExists(es(1), LambdaFunction(Contains(es(0), n), Seq(n)))
     }
+    // ---- encoding / bit functions (CH spellings; hex/unhex are native) -
+    f("base64Encode") { es => Base64(Cast(es.head, BinaryType)) }
+    f("base64Decode") { es => Cast(new UnBase64(es.head), StringType) }
+    f("tryBase64Decode") { es => Cast(new UnBase64(es.head), StringType) }
+    f("bitAnd") { es => BitwiseAnd(es(0), es(1)) }
+    f("bitOr") { es => BitwiseOr(es(0), es(1)) }
+    f("bitXor") { es => BitwiseXor(es(0), es(1)) }
+    f("bitNot") { es => BitwiseNot(es.head) }
+    f("bitShiftLeft") { es => ShiftLeft(es(0), es(1)) }
+    f("bitShiftRight") { es => ShiftRight(es(0), es(1)) }
+    f("bitCount") { es => BitwiseCount(es.head) }
+    f("bitTest") { es =>
+      Cast(BitwiseAnd(ShiftRight(es(0), Cast(es(1), IntegerType)), Literal(1L)),
+        IntegerType)
+    }
+    f("exp2") { es => Pow(Literal(2.0), es.head) }
+    f("exp10") { es => Pow(Literal(10.0), es.head) }
+    f("intExp2") { es => ShiftLeft(Literal(1L), Cast(es.head, IntegerType)) }
+    f("intExp10") { es => Cast(Pow(Literal(10.0), es.head), LongType) }
+    // largest power of two ≤ x (0 for non-positive, CH's convention)
+    f("roundToExp2") { es =>
+      val x = Cast(es.head, DoubleType)
+      If(LessThanOrEqual(x, Literal(0.0)), Literal(0L),
+        ShiftLeft(Literal(1L), Cast(new Floor(Log2(x)), IntegerType)))
+    }
+    // largest array element ≤ x, else the first element
+    f("roundDown") { es =>
+      val v = UnresolvedNamedLambdaVariable(Seq("__rd_v"))
+      Coalesce(Seq(
+        ArrayMax(ArrayFilter(es(1), LambdaFunction(
+          LessThanOrEqual(v, es(0)), Seq(v)))),
+        ElementAt(es(1), Literal(1))))
+    }
+    f("roundBankers") { es =>
+      BRound(es(0), if (es.length >= 2) es(1) else Literal(0))
+    }
+    // ---- IPv4 helpers --------------------------------------------------
+    def ipOctets(n: Expression): Seq[Expression] =
+      Seq(24, 16, 8, 0).map(sh => Cast(BitwiseAnd(
+        ShiftRight(Cast(n, LongType), Literal(sh)), Literal(255L)), StringType))
+    def ipToNum(s: Expression): Expression = {
+      val parts = StringSplit(s, Literal("\\."), Literal(-1))
+      Seq(1, 2, 3, 4).map[Expression](i =>
+        Multiply(Cast(ElementAt(parts, Literal(i)), LongType),
+          Literal(1L << (8 * (4 - i))))).reduceLeft(Add(_, _))
+    }
+    f("IPv4NumToString") { es => ConcatWs(Literal(".") +: ipOctets(es.head)) }
+    f("IPv4StringToNum") { es => ipToNum(es.head) }
+    f("isIPv4String") { es =>
+      RLike(es.head,
+        Literal("^((25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])$"))
+    }
+    // (lower, upper) bounds of a CIDR block as dotted strings
+    f("IPv4CIDRToRange") { es =>
+      val n = ipToNum(es(0))
+      val bits = Cast(es(1), IntegerType)
+      val mask = BitwiseAnd(
+        ShiftLeft(Literal(0xFFFFFFFFL), Subtract(Literal(32), bits)),
+        Literal(0xFFFFFFFFL))
+      val lower = BitwiseAnd(n, mask)
+      val upper = BitwiseOr(lower, BitwiseAnd(BitwiseNot(mask), Literal(0xFFFFFFFFL)))
+      CreateNamedStruct(Seq(
+        Literal("lower"), ConcatWs(Literal(".") +: ipOctets(lower)),
+        Literal("upper"), ConcatWs(Literal(".") +: ipOctets(upper))))
+    }
+    f("generateUUIDv4") { _ => new Uuid() }
+    // CH rand() is UInt32-valued; registered under CH's rand32/rand64
+    // spellings so Spark's own [0,1) rand() keeps its meaning
+    f("rand32") { _ =>
+      Cast(new Floor(Multiply(new Rand(), Literal(4294967296.0))), LongType)
+    }
+    f("rand64") { _ =>
+      Cast(new Floor(Multiply(new Rand(), Literal(9.223372036854776e18))), LongType)
+    }
+    f("randCanonical") { _ => new Rand() }
+    f("randUniform") { es =>
+      Add(Multiply(new Rand(), Subtract(es(1), es(0))), es(0))
+    }
+    f("randNormal") { es =>
+      Add(Multiply(new Randn(), es(1)), es(0))
+    }
+    // ---- vector math over arrays (CH tuple/array spellings) ------------
+    def zipMul(a: Expression, b: Expression): Expression = {
+      val (x, y) = (UnresolvedNamedLambdaVariable(Seq("__vm_x")),
+        UnresolvedNamedLambdaVariable(Seq("__vm_y")))
+      ZipWith(a, b, LambdaFunction(
+        Multiply(Cast(x, DoubleType), Cast(y, DoubleType)), Seq(x, y)))
+    }
+    def arrSumD(arr: Expression): Expression = {
+      val acc = UnresolvedNamedLambdaVariable(Seq("__vs_acc"))
+      val x = UnresolvedNamedLambdaVariable(Seq("__vs_x"))
+      ArrayAggregate(arr, Literal(0.0),
+        LambdaFunction(Add(acc, Cast(x, DoubleType)), Seq(acc, x)),
+        LambdaFunction.identity)
+    }
+    def absArr(a: Expression): Expression = {
+      val x = UnresolvedNamedLambdaVariable(Seq("__va_x"))
+      ArrayTransform(a, LambdaFunction(Abs(Cast(x, DoubleType)), Seq(x)))
+    }
+    def diffArr(a: Expression, b: Expression): Expression = {
+      val (x, y) = (UnresolvedNamedLambdaVariable(Seq("__vd_x")),
+        UnresolvedNamedLambdaVariable(Seq("__vd_y")))
+      ZipWith(a, b, LambdaFunction(
+        Subtract(Cast(x, DoubleType), Cast(y, DoubleType)), Seq(x, y)))
+    }
+    f("dotProduct") { es => arrSumD(zipMul(es(0), es(1))) }
+    f("scalarProduct") { es => arrSumD(zipMul(es(0), es(1))) }
+    f("L1Norm") { es => arrSumD(absArr(es.head)) }
+    f("L2Norm") { es => Sqrt(arrSumD(zipMul(es.head, es.head))) }
+    f("LinfNorm") { es => ArrayMax(absArr(es.head)) }
+    f("L1Distance") { es => arrSumD(absArr(diffArr(es(0), es(1)))) }
+    f("L2Distance") { es =>
+      val d = diffArr(es(0), es(1))
+      Sqrt(arrSumD(zipMul(d, d)))
+    }
+    f("cosineDistance") { es =>
+      Subtract(Literal(1.0), CosineSimilarity(es(0), es(1)))
+    }
+    f("normalizeL2") { es => L2Normalize(es.head) }
+    // ---- misc introspection / control ---------------------------------
+    f("throwIf") { es =>
+      val msg = if (es.length >= 2) es(1)
+        else Literal("throwIf: condition was true")
+      If(es.head, Cast(RaiseError(msg), IntegerType), Literal(0))
+    }
+    f("ignore") { es => Literal(0) }
+    f("identity") { es => es.head }
+    f("materialize") { es => es.head }
+    f("currentDatabase") { _ => CurrentDatabase() }
+    f("currentUser") { _ => CurrentUser() }
+    f("version") { _ => SparkVersion() }
     // ---- CH Map-type functions (Spark MapType carries them natively) --
     f("mapFromArrays") { es => MapFromArrays(es(0), es(1)) }
     f("mapKeys") { es => MapKeys(es.head) }

@@ -1051,6 +1051,54 @@ object ChPack {
           |ORDER BY user_id""".stripMargin)
     },
 
+    // CH vector math over the embeddings table (dot/norm/distance family,
+    // double-lane folds mirroring DuckDB's list functions on DOUBLE[])
+    // plus the encoding / bit / IPv4 scalar battery over events.
+    "q152_vector_bits" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).embeddings.createOrReplaceTempView("graft_vm_emb")
+      Tables(s, dir).events.createOrReplaceTempView("graft_vm_events")
+      s.sql(
+        """WITH v AS (
+          |  SELECT e1.vec_id AS id1, e1.embedding AS a, e2.embedding AS b
+          |  FROM graft_vm_emb e1 JOIN graft_vm_emb e2 ON e2.vec_id = e1.vec_id + 1
+          |  WHERE e1.vec_id <= 100),
+          |vm AS (
+          |  SELECT id1,
+          |         round(dotProduct(a, b), 4) AS dp,
+          |         round(L1Norm(a), 4) AS n1,
+          |         round(L2Norm(a), 4) AS n2,
+          |         round(LinfNorm(a), 4) AS ninf,
+          |         round(L1Distance(a, b), 4) AS d1,
+          |         round(L2Distance(a, b), 4) AS d2,
+          |         round(cosineDistance(a, b), 6) AS cd,
+          |         round(L2Norm(normalizeL2(a)), 6) AS unit
+          |  FROM v),
+          |eb AS (
+          |  SELECT event_id,
+          |         hex(user_id) AS hx,
+          |         base64Encode(event_type) AS b64,
+          |         base64Decode(base64Encode(event_type)) AS b64rt,
+          |         bitAnd(user_id, 255L) AS band,
+          |         bitXor(user_id, 170L) AS bxor,
+          |         bitShiftLeft(user_id % 1024, 2) AS bshl,
+          |         bitCount(user_id) AS bcnt,
+          |         bitTest(user_id, 3) AS btst,
+          |         IPv4NumToString(user_id * 7919 % 4294967296) AS ip,
+          |         IPv4StringToNum(IPv4NumToString(user_id * 7919 % 4294967296)) AS ipn,
+          |         isIPv4String(IPv4NumToString(user_id)) AS isip,
+          |         isIPv4String(event_type) AS notip,
+          |         IPv4CIDRToRange('192.168.5.77', 24).lower AS cidr_lo,
+          |         IPv4CIDRToRange('192.168.5.77', 24).upper AS cidr_hi,
+          |         exp2(user_id % 10) AS e2,
+          |         intExp2(user_id % 20) AS ie2,
+          |         roundToExp2(user_id + 1) AS rte
+          |  FROM graft_vm_events WHERE event_id <= 300)
+          |SELECT eb.*, vm.dp, vm.n1, vm.n2, vm.ninf, vm.d1, vm.d2, vm.cd, vm.unit
+          |FROM eb JOIN vm ON vm.id1 = eb.event_id % 100 + 1
+          |ORDER BY eb.event_id""".stripMargin)
+    },
+
     // The full CH bitmap algebra beyond and/or (xor/andnot +
     // cardinalities, membership predicates, array round-trip, extrema,
     // subset slicing, bitmapBuild) in one verbatim-SQL battery over
@@ -1670,6 +1718,54 @@ object ChPack {
         |  ROUND(regr_slope(y, qd), 6) AS slr_k,
         |  ROUND(regr_intercept(y, qd), 6) AS slr_b
         |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // DuckDB list functions on DOUBLE[] mirror the double-lane folds;
+    // bit/IP math spelled out with native operators
+    "q152_vector_bits" ->
+      """WITH v AS (
+        |  SELECT e1.vec_id AS id1,
+        |         CAST(e1.embedding AS DOUBLE[]) AS a,
+        |         CAST(e2.embedding AS DOUBLE[]) AS b
+        |  FROM embeddings e1 JOIN embeddings e2 ON e2.vec_id = e1.vec_id + 1
+        |  WHERE e1.vec_id <= 100),
+        |vm AS (
+        |  SELECT id1,
+        |         ROUND(list_dot_product(a, b), 4) AS dp,
+        |         ROUND(list_aggregate(list_transform(a, x -> ABS(x)), 'sum'), 4) AS n1,
+        |         ROUND(SQRT(list_dot_product(a, a)), 4) AS n2,
+        |         ROUND(list_aggregate(list_transform(a, x -> ABS(x)), 'max'), 4) AS ninf,
+        |         ROUND(list_aggregate(list_transform(list_zip(a, b),
+        |               p -> ABS(p[1] - p[2])), 'sum'), 4) AS d1,
+        |         ROUND(list_distance(a, b), 4) AS d2,
+        |         ROUND(1 - list_cosine_similarity(a, b), 6) AS cd,
+        |         1.0 AS unit
+        |  FROM v),
+        |eb AS (
+        |  SELECT event_id,
+        |         hex(user_id) AS hx,
+        |         to_base64(encode(event_type)) AS b64,
+        |         event_type AS b64rt,
+        |         user_id & 255 AS band,
+        |         xor(user_id, 170) AS bxor,
+        |         (user_id % 1024) << 2 AS bshl,
+        |         CAST(bit_count(user_id) AS INT) AS bcnt,
+        |         CAST((user_id >> 3) & 1 AS INT) AS btst,
+        |         ((user_id * 7919 % 4294967296) >> 24 & 255) || '.' ||
+        |         ((user_id * 7919 % 4294967296) >> 16 & 255) || '.' ||
+        |         ((user_id * 7919 % 4294967296) >> 8 & 255) || '.' ||
+        |         ((user_id * 7919 % 4294967296) & 255) AS ip,
+        |         user_id * 7919 % 4294967296 AS ipn,
+        |         TRUE AS isip,
+        |         FALSE AS notip,
+        |         '192.168.5.0' AS cidr_lo,
+        |         '192.168.5.255' AS cidr_hi,
+        |         POW(2, user_id % 10) AS e2,
+        |         CAST(POW(2, user_id % 20) AS BIGINT) AS ie2,
+        |         (CAST(1 AS BIGINT) << CAST(FLOOR(LOG2(user_id + 1)) AS INT)) AS rte
+        |  FROM events WHERE event_id <= 300)
+        |SELECT eb.*, vm.dp, vm.n1, vm.n2, vm.ninf, vm.d1, vm.d2, vm.cd, vm.unit
+        |FROM eb JOIN vm ON vm.id1 = eb.event_id % 100 + 1
+        |ORDER BY eb.event_id""".stripMargin,
 
     // ordered-list indexing per user; backward+last_match resolves to
     // the event just before the earliest match in ascending order

@@ -976,6 +976,43 @@ class ChCompatSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)
   }
 
+  test("encoding/bit/IP/vector aliases: round-trips, CIDR, rand bounds, throwIf") {
+    ChCompat.register(spark)
+    def row(expr: String) = spark.sql(s"SELECT $expr AS v").head()
+    assert(row("base64Decode(base64Encode('hello'))").getString(0) == "hello")
+    assert(row("bitTest(10, 1)").getInt(0) == 1 && row("bitTest(10, 0)").getInt(0) == 0)
+    assert(row("intExp2(10)").getLong(0) == 1024L)
+    assert(row("roundToExp2(1000)").getLong(0) == 512L)
+    assert(row("roundToExp2(0)").getLong(0) == 0L)
+    assert(row("roundDown(7, array(1, 5, 10))").getInt(0) == 5)
+    assert(row("roundDown(0, array(1, 5, 10))").getInt(0) == 1, "below range → first")
+    assert(row("roundBankers(2.5D, 0)").getDouble(0) == 2.0, "half to even")
+    assert(row("IPv4NumToString(3232236804L)").getString(0) == "192.168.5.4")
+    assert(row("IPv4StringToNum('192.168.5.4')").getLong(0) == 3232236804L)
+    assert(row("isIPv4String('256.1.1.1')").getBoolean(0) == false)
+    val cidr = row("IPv4CIDRToRange('192.168.5.77', 24)").getStruct(0)
+    assert(cidr.getString(0) == "192.168.5.0" && cidr.getString(1) == "192.168.5.255")
+    // vector math closed forms
+    assert(row("dotProduct(array(1.0D, 2.0D), array(3.0D, 4.0D))").getDouble(0) == 11.0)
+    assert(row("L2Distance(array(0.0D, 0.0D), array(3.0D, 4.0D))").getDouble(0) == 5.0)
+    assert(row("LinfNorm(array(-7.0D, 3.0D))").getDouble(0) == 7.0)
+    assert(math.abs(row("cosineDistance(array(1.0D, 0.0D), array(0.0D, 1.0D))")
+      .getDouble(0) - 1.0) < 1e-12)
+    // rand family bounds (statistical smoke, not exact)
+    val r = spark.range(0, 1000)
+      .selectExpr("rand32() r32", "randUniform(5.0D, 6.0D) ru")
+      .selectExpr("max(r32) mx", "min(r32) mn", "avg(ru) au").head()
+    assert(r.getLong(1) >= 0L && r.getLong(0) < 4294967296L)
+    assert(r.getDouble(2) > 5.0 && r.getDouble(2) < 6.0)
+    // throwIf: quiet on false, raises on true
+    assert(row("throwIf(false, 'nope')").getInt(0) == 0)
+    intercept[Exception] {
+      spark.sql("SELECT throwIf(true, 'boom') v").collect()
+    }
+    assert(row("identity(42)").getInt(0) == 42 && row("ignore(1, 2)").getInt(0) == 0)
+    assert(row("generateUUIDv4()").getString(0).length == 36)
+  }
+
   test("sequenceNextNode: all base anchors, direction, partitioning invariance") {
     ChCompat.register(spark)
     import spark.implicits._

@@ -338,7 +338,9 @@ class PlanSpec extends SparkSpec {
     // onto per-row map/date scalars + final sort (1)
     "q150_maps_dates" -> 3,
     // q151: one object-hash group agg + final sort
-    "q151_sequence_next_node" -> 2)
+    "q151_sequence_next_node" -> 2,
+    // q152: embeddings self-join (broadcast) + per-row scalars + sort
+    "q152_vector_bits" -> 2)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)
