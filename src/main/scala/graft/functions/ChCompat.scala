@@ -1109,6 +1109,41 @@ object ChCompat {
     f("uniqCombinedMerge") { es => HllSketchEstimate(hllMerge(es.head)) }
     f("uniqCombinedIf") { es => HllSketchEstimate(hllState(onlyIf(es(1), es(0)))) }
 
+    // ---- -Distinct / -OrNull / -OrDefault combinators ----------------
+    f("sumDistinct") { es => new Sum(es.head).toAggregateExpression(isDistinct = true) }
+    f("avgDistinct") { es => new Average(es.head).toAggregateExpression(isDistinct = true) }
+    f("countDistinct") { es => Count(es).toAggregateExpression(isDistinct = true) }
+    f("groupArrayDistinct") { es => CollectSet(es.head).toAggregateExpression() }
+    // -OrNull: NULL instead of the type default on an empty set. min/max/
+    // any are already NULL-on-empty in Spark; sum/count need the guard.
+    f("sumOrNull") { es =>
+      If(EqualTo(Count(es).toAggregateExpression(), Literal(0L)),
+        Literal(null, NullType), new Sum(es.head).toAggregateExpression())
+    }
+    f("countOrNull") { es =>
+      val c = Count(es).toAggregateExpression()
+      If(EqualTo(c, Literal(0L)), Literal(null, NullType), c)
+    }
+    f("avgOrNull") { es => new Average(es.head).toAggregateExpression() }
+    f("minOrNull") { es => Min(es.head).toAggregateExpression() }
+    f("maxOrNull") { es => Max(es.head).toAggregateExpression() }
+    // -OrDefault: the explicit default when the set is empty
+    f("sumOrDefault") { es =>
+      Coalesce(Seq(new Sum(es.head).toAggregateExpression(),
+        if (es.length >= 2) es(1) else Literal(0L)))
+    }
+    f("minOrDefault") { es =>
+      Coalesce(Seq(Min(es.head).toAggregateExpression(),
+        if (es.length >= 2) es(1) else Literal(0L)))
+    }
+    f("maxOrDefault") { es =>
+      Coalesce(Seq(Max(es.head).toAggregateExpression(),
+        if (es.length >= 2) es(1) else Literal(0L)))
+    }
+    f("avgOrDefault") { es =>
+      Coalesce(Seq(new Average(es.head).toAggregateExpression(),
+        if (es.length >= 2) es(1) else Literal(0.0)))
+    }
     // ---- sum/count combinators ---------------------------------------
     // SimpleAggregateFunction(sum): the partial IS the value, so -State,
     // -SimpleState and -Merge are all plain re-sum (doc:510-605)

@@ -976,6 +976,25 @@ class ChCompatSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)
   }
 
+  test("-Distinct/-OrNull/-OrDefault combinators") {
+    ChCompat.register(spark)
+    import spark.implicits._
+    Seq(1, 1, 2, 2, 3).toDF("v").createOrReplaceTempView("graft_cmb")
+    val r = spark.sql(
+      """SELECT sumDistinct(v) sd, avgDistinct(v) ad, countDistinct(v) cd,
+        |       sort_array(groupArrayDistinct(v)) ga
+        |FROM graft_cmb""".stripMargin).head()
+    assert(r.getLong(0) == 6L && r.getDouble(1) == 2.0 && r.getLong(2) == 3L)
+    assert(r.getSeq[Int](3) == Seq(1, 2, 3))
+    // empty set: OrNull → NULL, OrDefault → the default
+    val e = spark.sql(
+      """SELECT sumOrNull(v) sn, countOrNull(v) cn, minOrNull(v) mn,
+        |       sumOrDefault(v, -1L) sdft, maxOrDefault(v, 99) mdft
+        |FROM graft_cmb WHERE v > 100""".stripMargin).head()
+    assert(e.isNullAt(0) && e.isNullAt(1) && e.isNullAt(2))
+    assert(e.getLong(3) == -1L && e.getInt(4) == 99)
+  }
+
   test("encoding/bit/IP/vector aliases: round-trips, CIDR, rand bounds, throwIf") {
     ChCompat.register(spark)
     def row(expr: String) = spark.sql(s"SELECT $expr AS v").head()
