@@ -162,4 +162,36 @@ class ScaleSpec extends SparkSpec {
     assert(r5 <= r1 * 6,
       s"span-dedup exchange grew superlinearly: $r1 records at 2k docs -> $r5 at 10k")
   }
+
+  test("count-map aggregate partials bound the exchange: flat across 10x rows") {
+    // entropy / the association family / quantileExactWeighted /
+    // intervalLengthSum all carry O(distinct-values) (or O(islands))
+    // state, map-side combined — so the exchanged record count is
+    // partitions x groups, INDEPENDENT of row count. Two size points
+    // must shuffle identical record counts when the value domain and
+    // partitioning are fixed.
+    graft.functions.ChCompat.register(spark)
+    def recs(n: Long): Long = {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val df = spark.range(0, n, 1, 8).selectExpr(
+          "CAST(id % 5 AS STRING) g", "id % 97 v", "CAST(id % 3 AS STRING) y",
+          "id % 50 s", "id % 50 + id % 7 e")
+        df.createOrReplaceTempView("graft_scale_cm")
+        val plan = spark.sql(
+          """SELECT g, entropy(v), cramersV(v, y),
+            |       quantileExactWeighted(v, 1, 0.5D),
+            |       intervalLengthSum(s, e)
+            |FROM graft_scale_cm GROUP BY g""".stripMargin)
+          .queryExecution.executedPlan
+        plan.execute().count(): Unit
+        BenchScale.exchangeStats(plan)._1
+      } finally spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+    val small = recs(20000)
+    val big = recs(200000)
+    assert(small > 0, "expected a measurable exchange")
+    assert(big == small,
+      s"count-map partials leaked row volume into the exchange: $small -> $big")
+  }
 }
