@@ -787,6 +787,32 @@ object ChCompat {
       val n = UnresolvedNamedLambdaVariable(Seq("__msa_n"))
       ArrayExists(es(1), LambdaFunction(Contains(es(0), n), Seq(n)))
     }
+    // first (smallest positive) position of any needle; 0 if none
+    f("multiSearchFirstPosition") { es =>
+      val n = UnresolvedNamedLambdaVariable(Seq("__mfp_n"))
+      val hits = ArrayFilter(
+        ArrayTransform(es(1), LambdaFunction(new StringLocate(n, es(0)), Seq(n))),
+        LambdaFunction(GreaterThan(UnresolvedNamedLambdaVariable(Seq("__mfp_p")),
+          Literal(0)), Seq(UnresolvedNamedLambdaVariable(Seq("__mfp_p")))))
+      Coalesce(Seq(ArrayMin(hits), Literal(0)))
+    }
+    // 1-based index of the FIRST needle that occurs anywhere; 0 if none
+    f("multiSearchFirstIndex") { es =>
+      val (p, i) = (UnresolvedNamedLambdaVariable(Seq("__mfi_p")),
+        UnresolvedNamedLambdaVariable(Seq("__mfi_i")))
+      val n = UnresolvedNamedLambdaVariable(Seq("__mfi_n"))
+      val idxHits = ArrayFilter(
+        ArrayTransform(es(1), LambdaFunction(
+          If(Contains(es(0), n), Add(i, Literal(1)), Literal(0)), Seq(n, i))),
+        LambdaFunction(GreaterThan(p, Literal(0)), Seq(p)))
+      Coalesce(Seq(ArrayMin(idxHits), Literal(0)))
+    }
+    f("ngramDistanceCaseInsensitive") { es =>
+      StringDistExpr(Lower(es(0)), Lower(es(1)), "ngramDistance")
+    }
+    f("ngramSearchCaseInsensitive") { es =>
+      StringDistExpr(Lower(es(0)), Lower(es(1)), "ngramSearch")
+    }
     // ---- encoding / bit functions (CH spellings; hex/unhex are native) -
     f("base64Encode") { es => Base64(Cast(es.head, BinaryType)) }
     f("base64Decode") { es => Cast(new UnBase64(es.head), StringType) }

@@ -976,6 +976,19 @@ class ChCompatSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)
   }
 
+  test("multiSearch first-position/index and case-insensitive ngram") {
+    ChCompat.register(spark)
+    def row(expr: String) = spark.sql(s"SELECT $expr AS v").head()
+    assert(row("multiSearchFirstPosition('hello world', array('world', 'ello'))")
+      .getInt(0) == 2, "smallest positive position wins")
+    assert(row("multiSearchFirstPosition('hello', array('xx', 'yy'))").getInt(0) == 0)
+    assert(row("multiSearchFirstIndex('hello world', array('zz', 'world', 'hello'))")
+      .getInt(0) == 2, "first needle present in array order")
+    assert(row("multiSearchFirstIndex('hello', array('xx'))").getInt(0) == 0)
+    assert(row("ngramDistanceCaseInsensitive('ABCDEFGH', 'abcdefgh')").getDouble(0) == 0.0)
+    assert(row("ngramSearchCaseInsensitive('The Quick Brown Fox', 'QUICK')").getDouble(0) == 1.0)
+  }
+
   test("-Distinct/-OrNull/-OrDefault combinators") {
     ChCompat.register(spark)
     import spark.implicits._
