@@ -1089,6 +1089,16 @@ object ChCompat {
         Literal(1), es(1))
     }
     f("quantileExact") { es => new Percentile(es(0), es(1)) }
+    // CH quantileTiming/quantileDeterministic are approximation schemes
+    // (timing-bucket histogram / sampling with a determinism key); both
+    // map to the EXACT percentile here — a strict-superset guarantee
+    // (deterministic, and exact where CH documents ~1% error). The
+    // determinism-key argument of quantileDeterministic is accepted and
+    // ignored (exactness needs no tie-break key).
+    f("quantileTiming") { es => new Percentile(es(0), es(1)) }
+    f("medianTiming") { es => new Percentile(es(0), Literal(0.5d)) }
+    f("quantileDeterministic") { es => new Percentile(es(0), es(2)) }
+    f("medianDeterministic") { es => new Percentile(es(0), Literal(0.5d)) }
     f("quantileTDigest") { es => new ApproximatePercentile(es(0), es(1)) }
     // CH plural quantiles(p1,...,pn)(x) in the flat spelling
     // (x, p1, ..., pn): one aggregation pass, array out — explode for a
