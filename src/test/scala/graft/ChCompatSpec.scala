@@ -976,6 +976,69 @@ class ChCompatSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)
   }
 
+  test("stat aggregates cross-check vs independent reference on random data") {
+    ChCompat.register(spark)
+    import spark.implicits._
+    // fixed-seed random rows; the reference implementations below are
+    // written from the definitions, independent of the expression code
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 3000).map { _ =>
+      (s"c${rnd.nextInt(6)}", s"t${rnd.nextInt(4)}", rnd.nextInt(30).toLong,
+        rnd.nextInt(5) + 1)
+    }
+    rows.toDF("x", "y", "v", "w").repartition(9)
+      .createOrReplaceTempView("graft_xc")
+    val got = spark.sql(
+      """SELECT entropy(x) h, cramersV(x, y) cv, theilsU(x, y) tu,
+        |       contingency(x, y) cg, quantileExactWeighted(v, w, 0.3D) q3,
+        |       intervalLengthSum(v, v + CAST(w AS BIGINT)) il
+        |FROM graft_xc""".stripMargin).head()
+
+    def log2(d: Double) = math.log(d) / math.log(2)
+    def entropyOf[A](vs: Seq[A]): Double = {
+      val n = vs.size.toDouble
+      -vs.groupBy(identity).values.map(_.size / n).map(p => p * log2(p)).sum
+    }
+    assert(math.abs(got.getDouble(0) - entropyOf(rows.map(_._1))) < 1e-9)
+
+    val n = rows.size.toDouble
+    val cells = rows.groupBy(r => (r._1, r._2)).map { case (k, g) => k -> g.size.toDouble }
+    val rt = rows.groupBy(_._1).map { case (k, g) => k -> g.size.toDouble }
+    val ct = rows.groupBy(_._2).map { case (k, g) => k -> g.size.toDouble }
+    val chi2 = (for (x <- rt.keys; y <- ct.keys) yield {
+      val e = rt(x) * ct(y) / n
+      val o = cells.getOrElse((x, y), 0d)
+      (o - e) * (o - e) / e
+    }).sum
+    val cvRef = math.sqrt(chi2 / n / math.min(rt.size - 1, ct.size - 1))
+    assert(math.abs(got.getDouble(1) - cvRef) < 1e-9)
+    val hx = entropyOf(rows.map(_._1))
+    val hxy = ct.map { case (y, cy) =>
+      cy / n * entropyOf(rows.filter(_._2 == y).map(_._1))
+    }.sum
+    assert(math.abs(got.getDouble(2) - (hx - hxy) / hx) < 1e-9)
+    assert(math.abs(got.getDouble(3) - math.sqrt(chi2 / (chi2 + n))) < 1e-9)
+
+    // weighted quantile: ascending scan, first cum >= 0.3 * W
+    val byV = rows.groupBy(_._3).map { case (v, g) => v -> g.map(_._4.toLong).sum }
+      .toSeq.sortBy(_._1)
+    val total = byV.map(_._2).sum
+    var acc = 0L
+    val q3Ref = byV.find { case (_, w) => acc += w; acc >= 0.3 * total }.get._1
+    assert(got.getLong(4) == q3Ref)
+
+    // interval union by sweep
+    val ivs = rows.map(r => (r._3, r._3 + r._4)).sortBy(_._1)
+    var (cs, ce) = ivs.head
+    var len = 0L
+    ivs.tail.foreach { case (s, e) =>
+      if (s <= ce) { if (e > ce) ce = e }
+      else { len += ce - cs; cs = s; ce = e }
+    }
+    len += ce - cs
+    assert(got.getLong(5) == len)
+  }
+
   test("multiSearch first-position/index and case-insensitive ngram") {
     ChCompat.register(spark)
     def row(expr: String) = spark.sql(s"SELECT $expr AS v").head()

@@ -145,6 +145,52 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("statistical aggregates run as streaming aggregations across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    graft.functions.ChCompat.register(spark)
+    val input = MemoryStream[FunnelEvent]
+    input.toDF().createOrReplaceTempView("stat_stream")
+    // the round-8 TypedImperativeAggregates must serialize/merge through
+    // the state store exactly like their batch selves
+    val q = spark.sql(
+      """SELECT user_id,
+        |  entropy(event_type) AS h,
+        |  quantileExactWeighted(unix_timestamp(ts) % 100, 1, 0.5D) AS wq,
+        |  intervalLengthSum(unix_timestamp(ts) % 100,
+        |                    unix_timestamp(ts) % 100 + 2) AS il,
+        |  deltaSumTimestamp(unix_timestamp(ts) % 100, ts) AS ds
+        |FROM stat_stream GROUP BY user_id""".stripMargin)
+      .writeStream.format("memory").queryName("stat_stream_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        FunnelEvent(1L, ts("2024-01-01 10:00:10"), "view"),
+        FunnelEvent(1L, ts("2024-01-01 10:00:20"), "view"))
+      q.processAllAvailable()
+      input.addData(
+        FunnelEvent(1L, ts("2024-01-01 10:00:30"), "buy"),
+        FunnelEvent(1L, ts("2024-01-01 10:00:40"), "buy"))
+      q.processAllAvailable()
+      val rows = spark.table("stat_stream_out").collect()
+      assert(rows.length == 1)
+      val r = rows.head
+      assert(r.getDouble(1) == 1.0, "2x view + 2x buy = 1 bit")
+      // ts%100 values: 10,20,30,40 -> weighted(=1) median 20; union of
+      // [v, v+2] intervals = 8; deltas in ts order all +10 -> 30
+      assert(r.getLong(2) == 20L)
+      assert(r.getLong(3) == 8L)
+      assert(r.getDouble(4) == 30.0)
+      // the streamed result equals the one-shot batch aggregate
+      val batch = spark.sql(
+        """SELECT entropy(event_type) h FROM (
+          |  SELECT 'view' event_type UNION ALL SELECT 'view'
+          |  UNION ALL SELECT 'buy' UNION ALL SELECT 'buy')""".stripMargin)
+        .head().getDouble(0)
+      assert(batch == r.getDouble(1))
+    } finally q.stop()
+  }
+
   test("streaming asof enrichment: dim versions carry across batches") {
     import spark.implicits._
     import graft.streaming.Streams.{EnrichInput, Enriched}
