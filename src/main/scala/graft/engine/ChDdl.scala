@@ -98,7 +98,9 @@ object ChDdl {
       table: String,
       addColumns: Seq[Col],
       modifyColumns: Seq[Col],
-      newOrderBy: Option[Seq[String]]) extends Stmt
+      newOrderBy: Option[Seq[String]],
+      dropPartitions: Seq[String] = Nil,
+      deleteWhere: Option[String] = None) extends Stmt
 
   final case class DropStmt(sql: String) extends Stmt
   final case class Query(sql: String) extends Stmt
@@ -378,7 +380,9 @@ object ChDdl {
     // ALTER subcommands separate on top-level commas, but an
     // unparenthesized MODIFY ORDER BY a, b, c does too — glue fragments
     // that don't open a new subcommand back onto the previous one
-    val subKw = """(?is)^(add|modify|drop|rename|clear|comment)\b""".r
+    val subKw = """(?is)^(add|modify|drop|rename|clear|comment|delete)\b""".r
+    val dropParts = mutable.ArrayBuffer.empty[String]
+    var deleteWhere: Option[String] = None
     val subs = topLevelSplit(s.substring(head.end))
       .foldLeft(mutable.ArrayBuffer.empty[String]) { (acc, frag) =>
         if (acc.nonEmpty && subKw.findFirstIn(frag.trim).isEmpty)
@@ -395,8 +399,16 @@ object ChDdl {
         orderBy = Some(keyList(t, "modify\\s+order\\s+by"))
       else if (lower.startsWith("modify column"))
         mods += parseCol(t.replaceAll("(?is)^modify\\s+column\\s+(if\\s+exists\\s+)?", ""))
-      // other subcommands (drop column, etc.) don't appear in the reference
+      else if (lower.startsWith("drop partition"))
+        // quoted ('2021-06-05') or bare (20210605) partition value
+        dropParts += t.replaceAll("(?is)^drop\\s+partition\\s+", "")
+          .trim.stripPrefix("'").stripSuffix("'")
+      else if (lower.startsWith("delete where"))
+        deleteWhere = Some(t.replaceAll("(?is)^delete\\s+where\\s+", "").trim)
+      // other subcommands (drop column, rename, ...) don't appear in the
+      // reference and stay unmapped
     }
-    AlterTable(head.group(1), adds.toSeq, mods.toSeq, orderBy)
+    AlterTable(head.group(1), adds.toSeq, mods.toSeq, orderBy,
+      dropParts.toSeq, deleteWhere)
   }
 }

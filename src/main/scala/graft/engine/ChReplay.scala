@@ -531,5 +531,15 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
       tables(name) = updated
       if (updated.isAggregating) rebuildStateTable(name)
     }
+    // mutations run against the table's storage (CH executes them as
+    // background part rewrites; here they apply synchronously)
+    if (a.dropPartitions.nonEmpty || a.deleteWhere.nonEmpty) {
+      val st = stateTables.getOrElse(name,
+        sys.error(s"$name: DROP PARTITION / DELETE WHERE needs table storage"))
+      a.dropPartitions.foreach(st.dropPartition(_): Unit)
+      a.deleteWhere.foreach { cond =>
+        st.deleteWhere(org.apache.spark.sql.functions.expr(ChSql(cond))): Unit
+      }
+    }
   }
 }

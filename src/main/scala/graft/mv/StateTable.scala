@@ -315,6 +315,41 @@ final class StateTable(
   def expire(days: Int, today: LocalDate = LocalDate.now()): Seq[String] =
     expire(days, 0, today.atStartOfDay)
 
+  /** `ALTER TABLE ... DROP PARTITION 'v'` — drop one partition directory
+    * outright (metadata-only, no rewrite; CH's partition drop). */
+  def dropPartition(value: String): Boolean = {
+    val fs = fileSystem()
+    val p = new Path(path, s"$partitionCol=$value")
+    val existed = fs.exists(p)
+    if (existed) fs.delete(p, true): Unit
+    cachedSchema = None
+    existed
+  }
+
+  /** `ALTER TABLE ... DELETE WHERE cond` — the CH mutation: rewrite the
+    * table keeping only rows NOT matching `cond`, with the same atomic
+    * staged swap (and ledger preservation) as [[compact]]. Returns the
+    * number of rows removed. Partition-parallel rewrite; states are kept
+    * as stored (no merge), so part granularity is unchanged.
+    */
+  def deleteWhere(cond: org.apache.spark.sql.Column): Long = {
+    val before = read().count()
+    val tmp = path + ".mutate.tmp"
+    val old = path + ".mutate.old"
+    read().filter(!cond)
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(tmp)
+    val fs = fileSystem()
+    val p = new Path(path); val t = new Path(tmp); val o = new Path(old)
+    if (fs.exists(o)) fs.delete(o, true)
+    if (!fs.rename(p, o)) sys.error(s"deleteWhere: failed to stage $path -> $old")
+    if (!fs.rename(t, p)) { fs.rename(o, p); sys.error(s"deleteWhere: failed to swap $tmp -> $path") }
+    val oldLedger = new Path(old, "_ledger")
+    if (fs.exists(oldLedger)) fs.rename(oldLedger, new Path(path, "_ledger"))
+    fs.delete(o, true)
+    cachedSchema = None
+    before - read().count()
+  }
+
   /** TTL at the reference's full granularity — `TTL day +
     * toIntervalDay(days) + toIntervalHour(hours)`
     * (ref ods.action_001_dis.sql:21): a day partition's rows all expire at

@@ -507,6 +507,48 @@ class ChDdlReplaySpec extends SparkSpec {
       "optimize changed the merged result")
   }
 
+  test("ALTER TABLE mutations: DROP PARTITION and DELETE WHERE") {
+    import ChDdl._
+    // parser: both mutation forms, bare and quoted partition values
+    parseStatement("ALTER TABLE db.t DROP PARTITION '2024-01-01'") match {
+      case a: AlterTable => assert(a.dropPartitions == Seq("2024-01-01"))
+      case other => fail(s"unexpected $other")
+    }
+    parseStatement("alter table db.t delete where k = 2") match {
+      case a: AlterTable => assert(a.deleteWhere.contains("k = 2"))
+      case other => fail(s"unexpected $other")
+    }
+
+    val replay = new ChReplay(spark, ChReplay.scratchWarehouse("graft-mutate"))
+    replay.executeScript(
+      """create table dws.mut_local (
+        | day Date,
+        | k UInt64,
+        | v SimpleAggregateFunction(sum, UInt64)
+        |) engine=AggregatingMergeTree()
+        |PARTITION BY day ORDER BY (day, k);
+        |create table dws.mut_dis (day Date, k UInt64, v UInt64)
+        | engine=Distributed(c, dws, mut_local, rand());""".stripMargin)
+    import spark.implicits._
+    val st = replay.stateTables("dws.mut_local")
+    st.appendBatch(Seq(("2024-01-01", 1L, 10L), ("2024-01-01", 2L, 5L),
+      ("2024-01-02", 1L, 7L), ("2024-01-02", 3L, 2L))
+      .toDF("day_s", "k", "v")
+      .select(org.apache.spark.sql.functions.to_date(col("day_s")).as("day"),
+        col("k"), col("v")))
+    // DELETE WHERE through the Distributed alias (CH mutation)
+    replay.execute(parseStatement("ALTER TABLE dws.mut_dis DELETE WHERE k = 1"))
+    val afterDelete = st.finalized().collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString, r.getAs[Long]("k"))).toSet
+    assert(afterDelete == Set(("2024-01-01", 2L), ("2024-01-02", 3L)),
+      s"delete left $afterDelete")
+    // DROP PARTITION removes the whole day
+    replay.execute(parseStatement("ALTER TABLE dws.mut_dis DROP PARTITION '2024-01-01'"))
+    val afterDrop = st.finalized().collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString, r.getAs[Long]("k"))).toSet
+    assert(afterDrop == Set(("2024-01-02", 3L)), s"drop left $afterDrop")
+  }
+
   test("SELECT ... FROM t FINAL reads merge-debt-free (simple + state columns)") {
     val replay = new ChReplay(spark, ChReplay.scratchWarehouse("graft-selfinal"))
     replay.executeScript(
