@@ -100,7 +100,9 @@ object ChDdl {
       modifyColumns: Seq[Col],
       newOrderBy: Option[Seq[String]],
       dropPartitions: Seq[String] = Nil,
-      deleteWhere: Option[String] = None) extends Stmt
+      deleteWhere: Option[String] = None,
+      updateSet: Seq[(String, String)] = Nil,
+      updateWhere: Option[String] = None) extends Stmt
 
   final case class DropStmt(sql: String) extends Stmt
   final case class Query(sql: String) extends Stmt
@@ -380,9 +382,11 @@ object ChDdl {
     // ALTER subcommands separate on top-level commas, but an
     // unparenthesized MODIFY ORDER BY a, b, c does too — glue fragments
     // that don't open a new subcommand back onto the previous one
-    val subKw = """(?is)^(add|modify|drop|rename|clear|comment|delete)\b""".r
+    val subKw = """(?is)^(add|modify|drop|rename|clear|comment|delete|update)\b""".r
     val dropParts = mutable.ArrayBuffer.empty[String]
     var deleteWhere: Option[String] = None
+    val updateSet = mutable.ArrayBuffer.empty[(String, String)]
+    var updateWhere: Option[String] = None
     val subs = topLevelSplit(s.substring(head.end))
       .foldLeft(mutable.ArrayBuffer.empty[String]) { (acc, frag) =>
         if (acc.nonEmpty && subKw.findFirstIn(frag.trim).isEmpty)
@@ -405,10 +409,23 @@ object ChDdl {
           .trim.stripPrefix("'").stripSuffix("'")
       else if (lower.startsWith("delete where"))
         deleteWhere = Some(t.replaceAll("(?is)^delete\\s+where\\s+", "").trim)
+      else if (lower.startsWith("update ")) {
+        // UPDATE a = e1, b = e2 WHERE cond (the glue above rejoined the
+        // assignment list; WHERE terminates it)
+        val body = t.replaceAll("(?is)^update\\s+", "")
+        val whereIdx = """(?is)\bwhere\b""".r.findFirstMatchIn(body)
+          .map(_.start).getOrElse(sys.error(s"ALTER UPDATE needs WHERE: ${t.take(80)}"))
+        updateWhere = Some(body.substring(whereIdx + 5).trim)
+        for (asg <- topLevelSplit(body.substring(0, whereIdx))) {
+          val eq = asg.indexOf('=')
+          require(eq > 0, s"bad UPDATE assignment: $asg")
+          updateSet += ((asg.substring(0, eq).trim, asg.substring(eq + 1).trim))
+        }
+      }
       // other subcommands (drop column, rename, ...) don't appear in the
       // reference and stay unmapped
     }
     AlterTable(head.group(1), adds.toSeq, mods.toSeq, orderBy,
-      dropParts.toSeq, deleteWhere)
+      dropParts.toSeq, deleteWhere, updateSet.toSeq, updateWhere)
   }
 }

@@ -533,13 +533,19 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     }
     // mutations run against the table's storage (CH executes them as
     // background part rewrites; here they apply synchronously)
-    if (a.dropPartitions.nonEmpty || a.deleteWhere.nonEmpty) {
+    if (a.dropPartitions.nonEmpty || a.deleteWhere.nonEmpty || a.updateSet.nonEmpty) {
       val st = stateTables.getOrElse(name,
-        sys.error(s"$name: DROP PARTITION / DELETE WHERE needs table storage"))
+        sys.error(s"$name: DROP PARTITION / DELETE / UPDATE needs table storage"))
       a.dropPartitions.foreach(st.dropPartition(_): Unit)
       a.deleteWhere.foreach { cond =>
         st.deleteWhere(org.apache.spark.sql.functions.expr(ChSql(cond))): Unit
       }
+      if (a.updateSet.nonEmpty)
+        st.updateWhere(
+          a.updateSet.map { case (c, e) =>
+            c -> org.apache.spark.sql.functions.expr(ChSql(e)) },
+          org.apache.spark.sql.functions.expr(ChSql(
+            a.updateWhere.getOrElse("true"))))
     }
   }
 }

@@ -326,6 +326,30 @@ final class StateTable(
     existed
   }
 
+  /** `ALTER TABLE ... UPDATE a = e WHERE cond` — the CH column mutation:
+    * rewrite with each assignment applied on matching rows (others kept
+    * verbatim), same atomic swap as [[deleteWhere]]. */
+  def updateWhere(assignments: Seq[(String, org.apache.spark.sql.Column)],
+      cond: org.apache.spark.sql.Column): Unit = {
+    val tmp = path + ".mutate.tmp"
+    val old = path + ".mutate.old"
+    val src = read()
+    val updated = assignments.foldLeft(src) { case (df, (name, e)) =>
+      df.withColumn(name, when(cond, e.cast(src.schema(name).dataType))
+        .otherwise(col(name)))
+    }
+    updated.write.mode("overwrite").partitionBy(partitionCol).parquet(tmp)
+    val fs = fileSystem()
+    val p = new Path(path); val t = new Path(tmp); val o = new Path(old)
+    if (fs.exists(o)) fs.delete(o, true)
+    if (!fs.rename(p, o)) sys.error(s"updateWhere: failed to stage $path -> $old")
+    if (!fs.rename(t, p)) { fs.rename(o, p); sys.error(s"updateWhere: failed to swap $tmp -> $path") }
+    val oldLedger = new Path(old, "_ledger")
+    if (fs.exists(oldLedger)) fs.rename(oldLedger, new Path(path, "_ledger"))
+    fs.delete(o, true)
+    cachedSchema = None
+  }
+
   /** `ALTER TABLE ... DELETE WHERE cond` — the CH mutation: rewrite the
     * table keeping only rows NOT matching `cond`, with the same atomic
     * staged swap (and ledger preservation) as [[compact]]. Returns the

@@ -542,6 +542,11 @@ class ChDdlReplaySpec extends SparkSpec {
       .map(r => (r.getAs[java.sql.Date]("day").toString, r.getAs[Long]("k"))).toSet
     assert(afterDelete == Set(("2024-01-01", 2L), ("2024-01-02", 3L)),
       s"delete left $afterDelete")
+    // UPDATE mutation rewrites matching rows in place
+    replay.execute(parseStatement("ALTER TABLE dws.mut_dis UPDATE v = v * 10 WHERE k = 2"))
+    val afterUpdate = st.finalized().collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("v"))).toSet
+    assert(afterUpdate == Set((2L, 50L), (3L, 2L)), s"update left $afterUpdate")
     // DROP PARTITION removes the whole day
     replay.execute(parseStatement("ALTER TABLE dws.mut_dis DROP PARTITION '2024-01-01'"))
     val afterDrop = st.finalized().collect()
