@@ -227,7 +227,64 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
         // discover the day=... directories the StateTable wrote
         spark.sql(s"MSCK REPAIR TABLE $n")
       }
+      publishSystemTables()
     }
+
+  /** Rebuild CH's introspection tables (`system.databases` / `.tables` /
+    * `.columns` / `.parts`) as catalog views over a snapshot of the
+    * replay's state. CH keeps these live; here they refresh on every
+    * [[publish]] (and on an explicit call) — the metadata volume is tiny,
+    * so the views are literal VALUES rewritten in place.
+    */
+  def publishSystemTables(): Unit = {
+    def q(s: String): String = "'" + s.replace("'", "''") + "'"
+    spark.sql("CREATE DATABASE IF NOT EXISTS system")
+
+    def mkView(name: String, cols: Seq[String], rows: Seq[Seq[String]]): Unit = {
+      val body =
+        if (rows.isEmpty)
+          cols.map(c => s"CAST(NULL AS STRING) AS $c").mkString("SELECT ", ", ", " WHERE false")
+        else rows.map(_.mkString("(", ", ", ")"))
+          .mkString(s"SELECT * FROM VALUES ", ", ", s" AS t(${cols.mkString(", ")})")
+      spark.sql(s"CREATE OR REPLACE VIEW system.$name AS $body")
+    }
+
+    val engineOf: String => String = n =>
+      if (aliases.contains(n)) "Distributed"
+      else if (tables.get(n).exists(_.isAggregating)) "AggregatingMergeTree"
+      else if (tables.contains(n)) "MergeTree"
+      else "View"
+    val allNames = (tables.keys ++ aliases.keys).toSeq.distinct.sorted
+    mkView("databases", Seq("name"),
+      (allNames.map(_.split('.')(0)).distinct.sorted :+ "system")
+        .map(d => Seq(q(d))))
+    mkView("tables", Seq("database", "name", "engine"),
+      allNames.map { n =>
+        val Array(db, t) = n.split('.')
+        Seq(q(db), q(t), q(engineOf(n)))
+      })
+    mkView("columns", Seq("database", "table", "name", "type"),
+      allNames.flatMap { n =>
+        val Array(db, t) = n.split('.')
+        tables.get(resolve(n)).toSeq.flatMap(_.cols.map(c =>
+          Seq(q(db), q(t), q(c.name), q(c.chType))))
+      })
+    mkView("parts", Seq("database", "table", "partition", "active", "bytes_on_disk"),
+      stateTables.toSeq.sortBy(_._1).flatMap { case (n, st) =>
+        val Array(db, t) = n.split('.')
+        val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(st.path),
+          spark.sparkContext.hadoopConfiguration)
+        val root = new org.apache.hadoop.fs.Path(st.path)
+        if (!fs.exists(root)) Nil
+        else fs.listStatus(root).toSeq.filter(_.isDirectory)
+          .filter(_.getPath.getName.contains("="))
+          .map { d =>
+            val bytes = fs.getContentSummary(d.getPath).getLength
+            Seq(q(db), q(t), q(d.getPath.getName.split('=').last),
+              "1", bytes.toString)
+          }
+      })
+  }
 
   /** Run one of the scripts' SELECTs with three mechanical shims: CH's
     * paren-less `USING a,b` becomes `USING (a,b)`; literal date

@@ -554,6 +554,44 @@ class ChDdlReplaySpec extends SparkSpec {
     assert(afterDrop == Set(("2024-01-02", 3L)), s"drop left $afterDrop")
   }
 
+  test("system.tables/columns/databases/parts reflect the replayed catalog") {
+    val replay = new ChReplay(spark, ChReplay.scratchWarehouse("graft-systbl"))
+    replay.executeScript(
+      """create table dws.sys_local (
+        | day Date,
+        | k UInt64,
+        | v SimpleAggregateFunction(sum, UInt64)
+        |) engine=AggregatingMergeTree()
+        |PARTITION BY day ORDER BY (day, k);
+        |create table dws.sys_dis (day Date, k UInt64, v UInt64)
+        | engine=Distributed(c, dws, sys_local, rand());""".stripMargin)
+    import spark.implicits._
+    replay.stateTables("dws.sys_local").appendBatch(
+      Seq(("2024-01-01", 1L, 10L), ("2024-01-02", 2L, 5L)).toDF("day_s", "k", "v")
+        .select(org.apache.spark.sql.functions.to_date(col("day_s")).as("day"),
+          col("k"), col("v")))
+    replay.publish()
+    val t = spark.sql(
+      "SELECT engine FROM system.tables WHERE database = 'dws' AND name = 'sys_local'")
+      .head().getString(0)
+    assert(t == "AggregatingMergeTree")
+    assert(spark.sql(
+      "SELECT engine FROM system.tables WHERE name = 'sys_dis'")
+      .head().getString(0) == "Distributed")
+    assert(spark.sql("SELECT name FROM system.databases").collect()
+      .map(_.getString(0)).toSet.contains("dws"))
+    val cols = spark.sql(
+      """SELECT name, type FROM system.columns
+        |WHERE database = 'dws' AND table = 'sys_local' ORDER BY name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(cols.map(_._1) == Seq("day", "k", "v"))
+    val parts = spark.sql(
+      """SELECT partition, bytes_on_disk FROM system.parts
+        |WHERE table = 'sys_local' ORDER BY partition""".stripMargin).collect()
+    assert(parts.map(_.getString(0)).toSeq == Seq("2024-01-01", "2024-01-02"))
+    assert(parts.forall(_.getAs[Any](1).toString.toLong > 0))
+  }
+
   test("SELECT ... FROM t FINAL reads merge-debt-free (simple + state columns)") {
     val replay = new ChReplay(spark, ChReplay.scratchWarehouse("graft-selfinal"))
     replay.executeScript(
