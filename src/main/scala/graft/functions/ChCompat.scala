@@ -76,6 +76,7 @@ object ChCompat {
     Moving.register(spark)
     SketchAggs.register(spark)
     SequenceNextNode.register(spark)
+    HtmlText.register(spark)
     // CH's one-row system table (`FROM system.one` — the doc's hand-built
     // rows idiom, doc:335-495, selects literals from it). The catalog
     // round-trip needs the session's ANALYZER; when register() itself runs

@@ -1099,6 +1099,39 @@ object ChPack {
           |ORDER BY eb.event_id""".stripMargin)
     },
 
+    // CH HTML/text-hygiene functions — extractTextFromHTML (the raw-web
+    // half of a training-data pipeline: script/style/comment removal,
+    // CDATA kept verbatim, whitespace collapse), regex group capture,
+    // Unicode normalization/repair, query fingerprinting, raw JSON
+    // array splitting.
+    "q153_html_text" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).events.createOrReplaceTempView("graft_ht_events")
+      s.sql(
+        """SELECT event_id,
+          |  extractTextFromHTML(concat(
+          |    '<html><head><style>b{}</style></head><body>',
+          |    '<script>var x=1;</script><h1>', event_type,
+          |    '</h1><p>id <b>', CAST(event_id AS STRING),
+          |    '</b><!-- hidden --></p></body></html>')) AS text,
+          |  extractTextFromHTML('<p>A<![CDATA[<raw>]]>B</p>') AS cdata_pin,
+          |  concat_ws('|', transform(
+          |    extractAllGroupsVertical(concat(event_type, '=',
+          |      CAST(event_id AS STRING)), '(\\w+)=(\\d+)'),
+          |    a -> concat_ws(',', a))) AS grp_v,
+          |  normalizeUTF8NFC(event_type) AS nfc,
+          |  isValidUTF8(event_type) AS valid,
+          |  toValidUTF8(event_type) AS repaired,
+          |  normalizeQuery(concat('SELECT * FROM t WHERE id = ',
+          |    CAST(event_id AS STRING), " AND name = 'x'")) AS nq,
+          |  concat_ws(',', JSONExtractArrayRaw(concat('[1, "a", {"k": ',
+          |    CAST(event_id AS STRING), '}]'))) AS jraw,
+          |  JSONArrayLength(concat('[1,2,3,', CAST(event_id AS STRING), ']')) AS jlen
+          |FROM graft_ht_events
+          |WHERE event_id <= 300
+          |ORDER BY event_id""".stripMargin)
+    },
+
     // The full CH bitmap algebra beyond and/or (xor/andnot +
     // cardinalities, membership predicates, array round-trip, extrema,
     // subset slicing, bitmapBuild) in one verbatim-SQL battery over
@@ -1718,6 +1751,24 @@ object ChPack {
         |  ROUND(regr_slope(y, qd), 6) AS slr_k,
         |  ROUND(regr_intercept(y, qd), 6) AS slr_b
         |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the stripped text reconstructs from the source columns; hygiene
+    // functions are identity on the ASCII inputs; fingerprints are
+    // literal pins
+    "q153_html_text" ->
+      """SELECT event_id,
+        |  event_type || ' id ' || event_id AS text,
+        |  'A<raw>B' AS cdata_pin,
+        |  event_type || ',' || event_id AS grp_v,
+        |  event_type AS nfc,
+        |  TRUE AS valid,
+        |  event_type AS repaired,
+        |  'SELECT * FROM t WHERE id = ? AND name = ?' AS nq,
+        |  '1,"a",{"k": ' || event_id || '}' AS jraw,
+        |  4 AS jlen
+        |FROM events
+        |WHERE event_id <= 300
+        |ORDER BY event_id""".stripMargin,
 
     // DuckDB list functions on DOUBLE[] mirror the double-lane folds;
     // bit/IP math spelled out with native operators

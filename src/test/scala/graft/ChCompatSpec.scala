@@ -976,6 +976,40 @@ class ChCompatSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)
   }
 
+  test("HTML text extraction, UTF-8 hygiene, group capture, raw JSON arrays") {
+    ChCompat.register(spark)
+    def row(expr: String) = spark.sql(s"SELECT $expr AS v").head()
+    def s(expr: String) = row(expr).getString(0)
+    // CH contract: script/style bodies and comments drop, CDATA content
+    // rides verbatim, entities stay encoded, whitespace collapses
+    assert(s("extractTextFromHTML('<p>Hello<b>world</b></p>')") == "Hello world")
+    assert(s("extractTextFromHTML('a<script>var x = \"<b>\";</script>b')") == "a b")
+    assert(s("extractTextFromHTML('x<!-- no -->y')") == "xy")
+    assert(s("extractTextFromHTML('&amp; stays')") == "&amp; stays")
+    assert(s("extractTextFromHTML('<p>A<![CDATA[<raw>]]>B</p>')") == "A<raw>B")
+    assert(s("extractTextFromHTML('open <b unterminated')") == "open")
+    // group capture, both orientations
+    assert(s("concat_ws('|', transform(extractAllGroupsHorizontal('a=1, b=2', '(\\\\w+)=(\\\\d+)'), g -> concat_ws(',', g)))")
+      == "a,b|1,2")
+    assert(s("concat_ws('|', transform(extractAllGroupsVertical('a=1, b=2', '(\\\\w+)=(\\\\d+)'), g -> concat_ws(',', g)))")
+      == "a,1|b,2")
+    // UTF-8: NFC composes, NFD decomposes, repair inserts U+FFFD
+    assert(s("normalizeUTF8NFC('e\\u0301')") == "é")
+    assert(s("normalizeUTF8NFD('\\u00e9')") == "é")
+    assert(row("isValidUTF8('plain')").getBoolean(0))
+    assert(s("toValidUTF8('ok')") == "ok")
+    // query fingerprinting masks literals; hash groups equal shapes
+    assert(s("normalizeQuery(\"SELECT 5, 'abc' FROM t WHERE x = 3.14\")")
+      == "SELECT ?, ? FROM t WHERE x = ?")
+    assert(row("normalizedQueryHash('SELECT 1') = normalizedQueryHash('SELECT 999')")
+      .getBoolean(0))
+    // raw JSON arrays: nested structures stay single elements
+    assert(s("concat_ws(';', JSONExtractArrayRaw('[[1,2], {\"a\": [3]}, \"x,y\"]'))")
+      == "[1,2];{\"a\": [3]};\"x,y\"")
+    assert(row("JSONArrayLength('{\"k\": [1,2,3]}', 'k')").getInt(0) == 3)
+    assert(row("JSONExtractArrayRaw('not an array')").isNullAt(0))
+  }
+
   test("stat aggregates cross-check vs independent reference on random data") {
     ChCompat.register(spark)
     import spark.implicits._

@@ -340,7 +340,9 @@ class PlanSpec extends SparkSpec {
     // q151: one object-hash group agg + final sort
     "q151_sequence_next_node" -> 2,
     // q152: embeddings self-join (broadcast) + per-row scalars + sort
-    "q152_vector_bits" -> 2)
+    "q152_vector_bits" -> 2,
+    // q153: per-row text scalars, one global sort
+    "q153_html_text" -> 1)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)
