@@ -75,6 +75,16 @@ object StatAggregates {
     f("mannWhitneyUTest") { es =>
       MannWhitneyAgg(es(0), es(1)).toAggregateExpression()
     }
+    f("kolmogorovSmirnovTest") { es =>
+      KolmogorovSmirnovAgg(es(0), es(1)).toAggregateExpression()
+    }
+    // CH meanZTest(pop_var_x, pop_var_y, conf)(sample, index) in the flat
+    // spelling (sample, index, pop_var_x, pop_var_y, conf)
+    f("meanZTest") { es =>
+      MeanZTestAgg(es(0), es(1), es(2), es(3), es(4)).toAggregateExpression()
+    }
+    for (fn <- Seq("erf", "erfc", "lgamma", "tgamma", "digamma"))
+      f(fn) { es => MathFnExpr(es.head, fn) }
     f("intervalLengthSum") { es =>
       IntervalLengthSumAgg(es(0), es(1)).toAggregateExpression()
     }
@@ -1039,4 +1049,196 @@ case class MannWhitneyAgg(
   override protected def withNewChildrenInternal(l: Expression, r: Expression): MannWhitneyAgg =
     copy(valueChild = l, indexChild = r)
   override def prettyName: String = "mannWhitneyUTest"
+}
+
+/** machine-precision special-function scalars (CH erf/erfc/lgamma/tgamma)
+  * over commons-math3 (on Spark's own classpath). */
+case class MathFnExpr(child: Expression, fn: String)
+  extends Expression with UnaryLike[Expression]
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val x = v match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case l: Long => l.toDouble
+      case i: Int => i.toDouble
+      case s: Short => s.toDouble
+    }
+    fn match {
+      case "erf" => org.apache.commons.math3.special.Erf.erf(x)
+      case "erfc" => org.apache.commons.math3.special.Erf.erfc(x)
+      case "lgamma" => org.apache.commons.math3.special.Gamma.logGamma(x)
+      case "tgamma" => org.apache.commons.math3.special.Gamma.gamma(x)
+      case "digamma" => org.apache.commons.math3.special.Gamma.digamma(x)
+      case other => throw new IllegalStateException(s"unknown fn $other")
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): MathFnExpr =
+    copy(child = c)
+  override def prettyName: String = fn
+}
+
+/** CH `kolmogorovSmirnovTest(value, index)`: two-sample KS — D is the
+  * max ECDF gap (ties consumed before evaluating, both samples), p the
+  * asymptotic Kolmogorov tail with the small-sample correction
+  * λ = (√ne + 0.12 + 0.11/√ne)·D. Collects the pooled sample. */
+case class KolmogorovSmirnovAgg(
+    valueChild: Expression,
+    indexChild: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[PairListBuf] with BinaryLike[Expression]
+  with PairCollecting {
+
+  override def left: Expression = valueChild
+  override def right: Expression = indexChild
+  override protected def aChild: Expression = valueChild
+  override protected def bChild: Expression = indexChild
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("d_statistic", DoubleType, nullable = true),
+    StructField("p_value", DoubleType, nullable = true)))
+  override def nullable: Boolean = false
+
+  override def eval(buf: PairListBuf): Any = {
+    val pairs = buf.buf.toArray.sortBy(_._1)
+    val n = pairs.length
+    val n1 = pairs.count(_._2 != 0d).toDouble
+    val n0 = n - n1
+    if (n0 < 1 || n1 < 1) return InternalRow(null, null)
+    var c0 = 0L
+    var c1 = 0L
+    var d = 0d
+    var i = 0
+    while (i < n) {
+      var j = i
+      while (j + 1 < n && pairs(j + 1)._1 == pairs(i)._1) j += 1
+      var k = i
+      while (k <= j) {
+        if (pairs(k)._2 == 0d) c0 += 1 else c1 += 1
+        k += 1
+      }
+      val gap = math.abs(c0 / n0 - c1 / n1)
+      if (gap > d) d = gap
+      i = j + 1
+    }
+    val ne = n0 * n1 / (n0 + n1)
+    val lambda = (math.sqrt(ne) + 0.12 + 0.11 / math.sqrt(ne)) * d
+    var p = 0d
+    var k = 1
+    while (k <= 100) {
+      p += 2 * (if (k % 2 == 1) 1d else -1d) * math.exp(-2d * k * k * lambda * lambda)
+      k += 1
+    }
+    InternalRow(d, math.max(0d, math.min(1d, p)))
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): KolmogorovSmirnovAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KolmogorovSmirnovAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): KolmogorovSmirnovAgg =
+    copy(valueChild = l, indexChild = r)
+  override def prettyName: String = "kolmogorovSmirnovTest"
+}
+
+/** CH `meanZTest(sample, index, pop_var_0, pop_var_1, conf)` in the flat
+  * spelling: two-sample z-test with KNOWN population variances —
+  * (z, p, ci_low, ci_high) where the CI bounds the mean difference at
+  * the given confidence. O(1) Welford state (means only matter). */
+case class MeanZTestAgg(
+    valueChild: Expression,
+    indexChild: Expression,
+    var0Child: Expression,
+    var1Child: Expression,
+    confChild: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TTestBuf] {
+
+  override def children: Seq[Expression] =
+    Seq(valueChild, indexChild, var0Child, var1Child, confChild)
+
+  private lazy val v0 = var0Child.eval(InternalRow.empty).asInstanceOf[Number].doubleValue()
+  private lazy val v1 = var1Child.eval(InternalRow.empty).asInstanceOf[Number].doubleValue()
+  private lazy val conf = confChild.eval(InternalRow.empty).asInstanceOf[Number].doubleValue()
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("z_statistic", DoubleType, nullable = true),
+    StructField("p_value", DoubleType, nullable = true),
+    StructField("ci_low", DoubleType, nullable = true),
+    StructField("ci_high", DoubleType, nullable = true)))
+  override def nullable: Boolean = false
+  override def createAggregationBuffer(): TTestBuf = new TTestBuf
+
+  override def update(buf: TTestBuf, row: InternalRow): TTestBuf = {
+    val v = valueChild.eval(row)
+    val g = indexChild.eval(row)
+    if (v != null && g != null) {
+      val x = v match {
+        case d: Double => d
+        case f: Float => f.toDouble
+        case l: Long => l.toDouble
+        case i: Int => i.toDouble
+        case s: Short => s.toDouble
+      }
+      val gi = g match {
+        case b: Boolean => if (b) 1 else 0
+        case l: Long => if (l != 0) 1 else 0
+        case i: Int => if (i != 0) 1 else 0
+        case s: Short => if (s != 0) 1 else 0
+      }
+      buf.add(gi, x)
+    }
+    buf
+  }
+  override def merge(buf: TTestBuf, o: TTestBuf): TTestBuf = { buf.mergeFrom(o); buf }
+
+  override def eval(buf: TTestBuf): Any = {
+    val n0 = buf.n(0).toDouble
+    val n1 = buf.n(1).toDouble
+    if (n0 < 1 || n1 < 1) return InternalRow(null, null, null, null)
+    val diff = buf.mean(0) - buf.mean(1)
+    val se = math.sqrt(v0 / n0 + v1 / n1)
+    val z = diff / se
+    val p = StatMath.normalTwoSidedP(z)
+    val zq = new org.apache.commons.math3.distribution.NormalDistribution(0, 1)
+      .inverseCumulativeProbability(1 - (1 - conf) / 2)
+    InternalRow(z, p, diff - zq * se, diff + zq * se)
+  }
+
+  override def serialize(buf: TTestBuf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(48)
+    var g = 0
+    while (g < 2) {
+      bb.putLong(buf.n(g)); bb.putDouble(buf.mean(g)); bb.putDouble(buf.m2(g))
+      g += 1
+    }
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): TTestBuf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new TTestBuf
+    var g = 0
+    while (g < 2) {
+      buf.n(g) = bb.getLong; buf.mean(g) = bb.getDouble; buf.m2(g) = bb.getDouble
+      g += 1
+    }
+    buf
+  }
+  override def withNewMutableAggBufferOffset(o: Int): MeanZTestAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MeanZTestAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): MeanZTestAgg =
+    copy(valueChild = cs(0), indexChild = cs(1), var0Child = cs(2),
+      var1Child = cs(3), confChild = cs(4))
+  override def prettyName: String = "meanZTest"
 }

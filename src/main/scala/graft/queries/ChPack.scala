@@ -1132,6 +1132,26 @@ object ChPack {
           |ORDER BY event_id""".stripMargin)
     },
 
+    // CH distribution tests completing the two-sample family:
+    // kolmogorovSmirnovTest's exact ECDF max-gap (mirrored by window
+    // cumulative counts) and meanZTest with known variances; erf-family
+    // special functions pinned on literals (machine-precision
+    // commons-math3 — no DuckDB twin).
+    "q154_ks_ztest" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).events.createOrReplaceTempView("graft_kz_events")
+      s.sql(
+        """SELECT event_type,
+          |       round(kolmogorovSmirnovTest(value, user_id % 2).d_statistic, 6) AS ksd,
+          |       round(meanZTest(value, user_id % 2, 2000.0D, 2000.0D,
+          |                       0.95D).z_statistic, 6) AS z,
+          |       round(erf(0.5D), 6) AS erf_pin,
+          |       round(tgamma(5.0D), 1) AS tg_pin
+          |FROM graft_kz_events
+          |GROUP BY event_type
+          |ORDER BY event_type""".stripMargin)
+    },
+
     // The full CH bitmap algebra beyond and/or (xor/andnot +
     // cardinalities, membership predicates, array round-trip, extrema,
     // subset slicing, bitmapBuild) in one verbatim-SQL battery over
@@ -1751,6 +1771,37 @@ object ChPack {
         |  ROUND(regr_slope(y, qd), 6) AS slr_k,
         |  ROUND(regr_intercept(y, qd), 6) AS slr_b
         |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // ECDF via RANGE-frame cumulative counts (ties consumed as peers),
+    // z from FILTER aggregates
+    "q154_ks_ztest" ->
+      """WITH s AS (SELECT event_type, value v, user_id % 2 g FROM events),
+        |tot AS (
+        |  SELECT event_type,
+        |         CAST(COUNT(*) FILTER (g = 0) AS DOUBLE) n0,
+        |         CAST(COUNT(*) FILTER (g = 1) AS DOUBLE) n1
+        |  FROM s GROUP BY event_type),
+        |c AS (
+        |  SELECT event_type, v,
+        |         SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY event_type ORDER BY v) c0,
+        |         SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY event_type ORDER BY v) c1
+        |  FROM s),
+        |d AS (
+        |  SELECT c.event_type,
+        |         ROUND(MAX(ABS(c.c0 / tot.n0 - c.c1 / tot.n1)), 6) ksd
+        |  FROM c JOIN tot USING (event_type) GROUP BY c.event_type),
+        |z AS (
+        |  SELECT event_type,
+        |         ROUND((AVG(v) FILTER (g = 0) - AVG(v) FILTER (g = 1))
+        |               / SQRT(2000.0 / COUNT(*) FILTER (g = 0)
+        |                      + 2000.0 / COUNT(*) FILTER (g = 1)), 6) z
+        |  FROM s GROUP BY event_type)
+        |SELECT d.event_type, d.ksd, z.z,
+        |       0.5205 AS erf_pin, 24.0 AS tg_pin
+        |FROM d JOIN z USING (event_type)
+        |ORDER BY d.event_type""".stripMargin,
 
     // the stripped text reconstructs from the source columns; hygiene
     // functions are identity on the ASCII inputs; fingerprints are

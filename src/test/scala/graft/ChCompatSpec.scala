@@ -976,6 +976,44 @@ class ChCompatSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)
   }
 
+  test("KS test, meanZTest, erf family — cross-checked vs commons-math3") {
+    ChCompat.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val a = Array.fill(400)(rnd.nextGaussian())
+    val b = Array.fill(300)(rnd.nextGaussian() * 1.3 + 0.2)
+    val rows = a.map((_, 0)) ++ b.map((_, 1))
+    rows.toSeq.toDF("v", "g").repartition(7).createOrReplaceTempView("graft_ks")
+    val r = spark.sql(
+      """SELECT kolmogorovSmirnovTest(v, g).d_statistic d,
+        |       kolmogorovSmirnovTest(v, g).p_value p FROM graft_ks""".stripMargin).head()
+    // commons-math3 computes the same D exactly and an (exact-ish) p —
+    // D must match to float precision, p to the asymptotic's accuracy
+    val ref = new org.apache.commons.math3.stat.inference.KolmogorovSmirnovTest
+    val dRef = ref.kolmogorovSmirnovStatistic(a, b)
+    val pRef = ref.kolmogorovSmirnovTest(a, b)
+    assert(math.abs(r.getDouble(0) - dRef) < 1e-12, s"D ${r.getDouble(0)} vs $dRef")
+    assert(math.abs(r.getDouble(1) - pRef) < 0.02, s"p ${r.getDouble(1)} vs $pRef")
+    // meanZTest: known variances 1 and 1.69; z from the closed form
+    val z = spark.sql(
+      """SELECT meanZTest(v, g, 1.0D, 1.69D, 0.95D).z_statistic z,
+        |       meanZTest(v, g, 1.0D, 1.69D, 0.95D).p_value p,
+        |       meanZTest(v, g, 1.0D, 1.69D, 0.95D).ci_low lo,
+        |       meanZTest(v, g, 1.0D, 1.69D, 0.95D).ci_high hi
+        |FROM graft_ks""".stripMargin).head()
+    val m0 = a.sum / a.length; val m1 = b.sum / b.length
+    val se = math.sqrt(1.0 / a.length + 1.69 / b.length)
+    assert(math.abs(z.getDouble(0) - (m0 - m1) / se) < 1e-9)
+    assert(z.getDouble(2) < m0 - m1 && m0 - m1 < z.getDouble(3))
+    assert(math.abs((z.getDouble(3) - z.getDouble(2)) / 2 - 1.959963984540054 * se) < 1e-9)
+    // erf family rides commons-math3 — spot values
+    def row(expr: String) = spark.sql(s"SELECT $expr AS v").head()
+    assert(math.abs(row("erf(0.5D)").getDouble(0) - 0.5204998778130465) < 1e-14)
+    assert(math.abs(row("erfc(0.5D)").getDouble(0) - 0.4795001221869535) < 1e-14)
+    assert(math.abs(row("tgamma(5.0D)").getDouble(0) - 24.0) < 1e-10)
+    assert(math.abs(row("lgamma(5.0D)").getDouble(0) - math.log(24.0)) < 1e-12)
+  }
+
   test("HTML text extraction, UTF-8 hygiene, group capture, raw JSON arrays") {
     ChCompat.register(spark)
     def row(expr: String) = spark.sql(s"SELECT $expr AS v").head()

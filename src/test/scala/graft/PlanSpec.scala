@@ -342,7 +342,9 @@ class PlanSpec extends SparkSpec {
     // q152: embeddings self-join (broadcast) + per-row scalars + sort
     "q152_vector_bits" -> 2,
     // q153: per-row text scalars, one global sort
-    "q153_html_text" -> 1)
+    "q153_html_text" -> 1,
+    // q154: one object-hash group agg + final sort
+    "q154_ks_ztest" -> 2)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)
