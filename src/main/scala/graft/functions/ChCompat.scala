@@ -217,9 +217,11 @@ object ChCompat {
       val (s, e) = (es(1), es(2))
       def bySeconds(n: Long): Expression =
         IntegralDivide(Subtract(epochOf(e), epochOf(s)), Literal(n))
+      // truncate toward zero like the seconds-based units (a reversed
+      // range counts the same magnitude either direction)
       def months: Expression = Cast(
-        new Floor(MonthsBetween(Cast(e, TimestampType), Cast(s, TimestampType),
-          Literal(false), None)),
+        MonthsBetween(Cast(e, TimestampType), Cast(s, TimestampType),
+          Literal(false), None),
         LongType)
       unit match {
         case "second" => bySeconds(1L)
@@ -556,13 +558,21 @@ object ChCompat {
         LambdaFunction.identity)
     }
     // running sum clamped at zero (CH's non-negative scan): s = max(0, s+x)
+    // — integral arrays keep exact BIGINT lanes, float arrays ride doubles
+    // (CH returns Float64 there)
     f("arrayCumSumNonNegative") { es =>
+      val floatIn = es.head.dataType match {
+        case ArrayType(DoubleType | FloatType, _) => true
+        case _ => false
+      }
+      val laneT: DataType = if (floatIn) DoubleType else LongType
+      def zeroLit: Expression = if (floatIn) Literal(0.0) else Literal(0L)
       val acc = lamVar("__cn_acc"); val x = lamVar("__cn_x"); val fin = lamVar("__cn_fin")
       val accSum = GetStructField(acc, 0, Some("s"))
-      val clamped = Greatest(Seq(Literal(0L), Add(accSum, Cast(x, LongType))))
+      val clamped = Greatest(Seq(zeroLit, Add(accSum, Cast(x, laneT))))
       val zero = CreateNamedStruct(Seq(
-        Literal("s"), Literal(0L),
-        Literal("out"), Literal.create(Seq.empty[Long], ArrayType(LongType))))
+        Literal("s"), zeroLit,
+        Literal("out"), Literal.create(Seq.empty[Any], ArrayType(laneT))))
       val merge = LambdaFunction(CreateNamedStruct(Seq(
         Literal("s"), clamped,
         Literal("out"), ArrayAppend(GetStructField(acc, 1, Some("out")), clamped))),
@@ -778,15 +788,12 @@ object ChCompat {
         CaseKeyWhen(es(0), ks.zip(vs).flatMap(p => Seq(p._1, p._2)) :+ default)
       }
     }
-    // CH multiSearch family over a needle array
+    // CH multiSearch family over a needle array (multiSearchAny is
+    // registered with the string-search battery above)
     f("multiSearchAllPositions") { es =>
       val n = UnresolvedNamedLambdaVariable(Seq("__ms_n"))
       ArrayTransform(es(1),
         LambdaFunction(new StringLocate(n, es(0)), Seq(n)))
-    }
-    f("multiSearchAny") { es =>
-      val n = UnresolvedNamedLambdaVariable(Seq("__msa_n"))
-      ArrayExists(es(1), LambdaFunction(Contains(es(0), n), Seq(n)))
     }
     // first (smallest positive) position of any needle; 0 if none
     f("multiSearchFirstPosition") { es =>
@@ -833,10 +840,11 @@ object ChCompat {
     f("exp10") { es => Pow(Literal(10.0), es.head) }
     f("intExp2") { es => ShiftLeft(Literal(1L), Cast(es.head, IntegerType)) }
     f("intExp10") { es => Cast(Pow(Literal(10.0), es.head), LongType) }
-    // largest power of two ≤ x (0 for non-positive, CH's convention)
+    // largest power of two ≤ x (anything below one returns 0, CH's
+    // documented convention — a negative shift would wrap mod 64)
     f("roundToExp2") { es =>
       val x = Cast(es.head, DoubleType)
-      If(LessThanOrEqual(x, Literal(0.0)), Literal(0L),
+      If(LessThan(x, Literal(1.0)), Literal(0L),
         ShiftLeft(Literal(1L), Cast(new Floor(Log2(x)), IntegerType)))
     }
     // largest array element ≤ x, else the first element

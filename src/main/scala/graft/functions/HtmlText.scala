@@ -75,6 +75,19 @@ object HtmlText {
     RegExpReplace(noStrings, Literal("\\b\\d+(?:\\.\\d+)?\\b"), Literal("?"))
   }
 
+  /** case-insensitive indexOf without lowercasing the document (a full
+    * toLowerCase per tag would be O(n²) on real pages, and can even shift
+    * indices — some code points change length under lowercasing). */
+  private def indexOfIgnoreCase(html: String, needle: String, from: Int): Int = {
+    var i = from
+    val last = html.length - needle.length
+    while (i <= last) {
+      if (html.regionMatches(true, i, needle, 0, needle.length)) return i
+      i += 1
+    }
+    -1
+  }
+
   private[functions] def stripHtml(html: String): String = {
     val sb = new StringBuilder(html.length)
     var i = 0
@@ -93,7 +106,7 @@ object HtmlText {
           i = if (e < 0) n else e + 3
         } else if (lookingAt("<script") || lookingAt("<style")) {
           val closing = if (lookingAt("<script")) "</script" else "</style"
-          val e = html.toLowerCase.indexOf(closing, i + 1)
+          val e = indexOfIgnoreCase(html, closing, i + 1)
           sb.append(' ') // the removed block is a whitespace boundary
           if (e < 0) i = n
           else {

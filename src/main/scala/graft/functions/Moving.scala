@@ -115,7 +115,9 @@ case class MovingSumAgg(
     while (i < n) {
       running += buf.buf(i)
       if (window > 0 && i >= window) running -= buf.buf(i - window)
-      val denom = if (window > 0) window else i + 1
+      // CH divides by the WINDOW SIZE; with no explicit size the window
+      // is the total row count (prefix/N), not a running mean
+      val denom = if (window > 0) window else n
       out(i) =
         if (avg) running / denom
         else if (longOut) running.toLong

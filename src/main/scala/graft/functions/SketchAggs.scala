@@ -316,22 +316,27 @@ case class LttbAgg(
     while (b < bucketCount) {
       val start = 1 + b * inner / bucketCount
       val end = 1 + (b + 1) * inner / bucketCount // exclusive
-      val nextStart = 1 + (b + 1) * inner / bucketCount
-      val nextEnd = if (b + 2 <= bucketCount - 1) 1 + (b + 2) * inner / bucketCount else m
+      // the next-bucket anchor: the following INNER bucket's mean — the
+      // final kept point only anchors the last inner bucket (reference
+      // LTTB treats it as its own terminal bucket)
       var ax = 0d; var ay = 0d; var cnt = 0
-      var i = math.min(nextStart, m - 1)
-      val stop = math.min(nextEnd, m)
-      while (i < stop) { ax += pts(i)._1; ay += pts(i)._2; cnt += 1; i += 1 }
-      if (cnt == 0) { ax = pts(m - 1)._1; ay = pts(m - 1)._2; cnt = 1 }
+      if (b == bucketCount - 1) {
+        ax = pts(m - 1)._1; ay = pts(m - 1)._2; cnt = 1
+      } else {
+        var i = 1 + (b + 1) * inner / bucketCount
+        val stop = 1 + (b + 2) * inner / bucketCount
+        while (i < stop) { ax += pts(i)._1; ay += pts(i)._2; cnt += 1; i += 1 }
+        if (cnt == 0) { ax = pts(m - 1)._1; ay = pts(m - 1)._2; cnt = 1 }
+      }
       ax /= cnt; ay /= cnt
       val (px, py) = kept.last
       var bestI = start
       var bestA = -1d
-      i = start
-      while (i < end) {
-        val area = math.abs((px - ax) * (pts(i)._2 - py) - (px - pts(i)._1) * (ay - py))
-        if (area > bestA) { bestA = area; bestI = i }
-        i += 1
+      var j = start
+      while (j < end) {
+        val area = math.abs((px - ax) * (pts(j)._2 - py) - (px - pts(j)._1) * (ay - py))
+        if (area > bestA) { bestA = area; bestI = j }
+        j += 1
       }
       kept += pts(bestI)
       b += 1

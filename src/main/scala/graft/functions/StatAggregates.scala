@@ -515,6 +515,11 @@ private[functions] trait PairCollecting { self: TypedImperativeAggregate[PairLis
       case l: Long => Some(l.toDouble)
       case i: Int => Some(i.toDouble)
       case s: Short => Some(s.toDouble)
+      // boolean 0/1 indexes (mannWhitneyUTest(v, cond) — the natural
+      // spelling the t-tests also accept)
+      case b: Boolean => Some(if (b) 1d else 0d)
+      // decimal literals (Spark parses 1.0 as DECIMAL(2,1))
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
       case ts: java.lang.Long => Some(ts.toDouble)
     }
 
@@ -1131,12 +1136,19 @@ case class KolmogorovSmirnovAgg(
     }
     val ne = n0 * n1 / (n0 + n1)
     val lambda = (math.sqrt(ne) + 0.12 + 0.11 / math.sqrt(ne)) * d
-    var p = 0d
-    var k = 1
-    while (k <= 100) {
-      p += 2 * (if (k % 2 == 1) 1d else -1d) * math.exp(-2d * k * k * lambda * lambda)
-      k += 1
-    }
+    // λ → 0 makes the alternating series cancel to 0 numerically, but the
+    // true tail P(K > 0) is 1 — identical samples must report p = 1
+    val p =
+      if (lambda < 1e-9) 1d
+      else {
+        var s = 0d
+        var k = 1
+        while (k <= 100) {
+          s += 2 * (if (k % 2 == 1) 1d else -1d) * math.exp(-2d * k * k * lambda * lambda)
+          k += 1
+        }
+        s
+      }
     InternalRow(d, math.max(0d, math.min(1d, p)))
   }
 

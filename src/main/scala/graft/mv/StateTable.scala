@@ -360,7 +360,9 @@ final class StateTable(
     val before = read().count()
     val tmp = path + ".mutate.tmp"
     val old = path + ".mutate.old"
-    read().filter(!cond)
+    // delete only rows where cond is TRUE — a NULL predicate keeps the
+    // row (CH mutation semantics), so the negation must null-guard
+    read().filter(!coalesce(cond, lit(false)))
       .write.mode("overwrite").partitionBy(partitionCol).parquet(tmp)
     val fs = fileSystem()
     val p = new Path(path); val t = new Path(tmp); val o = new Path(old)

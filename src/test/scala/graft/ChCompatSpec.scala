@@ -994,6 +994,15 @@ class ChCompatSpec extends SparkSpec {
     val pRef = ref.kolmogorovSmirnovTest(a, b)
     assert(math.abs(r.getDouble(0) - dRef) < 1e-12, s"D ${r.getDouble(0)} vs $dRef")
     assert(math.abs(r.getDouble(1) - pRef) < 0.02, s"p ${r.getDouble(1)} vs $pRef")
+    // identical samples: D = 0 must report p = 1, and a boolean index
+    // column works (the natural cond spelling)
+    val same = spark.sql(
+      """SELECT kolmogorovSmirnovTest(v, g = 1).d_statistic d,
+        |       kolmogorovSmirnovTest(v, g = 1).p_value p,
+        |       mannWhitneyUTest(v, g = 1).u_statistic u
+        |FROM VALUES (1.0, 0), (2.0, 0), (1.0, 1), (2.0, 1) t(v, g)""".stripMargin).head()
+    assert(same.getDouble(0) == 0.0 && same.getDouble(1) == 1.0)
+    assert(same.getDouble(2) == 2.0)
     // meanZTest: known variances 1 and 1.69; z from the closed form
     val z = spark.sql(
       """SELECT meanZTest(v, g, 1.0D, 1.69D, 0.95D).z_statistic z,
@@ -1151,6 +1160,7 @@ class ChCompatSpec extends SparkSpec {
     assert(row("intExp2(10)").getLong(0) == 1024L)
     assert(row("roundToExp2(1000)").getLong(0) == 512L)
     assert(row("roundToExp2(0)").getLong(0) == 0L)
+    assert(row("roundToExp2(0.5D)").getLong(0) == 0L, "below one returns 0")
     assert(row("roundDown(7, array(1, 5, 10))").getInt(0) == 5)
     assert(row("roundDown(0, array(1, 5, 10))").getInt(0) == 1, "below range → first")
     assert(row("roundBankers(2.5D, 0)").getDouble(0) == 2.0, "half to even")
@@ -1325,6 +1335,9 @@ class ChCompatSpec extends SparkSpec {
     assert(mv.getString(0) == "1,3,6,10")
     assert(mv.getString(1) == "1,3,5,7")
     assert(mv.getString(2) == "0.5,1.5,2.5,3.5", "CH divides by window size, not count")
+    // no explicit size: window = total rows, so every prefix divides by N
+    assert(spark.sql("SELECT concat_ws(',', groupArrayMovingAvg(v)) a FROM graft_mv_one")
+      .head().getString(0) == "0.25,0.75,1.5,2.5")
     // EMA: latest point weight 1, one halflife back weight 1/2
     Seq((0L, 10.0), (10L, 20.0)).toDF("t", "v")
       .createOrReplaceTempView("graft_ema2")
@@ -1468,6 +1481,8 @@ class ChCompatSpec extends SparkSpec {
     assert(row("arrayProduct(array())").getDouble(0) == 1.0)
     assert(row("concat_ws(',', arrayCumSumNonNegative(array(1, 1, -4, 1)))")
       .getString(0) == "1,2,0,1")
+    assert(row("concat_ws(',', arrayCumSumNonNegative(array(1.5D, 2.5D, -10.0D, 2.0D)))")
+      .getString(0) == "1.5,4.0,0.0,2.0", "float arrays keep double lanes")
     // CH doc example: nulls forward-fill from the last kept value
     assert(row("concat_ws(',', arrayFill(x -> x != 0, array(0, 0, 5, 0)))")
       .getString(0) == "0,0,5,5", "false head stays as-is")

@@ -542,6 +542,11 @@ class ChDdlReplaySpec extends SparkSpec {
       .map(r => (r.getAs[java.sql.Date]("day").toString, r.getAs[Long]("k"))).toSet
     assert(afterDelete == Set(("2024-01-01", 2L), ("2024-01-02", 3L)),
       s"delete left $afterDelete")
+    // a NULL predicate KEEPS the row (only true deletes) — the
+    // null-guard distinguishes filter(!cond) from CH mutation semantics
+    replay.execute(parseStatement(
+      "ALTER TABLE dws.mut_dis DELETE WHERE if(k = 999, true, NULL)"))
+    assert(st.finalized().count() == 2, "NULL-predicate rows must survive")
     // UPDATE mutation rewrites matching rows in place
     replay.execute(parseStatement("ALTER TABLE dws.mut_dis UPDATE v = v * 10 WHERE k = 2"))
     val afterUpdate = st.finalized().collect()
