@@ -145,9 +145,14 @@ object ChDdl {
     }
     for (line <- text.linesIterator) {
       val t = line.trim
-      val dangling = """(?is).*\bas\s*$""".r.matches(cur.toString.trim)
+      val pending = cur.toString.trim
+      val dangling = """(?is).*\bas\s*$""".r.matches(pending)
+      // `INSERT INTO t` on its own line continues with the SELECT on the
+      // next — a new statement must not start until the select arrived
+      val openInsert = """(?is)^insert\s+into\b""".r.findFirstIn(pending).isDefined &&
+        """(?is)\bselect\b""".r.findFirstIn(pending).isEmpty
       if (depth == 0 && !inStr && startKw.findFirstIn(t).isDefined &&
-          cur.toString.trim.nonEmpty && !dangling)
+          pending.nonEmpty && !dangling && !openInsert)
         flush()
       var i = 0
       while (i < line.length) {

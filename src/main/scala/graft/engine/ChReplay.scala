@@ -154,10 +154,13 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
         }: _*)
         st.append(conformed)
       case None =>
-        bindings(target) = bindings.get(target) match {
-          case Some(prev) => prev.unionByName(named, allowMissingColumns = true)
-          case None => named
-        }
+        // ENGINE=Null discards the rows but still fires the MVs watching
+        // the table — CH's feed-the-views-without-storing pattern
+        if (!tables.get(target).exists(_.engine.equalsIgnoreCase("Null")))
+          bindings(target) = bindings.get(target) match {
+            case Some(prev) => prev.unionByName(named, allowMissingColumns = true)
+            case None => named
+          }
         insert(ins.table, named)
     }
   }

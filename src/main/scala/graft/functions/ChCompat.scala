@@ -1001,6 +1001,39 @@ object ChCompat {
           s"toStartOfInterval: INTERVAL literal required, got ${other.simpleString}")
       }
     }
+    // CH window-view time buckets: tumble/hop produce Spark's window
+    // struct (start, end) — the analyzer's TimeWindowing rule expands
+    // them in GROUP BY exactly like window()
+    def ivMicros(e: Expression, what: String): Long = {
+      require(e.foldable, s"$what: INTERVAL literal required")
+      (e.dataType, e.eval()) match {
+        case (_: DayTimeIntervalType, us: java.lang.Long) => us.longValue()
+        case (t, _) => throw new IllegalArgumentException(
+          s"$what: day-time INTERVAL required, got ${t.simpleString}")
+      }
+    }
+    f("tumble") { es =>
+      val iv = ivMicros(es(1), "tumble")
+      TimeWindow(es(0), iv, iv, 0L)
+    }
+    f("hop") { es =>
+      // CH hop(ts, hop_interval, window_interval)
+      TimeWindow(es(0), ivMicros(es(2), "hop"), ivMicros(es(1), "hop"), 0L)
+    }
+    f("tumbleStart") { es =>
+      if (es.length == 1) org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(es.head, Literal("start"))
+      else {
+        val iv = ivMicros(es(1), "tumbleStart")
+        org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(TimeWindow(es(0), iv, iv, 0L), Literal("start"))
+      }
+    }
+    f("tumbleEnd") { es =>
+      if (es.length == 1) org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(es.head, Literal("end"))
+      else {
+        val iv = ivMicros(es(1), "tumbleEnd")
+        org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(TimeWindow(es(0), iv, iv, 0L), Literal("end"))
+      }
+    }
     // parseDateTime with the CH/MySQL specifiers formatDateTime uses
     f("parseDateTime") { es =>
       val fmt = es(1) match {

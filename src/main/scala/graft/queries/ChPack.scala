@@ -1152,6 +1152,26 @@ object ChPack {
           |ORDER BY event_type""".stripMargin)
     },
 
+    // CH window-view tumble buckets through the dialect — GROUP BY
+    // tumble(ts, INTERVAL) expands via Spark's TimeWindowing rule; the
+    // bucket bounds and counts mirror the epoch-grid arithmetic.
+    "q155_tumble_windows" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).events.createOrReplaceTempView("graft_tw_events")
+      s.sql(
+        """SELECT CAST(win.start AS STRING) AS ws,
+          |       CAST(win.end AS STRING) AS we,
+          |       cnt,
+          |       uv
+          |FROM (
+          |  SELECT tumble(ts, INTERVAL 6 HOUR) AS win,
+          |         count(*) AS cnt,
+          |         count(DISTINCT user_id) AS uv
+          |  FROM graft_tw_events
+          |  GROUP BY tumble(ts, INTERVAL 6 HOUR))
+          |ORDER BY ws""".stripMargin)
+    },
+
     // The full CH bitmap algebra beyond and/or (xor/andnot +
     // cardinalities, membership predicates, array round-trip, extrema,
     // subset slicing, bitmapBuild) in one verbatim-SQL battery over
@@ -1771,6 +1791,18 @@ object ChPack {
         |  ROUND(regr_slope(y, qd), 6) AS slr_k,
         |  ROUND(regr_intercept(y, qd), 6) AS slr_b
         |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // 6-hour epoch-grid buckets
+    "q155_tumble_windows" ->
+      """WITH b AS (
+        |  SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 21600 * 21600 g,
+        |         user_id
+        |  FROM events)
+        |SELECT CAST(make_timestamp(g * 1000000) AS VARCHAR) AS ws,
+        |       CAST(make_timestamp((g + 21600) * 1000000) AS VARCHAR) AS we,
+        |       COUNT(*) AS cnt,
+        |       COUNT(DISTINCT user_id) AS uv
+        |FROM b GROUP BY g ORDER BY ws""".stripMargin,
 
     // ECDF via RANGE-frame cumulative counts (ties consumed as peers),
     // z from FILTER aggregates

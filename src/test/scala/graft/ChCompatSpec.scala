@@ -976,6 +976,57 @@ class ChCompatSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)
   }
 
+  test("tumble/hop window buckets and the Null-engine insert pattern") {
+    ChCompat.register(spark)
+    import spark.implicits._
+    Seq("2024-01-01 10:15:00", "2024-01-01 10:45:00", "2024-01-01 11:20:00")
+      .map(java.sql.Timestamp.valueOf).toDF("ts")
+      .createOrReplaceTempView("graft_tw_fix")
+    // tumble: half-open hourly buckets
+    val t = spark.sql(
+      """SELECT CAST(win.start AS STRING) s, cnt FROM (
+        |  SELECT tumble(ts, INTERVAL 1 HOUR) win, count(*) cnt
+        |  FROM graft_tw_fix GROUP BY 1) ORDER BY s""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(t == Seq(("2024-01-01 10:00:00", 2L), ("2024-01-01 11:00:00", 1L)))
+    // hop: window 1h sliding 30m — each event lands in two windows
+    val h = spark.sql(
+      """SELECT count(*) n FROM (
+        |  SELECT hop(ts, INTERVAL 30 MINUTE, INTERVAL 1 HOUR) win, count(*) c
+        |  FROM graft_tw_fix GROUP BY 1)""".stripMargin).head().getLong(0)
+    assert(spark.sql(
+      """SELECT sum(c) tot FROM (
+        |  SELECT hop(ts, INTERVAL 30 MINUTE, INTERVAL 1 HOUR) win, count(*) c
+        |  FROM graft_tw_fix GROUP BY 1)""".stripMargin).head().getLong(0) == 6L,
+      "every event belongs to window/hop = 2 windows")
+    assert(h >= 3)
+    // tumbleStart/tumbleEnd, both spellings
+    assert(spark.sql(
+      "SELECT CAST(tumbleStart(timestamp'2024-01-01 10:45:00', INTERVAL 1 HOUR) AS STRING) s")
+      .head().getString(0) == "2024-01-01 10:00:00")
+    // ENGINE=Null: inserts feed MVs but store nothing
+    val replay = new graft.engine.ChReplay(spark,
+      graft.engine.ChReplay.scratchWarehouse("graft-null-engine"))
+    replay.executeScript(
+      """create table ods.feed (day Date, k UInt64, v UInt64) engine=Null;
+        |create table dws.agg_local (
+        | day Date, k UInt64, v SimpleAggregateFunction(sum, UInt64)
+        |) engine=AggregatingMergeTree() PARTITION BY day ORDER BY (day, k);
+        |create materialized view dws.agg_mv to dws.agg_local (
+        | day Date, k UInt64, v UInt64
+        |) as select day, k, sum(v) as v from ods.feed group by day, k;
+        |insert into ods.feed
+        | select toDate('2024-01-01') as day, 1 as k, 10 as v from system.one;""".stripMargin)
+    val agg = replay.stateTables("dws.agg_local").finalized().collect()
+    assert(agg.length == 1 && agg.head.getAs[Long]("v") == 10L,
+      "the MV saw the Null-engine insert")
+    // a second insert re-fires the MV; the Null table itself never
+    // accumulates, so only the MV target grows
+    replay.executeScript(
+      "insert into ods.feed select toDate('2024-01-01') as day, 1 as k, 5 as v from system.one;")
+    assert(replay.stateTables("dws.agg_local").finalized().head().getAs[Long]("v") == 15L)
+  }
+
   test("KS test, meanZTest, erf family — cross-checked vs commons-math3") {
     ChCompat.register(spark)
     import spark.implicits._

@@ -344,7 +344,9 @@ class PlanSpec extends SparkSpec {
     // q153: per-row text scalars, one global sort
     "q153_html_text" -> 1,
     // q154: one object-hash group agg + final sort
-    "q154_ks_ztest" -> 2)
+    "q154_ks_ztest" -> 2,
+    // q155: tumble bucket agg with COUNT(DISTINCT) two-phase + final sort
+    "q155_tumble_windows" -> 3)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)
