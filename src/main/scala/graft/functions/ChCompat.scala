@@ -953,6 +953,47 @@ object ChCompat {
     f("currentDatabase") { _ => CurrentDatabase() }
     f("currentUser") { _ => CurrentUser() }
     f("version") { _ => SparkVersion() }
+    // ---- tuple / remaining alias mop-up --------------------------------
+    // tupleElement(t, n) — 1-based index into the dialect's tuple()
+    // (CreateStruct names fields col1..colN); a string argument addresses
+    // a named field directly
+    f("tupleElement") { es =>
+      val field = es(1) match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) => s.toString
+        case lit if lit.foldable => "col" + String.valueOf(lit.eval())
+        case other => throw new IllegalArgumentException(
+          s"tupleElement: index/name must be a literal, got $other")
+      }
+      org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(es(0), Literal(field))
+    }
+    // HLL spellings: all ride the same Datasketches estimator as
+    // uniqCombined (64-bit hashing — uniqCombined64's contract; CH's
+    // uniqHLL12 error profile is strictly worse, ours is a superset)
+    f("uniqHLL12") { es => HllSketchEstimate(hllState(es.head)) }
+    f("uniqCombined64") { es => HllSketchEstimate(hllState(es.head)) }
+    // bfloat16 quantiles map to exact (superset accuracy, same shape)
+    f("quantileBFloat16") { es => new Percentile(es(0), es(1)) }
+    f("medianBFloat16") { es => new Percentile(es(0), Literal(0.5d)) }
+    // millisecond unix timestamps (DateTime64(3) analog)
+    f("toUnixTimestamp64Milli") { es =>
+      UnixMillis(Cast(es.head, TimestampType))
+    }
+    f("toUnixTimestamp64Micro") { es =>
+      UnixMicros(Cast(es.head, TimestampType))
+    }
+    f("fromUnixTimestamp64Milli") { es =>
+      Cast(SecondsToTimestamp(Divide(Cast(es.head, DoubleType), Literal(1000.0))),
+        TimestampNTZType)
+    }
+    f("toDateTime64") { es => Cast(es.head, TimestampNTZType) }
+    f("now64") { _ => Cast(Now(), TimestampNTZType) }
+    f("yesterday") { _ => DateAdd(CurrentDate(), Literal(-1)) }
+    f("addDate") { es => TimestampAdd("DAY", es(1), es(0)) }
+    f("subDate") { es => TimestampAdd("DAY", UnaryMinus(es(1)), es(0)) }
+    // CH mapFilter((k, v) -> cond, map) — Spark's MapFilter, lambda-first
+    // argument order swapped (mapApply's tuple-returning lambda has no
+    // Spark equivalent and stays unmapped)
+    f("mapFilter") { es => MapFilter(es(1), es.head) }
     // ---- CH Map-type functions (Spark MapType carries them natively) --
     f("mapFromArrays") { es => MapFromArrays(es(0), es(1)) }
     f("mapKeys") { es => MapKeys(es.head) }

@@ -976,6 +976,29 @@ class ChCompatSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)
   }
 
+  test("tuple/HLL/timestamp64 alias mop-up") {
+    ChCompat.register(spark)
+    def row(expr: String) = spark.sql(s"SELECT $expr AS v").head()
+    assert(row("tupleElement(tuple('a', 42), 2)").getInt(0) == 42)
+    assert(row("tupleElement(named_struct('x', 7, 'y', 8), 'y')").getInt(0) == 8)
+    // HLL spellings agree with uniqCombined exactly (same estimator)
+    val u = spark.range(0, 5000).selectExpr(
+      "uniqHLL12(id % 1000) a", "uniqCombined64(id % 1000) b",
+      "uniqCombined(id % 1000) c").head()
+    assert(u.getLong(0) == u.getLong(2) && u.getLong(1) == u.getLong(2))
+    assert(row("quantileBFloat16(5.0D, 0.5D)").getDouble(0) == 5.0)
+    assert(row("toUnixTimestamp64Milli(timestamp'2024-01-01 00:00:00.250')")
+      .getLong(0) == 1704067200250L)
+    assert(row("CAST(fromUnixTimestamp64Milli(1704067200250L) AS STRING)")
+      .getString(0) == "2024-01-01 00:00:00.25")
+    assert(row("CAST(addDate(toDate('2024-01-01'), 30) AS DATE)").getDate(0)
+      .toString == "2024-01-31")
+    assert(row("CAST(subDate(toDate('2024-01-31'), 30) AS DATE)").getDate(0)
+      .toString == "2024-01-01")
+    assert(row("concat_ws(',', mapKeys(mapFilter((k, v) -> v > 1, mapFromArrays(array('a', 'b'), array(1, 2)))))")
+      .getString(0) == "b")
+  }
+
   test("tumble/hop window buckets and the Null-engine insert pattern") {
     ChCompat.register(spark)
     import spark.implicits._
