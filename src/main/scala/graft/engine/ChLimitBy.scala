@@ -37,7 +37,7 @@ object ChLimitBy {
       start: Int, end: Int)
 
   /** Top-level (depth-0, outside string literals) spans of `q`. */
-  private def topLevel(q: String): Array[Boolean] = {
+  private[engine] def topLevel(q: String): Array[Boolean] = {
     val ok = new Array[Boolean](q.length)
     var depth = 0; var inStr = false; var i = 0
     while (i < q.length) {

@@ -318,8 +318,12 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     if (ChArrayJoin.applies(q)) q = ChArrayJoin.rewrite(spark, q, sourceDf)
     // CH FROM t FINAL: merged-one-row-per-key read of a state table
     q = applyFinal(q)
+    // CH SELECT DISTINCT ON (cols): the first row per group = LIMIT 1 BY
+    if (ChDistinctOn.applies(q)) q = ChDistinctOn.rewrite(q)
     // CH LIMIT n BY: per-group heads via one row_number window
     if (ChLimitBy.applies(q)) q = ChLimitBy.rewrite(q)
+    // CH QUALIFY: post-window filter over the wrapped select
+    if (ChQualify.applies(q)) q = ChQualify.rewrite(q)
     // CH ORDER BY ... WITH FILL: run the stripped query, densify the axis
     if (graft.operators.WithFill.applies(q))
       graft.operators.WithFill.sql(spark, chAliasGroupBy(q))

@@ -1172,6 +1172,34 @@ object ChPack {
           |ORDER BY ws""".stripMargin)
     },
 
+    // CH QUALIFY + DISTINCT ON dialect clauses: the post-window filter
+    // and the first-row-per-group shorthand (CH executes DISTINCT ON as
+    // LIMIT 1 BY — so does the rewrite).
+    "q156_qualify_distinct_on" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).orders.createOrReplaceTempView("graft_qd_orders")
+      val top = graft.engine.ChQualify.sql(s,
+        """SELECT o_custkey, o_orderkey, o_totalprice,
+          |       row_number() OVER (PARTITION BY o_custkey
+          |                          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          |FROM graft_qd_orders
+          |QUALIFY rn <= 2
+          |ORDER BY o_custkey, rn""".stripMargin)
+      top.createOrReplaceTempView("graft_qd_top")
+      val first = graft.engine.ChDistinctOn.sql(s,
+        """SELECT DISTINCT ON (bucket)
+          |       o_custkey % 10 AS bucket, o_orderkey, o_totalprice
+          |FROM graft_qd_orders
+          |ORDER BY bucket, o_totalprice DESC, o_orderkey""".stripMargin)
+      first.createOrReplaceTempView("graft_qd_first")
+      s.sql(
+        """SELECT t.o_custkey, t.o_orderkey, t.o_totalprice, t.rn,
+          |       f.bucket, f.o_orderkey AS b_orderkey
+          |FROM graft_qd_top t
+          |LEFT JOIN graft_qd_first f ON f.bucket = t.o_custkey % 10 AND t.rn = 1
+          |ORDER BY t.o_custkey, t.rn""".stripMargin)
+    },
+
     // The full CH bitmap algebra beyond and/or (xor/andnot +
     // cardinalities, membership predicates, array round-trip, extrema,
     // subset slicing, bitmapBuild) in one verbatim-SQL battery over
@@ -1791,6 +1819,24 @@ object ChPack {
         |  ROUND(regr_slope(y, qd), 6) AS slr_k,
         |  ROUND(regr_intercept(y, qd), 6) AS slr_b
         |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // DuckDB's native QUALIFY mirrors both clauses
+    "q156_qualify_distinct_on" ->
+      """WITH top AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) rn
+        |  FROM orders QUALIFY rn <= 2),
+        |fst AS (
+        |  SELECT o_custkey % 10 bucket, o_orderkey,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey % 10
+        |                            ORDER BY o_totalprice DESC, o_orderkey) rn
+        |  FROM orders QUALIFY rn = 1)
+        |SELECT t.o_custkey, t.o_orderkey, t.o_totalprice, t.rn,
+        |       f.bucket, f.o_orderkey AS b_orderkey
+        |FROM top t
+        |LEFT JOIN fst f ON f.bucket = t.o_custkey % 10 AND t.rn = 1
+        |ORDER BY t.o_custkey, t.rn""".stripMargin,
 
     // 6-hour epoch-grid buckets
     "q155_tumble_windows" ->

@@ -976,6 +976,34 @@ class ChCompatSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)
   }
 
+  test("QUALIFY and DISTINCT ON rewrites") {
+    ChCompat.register(spark)
+    import spark.implicits._
+    Seq((1, 10), (1, 30), (1, 20), (2, 5), (2, 50))
+      .toDF("g", "v").createOrReplaceTempView("graft_qd_fix")
+    // QUALIFY filters on the window alias after computation
+    val q = graft.engine.ChQualify.sql(spark,
+      """SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v DESC) AS rn
+        |FROM graft_qd_fix
+        |QUALIFY rn = 1
+        |ORDER BY g""".stripMargin).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(q == Seq((1, 30), (2, 50)))
+    // DISTINCT ON = first row per group under the ORDER BY
+    val d = graft.engine.ChDistinctOn.sql(spark,
+      """SELECT DISTINCT ON (g) g, v
+        |FROM graft_qd_fix
+        |ORDER BY g, v""".stripMargin).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(d == Seq((1, 10), (2, 5)))
+    // a quoted 'qualify' must not trigger the rewrite
+    assert(!graft.engine.ChQualify.applies("SELECT ' qualify x ' AS s FROM t"))
+    // DISTINCT ON without ORDER BY is refused (nondeterministic in CH too)
+    intercept[RuntimeException] {
+      graft.engine.ChDistinctOn.rewrite("SELECT DISTINCT ON (g) g, v FROM t")
+    }
+  }
+
   test("tuple/HLL/timestamp64 alias mop-up") {
     ChCompat.register(spark)
     def row(expr: String) = spark.sql(s"SELECT $expr AS v").head()
