@@ -655,6 +655,81 @@ object ChCompat {
     // exact ROC AUC over per-row (scores, labels) arrays — ties get the
     // average-rank half credit
     f("arrayAUC") { es => ArrayAucExpr(es(0), es(1)) }
+    // arrayFirst/arrayLast(lambda, arr): one fold carrying a ≤1-element
+    // buffer (the lambda-bearing registration must RESOLVE to a
+    // HigherOrderFunction at top level, so the pick lives in the fold and
+    // the finish reads it back null-safely)
+    def pickOf(lf: LambdaFunction, arr: Expression, first: Boolean): Expression = {
+      val tag = if (first) "f" else "l"
+      val acc = lamVar(s"__pk_acc$tag"); val fin = lamVar(s"__pk_fin$tag")
+      val x = lf.arguments.head
+      val hit = CreateArray(Seq(x))
+      val body =
+        if (first) If(And(lf.function, EqualTo(Size(acc), Literal(0))), hit, acc)
+        else If(lf.function, hit, acc)
+      ArrayAggregate(arr, Slice(arr, Literal(1), Literal(0)),
+        LambdaFunction(body, acc +: lf.arguments),
+        LambdaFunction(GetArrayItem(fin, Literal(0), failOnError = false), Seq(fin)))
+    }
+    f("arrayFirst") { es =>
+      pickOf(es.head.asInstanceOf[LambdaFunction], es(1), first = true)
+    }
+    f("arrayLast") { es =>
+      pickOf(es.head.asInstanceOf[LambdaFunction], es(1), first = false)
+    }
+    // index twins: fold the 1-based position instead of the value
+    def pickIdxOf(lf: LambdaFunction, arr: Expression, first: Boolean): Expression = {
+      val tag = if (first) "fi" else "li"
+      val acc = lamVar(s"__pi_acc$tag"); val fin = lamVar(s"__pi_fin$tag")
+      val x = lf.arguments.head
+      // acc = [lastIndexSeen, foundIndex]; position tracking rides the fold
+      val seen = GetArrayItem(acc, Literal(0), failOnError = false)
+      val found = GetArrayItem(acc, Literal(1), failOnError = false)
+      val pos = Add(seen, Literal(1))
+      val newFound =
+        if (first) If(And(lf.function, EqualTo(found, Literal(0))), pos, found)
+        else If(lf.function, pos, found)
+      ArrayAggregate(arr,
+        Literal.create(Seq(0, 0), ArrayType(IntegerType)),
+        LambdaFunction(CreateArray(Seq(pos, newFound)), acc +: lf.arguments),
+        LambdaFunction(Coalesce(Seq(
+          GetArrayItem(fin, Literal(1), failOnError = false), Literal(0))), Seq(fin)))
+    }
+    f("arrayFirstIndex") { es =>
+      pickIdxOf(es.head.asInstanceOf[LambdaFunction], es(1), first = true)
+    }
+    f("arrayLastIndex") { es =>
+      pickIdxOf(es.head.asInstanceOf[LambdaFunction], es(1), first = false)
+    }
+    // arrayResize(arr, n[, pad]): truncate or grow; without an explicit
+    // pad the new slots are NULL (CH pads the type default — divergence
+    // documented; pass the pad to match CH exactly)
+    f("arrayResize") { es =>
+      val arr = es(0); val n = Cast(es(1), IntegerType)
+      val pad: Expression =
+        if (es.length >= 3) es(2)
+        else GetArrayItem(Slice(arr, Literal(1), Literal(0)), Literal(0),
+          failOnError = false) // typed NULL of the element type
+      If(LessThanOrEqual(n, Size(arr)),
+        Slice(arr, Literal(1), Greatest(Seq(n, Literal(0)))),
+        Concat(Seq(arr, ArrayRepeat(pad, Subtract(n, Size(arr))))))
+    }
+    f("arrayWithConstant") { es => ArrayRepeat(es(1), es(0)) }
+    // CH's partial sort: the first `limit` positions sorted — the full
+    // sort is the deterministic superset of that contract
+    f("arrayPartialSort") { es => new SortArray(es(1)) }
+    f("concatWithSeparator") { es => ConcatWs(es) }
+    f("substringIndex") { es => SubstringIndex(es(0), es(1), es(2)) }
+    f("arrayDotProduct") { es =>
+      val (x, y) = (lamVar("__adp_x"), lamVar("__adp_y"))
+      val acc = lamVar("__adp_acc")
+      ArrayAggregate(
+        ZipWith(es(0), es(1), LambdaFunction(
+          Multiply(Cast(x, DoubleType), Cast(y, DoubleType)), Seq(x, y))),
+        Literal(0.0),
+        LambdaFunction(Add(acc, lamVar("__adp_v")), Seq(acc, lamVar("__adp_v"))),
+        LambdaFunction.identity)
+    }
     // CH arrayReduce('agg', arr): apply an aggregate-function NAME to one
     // row's array. The name is a string literal (CH agrees — it is parsed,
     // not computed), so this is plan-time dispatch onto the same expression

@@ -976,6 +976,25 @@ class ChCompatSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)
   }
 
+  test("arrayFirst/Last (+Index), resize, withConstant, partial sort") {
+    ChCompat.register(spark)
+    def row(expr: String) = spark.sql(s"SELECT $expr AS v").head()
+    assert(row("arrayFirst(x -> x > 10, array(5, 20, 30))").getInt(0) == 20)
+    assert(row("arrayLast(x -> x > 10, array(5, 20, 30))").getInt(0) == 30)
+    assert(row("arrayFirst(x -> x > 99, array(5, 20))").isNullAt(0))
+    assert(row("arrayFirstIndex(x -> x > 10, array(5, 20, 30))").getInt(0) == 2)
+    assert(row("arrayLastIndex(x -> x > 10, array(5, 20, 30))").getInt(0) == 3)
+    assert(row("arrayFirstIndex(x -> x > 99, array(5, 20))").getInt(0) == 0)
+    assert(row("concat_ws(',', arrayResize(array(1, 2, 3), 2))").getString(0) == "1,2")
+    assert(row("concat_ws(',', arrayResize(array(1, 2), 4, 9))").getString(0) == "1,2,9,9")
+    assert(row("size(arrayResize(array(1, 2), 4))").getInt(0) == 4)
+    assert(row("concat_ws(',', arrayWithConstant(3, 7))").getString(0) == "7,7,7")
+    assert(row("concat_ws(',', arrayPartialSort(2, array(3, 1, 2)))").getString(0) == "1,2,3")
+    assert(row("concatWithSeparator('-', 'a', 'b')").getString(0) == "a-b")
+    assert(row("substringIndex('a.b.c', '.', 2)").getString(0) == "a.b")
+    assert(row("arrayDotProduct(array(1.0D, 2.0D), array(3.0D, 4.0D))").getDouble(0) == 11.0)
+  }
+
   test("QUALIFY and DISTINCT ON rewrites") {
     ChCompat.register(spark)
     import spark.implicits._
