@@ -107,7 +107,7 @@ object BenchScale {
     // optional section filter: any of ingest/probe/cc/ivf/compact — run
     // only the named curves (default: all), e.g. `runMain graft.BenchScale cc`
     val sections = args.toSet.intersect(
-      Set("ingest", "probe", "cc", "ivf", "compact", "tfidf", "spans"))
+      Set("ingest", "probe", "cc", "ivf", "compact", "tfidf", "spans", "stats"))
     def on(s: String): Boolean = sections.isEmpty || sections.contains(s)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -322,6 +322,34 @@ object BenchScale {
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
       }
+    }
+
+    // ---- 8. statistical aggregates vs row count --------------------------
+    // entropy/cramersV/quantileExactWeighted/intervalLengthSum carry
+    // O(distinct-values) count-map state, map-side combined — the
+    // exchange must be CONSTANT across row growth (ScaleSpec pins
+    // equality; this curve records the measured sizes) and wall time
+    // linear-to-sublinear as the job floor amortizes.
+    if (on("stats"))
+    for (n <- Seq(100000L, 1000000L, 5000000L).map(_ / div)) {
+      graft.functions.ChCompat.register(spark)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        spark.range(0, n, 1, 32).selectExpr(
+          "CAST(id % 7 AS STRING) g", "id % 997 v", "CAST(id % 5 AS STRING) y",
+          "id % 1000 s", "id % 1000 + id % 13 e")
+          .createOrReplaceTempView("graft_bs_stats")
+        val df = spark.sql(
+          """SELECT g, entropy(v), cramersV(v, y),
+            |       quantileExactWeighted(v, 1, 0.5D), intervalLengthSum(s, e)
+            |FROM graft_bs_stats GROUP BY g""".stripMargin)
+        val plan = df.queryExecution.executedPlan
+        val sec = timed { plan.execute().count(): Unit }
+        val (recs, bytes) = exchangeStats(plan)
+        emit(s"""{"curve":"stat_agg_scaling","rows":$n,"sec":$sec,""" +
+          s""""ms_per_krow":${sec * 1e6 / n},"exchange_records":$recs,""" +
+          s""""exchange_mb":${bytes / 1e6}}""")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     }
 
     emit(s"""{"metric":"bench_scale_done","quick":$quick}""")
