@@ -233,6 +233,23 @@ object TextPack {
         .orderBy("doc_id")
     },
 
+    // Compression-ratio boilerplate signal (CCNet-family pipelines drop
+    // pages that deflate too well — repetition compresses). Declared
+    // rows-only: the ratio is the JDK zlib's output size, which no SQL
+    // oracle can mirror; TextSpec pins the ordering properties (repeated
+    // text ≪ prose < random) and determinism instead.
+    "q157_compression_quality" -> { (s, dir) =>
+      TextFunctions.register(s)
+      docs(s, dir).createOrReplaceTempView("graft_cq_docs")
+      s.sql(
+        """SELECT doc_id,
+          |       round(compression_ratio(text), 6) AS cr,
+          |       length(text) AS n_chars,
+          |       compression_ratio(text) < 0.35 AS boilerplate_suspect
+          |FROM graft_cq_docs
+          |ORDER BY doc_id""".stripMargin)
+    },
+
     // Benchmark decontamination under the gate: the "eval set" is 20-token
     // snippets (normalized tokens 5..24) of every 10th document — both
     // engines construct the identical eval set from the corpus itself, so

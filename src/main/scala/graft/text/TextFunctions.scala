@@ -69,7 +69,15 @@ object TextFunctions {
         require(n >= 1, s"shingles_n: n must be positive, got $n")
         ShinglesExpr(es.head, n)
       }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "compression_ratio", es => CompressionRatioExpr(es.head), "built-in")
   }
+
+  /** Deflate-based compression ratio (compressed/raw bytes) — the classic
+    * boilerplate/repetition quality signal (CCNet-family pipelines drop
+    * pages that compress too well). Empty text → 1.0. */
+  def compressionRatio(text: Column): Column =
+    call_function("compression_ratio", text)
 
   private[text] def tokenSetCount(arr: Column, words: Seq[String], lowercase: Boolean): Column =
     call_function("token_set_count", arr, array(words.map(lit): _*), lit(lowercase))
@@ -378,4 +386,35 @@ case class ShinglesExpr(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): ShinglesExpr =
     copy(child = c)
   override def prettyName: String = "shingles_n"
+}
+
+/** compressed-bytes / raw-bytes under java.util.zip Deflater level 6 —
+  * deterministic for a given input (the JDK's zlib), per-row scalar.
+  * Highly repetitive text compresses far below typical prose (~0.4),
+  * which makes low ratios a strong boilerplate signal. */
+case class CompressionRatioExpr(child: Expression)
+  extends Expression with UnaryLike[Expression] with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = child.nullable
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val raw = v.asInstanceOf[UTF8String].getBytes
+    if (raw.isEmpty) return 1.0
+    val d = new java.util.zip.Deflater(6)
+    try {
+      d.setInput(raw)
+      d.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total.toDouble / raw.length
+    } finally d.end()
+  }
+
+  override protected def withNewChildInternal(c: Expression): CompressionRatioExpr =
+    copy(child = c)
+  override def prettyName: String = "compression_ratio"
 }

@@ -45,7 +45,10 @@ class QueriesSpec extends SparkSpec {
       "q129_cluster_sample",
       // ln/exp last bits differ across math libraries; LangModelSpec
       // pins the hand-computed model and the separation property
-      "q130_perplexity"),
+      "q130_perplexity",
+      // deflate output size is the JDK zlib's, not expressible in SQL;
+      // TextSpec pins the repetition-ordering and determinism properties
+      "q157_compression_quality"),
       s"rows-only set changed: $rowsOnly — update COVERAGE.md's ledger")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size - rowsOnly.size)
   }

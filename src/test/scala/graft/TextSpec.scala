@@ -96,4 +96,28 @@ class TextSpec extends SparkSpec {
     assert(f.getAs[Int]("stopword_cnt") == 2)   // 'The' + 'the'
     assert(f.getAs[Int]("punct_cnt") == 2)      // ',' + '.'
   }
+
+  test("compression ratio orders repetition < prose < random, deterministically") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val prose = "The quick brown fox jumps over the lazy dog and then " * 20
+    val repeated = "spam " * 200
+    val random = (1 to 1000).map(_ => rnd.nextPrintableChar()).mkString
+    val rows = Seq(("rep", repeated), ("prose", prose), ("rand", random))
+      .toDF("k", "text")
+    val r = rows.select(col("k"), compressionRatio(col("text")).as("cr"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("rep") < r("prose") && r("prose") < r("rand"),
+      s"expected rep < prose < rand, got $r")
+    assert(r("rep") < 0.1, s"highly repetitive text must compress hard: ${r("rep")}")
+    assert(r("rand") > 0.8, s"random text must not compress: ${r("rand")}")
+    // deterministic across evaluations and partitionings
+    val again = rows.repartition(5)
+      .select(col("k"), compressionRatio(col("text")).as("cr"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(again == r)
+    // SQL spelling + edge cases
+    assert(spark.sql("SELECT compression_ratio('') c").head().getDouble(0) == 1.0)
+    assert(spark.sql("SELECT compression_ratio(CAST(NULL AS STRING)) c").head().isNullAt(0))
+  }
 }
