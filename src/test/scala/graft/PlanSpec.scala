@@ -349,8 +349,8 @@ class PlanSpec extends SparkSpec {
     "q155_tumble_windows" -> 3,
     // q156: two row_number windows (1 each) + the bucket join + final sort
     "q156_qualify_distinct_on" -> 4,
-    // q157: per-row deflate scalar + final sort
-    "q157_compression_quality" -> 1)
+    // q157: the docs loader's compute-spread repartition + final sort
+    "q157_compression_quality" -> 2)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)
