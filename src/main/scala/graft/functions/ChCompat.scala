@@ -1338,6 +1338,57 @@ object ChCompat {
       Coalesce(Seq(new Average(es.head).toAggregateExpression(),
         if (es.length >= 2) es(1) else Literal(0.0)))
     }
+    // ---- -Resample combinator ----------------------------------------
+    // CH agg-Resample(start, end, step)(x, key): one aggregate per
+    // [start+i·step, start+(i+1)·step) bucket, returned as an array.
+    // The bounds are literals, so the buckets EXPAND at registration into
+    // plain -If aggregates — each codegen'd and map-side combined; the
+    // array assembles after aggregation.
+    def resample(es: Seq[Expression], mk: Expression => Expression): Expression = {
+      require(es.length == 5, "usage: aggResample(x, key, start, end, step)")
+      def litLong(e: Expression, what: String): Long = e match {
+        case l if l.foldable => l.eval() match {
+          case n: Number => n.longValue()
+          case other => throw new IllegalArgumentException(s"$what: int literal, got $other")
+        }
+        case other => throw new IllegalArgumentException(s"$what: int literal, got $other")
+      }
+      val start = litLong(es(2), "start")
+      val end = litLong(es(3), "end")
+      val step = litLong(es(4), "step")
+      require(step > 0 && end > start, "resample: need end > start, step > 0")
+      val buckets = ((end - start) + step - 1) / step
+      require(buckets <= 1024, s"resample: $buckets buckets (cap 1024)")
+      CreateArray((0L until buckets).map { i =>
+        val lo = start + i * step
+        val hi = math.min(lo + step, end)
+        mk(onlyIf(And(GreaterThanOrEqual(es(1), Literal(lo)),
+          LessThan(es(1), Literal(hi))), es(0)))
+      })
+    }
+    f("sumResample") { es => resample(es, x => new Sum(x).toAggregateExpression()) }
+    f("countResample") { es =>
+      resample(es, x => Count(Seq(x)).toAggregateExpression())
+    }
+    f("avgResample") { es => resample(es, x => new Average(x).toAggregateExpression()) }
+    f("minResample") { es => resample(es, x => Min(x).toAggregateExpression()) }
+    f("maxResample") { es => resample(es, x => Max(x).toAggregateExpression()) }
+    f("uniqExactResample") { es =>
+      resample(es, x => Count(Seq(x)).toAggregateExpression(isDistinct = true))
+    }
+    // plural weighted quantiles — one pass, one map, N reads
+    f("quantilesExactWeighted") { es =>
+      require(es.length >= 3, "quantilesExactWeighted(x, w, p1, ...)")
+      CreateArray(es.drop(2).map(p =>
+        QuantileExactWeightedAgg(es(0), es(1), p).toAggregateExpression()))
+    }
+    // capped distinct collect: CH's groupUniqArray(max_size)(x) keeps an
+    // arbitrary max_size subset — refined here to the SORTED first
+    // max_size (deterministic superset of the contract)
+    f("groupUniqArrayCapped") { es =>
+      Slice(new SortArray(CollectSet(es(0)).toAggregateExpression()),
+        Literal(1), es(1))
+    }
     // ---- sum/count combinators ---------------------------------------
     // SimpleAggregateFunction(sum): the partial IS the value, so -State,
     // -SimpleState and -Merge are all plain re-sum (doc:510-605)

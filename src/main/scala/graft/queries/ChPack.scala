@@ -1200,6 +1200,28 @@ object ChPack {
           |ORDER BY t.o_custkey, t.rn""".stripMargin)
     },
 
+    // The CH -Resample combinator: per-subinterval aggregates as one
+    // array — bounds are literals, so the buckets expand into plain -If
+    // aggregates at registration (codegen'd, map-side combined); plus
+    // plural weighted quantiles and the capped distinct collect.
+    "q158_resample" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).events.createOrReplaceTempView("graft_rs_events")
+      s.sql(
+        """SELECT event_type,
+          |       concat_ws(',', sumResample(CAST(user_id % 100 AS BIGINT),
+          |                                  user_id % 40, 0, 40, 10)) AS sums,
+          |       concat_ws(',', countResample(event_id,
+          |                                    user_id % 40, 0, 40, 10)) AS cnts,
+          |       concat_ws(',', quantilesExactWeighted(
+          |         CAST(user_id % 50 AS BIGINT), 1 + event_id % 3,
+          |         0.25D, 0.5D, 0.75D)) AS wqs,
+          |       concat_ws(',', groupUniqArrayCapped(user_id % 7, 3)) AS cap3
+          |FROM graft_rs_events
+          |GROUP BY event_type
+          |ORDER BY event_type""".stripMargin)
+    },
+
     // The full CH bitmap algebra beyond and/or (xor/andnot +
     // cardinalities, membership predicates, array round-trip, extrema,
     // subset slicing, bitmapBuild) in one verbatim-SQL battery over
@@ -1819,6 +1841,47 @@ object ChPack {
         |  ROUND(regr_slope(y, qd), 6) AS slr_k,
         |  ROUND(regr_intercept(y, qd), 6) AS slr_b
         |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // CASE-filtered bucket aggregates; cumulative-weight scans per level
+    "q158_resample" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id % 40 k, CAST(user_id % 100 AS BIGINT) x,
+        |         event_id, CAST(user_id % 50 AS BIGINT) v, 1 + event_id % 3 w,
+        |         user_id % 7 u
+        |  FROM events),
+        |base AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN k >= 0 AND k < 10 THEN x END) AS VARCHAR) || ',' ||
+        |    CAST(SUM(CASE WHEN k >= 10 AND k < 20 THEN x END) AS VARCHAR) || ',' ||
+        |    CAST(SUM(CASE WHEN k >= 20 AND k < 30 THEN x END) AS VARCHAR) || ',' ||
+        |    CAST(SUM(CASE WHEN k >= 30 AND k < 40 THEN x END) AS VARCHAR) AS sums,
+        |    CAST(COUNT(CASE WHEN k >= 0 AND k < 10 THEN event_id END) AS VARCHAR) || ',' ||
+        |    CAST(COUNT(CASE WHEN k >= 10 AND k < 20 THEN event_id END) AS VARCHAR) || ',' ||
+        |    CAST(COUNT(CASE WHEN k >= 20 AND k < 30 THEN event_id END) AS VARCHAR) || ',' ||
+        |    CAST(COUNT(CASE WHEN k >= 30 AND k < 40 THEN event_id END) AS VARCHAR) AS cnts
+        |  FROM e GROUP BY event_type),
+        |wagg AS (
+        |  SELECT event_type, v, SUM(w) wt FROM e GROUP BY 1, 2),
+        |wc AS (
+        |  SELECT event_type, v,
+        |         SUM(wt) OVER (PARTITION BY event_type ORDER BY v) cum,
+        |         SUM(wt) OVER (PARTITION BY event_type) tot
+        |  FROM wagg),
+        |wq AS (
+        |  SELECT event_type,
+        |    CAST(MIN(CASE WHEN cum >= 0.25 * tot THEN v END) AS VARCHAR) || ',' ||
+        |    CAST(MIN(CASE WHEN cum >= 0.5 * tot THEN v END) AS VARCHAR) || ',' ||
+        |    CAST(MIN(CASE WHEN cum >= 0.75 * tot THEN v END) AS VARCHAR) AS wqs
+        |  FROM wc GROUP BY event_type),
+        |cap AS (
+        |  SELECT event_type,
+        |         array_to_string(list_sort(list_distinct(list(u)))[1:3], ',') AS cap3
+        |  FROM e GROUP BY event_type)
+        |SELECT base.event_type, base.sums, base.cnts, wq.wqs, cap.cap3
+        |FROM base
+        |JOIN wq ON base.event_type = wq.event_type
+        |JOIN cap ON base.event_type = cap.event_type
+        |ORDER BY base.event_type""".stripMargin,
 
     // DuckDB's native QUALIFY mirrors both clauses
     "q156_qualify_distinct_on" ->

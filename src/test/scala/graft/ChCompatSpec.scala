@@ -976,6 +976,44 @@ class ChCompatSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)
   }
 
+  test("-Resample combinator: bucket expansion, edges, caps") {
+    ChCompat.register(spark)
+    import spark.implicits._
+    Seq((0, 10L), (5, 20L), (10, 30L), (19, 40L), (25, 50L))
+      .toDF("k", "x").createOrReplaceTempView("graft_rs_fix")
+    val r = spark.sql(
+      """SELECT concat_ws(',', sumResample(x, k, 0, 30, 10)) s,
+        |       concat_ws(',', countResample(x, k, 0, 30, 10)) c,
+        |       concat_ws(',', minResample(x, k, 0, 30, 10)) mn
+        |FROM graft_rs_fix""".stripMargin).head()
+    assert(r.getString(0) == "30,70,50", "buckets [0,10) [10,20) [20,30)")
+    assert(r.getString(1) == "2,2,1")
+    assert(r.getString(2) == "10,30,50")
+    // a key outside [start, end) contributes nowhere
+    Seq((40, 99L)).toDF("k", "x").createOrReplaceTempView("graft_rs_out")
+    assert(spark.sql(
+      "SELECT concat_ws(',', countResample(x, k, 0, 30, 10)) c FROM graft_rs_out")
+      .head().getString(0) == "0,0,0")
+    // uneven last bucket: [0,25) step 10 -> [0,10) [10,20) [20,25)
+    assert(spark.sql(
+      "SELECT size(sumResample(x, k, 0, 25, 10)) n FROM graft_rs_fix")
+      .head().getInt(0) == 3)
+    intercept[Exception] {
+      spark.sql("SELECT sumResample(x, k, 0, 2000000, 1) s FROM graft_rs_fix").collect()
+    }
+    // plural weighted quantiles agree with the singular form per level
+    Seq((1L, 1), (2L, 1), (3L, 1), (4L, 1), (5L, 10)).toDF("v", "w")
+      .createOrReplaceTempView("graft_rs_wq")
+    val wq = spark.sql(
+      """SELECT concat_ws(',', quantilesExactWeighted(v, w, 0.5D, 0.9D)) ws,
+        |       quantileExactWeighted(v, w, 0.5D) w50
+        |FROM graft_rs_wq""".stripMargin).head()
+    assert(wq.getString(0) == "5,5" && wq.getLong(1) == 5L)
+    assert(spark.sql(
+      "SELECT concat_ws(',', groupUniqArrayCapped(v, 2)) g FROM graft_rs_wq")
+      .head().getString(0) == "1,2")
+  }
+
   test("arrayFirst/Last (+Index), resize, withConstant, partial sort") {
     ChCompat.register(spark)
     def row(expr: String) = spark.sql(s"SELECT $expr AS v").head()

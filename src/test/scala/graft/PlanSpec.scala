@@ -350,7 +350,9 @@ class PlanSpec extends SparkSpec {
     // q156: two row_number windows (1 each) + the bucket join + final sort
     "q156_qualify_distinct_on" -> 4,
     // q157: the docs loader's compute-spread repartition + final sort
-    "q157_compression_quality" -> 2)
+    "q157_compression_quality" -> 2,
+    // q158: one group agg (the expanded -If buckets ride it) + final sort
+    "q158_resample" -> 2)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)
