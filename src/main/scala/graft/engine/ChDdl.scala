@@ -147,10 +147,12 @@ object ChDdl {
       val t = line.trim
       val pending = cur.toString.trim
       val dangling = """(?is).*\bas\s*$""".r.matches(pending)
-      // `INSERT INTO t` on its own line continues with the SELECT on the
-      // next — a new statement must not start until the select arrived
+      // `INSERT INTO t` on its own line continues with the SELECT (or
+      // VALUES) on the next — a new statement must not start until the
+      // body arrived, and must resume once it has (else a VALUES insert
+      // would swallow everything after it)
       val openInsert = """(?is)^insert\s+into\b""".r.findFirstIn(pending).isDefined &&
-        """(?is)\bselect\b""".r.findFirstIn(pending).isEmpty
+        """(?is)\b(select|values)\b""".r.findFirstIn(pending).isEmpty
       if (depth == 0 && !inStr && startKw.findFirstIn(t).isDefined &&
           pending.nonEmpty && !dangling && !openInsert)
         flush()

@@ -57,12 +57,17 @@ object ChDistinctOn {
   def rewrite(query: String): String = {
     val m = headRe.findFirstMatchIn(query).getOrElse(
       sys.error("ChDistinctOn: no SELECT DISTINCT ON (...) head"))
-    // balanced column list
+    // balanced column list — string-aware, like every scanner here (a
+    // quoted '(' must not bump the depth)
     var depth = 1
+    var inStr = false
     var i = m.end
     while (i < query.length && depth > 0) {
       val c = query.charAt(i)
-      if (c == '(') depth += 1 else if (c == ')') depth -= 1
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (c == '\'') inStr = true
+      else if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
       i += 1
     }
     require(depth == 0, "ChDistinctOn: unbalanced DISTINCT ON column list")
@@ -70,6 +75,17 @@ object ChDistinctOn {
     require(cols.nonEmpty, "ChDistinctOn: empty DISTINCT ON column list")
     val rest = query.substring(i).trim
     val stripped = (m.group(1) + rest).trim.stripSuffix(";").trim
-    ChLimitBy.rewrite(s"$stripped\nLIMIT 1 BY $cols")
+    // the LIMIT 1 BY clause goes BEFORE any trailing top-level LIMIT n —
+    // appending after it would feed 'LIMIT n' into the window's ORDER BY
+    val ok = ChLimitBy.topLevel(stripped)
+    val tailLimit = """(?is)\blimit\s+\d+\s*$""".r.findAllMatchIn(stripped)
+      .find(t => ok(t.start))
+    tailLimit match {
+      case Some(t) =>
+        ChLimitBy.rewrite(stripped.substring(0, t.start).trim +
+          s"\nLIMIT 1 BY $cols\n" + t.matched.trim)
+      case None =>
+        ChLimitBy.rewrite(s"$stripped\nLIMIT 1 BY $cols")
+    }
   }
 }

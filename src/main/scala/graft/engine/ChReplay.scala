@@ -101,6 +101,20 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     case ct: CreateTable =>
       tables(ct.name) = ct
       if (ct.isAggregating) rebuildStateTable(ct.name)
+      // ENGINE=Null reads as forever-empty (CH returns 0 rows, not an
+      // unknown-table error) — bind an empty frame of the declared schema
+      // and publish the same emptiness as a catalog view for plain SQL
+      else if (ct.engine.equalsIgnoreCase("Null")) {
+        bindings(ct.name) = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(ct.cols.map(c => StructField(c.name, valueType(c.chType)))))
+        if (ct.name.contains('.')) {
+          spark.sql(s"CREATE DATABASE IF NOT EXISTS ${ct.name.split('.')(0)}")
+          val sel = ct.cols.map(c =>
+            s"CAST(NULL AS ${valueType(c.chType).sql}) AS ${c.name}").mkString(", ")
+          spark.sql(s"CREATE OR REPLACE VIEW ${ct.name} AS SELECT $sel WHERE false")
+        }
+      }
     case mv: CreateMaterializedView => buildMv(mv)
     case d: CreateDictionary => buildDictionary(d)
     case a: AlterTable => applyAlter(a)
@@ -320,10 +334,12 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     q = applyFinal(q)
     // CH SELECT DISTINCT ON (cols): the first row per group = LIMIT 1 BY
     if (ChDistinctOn.applies(q)) q = ChDistinctOn.rewrite(q)
+    // CH QUALIFY first: its tail (ORDER BY ... LIMIT n BY ...) moves to
+    // the outer wrapped query, where ChLimitBy can still find it — the
+    // reverse order would bury the QUALIFY inside ChLimitBy's subquery
+    if (ChQualify.applies(q)) q = ChQualify.rewrite(q)
     // CH LIMIT n BY: per-group heads via one row_number window
     if (ChLimitBy.applies(q)) q = ChLimitBy.rewrite(q)
-    // CH QUALIFY: post-window filter over the wrapped select
-    if (ChQualify.applies(q)) q = ChQualify.rewrite(q)
     // CH ORDER BY ... WITH FILL: run the stripped query, densify the axis
     if (graft.operators.WithFill.applies(q))
       graft.operators.WithFill.sql(spark, chAliasGroupBy(q))

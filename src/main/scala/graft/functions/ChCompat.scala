@@ -1057,8 +1057,12 @@ object ChCompat {
       UnixMicros(Cast(es.head, TimestampType))
     }
     f("fromUnixTimestamp64Milli") { es =>
-      Cast(SecondsToTimestamp(Divide(Cast(es.head, DoubleType), Literal(1000.0))),
-        TimestampNTZType)
+      // exact integer millis (a double divide would truncate a microsecond
+      // off most inputs on the d2l path)
+      Cast(MillisToTimestamp(Cast(es.head, LongType)), TimestampNTZType)
+    }
+    f("fromUnixTimestamp64Micro") { es =>
+      Cast(MicrosToTimestamp(Cast(es.head, LongType)), TimestampNTZType)
     }
     f("toDateTime64") { es => Cast(es.head, TimestampNTZType) }
     f("now64") { _ => Cast(Now(), TimestampNTZType) }
@@ -1366,28 +1370,39 @@ object ChCompat {
           LessThan(es(1), Literal(hi))), es(0)))
       })
     }
-    f("sumResample") { es => resample(es, x => new Sum(x).toAggregateExpression()) }
+    // empty buckets yield the aggregate's CH default (0), not NULL —
+    // a NULL would silently vanish from concat_ws renderings and CH's
+    // -Resample emits the default there
+    def orZero(e: Expression, zero: Expression): Expression = Coalesce(Seq(e, zero))
+    f("sumResample") { es =>
+      resample(es, x => orZero(new Sum(x).toAggregateExpression(), Literal(0L)))
+    }
     f("countResample") { es =>
       resample(es, x => Count(Seq(x)).toAggregateExpression())
     }
-    f("avgResample") { es => resample(es, x => new Average(x).toAggregateExpression()) }
-    f("minResample") { es => resample(es, x => Min(x).toAggregateExpression()) }
-    f("maxResample") { es => resample(es, x => Max(x).toAggregateExpression()) }
+    f("avgResample") { es =>
+      resample(es, x => orZero(new Average(x).toAggregateExpression(), Literal(0.0)))
+    }
+    f("minResample") { es =>
+      resample(es, x => orZero(Min(x).toAggregateExpression(), Literal(0L)))
+    }
+    f("maxResample") { es =>
+      resample(es, x => orZero(Max(x).toAggregateExpression(), Literal(0L)))
+    }
     f("uniqExactResample") { es =>
       resample(es, x => Count(Seq(x)).toAggregateExpression(isDistinct = true))
     }
-    // plural weighted quantiles — one pass, one map, N reads
+    // plural weighted quantiles — genuinely one map, one scan, N reads
     f("quantilesExactWeighted") { es =>
       require(es.length >= 3, "quantilesExactWeighted(x, w, p1, ...)")
-      CreateArray(es.drop(2).map(p =>
-        QuantileExactWeightedAgg(es(0), es(1), p).toAggregateExpression()))
+      QuantilesExactWeightedAgg(es(0), es(1), es.drop(2)).toAggregateExpression()
     }
     // capped distinct collect: CH's groupUniqArray(max_size)(x) keeps an
     // arbitrary max_size subset — refined here to the SORTED first
-    // max_size (deterministic superset of the contract)
+    // max_size, with per-group state BOUNDED at max_size elements (an
+    // unbounded collect-then-slice would defeat the cap's purpose)
     f("groupUniqArrayCapped") { es =>
-      Slice(new SortArray(CollectSet(es(0)).toAggregateExpression()),
-        Literal(1), es(1))
+      BoundedDistinctAgg(es(0), es(1)).toAggregateExpression()
     }
     // ---- sum/count combinators ---------------------------------------
     // SimpleAggregateFunction(sum): the partial IS the value, so -State,

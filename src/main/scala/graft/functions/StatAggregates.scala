@@ -1254,3 +1254,181 @@ case class MeanZTestAgg(
       var1Child = cs(3), confChild = cs(4))
   override def prettyName: String = "meanZTest"
 }
+
+/** Bounded distinct collect — CH `groupUniqArray(max_size)(x)` with the
+  * deterministic refinement "the SORTED first max_size distinct values":
+  * per-group state holds AT MOST max_size elements (a candidate only
+  * displaces the current maximum), so high-cardinality columns cannot
+  * blow the aggregation buffer the way an unbounded collect_set would. */
+case class BoundedDistinctAgg(
+    child: Expression,
+    capChild: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.TreeSet[String]]
+  with BinaryLike[Expression] with StringKeyed {
+
+  override def left: Expression = child
+  override def right: Expression = capChild
+
+  private lazy val cap: Int = capChild.eval(InternalRow.empty) match {
+    case n: Number => math.max(1, n.intValue())
+    case other => throw new IllegalArgumentException(
+      s"groupUniqArrayCapped: max_size must be an int literal, got $other")
+  }
+
+  private val stringIn = child.dataType == StringType
+  private val longIn = child.dataType match {
+    case LongType | IntegerType | ShortType => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | LongType | IntegerType | ShortType
+      if capChild.foldable => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"groupUniqArrayCapped(x, max_size): string/integral x, got ${t.simpleString}")
+  }
+  override def dataType: DataType =
+    ArrayType(if (longIn) LongType else StringType, containsNull = false)
+  override def nullable: Boolean = false
+
+  // keys ride their canonical string form; numeric order is restored by
+  // a numeric-aware ordering so 9 < 10 for integral inputs
+  private implicit val ord: Ordering[String] =
+    if (longIn) Ordering.by[String, Long](_.toLong) else Ordering.String
+
+  override def createAggregationBuffer(): mutable.TreeSet[String] =
+    mutable.TreeSet.empty[String](ord)
+
+  private def offer(buf: mutable.TreeSet[String], k: String): Unit = {
+    if (buf.size < cap) buf.add(k): Unit
+    else if (ord.lt(k, buf.last) && !buf.contains(k)) {
+      buf.remove(buf.last): Unit
+      buf.add(k): Unit
+    }
+  }
+
+  override def update(buf: mutable.TreeSet[String], row: InternalRow): mutable.TreeSet[String] = {
+    val k = keyOf(child, row)
+    if (k != null) offer(buf, k)
+    buf
+  }
+  override def merge(buf: mutable.TreeSet[String], o: mutable.TreeSet[String]): mutable.TreeSet[String] = {
+    o.foreach(offer(buf, _))
+    buf
+  }
+  override def eval(buf: mutable.TreeSet[String]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      buf.toSeq.map(k =>
+        if (longIn) k.toLong
+        else UTF8String.fromString(k): Any).toArray)
+
+  override def serialize(buf: mutable.TreeSet[String]): Array[Byte] = {
+    val enc = buf.toSeq.map(_.getBytes(StandardCharsets.UTF_8))
+    val bb = ByteBuffer.allocate(4 + enc.map(_.length + 4).sum)
+    bb.putInt(enc.size)
+    enc.foreach { b => bb.putInt(b.length); bb.put(b) }
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): mutable.TreeSet[String] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = createAggregationBuffer()
+    val n = bb.getInt
+    var i = 0
+    while (i < n) {
+      val b = new Array[Byte](bb.getInt); bb.get(b)
+      buf.add(new String(b, StandardCharsets.UTF_8)): Unit
+      i += 1
+    }
+    buf
+  }
+  override def withNewMutableAggBufferOffset(o: Int): BoundedDistinctAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BoundedDistinctAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BoundedDistinctAgg =
+    copy(child = l, capChild = r)
+  override def prettyName: String = "groupUniqArrayCapped"
+}
+
+/** plural `quantilesExactWeighted(x, w, p1, ..., pn)` — ONE value→Σweight
+  * map per group, one ascending scan reading every level (the singular
+  * form shares the same buffer class and selection rule). */
+case class QuantilesExactWeightedAgg(
+    valueChild: Expression,
+    weightChild: Expression,
+    levelChildren: Seq[Expression],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[WeightedQuantileBuf] {
+
+  override def children: Seq[Expression] =
+    Seq(valueChild, weightChild) ++ levelChildren
+
+  private lazy val levels: Seq[Double] = levelChildren.map(_.eval(InternalRow.empty) match {
+    case n: Number => n.doubleValue()
+    case other => throw new IllegalArgumentException(
+      s"quantilesExactWeighted: levels must be numeric literals, got $other")
+  })
+
+  private val isLong = valueChild.dataType match {
+    case LongType | IntegerType | ShortType => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (valueChild.dataType, weightChild.dataType) match {
+      case (LongType | IntegerType | ShortType | DoubleType | FloatType,
+            LongType | IntegerType | ShortType) if levelChildren.forall(_.foldable) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "quantilesExactWeighted(x, w, p1, ...): numeric x, integral w, literal levels")
+    }
+
+  override def dataType: DataType =
+    ArrayType(if (isLong) LongType else DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def createAggregationBuffer(): WeightedQuantileBuf = new WeightedQuantileBuf
+
+  private val single = QuantileExactWeightedAgg(valueChild, weightChild,
+    org.apache.spark.sql.catalyst.expressions.Literal(0.5d))
+
+  override def update(buf: WeightedQuantileBuf, row: InternalRow): WeightedQuantileBuf =
+    single.update(buf, row)
+  override def merge(buf: WeightedQuantileBuf, o: WeightedQuantileBuf): WeightedQuantileBuf =
+    single.merge(buf, o)
+
+  override def eval(buf: WeightedQuantileBuf): Any = {
+    if (buf.m.isEmpty) return null
+    def decode(bits: Long): Double =
+      if (isLong) bits.toDouble else java.lang.Double.longBitsToDouble(bits)
+    val items = buf.m.toArray.sortBy { case (bits, _) => decode(bits) }
+    val total = items.map(_._2).sum
+    val out = levels.map { level =>
+      val threshold = level * total
+      var acc = 0L
+      var i = 0
+      var res = items.last._1
+      var done = false
+      while (i < items.length && !done) {
+        acc += items(i)._2
+        if (acc >= threshold) { res = items(i)._1; done = true }
+        i += 1
+      }
+      if (isLong) res: Any else java.lang.Double.longBitsToDouble(res): Any
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override def serialize(buf: WeightedQuantileBuf): Array[Byte] = single.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): WeightedQuantileBuf =
+    single.deserialize(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): QuantilesExactWeightedAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): QuantilesExactWeightedAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): QuantilesExactWeightedAgg =
+    copy(valueChild = cs(0), weightChild = cs(1), levelChildren = cs.drop(2))
+  override def prettyName: String = "quantilesExactWeighted"
+}

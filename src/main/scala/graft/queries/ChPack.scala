@@ -1851,10 +1851,10 @@ object ChPack {
         |  FROM events),
         |base AS (
         |  SELECT event_type,
-        |    CAST(SUM(CASE WHEN k >= 0 AND k < 10 THEN x END) AS VARCHAR) || ',' ||
-        |    CAST(SUM(CASE WHEN k >= 10 AND k < 20 THEN x END) AS VARCHAR) || ',' ||
-        |    CAST(SUM(CASE WHEN k >= 20 AND k < 30 THEN x END) AS VARCHAR) || ',' ||
-        |    CAST(SUM(CASE WHEN k >= 30 AND k < 40 THEN x END) AS VARCHAR) AS sums,
+        |    CAST(COALESCE(SUM(CASE WHEN k >= 0 AND k < 10 THEN x END), 0) AS VARCHAR) || ',' ||
+        |    CAST(COALESCE(SUM(CASE WHEN k >= 10 AND k < 20 THEN x END), 0) AS VARCHAR) || ',' ||
+        |    CAST(COALESCE(SUM(CASE WHEN k >= 20 AND k < 30 THEN x END), 0) AS VARCHAR) || ',' ||
+        |    CAST(COALESCE(SUM(CASE WHEN k >= 30 AND k < 40 THEN x END), 0) AS VARCHAR) AS sums,
         |    CAST(COUNT(CASE WHEN k >= 0 AND k < 10 THEN event_id END) AS VARCHAR) || ',' ||
         |    CAST(COUNT(CASE WHEN k >= 10 AND k < 20 THEN event_id END) AS VARCHAR) || ',' ||
         |    CAST(COUNT(CASE WHEN k >= 20 AND k < 30 THEN event_id END) AS VARCHAR) || ',' ||

@@ -403,18 +403,24 @@ case class CompressionRatioExpr(child: Expression)
     if (v == null) return null
     val raw = v.asInstanceOf[UTF8String].getBytes
     if (raw.isEmpty) return 1.0
-    val d = new java.util.zip.Deflater(6)
-    try {
-      d.setInput(raw)
-      d.finish()
-      val buf = new Array[Byte](raw.length + 64)
-      var total = 0L
-      while (!d.finished()) total += d.deflate(buf)
-      total.toDouble / raw.length
-    } finally d.end()
+    // reuse one native Deflater per thread (reset between rows) — a
+    // fresh init/end per row is measurable JNI churn on a corpus sweep
+    val d = CompressionRatioExpr.deflaters.get()
+    d.reset()
+    d.setInput(raw)
+    d.finish()
+    val buf = new Array[Byte](math.min(raw.length + 64, 1 << 16))
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total.toDouble / raw.length
   }
 
   override protected def withNewChildInternal(c: Expression): CompressionRatioExpr =
     copy(child = c)
   override def prettyName: String = "compression_ratio"
+}
+
+object CompressionRatioExpr {
+  private[text] val deflaters: ThreadLocal[java.util.zip.Deflater] =
+    ThreadLocal.withInitial(() => new java.util.zip.Deflater(6))
 }

@@ -1059,6 +1059,22 @@ class ChCompatSpec extends SparkSpec {
     intercept[RuntimeException] {
       graft.engine.ChDistinctOn.rewrite("SELECT DISTINCT ON (g) g, v FROM t")
     }
+    // a trailing LIMIT stays OUTSIDE the per-group pick
+    val dl = graft.engine.ChDistinctOn.sql(spark,
+      """SELECT DISTINCT ON (g) g, v
+        |FROM graft_qd_fix
+        |ORDER BY g, v LIMIT 1""".stripMargin).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(dl == Seq((1, 10)), "LIMIT 1 applies after the per-group heads")
+    // QUALIFY composed with LIMIT n BY: QUALIFY rewrites first, its tail
+    // carries the LIMIT BY outward for ChLimitBy
+    val composed = graft.engine.ChLimitBy.rewrite(graft.engine.ChQualify.rewrite(
+      """SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn
+        |FROM graft_qd_fix
+        |QUALIFY rn <= 2
+        |ORDER BY g, v LIMIT 1 BY g""".stripMargin))
+    assert(spark.sql(composed).collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+      == Seq((1, 10), (2, 5)))
   }
 
   test("tuple/HLL/timestamp64 alias mop-up") {
@@ -1076,6 +1092,11 @@ class ChCompatSpec extends SparkSpec {
       .getLong(0) == 1704067200250L)
     assert(row("CAST(fromUnixTimestamp64Milli(1704067200250L) AS STRING)")
       .getString(0) == "2024-01-01 00:00:00.25")
+    // millis that aren't binary-exact must not lose a microsecond
+    assert(row("CAST(fromUnixTimestamp64Milli(57L) AS STRING)")
+      .getString(0) == "1970-01-01 00:00:00.057")
+    assert(row("toUnixTimestamp64Milli(fromUnixTimestamp64Milli(999L))")
+      .getLong(0) == 999L)
     assert(row("CAST(addDate(toDate('2024-01-01'), 30) AS DATE)").getDate(0)
       .toString == "2024-01-31")
     assert(row("CAST(subDate(toDate('2024-01-31'), 30) AS DATE)").getDate(0)
@@ -1133,6 +1154,8 @@ class ChCompatSpec extends SparkSpec {
     replay.executeScript(
       "insert into ods.feed select toDate('2024-01-01') as day, 1 as k, 5 as v from system.one;")
     assert(replay.stateTables("dws.agg_local").finalized().head().getAs[Long]("v") == 15L)
+    // reading the Null table answers 0 rows (CH semantics), not an error
+    assert(replay.runQuery("select count(day) as c from ods.feed").head().getLong(0) == 0L)
   }
 
   test("KS test, meanZTest, erf family — cross-checked vs commons-math3") {
