@@ -88,6 +88,29 @@ object StatAggregates {
     f("intervalLengthSum") { es =>
       IntervalLengthSumAgg(es(0), es(1)).toAggregateExpression()
     }
+    // -State / -Merge combinators for the count-map family (MV-
+    // incremental statistics, CH's combinator contract)
+    f("entropyState") { es =>
+      CountMapStateAgg(es.head, None).toAggregateExpression()
+    }
+    f("entropyMerge") { es =>
+      CountMapMergeAgg(es.head, "entropy").toAggregateExpression()
+    }
+    f("quantileExactWeightedState") { es =>
+      CountMapStateAgg(es(0), Some(es(1))).toAggregateExpression()
+    }
+    f("quantileExactWeightedMerge") { es =>
+      val level = es(1) match {
+        case lit if lit.foldable => lit.eval() match {
+          case n: Number => n.doubleValue()
+          case other => throw new IllegalArgumentException(
+            s"quantileExactWeightedMerge: level literal required, got $other")
+        }
+        case other => throw new IllegalArgumentException(
+          s"quantileExactWeightedMerge: level literal required, got $other")
+      }
+      CountMapMergeAgg(es(0), s"quantile:$level").toAggregateExpression()
+    }
   }
 
   def entropy(c: Column): Column = call_function("entropy", c)
@@ -1431,4 +1454,118 @@ case class QuantilesExactWeightedAgg(
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): QuantilesExactWeightedAgg =
     copy(valueChild = cs(0), weightChild = cs(1), levelChildren = cs.drop(2))
   override def prettyName: String = "quantilesExactWeighted"
+}
+
+/** `-State` / `-Merge` combinators for the count-map statistics —
+  * `entropyState(x)` emits the serialized value→count map (a mergeable
+  * partial, storable in an AggregatingMergeTree StateTable exactly like
+  * uniqCombinedState), `entropyMerge(state)` folds stored partials and
+  * finalizes. The same pair exists for quantileExactWeighted (its map is
+  * value→Σweight). This is CH's any-aggregate-takes-combinators contract
+  * for the family whose state is a count map. */
+case class CountMapStateAgg(
+    child: Expression,
+    weightChild: Option[Expression],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[CountMapBuf] with StringKeyed {
+
+  override def children: Seq[Expression] = child +: weightChild.toSeq
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def createAggregationBuffer(): CountMapBuf = new CountMapBuf
+
+  override def update(buf: CountMapBuf, row: InternalRow): CountMapBuf = {
+    val k = keyOf(child, row)
+    if (k != null) {
+      val w = weightChild.map(_.eval(row)) match {
+        case None => 1L
+        case Some(null) => 0L
+        case Some(l: java.lang.Long) => l.longValue()
+        case Some(i: java.lang.Integer) => i.longValue()
+        case Some(s: java.lang.Short) => s.longValue()
+        case Some(other) => throw new IllegalArgumentException(
+          s"${prettyName}: integral weight required, got $other")
+      }
+      if (w > 0) buf.add(k, w)
+    }
+    buf
+  }
+  override def merge(buf: CountMapBuf, o: CountMapBuf): CountMapBuf = {
+    o.m.foreach { case (k, c) => buf.add(k, c) }
+    buf
+  }
+  override def eval(buf: CountMapBuf): Any = writeCountMap(buf.m)
+  override def serialize(buf: CountMapBuf): Array[Byte] = writeCountMap(buf.m)
+  override def deserialize(b: Array[Byte]): CountMapBuf = {
+    val buf = new CountMapBuf; readCountMap(b, buf); buf
+  }
+  override def withNewMutableAggBufferOffset(o: Int): CountMapStateAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CountMapStateAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): CountMapStateAgg =
+    copy(child = cs(0), weightChild = if (cs.length >= 2) Some(cs(1)) else None)
+  override def prettyName: String =
+    if (weightChild.isDefined) "quantileExactWeightedState" else "entropyState"
+}
+
+/** folds stored count-map partials and finalizes the named statistic. */
+case class CountMapMergeAgg(
+    child: Expression,
+    stat: String, // "entropy" | "quantile:<level>"
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[CountMapBuf] with UnaryLike[Expression]
+  with StringKeyed {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a serialized count-map state, got ${t.simpleString}")
+  }
+  override def dataType: DataType =
+    if (stat == "entropy") DoubleType else LongType
+  override def nullable: Boolean = stat != "entropy"
+  override def createAggregationBuffer(): CountMapBuf = new CountMapBuf
+
+  override def update(buf: CountMapBuf, row: InternalRow): CountMapBuf = {
+    val v = child.eval(row)
+    if (v != null) readCountMap(v.asInstanceOf[Array[Byte]], buf)
+    buf
+  }
+  override def merge(buf: CountMapBuf, o: CountMapBuf): CountMapBuf = {
+    o.m.foreach { case (k, c) => buf.add(k, c) }
+    buf
+  }
+  override def eval(buf: CountMapBuf): Any = stat match {
+    case "entropy" => StatAggregates.shannon(buf.m.values.toArray)
+    case q if q.startsWith("quantile:") =>
+      if (buf.m.isEmpty) null
+      else {
+        val level = q.stripPrefix("quantile:").toDouble
+        // count-map keys are the canonical string form of LONG values
+        // here (the weighted-quantile state path is integral)
+        val items = buf.m.toSeq.map { case (k, w) => (k.toLong, w) }.sortBy(_._1)
+        val total = items.map(_._2).sum
+        val threshold = level * total
+        var acc = 0L
+        items.find { case (_, w) => acc += w; acc >= threshold }
+          .map(_._1).getOrElse(items.last._1)
+      }
+    case other => throw new IllegalStateException(s"unknown stat $other")
+  }
+
+  override def serialize(buf: CountMapBuf): Array[Byte] = writeCountMap(buf.m)
+  override def deserialize(b: Array[Byte]): CountMapBuf = {
+    val buf = new CountMapBuf; readCountMap(b, buf); buf
+  }
+  override def withNewMutableAggBufferOffset(o: Int): CountMapMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CountMapMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): CountMapMergeAgg =
+    copy(child = c)
+  override def prettyName: String =
+    if (stat == "entropy") "entropyMerge" else "quantileExactWeightedMerge"
 }

@@ -1222,6 +1222,29 @@ object ChPack {
           |ORDER BY event_type""".stripMargin)
     },
 
+    // -State/-Merge combinators for the count-map statistics: per-day
+    // entropy/weighted-quantile partials merge to the same value the
+    // one-shot aggregate computes — CH's MV-incremental contract,
+    // mirrored by DuckDB's direct entropy / cumulative-weight scan.
+    "q159_stat_state_merge" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).eventsWithDefaults.createOrReplaceTempView("graft_sm_events")
+      s.sql(
+        """WITH partials AS (
+          |  SELECT event_type, day,
+          |         entropyState(user_id % 10) AS h_state,
+          |         quantileExactWeightedState(CAST(user_id % 50 AS BIGINT),
+          |                                    1 + event_id % 3) AS q_state
+          |  FROM graft_sm_events
+          |  GROUP BY event_type, day)
+          |SELECT event_type,
+          |       round(entropyMerge(h_state), 6) AS h,
+          |       quantileExactWeightedMerge(q_state, 0.5D) AS q50
+          |FROM partials
+          |GROUP BY event_type
+          |ORDER BY event_type""".stripMargin)
+    },
+
     // The full CH bitmap algebra beyond and/or (xor/andnot +
     // cardinalities, membership predicates, array round-trip, extrema,
     // subset slicing, bitmapBuild) in one verbatim-SQL battery over
@@ -1841,6 +1864,27 @@ object ChPack {
         |  ROUND(regr_slope(y, qd), 6) AS slr_k,
         |  ROUND(regr_intercept(y, qd), 6) AS slr_b
         |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the merged partials must equal the direct statistics
+    "q159_stat_state_merge" ->
+      """WITH wagg AS (
+        |  SELECT event_type, CAST(user_id % 50 AS BIGINT) v,
+        |         SUM(1 + event_id % 3) wt
+        |  FROM events GROUP BY 1, 2),
+        |wc AS (
+        |  SELECT event_type, v,
+        |         SUM(wt) OVER (PARTITION BY event_type ORDER BY v) cum,
+        |         SUM(wt) OVER (PARTITION BY event_type) tot
+        |  FROM wagg),
+        |q AS (
+        |  SELECT event_type, MIN(CASE WHEN cum >= 0.5 * tot THEN v END) q50
+        |  FROM wc GROUP BY event_type),
+        |h AS (
+        |  SELECT event_type, ROUND(entropy(user_id % 10), 6) h
+        |  FROM events GROUP BY event_type)
+        |SELECT h.event_type, h.h, q.q50
+        |FROM h JOIN q ON h.event_type = q.event_type
+        |ORDER BY h.event_type""".stripMargin,
 
     // CASE-filtered bucket aggregates; cumulative-weight scans per level
     "q158_resample" ->

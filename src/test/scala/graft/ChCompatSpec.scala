@@ -976,6 +976,26 @@ class ChCompatSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)
   }
 
+  test("entropy/quantile -State/-Merge: partials equal the one-shot") {
+    ChCompat.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 2000).map(_ => (rnd.nextInt(4), rnd.nextInt(20).toLong, rnd.nextInt(3) + 1))
+    rows.toDF("part", "v", "w").repartition(9).createOrReplaceTempView("graft_sm_fix")
+    val r = spark.sql(
+      """WITH p AS (
+        |  SELECT part, entropyState(v) hs,
+        |         quantileExactWeightedState(v, w) qs
+        |  FROM graft_sm_fix GROUP BY part)
+        |SELECT (SELECT entropyMerge(hs) FROM p) merged_h,
+        |       (SELECT entropy(v) FROM graft_sm_fix) direct_h,
+        |       (SELECT quantileExactWeightedMerge(qs, 0.5D) FROM p) merged_q,
+        |       (SELECT quantileExactWeighted(v, w, 0.5D) FROM graft_sm_fix) direct_q
+        |""".stripMargin).head()
+    assert(r.getDouble(0) == r.getDouble(1), "merged entropy == one-shot, bit-exact")
+    assert(r.getLong(2) == r.getLong(3), "merged weighted quantile == one-shot")
+  }
+
   test("-Resample combinator: bucket expansion, edges, caps") {
     ChCompat.register(spark)
     import spark.implicits._

@@ -352,7 +352,9 @@ class PlanSpec extends SparkSpec {
     // q157: the docs loader's compute-spread repartition + final sort
     "q157_compression_quality" -> 2,
     // q158: one group agg (the expanded -If buckets ride it) + final sort
-    "q158_resample" -> 2)
+    "q158_resample" -> 2,
+    // q159: partial-state agg + merge re-agg + final sort
+    "q159_stat_state_merge" -> 3)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)
