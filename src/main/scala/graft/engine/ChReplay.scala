@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.Dictionaries
-import graft.mv.{BitmapUvMetric, HllUvMetric, MaterializedView, MaxMetric, MedianExactMetric, Metric, MinMetric, QuantileSketchMetric, StateTable, SumMetric}
+import graft.mv.{BitmapUvMetric, EntropyMetric, HllUvMetric, MaterializedView, MaxMetric, MedianExactMetric, Metric, MinMetric, QuantileSketchMetric, StateTable, SumMetric}
 
 /** Executes parsed ClickHouse DDL ([[ChDdl]]) against this engine's
   * objects — the translator that lets a user replay the reference's
@@ -493,6 +493,7 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     case Some(("groupBitmap", _)) => BitmapUvMetric(c.name, col(c.name))
     case Some(("medianExact", _)) => MedianExactMetric(c.name, col(c.name))
     case Some(("quantileTDigest", _)) => QuantileSketchMetric(c.name, col(c.name))
+    case Some(("entropy", _)) => EntropyMetric(c.name, col(c.name))
     case other => sys.error(s"$table.${c.name}: unsupported aggregate type ${c.chType} ($other)")
   }
 
@@ -500,7 +501,8 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     * default fill of columns a given MV does not produce.
     */
   private def stateType(c: Col): DataType = c.aggSpec match {
-    case Some(("uniqCombined", _)) | Some(("groupBitmap", _)) => BinaryType
+    case Some(("uniqCombined", _)) | Some(("groupBitmap", _)) |
+         Some(("entropy", _)) => BinaryType
     case Some(("medianExact", t)) => ArrayType(valueType(t))
     case Some((_, t)) => valueType(t) // simple aggregates store plain values
     case None => valueType(c.chType)

@@ -111,7 +111,32 @@ object StatAggregates {
       }
       CountMapMergeAgg(es(0), s"quantile:$level").toAggregateExpression()
     }
+    // partial-to-partial merges + scalar finalizers (the StateTable
+    // Metric roles: merge parts on compact, finalize on read)
+    f("entropyMergeState") { es =>
+      CountMapMergeAgg(es.head, "state").toAggregateExpression()
+    }
+    f("quantileExactWeightedMergeState") { es =>
+      CountMapMergeAgg(es.head, "state").toAggregateExpression()
+    }
+    f("entropyFinalize") { es => CountMapFinalizeExpr(es.head, "entropy") }
+    f("quantileExactWeightedFinalize") { es =>
+      val level = es(1) match {
+        case lit if lit.foldable => lit.eval() match {
+          case n: Number => n.doubleValue()
+          case other => throw new IllegalArgumentException(
+            s"quantileExactWeightedFinalize: level literal required, got $other")
+        }
+        case other => throw new IllegalArgumentException(
+          s"quantileExactWeightedFinalize: level literal required, got $other")
+      }
+      CountMapFinalizeExpr(es(0), s"quantile:$level")
+    }
   }
+
+  def entropy_state(c: Column): Column = call_function("entropyState", c)
+  def entropy_merge_state(c: Column): Column = call_function("entropyMergeState", c)
+  def entropy_finalize(c: Column): Column = call_function("entropyFinalize", c)
 
   def entropy(c: Column): Column = call_function("entropy", c)
   def cramers_v(x: Column, y: Column): Column = call_function("cramersV", x, y)
@@ -147,7 +172,7 @@ final class CountMapBuf {
   def add(k: String, c: Long): Unit = m.update(k, m.getOrElse(k, 0L) + c)
 }
 
-private[functions] trait StringKeyed { self: TypedImperativeAggregate[_] =>
+private[functions] trait StringKeyed {
   /** canonical per-row key: null input → no contribution (CH skips nulls). */
   protected def keyOf(e: Expression, row: InternalRow): String = {
     val v = e.eval(row)
@@ -1524,9 +1549,12 @@ case class CountMapMergeAgg(
     case t => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a serialized count-map state, got ${t.simpleString}")
   }
-  override def dataType: DataType =
-    if (stat == "entropy") DoubleType else LongType
-  override def nullable: Boolean = stat != "entropy"
+  override def dataType: DataType = stat match {
+    case "entropy" => DoubleType
+    case "state" => BinaryType
+    case _ => LongType
+  }
+  override def nullable: Boolean = stat != "entropy" && stat != "state"
   override def createAggregationBuffer(): CountMapBuf = new CountMapBuf
 
   override def update(buf: CountMapBuf, row: InternalRow): CountMapBuf = {
@@ -1540,6 +1568,7 @@ case class CountMapMergeAgg(
   }
   override def eval(buf: CountMapBuf): Any = stat match {
     case "entropy" => StatAggregates.shannon(buf.m.values.toArray)
+    case "state" => writeCountMap(buf.m) // partial-to-partial merge
     case q if q.startsWith("quantile:") =>
       if (buf.m.isEmpty) null
       else {
@@ -1566,6 +1595,44 @@ case class CountMapMergeAgg(
     copy(inputAggBufferOffset = o)
   override protected def withNewChildInternal(c: Expression): CountMapMergeAgg =
     copy(child = c)
+  override def prettyName: String = stat match {
+    case "entropy" => "entropyMerge"
+    case "state" => "countMapMergeState"
+    case _ => "quantileExactWeightedMerge"
+  }
+}
+
+/** scalar finalizers over a STORED count-map state (post-aggregation,
+  * group-count-sized row sets — the Metric.finish role). */
+case class CountMapFinalizeExpr(child: Expression, stat: String)
+  extends Expression with UnaryLike[Expression]
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+  with StringKeyed {
+
+  override def dataType: DataType =
+    if (stat == "entropy") DoubleType else LongType
+  override def nullable: Boolean = true
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val buf = new CountMapBuf
+    readCountMap(v.asInstanceOf[Array[Byte]], buf)
+    if (stat == "entropy") StatAggregates.shannon(buf.m.values.toArray)
+    else {
+      if (buf.m.isEmpty) return null
+      val level = stat.stripPrefix("quantile:").toDouble
+      val items = buf.m.toSeq.map { case (k, w) => (k.toLong, w) }.sortBy(_._1)
+      val total = items.map(_._2).sum
+      val threshold = level * total
+      var acc = 0L
+      items.find { case (_, w) => acc += w; acc >= threshold }
+        .map(_._1).getOrElse(items.last._1)
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): CountMapFinalizeExpr =
+    copy(child = c)
   override def prettyName: String =
-    if (stat == "entropy") "entropyMerge" else "quantileExactWeightedMerge"
+    if (stat == "entropy") "entropyFinalize" else "quantileExactWeightedFinalize"
 }

@@ -104,6 +104,19 @@ final case class QuantileSketchMetric(name: String, src: Column,
   * FINAL invariant holds by construction. State size ∝ the group's
   * distinct keys. Requires MapAggregates.register (StateTable does this).
   */
+/** AggregateFunction(entropy): Shannon entropy over a value→count map
+  * state (round-8 StatAggregates) — the MV-incremental form of the
+  * one-shot `entropy` aggregate; merge folds maps, finalize computes the
+  * bit-exact same value (sorted-order reduction). State size ∝ the
+  * group's distinct values. Requires StatAggregates.register (StateTable
+  * does this).
+  */
+final case class EntropyMetric(name: String, src: Column) extends Metric {
+  val state: Column = graft.functions.StatAggregates.entropy_state(src).as(name)
+  val merge: Column = graft.functions.StatAggregates.entropy_merge_state(col(name)).as(name)
+  override val finish: Column => Column = graft.functions.StatAggregates.entropy_finalize
+}
+
 final case class SumMapMetric(name: String, keys: Column, values: Column) extends Metric {
   val state: Column = graft.functions.MapAggregates.sum_map(keys, values).as(name)
   val merge: Column = graft.functions.MapAggregates

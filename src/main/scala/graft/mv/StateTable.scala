@@ -47,6 +47,7 @@ final class StateTable(
   Bitmaps.register(spark)
   graft.functions.MapAggregates.register(spark)
   graft.functions.QuantileSketch.register(spark)
+  graft.functions.StatAggregates.register(spark)
   recoverFromCompact()
   recoverInFlightIngest()
 

@@ -559,6 +559,34 @@ class ChDdlReplaySpec extends SparkSpec {
     assert(afterDrop == Set(("2024-01-02", 3L)), s"drop left $afterDrop")
   }
 
+  test("AggregateFunction(entropy) replays: MV-incremental, compact-invariant") {
+    val replay = new ChReplay(spark, ChReplay.scratchWarehouse("graft-entm"))
+    replay.executeScript(
+      """create table dws.ent_local (
+        | day Date,
+        | k UInt64,
+        | h AggregateFunction(entropy, UInt64)
+        |) engine=AggregatingMergeTree()
+        |PARTITION BY day ORDER BY (day, k);""".stripMargin)
+    import spark.implicits._
+    val st = replay.stateTables("dws.ent_local")
+    def batch(vals: Seq[Long]) =
+      vals.map(v => ("2024-01-01", 1L, v)).toDF("day_s", "k", "h")
+        .select(org.apache.spark.sql.functions.to_date(col("day_s")).as("day"),
+          col("k"), col("h"))
+    // two inserted blocks: values 0,0,1 then 1,2,2 — merged entropy must
+    // equal the one-shot over all six values
+    st.appendBatch(batch(Seq(0L, 0L, 1L)))
+    st.appendBatch(batch(Seq(1L, 2L, 2L)))
+    val direct = Seq(0L, 0L, 1L, 1L, 2L, 2L).toDF("v")
+      .selectExpr("entropy(v) h").head().getDouble(0)
+    def readH(): Double = st.finalized().head().getAs[Double]("h")
+    assert(readH() == direct, "two-block merge == one-shot, bit-exact")
+    // OPTIMIZE FINAL folds parts without changing the value
+    st.compact()
+    assert(readH() == direct, "compact is value-invariant")
+  }
+
   test("system.tables/columns/databases/parts reflect the replayed catalog") {
     val replay = new ChReplay(spark, ChReplay.scratchWarehouse("graft-systbl"))
     replay.executeScript(
