@@ -1499,6 +1499,32 @@ object ChCompat {
     f("kurtPop") { es =>
       Add(Kurtosis(es.head).toAggregateExpression(), Literal(3.0d))
     }
+    // sample-adjusted third/fourth moments from the population forms:
+    // skewSamp = g1·√(n(n−1))/(n−2); kurtSamp rescales m2_pop to s²
+    // (kurtPop·((n−1)/n)² in the non-excess convention CH uses)
+    f("skewSamp") { es =>
+      val n = Cast(Count(Seq(es.head)).toAggregateExpression(), DoubleType)
+      Multiply(Skewness(es.head).toAggregateExpression(),
+        Divide(Sqrt(Multiply(n, Subtract(n, Literal(1.0)))),
+          Subtract(n, Literal(2.0))))
+    }
+    f("kurtSamp") { es =>
+      val n = Cast(Count(Seq(es.head)).toAggregateExpression(), DoubleType)
+      val ratio = Divide(Subtract(n, Literal(1.0)), n)
+      Multiply(Add(Kurtosis(es.head).toAggregateExpression(), Literal(3.0d)),
+        Multiply(ratio, ratio))
+    }
+    // bare CH quantile/median are the approximate family — mapped to the
+    // exact percentile (deterministic superset, same flat-spelling
+    // convention as quantileExact); quantiles is the plural
+    f("quantile") { es =>
+      new Percentile(es(0), if (es.length >= 2) es(1) else Literal(0.5d))
+    }
+    f("median") { es => new Percentile(es(0), Literal(0.5d)) }
+    f("quantiles") { es =>
+      require(es.length >= 2, s"quantiles needs (x, p1, ...), got ${es.length} args")
+      new Percentile(es(0), CreateArray(es.drop(1)))
+    }
 
     // ---- bitmap family (dwm:134-139, 184-185, 280-290) ---------------
     f("groupBitmap") { es =>

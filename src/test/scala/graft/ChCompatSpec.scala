@@ -976,6 +976,35 @@ class ChCompatSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)
   }
 
+  test("bare quantile/median and sample moments") {
+    ChCompat.register(spark)
+    import spark.implicits._
+    Seq(1.0, 2.0, 3.0, 4.0, 10.0).toDF("v").createOrReplaceTempView("graft_bq")
+    val r = spark.sql(
+      """SELECT quantile(v) q50, quantile(v, 0.8D) q80, median(v) med,
+        |       concat_ws(',', quantiles(v, 0.0D, 1.0D)) ext
+        |FROM graft_bq""".stripMargin).head()
+    assert(r.getDouble(0) == 3.0 && r.getDouble(2) == 3.0)
+    assert(math.abs(r.getDouble(1) - 5.2) < 1e-12, "exact interpolated 0.8 percentile")
+    assert(r.getString(3) == "1.0,10.0")
+    // sample moments vs hand computation on a tiny fixture
+    val xs = Seq(2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0)
+    xs.toDF("v").createOrReplaceTempView("graft_moments")
+    val n = xs.size.toDouble
+    val m = xs.sum / n
+    val d = xs.map(_ - m)
+    val m2 = d.map(x => x * x).sum / n
+    val g1 = (d.map(x => x * x * x).sum / n) / math.pow(m2, 1.5)
+    val skSampRef = g1 * math.sqrt(n * (n - 1)) / (n - 2)
+    val kurtPopRef = (d.map(x => x * x * x * x).sum / n) / (m2 * m2)
+    val kurtSampRef = kurtPopRef * math.pow((n - 1) / n, 2)
+    val mo = spark.sql(
+      "SELECT skewSamp(v) ss, kurtPop(v) kp, kurtSamp(v) ks FROM graft_moments").head()
+    assert(math.abs(mo.getDouble(0) - skSampRef) < 1e-12)
+    assert(math.abs(mo.getDouble(1) - kurtPopRef) < 1e-12)
+    assert(math.abs(mo.getDouble(2) - kurtSampRef) < 1e-12)
+  }
+
   test("entropy/quantile -State/-Merge: partials equal the one-shot") {
     ChCompat.register(spark)
     import spark.implicits._
