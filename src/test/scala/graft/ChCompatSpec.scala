@@ -976,6 +976,40 @@ class ChCompatSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)
   }
 
+  test("shim edge cases: windowless QUALIFY, multi-key tumble, subquery safety") {
+    ChCompat.register(spark)
+    import spark.implicits._
+    Seq((1, 10), (1, 30), (2, 50)).toDF("g", "v")
+      .createOrReplaceTempView("graft_edge_fix")
+    // QUALIFY over a plain alias (no window) still filters correctly
+    assert(graft.engine.ChQualify.sql(spark,
+      """SELECT g, v * 2 AS dbl FROM graft_edge_fix
+        |QUALIFY dbl > 50 ORDER BY g, dbl""".stripMargin).collect()
+      .map(_.getInt(1)).toSeq == Seq(60, 100))
+    // a QUALIFY inside a quoted literal or subquery must not rewrite at
+    // the outer level
+    assert(!graft.engine.ChQualify.applies(
+      "SELECT * FROM (SELECT 1 AS x QUALIFY x = 1) t"))
+    // tumble beside other grouping keys
+    Seq(("2024-01-01 10:15:00", "a"), ("2024-01-01 10:45:00", "a"),
+      ("2024-01-01 10:50:00", "b"))
+      .map { case (t, k) => (java.sql.Timestamp.valueOf(t), k) }
+      .toDF("ts", "k").createOrReplaceTempView("graft_edge_tw")
+    val tw = spark.sql(
+      """SELECT k, CAST(win.start AS STRING) s, cnt FROM (
+        |  SELECT k, tumble(ts, INTERVAL 1 HOUR) win, count(*) cnt
+        |  FROM graft_edge_tw GROUP BY k, tumble(ts, INTERVAL 1 HOUR))
+        |ORDER BY k, s""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toSeq
+    assert(tw == Seq(("a", 2L), ("b", 1L)))
+    // DISTINCT ON ordered by an expression, not just columns
+    val d = graft.engine.ChDistinctOn.sql(spark,
+      """SELECT DISTINCT ON (g) g, v FROM graft_edge_fix
+        |ORDER BY g, v * -1""".stripMargin).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(d == Seq((1, 30), (2, 50)), "descending via the expression")
+  }
+
   test("bare quantile/median and sample moments") {
     ChCompat.register(spark)
     import spark.implicits._
