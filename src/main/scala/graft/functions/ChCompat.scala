@@ -1499,14 +1499,13 @@ object ChCompat {
     f("kurtPop") { es =>
       Add(Kurtosis(es.head).toAggregateExpression(), Literal(3.0d))
     }
-    // sample-adjusted third/fourth moments from the population forms:
-    // skewSamp = g1·√(n(n−1))/(n−2); kurtSamp rescales m2_pop to s²
-    // (kurtPop·((n−1)/n)² in the non-excess convention CH uses)
+    // CH's sample moments rescale the population central moments onto the
+    // SAMPLE variance: skewSamp = m3/varSamp^1.5 = g1·((n−1)/n)^1.5 and
+    // kurtSamp = m4/varSamp² = kurtPop·((n−1)/n)² (non-excess convention)
     f("skewSamp") { es =>
       val n = Cast(Count(Seq(es.head)).toAggregateExpression(), DoubleType)
       Multiply(Skewness(es.head).toAggregateExpression(),
-        Divide(Sqrt(Multiply(n, Subtract(n, Literal(1.0)))),
-          Subtract(n, Literal(2.0))))
+        Pow(Divide(Subtract(n, Literal(1.0)), n), Literal(1.5)))
     }
     f("kurtSamp") { es =>
       val n = Cast(Count(Seq(es.head)).toAggregateExpression(), DoubleType)

@@ -100,15 +100,7 @@ object StatAggregates {
       CountMapStateAgg(es(0), Some(es(1))).toAggregateExpression()
     }
     f("quantileExactWeightedMerge") { es =>
-      val level = es(1) match {
-        case lit if lit.foldable => lit.eval() match {
-          case n: Number => n.doubleValue()
-          case other => throw new IllegalArgumentException(
-            s"quantileExactWeightedMerge: level literal required, got $other")
-        }
-        case other => throw new IllegalArgumentException(
-          s"quantileExactWeightedMerge: level literal required, got $other")
-      }
+      val level = litDouble(es(1), "quantileExactWeightedMerge level")
       CountMapMergeAgg(es(0), s"quantile:$level").toAggregateExpression()
     }
     // partial-to-partial merges + scalar finalizers (the StateTable
@@ -121,15 +113,7 @@ object StatAggregates {
     }
     f("entropyFinalize") { es => CountMapFinalizeExpr(es.head, "entropy") }
     f("quantileExactWeightedFinalize") { es =>
-      val level = es(1) match {
-        case lit if lit.foldable => lit.eval() match {
-          case n: Number => n.doubleValue()
-          case other => throw new IllegalArgumentException(
-            s"quantileExactWeightedFinalize: level literal required, got $other")
-        }
-        case other => throw new IllegalArgumentException(
-          s"quantileExactWeightedFinalize: level literal required, got $other")
-      }
+      val level = litDouble(es(1), "quantileExactWeightedFinalize level")
       CountMapFinalizeExpr(es(0), s"quantile:$level")
     }
   }
@@ -144,6 +128,32 @@ object StatAggregates {
   def rank_corr(x: Column, y: Column): Column = call_function("rankCorr", x, y)
   def interval_length_sum(s: Column, e: Column): Column =
     call_function("intervalLengthSum", s, e)
+
+  /** numeric literal (Number or Spark Decimal — a bare `0.5` parses as
+    * DecimalType) for level/parameter arguments. */
+  private[functions] def litDouble(e: Expression, what: String): Double =
+    e match {
+      case lit if lit.foldable => lit.eval() match {
+        case n: Number => n.doubleValue()
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+        case other => throw new IllegalArgumentException(
+          s"$what: numeric literal required, got $other")
+      }
+      case other => throw new IllegalArgumentException(
+        s"$what: numeric literal required, got $other")
+    }
+
+  /** CH's weighted-quantile selection rule over integral (value, Σweight)
+    * pairs: ascending scan, first value whose accumulated weight reaches
+    * level · total. The ONE home of this rule for the count-map paths. */
+  private[functions] def weightedSelect(pairs: Seq[(Long, Long)], level: Double): Long = {
+    val items = pairs.sortBy(_._1)
+    val total = items.map(_._2).sum
+    val threshold = level * total
+    var acc = 0L
+    items.find { case (_, w) => acc += w; acc >= threshold }
+      .map(_._1).getOrElse(items.last._1)
+  }
 
   /** Shannon entropy of a count multiset: log2(n) − (Σ c·log2 c)/n,
     * summed in sorted-count order for bit determinism. */
@@ -1496,6 +1506,19 @@ case class CountMapStateAgg(
   extends TypedImperativeAggregate[CountMapBuf] with StringKeyed {
 
   override def children: Seq[Expression] = child +: weightChild.toSeq
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (weightChild.isEmpty) TypeCheckResult.TypeCheckSuccess // any type counts
+    else (child.dataType, weightChild.get.dataType) match {
+      // the weighted state's keys must round-trip through toLong at merge
+      // and finalize time — restrict to integral values (the one-shot
+      // quantileExactWeighted's Double path does not persist as a state)
+      case (LongType | IntegerType | ShortType, LongType | IntegerType | ShortType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (v, w) => TypeCheckResult.TypeCheckFailure(
+        s"quantileExactWeightedState(x, w): integral x and w required, " +
+          s"got (${v.simpleString}, ${w.simpleString})")
+    }
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
   override def createAggregationBuffer(): CountMapBuf = new CountMapBuf
@@ -1571,17 +1594,11 @@ case class CountMapMergeAgg(
     case "state" => writeCountMap(buf.m) // partial-to-partial merge
     case q if q.startsWith("quantile:") =>
       if (buf.m.isEmpty) null
-      else {
-        val level = q.stripPrefix("quantile:").toDouble
+      else StatAggregates.weightedSelect(
         // count-map keys are the canonical string form of LONG values
-        // here (the weighted-quantile state path is integral)
-        val items = buf.m.toSeq.map { case (k, w) => (k.toLong, w) }.sortBy(_._1)
-        val total = items.map(_._2).sum
-        val threshold = level * total
-        var acc = 0L
-        items.find { case (_, w) => acc += w; acc >= threshold }
-          .map(_._1).getOrElse(items.last._1)
-      }
+        // (CountMapStateAgg's weighted mode type-checks that)
+        buf.m.toSeq.map { case (k, w) => (k.toLong, w) },
+        q.stripPrefix("quantile:").toDouble)
     case other => throw new IllegalStateException(s"unknown stat $other")
   }
 
@@ -1619,16 +1636,10 @@ case class CountMapFinalizeExpr(child: Expression, stat: String)
     val buf = new CountMapBuf
     readCountMap(v.asInstanceOf[Array[Byte]], buf)
     if (stat == "entropy") StatAggregates.shannon(buf.m.values.toArray)
-    else {
-      if (buf.m.isEmpty) return null
-      val level = stat.stripPrefix("quantile:").toDouble
-      val items = buf.m.toSeq.map { case (k, w) => (k.toLong, w) }.sortBy(_._1)
-      val total = items.map(_._2).sum
-      val threshold = level * total
-      var acc = 0L
-      items.find { case (_, w) => acc += w; acc >= threshold }
-        .map(_._1).getOrElse(items.last._1)
-    }
+    else if (buf.m.isEmpty) null
+    else StatAggregates.weightedSelect(
+      buf.m.toSeq.map { case (k, w) => (k.toLong, w) },
+      stat.stripPrefix("quantile:").toDouble)
   }
 
   override protected def withNewChildInternal(c: Expression): CountMapFinalizeExpr =

@@ -97,13 +97,6 @@ final case class QuantileSketchMetric(name: String, src: Column,
     c => graft.functions.QuantileSketch.quantile_value(c, q)
 }
 
-/** AggregateFunction(sumMap): per-group key→sum breakdown map (CH metric
-  * tables carrying counter maps instead of one row per counter). The state
-  * is the sorted (keys, values) struct, and merging is just sumMap over
-  * the stored arrays — the aggregate is its own merge, so the OPTIMIZE-
-  * FINAL invariant holds by construction. State size ∝ the group's
-  * distinct keys. Requires MapAggregates.register (StateTable does this).
-  */
 /** AggregateFunction(entropy): Shannon entropy over a value→count map
   * state (round-8 StatAggregates) — the MV-incremental form of the
   * one-shot `entropy` aggregate; merge folds maps, finalize computes the
@@ -117,6 +110,13 @@ final case class EntropyMetric(name: String, src: Column) extends Metric {
   override val finish: Column => Column = graft.functions.StatAggregates.entropy_finalize
 }
 
+/** AggregateFunction(sumMap): per-group key→sum breakdown map (CH metric
+  * tables carrying counter maps instead of one row per counter). The state
+  * is the sorted (keys, values) struct, and merging is just sumMap over
+  * the stored arrays — the aggregate is its own merge, so the OPTIMIZE-
+  * FINAL invariant holds by construction. State size ∝ the group's
+  * distinct keys. Requires MapAggregates.register (StateTable does this).
+  */
 final case class SumMapMetric(name: String, keys: Column, values: Column) extends Metric {
   val state: Column = graft.functions.MapAggregates.sum_map(keys, values).as(name)
   val merge: Column = graft.functions.MapAggregates

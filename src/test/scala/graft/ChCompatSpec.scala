@@ -1028,10 +1028,11 @@ class ChCompatSpec extends SparkSpec {
     val m = xs.sum / n
     val d = xs.map(_ - m)
     val m2 = d.map(x => x * x).sum / n
-    val g1 = (d.map(x => x * x * x).sum / n) / math.pow(m2, 1.5)
-    val skSampRef = g1 * math.sqrt(n * (n - 1)) / (n - 2)
+    val varSamp = d.map(x => x * x).sum / (n - 1)
+    // CH contract: population central moments over the SAMPLE variance
+    val skSampRef = (d.map(x => x * x * x).sum / n) / math.pow(varSamp, 1.5)
     val kurtPopRef = (d.map(x => x * x * x * x).sum / n) / (m2 * m2)
-    val kurtSampRef = kurtPopRef * math.pow((n - 1) / n, 2)
+    val kurtSampRef = (d.map(x => x * x * x * x).sum / n) / (varSamp * varSamp)
     val mo = spark.sql(
       "SELECT skewSamp(v) ss, kurtPop(v) kp, kurtSamp(v) ks FROM graft_moments").head()
     assert(math.abs(mo.getDouble(0) - skSampRef) < 1e-12)
@@ -1057,6 +1058,17 @@ class ChCompatSpec extends SparkSpec {
         |""".stripMargin).head()
     assert(r.getDouble(0) == r.getDouble(1), "merged entropy == one-shot, bit-exact")
     assert(r.getLong(2) == r.getLong(3), "merged weighted quantile == one-shot")
+    // a bare decimal level (parses as DecimalType) works like 0.5D
+    assert(spark.sql(
+      """SELECT quantileExactWeightedMerge(qs, 0.5) q FROM (
+        |  SELECT quantileExactWeightedState(v, w) qs FROM graft_sm_fix)""".stripMargin)
+      .head().getLong(0) == r.getLong(2))
+    // the weighted state path rejects non-integral values at ANALYSIS
+    // time (its keys must round-trip through toLong at merge)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT quantileExactWeightedState(CAST(v AS DOUBLE), w) s FROM graft_sm_fix")
+        .collect()
+    }
   }
 
   test("-Resample combinator: bucket expansion, edges, caps") {
