@@ -85,6 +85,10 @@ object StatAggregates {
     }
     for (fn <- Seq("erf", "erfc", "lgamma", "tgamma", "digamma"))
       f(fn) { es => MathFnExpr(es.head, fn) }
+    f("minSampleSizeConversion") { es => MinSampleSizeExpr(es, conversion = true) }
+    // CH's spelling really is "Continous" (sic); accept the corrected one too
+    f("minSampleSizeContinous") { es => MinSampleSizeExpr(es, conversion = false) }
+    f("minSampleSizeContinuous") { es => MinSampleSizeExpr(es, conversion = false) }
     f("intervalLengthSum") { es =>
       IntervalLengthSumAgg(es(0), es(1)).toAggregateExpression()
     }
@@ -1646,4 +1650,61 @@ case class CountMapFinalizeExpr(child: Expression, stat: String)
     copy(child = c)
   override def prettyName: String =
     if (stat == "entropy") "entropyFinalize" else "quantileExactWeightedFinalize"
+}
+
+/** CH's A/B-test planning scalars:
+  * `minSampleSizeConversion(baseline, mde, power, alpha)` — per-group
+  * sample size to detect an absolute conversion-rate change of `mde`,
+  * and `minSampleSizeContinous(baseline, sigma, mde, power, alpha)` —
+  * the continuous-metric twin with a RELATIVE mde. Both return the CH
+  * tuple (minimum_sample_size, detect_range_lower, detect_range_upper);
+  * normal quantiles ride commons-math3's probit. */
+case class MinSampleSizeExpr(children: Seq[Expression], conversion: Boolean)
+  extends Expression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(children.length == (if (conversion) 4 else 5),
+    if (conversion) "minSampleSizeConversion(baseline, mde, power, alpha)"
+    else "minSampleSizeContinous(baseline, sigma, mde, power, alpha)")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("minimum_sample_size", DoubleType, nullable = false),
+    StructField("detect_range_lower", DoubleType, nullable = false),
+    StructField("detect_range_upper", DoubleType, nullable = false)))
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  private def num(v: Any): Double = v match {
+    case d: Double => d
+    case f: Float => f.toDouble
+    case l: Long => l.toDouble
+    case i: Int => i.toDouble
+    case s: Short => s.toDouble
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) return null
+    val xs = vs.map(num)
+    val norm = new org.apache.commons.math3.distribution.NormalDistribution(0, 1)
+    def z(p: Double) = norm.inverseCumulativeProbability(p)
+    if (conversion) {
+      val Seq(p1, mde, power, alpha) = xs
+      val p2 = p1 + mde
+      val zs = z(1 - alpha / 2) + z(power)
+      val n = zs * zs * (p1 * (1 - p1) + p2 * (1 - p2)) / (mde * mde)
+      InternalRow(n, p1 - mde, p1 + mde)
+    } else {
+      val Seq(baseline, sigma, mde, power, alpha) = xs
+      val delta = baseline * mde // relative mde, CH's contract
+      val zs = z(1 - alpha / 2) + z(power)
+      val n = 2 * sigma * sigma * zs * zs / (delta * delta)
+      InternalRow(n, baseline * (1 - mde), baseline * (1 + mde))
+    }
+  }
+
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): MinSampleSizeExpr =
+    copy(children = cs)
+  override def prettyName: String =
+    if (conversion) "minSampleSizeConversion" else "minSampleSizeContinous"
 }

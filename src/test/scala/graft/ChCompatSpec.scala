@@ -976,6 +976,25 @@ class ChCompatSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)
   }
 
+  test("minSampleSize planners: closed forms with published z-quantiles") {
+    ChCompat.register(spark)
+    def row(expr: String) = spark.sql(s"SELECT $expr AS v").head()
+    // conversion: p1=0.25, mde=0.03, power=0.8, alpha=0.05
+    // z = 1.9599640 + 0.8416212 = 2.8015852; var = .25*.75 + .28*.72 = .3891
+    val c = row("minSampleSizeConversion(0.25D, 0.03D, 0.8D, 0.05D)").getStruct(0)
+    val z = 1.959963984540054 + 0.8416212335729143
+    assert(math.abs(c.getDouble(0) - z * z * (0.25 * 0.75 + 0.28 * 0.72) / 0.0009) < 1e-6)
+    assert(c.getDouble(1) == 0.22 && c.getDouble(2) == 0.28)
+    // continuous: baseline=112.25, sigma=21.1, RELATIVE mde=0.03
+    val k = row("minSampleSizeContinous(112.25D, 21.1D, 0.03D, 0.8D, 0.05D)").getStruct(0)
+    val delta = 112.25 * 0.03
+    assert(math.abs(k.getDouble(0) - 2 * 21.1 * 21.1 * z * z / (delta * delta)) < 1e-6)
+    assert(math.abs(k.getDouble(1) - 112.25 * 0.97) < 1e-9)
+    // both spellings resolve
+    assert(row("minSampleSizeContinuous(1.0D, 1.0D, 0.1D, 0.8D, 0.05D)").getStruct(0)
+      .getDouble(0) > 0)
+  }
+
   test("shim edge cases: windowless QUALIFY, multi-key tumble, subquery safety") {
     ChCompat.register(spark)
     import spark.implicits._
