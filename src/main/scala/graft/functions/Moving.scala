@@ -53,6 +53,10 @@ object Moving {
     f("maxIntersectionsPosition") { es =>
       MaxIntersectionsAgg(es(0), es(1), position = true).toAggregateExpression()
     }
+    for (mode <- Seq("sum", "count", "avg", "max"))
+      f(s"exponentialTimeDecayed${mode.capitalize}") { es =>
+        TimeDecayedAgg(es(0), es(1), es(2), mode).toAggregateExpression()
+      }
   }
 }
 
@@ -327,4 +331,105 @@ case class MaxIntersectionsAgg(
     copy(startChild = l, endChild = r)
   override def prettyName: String =
     if (position) "maxIntersectionsPosition" else "maxIntersections"
+}
+
+/** CH `exponentialTimeDecayedSum/Count/Avg/Max(λ)(v, t)` in the flat
+  * spelling (v, t, λ): the value at the latest observed time, each point
+  * weighted exp(−(t_max − t)/λ). Deterministic (ts-sorted reduction);
+  * group-sized pair state like the EMA. */
+case class TimeDecayedAgg(
+    valueChild: Expression,
+    timeChild: Expression,
+    lambdaChild: Expression,
+    mode: String,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[PairListBuf] {
+
+  require(Set("sum", "count", "avg", "max")(mode), s"unknown decay mode $mode")
+  override def children: Seq[Expression] = Seq(valueChild, timeChild, lambdaChild)
+
+  private lazy val lambda: Double = lambdaChild.eval(InternalRow.empty) match {
+    case n: Number => n.doubleValue()
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$prettyName: decay length must be a numeric literal, got $other")
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (valueChild.dataType, timeChild.dataType) match {
+      case (LongType | IntegerType | ShortType | DoubleType | FloatType,
+            LongType | IntegerType | ShortType | DoubleType | TimestampType | TimestampNTZType)
+        if lambdaChild.foldable => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName(value, time, lambda): numeric value, numeric/timestamp time, literal lambda")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def createAggregationBuffer(): PairListBuf = new PairListBuf
+
+  private def num(e: Expression, row: InternalRow): Option[Double] =
+    e.eval(row) match {
+      case null => None
+      case d: Double => Some(d)
+      case f: Float => Some(f.toDouble)
+      case l: Long => Some(l.toDouble)
+      case i: Int => Some(i.toDouble)
+      case s: Short => Some(s.toDouble)
+    }
+
+  override def update(buf: PairListBuf, row: InternalRow): PairListBuf = {
+    for (t <- num(timeChild, row); v <- num(valueChild, row)) buf.buf += ((t, v))
+    buf
+  }
+  override def merge(buf: PairListBuf, o: PairListBuf): PairListBuf = {
+    buf.buf ++= o.buf; buf
+  }
+
+  override def eval(buf: PairListBuf): Any = {
+    if (buf.buf.isEmpty) return null
+    val sorted = buf.buf.toArray.sortBy(p => (p._1, p._2))
+    val tMax = sorted.last._1
+    var wSum = 0d
+    var wx = 0d
+    var mx = Double.NegativeInfinity
+    var i = 0
+    while (i < sorted.length) {
+      val w = math.exp((sorted(i)._1 - tMax) / lambda)
+      wSum += w
+      wx += w * sorted(i)._2
+      val cand = w * sorted(i)._2
+      if (cand > mx) mx = cand
+      i += 1
+    }
+    mode match {
+      case "sum" => wx
+      case "count" => wSum
+      case "avg" => wx / wSum
+      case "max" => mx
+    }
+  }
+
+  override def serialize(buf: PairListBuf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.buf.length * 16)
+    bb.putInt(buf.buf.length)
+    buf.buf.foreach { case (a, b) => bb.putDouble(a); bb.putDouble(b) }
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): PairListBuf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new PairListBuf
+    val n = bb.getInt
+    var i = 0
+    while (i < n) { buf.buf += ((bb.getDouble, bb.getDouble)); i += 1 }
+    buf
+  }
+  override def withNewMutableAggBufferOffset(o: Int): TimeDecayedAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TimeDecayedAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): TimeDecayedAgg =
+    copy(valueChild = cs(0), timeChild = cs(1), lambdaChild = cs(2))
+  override def prettyName: String =
+    s"exponentialTimeDecayed${mode.capitalize}"
 }

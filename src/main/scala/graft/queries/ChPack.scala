@@ -1245,6 +1245,25 @@ object ChPack {
           |ORDER BY event_type""".stripMargin)
     },
 
+    // CH exponentialTimeDecayed* window-function family as ts-anchored
+    // aggregates: every point weighted exp(−(t_max − t)/λ) — mirrored by
+    // the same formula over DuckDB's EXP.
+    "q160_time_decayed" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).events.createOrReplaceTempView("graft_td_events")
+      s.sql(
+        """SELECT event_type,
+          |       round(exponentialTimeDecayedSum(value,
+          |               toUnixTimestamp(ts), 7200.0D), 6) AS dsum,
+          |       round(exponentialTimeDecayedCount(value,
+          |               toUnixTimestamp(ts), 7200.0D), 6) AS dcnt,
+          |       round(exponentialTimeDecayedAvg(value,
+          |               toUnixTimestamp(ts), 7200.0D), 6) AS davg
+          |FROM graft_td_events
+          |GROUP BY event_type
+          |ORDER BY event_type""".stripMargin)
+    },
+
     // The full CH bitmap algebra beyond and/or (xor/andnot +
     // cardinalities, membership predicates, array round-trip, extrema,
     // subset slicing, bitmapBuild) in one verbatim-SQL battery over
@@ -1864,6 +1883,21 @@ object ChPack {
         |  ROUND(regr_slope(y, qd), 6) AS slr_k,
         |  ROUND(regr_intercept(y, qd), 6) AS slr_b
         |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Σ v·e^((t−tmax)/λ) etc. over the epoch grid
+    "q160_time_decayed" ->
+      """WITH e AS (
+        |  SELECT event_type, value, CAST(FLOOR(epoch(ts)) AS BIGINT) t
+        |  FROM events),
+        |m AS (SELECT event_type, MAX(t) tmax FROM e GROUP BY event_type)
+        |SELECT e.event_type,
+        |       ROUND(SUM(e.value * EXP((e.t - m.tmax) / 7200.0)), 6) AS dsum,
+        |       ROUND(SUM(EXP((e.t - m.tmax) / 7200.0)), 6) AS dcnt,
+        |       ROUND(SUM(e.value * EXP((e.t - m.tmax) / 7200.0))
+        |             / SUM(EXP((e.t - m.tmax) / 7200.0)), 6) AS davg
+        |FROM e JOIN m ON e.event_type = m.event_type
+        |GROUP BY e.event_type
+        |ORDER BY e.event_type""".stripMargin,
 
     // the merged partials must equal the direct statistics
     "q159_stat_state_merge" ->

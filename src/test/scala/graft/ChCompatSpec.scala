@@ -976,6 +976,30 @@ class ChCompatSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)
   }
 
+  test("exponentialTimeDecayed family: weights, anchor, invariance") {
+    ChCompat.register(spark)
+    import spark.implicits._
+    // two points one λ apart: weights e^-1 and 1
+    Seq((0L, 10.0), (100L, 20.0)).toDF("t", "v")
+      .createOrReplaceTempView("graft_td_fix")
+    val r = spark.sql(
+      """SELECT exponentialTimeDecayedSum(v, t, 100.0D) s,
+        |       exponentialTimeDecayedCount(v, t, 100.0D) c,
+        |       exponentialTimeDecayedAvg(v, t, 100.0D) a,
+        |       exponentialTimeDecayedMax(v, t, 100.0D) m
+        |FROM graft_td_fix""".stripMargin).head()
+    val w0 = math.exp(-1.0)
+    assert(math.abs(r.getDouble(0) - (10.0 * w0 + 20.0)) < 1e-12)
+    assert(math.abs(r.getDouble(1) - (w0 + 1.0)) < 1e-12)
+    assert(math.abs(r.getDouble(2) - (10.0 * w0 + 20.0) / (w0 + 1.0)) < 1e-12)
+    assert(r.getDouble(3) == 20.0)
+    // partitioning invariance
+    val pts = (1 to 400).map(i => (i.toLong, (i % 9).toDouble))
+    def at(parts: Int) = pts.toDF("t", "v").repartition(parts)
+      .selectExpr("exponentialTimeDecayedSum(v, t, 50.0D) s").head().getDouble(0)
+    assert(at(1) == at(13))
+  }
+
   test("minSampleSize planners: closed forms with published z-quantiles") {
     ChCompat.register(spark)
     def row(expr: String) = spark.sql(s"SELECT $expr AS v").head()

@@ -354,7 +354,9 @@ class PlanSpec extends SparkSpec {
     // q158: one group agg (the expanded -If buckets ride it) + final sort
     "q158_resample" -> 2,
     // q159: partial-state agg + merge re-agg + final sort
-    "q159_stat_state_merge" -> 3)
+    "q159_stat_state_merge" -> 3,
+    // q160: one object-hash group agg + final sort
+    "q160_time_decayed" -> 2)
 
   // broadcast nested-loop joins are legitimate exactly where a small probe
   // set is broadcast against the corpus (deliberate cross-join shapes)
