@@ -1251,6 +1251,20 @@ object ChCompat {
         Literal(1), es(1))
     }
     f("quantileExact") { es => new Percentile(es(0), es(1)) }
+    // CH's no-interpolation exact variants: the element at the lower /
+    // upper bracketing index of level·(n−1) in the sorted values
+    def exactBracket(es: Seq[Expression], high: Boolean): Expression = {
+      val arr = new SortArray(CollectList(es(0)).toAggregateExpression())
+      val pos = Multiply(Cast(es(1), DoubleType),
+        Cast(Subtract(Size(arr), Literal(1)), DoubleType))
+      val idx = if (high) Cast(new Ceil(pos), IntegerType)
+        else Cast(new Floor(pos), IntegerType)
+      ElementAt(arr, Add(idx, Literal(1)))
+    }
+    f("quantileExactLow") { es => exactBracket(es, high = false) }
+    f("quantileExactHigh") { es => exactBracket(es, high = true) }
+    f("medianExactLow") { es => exactBracket(Seq(es.head, Literal(0.5d)), high = false) }
+    f("medianExactHigh") { es => exactBracket(Seq(es.head, Literal(0.5d)), high = true) }
     // CH quantileTiming/quantileDeterministic are approximation schemes
     // (timing-bucket histogram / sampling with a determinism key); both
     // map to the EXACT percentile here — a strict-superset guarantee

@@ -43,6 +43,7 @@ object SketchAggs {
         .toAggregateExpression()
     }
     f("sparkbar") { es => SparkBarAgg(es).toAggregateExpression() }
+    f("lttb") { es => LttbAgg(es(0), es(1), es(2)).toAggregateExpression() }
     f("largestTriangleThreeBuckets") { es =>
       LttbAgg(es(0), es(1), es(2)).toAggregateExpression()
     }

@@ -1062,6 +1062,17 @@ class ChCompatSpec extends SparkSpec {
         |       concat_ws(',', quantiles(v, 0.0D, 1.0D)) ext
         |FROM graft_bq""".stripMargin).head()
     assert(r.getDouble(0) == 3.0 && r.getDouble(2) == 3.0)
+    // exact-low/high bracket without interpolation; lttb alias resolves
+    val lh = spark.sql(
+      """SELECT quantileExactLow(v, 0.5D) lo, quantileExactHigh(v, 0.5D) hi,
+        |       medianExactLow(v) ml, quantileExactLow(v, 0.8D) l8,
+        |       quantileExactHigh(v, 0.8D) h8,
+        |       size(lttb(v, v, 3)) n
+        |FROM graft_bq""".stripMargin).head()
+    assert(lh.getDouble(0) == 3.0 && lh.getDouble(1) == 3.0 && lh.getDouble(2) == 3.0)
+    assert(lh.getDouble(3) == 4.0 && lh.getDouble(4) == 10.0,
+      "0.8·(n−1) = 3.2 brackets to the 4th/5th sorted element")
+    assert(lh.getInt(5) == 3)
     assert(math.abs(r.getDouble(1) - 5.2) < 1e-12, "exact interpolated 0.8 percentile")
     assert(r.getString(3) == "1.0,10.0")
     // sample moments vs hand computation on a tiny fixture
