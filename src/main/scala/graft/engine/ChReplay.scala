@@ -269,26 +269,34 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     val engineOf: String => String = n =>
       if (aliases.contains(n)) "Distributed"
       else if (tables.get(n).exists(_.isAggregating)) "AggregatingMergeTree"
+      else if (tables.get(n).exists(_.engine.equalsIgnoreCase("Null"))) "Null"
       else if (tables.contains(n)) "MergeTree"
       else "View"
+    // a table created without a database qualifier (the ENGINE=Null branch
+    // admits these) lands in CH's `default` db; destructuring split('.')
+    // into exactly two parts would MatchError on it and abort publish()
+    def dbTable(n: String): (String, String) = n.indexOf('.') match {
+      case -1 => ("default", n)
+      case i  => (n.substring(0, i), n.substring(i + 1))
+    }
     val allNames = (tables.keys ++ aliases.keys).toSeq.distinct.sorted
     mkView("databases", Seq("name"),
-      (allNames.map(_.split('.')(0)).distinct.sorted :+ "system")
+      (allNames.map(dbTable(_)._1).distinct.sorted :+ "system")
         .map(d => Seq(q(d))))
     mkView("tables", Seq("database", "name", "engine"),
       allNames.map { n =>
-        val Array(db, t) = n.split('.')
+        val (db, t) = dbTable(n)
         Seq(q(db), q(t), q(engineOf(n)))
       })
     mkView("columns", Seq("database", "table", "name", "type"),
       allNames.flatMap { n =>
-        val Array(db, t) = n.split('.')
+        val (db, t) = dbTable(n)
         tables.get(resolve(n)).toSeq.flatMap(_.cols.map(c =>
           Seq(q(db), q(t), q(c.name), q(c.chType))))
       })
     mkView("parts", Seq("database", "table", "partition", "active", "bytes_on_disk"),
       stateTables.toSeq.sortBy(_._1).flatMap { case (n, st) =>
-        val Array(db, t) = n.split('.')
+        val (db, t) = dbTable(n)
         val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(st.path),
           spark.sparkContext.hadoopConfiguration)
         val root = new org.apache.hadoop.fs.Path(st.path)

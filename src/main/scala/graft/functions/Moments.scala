@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Exact-moment second-order statistics — the corr / covarPop / varPop /
   * stddevPop family computed the shuffle-order-insensitive way.
@@ -15,9 +15,12 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * data-curation thresholds ("drop features with |corr| > 0.99" must not
   * flip with the partition count).
   *
-  * This helper instead aggregates RAW moments as overflow-checked BIGINT
+  * This helper instead aggregates RAW moments as exact DECIMAL(38,0)
   * sums over integer-scaled inputs (Σ1, Σx, Σy, Σx², Σy², Σxy — exact
-  * under any grouping, any merge order, map-side combine free), and
+  * under any grouping, any merge order, map-side combine free; products
+  * are taken in decimal too, so nothing wraps through Int64, and a sum
+  * that exceeds 38 digits surfaces as NULL rather than a silently wrong
+  * statistic — Spark's non-ANSI LongType SUM would wrap instead), and
   * combines them into float statistics ONCE per group after aggregation
   * through a fixed IEEE expression tree: every div/mul/sub/sqrt is a
   * single correctly-rounded operation, so the result is bit-identical on
@@ -25,19 +28,19 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * keep-rate gate rests on.
   *
   * Caller contract: `x`/`y` must be integer-valued (cast/scale first —
-  * e.g. prices to whole dollars) and sized so the per-row squares and the
-  * group sums fit a BIGINT; combination happens in doubles, so n·Σy²-type
-  * products may exceed 2^63 safely AFTER the cast.
+  * e.g. prices to whole dollars); per-row squares and group sums are kept
+  * in 38-digit decimal, far past any realistic Σx² at 100 TB scale.
+  * Combination happens in doubles after aggregation.
   */
 object Moments {
 
   /** Group `df` by `groupCols` and attach the six exact raw moments of
-    * (x, y): n, sx, sy, sxx, syy, sxy — all BIGINT.
+    * (x, y): n BIGINT, sx/sy/sxx/syy/sxy DECIMAL(38,0).
     */
   def aggregate(df: DataFrame, groupCols: Seq[String],
       x: Column, y: Column): DataFrame = {
-    val xl = x.cast(LongType)
-    val yl = y.cast(LongType)
+    val xl = x.cast(LongType).cast(DecimalType(38, 0))
+    val yl = y.cast(LongType).cast(DecimalType(38, 0))
     df.groupBy(groupCols.map(col): _*).agg(
       count(lit(1)).as("n"),
       sum(xl).as("sx"),

@@ -62,6 +62,11 @@ object Moving {
 
 final class ValueListBuf {
   private[graft] val buf = mutable.ArrayBuffer.empty[Double]
+  /** exact lane for integral inputs — CH keeps Int64 sums exact (mod 2^64),
+    * so integral values must never round-trip through Double (lossy past
+    * 2^53). Exactly one of the two lanes is populated, chosen by the
+    * expression's input type. */
+  private[graft] val longs = mutable.ArrayBuffer.empty[Long]
 }
 
 /** windowed running sum/avg over arrival order (size 0 = unbounded). */
@@ -101,40 +106,57 @@ case class MovingSumAgg(
       case null => ()
       case d: Double => buf.buf += d
       case f: Float => buf.buf += f.toDouble
-      case l: Long => buf.buf += l.toDouble
-      case i: Int => buf.buf += i.toDouble
-      case s: Short => buf.buf += s.toDouble
+      case l: Long => buf.longs += l
+      case i: Int => buf.longs += i.toLong
+      case s: Short => buf.longs += s.toLong
     }
     buf
   }
   override def merge(buf: ValueListBuf, o: ValueListBuf): ValueListBuf = {
-    buf.buf ++= o.buf; buf
+    buf.buf ++= o.buf; buf.longs ++= o.longs; buf
   }
 
   override def eval(buf: ValueListBuf): Any = {
-    val n = buf.buf.length
-    val out = new Array[Any](n)
-    var running = 0d
-    var i = 0
-    while (i < n) {
-      running += buf.buf(i)
-      if (window > 0 && i >= window) running -= buf.buf(i - window)
-      // CH divides by the WINDOW SIZE; with no explicit size the window
-      // is the total row count (prefix/N), not a running mean
-      val denom = if (window > 0) window else n
-      out(i) =
-        if (avg) running / denom
-        else if (longOut) running.toLong
-        else running
-      i += 1
+    if (isLongIn) {
+      // exact Int64 running sums (wrap-on-overflow, matching CH's Int64
+      // result lane) — never through Double, which loses bits past 2^53
+      val n = buf.longs.length
+      val out = new Array[Any](n)
+      var running = 0L
+      var i = 0
+      while (i < n) {
+        running += buf.longs(i)
+        if (window > 0 && i >= window) running -= buf.longs(i - window)
+        val denom = if (window > 0) window else n
+        out(i) = if (avg) running.toDouble / denom else running
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      val n = buf.buf.length
+      val out = new Array[Any](n)
+      var running = 0d
+      var i = 0
+      while (i < n) {
+        running += buf.buf(i)
+        if (window > 0 && i >= window) running -= buf.buf(i - window)
+        // CH divides by the WINDOW SIZE; with no explicit size the window
+        // is the total row count (prefix/N), not a running mean
+        val denom = if (window > 0) window else n
+        out(i) = if (avg) running / denom else running
+        i += 1
+      }
+      new GenericArrayData(out)
     }
-    new GenericArrayData(out)
   }
 
   override def serialize(buf: ValueListBuf): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + buf.buf.length * 8)
-    bb.putInt(buf.buf.length)
-    buf.buf.foreach(bb.putDouble)
+    // the populated lane is determined by the (plan-constant) input type,
+    // so the wire format needs no flag — both sides agree via isLongIn
+    val n = if (isLongIn) buf.longs.length else buf.buf.length
+    val bb = ByteBuffer.allocate(4 + n * 8)
+    bb.putInt(n)
+    if (isLongIn) buf.longs.foreach(bb.putLong) else buf.buf.foreach(bb.putDouble)
     bb.array()
   }
   override def deserialize(bytes: Array[Byte]): ValueListBuf = {
@@ -142,7 +164,8 @@ case class MovingSumAgg(
     val buf = new ValueListBuf
     val n = bb.getInt
     var i = 0
-    while (i < n) { buf.buf += bb.getDouble; i += 1 }
+    if (isLongIn) while (i < n) { buf.longs += bb.getLong; i += 1 }
+    else while (i < n) { buf.buf += bb.getDouble; i += 1 }
     buf
   }
   override def withNewMutableAggBufferOffset(o: Int): MovingSumAgg =

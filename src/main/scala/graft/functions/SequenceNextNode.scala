@@ -18,10 +18,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * `sequenceNextNode('forward', 'head', ts, event, base_cond, cond...)`.
   *
   * Returns the event value that follows the matched condition chain in
-  * the given direction, or NULL. `base` anchors the chain:
-  * 'head' = the (direction-wise) first event, 'tail' = the last,
-  * 'first_match' / 'last_match' = the first/last position where cond1
-  * holds. `base_cond` must hold at the anchor.
+  * the given direction, or NULL. `base` anchors the chain at a
+  * CHRONOLOGICAL position — 'head' = the earliest event, 'tail' = the
+  * latest, 'first_match' / 'last_match' = the earliest/latest position
+  * where cond1 holds — and the chain then walks in `direction` from that
+  * anchor (cond1 at the anchor itself). `base_cond` must hold at the
+  * anchor. Canonical pairings are ('forward','head'/'first_match') and
+  * ('backward','tail'/'last_match'); the crossed combinations walk off
+  * the end of the sequence and are NULL-heavy, exactly as in CH.
   *
   * State collects the group's (ts, value, condition-bitmap) rows —
   * group-sized like windowFunnel; eval sorts by (ts, value) so results
@@ -111,38 +115,35 @@ case class SequenceNextNodeAgg(
 
   override def eval(buf: SnnBuf): Any = {
     if (buf.rows.isEmpty) return null
-    var seq = buf.rows.toArray.sortBy(r => (r._1, r._2))
-    if (direction == "backward") seq = seq.reverse
+    // CH model (AggregateFunctionSequenceNextNode): events sorted ascending
+    // by timestamp; the BASE point is chronological — head = earliest event,
+    // tail = latest, first_match/last_match = earliest/latest cond1 hit —
+    // while the chain WALKS in `direction` from that anchor: cond1 holds AT
+    // the anchor, cond2 one step in the direction, …; the result is the
+    // event one more step beyond condN (doc example: ('backward','tail')
+    // over Home,Gift,Basket with conds Basket,Gift returns Home).
+    val seq = buf.rows.toArray.sortBy(r => (r._1, r._2))
     val n = conds.length
+    val step = if (direction == "forward") 1 else -1
     def condAt(pos: Int, cond: Int): Boolean =
       (seq(pos)._3 & (1L << (cond + 1))) != 0
     def baseAt(pos: Int): Boolean = (seq(pos)._3 & 1L) != 0
     def chainFrom(p: Int): Option[String] = {
-      if (p + n > seq.length) return None
       var i = 0
       while (i < n) {
-        if (!condAt(p + i, i)) return None
+        val q = p + i * step
+        if (q < 0 || q >= seq.length || !condAt(q, i)) return None
         i += 1
       }
-      if (p + n < seq.length) Some(seq(p + n)._2) else None
+      val r = p + n * step
+      if (r >= 0 && r < seq.length) Some(seq(r)._2) else None
     }
     base match {
       case "head" =>
         if (baseAt(0)) chainFrom(0).map(UTF8String.fromString).orNull else null
       case "tail" =>
-        // anchor at the direction-wise last event: the chain ENDS there,
-        // so it starts n-1 positions before it and the "next" value is
-        // read by chainFrom's own bound (none exists) — CH pairs 'tail'
-        // with the opposite direction instead; mirror that by anchoring
-        // the chain start at the last position of the reversed order
-        val p = seq.length - n
-        if (p >= 0 && baseAt(seq.length - 1)) {
-          // chain must END at the last event
-          var ok = true
-          var i = 0
-          while (i < n) { if (!condAt(p + i, i)) ok = false; i += 1 }
-          if (ok && p - 1 >= 0) UTF8String.fromString(seq(p - 1)._2) else null
-        } else null
+        val p = seq.length - 1
+        if (baseAt(p)) chainFrom(p).map(UTF8String.fromString).orNull else null
       case "first_match" =>
         var p = 0
         while (p < seq.length) {

@@ -287,16 +287,24 @@ final class StateTable(
   private def fileSystem(): FileSystem =
     FileSystem.get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
 
-  /** Recovery for [[compact]]'s rename window. If a compact crashed after
-    * staging the live table away but before swapping the rewrite in, the
-    * staged copy is authoritative: restore it. Leftover `.compact.tmp` /
-    * `.compact.old` from a completed or failed compact are deleted.
+  /** Recovery for the staged-rename window of [[compact]] AND the
+    * [[updateWhere]]/[[deleteWhere]] mutations (same swap protocol,
+    * different staging suffix). If a swap crashed after staging the live
+    * table away but before renaming the rewrite in, the staged copy is
+    * authoritative: restore it. Leftover `.tmp` / `.old` dirs from a
+    * completed or failed swap are deleted. This makes the swaps
+    * crash-recoverable at startup, not merely failure-atomic in-process.
     */
   private def recoverFromCompact(): Unit = {
+    recoverStagedSwap(".compact")
+    recoverStagedSwap(".mutate")
+  }
+
+  private def recoverStagedSwap(suffix: String): Unit = {
     val fs = fileSystem()
     val p = new Path(path)
-    val t = new Path(path + ".compact.tmp")
-    val o = new Path(path + ".compact.old")
+    val t = new Path(path + suffix + ".tmp")
+    val o = new Path(path + suffix + ".old")
     if (!fs.exists(p) && fs.exists(o)) {
       if (!fs.rename(o, p)) sys.error(s"recover: failed to restore $o -> $path")
     } else if (fs.exists(o)) {
@@ -344,7 +352,15 @@ final class StateTable(
     val p = new Path(path); val t = new Path(tmp); val o = new Path(old)
     if (fs.exists(o)) fs.delete(o, true)
     if (!fs.rename(p, o)) sys.error(s"updateWhere: failed to stage $path -> $old")
-    if (!fs.rename(t, p)) { fs.rename(o, p); sys.error(s"updateWhere: failed to swap $tmp -> $path") }
+    if (!fs.rename(t, p)) {
+      // a rollback that itself fails must be LOUD: the table is now absent
+      // at its path and only recoverable from $old (recoverStagedSwap does
+      // exactly that on next startup)
+      val restored = fs.rename(o, p)
+      sys.error(s"updateWhere: failed to swap $tmp -> $path" +
+        (if (restored) " (rolled back)"
+         else s"; ROLLBACK ALSO FAILED — table preserved at $old, restored on next open"))
+    }
     val oldLedger = new Path(old, "_ledger")
     if (fs.exists(oldLedger)) fs.rename(oldLedger, new Path(path, "_ledger"))
     fs.delete(o, true)
@@ -369,7 +385,12 @@ final class StateTable(
     val p = new Path(path); val t = new Path(tmp); val o = new Path(old)
     if (fs.exists(o)) fs.delete(o, true)
     if (!fs.rename(p, o)) sys.error(s"deleteWhere: failed to stage $path -> $old")
-    if (!fs.rename(t, p)) { fs.rename(o, p); sys.error(s"deleteWhere: failed to swap $tmp -> $path") }
+    if (!fs.rename(t, p)) {
+      val restored = fs.rename(o, p)
+      sys.error(s"deleteWhere: failed to swap $tmp -> $path" +
+        (if (restored) " (rolled back)"
+         else s"; ROLLBACK ALSO FAILED — table preserved at $old, restored on next open"))
+    }
     val oldLedger = new Path(old, "_ledger")
     if (fs.exists(oldLedger)) fs.rename(oldLedger, new Path(path, "_ledger"))
     fs.delete(o, true)

@@ -1877,7 +1877,7 @@ object ChPack {
         |         l_quantity qd
         |  FROM lineitem)
         |SELECT l_returnflag,
-        |  SUM(q) AS qty_sum,
+        |  CAST(SUM(q) AS BIGINT) AS qty_sum,
         |  COUNT(q) AS qty_cnt,
         |  ROUND((arg_max(y, x) - arg_min(y, x)) / CAST(MAX(x) - MIN(x) AS DOUBLE), 6) AS bratio,
         |  ROUND(regr_slope(y, qd), 6) AS slr_k,
@@ -2093,16 +2093,21 @@ object ChPack {
     "q151_sequence_next_node" ->
       """WITH ul AS (
         |  SELECT user_id, list(event_type ORDER BY ts, event_type) ev
-        |  FROM events WHERE user_id <= 200 GROUP BY user_id)
+        |  FROM events WHERE user_id <= 200 GROUP BY user_id),
+        |p AS (
+        |  SELECT user_id, ev,
+        |         CASE WHEN list_position(ev, 'purchase') > 0
+        |              THEN len(ev) - list_position(list_reverse(ev), 'purchase') + 1
+        |              ELSE 0 END lp
+        |  FROM ul)
         |SELECT user_id,
         |  CASE WHEN len(ev) >= 3 AND ev[1] = 'view' AND ev[2] = 'click'
         |       THEN ev[3] END AS after_vc,
         |  CASE WHEN list_position(ev, 'signup') > 0
         |        AND list_position(ev, 'signup') < len(ev)
         |       THEN ev[list_position(ev, 'signup') + 1] END AS after_signup,
-        |  CASE WHEN list_position(ev, 'purchase') > 1
-        |       THEN ev[list_position(ev, 'purchase') - 1] END AS before_last_purchase
-        |FROM ul ORDER BY user_id""".stripMargin,
+        |  CASE WHEN lp > 1 THEN ev[lp - 1] END AS before_last_purchase
+        |FROM p ORDER BY user_id""".stripMargin,
 
     // sorted-key renderings written out; ISO helpers are native DuckDB
     "q150_maps_dates" ->
@@ -2200,7 +2205,7 @@ object ChPack {
         |  GROUP BY sweep.event_type)
         |SELECT ema.event_type,
         |       ROUND(ema.r, 6) AS ema,
-        |       mx.m AS mx,
+        |       CAST(mx.m AS BIGINT) AS mx,
         |       pos.mp AS mx_pos
         |FROM ema
         |JOIN mx ON ema.event_type = mx.event_type
@@ -2384,7 +2389,7 @@ object ChPack {
         |           OVER (PARTITION BY event_type ORDER BY s, e) grp
         |  FROM m),
         |isl AS (SELECT event_type, grp, MAX(e) - MIN(s) len FROM g GROUP BY 1, 2)
-        |SELECT event_type, SUM(len) AS covered
+        |SELECT event_type, CAST(SUM(len) AS BIGINT) AS covered
         |FROM isl GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // positive lag-deltas in (ts, value) order

@@ -1542,9 +1542,21 @@ class ChCompatSpec extends SparkSpec {
       .getString(0) == "C")
     assert(run(1, "sequenceNextNode('forward', 'last_match', ts, ev, true, ev = 'B')")
       .getString(0) == "D")
-    // backward first_match on B: descending order D B C B A — first B hit
-    // is the later one, next (earlier in time) is C
+    // backward tail: anchor at the chronologically LAST event with cond1
+    // there, walking earlier — CH's doc example shape ('backward','tail')
+    // over Home,Gift,Basket with conds (Basket, Gift) → Home
+    assert(run(1, "sequenceNextNode('backward', 'tail', ts, ev, true, ev = 'D')")
+      .getString(0) == "B")
+    assert(run(1, "sequenceNextNode('backward', 'tail', ts, ev, true, ev = 'D', ev = 'B')")
+      .getString(0) == "C")
+    // crossed pairing walks off the end → null, as in CH
+    assert(run(1, "sequenceNextNode('forward', 'tail', ts, ev, true, ev = 'D')").isNullAt(0))
+    // backward first_match on B: anchor at the chronologically FIRST B
+    // (ts=2), the node one step earlier is A
     assert(run(1, "sequenceNextNode('backward', 'first_match', ts, ev, true, ev = 'B')")
+      .getString(0) == "A")
+    // backward last_match on B: anchor at the LAST B (ts=4) → C before it
+    assert(run(1, "sequenceNextNode('backward', 'last_match', ts, ev, true, ev = 'B')")
       .getString(0) == "C")
     // base_cond gates the anchor
     assert(run(1, "sequenceNextNode('forward', 'first_match', ts, ev, ev != 'B', ev = 'B')")
@@ -1669,6 +1681,15 @@ class ChCompatSpec extends SparkSpec {
     // no explicit size: window = total rows, so every prefix divides by N
     assert(spark.sql("SELECT concat_ws(',', groupArrayMovingAvg(v)) a FROM graft_mv_one")
       .head().getString(0) == "0.25,0.75,1.5,2.5")
+    // integral inputs keep an exact Int64 lane: sums past 2^53 must not
+    // round through Double (2^53 and 2^53+1 collide as doubles)
+    val big = (1L << 53)
+    Seq(big, 1L, 1L).toDF("v").repartition(1)
+      .createOrReplaceTempView("graft_mv_big")
+    val bigRun = spark.sql(
+      "SELECT groupArrayMovingSum(v) r FROM graft_mv_big").head().getSeq[Long](0)
+    assert(bigRun == Seq(big, big + 1L, big + 2L),
+      s"exact Int64 running sums, got $bigRun")
     // EMA: latest point weight 1, one halflife back weight 1/2
     Seq((0L, 10.0), (10L, 20.0)).toDF("t", "v")
       .createOrReplaceTempView("graft_ema2")

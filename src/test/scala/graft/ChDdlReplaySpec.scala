@@ -623,6 +623,15 @@ class ChDdlReplaySpec extends SparkSpec {
         |WHERE table = 'sys_local' ORDER BY partition""".stripMargin).collect()
     assert(parts.map(_.getString(0)).toSeq == Seq("2024-01-01", "2024-01-02"))
     assert(parts.forall(_.getAs[Any](1).toString.toLong > 0))
+    // an UNQUALIFIED table name (ENGINE=Null admits these) must publish
+    // under CH's `default` db instead of aborting with a MatchError
+    replay.executeScript("create table bare_null (k UInt64) engine=Null;")
+    replay.publishSystemTables()
+    assert(spark.sql(
+      "SELECT engine FROM system.tables WHERE database = 'default' AND name = 'bare_null'")
+      .head().getString(0) == "Null")
+    assert(!spark.sql("SELECT name FROM system.databases").collect()
+      .map(_.getString(0)).contains("bare_null"))
   }
 
   test("SELECT ... FROM t FINAL reads merge-debt-free (simple + state columns)") {

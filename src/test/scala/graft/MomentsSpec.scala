@@ -59,6 +59,18 @@ class MomentsSpec extends SparkSpec {
       "exact-moment statistics must not depend on partitioning")
   }
 
+  test("moments stay exact past Int64 product range (decimal lanes, no wrap)") {
+    import spark.implicits._
+    // x = 4e9 → x² = 1.6e19 > 2^63: a LongType product would wrap negative
+    // and poison the variance; the decimal lane keeps it exact, so the
+    // variance of a constant column is exactly zero
+    val big = Seq.fill(10)(("k", 4000000000L, 4000000000L)).toDF("g", "x", "y")
+    val v = Moments.aggregate(big, Seq("g"), col("x"), col("y"))
+      .select(Moments.varPop(col("sxx"), col("sx"), col("n")).as("vx"))
+      .head().getDouble(0)
+    assert(v == 0.0, s"constant column variance must be exactly 0, got $v")
+  }
+
   test("CH dialect stat names resolve (covarPop, stddevPop, skewPop, kurtPop)") {
     graft.functions.ChCompat.register(spark)
     df.createOrReplaceTempView("__mom")

@@ -52,4 +52,19 @@ class QueriesSpec extends SparkSpec {
       s"rows-only set changed: $rowsOnly — update COVERAGE.md's ledger")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size - rowsOnly.size)
   }
+
+  test("COVERAGE.md's headline counts equal the registry (no hand-count drift)") {
+    // round-8 lesson: the ledger said 161 while the registry (and the
+    // driver) had 160. The headline is the round's contract — derive it.
+    val src = scala.io.Source.fromFile("COVERAGE.md")
+    val text = try src.mkString finally src.close()
+    val headline = """(?m)^(\d+) declared queries; (\d+) oracle-backed""".r
+    val ms = headline.findAllMatchIn(text).toSeq
+    assert(ms.nonEmpty, "COVERAGE.md lost its '<N> declared queries; <M> oracle-backed' headline")
+    val last = ms.head // newest entry is prepended at the ledger top
+    assert(last.group(1).toInt == SparkEntry.queries.size,
+      s"COVERAGE says ${last.group(1)} declared; registry has ${SparkEntry.queries.size}")
+    assert(last.group(2).toInt == SparkEntry.oracleSql.size,
+      s"COVERAGE says ${last.group(2)} oracle-backed; registry has ${SparkEntry.oracleSql.size}")
+  }
 }

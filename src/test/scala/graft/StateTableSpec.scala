@@ -196,6 +196,30 @@ class StateTableSpec extends SparkSpec {
     assert(got.toSeq == expected.toSeq)
   }
 
+  test("open recovers a table stranded mid-mutation (updateWhere/deleteWhere swap)") {
+    val dir = tmpDir("state")
+    val st = newTable(dir + "/t")
+    Seq(batch1, batch2).foreach(st.appendBatch)
+    val expected = st.finalized().collect().map(_.toSeq).sortBy(_.mkString("|"))
+
+    // simulate a crash between the mutation's two renames: live path gone,
+    // .mutate.old authoritative, a half-written .mutate.tmp left behind
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(dir + "/t")
+    val o = new org.apache.hadoop.fs.Path(dir + "/t.mutate.old")
+    val t = new org.apache.hadoop.fs.Path(dir + "/t.mutate.tmp")
+    assert(fs.rename(p, o))
+    fs.mkdirs(t)
+    assert(!fs.exists(p))
+
+    val reopened = newTable(dir + "/t")
+    assert(fs.exists(p), "recovery must restore the staged table")
+    assert(!fs.exists(o) && !fs.exists(t), "recovery must clear staging dirs")
+    val got = reopened.finalized().collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(got.toSeq == expected.toSeq)
+  }
+
   test("TTL expire drops only partitions past the horizon (ods TTL, S10)") {
     val dir = tmpDir("state")
     val st = newTable(dir + "/t")

@@ -59,6 +59,19 @@ def compare(got, exp):
         if g.dtype == object or e.dtype == object:
             g = g.map(norm_cell)
             e = e.map(norm_cell)
+        # Driver-gate fidelity: the driver hashes FORMATTED values, so an
+        # int64 506627 vs float64 506627.0 is a hash mismatch even when every
+        # value is numerically equal (DuckDB SUM(BIGINT)→HUGEINT→float64 via
+        # pandas). Casting the mismatch away (the pre-round-9 behavior) made
+        # this class of oracle typing slip pass locally and fail the driver.
+        g_kind, e_kind = g.dtype.kind, e.dtype.kind
+        if {g_kind, e_kind} <= {"i", "u", "f"} and ("f" in (g_kind, e_kind)) \
+                and g_kind != e_kind:
+            return False, (f"col {c} int/float dtype mismatch "
+                           f"(spark={g.dtype} duck={e.dtype}) — the driver's "
+                           f"formatted-value hash WILL reject this; cast the "
+                           f"oracle (e.g. CAST(SUM(x) AS BIGINT)) or the "
+                           f"Spark column so kinds agree")
         try:
             g2 = g.astype(e.dtype) if g.dtype != e.dtype else g
         except Exception:
