@@ -71,14 +71,21 @@ object Bench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
-    def bench(mk: () => DataFrame): Double = {
+    def bench(mk: () => DataFrame, reps: Int = 4): Double = {
       force(mk())                              // warmup: codegen + broadcasts
-      (1 to 4).map(_ => timed(force(mk()))).min
+      (1 to reps).map(_ => timed(force(mk()))).min
     }
+
+    // JIT-heavy object-aggregate pipelines (MinHash signatures, the CC
+    // label loop) showed up to 3.7× single-run spread in driver runs right
+    // after the test suite (round-8 q35: 1.54 s driver vs 0.41 s idle);
+    // min-of-6 tightens the floor estimate where the noise concentrates
+    val wideReps = Set("q35_minhash_neardup", "q49_dup_clusters")
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     for (name <- headline if SparkEntry.queries.contains(name)) {
-      try results(name) = bench(() => SparkEntry.queries(name)(spark, sfDir))
+      try results(name) = bench(() => SparkEntry.queries(name)(spark, sfDir),
+        reps = if (wideReps(name)) 6 else 4)
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); results(name) = -1.0
       }

@@ -56,6 +56,9 @@ object Bitmaps {
       "bitmap_agg", exprs => BitmapAggregate(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "bitmap_merge_agg", exprs => BitmapMergeAggregate(exprs.head), "built-in")
+    for (op <- Seq("and", "or", "xor"))
+      reg.createOrReplaceTempFunction(
+        s"bitmap_${op}_fold_agg", exprs => BitmapFoldAggregate(exprs.head, op), "built-in")
     // raw (null-propagating) scalar algebra — the Column helpers below
     // wrap these with the CH null conventions
     reg.createOrReplaceTempFunction(
@@ -71,6 +74,11 @@ object Bitmaps {
 
   /** groupBitmapMergeState: OR together serialized bitmaps (state merge). */
   def bitmap_merge_agg(c: Column): Column = call_function("bitmap_merge_agg", c)
+
+  /** groupBitmapAndState/OrState/XorState: fold serialized bitmap states
+    * with the given op (`"and" | "or" | "xor"`); empty group → empty bitmap. */
+  def bitmap_fold_agg(c: Column, op: String): Column =
+    call_function(s"bitmap_${op}_fold_agg", c)
 
   // ---- scalar bitmap algebra (post-aggregation, small row counts) ----
   // Native expressions (shared with the ChCompat SQL surface), wrapped in
@@ -138,6 +146,86 @@ case class BitmapAggregate(
   override protected def withNewChildInternal(c: Expression): BitmapAggregate =
     copy(child = c)
   override def prettyName: String = "bitmap_agg"
+}
+
+/** Fold buffer for [[BitmapFoldAggregate]]: `bm == null` means "no input
+  * yet" — required because AND has no representable identity element (the
+  * full uint32 universe), so the first bitmap seeds the fold. */
+final class BitmapFoldBuf {
+  private[graft] var bm: RoaringBitmap = null
+}
+
+/** ClickHouse's aggregate-form bitmap folds `groupBitmapAnd/Or/Xor` over
+  * an already-aggregated bitmap-state column (CH: AggregateFunction
+  * (groupBitmap, UInt32)-typed input; the plain spellings return the
+  * folded cardinality, the `-State` forms the folded bitmap). All three
+  * ops are associative AND commutative, so partial folds merge exactly
+  * under any partition order — the same two-phase shape as
+  * [[BitmapMergeAggregate]] (which is the OR fold's state form). Null
+  * inputs are skipped; an empty group evaluates to the empty bitmap
+  * (cardinality 0), matching CH.
+  */
+case class BitmapFoldAggregate(
+    child: Expression,
+    op: String,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BitmapFoldBuf]
+  with UnaryLike[Expression] {
+
+  require(Set("and", "or", "xor")(op), s"unknown bitmap fold op: $op")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BinaryType child (a serialized bitmap state), got ${t.simpleString}")
+  }
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def createAggregationBuffer(): BitmapFoldBuf = new BitmapFoldBuf
+
+  private def combine(b: BitmapFoldBuf, in: RoaringBitmap): Unit =
+    if (b.bm == null) b.bm = in
+    else op match {
+      case "and" => b.bm.and(in)
+      case "or"  => b.bm.or(in)
+      case "xor" => b.bm.xor(in)
+    }
+
+  override def update(b: BitmapFoldBuf, row: InternalRow): BitmapFoldBuf = {
+    val v = child.eval(row)
+    if (v != null) combine(b, Bitmaps.fromBytes(v.asInstanceOf[Array[Byte]]))
+    b
+  }
+  override def merge(b: BitmapFoldBuf, o: BitmapFoldBuf): BitmapFoldBuf = {
+    if (o.bm != null) combine(b, o.bm)
+    b
+  }
+  override def eval(b: BitmapFoldBuf): Any =
+    Bitmaps.toBytes(if (b.bm == null) new RoaringBitmap() else b.bm)
+
+  override def serialize(b: BitmapFoldBuf): Array[Byte] =
+    if (b.bm == null) Array[Byte](0)
+    else {
+      val body = Bitmaps.toBytes(b.bm)
+      val out = new Array[Byte](1 + body.length)
+      out(0) = 1
+      System.arraycopy(body, 0, out, 1, body.length)
+      out
+    }
+  override def deserialize(bytes: Array[Byte]): BitmapFoldBuf = {
+    val b = new BitmapFoldBuf
+    if (bytes.nonEmpty && bytes(0) == 1)
+      b.bm = Bitmaps.fromBytes(java.util.Arrays.copyOfRange(bytes, 1, bytes.length))
+    b
+  }
+  override def withNewMutableAggBufferOffset(o: Int): BitmapFoldAggregate =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BitmapFoldAggregate =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): BitmapFoldAggregate =
+    copy(child = c)
+  override def prettyName: String = s"groupBitmap${op.capitalize}"
 }
 
 /** `bitmap_merge_agg(bm_binary)` — ClickHouse `groupBitmapMergeState`: OR

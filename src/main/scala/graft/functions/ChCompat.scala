@@ -1553,6 +1553,19 @@ object ChCompat {
     f("groupBitmapMerge") { es =>
       BitmapCardinalityExpr(BitmapMergeAggregate(es.head).toAggregateExpression())
     }
+    // CH's aggregate-form folds over a bitmap-STATE column: plain
+    // spelling = folded cardinality, -State = the folded bitmap
+    // (groupBitmapOrState ≡ groupBitmapMergeState; registered for the
+    // spelling's sake)
+    for (op <- Seq("and", "or", "xor")) {
+      f(s"groupBitmap${op.capitalize}") { es =>
+        BitmapCardinalityExpr(
+          BitmapFoldAggregate(es.head, op).toAggregateExpression())
+      }
+      f(s"groupBitmap${op.capitalize}State") { es =>
+        BitmapFoldAggregate(es.head, op).toAggregateExpression()
+      }
+    }
     f("bitmapCardinality") { es => BitmapCardinalityExpr(es.head) }
     f("bitmapAnd") { es => BitmapBinaryExpr(es(0), es(1), "and") }
     f("bitmapOr") { es => BitmapBinaryExpr(es(0), es(1), "or") }

@@ -61,6 +61,29 @@ object MvPack {
         .orderBy("day")
     },
 
+    // CH's aggregate-form bitmap folds over a bitmap-STATE column
+    // (groupBitmapAnd/Or/Xor): q20's per-(day, event_type) states fold
+    // across days per event_type — OR = any-day distinct UV, AND = users
+    // active EVERY day, XOR = users active an odd number of days. The
+    // state column is the fold input (the CH signature), so the whole
+    // query is two map-side-combined aggregations, no re-scan of raw ids.
+    "q162_bitmap_fold" -> { (s, dir) =>
+      Bitmaps.register(s)
+      val daily = Tables(s, dir).eventsWithDefaults
+        .groupBy("day", "event_type")
+        .agg(Bitmaps.bitmap_agg(col("user_id")).as("uv_bm"))
+      daily
+        .groupBy("event_type")
+        .agg(
+          Bitmaps.bitmap_cardinality(
+            Bitmaps.bitmap_fold_agg(col("uv_bm"), "or")).as("or_uv"),
+          Bitmaps.bitmap_cardinality(
+            Bitmaps.bitmap_fold_agg(col("uv_bm"), "and")).as("and_uv"),
+          Bitmaps.bitmap_cardinality(
+            Bitmaps.bitmap_fold_agg(col("uv_bm"), "xor")).as("xor_uv"))
+        .orderBy("event_type")
+    },
+
     // J6: "union all max" wide table — two logs write disjoint metric columns
     // into one state table; merge-on-read replaces the join
     // (ref dwm.mainpage_stat_mv_dis.sql:157-238, doc:820-995).
@@ -255,6 +278,22 @@ object MvPack {
          | ${moneySumSql("value")} AS total_value,
          | COUNT(*) AS cnt
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // set-theoretic mirror of the folds: OR = distinct users, AND = users
+    // present on every active day of the event_type, XOR = users present
+    // on an odd number of days
+    "q162_bitmap_fold" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id
+        |  FROM events),
+        |nd AS (SELECT event_type, COUNT(DISTINCT day) AS ndays FROM ud GROUP BY 1),
+        |pc AS (SELECT event_type, user_id, COUNT(*) AS c FROM ud GROUP BY 1, 2)
+        |SELECT p.event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS or_uv,
+        |  CAST(SUM(CASE WHEN p.c = n.ndays THEN 1 ELSE 0 END) AS BIGINT) AS and_uv,
+        |  CAST(SUM(CASE WHEN p.c % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS xor_uv
+        |FROM pc p JOIN nd n ON p.event_type = n.event_type
+        |GROUP BY p.event_type ORDER BY p.event_type""".stripMargin,
 
     "q21_bitmap_funnel" ->
       """WITH peruser AS (

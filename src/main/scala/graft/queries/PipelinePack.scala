@@ -128,6 +128,21 @@ object PipelinePack {
         .orderBy("doc_id")
     },
 
+    // Exact-feature DSIR log weights (Importance.dsirScoresExact): the
+    // no-hash twin of q124's production path — add-α ratios over the
+    // exact feature vocabulary, document weight = Σ ratios. Pure SQL
+    // shape (feature joins + one log per side in a fixed expression
+    // tree), so the float model math the hashed path shares HASH-GATES
+    // here at 1e-6 rounding.
+    "q161_dsir_exact" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      Importance.dsirScoresExact(docs,
+          docs.filter(col("lang") === "en"), "doc_id", "text")
+        .select(col("doc_id"), col("n_feats"),
+          round(col("dsir_lw"), 6).as("lw_r6"))
+        .orderBy("doc_id")
+    },
+
     // The REMOVAL half of span dedup (Dedup.trimDuplicatedSpans — Lee et
     // al.'s keep-one-occurrence policy): each duplicated 5-token window
     // survives only at its lowest-(doc, pos) home; every other occurrence's
@@ -142,8 +157,9 @@ object PipelinePack {
     // CCNet-style perplexity quality scoring (LangModel): an add-α bigram
     // LM trained on the en slice scores every document; per-doc mean NLL
     // and perplexity. Join-based exact scoring (the KenLM role) — the
-    // broadcast-hash twin is q124's DSIR path. Float ln/exp bits vary
-    // across math libraries → rows-only; LangModelSpec pins the
+    // broadcast-hash twin is q124's DSIR path. Hash-gated at 1e-6/1e-4
+    // rounding (cross-libm ln/exp ulp differences are ~1e-12 relative,
+    // orders below the anchor); LangModelSpec additionally pins the
     // hand-computed model and the separation property.
     "q130_perplexity" -> { (s, dir) =>
       val docs = Tables(s, dir).documents
@@ -344,6 +360,88 @@ object PipelinePack {
         |FROM tf JOIN dft USING (tok), n
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // the bigram-LM mirror: \s+ regex tokens (LangModel splits on \s+,
+    // unlike the DSIR space-split), en-slice bigram/context counts +
+    // distinct-token vocab, per-doc mean of -ln((c2+α)/(c1+α(V+1))),
+    // ppl = exp(mean); 1e-6/1e-4 rounding absorbs cross-libm ulps
+    "q130_perplexity" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang,
+        |         list_filter(string_split_regex(text, '\s+'),
+        |                     x -> length(x) > 0) AS t
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, lang, t,
+        |         unnest(generate_series(1, len(t) - 1)) AS i
+        |  FROM tk WHERE len(t) >= 2),
+        |pairs AS (
+        |  SELECT doc_id, lang, t[CAST(i AS INT)] AS ctx,
+        |         t[CAST(i AS INT) + 1] AS nxt
+        |  FROM idx),
+        |big AS (
+        |  SELECT ctx, nxt, count(*) AS c2 FROM pairs
+        |  WHERE lang = 'en' GROUP BY 1, 2),
+        |ctxc AS (
+        |  SELECT ctx, count(*) AS c1 FROM pairs WHERE lang = 'en' GROUP BY 1),
+        |voc AS (
+        |  SELECT count(DISTINCT w) AS v
+        |  FROM (SELECT unnest(t) AS w FROM tk WHERE lang = 'en') q),
+        |sc AS (
+        |  SELECT p.doc_id, count(*) AS nb,
+        |         sum(-ln((CAST(coalesce(b.c2, 0) AS DOUBLE) + 0.5) /
+        |                 (CAST(coalesce(c.c1, 0) AS DOUBLE)
+        |                  + 0.5 * (CAST(v AS DOUBLE) + 1.0)))) AS s
+        |  FROM pairs p
+        |  LEFT JOIN big b ON p.ctx = b.ctx AND p.nxt = b.nxt
+        |  LEFT JOIN ctxc c ON p.ctx = c.ctx
+        |  CROSS JOIN voc
+        |  GROUP BY p.doc_id)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(sc.nb, 0) AS BIGINT) AS n_bigrams,
+        |       ROUND(sc.s / CAST(sc.nb AS DOUBLE), 6) AS nll_r6,
+        |       ROUND(EXP(sc.s / CAST(sc.nb AS DOUBLE)), 4) AS ppl_r4
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // exact-vocabulary DSIR: q123's feature multiset, full-outer count
+    // join for the vocabulary, totals from the joined table, one ln per
+    // side in the same cast-then-combine order as the Spark tree
+    "q161_dsir_exact" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang,
+        |         list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |feats AS (
+        |  SELECT doc_id,
+        |         unnest(toks || list_transform(range(1, len(toks)),
+        |                                       i -> toks[i] || '_' || toks[i+1])) AS f
+        |  FROM u),
+        |tgt AS (
+        |  SELECT f, count(*) AS tc FROM feats
+        |  WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+        |  GROUP BY f),
+        |rawc AS (SELECT f, count(*) AS rc FROM feats GROUP BY f),
+        |j AS (
+        |  SELECT coalesce(t.f, r.f) AS f,
+        |         coalesce(t.tc, 0) AS t, coalesce(r.rc, 0) AS r
+        |  FROM tgt t FULL OUTER JOIN rawc r ON t.f = r.f),
+        |tot AS (SELECT sum(t) AS tt, sum(r) AS rt, count(*) AS v FROM j),
+        |lr AS (
+        |  SELECT f,
+        |         ln((CAST(t AS DOUBLE) + 0.5) /
+        |            (CAST(tt AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)))
+        |       - ln((CAST(r AS DOUBLE) + 0.5) /
+        |            (CAST(rt AS DOUBLE) + 0.5 * CAST(v AS DOUBLE))) AS lrv
+        |  FROM j, tot),
+        |sc AS (
+        |  SELECT fe.doc_id, count(*) AS nf, sum(l.lrv) AS s
+        |  FROM feats fe JOIN lr l ON fe.f = l.f GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(sc.nf, 0) AS BIGINT) AS n_feats,
+        |       ROUND(sc.s, 6) AS lw_r6
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // features = unigrams ++ adjacent bigrams ('_'-joined); DuckDB's
     // 1-indexed list lambdas rebuild the same multiset, then the two

@@ -114,6 +114,50 @@ object Importance {
       .drop("ratios")
   }
 
+  /** Exact-feature DSIR log importance weights — the no-hash twin of
+    * [[dsirScores]]: per-feature add-α ratios over the EXACT feature
+    * vocabulary instead of hash buckets,
+    * `lr(f) = ln((tgt_f+α)/(T+αV)) − ln((raw_f+α)/(R+αV))` with
+    * V = |target ∪ raw features|, T/R = total feature occurrences; the
+    * document weight is Σ lr(f) over its features with multiplicity.
+    * Exactness costs a vocabulary-keyed join (Zipf-skewed — AQE splits
+    * it) where the hashed path broadcasts one fixed-size array row; use
+    * this form when bucket collisions are unacceptable, the hashed form
+    * at open-corpus scale. Fully SQL-expressible, so it hash-gates
+    * (q161) — pinning the float model math the hashed path shares.
+    * Output: `(idCol, n_feats, scoreCol)`; featureless docs score NULL.
+    */
+  def dsirScoresExact(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, scoreCol: String = "dsir_lw",
+      alpha: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val docFeats = raw.select(col(idCol), explode(features(col(textCol))).as("f"))
+    val tgtCnt = target.select(explode(features(col(textCol))).as("f"))
+      .groupBy("f").agg(count(lit(1)).as("tc"))
+    val rawCnt = docFeats.groupBy("f").agg(count(lit(1)).as("rc"))
+    val j = tgtCnt.join(rawCnt, Seq("f"), "full_outer")
+      .select(col("f"),
+        coalesce(col("tc"), lit(0L)).as("t"),
+        coalesce(col("rc"), lit(0L)).as("r"))
+    val totals = j.agg(sum("t").as("tt"), sum("r").as("rt"),
+      count(lit(1)).as("v"))
+    // fixed double expression tree (cast-then-combine) so a SQL mirror
+    // reproduces the bits: (t+α)/(T+α·V) etc., one log per side
+    def side(cnt: Column, tot: Column, v: Column) =
+      log((cnt.cast(DoubleType) + lit(alpha)) /
+        (tot.cast(DoubleType) + lit(alpha) * v.cast(DoubleType)))
+    val ratios = j.crossJoin(broadcast(totals))
+      .select(col("f"),
+        (side(col("t"), col("tt"), col("v")) -
+          side(col("r"), col("rt"), col("v"))).as("__lr"))
+    val scored = docFeats.join(ratios, Seq("f"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"), sum(col("__lr")).as(scoreCol))
+    raw.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_feats"))
+  }
+
   /** Gumbel-top-k resampling without replacement: keep the `k` documents
     * with the largest `score + Gumbel(0,1)` keys, the standard
     * reservoir-free formulation of sampling ∝ exp(score). The Gumbel

@@ -100,6 +100,47 @@ class BitmapSpec extends SparkSpec {
     assert(r.getLong(15) == 0L, "empty bitmap min is 0 (CH convention)")
   }
 
+  test("groupBitmapAnd/Or/Xor fold aggregates == set folds, any partitioning") {
+    import spark.implicits._
+    register(spark)
+    graft.functions.ChCompat.register(spark)
+    // three group members with overlapping sets
+    val sets = Seq((1L to 100L).toSet, (60L to 160L).toSet, (80L to 90L).toSet ++ Set(1L))
+    val expAnd = sets.reduce(_ intersect _)
+    val expOr = sets.reduce(_ union _)
+    val expXor = sets.reduce((x, y) => (x diff y) ++ (y diff x))
+    for (parts <- Seq(1, 7)) {
+      val states = sets.zipWithIndex
+        .flatMap { case (s, i) => s.map(v => (i, v)) }
+        .toDF("g", "uid").repartition(parts)
+        .groupBy("g").agg(bitmap_agg(col("uid")).as("bm"))
+      val r = states.repartition(parts).agg(
+        bitmap_cardinality(bitmap_fold_agg(col("bm"), "and")).as("a"),
+        bitmap_cardinality(bitmap_fold_agg(col("bm"), "or")).as("o"),
+        bitmap_cardinality(bitmap_fold_agg(col("bm"), "xor")).as("x"))
+        .collect()(0)
+      assert(r.getLong(0) == expAnd.size.toLong, s"and parts=$parts")
+      assert(r.getLong(1) == expOr.size.toLong, s"or parts=$parts")
+      assert(r.getLong(2) == expXor.size.toLong, s"xor parts=$parts")
+    }
+    // CH SQL spellings: plain = cardinality, -State = bitmap; empty
+    // group folds to the empty bitmap (cardinality 0); nulls skip
+    sets.zipWithIndex.flatMap { case (s, i) => s.map(v => (i, v)) }
+      .toDF("g", "uid")
+      .groupBy("g").agg(bitmap_agg(col("uid")).as("bm"))
+      .withColumn("bm", when(col("g") === 99, col("bm")).otherwise(col("bm")))
+      .createOrReplaceTempView("graft_bmf")
+    val sqlRow = spark.sql(
+      """SELECT groupBitmapAnd(bm), groupBitmapXor(bm),
+        |       bitmapCardinality(groupBitmapAndState(bm)),
+        |       groupBitmapOr(CASE WHEN g = 99 THEN bm END)
+        |FROM graft_bmf""".stripMargin).collect()(0)
+    assert(sqlRow.getLong(0) == expAnd.size.toLong)
+    assert(sqlRow.getLong(1) == expXor.size.toLong)
+    assert(sqlRow.getLong(2) == expAnd.size.toLong)
+    assert(sqlRow.getLong(3) == 0L, "all-NULL group folds to empty")
+  }
+
   test("uint32 boundary values round-trip") {
     import spark.implicits._
     register(spark)

@@ -292,6 +292,14 @@ class PlanSpec extends SparkSpec {
     // q129: spread repartition + per-cluster heap agg + the semi-join
     // back + final sort; centroid pick collects at construction
     "q129_cluster_sample" -> 4,
+    // q162: two map-side-combined bitmap aggregations (day states, the
+    // cross-day fold) + the output sort; raw ids move exactly once
+    "q162_bitmap_fold" -> 3,
+    // q161: exact-vocab DSIR — tgt/raw feature-count aggs, the
+    // full-outer vocab join, the totals agg, the feature-keyed score
+    // join and per-doc regroup; the exact twin is join-heavy by design
+    // (the hashed q124 path is the scale shape)
+    "q161_dsir_exact" -> 6,
     // q130: bigram/context count aggs + the per-doc regroup + final
     // sort; the n-gram joins ride the count aggs' partitioning
     "q130_perplexity" -> 4,
@@ -369,6 +377,8 @@ class PlanSpec extends SparkSpec {
     "q108_temperature_mix",
     // the 1-row hashed-ngram log-ratios array broadcast (DSIR scoring)
     "q124_dsir_select",
+    // the 1-row totals broadcast onto the vocabulary ratio table
+    "q161_dsir_exact",
     // q117's exact anchor shares q45's all-pairs shape (id_a < id_b join)
     "q117_semantic_dedup",
     // the 1-row AUC scalar broadcast onto the per-row array battery
