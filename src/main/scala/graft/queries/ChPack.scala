@@ -1362,1154 +1362,10 @@ object ChPack {
     }
   )
 
-  val oracle: Map[String, String] = Map(
-    // GROUPING SETS mirrors the TOTALS rewrite; NULLS FIRST matches
-    // Spark's ascending-null ordering for the totals row.
-    "q85_with_totals" ->
-      """SELECT event_type, count(*) AS n,
-        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uv
-        |FROM events WHERE user_id % 7 = 0
-        |GROUP BY GROUPING SETS ((event_type), ())
-        |ORDER BY event_type NULLS FIRST""".stripMargin,
-
-    // DuckDB shares Spark's ROLLUP NULL-key convention; NULLS FIRST
-    // matches Spark's ascending-null sort for the subtotal rows.
-    "q106_with_rollup" ->
-      """SELECT l_returnflag, l_linestatus,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |       count(*) AS n
-        |FROM lineitem
-        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
-        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
-
-    // independent re-derivation: the oracle never parses the URL — it
-    // rebuilds every part from the same raw pieces the Spark side
-    // concatenated, so a parse bug on the Spark side cannot cancel out.
-    "q97_url_funcs" ->
-      """WITH u AS (
-        |  SELECT c_custkey, c_nationkey,
-        |         lower(c_mktsegment) AS seg,
-        |         'www.seg-' || lower(c_mktsegment) || '.example.com' AS host,
-        |         '/cust/' || CAST(c_custkey AS VARCHAR) AS pth,
-        |         'id=' || CAST(c_custkey % 97 AS VARCHAR) ||
-        |           '&n=' || CAST(c_nationkey AS VARCHAR) AS qs,
-        |         's' || CAST(c_custkey % 5 AS VARCHAR) AS frag
-        |  FROM customer)
-        |SELECT 'https://' || host || pth || '?' || qs || '#' || frag AS url,
-        |       'https' AS proto,
-        |       host,
-        |       'seg-' || seg || '.example.com' AS host_nw,
-        |       'com' AS tld,
-        |       pth,
-        |       pth || '?' || qs || '#' || frag AS pth_full,
-        |       qs,
-        |       frag,
-        |       CAST(c_custkey % 97 AS VARCHAR) AS p_id,
-        |       CAST(c_nationkey AS VARCHAR) AS p_n,
-        |       'https://' || host || pth AS base,
-        |       'https://seg-' || seg || '.example.com' || pth || '?' || qs || '#' || frag AS no_www
-        |FROM u
-        |ORDER BY url""".stripMargin,
-
-    // the doc's four batches inlined as VALUES; exact distinct per
-    // (platform, ver) = the doc's golden uv=7 on both rows.
-    "q105_doc_handrows" ->
-      """WITH v(platform, ver, uid) AS (VALUES
-        |  ('android','1.1',1001),('android','1.1',1002),('android','1.1',1003),('android','1.1',1004),
-        |  ('android','1.2',1009),('android','1.2',1010),('android','1.2',1130),('android','1.2',1131),
-        |  ('android','1.1',2001),('android','1.1',3002),('android','1.1',1003),('android','1.1',3004),
-        |  ('android','1.2',2009),('android','1.2',1010),('android','1.2',2130),('android','1.2',2131))
-        |SELECT platform, ver, CAST(COUNT(DISTINCT uid) AS BIGINT) AS uv
-        |FROM v GROUP BY platform, ver
-        |ORDER BY platform, ver""".stripMargin,
-
-    // index-driven list mirrors: generate_series(1, len) plays the lambda
-    // index, 1-based slicing re-derives each running construct; array
-    // lanes serialize to ','-joined strings on BOTH sides (ragged lists
-    // hash unevenly across compare stacks; strings are content-exact).
-    "q103_ch_array_math" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |l AS (SELECT doc_id, list_transform(toks, tk -> length(tk)) AS lens FROM t)
-        |SELECT doc_id,
-        |  array_to_string(list_transform(generate_series(1, least(3, len(lens))),
-        |                                  i -> CAST(i AS VARCHAR)), ',') AS enum3,
-        |  array_to_string(list_transform(generate_series(1, len(lens)),
-        |                 i -> CAST(CAST(list_sum(lens[1:i]) AS BIGINT) AS VARCHAR)), ',') AS cum_lens,
-        |  array_to_string(list_transform(generate_series(1, len(lens)),
-        |                 i -> CAST(CASE WHEN i = 1 THEN 0 ELSE lens[i] - lens[i-1] END AS VARCHAR)), ',') AS diffs,
-        |  array_to_string(list_transform(list_filter(generate_series(1, len(lens)),
-        |                             i -> i = 1 OR lens[i] IS DISTINCT FROM lens[i-1]),
-        |                 i -> CAST(lens[i] AS VARCHAR)), ',') AS rle_heads,
-        |  CAST(COALESCE(list_sum(lens), 0) AS BIGINT) AS sum_len,
-        |  CAST(list_min(lens) AS BIGINT) AS min_len,
-        |  CAST(list_max(lens) AS BIGINT) AS max_len,
-        |  CAST(greatest(len(lens) - 1, 0) AS INT) AS popf_n,
-        |  CAST(greatest(len(lens) - 1, 0) AS INT) AS popb_n
-        |FROM l
-        |ORDER BY doc_id""".stripMargin,
-
-    // list_* mirrors of the by-name dispatch; any/anyLast are the first/
-    // last element (deterministic on a per-row array, unlike the
-    // aggregate forms over unordered groups).
-    "q107_array_reduce" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |l AS (SELECT doc_id, list_transform(toks, tk -> length(tk)) AS lens FROM t)
-        |SELECT doc_id,
-        |  CAST(COALESCE(list_sum(lens), 0) AS BIGINT) AS r_sum,
-        |  CAST(list_min(lens) AS BIGINT) AS r_min,
-        |  CAST(list_max(lens) AS BIGINT) AS r_max,
-        |  CAST(list_avg(lens) AS DOUBLE) AS r_avg,
-        |  CAST(len(lens) AS BIGINT) AS r_cnt,
-        |  CAST(len(list_distinct(lens)) AS BIGINT) AS r_uniq,
-        |  CAST(lens[1] AS BIGINT) AS r_any,
-        |  CAST(lens[len(lens)] AS BIGINT) AS r_last
-        |FROM l
-        |ORDER BY doc_id""".stripMargin,
-
-    // strpos/regexp mirrors of the string-search battery; every count
-    // and flag cast to BIGINT on both sides.
-    "q98_string_search" ->
-      """SELECT doc_id,
-        |       CAST(strpos(text, 'merge') AS BIGINT) AS pos_merge,
-        |       CAST(strpos(lower(text), 'merge') AS BIGINT) AS pos_ci,
-        |       CAST(regexp_matches(text, '(^|[^A-Za-z0-9])merge([^A-Za-z0-9]|$)') AS BIGINT) AS has_merge,
-        |       CAST((strpos(text, 'spark') > 0 OR strpos(text, 'flink') > 0) AS BIGINT) AS any_hit,
-        |       CAST((length(text) - length(replace(text, 'table', ''))) / 5 AS BIGINT) AS n_table,
-        |       CAST(regexp_matches(text, 'h..h') AS BIGINT) AS re_hit
-        |FROM documents
-        |ORDER BY doc_id""".stripMargin,
-
-    // row_number mirror of the LIMIT BY rewrite; total ORDER BY keeps
-    // row order deterministic on both sides.
-    "q96_limit_by_sql" ->
-      """SELECT bucket, o_orderkey, o_totalprice FROM (
-        |  SELECT o_custkey % 10 AS bucket, o_orderkey, o_totalprice,
-        |         row_number() OVER (PARTITION BY o_custkey % 10
-        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
-        |  FROM orders) t
-        |WHERE rn <= 2
-        |ORDER BY bucket, o_totalprice DESC, o_orderkey""".stripMargin,
-
-    // generate_series LEFT JOIN = the densified grid; TO 24 is exclusive
-    // (CH semantics), so the axis is 0..23 inclusive.
-    "q84_with_fill" ->
-      """WITH hh AS (
-        |  SELECT CAST(extract(hour FROM ts) AS INT) AS h, count(*) AS purchases
-        |  FROM events WHERE event_type = 'purchase' AND user_id % 50 = 0
-        |  GROUP BY 1),
-        |axis AS (SELECT CAST(generate_series AS INT) AS h FROM generate_series(0, 23))
-        |SELECT axis.h AS h, hh.purchases AS purchases
-        |FROM axis LEFT JOIN hh USING (h)
-        |ORDER BY h""".stripMargin,
-
-    // the closed-form mirror of CH's sequential INTERPOLATE walk: group
-    // filled rows with the last real row before them (prefix count of
-    // real rows), carry = that row's value, linear = value + slope*steps.
-    "q116_fill_interpolate" ->
-      """WITH hh AS (
-        |  SELECT CAST(extract(hour FROM ts) AS INT) AS h,
-        |         count(*) AS purchases, MAX(user_id) AS max_uid
-        |  FROM events WHERE event_type = 'purchase' AND user_id % 97 = 0
-        |  GROUP BY 1),
-        |axis AS (SELECT CAST(generate_series AS INT) AS h FROM generate_series(0, 23)),
-        |grid AS (
-        |  SELECT axis.h AS h, hh.purchases, hh.max_uid,
-        |         hh.h IS NULL AS filled
-        |  FROM axis LEFT JOIN hh ON axis.h = hh.h),
-        |runs AS (
-        |  SELECT *, SUM(CASE WHEN filled THEN 0 ELSE 1 END)
-        |              OVER (ORDER BY h) AS run
-        |  FROM grid),
-        |pos AS (
-        |  SELECT *,
-        |    FIRST_VALUE(purchases) OVER (PARTITION BY run ORDER BY h) AS pv,
-        |    FIRST_VALUE(max_uid) OVER (PARTITION BY run ORDER BY h) AS fv,
-        |    ROW_NUMBER() OVER (PARTITION BY run ORDER BY h) - 1 AS steps
-        |  FROM runs)
-        |SELECT h,
-        |  CASE WHEN filled AND run > 0 THEN pv ELSE purchases END AS purchases,
-        |  CAST(CASE WHEN filled AND run > 0 THEN fv + 10 * steps
-        |       ELSE max_uid END AS BIGINT) AS max_uid
-        |FROM pos ORDER BY h""".stripMargin,
-
-    "q25_catalog_query" ->
-      """SELECT CAST(ts AS DATE) AS day,
-        | CASE WHEN user_id % 2 = 0 THEN 'android' ELSE 'ios' END AS platform,
-        | COUNT(DISTINCT user_id) AS uv,
-        | CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS show_cnt,
-        | CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click_cnt,
-        | CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS show_time_sum
-        |  -- FLOOR mirrors Spark's truncating double->long cast (values >= 0)
-        |FROM events
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // date_diff counts the same boundary crossings as CH dateDiff; the
-    // interval family and week/epoch math mirror 1:1 (naive timestamps,
-    // UTC session; dayofweek is 0=Sunday in DuckDB, isodow is 1=Monday).
-    "q118_ch_date_math" ->
-      """SELECT event_id,
-        |  date_diff('second',  ts, TIMESTAMP '2024-01-15 12:00:00') AS d_sec,
-        |  date_diff('minute',  ts, TIMESTAMP '2024-01-15 12:00:00') AS d_min,
-        |  date_diff('hour',    ts, TIMESTAMP '2024-01-15 12:00:00') AS d_hour,
-        |  date_diff('day',     ts, TIMESTAMP '2024-01-15 12:00:00') AS d_day,
-        |  date_diff('week',    ts, TIMESTAMP '2024-01-15 12:00:00') AS d_week,
-        |  date_diff('month',   ts, TIMESTAMP '2024-02-20 00:00:00') AS d_month,
-        |  date_diff('quarter', ts, TIMESTAMP '2024-07-01 00:00:00') AS d_quarter,
-        |  date_diff('year',    ts, TIMESTAMP '2026-01-01 00:00:00') AS d_year,
-        |  epoch_us(ts) // 1000000 AS ux,
-        |  epoch_us(ts + INTERVAL 3 DAY) // 1000000 AS ux_add_d,
-        |  epoch_us(ts - INTERVAL 7 HOUR) // 1000000 AS ux_sub_h,
-        |  epoch_us(ts + INTERVAL 1 MONTH) // 1000000 AS ux_add_mo,
-        |  epoch_us(ts + INTERVAL 90 SECOND) // 1000000 AS ux_add_s,
-        |  CAST(ts AS DATE) - CAST(dayofweek(ts) AS INT) AS week_sun,
-        |  CAST(date_trunc('week', ts) AS DATE) AS week_mon,
-        |  CAST(isodow(ts) AS INT) AS dow,
-        |  CAST(dayofyear(ts) AS INT) AS doy,
-        |  CAST(date_trunc('year', ts) AS DATE) AS y0
-        |FROM events WHERE event_id % 17 = 0
-        |ORDER BY event_id""".stripMargin,
-
-    // AVG(bigint) is an exact integer sum over one double division in both
-    // engines — no float-summation-order seam (the reason the battery
-    // averages uids, not values).
-    "q119_avg_family" ->
-      """SELECT CAST(ts AS DATE) AS day,
-        |  ROUND(AVG(CASE WHEN event_type = 'purchase' THEN user_id END), 6) AS avg_uid_purchase,
-        |  ROUND(CAST(SUM(user_id * (user_id % 7 + 1)) AS DOUBLE)
-        |        / SUM(user_id % 7 + 1), 6) AS avg_uid_weighted,
-        |  COUNT(*) AS cnt
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // halfMD5's full-value mirror: first 16 md5 hex digits uppercased ==
-    // Spark's lpad(hex(<first-8-bytes-BE-as-int64>),16,'0'); the shard
-    // column re-derives pmod through DuckDB's UBIGINT domain.
-    "q121_half_md5" ->
-      """SELECT doc_id,
-        |  upper(substr(md5(text), 1, 16))   AS h_text,
-        |  upper(substr(md5(source), 1, 16)) AS h_source,
-        |  CAST(CAST(('0x' || substr(md5(source || '/' || CAST(doc_id AS VARCHAR)), 1, 16))
-        |            AS UBIGINT) % 64 AS BIGINT) AS shard
-        |FROM documents
-        |WHERE doc_id % 3 = 0
-        |ORDER BY doc_id""".stripMargin,
-
-    // mirrors the item-dim view's derivations: item_id = event_id % 1000,
-    // type_id = item_id % 7, price = item_id % 100 * 10.
-    "q112_item_dict_sql" ->
-      """SELECT (event_id % 1000) % 7 AS type_id,
-        | CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS shows,
-        | CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
-        | CAST(SUM(CASE WHEN event_type = 'click'
-        |          THEN (event_id % 1000) % 100 * 10 ELSE 0 END) AS BIGINT) AS click_rev
-        |FROM events
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q23_ch_dialect_mv" ->
-      """SELECT CAST(ts AS DATE) AS day, event_type,
-        | COUNT(DISTINCT user_id) AS uv,
-        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
-        | COUNT(*) AS cnt
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "q48_retention" ->
-      """WITH per_user AS (
-        |  SELECT CAST(ts AS DATE) AS day, user_id,
-        |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS m_view,
-        |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS m_click,
-        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS m_purchase
-        |  FROM events GROUP BY 1, 2)
-        |SELECT day,
-        |  CAST(SUM(m_view) AS BIGINT) AS u_view,
-        |  CAST(SUM(m_view * m_click) AS BIGINT) AS u_view_click,
-        |  CAST(SUM(m_view * m_purchase) AS BIGINT) AS u_view_purchase,
-        |  COUNT(*) AS users
-        |FROM per_user GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q47_freq_topk" ->
-      """WITH c AS (
-        |  SELECT CAST(ts AS DATE) AS day, event_type AS etype,
-        |         CAST(COUNT(*) AS BIGINT) AS cnt
-        |  FROM events GROUP BY 1, 2),
-        |r AS (
-        |  SELECT day, etype, cnt,
-        |         CAST(ROW_NUMBER() OVER (
-        |           PARTITION BY day ORDER BY cnt DESC, etype) AS INT) AS rank
-        |  FROM c)
-        |SELECT day, rank, etype, cnt, CAST(0 AS BIGINT) AS err
-        |FROM r WHERE rank <= 3 ORDER BY day, rank""".stripMargin,
-
-    "q26_limit_by" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice
-        |FROM orders
-        |QUALIFY ROW_NUMBER() OVER (
-        |  PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 2
-        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
-
-    // m_chain mirrors the matcher's earliest-chaining (optimal for
-    // wildcard-separated conditions: v1 = first view, c1 = first click
-    // after v1, then any purchase after c1); m_quick pairs each click with
-    // its latest preceding view (minimal gap ⇒ existence-equivalent);
-    // n_vp runs the greedy view→purchase automaton as a list_reduce
-    // (acc = 2·count + pending; a view sets pending, a purchase with
-    // pending banks a chain — exactly the leftmost non-overlapping scan).
-    "q66_sequence_match" ->
-      """WITH base AS (
-        |  SELECT CAST(ts AS DATE) AS day, user_id, ts, event_type FROM events),
-        |v1 AS (
-        |  SELECT day, user_id,
-        |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS v1
-        |  FROM base GROUP BY 1, 2),
-        |c1 AS (
-        |  SELECT b.day, b.user_id,
-        |    MIN(CASE WHEN b.event_type = 'click' AND b.ts > v1.v1 THEN b.ts END) AS c1
-        |  FROM base b JOIN v1 ON b.day = v1.day AND b.user_id = v1.user_id
-        |  GROUP BY 1, 2),
-        |chain AS (
-        |  SELECT b.day, b.user_id,
-        |    MAX(CASE WHEN b.event_type = 'purchase' AND b.ts > c1.c1
-        |             THEN 1 ELSE 0 END) AS m_chain
-        |  FROM base b JOIN c1 ON b.day = c1.day AND b.user_id = c1.user_id
-        |  GROUP BY 1, 2),
-        |quick0 AS (
-        |  SELECT day, user_id, ts, event_type,
-        |    MAX(CASE WHEN event_type = 'view' THEN ts END) OVER (
-        |      PARTITION BY day, user_id ORDER BY ts
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lastv
-        |  FROM base),
-        |quick AS (
-        |  SELECT day, user_id,
-        |    MAX(CASE WHEN event_type = 'click' AND lastv IS NOT NULL
-        |              AND epoch_us(ts) - epoch_us(lastv) <= CAST(3600 AS BIGINT) * 1000000
-        |             THEN 1 ELSE 0 END) AS m_quick
-        |  FROM quick0 GROUP BY 1, 2),
-        |codes AS (
-        |  -- greedy non-overlapping (V..P) count == V->P transitions in the
-        |  -- V/P subsequence (a completed match resets the scan, so extra Vs
-        |  -- inside a run never match retroactively). Pure LAG windows:
-        |  -- DuckDB's list(ORDER BY) inside a grouped aggregate proved
-        |  -- UNSTABLE at sf0.1 row counts (same CTE, 3 different sums).
-        |  SELECT day, user_id,
-        |    CASE WHEN event_type = 'view' THEN 1 ELSE 2 END AS code,
-        |    LAG(CASE WHEN event_type = 'view' THEN 1 ELSE 2 END)
-        |      OVER (PARTITION BY day, user_id ORDER BY ts) AS prev
-        |  FROM base WHERE event_type IN ('view', 'purchase')),
-        |vp AS (
-        |  SELECT day, user_id,
-        |    SUM(CASE WHEN code = 2 AND prev = 1 THEN 1 ELSE 0 END) AS n_vp
-        |  FROM codes GROUP BY 1, 2)
-        |SELECT v1.day,
-        |  CAST(SUM(chain.m_chain) AS BIGINT) AS u_chain,
-        |  CAST(SUM(quick.m_quick) AS BIGINT) AS u_quick,
-        |  CAST(SUM(COALESCE(vp.n_vp, 0)) AS BIGINT) AS vp_chains,
-        |  COUNT(*) AS users
-        |FROM v1
-        |JOIN chain ON chain.day = v1.day AND chain.user_id = v1.user_id
-        |JOIN quick ON quick.day = v1.day AND quick.user_id = v1.user_id
-        |LEFT JOIN vp ON vp.day = v1.day AND vp.user_id = v1.user_id
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q73_window_funnel" ->
-      """WITH base AS (
-        |  SELECT CAST(ts AS DATE) AS day, user_id, ts, event_type FROM events),
-        |w AS (
-        |  SELECT day, user_id, ts, event_type,
-        |    MAX(CASE WHEN event_type = 'view' THEN ts END) OVER (
-        |      PARTITION BY day, user_id ORDER BY ts
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lastv
-        |  FROM base),
-        |per_user AS (
-        |  SELECT day, user_id,
-        |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_view,
-        |    MAX(CASE WHEN event_type = 'purchase' AND lastv IS NOT NULL
-        |              AND epoch_us(ts) - epoch_us(lastv) <= CAST(3600 AS BIGINT) * 1000000
-        |             THEN 1 ELSE 0 END) AS chained
-        |  FROM w GROUP BY 1, 2)
-        |SELECT day,
-        |  CAST(SUM(has_view) AS BIGINT) AS u_view,
-        |  CAST(SUM(chained) AS BIGINT) AS u_funnel,
-        |  COUNT(*) AS users
-        |FROM per_user GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q72_ch_arrays" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
-        |  FROM documents)
-        |SELECT doc_id,
-        |  CAST(len(list_filter(toks, t -> length(t) > 4)) AS INT) AS long_toks,
-        |  CAST(len(list_distinct(toks)) AS INT) AS uniq_toks,
-        |  list_contains(toks, 'the') AS has_the,
-        |  CAST(COALESCE(list_position(toks, 'the'), 0) AS BIGINT) AS the_pos,
-        |  array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS first3,
-        |  len(list_filter(toks, t -> t = 'data')) > 0 AS mentions_data
-        |FROM t ORDER BY doc_id""".stripMargin,
-
-    "q95_array_join_clause" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tok
-        |  FROM documents WHERE doc_id < 50)
-        |SELECT tok, COUNT(*) AS cnt
-        |FROM (SELECT unnest(tok) AS tok FROM d)
-        |GROUP BY tok ORDER BY tok""".stripMargin,
-
-    "q94_scalar_with" ->
-      """SELECT l_returnflag, COUNT(*) AS cnt,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
-        |FROM lineitem
-        |WHERE l_quantity > 25 AND l_discount >= 0.05
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-
-    // The three shards reconstructed as literal-tagged unions.
-    "q92_merge_tables" ->
-      """WITH u AS (
-        |  SELECT 'graft_evt_shard_a' AS _table, event_id FROM events WHERE event_id % 3 = 0
-        |  UNION ALL
-        |  SELECT 'graft_evt_shard_b' AS _table, event_id FROM events WHERE event_id % 3 = 1
-        |  UNION ALL
-        |  SELECT 'graft_evt_shard_c' AS _table, event_id FROM events WHERE event_id % 3 = 2)
-        |SELECT _table, COUNT(*) AS cnt,
-        |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
-        |FROM u GROUP BY _table ORDER BY _table""".stripMargin,
-
-    // [0.5, 0.75) of the md5 hash space as 13-hex-digit string bounds
-    // (fixed-width hex compares lexicographically == numerically).
-    "q91_sample_clause" ->
-      """SELECT lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars
-        |FROM documents
-        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) >= '8000000000000'
-        |  AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) < 'c000000000000'
-        |GROUP BY lang ORDER BY lang""".stripMargin,
-
-    // quantile_cont's list form mirrors the one-pass plural quantiles;
-    // the ANY join is trivially the plain join (unique order keys).
-    "q90_quantiles_multi" ->
-      """WITH j AS (
-        |  SELECT o.o_orderpriority AS pri, l.l_quantity
-        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-        |q AS (
-        |  SELECT pri, quantile_cont(l_quantity, [0.25, 0.5, 0.75, 0.9]) AS qs,
-        |    COUNT(*) AS cnt
-        |  FROM j GROUP BY pri)
-        |SELECT pri, CAST(i - 1 AS INT) AS qi, qs[i] AS q, cnt
-        |FROM q, UNNEST(generate_series(1, 4)) t(i)
-        |ORDER BY pri, qi""".stripMargin,
-
-    "q71_ch_scalars" ->
-      """SELECT event_id,
-        |  CAST(year(ts) * 100 + month(ts) AS INT) AS yyyymm,
-        |  CAST((year(ts) * 100 + month(ts)) * 100 + day(ts) AS INT) AS yyyymmdd,
-        |  CAST(date_trunc('month', ts) AS DATE) AS month_start,
-        |  CAST(date_trunc('week', ts) AS DATE) AS week_monday,
-        |  CAST(year(ts) AS INT) AS y, CAST(hour(ts) AS INT) AS h,
-        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS formatted,
-        |  array_to_string(string_split(props, ':'), '|') AS props_split,
-        |  length(event_type) > 0 AS has_type,
-        |  event_id // 7 AS id_div7
-        |FROM events ORDER BY event_id""".stripMargin,
-
-    "q69_topk_weighted" ->
-      """WITH c AS (
-        |  SELECT CAST(ts AS DATE) AS day, event_type AS etype,
-        |         CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS wsum
-        |  FROM events GROUP BY 1, 2),
-        |r AS (
-        |  SELECT day, etype, wsum,
-        |         CAST(ROW_NUMBER() OVER (
-        |           PARTITION BY day ORDER BY wsum DESC, etype) AS INT) AS rank
-        |  FROM c)
-        |SELECT day, rank, etype, wsum, CAST(0 AS BIGINT) AS err
-        |FROM r WHERE rank <= 3 ORDER BY day, rank""".stripMargin,
-
-    "q70_sum_map" ->
-      """SELECT CAST(ts AS DATE) AS day, event_type AS etype,
-        |  CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS vsum
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "q68_uniq_up_to" ->
-      """SELECT CAST(ts AS DATE) AS day,
-        |  LEAST(COUNT(DISTINCT user_id), 11) AS uv_up10,
-        |  LEAST(COUNT(DISTINCT user_id), 5001) AS uv_up5000,
-        |  LEAST(COUNT(DISTINCT event_type), 4) AS types_up3,
-        |  COUNT(DISTINCT user_id) AS uv_exact
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q24_dictget_sql" ->
-      """SELECT n.n_name AS nation,
-        | COUNT(DISTINCT c.c_custkey) AS uv,
-        | CAST(SUM(CASE WHEN c.c_acctbal > 0 THEN CAST(c.c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS pos_bal,
-        | CAST(COUNT(CASE WHEN c.c_acctbal > 0 THEN 1 END) AS BIGINT) AS pos_cnt
-        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // per-lane scalar aggregates rebuilt as the same comma-joined string;
-    // avg = exact integer sum / count in one double division.
-    "q136_foreach" ->
-      """WITH t AS (
-        |  SELECT event_type,
-        |    CASE WHEN value > 2.5 THEN 1 ELSE 0 END AS hi,
-        |    user_id % 10 AS m10, event_id % 7 AS m7
-        |  FROM events)
-        |SELECT event_type,
-        |  CAST(SUM(hi) AS BIGINT) || ',' || CAST(SUM(m10) AS BIGINT)
-        |    || ',' || CAST(SUM(m7) AS BIGINT) AS lane_sums,
-        |  CAST(MIN(hi) AS BIGINT) || ',' || CAST(MIN(m10) AS BIGINT)
-        |    || ',' || CAST(MIN(m7) AS BIGINT) AS lane_mins,
-        |  CAST(MAX(hi) AS BIGINT) || ',' || CAST(MAX(m10) AS BIGINT)
-        |    || ',' || CAST(MAX(m7) AS BIGINT) AS lane_maxs,
-        |  CAST(SUM(hi) AS DOUBLE) / COUNT(*) AS avg_hi,
-        |  CAST(SUM(m10) AS DOUBLE) / COUNT(*) AS avg_mod10,
-        |  CAST(SUM(m7) AS DOUBLE) / COUNT(*) AS avg_mod7
-        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
-
-    // sumCount/boundingRatio/simpleLinearRegression rebuilt from DuckDB
-    // built-ins (arg_max/arg_min endpoints; regr_slope/regr_intercept)
-    "q137_stat_pack" ->
-      """WITH t AS (
-        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) q,
-        |         l_orderkey * 10 + l_linenumber x, l_extendedprice y,
-        |         l_quantity qd
-        |  FROM lineitem)
-        |SELECT l_returnflag,
-        |  CAST(SUM(q) AS BIGINT) AS qty_sum,
-        |  COUNT(q) AS qty_cnt,
-        |  ROUND((arg_max(y, x) - arg_min(y, x)) / CAST(MAX(x) - MIN(x) AS DOUBLE), 6) AS bratio,
-        |  ROUND(regr_slope(y, qd), 6) AS slr_k,
-        |  ROUND(regr_intercept(y, qd), 6) AS slr_b
-        |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-
-    // Σ v·e^((t−tmax)/λ) etc. over the epoch grid
-    "q160_time_decayed" ->
-      """WITH e AS (
-        |  SELECT event_type, value, CAST(FLOOR(epoch(ts)) AS BIGINT) t
-        |  FROM events),
-        |m AS (SELECT event_type, MAX(t) tmax FROM e GROUP BY event_type)
-        |SELECT e.event_type,
-        |       ROUND(SUM(e.value * EXP((e.t - m.tmax) / 7200.0)), 6) AS dsum,
-        |       ROUND(SUM(EXP((e.t - m.tmax) / 7200.0)), 6) AS dcnt,
-        |       ROUND(SUM(e.value * EXP((e.t - m.tmax) / 7200.0))
-        |             / SUM(EXP((e.t - m.tmax) / 7200.0)), 6) AS davg
-        |FROM e JOIN m ON e.event_type = m.event_type
-        |GROUP BY e.event_type
-        |ORDER BY e.event_type""".stripMargin,
-
-    // the merged partials must equal the direct statistics
-    "q159_stat_state_merge" ->
-      """WITH wagg AS (
-        |  SELECT event_type, CAST(user_id % 50 AS BIGINT) v,
-        |         SUM(1 + event_id % 3) wt
-        |  FROM events GROUP BY 1, 2),
-        |wc AS (
-        |  SELECT event_type, v,
-        |         SUM(wt) OVER (PARTITION BY event_type ORDER BY v) cum,
-        |         SUM(wt) OVER (PARTITION BY event_type) tot
-        |  FROM wagg),
-        |q AS (
-        |  SELECT event_type, MIN(CASE WHEN cum >= 0.5 * tot THEN v END) q50
-        |  FROM wc GROUP BY event_type),
-        |h AS (
-        |  SELECT event_type, ROUND(entropy(user_id % 10), 6) h
-        |  FROM events GROUP BY event_type)
-        |SELECT h.event_type, h.h, q.q50
-        |FROM h JOIN q ON h.event_type = q.event_type
-        |ORDER BY h.event_type""".stripMargin,
-
-    // CASE-filtered bucket aggregates; cumulative-weight scans per level
-    "q158_resample" ->
-      """WITH e AS (
-        |  SELECT event_type, user_id % 40 k, CAST(user_id % 100 AS BIGINT) x,
-        |         event_id, CAST(user_id % 50 AS BIGINT) v, 1 + event_id % 3 w,
-        |         user_id % 7 u
-        |  FROM events),
-        |base AS (
-        |  SELECT event_type,
-        |    CAST(COALESCE(SUM(CASE WHEN k >= 0 AND k < 10 THEN x END), 0) AS VARCHAR) || ',' ||
-        |    CAST(COALESCE(SUM(CASE WHEN k >= 10 AND k < 20 THEN x END), 0) AS VARCHAR) || ',' ||
-        |    CAST(COALESCE(SUM(CASE WHEN k >= 20 AND k < 30 THEN x END), 0) AS VARCHAR) || ',' ||
-        |    CAST(COALESCE(SUM(CASE WHEN k >= 30 AND k < 40 THEN x END), 0) AS VARCHAR) AS sums,
-        |    CAST(COUNT(CASE WHEN k >= 0 AND k < 10 THEN event_id END) AS VARCHAR) || ',' ||
-        |    CAST(COUNT(CASE WHEN k >= 10 AND k < 20 THEN event_id END) AS VARCHAR) || ',' ||
-        |    CAST(COUNT(CASE WHEN k >= 20 AND k < 30 THEN event_id END) AS VARCHAR) || ',' ||
-        |    CAST(COUNT(CASE WHEN k >= 30 AND k < 40 THEN event_id END) AS VARCHAR) AS cnts
-        |  FROM e GROUP BY event_type),
-        |wagg AS (
-        |  SELECT event_type, v, SUM(w) wt FROM e GROUP BY 1, 2),
-        |wc AS (
-        |  SELECT event_type, v,
-        |         SUM(wt) OVER (PARTITION BY event_type ORDER BY v) cum,
-        |         SUM(wt) OVER (PARTITION BY event_type) tot
-        |  FROM wagg),
-        |wq AS (
-        |  SELECT event_type,
-        |    CAST(MIN(CASE WHEN cum >= 0.25 * tot THEN v END) AS VARCHAR) || ',' ||
-        |    CAST(MIN(CASE WHEN cum >= 0.5 * tot THEN v END) AS VARCHAR) || ',' ||
-        |    CAST(MIN(CASE WHEN cum >= 0.75 * tot THEN v END) AS VARCHAR) AS wqs
-        |  FROM wc GROUP BY event_type),
-        |cap AS (
-        |  SELECT event_type,
-        |         array_to_string(list_sort(list_distinct(list(u)))[1:3], ',') AS cap3
-        |  FROM e GROUP BY event_type)
-        |SELECT base.event_type, base.sums, base.cnts, wq.wqs, cap.cap3
-        |FROM base
-        |JOIN wq ON base.event_type = wq.event_type
-        |JOIN cap ON base.event_type = cap.event_type
-        |ORDER BY base.event_type""".stripMargin,
-
-    // DuckDB's native QUALIFY mirrors both clauses
-    "q156_qualify_distinct_on" ->
-      """WITH top AS (
-        |  SELECT o_custkey, o_orderkey, o_totalprice,
-        |         ROW_NUMBER() OVER (PARTITION BY o_custkey
-        |                            ORDER BY o_totalprice DESC, o_orderkey) rn
-        |  FROM orders QUALIFY rn <= 2),
-        |fst AS (
-        |  SELECT o_custkey % 10 bucket, o_orderkey,
-        |         ROW_NUMBER() OVER (PARTITION BY o_custkey % 10
-        |                            ORDER BY o_totalprice DESC, o_orderkey) rn
-        |  FROM orders QUALIFY rn = 1)
-        |SELECT t.o_custkey, t.o_orderkey, t.o_totalprice, t.rn,
-        |       f.bucket, f.o_orderkey AS b_orderkey
-        |FROM top t
-        |LEFT JOIN fst f ON f.bucket = t.o_custkey % 10 AND t.rn = 1
-        |ORDER BY t.o_custkey, t.rn""".stripMargin,
-
-    // 6-hour epoch-grid buckets
-    "q155_tumble_windows" ->
-      """WITH b AS (
-        |  SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 21600 * 21600 g,
-        |         user_id
-        |  FROM events)
-        |SELECT CAST(make_timestamp(g * 1000000) AS VARCHAR) AS ws,
-        |       CAST(make_timestamp((g + 21600) * 1000000) AS VARCHAR) AS we,
-        |       COUNT(*) AS cnt,
-        |       COUNT(DISTINCT user_id) AS uv
-        |FROM b GROUP BY g ORDER BY ws""".stripMargin,
-
-    // ECDF via RANGE-frame cumulative counts (ties consumed as peers),
-    // z from FILTER aggregates
-    "q154_ks_ztest" ->
-      """WITH s AS (SELECT event_type, value v, user_id % 2 g FROM events),
-        |tot AS (
-        |  SELECT event_type,
-        |         CAST(COUNT(*) FILTER (g = 0) AS DOUBLE) n0,
-        |         CAST(COUNT(*) FILTER (g = 1) AS DOUBLE) n1
-        |  FROM s GROUP BY event_type),
-        |c AS (
-        |  SELECT event_type, v,
-        |         SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END)
-        |           OVER (PARTITION BY event_type ORDER BY v) c0,
-        |         SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END)
-        |           OVER (PARTITION BY event_type ORDER BY v) c1
-        |  FROM s),
-        |d AS (
-        |  SELECT c.event_type,
-        |         ROUND(MAX(ABS(c.c0 / tot.n0 - c.c1 / tot.n1)), 6) ksd
-        |  FROM c JOIN tot USING (event_type) GROUP BY c.event_type),
-        |z AS (
-        |  SELECT event_type,
-        |         ROUND((AVG(v) FILTER (g = 0) - AVG(v) FILTER (g = 1))
-        |               / SQRT(2000.0 / COUNT(*) FILTER (g = 0)
-        |                      + 2000.0 / COUNT(*) FILTER (g = 1)), 6) z
-        |  FROM s GROUP BY event_type)
-        |SELECT d.event_type, d.ksd, z.z,
-        |       0.5205 AS erf_pin, 24.0 AS tg_pin
-        |FROM d JOIN z USING (event_type)
-        |ORDER BY d.event_type""".stripMargin,
-
-    // the stripped text reconstructs from the source columns; hygiene
-    // functions are identity on the ASCII inputs; fingerprints are
-    // literal pins
-    "q153_html_text" ->
-      """SELECT event_id,
-        |  event_type || ' id ' || event_id AS text,
-        |  'A<raw>B' AS cdata_pin,
-        |  event_type || ',' || event_id AS grp_v,
-        |  event_type AS nfc,
-        |  TRUE AS valid,
-        |  event_type AS repaired,
-        |  'SELECT * FROM t WHERE id = ? AND name = ?' AS nq,
-        |  '1,"a",{"k": ' || event_id || '}' AS jraw,
-        |  4 AS jlen
-        |FROM events
-        |WHERE event_id <= 300
-        |ORDER BY event_id""".stripMargin,
-
-    // DuckDB list functions on DOUBLE[] mirror the double-lane folds;
-    // bit/IP math spelled out with native operators
-    "q152_vector_bits" ->
-      """WITH v AS (
-        |  SELECT e1.vec_id AS id1,
-        |         CAST(e1.embedding AS DOUBLE[]) AS a,
-        |         CAST(e2.embedding AS DOUBLE[]) AS b
-        |  FROM embeddings e1 JOIN embeddings e2 ON e2.vec_id = e1.vec_id + 1
-        |  WHERE e1.vec_id <= 100),
-        |vm AS (
-        |  SELECT id1,
-        |         ROUND(list_dot_product(a, b), 4) AS dp,
-        |         ROUND(list_aggregate(list_transform(a, x -> ABS(x)), 'sum'), 4) AS n1,
-        |         ROUND(SQRT(list_dot_product(a, a)), 4) AS n2,
-        |         ROUND(list_aggregate(list_transform(a, x -> ABS(x)), 'max'), 4) AS ninf,
-        |         ROUND(list_aggregate(list_transform(list_zip(a, b),
-        |               p -> ABS(p[1] - p[2])), 'sum'), 4) AS d1,
-        |         ROUND(list_distance(a, b), 4) AS d2,
-        |         ROUND(1 - list_cosine_similarity(a, b), 6) AS cd,
-        |         1.0 AS unit
-        |  FROM v),
-        |eb AS (
-        |  SELECT event_id,
-        |         hex(user_id) AS hx,
-        |         to_base64(encode(event_type)) AS b64,
-        |         event_type AS b64rt,
-        |         user_id & 255 AS band,
-        |         xor(user_id, 170) AS bxor,
-        |         (user_id % 1024) << 2 AS bshl,
-        |         CAST(bit_count(user_id) AS INT) AS bcnt,
-        |         CAST((user_id >> 3) & 1 AS INT) AS btst,
-        |         ((user_id * 7919 % 4294967296) >> 24 & 255) || '.' ||
-        |         ((user_id * 7919 % 4294967296) >> 16 & 255) || '.' ||
-        |         ((user_id * 7919 % 4294967296) >> 8 & 255) || '.' ||
-        |         ((user_id * 7919 % 4294967296) & 255) AS ip,
-        |         user_id * 7919 % 4294967296 AS ipn,
-        |         TRUE AS isip,
-        |         FALSE AS notip,
-        |         '192.168.5.0' AS cidr_lo,
-        |         '192.168.5.255' AS cidr_hi,
-        |         POW(2, user_id % 10) AS e2,
-        |         CAST(POW(2, user_id % 20) AS BIGINT) AS ie2,
-        |         (CAST(1 AS BIGINT) << CAST(FLOOR(LOG2(user_id + 1)) AS INT)) AS rte
-        |  FROM events WHERE event_id <= 300)
-        |SELECT eb.*, vm.dp, vm.n1, vm.n2, vm.ninf, vm.d1, vm.d2, vm.cd, vm.unit
-        |FROM eb JOIN vm ON vm.id1 = eb.event_id % 100 + 1
-        |ORDER BY eb.event_id""".stripMargin,
-
-    // ordered-list indexing per user; backward+last_match resolves to
-    // the event just before the earliest match in ascending order
-    "q151_sequence_next_node" ->
-      """WITH ul AS (
-        |  SELECT user_id, list(event_type ORDER BY ts, event_type) ev
-        |  FROM events WHERE user_id <= 200 GROUP BY user_id),
-        |p AS (
-        |  SELECT user_id, ev,
-        |         CASE WHEN list_position(ev, 'purchase') > 0
-        |              THEN len(ev) - list_position(list_reverse(ev), 'purchase') + 1
-        |              ELSE 0 END lp
-        |  FROM ul)
-        |SELECT user_id,
-        |  CASE WHEN len(ev) >= 3 AND ev[1] = 'view' AND ev[2] = 'click'
-        |       THEN ev[3] END AS after_vc,
-        |  CASE WHEN list_position(ev, 'signup') > 0
-        |        AND list_position(ev, 'signup') < len(ev)
-        |       THEN ev[list_position(ev, 'signup') + 1] END AS after_signup,
-        |  CASE WHEN lp > 1 THEN ev[lp - 1] END AS before_last_purchase
-        |FROM p ORDER BY user_id""".stripMargin,
-
-    // sorted-key renderings written out; ISO helpers are native DuckDB
-    "q150_maps_dates" ->
-      """SELECT event_id,
-        |  '1:' || event_id || ',2:' || (user_id + 10) || ',3:20' AS madd,
-        |  '1:' || (event_id % 5) || ',2:0,3:0,4:7' AS mpop,
-        |  TRUE AS mhas,
-        |  '1970-01-02 ' || strftime(ts, '%H:%M:%S') AS tt,
-        |  CAST(weekofyear(ts) AS INT) AS iw,
-        |  CAST(isoyear(ts) AS INT) AS iy,
-        |  CAST(last_day(CAST(ts AS DATE)) AS VARCHAR) AS ld,
-        |  CAST(make_timestamp(CAST(FLOOR(epoch(ts)) AS BIGINT) // 900 * 900
-        |       * 1000000) AS VARCHAR) AS si15,
-        |  CAST(CASE WHEN month(ts) % 2 = 0
-        |            THEN date_trunc('month', ts) - INTERVAL 1 MONTH
-        |            ELSE date_trunc('month', ts) END AS VARCHAR) AS si2m,
-        |  '2024-03-05 10:20:30' AS pdt,
-        |  '2024-03-05 10:20:30' AS pbe,
-        |  '2023-11-14' AS fut,
-        |  CAST(date_trunc('hour', ts) AS VARCHAR) AS dtr,
-        |  'view' AS only_view,
-        |  CAST(NULL AS BIGINT) AS mixed
-        |FROM events
-        |WHERE event_id <= 300
-        |ORDER BY event_id""".stripMargin,
-
-    // exact mirrors: COUNT DISTINCT, the planted majority literal,
-    // midpoint bins from per-value counts, level chars from bucket ratios
-    "q149_sketch_aggs" ->
-      """WITH hc AS (
-        |  SELECT event_type, CAST(user_id % 4 AS DOUBLE) v,
-        |         CAST(COUNT(*) AS DOUBLE) cnt
-        |  FROM events GROUP BY 1, 2),
-        |hist0 AS (
-        |  SELECT event_type, v, cnt,
-        |         COALESCE((LAG(v) OVER w + v) / 2,
-        |                  MIN(v) OVER (PARTITION BY event_type)) lo,
-        |         COALESCE((LEAD(v) OVER w + v) / 2,
-        |                  MAX(v) OVER (PARTITION BY event_type)) hi
-        |  FROM hc
-        |  WINDOW w AS (PARTITION BY event_type ORDER BY v)),
-        |hist AS (
-        |  SELECT event_type,
-        |         STRING_AGG(CAST(lo AS VARCHAR) || ':' || CAST(hi AS VARCHAR)
-        |           || ':' || CAST(cnt AS VARCHAR), ';' ORDER BY v) h
-        |  FROM hist0 GROUP BY event_type),
-        |bc AS (
-        |  SELECT event_type, user_id % 8 r, CAST(COUNT(*) AS DOUBLE) y
-        |  FROM events GROUP BY 1, 2),
-        |bc2 AS (
-        |  SELECT event_type, r,
-        |         (['▁','▂','▃','▄','▅','▆','▇','█'])[
-        |           CAST(CEIL(y / MAX(y) OVER (PARTITION BY event_type) * 8) AS INT)] ch
-        |  FROM bc),
-        |bars AS (
-        |  SELECT event_type, STRING_AGG(ch, '' ORDER BY r) b
-        |  FROM bc2 GROUP BY event_type),
-        |agg AS (
-        |  SELECT event_type, COUNT(DISTINCT user_id) ut
-        |  FROM events GROUP BY event_type)
-        |SELECT agg.event_type, agg.ut, 'M' AS heavy, hist.h AS hist, bars.b AS bar
-        |FROM agg
-        |JOIN hist ON agg.event_type = hist.event_type
-        |JOIN bars ON agg.event_type = bars.event_type
-        |ORDER BY agg.event_type""".stripMargin,
-
-    // EMA = Σ x·2^((t−t_max)/hl) / Σ 2^((t−t_max)/hl); sweep = +1/−1
-    // boundary deltas, ends before starts at the same point, max prefix
-    "q148_sequence_aggs" ->
-      """WITH e AS (
-        |  SELECT event_type, value, CAST(FLOOR(epoch(ts)) AS BIGINT) t,
-        |         user_id % 1000 s, user_id % 1000 + event_id % 20 en
-        |  FROM events),
-        |ema AS (
-        |  SELECT e.event_type,
-        |         SUM(e.value * POW(2, (e.t - m.tmax) / 3600.0))
-        |           / SUM(POW(2, (e.t - m.tmax) / 3600.0)) r
-        |  FROM e JOIN (SELECT event_type, MAX(t) tmax FROM e GROUP BY event_type) m
-        |    ON e.event_type = m.event_type
-        |  GROUP BY e.event_type),
-        |b AS (
-        |  SELECT event_type, s AS p, 1 AS d FROM e WHERE s < en
-        |  UNION ALL
-        |  SELECT event_type, en AS p, -1 AS d FROM e WHERE s < en),
-        |sweep AS (
-        |  SELECT event_type, p,
-        |         SUM(SUM(d)) OVER (PARTITION BY event_type ORDER BY p) depth
-        |  FROM b GROUP BY event_type, p),
-        |mx AS (
-        |  SELECT event_type, MAX(depth) m FROM sweep GROUP BY event_type),
-        |pos AS (
-        |  SELECT sweep.event_type, MIN(p) mp
-        |  FROM sweep JOIN mx ON sweep.event_type = mx.event_type
-        |             AND sweep.depth = mx.m
-        |  GROUP BY sweep.event_type)
-        |SELECT ema.event_type,
-        |       ROUND(ema.r, 6) AS ema,
-        |       CAST(mx.m AS BIGINT) AS mx,
-        |       pos.mp AS mx_pos
-        |FROM ema
-        |JOIN mx ON ema.event_type = mx.event_type
-        |JOIN pos ON ema.event_type = pos.event_type
-        |ORDER BY ema.event_type""".stripMargin,
-
-    // pooled/Welch t from FILTER aggregates; U from tie-averaged ranks
-    "q147_two_sample_tests" ->
-      """WITH s AS (
-        |  SELECT AVG(value) FILTER (user_id % 2 = 0) m0,
-        |         AVG(value) FILTER (user_id % 2 = 1) m1,
-        |         VAR_SAMP(value) FILTER (user_id % 2 = 0) v0,
-        |         VAR_SAMP(value) FILTER (user_id % 2 = 1) v1,
-        |         CAST(COUNT(*) FILTER (user_id % 2 = 0) AS DOUBLE) n0,
-        |         CAST(COUNT(*) FILTER (user_id % 2 = 1) AS DOUBLE) n1,
-        |         COUNT(*) n
-        |  FROM events),
-        |r AS (
-        |  SELECT user_id % 2 g,
-        |         RANK() OVER (ORDER BY value)
-        |           + (COUNT(*) OVER (PARTITION BY value) - 1) / 2.0 rk
-        |  FROM events),
-        |u AS (
-        |  SELECT SUM(rk) FILTER (g = 0) r0,
-        |         CAST(COUNT(*) FILTER (g = 0) AS DOUBLE) n0,
-        |         CAST(COUNT(*) FILTER (g = 1) AS DOUBLE) n1
-        |  FROM r)
-        |SELECT
-        |  ROUND((s.m0 - s.m1) / SQRT(((s.n0 - 1) * s.v0 + (s.n1 - 1) * s.v1)
-        |        / (s.n0 + s.n1 - 2) * (1 / s.n0 + 1 / s.n1)), 6) AS st_t,
-        |  ROUND((s.m0 - s.m1) / SQRT(s.v0 / s.n0 + s.v1 / s.n1), 6) AS wt_t,
-        |  ROUND(LEAST(u.r0 - u.n0 * (u.n0 + 1) / 2,
-        |              u.n0 * u.n1 - (u.r0 - u.n0 * (u.n0 + 1) / 2)), 1) AS mw_u,
-        |  s.n AS n
-        |FROM s CROSS JOIN u""".stripMargin,
-
-    // the same haversine spelled in SQL; geohash-9 cell centers collapse
-    // to the source coordinate at 2 decimals; display pins are literals
-    "q146_geo_format" ->
-      """WITH pts AS (
-        |  SELECT event_id,
-        |         CAST(user_id % 360 AS DOUBLE) - 180 + 0.5 AS lon,
-        |         CAST(user_id % 170 AS DOUBLE) - 85 + 0.25 AS lat
-        |  FROM events WHERE event_id <= 500)
-        |SELECT event_id,
-        |  ROUND(2 * 6372797.560856 * ASIN(SQRT(
-        |    POW(SIN((RADIANS(40.7484) - RADIANS(lat)) / 2), 2)
-        |    + COS(RADIANS(lat)) * COS(RADIANS(40.7484))
-        |      * POW(SIN((RADIANS(-73.9857) - RADIANS(lon)) / 2), 2))), 2) AS gcd,
-        |  ROUND(lon, 2) AS gh_lon,
-        |  ROUND(lat, 2) AS gh_lat,
-        |  lon < 0 AS west,
-        |  'u4pruydqqvj' AS gh_pin,
-        |  TRUE AS pip_pin,
-        |  '1.08 KiB' AS fsize,
-        |  '1.11 thousand' AS fqty,
-        |  '1 minute, 57 seconds' AS fdelta,
-        |  '█████' AS bar5,
-        |  '██▎' AS bar_frac
-        |FROM pts
-        |ORDER BY event_id""".stripMargin,
-
-    // epoch arithmetic, strftime names, and position scans per helper
-    "q145_date_helpers" ->
-      """SELECT event_id,
-        |  make_timestamp((CAST(FLOOR(epoch(ts)) AS BIGINT) // 1800 * 1800) * 1000000) AS slot,
-        |  ((CAST(FLOOR(epoch(ts)) AS BIGINT) + 3600) // 1800 - CAST(FLOOR(epoch(ts)) AS BIGINT) // 1800 + 1) AS nslots,
-        |  CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS rel_hour,
-        |  datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS rel_day,
-        |  year(ts) * 12 + month(ts) AS rel_month,
-        |  datediff('day', DATE '1858-11-17', CAST(ts AS DATE)) AS mjd,
-        |  CAST(ts AS DATE) AS mjd_rt,
-        |  strftime(ts, '%B') AS mname,
-        |  strftime(ts, '%A') AS wname,
-        |  (CAST(FLOOR(epoch(ts)) AS BIGINT) - epoch(TIMESTAMP '2024-01-01 00:00:00')::BIGINT) // 3600 AS age_h,
-        |  (CAST(FLOOR(epoch(ts)) AS BIGINT) - epoch(TIMESTAMP '2024-01-01 00:00:00')::BIGINT) // 86400 AS age_d,
-        |  CASE event_type WHEN 'view' THEN 'V' WHEN 'purchase' THEN 'P'
-        |       ELSE '?' END AS tcode,
-        |  array_to_string([position('ie' IN event_type),
-        |                   position('ur' IN event_type),
-        |                   position('xx' IN event_type)], ',') AS mpos,
-        |  (event_type LIKE '%chase%' OR event_type LIKE '%zz%') AS many
-        |FROM events
-        |WHERE event_id <= 500
-        |ORDER BY event_id""".stripMargin,
-
-    // list slicing/aggregate mirrors for the per-row ops, literal pins
-    // for the scan shapes, rank-window AUC for the aggregate
-    "q144_array_battery" ->
-      """WITH li AS (
-        |  SELECT l_orderkey, l_linenumber,
-        |         [CAST(l_linenumber AS BIGINT), CAST(l_quantity AS BIGINT),
-        |          l_partkey % 7 + 1] AS arr
-        |  FROM lineitem WHERE l_orderkey <= 200),
-        |r AS (
-        |  SELECT event_type, CAST(user_id % 2 AS INT) l,
-        |         RANK() OVER (PARTITION BY event_type ORDER BY value)
-        |           + (COUNT(*) OVER (PARTITION BY event_type, value) - 1) / 2.0 rk
-        |  FROM events),
-        |auc AS (
-        |  SELECT event_type,
-        |         ROUND((SUM(CASE WHEN l = 1 THEN rk ELSE 0 END)
-        |                - SUM(l) * (SUM(l) + 1) / 2.0)
-        |               / (SUM(l) * (COUNT(*) - SUM(l))), 6) AS auc
-        |  FROM r GROUP BY event_type)
-        |SELECT l_orderkey, l_linenumber,
-        |       list_aggregate(arr, 'product') AS prod,
-        |       array_to_string(arr[2:] || arr[1:1], ',') AS rotl,
-        |       array_to_string(arr[3:] || arr[1:2], ',') AS rotr,
-        |       array_to_string(list_transform(range(1, 3),
-        |                                      i -> array_to_string(arr[i:i+1], ',')), ';') AS sh,
-        |       '1,2,0,1' AS ccs,
-        |       '1,1,2,2,2,3' AS fil,
-        |       '1,2,2,3,3,3' AS rfil,
-        |       '0,0;1,0;1' AS spl,
-        |       '0,0,1;0,1' AS rspl,
-        |       (SELECT MIN(auc) FROM auc) AS auc
-        |FROM li
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
-
-    // same-definition DuckDB text built-ins per metric
-    "q143_string_distance" ->
-      """SELECT p_partkey,
-        |       levenshtein(p_name, p_type) AS ed,
-        |       damerau_levenshtein(substring(p_name, 1, 12),
-        |                           substring(p_type, 1, 12)) AS dl,
-        |       ROUND(jaro_similarity(p_name, p_type), 6) AS js,
-        |       ROUND(jaro_winkler_similarity(p_name, p_type), 6) AS jw,
-        |       hamming(rpad(p_name, 10, '.'), rpad(p_type, 10, '.')) AS bh,
-        |       ROUND(jaccard(p_name, p_type), 6) AS sj
-        |FROM part
-        |WHERE p_partkey <= 500
-        |ORDER BY p_partkey""".stripMargin,
-
-    // the same contingency-table math spelled out: chi-square over all
-    // r×c cells, entropies via LOG2, ratios per the CH formulas
-    "q138_entropy_assoc" ->
-      """WITH p AS (
-        |  SELECT event_type AS x, CAST(user_id % 3 AS VARCHAR) AS y FROM events),
-        |cells AS (SELECT x, y, CAST(COUNT(*) AS DOUBLE) c FROM p GROUP BY x, y),
-        |rt AS (SELECT x, SUM(c) r FROM cells GROUP BY x),
-        |ct AS (SELECT y, SUM(c) q FROM cells GROUP BY y),
-        |tot AS (SELECT SUM(c) n FROM cells),
-        |dims AS (SELECT (SELECT COUNT(*) FROM rt) rr, (SELECT COUNT(*) FROM ct) qq),
-        |chi AS (
-        |  SELECT SUM(POWER(COALESCE(cells.c, 0) - rt.r * ct.q / tot.n, 2)
-        |             / (rt.r * ct.q / tot.n)) chi2
-        |  FROM rt CROSS JOIN ct CROSS JOIN tot
-        |  LEFT JOIN cells ON cells.x = rt.x AND cells.y = ct.y),
-        |hx AS (SELECT -SUM(r / tot.n * LOG2(r / tot.n)) h FROM rt CROSS JOIN tot),
-        |hxy AS (SELECT -SUM(c / tot.n * LOG2(c / ct.q)) h
-        |        FROM cells JOIN ct USING (y) CROSS JOIN tot)
-        |SELECT
-        |  ROUND((SELECT entropy(event_type) FROM events), 6) AS h_type,
-        |  ROUND((SELECT entropy(user_id % 10) FROM events), 6) AS h_mod,
-        |  ROUND(SQRT(chi.chi2 / tot.n / LEAST(dims.rr - 1, dims.qq - 1)), 6) AS cv,
-        |  ROUND(SQRT(
-        |    GREATEST(0, chi.chi2 / tot.n
-        |                - (dims.rr - 1) * (dims.qq - 1) / (tot.n - 1))
-        |    / LEAST(dims.rr - POWER(dims.rr - 1, 2) / (tot.n - 1) - 1,
-        |            dims.qq - POWER(dims.qq - 1, 2) / (tot.n - 1) - 1)), 6) AS cvbc,
-        |  ROUND((hx.h - hxy.h) / hx.h, 6) AS tu,
-        |  ROUND(SQRT(chi.chi2 / (chi.chi2 + tot.n)), 6) AS cg
-        |FROM chi CROSS JOIN tot CROSS JOIN dims CROSS JOIN hx CROSS JOIN hxy""".stripMargin,
-
-    // classic island aggregation: a segment starts a new island when its
-    // start exceeds the running max end of everything before it
-    "q139_interval_sum" ->
-      """WITH iv AS (
-        |  SELECT event_type, user_id * 37 % 10000 s,
-        |         user_id * 37 % 10000 + event_id % 7 e
-        |  FROM events),
-        |m AS (
-        |  SELECT event_type, s, e,
-        |         MAX(e) OVER (PARTITION BY event_type ORDER BY s, e
-        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) pmax
-        |  FROM iv),
-        |g AS (
-        |  SELECT event_type, s, e,
-        |         SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
-        |           OVER (PARTITION BY event_type ORDER BY s, e) grp
-        |  FROM m),
-        |isl AS (SELECT event_type, grp, MAX(e) - MIN(s) len FROM g GROUP BY 1, 2)
-        |SELECT event_type, CAST(SUM(len) AS BIGINT) AS covered
-        |FROM isl GROUP BY event_type ORDER BY event_type""".stripMargin,
-
-    // positive lag-deltas in (ts, value) order
-    "q140_delta_sum" ->
-      """WITH o AS (
-        |  SELECT event_type, value,
-        |         LAG(value) OVER (PARTITION BY event_type ORDER BY ts, value) pv
-        |  FROM events)
-        |SELECT event_type,
-        |       ROUND(SUM(CASE WHEN value > pv THEN value - pv ELSE 0 END), 6) AS dsum
-        |FROM o GROUP BY event_type ORDER BY event_type""".stripMargin,
-
-    // CH's ascending-scan rule: first value whose cumulative weight
-    // reaches level * total
-    "q141_weighted_quantile" ->
-      """WITH w AS (
-        |  SELECT l_returnflag rf, CAST(l_quantity AS BIGINT) v,
-        |         SUM(l_linenumber) wt
-        |  FROM lineitem GROUP BY 1, 2),
-        |c AS (
-        |  SELECT rf, v,
-        |         SUM(wt) OVER (PARTITION BY rf ORDER BY v) cum,
-        |         SUM(wt) OVER (PARTITION BY rf) tot
-        |  FROM w)
-        |SELECT rf AS l_returnflag,
-        |       MIN(CASE WHEN cum >= 0.5 * tot THEN v END) AS wmed,
-        |       MIN(CASE WHEN cum >= 0.5 * tot THEN v END) AS wmed2,
-        |       MIN(CASE WHEN cum >= 0.9 * tot THEN v END) AS wq90
-        |FROM c GROUP BY rf ORDER BY rf""".stripMargin,
-
-    // Spearman = Pearson over average ranks (ties share their mean rank)
-    "q142_rank_corr" ->
-      """WITH r AS (
-        |  SELECT l_returnflag rf,
-        |    RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
-        |      + (COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1) / 2.0 rx,
-        |    RANK() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
-        |      + (COUNT(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1) / 2.0 ry,
-        |    RANK() OVER (PARTITION BY l_returnflag ORDER BY l_discount)
-        |      + (COUNT(*) OVER (PARTITION BY l_returnflag, l_discount) - 1) / 2.0 rd
-        |  FROM lineitem)
-        |SELECT rf AS l_returnflag,
-        |       ROUND(corr(rx, ry), 6) AS rc,
-        |       ROUND(corr(rx, rd), 6) AS rc_disc
-        |FROM r GROUP BY rf ORDER BY rf""".stripMargin,
-
-    // sorted distinct-uid lists mirror every bitmap value: xor = union
-    // minus intersection, andnot = left minus intersection, subsets =
-    // ordered list slices/filters.
-    "q135_bitmap_algebra" ->
-      """WITH lv AS (
-        |  SELECT list_sort(list(DISTINCT user_id)) AS l FROM events
-        |  WHERE event_type = 'view' AND user_id < 500),
-        |lp AS (
-        |  SELECT list_sort(list(DISTINCT user_id)) AS l FROM events
-        |  WHERE event_type = 'purchase' AND user_id < 500)
-        |SELECT
-        |  CAST(len(lv.l) AS BIGINT) AS n_view,
-        |  CAST(len(lp.l) AS BIGINT) AS n_buy,
-        |  CAST(len(list_distinct(lv.l || lp.l)) - len(list_intersect(lv.l, lp.l)) AS BIGINT) AS n_xor,
-        |  CAST(len(lv.l) - len(list_intersect(lv.l, lp.l)) AS BIGINT) AS n_viewonly,
-        |  true AS hasall_self,
-        |  len(list_intersect(lv.l, lp.l)) > 0 AS overlap,
-        |  list_contains(lv.l, 42) AS has42,
-        |  CAST(COALESCE(lp.l[1], 0) AS BIGINT) AS min_buy,
-        |  CAST(COALESCE(lp.l[-1], 0) AS BIGINT) AS max_buy,
-        |  array_to_string(list_filter(lp.l, x -> x >= 100)[1:5], ',') AS first5_ge100,
-        |  CAST(len(list_filter(lv.l, x -> x >= 100 AND x < 200)) AS BIGINT) AS views_100_200,
-        |  CAST(least(7, greatest(0, len(lv.l) - 10)) AS BIGINT) AS sub7,
-        |  CAST(len(list_filter(lv.l, x -> x NOT IN (1, 2, 3))) AS BIGINT) AS minus3
-        |FROM lv, lp""".stripMargin,
-
-    // unsigned wraps mirror as % 2^n (keys are nonnegative); the decimal
-    // sum is the exact accumulator both engines share before the one
-    // double cast.
-    "q133_ch_casts" ->
-      """SELECT l_returnflag,
-        |  CAST(SUM(CAST(l_quantity AS INT)) AS BIGINT) AS q_sum,
-        |  CAST(SUM(CAST(l_linenumber AS TINYINT)) AS BIGINT) AS ln_sum,
-        |  CAST(SUM(l_orderkey % 256) AS BIGINT) AS u8_sum,
-        |  CAST(SUM(l_orderkey % 65536) AS BIGINT) AS u16_sum,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
-        |  MIN(CAST(l_discount AS REAL)) AS disc_min,
-        |  CAST(MAX(l_partkey) AS BIGINT) AS pk_max
-        |FROM lineitem
-        |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin,
-
-    // DuckDB's json extension mirrors every member: extract_string for
-    // the string/typed forms, json_keys length for the object-size arm.
-    "q132_ch_json" ->
-      """SELECT event_type,
-        |  COUNT(CASE WHEN json_extract(props, '$.k') IS NOT NULL THEN 1 END) AS has_k,
-        |  COUNT(CASE WHEN json_extract(props, '$.missing') IS NOT NULL THEN 1 END) AS has_missing,
-        |  CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
-        |  MAX(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS max_kf,
-        |  MIN(json_extract_string(props, '$.k')) AS min_ks,
-        |  CAST(SUM(CASE WHEN json_type(props) = 'ARRAY'
-        |                THEN json_array_length(props)
-        |                ELSE len(json_keys(props)) END) AS BIGINT) AS key_counts
-        |FROM events
-        |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin,
-
-    // list(x) sorted+sliced mirrors the bounded ordered collect;
-    // list_intersect dedups like Spark's array_intersect, and both sides
-    // canonicalize by sorting before the string join.
-    "q131_group_array_sorted" ->
-      """WITH t AS (
-        |  SELECT lang, doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |u AS (
-        |  SELECT lang, doc_id,
-        |    len(list_intersect(list_distinct(toks),
-        |        ['table', 'scan', 'row', 'agg'])) AS n_kw
-        |  FROM t)
-        |SELECT lang,
-        |  array_to_string(list_sort(list(doc_id))[1:5], ',') AS low_ids,
-        |  CAST(SUM(n_kw) AS BIGINT) AS kw_hits
-        |FROM u GROUP BY lang ORDER BY lang""".stripMargin
-  )
+  /** DuckDB oracle SQL per declared query — split per-family into
+    * [[ChOraclesDialect]] (q23–q136 dialect mirrors) and
+    * [[ChOraclesStats]] (q131–q160 function-family mirrors) in round 9;
+    * this concatenation is the single map SparkEntry consumes.
+    */
+  val oracle: Map[String, String] = ChOraclesDialect.sql ++ ChOraclesStats.sql
 }
