@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
 /** ClickHouse-dialect function names registered as Spark SQL functions, so
@@ -76,6 +77,7 @@ object ChCompat {
     Moving.register(spark)
     SketchAggs.register(spark)
     SequenceNextNode.register(spark)
+    StatMatrix.register(spark)
     HtmlText.register(spark)
     // CH's one-row system table (`FROM system.one` — the doc's hand-built
     // rows idiom, doc:335-495, selects literals from it). The catalog
@@ -642,6 +644,16 @@ object ChCompat {
     }
     f("arrayRotateLeft") { es => rotL(es(0), es(1)) }
     f("arrayRotateRight") { es => rotL(es(0), UnaryMinus(es(1))) }
+    // arrayShiftLeft/Right(arr, n[, default]): dropped slots fill with the
+    // explicit default (2-arg form fills with the element type's default,
+    // resolved at runtime by the dedicated expression — the builder can't
+    // inspect unresolved child types)
+    f("arrayShiftLeft") { es =>
+      ArrayShiftExpr(es(0), es(1), es.drop(2).headOption, shiftLeft = true)
+    }
+    f("arrayShiftRight") { es =>
+      ArrayShiftExpr(es(0), es(1), es.drop(2).headOption, shiftLeft = false)
+    }
     // consecutive n-windows: [a,b,c,d] / 2 → [[a,b],[b,c],[c,d]]
     f("arrayShingles") { es =>
       val arr = es(0); val n = Cast(es(1), IntegerType)
@@ -2027,6 +2039,90 @@ case class BitmapSubsetExpr(first: Expression, second: Expression,
 /** CH `arrayAUC(scores, labels)`: exact ROC AUC from one row's parallel
   * arrays — rank-sum form with average ranks on score ties (the same
   * half-credit CH assigns). NULL when either class is absent. */
+/** CH `arrayShiftLeft/Right(arr, n[, default])`: length-preserving shift,
+  * vacated slots filled with `default` (2-arg form: the element type's
+  * default — 0 / '' / false / [], per CH). Negative n shifts the other
+  * way. `default` is an ordinary expression evaluated per row and coerced
+  * to the element type.
+  */
+case class ArrayShiftExpr(
+    arr: Expression,
+    n: Expression,
+    dflt: Option[Expression],
+    shiftLeft: Boolean)
+  extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(arr, n) ++ dflt
+  override def dataType: DataType = arr.dataType
+  override def nullable: Boolean = arr.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (arr.dataType, n.dataType) match {
+      case (ArrayType(_, _), LongType | IntegerType | ShortType | ByteType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (a, b) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName(arr, n[, default]): array + integral n, got " +
+          s"(${a.simpleString}, ${b.simpleString})")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val a = arr.eval(input)
+    val nv = n.eval(input)
+    if (a == null || nv == null) return null
+    val ad = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val et = arr.dataType.asInstanceOf[ArrayType].elementType
+    val sz = ad.numElements()
+    var shift = nv.asInstanceOf[Number].longValue()
+    if (!shiftLeft) shift = -shift
+    val fill = fillValue(input, et)
+    val out = new Array[Any](sz)
+    var i = 0
+    while (i < sz) {
+      val src = i + shift
+      out(i) =
+        if (src >= 0 && src < sz) {
+          val s = src.toInt
+          if (ad.isNullAt(s)) null else ad.get(s, et)
+        } else fill
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private def fillValue(input: InternalRow, et: DataType): Any = dflt match {
+    case Some(e) => coerce(e.eval(input), et)
+    case None => et match {
+      case LongType => 0L
+      case IntegerType => 0
+      case ShortType => 0.toShort
+      case ByteType => 0.toByte
+      case DoubleType => 0d
+      case FloatType => 0f
+      case BooleanType => false
+      case StringType => org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+      case ArrayType(_, _) => new GenericArrayData(Array.empty[Any])
+      case _ => null
+    }
+  }
+
+  private def coerce(v: Any, et: DataType): Any = (v, et) match {
+    case (null, _) => null
+    case (x: java.lang.Number, LongType) => x.longValue()
+    case (x: java.lang.Number, IntegerType) => x.intValue()
+    case (x: java.lang.Number, ShortType) => x.shortValue()
+    case (x: java.lang.Number, ByteType) => x.byteValue()
+    case (x: java.lang.Number, DoubleType) => x.doubleValue()
+    case (x: java.lang.Number, FloatType) => x.floatValue()
+    case (d: Decimal, DoubleType) => d.toDouble
+    case (d: Decimal, LongType) => d.toLong
+    case _ => v
+  }
+
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): ArrayShiftExpr =
+    copy(arr = cs(0), n = cs(1), dflt = dflt.map(_ => cs(2)))
+  override def prettyName: String = if (shiftLeft) "arrayShiftLeft" else "arrayShiftRight"
+}
+
 case class ArrayAucExpr(left: Expression, right: Expression)
   extends Expression with BinaryLike[Expression] with CodegenFallback {
 

@@ -1,0 +1,431 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** CH's multivariate second-order aggregates and positional collector:
+  *
+  *  - `corrMatrix(x1..xk)` / `covarSampMatrix` / `covarPopMatrix` —
+  *    the pairwise statistic matrix as Array(Array(Float64)). State is
+  *    the CENTERED co-moment matrix (n, mean[k], C[i][j]) with the
+  *    classic pairwise-merge update — not raw Σxy sums, which cancel
+  *    catastrophically when |mean| ≫ stddev at large n (exactly the
+  *    100 TB regime); O(k²) doubles per group, map-side combined.
+  *  - `studentTTestOneSample(value, population_mean)` — one-sample
+  *    location t-test, (t_statistic, p_value) like the two-sample
+  *    [[TTestAgg]]; O(1) Welford state.
+  *  - `groupArrayInsertAt(x, pos[, default[, size]])` (flat spelling of
+  *    CH's `groupArrayInsertAt(default, size)(x, pos)`) — place each
+  *    value at its position, `default` (or the type default) filling
+  *    gaps. CH leaves same-position collisions unspecified; this port
+  *    keeps the SMALLEST value for partition-order determinism.
+  */
+object StatMatrix {
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def f(name: String)(b: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    for (mode <- Seq("corr", "covarSamp", "covarPop"))
+      f(s"${mode}Matrix") { es =>
+        CoMomentMatrixAgg(es, mode).toAggregateExpression()
+      }
+    f("studentTTestOneSample") { es =>
+      TTestOneSampleAgg(es(0), es(1)).toAggregateExpression()
+    }
+    f("groupArrayInsertAt") { es =>
+      GroupArrayInsertAtAgg(es(0), es(1),
+        if (es.length >= 3) Some(es(2)) else None,
+        if (es.length >= 4) Some(es(3)) else None).toAggregateExpression()
+    }
+  }
+}
+
+/** Centered co-moment state: n, means, and C[i][j] = Σ(xi−x̄i)(xj−x̄j)
+  * (upper triangle stored, symmetric by construction). */
+final class CoMomentBuf(val k: Int) {
+  var n: Long = 0L
+  val mean = new Array[Double](k)
+  val c = Array.ofDim[Double](k, k) // only i <= j populated
+  private val d = new Array[Double](k)
+
+  def add(x: Array[Double]): Unit = {
+    n += 1
+    val f = (n - 1).toDouble / n
+    var i = 0
+    while (i < k) { d(i) = x(i) - mean(i); i += 1 }
+    i = 0
+    while (i < k) {
+      var j = i
+      while (j < k) { c(i)(j) += d(i) * d(j) * f; j += 1 }
+      mean(i) += d(i) / n
+      i += 1
+    }
+  }
+
+  def mergeFrom(o: CoMomentBuf): Unit = {
+    if (o.n == 0) return
+    if (n == 0) {
+      n = o.n
+      Array.copy(o.mean, 0, mean, 0, k)
+      var i = 0
+      while (i < k) { Array.copy(o.c(i), 0, c(i), 0, k); i += 1 }
+      return
+    }
+    val nA = n.toDouble; val nB = o.n.toDouble; val nT = nA + nB
+    var i = 0
+    while (i < k) { d(i) = o.mean(i) - mean(i); i += 1 }
+    i = 0
+    while (i < k) {
+      var j = i
+      while (j < k) { c(i)(j) += o.c(i)(j) + d(i) * d(j) * nA * nB / nT; j += 1 }
+      mean(i) += d(i) * nB / nT
+      i += 1
+    }
+    n += o.n
+  }
+
+  /** symmetric read */
+  def cAt(i: Int, j: Int): Double = if (i <= j) c(i)(j) else c(j)(i)
+}
+
+case class CoMomentMatrixAgg(
+    children: Seq[Expression],
+    mode: String,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[CoMomentBuf] {
+
+  require(Set("corr", "covarSamp", "covarPop")(mode), s"unknown matrix mode $mode")
+  require(children.nonEmpty, s"$prettyName needs at least one column")
+  private def k = children.length
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType match {
+      case LongType | IntegerType | ShortType | DoubleType | FloatType => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName: numeric columns required")
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  override def nullable: Boolean = false
+  override def createAggregationBuffer(): CoMomentBuf = new CoMomentBuf(k)
+
+  override def update(buf: CoMomentBuf, row: InternalRow): CoMomentBuf = {
+    val x = new Array[Double](k)
+    var i = 0
+    while (i < k) {
+      children(i).eval(row) match {
+        case null => return buf // CH skips the row if any column is NULL
+        case d: Double => x(i) = d
+        case f: Float => x(i) = f.toDouble
+        case l: Long => x(i) = l.toDouble
+        case n: Int => x(i) = n.toDouble
+        case s: Short => x(i) = s.toDouble
+      }
+      i += 1
+    }
+    buf.add(x)
+    buf
+  }
+  override def merge(buf: CoMomentBuf, o: CoMomentBuf): CoMomentBuf = {
+    buf.mergeFrom(o); buf
+  }
+
+  override def eval(buf: CoMomentBuf): Any = {
+    val rows = new Array[Any](k)
+    var i = 0
+    while (i < k) {
+      val r = new Array[Any](k)
+      var j = 0
+      while (j < k) {
+        r(j) = mode match {
+          case "covarPop" =>
+            if (buf.n < 1) Double.NaN else buf.cAt(i, j) / buf.n
+          case "covarSamp" =>
+            if (buf.n < 2) Double.NaN else buf.cAt(i, j) / (buf.n - 1)
+          case "corr" =>
+            // zero variance (or n<2) divides to NaN, matching CH's nan
+            buf.cAt(i, j) / math.sqrt(buf.cAt(i, i) * buf.cAt(j, j))
+        }
+        j += 1
+      }
+      rows(i) = new GenericArrayData(r)
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(buf: CoMomentBuf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + 8 * k + 8 * k * (k + 1) / 2)
+    bb.putLong(buf.n)
+    var i = 0
+    while (i < k) { bb.putDouble(buf.mean(i)); i += 1 }
+    i = 0
+    while (i < k) {
+      var j = i
+      while (j < k) { bb.putDouble(buf.c(i)(j)); j += 1 }
+      i += 1
+    }
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): CoMomentBuf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new CoMomentBuf(k)
+    buf.n = bb.getLong
+    var i = 0
+    while (i < k) { buf.mean(i) = bb.getDouble; i += 1 }
+    i = 0
+    while (i < k) {
+      var j = i
+      while (j < k) { buf.c(i)(j) = bb.getDouble; j += 1 }
+      i += 1
+    }
+    buf
+  }
+  override def withNewMutableAggBufferOffset(o: Int): CoMomentMatrixAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CoMomentMatrixAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): CoMomentMatrixAgg =
+    copy(children = cs)
+  override def prettyName: String = s"${mode}Matrix"
+}
+
+/** One-sample Student t: t = (x̄ − μ)/(s/√n), df = n−1; O(1) Welford. */
+case class TTestOneSampleAgg(
+    valueChild: Expression,
+    muChild: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TTestBuf] {
+
+  override def children: Seq[Expression] = Seq(valueChild, muChild)
+
+  private lazy val mu: Double = muChild.eval(InternalRow.empty) match {
+    case n: Number => n.doubleValue()
+    case d: Decimal => d.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$prettyName: population mean must be a numeric literal, got $other")
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = valueChild.dataType match {
+    case LongType | IntegerType | ShortType | DoubleType | FloatType
+      if muChild.foldable => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName(value, population_mean): numeric value + literal mean")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("t_statistic", DoubleType, nullable = true),
+    StructField("p_value", DoubleType, nullable = true)))
+  override def nullable: Boolean = false
+  override def createAggregationBuffer(): TTestBuf = new TTestBuf
+
+  override def update(buf: TTestBuf, row: InternalRow): TTestBuf = {
+    valueChild.eval(row) match {
+      case null => ()
+      case d: Double => buf.add(0, d)
+      case f: Float => buf.add(0, f.toDouble)
+      case l: Long => buf.add(0, l.toDouble)
+      case i: Int => buf.add(0, i.toDouble)
+      case s: Short => buf.add(0, s.toDouble)
+    }
+    buf
+  }
+  override def merge(buf: TTestBuf, o: TTestBuf): TTestBuf = { buf.mergeFrom(o); buf }
+
+  override def eval(buf: TTestBuf): Any = {
+    val n = buf.n(0).toDouble
+    if (n < 2) return InternalRow(null, null)
+    val s2 = buf.m2(0) / (n - 1)
+    val t = (buf.mean(0) - mu) / math.sqrt(s2 / n)
+    InternalRow(t, StatMath.studentP(t, n - 1))
+  }
+
+  override def serialize(buf: TTestBuf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(24)
+    bb.putLong(buf.n(0)); bb.putDouble(buf.mean(0)); bb.putDouble(buf.m2(0))
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): TTestBuf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new TTestBuf
+    buf.n(0) = bb.getLong; buf.mean(0) = bb.getDouble; buf.m2(0) = bb.getDouble
+    buf
+  }
+  override def withNewMutableAggBufferOffset(o: Int): TTestOneSampleAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TTestOneSampleAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): TTestOneSampleAgg =
+    copy(valueChild = cs(0), muChild = cs(1))
+  override def prettyName: String = "studentTTestOneSample"
+}
+
+final class InsertAtBuf {
+  /** pos → value (Long | Double | String), smallest value kept on clash */
+  private[graft] val m = mutable.HashMap.empty[Int, Any]
+}
+
+case class GroupArrayInsertAtAgg(
+    valueChild: Expression,
+    posChild: Expression,
+    defaultChild: Option[Expression],
+    sizeChild: Option[Expression],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[InsertAtBuf] {
+
+  override def children: Seq[Expression] =
+    Seq(valueChild, posChild) ++ defaultChild ++ sizeChild
+
+  // guard against a hostile/corrupt position column allocating the driver
+  // away: CH bounds positions too (it errors past array_size_overflow)
+  private val MaxPos = 1 << 20
+
+  private lazy val sizeOpt: Option[Int] = sizeChild.map(_.eval(InternalRow.empty) match {
+    case n: Number => n.intValue()
+    case other => throw new IllegalArgumentException(
+      s"$prettyName: size must be an integer literal, got $other")
+  })
+
+  private def isString = valueChild.dataType == StringType
+  private def isDouble = valueChild.dataType match {
+    case DoubleType | FloatType => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (valueChild.dataType, posChild.dataType) match {
+      case (LongType | IntegerType | DoubleType | FloatType | StringType,
+            LongType | IntegerType | ShortType)
+        if defaultChild.forall(_.foldable) && sizeChild.forall(_.foldable) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName(x, pos[, default[, size]]): long/double/string x (cast " +
+          "other types), integral pos, literal default/size")
+    }
+
+  private def elemType: DataType =
+    if (isString) StringType else if (isDouble) DoubleType else LongType
+  override def dataType: DataType = ArrayType(elemType, containsNull = false)
+  override def nullable: Boolean = false
+  override def createAggregationBuffer(): InsertAtBuf = new InsertAtBuf
+
+  private def norm(v: Any): Any = v match {
+    case u: UTF8String => u.toString
+    case f: Float => f.toDouble
+    case i: Int => i.toLong
+    case other => other // Long | Double | String
+  }
+  private lazy val defaultValue: Any = defaultChild match {
+    case Some(e) => norm(e.eval(InternalRow.empty))
+    case None => if (isString) "" else if (isDouble) 0.0d else 0L
+  }
+
+  @annotation.nowarn("msg=match may not be exhaustive")
+  private def lt(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Long, y: Long) => x < y
+    case (x: Double, y: Double) => x < y
+    case (x: String, y: String) => x < y
+  }
+
+  override def update(buf: InsertAtBuf, row: InternalRow): InsertAtBuf = {
+    val p = posChild.eval(row)
+    val v = valueChild.eval(row)
+    if (p != null && v != null) {
+      val pos = p.asInstanceOf[Number].intValue()
+      require(pos >= 0 && pos <= MaxPos, s"$prettyName: position out of range: $pos")
+      val nv = norm(v)
+      buf.m.get(pos) match {
+        case Some(old) if !lt(nv, old) => ()
+        case _ => buf.m.update(pos, nv)
+      }
+    }
+    buf
+  }
+  override def merge(buf: InsertAtBuf, o: InsertAtBuf): InsertAtBuf = {
+    o.m.foreach { case (pos, nv) =>
+      buf.m.get(pos) match {
+        case Some(old) if !lt(nv, old) => ()
+        case _ => buf.m.update(pos, nv)
+      }
+    }
+    buf
+  }
+
+  override def eval(buf: InsertAtBuf): Any = {
+    val len = sizeOpt.getOrElse(if (buf.m.isEmpty) 0 else buf.m.keys.max + 1)
+    val out = new Array[Any](len)
+    var i = 0
+    while (i < len) {
+      val v = buf.m.getOrElse(i, defaultValue)
+      out(i) = v match {
+        case s: String => UTF8String.fromString(s)
+        case other => other
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: InsertAtBuf): Array[Byte] = {
+    val entries = buf.m.toSeq
+    val strBytes = entries.map {
+      case (_, s: String) => s.getBytes(StandardCharsets.UTF_8)
+      case _ => null
+    }
+    val size = 4 + entries.length * 12 +
+      strBytes.map(b => if (b == null) 0 else 4 + b.length).sum
+    val bb = ByteBuffer.allocate(size)
+    bb.putInt(entries.length)
+    entries.zip(strBytes).foreach { case ((pos, v), sb) =>
+      bb.putInt(pos)
+      v match {
+        case l: Long => bb.putLong(l)
+        case d: Double => bb.putDouble(d)
+        case _: String => bb.putLong(0L); bb.putInt(sb.length); bb.put(sb)
+      }
+    }
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): InsertAtBuf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new InsertAtBuf
+    val n = bb.getInt
+    var i = 0
+    while (i < n) {
+      val pos = bb.getInt
+      val v: Any =
+        if (isString) { bb.getLong; val b = new Array[Byte](bb.getInt); bb.get(b)
+          new String(b, StandardCharsets.UTF_8) }
+        else if (isDouble) bb.getDouble
+        else bb.getLong
+      buf.m.update(pos, v)
+      i += 1
+    }
+    buf
+  }
+  override def withNewMutableAggBufferOffset(o: Int): GroupArrayInsertAtAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): GroupArrayInsertAtAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): GroupArrayInsertAtAgg =
+    copy(valueChild = cs(0), posChild = cs(1),
+      defaultChild = defaultChild.map(_ => cs(2)),
+      sizeChild = sizeChild.map(_ => cs(if (defaultChild.isDefined) 3 else 2)))
+  override def prettyName: String = "groupArrayInsertAt"
+}

@@ -7,6 +7,43 @@ package graft.queries
   */
 object ChOraclesStats {
   val sql: Map[String, String] = Map(
+    // pairwise corr/covar mirror the matrix entries; the one-sample t is
+    // its closed form from AVG/VAR_SAMP/COUNT
+    "q163_stat_matrix" ->
+      """WITH t AS (
+        |  SELECT event_type, CAST(user_id % 97 AS DOUBLE) u, value v,
+        |         CAST(event_id % 31 AS DOUBLE) w
+        |  FROM events)
+        |SELECT event_type,
+        |  ROUND(corr(u, v), 6) AS c_uv,
+        |  ROUND(corr(u, w), 6) AS c_uw,
+        |  ROUND(corr(v, w), 6) AS c_vw,
+        |  ROUND(covar_samp(u, v), 6) AS cs_uv,
+        |  ROUND(covar_pop(v, w), 6) AS cp_vw,
+        |  ROUND((AVG(v) - 50.0) / SQRT(VAR_SAMP(v) / COUNT(*)), 6) AS t_one
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // day-of-week count slots written out as the four shifted renderings;
+    // DuckDB's dayofweek is 0=Sunday..6, matching Spark's dayofweek - 1
+    "q164_array_insert" ->
+      """WITH d AS (
+        |  SELECT event_type, dayofweek(CAST(ts AS DATE)) AS dw FROM events),
+        |c AS (
+        |  SELECT event_type,
+        |    CAST(COUNT(*) FILTER (dw = 0) AS VARCHAR) c0,
+        |    CAST(COUNT(*) FILTER (dw = 1) AS VARCHAR) c1,
+        |    CAST(COUNT(*) FILTER (dw = 2) AS VARCHAR) c2,
+        |    CAST(COUNT(*) FILTER (dw = 3) AS VARCHAR) c3,
+        |    CAST(COUNT(*) FILTER (dw = 4) AS VARCHAR) c4,
+        |    CAST(COUNT(*) FILTER (dw = 5) AS VARCHAR) c5,
+        |    CAST(COUNT(*) FILTER (dw = 6) AS VARCHAR) c6
+        |  FROM d GROUP BY event_type)
+        |SELECT event_type,
+        |  c0||','||c1||','||c2||','||c3||','||c4||','||c5||','||c6 AS counts,
+        |  c2||','||c3||','||c4||','||c5||','||c6||',0,0' AS shl2,
+        |  '-1,-1,-1,'||c0||','||c1||','||c2||','||c3 AS shr3,
+        |  '0,'||c0||','||c1||','||c2||','||c3||','||c4||','||c5 AS shl_neg
+        |FROM c ORDER BY event_type""".stripMargin,
     // sumCount/boundingRatio/simpleLinearRegression rebuilt from DuckDB
     // built-ins (arg_max/arg_min endpoints; regr_slope/regr_intercept)
     "q137_stat_pack" ->

@@ -946,6 +946,58 @@ object ChPack {
           |FROM graft_tt_events""".stripMargin)
     },
 
+    // CH multivariate matrices (corrMatrix/covarSampMatrix/covarPopMatrix
+    // — centered co-moment state, stable where raw Σxy sums cancel) + the
+    // one-sample t; matrix entries gate against DuckDB's pairwise
+    // corr/covar at 1e-6 rounding, p-values are spec-pinned.
+    "q163_stat_matrix" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).events.createOrReplaceTempView("graft_smx_events")
+      s.sql(
+        """WITH t AS (
+          |  SELECT event_type,
+          |         CAST(user_id % 97 AS DOUBLE) u,
+          |         value v,
+          |         CAST(event_id % 31 AS DOUBLE) w
+          |  FROM graft_smx_events),
+          |a AS (
+          |  SELECT event_type,
+          |         corrMatrix(u, v, w) cm,
+          |         covarSampMatrix(u, v, w) cs,
+          |         covarPopMatrix(u, v, w) cp,
+          |         studentTTestOneSample(v, 50.0D) t1
+          |  FROM t GROUP BY event_type)
+          |SELECT event_type,
+          |       round(cm[0][1], 6) AS c_uv,
+          |       round(cm[0][2], 6) AS c_uw,
+          |       round(cm[1][2], 6) AS c_vw,
+          |       round(cs[0][1], 6) AS cs_uv,
+          |       round(cp[1][2], 6) AS cp_vw,
+          |       round(t1.t_statistic, 6) AS t_one
+          |FROM a ORDER BY event_type""".stripMargin)
+    },
+
+    // groupArrayInsertAt (positional collector over pre-counted slots —
+    // distinct positions per group, so CH's unspecified-collision caveat
+    // never triggers) + the arrayShiftLeft/Right scalar completions.
+    "q164_array_insert" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).events.createOrReplaceTempView("graft_gai_events")
+      s.sql(
+        """WITH dow AS (
+          |  SELECT event_type, dayofweek(ts) - 1 AS d, COUNT(*) AS cnt
+          |  FROM graft_gai_events GROUP BY 1, 2),
+          |arr AS (
+          |  SELECT event_type, groupArrayInsertAt(cnt, d, 0L, 7) AS a
+          |  FROM dow GROUP BY event_type)
+          |SELECT event_type,
+          |       concat_ws(',', a) AS counts,
+          |       concat_ws(',', arrayShiftLeft(a, 2)) AS shl2,
+          |       concat_ws(',', arrayShiftRight(a, 3, -1L)) AS shr3,
+          |       concat_ws(',', arrayShiftLeft(a, -1)) AS shl_neg
+          |FROM arr ORDER BY event_type""".stripMargin)
+    },
+
     // CH sequence aggregates: time-weighted exponentialMovingAverage
     // (deterministic ts-sorted weighting) and the maxIntersections sweep
     // over half-open intervals — both mirrored by explicit DuckDB

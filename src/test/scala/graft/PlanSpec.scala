@@ -292,6 +292,11 @@ class PlanSpec extends SparkSpec {
     // q129: spread repartition + per-cluster heap agg + the semi-join
     // back + final sort; centroid pick collects at construction
     "q129_cluster_sample" -> 4,
+    // q163: ONE grouped aggregation carrying all four matrix/t states
+    // (O(k²) doubles each) + the output sort
+    "q163_stat_matrix" -> 2,
+    // q164: dow pre-count agg + the positional-collector agg + sort
+    "q164_array_insert" -> 3,
     // q162: two map-side-combined bitmap aggregations (day states, the
     // cross-day fold) + the output sort; raw ids move exactly once
     "q162_bitmap_fold" -> 3,

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** corrMatrix / covarSampMatrix / covarPopMatrix, the one-sample t-test,
+  * groupArrayInsertAt, and the arrayShiftLeft/Right scalars: agreement
+  * with Spark's native pairwise aggregates, partitioning invariance, CH
+  * doc-example shapes, and the deterministic collision rule.
+  */
+class StatMatrixSpec extends SparkSpec {
+
+  private def reg() = graft.functions.ChCompat.register(spark)
+
+  private lazy val df = {
+    import spark.implicits._
+    (1 to 500).map { i =>
+      val x = ((i * 7919) % 101).toDouble
+      val y = 3.0 * x + ((i * 104729) % 17) - 8
+      val z = ((i * 31) % 13).toDouble - x * 0.5
+      (if (i % 2 == 0) "a" else "b", x, y, z)
+    }.toDF("g", "x", "y", "z")
+  }
+
+  test("matrix aggregates agree with native pairwise corr/covar") {
+    reg()
+    df.createOrReplaceTempView("graft_mx")
+    val got = spark.sql(
+      """SELECT g, corrMatrix(x, y, z) cm, covarSampMatrix(x, y, z) cs,
+        |       covarPopMatrix(x, y, z) cp
+        |FROM graft_mx GROUP BY g ORDER BY g""".stripMargin).collect()
+    val exp = df.groupBy("g").agg(
+        corr(col("x"), col("y")).as("rxy"), corr(col("x"), col("z")).as("rxz"),
+        corr(col("y"), col("z")).as("ryz"),
+        covar_samp(col("x"), col("y")).as("sxy"),
+        covar_pop(col("x"), col("z")).as("pxz"))
+      .orderBy("g").collect()
+    for ((g, e) <- got.zip(exp)) {
+      val cm = g.getSeq[Seq[Double]](1)
+      val cs = g.getSeq[Seq[Double]](2)
+      val cp = g.getSeq[Seq[Double]](3)
+      assert(math.abs(cm(0)(1) - e.getDouble(1)) < 1e-9, "corr xy")
+      assert(math.abs(cm(0)(2) - e.getDouble(2)) < 1e-9, "corr xz")
+      assert(math.abs(cm(1)(2) - e.getDouble(3)) < 1e-9, "corr yz")
+      assert(cm(1)(0) == cm(0)(1) && cm(2)(0) == cm(0)(2), "symmetric")
+      assert(math.abs(cm(0)(0) - 1.0) < 1e-12 && math.abs(cm(2)(2) - 1.0) < 1e-12,
+        "unit diagonal")
+      assert(math.abs(cs(0)(1) - e.getDouble(4)) < 1e-9, "covarSamp xy")
+      assert(math.abs(cp(0)(2) - e.getDouble(5)) < 1e-9, "covarPop xz")
+    }
+  }
+
+  test("matrix aggregates are partitioning-invariant to float tolerance") {
+    reg()
+    def at(parts: Int) = {
+      df.repartition(parts).createOrReplaceTempView("graft_mx_p")
+      spark.sql("SELECT corrMatrix(x, y, z) cm FROM graft_mx_p")
+        .collect()(0).getSeq[Seq[Double]](0)
+    }
+    val a = at(1); val b = at(13)
+    for (i <- 0 until 3; j <- 0 until 3)
+      assert(math.abs(a(i)(j) - b(i)(j)) < 1e-12, s"($i,$j)")
+  }
+
+  test("studentTTestOneSample matches the closed form (and two-sided p)") {
+    reg()
+    import spark.implicits._
+    // sample 1..10 vs mu=5: mean 5.5, s 3.02765, t = 0.5222, p ~ 0.6141
+    (1 to 10).map(_.toDouble).toDF("v").createOrReplaceTempView("graft_t1")
+    val r = spark.sql(
+      "SELECT studentTTestOneSample(v, 5.0D) t FROM graft_t1")
+      .selectExpr("t.t_statistic", "t.p_value").collect()(0)
+    assert(math.abs(r.getDouble(0) - 0.5222329678670935) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 0.614117254) < 1e-3,
+      s"two-sided p, got ${r.getDouble(1)}")
+    // n < 2 -> nulls
+    val n1 = spark.sql(
+      "SELECT studentTTestOneSample(v, 5.0D) t FROM graft_t1 WHERE v = 1.0")
+      .selectExpr("t.t_statistic").collect()(0)
+    assert(n1.isNullAt(0))
+  }
+
+  test("groupArrayInsertAt: placement, defaults, size, strings, determinism") {
+    reg()
+    import spark.implicits._
+    Seq((0, 10L), (2, 30L), (5, 60L)).toDF("p", "v")
+      .createOrReplaceTempView("graft_gai")
+    // gaps fill with the type default (0), length = max pos + 1
+    assert(spark.sql("SELECT concat_ws(',', groupArrayInsertAt(v, p)) a FROM graft_gai")
+      .head().getString(0) == "10,0,30,0,0,60")
+    // explicit default + size: pad and truncate
+    assert(spark.sql(
+      "SELECT concat_ws(',', groupArrayInsertAt(v, p, -1L, 8)) a FROM graft_gai")
+      .head().getString(0) == "10,-1,30,-1,-1,60,-1,-1")
+    assert(spark.sql(
+      "SELECT concat_ws(',', groupArrayInsertAt(v, p, -1L, 3)) a FROM graft_gai")
+      .head().getString(0) == "10,-1,30")
+    // strings fill with ''
+    Seq((1, "b"), (3, "d")).toDF("p", "s").createOrReplaceTempView("graft_gai_s")
+    assert(spark.sql(
+      "SELECT concat_ws('|', groupArrayInsertAt(s, p)) a FROM graft_gai_s")
+      .head().getString(0) == "|b||d")
+    // same-position collision keeps the smallest value on ANY partitioning
+    val clash = Seq((1, 9L), (1, 3L), (1, 7L), (0, 5L)).toDF("p", "v")
+    for (parts <- Seq(1, 4)) {
+      clash.repartition(parts).createOrReplaceTempView("graft_gai_c")
+      assert(spark.sql(
+        "SELECT concat_ws(',', groupArrayInsertAt(v, p)) a FROM graft_gai_c")
+        .head().getString(0) == "5,3", s"parts=$parts")
+    }
+  }
+
+  test("arrayShiftLeft/Right match the CH doc examples") {
+    reg()
+    def s(expr: String) = spark.sql(s"SELECT concat_ws(',', $expr) v").head().getString(0)
+    assert(s("arrayShiftLeft(array(1,2,3,4,5), 3)") == "4,5,0,0,0")
+    assert(s("arrayShiftRight(array(1,2,3,4,5), 3)") == "0,0,0,1,2")
+    assert(s("arrayShiftLeft(array(1,2,3,4,5), -2)") == "0,0,1,2,3")
+    assert(s("arrayShiftLeft(array(1,2,3,4,5), 2, 42)") == "3,4,5,42,42")
+    assert(s("arrayShiftRight(array('a','b','c'), 1)") == ",a,b")
+    assert(s("arrayShiftLeft(array(1,2,3), 7)") == "0,0,0", "overshift fills all")
+    assert(s("arrayShiftLeft(array(1.5D, 2.5D), 1, 9.0D)") == "2.5,9.0")
+  }
+}
