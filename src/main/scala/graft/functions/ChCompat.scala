@@ -2053,13 +2053,33 @@ case class ArrayShiftExpr(
   extends Expression with CodegenFallback {
 
   override def children: Seq[Expression] = Seq(arr, n) ++ dflt
-  override def dataType: DataType = arr.dataType
+  // a nullable explicit default means NULL can land in the vacated slots —
+  // the array type must admit it, or the unsafe writer silently reads the
+  // null back as the numeric zero
+  override def dataType: DataType = arr.dataType match {
+    case ArrayType(et, cn) => ArrayType(et, cn || dflt.exists(_.nullable))
+    case other => other
+  }
   override def nullable: Boolean = arr.nullable
+
+  /** element types whose CH default value this expression knows how to
+    * materialize for the 2-arg form; anything else needs an explicit
+    * default (enforced at analysis, not as a runtime null leak) */
+  private def hasTypeDefault(et: DataType): Boolean = et match {
+    case LongType | IntegerType | ShortType | ByteType | DoubleType |
+         FloatType | BooleanType | StringType | DateType | TimestampType |
+         TimestampNTZType | _: DecimalType | ArrayType(_, _) => true
+    case _ => false
+  }
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (arr.dataType, n.dataType) match {
-      case (ArrayType(_, _), LongType | IntegerType | ShortType | ByteType) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(et, _), LongType | IntegerType | ShortType | ByteType) =>
+        if (dflt.isEmpty && !hasTypeDefault(et))
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"$prettyName: no built-in default for ${et.simpleString} elements — " +
+              "pass an explicit default value (3-arg form)")
+        else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case (a, b) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"$prettyName(arr, n[, default]): array + integral n, got " +
           s"(${a.simpleString}, ${b.simpleString})")
@@ -2100,8 +2120,14 @@ case class ArrayShiftExpr(
       case FloatType => 0f
       case BooleanType => false
       case StringType => org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+      case DateType => 0 // CH default Date = epoch (1970-01-01)
+      case TimestampType | TimestampNTZType => 0L
+      case d: DecimalType => Decimal(java.math.BigDecimal.ZERO, d.precision, d.scale)
       case ArrayType(_, _) => new GenericArrayData(Array.empty[Any])
-      case _ => null
+      // unreachable: checkInputDataTypes rejects the 2-arg form for
+      // element types without a known default
+      case other => throw new IllegalStateException(
+        s"$prettyName: no default for ${other.simpleString}")
     }
   }
 
@@ -2115,6 +2141,10 @@ case class ArrayShiftExpr(
     case (x: java.lang.Number, FloatType) => x.floatValue()
     case (d: Decimal, DoubleType) => d.toDouble
     case (d: Decimal, LongType) => d.toLong
+    case (d: Decimal, t: DecimalType) =>
+      Decimal(d.toJavaBigDecimal, t.precision, t.scale)
+    case (x: java.lang.Number, d: DecimalType) =>
+      Decimal(new java.math.BigDecimal(x.toString), d.precision, d.scale)
     case _ => v
   }
 

@@ -313,7 +313,21 @@ case class GroupArrayInsertAtAgg(
       case (LongType | IntegerType | DoubleType | FloatType | StringType,
             LongType | IntegerType | ShortType)
         if defaultChild.forall(_.foldable) && sizeChild.forall(_.foldable) =>
-        TypeCheckResult.TypeCheckSuccess
+        // the default must live in the value lane, or serialization and
+        // the unsafe array writer disagree at runtime — reject at analysis
+        val laneOk = defaultChild.forall { d =>
+          (d.dataType, valueChild.dataType) match {
+            case (NullType, _) => true
+            case (StringType, StringType) => true
+            case (StringType, _) | (_, StringType) => false
+            case (LongType | IntegerType | ShortType | DoubleType | FloatType, _) => true
+            case _ => false
+          }
+        }
+        if (laneOk) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: default type ${defaultChild.get.dataType.simpleString} " +
+            s"does not match the value lane ${valueChild.dataType.simpleString}")
       case _ => TypeCheckResult.TypeCheckFailure(
         s"$prettyName(x, pos[, default[, size]]): long/double/string x (cast " +
           "other types), integral pos, literal default/size")
@@ -321,7 +335,10 @@ case class GroupArrayInsertAtAgg(
 
   private def elemType: DataType =
     if (isString) StringType else if (isDouble) DoubleType else LongType
-  override def dataType: DataType = ArrayType(elemType, containsNull = false)
+  // a nullable default means NULL fills the gaps — the array type must
+  // admit it or the unsafe writer reads the null back as 0
+  override def dataType: DataType =
+    ArrayType(elemType, containsNull = defaultChild.exists(_.nullable))
   override def nullable: Boolean = false
   override def createAggregationBuffer(): InsertAtBuf = new InsertAtBuf
 
@@ -332,7 +349,13 @@ case class GroupArrayInsertAtAgg(
     case other => other // Long | Double | String
   }
   private lazy val defaultValue: Any = defaultChild match {
-    case Some(e) => norm(e.eval(InternalRow.empty))
+    case Some(e) => e.eval(InternalRow.empty) match {
+      case null => null // explicit NULL default → NULL gaps (CH parity)
+      case u: UTF8String => u.toString
+      // coerce into the value lane so the typed array writer agrees
+      case n: java.lang.Number => if (isDouble) n.doubleValue() else n.longValue()
+      case other => norm(other)
+    }
     case None => if (isString) "" else if (isDouble) 0.0d else 0L
   }
 

@@ -3,7 +3,8 @@ package graft.queries
 /** DuckDB oracle SQL for ChPack's dialect-surface queries — the CH
   * relational/window/MV/array/dictionary mirror families (q23–q136).
   * Split from ChPack (round 9) so the oracle corpus grows per-family
-  * instead of in one 2,500-line hotspot; keys/values are unchanged.
+  * instead of in one 2,500-line hotspot; this file is the family's live
+  * home going forward, not a frozen copy.
   */
 object ChOraclesDialect {
   val sql: Map[String, String] = Map(

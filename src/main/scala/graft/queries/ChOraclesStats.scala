@@ -2,8 +2,10 @@ package graft.queries
 
 /** DuckDB oracle SQL for ChPack's function-family completion queries
   * — the statistical aggregates, sequence/sketch, string-distance,
-  * map/date/geo, and combinator mirrors (q131–q160). Split from
-  * ChPack (round 9); keys/values are unchanged.
+  * map/date/geo, and combinator mirrors (q131 onward). Split from
+  * ChPack in round 9 (same round also REWROTE q137/q139/q148's SUM
+  * casts and q151's backward/last_match semantics, and added q163/q164
+  * — this file is the family's live home, not a frozen copy).
   */
 object ChOraclesStats {
   val sql: Map[String, String] = Map(
@@ -264,8 +266,9 @@ object ChOraclesStats {
         |FROM eb JOIN vm ON vm.id1 = eb.event_id % 100 + 1
         |ORDER BY eb.event_id""".stripMargin,
 
-    // ordered-list indexing per user; backward+last_match resolves to
-    // the event just before the earliest match in ascending order
+    // ordered-list indexing per user; backward+last_match anchors at the
+    // chronologically LAST purchase (len − reversed-position + 1) and
+    // the result is the event just before it
     "q151_sequence_next_node" ->
       """WITH ul AS (
         |  SELECT user_id, list(event_type ORDER BY ts, event_type) ev

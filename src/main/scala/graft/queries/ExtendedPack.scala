@@ -380,17 +380,22 @@ object ExtendedPack {
     },
 
     // Exact-moment statistics (Moments): corr / covarPop / varPop /
-    // stddevPop per return flag from overflow-free BIGINT raw moments
-    // (quantity as-is; prices truncated to whole dollars so Σy² fits at
-    // any tested SF), combined in one fixed IEEE tree after the
-    // aggregate — bit-identical under any partitioning, so the float
-    // statistics themselves are hash-gated, not rounded.
+    // stddevPop per return flag from overflow-free raw moments (decimal
+    // lanes inside Moments; quantity as-is, prices truncated to whole
+    // dollars), combined in one fixed IEEE tree after the aggregate —
+    // bit-identical under any partitioning, so the float statistics
+    // themselves are hash-gated, not rounded. The raw sums re-cast to
+    // BIGINT on output (values fit by construction): the oracle emits
+    // BIGINT, and a decimal column would dodge local_verify's int/float
+    // kind check via pandas' object dtype while risking the driver's
+    // formatted-value hash.
     "q127_stats_moments" -> { (s, dir) =>
       import graft.functions.Moments
       val li = Tables(s, dir).lineitem
       Moments.aggregate(li, Seq("l_returnflag"),
           col("l_quantity"), floor(col("l_extendedprice")))
-        .select(col("l_returnflag"), col("n"), col("sx"), col("sy"),
+        .select(col("l_returnflag"), col("n"),
+          col("sx").cast(LongType).as("sx"), col("sy").cast(LongType).as("sy"),
           Moments.varPop(col("sxx"), col("sx"), col("n")).as("qty_var"),
           Moments.stddevPop(col("syy"), col("sy"), col("n")).as("price_sd"),
           Moments.covarPop(col("sxy"), col("sx"), col("sy"), col("n")).as("qp_covar"),

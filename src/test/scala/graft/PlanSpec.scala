@@ -300,11 +300,12 @@ class PlanSpec extends SparkSpec {
     // q162: two map-side-combined bitmap aggregations (day states, the
     // cross-day fold) + the output sort; raw ids move exactly once
     "q162_bitmap_fold" -> 3,
-    // q161: exact-vocab DSIR — tgt/raw feature-count aggs, the
-    // full-outer vocab join, the totals agg, the feature-keyed score
-    // join and per-doc regroup; the exact twin is join-heavy by design
-    // (the hashed q124 path is the scale shape)
-    "q161_dsir_exact" -> 6,
+    // q161: exact-vocab DSIR — tgt/raw feature-count aggs into the
+    // PERSISTED full-outer vocab join (totals + ratios both read the
+    // cache, so those aggs run once), then the feature-keyed score join
+    // and per-doc regroup; the exact twin is join-heavy by design (the
+    // hashed q124 path is the scale shape)
+    "q161_dsir_exact" -> 4,
     // q130: bigram/context count aggs + the per-doc regroup + final
     // sort; the n-gram joins ride the count aggs' partitioning
     "q130_perplexity" -> 4,

@@ -109,6 +109,40 @@ class StatMatrixSpec extends SparkSpec {
     }
   }
 
+  test("null/typed defaults: NULL fills stay NULL, exotic element defaults work") {
+    reg()
+    import spark.implicits._
+    // explicit NULL default → NULL gaps (not a silent 0 through the
+    // non-nullable array writer)
+    val shifted = spark.sql(
+      "SELECT arrayShiftLeft(array(1L, 2L, 3L), 1, CAST(NULL AS BIGINT)) a")
+      .head().getSeq[Any](0)
+    assert(shifted == Seq(2L, 3L, null), s"got $shifted")
+    Seq((0, 1L), (2, 5L)).toDF("p", "v").createOrReplaceTempView("graft_gai_n")
+    val gaps = spark.sql(
+      "SELECT groupArrayInsertAt(v, p, CAST(NULL AS BIGINT), 4) a FROM graft_gai_n")
+      .head().getSeq[Any](0)
+    assert(gaps == Seq(1L, null, 5L, null), s"got $gaps")
+    // decimal/date elements: 2-arg form fills the CH type default
+    assert(spark.sql(
+      "SELECT arrayShiftLeft(array(CAST(1.50 AS DECIMAL(10,2)), CAST(2.50 AS DECIMAL(10,2))), 1) a")
+      .head().getSeq[java.math.BigDecimal](0).map(_.toPlainString) == Seq("2.50", "0.00"))
+    assert(spark.sql(
+      "SELECT CAST(arrayShiftLeft(array(DATE'2024-01-01', DATE'2024-02-02'), 1)[1] AS STRING) d")
+      .head().getString(0) == "1970-01-01")
+    // a 2-arg shift over elements with no known default is an ANALYSIS
+    // error, not a runtime null leak
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT arrayShiftLeft(array(struct(1 AS a)), 1)").collect()
+    }
+    assert(err.getMessage.contains("explicit default"))
+    // a default outside the value lane is an analysis error too
+    val err2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT groupArrayInsertAt(v, p, 'x', 4) FROM graft_gai_n").collect()
+    }
+    assert(err2.getMessage.contains("value lane"))
+  }
+
   test("arrayShiftLeft/Right match the CH doc examples") {
     reg()
     def s(expr: String) = spark.sql(s"SELECT concat_ws(',', $expr) v").head().getString(0)
