@@ -194,4 +194,42 @@ class ScaleSpec extends SparkSpec {
     assert(big == small,
       s"count-map partials leaked row volume into the exchange: $small -> $big")
   }
+
+  test("fixed-size aggregate partials (matrices, bitmap folds) shuffle flat too") {
+    // corrMatrix carries O(k²) doubles per group, the bitmap folds one
+    // bitmap per group — both map-side combined, so the exchanged record
+    // count is partitions × groups regardless of input rows. (Bitmap
+    // record COUNT is flat; bitmap BYTES grow with distinct ids by
+    // design — that's the state, not leaked rows.)
+    graft.functions.ChCompat.register(spark)
+    def recs(n: Long): Long = {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val df = spark.range(0, n, 1, 8).selectExpr(
+          "CAST(id % 5 AS STRING) g",
+          "CAST(id % 97 AS DOUBLE) x", "CAST(id % 31 AS DOUBLE) y",
+          "id % 1024 uid")
+        df.createOrReplaceTempView("graft_scale_mx")
+        val mx = spark.sql(
+          """SELECT g, corrMatrix(x, y), covarPopMatrix(x, y),
+            |       studentTTestOneSample(x, 10.0D)
+            |FROM graft_scale_mx GROUP BY g""".stripMargin)
+          .queryExecution.executedPlan
+        mx.execute().count(): Unit
+        val fold = spark.sql(
+          """WITH st AS (
+            |  SELECT g, uid % 16 AS sub, groupBitmapState(uid) AS bm
+            |  FROM graft_scale_mx GROUP BY g, uid % 16)
+            |SELECT g, groupBitmapXor(bm) FROM st GROUP BY g""".stripMargin)
+          .queryExecution.executedPlan
+        fold.execute().count(): Unit
+        BenchScale.exchangeStats(mx)._1 + BenchScale.exchangeStats(fold)._1
+      } finally spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+    val small = recs(20000)
+    val big = recs(200000)
+    assert(small > 0, "expected a measurable exchange")
+    assert(big == small,
+      s"fixed-size partials leaked row volume into the exchange: $small -> $big")
+  }
 }
