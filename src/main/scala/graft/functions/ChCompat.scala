@@ -1254,6 +1254,33 @@ object ChCompat {
     // replacing it would silently change standard Spark SQL in the same
     // session — use Spark's `any_value` (same semantics as CH any).
     f("anyLast") { es => new Last(es.head, true).toAggregateExpression() }
+    // the -RespectNulls spellings: a NULL row is a real candidate (First/
+    // Last with ignoreNulls=false); same arbitrary-pick contract as CH
+    f("anyRespectNulls") { es => new First(es.head, false).toAggregateExpression() }
+    f("firstValueRespectNulls") { es => new First(es.head, false).toAggregateExpression() }
+    f("lastValueRespectNulls") { es => new Last(es.head, false).toAggregateExpression() }
+    f("anyLastRespectNulls") { es => new Last(es.head, false).toAggregateExpression() }
+    // CH sumWithOverflow: sum IN the argument's own type, wrapping on
+    // overflow — Spark's LEGACY-mode SUM (the session's ANSI default
+    // would throw on the wrap instead)
+    f("sumWithOverflow") { es =>
+      Sum(es.head, NumericEvalContext(EvalMode.LEGACY)).toAggregateExpression()
+    }
+    // the -Stable statistic spellings: CH guarantees a numerically stable
+    // (and merge-order-robust) algorithm for these — alias them onto the
+    // centered co-moment matrix machinery (StatMatrix), which is exactly
+    // that; scalars extract the [0][1] (pair) or [0][0] (single) entry
+    def mx(mode: String, cols: Seq[Expression]): Expression =
+      GetArrayItem(GetArrayItem(
+        CoMomentMatrixAgg(cols, mode).toAggregateExpression(), Literal(0)),
+        Literal(if (cols.length > 1) 1 else 0))
+    f("corrStable") { es => mx("corr", es.take(2)) }
+    f("covarPopStable") { es => mx("covarPop", es.take(2)) }
+    f("covarSampStable") { es => mx("covarSamp", es.take(2)) }
+    f("varPopStable") { es => mx("covarPop", es.take(1)) }
+    f("varSampStable") { es => mx("covarSamp", es.take(1)) }
+    f("stddevPopStable") { es => Sqrt(mx("covarPop", es.take(1))) }
+    f("stddevSampStable") { es => Sqrt(mx("covarSamp", es.take(1))) }
     // CH groupArraySorted(N)(x) in the flat spelling (x, N): the smallest
     // N values in ascending order — collect + sort + slice; bounded
     // output, but the collect buffer is group-sized (like medianExact;

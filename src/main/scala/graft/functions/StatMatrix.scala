@@ -50,7 +50,77 @@ object StatMatrix {
         if (es.length >= 3) Some(es(2)) else None,
         if (es.length >= 4) Some(es(3)) else None).toAggregateExpression()
     }
+    f("sumKahan") { es => KahanSumAgg(es.head).toAggregateExpression() }
   }
+}
+
+/** CH `sumKahan(x)`: compensated (Kahan–Babuška) float summation — the
+  * running compensation term rides the state, so magnitude-mismatched
+  * additions (1e16 + 1.0 − 1e16) keep the small term instead of losing
+  * it to rounding. Partials merge by Kahan-adding the other side's sum
+  * and compensation. */
+case class KahanSumAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Double]]
+  with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType | FloatType | LongType | IntegerType | ShortType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"sumKahan: numeric input required, got ${t.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  // buf = [sum, compensation, count]
+  override def createAggregationBuffer(): Array[Double] = new Array[Double](3)
+
+  private def kadd(buf: Array[Double], v: Double): Unit = {
+    // Neumaier's variant: robust when the addend exceeds the running sum
+    val t = buf(0) + v
+    buf(1) +=
+      (if (math.abs(buf(0)) >= math.abs(v)) (buf(0) - t) + v
+       else (v - t) + buf(0))
+    buf(0) = t
+  }
+
+  override def update(buf: Array[Double], row: InternalRow): Array[Double] = {
+    child.eval(row) match {
+      case null => ()
+      case d: Double => kadd(buf, d); buf(2) += 1
+      case f: Float => kadd(buf, f.toDouble); buf(2) += 1
+      case l: Long => kadd(buf, l.toDouble); buf(2) += 1
+      case i: Int => kadd(buf, i.toDouble); buf(2) += 1
+      case s: Short => kadd(buf, s.toDouble); buf(2) += 1
+    }
+    buf
+  }
+  override def merge(buf: Array[Double], o: Array[Double]): Array[Double] = {
+    kadd(buf, o(0)); kadd(buf, o(1)); buf(2) += o(2)
+    buf
+  }
+  override def eval(buf: Array[Double]): Any =
+    if (buf(2) == 0) null else buf(0) + buf(1)
+
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(24)
+    bb.putDouble(buf(0)); bb.putDouble(buf(1)); bb.putDouble(buf(2))
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array(bb.getDouble, bb.getDouble, bb.getDouble)
+  }
+  override def withNewMutableAggBufferOffset(o: Int): KahanSumAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KahanSumAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): KahanSumAgg =
+    copy(child = c)
+  override def prettyName: String = "sumKahan"
 }
 
 /** Centered co-moment state: n, means, and C[i][j] = Σ(xi−x̄i)(xj−x̄j)

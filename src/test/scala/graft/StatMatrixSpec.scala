@@ -143,6 +143,45 @@ class StatMatrixSpec extends SparkSpec {
     assert(err2.getMessage.contains("value lane"))
   }
 
+  test("-Stable aliases, sumKahan, sumWithOverflow, RespectNulls spellings") {
+    reg()
+    import spark.implicits._
+    df.createOrReplaceTempView("graft_stb")
+    val r = spark.sql(
+      """SELECT corrStable(x, y) c, covarPopStable(x, y) cp,
+        |       covarSampStable(x, y) cs, varPopStable(x) vp,
+        |       varSampStable(y) vs, stddevPopStable(x) sp,
+        |       stddevSampStable(y) ss
+        |FROM graft_stb""".stripMargin).head()
+    val e = df.agg(corr(col("x"), col("y")), covar_pop(col("x"), col("y")),
+      covar_samp(col("x"), col("y")), var_pop(col("x")), var_samp(col("y")),
+      stddev_pop(col("x")), stddev_samp(col("y"))).head()
+    for (i <- 0 until 7)
+      assert(math.abs(r.getDouble(i) - e.getDouble(i)) < 1e-9 * math.max(1, math.abs(e.getDouble(i))),
+        s"stable alias $i")
+    // Kahan keeps the small addend a naive left-to-right double sum loses
+    Seq(1e16, 1.0, -1e16).toDF("v").createOrReplaceTempView("graft_kh")
+    for (parts <- Seq(1, 3)) {
+      spark.sql(s"SELECT /*+ REPARTITION($parts) */ v FROM graft_kh")
+        .createOrReplaceTempView("graft_kh_p")
+      assert(spark.sql("SELECT sumKahan(v) s FROM graft_kh_p").head().getDouble(0) == 1.0,
+        s"parts=$parts")
+    }
+    assert(spark.sql("SELECT sumKahan(v) s FROM graft_kh WHERE v > 1e30").head().isNullAt(0),
+      "empty group is NULL")
+    // sumWithOverflow wraps in the argument type (CH semantics)
+    assert(spark.sql(s"SELECT sumWithOverflow(v) s FROM VALUES (${Long.MaxValue}L), (1L) t(v)")
+      .head().getLong(0) == Long.MinValue)
+    // RespectNulls: a NULL row is a real candidate
+    Seq[(Integer, Integer)]((1, null), (2, 7)).toDF("ord", "v")
+      .orderBy("ord").coalesce(1).createOrReplaceTempView("graft_rn")
+    val rn = spark.sql(
+      """SELECT firstValueRespectNulls(v) f, lastValueRespectNulls(v) l,
+        |       anyLast(v) al
+        |FROM graft_rn""".stripMargin).head()
+    assert(rn.isNullAt(0) && rn.getInt(1) == 7 && rn.getInt(2) == 7)
+  }
+
   test("arrayShiftLeft/Right match the CH doc examples") {
     reg()
     def s(expr: String) = spark.sql(s"SELECT concat_ws(',', $expr) v").head().getString(0)
