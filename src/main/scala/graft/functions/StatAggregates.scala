@@ -61,6 +61,19 @@ object StatAggregates {
       QuantileExactWeightedAgg(es(0), es(1),
         org.apache.spark.sql.catalyst.expressions.Literal(0.5d)).toAggregateExpression()
     }
+    // CH quantileInterpolatedWeighted(level)(x, w), flat (x, w, level):
+    // the published weighted-percentile-with-interpolation rule — each
+    // distinct value sits at the MIDPOINT of its cumulative weight span,
+    // p_i = (cum_i − w_i/2)/W, and the level interpolates linearly
+    // between adjacent midpoints (clamping outside [p_0, p_last]).
+    // Always Float64, like CH's interpolated variants.
+    f("quantileInterpolatedWeighted") { es =>
+      QuantileInterpolatedWeightedAgg(es(0), es(1), es(2)).toAggregateExpression()
+    }
+    f("medianInterpolatedWeighted") { es =>
+      QuantileInterpolatedWeightedAgg(es(0), es(1),
+        org.apache.spark.sql.catalyst.expressions.Literal(0.5d)).toAggregateExpression()
+    }
     f("deltaSum") { es => DeltaSumAgg(es.head).toAggregateExpression() }
     f("deltaSumTimestamp") { es =>
       DeltaSumTimestampAgg(es(0), es(1)).toAggregateExpression()
@@ -370,6 +383,130 @@ final class WeightedQuantileBuf {
   * Long inputs keep a Long result; doubles ride their raw bits in the
   * same map (sort order restored via the eval decode).
   */
+/** Weighted quantile with linear interpolation between midpoints of the
+  * cumulative weight spans (the standard published weighted-percentile
+  * method; CH's quantileInterpolatedWeighted uses the same midpoint
+  * construction). Shares [[WeightedQuantileBuf]]'s value→Σweight state
+  * with the exact variant — distinct-value-sized, map-side combined.
+  * Fixed double expression order (p = (cum − 0.5·w)/W; interpolation
+  * ((vᵤ−vₗ)·(q−pₗ))/(pᵤ−pₗ)) so a SQL mirror reproduces the bits.
+  */
+case class QuantileInterpolatedWeightedAgg(
+    valueChild: Expression,
+    weightChild: Expression,
+    levelChild: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[WeightedQuantileBuf] {
+
+  override def children: Seq[Expression] = Seq(valueChild, weightChild, levelChild)
+
+  private lazy val level: Double = levelChild.eval(InternalRow.empty) match {
+    case n: Number => n.doubleValue()
+    case other => throw new IllegalArgumentException(
+      s"$prettyName: level must be a numeric literal, got $other")
+  }
+  require(!levelChild.foldable || { val l = level; l >= 0 && l <= 1 },
+    s"$prettyName: level must be in [0, 1]")
+
+  private val isLong = valueChild.dataType match {
+    case LongType | IntegerType | ShortType => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (valueChild.dataType, weightChild.dataType) match {
+      case (LongType | IntegerType | ShortType | DoubleType | FloatType,
+            LongType | IntegerType | ShortType) if levelChild.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName(x, w, level): numeric x, integral w, literal level")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def createAggregationBuffer(): WeightedQuantileBuf = new WeightedQuantileBuf
+
+  private def valueBits(row: InternalRow): Option[Long] = {
+    val v = valueChild.eval(row)
+    if (v == null) None
+    else Some(valueChild.dataType match {
+      case LongType => v.asInstanceOf[Long]
+      case IntegerType => v.asInstanceOf[Int].toLong
+      case ShortType => v.asInstanceOf[Short].toLong
+      case DoubleType => java.lang.Double.doubleToLongBits(v.asInstanceOf[Double])
+      case FloatType => java.lang.Double.doubleToLongBits(v.asInstanceOf[Float].toDouble)
+    })
+  }
+  private def weightOf(row: InternalRow): Long = weightChild.eval(row) match {
+    case null => 0L
+    case l: Long => l
+    case i: Int => i.toLong
+    case s: Short => s.toLong
+  }
+
+  override def update(buf: WeightedQuantileBuf, row: InternalRow): WeightedQuantileBuf = {
+    valueBits(row).foreach { k =>
+      val w = weightOf(row)
+      if (w > 0) buf.m.update(k, buf.m.getOrElse(k, 0L) + w)
+    }
+    buf
+  }
+  override def merge(buf: WeightedQuantileBuf, o: WeightedQuantileBuf): WeightedQuantileBuf = {
+    o.m.foreach { case (k, w) => buf.m.update(k, buf.m.getOrElse(k, 0L) + w) }
+    buf
+  }
+
+  override def eval(buf: WeightedQuantileBuf): Any = {
+    if (buf.m.isEmpty) return null
+    def decode(bits: Long): Double =
+      if (isLong) bits.toDouble else java.lang.Double.longBitsToDouble(bits)
+    val items = buf.m.toArray.sortBy { case (bits, _) => decode(bits) }
+    val total = items.map(_._2).sum.toDouble
+    // midpoint coordinates p_i = (cum_i − 0.5·w_i)/W, strictly increasing
+    var cum = 0L
+    var prevP = Double.NaN
+    var prevV = Double.NaN
+    var i = 0
+    while (i < items.length) {
+      val w = items(i)._2
+      val v = decode(items(i)._1)
+      cum += w
+      val p = (cum.toDouble - 0.5 * w.toDouble) / total
+      if (level <= p) {
+        return if (i == 0 || level <= prevP) {
+          if (i == 0) v else prevV // clamp below the first midpoint
+        } else prevV + (v - prevV) * (level - prevP) / (p - prevP)
+      }
+      prevP = p; prevV = v
+      i += 1
+    }
+    prevV // clamp above the last midpoint
+  }
+
+  override def serialize(buf: WeightedQuantileBuf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.m.size * 16)
+    bb.putInt(buf.m.size)
+    buf.m.foreach { case (k, w) => bb.putLong(k); bb.putLong(w) }
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): WeightedQuantileBuf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new WeightedQuantileBuf
+    val n = bb.getInt
+    var i = 0
+    while (i < n) { buf.m.update(bb.getLong, bb.getLong); i += 1 }
+    buf
+  }
+  override def withNewMutableAggBufferOffset(o: Int): QuantileInterpolatedWeightedAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): QuantileInterpolatedWeightedAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): QuantileInterpolatedWeightedAgg =
+    copy(valueChild = cs(0), weightChild = cs(1), levelChild = cs(2))
+  override def prettyName: String = "quantileInterpolatedWeighted"
+}
+
 case class QuantileExactWeightedAgg(
     valueChild: Expression,
     weightChild: Expression,

@@ -9,6 +9,47 @@ package graft.queries
   */
 object ChOraclesStats {
   val sql: Map[String, String] = Map(
+    // the same midpoint rule written out: per-value Σweight, window
+    // cumsum → p_i = (cum − 0.5·w)/W, arg_max/arg_min bracket the level,
+    // interpolation in the same double order as the Spark aggregate
+    "q165_interp_quantile" ->
+      """WITH t AS (
+        |  SELECT event_type, CAST(user_id % 50 AS DOUBLE) v,
+        |         event_id % 7 + 1 AS wt
+        |  FROM events),
+        |g AS (SELECT event_type, v, SUM(wt) w FROM t GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, v, w,
+        |         SUM(w) OVER (PARTITION BY event_type ORDER BY v) cum,
+        |         SUM(w) OVER (PARTITION BY event_type) tot
+        |  FROM g),
+        |p AS (
+        |  SELECT event_type, v,
+        |         (CAST(cum AS DOUBLE) - 0.5 * CAST(w AS DOUBLE))
+        |           / CAST(tot AS DOUBLE) AS p
+        |  FROM c),
+        |b AS (
+        |  SELECT event_type,
+        |    MIN(v) vmin, MAX(v) vmax,
+        |    MAX(p) FILTER (p <= 0.25) pl25, arg_max(v, p) FILTER (p <= 0.25) vl25,
+        |    MIN(p) FILTER (p >= 0.25) pu25, arg_min(v, p) FILTER (p >= 0.25) vu25,
+        |    MAX(p) FILTER (p <= 0.5)  pl50, arg_max(v, p) FILTER (p <= 0.5)  vl50,
+        |    MIN(p) FILTER (p >= 0.5)  pu50, arg_min(v, p) FILTER (p >= 0.5)  vu50,
+        |    MAX(p) FILTER (p <= 0.9)  pl90, arg_max(v, p) FILTER (p <= 0.9)  vl90,
+        |    MIN(p) FILTER (p >= 0.9)  pu90, arg_min(v, p) FILTER (p >= 0.9)  vu90
+        |  FROM p GROUP BY event_type)
+        |SELECT event_type,
+        |  ROUND(CASE WHEN pl25 IS NULL THEN vmin WHEN pu25 IS NULL THEN vmax
+        |             WHEN pu25 = pl25 THEN vl25
+        |             ELSE vl25 + (vu25 - vl25) * (0.25 - pl25) / (pu25 - pl25) END, 6) AS q25,
+        |  ROUND(CASE WHEN pl50 IS NULL THEN vmin WHEN pu50 IS NULL THEN vmax
+        |             WHEN pu50 = pl50 THEN vl50
+        |             ELSE vl50 + (vu50 - vl50) * (0.5 - pl50) / (pu50 - pl50) END, 6) AS q50,
+        |  ROUND(CASE WHEN pl90 IS NULL THEN vmin WHEN pu90 IS NULL THEN vmax
+        |             WHEN pu90 = pl90 THEN vl90
+        |             ELSE vl90 + (vu90 - vl90) * (0.9 - pl90) / (pu90 - pl90) END, 6) AS q90
+        |FROM b ORDER BY event_type""".stripMargin,
+
     // pairwise corr/covar mirror the matrix entries; the one-sample t is
     // its closed form from AVG/VAR_SAMP/COUNT
     "q163_stat_matrix" ->

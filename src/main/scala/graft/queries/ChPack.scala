@@ -998,6 +998,26 @@ object ChPack {
           |FROM arr ORDER BY event_type""".stripMargin)
     },
 
+    // quantileInterpolatedWeighted: the midpoint-interpolated weighted
+    // percentile (p_i = (cum_i − w_i/2)/W, linear between midpoints) —
+    // mirrored in DuckDB by explicit window cumsums + arg_max/arg_min
+    // bracket selection, in the same double expression order.
+    "q165_interp_quantile" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).events.createOrReplaceTempView("graft_iq_events")
+      s.sql(
+        """WITH t AS (
+          |  SELECT event_type,
+          |         CAST(user_id % 50 AS DOUBLE) v,
+          |         event_id % 7 + 1 AS wt
+          |  FROM graft_iq_events)
+          |SELECT event_type,
+          |       round(quantileInterpolatedWeighted(v, wt, 0.25D), 6) AS q25,
+          |       round(medianInterpolatedWeighted(v, wt), 6) AS q50,
+          |       round(quantileInterpolatedWeighted(v, wt, 0.9D), 6) AS q90
+          |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin)
+    },
+
     // CH sequence aggregates: time-weighted exponentialMovingAverage
     // (deterministic ts-sorted weighting) and the maxIntersections sweep
     // over half-open intervals — both mirrored by explicit DuckDB

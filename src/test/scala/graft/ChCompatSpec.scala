@@ -902,6 +902,42 @@ class ChCompatSpec extends SparkSpec {
     assert(ext.getLong(0) == 1L && ext.getLong(1) == 5L)
   }
 
+  test("quantileInterpolatedWeighted: midpoint interpolation, clamps, weights") {
+    ChCompat.register(spark)
+    import spark.implicits._
+    // uniform weights over 10/20/30: midpoints 1/6, 1/2, 5/6
+    Seq((10L, 1), (20L, 1), (30L, 1))
+      .toDF("v", "w").createOrReplaceTempView("graft_iq3")
+    def q(view: String, level: Double): Double = spark.sql(
+      s"SELECT quantileInterpolatedWeighted(v, w, ${level}D) q FROM $view")
+      .head().getDouble(0)
+    assert(q("graft_iq3", 0.5) == 20.0)
+    // 0.25 between 1/6 and 1/2: 10 + 10*(0.25 - 1/6)/(1/3) = 12.5
+    assert(math.abs(q("graft_iq3", 0.25) - 12.5) < 1e-12)
+    // below the first / above the last midpoint clamps
+    assert(q("graft_iq3", 0.05) == 10.0 && q("graft_iq3", 0.95) == 30.0)
+    // weights shift the midpoints: (1 w3, 2 w1) → p = 0.375, 0.875;
+    // q=0.5 → 1 + 1*(0.125/0.5) = 1.25
+    Seq((1L, 3), (2L, 1)).toDF("v", "w").createOrReplaceTempView("graft_iq_w")
+    assert(math.abs(q("graft_iq_w", 0.5) - 1.25) < 1e-12)
+    // partitioning invariance (value→Σweight state merges exactly) and
+    // the median alias; doubles stay double
+    val pts = (1 to 400).map(i => ((i % 23).toDouble, 1 + i % 5))
+    def at(parts: Int): (Double, Double) = {
+      pts.toDF("v", "w").repartition(parts).createOrReplaceTempView("graft_iq_p")
+      val r = spark.sql(
+        """SELECT quantileInterpolatedWeighted(v, w, 0.7D) q,
+          |       medianInterpolatedWeighted(v, w) m FROM graft_iq_p""".stripMargin).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val (q1, m1) = at(1)
+    assert(at(9) == ((q1, m1)), "bit-identical under repartitioning")
+    pts.toDF("v", "w").createOrReplaceTempView("graft_iq_m")
+    assert(m1 == spark.sql(
+      "SELECT quantileInterpolatedWeighted(v, w, 0.5D) q FROM graft_iq_m")
+      .head().getDouble(0), "median alias = level 0.5")
+  }
+
   test("deltaSum family: positive deltas, timestamp determinism") {
     ChCompat.register(spark)
     import spark.implicits._

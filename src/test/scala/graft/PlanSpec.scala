@@ -292,6 +292,9 @@ class PlanSpec extends SparkSpec {
     // q129: spread repartition + per-cluster heap agg + the semi-join
     // back + final sort; centroid pick collects at construction
     "q129_cluster_sample" -> 4,
+    // q165: one grouped aggregation (value→Σweight maps, distinct-value
+    // sized) + the output sort
+    "q165_interp_quantile" -> 2,
     // q163: ONE grouped aggregation carrying all four matrix/t states
     // (O(k²) doubles each) + the output sort
     "q163_stat_matrix" -> 2,
