@@ -1304,6 +1304,27 @@ object ChCompat {
     f("quantileExactHigh") { es => exactBracket(es, high = true) }
     f("medianExactLow") { es => exactBracket(Seq(es.head, Literal(0.5d)), high = false) }
     f("medianExactHigh") { es => exactBracket(Seq(es.head, Literal(0.5d)), high = true) }
+    // the Excel-convention exact variants: Inclusive = PERCENTILE.INC =
+    // R-7, which is exactly Spark's Percentile interpolation (and DuckDB's
+    // quantile_cont — q166 gates the three implementations against each
+    // other); Exclusive = PERCENTILE.EXC = R-6, h = level·(n+1) over the
+    // sorted values with the rank clamped to [1, n]
+    f("quantileExactInclusive") { es => new Percentile(es(0), es(1)) }
+    f("medianExactInclusive") { es => new Percentile(es(0), Literal(0.5d)) }
+    def exactExclusive(es: Seq[Expression]): Expression = {
+      val arr = new SortArray(CollectList(es(0)).toAggregateExpression())
+      val n = Cast(Size(arr), DoubleType)
+      val h = Multiply(Cast(es(1), DoubleType),
+        Add(n, Literal(1.0d)))
+      val hc = new Greatest(Seq(Literal(1.0d), new Least(Seq(h, n))))
+      val lo = Cast(new Floor(hc), IntegerType)
+      val hi = new Least(Seq(Add(lo, Literal(1)), Cast(Size(arr), IntegerType)))
+      val xlo = Cast(ElementAt(arr, lo), DoubleType)
+      val xhi = Cast(ElementAt(arr, hi), DoubleType)
+      Add(xlo, Multiply(Subtract(hc, Cast(lo, DoubleType)), Subtract(xhi, xlo)))
+    }
+    f("quantileExactExclusive") { es => exactExclusive(es) }
+    f("medianExactExclusive") { es => exactExclusive(Seq(es.head, Literal(0.5d))) }
     // CH quantileTiming/quantileDeterministic are approximation schemes
     // (timing-bucket histogram / sampling with a determinism key); both
     // map to the EXACT percentile here — a strict-superset guarantee

@@ -51,7 +51,144 @@ object StatMatrix {
         if (es.length >= 4) Some(es(3)) else None).toAggregateExpression()
     }
     f("sumKahan") { es => KahanSumAgg(es.head).toAggregateExpression() }
+    f("analysisOfVariance") { es =>
+      AnovaAgg(es(0), es(1)).toAggregateExpression()
+    }
+    f("anova") { es => AnovaAgg(es(0), es(1)).toAggregateExpression() }
   }
+}
+
+final class AnovaBuf {
+  /** group index → (n, mean, M2) Welford triple */
+  private[graft] val m = mutable.HashMap.empty[Long, Array[Double]]
+  def add(g: Long, v: Double): Unit = {
+    val s = m.getOrElseUpdate(g, new Array[Double](3))
+    s(0) += 1
+    val d = v - s(1)
+    s(1) += d / s(0)
+    s(2) += d * (v - s(1))
+  }
+  def mergeGroup(g: Long, o: Array[Double]): Unit = m.get(g) match {
+    case None => m.update(g, o.clone())
+    case Some(s) =>
+      val nA = s(0); val nB = o(0)
+      if (nB > 0) {
+        val d = o(1) - s(1)
+        val nT = nA + nB
+        s(2) += o(2) + d * d * nA * nB / nT
+        s(1) += d * nB / nT
+        s(0) = nT
+      }
+  }
+}
+
+/** CH `analysisOfVariance(value, group_index)` (alias `anova`): one-way
+  * ANOVA over any number of groups — returns (f_statistic, p_value).
+  * State is one Welford triple per group index (O(groups), map-side
+  * combined); F = [Σ n_g(x̄_g − x̄)²/(k−1)] / [Σ M2_g/(N−k)], and the
+  * p-value is the F(k−1, N−k) upper tail via the regularized incomplete
+  * beta (shared [[StatMath]] machinery — for 2 groups it equals the
+  * two-sided pooled-t p, pinned in the spec). */
+case class AnovaAgg(
+    valueChild: Expression,
+    groupChild: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[AnovaBuf] {
+
+  override def children: Seq[Expression] = Seq(valueChild, groupChild)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (valueChild.dataType, groupChild.dataType) match {
+      case (LongType | IntegerType | ShortType | DoubleType | FloatType,
+            LongType | IntegerType | ShortType | StringType | BooleanType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (v, g) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName(value, group): numeric value + integral/string group, " +
+          s"got (${v.simpleString}, ${g.simpleString})")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("f_statistic", DoubleType, nullable = true),
+    StructField("p_value", DoubleType, nullable = true)))
+  override def nullable: Boolean = false
+  override def createAggregationBuffer(): AnovaBuf = new AnovaBuf
+
+  private def groupOf(row: InternalRow): Option[Long] = groupChild.eval(row) match {
+    case null => None
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case s: Short => Some(s.toLong)
+    case b: Boolean => Some(if (b) 1L else 0L)
+    // string groups hash to a stable id — collisions would merge groups,
+    // so use the full 64-bit space
+    case u: UTF8String => Some(u.hashCode.toLong << 32 | (u.numBytes() & 0xFFFFFFFFL))
+  }
+
+  override def update(buf: AnovaBuf, row: InternalRow): AnovaBuf = {
+    val v = valueChild.eval(row) match {
+      case null => return buf
+      case d: Double => d
+      case f: Float => f.toDouble
+      case l: Long => l.toDouble
+      case i: Int => i.toDouble
+      case s: Short => s.toDouble
+    }
+    groupOf(row).foreach(g => buf.add(g, v))
+    buf
+  }
+  override def merge(buf: AnovaBuf, o: AnovaBuf): AnovaBuf = {
+    o.m.foreach { case (g, s) => buf.mergeGroup(g, s) }
+    buf
+  }
+
+  override def eval(buf: AnovaBuf): Any = {
+    val k = buf.m.size
+    val bigN = buf.m.valuesIterator.map(_(0)).sum
+    if (k < 2 || bigN <= k) return InternalRow(null, null)
+    val grand = buf.m.valuesIterator.map(s => s(0) * s(1)).sum / bigN
+    var ssb = 0d
+    var ssw = 0d
+    buf.m.valuesIterator.foreach { s =>
+      val d = s(1) - grand
+      ssb += s(0) * d * d
+      ssw += s(2)
+    }
+    val d1 = (k - 1).toDouble
+    val d2 = bigN - k
+    if (ssw == 0d) return InternalRow(Double.PositiveInfinity, 0d)
+    val f = (ssb / d1) / (ssw / d2)
+    // upper tail of F(d1, d2): I_{d2/(d2 + d1 f)}(d2/2, d1/2)
+    val p = StatMath.betainc(d2 / 2, d1 / 2, d2 / (d2 + d1 * f))
+    InternalRow(f, p)
+  }
+
+  override def serialize(buf: AnovaBuf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.m.size * 32)
+    bb.putInt(buf.m.size)
+    buf.m.foreach { case (g, s) =>
+      bb.putLong(g); bb.putDouble(s(0)); bb.putDouble(s(1)); bb.putDouble(s(2))
+    }
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): AnovaBuf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new AnovaBuf
+    val n = bb.getInt
+    var i = 0
+    while (i < n) {
+      val g = bb.getLong
+      buf.m.update(g, Array(bb.getDouble, bb.getDouble, bb.getDouble))
+      i += 1
+    }
+    buf
+  }
+  override def withNewMutableAggBufferOffset(o: Int): AnovaAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): AnovaAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): AnovaAgg =
+    copy(valueChild = cs(0), groupChild = cs(1))
+  override def prettyName: String = "analysisOfVariance"
 }
 
 /** CH `sumKahan(x)`: compensated (Kahan–Babuška) float summation — the

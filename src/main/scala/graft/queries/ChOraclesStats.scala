@@ -9,6 +9,57 @@ package graft.queries
   */
 object ChOraclesStats {
   val sql: Map[String, String] = Map(
+    // Inclusive rides DuckDB's own quantile_cont (independent R-7
+    // implementation); Exclusive writes the clamped h = level·(n+1) rank
+    // formula over the sorted list; F from per-group n/avg/var_samp
+    "q166_quantile_anova" ->
+      """WITH t AS (
+        |  SELECT event_type, CAST(user_id % 41 AS DOUBLE) v, value,
+        |         user_id % 3 AS grp
+        |  FROM events),
+        |q AS (
+        |  SELECT event_type,
+        |         quantile_cont(v, 0.3) inc30, quantile_cont(v, 0.77) inc77,
+        |         list(v ORDER BY v) l, CAST(COUNT(*) AS DOUBLE) n,
+        |         AVG(value) grand
+        |  FROM t GROUP BY event_type),
+        |e AS (
+        |  SELECT event_type, inc30, inc77, grand,
+        |    GREATEST(1.0, LEAST(0.3 * (n + 1.0), n)) h30,
+        |    GREATEST(1.0, LEAST(0.5 * (n + 1.0), n)) h50,
+        |    l, CAST(n AS INT) ni
+        |  FROM q),
+        |x AS (
+        |  SELECT event_type, inc30, inc77, grand,
+        |    l[CAST(FLOOR(h30) AS INT)]
+        |      + (h30 - FLOOR(h30))
+        |        * (l[LEAST(CAST(FLOOR(h30) AS INT) + 1, ni)]
+        |           - l[CAST(FLOOR(h30) AS INT)]) exc30,
+        |    l[CAST(FLOOR(h50) AS INT)]
+        |      + (h50 - FLOOR(h50))
+        |        * (l[LEAST(CAST(FLOOR(h50) AS INT) + 1, ni)]
+        |           - l[CAST(FLOOR(h50) AS INT)]) exc50
+        |  FROM e),
+        |a AS (
+        |  SELECT event_type, grp, CAST(COUNT(*) AS DOUBLE) ng,
+        |         AVG(value) mg, VAR_SAMP(value) vg
+        |  FROM t GROUP BY 1, 2),
+        |f AS (
+        |  SELECT a.event_type,
+        |         SUM(a.ng * (a.mg - x.grand) * (a.mg - x.grand)) ssb,
+        |         SUM(a.vg * (a.ng - 1)) ssw,
+        |         SUM(a.ng) nn, CAST(COUNT(*) AS DOUBLE) k
+        |  FROM a JOIN x ON a.event_type = x.event_type
+        |  GROUP BY a.event_type)
+        |SELECT x.event_type,
+        |  ROUND(x.inc30, 6) AS inc30,
+        |  ROUND(x.inc77, 6) AS inc77,
+        |  ROUND(x.exc30, 6) AS exc30,
+        |  ROUND(x.exc50, 6) AS exc50,
+        |  ROUND((f.ssb / (f.k - 1)) / (f.ssw / (f.nn - f.k)), 6) AS f3
+        |FROM x JOIN f ON x.event_type = f.event_type
+        |ORDER BY x.event_type""".stripMargin,
+
     // the same midpoint rule written out: per-value Σweight, window
     // cumsum → p_i = (cum − 0.5·w)/W, arg_max/arg_min bracket the level,
     // interpolation in the same double order as the Spark aggregate

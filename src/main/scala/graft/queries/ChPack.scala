@@ -1018,6 +1018,30 @@ object ChPack {
           |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin)
     },
 
+    // Excel-convention exact quantiles + one-way ANOVA. Inclusive = R-7,
+    // which DuckDB's quantile_cont implements INDEPENDENTLY — a genuine
+    // cross-implementation parity gate; Exclusive mirrors the rank
+    // formula op-for-op; the F statistic mirrors the ssb/ssw closed form
+    // (p-values are spec-pinned via the F = t² bridge).
+    "q166_quantile_anova" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).events.createOrReplaceTempView("graft_qa_events")
+      s.sql(
+        """WITH t AS (
+          |  SELECT event_type,
+          |         CAST(user_id % 41 AS DOUBLE) v,
+          |         value,
+          |         user_id % 3 AS grp
+          |  FROM graft_qa_events)
+          |SELECT event_type,
+          |       round(quantileExactInclusive(v, 0.3D), 6) AS inc30,
+          |       round(quantileExactInclusive(v, 0.77D), 6) AS inc77,
+          |       round(quantileExactExclusive(v, 0.3D), 6) AS exc30,
+          |       round(medianExactExclusive(v), 6) AS exc50,
+          |       round(analysisOfVariance(value, grp).f_statistic, 6) AS f3
+          |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin)
+    },
+
     // CH sequence aggregates: time-weighted exponentialMovingAverage
     // (deterministic ts-sorted weighting) and the maxIntersections sweep
     // over half-open intervals — both mirrored by explicit DuckDB

@@ -295,6 +295,9 @@ class PlanSpec extends SparkSpec {
     // q165: one grouped aggregation (value→Σweight maps, distinct-value
     // sized) + the output sort
     "q165_interp_quantile" -> 2,
+    // q166: one grouped aggregation (sorted-value collects + per-group
+    // Welford map) + the output sort
+    "q166_quantile_anova" -> 2,
     // q163: ONE grouped aggregation carrying all four matrix/t states
     // (O(k²) doubles each) + the output sort
     "q163_stat_matrix" -> 2,

@@ -182,6 +182,64 @@ class StatMatrixSpec extends SparkSpec {
     assert(rn.isNullAt(0) && rn.getInt(1) == 7 && rn.getInt(2) == 7)
   }
 
+  test("analysisOfVariance: closed form, t² bridge on 2 groups, invariance") {
+    reg()
+    import spark.implicits._
+    // 3 groups with distinct means: hand closed form
+    val rows = Seq(
+      (0, 1.0), (0, 2.0), (0, 3.0),
+      (1, 2.0), (1, 3.0), (1, 4.0),
+      (2, 4.0), (2, 5.0), (2, 6.0))
+    rows.toDF("g", "v").createOrReplaceTempView("graft_anova3")
+    val r = spark.sql("SELECT analysisOfVariance(v, g) a FROM graft_anova3")
+      .selectExpr("a.f_statistic", "a.p_value").head()
+    // means 2,3,5; grand 10/3; ssb = 3[(2-10/3)²+(3-10/3)²+(5-10/3)²]
+    // = 3·(16/9+1/9+25/9) = 14; ssw = 3·2 = 6; F = (14/2)/(6/6) = 7
+    assert(math.abs(r.getDouble(0) - 7.0) < 1e-12, s"F=${r.getDouble(0)}")
+    assert(r.getDouble(1) > 0 && r.getDouble(1) < 0.05, "p in (0, .05)")
+    // 2-group ANOVA ≡ pooled two-sample t: F = t², same p
+    val two = (1 to 40).map(i => (i % 2, (i * 7 % 13).toDouble + (i % 2) * 2))
+    two.toDF("g", "v").createOrReplaceTempView("graft_anova2")
+    val a2 = spark.sql("SELECT analysisOfVariance(v, g) a FROM graft_anova2")
+      .selectExpr("a.f_statistic", "a.p_value").head()
+    val t2 = spark.sql("SELECT studentTTest(v, g) t FROM graft_anova2")
+      .selectExpr("t.t_statistic", "t.p_value").head()
+    assert(math.abs(a2.getDouble(0) - t2.getDouble(0) * t2.getDouble(0)) < 1e-9,
+      "F = t² on two groups")
+    assert(math.abs(a2.getDouble(1) - t2.getDouble(1)) < 1e-9, "same p")
+    // partitioning invariance (Welford group merges)
+    def at(parts: Int) = {
+      rows.toDF("g", "v").repartition(parts).createOrReplaceTempView("graft_anova_p")
+      spark.sql("SELECT analysisOfVariance(v, g) a FROM graft_anova_p")
+        .selectExpr("a.f_statistic").head().getDouble(0)
+    }
+    assert(math.abs(at(1) - at(5)) < 1e-12)
+    // <2 groups → nulls; string groups work (alias spelling)
+    assert(spark.sql("SELECT anova(v, g) a FROM graft_anova3 WHERE g = 0")
+      .selectExpr("a.f_statistic").head().isNullAt(0))
+    assert(spark.sql(
+      "SELECT anova(v, CAST(g AS STRING)) a FROM graft_anova3")
+      .selectExpr("round(a.f_statistic, 9)").head().getDouble(0) == 7.0)
+  }
+
+  test("quantileExactInclusive/Exclusive match the Excel conventions") {
+    reg()
+    import spark.implicits._
+    (1L to 5L).toDF("v").createOrReplaceTempView("graft_qexc")
+    val r = spark.sql(
+      """SELECT quantileExactInclusive(v, 0.4D) inc,
+        |       quantileExactExclusive(v, 0.4D) exc,
+        |       quantileExactExclusive(v, 0.05D) lo,
+        |       quantileExactExclusive(v, 0.95D) hi,
+        |       medianExactInclusive(v) mi,
+        |       medianExactExclusive(v) me
+        |FROM graft_qexc""".stripMargin).head()
+    assert(r.getDouble(0) == 2.6, "PERCENTILE.INC([1..5], .4) = 2.6")
+    assert(math.abs(r.getDouble(1) - 2.4) < 1e-12, "PERCENTILE.EXC = 2.4")
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 5.0, "rank clamps to [1, n]")
+    assert(r.getDouble(4) == 3.0 && r.getDouble(5) == 3.0)
+  }
+
   test("arrayShiftLeft/Right match the CH doc examples") {
     reg()
     def s(expr: String) = spark.sql(s"SELECT concat_ws(',', $expr) v").head().getString(0)
