@@ -1261,26 +1261,35 @@ object ChCompat {
     f("lastValueRespectNulls") { es => new Last(es.head, false).toAggregateExpression() }
     f("anyLastRespectNulls") { es => new Last(es.head, false).toAggregateExpression() }
     // CH sumWithOverflow: sum IN the argument's own type, wrapping on
-    // overflow — Spark's LEGACY-mode SUM (the session's ANSI default
-    // would throw on the wrap instead)
+    // overflow — LEGACY-mode SUM (the session's ANSI default would throw
+    // on the wrap), truncated back to the input type for sub-Long
+    // integrals by SumInInputType (a post-resolution wrapper: the input
+    // type isn't inspectable in this pre-analysis builder). Truncation
+    // after the Long-wrapping sum IS mod-2^32/2^16 arithmetic (2^32
+    // divides 2^64), so the wrap semantics are exact, not approximated.
     f("sumWithOverflow") { es =>
-      Sum(es.head, NumericEvalContext(EvalMode.LEGACY)).toAggregateExpression()
+      SumInInputType(Sum(es.head, NumericEvalContext(EvalMode.LEGACY)).toAggregateExpression())
     }
     // the -Stable statistic spellings: CH guarantees a numerically stable
     // (and merge-order-robust) algorithm for these — alias them onto the
     // centered co-moment matrix machinery (StatMatrix), which is exactly
     // that; scalars extract the [0][1] (pair) or [0][0] (single) entry
-    def mx(mode: String, cols: Seq[Expression]): Expression =
+    def mx(name: String, mode: String, es: Seq[Expression], arity: Int): Expression = {
+      // silent take() would turn corrStable(x) into the constant 1.0 —
+      // a typo must be an error, not a wrong statistic
+      require(es.length == arity,
+        s"$name expects exactly $arity argument(s), got ${es.length}")
       GetArrayItem(GetArrayItem(
-        CoMomentMatrixAgg(cols, mode).toAggregateExpression(), Literal(0)),
-        Literal(if (cols.length > 1) 1 else 0))
-    f("corrStable") { es => mx("corr", es.take(2)) }
-    f("covarPopStable") { es => mx("covarPop", es.take(2)) }
-    f("covarSampStable") { es => mx("covarSamp", es.take(2)) }
-    f("varPopStable") { es => mx("covarPop", es.take(1)) }
-    f("varSampStable") { es => mx("covarSamp", es.take(1)) }
-    f("stddevPopStable") { es => Sqrt(mx("covarPop", es.take(1))) }
-    f("stddevSampStable") { es => Sqrt(mx("covarSamp", es.take(1))) }
+        CoMomentMatrixAgg(es, mode).toAggregateExpression(), Literal(0)),
+        Literal(if (arity > 1) 1 else 0))
+    }
+    f("corrStable") { es => mx("corrStable", "corr", es, 2) }
+    f("covarPopStable") { es => mx("covarPopStable", "covarPop", es, 2) }
+    f("covarSampStable") { es => mx("covarSampStable", "covarSamp", es, 2) }
+    f("varPopStable") { es => mx("varPopStable", "covarPop", es, 1) }
+    f("varSampStable") { es => mx("varSampStable", "covarSamp", es, 1) }
+    f("stddevPopStable") { es => Sqrt(mx("stddevPopStable", "covarPop", es, 1)) }
+    f("stddevSampStable") { es => Sqrt(mx("stddevSampStable", "covarSamp", es, 1)) }
     // CH groupArraySorted(N)(x) in the flat spelling (x, N): the smallest
     // N values in ascending order — collect + sort + slice; bounded
     // output, but the collect buffer is group-sized (like medianExact;
@@ -1321,7 +1330,11 @@ object ChCompat {
       val hi = new Least(Seq(Add(lo, Literal(1)), Cast(Size(arr), IntegerType)))
       val xlo = Cast(ElementAt(arr, lo), DoubleType)
       val xhi = Cast(ElementAt(arr, hi), DoubleType)
-      Add(xlo, Multiply(Subtract(hc, Cast(lo, DoubleType)), Subtract(xhi, xlo)))
+      // an empty/all-NULL group collapses the sorted array to []: lo=1 but
+      // hi=LEAST(2,0)=0, and ElementAt(arr, 0)/out-of-bounds would THROW
+      // under the session's ANSI default — return NULL like Percentile
+      If(EqualTo(Size(arr), Literal(0)), Literal(null, DoubleType),
+        Add(xlo, Multiply(Subtract(hc, Cast(lo, DoubleType)), Subtract(xhi, xlo))))
     }
     f("quantileExactExclusive") { es => exactExclusive(es) }
     f("medianExactExclusive") { es => exactExclusive(Seq(es.head, Literal(0.5d))) }
@@ -2087,6 +2100,36 @@ case class BitmapSubsetExpr(first: Expression, second: Expression,
 /** CH `arrayAUC(scores, labels)`: exact ROC AUC from one row's parallel
   * arrays — rank-sum form with average ranks on score ties (the same
   * half-credit CH assigns). NULL when either class is absent. */
+/** Truncates a (LEGACY, wrapping) SUM back to its input's own integral
+  * type — CH's sumWithOverflow contract. The input type is read from the
+  * RESOLVED aggregate child (a pre-analysis registration builder cannot
+  * inspect it); Long/float/decimal inputs pass through unchanged, and
+  * Long→Int/Short/Byte truncation is exact mod-2ᵏ arithmetic. */
+case class SumInInputType(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  private def inputType: DataType = child match {
+    case ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression =>
+      ae.aggregateFunction.children.head.dataType
+    case other => other.dataType
+  }
+  override def dataType: DataType = inputType match {
+    case t @ (IntegerType | ShortType | ByteType) => t
+    case _ => child.dataType
+  }
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(v: Any): Any = (v, dataType) match {
+    case (l: Long, IntegerType) => l.toInt
+    case (l: Long, ShortType) => l.toShort
+    case (l: Long, ByteType) => l.toByte
+    case (other, _) => other
+  }
+  override protected def withNewChildInternal(c: Expression): SumInInputType =
+    copy(child = c)
+  override def prettyName: String = "sumWithOverflow"
+}
+
 /** CH `arrayShiftLeft/Right(arr, n[, default])`: length-preserving shift,
   * vacated slots filled with `default` (2-arg form: the element type's
   * default — 0 / '' / false / [], per CH). Negative n shifts the other

@@ -403,6 +403,8 @@ case class QuantileInterpolatedWeightedAgg(
 
   private lazy val level: Double = levelChild.eval(InternalRow.empty) match {
     case n: Number => n.doubleValue()
+    // a bare SQL literal like 0.25 parses as DecimalType, not Double
+    case d: Decimal => d.toDouble
     case other => throw new IllegalArgumentException(
       s"$prettyName: level must be a numeric literal, got $other")
   }
@@ -521,6 +523,8 @@ case class QuantileExactWeightedAgg(
     case d: Double => d
     case f: Float => f.toDouble
     case n: Number => n.doubleValue()
+    // a bare SQL literal like 0.25 parses as DecimalType, not Double
+    case d: Decimal => d.toDouble
     case other => throw new IllegalArgumentException(
       s"quantileExactWeighted: level must be a numeric literal, got $other")
   }

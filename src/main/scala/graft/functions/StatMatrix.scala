@@ -59,16 +59,18 @@ object StatMatrix {
 }
 
 final class AnovaBuf {
-  /** group index → (n, mean, M2) Welford triple */
-  private[graft] val m = mutable.HashMap.empty[Long, Array[Double]]
-  def add(g: Long, v: Double): Unit = {
+  /** group key (Long for integral/bool groups, String for string groups —
+    * exact, never a lossy hash that could silently merge two labels) →
+    * (n, mean, M2) Welford triple */
+  private[graft] val m = mutable.HashMap.empty[Any, Array[Double]]
+  def add(g: Any, v: Double): Unit = {
     val s = m.getOrElseUpdate(g, new Array[Double](3))
     s(0) += 1
     val d = v - s(1)
     s(1) += d / s(0)
     s(2) += d * (v - s(1))
   }
-  def mergeGroup(g: Long, o: Array[Double]): Unit = m.get(g) match {
+  def mergeGroup(g: Any, o: Array[Double]): Unit = m.get(g) match {
     case None => m.update(g, o.clone())
     case Some(s) =>
       val nA = s(0); val nB = o(0)
@@ -113,15 +115,15 @@ case class AnovaAgg(
   override def nullable: Boolean = false
   override def createAggregationBuffer(): AnovaBuf = new AnovaBuf
 
-  private def groupOf(row: InternalRow): Option[Long] = groupChild.eval(row) match {
+  private def groupOf(row: InternalRow): Option[Any] = groupChild.eval(row) match {
     case null => None
     case l: Long => Some(l)
     case i: Int => Some(i.toLong)
     case s: Short => Some(s.toLong)
     case b: Boolean => Some(if (b) 1L else 0L)
-    // string groups hash to a stable id — collisions would merge groups,
-    // so use the full 64-bit space
-    case u: UTF8String => Some(u.hashCode.toLong << 32 | (u.numBytes() & 0xFFFFFFFFL))
+    // the exact string is the key (copied out of the reused UTF8String
+    // buffer) — a hashed id could silently merge two colliding labels
+    case u: UTF8String => Some(u.toString)
   }
 
   override def update(buf: AnovaBuf, row: InternalRow): AnovaBuf = {
@@ -155,18 +157,38 @@ case class AnovaAgg(
     }
     val d1 = (k - 1).toDouble
     val d2 = bigN - k
-    if (ssw == 0d) return InternalRow(Double.PositiveInfinity, 0d)
+    if (ssw == 0d) {
+      // ssb = ssw = 0 (all values identical): the statistic is 0/0 —
+      // NaN like CH, never a false "infinitely significant" claim;
+      // ssb > 0 with zero within-group variance IS perfect separation
+      return if (ssb == 0d) InternalRow(Double.NaN, Double.NaN)
+      else InternalRow(Double.PositiveInfinity, 0d)
+    }
     val f = (ssb / d1) / (ssw / d2)
     // upper tail of F(d1, d2): I_{d2/(d2 + d1 f)}(d2/2, d1/2)
     val p = StatMath.betainc(d2 / 2, d1 / 2, d2 / (d2 + d1 * f))
     InternalRow(f, p)
   }
 
+  // the key lane is a plan-constant property of the group child's type,
+  // so the wire format needs no per-entry flag
+  private def isStringGroup = groupChild.dataType == StringType
+
   override def serialize(buf: AnovaBuf): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + buf.m.size * 32)
+    val keyBytes = buf.m.keysIterator.map {
+      case s: String => s.getBytes(StandardCharsets.UTF_8)
+      case _ => null
+    }.toArray
+    val size = 4 + buf.m.size * 24 +
+      (if (isStringGroup) keyBytes.map(4 + _.length).sum else buf.m.size * 8)
+    val bb = ByteBuffer.allocate(size)
     bb.putInt(buf.m.size)
-    buf.m.foreach { case (g, s) =>
-      bb.putLong(g); bb.putDouble(s(0)); bb.putDouble(s(1)); bb.putDouble(s(2))
+    buf.m.iterator.zip(keyBytes.iterator).foreach { case ((g, s), kb) =>
+      g match {
+        case l: Long => bb.putLong(l)
+        case _: String => bb.putInt(kb.length); bb.put(kb)
+      }
+      bb.putDouble(s(0)); bb.putDouble(s(1)); bb.putDouble(s(2))
     }
     bb.array()
   }
@@ -176,7 +198,11 @@ case class AnovaAgg(
     val n = bb.getInt
     var i = 0
     while (i < n) {
-      val g = bb.getLong
+      val g: Any =
+        if (isStringGroup) {
+          val kb = new Array[Byte](bb.getInt); bb.get(kb)
+          new String(kb, StandardCharsets.UTF_8)
+        } else bb.getLong
       buf.m.update(g, Array(bb.getDouble, bb.getDouble, bb.getDouble))
       i += 1
     }
@@ -191,17 +217,33 @@ case class AnovaAgg(
   override def prettyName: String = "analysisOfVariance"
 }
 
-/** CH `sumKahan(x)`: compensated (Kahan–Babuška) float summation — the
-  * running compensation term rides the state, so magnitude-mismatched
-  * additions (1e16 + 1.0 − 1e16) keep the small term instead of losing
-  * it to rounding. Partials merge by Kahan-adding the other side's sum
-  * and compensation. */
+final class KahanBuf {
+  /** float lane (sum + compensation) or exact Int64 lane — one active */
+  var sum = 0d
+  var comp = 0d
+  var lsum = 0L
+  var n = 0L
+}
+
+/** CH `sumKahan(x)`: compensated (Kahan–Babuška/Neumaier) float
+  * summation — the running compensation term rides the state, so
+  * magnitude-mismatched additions (1e16 + 1.0 − 1e16) keep the small
+  * term instead of losing it to rounding. Partials merge by Kahan-adding
+  * the other side's sum and compensation. Integral inputs take an EXACT
+  * Int64 lane instead (compensation can't beat exactness, and routing
+  * Longs through Double would LOSE bits past 2^53 — the same contract as
+  * groupArrayMovingSum's long lane); result type follows the lane. */
 case class KahanSumAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Double]]
+  extends TypedImperativeAggregate[KahanBuf]
   with UnaryLike[Expression] {
+
+  private val isLongIn = child.dataType match {
+    case LongType | IntegerType | ShortType => true
+    case _ => false
+  }
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case DoubleType | FloatType | LongType | IntegerType | ShortType =>
@@ -209,47 +251,53 @@ case class KahanSumAgg(
     case t => TypeCheckResult.TypeCheckFailure(
       s"sumKahan: numeric input required, got ${t.simpleString}")
   }
-  override def dataType: DataType = DoubleType
+  override def dataType: DataType = if (isLongIn) LongType else DoubleType
   override def nullable: Boolean = true
+  override def createAggregationBuffer(): KahanBuf = new KahanBuf
 
-  // buf = [sum, compensation, count]
-  override def createAggregationBuffer(): Array[Double] = new Array[Double](3)
-
-  private def kadd(buf: Array[Double], v: Double): Unit = {
+  private def kadd(buf: KahanBuf, v: Double): Unit = {
     // Neumaier's variant: robust when the addend exceeds the running sum
-    val t = buf(0) + v
-    buf(1) +=
-      (if (math.abs(buf(0)) >= math.abs(v)) (buf(0) - t) + v
-       else (v - t) + buf(0))
-    buf(0) = t
+    val t = buf.sum + v
+    buf.comp +=
+      (if (math.abs(buf.sum) >= math.abs(v)) (buf.sum - t) + v
+       else (v - t) + buf.sum)
+    buf.sum = t
   }
 
-  override def update(buf: Array[Double], row: InternalRow): Array[Double] = {
+  override def update(buf: KahanBuf, row: InternalRow): KahanBuf = {
     child.eval(row) match {
       case null => ()
-      case d: Double => kadd(buf, d); buf(2) += 1
-      case f: Float => kadd(buf, f.toDouble); buf(2) += 1
-      case l: Long => kadd(buf, l.toDouble); buf(2) += 1
-      case i: Int => kadd(buf, i.toDouble); buf(2) += 1
-      case s: Short => kadd(buf, s.toDouble); buf(2) += 1
+      case d: Double => kadd(buf, d); buf.n += 1
+      case f: Float => kadd(buf, f.toDouble); buf.n += 1
+      case l: Long => buf.lsum += l; buf.n += 1
+      case i: Int => buf.lsum += i; buf.n += 1
+      case s: Short => buf.lsum += s; buf.n += 1
     }
     buf
   }
-  override def merge(buf: Array[Double], o: Array[Double]): Array[Double] = {
-    kadd(buf, o(0)); kadd(buf, o(1)); buf(2) += o(2)
+  override def merge(buf: KahanBuf, o: KahanBuf): KahanBuf = {
+    if (isLongIn) buf.lsum += o.lsum
+    else { kadd(buf, o.sum); kadd(buf, o.comp) }
+    buf.n += o.n
     buf
   }
-  override def eval(buf: Array[Double]): Any =
-    if (buf(2) == 0) null else buf(0) + buf(1)
+  override def eval(buf: KahanBuf): Any =
+    if (buf.n == 0) null
+    else if (isLongIn) buf.lsum
+    else buf.sum + buf.comp
 
-  override def serialize(buf: Array[Double]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(24)
-    bb.putDouble(buf(0)); bb.putDouble(buf(1)); bb.putDouble(buf(2))
+  override def serialize(buf: KahanBuf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(32)
+    bb.putDouble(buf.sum); bb.putDouble(buf.comp)
+    bb.putLong(buf.lsum); bb.putLong(buf.n)
     bb.array()
   }
-  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+  override def deserialize(bytes: Array[Byte]): KahanBuf = {
     val bb = ByteBuffer.wrap(bytes)
-    Array(bb.getDouble, bb.getDouble, bb.getDouble)
+    val buf = new KahanBuf
+    buf.sum = bb.getDouble; buf.comp = bb.getDouble
+    buf.lsum = bb.getLong; buf.n = bb.getLong
+    buf
   }
   override def withNewMutableAggBufferOffset(o: Int): KahanSumAgg =
     copy(mutableAggBufferOffset = o)

@@ -240,6 +240,46 @@ class StatMatrixSpec extends SparkSpec {
     assert(r.getDouble(4) == 3.0 && r.getDouble(5) == 3.0)
   }
 
+  test("review-pass pins: edge semantics of the round-9 spellings") {
+    reg()
+    import spark.implicits._
+    // exclusive quantile over an empty / all-NULL group is NULL, not a
+    // thrown ElementAt index error under the ANSI session default
+    (1L to 5L).toDF("v").createOrReplaceTempView("graft_rp_v")
+    assert(spark.sql(
+      "SELECT quantileExactExclusive(v, 0.4D) q FROM graft_rp_v WHERE v > 99")
+      .head().isNullAt(0))
+    assert(spark.sql(
+      "SELECT quantileExactExclusive(CAST(NULL AS BIGINT), 0.4D) q FROM graft_rp_v")
+      .head().isNullAt(0))
+    // all-identical values: the F statistic is 0/0 → NaN, never a false
+    // "infinitely significant" (+Inf, 0)
+    Seq((0, 5.0), (0, 5.0), (1, 5.0), (1, 5.0)).toDF("g", "v")
+      .createOrReplaceTempView("graft_rp_const")
+    val cf = spark.sql("SELECT anova(v, g) a FROM graft_rp_const")
+      .selectExpr("a.f_statistic", "a.p_value").head()
+    assert(cf.getDouble(0).isNaN && cf.getDouble(1).isNaN)
+    // sumWithOverflow wraps in the INPUT type: Int32 sums wrap at 2^31
+    val i32 = spark.sql(
+      s"SELECT sumWithOverflow(v) s FROM VALUES (${Int.MaxValue}), (1) t(v)").head()
+    assert(i32.get(0) == Int.MinValue, s"got ${i32.get(0)}")
+    // sumKahan keeps integral inputs exact past 2^53 (Long lane)
+    val big = (1L << 53)
+    assert(spark.sql(s"SELECT sumKahan(v) s FROM VALUES (${big}L), (1L) t(v)")
+      .head().getLong(0) == big + 1L)
+    // bare decimal level literals work (0.25 parses as DecimalType)
+    Seq((10L, 1), (20L, 1), (30L, 1)).toDF("v", "w")
+      .createOrReplaceTempView("graft_rp_iq")
+    assert(math.abs(spark.sql(
+      "SELECT quantileInterpolatedWeighted(v, w, 0.25) q FROM graft_rp_iq")
+      .head().getDouble(0) - 12.5) < 1e-12)
+    // a -Stable alias with the wrong arity is an error, not corr ≡ 1.0
+    val e = intercept[Exception] {
+      spark.sql("SELECT corrStable(v) FROM graft_rp_v").collect()
+    }
+    assert(e.getMessage.contains("expects exactly 2"))
+  }
+
   test("arrayShiftLeft/Right match the CH doc examples") {
     reg()
     def s(expr: String) = spark.sql(s"SELECT concat_ws(',', $expr) v").head().getString(0)
