@@ -55,7 +55,142 @@ object StatMatrix {
       AnovaAgg(es(0), es(1)).toAggregateExpression()
     }
     f("anova") { es => AnovaAgg(es(0), es(1)).toAggregateExpression() }
+    f("groupArrayIntersect") { es =>
+      GroupArrayIntersectAgg(es.head).toAggregateExpression()
+    }
   }
+}
+
+final class ArrayIntersectBuf {
+  /** null until the first (non-null) array arrives — the intersection
+    * identity is the universe, which isn't representable */
+  private[graft] var s: mutable.HashSet[Any] = null
+}
+
+/** CH `groupArrayIntersect(arr)`: the intersection of all the group's
+  * arrays (per-row duplicates count once). Associative + commutative
+  * null-seeded fold like [[BitmapFoldAggregate]]'s AND; the state only
+  * ever SHRINKS after the seed, so it is bounded by the first row's
+  * array. Output sorted ascending for partition-order determinism (CH
+  * leaves the order unspecified). Long/Double/String element lanes.
+  */
+case class GroupArrayIntersectAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ArrayIntersectBuf]
+  with UnaryLike[Expression] {
+
+  private def elem: DataType = child.dataType match {
+    case ArrayType(et, _) => et
+    case _ => NullType
+  }
+  private def isString = elem == StringType
+  private def isDouble = elem match {
+    case DoubleType | FloatType => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType | IntegerType | ShortType | DoubleType | FloatType
+                   | StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: array of long/double/string required (cast other " +
+        s"element types), got ${t.simpleString}")
+  }
+  private def outElem: DataType =
+    if (isString) StringType else if (isDouble) DoubleType else LongType
+  override def dataType: DataType = ArrayType(outElem, containsNull = false)
+  override def nullable: Boolean = false
+  override def createAggregationBuffer(): ArrayIntersectBuf = new ArrayIntersectBuf
+
+  private def norm(v: Any): Any = v match {
+    case u: UTF8String => u.toString
+    case f: Float => f.toDouble
+    case i: Int => i.toLong
+    case s: Short => s.toLong
+    case other => other
+  }
+
+  override def update(buf: ArrayIntersectBuf, row: InternalRow): ArrayIntersectBuf = {
+    val a = child.eval(row)
+    if (a != null) {
+      val ad = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val incoming = mutable.HashSet.empty[Any]
+      var i = 0
+      while (i < ad.numElements()) {
+        if (!ad.isNullAt(i)) incoming += norm(ad.get(i, elem))
+        i += 1
+      }
+      if (buf.s == null) buf.s = incoming
+      else buf.s.filterInPlace(incoming.contains)
+    }
+    buf
+  }
+  override def merge(buf: ArrayIntersectBuf, o: ArrayIntersectBuf): ArrayIntersectBuf = {
+    if (o.s != null) {
+      if (buf.s == null) buf.s = o.s
+      else buf.s.filterInPlace(o.s.contains)
+    }
+    buf
+  }
+
+  override def eval(buf: ArrayIntersectBuf): Any = {
+    if (buf.s == null) return new GenericArrayData(Array.empty[Any])
+    val sorted: Array[Any] =
+      if (isString) buf.s.toArray.map(_.asInstanceOf[String]).sorted
+        .map(s => UTF8String.fromString(s): Any)
+      else if (isDouble) buf.s.toArray.map(_.asInstanceOf[Double]).sorted
+        .map(d => d: Any)
+      else buf.s.toArray.map(_.asInstanceOf[Long]).sorted.map(l => l: Any)
+    new GenericArrayData(sorted)
+  }
+
+  override def serialize(buf: ArrayIntersectBuf): Array[Byte] = {
+    if (buf.s == null) return Array[Byte](0)
+    val entries = buf.s.toArray
+    val strBytes = entries.map {
+      case s: String => s.getBytes(StandardCharsets.UTF_8)
+      case _ => null
+    }
+    val size = 5 + (if (isString) strBytes.map(4 + _.length).sum
+                    else entries.length * 8)
+    val bb = ByteBuffer.allocate(size)
+    bb.put(1.toByte)
+    bb.putInt(entries.length)
+    entries.zip(strBytes).foreach {
+      case (_, sb) if isString => bb.putInt(sb.length); bb.put(sb)
+      case (d: Double, _) => bb.putDouble(d)
+      case (l: Long, _) => bb.putLong(l)
+      case (other, _) => throw new IllegalStateException(s"bad lane: $other")
+    }
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): ArrayIntersectBuf = {
+    val buf = new ArrayIntersectBuf
+    val bb = ByteBuffer.wrap(bytes)
+    if (bb.get() == 1.toByte) {
+      val n = bb.getInt
+      buf.s = mutable.HashSet.empty[Any]
+      var i = 0
+      while (i < n) {
+        buf.s +=
+          (if (isString) { val b = new Array[Byte](bb.getInt); bb.get(b)
+            new String(b, StandardCharsets.UTF_8) }
+          else if (isDouble) bb.getDouble
+          else bb.getLong)
+        i += 1
+      }
+    }
+    buf
+  }
+  override def withNewMutableAggBufferOffset(o: Int): GroupArrayIntersectAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): GroupArrayIntersectAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): GroupArrayIntersectAgg =
+    copy(child = c)
+  override def prettyName: String = "groupArrayIntersect"
 }
 
 final class AnovaBuf {

@@ -9,6 +9,24 @@ package graft.queries
   */
 object ChOraclesStats {
   val sql: Map[String, String] = Map(
+    // values present on all ndays days = the intersection; empty
+    // intersections render '' through the LEFT JOIN
+    "q167_array_intersect" ->
+      """WITH u AS (
+        |  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(hour(ts) % 6 AS BIGINT) AS h
+        |  FROM events),
+        |nd AS (SELECT event_type, COUNT(DISTINCT day) ndays FROM u GROUP BY 1),
+        |c AS (SELECT event_type, h, COUNT(*) cnt FROM u GROUP BY 1, 2),
+        |i AS (
+        |  SELECT c.event_type, c.h FROM c
+        |  JOIN nd ON c.event_type = nd.event_type AND c.cnt = nd.ndays)
+        |SELECT n.event_type,
+        |  COALESCE(string_agg(CAST(i.h AS VARCHAR), ',' ORDER BY i.h), '')
+        |    AS common_hours
+        |FROM nd n LEFT JOIN i ON n.event_type = i.event_type
+        |GROUP BY n.event_type ORDER BY n.event_type""".stripMargin,
+
     // Inclusive rides DuckDB's own quantile_cont (independent R-7
     // implementation); Exclusive writes the clamped h = level·(n+1) rank
     // formula over the sorted list; F from per-group n/avg/var_samp

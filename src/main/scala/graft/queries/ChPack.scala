@@ -1018,6 +1018,23 @@ object ChPack {
           |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin)
     },
 
+    // groupArrayIntersect: the across-rows set-intersection aggregate —
+    // hour-buckets active on EVERY day of an event_type; the per-day
+    // arrays come from collect_set, the fold only ever shrinks past its
+    // seed. Sorted output; set-theoretic DuckDB mirror.
+    "q167_array_intersect" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).events.createOrReplaceTempView("graft_ai_events")
+      s.sql(
+        """WITH a AS (
+          |  SELECT event_type, to_date(ts) AS day,
+          |         collect_set(CAST(hour(ts) % 6 AS BIGINT)) AS hrs
+          |  FROM graft_ai_events GROUP BY 1, 2)
+          |SELECT event_type,
+          |       concat_ws(',', groupArrayIntersect(hrs)) AS common_hours
+          |FROM a GROUP BY event_type ORDER BY event_type""".stripMargin)
+    },
+
     // Excel-convention exact quantiles + one-way ANOVA. Inclusive = R-7,
     // which DuckDB's quantile_cont implements INDEPENDENTLY — a genuine
     // cross-implementation parity gate; Exclusive mirrors the rank

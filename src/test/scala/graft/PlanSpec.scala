@@ -298,6 +298,9 @@ class PlanSpec extends SparkSpec {
     // q166: one grouped aggregation (sorted-value collects + per-group
     // Welford map) + the output sort
     "q166_quantile_anova" -> 2,
+    // q167: per-day collect_set agg, the shrinking intersection fold,
+    // and the output sort
+    "q167_array_intersect" -> 3,
     // q163: ONE grouped aggregation carrying all four matrix/t states
     // (O(k²) doubles each) + the output sort
     "q163_stat_matrix" -> 2,

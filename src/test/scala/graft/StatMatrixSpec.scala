@@ -280,6 +280,32 @@ class StatMatrixSpec extends SparkSpec {
     assert(e.getMessage.contains("expects exactly 2"))
   }
 
+  test("groupArrayIntersect: set fold across rows, lanes, partitioning") {
+    reg()
+    import spark.implicits._
+    Seq(Seq(1L, 2L, 3L, 2L), Seq(2L, 3L, 4L), Seq(3L, 2L, 9L))
+      .toDF("a").createOrReplaceTempView("graft_gai_l")
+    for (parts <- Seq(1, 3)) {
+      spark.sql(s"SELECT /*+ REPARTITION($parts) */ a FROM graft_gai_l")
+        .createOrReplaceTempView("graft_gai_lp")
+      assert(spark.sql("SELECT concat_ws(',', groupArrayIntersect(a)) i FROM graft_gai_lp")
+        .head().getString(0) == "2,3", s"parts=$parts")
+    }
+    // an empty array annihilates; a NULL row is skipped; strings sort
+    Seq(Some(Seq("b", "a")), None, Some(Seq("a", "b", "c")))
+      .toDF("a").createOrReplaceTempView("graft_gai_s")
+    assert(spark.sql("SELECT concat_ws(',', groupArrayIntersect(a)) i FROM graft_gai_s")
+      .head().getString(0) == "a,b")
+    Seq(Seq(1L, 2L), Seq.empty[Long]).toDF("a")
+      .createOrReplaceTempView("graft_gai_e")
+    assert(spark.sql("SELECT size(groupArrayIntersect(a)) n FROM graft_gai_e")
+      .head().getInt(0) == 0)
+    // empty group → empty array (not null)
+    assert(spark.sql(
+      "SELECT size(groupArrayIntersect(a)) n FROM graft_gai_e WHERE size(a) > 99")
+      .head().getInt(0) == 0)
+  }
+
   test("arrayShiftLeft/Right match the CH doc examples") {
     reg()
     def s(expr: String) = spark.sql(s"SELECT concat_ws(',', $expr) v").head().getString(0)
