@@ -1247,6 +1247,28 @@ object ChCompat {
     // ---- common CH aggregate names beyond the reference's own queries ----
     f("argMax") { es => MaxBy(es(0), es(1)).toAggregateExpression() }
     f("argMin") { es => MinBy(es(0), es(1)).toAggregateExpression() }
+    // the -If combinator on argMin/argMax: a false condition nulls BOTH
+    // lanes, and min_by/max_by skip null-ordering rows
+    f("argMaxIf") { es =>
+      MaxBy(onlyIf(es(2), es(0)), onlyIf(es(2), es(1))).toAggregateExpression()
+    }
+    f("argMinIf") { es =>
+      MinBy(onlyIf(es(2), es(0)), onlyIf(es(2), es(1))).toAggregateExpression()
+    }
+    // CH groupBitAnd/Or/Xor: bitwise integer folds — Spark's native bit
+    // aggregates under the CH spellings
+    f("groupBitAnd") { es => BitAndAgg(es.head).toAggregateExpression() }
+    f("groupBitOr") { es => BitOrAgg(es.head).toAggregateExpression() }
+    f("groupBitXor") { es => BitXorAgg(es.head).toAggregateExpression() }
+    // CH groupArrayLast(x, N) (flat spelling of groupArrayLast(N)(x)):
+    // the LAST N values in arrival order — same block-order caveat as
+    // groupArray/groupArrayMovingSum (pin the order upstream)
+    f("groupArrayLast") { es =>
+      val arr = CollectList(es(0)).toAggregateExpression()
+      val n = Cast(es(1), IntegerType)
+      Slice(arr, new Greatest(Seq(
+        Add(Subtract(Size(arr), n), Literal(1)), Literal(1))), n)
+    }
     f("groupArray") { es => CollectList(es.head).toAggregateExpression() }
     f("groupUniqArray") { es => CollectSet(es.head).toAggregateExpression() }
     // CH anyLast ≙ ignore-null last. CH `any` is deliberately NOT

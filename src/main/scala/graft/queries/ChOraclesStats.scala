@@ -9,6 +9,17 @@ package graft.queries
   */
 object ChOraclesStats {
   val sql: Map[String, String] = Map(
+    // DuckDB's native bit_and/bit_or/bit_xor + arg FILTER forms; the
+    // arg ordering key (event_id) is unique, so ties cannot diverge
+    "q168_bit_aggs" ->
+      """SELECT event_type,
+        |  bit_and(user_id + 1024) AS band,
+        |  bit_or(user_id % 4096) AS bor,
+        |  bit_xor(user_id) AS bxor,
+        |  arg_max(user_id, event_id) FILTER (event_id % 3 = 0) AS amx,
+        |  arg_min(user_id, event_id) FILTER (event_id % 3 = 0) AS amn
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // values present on all ndays days = the intersection; empty
     // intersections render '' through the LEFT JOIN
     "q167_array_intersect" ->

@@ -1018,6 +1018,23 @@ object ChPack {
           |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin)
     },
 
+    // bitwise integer folds + the argMin/argMax -If combinators, all
+    // directly mirrored by DuckDB's bit_and/bit_or/bit_xor and
+    // arg_min/arg_max FILTER.
+    "q168_bit_aggs" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).events.createOrReplaceTempView("graft_ba_events")
+      s.sql(
+        """SELECT event_type,
+          |       groupBitAnd(user_id + 1024) AS band,
+          |       groupBitOr(user_id % 4096) AS bor,
+          |       groupBitXor(user_id) AS bxor,
+          |       argMaxIf(user_id, event_id, event_id % 3 = 0) AS amx,
+          |       argMinIf(user_id, event_id, event_id % 3 = 0) AS amn
+          |FROM graft_ba_events
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    },
+
     // groupArrayIntersect: the across-rows set-intersection aggregate —
     // hour-buckets active on EVERY day of an event_type; the per-day
     // arrays come from collect_set, the fold only ever shrinks past its

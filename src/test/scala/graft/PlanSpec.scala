@@ -301,6 +301,8 @@ class PlanSpec extends SparkSpec {
     // q167: per-day collect_set agg, the shrinking intersection fold,
     // and the output sort
     "q167_array_intersect" -> 3,
+    // q168: one grouped aggregation (O(1) bitwise/arg states) + sort
+    "q168_bit_aggs" -> 2,
     // q163: ONE grouped aggregation carrying all four matrix/t states
     // (O(k²) doubles each) + the output sort
     "q163_stat_matrix" -> 2,

@@ -306,6 +306,28 @@ class StatMatrixSpec extends SparkSpec {
       .head().getInt(0) == 0)
   }
 
+  test("bit aggregates, argMin/MaxIf, groupArrayLast spellings") {
+    reg()
+    import spark.implicits._
+    Seq((6L, 10L, true), (12L, 20L, true), (10L, 30L, false))
+      .toDF("v", "ord", "c").repartition(1).createOrReplaceTempView("graft_bits")
+    val r = spark.sql(
+      """SELECT groupBitAnd(v), groupBitOr(v), groupBitXor(v),
+        |       argMaxIf(v, ord, c), argMinIf(v, ord, c)
+        |FROM graft_bits""".stripMargin).head()
+    assert(r.getLong(0) == (6L & 12L & 10L), "AND")
+    assert(r.getLong(1) == (6L | 12L | 10L), "OR")
+    assert(r.getLong(2) == (6L ^ 12L ^ 10L), "XOR")
+    assert(r.getLong(3) == 12L, "argMaxIf skips the cond-false ord=30 row")
+    assert(r.getLong(4) == 6L)
+    // groupArrayLast: the last N in arrival order (single partition pin)
+    (1L to 5L).toDF("v").repartition(1).createOrReplaceTempView("graft_gal")
+    assert(spark.sql("SELECT concat_ws(',', groupArrayLast(v, 3)) a FROM graft_gal")
+      .head().getString(0) == "3,4,5")
+    assert(spark.sql("SELECT concat_ws(',', groupArrayLast(v, 9)) a FROM graft_gal")
+      .head().getString(0) == "1,2,3,4,5")
+  }
+
   test("arrayShiftLeft/Right match the CH doc examples") {
     reg()
     def s(expr: String) = spark.sql(s"SELECT concat_ws(',', $expr) v").head().getString(0)
