@@ -1247,23 +1247,37 @@ object ChCompat {
     // ---- common CH aggregate names beyond the reference's own queries ----
     f("argMax") { es => MaxBy(es(0), es(1)).toAggregateExpression() }
     f("argMin") { es => MinBy(es(0), es(1)).toAggregateExpression() }
+    // silent extra arguments are the same wrong-statistic trap the
+    // -Stable aliases guard against — enforce arity on this family too
+    def arity(name: String, es: Seq[Expression], n: Int): Unit =
+      require(es.length == n,
+        s"$name expects exactly $n argument(s), got ${es.length}")
     // the -If combinator on argMin/argMax: a false condition nulls BOTH
     // lanes, and min_by/max_by skip null-ordering rows
     f("argMaxIf") { es =>
+      arity("argMaxIf", es, 3)
       MaxBy(onlyIf(es(2), es(0)), onlyIf(es(2), es(1))).toAggregateExpression()
     }
     f("argMinIf") { es =>
+      arity("argMinIf", es, 3)
       MinBy(onlyIf(es(2), es(0)), onlyIf(es(2), es(1))).toAggregateExpression()
     }
     // CH groupBitAnd/Or/Xor: bitwise integer folds — Spark's native bit
     // aggregates under the CH spellings
-    f("groupBitAnd") { es => BitAndAgg(es.head).toAggregateExpression() }
-    f("groupBitOr") { es => BitOrAgg(es.head).toAggregateExpression() }
-    f("groupBitXor") { es => BitXorAgg(es.head).toAggregateExpression() }
+    f("groupBitAnd") { es =>
+      arity("groupBitAnd", es, 1); BitAndAgg(es.head).toAggregateExpression()
+    }
+    f("groupBitOr") { es =>
+      arity("groupBitOr", es, 1); BitOrAgg(es.head).toAggregateExpression()
+    }
+    f("groupBitXor") { es =>
+      arity("groupBitXor", es, 1); BitXorAgg(es.head).toAggregateExpression()
+    }
     // CH groupArrayLast(x, N) (flat spelling of groupArrayLast(N)(x)):
     // the LAST N values in arrival order — same block-order caveat as
     // groupArray/groupArrayMovingSum (pin the order upstream)
     f("groupArrayLast") { es =>
+      arity("groupArrayLast", es, 2)
       val arr = CollectList(es(0)).toAggregateExpression()
       val n = Cast(es(1), IntegerType)
       Slice(arr, new Greatest(Seq(

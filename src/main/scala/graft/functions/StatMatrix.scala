@@ -81,12 +81,14 @@ case class GroupArrayIntersectAgg(
   extends TypedImperativeAggregate[ArrayIntersectBuf]
   with UnaryLike[Expression] {
 
-  private def elem: DataType = child.dataType match {
+  // hoisted: these pattern-match on dataType and sit inside per-element
+  // hot loops
+  private lazy val elem: DataType = child.dataType match {
     case ArrayType(et, _) => et
     case _ => NullType
   }
-  private def isString = elem == StringType
-  private def isDouble = elem match {
+  private lazy val isString = elem == StringType
+  private lazy val isDouble = elem match {
     case DoubleType | FloatType => true
     case _ => false
   }
@@ -113,6 +115,9 @@ case class GroupArrayIntersectAgg(
   }
 
   override def update(buf: ArrayIntersectBuf, row: InternalRow): ArrayIntersectBuf = {
+    // once annihilated the intersection can never grow — skip the
+    // per-row set build entirely
+    if (buf.s != null && buf.s.isEmpty) return buf
     val a = child.eval(row)
     if (a != null) {
       val ad = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
