@@ -630,6 +630,20 @@ object ChCompat {
       ArrayAggregate(arr, zero, merge,
         LambdaFunction(GetStructField(fin, 1, Some("out")), Seq(fin)))
     }
+    // CH arrayFold(lambda(acc, x), arr, init): the general left fold —
+    // exactly Spark's ArrayAggregate with an identity finish; CH's
+    // (acc, x) lambda parameter order matches ArrayAggregate's merge
+    f("arrayFold") { es =>
+      require(es.length == 3,
+        s"arrayFold(lambda, arr, init) — the one-array form; got ${es.length} args")
+      val lf = es.head match {
+        case l: LambdaFunction => l
+        case other => throw new IllegalArgumentException(
+          s"arrayFold: first argument must be a lambda, got $other")
+      }
+      val fin = lamVar("__fold_fin")
+      ArrayAggregate(es(1), es(2), lf, LambdaFunction(fin, Seq(fin)))
+    }
     f("arraySplit") { es =>
       splitOf(es.head.asInstanceOf[LambdaFunction], es(1), after = false)
     }

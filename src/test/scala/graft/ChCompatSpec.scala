@@ -1876,6 +1876,14 @@ class ChCompatSpec extends SparkSpec {
       .getString(0) == "0,0,5,5", "false head stays as-is")
     assert(row("concat_ws(',', arrayReverseFill(x -> x != 0, array(1, 0, 2, 0)))")
       .getString(0) == "1,2,2,0", "false tail stays as-is")
+    // arrayFold: the CH doc example (acc + x*2 over [1..4] from 3 = 23)
+    // and a running max; lambda order is CH's (acc, x)
+    assert(row("arrayFold((acc, x) -> acc + x * 2, array(1L, 2L, 3L, 4L), 3L)")
+      .getLong(0) == 23L)
+    assert(row("arrayFold((acc, x) -> greatest(acc, x), array(3L, 1L, 5L), 0L)")
+      .getLong(0) == 5L)
+    assert(row("arrayFold((acc, x) -> acc + x, array(), 7L)").getLong(0) == 7L,
+      "empty array folds to the init")
     // split before / after the matching element
     assert(row("concat_ws(';', transform(arraySplit(x -> x = 1, array(1, 2, 3, 1, 4)), a -> concat_ws(',', a)))")
       .getString(0) == "1,2,3;1,4")
