@@ -257,8 +257,225 @@ object ChSql {
       else seg
     }.mkString("'")
 
+  /** CH's deprecated block-order trio — `runningDifference(x)`,
+    * `runningAccumulate(state[, grouping])`, `neighbor(x, off[, def])` —
+    * rewritten to the registered window forms over the query block's own
+    * explicit top-level ORDER BY. CH deprecates the trio precisely
+    * because block order is undefined; the rewrite keeps pre-21.x SQL
+    * running while making the order explicit — a block that calls any of
+    * them WITHOUT a top-level ORDER BY is rejected, with CH's
+    * deprecation rationale as the error message.
+    *
+    *  - `runningDifference(x)` → `(x) - lagInFrame(x, 1, x) OVER (ORDER
+    *    BY keys)` — Lag's default is evaluated on the current row, so the
+    *    first row yields `x - x = 0`, CH's "returns 0 for the first row"
+    *    (a NULL mid-stream stays NULL, as for CH Nullable input);
+    *  - `neighbor(x, off[, d])` → `leadInFrame(x, off, d |
+    *    defaultValueOfArgumentType(x)) OVER (ORDER BY keys)` — negative
+    *    `off` looks back, the omitted default is the TYPE default
+    *    (0 / '' / zero-date), both as in CH;
+    *  - `runningAccumulate(st[, g])` → `<base>Merge(st) OVER ([PARTITION
+    *    BY g] ORDER BY keys ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+    *    ROW)` — `<base>` inferred from the `<base>State(...) AS st` that
+    *    produced the state column (scanned statement-wide, so the usual
+    *    state-from-subquery idiom resolves), or from an inline
+    *    `<base>State(args)` argument, which degenerates to the raw
+    *    running aggregate `<base>(args)`. The optional second argument is
+    *    CH's "reset when this changes" grouping → PARTITION BY.
+    *
+    * Subqueries rewrite against their own block's ORDER BY, not the
+    * outer one (CH computes the trio per block).
+    */
+  def runningWindow(q: String): String = {
+    val trio = Set("runningdifference", "runningaccumulate", "neighbor")
+    if (!trio.exists(n => maskStrings(q).toLowerCase.contains(n))) return q
+    rewriteRunningBlock(q, collectStateAliases(q))
+  }
+
+  /** `q` with string-literal contents blanked (same length, quotes kept)
+    * so keyword/identifier scans cannot match inside literals.
+    */
+  private def maskStrings(q: String): String = {
+    val sb = new StringBuilder(q)
+    var inStr = false
+    for (i <- 0 until q.length) {
+      val c = q.charAt(i)
+      if (c == '\'') inStr = !inStr
+      else if (inStr) sb.setCharAt(i, ' ')
+    }
+    sb.toString
+  }
+
+  /** Index of the `)` matching the `(` at `open` (string-aware). */
+  private def matchingParen(q: String, open: Int): Int = {
+    var d = 0; var s = false; var j = open
+    while (j < q.length) {
+      val c = q.charAt(j)
+      if (s) { if (c == '\'') s = false }
+      else c match {
+        case '\'' => s = true
+        case '(' => d += 1
+        case ')' => d -= 1; if (d == 0) return j
+        case _ =>
+      }
+      j += 1
+    }
+    sys.error(s"runningWindow: unbalanced ( at $open")
+  }
+
+  /** Split `body` on top-level commas (string- and paren-aware). */
+  private def splitTopArgs(body: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var d = 0; var s = false; var start = 0
+    for (j <- 0 until body.length) body.charAt(j) match {
+      case '\'' if !s => s = true
+      case '\'' => s = false
+      case _ if s =>
+      case '(' | '[' => d += 1
+      case ')' | ']' => d -= 1
+      case ',' if d == 0 => out += body.substring(start, j); start = j + 1
+      case _ =>
+    }
+    out += body.substring(start)
+    out.toSeq
+  }
+
+  /** Statement-wide map of state-column alias → base aggregate name,
+    * from every `<base>[Simple]State(...) AS alias` occurrence.
+    */
+  private def collectStateAliases(q: String): Map[String, String] = {
+    val masked = maskStrings(q)
+    val call = """(?i)\b(\w+?)(Simple)?State\s*\(""".r
+    call.findAllMatchIn(masked).flatMap { m =>
+      val close = matchingParen(q, q.indexOf('(', m.end - 1))
+      """(?i)^\s+as\s+(\w+)""".r.findFirstMatchIn(masked.substring(close + 1))
+        .map(am => am.group(1).toLowerCase -> m.group(1))
+    }.toMap
+  }
+
+  /** One query block: recurse into `(SELECT …)` / `(WITH …)` subqueries
+    * first, then rewrite this block's trio calls against its own
+    * top-level ORDER BY keys.
+    */
+  private def rewriteRunningBlock(block: String, aliases: Map[String, String]): String = {
+    val masked = maskStrings(block)
+    // this block's ORDER BY: depth-0 only (subqueries and OVER clauses
+    // sit inside parens), keys end at the next depth-0 tail keyword
+    val orderKeys: Option[String] = {
+      var d = 0; var found = -1; var i = 0
+      while (i < masked.length) {
+        masked.charAt(i) match {
+          case '(' => d += 1
+          case ')' => d -= 1
+          case 'o' | 'O' if d == 0 &&
+              (i == 0 || !masked.charAt(i - 1).isLetterOrDigit && masked.charAt(i - 1) != '_') &&
+              """(?is)^order\s+by\b""".r.findFirstIn(masked.substring(i)).isDefined =>
+            found = i
+          case _ =>
+        }
+        i += 1
+      }
+      if (found < 0) None
+      else {
+        val afterKw = found + """(?is)^order\s+by""".r.findFirstIn(masked.substring(found)).get.length
+        // scan forward for the depth-0 terminator of the key list
+        val tail = """(?i)\b(limit|offset|settings|format|union|except|intersect)\b""".r
+        var d2 = 0; var j = afterKw; var end = masked.length
+        while (j < masked.length && end == masked.length) {
+          masked.charAt(j) match {
+            case '(' => d2 += 1
+            case ')' => d2 -= 1
+            case c if d2 == 0 && (c.isLetter) &&
+                !masked.charAt(j - 1).isLetterOrDigit && masked.charAt(j - 1) != '_' &&
+                tail.findPrefixOf(masked.substring(j)).isDefined =>
+              end = j
+            case _ =>
+          }
+          j += 1
+        }
+        Some(block.substring(afterKw, end).trim.stripSuffix(";").trim)
+      }
+    }
+    val names = Seq("runningDifference", "runningAccumulate", "neighbor")
+    val sb = new StringBuilder
+    var i = 0
+    var inStr = false
+    while (i < block.length) {
+      val c = block.charAt(i)
+      if (inStr) { sb += c; if (c == '\'') inStr = false; i += 1 }
+      else if (c == '\'') { inStr = true; sb += c; i += 1 }
+      else {
+        val prevIdent = i > 0 && (block.charAt(i - 1).isLetterOrDigit || block.charAt(i - 1) == '_')
+        val hit = if (prevIdent) None else names.find { n =>
+          block.regionMatches(true, i, n, 0, n.length) && {
+            val after = i + n.length
+            after < block.length && !block.charAt(after).isLetterOrDigit &&
+              block.charAt(after) != '_' &&
+              """^\s*\(""".r.findFirstIn(block.substring(after)).isDefined
+          }
+        }
+        hit match {
+          case Some(n) =>
+            val open = block.indexOf('(', i + n.length)
+            val close = matchingParen(block, open)
+            val args = splitTopArgs(block.substring(open + 1, close))
+              .map(a => rewriteRunningBlock(a, aliases).trim)
+            sb.append(rewriteRunningCall(n, args, orderKeys, aliases))
+            i = close + 1
+          case None =>
+            if (c == '(' &&
+                """(?is)^\(\s*(select|with)\b""".r.findFirstIn(masked.substring(i)).isDefined) {
+              val close = matchingParen(block, i)
+              sb.append('(')
+                .append(rewriteRunningBlock(block.substring(i + 1, close), aliases))
+                .append(')')
+              i = close + 1
+            } else { sb += c; i += 1 }
+        }
+      }
+    }
+    sb.toString
+  }
+
+  private def rewriteRunningCall(name: String, args: Seq[String],
+      orderKeys: Option[String], aliases: Map[String, String]): String = {
+    val keys = orderKeys.getOrElse(throw new IllegalArgumentException(
+      s"$name is block-order-dependent and deprecated in ClickHouse because the " +
+        "block order is undefined; add an explicit top-level ORDER BY to this query " +
+        "block and it is rewritten to the deterministic window form"))
+    name.toLowerCase match {
+      case "runningdifference" =>
+        require(args.length == 1, s"runningDifference expects 1 argument, got ${args.length}")
+        val x = args.head
+        s"(($x) - lagInFrame($x, 1, $x) OVER (ORDER BY $keys))"
+      case "neighbor" =>
+        require(args.length == 2 || args.length == 3,
+          s"neighbor expects 2 or 3 arguments, got ${args.length}")
+        val x = args(0)
+        val d = if (args.length == 3) s"(${args(2)})" else s"defaultValueOfArgumentType($x)"
+        s"(leadInFrame($x, (${args(1)}), $d) OVER (ORDER BY $keys))"
+      case _ => // runningAccumulate
+        require(args.length == 1 || args.length == 2,
+          s"runningAccumulate expects 1 or 2 arguments, got ${args.length}")
+        val st = args.head
+        val part = if (args.length == 2) s"PARTITION BY (${args(1)}) " else ""
+        val frame = s"OVER (${part}ORDER BY $keys ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        val inline = """(?is)^(\w+?)(Simple)?State\s*\((.*)\)$""".r
+        st match {
+          case inline(base, _, inner) => s"($base($inner) $frame)"
+          case _ =>
+            val ident = st.substring(st.lastIndexOf('.') + 1).trim
+            val base = aliases.getOrElse(ident.toLowerCase, throw new IllegalArgumentException(
+              s"runningAccumulate($st): cannot infer the state's merge function — the " +
+                "argument must be an inline <agg>State(...) call or a column produced by " +
+                "a statement-visible `<agg>State(...) AS " + ident + "`"))
+            s"(${base}Merge($st) $frame)"
+        }
+    }
+  }
+
   /** All shims, in the order they compose. */
   def apply(q: String): String =
     withTotals(withRollupCube(stripSettings(stripFormat(prewhere(stripGlobal(
-      scalarWith(tupleIndex(chLiterals(dateDiff(xxHash(q)))))))))))
+      scalarWith(tupleIndex(chLiterals(dateDiff(xxHash(runningWindow(q))))))))))))
 }

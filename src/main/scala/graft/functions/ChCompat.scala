@@ -1251,6 +1251,14 @@ object ChCompat {
         "emptyArrayString" -> StringType, "emptyArrayDate" -> DateType,
         "emptyArrayDateTime" -> TimestampNTZType))
       f(n) { _ => Literal.create(Array.empty[Any], ArrayType(t)) }
+    // CH defaultValueOfArgumentType(expr): the argument TYPE's default
+    // value (0 / '' / zero-date ...). Also the omitted-default leg of the
+    // ChSql `neighbor` → leadInFrame rewrite.
+    f("defaultValueOfArgumentType") { es =>
+      require(es.length == 1,
+        s"defaultValueOfArgumentType expects 1 argument, got ${es.length}")
+      DefaultValueOfArgumentType(es.head)
+    }
     // multiIf(c1,v1, c2,v2, ..., else) — CH's flat CASE form
     f("multiIf") { es =>
       require(es.length >= 3 && es.length % 2 == 1,
@@ -2095,6 +2103,23 @@ case class BitmapBuildExpr(child: Expression)
   }
   override protected def withNewChildInternal(c: Expression): BitmapBuildExpr = copy(child = c)
   override def prettyName: String = "bitmapBuild"
+}
+
+/** CH defaultValueOfArgumentType(expr): the default value of the
+  * argument's TYPE (0 for numbers, '' for strings, epoch for
+  * timestamps), never the argument's value. Foldable — ConstantFolding
+  * collapses it to a literal before codegen, so the CodegenFallback
+  * path never runs in a plan.
+  */
+case class DefaultValueOfArgumentType(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = true
+  override def eval(input: InternalRow): Any = Literal.default(child.dataType).value
+  override protected def withNewChildInternal(c: Expression): DefaultValueOfArgumentType =
+    copy(child = c)
+  override def prettyName: String = "defaultValueOfArgumentType"
 }
 
 /** bitmapSubsetInRange(bm, start, end) — members in [start, end);

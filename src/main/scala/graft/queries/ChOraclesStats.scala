@@ -9,6 +9,27 @@ package graft.queries
   */
 object ChOraclesStats {
   val sql: Map[String, String] = Map(
+    // the translated block-order trio in native window form: first-row
+    // difference is 0 (COALESCE over the non-null count), neighbor's
+    // omitted default is the type default 0, runningAccumulate is the
+    // running partitioned SUM; (event_type, hr) is a grouping key, so
+    // the window order is unique and ties cannot diverge
+    "q169_running_window" ->
+      """WITH h AS (
+        |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+        |         CAST(SUM(user_id % 97) AS BIGINT) AS sv,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, hr,
+        |  COALESCE(c - lag(c) OVER w, CAST(0 AS BIGINT)) AS dc,
+        |  lead(c, 1, CAST(0 AS BIGINT)) OVER w AS next_c,
+        |  lag(c, 1, CAST(-1 AS BIGINT)) OVER w AS prev_c,
+        |  CAST(SUM(sv) OVER (PARTITION BY event_type ORDER BY hr
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_sum
+        |FROM h
+        |WINDOW w AS (ORDER BY event_type, hr)
+        |ORDER BY event_type, hr""".stripMargin,
+
     // DuckDB's native bit_and/bit_or/bit_xor + arg FILTER forms; the
     // arg ordering key (event_id) is unique, so ties cannot diverge
     "q168_bit_aggs" ->

@@ -1018,6 +1018,31 @@ object ChPack {
           |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin)
     },
 
+    // CH's deprecated block-order trio through the ChSql.runningWindow
+    // translation: runningDifference / neighbor / runningAccumulate run
+    // as deterministic window forms over the block's explicit ORDER BY
+    // (lagInFrame/leadInFrame + <agg>Merge running frame). The state
+    // column comes from a grouped CTE — the CH runningAccumulate doc
+    // idiom — and merges per event_type (the reset-on-change grouping
+    // argument). DuckDB mirrors with plain lag/lead/windowed SUM.
+    "q169_running_window" -> { (s, dir) =>
+      ChCompat.register(s)
+      Tables(s, dir).events.createOrReplaceTempView("graft_rw_events")
+      s.sql(graft.engine.ChSql(
+        """WITH h AS (
+          |  SELECT event_type, toStartOfHour(ts) AS hr,
+          |         sumState(CAST(user_id % 97 AS BIGINT)) AS st,
+          |         CAST(count(*) AS BIGINT) AS c
+          |  FROM graft_rw_events GROUP BY event_type, toStartOfHour(ts))
+          |SELECT event_type, hr,
+          |       runningDifference(c) AS dc,
+          |       neighbor(c, 1) AS next_c,
+          |       neighbor(c, -1, CAST(-1 AS BIGINT)) AS prev_c,
+          |       runningAccumulate(st, event_type) AS run_sum
+          |FROM h
+          |ORDER BY event_type, hr""".stripMargin))
+    },
+
     // bitwise integer folds + the argMin/argMax -If combinators, all
     // directly mirrored by DuckDB's bit_and/bit_or/bit_xor and
     // arg_min/arg_max FILTER.

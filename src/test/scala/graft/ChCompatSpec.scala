@@ -423,6 +423,91 @@ class ChCompatSpec extends SparkSpec {
     assert(got.toSeq == Seq("TOTALS" -> 2L, "x" -> 1L, "y" -> 1L))
   }
 
+  test("ChSql runningWindow: deprecated block-order trio translates; no ORDER BY rejects") {
+    import graft.engine.ChSql
+    import spark.implicits._
+    graft.functions.ChCompat.register(spark)
+    def norm(s: String) = s.replaceAll("\\s+", " ").trim
+
+    // string-level forms
+    assert(norm(ChSql.runningWindow("SELECT runningDifference(v) AS d FROM t ORDER BY k")) ==
+      "SELECT ((v) - lagInFrame(v, 1, v) OVER (ORDER BY k)) AS d FROM t ORDER BY k")
+    assert(norm(ChSql.runningWindow("SELECT neighbor(v, 2) AS n FROM t ORDER BY k LIMIT 5")) ==
+      "SELECT (leadInFrame(v, (2), defaultValueOfArgumentType(v)) OVER (ORDER BY k)) " +
+        "AS n FROM t ORDER BY k LIMIT 5")
+    assert(norm(ChSql.runningWindow("SELECT neighbor(v, -1, 9) AS p FROM t ORDER BY k DESC")) ==
+      "SELECT (leadInFrame(v, (-1), (9)) OVER (ORDER BY k DESC)) AS p FROM t ORDER BY k DESC")
+    // state column from a subquery: the producing <agg>State names the merge
+    assert(norm(ChSql.runningWindow(
+      "SELECT runningAccumulate(st) AS r FROM (SELECT k, sumState(v) AS st FROM t GROUP BY k) ORDER BY k")) ==
+      "SELECT (sumMerge(st) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+        "AS r FROM (SELECT k, sumState(v) AS st FROM t GROUP BY k) ORDER BY k")
+    // inline state degenerates to the raw running aggregate; the second
+    // argument is CH's reset-on-change grouping -> PARTITION BY
+    assert(norm(ChSql.runningWindow(
+      "SELECT runningAccumulate(sumState(v), g) AS r FROM t ORDER BY g, k")) ==
+      "SELECT (sum(v) OVER (PARTITION BY (g) ORDER BY g, k " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS r FROM t ORDER BY g, k")
+    // a subquery block rewrites against its OWN order by, not the outer one
+    assert(norm(ChSql.runningWindow(
+      "SELECT d FROM (SELECT runningDifference(v) AS d FROM t ORDER BY v) ORDER BY d")) ==
+      "SELECT d FROM (SELECT ((v) - lagInFrame(v, 1, v) OVER (ORDER BY v)) AS d FROM t ORDER BY v) ORDER BY d")
+    // function names inside string literals are NOT calls
+    val lit = "SELECT 'neighbor(v, 1)' AS s FROM t"
+    assert(ChSql.runningWindow(lit) == lit)
+
+    // rejection: block-order dependence without an explicit ORDER BY
+    for (bad <- Seq(
+        "SELECT runningDifference(v) FROM t",
+        "SELECT runningAccumulate(sumState(v)) FROM t",
+        "SELECT neighbor(v, 1) FROM t",
+        // subquery call cannot borrow the OUTER block's ORDER BY
+        "SELECT d FROM (SELECT runningDifference(v) AS d FROM t) ORDER BY d")) {
+      val e = intercept[IllegalArgumentException](ChSql.runningWindow(bad))
+      assert(e.getMessage.contains("ORDER BY"), s"for: $bad")
+    }
+    // unknown state column: merge function cannot be inferred
+    val e2 = intercept[IllegalArgumentException](
+      ChSql.runningWindow("SELECT runningAccumulate(mystery) FROM t ORDER BY k"))
+    assert(e2.getMessage.contains("merge"))
+
+    // end-to-end semantics on a five-row series (CH doc values):
+    // runningDifference first row = 0; neighbor default = TYPE default (0)
+    Seq((1L, 10L), (2L, 13L), (3L, 13L), (4L, 20L), (5L, 18L))
+      .toDF("k", "v").createOrReplaceTempView("chrw_t")
+    val rows = spark.sql(ChSql(
+      """SELECT k, runningDifference(v) AS d,
+        |       neighbor(v, 1) AS nx,
+        |       neighbor(v, -1, -1) AS pv,
+        |       runningAccumulate(sumState(v)) AS run
+        |FROM chrw_t ORDER BY k""".stripMargin))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == Seq(
+      (1L, 0L, 13L, -1L, 10L),
+      (2L, 3L, 13L, 10L, 23L),
+      (3L, 0L, 20L, 13L, 36L),
+      (4L, 7L, 18L, 13L, 56L),
+      (5L, -2L, 0L, 20L, 74L)))
+
+    // end-to-end state-column form: per-group running accumulation over a
+    // grouped subquery (the CH runningAccumulate doc idiom)
+    val acc = spark.sql(ChSql(
+      """SELECT g, k, runningAccumulate(st, g) AS r
+        |FROM (SELECT CAST(v % 2 AS BIGINT) AS g, CAST(v AS BIGINT) AS k, sumState(v) AS st
+        |      FROM (SELECT explode(sequence(1, 6)) AS v) GROUP BY v % 2, v)
+        |ORDER BY g, k""".stripMargin))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(acc.toSeq == Seq(
+      (0L, 2L, 2L), (0L, 4L, 6L), (0L, 6L, 12L),
+      (1L, 1L, 1L), (1L, 3L, 4L), (1L, 5L, 9L)))
+
+    // defaultValueOfArgumentType: type defaults, not values
+    val dv = spark.sql(
+      "SELECT defaultValueOfArgumentType(5), defaultValueOfArgumentType('x'), " +
+        "defaultValueOfArgumentType(1.5D)").head()
+    assert(dv.getInt(0) == 0 && dv.getString(1) == "" && dv.getDouble(2) == 0.0)
+  }
+
   test("COMPLEX_KEY_HASHED dictGet: tuple and flat key forms, defaults, nulls") {
     import spark.implicits._
     graft.functions.ChCompat.register(spark)

@@ -303,6 +303,11 @@ class PlanSpec extends SparkSpec {
     "q167_array_intersect" -> 3,
     // q168: one grouped aggregation (O(1) bitwise/arg states) + sort
     "q168_bit_aggs" -> 2,
+    // q169: grouped CTE + the translated running-window trio; the
+    // SinglePartition exchange is the global ORDER BY the user asked
+    // for (CH computes the deprecated originals single-threaded too),
+    // and the final sort + partitioned window reuse that ordering
+    "q169_running_window" -> 2,
     // q163: ONE grouped aggregation carrying all four matrix/t states
     // (O(k²) doubles each) + the output sort
     "q163_stat_matrix" -> 2,
