@@ -1379,6 +1379,23 @@ object ChCompat {
     f("quantileExactInclusive") { es => new Percentile(es(0), es(1)) }
     f("medianExactInclusive") { es => new Percentile(es(0), Literal(0.5d)) }
     def exactExclusive(es: Seq[Expression]): Expression = {
+      // PERCENTILE.EXC is undefined at the boundaries — CH throws for
+      // level <= 0 or >= 1, and silently clamping a typo like level=0 to
+      // the minimum would mask it. Validate the (foldable) level at
+      // registration, like the arity guards on the newer registrations.
+      es(1) match {
+        case lv if lv.foldable =>
+          val v: Option[Double] = lv.eval(InternalRow.empty) match {
+            case null => None
+            case d: Decimal => Some(d.toDouble)
+            case n: Number => Some(n.doubleValue())
+            case _ => None
+          }
+          require(v.exists(d => d > 0.0d && d < 1.0d),
+            s"quantileExactExclusive: level must be in (0, 1) exclusive " +
+              s"(PERCENTILE.EXC is undefined at the boundaries), got ${v.orNull}")
+        case _ => // non-literal level: range-checked by data, as in CH
+      }
       val arr = new SortArray(CollectList(es(0)).toAggregateExpression())
       val n = Cast(Size(arr), DoubleType)
       val h = Multiply(Cast(es(1), DoubleType),

@@ -88,7 +88,9 @@ case class MovingSumAgg(
     case LongType | IntegerType | ShortType => true
     case _ => false
   }
-  private val longOut = isLongIn && !avg
+  // CH's result element type IS the input type — so an integral avg
+  // TRUNCATES (3/2 = 1), staying in the exact Int64 lane, exactly as CH
+  private val longOut = isLongIn
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case LongType | IntegerType | ShortType | DoubleType | FloatType
@@ -127,8 +129,11 @@ case class MovingSumAgg(
       while (i < n) {
         running += buf.longs(i)
         if (window > 0 && i >= window) running -= buf.longs(i - window)
+        // CH divides by the WINDOW SIZE (total rows when unsized), with
+        // integer division for integral input — Long `/` truncates
+        // toward zero, same as CH's intDiv result here
         val denom = if (window > 0) window else n
-        out(i) = if (avg) running.toDouble / denom else running
+        out(i) = if (avg) running / denom else running
         i += 1
       }
       new GenericArrayData(out)

@@ -233,10 +233,25 @@ final class StateTable(
     if (!fs.rename(t, p)) { fs.rename(o, p); sys.error(s"compact: failed to swap $tmp -> $path") }
     // the exactly-once ledger must survive the rewrite, or a late replay of
     // a pre-compact batch would re-ingest rows the compacted parts contain
-    val oldLedger = new Path(old, "_ledger")
-    if (fs.exists(oldLedger)) fs.rename(oldLedger, new Path(path, "_ledger"))
-    fs.delete(o, true)
+    finishSwapCleanup("compact", o)
     cachedSchema = None
+  }
+
+  /** Final step of every staged swap: move the exactly-once ledger from
+    * the superseded `.old` copy into the freshly-swapped live table, then
+    * drop the old copy. A FAILED ledger move must never reach the delete:
+    * the `.old` dir (ledger inside) is left in place, where
+    * [[recoverStagedSwap]] rescues the ledger on the next open — deleting
+    * it would erase the batch markers and let replayed batches re-ingest
+    * (duplicates), the exact failure the ledger exists to prevent.
+    */
+  private def finishSwapCleanup(op: String, o: Path): Unit = {
+    val fs = fileSystem()
+    val oldLedger = new Path(o, "_ledger")
+    if (fs.exists(oldLedger) && !fs.rename(oldLedger, new Path(path, "_ledger")))
+      sys.error(s"$op: failed to move the exactly-once ledger $oldLedger -> " +
+        s"$path/_ledger; superseded copy preserved at $o (recovered on next open)")
+    fs.delete(o, true): Unit
   }
 
   /** MV-on-MV cascade — the reference's dwm → dws layering as a state-to-
@@ -361,9 +376,7 @@ final class StateTable(
         (if (restored) " (rolled back)"
          else s"; ROLLBACK ALSO FAILED — table preserved at $old, restored on next open"))
     }
-    val oldLedger = new Path(old, "_ledger")
-    if (fs.exists(oldLedger)) fs.rename(oldLedger, new Path(path, "_ledger"))
-    fs.delete(o, true)
+    finishSwapCleanup("updateWhere", o)
     cachedSchema = None
   }
 
@@ -391,9 +404,7 @@ final class StateTable(
         (if (restored) " (rolled back)"
          else s"; ROLLBACK ALSO FAILED — table preserved at $old, restored on next open"))
     }
-    val oldLedger = new Path(old, "_ledger")
-    if (fs.exists(oldLedger)) fs.rename(oldLedger, new Path(path, "_ledger"))
-    fs.delete(o, true)
+    finishSwapCleanup("deleteWhere", o)
     cachedSchema = None
     before - read().count()
   }

@@ -197,7 +197,7 @@ object MvPack {
           .filterNot(_.isInstanceOf[graft.engine.ChDdl.Query])
           .foreach(replay.execute)
       val days = s.table("ods.action_001_local").select("day").distinct()
-        .orderBy("day").collect().map(_.getDate(0).toString).take(3)
+        .orderBy("day").limit(3).collect().map(_.getDate(0).toString)
       val src = graft.engine.ChReplay.scratchWarehouse("graft-q113-src")
       val ck = graft.engine.ChReplay.scratchWarehouse("graft-q113-ck")
       def log(t: String) = s.table(t)

@@ -135,16 +135,20 @@ object Importance {
     val tgtCnt = target.select(explode(features(col(textCol))).as("f"))
       .groupBy("f").agg(count(lit(1)).as("tc"))
     val rawCnt = docFeats.groupBy("f").agg(count(lit(1)).as("rc"))
-    // persisted: `totals` and `ratios` both read it — without the persist
-    // the two feature-count aggregations and their full-outer join run
-    // TWICE. Vocabulary-sized (Zipf ≪ corpus), so caching it is cheap;
-    // the corpus-sized docFeats explode deliberately recomputes instead
-    // (two cheap scans beat materializing corpus × features).
+    // materialized once (eager localCheckpoint): `totals` and `ratios`
+    // both read it — without it the two feature-count aggregations and
+    // their full-outer join run TWICE. Vocabulary-sized (Zipf ≪ corpus),
+    // so the blocks are cheap; unlike a bare persist() (which leaked a
+    // cached DataFrame into the session per call), checkpoint blocks are
+    // GC-scoped — ContextCleaner frees them once the returned plan is
+    // unreferenced. The corpus-sized docFeats explode deliberately
+    // recomputes instead (two cheap scans beat materializing
+    // corpus × features).
     val j = tgtCnt.join(rawCnt, Seq("f"), "full_outer")
       .select(col("f"),
         coalesce(col("tc"), lit(0L)).as("t"),
         coalesce(col("rc"), lit(0L)).as("r"))
-      .persist()
+      .localCheckpoint()
     val totals = j.agg(sum("t").as("tt"), sum("r").as("rt"),
       count(lit(1)).as("v"))
     // fixed double expression tree (cast-then-combine) so a SQL mirror

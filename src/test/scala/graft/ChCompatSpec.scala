@@ -1798,10 +1798,16 @@ class ChCompatSpec extends SparkSpec {
         |FROM graft_mv_one""".stripMargin).head()
     assert(mv.getString(0) == "1,3,6,10")
     assert(mv.getString(1) == "1,3,5,7")
-    assert(mv.getString(2) == "0.5,1.5,2.5,3.5", "CH divides by window size, not count")
+    // CH divides by WINDOW SIZE, and the result type IS the input type:
+    // integral input -> truncating integer division (5/2 = 2, as in CH)
+    assert(mv.getString(2) == "0,1,2,3", "CH truncates integral avg")
     // no explicit size: window = total rows, so every prefix divides by N
     assert(spark.sql("SELECT concat_ws(',', groupArrayMovingAvg(v)) a FROM graft_mv_one")
-      .head().getString(0) == "0.25,0.75,1.5,2.5")
+      .head().getString(0) == "0,0,1,2")
+    // float input keeps the Float64 avg lane (no truncation)
+    assert(spark.sql(
+      "SELECT concat_ws(',', groupArrayMovingAvg(CAST(v AS DOUBLE), 2)) a FROM graft_mv_one")
+      .head().getString(0) == "0.5,1.5,2.5,3.5")
     // integral inputs keep an exact Int64 lane: sums past 2^53 must not
     // round through Double (2^53 and 2^53+1 collide as doubles)
     val big = (1L << 53)

@@ -238,6 +238,14 @@ class StatMatrixSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - 2.4) < 1e-12, "PERCENTILE.EXC = 2.4")
     assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 5.0, "rank clamps to [1, n]")
     assert(r.getDouble(4) == 3.0 && r.getDouble(5) == 3.0)
+    // PERCENTILE.EXC is undefined at the boundaries: CH throws for
+    // level <= 0 or >= 1, and so do we (a level=0 typo must not silently
+    // return the minimum)
+    for (bad <- Seq("0D", "1D", "-0.2D", "1.5D")) {
+      val e = intercept[Exception](spark.sql(
+        s"SELECT quantileExactExclusive(v, $bad) q FROM graft_qexc").collect())
+      assert(e.getMessage.contains("(0, 1)"), s"level $bad must be rejected")
+    }
   }
 
   test("review-pass pins: edge semantics of the round-9 spellings") {
