@@ -50,7 +50,7 @@ object Bitmaps {
   /** Register `bitmap_agg` / `bitmap_merge_agg` in the session's function
     * registry (idempotent). Needed before the Column helpers below resolve.
     */
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession): Unit = Registration.once(spark, "Bitmaps") {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "bitmap_agg", exprs => BitmapAggregate(exprs.head), "built-in")

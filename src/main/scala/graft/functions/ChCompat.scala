@@ -57,7 +57,7 @@ object ChCompat {
   private val inCatalogSetup: ThreadLocal[java.lang.Boolean] =
     ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
 
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession): Unit = Registration.once(spark, "ChCompat") {
     Bitmaps.register(spark)
     MinHash.register(spark)
     VectorOps.register(spark)

@@ -29,7 +29,7 @@ object ForEach {
 
   private val ops = Set("sum", "min", "max", "avg")
 
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession): Unit = Registration.once(spark, "ForEach") {
     val reg = spark.sessionState.functionRegistry
     for (op <- ops)
       reg.createOrReplaceTempFunction(s"${op}ForEach",

@@ -53,7 +53,7 @@ object FreqTopK {
     FreqTopKAgg(es.head, k, valuesOnly, weight = Some(es(1))).toAggregateExpression()
   }
 
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession): Unit = Registration.once(spark, "FreqTopK") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "freq_topk", es => buildAgg(es, valuesOnly = false), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

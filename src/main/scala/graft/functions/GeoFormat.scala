@@ -24,7 +24,7 @@ object GeoFormat {
   val chRadius = 6372797.560856
   val wgsMeanRadius = 6371008.8
 
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession): Unit = Registration.once(spark, "GeoFormat") {
     val reg = spark.sessionState.functionRegistry
     def f(name: String)(b: Seq[Expression] => Expression): Unit =
       reg.createOrReplaceTempFunction(name, b, "built-in")

@@ -70,7 +70,7 @@ object Hashes {
     "intHash64" -> ChHashAlgo.IntHash64,
     "javaHash" -> ChHashAlgo.JavaHash)
 
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession): Unit = Registration.once(spark, "Hashes") {
     val reg = spark.sessionState.functionRegistry
     def f(name: String)(builder: Seq[Expression] => Expression): Unit =
       reg.createOrReplaceTempFunction(name, builder, "built-in")

@@ -30,7 +30,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object HtmlText {
 
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession): Unit = Registration.once(spark, "HtmlText") {
     val reg = spark.sessionState.functionRegistry
     def f(name: String)(b: Seq[Expression] => Expression): Unit =
       reg.createOrReplaceTempFunction(name, b, "built-in")

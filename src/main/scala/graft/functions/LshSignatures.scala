@@ -24,14 +24,15 @@ import org.apache.spark.sql.types._
   */
 object LshSignatures {
 
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "lsh_signatures", es => {
-        require(es.length == 3, "usage: lsh_signatures(vec, tables, bits)")
-        val t = intLit(es(1), "tables")
-        val b = intLit(es(2), "bits")
-        LshSignaturesExpr(es.head, t, b)
-      }, "built-in")
+  def register(spark: SparkSession): Unit = Registration.once(spark, "LshSignatures") {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "lsh_signatures", es => {
+          require(es.length == 3, "usage: lsh_signatures(vec, tables, bits)")
+          val t = intLit(es(1), "tables")
+          val b = intLit(es(2), "bits")
+          LshSignaturesExpr(es.head, t, b)
+        }, "built-in")
+  }
 
   private def intLit(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v

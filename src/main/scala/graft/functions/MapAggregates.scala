@@ -38,7 +38,7 @@ object MapAggregates {
     MapCombineAgg(es(0), es(1), op).toAggregateExpression()
   }
 
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession): Unit = Registration.once(spark, "MapAggregates") {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("sumMap", build(_, MapCombineOp.Sum), "built-in")
     reg.createOrReplaceTempFunction("minMap", build(_, MapCombineOp.Min), "built-in")

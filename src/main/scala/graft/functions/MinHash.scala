@@ -28,7 +28,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * serialization happens only at the shuffle boundary.
   */
 object MinHash {
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession): Unit = Registration.once(spark, "MinHash") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_agg",
       exprs => MinHashAggregate(exprs.head,

@@ -31,7 +31,7 @@ import org.apache.spark.sql.types._
   */
 object Moving {
 
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession): Unit = Registration.once(spark, "Moving") {
     val reg = spark.sessionState.functionRegistry
     def f(name: String)(b: Seq[Expression] => Expression): Unit =
       reg.createOrReplaceTempFunction(name, b, "built-in")

@@ -72,7 +72,7 @@ object QuantileSketch {
       s"$what must be a numeric literal, got: $other")
   }
 
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession): Unit = Registration.once(spark, "QuantileSketch") {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("quantile_sketch_agg",
       exprs => QuantileSketchAggregate(exprs.head,

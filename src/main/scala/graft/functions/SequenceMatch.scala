@@ -52,7 +52,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object SequenceMatch {
 
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession): Unit = Registration.once(spark, "SequenceMatch") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sequenceMatch", es => build(es, count = false), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

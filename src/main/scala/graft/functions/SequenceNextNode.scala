@@ -32,7 +32,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * are partitioning-independent (CH leaves equal-ts order undefined).
   */
 object SequenceNextNode {
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession): Unit = Registration.once(spark, "SequenceNextNode") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sequenceNextNode",
       es => {

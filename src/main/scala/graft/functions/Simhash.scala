@@ -23,12 +23,13 @@ import org.apache.spark.sql.types._
   */
 object Simhash {
 
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", es => {
-        require(es.length == 1, "usage: simhash64(tokens)")
-        Simhash64Expr(es.head)
-      }, "built-in")
+  def register(spark: SparkSession): Unit = Registration.once(spark, "Simhash") {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "simhash64", es => {
+          require(es.length == 1, "usage: simhash64(tokens)")
+          Simhash64Expr(es.head)
+        }, "built-in")
+  }
 
   def simhash64(toks: Column): Column = call_function("simhash64", toks)
 }

@@ -33,7 +33,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object SketchAggs {
 
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession): Unit = Registration.once(spark, "SketchAggs") {
     val reg = spark.sessionState.functionRegistry
     def f(name: String)(b: Seq[Expression] => Expression): Unit =
       reg.createOrReplaceTempFunction(name, b, "built-in")

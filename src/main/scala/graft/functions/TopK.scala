@@ -28,17 +28,18 @@ import org.apache.spark.sql.types._
   */
 object TopK {
 
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "topk_by_score", exprs => {
-        require(exprs.length == 2, "topk_by_score(struct(score, id), k)")
-        val k = exprs(1) match {
-          case Literal(v: Int, IntegerType) => v
-          case other => throw new IllegalArgumentException(
-            s"topk_by_score: k must be an integer literal, got $other")
-        }
-        TopKByScore(exprs(0), k)
-      }, "built-in")
+  def register(spark: SparkSession): Unit = Registration.once(spark, "TopK") {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "topk_by_score", exprs => {
+          require(exprs.length == 2, "topk_by_score(struct(score, id), k)")
+          val k = exprs(1) match {
+            case Literal(v: Int, IntegerType) => v
+            case other => throw new IllegalArgumentException(
+              s"topk_by_score: k must be an integer literal, got $other")
+          }
+          TopKByScore(exprs(0), k)
+        }, "built-in")
+  }
 
   /** `scoreAndId` must be `struct(score: double, id: bigint)`. */
   def topk_by_score(scoreAndId: Column, k: Int): Column =

@@ -29,19 +29,20 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object UniqUpTo {
 
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "uniqUpTo", es => {
-        require(es.length == 2, "usage: uniqUpTo(N, x)")
-        val n = es.head match {
-          case Literal(v: Int, IntegerType) => v
-          case Literal(v: Long, LongType) => v.toInt
-          case other => throw new IllegalArgumentException(
-            s"uniqUpTo: N must be an integer literal, got $other")
-        }
-        require(n >= 1 && n <= 1000000, s"uniqUpTo: N out of range: $n")
-        UniqUpToAgg(es(1), n).toAggregateExpression()
-      }, "built-in")
+  def register(spark: SparkSession): Unit = Registration.once(spark, "UniqUpTo") {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "uniqUpTo", es => {
+          require(es.length == 2, "usage: uniqUpTo(N, x)")
+          val n = es.head match {
+            case Literal(v: Int, IntegerType) => v
+            case Literal(v: Long, LongType) => v.toInt
+            case other => throw new IllegalArgumentException(
+              s"uniqUpTo: N must be an integer literal, got $other")
+          }
+          require(n >= 1 && n <= 1000000, s"uniqUpTo: N out of range: $n")
+          UniqUpToAgg(es(1), n).toAggregateExpression()
+        }, "built-in")
+  }
 
   def uniq_up_to(n: Int, x: Column): Column = call_function("uniqUpTo", lit(n), x)
 }

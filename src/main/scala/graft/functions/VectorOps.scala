@@ -19,7 +19,7 @@ import org.apache.spark.sql.types._
   * stay bit-equal to the DuckDB oracle's mirrored fold.
   */
 object VectorOps {
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession): Unit = Registration.once(spark, "VectorOps") {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")

@@ -30,7 +30,7 @@ import org.apache.spark.sql.types._
   */
 object VectorQuant {
 
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession): Unit = Registration.once(spark, "VectorQuant") {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("nearest_centroids", es => {
       require(es.length == 3, "usage: nearest_centroids(vec, centroidsLit, n)")

@@ -234,8 +234,10 @@ object Multimodal {
     */
   def sampleFrames(media: DataFrame, frames: Int): DataFrame = {
     val spark = org.apache.spark.sql.SparkSession.active
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "mp4_sync_samples", exprs => Mp4SyncSamplesExpr(exprs.head), "built-in")
+    graft.functions.Registration.once(spark, "mp4_sync_samples") {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "mp4_sync_samples", exprs => Mp4SyncSamplesExpr(exprs.head), "built-in")
+    }
     val pick = s"element_at(__sync, cast(frame_idx * __n / $frames as int) + 1)"
     val chunked = media
       .withColumn("__sync", call_function("mp4_sync_samples", col("blob")))
@@ -274,8 +276,10 @@ object Multimodal {
     */
   def imageMeta(blob: Column): Column = {
     val spark = org.apache.spark.sql.SparkSession.active
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "image_meta", exprs => ImageMetaExpr(exprs.head), "built-in")
+    graft.functions.Registration.once(spark, "image_meta") {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "image_meta", exprs => ImageMetaExpr(exprs.head), "built-in")
+    }
     call_function("image_meta", blob)
   }
 
@@ -291,8 +295,10 @@ object Multimodal {
     */
   def mediaMeta(blob: Column): Column = {
     val spark = org.apache.spark.sql.SparkSession.active
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "media_meta", exprs => MediaMetaExpr(exprs.head), "built-in")
+    graft.functions.Registration.once(spark, "media_meta") {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "media_meta", exprs => MediaMetaExpr(exprs.head), "built-in")
+    }
     call_function("media_meta", blob)
   }
 }

@@ -115,18 +115,19 @@ object Bpe {
     * the merges argument must be a foldable array<string> of "left right"
     * pairs in rank order (what [[encode]] passes).
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bpeEncode", es => {
-        require(es.length == 2, "usage: bpeEncode(text, merges)")
-        require(es(1).foldable, "bpeEncode merges must be a literal array")
-        val pairs = es(1).eval() match {
-          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
-            (0 until a.numElements()).map(i => a.getUTF8String(i).toString).toArray
-          case _ => Array.empty[String]
-        }
-        BpeEncodeExpr(es.head, pairs)
-      }, "built-in")
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = graft.functions.Registration.once(spark, "Bpe") {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "bpeEncode", es => {
+          require(es.length == 2, "usage: bpeEncode(text, merges)")
+          require(es(1).foldable, "bpeEncode merges must be a literal array")
+          val pairs = es(1).eval() match {
+            case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+              (0 until a.numElements()).map(i => a.getUTF8String(i).toString).toArray
+            case _ => Array.empty[String]
+          }
+          BpeEncodeExpr(es.head, pairs)
+        }, "built-in")
+  }
 
   /** Encode `text` (whitespace-split) into BPE pieces under `merges`.
     * Returns `array<string>` of pieces, `</w>`-marked at word ends.

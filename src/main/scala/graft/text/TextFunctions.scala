@@ -25,7 +25,7 @@ object TextFunctions {
     * [[langId]]. Query packs and ChCompat call this; ad-hoc users of those
     * two functions must too.
     */
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession): Unit = graft.functions.Registration.once(spark, "TextFunctions") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "token_set_count", es => {
         require(es.length == 3, "usage: token_set_count(arr, array('w',...), lowercase)")
