@@ -1,0 +1,71 @@
+package graft
+
+import graft.fuzz.FuzzGen
+import scala.sys.process._
+
+/** Randomized differential fuzz vs DuckDB (VERDICT r9 #2).
+  *
+  * Runs the seeded [[FuzzGen]] corpus through the Spark dialect, dumps each
+  * result as parquet + the DuckDB translation as oracle_sql.json, and
+  * drives `tools/local_verify.py` — the exact strict compare the driver's
+  * correctness gate uses (row count, schema, value-by-value, int/float
+  * dtype-kind agreement). Any FAIL here is either a dialect bug (fix it,
+  * promote the seed to a declared regression query) or a generator
+  * translation bug (fix the generator).
+  *
+  * The seed range is FIXED — same seeds, same data, same queries, forever —
+  * so this suite is deterministic, not flaky-by-design. Cancels (does not
+  * pass) when the dev-side python/duckdb harness is unavailable: the
+  * shipped library never depends on it.
+  */
+class FuzzParitySpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.01"
+  private val seeds = 1 to 200
+
+  private def duckdbAvailable: Boolean =
+    try Seq("python3", "-c", "import duckdb, pandas").! == 0
+    catch { case _: Exception => false }
+
+  test("seeded fuzz corpus matches DuckDB under the strict driver compare") {
+    assume(duckdbAvailable, "python3+duckdb (dev-side oracle) not available")
+    assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")
+
+    val t = Tables(spark, sfDir)
+    Seq("lineitem" -> t.lineitem, "orders" -> t.orders, "events" -> t.events,
+        "documents" -> t.documents, "customer" -> t.customer, "part" -> t.part)
+      .foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    graft.functions.ChCompat.register(spark)
+
+    val out = tmpDir("graft-fuzz")
+    val oracle = new StringBuilder("{")
+    var first = true
+    FuzzGen.queries(seeds).foreach { q =>
+      val df = spark.sql(q.sparkSql)
+      df.coalesce(1).write.mode("overwrite").parquet(s"$out/${q.name}")
+      if (!first) oracle.append(",\n")
+      first = false
+      oracle.append(jsonStr(q.name)).append(": ").append(jsonStr(q.duckSql))
+    }
+    oracle.append("}\n")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, "oracle_sql.json"),
+      oracle.toString.getBytes("UTF-8"))
+
+    val buf = new StringBuilder
+    val code = Process(Seq("python3", "tools/local_verify.py", sfDir, out))
+      .!(ProcessLogger(l => buf.append(l).append('\n'), l => buf.append(l).append('\n')))
+    val tail = buf.toString.linesIterator.filter(_.startsWith("FAIL")).take(10).mkString("\n")
+    assert(code == 0 && buf.toString.contains(" 0 fail"),
+      s"fuzz parity failures:\n$tail\n(full log ${buf.length} chars)")
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+}

@@ -1,0 +1,402 @@
+package graft.fuzz
+
+import scala.util.Random
+
+/** Seeded differential query generator (VERDICT r9 #2).
+  *
+  * Emits (Spark-dialect SQL, DuckDB oracle SQL) pairs over the sf0.01
+  * fixture tables, probing the combinatorial edges the fixed declared-query
+  * corpus can't reach: combinator × type × null × empty-group. Every choice
+  * derives from the seed — no wall clock, no global RNG — so a seed list is
+  * a reproducible regression corpus.
+  *
+  * Determinism rules (same discipline as the declared packs, SURVEY.md §5):
+  *  - money-ish double sums go through DECIMAL(18,2) on BOTH sides;
+  *  - int sums are CAST(... AS BIGINT) on the DuckDB side (HUGEINT would
+  *    come back as float64 through pandas and trip the strict dtype gate);
+  *  - every result is totally ordered (group keys with NULLS FIRST, or the
+  *    table's unique key for scalar probes);
+  *  - aliases match on both sides; the gate sorts columns by name.
+  *
+  * Functions deliberately exercised through their CH spellings on the Spark
+  * side: sumIf/minIf/maxIf/countIf/uniqExactIf, uniqExact, medianExact,
+  * groupArray+arraySort, toYear/toMonth, if(), nullIf (null-edge injection).
+  */
+object FuzzGen {
+
+  final case class FuzzQuery(name: String, sparkSql: String, duckSql: String)
+
+  sealed trait Kind
+  case object IntK extends Kind
+  case object FloatK extends Kind
+  case object StrK extends Kind
+  case object TimeK extends Kind
+
+  /** lo/hi bound the predicate constants; strs is the equality/IN pool. */
+  final case class Col(name: String, kind: Kind,
+      lo: Double = 0, hi: Double = 0, strs: Seq[String] = Nil)
+
+  /** `uniqueKey` is what scalar probes SELECT as the row id; `totalOrder`
+    * (defaults to it) must totally order the table — lineitem's synthetic
+    * (l_orderkey, l_linenumber) is NOT unique here, so it orders by every
+    * column (full rows are distinct).
+    */
+  final case class Tbl(name: String, uniqueKey: Seq[String], cols: Seq[Col],
+      totalOrderOverride: Seq[String] = Nil) {
+    def of(k: Kind): Seq[Col] = cols.filter(_.kind == k)
+    def totalOrder: Seq[String] =
+      if (totalOrderOverride.nonEmpty) totalOrderOverride else uniqueKey
+  }
+
+  val tables: Seq[Tbl] = Seq(
+    Tbl("lineitem", Seq("l_orderkey", "l_linenumber"), Seq(
+      Col("l_orderkey", IntK, 1, 60000),
+      Col("l_partkey", IntK, 1, 2000),
+      Col("l_suppkey", IntK, 1, 100),
+      Col("l_linenumber", IntK, 1, 7),
+      Col("l_quantity", FloatK, 1, 50),
+      Col("l_extendedprice", FloatK, 900, 100000),
+      Col("l_discount", FloatK, 0, 0.1),
+      Col("l_tax", FloatK, 0, 0.08),
+      Col("l_returnflag", StrK, strs = Seq("A", "N", "R")),
+      Col("l_linestatus", StrK, strs = Seq("O", "F")),
+      Col("l_shipdate", TimeK, 1995, 2001)),
+      totalOrderOverride = Seq("l_orderkey", "l_linenumber", "l_partkey",
+        "l_suppkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")),
+    Tbl("orders", Seq("o_orderkey"), Seq(
+      Col("o_orderkey", IntK, 1, 15000),
+      Col("o_custkey", IntK, 1, 1500),
+      Col("o_totalprice", FloatK, 1000, 500000),
+      Col("o_orderstatus", StrK, strs = Seq("F", "O", "P")),
+      Col("o_orderpriority", StrK,
+        strs = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")),
+      Col("o_orderdate", TimeK, 1995, 2001))),
+    Tbl("events", Seq("event_id"), Seq(
+      Col("event_id", IntK, 1, 10000),
+      Col("user_id", IntK, 0, 149),
+      Col("value", FloatK, 0, 490),
+      Col("event_type", StrK, strs = Seq("click", "error", "purchase", "signup", "view")),
+      Col("ts", TimeK, 2024, 2024))),
+    Tbl("documents", Seq("doc_id"), Seq(
+      Col("doc_id", IntK, 1, 500),
+      Col("n_chars", IntK, 48, 553),
+      Col("lang", StrK, strs = Seq("de", "en", "es", "fr", "zh")),
+      Col("source", StrK, strs = Seq("src0", "src1", "src2", "src3", "src4")))),
+    Tbl("customer", Seq("c_custkey"), Seq(
+      Col("c_custkey", IntK, 1, 1500),
+      Col("c_nationkey", IntK, 0, 24),
+      Col("c_acctbal", FloatK, -1000, 10000),
+      Col("c_mktsegment", StrK,
+        strs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")))),
+    Tbl("part", Seq("p_partkey"), Seq(
+      Col("p_partkey", IntK, 1, 2000),
+      Col("p_size", IntK, 1, 50),
+      Col("p_retailprice", FloatK, 900, 2000),
+      Col("p_brand", StrK, strs = Seq("Brand#1", "Brand#2", "Brand#3", "Brand#4")),
+      Col("p_type", StrK, strs = Seq("STANDARD", "SMALL", "MEDIUM", "LARGE", "ECONOMY")))))
+
+  def queries(seeds: Range): Seq[FuzzQuery] = seeds.map(queryFor)
+
+  def queryFor(seed: Int): FuzzQuery = {
+    val rnd = new Random(seed.toLong * 1000003L + 17L)
+    val t = tables(rnd.nextInt(tables.length))
+    val name = f"fz$seed%03d"
+    if (rnd.nextDouble() < 0.25) scalarQuery(name, t, rnd)
+    else aggQuery(name, t, rnd)
+  }
+
+  // ---- predicates (identical text on both sides) ----------------------
+
+  private def pick[A](rnd: Random, xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
+
+  private def intConst(rnd: Random, c: Col): Long =
+    c.lo.toLong + (rnd.nextDouble() * (c.hi - c.lo)).toLong
+
+  private def atom(t: Tbl, rnd: Random): String = {
+    val c = pick(rnd, t.cols)
+    c.kind match {
+      case IntK =>
+        rnd.nextInt(3) match {
+          case 0 => s"${c.name} ${pick(rnd, Seq("<", "<=", ">", ">=", "=", "<>"))} ${intConst(rnd, c)}"
+          case 1 => s"${c.name} % ${2 + rnd.nextInt(8)} = ${rnd.nextInt(2)}"
+          case _ =>
+            val ks = Seq.fill(2 + rnd.nextInt(3))(intConst(rnd, c)).distinct
+            s"${c.name} IN (${ks.mkString(", ")})"
+        }
+      case FloatK =>
+        val v = c.lo + rnd.nextDouble() * (c.hi - c.lo)
+        s"${c.name} ${pick(rnd, Seq("<", "<=", ">", ">="))} ${"%.2f".format(v)}"
+      case StrK =>
+        rnd.nextInt(3) match {
+          case 0 => s"${c.name} ${pick(rnd, Seq("=", "<>"))} '${pick(rnd, c.strs)}'"
+          case 1 =>
+            val vs = Seq.fill(2 + rnd.nextInt(2))(pick(rnd, c.strs)).distinct
+            s"${c.name} IN (${vs.map(v => s"'$v'").mkString(", ")})"
+          case _ =>
+            val v = pick(rnd, c.strs)
+            s"${c.name} LIKE '%${v.take(1 + rnd.nextInt(math.max(1, v.length - 1)))}%'"
+        }
+      case TimeK =>
+        val y = c.lo.toInt + rnd.nextInt(c.hi.toInt - c.lo.toInt + 1)
+        val m = 1 + rnd.nextInt(12)
+        val d = 1 + rnd.nextInt(28)
+        f"${c.name}%s ${pick(rnd, Seq("<", ">="))}%s TIMESTAMP '$y%d-$m%02d-$d%02d 00:00:00'"
+    }
+  }
+
+  private def predicate(t: Tbl, rnd: Random): Option[String] =
+    rnd.nextInt(10) match {
+      case 0 => None                                   // no WHERE at all
+      case 1 =>                                        // empty-result edge
+        val c = pick(rnd, t.of(IntK))
+        Some(s"${c.name} < ${c.lo.toLong - 5}")
+      case n if n <= 4 => Some(atom(t, rnd))
+      case n if n <= 7 =>
+        Some(s"${atom(t, rnd)} ${pick(rnd, Seq("AND", "OR"))} ${atom(t, rnd)}")
+      case 8 => Some(s"NOT (${atom(t, rnd)})")
+      case _ =>
+        Some(s"(${atom(t, rnd)} OR ${atom(t, rnd)}) AND ${atom(t, rnd)}")
+    }
+
+  // ---- aggregate queries ----------------------------------------------
+
+  /** (sparkExpr, duckExpr) for one aggregate over a value column; `ifCond`
+    * exercises the -If combinators against DuckDB's FILTER clause.
+    */
+  private def aggPair(t: Tbl, rnd: Random, alias: String): (String, String) = {
+    val intCols = t.of(IntK)
+    val floatCols = t.of(FloatK)
+    val strCols = t.of(StrK)
+    // null-edge injection: CH nullIf on the value argument on both sides
+    def nullable(c: Col): (String, String) = c.kind match {
+      case IntK if rnd.nextDouble() < 0.25 =>
+        val k = intConst(rnd, c)
+        (s"nullIf(${c.name}, $k)", s"nullif(${c.name}, $k)")
+      case StrK if rnd.nextDouble() < 0.25 =>
+        val v = pick(rnd, c.strs)
+        (s"nullIf(${c.name}, '$v')", s"nullif(${c.name}, '$v')")
+      case _ => (c.name, c.name)
+    }
+    def cond(): String = atom(t, rnd)
+
+    val choices = Seq.newBuilder[() => (String, String)]
+    choices += (() => (s"count(*) AS $alias", s"count(*) AS $alias"))
+    if (intCols.nonEmpty) {
+      def ic = pick(rnd, intCols)
+      choices += { () =>
+        val (sv, dv) = nullable(ic)
+        (s"sum($sv) AS $alias", s"CAST(sum($dv) AS BIGINT) AS $alias")
+      }
+      choices += { () =>
+        val (sv, dv) = nullable(ic); val p = cond()
+        (s"sumIf($sv, $p) AS $alias",
+         s"CAST(sum($dv) FILTER (WHERE $p) AS BIGINT) AS $alias")
+      }
+      choices += { () =>
+        val (sv, dv) = nullable(ic)
+        (s"avg($sv) AS $alias", s"avg($dv) AS $alias")
+      }
+      choices += { () =>
+        val (sv, dv) = nullable(ic); val p = cond()
+        val fn = pick(rnd, Seq("min", "max"))
+        (s"${fn}If($sv, $p) AS $alias",
+         s"$fn($dv) FILTER (WHERE $p) AS $alias")
+      }
+      choices += { () =>
+        val (sv, dv) = nullable(ic)
+        (s"uniqExact($sv) AS $alias", s"count(DISTINCT $dv) AS $alias")
+      }
+      choices += { () =>
+        val (sv, dv) = nullable(ic); val p = cond()
+        (s"uniqExactIf($sv, $p) AS $alias",
+         s"count(DISTINCT $dv) FILTER (WHERE $p) AS $alias")
+      }
+      choices += { () =>
+        val c = ic
+        (s"medianExact(${c.name}) AS $alias",
+         s"quantile_cont(${c.name}, 0.5) AS $alias")
+      }
+      choices += { () =>
+        val (sv, dv) = nullable(ic); val p = cond()
+        (s"avgIf($sv, $p) AS $alias", s"avg($dv) FILTER (WHERE $p) AS $alias")
+      }
+      // -Distinct combinators
+      choices += { () =>
+        val (sv, dv) = nullable(ic)
+        (s"sumDistinct($sv) AS $alias",
+         s"CAST(sum(DISTINCT $dv) AS BIGINT) AS $alias")
+      }
+      choices += { () =>
+        val (sv, dv) = nullable(ic)
+        (s"avgDistinct($sv) AS $alias", s"avg(DISTINCT $dv) AS $alias")
+      }
+      // -OrNull / -OrDefault combinators (empty-set edge: the no-WHERE /
+      // impossible-WHERE / all-false-nullIf draws hit the NULL branches)
+      choices += { () =>
+        val (sv, dv) = nullable(ic)
+        (s"sumOrNull($sv) AS $alias", s"CAST(sum($dv) AS BIGINT) AS $alias")
+      }
+      choices += { () =>
+        val (sv, dv) = nullable(ic)
+        (s"sumOrDefault($sv) AS $alias",
+         s"CAST(coalesce(sum($dv), 0) AS BIGINT) AS $alias")
+      }
+      choices += { () =>
+        val (sv, dv) = nullable(ic)
+        (s"minOrDefault($sv) AS $alias", s"coalesce(min($dv), 0) AS $alias")
+      }
+      choices += { () =>
+        val (sv, dv) = nullable(ic)
+        (s"avgOrDefault($sv) AS $alias", s"coalesce(avg($dv), 0.0) AS $alias")
+      }
+      choices += { () =>
+        val (sv, dv) = nullable(ic)
+        (s"countOrNull($sv) AS $alias", s"nullif(count($dv), 0) AS $alias")
+      }
+    }
+    if (floatCols.nonEmpty) {
+      def fc = pick(rnd, floatCols)
+      choices += { () =>
+        val c = fc
+        (s"CAST(sum(CAST(${c.name} AS DECIMAL(18,2))) AS DOUBLE) AS $alias",
+         s"CAST(SUM(CAST(${c.name} AS DECIMAL(18,2))) AS DOUBLE) AS $alias")
+      }
+      choices += { () =>
+        val c = fc; val p = cond()
+        (s"CAST(sumIf(CAST(${c.name} AS DECIMAL(18,2)), $p) AS DOUBLE) AS $alias",
+         s"CAST(SUM(CAST(${c.name} AS DECIMAL(18,2))) FILTER (WHERE $p) AS DOUBLE) AS $alias")
+      }
+      choices += { () =>
+        val c = fc
+        val fn = pick(rnd, Seq("min", "max"))
+        (s"$fn(${c.name}) AS $alias", s"$fn(${c.name}) AS $alias")
+      }
+      choices += { () =>
+        val c = fc
+        (s"medianExact(${c.name}) AS $alias",
+         s"quantile_cont(${c.name}, 0.5) AS $alias")
+      }
+    }
+    if (strCols.nonEmpty) {
+      def sc = pick(rnd, strCols)
+      choices += { () =>
+        val (sv, dv) = nullable(sc)
+        (s"uniqExact($sv) AS $alias", s"count(DISTINCT $dv) AS $alias")
+      }
+      choices += { () =>
+        val c = sc
+        val fn = pick(rnd, Seq("min", "max"))
+        (s"$fn(${c.name}) AS $alias", s"$fn(${c.name}) AS $alias")
+      }
+      choices += { () =>
+        val p = cond()
+        (s"countIf($p) AS $alias", s"count(*) FILTER (WHERE $p) AS $alias")
+      }
+    }
+    pick(rnd, choices.result())()
+  }
+
+  private def aggQuery(name: String, t: Tbl, rnd: Random): FuzzQuery = {
+    // group keys: 0 (global), 1, or 2; drawn from strings / small-int
+    // modulo buckets / year(time) / a null-edged string
+    val keyPool = Seq.newBuilder[(String, String, String)] // (spark, duck, alias)
+    t.of(StrK).foreach { c =>
+      keyPool += ((c.name, c.name, c.name))
+      keyPool += ((s"nullIf(${c.name}, '${c.strs.head}')",
+                   s"nullif(${c.name}, '${c.strs.head}')", s"nk_${c.name}"))
+    }
+    t.of(IntK).filter(c => c.hi - c.lo <= 200).foreach { c =>
+      keyPool += ((c.name + " % 7", c.name + " % 7", s"mk_${c.name}"))
+    }
+    t.of(TimeK).foreach { c =>
+      keyPool += ((s"toYear(${c.name})", s"year(${c.name})", s"y_${c.name}"))
+      keyPool += ((s"toMonth(${c.name})", s"month(${c.name})", s"m_${c.name}"))
+    }
+    val pool = rnd.shuffle(keyPool.result())
+    val nKeys = rnd.nextInt(3) min pool.length
+    val keys = pool.take(nKeys)
+
+    val nAggs = 1 + rnd.nextInt(3)
+    val aggs = (0 until nAggs).map(i => aggPair(t, rnd, s"agg$i"))
+    // groupArray: sorted exact array equality, raw never-null int col only
+    val withGa =
+      if (nKeys >= 1 && rnd.nextDouble() < 0.15 && t.of(IntK).nonEmpty) {
+        val c = pick(rnd, t.of(IntK))
+        aggs :+ ((s"arraySort(groupArray(${c.name})) AS garr",
+                  s"list_sort(list(${c.name})) AS garr"))
+      } else aggs
+
+    val where = predicate(t, rnd)
+    val having = if (nKeys >= 1 && rnd.nextDouble() < 0.3)
+      Some(s"count(*) > ${1 + rnd.nextInt(5)}") else None
+
+    def render(keyExprs: Seq[(String, String)], aggExprs: Seq[String]): String = {
+      val sel = (keyExprs.map { case (e, a) => s"$e AS $a" } ++ aggExprs).mkString(", ")
+      val wh = where.map(p => s" WHERE $p").getOrElse("")
+      val gb = if (keyExprs.nonEmpty)
+        s" GROUP BY ${(1 to keyExprs.length).mkString(", ")}" else ""
+      val hv = having.map(h => s" HAVING $h").getOrElse("")
+      val ob = if (keyExprs.nonEmpty)
+        s" ORDER BY ${keyExprs.map(_._2 + " ASC NULLS FIRST").mkString(", ")}" else ""
+      s"SELECT $sel FROM ${t.name}$wh$gb$hv$ob"
+    }
+    FuzzQuery(name,
+      render(keys.map(k => (k._1, k._3)), withGa.map(_._1)),
+      render(keys.map(k => (k._2, k._3)), withGa.map(_._2)))
+  }
+
+  // ---- scalar (row-level) queries -------------------------------------
+
+  private def scalarPair(t: Tbl, rnd: Random, alias: String): (String, String) = {
+    val choices = Seq.newBuilder[() => (String, String)]
+    t.of(IntK).foreach { c =>
+      choices += (() => (s"${c.name} % 9 AS $alias", s"${c.name} % 9 AS $alias"))
+      choices += { () =>
+        val k = intConst(rnd, c)
+        (s"abs(${c.name} - $k) AS $alias", s"abs(${c.name} - $k) AS $alias")
+      }
+    }
+    t.of(FloatK).foreach { c =>
+      choices += (() => (s"round(${c.name}, 2) AS $alias", s"round(${c.name}, 2) AS $alias"))
+      choices += (() => (s"${c.name} * 2.0 AS $alias", s"${c.name} * 2.0 AS $alias"))
+      choices += { () =>
+        // floor: Spark returns BIGINT, DuckDB DOUBLE — align on the duck side
+        (s"floor(${c.name}) AS $alias", s"CAST(floor(${c.name}) AS BIGINT) AS $alias")
+      }
+    }
+    t.of(StrK).foreach { c =>
+      choices += (() => (s"upper(${c.name}) AS $alias", s"upper(${c.name}) AS $alias"))
+      choices += (() => (s"length(${c.name}) AS $alias", s"length(${c.name}) AS $alias"))
+      choices += (() => (s"substring(${c.name}, 1, 3) AS $alias", s"substring(${c.name}, 1, 3) AS $alias"))
+      choices += { () =>
+        val v = pick(rnd, c.strs)
+        (s"coalesce(nullIf(${c.name}, '$v'), 'other') AS $alias",
+         s"coalesce(nullif(${c.name}, '$v'), 'other') AS $alias")
+      }
+      choices += { () =>
+        val p = atom(t, rnd)
+        (s"if($p, 'hi', 'lo') AS $alias",
+         s"CASE WHEN $p THEN 'hi' ELSE 'lo' END AS $alias")
+      }
+    }
+    t.of(TimeK).foreach { c =>
+      choices += (() => (s"toYear(${c.name}) AS $alias", s"year(${c.name}) AS $alias"))
+      choices += (() => (s"toMonth(${c.name}) AS $alias", s"month(${c.name}) AS $alias"))
+    }
+    pick(rnd, choices.result())()
+  }
+
+  private def scalarQuery(name: String, t: Tbl, rnd: Random): FuzzQuery = {
+    val nExprs = 1 + rnd.nextInt(3)
+    val pairs = (0 until nExprs).map(i => scalarPair(t, rnd, s"e$i"))
+    val where = predicate(t, rnd)
+    def render(side: ((String, String)) => String): String = {
+      val sel = (t.uniqueKey ++ pairs.map(side)).mkString(", ")
+      val wh = where.map(p => s" WHERE $p").getOrElse("")
+      val ob = t.totalOrder.mkString(", ")
+      s"SELECT $sel FROM ${t.name}$wh ORDER BY $ob LIMIT 50"
+    }
+    FuzzQuery(name, render(_._1), render(_._2))
+  }
+}
