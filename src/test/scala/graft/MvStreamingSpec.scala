@@ -304,4 +304,98 @@ class MvStreamingSpec extends SparkSpec {
       assert(g.getLong(3) == d.getLong(3))
     }
   }
+
+  test("torn-write chaos: a task killed mid-append replays exactly-once after restart") {
+    import spark.implicits._
+    // The 1000-executor production failure mode: an executor dies while a
+    // foreachBatch append is writing its state files, the query crashes,
+    // and the restarted stream re-delivers the SAME batch id — ClickHouse's
+    // inserted-block dedup under retry. The poison udf kills the first
+    // write-stage task that sees a day-2 state row (armed once), so the
+    // failing attempt dies mid-write with other tasks' staging files
+    // already committed — a genuinely torn write, not a pre-commit crash.
+    val srcDir = tmpDir("torn-src")
+    val stDir = tmpDir("torn-state") + "/t"
+    val ckDir = tmpDir("torn-ck")
+
+    val st = new StateTable(spark, stDir,
+      keys = Seq("day", "hour", "etype"), partitionCol = "day",
+      metrics = Seq(
+        BitmapUvMetric("uv", col("uid")),
+        SumMetric("value_sum", dec(col("value"))),
+        CountMetric("cnt")))
+
+    val poison = udf { (day: java.sql.Date) =>
+      if (day.toString == "2024-01-02" && TornWriteInjector.armed.compareAndSet(true, false))
+        throw new RuntimeException("torn-write-injection")
+      true
+    }.asNondeterministic() // keep it out of constant folding / pushdown reorder
+    // preAggregated: the poison filter rides the STATE rows, so it throws
+    // inside the write stage of appendExactlyOnce, after aggregation
+    val mv = new MaterializedView("torn_mv",
+      batch => graft.engine.Warehouse.withTimeDefaults(batch, "ts")
+        .transform(st.toStates)
+        .filter(poison(col("day"))),
+      st, preAggregated = true)
+
+    def writeBatch(rows: Seq[(String, Long, String, Double)], part: Int): Unit =
+      rows.toDF("ts_s", "uid", "etype", "value")
+        .select(col("ts_s").cast(TimestampType).as("ts"), col("uid"), col("etype"), col("value"))
+        .coalesce(1).write.mode("append").parquet(srcDir + s"/b$part")
+
+    val b1 = Seq(("2024-01-01 10:05:00", 1L, "view", 10.0), ("2024-01-01 10:40:00", 2L, "view", 5.5))
+    val b2 = Seq(("2024-01-02 09:00:00", 3L, "click", 1.5), ("2024-01-02 11:30:00", 4L, "view", 2.0))
+    val b3 = Seq(("2024-01-01 23:59:00", 5L, "view", 3.25))
+    writeBatch(b1, 1); writeBatch(b2, 2); writeBatch(b3, 3)
+
+    def stream() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir + "/*")
+
+    TornWriteInjector.armed.set(true)
+    val q1 = mv.attach(stream(), Trigger.ProcessingTime("500 milliseconds"), Some(ckDir))
+    val died = try { q1.awaitTermination(60000); false }
+      catch { case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+        def chain(t: Throwable): Seq[String] =
+          if (t == null) Nil else t.getMessage +: chain(t.getCause)
+        assert(chain(e).exists(m => m != null && m.contains("torn-write-injection")),
+          s"query died for an unexpected reason: ${chain(e)}")
+        true
+      } finally if (q1.isActive) q1.stop()
+    assert(died, "the poison task never fired — injection broken")
+    assert(!TornWriteInjector.armed.get(), "poison consumed exactly once")
+
+    // restart from the same checkpoint: the failed batch replays with the
+    // same id; the ledger + in-flight cleanup must make it exactly-once
+    val q2 = mv.attach(stream(), Trigger.ProcessingTime("500 milliseconds"), Some(ckDir))
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      def ingested(): Boolean =
+        try st.read().agg(sum(col("cnt"))).collect()(0).getLong(0) == 5L
+        catch { case _: Exception => false }
+      while (!ingested() && System.currentTimeMillis() < deadline) Thread.sleep(300)
+      assert(ingested(), "restarted stream did not finish ingesting")
+    } finally q2.stop()
+
+    val all = (b1 ++ b2 ++ b3).toDF("ts_s", "uid", "etype", "value")
+      .select(col("ts_s").cast(TimestampType).as("ts"), col("uid"), col("etype"), col("value"))
+    val direct = graft.engine.Warehouse.withTimeDefaults(all, "ts")
+      .groupBy("day", "hour", "etype")
+      .agg(countDistinct(col("uid")).as("uv"),
+        sum(dec(col("value"))).as("value_sum"),
+        count(lit(1)).as("cnt"))
+    val gotRows = st.finalized().select("day", "hour", "etype", "uv", "value_sum", "cnt")
+      .collect().map(_.toSeq.map(_.toString)).sortBy(_.mkString("|"))
+    val expRows = direct.select("day", "hour", "etype", "uv", "value_sum", "cnt")
+      .collect().map(_.toSeq.map(_.toString)).sortBy(_.mkString("|"))
+    assert(gotRows.toSeq == expRows.toSeq,
+      "replayed batch double-counted or lost rows")
+  }
+}
+
+/** Arm-once poison shared with the executor threads (same JVM in local
+  * mode): the first write-stage task to see the poisoned row consumes the
+  * flag and dies; the replay finds it disarmed and completes.
+  */
+object TornWriteInjector {
+  val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
 }

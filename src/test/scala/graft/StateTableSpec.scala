@@ -386,4 +386,62 @@ class StateTableSpec extends SparkSpec {
     // the property under test is identity-merge of the unwritten side
     assert(got.toSeq == Seq((1L, 10001L, 2003L), (2L, 10002L, 10001L), (3L, 20004L, 10001L)))
   }
+
+  test("exactly-once replay heals a torn MID-MOVE ingest (files renamed in, no marker)") {
+    import org.apache.hadoop.fs.Path
+    // The sharpest crash window of appendExactlyOnce: staging fully
+    // written, SOME files already renamed into live partition dirs under
+    // their batch-tagged names, marker not yet created. A replay of the
+    // same id (what a checkpointed foreachBatch retry delivers) must
+    // first erase every trace — moved files AND staging — or the batch
+    // double-counts.
+    val dir = tmpDir("st-torn") + "/t"
+    val st = newTable(dir)
+    assert(st.appendBatchExactlyOnce(batch1, 0L))
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def tearMidMove(tok: String): Unit = {
+      // byte-exact replica of the crash state: stage the batch with the
+      // same write shape the real path uses, then rename exactly one data
+      // file into its partition dir and "crash" before the rest + marker
+      val staging = new Path(dir, s"_staging/$tok")
+      st.toStates(batch2).write.mode("overwrite")
+        .partitionBy("day").parquet(staging.toString)
+      val dayDir = fs.listStatus(staging).map(_.getPath)
+        .find(_.getName.startsWith("day=")).get
+      val f = fs.listStatus(dayDir).map(_.getPath)
+        .find(_.getName.endsWith(".parquet")).get
+      val target = new Path(dir, dayDir.getName)
+      fs.mkdirs(target)
+      assert(fs.rename(f, new Path(target, s"batch-$tok-${f.getName}")))
+    }
+
+    // same-instance replay (foreachBatch retry without restart):
+    // appendExactlyOnce's own cleanIngest must purge the torn traces
+    tearMidMove("9")
+    assert(st.appendBatchExactlyOnce(batch2, 9L))
+    val reference = {
+      val d = tmpDir("st-torn-ref") + "/t"
+      val r = newTable(d); r.appendBatch(batch1); r.appendBatch(batch2); r
+    }
+    assertSameResult(st.finalized(Seq("day", "etype")),
+      reference.finalized(Seq("day", "etype")))
+
+    // fresh-instance replay (process restart): open-time recovery purges,
+    // then the retry ingests cleanly — still equal to the clean reference
+    tearMidMove("10")
+    val st2 = newTable(dir)
+    assertSameResult(st2.finalized(Seq("day", "etype")),
+      reference.finalized(Seq("day", "etype")))
+    assert(!fs.exists(new Path(dir, "_staging/10")))
+    assert(st2.appendBatchExactlyOnce(batch3, 10L))
+    // and the healed ledger still dedups every committed id
+    assert(!st2.appendBatchExactlyOnce(batch2, 9L))
+    assert(!st2.appendBatchExactlyOnce(batch3, 10L))
+    val withB3 = tmpDir("st-torn-ref3") + "/t"
+    val ref3 = newTable(withB3)
+    ref3.appendBatch(batch1); ref3.appendBatch(batch2); ref3.appendBatch(batch3)
+    assertSameResult(st2.finalized(Seq("day", "etype")),
+      ref3.finalized(Seq("day", "etype")))
+  }
 }
