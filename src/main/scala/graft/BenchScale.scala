@@ -104,6 +104,14 @@ object BenchScale {
   def main(args: Array[String]): Unit = {
     val quick = args.contains("quick")
     val div = if (quick) 10 else 1
+    // `x10` runs ONE extra decade per curve — only each curve's largest
+    // size point, times ten (the smaller points are already on record in
+    // bench_scale.jsonl; re-running them would just burn the wall clock).
+    // Appends to the jsonl. The compact curve is excluded: its axis is
+    // part count, not corpus size, and 8->128 parts already spans it.
+    val x10 = args.contains("x10")
+    def pts(xs: Seq[Long]): Seq[Long] =
+      if (x10) Seq(xs.max * 10) else xs.map(_ / div)
     // optional section filter: any of ingest/probe/cc/ivf/compact — run
     // only the named curves (default: all), e.g. `runMain graft.BenchScale cc`
     val sections = args.toSet.intersect(
@@ -136,7 +144,7 @@ object BenchScale {
       w.dedupAndAppend(docs(spark, 1000).filter(col("doc_id") >= 500),
         "text", "doc_id", 0.5).count(): Unit
     }
-    for (batchN <- Seq(2000L, 20000L, 200000L).map(_ / div)) {
+    for (batchN <- pts(Seq(2000L, 20000L, 200000L))) {
       val ix = new NearDupIndex(spark, tmp("graft-scale-ndi"), numHashes = 32, bands = 16)
       ix.append(docs(spark, histN), "text", "doc_id")
       val batch = docs(spark, histN + batchN).filter(col("doc_id") >= histN)
@@ -156,7 +164,7 @@ object BenchScale {
     // records must stay O(batch) (flat), only the history SCAN grows
     if (on("probe")) {
     val probeN = 10000L / div
-    for (hN <- Seq(20000L, 100000L, 500000L).map(_ / div)) {
+    for (hN <- pts(Seq(20000L, 100000L, 500000L))) {
       val path = tmp("graft-scale-probe")
       val ix = new NearDupIndex(spark, path, numHashes = 32, bands = 16)
       ix.append(docs(spark, hN), "text", "doc_id")
@@ -185,7 +193,7 @@ object BenchScale {
 
     // ---- 3. connected components vs corpus size --------------------------
     if (on("cc"))
-    for (n <- Seq(20000L, 200000L, 1000000L).map(_ / div)) {
+    for (n <- pts(Seq(20000L, 200000L, 1000000L))) {
       val d = docs(spark, n)
       val sec = timed {
         val pairs = Dedup.minhashNearDups(d, "text", "doc_id", 32, 16, 0.5)
@@ -197,7 +205,7 @@ object BenchScale {
 
     // ---- 4. IVF + PQ build/search vs corpus size -------------------------
     if (on("ivf"))
-    for (n <- Seq(32000L, 320000L, 1600000L).map(_ / div)) {
+    for (n <- pts(Seq(32000L, 320000L, 1600000L))) {
       val emb = embeddings(spark, n)
       val probes = embeddings(spark, 100)
       val ivfPath = tmp("graft-scale-ivf")
@@ -237,7 +245,7 @@ object BenchScale {
     // back to O(states). The background cost at 100 TB: read cost grows
     // with the part count, compact pays one bounded merge, the read returns
     // to the states floor regardless of how many parts went in.
-    if (on("compact"))
+    if (on("compact") && !x10)
     for (appends <- Seq(8, 32, 128).map(p => math.max(2, p / div))) {
       val days = 4
       val keysPerDay = 2000
@@ -275,7 +283,7 @@ object BenchScale {
     // must scale linearly in total tokens: exchanged records grow ~N,
     // per-doc wall cost falls (fixed job floor amortizes)
     if (on("tfidf"))
-    for (n <- Seq(20000L, 200000L, 1000000L).map(_ / div)) {
+    for (n <- pts(Seq(20000L, 200000L, 1000000L))) {
       val d = docs(spark, n)
       // static plan for readable metrics; broadcast OFF so every size point
       // runs the same (worst-case, 100 TB-relevant) shuffle-join regime —
@@ -304,7 +312,7 @@ object BenchScale {
     // docs() plants 4-doc near-dup groups sharing 36 of 40 words, so real
     // duplicated spans exist at every size point.
     if (on("spans"))
-    for (n <- Seq(20000L, 200000L, 1000000L).map(_ / div)) {
+    for (n <- pts(Seq(20000L, 200000L, 1000000L))) {
       val d = docs(spark, n)
       // same worst-case regime as the tfidf curve: static plan, no
       // broadcast, so every size point exchanges the full digest stream
@@ -331,7 +339,7 @@ object BenchScale {
     // equality; this curve records the measured sizes) and wall time
     // linear-to-sublinear as the job floor amortizes.
     if (on("stats"))
-    for (n <- Seq(100000L, 1000000L, 5000000L).map(_ / div)) {
+    for (n <- pts(Seq(100000L, 1000000L, 5000000L))) {
       graft.functions.ChCompat.register(spark)
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       try {
@@ -352,14 +360,14 @@ object BenchScale {
       } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     }
 
-    emit(s"""{"metric":"bench_scale_done","quick":$quick}""")
+    emit(s"""{"metric":"bench_scale_done","quick":$quick,"x10":$x10}""")
     // full runs refresh the file; a section-filtered run APPENDS so it
     // can't silently drop the other curves' recorded points
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_scale.jsonl"),
       out.toString.getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE,
-      if (sections.isEmpty) java.nio.file.StandardOpenOption.TRUNCATE_EXISTING
+      if (sections.isEmpty && !x10) java.nio.file.StandardOpenOption.TRUNCATE_EXISTING
       else java.nio.file.StandardOpenOption.APPEND): Unit
     catch { case _: Exception => () }
     spark.stop()

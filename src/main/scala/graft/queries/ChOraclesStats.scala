@@ -14,6 +14,28 @@ object ChOraclesStats {
     // omitted default is the type default 0, runningAccumulate is the
     // running partitioned SUM; (event_type, hr) is a grouping key, so
     // the window order is unique and ties cannot diverge
+    // DuckDB is the VERIFIER here, not a mirror: sipHash64 is not
+    // recomputable in DuckDB, so the oracle reads the SAME staged shard
+    // assignment the Spark query wrote (path keyed by the SF dir name; the
+    // `good` CTE picks the stage matching THIS comparison's events count,
+    // so interleaved sf0.01/sf0.1 driver runs can't cross wires) and
+    // re-derives the identical per-bucket profile — gated behind the two
+    // invariants checked over the same bytes: stage completeness (row
+    // count == raw events) and disjointness (one bucket per uid). Breaking
+    // either empties the result, failing the row-count compare.
+    "q170_shard_parity" ->
+      """WITH st AS (
+        |  SELECT user_id, sip_bucket,
+        |         regexp_extract(filename, 'graft_q170_stage_([^/]+)', 1) AS tag
+        |  FROM read_parquet('/tmp/graft_q170_stage_*/*.parquet', filename=true)),
+        |good AS (
+        |  SELECT tag FROM st GROUP BY tag
+        |  HAVING count(*) = (SELECT count(*) FROM events)
+        |     AND count(DISTINCT (user_id, sip_bucket)) = count(DISTINCT user_id))
+        |SELECT sip_bucket, count(*) AS cnt, count(DISTINCT user_id) AS uids
+        |FROM st WHERE tag IN (SELECT tag FROM good)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q169_running_window" ->
       """WITH h AS (
         |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, expr}
 
 import graft.Tables
 import graft.functions.{ChCompat, Dictionaries}
@@ -143,6 +143,29 @@ object ChPack {
     // algorithms (rows-only in the gate); the bit-exactness evidence is
     // HashesSpec's published reference vectors, and this query pins the
     // end-to-end sharding shape (every bucket hit, totals preserved).
+    // VERDICT r9 #8: the hash-shard invariants promoted into the HASH gate.
+    // sipHash64 has no DuckDB implementation, so an oracle can never
+    // recompute the bucket — instead the shard ASSIGNMENT itself is staged
+    // as parquet at a path keyed by the SF dir, and both engines read the
+    // same bytes: Spark profiles its own stage; the oracle re-derives the
+    // identical per-bucket profile AND gates it behind two independently
+    // checked invariants (stage row count == raw events count; one bucket
+    // per uid). A violated invariant empties the oracle's result, failing
+    // the row-count compare — DuckDB is the verifier, not a mirror.
+    "q170_shard_parity" -> { (s, dir) =>
+      ChCompat.register(s)
+      val stage = s"/tmp/graft_q170_stage_${new java.io.File(dir).getName}"
+      Tables(s, dir).events.select(col("event_id"), col("user_id"))
+        .withColumn("sip_bucket", expr("pmod(sipHash64(user_id), 16)"))
+        .coalesce(4)
+        .write.mode("overwrite").parquet(stage)
+      s.read.parquet(stage).createOrReplaceTempView("graft_shard_stage")
+      s.sql(
+        """SELECT sip_bucket, count(*) AS cnt, count(DISTINCT user_id) AS uids
+          |FROM graft_shard_stage
+          |GROUP BY sip_bucket ORDER BY sip_bucket""".stripMargin)
+    },
+
     "q122_hash_shard" -> { (s, dir) =>
       ChCompat.register(s)
       Tables(s, dir).events.createOrReplaceTempView("graft_hs_events")

@@ -270,6 +270,8 @@ class PlanSpec extends SparkSpec {
     "q121_half_md5" -> 1,
     // q122: bucket group agg (with distinct-uid expand) + final sort
     "q122_hash_shard" -> 3,
+    // q170: same profile shape as q122 over the staged assignment
+    "q170_shard_parity" -> 3,
     // q123: exact anchor — feature-keyed tgt/raw count aggs + the
     // per-doc feature join + doc regroup + final sort (the deliberately
     // join-heavy shape; the hashed q124 path is the scale shape)

@@ -40,13 +40,19 @@ class ScaleSpec extends SparkSpec {
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       }
     }
+    // three decades of history growth (100x end to end): a super-linear
+    // term hiding under the job floor at one decade can't hide across two
     val (recsSmall, scanSmall) = probeStats(3000)
     val (recsBig, scanBig) = probeStats(30000)
-    assert(scanBig >= scanSmall * 5,
-      s"history axis did not scale: scanned $scanSmall -> $scanBig rows")
+    val (recsHuge, scanHuge) = probeStats(300000)
+    assert(scanBig >= scanSmall * 5 && scanHuge >= scanBig * 5,
+      s"history axis did not scale: scanned $scanSmall -> $scanBig -> $scanHuge rows")
     assert(recsBig <= (recsSmall * 1.2).toLong,
       s"probe exchange volume grew with history: $recsSmall -> $recsBig records " +
         s"(scan $scanSmall -> $scanBig rows) — the O(batch) property is broken")
+    assert(recsHuge <= (recsSmall * 1.2).toLong,
+      s"probe exchange volume grew across the second decade: $recsSmall -> " +
+        s"$recsHuge records (scan $scanSmall -> $scanHuge rows)")
     assert(recsSmall > 0, "expected the batch side to exchange under no-broadcast")
   }
 
