@@ -21,7 +21,7 @@ import scala.sys.process._
 class FuzzParitySpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.01"
-  private val seeds = 1 to 200
+  private val seeds = 1 to 260 // 1-200 single-table; 201-260 two-table joins
 
   private def duckdbAvailable: Boolean =
     try Seq("python3", "-c", "import duckdb, pandas").! == 0

@@ -39,10 +39,14 @@ object FuzzGen {
   /** `uniqueKey` is what scalar probes SELECT as the row id; `totalOrder`
     * (defaults to it) must totally order the table — lineitem's synthetic
     * (l_orderkey, l_linenumber) is NOT unique here, so it orders by every
-    * column (full rows are distinct).
+    * column (full rows are distinct). `name` is the whole FROM fragment,
+    * so a join pair is just a composite Tbl (TPC-H column names are
+    * prefix-unique, no qualification needed); `allowGroupArray` is off for
+    * joins (fan-out duplication makes the array contents a join-shape
+    * detail rather than an aggregate property).
     */
   final case class Tbl(name: String, uniqueKey: Seq[String], cols: Seq[Col],
-      totalOrderOverride: Seq[String] = Nil) {
+      totalOrderOverride: Seq[String] = Nil, allowGroupArray: Boolean = true) {
     def of(k: Kind): Seq[Col] = cols.filter(_.kind == k)
     def totalOrder: Seq[String] =
       if (totalOrderOverride.nonEmpty) totalOrderOverride else uniqueKey
@@ -96,14 +100,37 @@ object FuzzGen {
       Col("p_brand", StrK, strs = Seq("Brand#1", "Brand#2", "Brand#3", "Brand#4")),
       Col("p_type", StrK, strs = Seq("STANDARD", "SMALL", "MEDIUM", "LARGE", "ECONOMY")))))
 
+  /** Two-table join frames (seeds past 200): the FROM fragment is shared
+    * verbatim by both engines; only the aggregate spellings translate.
+    * `orders LEFT JOIN lineitem` null-extends 257 childless orders in this
+    * synthetic data — the null-edge the single-table draws can't produce.
+    */
+  val joins: Seq[Tbl] = {
+    def byName(n: String) = tables.find(_.name == n).get
+    val li = byName("lineitem"); val o = byName("orders")
+    val c = byName("customer"); val p = byName("part")
+    Seq(
+      Tbl("lineitem JOIN orders ON l_orderkey = o_orderkey",
+        Nil, li.cols ++ o.cols, allowGroupArray = false),
+      Tbl("orders LEFT JOIN lineitem ON o_orderkey = l_orderkey",
+        Nil, o.cols ++ li.cols, allowGroupArray = false),
+      Tbl("orders JOIN customer ON o_custkey = c_custkey",
+        Nil, o.cols ++ c.cols, allowGroupArray = false),
+      Tbl("lineitem JOIN part ON l_partkey = p_partkey",
+        Nil, li.cols ++ p.cols, allowGroupArray = false))
+  }
+
   def queries(seeds: Range): Seq[FuzzQuery] = seeds.map(queryFor)
 
   def queryFor(seed: Int): FuzzQuery = {
     val rnd = new Random(seed.toLong * 1000003L + 17L)
-    val t = tables(rnd.nextInt(tables.length))
     val name = f"fz$seed%03d"
-    if (rnd.nextDouble() < 0.25) scalarQuery(name, t, rnd)
-    else aggQuery(name, t, rnd)
+    if (seed > 200) aggQuery(name, joins(rnd.nextInt(joins.length)), rnd)
+    else {
+      val t = tables(rnd.nextInt(tables.length))
+      if (rnd.nextDouble() < 0.25) scalarQuery(name, t, rnd)
+      else aggQuery(name, t, rnd)
+    }
   }
 
   // ---- predicates (identical text on both sides) ----------------------
@@ -321,7 +348,7 @@ object FuzzGen {
     val aggs = (0 until nAggs).map(i => aggPair(t, rnd, s"agg$i"))
     // groupArray: sorted exact array equality, raw never-null int col only
     val withGa =
-      if (nKeys >= 1 && rnd.nextDouble() < 0.15 && t.of(IntK).nonEmpty) {
+      if (t.allowGroupArray && nKeys >= 1 && rnd.nextDouble() < 0.15 && t.of(IntK).nonEmpty) {
         val c = pick(rnd, t.of(IntK))
         aggs :+ ((s"arraySort(groupArray(${c.name})) AS garr",
                   s"list_sort(list(${c.name})) AS garr"))
