@@ -153,7 +153,8 @@ object FuzzGen {
         }
       case FloatK =>
         val v = c.lo + rnd.nextDouble() * (c.hi - c.lo)
-        s"${c.name} ${pick(rnd, Seq("<", "<=", ">", ">="))} ${"%.2f".format(v)}"
+        val lit = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+        s"${c.name} ${pick(rnd, Seq("<", "<=", ">", ">="))} $lit"
       case StrK =>
         rnd.nextInt(3) match {
           case 0 => s"${c.name} ${pick(rnd, Seq("=", "<>"))} '${pick(rnd, c.strs)}'"
