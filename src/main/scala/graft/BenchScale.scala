@@ -111,7 +111,7 @@ object BenchScale {
     // part count, not corpus size, and 8->128 parts already spans it.
     val x10 = args.contains("x10")
     def pts(xs: Seq[Long]): Seq[Long] =
-      if (x10) Seq(xs.max * 10) else xs.map(_ / div)
+      if (x10) Seq(xs.max * 10 / div) else xs.map(_ / div)
     // optional section filter: any of ingest/probe/cc/ivf/compact — run
     // only the named curves (default: all), e.g. `runMain graft.BenchScale cc`
     val sections = args.toSet.intersect(

@@ -107,21 +107,30 @@ object Dedup {
     // explode shingles, build signatures with the tight-loop aggregate —
     // the distributed formulation (shuffle keyed by doc id), and ~100×
     // faster than evaluating k hashes in interpreted lambdas per shingle
-    // persist: `sigs` feeds BOTH sides of the bucket self-join below, and the
-    // signature pipeline (tokenize + shingle + k-hash aggregate) dominates the
-    // job's cost — without this the whole subtree runs twice. Persist the
-    // COMPACT (id, sig) form, before the band explode: caching the exploded
-    // rows would store each signature `bands` times and pay columnar
-    // encode/decode on the multiplied width, costing more than the cheap
-    // re-derivation of band hashes per join side.
+    // persist: `sigs` feeds the band explode AND both verification joins
+    // below, and the signature pipeline (tokenize + shingle + k-hash
+    // aggregate) dominates the job's cost — without this the whole subtree
+    // runs three times. Persist the COMPACT (id, sig) form, before the band
+    // explode: caching the exploded rows would store each signature `bands`
+    // times and pay columnar encode/decode on the multiplied width.
     val sigs = minhashSignatures(df, textCol, idCol, numHashes, shingleSize)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val withBk = sigs.withColumn("bk", explode(lshBuckets(col("sig"), bands, rowsPerBand)))
-    val a = withBk.select(col("bk"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = withBk.select(col("bk"), col("id").as("id_b"), col("sig").as("sig_b"))
+    // SLIM band rows: the bucket self-join shuffles (bk, id) ONLY — the
+    // numHashes-long signature array must not ride the bands× explosion
+    // (it multiplies the self-join's shuffle by ~sig_bytes/16 per side; at
+    // 10M docs × 16 bands that is tens of GB vs single-digit). Signatures
+    // re-join by id AFTER candidate pairs are deduped, so the wide rows
+    // number O(pairs), not O(docs × bands), and hot-bucket quadratic
+    // candidates stay 24-byte rows.
+    val withBk = sigs.select(
+      col("id"), explode(lshBuckets(col("sig"), bands, rowsPerBand)).as("bk"))
+    val a = withBk.select(col("bk"), col("id").as("id_a"))
+    val b = withBk.select(col("bk"), col("id").as("id_b"))
     a.join(b, Seq("bk"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b"), numHashes))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))

@@ -158,8 +158,10 @@ object ChSql {
       var d = 0; var j = from; var s = false
       while (j < q.length) {
         val c = q.charAt(j)
-        if (s) { if (c == '\'') s = false }
-        else c match {
+        if (s) {
+          if (c == '\\') j += 1
+          else if (c == '\'') s = false
+        } else c match {
           case '\'' => s = true
           case '[' => d += 1
           case ']' => d -= 1; if (d == 0) return j
@@ -171,22 +173,29 @@ object ChSql {
     }
     def splitTop(body: String): Seq[String] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      var d = 0; var s = false; var start = 0
-      for (j <- 0 until body.length) body.charAt(j) match {
-        case '\'' if !s => s = true
-        case '\'' => s = false
-        case c if s =>
-        case '(' | '[' => d += 1
-        case ')' | ']' => d -= 1
-        case ',' if d == 0 => out += body.substring(start, j); start = j + 1
-        case _ =>
+      var d = 0; var s = false; var start = 0; var j = 0
+      while (j < body.length) {
+        body.charAt(j) match {
+          case '\\' if s => j += 1
+          case '\'' if !s => s = true
+          case '\'' => s = false
+          case c if s =>
+          case '(' | '[' => d += 1
+          case ')' | ']' => d -= 1
+          case ',' if d == 0 => out += body.substring(start, j); start = j + 1
+          case _ =>
+        }
+        j += 1
       }
       out += body.substring(start)
       out.toSeq
     }
     while (i < q.length) {
       val c = q.charAt(i)
-      if (inStr) { sb += c; if (c == '\'') inStr = false; i += 1 }
+      if (inStr) {
+        if (c == '\\' && i + 1 < q.length) { sb += c; sb += q.charAt(i + 1); i += 2 }
+        else { sb += c; if (c == '\'') inStr = false; i += 1 }
+      }
       else if (c == '\'') { inStr = true; sb += c; i += 1 }
       else if (c == '[' && {
         // a subscript `a[1]` has its identifier (or closing paren/bracket)
@@ -281,7 +290,10 @@ object ChSql {
     *    state-from-subquery idiom resolves), or from an inline
     *    `<base>State(args)` argument, which degenerates to the raw
     *    running aggregate `<base>(args)`. The optional second argument is
-    *    CH's "reset when this changes" grouping → PARTITION BY.
+    *    CH's "reset when this changes" grouping → PARTITION BY, accepted
+    *    only when the grouping leads the block's ORDER BY (else PARTITION
+    *    BY would merge non-contiguous runs that CH resets — rejected with
+    *    the fix named).
     *
     * Subqueries rewrite against their own block's ORDER BY, not the
     * outer one (CH computes the trio per block).
@@ -293,26 +305,39 @@ object ChSql {
   }
 
   /** `q` with string-literal contents blanked (same length, quotes kept)
-    * so keyword/identifier scans cannot match inside literals.
+    * so keyword/identifier scans cannot match inside literals. A
+    * backslash inside a literal escapes the next char (Spark's and CH's
+    * default string syntax), so `'don\'t'` does not terminate early;
+    * doubled `''` works naturally with the toggle (exit + re-enter).
     */
   private def maskStrings(q: String): String = {
     val sb = new StringBuilder(q)
     var inStr = false
-    for (i <- 0 until q.length) {
+    var i = 0
+    while (i < q.length) {
       val c = q.charAt(i)
-      if (c == '\'') inStr = !inStr
-      else if (inStr) sb.setCharAt(i, ' ')
+      if (inStr && c == '\\' && i + 1 < q.length) {
+        sb.setCharAt(i, ' '); sb.setCharAt(i + 1, ' '); i += 2
+      } else {
+        if (c == '\'') inStr = !inStr
+        else if (inStr) sb.setCharAt(i, ' ')
+        i += 1
+      }
     }
     sb.toString
   }
 
-  /** Index of the `)` matching the `(` at `open` (string-aware). */
+  /** Index of the `)` matching the `(` at `open` (string-aware,
+    * backslash-escape-aware).
+    */
   private def matchingParen(q: String, open: Int): Int = {
     var d = 0; var s = false; var j = open
     while (j < q.length) {
       val c = q.charAt(j)
-      if (s) { if (c == '\'') s = false }
-      else c match {
+      if (s) {
+        if (c == '\\') j += 1
+        else if (c == '\'') s = false
+      } else c match {
         case '\'' => s = true
         case '(' => d += 1
         case ')' => d -= 1; if (d == 0) return j
@@ -323,18 +348,22 @@ object ChSql {
     sys.error(s"runningWindow: unbalanced ( at $open")
   }
 
-  /** Split `body` on top-level commas (string- and paren-aware). */
+  /** Split `body` on top-level commas (string-, escape- and paren-aware). */
   private def splitTopArgs(body: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    var d = 0; var s = false; var start = 0
-    for (j <- 0 until body.length) body.charAt(j) match {
-      case '\'' if !s => s = true
-      case '\'' => s = false
-      case _ if s =>
-      case '(' | '[' => d += 1
-      case ')' | ']' => d -= 1
-      case ',' if d == 0 => out += body.substring(start, j); start = j + 1
-      case _ =>
+    var d = 0; var s = false; var start = 0; var j = 0
+    while (j < body.length) {
+      body.charAt(j) match {
+        case '\\' if s => j += 1
+        case '\'' if !s => s = true
+        case '\'' => s = false
+        case _ if s =>
+        case '(' | '[' => d += 1
+        case ')' | ']' => d -= 1
+        case ',' if d == 0 => out += body.substring(start, j); start = j + 1
+        case _ =>
+      }
+      j += 1
     }
     out += body.substring(start)
     out.toSeq
@@ -355,13 +384,18 @@ object ChSql {
 
   /** One query block: recurse into `(SELECT …)` / `(WITH …)` subqueries
     * first, then rewrite this block's trio calls against its own
-    * top-level ORDER BY keys.
+    * top-level ORDER BY keys. `inherited` carries the ENCLOSING block's
+    * keys when this "block" is really a trio call's argument expression
+    * (a nested `runningDifference(neighbor(x, 1))` orders by the same
+    * block-level ORDER BY as its parent); full subqueries recurse with
+    * `None` — CH computes the trio per block.
     */
-  private def rewriteRunningBlock(block: String, aliases: Map[String, String]): String = {
+  private def rewriteRunningBlock(block: String, aliases: Map[String, String],
+      inherited: Option[String] = None): String = {
     val masked = maskStrings(block)
     // this block's ORDER BY: depth-0 only (subqueries and OVER clauses
     // sit inside parens), keys end at the next depth-0 tail keyword
-    val orderKeys: Option[String] = {
+    val orderKeys: Option[String] = locally {
       var d = 0; var found = -1; var i = 0
       while (i < masked.length) {
         masked.charAt(i) match {
@@ -395,14 +429,17 @@ object ChSql {
         }
         Some(block.substring(afterKw, end).trim.stripSuffix(";").trim)
       }
-    }
+    }.orElse(inherited)
     val names = Seq("runningDifference", "runningAccumulate", "neighbor")
     val sb = new StringBuilder
     var i = 0
     var inStr = false
     while (i < block.length) {
       val c = block.charAt(i)
-      if (inStr) { sb += c; if (c == '\'') inStr = false; i += 1 }
+      if (inStr) {
+        if (c == '\\' && i + 1 < block.length) { sb += c; sb += block.charAt(i + 1); i += 2 }
+        else { sb += c; if (c == '\'') inStr = false; i += 1 }
+      }
       else if (c == '\'') { inStr = true; sb += c; i += 1 }
       else {
         val prevIdent = i > 0 && (block.charAt(i - 1).isLetterOrDigit || block.charAt(i - 1) == '_')
@@ -419,7 +456,7 @@ object ChSql {
             val open = block.indexOf('(', i + n.length)
             val close = matchingParen(block, open)
             val args = splitTopArgs(block.substring(open + 1, close))
-              .map(a => rewriteRunningBlock(a, aliases).trim)
+              .map(a => rewriteRunningBlock(a, aliases, orderKeys).trim)
             sb.append(rewriteRunningCall(n, args, orderKeys, aliases))
             i = close + 1
           case None =>
@@ -458,6 +495,22 @@ object ChSql {
         require(args.length == 1 || args.length == 2,
           s"runningAccumulate expects 1 or 2 arguments, got ${args.length}")
         val st = args.head
+        // CH's optional grouping resets the accumulation when the grouping
+        // VALUE CHANGES in block order. PARTITION BY is equivalent iff the
+        // ORDER BY clusters the grouping (it leads the key list); under any
+        // other ORDER BY the two silently diverge (PARTITION BY would merge
+        // non-contiguous runs), so demand the clustered form explicitly.
+        if (args.length == 2) {
+          val norm = (s: String) => s.toLowerCase.replaceAll("\\s+", "")
+            .stripPrefix("(").stripSuffix(")")
+          val firstKey = splitTopArgs(keys).head.trim
+            .replaceAll("(?i)\\s+(asc|desc)(\\s+nulls\\s+(first|last))?\\s*$", "")
+          require(norm(firstKey) == norm(args(1)), s"runningAccumulate(_, ${args(1)}): " +
+            "the grouping resets on every value CHANGE in row order, which matches " +
+            "PARTITION BY only when the ORDER BY clusters the grouping — make '" +
+            args(1) + "' the leading ORDER BY key of this block (current leading key: '" +
+            firstKey + "')")
+        }
         val part = if (args.length == 2) s"PARTITION BY (${args(1)}) " else ""
         val frame = s"OVER (${part}ORDER BY $keys ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
         val inline = """(?is)^(\w+?)(Simple)?State\s*\((.*)\)$""".r

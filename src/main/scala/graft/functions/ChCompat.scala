@@ -84,10 +84,11 @@ object ChCompat {
     // round-trip needs the session's ANALYZER; when register() itself runs
     // from inside analyzer construction (GraftExtensions injects it as a
     // resolution-rule builder), touching spark.catalog here would re-enter
-    // the builder and recurse without bound. The thread-local guard makes
-    // the nested call skip the catalog block — function registration (all
-    // registry-only, analyzer-free) still happens, analyzer construction
-    // completes, and the OUTER frame then creates system.one normally.
+    // the builder and recurse without bound. Registration.once's
+    // in-progress guard makes that nested call a no-op (rule objects need
+    // no functions at construction time), and this thread-local keeps the
+    // catalog block itself non-re-entrant as a second line of defense;
+    // the OUTER frame then creates system.one normally.
     if (!inCatalogSetup.get()) {
       inCatalogSetup.set(true)
       try {

@@ -12,17 +12,24 @@ import org.apache.spark.sql.SparkSession
   * single time per (session, key): repeats are a set lookup, re-binding
   * nothing and logging nothing.
   *
-  * The key is only marked done after the body COMPLETES, so a body that
-  * throws (or re-enters itself through the analyzer-construction path —
-  * see ChCompat's catalog guard) retries on the next call;
-  * `createOrReplaceTempFunction` is idempotent, so a duplicated partial
-  * run is harmless. Sessions are weakly keyed — a closed session's guard
-  * state is GC'd with it, and `newSession()` clones (fresh function
-  * registries) register afresh.
+  * The key is only marked done after the OUTERMOST body frame COMPLETES,
+  * so a body that throws retries on the next call. A body that re-enters
+  * itself on the same thread (the analyzer-construction path — see
+  * ChCompat's catalog guard) no-ops in the nested frame instead of
+  * re-running or, worse, marking the key done before the outer frame's
+  * remaining work has run (a nested-frame mark would make an outer-frame
+  * failure permanently unretried). `createOrReplaceTempFunction` is
+  * idempotent, so a duplicated partial run is harmless. Sessions are
+  * weakly keyed — a closed session's guard state is GC'd with it, and
+  * `newSession()` clones (fresh function registries) register afresh.
   */
 private[graft] object Registration {
   private val done =
     new java.util.WeakHashMap[SparkSession, java.util.Set[String]]
+
+  /** (identity, key) pairs whose body is running on THIS thread. */
+  private val inProgress =
+    ThreadLocal.withInitial[java.util.HashSet[String]](() => new java.util.HashSet[String]())
 
   /** The dialect intentionally rebinds some Spark builtin names (`median`,
     * `now`, `transform`, …) to their CH semantics, so the registry's
@@ -47,8 +54,13 @@ private[graft] object Registration {
         _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
     }
     if (!keys.contains(key)) {
-      body
-      keys.add(key): Unit
+      val tag = System.identityHashCode(spark).toString + "/" + key
+      val running = inProgress.get()
+      if (running.add(tag)) {
+        try { body; keys.add(key): Unit }
+        finally { running.remove(tag): Unit }
+      } // else: re-entered from inside our own body frame — the outer
+        // frame finishes (and marks done) after the nested caller returns
     }
   }
 }

@@ -17,8 +17,10 @@ object ChOraclesStats {
     // DuckDB is the VERIFIER here, not a mirror: sipHash64 is not
     // recomputable in DuckDB, so the oracle reads the SAME staged shard
     // assignment the Spark query wrote (path keyed by the SF dir name; the
-    // `good` CTE picks the stage matching THIS comparison's events count,
-    // so interleaved sf0.01/sf0.1 driver runs can't cross wires) and
+    // `good` CTE picks the stage matching THIS comparison's events row
+    // AND distinct-uid counts, so interleaved sf0.01/sf0.1 driver runs
+    // can't cross wires; stage write and oracle read are sequential in
+    // the driver, same-path CONCURRENT runs are out of contract) and
     // re-derives the identical per-bucket profile — gated behind the two
     // invariants checked over the same bytes: stage completeness (row
     // count == raw events) and disjointness (one bucket per uid). Breaking
@@ -31,6 +33,7 @@ object ChOraclesStats {
         |good AS (
         |  SELECT tag FROM st GROUP BY tag
         |  HAVING count(*) = (SELECT count(*) FROM events)
+        |     AND count(DISTINCT user_id) = (SELECT count(DISTINCT user_id) FROM events)
         |     AND count(DISTINCT (user_id, sip_bucket)) = count(DISTINCT user_id))
         |SELECT sip_bucket, count(*) AS cnt, count(DISTINCT user_id) AS uids
         |FROM st WHERE tag IN (SELECT tag FROM good)

@@ -455,6 +455,25 @@ class ChCompatSpec extends SparkSpec {
     // function names inside string literals are NOT calls
     val lit = "SELECT 'neighbor(v, 1)' AS s FROM t"
     assert(ChSql.runningWindow(lit) == lit)
+    // a backslash-escaped quote does NOT terminate the literal: the call
+    // after it still rewrites and the ORDER BY is still found
+    assert(norm(ChSql.runningWindow(
+      "SELECT 'don\\'t (' AS s, runningDifference(v) AS d FROM t ORDER BY k")) ==
+      "SELECT 'don\\'t (' AS s, ((v) - lagInFrame(v, 1, v) OVER (ORDER BY k)) " +
+        "AS d FROM t ORDER BY k")
+    // a trio call nested in another trio call's ARGUMENT inherits the
+    // block's ORDER BY (it is not its own block) — the rewrite must not
+    // reject a block that HAS an explicit ORDER BY; Spark's analyzer owns
+    // the nested-window legality question downstream
+    assert(norm(ChSql.runningWindow(
+      "SELECT runningDifference(neighbor(v, 1)) AS d FROM t ORDER BY k")).contains(
+      "leadInFrame(v, (1), defaultValueOfArgumentType(v)) OVER (ORDER BY k)"))
+    // grouped runningAccumulate demands the grouping LEAD the ORDER BY:
+    // CH resets on value change in row order, which PARTITION BY matches
+    // only when the order clusters the grouping
+    val eg = intercept[IllegalArgumentException](ChSql.runningWindow(
+      "SELECT runningAccumulate(sumState(v), g) AS r FROM t ORDER BY k, g"))
+    assert(eg.getMessage.contains("leading ORDER BY key"))
 
     // rejection: block-order dependence without an explicit ORDER BY
     for (bad <- Seq(

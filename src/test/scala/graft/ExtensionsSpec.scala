@@ -31,4 +31,25 @@ class ExtensionsSpec extends SparkSpec {
       SparkSession.setActiveSession(base)
     }
   }
+
+  test("Registration.once: re-entrant frames no-op; an outer-frame failure retries") {
+    var runs = 0
+    def body(): Unit = {
+      runs += 1
+      // same-thread re-entry (the analyzer-construction path): must neither
+      // re-run the body nor mark the key done before the outer frame ends
+      graft.functions.Registration.once(spark, "reentry-test")(body())
+      if (runs == 1) sys.error("outer frame fails after the nested call returned")
+    }
+    intercept[RuntimeException](
+      graft.functions.Registration.once(spark, "reentry-test")(body()))
+    assert(runs == 1) // nested frame did not re-run the body
+    // the failed outer frame must NOT have been marked done (not even by
+    // its nested frame) — the next call retries and succeeds
+    graft.functions.Registration.once(spark, "reentry-test")(body())
+    assert(runs == 2)
+    // now complete: further calls are a set lookup
+    graft.functions.Registration.once(spark, "reentry-test")(body())
+    assert(runs == 2)
+  }
 }
