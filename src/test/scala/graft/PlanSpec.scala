@@ -84,6 +84,29 @@ class PlanSpec extends SparkSpec {
       "a per-language Window would sort every scored doc through one task")
   }
 
+  test("q35: the LSH band self-join exchanges (bucket, id) only — no signature") {
+    // the k-long signature array must never ride the bands× explosion:
+    // it re-joins by id on the deduped pairs. A `sig` attribute inside a
+    // bucket-keyed exchange means the wide-row shape crept back (at 10M
+    // docs that is ~90 GB of self-join shuffle instead of ~6 GB).
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // disable broadcast: at test SF the band sides would broadcast and
+    // leave no bucket-keyed ShuffleExchange to inspect — production-size
+    // corpora take the sort-merge path this pin is about
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = Tables(spark, dir).documents
+      val plan = graft.dedup.Dedup.minhashNearDups(docs, "text", "doc_id", 32, 16, 0.5)
+        .queryExecution.executedPlan
+      val bucketExchanges = plan.collect {
+        case e: ShuffleExchangeExec if e.output.exists(_.name == "bk") => e }
+      assert(bucketExchanges.nonEmpty, "expected bucket-keyed band exchanges")
+      for (e <- bucketExchanges)
+        assert(!e.output.exists(_.name.startsWith("sig")),
+          s"banded exchange carries a signature column: ${e.output.map(_.name)}")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("Curation.chunk is shuffle-free (pure explode)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val docs = Tables(spark, dir).documents
