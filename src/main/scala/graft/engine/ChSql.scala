@@ -21,19 +21,66 @@ package graft.engine
   */
 object ChSql {
 
+  /** Rewrites `q` by matching `re` against the string-MASKED text (literal
+    * contents blanked, same length — see [[maskStrings]]) and assembling
+    * the output from ORIGINAL-text slices. Keyword regexes can therefore
+    * never match inside string literals, and literal bytes (including
+    * backslash-escaped quotes) pass through untouched. `repl` receives the
+    * masked match; use [[grp]] to read a group's ORIGINAL text.
+    */
+  private def replaceOnMasked(q: String,
+      re: scala.util.matching.Regex)(
+      repl: scala.util.matching.Regex.Match => String): String = {
+    val out = new StringBuilder
+    var last = 0
+    for (m <- re.findAllMatchIn(maskStrings(q))) {
+      out.append(q.substring(last, m.start))
+      out.append(repl(m))
+      last = m.end
+    }
+    out.append(q.substring(last)).toString
+  }
+
+  /** Group `g`'s ORIGINAL text for a match made on `q`'s masked twin
+    * (positions coincide — masking preserves length).
+    */
+  private def grp(q: String, m: scala.util.matching.Regex.Match, g: Int): String =
+    q.substring(m.start(g), m.end(g))
+
+  /** Applies `f` to each maximal run of non-literal text, passing string
+    * literals through verbatim — the in-place-rewrite twin of
+    * [[replaceOnMasked]] for shims whose regexes stay inside one code run.
+    */
+  private def mapCode(q: String)(f: String => String): String = {
+    val out = new StringBuilder
+    val code = new StringBuilder
+    var i = 0; var inStr = false
+    def flush(): Unit = { out.append(f(code.toString)); code.clear() }
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (!inStr) {
+        if (c == '\'') { flush(); inStr = true; out += c }
+        else code += c
+        i += 1
+      } else if (c == '\\' && i + 1 < q.length) {
+        out += c; out += q.charAt(i + 1); i += 2
+      } else { out += c; if (c == '\'') inStr = false; i += 1 }
+    }
+    flush()
+    out.toString
+  }
+
   /** PREWHERE → WHERE; `PREWHERE a ... WHERE b` → `WHERE (a) AND b`. */
   def prewhere(q: String): String = {
     val both = """(?is)\bprewhere\b(.*?)\bwhere\b""".r
-    both.findFirstIn(q) match {
-      case Some(_) => both.replaceAllIn(q, m =>
-        java.util.regex.Matcher.quoteReplacement(s"WHERE (${m.group(1).trim}) AND "))
-      case None => q.replaceAll("(?i)\\bprewhere\\b", "WHERE")
-    }
+    if (both.findFirstIn(maskStrings(q)).isDefined)
+      replaceOnMasked(q, both)(m => s"WHERE (${grp(q, m, 1).trim}) AND ")
+    else replaceOnMasked(q, """(?i)\bprewhere\b""".r)(_ => "WHERE")
   }
 
   /** Drop a trailing `FORMAT <name>` (with or without closing `;`). */
   def stripFormat(q: String): String =
-    q.replaceAll("(?is)\\bformat\\s+\\w+\\s*;?\\s*$", "")
+    replaceOnMasked(q, """(?is)\bformat\s+\w+\s*;?\s*$""".r)(_ => "")
 
   /** Drop a trailing `SETTINGS k = v[, ...]` clause — CH's per-query
     * engine knobs (max_threads, max_memory_usage, ...); Spark's execution
@@ -42,19 +89,19 @@ object ChSql {
     * CH grammar puts SETTINGS before FORMAT.
     */
   def stripSettings(q: String): String = {
-    // a value is a quoted literal (commas/semicolons inside are fine,
-    // '' escapes a quote) or a bare token
-    val v = "(?:'(?:[^']|'')*'|[^,;\\s]+)"
-    q.replaceAll(
-      s"(?is)\\bsettings\\s+\\w+\\s*=\\s*$v(\\s*,\\s*\\w+\\s*=\\s*$v)*" +
-        "(?=\\s*(format\\s+\\w+\\s*)?;?\\s*$)", "")
+    // a value is a quoted literal (commas/semicolons inside are fine —
+    // the match runs on MASKED text, where literal contents are blanks)
+    // or a bare token
+    val v = "(?:'[^']*'|[^,;\\s]+)"
+    replaceOnMasked(q,
+      (s"(?is)\\bsettings\\s+\\w+\\s*=\\s*$v(\\s*,\\s*\\w+\\s*=\\s*$v)*" +
+        "(?=\\s*(format\\s+\\w+\\s*)?;?\\s*$)").r)(_ => "")
   }
 
   /** `GROUP BY keys WITH TOTALS` → `GROUP BY GROUPING SETS ((keys), ())`. */
   def withTotals(q: String): String =
-    """(?is)\bgroup\s+by\s+(.*?)\s+with\s+totals\b""".r.replaceAllIn(q, m =>
-      java.util.regex.Matcher.quoteReplacement(
-        s"GROUP BY GROUPING SETS ((${m.group(1).trim}), ())"))
+    replaceOnMasked(q, """(?is)\bgroup\s+by\s+(.*?)\s+with\s+totals\b""".r)(m =>
+      s"GROUP BY GROUPING SETS ((${grp(q, m, 1).trim}), ())")
 
   /** `GROUP BY keys WITH ROLLUP` → `GROUP BY ROLLUP(keys)` (likewise
     * CUBE) — identical subtotal-row semantics in Spark and DuckDB
@@ -64,9 +111,8 @@ object ChSql {
     * `WITH ROLLUP` suffix into its key list.
     */
   def withRollupCube(q: String): String =
-    """(?is)\bgroup\s+by\s+(.*?)\s+with\s+(rollup|cube)\b""".r.replaceAllIn(q,
-      m => java.util.regex.Matcher.quoteReplacement(
-        s"GROUP BY ${m.group(2).toUpperCase}(${m.group(1).trim})"))
+    replaceOnMasked(q, """(?is)\bgroup\s+by\s+(.*?)\s+with\s+(rollup|cube)\b""".r)(
+      m => s"GROUP BY ${m.group(2).toUpperCase}(${grp(q, m, 1).trim})")
 
   /** Drop CH's `GLOBAL` distribution keyword (GLOBAL [ANY|…] JOIN /
     * GLOBAL [NOT] IN): on CH it forces shipping the right side to every
@@ -75,7 +121,9 @@ object ChSql {
     * identical.
     */
   def stripGlobal(q: String): String =
-    q.replaceAll("(?i)\\bglobal\\s+(?=((any|all|left|right|inner|full|cross|semi|anti|asof)\\s+)*join\\b|(not\\s+)?in\\s*\\()", "")
+    replaceOnMasked(q,
+      "(?i)\\bglobal\\s+(?=((any|all|left|right|inner|full|cross|semi|anti|asof)\\s+)*join\\b|(not\\s+)?in\\s*\\()".r)(
+      _ => "")
 
   /** CH scalar WITH aliases: `WITH <expr> AS <name>, ... SELECT` binds
     * expression-first names (the reverse of a SQL CTE's `name AS
@@ -98,7 +146,10 @@ object ChSql {
     def isIdentChar(c: Char) = c.isLetterOrDigit || c == '_'
     while (i < q.length && bodyStart < 0) {
       val c = q.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false }
+      if (inStr) {
+        if (c == '\\') i += 1
+        else if (c == '\'') inStr = false
+      }
       else c match {
         case '\'' => inStr = true
         case '(' => depth += 1
@@ -132,12 +183,8 @@ object ChSql {
     // resolve the reference inside b's expansion
     for ((name, expr) <- binds.reverse) {
       val pat = ("(?i)\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
-      val parts = body.split("'", -1)
-      body = parts.zipWithIndex.map { case (p, j) =>
-        if (j % 2 == 0)
-          pat.replaceAllIn(p, java.util.regex.Matcher.quoteReplacement(s"($expr)"))
-        else p
-      }.mkString("'")
+      body = mapCode(body)(p =>
+        pat.replaceAllIn(p, java.util.regex.Matcher.quoteReplacement(s"($expr)")))
     }
     body
   }
@@ -225,11 +272,7 @@ object ChSql {
     * identifier prefix and stays.
     */
   def tupleIndex(q: String): String =
-    q.split("'", -1).zipWithIndex.map { case (seg, j) =>
-      if (j % 2 == 0)
-        seg.replaceAll("\\b([A-Za-z_]\\w*)\\.(\\d+)", "$1.col$2")
-      else seg
-    }.mkString("'")
+    mapCode(q)(_.replaceAll("\\b([A-Za-z_]\\w*)\\.(\\d+)", "$1.col$2"))
 
   /** CH `dateDiff('unit', a, b)` (quoted unit, boundary-crossing
     * semantics): Spark's PARSER grabs 3-arg datediff before function
@@ -238,17 +281,11 @@ object ChSql {
     * registered `chDateDiff` instead. The unquoted Spark form passes
     * through untouched.
     */
-  def dateDiff(q: String): String = {
-    // the trailing quote of the match belongs to the unit literal — keep
-    // the rewrite OUTSIDE string literals by only touching even segments
-    // (same masking trick as tupleIndex), re-attaching the quote
-    q.split("'", -1).zipWithIndex.map { case (seg, j) =>
-      // a code segment ending in `dateDiff(` means the next quote opens
-      // the unit literal — exactly the CH quoted-unit form
-      if (j % 2 == 0) seg.replaceAll("(?i)\\bdateDiff\\s*\\(\\s*$", "chDateDiff(")
-      else seg
-    }.mkString("'")
-  }
+  def dateDiff(q: String): String =
+    // a code run ending in `dateDiff(` means the next quote opens the
+    // unit literal — exactly the CH quoted-unit form (mapCode flushes
+    // code runs at each literal boundary)
+    mapCode(q)(_.replaceAll("(?i)\\bdateDiff\\s*\\(\\s*$", "chDateDiff("))
 
   /** CH `xxHash64(...)` (seed 0 over bytes): the name case-insensitively
     * collides with Spark's built-in seed-42 `xxhash64` — and in Spark 4
@@ -261,10 +298,7 @@ object ChSql {
     * other casing) passes through to the built-in untouched.
     */
   def xxHash(q: String): String =
-    q.split("'", -1).zipWithIndex.map { case (seg, j) =>
-      if (j % 2 == 0) seg.replaceAll("\\bxxHash64\\s*\\(", "chXxHash64(")
-      else seg
-    }.mkString("'")
+    mapCode(q)(_.replaceAll("\\bxxHash64\\s*\\(", "chXxHash64("))
 
   /** CH's deprecated block-order trio — `runningDifference(x)`,
     * `runningAccumulate(state[, grouping])`, `neighbor(x, off[, def])` —
@@ -384,14 +418,9 @@ object ChSql {
 
   /** One query block: recurse into `(SELECT …)` / `(WITH …)` subqueries
     * first, then rewrite this block's trio calls against its own
-    * top-level ORDER BY keys. `inherited` carries the ENCLOSING block's
-    * keys when this "block" is really a trio call's argument expression
-    * (a nested `runningDifference(neighbor(x, 1))` orders by the same
-    * block-level ORDER BY as its parent); full subqueries recurse with
-    * `None` — CH computes the trio per block.
+    * top-level ORDER BY keys.
     */
-  private def rewriteRunningBlock(block: String, aliases: Map[String, String],
-      inherited: Option[String] = None): String = {
+  private def rewriteRunningBlock(block: String, aliases: Map[String, String]): String = {
     val masked = maskStrings(block)
     // this block's ORDER BY: depth-0 only (subqueries and OVER clauses
     // sit inside parens), keys end at the next depth-0 tail keyword
@@ -429,7 +458,7 @@ object ChSql {
         }
         Some(block.substring(afterKw, end).trim.stripSuffix(";").trim)
       }
-    }.orElse(inherited)
+    }
     val names = Seq("runningDifference", "runningAccumulate", "neighbor")
     val sb = new StringBuilder
     var i = 0
@@ -455,8 +484,25 @@ object ChSql {
           case Some(n) =>
             val open = block.indexOf('(', i + n.length)
             val close = matchingParen(block, open)
-            val args = splitTopArgs(block.substring(open + 1, close))
-              .map(a => rewriteRunningBlock(a, aliases, orderKeys).trim)
+            // rewrite trio calls INSIDE the argument text: legal when they
+            // sit in a scalar subquery (their own block), but a trio call
+            // at the argument's top level would become a window inside
+            // this call's window — the engine rejects that shape, so say
+            // so here with the workaround instead of surfacing Spark's
+            // opaque nested-window AnalysisException later
+            val args = splitTopArgs(block.substring(open + 1, close)).map { a =>
+              try rewriteRunningBlock(a, aliases).trim
+              catch {
+                case e: IllegalArgumentException
+                    if orderKeys.isDefined && e.getMessage != null &&
+                      e.getMessage.contains("ORDER BY") =>
+                  throw new IllegalArgumentException(
+                    s"$n(...): a runningDifference/runningAccumulate/neighbor call " +
+                      "inside another's argument cannot share its window — compute " +
+                      "the inner call in a subquery with its own ORDER BY (one " +
+                      "block per window), then apply the outer call to that column")
+              }
+            }
             sb.append(rewriteRunningCall(n, args, orderKeys, aliases))
             i = close + 1
           case None =>
@@ -501,10 +547,18 @@ object ChSql {
         // other ORDER BY the two silently diverge (PARTITION BY would merge
         // non-contiguous runs), so demand the clustered form explicitly.
         if (args.length == 2) {
-          val norm = (s: String) => s.toLowerCase.replaceAll("\\s+", "")
-            .stripPrefix("(").stripSuffix(")")
+          // strip only MATCHED outer parens (an unconditional strip would
+          // mangle `toDate(ts)` asymmetrically against `(toDate(ts))`)
+          def stripOuter(s0: String): String = {
+            var s = s0.trim
+            while (s.startsWith("(") && s.endsWith(")") &&
+                matchingParen(s, 0) == s.length - 1)
+              s = s.substring(1, s.length - 1).trim
+            s
+          }
+          val norm = (s: String) => stripOuter(s).toLowerCase.replaceAll("\\s+", "")
           val firstKey = splitTopArgs(keys).head.trim
-            .replaceAll("(?i)\\s+(asc|desc)(\\s+nulls\\s+(first|last))?\\s*$", "")
+            .replaceAll("(?i)(\\s+(asc|desc))?(\\s+nulls\\s+(first|last))?\\s*$", "")
           require(norm(firstKey) == norm(args(1)), s"runningAccumulate(_, ${args(1)}): " +
             "the grouping resets on every value CHANGE in row order, which matches " +
             "PARTITION BY only when the ORDER BY clusters the grouping — make '" +

@@ -27,9 +27,14 @@ private[graft] object Registration {
   private val done =
     new java.util.WeakHashMap[SparkSession, java.util.Set[String]]
 
-  /** (identity, key) pairs whose body is running on THIS thread. */
+  /** (session, key) pairs whose body is running on THIS thread.
+    * SparkSession does not override equals, so tuple equality is reference
+    * equality on the session — collision-proof, unlike an identity-hash
+    * tag.
+    */
   private val inProgress =
-    ThreadLocal.withInitial[java.util.HashSet[String]](() => new java.util.HashSet[String]())
+    ThreadLocal.withInitial[scala.collection.mutable.Set[(SparkSession, String)]](
+      () => scala.collection.mutable.Set.empty[(SparkSession, String)])
 
   /** The dialect intentionally rebinds some Spark builtin names (`median`,
     * `now`, `transform`, …) to their CH semantics, so the registry's
@@ -54,7 +59,7 @@ private[graft] object Registration {
         _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
     }
     if (!keys.contains(key)) {
-      val tag = System.identityHashCode(spark).toString + "/" + key
+      val tag = (spark, key)
       val running = inProgress.get()
       if (running.add(tag)) {
         try { body; keys.add(key): Unit }

@@ -373,6 +373,21 @@ class ChCompatSpec extends SparkSpec {
     assert(ChSql.tupleIndex("SELECT a.1, a.23 FROM t WHERE x = 1.5") ==
       "SELECT a.col1, a.col23 FROM t WHERE x = 1.5")
     assert(ChSql.tupleIndex("SELECT 'a.1' FROM t") == "SELECT 'a.1' FROM t")
+    // a backslash-escaped quote must not flip the code/literal parity:
+    // text after 'don\'t v1.1' is code (p.1 rewrites, xxHash64 rewrites),
+    // text inside it is data (v1.1 stays)
+    assert(ChSql.tupleIndex("SELECT 'don\\'t v1.1' AS s, p.1 FROM t") ==
+      "SELECT 'don\\'t v1.1' AS s, p.col1 FROM t")
+    assert(ChSql.xxHash("SELECT 'esc\\' xxHash64(' AS s, xxHash64(k) FROM t") ==
+      "SELECT 'esc\\' xxHash64(' AS s, chXxHash64(k) FROM t")
+    // keyword shims match on the masked text: a literal containing
+    // 'where'/'with totals' is data, and group slices keep literal bytes
+    assert(norm(ChSql.prewhere("SELECT 'where' AS w FROM t PREWHERE a > 0")) ==
+      "SELECT 'where' AS w FROM t WHERE a > 0")
+    assert(norm(ChSql.withTotals(
+      "SELECT a, max('with totals') AS s, count(*) FROM t GROUP BY a WITH TOTALS")) ==
+      "SELECT a, max('with totals') AS s, count(*) FROM t " +
+        "GROUP BY GROUPING SETS ((a), ())")
     assert(norm(ChSql.withTotals("SELECT a, count(*) FROM t GROUP BY a WITH TOTALS")) ==
       "SELECT a, count(*) FROM t GROUP BY GROUPING SETS ((a), ())")
     // WITH ROLLUP / WITH CUBE lower onto Spark's own hierarchies; composed
@@ -461,13 +476,19 @@ class ChCompatSpec extends SparkSpec {
       "SELECT 'don\\'t (' AS s, runningDifference(v) AS d FROM t ORDER BY k")) ==
       "SELECT 'don\\'t (' AS s, ((v) - lagInFrame(v, 1, v) OVER (ORDER BY k)) " +
         "AS d FROM t ORDER BY k")
-    // a trio call nested in another trio call's ARGUMENT inherits the
-    // block's ORDER BY (it is not its own block) — the rewrite must not
-    // reject a block that HAS an explicit ORDER BY; Spark's analyzer owns
-    // the nested-window legality question downstream
-    assert(norm(ChSql.runningWindow(
-      "SELECT runningDifference(neighbor(v, 1)) AS d FROM t ORDER BY k")).contains(
-      "leadInFrame(v, (1), defaultValueOfArgumentType(v)) OVER (ORDER BY k)"))
+    // a trio call nested in another trio call's ARGUMENT would become a
+    // window inside a window — rejected at rewrite time with the subquery
+    // workaround named (not Spark's opaque nested-window AnalysisException)
+    val en = intercept[IllegalArgumentException](ChSql.runningWindow(
+      "SELECT runningDifference(neighbor(v, 1)) AS d FROM t ORDER BY k"))
+    assert(en.getMessage.contains("subquery"))
+    // ...but a trio call inside a SCALAR-SUBQUERY argument is its own
+    // block: it rewrites against the SUBQUERY's ORDER BY, the outer call
+    // against the outer block's — no rejection
+    val sub = norm(ChSql.runningWindow(
+      "SELECT neighbor((SELECT runningDifference(v) AS d FROM t2 ORDER BY v LIMIT 1), 1) AS n " +
+        "FROM u ORDER BY k"))
+    assert(sub.contains("OVER (ORDER BY v)") && sub.contains("OVER (ORDER BY k)"))
     // grouped runningAccumulate demands the grouping LEAD the ORDER BY:
     // CH resets on value change in row order, which PARTITION BY matches
     // only when the order clusters the grouping
