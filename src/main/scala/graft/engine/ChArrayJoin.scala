@@ -133,10 +133,15 @@ object ChArrayJoin {
     val (tableName, alias) = (m.group(1), Option(m.group(2)))
     val isLeft = m.group(3) != null
     // consume the balanced operand expression
-    var i = m.end; var depth = 0; var inStr = false
+    var i = m.end; var depth = 0; var inStr = false; var esc = false
     while (i < query.length && {
       val c = query.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false; true }
+      if (inStr) {
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '\'') inStr = false
+        true
+      }
       else c match {
         case '\'' => inStr = true; true
         case '(' | '[' => depth += 1; true

@@ -160,8 +160,8 @@ object ChDdl {
       while (i < line.length) {
         val c = line.charAt(i)
         if (inStr) {
-          cur += c
-          if (c == '\'') inStr = false
+          if (c == '\\' && i + 1 < line.length) { cur += c; cur += line.charAt(i + 1); i += 1 }
+          else { cur += c; if (c == '\'') inStr = false }
         } else c match {
           case '\'' => inStr = true; cur += c
           case '(' => depth += 1; cur += c
@@ -219,7 +219,10 @@ object ChDdl {
     var i = open
     while (i < s.length) {
       val c = s.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false }
+      if (inStr) {
+        if (c == '\\') i += 1
+        else if (c == '\'') inStr = false
+      }
       else c match {
         case '\'' => inStr = true
         case '(' => depth += 1
@@ -239,8 +242,14 @@ object ChDdl {
     val cur = new StringBuilder
     var depth = 0
     var inStr = false
+    var esc = false
     for (c <- s) {
-      if (inStr) { cur += c; if (c == '\'') inStr = false }
+      if (inStr) {
+        cur += c
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '\'') inStr = false
+      }
       else c match {
         case '\'' => inStr = true; cur += c
         case '(' => depth += 1; cur += c

@@ -35,10 +35,7 @@ private[engine] object ChJoinSyntax {
   def stripQualifiers(sql: String, quals: Seq[String]): String = {
     val pat = ("(?i)(?<![\\w.])(?:" +
       quals.map(Pattern.quote).mkString("|") + ")\\.").r
-    // protect string literals: replace only in even-indexed splits
-    val parts = sql.split("'", -1)
-    parts.zipWithIndex.map { case (p, i) =>
-      if (i % 2 == 0) pat.replaceAllIn(p, "") else p
-    }.mkString("'")
+    // literals protected by the shared escape-aware lexer
+    ChSql.mapCode(sql)(pat.replaceAllIn(_, ""))
   }
 }

@@ -39,10 +39,14 @@ object ChLimitBy {
   /** Top-level (depth-0, outside string literals) spans of `q`. */
   private[engine] def topLevel(q: String): Array[Boolean] = {
     val ok = new Array[Boolean](q.length)
-    var depth = 0; var inStr = false; var i = 0
+    var depth = 0; var inStr = false; var esc = false; var i = 0
     while (i < q.length) {
       val c = q.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false }
+      if (inStr) {
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '\'') inStr = false
+      }
       else c match {
         case '\'' => inStr = true
         case '(' => depth += 1

@@ -61,10 +61,15 @@ object ChDistinctOn {
     // quoted '(' must not bump the depth)
     var depth = 1
     var inStr = false
+    var esc = false
     var i = m.end
     while (i < query.length && depth > 0) {
       val c = query.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false }
+      if (inStr) {
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '\'') inStr = false
+      }
       else if (c == '\'') inStr = true
       else if (c == '(') depth += 1
       else if (c == ')') depth -= 1

@@ -369,27 +369,20 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     * (it merges on read); it does NOT force a compact().
     */
   private def applyFinal(q: String): String = {
-    // string-literal mask, like every scanner in this file: a quoted
-    // '... from t final ...' must not trigger the rewrite
-    val inStr = new Array[Boolean](q.length)
-    var quoted = false
-    for (i <- 0 until q.length) {
-      if (q.charAt(i) == '\'') quoted = !quoted
-      inStr(i) = quoted
-    }
+    // matches run on the string-masked text (ChSql's shared escape-aware
+    // lexer): a quoted '... from t final ...' can never trigger the
+    // rewrite, and the matched keyword/name text is outside literals so
+    // reading it from the masked match is exact
     val re = """(?i)\b(from|join)\s+([A-Za-z_][\w.]*)\s+final\b""".r
-    re.replaceAllIn(q, m => {
-      if (inStr(m.start)) java.util.regex.Matcher.quoteReplacement(m.matched)
-      else {
-        val name = m.group(2)
-        val st = stateTables.getOrElse(resolve(name), sys.error(
-          s"$name FINAL: FINAL needs an AggregatingMergeTree-backed table " +
-            s"(known: ${stateTables.keys.mkString(", ")})"))
-        val view = "graft_final_" + resolve(name).replaceAll("[^A-Za-z0-9_]", "_")
-        st.merged().createOrReplaceTempView(view)
-        java.util.regex.Matcher.quoteReplacement(s"${m.group(1)} $view")
-      }
-    })
+    ChSql.replaceOnMasked(q, re) { m =>
+      val name = m.group(2)
+      val st = stateTables.getOrElse(resolve(name), sys.error(
+        s"$name FINAL: FINAL needs an AggregatingMergeTree-backed table " +
+          s"(known: ${stateTables.keys.mkString(", ")})"))
+      val view = "graft_final_" + resolve(name).replaceAll("[^A-Za-z0-9_]", "_")
+      st.merged().createOrReplaceTempView(view)
+      s"${m.group(1)} $view"
+    }
   }
 
   /** CH alias-preference GROUP BY shim, applied PER SELECT BLOCK: each
@@ -405,7 +398,10 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     var inStr = false
     while (i < q.length) {
       val c = q.charAt(i)
-      if (inStr) { sb += c; if (c == '\'') inStr = false; i += 1 }
+      if (inStr) {
+        if (c == '\\' && i + 1 < q.length) { sb += c; sb += q.charAt(i + 1); i += 2 }
+        else { sb += c; if (c == '\'') inStr = false; i += 1 }
+      }
       else if (c == '\'') { inStr = true; sb += c; i += 1 }
       else if (c == '(' && {
         var j = i + 1
@@ -437,7 +433,10 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     var i = selM.end
     while (i < q.length && fromIdx < 0) {
       val c = q.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false }
+      if (inStr) {
+        if (c == '\\') i += 1
+        else if (c == '\'') inStr = false
+      }
       else c match {
         case '\'' => inStr = true
         case '(' => depth += 1
@@ -456,8 +455,14 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
       val cur = new StringBuilder
       var d = 0
       var s = false
+      var esc = false
       for (c <- q.substring(selM.end, fromIdx)) {
-        if (s) { cur += c; if (c == '\'') s = false }
+        if (s) {
+          cur += c
+          if (esc) esc = false
+          else if (c == '\\') esc = true
+          else if (c == '\'') s = false
+        }
         else c match {
           case '\'' => s = true; cur += c
           case '(' => d += 1; cur += c

@@ -28,7 +28,7 @@ object ChSql {
     * backslash-escaped quotes) pass through untouched. `repl` receives the
     * masked match; use [[grp]] to read a group's ORIGINAL text.
     */
-  private def replaceOnMasked(q: String,
+  private[engine] def replaceOnMasked(q: String,
       re: scala.util.matching.Regex)(
       repl: scala.util.matching.Regex.Match => String): String = {
     val out = new StringBuilder
@@ -44,14 +44,14 @@ object ChSql {
   /** Group `g`'s ORIGINAL text for a match made on `q`'s masked twin
     * (positions coincide — masking preserves length).
     */
-  private def grp(q: String, m: scala.util.matching.Regex.Match, g: Int): String =
+  private[engine] def grp(q: String, m: scala.util.matching.Regex.Match, g: Int): String =
     q.substring(m.start(g), m.end(g))
 
   /** Applies `f` to each maximal run of non-literal text, passing string
     * literals through verbatim — the in-place-rewrite twin of
     * [[replaceOnMasked]] for shims whose regexes stay inside one code run.
     */
-  private def mapCode(q: String)(f: String => String): String = {
+  private[engine] def mapCode(q: String)(f: String => String): String = {
     val out = new StringBuilder
     val code = new StringBuilder
     var i = 0; var inStr = false
@@ -344,7 +344,7 @@ object ChSql {
     * default string syntax), so `'don\'t'` does not terminate early;
     * doubled `''` works naturally with the toggle (exit + re-enter).
     */
-  private def maskStrings(q: String): String = {
+  private[engine] def maskStrings(q: String): String = {
     val sb = new StringBuilder(q)
     var inStr = false
     var i = 0
@@ -364,7 +364,7 @@ object ChSql {
   /** Index of the `)` matching the `(` at `open` (string-aware,
     * backslash-escape-aware).
     */
-  private def matchingParen(q: String, open: Int): Int = {
+  private[engine] def matchingParen(q: String, open: Int): Int = {
     var d = 0; var s = false; var j = open
     while (j < q.length) {
       val c = q.charAt(j)
@@ -383,7 +383,7 @@ object ChSql {
   }
 
   /** Split `body` on top-level commas (string-, escape- and paren-aware). */
-  private def splitTopArgs(body: String): Seq[String] = {
+  private[engine] def splitTopArgs(body: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var d = 0; var s = false; var start = 0; var j = 0
     while (j < body.length) {
