@@ -10,23 +10,32 @@ import org.apache.spark.storage.StorageLevel
   * corpus (the reference's incremental-MV idea applied to dedup; cf.
   * graft.mv.StateTable for the aggregation twin).
   *
-  * Layout: ONE bucketed external table under `path/data`, registered in
-  * the session catalog (name derived from the path, so reopening binds to
-  * the same table), rows `(band INT, bucket LONG, id LONG, sig
-  * ARRAY<LONG>)`, CLUSTERED BY (bucket) — and every history join keys on
-  * `bucket` ALONE, so HashPartitioning(bucket) satisfies them all without
-  * subset-co-partitioning games. Bucket values are band-seeded xxhash64
-  * (LshBucketsExpr hashes (band, band rows)), so band can be dropped from
-  * the LSH join keys: cross-band equal buckets need an xxhash64 collision,
-  * and any such pair still faces est_jaccard verification downstream.
-  * Row kinds:
-  *  - band 0..bands-1 — one row per (doc × band), the LSH probe surface;
-  *  - band -1, bucket = id, sig null — one membership row per indexed
-  *    doc, the replay/dup check's target. Folding membership into the
-  *    same bucket layout means every history-side join is on the bucket
-  *    column, and each append is a single write. SORTED BY (band, bucket)
-  *    clusters the membership rows into dedicated row groups, so the
-  *    band = -1 scan prunes via parquet stats.
+  * Layout (v2, slim): ONE bucketed external table under `path/data`,
+  * registered in the session catalog (name derived from the path, so
+  * reopening binds to the same table), rows `(band INT, bucket LONG, id
+  * LONG, sig ARRAY<LONG>)`, CLUSTERED BY (bucket) — and every history
+  * join keys on `bucket` ALONE, so HashPartitioning(bucket) satisfies
+  * them all without subset-co-partitioning games. Bucket values are
+  * band-seeded xxhash64 (LshBucketsExpr hashes (band, band rows)), so
+  * band can be dropped from the LSH join keys: cross-band equal buckets
+  * need an xxhash64 collision, and any such pair still faces est_jaccard
+  * verification downstream. Row kinds:
+  *  - band 0..bands-1, sig NULL — one row per (doc × band), the LSH
+  *    probe surface. The signature is NOT stored here: duplicating a
+  *    numHashes-long array across `bands` rows multiplied both the
+  *    stored bytes and every probe's scan IO by ~bands (the same
+  *    wide-band anti-pattern Dedup.minhashNearDups fixed in round 10);
+  *  - band -1, bucket = id — one membership row per indexed doc,
+  *    carrying THE stored copy of the doc's signature (null for docs too
+  *    short to signature), the replay/dup check's target and the
+  *    verification sig source (bucket = id, so candidate verification
+  *    joins stream it bucket-aligned like every other history join).
+  *    Folding membership into the same bucket layout means every
+  *    history-side join is on the bucket column, and each append is a
+  *    single write. SORTED BY (band, bucket) clusters the membership
+  *    rows into dedicated row groups, so band = -1 scans prune via
+  *    parquet stats — and the sig COLUMN bytes sit only in those row
+  *    groups.
   *
   * All hashes are seeded xxhash64 (deterministic across runs/executors),
   * so signatures computed in different batches are directly comparable;
@@ -36,15 +45,20 @@ import org.apache.spark.storage.StorageLevel
   *
   * Scale shape: `append` is one shuffle (signature aggregate keyed by doc
   * id) + one append-only bucketed write; every history-side relation in
-  * `probe`/`dedupAndAppend` is on the STREAMED side of its join — under
-  * AQE a normal-sized batch broadcasts and history is a single
-  * exchange-free, sort-free scan; a backfill-sized batch degrades to a
-  * sort-merge join whose history side is still exchange-free (bucketing
-  * satisfies the join's distribution; the in-bucket sort is spillable).
-  * Per-batch exchange volume is O(batch), never O(|history|) — the round-4
-  * formulation distinct-ed EVERY indexed id through an exchange per batch.
-  * No operation rewrites history; compaction is a plain rewrite of the
-  * bucketed table if small appended files accumulate.
+  * `probe`/`dedupAndAppend` is on the STREAMED side of its join — the
+  * sig-free band join AND the membership-sig verification join both key
+  * on the table's bucket column. Under AQE a normal-sized batch
+  * broadcasts and history is exchange-free, sort-free scans; a
+  * backfill-sized batch degrades to sort-merge joins whose history sides
+  * are still exchange-free (bucketing satisfies the joins' distribution;
+  * the in-bucket sorts are spillable). Per-batch exchange volume is
+  * O(batch + candidate pairs), never O(|history|) — the round-4
+  * formulation distinct-ed EVERY indexed id through an exchange per
+  * batch. Probe scan IO is slim too: band-row scans read no signature
+  * bytes (sig lives once per doc, in the membership row groups), so a
+  * probe reads ~numHashes×8 sig bytes per indexed doc instead of
+  * bands× that. No operation rewrites history; compaction is a plain
+  * rewrite of the bucketed table if small appended files accumulate.
   */
 final class NearDupIndex(
     spark: SparkSession,
@@ -68,8 +82,11 @@ final class NearDupIndex(
       .digest(path.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
 
   private def checkOrStampMeta(): Unit = {
+    // "layout":2 = slim band rows (sig stored once, on the membership
+    // row) — a v1 index (sig duplicated per band row) fails fast here
+    // rather than silently probing against null history signatures
     val expect = s"""{"numHashes":$numHashes,"bands":$bands,""" +
-      s""""shingleSize":$shingleSize,"dataBuckets":$dataBuckets}"""
+      s""""shingleSize":$shingleSize,"dataBuckets":$dataBuckets,"layout":2}"""
     if (fs.exists(metaPath)) {
       val in = fs.open(metaPath)
       val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
@@ -120,10 +137,20 @@ final class NearDupIndex(
       .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"),
         col("id"), col("sig"))
 
-  /** Membership rows for a set of doc ids: band -1, bucket = id. */
-  private def membershipRows(ids: DataFrame): DataFrame =
-    ids.select(lit(-1).as("band"), col("id").as("bucket"),
-      col("id"), lit(null).cast("array<bigint>").as("sig"))
+  /** Band rows with the signature column nulled — the slim stored form
+    * (the in-memory banded batch keeps its sigs for self-joins and
+    * verification; only storage sheds them).
+    */
+  private def stripSig(bandRows: DataFrame): DataFrame =
+    bandRows.select(col("band"), col("bucket"), col("id"),
+      lit(null).cast("array<bigint>").as("sig"))
+
+  /** Membership rows for (id, sig) pairs: band -1, bucket = id, carrying
+    * the stored signature (null for sigless docs).
+    */
+  private def membershipRows(idSigs: DataFrame): DataFrame =
+    idSigs.select(lit(-1).as("band"), col("id").as("bucket"),
+      col("id"), col("sig"))
 
   /** Append a batch of documents to the index (signatures computed for the
     * batch only). Append-only — no read or rewrite of existing parts. A
@@ -133,8 +160,14 @@ final class NearDupIndex(
     */
   def append(docs: DataFrame, textCol: String, idCol: String): Unit = {
     checkOrStampMeta()
-    writeData(banded(docs, textCol, idCol)
-      .unionByName(membershipRows(docs.select(col(idCol).as("id")).dropDuplicates("id"))))
+    // persist: the banded batch feeds the band-row branch AND the
+    // membership branch's sig lookup — the signature pipeline must run once
+    val b = banded(docs, textCol, idCol).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val idSigs = docs.select(col(idCol).as("id")).dropDuplicates("id")
+        .join(b.select("id", "sig").dropDuplicates("id"), Seq("id"), "left")
+      writeData(stripSig(b).unionByName(membershipRows(idSigs)))
+    } finally { b.unpersist(); () }
   }
 
   /** The persisted banded rows (empty DataFrame if nothing appended yet);
@@ -173,14 +206,22 @@ final class NearDupIndex(
     // exchanges. Bucket values are band-seeded xxhash64 (LshBucketsExpr),
     // so dropping band from the key admits only 2^-64 cross-band
     // collisions, and those still face the est_jaccard verification.
-    val ix = index.select(col("bucket"),
-      col("id").as("dup_of"), col("sig").as("sig_ix"))
-    ix.join(b.select(col("bucket"), col("id"), col("sig")), Seq("bucket"))
+    // The history band rows are SLIM (no sig): candidates carry the
+    // BATCH sig through pair dedup, then fetch the history signature from
+    // the membership rows — bucket = dup_of, so that join streams the
+    // history side bucket-aligned too, and the band join's scan reads no
+    // sig bytes at all.
+    val ix = index.select(col("bucket"), col("id").as("dup_of"))
+    val cand = ix.join(b.select(col("bucket"), col("id"), col("sig")), Seq("bucket"))
       .filter(col("id") =!= col("dup_of"))
       .dropDuplicates("id", "dup_of")
+      .select(col("dup_of").as("bucket"), col("id"), col("sig"))
+    val memberSigs = rawData.where(col("band") === -1 && col("sig").isNotNull)
+      .select(col("bucket"), col("sig").as("sig_ix"))
+    memberSigs.join(cand, Seq("bucket"))
       .withColumn("est_jaccard", Dedup.estJaccard(col("sig"), col("sig_ix"), numHashes))
       .filter(col("est_jaccard") >= threshold)
-      .select(col("id"), col("dup_of"), col("est_jaccard"))
+      .select(col("id"), col("bucket").as("dup_of"), col("est_jaccard"))
   }
 
   /** The fused history probe over a batch's banded rows: ids that are
@@ -193,17 +234,28 @@ final class NearDupIndex(
       .unionByName(bandedBatch.select(col("id")).dropDuplicates("id")
         .select(col("id").as("bucket"), col("id"),
           lit(null).cast("array<bigint>").as("sig")))
+    // the fused bucket join answers BOTH row kinds against one sig-free
+    // history scan: membership hits (h_band = -1 × sig-null probe row) are
+    // replay dups outright; band hits are CANDIDATES that still need the
+    // history signature — pair-deduped (band-duplicate rows would multiply
+    // the verification join ~bands×), then verified against the membership
+    // rows' stored sigs via bucket = dup_of (streamed, bucket-aligned)
     val hist = rawData.select(col("band").as("h_band"), col("bucket"),
-      col("id").as("dup_of"), col("sig").as("sig_ix"))
-    // no pair-level dropDuplicates (unlike probe): only ids are needed, and
-    // the caller's anti-join hash-builds the id set anyway, so
-    // band-duplicate candidate rows cost nothing extra
-    hist.join(probeB, Seq("bucket"))
-      .where((col("h_band") === -1 && col("sig").isNull) ||
-        (col("h_band") >= 0 && col("sig").isNotNull &&
-          col("id") =!= col("dup_of") &&
-          Dedup.estJaccard(col("sig"), col("sig_ix"), numHashes) >= threshold))
+      col("id").as("dup_of"))
+    val joined = hist.join(probeB, Seq("bucket"))
+    val replay = joined
+      .where(col("h_band") === -1 && col("sig").isNull)
       .select("id")
+    val cand = joined
+      .where(col("h_band") >= 0 && col("sig").isNotNull && col("id") =!= col("dup_of"))
+      .select(col("dup_of").as("bucket"), col("id"), col("sig"))
+      .dropDuplicates("bucket", "id")
+    val memberSigs = rawData.where(col("band") === -1 && col("sig").isNotNull)
+      .select(col("bucket"), col("sig").as("sig_ix"))
+    val nearDup = memberSigs.join(cand, Seq("bucket"))
+      .where(Dedup.estJaccard(col("sig"), col("sig_ix"), numHashes) >= threshold)
+      .select("id")
+    replay.unionByName(nearDup)
   }
 
   /** Ingest convenience: returns the batch rows that survive dedup against
@@ -261,8 +313,12 @@ final class NearDupIndex(
     val keptIds = keptB.select("id").dropDuplicates("id")
     // the write materializes keptB once; the returned survivor DataFrame
     // re-derives it lazily from the checkpointed freshB (no history scan,
-    // no re-signaturing — just the batch-sized self-join + anti-join)
-    writeData(keptB.unionByName(membershipRows(keptIds)))
+    // no re-signaturing — just the batch-sized self-join + anti-join).
+    // Stored form: slim band rows + membership rows carrying the one
+    // stored signature copy (every kept id has one — it came from a band
+    // row; dropDuplicates keeps any, they are identical per id)
+    writeData(stripSig(keptB)
+      .unionByName(membershipRows(keptB.select("id", "sig").dropDuplicates("id"))))
     docs.join(keptIds.select(col("id").as("__kept_id")),
       docs(idCol) === col("__kept_id"), "left_semi")
   }

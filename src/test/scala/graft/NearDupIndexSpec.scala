@@ -121,24 +121,36 @@ class NearDupIndexSpec extends SparkSpec {
     val path = tmp()
     val ix = new NearDupIndex(spark, path, numHashes = 64, bands = 16)
     ix.append(corpus.filter(col("doc_id") <= 3), "text", "doc_id")
-    // a join side that reads this index's persisted tables must not also
-    // contain an exchange — bucketing satisfies the join's distribution
+    // history rows must never enter an exchange RAW: every shuffle in the
+    // plan may only see history data that already passed through a join
+    // (i.e. batch-sized candidate rows). Bucketing satisfies each history
+    // join's distribution, so a history scan reachable from an exchange
+    // without crossing a join means history itself was shuffled —
+    // O(|history|) per batch, the exact regression this test pins.
     def historySidesClean(p: SparkPlan): Unit = {
       val joins = p.collect {
         case j: SortMergeJoinExec => j: SparkPlan
         case j: ShuffledHashJoinExec => j: SparkPlan
       }
       assert(joins.nonEmpty, s"expected a shuffled join in:\n$p")
-      for (j <- joins; side <- j.children) {
-        val history = side.collect {
-          case s: FileSourceScanExec
-            if s.relation.location.rootPaths.mkString(",").contains(path) => s
-        }
-        if (history.nonEmpty) {
-          assert(side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
-            s"history scan sits under an exchange:\n$p")
-        }
+      def rawHistoryReachable(n: SparkPlan): Boolean = n match {
+        case s: FileSourceScanExec =>
+          s.relation.location.rootPaths.mkString(",").contains(path)
+        case _: SortMergeJoinExec | _: ShuffledHashJoinExec => false
+        case other => other.children.exists(rawHistoryReachable)
       }
+      for (e <- p.collect { case e: ShuffleExchangeExec => e })
+        assert(!rawHistoryReachable(e.child),
+          s"history scan feeds an exchange without an intervening join:\n$p")
+      // and the joins actually stream history somewhere: at least one join
+      // side reads the index directly with no exchange anywhere under it
+      val streamed = joins.exists(_.children.exists(side =>
+        side.collect { case e: ShuffleExchangeExec => e }.isEmpty &&
+          side.collect {
+            case s: FileSourceScanExec
+              if s.relation.location.rootPaths.mkString(",").contains(path) => s
+          }.nonEmpty))
+      assert(streamed, s"no join streams the history side directly:\n$p")
     }
     val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     // worst case on purpose: no broadcast rescue, no AQE re-plan — the
