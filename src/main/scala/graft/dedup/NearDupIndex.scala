@@ -81,20 +81,30 @@ final class NearDupIndex(
     java.security.MessageDigest.getInstance("MD5")
       .digest(path.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
 
-  private def checkOrStampMeta(): Unit = {
-    // "layout":2 = slim band rows (sig stored once, on the membership
-    // row) — a v1 index (sig duplicated per band row) fails fast here
-    // rather than silently probing against null history signatures
-    val expect = s"""{"numHashes":$numHashes,"bands":$bands,""" +
+  // "layout":2 = slim band rows (sig stored once, on the membership
+  // row) — a v1 index (sig duplicated per band row) fails fast on the
+  // stamp rather than silently probing against null history signatures
+  private def expectMeta: String =
+    s"""{"numHashes":$numHashes,"bands":$bands,""" +
       s""""shingleSize":$shingleSize,"dataBuckets":$dataBuckets,"layout":2}"""
+
+  /** Fails fast when an existing stamp disagrees (different banding or a
+    * v1 layout). Read paths call this too — [[probe]] on a v1 index would
+    * otherwise find no membership sigs and silently admit every dup.
+    */
+  private def checkMeta(): Unit =
     if (fs.exists(metaPath)) {
       val in = fs.open(metaPath)
       val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      require(got == expect,
-        s"NearDupIndex at $path was built with $got; this instance has $expect")
-    } else {
+      require(got == expectMeta,
+        s"NearDupIndex at $path was built with $got; this instance has $expectMeta")
+    }
+
+  private def checkOrStampMeta(): Unit = {
+    checkMeta()
+    if (!fs.exists(metaPath)) {
       val out = fs.create(metaPath, true)
-      try out.write(expect.getBytes("UTF-8")) finally out.close()
+      try out.write(expectMeta.getBytes("UTF-8")) finally out.close()
     }
   }
 
@@ -160,14 +170,23 @@ final class NearDupIndex(
     */
   def append(docs: DataFrame, textCol: String, idCol: String): Unit = {
     checkOrStampMeta()
-    // persist: the banded batch feeds the band-row branch AND the
-    // membership branch's sig lookup — the signature pipeline must run once
-    val b = banded(docs, textCol, idCol).persist(StorageLevel.MEMORY_AND_DISK)
+    // persist the COMPACT (id, sig) form only — it feeds the band-row
+    // branch AND the membership branch, so the signature pipeline runs
+    // once, while the bands× exploded rows stream straight into the write
+    // (caching the exploded form held batch × bands wide rows in memory —
+    // an OOM at backfill sizes; the band explode is a cheap re-derivation,
+    // same reasoning as Dedup.minhashNearDups' persist note)
+    val sigs = Dedup.minhashSignatures(docs, textCol, idCol, numHashes, shingleSize)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      val bandRows = sigs
+        .withColumn("bk", explode(Dedup.lshBuckets(col("sig"), bands, rowsPerBand)))
+        .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"),
+          col("id"), lit(null).cast("array<bigint>").as("sig"))
       val idSigs = docs.select(col(idCol).as("id")).dropDuplicates("id")
-        .join(b.select("id", "sig").dropDuplicates("id"), Seq("id"), "left")
-      writeData(stripSig(b).unionByName(membershipRows(idSigs)))
-    } finally { b.unpersist(); () }
+        .join(sigs, Seq("id"), "left")
+      writeData(bandRows.unionByName(membershipRows(idSigs)))
+    } finally { sigs.unpersist(); () }
   }
 
   /** The persisted banded rows (empty DataFrame if nothing appended yet);
@@ -200,7 +219,11 @@ final class NearDupIndex(
     */
   def probe(docs: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.5): DataFrame = {
+    checkMeta() // read path: reject a stale-layout index, stamp nothing
     val b = banded(docs, textCol, idCol).persist(StorageLevel.MEMORY_AND_DISK)
+    // ONE rawData resolution (catalog refresh + file listing): both row
+    // kinds read the same history snapshot
+    val raw = rawData
     // history on the LEFT = the streamed side, joined on `bucket` ALONE —
     // the table's single bucketing column, so only the batch side ever
     // exchanges. Bucket values are band-seeded xxhash64 (LshBucketsExpr),
@@ -211,17 +234,21 @@ final class NearDupIndex(
     // the membership rows — bucket = dup_of, so that join streams the
     // history side bucket-aligned too, and the band join's scan reads no
     // sig bytes at all.
-    val ix = index.select(col("bucket"), col("id").as("dup_of"))
+    val ix = raw.where(col("band") >= 0).select(col("bucket"), col("id").as("dup_of"))
     val cand = ix.join(b.select(col("bucket"), col("id"), col("sig")), Seq("bucket"))
       .filter(col("id") =!= col("dup_of"))
       .dropDuplicates("id", "dup_of")
       .select(col("dup_of").as("bucket"), col("id"), col("sig"))
-    val memberSigs = rawData.where(col("band") === -1 && col("sig").isNotNull)
+    val memberSigs = raw.where(col("band") === -1 && col("sig").isNotNull)
       .select(col("bucket"), col("sig").as("sig_ix"))
     memberSigs.join(cand, Seq("bucket"))
       .withColumn("est_jaccard", Dedup.estJaccard(col("sig"), col("sig_ix"), numHashes))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id"), col("bucket").as("dup_of"), col("est_jaccard"))
+      // a doc id append()-ed twice has two membership rows; the pair
+      // contract stays one row per (id, dup_of) — est_jaccard is
+      // identical across the fanout (same stored sig), so any row serves
+      .dropDuplicates("id", "dup_of")
   }
 
   /** The fused history probe over a batch's banded rows: ids that are
@@ -240,7 +267,9 @@ final class NearDupIndex(
     // history signature — pair-deduped (band-duplicate rows would multiply
     // the verification join ~bands×), then verified against the membership
     // rows' stored sigs via bucket = dup_of (streamed, bucket-aligned)
-    val hist = rawData.select(col("band").as("h_band"), col("bucket"),
+    // ONE rawData resolution: hist and memberSigs read the same snapshot
+    val raw = rawData
+    val hist = raw.select(col("band").as("h_band"), col("bucket"),
       col("id").as("dup_of"))
     val joined = hist.join(probeB, Seq("bucket"))
     val replay = joined
@@ -250,7 +279,7 @@ final class NearDupIndex(
       .where(col("h_band") >= 0 && col("sig").isNotNull && col("id") =!= col("dup_of"))
       .select(col("dup_of").as("bucket"), col("id"), col("sig"))
       .dropDuplicates("bucket", "id")
-    val memberSigs = rawData.where(col("band") === -1 && col("sig").isNotNull)
+    val memberSigs = raw.where(col("band") === -1 && col("sig").isNotNull)
       .select(col("bucket"), col("sig").as("sig_ix"))
     val nearDup = memberSigs.join(cand, Seq("bucket"))
       .where(Dedup.estJaccard(col("sig"), col("sig_ix"), numHashes) >= threshold)

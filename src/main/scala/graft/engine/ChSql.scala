@@ -89,10 +89,11 @@ object ChSql {
     * CH grammar puts SETTINGS before FORMAT.
     */
   def stripSettings(q: String): String = {
-    // a value is a quoted literal (commas/semicolons inside are fine —
-    // the match runs on MASKED text, where literal contents are blanks)
-    // or a bare token
-    val v = "(?:'[^']*'|[^,;\\s]+)"
+    // a value is a quoted literal or a bare token. The match runs on
+    // MASKED text: literal contents are blanks, but the QUOTE characters
+    // of a doubled '' escape survive masking, so the literal alternation
+    // must still accept them — hence ('' | [^']) inside the quotes
+    val v = "(?:'(?:[^']|'')*'|[^,;\\s]+)"
     replaceOnMasked(q,
       (s"(?is)\\bsettings\\s+\\w+\\s*=\\s*$v(\\s*,\\s*\\w+\\s*=\\s*$v)*" +
         "(?=\\s*(format\\s+\\w+\\s*)?;?\\s*$)").r)(_ => "")
@@ -332,10 +333,38 @@ object ChSql {
     * Subqueries rewrite against their own block's ORDER BY, not the
     * outer one (CH computes the trio per block).
     */
+  private val trioNames = Seq("runningDifference", "runningAccumulate", "neighbor")
+
   def runningWindow(q: String): String = {
-    val trio = Set("runningdifference", "runningaccumulate", "neighbor")
-    if (!trio.exists(n => maskStrings(q).toLowerCase.contains(n))) return q
+    val masked = maskStrings(q).toLowerCase
+    if (!trioNames.exists(n => masked.contains(n.toLowerCase))) return q
     rewriteRunningBlock(q, collectStateAliases(q))
+  }
+
+  /** Does `s` contain a trio CALL outside any `(SELECT/WITH …)` subquery?
+    * Distinguishes the truly-nested argument case (rejected — a window
+    * inside a window) from an error raised out of a scalar subquery that
+    * happens to sit in the argument (passed through untouched).
+    */
+  private def hasTopLevelTrioCall(s: String): Boolean = {
+    val masked = maskStrings(s)
+    var i = 0
+    while (i < s.length) {
+      if (masked.charAt(i) == '(' &&
+          """(?is)^\(\s*(select|with)\b""".r.findFirstIn(masked.substring(i)).isDefined)
+        i = matchingParen(s, i) + 1
+      else {
+        val prevIdent = i > 0 &&
+          (masked.charAt(i - 1).isLetterOrDigit || masked.charAt(i - 1) == '_')
+        if (!prevIdent && trioNames.exists(n =>
+            masked.regionMatches(true, i, n, 0, n.length) &&
+              """^\s*\(""".r.findFirstIn(masked.substring(
+                math.min(i + n.length, masked.length))).isDefined))
+          return true
+        i += 1
+      }
+    }
+    false
   }
 
   /** `q` with string-literal contents blanked (same length, quotes kept)
@@ -459,7 +488,7 @@ object ChSql {
         Some(block.substring(afterKw, end).trim.stripSuffix(";").trim)
       }
     }
-    val names = Seq("runningDifference", "runningAccumulate", "neighbor")
+    val names = trioNames
     val sb = new StringBuilder
     var i = 0
     var inStr = false
@@ -493,14 +522,19 @@ object ChSql {
             val args = splitTopArgs(block.substring(open + 1, close)).map { a =>
               try rewriteRunningBlock(a, aliases).trim
               catch {
+                // only a trio call at the ARGUMENT's top level is the
+                // nested-window case; an error raised from a subquery
+                // inside the argument (its own block) passes through
+                // unrewritten — it describes a real defect there
                 case e: IllegalArgumentException
-                    if orderKeys.isDefined && e.getMessage != null &&
-                      e.getMessage.contains("ORDER BY") =>
-                  throw new IllegalArgumentException(
+                    if orderKeys.isDefined && hasTopLevelTrioCall(a) =>
+                  val err = new IllegalArgumentException(
                     s"$n(...): a runningDifference/runningAccumulate/neighbor call " +
                       "inside another's argument cannot share its window — compute " +
                       "the inner call in a subquery with its own ORDER BY (one " +
                       "block per window), then apply the outer call to that column")
+                  err.initCause(e)
+                  throw err
               }
             }
             sb.append(rewriteRunningCall(n, args, orderKeys, aliases))

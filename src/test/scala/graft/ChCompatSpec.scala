@@ -354,9 +354,12 @@ class ChCompatSpec extends SparkSpec {
       "SELECT a FROM t ORDER BY a")
     assert(norm(ChSql.stripSettings("SELECT settings FROM t WHERE a = 1")) ==
       "SELECT settings FROM t WHERE a = 1")
-    // quoted values may contain commas/semicolons
+    // quoted values may contain commas/semicolons — and doubled-quote
+    // escapes, whose quote chars survive string masking
     assert(norm(ChSql.stripSettings(
       "SELECT 1 SETTINGS log_comment = 'a,b;c', max_threads = 2")) == "SELECT 1")
+    assert(norm(ChSql.stripSettings(
+      "SELECT 1 SETTINGS log_comment = 'it''s a test'")) == "SELECT 1")
     // CH bracket array literals -> array(); tuple elements -> tuple();
     // subscripts and string contents stay; grouping parens stay
     assert(norm(ChSql.chLiterals("SELECT [1, 2, 3] AS a")) ==
@@ -482,6 +485,14 @@ class ChCompatSpec extends SparkSpec {
     val en = intercept[IllegalArgumentException](ChSql.runningWindow(
       "SELECT runningDifference(neighbor(v, 1)) AS d FROM t ORDER BY k"))
     assert(en.getMessage.contains("subquery"))
+    // an error raised from a SUBQUERY inside the argument is NOT the
+    // nested-window case — it passes through undisguised (here: the
+    // subquery's grouped runningAccumulate violates the leading-key rule)
+    val esub = intercept[IllegalArgumentException](ChSql.runningWindow(
+      "SELECT neighbor((SELECT runningAccumulate(sumState(v), g) AS r " +
+        "FROM t2 ORDER BY x, g LIMIT 1), 1) AS n FROM u ORDER BY k"))
+    assert(esub.getMessage.contains("leading ORDER BY key"),
+      s"got: ${esub.getMessage}")
     // ...but a trio call inside a SCALAR-SUBQUERY argument is its own
     // block: it rewrites against the SUBQUERY's ORDER BY, the outer call
     // against the outer block's — no rejection

@@ -183,6 +183,33 @@ class NearDupIndexSpec extends SparkSpec {
     }
   }
 
+  test("layout stamp guards the READ path; duplicate membership rows don't duplicate pairs") {
+    // a v1 stamp (no "layout" field — sig stored per band row) must fail
+    // even the read-only probe: probing v1 data with v2 code would find no
+    // membership sigs and silently admit every duplicate
+    val p1 = tmp()
+    val metaPath = new org.apache.hadoop.fs.Path(p1, "_meta.json")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(metaPath, true)
+    out.write(
+      """{"numHashes":64,"bands":16,"shingleSize":3,"dataBuckets":32}""".getBytes("UTF-8"))
+    out.close()
+    val old = new NearDupIndex(spark, p1, numHashes = 64, bands = 16)
+    val e = intercept[IllegalArgumentException](
+      old.probe(corpus.limit(2), "text", "doc_id"))
+    assert(e.getMessage.contains("was built with"))
+    // append() is replay-unaware by design, so the same doc id can hold
+    // two membership rows — the probe's pair contract stays one row per
+    // (id, dup_of) despite the membership fanout
+    val ix = new NearDupIndex(spark, tmp(), numHashes = 64, bands = 16)
+    ix.append(corpus.filter(col("doc_id") === 0), "text", "doc_id")
+    ix.append(corpus.filter(col("doc_id") === 0), "text", "doc_id")
+    val pairs = ix.probe(corpus.filter(col("doc_id") === 1), "text", "doc_id", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 0L)),
+      s"expected exactly one (1, 0) pair, got ${pairs.toSeq}")
+  }
+
   test("parameter stamp: reopening with different banding fails fast") {
     val path = tmp()
     new NearDupIndex(spark, path, numHashes = 64, bands = 16)
