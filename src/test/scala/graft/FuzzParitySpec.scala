@@ -21,7 +21,9 @@ import scala.sys.process._
 class FuzzParitySpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.01"
-  private val seeds = 1 to 260 // 1-200 single-table; 201-260 two-table joins
+  // 1-200 single-table; 201-260 two-table joins; 261-300 CH-dialect text
+  // through the ChSql shim chain (literal edges in the line of fire)
+  private val seeds = 1 to 300
 
   private def duckdbAvailable: Boolean =
     try Seq("python3", "-c", "import duckdb, pandas").! == 0
@@ -41,7 +43,8 @@ class FuzzParitySpec extends SparkSpec {
     val oracle = new StringBuilder("{")
     var first = true
     FuzzGen.queries(seeds).foreach { q =>
-      val df = spark.sql(q.sparkSql)
+      val df = spark.sql(
+        if (q.viaChSql) graft.engine.ChSql(q.sparkSql) else q.sparkSql)
       df.coalesce(1).write.mode("overwrite").parquet(s"$out/${q.name}")
       if (!first) oracle.append(",\n")
       first = false

@@ -24,7 +24,15 @@ import scala.util.Random
   */
 object FuzzGen {
 
-  final case class FuzzQuery(name: String, sparkSql: String, duckSql: String)
+  /** `viaChSql`: the Spark side is CH-DIALECT text that must pass through
+    * `graft.engine.ChSql(...)` before `spark.sql` — the band that
+    * differentially tests the string-level shim chain itself (PREWHERE,
+    * SETTINGS, scalar WITH, WITH TOTALS, GLOBAL IN, quoted-unit dateDiff)
+    * against a hand-mirrored DuckDB form, with literal edge cases
+    * (doubled quotes, keywords inside strings) in the line of fire.
+    */
+  final case class FuzzQuery(name: String, sparkSql: String, duckSql: String,
+      viaChSql: Boolean = false)
 
   sealed trait Kind
   case object IntK extends Kind
@@ -125,11 +133,82 @@ object FuzzGen {
   def queryFor(seed: Int): FuzzQuery = {
     val rnd = new Random(seed.toLong * 1000003L + 17L)
     val name = f"fz$seed%03d"
-    if (seed > 200) aggQuery(name, joins(rnd.nextInt(joins.length)), rnd)
+    if (seed > 260) chSqlQuery(name, rnd)
+    else if (seed > 200) aggQuery(name, joins(rnd.nextInt(joins.length)), rnd)
     else {
       val t = tables(rnd.nextInt(tables.length))
       if (rnd.nextDouble() < 0.25) scalarQuery(name, t, rnd)
       else aggQuery(name, t, rnd)
+    }
+  }
+
+  // ---- ChSql shim-chain queries (seeds past 260) ----------------------
+
+  /** One CH-dialect query per seed, exercising the string-level shims end
+    * to end. Every variant plants a string literal with a doubled-quote
+    * escape and shim keywords INSIDE it ('it''s from (where') — masking
+    * bugs in any shim corrupt the literal or miss the rewrite, and the
+    * strict compare catches both.
+    */
+  private def chSqlQuery(name: String, rnd: Random): FuzzQuery = {
+    val lit = "it''s from (where"
+    val t = tables.find(_.name == "events").get
+    val p = atom(t, rnd)
+    val c = 20 + rnd.nextInt(100)
+    rnd.nextInt(5) match {
+      case 0 => // PREWHERE + trailing SETTINGS
+        FuzzQuery(name,
+          s"SELECT event_type AS k, '$lit' AS s, count(*) AS c, sum(user_id) AS su " +
+            s"FROM events PREWHERE $p GROUP BY event_type " +
+            "ORDER BY k ASC NULLS FIRST SETTINGS max_threads = 4, log_comment = 'a,b;c''d'",
+          s"SELECT event_type AS k, '$lit' AS s, count(*) AS c, " +
+            s"CAST(sum(user_id) AS BIGINT) AS su FROM events WHERE $p " +
+            "GROUP BY event_type ORDER BY k ASC NULLS FIRST",
+          viaChSql = true)
+      case 1 => // scalar WITH alias inlined through the body
+        FuzzQuery(name,
+          s"WITH $c AS lim SELECT event_type AS k, '$lit' AS s, " +
+            s"countIf(user_id < lim) AS c1, count(*) AS c FROM events WHERE $p " +
+            "GROUP BY event_type ORDER BY k ASC NULLS FIRST",
+          s"SELECT event_type AS k, '$lit' AS s, " +
+            s"count(*) FILTER (WHERE user_id < $c) AS c1, count(*) AS c " +
+            s"FROM events WHERE $p GROUP BY event_type ORDER BY k ASC NULLS FIRST",
+          viaChSql = true)
+      case 2 => // GROUP BY ... WITH TOTALS -> GROUPING SETS ((k), ())
+        // guaranteed-non-empty predicate (uniform user ids cover every
+        // residue): over EMPTY input the engines genuinely diverge —
+        // DuckDB emits the () totals row (su NULL, c 0), Spark's
+        // GROUPING SETS emits nothing — an edge the string shim cannot
+        // and should not paper over, so the fuzz stays out of it
+        val pne = s"user_id % ${2 + rnd.nextInt(8)} = ${rnd.nextInt(2)}"
+        FuzzQuery(name,
+          s"SELECT event_type AS k, sum(user_id) AS su, count(*) AS c " +
+            s"FROM events WHERE $pne GROUP BY event_type WITH TOTALS " +
+            "ORDER BY k ASC NULLS FIRST",
+          s"SELECT event_type AS k, CAST(sum(user_id) AS BIGINT) AS su, " +
+            s"count(*) AS c FROM events WHERE $pne " +
+            "GROUP BY GROUPING SETS ((event_type), ()) ORDER BY k ASC NULLS FIRST",
+          viaChSql = true)
+      case 3 => // GLOBAL IN strips; literal keyword stays data
+        val vals = Seq.fill(2 + rnd.nextInt(3))(pick(rnd, t.of(StrK).head.strs)).distinct
+        FuzzQuery(name,
+          s"SELECT event_id AS id, '$lit' AS s FROM events " +
+            s"WHERE event_type GLOBAL IN (${vals.map(v => s"'$v'").mkString(", ")}) " +
+            "ORDER BY id LIMIT 40",
+          s"SELECT event_id AS id, '$lit' AS s FROM events " +
+            s"WHERE event_type IN (${vals.map(v => s"'$v'").mkString(", ")}) " +
+            "ORDER BY id LIMIT 40",
+          viaChSql = true)
+      case _ => // CH quoted-unit dateDiff (boundary-crossing on both sides)
+        val m = 1 + rnd.nextInt(12)
+        FuzzQuery(name,
+          s"SELECT event_id AS id, " +
+            f"dateDiff('day', ts, TIMESTAMP '2024-$m%02d-15 00:00:00') AS dd, " +
+            s"'$lit' AS s FROM events WHERE $p ORDER BY id LIMIT 40",
+          s"SELECT event_id AS id, " +
+            f"CAST(date_diff('day', ts, TIMESTAMP '2024-$m%02d-15 00:00:00') AS BIGINT) AS dd, " +
+            s"'$lit' AS s FROM events WHERE $p ORDER BY id LIMIT 40",
+          viaChSql = true)
     }
   }
 
