@@ -10,9 +10,11 @@ package graft.engine
   *  - trailing `FORMAT <name>` — output formatting, meaningless for a
   *    DataFrame result;
   *  - `GROUP BY ... WITH TOTALS` — the grand-total companion row, as
-  *    `GROUPING SETS ((keys), ())`. Documented divergence: CH renders the
-  *    totals row's key columns as type defaults (0/''), grouping sets
-  *    yield NULLs — the relational convention Spark and DuckDB share;
+  *    `GROUPING SETS ((keys), ())`. Documented divergences: CH renders
+  *    the totals row's key columns as type defaults (0/''), grouping
+  *    sets yield NULLs — the relational convention Spark and DuckDB
+  *    share; and over EMPTY input Spark's grouping sets emit no rows at
+  *    all (no totals row), where other engines emit the () row;
   *  - `GLOBAL` join/IN prefix — CH's ship-to-every-shard hint; Catalyst
   *    owns distribution, the keyword drops;
   *  - scalar `WITH <expr> AS <name>` aliases (CH's expression-first

@@ -159,8 +159,20 @@ class NearDupIndexSpec extends SparkSpec {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val batch = corpus.filter(col("doc_id") > 3)
-      historySidesClean(
-        ix.probe(batch, "text", "doc_id").queryExecution.executedPlan)
+      val probePlan = ix.probe(batch, "text", "doc_id").queryExecution.executedPlan
+      historySidesClean(probePlan)
+      // slim-layout scan pin: the band join's history scan must be
+      // column-pruned to exclude sig (its rows are sig-NULL; reading the
+      // column would drag the bytes of EVERY membership row group too),
+      // while the membership-sig scan is the only one reading sig
+      val histScans = probePlan.collect {
+        case s: FileSourceScanExec
+          if s.relation.location.rootPaths.mkString(",").contains(path) => s
+      }
+      assert(histScans.size >= 2, s"expected band + membership scans:\n$probePlan")
+      val sigReaders = histScans.count(_.requiredSchema.fieldNames.contains("sig"))
+      assert(sigReaders == 1,
+        s"exactly the membership scan should read sig, got $sigReaders:\n$probePlan")
       // the replay/membership check dedupAndAppend runs internally: the
       // membership rows stream (band/bucket-aligned), only the batch's
       // ids exchange
