@@ -21,6 +21,10 @@ import graft.similarity.{IvfIndex, IvfPqIndex, Pq}
   *   sbt -batch "runMain graft.BenchScale"         # full curves (~5-10 min)
   *   sbt -batch "runMain graft.BenchScale quick"   # 10x smaller, smoke
   *
+  * The `x10` decade points need a bigger driver heap than build.sbt's 8g
+  * default — run them as `SPARK_DRIVER_MEM=96g sbt -batch "runMain
+  * graft.BenchScale x10 ..."` (a 2M-doc banded batch cache OOMs at 8g).
+  *
   * What each curve proves (the asserted twins live in ScaleSpec):
   *  - `ingest_amortization`: dedupAndAppend per-doc cost vs batch size at
   *    fixed history — per-doc cost must FALL as batches grow, i.e. the

@@ -190,8 +190,9 @@ final class NearDupIndex(
   }
 
   /** The persisted banded rows (empty DataFrame if nothing appended yet);
-    * membership rows are filtered out. Snapshots the file listing at call
-    * time.
+    * membership rows are filtered out. Slim layout: `sig` is NULL here —
+    * signatures live on the membership rows (`band` = -1). Snapshots the
+    * file listing at call time.
     */
   def index: DataFrame = rawData.where(col("band") >= 0)
 
