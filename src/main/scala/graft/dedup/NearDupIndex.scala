@@ -246,10 +246,14 @@ final class NearDupIndex(
       .withColumn("est_jaccard", Dedup.estJaccard(col("sig"), col("sig_ix"), numHashes))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id"), col("bucket").as("dup_of"), col("est_jaccard"))
-      // a doc id append()-ed twice has two membership rows; the pair
-      // contract stays one row per (id, dup_of) — est_jaccard is
-      // identical across the fanout (same stored sig), so any row serves
-      .dropDuplicates("id", "dup_of")
+      // a doc id append()-ed twice has two membership rows — usually with
+      // the same sig (pure replay), but append() is replay-unaware, so a
+      // re-append with DIFFERENT text stores a second, different sig. The
+      // pair contract stays one row per (id, dup_of), DETERMINISTICALLY:
+      // max similarity across the stored sigs (an arbitrary-row dedup
+      // would make the reported score depend on plan order)
+      .groupBy("id", "dup_of")
+      .agg(max("est_jaccard").as("est_jaccard"))
   }
 
   /** The fused history probe over a batch's banded rows: ids that are

@@ -72,12 +72,42 @@ object ChSql {
     out.toString
   }
 
-  /** PREWHERE → WHERE; `PREWHERE a ... WHERE b` → `WHERE (a) AND b`. */
+  /** PREWHERE → WHERE; `PREWHERE a ... WHERE b` → `WHERE (a) AND b`.
+    * The companion WHERE is located at the SAME paren depth within the
+    * PREWHERE's own scope (a WHERE inside a subquery of the PREWHERE
+    * expression belongs to that subquery, not to this clause pair), and
+    * each PREWHERE occurrence — outer query or subquery — merges with its
+    * own block's WHERE independently.
+    */
   def prewhere(q: String): String = {
-    val both = """(?is)\bprewhere\b(.*?)\bwhere\b""".r
-    if (both.findFirstIn(maskStrings(q)).isDefined)
-      replaceOnMasked(q, both)(m => s"WHERE (${grp(q, m, 1).trim}) AND ")
-    else replaceOnMasked(q, """(?i)\bprewhere\b""".r)(_ => "WHERE")
+    val masked = maskStrings(q)
+    val occ = """(?i)\bprewhere\b""".r.findAllMatchIn(masked).toList
+    if (occ.isEmpty) return q
+    val sb = new StringBuilder(q)
+    for (m <- occ.reverse) { // right-to-left: edits keep earlier indices valid
+      var i = m.end; var d = 0; var whereStart = -1
+      while (i < masked.length && whereStart < 0) {
+        masked.charAt(i) match {
+          case '(' => d += 1
+          case ')' if d == 0 => i = masked.length // left the PREWHERE's scope
+          case ')' => d -= 1
+          case c if d == 0 && (c == 'w' || c == 'W') &&
+              !masked.charAt(i - 1).isLetterOrDigit && masked.charAt(i - 1) != '_' &&
+              masked.regionMatches(true, i, "where", 0, 5) &&
+              (i + 5 >= masked.length ||
+                (!masked.charAt(i + 5).isLetterOrDigit && masked.charAt(i + 5) != '_')) =>
+            whereStart = i
+          case _ =>
+        }
+        i += 1
+      }
+      if (whereStart >= 0) {
+        val expr = q.substring(m.end, whereStart).trim
+        sb.replace(m.start, whereStart + 5, s"WHERE ($expr) AND"): Unit
+      } else
+        sb.replace(m.start, m.end, "WHERE"): Unit
+    }
+    sb.toString
   }
 
   /** Drop a trailing `FORMAT <name>` (with or without closing `;`). */
@@ -338,8 +368,11 @@ object ChSql {
   private val trioNames = Seq("runningDifference", "runningAccumulate", "neighbor")
 
   def runningWindow(q: String): String = {
-    val masked = maskStrings(q).toLowerCase
-    if (!trioNames.exists(n => masked.contains(n.toLowerCase))) return q
+    // exact case: CH resolves function names case-SENSITIVELY, so
+    // RUNNINGDIFFERENCE/Neighbor are NOT the deprecated trio there and
+    // must not be hijacked into the window rewrite here either
+    val masked = maskStrings(q)
+    if (!trioNames.exists(masked.contains(_))) return q
     rewriteRunningBlock(q, collectStateAliases(q))
   }
 
@@ -359,7 +392,7 @@ object ChSql {
         val prevIdent = i > 0 &&
           (masked.charAt(i - 1).isLetterOrDigit || masked.charAt(i - 1) == '_')
         if (!prevIdent && trioNames.exists(n =>
-            masked.regionMatches(true, i, n, 0, n.length) &&
+            masked.regionMatches(false, i, n, 0, n.length) &&
               """^\s*\(""".r.findFirstIn(masked.substring(
                 math.min(i + n.length, masked.length))).isDefined))
           return true
@@ -490,6 +523,43 @@ object ChSql {
         Some(block.substring(afterKw, end).trim.stripSuffix(";").trim)
       }
     }
+    // ORDER BY keys that are SELECT-list aliases of THIS block (not
+    // identity aliases like `k AS k`): the rewrite would order the window
+    // by an output alias, which Spark resolves against the INPUT and
+    // rejects with an opaque unresolved-column error — reject here with
+    // the fix named instead. CH's block model permits ordering the final
+    // result by the trio's own alias; a window cannot.
+    lazy val aliasOrderKey: Option[String] = for {
+      keys <- orderKeys
+      sel <- """(?is)^\s*select\s+""".r.findFirstMatchIn(masked).map(_.end)
+      hit <- {
+      var d = 0; var j = sel; var fromIdx = masked.length
+      while (j < masked.length && fromIdx == masked.length) {
+        masked.charAt(j) match {
+          case '(' => d += 1
+          case ')' => d -= 1
+          case c if d == 0 && (c == 'f' || c == 'F') &&
+              !masked.charAt(j - 1).isLetterOrDigit && masked.charAt(j - 1) != '_' &&
+              masked.regionMatches(true, j, "from", 0, 4) &&
+              (j + 4 >= masked.length ||
+                (!masked.charAt(j + 4).isLetterOrDigit && masked.charAt(j + 4) != '_')) =>
+            fromIdx = j
+          case _ =>
+        }
+        j += 1
+      }
+      val item = """(?is)^(.*?)\s+as\s+(\w+)\s*$""".r
+      val nonIdentity = splitTopArgs(block.substring(sel, fromIdx)).flatMap { it =>
+        item.findFirstMatchIn(it.trim).collect {
+          case m if m.group(1).trim.toLowerCase != m.group(2).toLowerCase =>
+            m.group(2).toLowerCase
+        }
+      }.toSet
+      splitTopArgs(keys).map(_.trim
+          .replaceAll("(?i)(\\s+(asc|desc))?(\\s+nulls\\s+(first|last))?\\s*$", ""))
+        .find(k => k.matches("\\w+") && nonIdentity.contains(k.toLowerCase))
+      }
+    } yield hit
     val names = trioNames
     val sb = new StringBuilder
     var i = 0
@@ -504,7 +574,7 @@ object ChSql {
       else {
         val prevIdent = i > 0 && (block.charAt(i - 1).isLetterOrDigit || block.charAt(i - 1) == '_')
         val hit = if (prevIdent) None else names.find { n =>
-          block.regionMatches(true, i, n, 0, n.length) && {
+          block.regionMatches(false, i, n, 0, n.length) && {
             val after = i + n.length
             after < block.length && !block.charAt(after).isLetterOrDigit &&
               block.charAt(after) != '_' &&
@@ -513,6 +583,14 @@ object ChSql {
         }
         hit match {
           case Some(n) =>
+            aliasOrderKey.foreach { k =>
+              throw new IllegalArgumentException(
+                s"$n(...): this block's ORDER BY key '$k' is a SELECT-list " +
+                  "alias, which a window spec cannot resolve (Spark resolves " +
+                  "windows against the input relation) — ORDER BY the " +
+                  "underlying expression, or compute the running value in a " +
+                  "subquery over an ordered inner block")
+            }
             val open = block.indexOf('(', i + n.length)
             val close = matchingParen(block, open)
             // rewrite trio calls INSIDE the argument text: legal when they

@@ -343,6 +343,14 @@ class ChCompatSpec extends SparkSpec {
     // PREWHERE + WHERE conjoin (CH applies both)
     assert(norm(ChSql.prewhere("SELECT x FROM t PREWHERE a > 0 WHERE b < 2")) ==
       "SELECT x FROM t WHERE (a > 0) AND b < 2")
+    // a WHERE inside a subquery of the PREWHERE expression belongs to the
+    // subquery — the clause pair matches at the same paren depth only
+    assert(norm(ChSql.prewhere(
+      "SELECT x FROM t PREWHERE k IN (SELECT k2 FROM u WHERE z = 1) WHERE b = 2")) ==
+      "SELECT x FROM t WHERE (k IN (SELECT k2 FROM u WHERE z = 1)) AND b = 2")
+    assert(norm(ChSql.prewhere(
+      "SELECT x FROM t PREWHERE k IN (SELECT k2 FROM u WHERE z = 1)")) ==
+      "SELECT x FROM t WHERE k IN (SELECT k2 FROM u WHERE z = 1)")
     assert(norm(ChSql.stripFormat("SELECT 1 FORMAT TabSeparated;")) == "SELECT 1")
     // SETTINGS strip: single and multi-knob, composed with FORMAT either
     // side, and a mid-query 'settings' name is left alone
@@ -473,6 +481,21 @@ class ChCompatSpec extends SparkSpec {
     // function names inside string literals are NOT calls
     val lit = "SELECT 'neighbor(v, 1)' AS s FROM t"
     assert(ChSql.runningWindow(lit) == lit)
+    // CH resolves function names case-SENSITIVELY: other casings are not
+    // the deprecated trio and pass through to the resolver untouched
+    val cased = "SELECT NEIGHBOR(v, 1) AS n, RUNNINGDIFFERENCE(v) AS d FROM t ORDER BY k"
+    assert(ChSql.runningWindow(cased) == cased)
+    // ordering the block by the trio call's own SELECT alias is valid CH
+    // (block order, then sort) but unresolvable as a window key — reject
+    // with the fix named, not Spark's unresolved-column error
+    val ea = intercept[IllegalArgumentException](ChSql.runningWindow(
+      "SELECT runningDifference(v) AS d FROM t ORDER BY d"))
+    assert(ea.getMessage.contains("alias"), s"got: ${ea.getMessage}")
+    // ...but an ORDER BY key that is a real input column (or an identity
+    // alias) still rewrites
+    assert(norm(ChSql.runningWindow(
+      "SELECT k AS k, runningDifference(v) AS d FROM t ORDER BY k")).contains(
+      "OVER (ORDER BY k)"))
     // a backslash-escaped quote does NOT terminate the literal: the call
     // after it still rewrites and the ORDER BY is still found
     assert(norm(ChSql.runningWindow(

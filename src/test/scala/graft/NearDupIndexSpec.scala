@@ -220,6 +220,17 @@ class NearDupIndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq == Seq((1L, 0L)),
       s"expected exactly one (1, 0) pair, got ${pairs.toSeq}")
+    // conflicting re-append (same id, DIFFERENT text -> a second, different
+    // stored sig): still one row per pair, with the MAX est_jaccard across
+    // the stored sigs — deterministic, where an arbitrary-row dedup would
+    // report whichever sig the plan happened to keep
+    ix.append(corpus.filter(col("doc_id") === 4)
+      .select(lit(0L).as("doc_id"), col("text")), "text", "doc_id")
+    val pairs2 = ix.probe(corpus.filter(col("doc_id") === 1), "text", "doc_id", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs2.length == 1 && pairs2.head._1 == 1L && pairs2.head._2 == 0L &&
+      pairs2.head._3 == 1.0, // doc 1 is an exact dup of 0's ORIGINAL text
+      s"expected one (1, 0, 1.0) pair, got ${pairs2.toSeq}")
   }
 
   test("parameter stamp: reopening with different banding fails fast") {

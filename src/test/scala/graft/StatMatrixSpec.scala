@@ -246,6 +246,20 @@ class StatMatrixSpec extends SparkSpec {
         s"SELECT quantileExactExclusive(v, $bad) q FROM graft_qexc").collect())
       assert(e.getMessage.contains("(0, 1)"), s"level $bad must be rejected")
     }
+    // ...and a NON-LITERAL out-of-range level throws at RUNTIME instead
+    // of silently clamping to the min/max (round-10 review pin: the
+    // foldable guard alone left the data-driven path clamping). first()
+    // makes the level an aggregate of the data — not foldable
+    val eRt = intercept[Exception](spark.sql(
+      "SELECT quantileExactExclusive(v, first(lvl)) q FROM " +
+        "(SELECT v, CAST(0 AS DOUBLE) AS lvl FROM graft_qexc)").collect())
+    assert(eRt.getMessage.contains("(0, 1)"),
+      s"runtime level 0 must be rejected, got: ${eRt.getMessage}")
+    // a valid non-literal level still computes (no false rejection)
+    assert(math.abs(spark.sql(
+      "SELECT quantileExactExclusive(v, first(lvl)) q FROM " +
+        "(SELECT v, CAST(0.4 AS DOUBLE) AS lvl FROM graft_qexc)")
+      .head().getDouble(0) - 2.4) < 1e-12)
   }
 
   test("review-pass pins: edge semantics of the round-9 spellings") {
