@@ -72,42 +72,70 @@ object ChSql {
     out.toString
   }
 
+  /** Index of the first `kw` keyword at paren depth 0 in `masked`,
+    * scanning from `from`. Returns -1 when the enclosing scope closes
+    * (unbalanced `)`), when any `stopAt` keyword appears first at depth 0,
+    * or when nothing matches. Identifier-boundary-guarded on both sides —
+    * THE shared depth-0 keyword scan (prewhere's WHERE pairing and the
+    * alias-order-key SELECT/FROM location both ride it; hand-rolling a
+    * fourth copy of this loop is how the boundary bugs crept in).
+    */
+  private[engine] def findTopLevelKeyword(masked: String, from: Int, kw: String,
+      stopAt: Seq[String] = Nil): Int = {
+    var i = from; var d = 0
+    while (i < masked.length) {
+      val c = masked.charAt(i)
+      if (c == '(') d += 1
+      else if (c == ')') { if (d == 0) return -1 else d -= 1 }
+      else if (d == 0 && c.isLetter &&
+          (i == 0 || (!masked.charAt(i - 1).isLetterOrDigit && masked.charAt(i - 1) != '_'))) {
+        def hit(k: String): Boolean =
+          masked.regionMatches(true, i, k, 0, k.length) &&
+            (i + k.length >= masked.length ||
+              (!masked.charAt(i + k.length).isLetterOrDigit &&
+                masked.charAt(i + k.length) != '_'))
+        if (hit(kw)) return i
+        if (stopAt.exists(hit)) return -1
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Keywords that end a PREWHERE/WHERE clause region — a companion WHERE
+    * cannot sit beyond any of these in the same block.
+    */
+  private val clauseEnders = Seq("group", "order", "having", "limit",
+    "offset", "settings", "format", "union", "except", "intersect",
+    "window", "qualify")
+
   /** PREWHERE → WHERE; `PREWHERE a ... WHERE b` → `WHERE (a) AND b`.
     * The companion WHERE is located at the SAME paren depth within the
-    * PREWHERE's own scope (a WHERE inside a subquery of the PREWHERE
-    * expression belongs to that subquery, not to this clause pair), and
-    * each PREWHERE occurrence — outer query or subquery — merges with its
-    * own block's WHERE independently.
+    * PREWHERE's own scope and BEFORE the next clause keyword (a WHERE
+    * inside a subquery of the PREWHERE expression, or in a later UNION
+    * branch, belongs there — not to this clause pair). One occurrence
+    * rewrites per iteration against the CURRENT text, so nested
+    * PREWHEREs (one inside another's subquery) each merge with their own
+    * block's WHERE without stale-offset corruption.
     */
   def prewhere(q: String): String = {
-    val masked = maskStrings(q)
-    val occ = """(?i)\bprewhere\b""".r.findAllMatchIn(masked).toList
-    if (occ.isEmpty) return q
-    val sb = new StringBuilder(q)
-    for (m <- occ.reverse) { // right-to-left: edits keep earlier indices valid
-      var i = m.end; var d = 0; var whereStart = -1
-      while (i < masked.length && whereStart < 0) {
-        masked.charAt(i) match {
-          case '(' => d += 1
-          case ')' if d == 0 => i = masked.length // left the PREWHERE's scope
-          case ')' => d -= 1
-          case c if d == 0 && (c == 'w' || c == 'W') &&
-              !masked.charAt(i - 1).isLetterOrDigit && masked.charAt(i - 1) != '_' &&
-              masked.regionMatches(true, i, "where", 0, 5) &&
-              (i + 5 >= masked.length ||
-                (!masked.charAt(i + 5).isLetterOrDigit && masked.charAt(i + 5) != '_')) =>
-            whereStart = i
-          case _ =>
-        }
-        i += 1
+    var cur = q
+    var remaining = true
+    while (remaining) {
+      val masked = maskStrings(cur)
+      """(?i)\bprewhere\b""".r.findFirstMatchIn(masked) match {
+        case None => remaining = false
+        case Some(m) =>
+          val w = findTopLevelKeyword(masked, m.end, "where", clauseEnders)
+          val sb = new StringBuilder(cur)
+          if (w >= 0) {
+            val expr = cur.substring(m.end, w).trim
+            sb.replace(m.start, w + 5, s"WHERE ($expr) AND"): Unit
+          } else sb.replace(m.start, m.end, "WHERE"): Unit
+          cur = sb.toString
       }
-      if (whereStart >= 0) {
-        val expr = q.substring(m.end, whereStart).trim
-        sb.replace(m.start, whereStart + 5, s"WHERE ($expr) AND"): Unit
-      } else
-        sb.replace(m.start, m.end, "WHERE"): Unit
     }
-    sb.toString
+    cur
   }
 
   /** Drop a trailing `FORMAT <name>` (with or without closing `;`). */
@@ -524,42 +552,38 @@ object ChSql {
       }
     }
     // ORDER BY keys that are SELECT-list aliases of THIS block (not
-    // identity aliases like `k AS k`): the rewrite would order the window
-    // by an output alias, which Spark resolves against the INPUT and
-    // rejects with an opaque unresolved-column error — reject here with
-    // the fix named instead. CH's block model permits ordering the final
-    // result by the trio's own alias; a window cannot.
-    lazy val aliasOrderKey: Option[String] = for {
-      keys <- orderKeys
-      sel <- """(?is)^\s*select\s+""".r.findFirstMatchIn(masked).map(_.end)
-      hit <- {
-      var d = 0; var j = sel; var fromIdx = masked.length
-      while (j < masked.length && fromIdx == masked.length) {
-        masked.charAt(j) match {
-          case '(' => d += 1
-          case ')' => d -= 1
-          case c if d == 0 && (c == 'f' || c == 'F') &&
-              !masked.charAt(j - 1).isLetterOrDigit && masked.charAt(j - 1) != '_' &&
-              masked.regionMatches(true, j, "from", 0, 4) &&
-              (j + 4 >= masked.length ||
-                (!masked.charAt(j + 4).isLetterOrDigit && masked.charAt(j + 4) != '_')) =>
-            fromIdx = j
-          case _ =>
-        }
-        j += 1
+    // identity aliases — `k AS k` or qualified `t.k AS k`, which still
+    // resolve against the input): the rewrite would order the window by an
+    // output alias, which Spark resolves against the INPUT and rejects
+    // with an opaque unresolved-column error — reject here with the fix
+    // named instead. CH's block model permits ordering the final result
+    // by the trio's own alias; a window cannot. The SELECT keyword is
+    // located at depth 0 (not string-start-anchored — a leading scalar
+    // WITH list must not skip the guard).
+    lazy val aliasOrderKey: Option[String] = orderKeys.flatMap { keys =>
+      val selKw = findTopLevelKeyword(masked, 0, "select")
+      if (selKw < 0) None
+      else {
+        val sel = selKw + "select".length
+        val fromIdx0 = findTopLevelKeyword(masked, sel, "from")
+        val fromIdx = if (fromIdx0 < 0) masked.length else fromIdx0
+        val item = """(?is)^(.*?)\s+as\s+(\w+)\s*$""".r
+        val qualIdent = "[A-Za-z_]\\w*(\\.[A-Za-z_]\\w*)*"
+        val nonIdentity = splitTopArgs(block.substring(sel, fromIdx)).flatMap { it =>
+          item.findFirstMatchIn(it.trim).collect {
+            case m if {
+              val ex = m.group(1).trim; val al = m.group(2)
+              val identity = ex.equalsIgnoreCase(al) || (ex.matches(qualIdent) &&
+                ex.substring(ex.lastIndexOf('.') + 1).equalsIgnoreCase(al))
+              !identity
+            } => m.group(2).toLowerCase
+          }
+        }.toSet
+        splitTopArgs(keys).map(_.trim
+            .replaceAll("(?i)(\\s+(asc|desc))?(\\s+nulls\\s+(first|last))?\\s*$", ""))
+          .find(k => k.matches("\\w+") && nonIdentity.contains(k.toLowerCase))
       }
-      val item = """(?is)^(.*?)\s+as\s+(\w+)\s*$""".r
-      val nonIdentity = splitTopArgs(block.substring(sel, fromIdx)).flatMap { it =>
-        item.findFirstMatchIn(it.trim).collect {
-          case m if m.group(1).trim.toLowerCase != m.group(2).toLowerCase =>
-            m.group(2).toLowerCase
-        }
-      }.toSet
-      splitTopArgs(keys).map(_.trim
-          .replaceAll("(?i)(\\s+(asc|desc))?(\\s+nulls\\s+(first|last))?\\s*$", ""))
-        .find(k => k.matches("\\w+") && nonIdentity.contains(k.toLowerCase))
-      }
-    } yield hit
+    }
     val names = trioNames
     val sb = new StringBuilder
     var i = 0

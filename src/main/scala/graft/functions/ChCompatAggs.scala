@@ -220,8 +220,11 @@ private[functions] object ChCompatAggs {
       if (es(1).foldable) result
       else {
         val lv = Cast(es(1), DoubleType)
-        If(Or(LessThanOrEqual(lv, Literal(0.0d)),
-            GreaterThanOrEqual(lv, Literal(1.0d))),
+        // IsNull is part of the guard: a NULL level makes the range Or
+        // evaluate to null (If takes the value branch) and Least/Greatest
+        // SKIP nulls, so hc would clamp to n — silently the maximum
+        If(Or(IsNull(lv), Or(LessThanOrEqual(lv, Literal(0.0d)),
+            GreaterThanOrEqual(lv, Literal(1.0d)))),
           Cast(RaiseError(Literal(
             "quantileExactExclusive: level must be in (0, 1) exclusive " +
               "(PERCENTILE.EXC is undefined at the boundaries)")), DoubleType),

@@ -351,6 +351,19 @@ class ChCompatSpec extends SparkSpec {
     assert(norm(ChSql.prewhere(
       "SELECT x FROM t PREWHERE k IN (SELECT k2 FROM u WHERE z = 1)")) ==
       "SELECT x FROM t WHERE k IN (SELECT k2 FROM u WHERE z = 1)")
+    // nested PREWHEREs each merge within their OWN block, iteratively —
+    // no stale-offset corruption across edits
+    assert(norm(ChSql.prewhere(
+      "SELECT x FROM t PREWHERE k IN (SELECT k2 FROM u PREWHERE p WHERE z = 1) WHERE b = 2")) ==
+      "SELECT x FROM t WHERE (k IN (SELECT k2 FROM u WHERE (p) AND z = 1)) AND b = 2")
+    // the WHERE of a later UNION branch (or past any clause keyword) is
+    // NOT this PREWHERE's companion
+    assert(norm(ChSql.prewhere(
+      "SELECT a FROM t PREWHERE p UNION ALL SELECT a FROM u WHERE w = 1")) ==
+      "SELECT a FROM t WHERE p UNION ALL SELECT a FROM u WHERE w = 1")
+    assert(norm(ChSql.prewhere(
+      "SELECT a, count(*) FROM t PREWHERE p GROUP BY a")) ==
+      "SELECT a, count(*) FROM t WHERE p GROUP BY a")
     assert(norm(ChSql.stripFormat("SELECT 1 FORMAT TabSeparated;")) == "SELECT 1")
     // SETTINGS strip: single and multi-knob, composed with FORMAT either
     // side, and a mid-query 'settings' name is left alone
@@ -492,10 +505,18 @@ class ChCompatSpec extends SparkSpec {
       "SELECT runningDifference(v) AS d FROM t ORDER BY d"))
     assert(ea.getMessage.contains("alias"), s"got: ${ea.getMessage}")
     // ...but an ORDER BY key that is a real input column (or an identity
-    // alias) still rewrites
+    // alias — bare or table-qualified) still rewrites
     assert(norm(ChSql.runningWindow(
       "SELECT k AS k, runningDifference(v) AS d FROM t ORDER BY k")).contains(
       "OVER (ORDER BY k)"))
+    assert(norm(ChSql.runningWindow(
+      "SELECT t.k AS k, runningDifference(v) AS d FROM t ORDER BY k")).contains(
+      "OVER (ORDER BY k)"))
+    // a leading scalar WITH list must not skip the alias-key guard (the
+    // SELECT keyword is located at depth 0, not string-start-anchored)
+    val eaw = intercept[IllegalArgumentException](ChSql.runningWindow(
+      "WITH 2 AS c SELECT runningDifference(v) AS d FROM t ORDER BY d"))
+    assert(eaw.getMessage.contains("alias"))
     // a backslash-escaped quote does NOT terminate the literal: the call
     // after it still rewrites and the ORDER BY is still found
     assert(norm(ChSql.runningWindow(

@@ -260,6 +260,13 @@ class StatMatrixSpec extends SparkSpec {
       "SELECT quantileExactExclusive(v, first(lvl)) q FROM " +
         "(SELECT v, CAST(0.4 AS DOUBLE) AS lvl FROM graft_qexc)")
       .head().getDouble(0) - 2.4) < 1e-12)
+    // a NULL non-literal level throws too — the null-skipping clamp chain
+    // would otherwise silently return the group's maximum
+    val eNull = intercept[Exception](spark.sql(
+      "SELECT quantileExactExclusive(v, first(lvl)) q FROM " +
+        "(SELECT v, CAST(NULL AS DOUBLE) AS lvl FROM graft_qexc)").collect())
+    assert(eNull.getMessage.contains("(0, 1)"),
+      s"NULL level must be rejected, got: ${eNull.getMessage}")
   }
 
   test("review-pass pins: edge semantics of the round-9 spellings") {
