@@ -80,6 +80,32 @@ object ChSql {
     * alias-order-key SELECT/FROM location both ride it; hand-rolling a
     * fourth copy of this loop is how the boundary bugs crept in).
     */
+  /** Does clause keyword `k` match at position `i` of `masked`?
+    * Identifier-boundary-guarded on both sides, plus grammar
+    * disambiguation: `group`/`order` only count when followed by `BY`,
+    * and the keywords that are also legal identifier/function names
+    * (`format(...)` is a CH function, a column can be named `offset`)
+    * do not count in call form (followed by `(`). Reserved set operators
+    * (union/except/intersect) keep matching before `(` — `UNION (SELECT
+    * ...)` is valid SQL and they cannot be function names.
+    */
+  private def keywordAt(masked: String, i: Int, k: String): Boolean = {
+    if (!masked.regionMatches(true, i, k, 0, k.length)) return false
+    if (i > 0 && (masked.charAt(i - 1).isLetterOrDigit || masked.charAt(i - 1) == '_'))
+      return false
+    val after = i + k.length
+    if (after < masked.length &&
+        (masked.charAt(after).isLetterOrDigit || masked.charAt(after) == '_'))
+      return false
+    k.toLowerCase match {
+      case "group" | "order" =>
+        """(?is)^\s+by\b""".r.findFirstIn(masked.substring(after)).isDefined
+      case "format" | "window" | "offset" | "limit" | "settings" =>
+        """^\s*\(""".r.findFirstIn(masked.substring(after)).isEmpty
+      case _ => true
+    }
+  }
+
   private[engine] def findTopLevelKeyword(masked: String, from: Int, kw: String,
       stopAt: Seq[String] = Nil): Int = {
     var i = from; var d = 0
@@ -87,19 +113,31 @@ object ChSql {
       val c = masked.charAt(i)
       if (c == '(') d += 1
       else if (c == ')') { if (d == 0) return -1 else d -= 1 }
-      else if (d == 0 && c.isLetter &&
-          (i == 0 || (!masked.charAt(i - 1).isLetterOrDigit && masked.charAt(i - 1) != '_'))) {
-        def hit(k: String): Boolean =
-          masked.regionMatches(true, i, k, 0, k.length) &&
-            (i + k.length >= masked.length ||
-              (!masked.charAt(i + k.length).isLetterOrDigit &&
-                masked.charAt(i + k.length) != '_'))
-        if (hit(kw)) return i
-        if (stopAt.exists(hit)) return -1
+      else if (d == 0 && c.isLetter) {
+        if (keywordAt(masked, i, kw)) return i
+        if (stopAt.exists(keywordAt(masked, i, _))) return -1
       }
       i += 1
     }
     -1
+  }
+
+  /** Index where the clause starting at `from` ends: the first depth-0
+    * occurrence of any `enders` keyword, a depth-0 `)` (scope close) or
+    * `;`, else `masked.length`.
+    */
+  private def clauseEnd(masked: String, from: Int, enders: Seq[String]): Int = {
+    var i = from; var d = 0
+    while (i < masked.length) {
+      val c = masked.charAt(i)
+      if (c == '(') d += 1
+      else if (c == ')') { if (d == 0) return i else d -= 1 }
+      else if (c == ';' && d == 0) return i
+      else if (d == 0 && c.isLetter && enders.exists(keywordAt(masked, i, _)))
+        return i
+      i += 1
+    }
+    masked.length
   }
 
   /** Keywords that end a PREWHERE/WHERE clause region — a companion WHERE
@@ -109,14 +147,20 @@ object ChSql {
     "offset", "settings", "format", "union", "except", "intersect",
     "window", "qualify")
 
-  /** PREWHERE → WHERE; `PREWHERE a ... WHERE b` → `WHERE (a) AND b`.
-    * The companion WHERE is located at the SAME paren depth within the
-    * PREWHERE's own scope and BEFORE the next clause keyword (a WHERE
-    * inside a subquery of the PREWHERE expression, or in a later UNION
-    * branch, belongs there — not to this clause pair). One occurrence
-    * rewrites per iteration against the CURRENT text, so nested
-    * PREWHEREs (one inside another's subquery) each merge with their own
-    * block's WHERE without stale-offset corruption.
+  /** PREWHERE → WHERE; `PREWHERE a ... WHERE b` → `WHERE (a) AND (b)` —
+    * BOTH sides parenthesized, matching CH's combined semantics (an
+    * unparenthesized companion would let its top-level OR bind wrong:
+    * `p AND a OR b` ≠ `p AND (a OR b)`). The companion WHERE is located
+    * at the SAME paren depth within the PREWHERE's own scope and BEFORE
+    * the next clause keyword (a WHERE inside a subquery of the PREWHERE
+    * expression, or in a later UNION branch, belongs there — not to this
+    * clause pair). One occurrence rewrites per iteration against the
+    * CURRENT text, so nested PREWHEREs (one inside another's subquery)
+    * each merge with their own block's WHERE without stale-offset
+    * corruption. Re-masking per iteration costs one O(n) pass per
+    * PREWHERE occurrence — deliberate: occurrences are at most a
+    * handful, and masking the spliced text fresh is immune to the
+    * offset-drift class that incremental mask maintenance invites.
     */
   def prewhere(q: String): String = {
     var cur = q
@@ -130,7 +174,10 @@ object ChSql {
           val sb = new StringBuilder(cur)
           if (w >= 0) {
             val expr = cur.substring(m.end, w).trim
-            sb.replace(m.start, w + 5, s"WHERE ($expr) AND"): Unit
+            val wEnd = clauseEnd(masked, w + 5, clauseEnders)
+            val companion = cur.substring(w + 5, wEnd).trim
+            sb.replace(m.start, wEnd,
+              s"WHERE ($expr) AND ($companion) "): Unit
           } else sb.replace(m.start, m.end, "WHERE"): Unit
           cur = sb.toString
       }
@@ -430,23 +477,35 @@ object ChSql {
     false
   }
 
-  /** `q` with string-literal contents blanked (same length, quotes kept)
-    * so keyword/identifier scans cannot match inside literals. A
-    * backslash inside a literal escapes the next char (Spark's and CH's
-    * default string syntax), so `'don\'t'` does not terminate early;
-    * doubled `''` works naturally with the toggle (exit + re-enter).
+  /** `q` with string-literal AND quoted-identifier contents blanked
+    * (same length, quote chars kept) so keyword/identifier scans cannot
+    * match inside `'...'` literals or `` `...` `` / `"..."` quoted
+    * identifiers. A backslash inside a literal escapes the next char
+    * (Spark's and CH's default string syntax), so `'don\'t'` does not
+    * terminate early; doubled quotes work naturally with the toggle
+    * (exit + re-enter).
     */
   private[engine] def maskStrings(q: String): String = {
     val sb = new StringBuilder(q)
-    var inStr = false
+    // 0 = code, else the active quote char: '\'' string literal,
+    // '`' / '"' quoted identifier. Quoted-identifier CONTENTS are blanked
+    // too — `format` / "offset" as column names must never match the
+    // keyword scans (clauseEnders, findTopLevelKeyword) or the rewrite
+    // regexes any more than a string literal's bytes may. The quote chars
+    // themselves survive, and the doubled-quote escape ('' `` "") works
+    // naturally with the toggle (exit + immediate re-enter keeps parity).
+    var quote: Char = 0
     var i = 0
     while (i < q.length) {
       val c = q.charAt(i)
-      if (inStr && c == '\\' && i + 1 < q.length) {
+      // backslash escapes exist in '...' and "..." bodies; backticks
+      // escape only by doubling, so a backslash there is a plain byte
+      if ((quote == '\'' || quote == '"') && c == '\\' && i + 1 < q.length) {
         sb.setCharAt(i, ' '); sb.setCharAt(i + 1, ' '); i += 2
       } else {
-        if (c == '\'') inStr = !inStr
-        else if (inStr) sb.setCharAt(i, ' ')
+        if (quote == 0 && (c == '\'' || c == '`' || c == '"')) quote = c
+        else if (c == quote) quote = 0
+        else if (quote != 0) sb.setCharAt(i, ' ')
         i += 1
       }
     }
@@ -517,37 +576,20 @@ object ChSql {
     // this block's ORDER BY: depth-0 only (subqueries and OVER clauses
     // sit inside parens), keys end at the next depth-0 tail keyword
     val orderKeys: Option[String] = locally {
-      var d = 0; var found = -1; var i = 0
-      while (i < masked.length) {
-        masked.charAt(i) match {
-          case '(' => d += 1
-          case ')' => d -= 1
-          case 'o' | 'O' if d == 0 &&
-              (i == 0 || !masked.charAt(i - 1).isLetterOrDigit && masked.charAt(i - 1) != '_') &&
-              """(?is)^order\s+by\b""".r.findFirstIn(masked.substring(i)).isDefined =>
-            found = i
-          case _ =>
-        }
-        i += 1
+      // LAST depth-0 ORDER BY of the block (keywordAt demands the BY, so
+      // an `order` identifier never matches); keys run to the clause end
+      var found = -1
+      var next = findTopLevelKeyword(masked, 0, "order")
+      while (next >= 0) {
+        found = next
+        next = findTopLevelKeyword(masked, next + 5, "order")
       }
       if (found < 0) None
       else {
-        val afterKw = found + """(?is)^order\s+by""".r.findFirstIn(masked.substring(found)).get.length
-        // scan forward for the depth-0 terminator of the key list
-        val tail = """(?i)\b(limit|offset|settings|format|union|except|intersect)\b""".r
-        var d2 = 0; var j = afterKw; var end = masked.length
-        while (j < masked.length && end == masked.length) {
-          masked.charAt(j) match {
-            case '(' => d2 += 1
-            case ')' => d2 -= 1
-            case c if d2 == 0 && (c.isLetter) &&
-                !masked.charAt(j - 1).isLetterOrDigit && masked.charAt(j - 1) != '_' &&
-                tail.findPrefixOf(masked.substring(j)).isDefined =>
-              end = j
-            case _ =>
-          }
-          j += 1
-        }
+        val afterKw = found +
+          """(?is)^order\s+by""".r.findFirstIn(masked.substring(found)).get.length
+        val end = clauseEnd(masked, afterKw,
+          Seq("limit", "offset", "settings", "format", "union", "except", "intersect"))
         Some(block.substring(afterKw, end).trim.stripSuffix(";").trim)
       }
     }

@@ -340,14 +340,35 @@ class ChCompatSpec extends SparkSpec {
     def norm(s: String) = s.replaceAll("\\s+", " ").trim
     assert(norm(ChSql.prewhere("SELECT x FROM t PREWHERE a > 0")) ==
       "SELECT x FROM t WHERE a > 0")
-    // PREWHERE + WHERE conjoin (CH applies both)
+    // PREWHERE + WHERE conjoin (CH applies both); BOTH sides are
+    // parenthesized so a top-level OR in the companion binds CH-style:
+    // p AND (a OR b), not (p AND a) OR b
     assert(norm(ChSql.prewhere("SELECT x FROM t PREWHERE a > 0 WHERE b < 2")) ==
-      "SELECT x FROM t WHERE (a > 0) AND b < 2")
+      "SELECT x FROM t WHERE (a > 0) AND (b < 2)")
+    assert(norm(ChSql.prewhere(
+      "SELECT x FROM t PREWHERE p WHERE a = 1 OR b = 2")) ==
+      "SELECT x FROM t WHERE (p) AND (a = 1 OR b = 2)")
+    // the companion expression is clause-bounded: trailing GROUP BY /
+    // ORDER BY / LIMIT stay outside the injected parens
+    assert(norm(ChSql.prewhere(
+      "SELECT a, count(*) FROM t PREWHERE p WHERE b = 1 OR c = 2 GROUP BY a LIMIT 5")) ==
+      "SELECT a, count(*) FROM t WHERE (p) AND (b = 1 OR c = 2) GROUP BY a LIMIT 5")
+    // call-form keyword lookalikes in the PREWHERE expression (CH's
+    // format() function) are NOT clause enders — the companion WHERE
+    // must still be found and merged
+    assert(norm(ChSql.prewhere(
+      "SELECT x FROM t PREWHERE format('{}', d) = 'a' WHERE b = 1")) ==
+      "SELECT x FROM t WHERE (format('{}', d) = 'a') AND (b = 1)")
+    // quoted identifiers named after clause keywords are masked out of
+    // the keyword scans entirely (backtick and double-quote forms)
+    assert(norm(ChSql.prewhere(
+      "SELECT x FROM t PREWHERE `offset` > 0 WHERE \"format\" = 1")) ==
+      "SELECT x FROM t WHERE (`offset` > 0) AND (\"format\" = 1)")
     // a WHERE inside a subquery of the PREWHERE expression belongs to the
     // subquery — the clause pair matches at the same paren depth only
     assert(norm(ChSql.prewhere(
       "SELECT x FROM t PREWHERE k IN (SELECT k2 FROM u WHERE z = 1) WHERE b = 2")) ==
-      "SELECT x FROM t WHERE (k IN (SELECT k2 FROM u WHERE z = 1)) AND b = 2")
+      "SELECT x FROM t WHERE (k IN (SELECT k2 FROM u WHERE z = 1)) AND (b = 2)")
     assert(norm(ChSql.prewhere(
       "SELECT x FROM t PREWHERE k IN (SELECT k2 FROM u WHERE z = 1)")) ==
       "SELECT x FROM t WHERE k IN (SELECT k2 FROM u WHERE z = 1)")
@@ -355,7 +376,7 @@ class ChCompatSpec extends SparkSpec {
     // no stale-offset corruption across edits
     assert(norm(ChSql.prewhere(
       "SELECT x FROM t PREWHERE k IN (SELECT k2 FROM u PREWHERE p WHERE z = 1) WHERE b = 2")) ==
-      "SELECT x FROM t WHERE (k IN (SELECT k2 FROM u WHERE (p) AND z = 1)) AND b = 2")
+      "SELECT x FROM t WHERE (k IN (SELECT k2 FROM u WHERE (p) AND (z = 1) )) AND (b = 2)")
     // the WHERE of a later UNION branch (or past any clause keyword) is
     // NOT this PREWHERE's companion
     assert(norm(ChSql.prewhere(

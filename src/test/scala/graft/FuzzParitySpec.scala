@@ -22,8 +22,10 @@ class FuzzParitySpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.01"
   // 1-200 single-table; 201-260 two-table joins; 261-300 CH-dialect text
-  // through the ChSql shim chain (literal edges in the line of fire)
-  private val seeds = 1 to 300
+  // through the ChSql shim chain (literal edges in the line of fire);
+  // 301-320 keyword-named quoted identifiers + OR-bearing PREWHERE
+  // companions (the clause-boundary scanner edges)
+  private val seeds = 1 to 320
 
   private def duckdbAvailable: Boolean =
     try Seq("python3", "-c", "import duckdb, pandas").! == 0

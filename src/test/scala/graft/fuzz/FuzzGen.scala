@@ -133,7 +133,8 @@ object FuzzGen {
   def queryFor(seed: Int): FuzzQuery = {
     val rnd = new Random(seed.toLong * 1000003L + 17L)
     val name = f"fz$seed%03d"
-    if (seed > 260) chSqlQuery(name, rnd)
+    if (seed > 300) quotedIdentQuery(name, rnd)
+    else if (seed > 260) chSqlQuery(name, rnd)
     else if (seed > 200) aggQuery(name, joins(rnd.nextInt(joins.length)), rnd)
     else {
       val t = tables(rnd.nextInt(tables.length))
@@ -208,6 +209,53 @@ object FuzzGen {
           s"SELECT event_id AS id, " +
             f"CAST(date_diff('day', ts, TIMESTAMP '2024-$m%02d-15 00:00:00') AS BIGINT) AS dd, " +
             s"'$lit' AS s FROM events WHERE $p ORDER BY id LIMIT 40",
+          viaChSql = true)
+    }
+  }
+
+  /** Seeds past 300: quoted identifiers NAMED AFTER clause keywords in the
+    * line of fire of the shim scans (`offset`/`where`/`limit` as aliases,
+    * referenced from ORDER BY), plus an OR-bearing companion WHERE merged
+    * under a PREWHERE — the two scanner edges the sixth review pass hit:
+    * keyword lookalikes must be masked out of the clause-boundary scans
+    * (Spark spells them `backtick`, DuckDB "double-quote"), and the merged
+    * companion must keep its own parens so a top-level OR binds CH-style.
+    */
+  private def quotedIdentQuery(name: String, rnd: Random): FuzzQuery = {
+    val lit = "it''s from (where"
+    val t = tables.find(_.name == "events").get
+    rnd.nextInt(3) match {
+      case 0 => // PREWHERE + OR companion + alias named `offset`
+        val p1 = atom(t, rnd); val p2 = atom(t, rnd); val p3 = atom(t, rnd)
+        FuzzQuery(name,
+          s"SELECT event_type AS `offset`, count(*) AS c, sum(user_id) AS su " +
+            s"FROM events PREWHERE $p1 WHERE $p2 OR $p3 " +
+            "GROUP BY event_type ORDER BY `offset` ASC NULLS FIRST",
+          s"""SELECT event_type AS "offset", count(*) AS c, """ +
+            s"CAST(sum(user_id) AS BIGINT) AS su " +
+            s"FROM events WHERE ($p1) AND ($p2 OR $p3) " +
+            """GROUP BY event_type ORDER BY "offset" ASC NULLS FIRST""",
+          viaChSql = true)
+      case 1 => // alias named `where`, literal keywords, SETTINGS tail
+        val p = atom(t, rnd)
+        FuzzQuery(name,
+          s"SELECT event_type AS `where`, '$lit' AS s, count(*) AS c " +
+            s"FROM events PREWHERE $p GROUP BY event_type " +
+            "ORDER BY `where` ASC NULLS FIRST SETTINGS max_threads = 2",
+          s"""SELECT event_type AS "where", '$lit' AS s, count(*) AS c """ +
+            s"FROM events WHERE $p GROUP BY event_type " +
+            """ORDER BY "where" ASC NULLS FIRST""",
+          viaChSql = true)
+      case _ => // WITH TOTALS under an alias named `limit`
+        val pne = s"user_id % ${2 + rnd.nextInt(8)} = ${rnd.nextInt(2)}"
+        FuzzQuery(name,
+          s"SELECT event_type AS `limit`, sum(user_id) AS su, count(*) AS c " +
+            s"FROM events WHERE $pne GROUP BY event_type WITH TOTALS " +
+            "ORDER BY `limit` ASC NULLS FIRST",
+          s"""SELECT event_type AS "limit", CAST(sum(user_id) AS BIGINT) AS su, """ +
+            s"count(*) AS c FROM events WHERE $pne " +
+            "GROUP BY GROUPING SETS ((event_type), ()) " +
+            """ORDER BY "limit" ASC NULLS FIRST""",
           viaChSql = true)
     }
   }
