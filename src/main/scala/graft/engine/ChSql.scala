@@ -50,62 +50,120 @@ object ChSql {
     q.substring(m.start(g), m.end(g))
 
   /** Applies `f` to each maximal run of non-literal text, passing string
-    * literals through verbatim — the in-place-rewrite twin of
-    * [[replaceOnMasked]] for shims whose regexes stay inside one code run.
+    * literals AND quoted identifiers (backtick / double-quote) through
+    * verbatim — the in-place-rewrite twin of [[replaceOnMasked]] for shims
+    * whose regexes stay inside one code run. A column named `` `a.1` ``
+    * or an alias quoting a shim keyword must never be rewritten, exactly
+    * as [[maskStrings]] hides them from the keyword scans.
     */
   private[engine] def mapCode(q: String)(f: String => String): String = {
     val out = new StringBuilder
     val code = new StringBuilder
-    var i = 0; var inStr = false
+    var i = 0; var quote: Char = 0
     def flush(): Unit = { out.append(f(code.toString)); code.clear() }
     while (i < q.length) {
       val c = q.charAt(i)
-      if (!inStr) {
-        if (c == '\'') { flush(); inStr = true; out += c }
+      if (quote == 0) {
+        if (c == '\'' || c == '`' || c == '"') { flush(); quote = c; out += c }
         else code += c
         i += 1
-      } else if (c == '\\' && i + 1 < q.length) {
+      } else if ((quote == '\'' || quote == '"') && c == '\\' && i + 1 < q.length) {
+        // backslash escapes live in '...' and "..." bodies; backticks
+        // escape only by doubling
         out += c; out += q.charAt(i + 1); i += 2
-      } else { out += c; if (c == '\'') inStr = false; i += 1 }
+      } else { out += c; if (c == quote) quote = 0; i += 1 }
     }
     flush()
     out.toString
   }
 
-  /** Index of the first `kw` keyword at paren depth 0 in `masked`,
-    * scanning from `from`. Returns -1 when the enclosing scope closes
-    * (unbalanced `)`), when any `stopAt` keyword appears first at depth 0,
-    * or when nothing matches. Identifier-boundary-guarded on both sides —
-    * THE shared depth-0 keyword scan (prewhere's WHERE pairing and the
-    * alias-order-key SELECT/FROM location both ride it; hand-rolling a
-    * fourth copy of this loop is how the boundary bugs crept in).
+  private[engine] def isIdentChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+
+  /** First non-whitespace index at or after `from`. */
+  private def skipWs(s: String, from: Int): Int = {
+    var j = from
+    while (j < s.length && s.charAt(j).isWhitespace) j += 1
+    j
+  }
+
+  /** End (exclusive) of the identifier run starting at `from`; == `from`
+    * when no identifier char starts there.
     */
+  private def identEnd(s: String, from: Int): Int = {
+    var j = from
+    while (j < s.length && isIdentChar(s.charAt(j))) j += 1
+    j
+  }
+
+  /** Whole word `w` (case-insensitive, right-boundary-guarded) at `j`? */
+  private def wordAt(s: String, j: Int, w: String): Boolean =
+    s.regionMatches(true, j, w, 0, w.length) &&
+      (j + w.length >= s.length || !isIdentChar(s.charAt(j + w.length)))
+
   /** Does clause keyword `k` match at position `i` of `masked`?
-    * Identifier-boundary-guarded on both sides, plus grammar
-    * disambiguation: `group`/`order` only count when followed by `BY`,
-    * and the keywords that are also legal identifier/function names
-    * (`format(...)` is a CH function, a column can be named `offset`)
-    * do not count in call form (followed by `(`). Reserved set operators
-    * (union/except/intersect) keep matching before `(` — `UNION (SELECT
-    * ...)` is valid SQL and they cannot be function names.
+    * Identifier-boundary-guarded on both sides, plus GRAMMAR-SHAPE
+    * disambiguation for the keywords that are also legal column or
+    * function names — each counts only when followed by the shape its
+    * clause grammar demands:
+    *  - GROUP/ORDER: their `BY`;
+    *  - LIMIT/OFFSET: a numeric literal, `ALL`, or a parenthesized
+    *    constant expression (a column named limit/offset sits before an
+    *    operator instead, and neither can be a function call);
+    *  - SETTINGS: a `name =` pair;
+    *  - FORMAT: one bare identifier closing the statement (CH's output
+    *    format) — `format(...)` the CH function and a `format` column in
+    *    an expression both fail this shape;
+    *  - WINDOW: `ident AS` (the named-window clause).
+    * Fully-reserved words (WHERE/HAVING/UNION/EXCEPT/INTERSECT/QUALIFY/
+    * ...) match on the word boundary alone — `UNION (SELECT ...)` is
+    * valid SQL and none of them can be identifiers. Quoted identifiers
+    * never reach any branch: [[maskStrings]] blanks their bodies.
     */
   private def keywordAt(masked: String, i: Int, k: String): Boolean = {
     if (!masked.regionMatches(true, i, k, 0, k.length)) return false
-    if (i > 0 && (masked.charAt(i - 1).isLetterOrDigit || masked.charAt(i - 1) == '_'))
-      return false
+    if (i > 0 && isIdentChar(masked.charAt(i - 1))) return false
     val after = i + k.length
-    if (after < masked.length &&
-        (masked.charAt(after).isLetterOrDigit || masked.charAt(after) == '_'))
-      return false
+    if (after < masked.length && isIdentChar(masked.charAt(after))) return false
     k.toLowerCase match {
       case "group" | "order" =>
-        """(?is)^\s+by\b""".r.findFirstIn(masked.substring(after)).isDefined
-      case "format" | "window" | "offset" | "limit" | "settings" =>
-        """^\s*\(""".r.findFirstIn(masked.substring(after)).isEmpty
+        after < masked.length && masked.charAt(after).isWhitespace &&
+          wordAt(masked, skipWs(masked, after), "by")
+      case "limit" | "offset" =>
+        val j = skipWs(masked, after)
+        j < masked.length && (masked.charAt(j).isDigit ||
+          masked.charAt(j) == '(' || wordAt(masked, j, "all"))
+      case "settings" =>
+        val j = skipWs(masked, after)
+        val e = identEnd(masked, j)
+        e > j && {
+          val t = skipWs(masked, e)
+          t < masked.length && masked.charAt(t) == '='
+        }
+      case "format" =>
+        val j = skipWs(masked, after)
+        val e = identEnd(masked, j)
+        e > j && masked.charAt(j).isLetter && {
+          val t = skipWs(masked, e)
+          t >= masked.length || masked.charAt(t) == ';' || masked.charAt(t) == ')'
+        }
+      case "window" =>
+        val j = skipWs(masked, after)
+        val e = identEnd(masked, j)
+        e > j && masked.charAt(j).isLetter &&
+          wordAt(masked, skipWs(masked, e), "as")
       case _ => true
     }
   }
 
+  /** Index of the first `kw` keyword at paren depth 0 in `masked`,
+    * scanning from `from`. Returns -1 when the enclosing scope closes
+    * (unbalanced `)`), when any `stopAt` keyword appears first at depth 0,
+    * or when nothing matches. Rides [[keywordAt]]'s boundary + grammar
+    * guards — THE shared depth-0 keyword scan (prewhere's WHERE pairing
+    * and the alias-order-key SELECT/FROM location both ride it;
+    * hand-rolling a fourth copy of this loop is how the boundary bugs
+    * crept in).
+    */
   private[engine] def findTopLevelKeyword(masked: String, from: Int, kw: String,
       stopAt: Seq[String] = Nil): Int = {
     var i = from; var d = 0
@@ -176,8 +234,14 @@ object ChSql {
             val expr = cur.substring(m.end, w).trim
             val wEnd = clauseEnd(masked, w + 5, clauseEnders)
             val companion = cur.substring(w + 5, wEnd).trim
-            sb.replace(m.start, wEnd,
-              s"WHERE ($expr) AND ($companion) "): Unit
+            // empty companion = malformed input (WHERE directly before a
+            // clause keyword); fall back to the unbounded splice rather
+            // than emit `AND ()`
+            if (companion.isEmpty)
+              sb.replace(m.start, w + 5, s"WHERE ($expr) AND"): Unit
+            else
+              sb.replace(m.start, wEnd,
+                s"WHERE ($expr) AND ($companion) "): Unit
           } else sb.replace(m.start, m.end, "WHERE"): Unit
           cur = sb.toString
       }
@@ -250,22 +314,21 @@ object ChSql {
     var itemStart = i
     val items = scala.collection.mutable.ArrayBuffer.empty[String]
     var bodyStart = -1
-    var inStr = false
-    def isIdentChar(c: Char) = c.isLetterOrDigit || c == '_'
+    var quote: Char = 0
     while (i < q.length && bodyStart < 0) {
       val c = q.charAt(i)
-      if (inStr) {
-        if (c == '\\') i += 1
-        else if (c == '\'') inStr = false
+      if (quote != 0) {
+        if ((quote == '\'' || quote == '"') && c == '\\') i += 1
+        else if (c == quote) quote = 0
       }
       else c match {
-        case '\'' => inStr = true
+        case '\'' | '`' | '"' => quote = c
         case '(' => depth += 1
         case ')' => depth -= 1
         case ',' if depth == 0 =>
           items += q.substring(itemStart, i); itemStart = i + 1
         case 's' | 'S' if depth == 0 && !isIdentChar(q.charAt(i - 1)) &&
-            """(?is)^select\b""".r.findFirstIn(q.substring(i)).isDefined =>
+            wordAt(q, i, "select") =>
           items += q.substring(itemStart, i); bodyStart = i
         case _ =>
       }
@@ -308,16 +371,16 @@ object ChSql {
     */
   def chLiterals(q: String): String = {
     val sb = new StringBuilder
-    var i = 0; var inStr = false
+    var i = 0; var quote: Char = 0
     def balancedBracket(from: Int): Int = {
-      var d = 0; var j = from; var s = false
+      var d = 0; var j = from; var qt: Char = 0
       while (j < q.length) {
         val c = q.charAt(j)
-        if (s) {
-          if (c == '\\') j += 1
-          else if (c == '\'') s = false
+        if (qt != 0) {
+          if ((qt == '\'' || qt == '"') && c == '\\') j += 1
+          else if (c == qt) qt = 0
         } else c match {
-          case '\'' => s = true
+          case '\'' | '`' | '"' => qt = c
           case '[' => d += 1
           case ']' => d -= 1; if (d == 0) return j
           case _ =>
@@ -328,13 +391,12 @@ object ChSql {
     }
     def splitTop(body: String): Seq[String] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      var d = 0; var s = false; var start = 0; var j = 0
+      var d = 0; var qt: Char = 0; var start = 0; var j = 0
       while (j < body.length) {
         body.charAt(j) match {
-          case '\\' if s => j += 1
-          case '\'' if !s => s = true
-          case '\'' => s = false
-          case c if s =>
+          case '\\' if qt == '\'' || qt == '"' => j += 1
+          case c if qt != 0 => if (c == qt) qt = 0
+          case c @ ('\'' | '`' | '"') => qt = c
           case '(' | '[' => d += 1
           case ')' | ']' => d -= 1
           case ',' if d == 0 => out += body.substring(start, j); start = j + 1
@@ -347,17 +409,20 @@ object ChSql {
     }
     while (i < q.length) {
       val c = q.charAt(i)
-      if (inStr) {
-        if (c == '\\' && i + 1 < q.length) { sb += c; sb += q.charAt(i + 1); i += 2 }
-        else { sb += c; if (c == '\'') inStr = false; i += 1 }
+      if (quote != 0) {
+        if ((quote == '\'' || quote == '"') && c == '\\' && i + 1 < q.length) {
+          sb += c; sb += q.charAt(i + 1); i += 2
+        }
+        else { sb += c; if (c == quote) quote = 0; i += 1 }
       }
-      else if (c == '\'') { inStr = true; sb += c; i += 1 }
+      else if (c == '\'' || c == '`' || c == '"') { quote = c; sb += c; i += 1 }
       else if (c == '[' && {
-        // a subscript `a[1]` has its identifier (or closing paren/bracket)
-        // IMMEDIATELY before the bracket; any whitespace (or start/other
-        // punctuation) before `[` means a literal
+        // a subscript `a[1]` has its identifier (or closing paren/bracket/
+        // quoted-identifier quote) IMMEDIATELY before the bracket; any
+        // whitespace (or start/other punctuation) before `[` means a literal
         val prev = if (i == 0) ' ' else q.charAt(i - 1)
-        !(prev.isLetterOrDigit || prev == '_' || prev == ')' || prev == ']')
+        !(prev.isLetterOrDigit || prev == '_' || prev == ')' || prev == ']' ||
+          prev == '`' || prev == '"')
       }) {
         val end = balancedBracket(i)
         val items = splitTop(q.substring(i + 1, end)).map { raw =>
@@ -516,14 +581,14 @@ object ChSql {
     * backslash-escape-aware).
     */
   private[engine] def matchingParen(q: String, open: Int): Int = {
-    var d = 0; var s = false; var j = open
+    var d = 0; var quote: Char = 0; var j = open
     while (j < q.length) {
       val c = q.charAt(j)
-      if (s) {
-        if (c == '\\') j += 1
-        else if (c == '\'') s = false
+      if (quote != 0) {
+        if ((quote == '\'' || quote == '"') && c == '\\') j += 1
+        else if (c == quote) quote = 0
       } else c match {
-        case '\'' => s = true
+        case '\'' | '`' | '"' => quote = c
         case '(' => d += 1
         case ')' => d -= 1; if (d == 0) return j
         case _ =>
@@ -533,16 +598,17 @@ object ChSql {
     sys.error(s"runningWindow: unbalanced ( at $open")
   }
 
-  /** Split `body` on top-level commas (string-, escape- and paren-aware). */
+  /** Split `body` on top-level commas (string-, quoted-identifier-,
+    * escape- and paren-aware).
+    */
   private[engine] def splitTopArgs(body: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    var d = 0; var s = false; var start = 0; var j = 0
+    var d = 0; var quote: Char = 0; var start = 0; var j = 0
     while (j < body.length) {
       body.charAt(j) match {
-        case '\\' if s => j += 1
-        case '\'' if !s => s = true
-        case '\'' => s = false
-        case _ if s =>
+        case '\\' if quote == '\'' || quote == '"' => j += 1
+        case c if quote != 0 => if (c == quote) quote = 0
+        case c @ ('\'' | '`' | '"') => quote = c
         case '(' | '[' => d += 1
         case ')' | ']' => d -= 1
         case ',' if d == 0 => out += body.substring(start, j); start = j + 1
@@ -586,8 +652,9 @@ object ChSql {
       }
       if (found < 0) None
       else {
-        val afterKw = found +
-          """(?is)^order\s+by""".r.findFirstIn(masked.substring(found)).get.length
+        // keywordAt proved `found` starts ORDER with a following BY:
+        // skip ORDER (5), the whitespace, and BY (2)
+        val afterKw = skipWs(masked, found + 5) + 2
         val end = clauseEnd(masked, afterKw,
           Seq("limit", "offset", "settings", "format", "union", "except", "intersect"))
         Some(block.substring(afterKw, end).trim.stripSuffix(";").trim)
@@ -629,22 +696,25 @@ object ChSql {
     val names = trioNames
     val sb = new StringBuilder
     var i = 0
-    var inStr = false
+    var quote: Char = 0
     while (i < block.length) {
       val c = block.charAt(i)
-      if (inStr) {
-        if (c == '\\' && i + 1 < block.length) { sb += c; sb += block.charAt(i + 1); i += 2 }
-        else { sb += c; if (c == '\'') inStr = false; i += 1 }
+      if (quote != 0) {
+        if ((quote == '\'' || quote == '"') && c == '\\' && i + 1 < block.length) {
+          sb += c; sb += block.charAt(i + 1); i += 2
+        }
+        else { sb += c; if (c == quote) quote = 0; i += 1 }
       }
-      else if (c == '\'') { inStr = true; sb += c; i += 1 }
+      else if (c == '\'' || c == '`' || c == '"') { quote = c; sb += c; i += 1 }
       else {
-        val prevIdent = i > 0 && (block.charAt(i - 1).isLetterOrDigit || block.charAt(i - 1) == '_')
+        val prevIdent = i > 0 && isIdentChar(block.charAt(i - 1))
         val hit = if (prevIdent) None else names.find { n =>
           block.regionMatches(false, i, n, 0, n.length) && {
             val after = i + n.length
-            after < block.length && !block.charAt(after).isLetterOrDigit &&
-              block.charAt(after) != '_' &&
-              """^\s*\(""".r.findFirstIn(block.substring(after)).isDefined
+            after < block.length && !isIdentChar(block.charAt(after)) && {
+              val j = skipWs(block, after)
+              j < block.length && block.charAt(j) == '('
+            }
           }
         }
         hit match {

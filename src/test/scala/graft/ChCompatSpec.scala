@@ -364,6 +364,35 @@ class ChCompatSpec extends SparkSpec {
     assert(norm(ChSql.prewhere(
       "SELECT x FROM t PREWHERE `offset` > 0 WHERE \"format\" = 1")) ==
       "SELECT x FROM t WHERE (`offset` > 0) AND (\"format\" = 1)")
+    // UNQUOTED keyword-named columns in expression position are not
+    // clause enders either: the grammar-shape guard demands each
+    // keyword's clause shape (LIMIT+number, SETTINGS name=, FORMAT ident
+    // at end, WINDOW ident AS), so `format = 1` / `x + offset > 10` /
+    // `settings = 1` / `window > 5` stay inside the companion
+    assert(norm(ChSql.prewhere(
+      "SELECT x FROM t PREWHERE p WHERE format = 1")) ==
+      "SELECT x FROM t WHERE (p) AND (format = 1)")
+    assert(norm(ChSql.prewhere(
+      "SELECT x FROM t PREWHERE offset > 0 WHERE b = 1")) ==
+      "SELECT x FROM t WHERE (offset > 0) AND (b = 1)")
+    assert(norm(ChSql.prewhere(
+      "SELECT a, count(*) FROM t PREWHERE p WHERE x + offset > 10 OR settings = 1 " +
+        "GROUP BY a")) ==
+      "SELECT a, count(*) FROM t WHERE (p) AND (x + offset > 10 OR settings = 1) GROUP BY a")
+    assert(norm(ChSql.prewhere(
+      "SELECT x FROM t PREWHERE p WHERE window > 5 AND b = format")) ==
+      "SELECT x FROM t WHERE (p) AND (window > 5 AND b = format)")
+    // ...while the real clause shapes still end the companion: LIMIT with
+    // a number AND with a parenthesized constant (never a function call)
+    assert(norm(ChSql.prewhere(
+      "SELECT x FROM t PREWHERE p WHERE b = 1 LIMIT 5")) ==
+      "SELECT x FROM t WHERE (p) AND (b = 1) LIMIT 5")
+    assert(norm(ChSql.prewhere(
+      "SELECT x FROM t PREWHERE p WHERE b = 1 LIMIT (1+1)")) ==
+      "SELECT x FROM t WHERE (p) AND (b = 1) LIMIT (1+1)")
+    assert(norm(ChSql.prewhere(
+      "SELECT x FROM t PREWHERE p WHERE b = 1 FORMAT TabSeparated")) ==
+      "SELECT x FROM t WHERE (p) AND (b = 1) FORMAT TabSeparated")
     // a WHERE inside a subquery of the PREWHERE expression belongs to the
     // subquery — the clause pair matches at the same paren depth only
     assert(norm(ChSql.prewhere(
@@ -418,6 +447,10 @@ class ChCompatSpec extends SparkSpec {
     assert(ChSql.tupleIndex("SELECT a.1, a.23 FROM t WHERE x = 1.5") ==
       "SELECT a.col1, a.col23 FROM t WHERE x = 1.5")
     assert(ChSql.tupleIndex("SELECT 'a.1' FROM t") == "SELECT 'a.1' FROM t")
+    // quoted identifiers pass through the in-place rewrites verbatim —
+    // a column literally named `a.1` is not positional tuple access
+    assert(ChSql.tupleIndex("SELECT `a.1`, \"b.2\" FROM t") ==
+      "SELECT `a.1`, \"b.2\" FROM t")
     // a backslash-escaped quote must not flip the code/literal parity:
     // text after 'don\'t v1.1' is code (p.1 rewrites, xxHash64 rewrites),
     // text inside it is data (v1.1 stays)
@@ -461,6 +494,10 @@ class ChCompatSpec extends SparkSpec {
       "SELECT (2) + 1 AS v FROM t WHERE x < (2)")
     assert(norm(ChSql.scalarWith("WITH 2 AS a, a * 3 AS b SELECT b FROM t")) ==
       "SELECT ((2) * 3) FROM t")
+    // a quoted identifier spelling the alias name is NOT a reference to
+    // it — `n` the column survives while bare n inlines
+    assert(norm(ChSql.scalarWith("WITH 2 AS n SELECT `n` AS x, n AS y FROM t")) ==
+      "SELECT `n` AS x, (2) AS y FROM t")
     assert(norm(ChSql.scalarWith("WITH 10 AS lim SELECT 'lim is lim' AS s, lim FROM t")) ==
       "SELECT 'lim is lim' AS s, (10) FROM t")
     // real CTE lists pass through untouched (Spark owns them)
