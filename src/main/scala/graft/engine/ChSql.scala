@@ -100,20 +100,45 @@ object ChSql {
     s.regionMatches(true, j, w, 0, w.length) &&
       (j + w.length >= s.length || !isIdentChar(s.charAt(j + w.length)))
 
+  /** End (exclusive) of the NAME token at `j`: a bare identifier run or a
+    * quoted identifier (masked bodies are blanked but the quote chars
+    * survive, so scanning to the matching quote is exact). Returns `j`
+    * when neither starts there (or the quote never closes).
+    */
+  private def nameTokenEnd(masked: String, j: Int): Int =
+    if (j < masked.length && (masked.charAt(j) == '`' || masked.charAt(j) == '"')) {
+      val qc = masked.charAt(j)
+      var e = j + 1
+      while (e < masked.length && masked.charAt(e) != qc) e += 1
+      if (e < masked.length) e + 1 else j
+    } else identEnd(masked, j)
+
+  /** Is position `i` (a char of `masked`) the `(` opening a
+    * `(SELECT ...)` / `(WITH ...)` subquery?
+    */
+  private def subqueryOpenAt(masked: String, i: Int): Boolean =
+    masked.charAt(i) == '(' && {
+      val j = skipWs(masked, i + 1)
+      wordAt(masked, j, "select") || wordAt(masked, j, "with")
+    }
+
   /** Does clause keyword `k` match at position `i` of `masked`?
     * Identifier-boundary-guarded on both sides, plus GRAMMAR-SHAPE
     * disambiguation for the keywords that are also legal column or
     * function names — each counts only when followed by the shape its
     * clause grammar demands:
     *  - GROUP/ORDER: their `BY`;
-    *  - LIMIT/OFFSET: a numeric literal, `ALL`, or a parenthesized
-    *    constant expression (a column named limit/offset sits before an
-    *    operator instead, and neither can be a function call);
+    *  - LIMIT/OFFSET: a numeric literal, `ALL`, a parenthesized constant
+    *    expression, or a CH `{param:Type}` query parameter (a column
+    *    named limit/offset sits before an operator instead, and neither
+    *    can be a function call);
     *  - SETTINGS: a `name =` pair;
-    *  - FORMAT: one bare identifier closing the statement (CH's output
-    *    format) — `format(...)` the CH function and a `format` column in
-    *    an expression both fail this shape;
-    *  - WINDOW: `ident AS` (the named-window clause).
+    *  - FORMAT: one (possibly quoted) format name followed only by what
+    *    may close a statement (end / `;` / `)` / a SETTINGS clause) —
+    *    `format(...)` the CH function and a `format` column in an
+    *    expression both fail this shape;
+    *  - WINDOW: `name AS` (the named-window clause), name possibly
+    *    quoted.
     * Fully-reserved words (WHERE/HAVING/UNION/EXCEPT/INTERSECT/QUALIFY/
     * ...) match on the word boundary alone — `UNION (SELECT ...)` is
     * valid SQL and none of them can be identifiers. Quoted identifiers
@@ -129,9 +154,12 @@ object ChSql {
         after < masked.length && masked.charAt(after).isWhitespace &&
           wordAt(masked, skipWs(masked, after), "by")
       case "limit" | "offset" =>
+        // number, ALL, parenthesized constant, or a CH {param:Type}
+        // query parameter — never a function call
         val j = skipWs(masked, after)
         j < masked.length && (masked.charAt(j).isDigit ||
-          masked.charAt(j) == '(' || wordAt(masked, j, "all"))
+          masked.charAt(j) == '(' || masked.charAt(j) == '{' ||
+          wordAt(masked, j, "all"))
       case "settings" =>
         val j = skipWs(masked, after)
         val e = identEnd(masked, j)
@@ -140,16 +168,20 @@ object ChSql {
           t < masked.length && masked.charAt(t) == '='
         }
       case "format" =>
+        // one (possibly quoted) format name, then only what CH's grammar
+        // allows after the output format: end, ';', scope close, or a
+        // trailing SETTINGS clause
         val j = skipWs(masked, after)
-        val e = identEnd(masked, j)
-        e > j && masked.charAt(j).isLetter && {
+        val e = nameTokenEnd(masked, j)
+        e > j && !masked.charAt(j).isDigit && masked.charAt(j) != '_' && {
           val t = skipWs(masked, e)
-          t >= masked.length || masked.charAt(t) == ';' || masked.charAt(t) == ')'
+          t >= masked.length || masked.charAt(t) == ';' ||
+            masked.charAt(t) == ')' || wordAt(masked, t, "settings")
         }
       case "window" =>
         val j = skipWs(masked, after)
-        val e = identEnd(masked, j)
-        e > j && masked.charAt(j).isLetter &&
+        val e = nameTokenEnd(masked, j)
+        e > j && !masked.charAt(j).isDigit &&
           wordAt(masked, skipWs(masked, e), "as")
       case _ => true
     }
@@ -389,24 +421,6 @@ object ChSql {
       }
       sys.error(s"chLiterals: unbalanced [ at $from")
     }
-    def splitTop(body: String): Seq[String] = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      var d = 0; var qt: Char = 0; var start = 0; var j = 0
-      while (j < body.length) {
-        body.charAt(j) match {
-          case '\\' if qt == '\'' || qt == '"' => j += 1
-          case c if qt != 0 => if (c == qt) qt = 0
-          case c @ ('\'' | '`' | '"') => qt = c
-          case '(' | '[' => d += 1
-          case ')' | ']' => d -= 1
-          case ',' if d == 0 => out += body.substring(start, j); start = j + 1
-          case _ =>
-        }
-        j += 1
-      }
-      out += body.substring(start)
-      out.toSeq
-    }
     while (i < q.length) {
       val c = q.charAt(i)
       if (quote != 0) {
@@ -425,12 +439,12 @@ object ChSql {
           prev == '`' || prev == '"')
       }) {
         val end = balancedBracket(i)
-        val items = splitTop(q.substring(i + 1, end)).map { raw =>
+        val items = splitTopArgs(q.substring(i + 1, end)).map { raw =>
           val e = chLiterals(raw).trim
           // (a, b, ...) with a top-level comma is a CH tuple literal;
           // (expr) without one is plain grouping (CH agrees)
           if (e.startsWith("(") && e.endsWith(")") &&
-              splitTop(e.substring(1, e.length - 1)).length > 1) "tuple" + e
+              splitTopArgs(e.substring(1, e.length - 1)).length > 1) "tuple" + e
           else e
         }
         sb.append("array(").append(items.mkString(", ")).append(")")
@@ -525,16 +539,16 @@ object ChSql {
     val masked = maskStrings(s)
     var i = 0
     while (i < s.length) {
-      if (masked.charAt(i) == '(' &&
-          """(?is)^\(\s*(select|with)\b""".r.findFirstIn(masked.substring(i)).isDefined)
+      if (subqueryOpenAt(masked, i))
         i = matchingParen(s, i) + 1
       else {
-        val prevIdent = i > 0 &&
-          (masked.charAt(i - 1).isLetterOrDigit || masked.charAt(i - 1) == '_')
-        if (!prevIdent && trioNames.exists(n =>
-            masked.regionMatches(false, i, n, 0, n.length) &&
-              """^\s*\(""".r.findFirstIn(masked.substring(
-                math.min(i + n.length, masked.length))).isDefined))
+        val prevIdent = i > 0 && isIdentChar(masked.charAt(i - 1))
+        if (!prevIdent && trioNames.exists { n =>
+            masked.regionMatches(false, i, n, 0, n.length) && {
+              val j = skipWs(masked, i + n.length)
+              j < masked.length && masked.charAt(j) == '('
+            }
+          })
           return true
         i += 1
       }
@@ -756,8 +770,7 @@ object ChSql {
             sb.append(rewriteRunningCall(n, args, orderKeys, aliases))
             i = close + 1
           case None =>
-            if (c == '(' &&
-                """(?is)^\(\s*(select|with)\b""".r.findFirstIn(masked.substring(i)).isDefined) {
+            if (c == '(' && subqueryOpenAt(masked, i)) {
               val close = matchingParen(block, i)
               sb.append('(')
                 .append(rewriteRunningBlock(block.substring(i + 1, close), aliases))

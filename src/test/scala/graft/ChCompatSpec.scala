@@ -393,6 +393,20 @@ class ChCompatSpec extends SparkSpec {
     assert(norm(ChSql.prewhere(
       "SELECT x FROM t PREWHERE p WHERE b = 1 FORMAT TabSeparated")) ==
       "SELECT x FROM t WHERE (p) AND (b = 1) FORMAT TabSeparated")
+    // ...and the rarer valid clause forms: FORMAT before a trailing
+    // SETTINGS, a quoted format/window name, a {param:Type} LIMIT value
+    assert(norm(ChSql.prewhere(
+      "SELECT x FROM t PREWHERE p WHERE b = 1 FORMAT JSON SETTINGS max_threads = 1")) ==
+      "SELECT x FROM t WHERE (p) AND (b = 1) FORMAT JSON SETTINGS max_threads = 1")
+    assert(norm(ChSql.prewhere(
+      "SELECT x FROM t PREWHERE p WHERE b = 1 FORMAT `JSONEachRow`")) ==
+      "SELECT x FROM t WHERE (p) AND (b = 1) FORMAT `JSONEachRow`")
+    assert(norm(ChSql.prewhere(
+      "SELECT x FROM t PREWHERE p WHERE b = 1 WINDOW `w` AS (ORDER BY x)")) ==
+      "SELECT x FROM t WHERE (p) AND (b = 1) WINDOW `w` AS (ORDER BY x)")
+    assert(norm(ChSql.prewhere(
+      "SELECT x FROM t PREWHERE p WHERE b = 1 LIMIT {n:UInt64}")) ==
+      "SELECT x FROM t WHERE (p) AND (b = 1) LIMIT {n:UInt64}")
     // a WHERE inside a subquery of the PREWHERE expression belongs to the
     // subquery — the clause pair matches at the same paren depth only
     assert(norm(ChSql.prewhere(
