@@ -109,8 +109,15 @@ object ChSql {
     if (j < masked.length && (masked.charAt(j) == '`' || masked.charAt(j) == '"')) {
       val qc = masked.charAt(j)
       var e = j + 1
-      while (e < masked.length && masked.charAt(e) != qc) e += 1
-      if (e < masked.length) e + 1 else j
+      var closed = false
+      while (e < masked.length && !closed) {
+        if (masked.charAt(e) == qc) {
+          // a doubled quote char is the in-identifier escape, not the close
+          if (e + 1 < masked.length && masked.charAt(e + 1) == qc) e += 2
+          else closed = true
+        } else e += 1
+      }
+      if (closed) e + 1 else j
     } else identEnd(masked, j)
 
   /** Is position `i` (a char of `masked`) the `(` opening a
@@ -175,8 +182,11 @@ object ChSql {
         val e = nameTokenEnd(masked, j)
         e > j && !masked.charAt(j).isDigit && masked.charAt(j) != '_' && {
           val t = skipWs(masked, e)
+          // the follower must itself be SHAPED as a SETTINGS clause
+          // (name =), not merely spell the word — `x < format AND
+          // settings = 1` with format/settings COLUMNS must not match
           t >= masked.length || masked.charAt(t) == ';' ||
-            masked.charAt(t) == ')' || wordAt(masked, t, "settings")
+            masked.charAt(t) == ')' || keywordAt(masked, t, "settings")
         }
       case "window" =>
         val j = skipWs(masked, after)
@@ -281,9 +291,21 @@ object ChSql {
     cur
   }
 
-  /** Drop a trailing `FORMAT <name>` (with or without closing `;`). */
+  /** A FORMAT/WINDOW name in a regex over MASKED text: bare identifier,
+    * or a quoted identifier whose masked body is blanks/escaped quotes.
+    */
+  private val nameRe = """(?:\w+|`[^`]*`|"[^"]*")"""
+
+  /** Drop a trailing `FORMAT <name>` (with or without closing `;`), or a
+    * `FORMAT <name>` directly before a statement-final SETTINGS clause —
+    * CH accepts both orders. The name may be quoted. A `format` COLUMN
+    * never matches: in expression position the follower is an operator,
+    * not `;`/end/`settings name =` (same shape rule as [[keywordAt]]).
+    */
   def stripFormat(q: String): String =
-    replaceOnMasked(q, """(?is)\bformat\s+\w+\s*;?\s*$""".r)(_ => "")
+    replaceOnMasked(q,
+      ("(?is)\\bformat\\s+" + nameRe +
+        "\\s*(?:;?\\s*$|(?=settings\\s+\\w+\\s*=))").r)(_ => "")
 
   /** Drop a trailing `SETTINGS k = v[, ...]` clause — CH's per-query
     * engine knobs (max_threads, max_memory_usage, ...); Spark's execution
@@ -299,7 +321,7 @@ object ChSql {
     val v = "(?:'(?:[^']|'')*'|[^,;\\s]+)"
     replaceOnMasked(q,
       (s"(?is)\\bsettings\\s+\\w+\\s*=\\s*$v(\\s*,\\s*\\w+\\s*=\\s*$v)*" +
-        "(?=\\s*(format\\s+\\w+\\s*)?;?\\s*$)").r)(_ => "")
+        "(?=\\s*(format\\s+" + nameRe + "\\s*)?;?\\s*$)").r)(_ => "")
   }
 
   /** `GROUP BY keys WITH TOTALS` → `GROUP BY GROUPING SETS ((keys), ())`. */

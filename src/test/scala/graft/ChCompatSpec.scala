@@ -407,6 +407,23 @@ class ChCompatSpec extends SparkSpec {
     assert(norm(ChSql.prewhere(
       "SELECT x FROM t PREWHERE p WHERE b = 1 LIMIT {n:UInt64}")) ==
       "SELECT x FROM t WHERE (p) AND (b = 1) LIMIT {n:UInt64}")
+    // doubled-quote escapes inside a quoted clause name still tokenize
+    assert(norm(ChSql.prewhere(
+      "SELECT x FROM t PREWHERE p WHERE b = 1 WINDOW `a``b` AS (ORDER BY x)")) ==
+      "SELECT x FROM t WHERE (p) AND (b = 1) WINDOW `a``b` AS (ORDER BY x)")
+    // a SETTINGS follower must be clause-SHAPED (name =): format/settings
+    // as columns in one expression never truncate the companion
+    assert(norm(ChSql.prewhere(
+      "SELECT x FROM t PREWHERE p WHERE x < format AND settings = 1")) ==
+      "SELECT x FROM t WHERE (p) AND (x < format AND settings = 1)")
+    // ...and the strip layer accepts the same shapes the scanner does:
+    // quoted format names, and FORMAT in either order around SETTINGS
+    assert(norm(ChSql.stripFormat("SELECT x FROM t FORMAT `JSONEachRow`")) ==
+      "SELECT x FROM t")
+    assert(norm(ChSql("SELECT x FROM t ORDER BY x FORMAT JSON SETTINGS max_threads = 1")) ==
+      "SELECT x FROM t ORDER BY x")
+    assert(norm(ChSql("SELECT x FROM t ORDER BY x SETTINGS max_threads = 1 FORMAT `JSON`")) ==
+      "SELECT x FROM t ORDER BY x")
     // a WHERE inside a subquery of the PREWHERE expression belongs to the
     // subquery — the clause pair matches at the same paren depth only
     assert(norm(ChSql.prewhere(
