@@ -292,9 +292,10 @@ object ChSql {
   }
 
   /** A FORMAT/WINDOW name in a regex over MASKED text: bare identifier,
-    * or a quoted identifier whose masked body is blanks/escaped quotes.
+    * or a quoted identifier whose masked body is blanks plus surviving
+    * doubled-quote escapes (the same alternation [[nameTokenEnd]] scans).
     */
-  private val nameRe = """(?:\w+|`[^`]*`|"[^"]*")"""
+  private val nameRe = """(?:\w+|`(?:[^`]|``)*`|"(?:[^"]|"")*")"""
 
   /** Drop a trailing `FORMAT <name>` (with or without closing `;`), or a
     * `FORMAT <name>` directly before a statement-final SETTINGS clause —
@@ -304,8 +305,11 @@ object ChSql {
     */
   def stripFormat(q: String): String =
     replaceOnMasked(q,
+      // \s+ (not \s*) before the SETTINGS lookahead: without it the \w+
+      // name could backtrack and split an identifier ending in
+      // "...settings" mid-word
       ("(?is)\\bformat\\s+" + nameRe +
-        "\\s*(?:;?\\s*$|(?=settings\\s+\\w+\\s*=))").r)(_ => "")
+        "(?:\\s*;?\\s*$|\\s+(?=settings\\s+\\w+\\s*=))").r)(_ => "")
 
   /** Drop a trailing `SETTINGS k = v[, ...]` clause — CH's per-query
     * engine knobs (max_threads, max_memory_usage, ...); Spark's execution

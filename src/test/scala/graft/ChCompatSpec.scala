@@ -424,6 +424,12 @@ class ChCompatSpec extends SparkSpec {
       "SELECT x FROM t ORDER BY x")
     assert(norm(ChSql("SELECT x FROM t ORDER BY x SETTINGS max_threads = 1 FORMAT `JSON`")) ==
       "SELECT x FROM t ORDER BY x")
+    // strip layer matches the scanner on doubled-quote-escaped names and
+    // never splits an identifier ending in "...settings" mid-word
+    assert(norm(ChSql("SELECT x FROM t ORDER BY x SETTINGS max_threads = 1 FORMAT `a``b`")) ==
+      "SELECT x FROM t ORDER BY x")
+    assert(norm(ChSql.stripFormat("SELECT 1 FORMAT myformatsettings x = 1")) ==
+      "SELECT 1 FORMAT myformatsettings x = 1")
     // a WHERE inside a subquery of the PREWHERE expression belongs to the
     // subquery — the clause pair matches at the same paren depth only
     assert(norm(ChSql.prewhere(
