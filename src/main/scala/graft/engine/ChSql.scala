@@ -305,11 +305,12 @@ object ChSql {
     */
   def stripFormat(q: String): String =
     replaceOnMasked(q,
-      // \s+ (not \s*) before the SETTINGS lookahead: without it the \w+
-      // name could backtrack and split an identifier ending in
-      // "...settings" mid-word
+      // before the SETTINGS lookahead: \s+ after a BARE name (without it
+      // the \w+ could backtrack and split an identifier ending in
+      // "...settings" mid-word), or nothing after a QUOTED name (the
+      // closing quote already ends the token unambiguously)
       ("(?is)\\bformat\\s+" + nameRe +
-        "(?:\\s*;?\\s*$|\\s+(?=settings\\s+\\w+\\s*=))").r)(_ => "")
+        "(?:\\s*;?\\s*$|(?:\\s+|(?<=[`\"]))(?=settings\\s+\\w+\\s*=))").r)(_ => "")
 
   /** Drop a trailing `SETTINGS k = v[, ...]` clause — CH's per-query
     * engine knobs (max_threads, max_memory_usage, ...); Spark's execution
