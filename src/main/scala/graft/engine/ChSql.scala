@@ -305,11 +305,12 @@ object ChSql {
     */
   def stripFormat(q: String): String =
     replaceOnMasked(q,
-      // before the SETTINGS lookahead: \s+ after a BARE name (without it
-      // the \w+ could backtrack and split an identifier ending in
-      // "...settings" mid-word), or nothing after a QUOTED name (the
-      // closing quote already ends the token unambiguously)
-      ("(?is)\\bformat\\s+" + nameRe +
+      // quote chars end/begin tokens on their own, so a QUOTED name needs
+      // no whitespace on either side of it (same boundary rule as the
+      // keyword scanner); a BARE name needs \s+ before the SETTINGS
+      // lookahead or the \w+ could backtrack and split an identifier
+      // ending in "...settings" mid-word
+      ("(?is)\\bformat(?:\\s+|(?=[`\"]))" + nameRe +
         "(?:\\s*;?\\s*$|(?:\\s+|(?<=[`\"]))(?=settings\\s+\\w+\\s*=))").r)(_ => "")
 
   /** Drop a trailing `SETTINGS k = v[, ...]` clause — CH's per-query

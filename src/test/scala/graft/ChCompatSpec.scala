@@ -430,9 +430,14 @@ class ChCompatSpec extends SparkSpec {
       "SELECT x FROM t ORDER BY x")
     assert(norm(ChSql.stripFormat("SELECT 1 FORMAT myformatsettings x = 1")) ==
       "SELECT 1 FORMAT myformatsettings x = 1")
-    // a quoted name's closing quote ends the token without whitespace
+    // quote chars bound tokens without whitespace, on BOTH sides of the
+    // name and in BOTH quote styles — asserted on stripFormat directly
     assert(norm(ChSql("SELECT 1 FORMAT `JSON`SETTINGS max_threads = 1")) ==
       "SELECT 1")
+    assert(norm(ChSql.stripFormat("SELECT 1 FORMAT`JSON`")) == "SELECT 1")
+    assert(norm(ChSql.stripFormat(
+      "SELECT 1 FORMAT \"JSON\"SETTINGS max_threads = 1")) ==
+      "SELECT 1 SETTINGS max_threads = 1")
     // a WHERE inside a subquery of the PREWHERE expression belongs to the
     // subquery — the clause pair matches at the same paren depth only
     assert(norm(ChSql.prewhere(
