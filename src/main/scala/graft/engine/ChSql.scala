@@ -297,6 +297,13 @@ object ChSql {
     */
   private val nameRe = """(?:\w+|`(?:[^`]|``)*`|"(?:[^"]|"")*")"""
 
+  /** `FORMAT <name>` with the shared token-boundary rule — a quoted name
+    * needs no whitespace after the keyword (the opening quote ends the
+    * token). ONE sub-pattern used by both [[stripFormat]] and
+    * [[stripSettings]] so the two strips cannot drift.
+    */
+  private val formatClauseRe = "format(?:\\s+|(?=[`\"]))" + nameRe
+
   /** Drop a trailing `FORMAT <name>` (with or without closing `;`), or a
     * `FORMAT <name>` directly before a statement-final SETTINGS clause —
     * CH accepts both orders. The name may be quoted. A `format` COLUMN
@@ -310,7 +317,7 @@ object ChSql {
       // keyword scanner); a BARE name needs \s+ before the SETTINGS
       // lookahead or the \w+ could backtrack and split an identifier
       // ending in "...settings" mid-word
-      ("(?is)\\bformat(?:\\s+|(?=[`\"]))" + nameRe +
+      ("(?is)\\b" + formatClauseRe +
         "(?:\\s*;?\\s*$|(?:\\s+|(?<=[`\"]))(?=settings\\s+\\w+\\s*=))").r)(_ => "")
 
   /** Drop a trailing `SETTINGS k = v[, ...]` clause — CH's per-query
@@ -327,7 +334,7 @@ object ChSql {
     val v = "(?:'(?:[^']|'')*'|[^,;\\s]+)"
     replaceOnMasked(q,
       (s"(?is)\\bsettings\\s+\\w+\\s*=\\s*$v(\\s*,\\s*\\w+\\s*=\\s*$v)*" +
-        "(?=\\s*(format\\s+" + nameRe + "\\s*)?;?\\s*$)").r)(_ => "")
+        "(?=\\s*(" + formatClauseRe + "\\s*)?;?\\s*$)").r)(_ => "")
   }
 
   /** `GROUP BY keys WITH TOTALS` → `GROUP BY GROUPING SETS ((keys), ())`. */

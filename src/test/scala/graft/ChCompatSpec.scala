@@ -438,6 +438,11 @@ class ChCompatSpec extends SparkSpec {
     assert(norm(ChSql.stripFormat(
       "SELECT 1 FORMAT \"JSON\"SETTINGS max_threads = 1")) ==
       "SELECT 1 SETTINGS max_threads = 1")
+    // stripSettings' trailing-FORMAT lookahead shares the same boundary
+    // rule (one sub-pattern, so the two strips cannot drift)
+    assert(norm(ChSql.stripSettings(
+      "SELECT 1 SETTINGS max_threads = 1 FORMAT`JSON`")) ==
+      "SELECT 1 FORMAT`JSON`")
     // a WHERE inside a subquery of the PREWHERE expression belongs to the
     // subquery — the clause pair matches at the same paren depth only
     assert(norm(ChSql.prewhere(
