@@ -302,7 +302,7 @@ object ChSql {
     * token). ONE sub-pattern used by both [[stripFormat]] and
     * [[stripSettings]] so the two strips cannot drift.
     */
-  private val formatClauseRe = "format(?:\\s+|(?=[`\"]))" + nameRe
+  private val formatClauseRe = "\\bformat(?:\\s+|(?=[`\"]))" + nameRe
 
   /** Drop a trailing `FORMAT <name>` (with or without closing `;`), or a
     * `FORMAT <name>` directly before a statement-final SETTINGS clause —
@@ -317,7 +317,7 @@ object ChSql {
       // keyword scanner); a BARE name needs \s+ before the SETTINGS
       // lookahead or the \w+ could backtrack and split an identifier
       // ending in "...settings" mid-word
-      ("(?is)\\b" + formatClauseRe +
+      ("(?is)" + formatClauseRe +
         "(?:\\s*;?\\s*$|(?:\\s+|(?<=[`\"]))(?=settings\\s+\\w+\\s*=))").r)(_ => "")
 
   /** Drop a trailing `SETTINGS k = v[, ...]` clause — CH's per-query
