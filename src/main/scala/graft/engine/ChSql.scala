@@ -331,7 +331,11 @@ object ChSql {
     // MASKED text: literal contents are blanks, but the QUOTE characters
     // of a doubled '' escape survive masking, so the literal alternation
     // must still accept them — hence ('' | [^']) inside the quotes
-    val v = "(?:'(?:[^']|'')*'|[^,;\\s]+)"
+    // the bare-token arm is POSSESSIVE ([^,;\s]++): a value runs to the
+    // next separator and never backtracks, so the trailing-FORMAT
+    // lookahead cannot split a value like `x-format` at any boundary —
+    // the same rule CH's own lexer applies
+    val v = "(?:'(?:[^']|'')*'|[^,;\\s]++)"
     replaceOnMasked(q,
       (s"(?is)\\bsettings\\s+\\w+\\s*=\\s*$v(\\s*,\\s*\\w+\\s*=\\s*$v)*" +
         "(?=\\s*(" + formatClauseRe + "\\s*)?;?\\s*$)").r)(_ => "")

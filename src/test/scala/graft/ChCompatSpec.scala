@@ -443,10 +443,12 @@ class ChCompatSpec extends SparkSpec {
     assert(norm(ChSql.stripSettings(
       "SELECT 1 SETTINGS max_threads = 1 FORMAT`JSON`")) ==
       "SELECT 1 FORMAT`JSON`")
-    // the shared pattern carries its own \b: a value token ending in
-    // "...format..." can never be split by the lookahead
+    // a settings value token is possessive: the trailing-FORMAT lookahead
+    // can never split it, at word-char or non-word-char boundaries alike
     assert(norm(ChSql.stripSettings("SELECT 1 SETTINGS a = 1format x")) ==
       "SELECT 1 SETTINGS a = 1format x")
+    assert(norm(ChSql.stripSettings("SELECT 1 SETTINGS a = x-format json")) ==
+      "SELECT 1 SETTINGS a = x-format json")
     // a WHERE inside a subquery of the PREWHERE expression belongs to the
     // subquery — the clause pair matches at the same paren depth only
     assert(norm(ChSql.prewhere(
