@@ -333,8 +333,10 @@ object ChSql {
     // must still accept them — hence ('' | [^']) inside the quotes
     // the bare-token arm is POSSESSIVE ([^,;\s]++): a value runs to the
     // next separator and never backtracks, so the trailing-FORMAT
-    // lookahead cannot split a value like `x-format` at any boundary —
-    // the same rule CH's own lexer applies
+    // lookahead cannot split a value like `x-format` at any boundary.
+    // Strictly MORE conservative than CH's lexer (which would tokenize
+    // x-format as three tokens and reject the statement): malformed
+    // input passes through unstripped instead of being mangled
     val v = "(?:'(?:[^']|'')*'|[^,;\\s]++)"
     replaceOnMasked(q,
       (s"(?is)\\bsettings\\s+\\w+\\s*=\\s*$v(\\s*,\\s*\\w+\\s*=\\s*$v)*" +
