@@ -175,12 +175,15 @@ object ChSql {
           t < masked.length && masked.charAt(t) == '='
         }
       case "format" =>
-        // one (possibly quoted) format name, then only what CH's grammar
-        // allows after the output format: end, ';', scope close, or a
-        // trailing SETTINGS clause
+        // one (possibly quoted) format name — but never a bare
+        // trailing-word lookalike (ASC/DESC/NULLS...: `ORDER BY format
+        // ASC` is a format COLUMN) — then only what CH's grammar allows
+        // after the output format: end, ';', scope close, or a trailing
+        // SETTINGS clause
         val j = skipWs(masked, after)
         val e = nameTokenEnd(masked, j)
-        e > j && !masked.charAt(j).isDigit && masked.charAt(j) != '_' && {
+        e > j && !masked.charAt(j).isDigit && masked.charAt(j) != '_' &&
+        !notFormatNameSet.contains(masked.substring(j, e).toLowerCase) && {
           val t = skipWs(masked, e)
           // the follower must itself be SHAPED as a SETTINGS clause
           // (name =), not merely spell the word — `x < format AND
@@ -199,7 +202,8 @@ object ChSql {
 
   /** Index of the first `kw` keyword at paren depth 0 in `masked`,
     * scanning from `from`. Returns -1 when the enclosing scope closes
-    * (unbalanced `)`), when any `stopAt` keyword appears first at depth 0,
+    * (unbalanced `)`), at a depth-0 `;` (statement boundary), when any
+    * `stopAt` keyword appears first at depth 0,
     * or when nothing matches. Rides [[keywordAt]]'s boundary + grammar
     * guards — THE shared depth-0 keyword scan (prewhere's WHERE pairing
     * and the alias-order-key SELECT/FROM location both ride it;
@@ -213,6 +217,10 @@ object ChSql {
       val c = masked.charAt(i)
       if (c == '(') d += 1
       else if (c == ')') { if (d == 0) return -1 else d -= 1 }
+      // a clause never crosses a statement boundary (same rule as
+      // clauseEnd) — without this, a PREWHERE would pair with the WHERE
+      // of the NEXT statement
+      else if (c == ';' && d == 0) return -1
       else if (d == 0 && c.isLetter) {
         if (keywordAt(masked, i, kw)) return i
         if (stopAt.exists(keywordAt(masked, i, _))) return -1
@@ -295,14 +303,32 @@ object ChSql {
     * or a quoted identifier whose masked body is blanks plus surviving
     * doubled-quote escapes (the same alternation [[nameTokenEnd]] scans).
     */
-  private val nameRe = """(?:\w+|`(?:[^`]|``)*`|"(?:[^"]|"")*")"""
+  private val quotedNameRe = """(?:`(?:[^`]|``)*`|"(?:[^"]|"")*")"""
+  private val nameRe = "(?:\\w+|" + quotedNameRe + ")"
+
+  /** Words that can trail an expression or ORDER BY key list and are
+    * therefore NEVER a bare FORMAT name — without this, `ORDER BY format
+    * ASC` (a column named format, statement-final direction) would read
+    * as `FORMAT ASC` and truncate/strip the key. Quoted names are exempt
+    * (quoting is exactly how a user spells a weird name on purpose).
+    * Shared by [[keywordAt]]'s format shape and [[formatClauseRe]].
+    */
+  private val notFormatNames =
+    Seq("asc", "desc", "nulls", "first", "last", "by", "settings",
+      "format", "select", "from", "where", "and", "or", "not", "in",
+      "like", "is", "between", "as", "then", "else", "end", "when")
+  private val notFormatNameSet = notFormatNames.toSet
 
   /** `FORMAT <name>` with the shared token-boundary rule — a quoted name
     * needs no whitespace after the keyword (the opening quote ends the
-    * token). ONE sub-pattern used by both [[stripFormat]] and
+    * token), and a bare name must not be a trailing-word lookalike from
+    * [[notFormatNames]]. ONE sub-pattern used by both [[stripFormat]] and
     * [[stripSettings]] so the two strips cannot drift.
     */
-  private val formatClauseRe = "\\bformat(?:\\s+|(?=[`\"]))" + nameRe
+  private val formatClauseRe =
+    "\\bformat(?:\\s+|(?=[`\"]))" +
+      "(?:(?!(?:" + notFormatNames.mkString("|") + ")\\b)\\w+|" +
+      quotedNameRe + ")"
 
   /** Drop a trailing `FORMAT <name>` (with or without closing `;`), or a
     * `FORMAT <name>` directly before a statement-final SETTINGS clause —
@@ -431,6 +457,48 @@ object ChSql {
         pat.replaceAllIn(p, java.util.regex.Matcher.quoteReplacement(s"($expr)")))
     }
     body
+  }
+
+  /** CH double-quoted identifiers → Spark backtick identifiers. In
+    * ClickHouse `"name"` is ALWAYS an identifier (string literals are
+    * single-quoted only); Spark's default parser reads `"name"` as a
+    * string literal, so passing it through would silently compare a
+    * constant instead of referencing the column. Doubled `""` and
+    * backslash escapes become the literal char; backticks inside the
+    * name are re-escaped by doubling. Runs INNERMOST in [[apply]] so
+    * every later shim sees only the quote forms its scanners expect.
+    */
+  def chQuotedIdents(q: String): String = {
+    val sb = new StringBuilder
+    var i = 0; var quote: Char = 0
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (quote != 0) {
+        if (quote == '\'' && c == '\\' && i + 1 < q.length) {
+          sb += c; sb += q.charAt(i + 1); i += 2
+        } else { sb += c; if (c == quote) quote = 0; i += 1 }
+      } else if (c == '\'' || c == '`') { quote = c; sb += c; i += 1 }
+      else if (c == '"') {
+        val name = new StringBuilder
+        var j = i + 1; var closed = false
+        while (j < q.length && !closed) {
+          val d = q.charAt(j)
+          if (d == '\\' && j + 1 < q.length) { name += q.charAt(j + 1); j += 2 }
+          else if (d == '"') {
+            if (j + 1 < q.length && q.charAt(j + 1) == '"') { name += '"'; j += 2 }
+            else { closed = true; j += 1 }
+          } else { name += d; j += 1 }
+        }
+        if (!closed) { sb += c; i += 1 } // unterminated: pass through
+        else {
+          sb += '`'
+          sb.append(name.toString.replace("`", "``"))
+          sb += '`'
+          i = j
+        }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
   }
 
   /** CH bracket array literals — `[e1, e2, ...]` → `array(e1, ...)` —
@@ -885,8 +953,11 @@ object ChSql {
     }
   }
 
-  /** All shims, in the order they compose. */
+  /** All shims, in the order they compose — [[chQuotedIdents]] innermost
+    * so every later scanner sees only single quotes and backticks.
+    */
   def apply(q: String): String =
     withTotals(withRollupCube(stripSettings(stripFormat(prewhere(stripGlobal(
-      scalarWith(tupleIndex(chLiterals(dateDiff(xxHash(runningWindow(q))))))))))))
+      scalarWith(tupleIndex(chLiterals(dateDiff(xxHash(runningWindow(
+        chQuotedIdents(q)))))))))))))
 }

@@ -449,6 +449,32 @@ class ChCompatSpec extends SparkSpec {
       "SELECT 1 SETTINGS a = 1format x")
     assert(norm(ChSql.stripSettings("SELECT 1 SETTINGS a = x-format json")) ==
       "SELECT 1 SETTINGS a = x-format json")
+    // a column named format under a statement-final sort direction is a
+    // KEY, not an output-format clause — in the strip layer and in the
+    // runningWindow ORDER-keys scan alike
+    assert(norm(ChSql.stripFormat("SELECT x FROM t ORDER BY format ASC")) ==
+      "SELECT x FROM t ORDER BY format ASC")
+    assert(norm(ChSql.runningWindow(
+      "SELECT runningDifference(v) AS d FROM t ORDER BY format DESC")) ==
+      "SELECT ((v) - lagInFrame(v, 1, v) OVER (ORDER BY format DESC)) AS d " +
+        "FROM t ORDER BY format DESC")
+    // ...while a real FORMAT clause after the keys still strips
+    assert(norm(ChSql.stripFormat("SELECT x FROM t ORDER BY k FORMAT JSON")) ==
+      "SELECT x FROM t ORDER BY k")
+    // a clause never crosses a statement boundary: the second statement's
+    // WHERE is not this PREWHERE's companion
+    assert(norm(ChSql.prewhere(
+      "SELECT a FROM t PREWHERE p; SELECT b FROM u WHERE c")) ==
+      "SELECT a FROM t WHERE p; SELECT b FROM u WHERE c")
+    // CH double-quoted identifiers translate to backticks (Spark's
+    // default parser would read "x" as a STRING literal); doubled-quote
+    // escapes unwrap, strings keep their double-quote bytes
+    assert(norm(ChSql.chQuotedIdents("SELECT \"offset\" FROM t WHERE \"a\"\"b\" = 1")) ==
+      "SELECT `offset` FROM t WHERE `a\"b` = 1")
+    assert(norm(ChSql.chQuotedIdents("SELECT 'he said \"hi\"' AS s FROM t")) ==
+      "SELECT 'he said \"hi\"' AS s FROM t")
+    assert(norm(ChSql("SELECT \"offset\" FROM t PREWHERE \"offset\" > 0 WHERE b = 1")) ==
+      "SELECT `offset` FROM t WHERE (`offset` > 0) AND (b = 1)")
     // a WHERE inside a subquery of the PREWHERE expression belongs to the
     // subquery — the clause pair matches at the same paren depth only
     assert(norm(ChSql.prewhere(
