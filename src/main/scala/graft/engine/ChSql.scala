@@ -299,13 +299,11 @@ object ChSql {
     cur
   }
 
-  /** A FORMAT/WINDOW name in a regex over MASKED text: bare identifier,
-    * or a quoted identifier whose masked body is blanks plus surviving
-    * doubled-quote escapes (the same alternation [[nameTokenEnd]] scans).
+  /** A QUOTED identifier in a regex over MASKED text: the body is blanks
+    * plus surviving doubled-quote escapes (the same alternation
+    * [[nameTokenEnd]] scans).
     */
   private val quotedNameRe = """(?:`(?:[^`]|``)*`|"(?:[^"]|"")*")"""
-  private val nameRe = "(?:\\w+|" + quotedNameRe + ")"
-
   /** Words that can trail an expression or ORDER BY key list and are
     * therefore NEVER a bare FORMAT name — without this, `ORDER BY format
     * ASC` (a column named format, statement-final direction) would read
@@ -483,7 +481,17 @@ object ChSql {
         var j = i + 1; var closed = false
         while (j < q.length && !closed) {
           val d = q.charAt(j)
-          if (d == '\\' && j + 1 < q.length) { name += q.charAt(j + 1); j += 2 }
+          if (d == '\\' && j + 1 < q.length) {
+            // CH quoted identifiers use string-literal escape rules:
+            // control escapes decode, \x for anything else means x
+            name += (q.charAt(j + 1) match {
+              case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+              case '0' => '\u0000'; case 'b' => '\b'; case 'f' => '\f'
+              case 'a' => '\u0007'; case 'v' => '\u000B'
+              case other => other
+            })
+            j += 2
+          }
           else if (d == '"') {
             if (j + 1 < q.length && q.charAt(j + 1) == '"') { name += '"'; j += 2 }
             else { closed = true; j += 1 }
@@ -953,11 +961,38 @@ object ChSql {
     }
   }
 
-  /** All shims, in the order they compose — [[chQuotedIdents]] innermost
-    * so every later scanner sees only single quotes and backticks.
+  /** Split `q` on depth-0 `;` outside quotes — one entry per statement,
+    * empty segments dropped. The shims are single-statement rewrites
+    * (end-anchored strips, one ORDER BY per block), so [[apply]] maps
+    * them per statement instead of letting a scan or anchor bleed across
+    * the boundary.
     */
-  def apply(q: String): String =
-    withTotals(withRollupCube(stripSettings(stripFormat(prewhere(stripGlobal(
-      scalarWith(tupleIndex(chLiterals(dateDiff(xxHash(runningWindow(
-        chQuotedIdents(q)))))))))))))
+  private[engine] def splitStatements(q: String): Seq[String] = {
+    val masked = maskStrings(q)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var d = 0; var start = 0; var i = 0
+    while (i < masked.length) {
+      masked.charAt(i) match {
+        case '(' => d += 1
+        case ')' => d -= 1
+        case ';' if d == 0 => out += q.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += q.substring(start)
+    out.toSeq.filter(_.trim.nonEmpty)
+  }
+
+  /** All shims, in the order they compose — applied PER STATEMENT
+    * (see [[splitStatements]]), with [[chQuotedIdents]] innermost so
+    * every later scanner sees only single quotes and backticks.
+    */
+  def apply(q: String): String = {
+    def one(s: String): String =
+      withTotals(withRollupCube(stripSettings(stripFormat(prewhere(stripGlobal(
+        scalarWith(tupleIndex(chLiterals(dateDiff(xxHash(runningWindow(
+          chQuotedIdents(s)))))))))))))
+    splitStatements(q).map(one).mkString(";\n")
+  }
 }

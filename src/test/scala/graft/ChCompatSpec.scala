@@ -475,6 +475,18 @@ class ChCompatSpec extends SparkSpec {
       "SELECT 'he said \"hi\"' AS s FROM t")
     assert(norm(ChSql("SELECT \"offset\" FROM t PREWHERE \"offset\" > 0 WHERE b = 1")) ==
       "SELECT `offset` FROM t WHERE (`offset` > 0) AND (b = 1)")
+    // control escapes in a double-quoted identifier DECODE (CH string
+    // rules), they don't just drop the backslash
+    assert(ChSql.chQuotedIdents("SELECT \"a\\nb\" FROM t") ==
+      "SELECT `a\nb` FROM t")
+    // apply() is per-statement: strips anchor inside each statement and
+    // a trio call windows by ITS OWN statement's ORDER BY
+    assert(norm(ChSql("SELECT 1 FORMAT JSON; SELECT 2 FORMAT CSV")) ==
+      "SELECT 1 ; SELECT 2")
+    assert(norm(ChSql(
+      "SELECT 1; SELECT runningDifference(v) AS d FROM t ORDER BY v")) ==
+      "SELECT 1; SELECT ((v) - lagInFrame(v, 1, v) OVER (ORDER BY v)) AS d " +
+        "FROM t ORDER BY v")
     // a WHERE inside a subquery of the PREWHERE expression belongs to the
     // subquery — the clause pair matches at the same paren depth only
     assert(norm(ChSql.prewhere(
