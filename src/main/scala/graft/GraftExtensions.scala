@@ -23,6 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       functions.ChCompat.register(session)
       NoopRule
     }
+    // CH-projection-style automatic aggregate routing onto registered state
+    // tables (no-op until graft.mv.Projection.register is called).
+    ext.injectOptimizerRule(_ => mv.ProjectionRewrite)
   }
 }
 

@@ -1,0 +1,452 @@
+package graft.mv
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{
+  Alias, And, Attribute, AttributeReference, Expression, NamedExpression, PlanExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.catalyst.plans.logical.{
+  Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.col
+
+/** ClickHouse PROJECTION analog — automatic routing of matching aggregate
+  * queries onto a [[StateTable]] (ref: CH `ALTER TABLE ... ADD PROJECTION
+  * (SELECT ... GROUP BY ...)`, the feature the reference's MV layering
+  * approximates by hand; docs/物化视图的实战经验分享.md motivates exactly this
+  * "answer from pre-aggregated states instead of raw" economics).
+  *
+  * A projection is registered as (source DataFrame, state table, per-metric
+  * defining aggregates). [[ProjectionRewrite]] — injected via
+  * `spark.experimental.extraOptimizations` ([[Projection.attach]]) or
+  * [[graft.GraftExtensions]] — then rewrites any `Aggregate` whose
+  *
+  *  - base relation is the projection's source (same file-scan root paths),
+  *  - grouping expressions are each expressible over the table's keys
+  *    (exact key, key subset, or any function of keys — month-of-day
+  *    rollups route too),
+  *  - residual filters are expressible over keys (partition pruning carries
+  *    over to the state read), and
+  *  - every aggregate call matches a registered defining aggregate
+  *
+  * into merge-on-read of the state table, preserving the original output
+  * names, types and expression ids. Queries that don't fully match are left
+  * untouched — the rule never degrades a plan, it only swaps a raw scan +
+  * re-aggregation for a states scan that is orders of magnitude smaller.
+  *
+  * Matching is semantic, not syntactic: query-side expressions are INLINED
+  * through Project/Filter chains down to the base relation's attributes and
+  * compared canonically against the registered definitions inlined the same
+  * way — so alias renames, column pruning, and optimizer-collapsed projects
+  * between the aggregate and the scan don't break routing (the same
+  * plan-fragment matching discipline as Spark's own CacheManager, done at
+  * expression granularity).
+  *
+  * Correctness contract (CH's projection contract, made explicit because
+  * Spark has no transactional table+projection write path): the state table
+  * must hold exactly the partial aggregates of the registered source — keep
+  * them in sync via [[MaterializedView]] / [[StateTable.appendBatch]] on the
+  * same inserts. At 100 TB this rule is the difference between scanning the
+  * fact table and scanning states ~10^3-10^6× smaller, with no query change.
+  *
+  * Deliberate declines, each documented at the decision site: global
+  * (group-less) aggregates — on an empty source, raw returns one row where
+  * the empty state table returns none; multiple DISTINCT aggregates — the
+  * optimizer has already exploded them before user rules run.
+  */
+object Projection {
+
+  /** One registered projection: everything [[ProjectionRewrite]] needs,
+    * pre-inlined to the source's base-relation attributes at registration
+    * time so per-query matching is pure expression comparison.
+    */
+  final case class Registered(
+      table: StateTable,
+      basePaths: Set[String],
+      baseByName: Map[String, Attribute],
+      keyDefs: Seq[(String, Expression)],
+      aggDefs: Seq[(String, AggregateExpression)],
+      sourceFilters: Seq[Expression]) {
+    def metric(name: String): Metric = table.metrics.find(_.name == name).get
+  }
+
+  // Per-session registries. Weak keys: a dropped session releases its
+  // projections. Guarded by `registry` — registration is rare, lookup is a
+  // cheap read per optimized Aggregate.
+  private val registry =
+    new java.util.WeakHashMap[SparkSession, mutable.ArrayBuffer[Registered]]()
+
+  // While a registration probe is being analyzed/optimized, the rule must
+  // not fire (an already-registered projection on the same source would
+  // rewrite the probe and the extracted definitions would reference the
+  // state table instead of the source).
+  private val registering = new ThreadLocal[Boolean] { override def initialValue = false }
+
+  def entries(spark: SparkSession): Seq[Registered] = registry.synchronized {
+    val b = registry.get(spark)
+    if (b == null || registering.get()) Nil else b.toSeq
+  }
+
+  /** Register `table` as a projection of `source`. `defs` names each metric
+    * of the table and gives the raw-side aggregate whose FINISHED value the
+    * metric reproduces (e.g. `"uv" -> count_distinct(col("user_id"))` for a
+    * [[BitmapUvMetric]] — exact, so the rewrite is value-preserving). The
+    * table's keys must be columns of `source`; every def name must be a
+    * metric of the table. Also [[attach]]es the rewrite rule to the session.
+    */
+  def register(spark: SparkSession, table: StateTable, source: DataFrame,
+      defs: Seq[(String, Column)]): Unit = {
+    val missing = defs.map(_._1).filterNot(n => table.metrics.exists(_.name == n))
+    require(missing.isEmpty, s"projection defs name unknown metrics: ${missing.mkString(",")}")
+    registering.set(true)
+    val entry =
+      try extract(table, source, defs)
+      finally registering.set(false)
+    registry.synchronized {
+      val b = Option(registry.get(spark)).getOrElse {
+        val nb = mutable.ArrayBuffer.empty[Registered]; registry.put(spark, nb); nb
+      }
+      b += entry
+    }
+    attach(spark)
+  }
+
+  def deregister(spark: SparkSession, table: StateTable): Unit = registry.synchronized {
+    Option(registry.get(spark)).foreach(b => b.filterInPlace(_.table ne table))
+  }
+
+  /** Idempotently add [[ProjectionRewrite]] to the session's user-provided
+    * optimizer batch (sessions built with [[graft.GraftExtensions]] already
+    * carry it).
+    */
+  def attach(spark: SparkSession): Unit = synchronized {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(ProjectionRewrite))
+      spark.experimental.extraOptimizations = cur :+ ProjectionRewrite
+  }
+
+  /** Build the registration entry by OPTIMIZING a probe aggregate of the
+    * defs over the source and inlining its pieces to the base relation —
+    * the probe goes through the same optimizer the user's queries do, so
+    * both sides of every later comparison are in the same normal form.
+    */
+  private def extract(table: StateTable, source: DataFrame,
+      defs: Seq[(String, Column)]): Registered = {
+    val aggCols = defs.map { case (n, c) => c.as(n) }
+    val probe = source.groupBy(table.keys.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+    val plan = probe.queryExecution.optimizedPlan
+    val agg = plan.collectFirst { case a: Aggregate => a }.getOrElse(
+      sys.error("projection probe did not optimize to an Aggregate"))
+    val (rel, sub, filters) = peel(agg.child).getOrElse(
+      sys.error("projection source must be Project/Filter chains over one file scan " +
+        "(joins/unions/aggregates in the source are not routable)"))
+    val keyDefs = table.keys.zip(agg.groupingExpressions).map { case (k, g) =>
+      k -> inline(g, sub).getOrElse(sys.error(s"projection key '$k' not inlinable"))
+    }
+    val aggDefs = defs.map(_._1).map { n =>
+      val ae = agg.aggregateExpressions.collectFirst {
+        case Alias(a: AggregateExpression, `n`) => a
+      }.getOrElse(sys.error(s"projection def '$n' must be a single aggregate call " +
+        "(wrap derived values in the query, not the def)"))
+      val inlined = inline(ae, sub).getOrElse(sys.error(s"projection def '$n' not inlinable"))
+      n -> inlined.asInstanceOf[AggregateExpression]
+    }
+    (keyDefs.map(_._2) ++ aggDefs.map(_._2) ++ filters).foreach { e =>
+      require(e.deterministic && !e.exists(_.isInstanceOf[PlanExpression[_]]),
+        s"projection expressions must be deterministic and subquery-free: $e")
+    }
+    Registered(table, rootPaths(rel), rel.output.map(a => a.name -> a).toMap,
+      keyDefs, aggDefs, filters)
+  }
+
+  // ---- plan/expression plumbing shared by registration and the rule ----
+
+  private[mv] def rootPaths(rel: LogicalRelation): Set[String] = rel.relation match {
+    case h: HadoopFsRelation => h.location.rootPaths.map(_.toString).toSet
+    case _ => Set.empty
+  }
+
+  /** Peel Project/Filter/SubqueryAlias down to a single file-scan relation.
+    * Returns the relation, a substitution from every intermediate output
+    * attribute to its defining expression over the relation's attributes,
+    * and the accumulated filter conjuncts (inlined). `None` for any other
+    * shape — joins, unions, nested aggregates are not routable.
+    */
+  private[mv] def peel(plan: LogicalPlan)
+      : Option[(LogicalRelation, Map[Long, Expression], Seq[Expression])] = plan match {
+    case r: LogicalRelation if r.relation.isInstanceOf[HadoopFsRelation] =>
+      Some((r, r.output.map(a => a.exprId.id -> (a: Expression)).toMap, Nil))
+    case SubqueryAlias(_, c) => peel(c)
+    case Project(list, c) =>
+      peel(c).flatMap { case (r, sub, fs) =>
+        val entries = list.map {
+          case a: AttributeReference => sub.get(a.exprId.id).map(a.exprId.id -> _)
+          case al: Alias => inline(al.child, sub).map(al.exprId.id -> _)
+          case _ => None
+        }
+        if (entries.contains(None)) None
+        else Some((r, entries.flatten.toMap, fs))
+      }
+    case Filter(cond, c) =>
+      peel(c).flatMap { case (r, sub, fs) =>
+        inline(cond, sub).map(e => (r, sub, fs ++ conjuncts(e)))
+      }
+    case _ => None
+  }
+
+  /** Substitute every attribute reference in `e` with its defining
+    * expression over the base relation. `None` if any attribute is unknown
+    * or the expression carries a subquery (not comparable across plans).
+    */
+  private[mv] def inline(e: Expression, sub: Map[Long, Expression]): Option[Expression] = {
+    var ok = true
+    val out = e.transformUp {
+      case a: AttributeReference =>
+        sub.getOrElse(a.exprId.id, { ok = false; a })
+    }
+    // check the RESULT: a substituted defining expression may itself carry a
+    // subquery, which is not comparable across plans
+    if (ok && !out.exists(_.isInstanceOf[PlanExpression[_]])) Some(out) else None
+  }
+
+  private[mv] def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => conjuncts(a) ++ conjuncts(b)
+    case x => Seq(x)
+  }
+
+  /** Remap base-relation attributes of the QUERY's scan onto the REGISTERED
+    * scan's attributes by column name (the two scans are separate reads of
+    * the same files, so attributes differ only in expression id). `None` on
+    * any name/type mismatch — a schema drift means no rewrite.
+    */
+  private[mv] def remap(e: Expression, byName: Map[String, Attribute]): Option[Expression] = {
+    var ok = true
+    val out = e.transformUp {
+      case a: AttributeReference =>
+        byName.get(a.name) match {
+          case Some(b) if b.dataType == a.dataType => b
+          case _ => ok = false; a
+        }
+    }
+    if (ok) Some(out) else None
+  }
+}
+
+/** The optimizer rule: see [[Projection]]. Runs in the user-provided batch
+  * (after the standard batches), so query-side expressions are compared in
+  * optimized normal form — registration optimizes its probe identically.
+  */
+object ProjectionRewrite extends Rule[LogicalPlan] {
+
+  // decline tracing: -Dgraft.projection.debug=1 prints why an Aggregate
+  // was not routed (alignment with CH's EXPLAIN for projection selection)
+  private def dbg(msg: => String): Unit =
+    if (sys.props.get("graft.projection.debug").contains("1"))
+      // scalastyle:off println
+      println("[projection] " + msg)
+      // scalastyle:on println
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val session = SparkSession.getActiveSession.orNull
+    if (session == null) return plan
+    val entries = Projection.entries(session)
+    if (entries.isEmpty) return plan
+    plan.transformUp {
+      case agg: Aggregate =>
+        rewrite(session, agg, entries).getOrElse(agg)
+    }
+  }
+
+  private def rewrite(spark: SparkSession, agg: Aggregate,
+      entries: Seq[Projection.Registered]): Option[LogicalPlan] = {
+    // Global aggregates: COUNT(*) over an empty source is 1 row; over an
+    // empty state table it would be 0 rows. Decline rather than diverge.
+    if (agg.groupingExpressions.isEmpty) { dbg("decline: global aggregate"); return None }
+    val (rel, sub, qFilters) = Projection.peel(agg.child).getOrElse {
+      dbg("decline: child is not Project/Filter over one file scan"); return None }
+    val paths = Projection.rootPaths(rel)
+    entries.iterator
+      .filter(_.basePaths == paths)
+      .flatMap(e => rewriteWith(spark, agg, sub, qFilters, e))
+      .nextOption()
+  }
+
+  private def rewriteWith(spark: SparkSession, agg: Aggregate,
+      sub: Map[Long, Expression], qFilters: Seq[Expression],
+      e: Projection.Registered): Option[LogicalPlan] = {
+    def toBase(x: Expression): Option[Expression] =
+      Projection.inline(x, sub).flatMap(Projection.remap(_, e.baseByName))
+
+    // Filters: every filter the SOURCE definition applies must be present in
+    // the query (else the query sees rows the states never aggregated);
+    // whatever remains must be expressible over the keys to run against the
+    // state read instead.
+    // peel() already inlined the filters to base attributes — only remap
+    val qfs = qFilters.map(Projection.remap(_, e.baseByName))
+    if (qfs.contains(None)) { dbg("decline: filter not remappable: " + qFilters); return None }
+    val residual = mutable.ArrayBuffer(qfs.flatten: _*)
+    for (sf <- e.sourceFilters) {
+      val i = residual.indexWhere(_.semanticEquals(sf))
+      if (i < 0) { dbg("decline: source filter missing from query: " + sf); return None }
+      residual.remove(i)
+    }
+    // Partition residual conjuncts: key-expressible ones run against the
+    // state read; a bare IsNotNull that is not key-expressible may still be
+    // DROPPED when another kept conjunct implies it (the optimizer's
+    // InferFiltersFromConstraints adds e.g. `isnotnull(ts)` next to
+    // `to_date(ts) >= d`; the group-key comparison rejects the null-key
+    // group on the state side, so the guard is redundant there).
+    val keyable = mutable.ArrayBuffer.empty[(Expression, Expression)] // (base, state)
+    val guards = mutable.ArrayBuffer.empty[Expression]
+    for (c <- residual) overKeys(c, e) match {
+      case Some(x) => keyable += c -> x
+      case None => c match {
+        case org.apache.spark.sql.catalyst.expressions.IsNotNull(g) => guards += g
+        case other => dbg("decline: filter not key-expressible: " + other); return None
+      }
+    }
+    if (!guards.forall(g => keyable.exists(k => impliesNotNull(k._1, g)))) {
+      dbg("decline: un-implied null guard among: " + guards); return None }
+    val stateFilters = keyable.map(_._2).toSeq
+
+    // Grouping: each expression must be a key or a function of keys.
+    val gBase = agg.groupingExpressions.map(g => toBase(g).getOrElse {
+      dbg("decline: grouping not inlinable: " + g); return None })
+    val gState = gBase.map(g => overKeys(g, e).getOrElse {
+      dbg("decline: grouping not key-expressible: " + g); return None })
+    val gNames = gState.indices.map(i => s"__g$i")
+
+    // Outputs: aggregate subtrees must each match a def; everything else
+    // must reduce to the grouping expressions.
+    val needed = mutable.LinkedHashSet.empty[String]
+    val outExprs = agg.aggregateExpressions.map { ne =>
+      val x = toBase(stripAlias(ne)).getOrElse {
+        dbg("decline: output not inlinable: " + ne); return None }
+      overOutputs(x, e, gBase, gNames, needed).getOrElse {
+        dbg("decline: output not covered by defs/groupings: " + x); return None }
+    }
+
+    Some(build(spark, agg, e, stateFilters, gState, gNames, needed.toSeq, outExprs))
+  }
+
+  private def stripAlias(ne: NamedExpression): Expression = ne match {
+    case Alias(c, _) => c
+    case x => x
+  }
+
+  /** Does conjunct `c` evaluating to TRUE imply `g` is not null? True when
+    * `g` is reachable from `c`'s root through null-intolerant operators
+    * only: then g = null propagates to c = null, and a null conjunct drops
+    * the row — the same implication Spark's InferFiltersFromConstraints
+    * uses to add the guard in the first place.
+    */
+  private def impliesNotNull(c: Expression, g: Expression): Boolean = {
+    def reach(x: Expression): Boolean =
+      x.semanticEquals(g) || (x.nullIntolerant && x.children.exists(reach))
+    reach(c)
+  }
+
+  /** Rewrite a base-attribute filter/grouping expression onto the state
+    * table's columns: maximal subtrees matching a key definition become that
+    * key's (unresolved) column. Comparisons the optimizer UNWRAPPED out of
+    * key form — `cast(ts AS date) >= d` becomes `ts >= timestamp'd 00:00'`
+    * (UnwrapCastInBinaryComparison) — are re-wrapped onto the date key: the
+    * unwrap only ever emits `>=` / `<` at a midnight boundary, and at a
+    * midnight boundary those are exactly `date_key >= d` / `date_key < d`.
+    * `None` if any base attribute survives — the expression needed a
+    * non-key column.
+    */
+  private def overKeys(x: Expression, e: Projection.Registered): Option[Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.{GreaterThanOrEqual, LessThan, Literal}
+    def keyOf(s: Expression): Option[String] =
+      e.keyDefs.find(_._2.semanticEquals(s)).map(_._1)
+    // `t` castable-to-date matching a key `cast(t AS date)`, with `lit` a
+    // midnight instant in that cast's zone → (key column, date literal)
+    def dayBound(t: Expression, lit: Literal): Option[(Expression, Expression)] = {
+      import org.apache.spark.sql.catalyst.expressions.Cast
+      import org.apache.spark.sql.catalyst.util.DateTimeUtils
+      import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+      e.keyDefs.collectFirst {
+        case (k, Cast(src, DateType, tz, _)) if src.semanticEquals(t) &&
+            (lit.dataType == TimestampType || lit.dataType == TimestampNTZType) =>
+          val zone =
+            if (lit.dataType == TimestampNTZType) java.time.ZoneOffset.UTC
+            else DateTimeUtils.getZoneId(tz.getOrElse(conf.sessionLocalTimeZone))
+          val micros = lit.value.asInstanceOf[Long]
+          val days = DateTimeUtils.microsToDays(micros, zone)
+          if (DateTimeUtils.daysToMicros(days, zone) == micros)
+            Some((UnresolvedAttribute.quoted(k): Expression,
+              Literal(days, DateType): Expression))
+          else None
+      }.flatten
+    }
+    val out = x.transformDown {
+      case s if keyOf(s).isDefined =>
+        UnresolvedAttribute.quoted(keyOf(s).get)
+      case GreaterThanOrEqual(t, l: Literal) if dayBound(t, l).isDefined =>
+        val (k, d) = dayBound(t, l).get; GreaterThanOrEqual(k, d)
+      case LessThan(t, l: Literal) if dayBound(t, l).isDefined =>
+        val (k, d) = dayBound(t, l).get; LessThan(k, d)
+      case org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(l: Literal, t)
+          if dayBound(t, l).isDefined =>
+        val (k, d) = dayBound(t, l).get; GreaterThanOrEqual(k, d)
+      case org.apache.spark.sql.catalyst.expressions.GreaterThan(l: Literal, t)
+          if dayBound(t, l).isDefined =>
+        val (k, d) = dayBound(t, l).get; LessThan(k, d)
+    }
+    if (out.exists(_.isInstanceOf[AttributeReference])) None else Some(out)
+  }
+
+  /** Rewrite a base-attribute OUTPUT expression onto the rolled-up columns:
+    * aggregate calls matching a def become that metric's column, subtrees
+    * matching a grouping expression become that grouping's column. `None`
+    * if an aggregate or base attribute survives (unregistered aggregate, or
+    * a key reference outside every grouping expression).
+    */
+  private def overOutputs(x: Expression, e: Projection.Registered,
+      gBase: Seq[Expression], gNames: Seq[String],
+      needed: mutable.LinkedHashSet[String]): Option[Expression] = {
+    val out = x.transformDown {
+      case ae: AggregateExpression if e.aggDefs.exists(_._2.semanticEquals(ae)) =>
+        val n = e.aggDefs.find(_._2.semanticEquals(ae)).get._1
+        needed += n
+        UnresolvedAttribute.quoted(n)
+      case s if gBase.exists(_.semanticEquals(s)) =>
+        UnresolvedAttribute.quoted(gNames(gBase.indexWhere(_.semanticEquals(s))))
+    }
+    if (out.exists(n => n.isInstanceOf[AttributeReference] ||
+        n.isInstanceOf[AggregateExpression])) None
+    else Some(out)
+  }
+
+  /** Assemble the replacement: states scan → key filters → merge at the
+    * grouping expressions → finish → original output shape. Built with the
+    * DataFrame API (explicit column pruning — this runs after the standard
+    * optimizer batches, so nothing will prune for us) and capped with a
+    * Project restoring the original names, types and expression ids.
+    */
+  private def build(spark: SparkSession, agg: Aggregate, e: Projection.Registered,
+      stateFilters: Seq[Expression], gState: Seq[Expression], gNames: Seq[String],
+      needed: Seq[String], outExprs: Seq[Expression]): LogicalPlan = {
+    var df = e.table.read()
+    df = df.select((e.table.keys ++ needed).map(col): _*)
+    stateFilters.foreach(c => df = df.filter(ColumnBridge.column(c)))
+    val gCols = gState.zip(gNames).map { case (x, n) => ColumnBridge.column(x).as(n) }
+    val mergeCols = needed.map(n => e.metric(n).merge)
+    val m = df.groupBy(gCols: _*).agg(mergeCols.head, mergeCols.tail: _*)
+    val fin = m.select(gNames.map(col) ++
+      needed.map(n => e.metric(n).finish(col(n)).as(n)): _*)
+    val shaped = fin.select(outExprs.zip(agg.output).map { case (x, o) =>
+      ColumnBridge.column(x).cast(o.dataType).as(o.name)
+    }: _*)
+    val rep = shaped.queryExecution.analyzed
+    Project(rep.output.zip(agg.output).map { case (a, o) =>
+      Alias(a, o.name)(exprId = o.exprId)
+    }, rep)
+  }
+}

@@ -268,6 +268,46 @@ object MvPack {
         .select(col("w.start").as("hour"), col("event_type"),
           col("cnt"), col("val_sum"))
         .orderBy("hour", "event_type")
+    },
+
+    // The CH PROJECTION analog under the hash gate: the query below is
+    // written against RAW events — no state table in sight — and
+    // graft.mv.ProjectionRewrite routes it onto a three-batch-ingested
+    // state table at optimizer time (ProjectionSpec pins the plan: state
+    // scan present, raw scan absent). The DuckDB oracle computes the same
+    // answer directly over raw rows, so the gate proves routing is
+    // value-invisible: counts, decimal-exact sums, EXACT bitmap UVs and
+    // max all hash-match across the detour through merged states. The
+    // `event_id >= 0` filter scopes the registered source so no other
+    // declared query's aggregate can match this projection (registration
+    // outlives this builder on the shared driver session).
+    "q171_projection_route" -> { (s, dir) =>
+      Bitmaps.register(s)
+      val src = Tables(s, dir).eventsWithDefaults.filter(col("event_id") >= 0)
+      val wh = graft.engine.ChReplay.scratchWarehouse("graft-q171")
+      val st = new graft.mv.StateTable(s, wh + "/st",
+        keys = Seq("day", "event_type"), partitionCol = "day",
+        metrics = Seq(
+          graft.mv.CountMetric("cnt"),
+          graft.mv.SumMetric("value_sum", dec("value")),
+          graft.mv.BitmapUvMetric("uv", col("user_id")),
+          graft.mv.MaxMetric("max_value", col("value"))))
+      for (i <- 0 until 3)
+        st.appendBatch(src.filter(pmod(col("event_id"), lit(3)) === i))
+      graft.mv.Projection.register(s, st, src, Seq(
+        "cnt" -> count(lit(1)),
+        "value_sum" -> sum(dec("value")),
+        "uv" -> count_distinct(col("user_id")),
+        "max_value" -> max(col("value"))))
+      src
+        .filter(col("day") >= lit(java.sql.Date.valueOf("2024-01-05")))
+        .groupBy("day", "event_type")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(dec("value")).cast(DoubleType).as("value_sum"),
+          count_distinct(col("user_id")).as("uv"),
+          max(col("value")).as("max_value"))
+        .orderBy("day", "event_type")
     }
   )
 
@@ -374,6 +414,19 @@ object MvPack {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         | COUNT(*) AS cnt,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // direct aggregation over raw rows — the Spark side answers through the
+    // projection-routed state table, so the hash match proves the routing
+    // detour is value-invisible
+    "q171_projection_route" ->
+      s"""SELECT CAST(ts AS DATE) AS day, event_type,
+         | COUNT(*) AS cnt,
+         | ${moneySumSql("value")} AS value_sum,
+         | COUNT(DISTINCT user_id) AS uv,
+         | MAX(value) AS max_value
+         |FROM events
+         |WHERE event_id >= 0 AND CAST(ts AS DATE) >= DATE '2024-01-05'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

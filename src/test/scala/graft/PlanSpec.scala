@@ -62,6 +62,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "expected TakeOrderedAndProject")
   }
 
+  test("q171: the raw-events aggregate is projection-routed — the plan scans " +
+      "the state table, never the raw file") {
+    val p = planStr("q171_projection_route")
+    assert(p.contains("graft-q171"), s"expected the state-table scan:\n$p")
+    assert(!p.contains("events.parquet"), s"raw events scan survived routing:\n$p")
+  }
+
   test("q41: brute-force top-k reduces via the heap aggregate, no per-probe window") {
     val p = planStr("q41_knn_brute")
     assert(p.contains("ObjectHashAggregate"),
@@ -295,6 +302,10 @@ class PlanSpec extends SparkSpec {
     "q122_hash_shard" -> 3,
     // q170: same profile shape as q122 over the staged assignment
     "q170_shard_parity" -> 3,
+    // q171: projection-routed — the raw-events aggregate is rewritten onto
+    // the state table, so the plan is one merge agg over the (pruned)
+    // states scan + the final sort; the raw file never enters the plan
+    "q171_projection_route" -> 2,
     // q123: exact anchor — feature-keyed tgt/raw count aggs + the
     // per-doc feature join + doc regroup + final sort (the deliberately
     // join-heavy shape; the hashed q124 path is the scale shape)

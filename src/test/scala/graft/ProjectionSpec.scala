@@ -1,0 +1,200 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.mv._
+
+/** [[graft.mv.Projection]] / [[graft.mv.ProjectionRewrite]] — the CH
+  * PROJECTION analog: automatic routing of matching aggregates onto a state
+  * table. Each test pins BOTH faces: the plan (routed = state path scanned,
+  * raw path absent; declined = untouched) and the values (routing must be
+  * invisible — routed results equal the raw computation exactly).
+  */
+class ProjectionSpec extends SparkSpec {
+
+  // own scratch source so no other suite's tables can match (and vice versa)
+  private lazy val srcPath = {
+    val p = tmpDir("proj-src") + "/ev"
+    val rows = (0 until 4000).map { i =>
+      val day = 1 + i % 7 // 2024-02-01 .. 2024-02-07
+      val ts =
+        if (i % 997 == 0) null // null-ts rows: the null day group must route too
+        else Timestamp.valueOf(f"2024-02-0$day ${i % 24}%02d:03:00")
+      (i.toLong, ts, (i % 53).toLong, Seq("view", "click", "buy")(i % 3), i * 0.25)
+    }
+    import spark.implicits._
+    rows.toDF("id", "ts", "uid", "kind", "v").write.parquet(p)
+    p
+  }
+
+  private def source: DataFrame =
+    spark.read.parquet(srcPath).withColumn("day", to_date(col("ts")))
+
+  private def dec(c: Column) = c.cast(DecimalType(18, 2))
+
+  private val defs: Seq[(String, Column)] = Seq(
+    "cnt" -> count(lit(1)),
+    "v_sum" -> sum(dec(col("v"))),
+    "uv" -> count_distinct(col("uid")),
+    "v_min" -> min(col("v")),
+    "v_max" -> max(col("v")))
+
+  /** Fresh state table over `source` at (day, kind), ingested in three
+    * appends (so merge across parts is exercised), projection registered.
+    */
+  private def registered(): StateTable = {
+    val st = new StateTable(spark, tmpDir("proj-st") + "/st",
+      keys = Seq("day", "kind"), partitionCol = "day",
+      metrics = Seq(
+        CountMetric("cnt"),
+        SumMetric("v_sum", dec(col("v"))),
+        BitmapUvMetric("uv", col("uid")),
+        MinMetric("v_min", col("v")),
+        MaxMetric("v_max", col("v"))))
+    for (i <- 0 until 3)
+      st.appendBatch(source.filter(pmod(col("id"), lit(3)) === i))
+    Projection.register(spark, st, source, defs)
+    st
+  }
+
+  private def planOf(df: DataFrame): String = df.queryExecution.executedPlan.toString
+  private def routed(df: DataFrame): Boolean = {
+    val p = planOf(df)
+    p.contains("proj-st") && !p.contains("proj-src")
+  }
+
+  /** Run `body` with a registered projection, always deregistering after. */
+  private def withProjection[A](body: StateTable => A): A = {
+    val st = registered()
+    try body(st) finally Projection.deregister(spark, st)
+  }
+
+  /** `mk()` must route under the projection and produce exactly the rows
+    * the raw plan produces once the projection is deregistered.
+    */
+  private def assertRoutedAndEqual(st: StateTable, mk: () => DataFrame): Unit = {
+    val viaStates = mk()
+    assert(routed(viaStates), s"expected routing; plan:\n${planOf(viaStates)}")
+    val got = viaStates.collect().map(_.toString)
+    Projection.deregister(spark, st)
+    val direct = mk()
+    assert(!routed(direct))
+    val exp = direct.collect().map(_.toString)
+    Projection.register(spark, st, source, defs) // restore for the caller
+    assert(got.sameElements(exp),
+      s"routed != raw\nrouted: ${got.take(3).mkString("; ")}\nraw:    ${exp.take(3).mkString("; ")}")
+  }
+
+  test("routes the full metric battery and matches raw, across merged parts") {
+    withProjection { st =>
+      assertRoutedAndEqual(st, () =>
+        source.groupBy("day", "kind").agg(
+          count(lit(1)).as("cnt"),
+          sum(dec(col("v"))).cast(DoubleType).as("v_sum"),
+          count_distinct(col("uid")).as("uv"),
+          min(col("v")).as("v_min"),
+          max(col("v")).as("v_max"))
+          .orderBy("day", "kind"))
+    }
+  }
+
+  test("routes coarser keys, function-of-key groupings, derived outputs, and " +
+      "a re-read of the same files through a different DataFrame") {
+    withProjection { st =>
+      // coarser: one key only
+      assertRoutedAndEqual(st, () =>
+        source.groupBy("kind").agg(count(lit(1)).as("cnt")).orderBy("kind"))
+      // function of key + scalar arithmetic over matched aggregates
+      assertRoutedAndEqual(st, () =>
+        source.groupBy(dayofweek(col("day")).as("dow"))
+          .agg((count(lit(1)) * 2).as("cnt2"),
+            (max(col("v")) - min(col("v"))).as("spread"))
+          .orderBy("dow"))
+      // matching is semantic, not object identity: a separately-built read
+      // of the same files — without the day column at all — still routes
+      assertRoutedAndEqual(st, () =>
+        spark.read.parquet(srcPath)
+          .groupBy("kind").agg(min(col("v")).as("lo")).orderBy("kind"))
+    }
+  }
+
+  test("null-key group routes: null ts rows land in the null day group") {
+    withProjection { st =>
+      val q = () => source.groupBy("day").agg(count(lit(1)).as("cnt")).orderBy("day")
+      assertRoutedAndEqual(st, q)
+      val nullRow = q().collect().find(_.isNullAt(0))
+      assert(nullRow.exists(_.getLong(1) == 5L), "ids 0,997,1994,2991,3988 have null ts")
+    }
+  }
+
+  test("day filters route — the optimizer's midnight unwrap is re-wrapped " +
+      "and prunes state partitions") {
+    withProjection { st =>
+      val mks = Seq[() => DataFrame](
+        () => source.filter(col("day") >= lit(Date.valueOf("2024-02-03")))
+          .groupBy("day").agg(count(lit(1)).as("cnt")).orderBy("day"),
+        () => source.filter(col("day") === lit(Date.valueOf("2024-02-03")))
+          .groupBy("kind").agg(sum(dec(col("v"))).as("s")).orderBy("kind"),
+        () => source.filter(col("day") < lit(Date.valueOf("2024-02-03")))
+          .groupBy("day").agg(max(col("v")).as("m")).orderBy("day"),
+        // key filter that needs no unwrap handling at all
+        () => source.filter(col("kind") === "view")
+          .groupBy("day").agg(count(lit(1)).as("cnt")).orderBy("day"))
+      mks.foreach(assertRoutedAndEqual(st, _))
+      // the equality filter becomes a partition filter on the state scan
+      val scan = planOf(source.filter(col("day") === lit(Date.valueOf("2024-02-03")))
+        .groupBy("kind").agg(count(lit(1)).as("cnt")))
+      assert(scan.contains("PartitionFilters") && !scan.contains("PartitionFilters: []"),
+        s"expected day partition pruning on the state read:\n$scan")
+    }
+  }
+
+  test("declines stay raw AND stay correct: unregistered agg, non-key filter, " +
+      "global agg, un-implied null guard, foreign files") {
+    val foreign = tmpDir("proj-foreign") + "/ev"
+    source.limit(100).write.parquet(foreign)
+    withProjection { _ =>
+      val cases = Seq[DataFrame](
+        source.groupBy("day").agg(avg(col("v")).as("a")),     // unregistered agg
+        source.filter(col("uid") > 10)
+          .groupBy("day").agg(count(lit(1)).as("c")),         // non-key filter
+        source.agg(count(lit(1)).as("c")),                    // global agg
+        source.filter(col("ts").isNotNull)                    // bare null guard:
+          .groupBy("day").agg(count(lit(1)).as("c")),         // nothing implies it
+        spark.read.parquet(foreign)                           // same schema,
+          .groupBy("kind").agg(count(lit(1)).as("c")))        // different files
+      for (q <- cases) assert(!planOf(q).contains("proj-st"), planOf(q))
+      // decline #4 is value-checkable: it must really drop the 5 null-ts rows
+      assert(source.filter(col("ts").isNotNull)
+        .groupBy("day").agg(count(lit(1)).as("c"))
+        .agg(sum("c")).head.getLong(0) == 3995L)
+    }
+  }
+
+  test("output ids survive: downstream filter/join/re-aggregate over the " +
+      "routed aggregate resolve against the rewritten plan") {
+    withProjection { _ =>
+      import spark.implicits._
+      val agg = source.groupBy("day", "kind").agg(count(lit(1)).as("cnt"))
+      val dim = Seq(("view", "V"), ("click", "C"), ("buy", "B")).toDF("kind", "code")
+      val q = agg.filter(col("cnt") > 0)
+        .join(broadcast(dim), Seq("kind"))
+        .groupBy("code").agg(sum("cnt").as("total"))
+        .orderBy("code")
+      assert(planOf(q).contains("proj-st"), planOf(q))
+      assert(q.collect().map(_.getLong(1)).sum == 4000L)
+    }
+  }
+
+  test("deregister restores the raw plan") {
+    val st = registered()
+    val q = () => source.groupBy("day").agg(count(lit(1)).as("cnt"))
+    assert(routed(q()))
+    Projection.deregister(spark, st)
+    assert(!routed(q()))
+  }
+}
