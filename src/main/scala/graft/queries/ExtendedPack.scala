@@ -402,6 +402,29 @@ object ExtendedPack {
           Moments.corr(col("sxy"), col("sx"), col("sy"),
             col("sxx"), col("syy"), col("n")).as("qp_corr"))
         .orderBy("l_returnflag")
+    },
+
+    // Z-order clustered layout under the hash gate: events re-written
+    // Morton-clustered on (user_id, event_id) at construction, then the
+    // DECLARED plan is a two-dimension box filter + aggregate over that
+    // copy — values must equal DuckDB's direct filter over the raw file
+    // (layout is a performance property, never a results property).
+    // ZOrderSpec measures the actual file-level skipping from footers;
+    // PlanSpec pins that both filters reach this scan as PushedFilters.
+    "q172_zorder_scan" -> { (s, dir) =>
+      val raw = Tables(s, dir).events
+      val p = graft.engine.ChReplay.scratchWarehouse("graft-q172") + "/ev_z"
+      graft.engine.ZOrder.writeZOrdered(
+        raw, p, Seq("user_id", "event_id"), bits = 8, numFiles = 16)
+      s.read.parquet(p)
+        .filter(col("user_id").between(100, 400) &&
+          col("event_id").between(1000, 5000))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(dec("value")).cast(DoubleType).as("val_sum"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"))
+        .orderBy("event_type")
     }
   )
 
@@ -702,6 +725,18 @@ object ExtendedPack {
         |SELECT purchase_id, COUNT(*) AS n_views
         |FROM p JOIN v USING (user_id)
         |WHERE v.p >= p.lo AND v.p < p.lo + 3600
-        |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin
+        |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin,
+
+    // direct filter over the raw file — the Spark side reads its z-ordered
+    // rewrite, so the hash match proves clustering changed nothing
+    "q172_zorder_scan" ->
+      """SELECT event_type,
+        | COUNT(*) AS cnt,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum,
+        | MIN(event_id) AS min_id,
+        | MAX(event_id) AS max_id
+        |FROM events
+        |WHERE user_id BETWEEN 100 AND 400 AND event_id BETWEEN 1000 AND 5000
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -24,8 +24,10 @@ class FuzzParitySpec extends SparkSpec {
   // 1-200 single-table; 201-260 two-table joins; 261-300 CH-dialect text
   // through the ChSql shim chain (literal edges in the line of fire);
   // 301-320 keyword-named quoted identifiers + OR-bearing PREWHERE
-  // companions (the clause-boundary scanner edges)
-  private val seeds = 1 to 320
+  // companions (the clause-boundary scanner edges); 321-360 two-phase
+  // -State/-Merge rollups vs DuckDB's direct aggregation (the MV
+  // invariant at randomized combinator × key × filter × null shapes)
+  private val seeds = 1 to 360
 
   private def duckdbAvailable: Boolean =
     try Seq("python3", "-c", "import duckdb, pandas").! == 0

@@ -69,6 +69,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("events.parquet"), s"raw events scan survived routing:\n$p")
   }
 
+  test("q172: both box-filter dimensions reach the z-ordered scan as pushed filters") {
+    val scans = planOf("q172_zorder_scan").collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    val pushed = scans.head.metadata.getOrElse("PushedFilters", "[]")
+    for (c <- Seq("user_id", "event_id"))
+      assert(pushed.contains(s"GreaterThanOrEqual($c") && pushed.contains(s"LessThanOrEqual($c"),
+        s"expected both $c bounds pushed; got $pushed")
+  }
+
   test("q41: brute-force top-k reduces via the heap aggregate, no per-probe window") {
     val p = planStr("q41_knn_brute")
     assert(p.contains("ObjectHashAggregate"),
@@ -306,6 +315,9 @@ class PlanSpec extends SparkSpec {
     // the state table, so the plan is one merge agg over the (pruned)
     // states scan + the final sort; the raw file never enters the plan
     "q171_projection_route" -> 2,
+    // q172: the z-ordered rewrite happens at construction; the declared
+    // plan is the box-filtered scan + group agg + final sort
+    "q172_zorder_scan" -> 2,
     // q123: exact anchor — feature-keyed tgt/raw count aggs + the
     // per-doc feature join + doc regroup + final sort (the deliberately
     // join-heavy shape; the hashed q124 path is the scale shape)

@@ -133,7 +133,8 @@ object FuzzGen {
   def queryFor(seed: Int): FuzzQuery = {
     val rnd = new Random(seed.toLong * 1000003L + 17L)
     val name = f"fz$seed%03d"
-    if (seed > 300) quotedIdentQuery(name, rnd)
+    if (seed > 320) stateMergeQuery(name, rnd)
+    else if (seed > 300) quotedIdentQuery(name, rnd)
     else if (seed > 260) chSqlQuery(name, rnd)
     else if (seed > 200) aggQuery(name, joins(rnd.nextInt(joins.length)), rnd)
     else {
@@ -258,6 +259,62 @@ object FuzzGen {
             """ORDER BY "limit" ASC NULLS FIRST""",
           viaChSql = true)
     }
+  }
+
+  // ---- two-phase -State/-Merge rollups (seeds past 320) ----------------
+
+  /** Randomized MV-shape probes of the build's central invariant: the
+    * inner SELECT partial-aggregates at a FINER key set via the -State
+    * spellings, the outer merges at a strict subset of those keys via
+    * -Merge — and DuckDB computes the rollup DIRECTLY over raw rows. This
+    * fuzzes merge-of-states == direct at combinator × key × filter × null
+    * shapes the fixed corpus (q20/q23/q159) can't reach.
+    */
+  private def stateMergeQuery(name: String, rnd: Random): FuzzQuery = {
+    val t = tables.find(_.name == "events").get
+    val timeKey = pick(rnd, Seq("year", "month", "day"))
+    val tk = s"$timeKey(CAST(ts AS DATE))" // identical spelling both sides
+    val where = predicate(t, rnd).map(p => s" WHERE $p").getOrElse("")
+    // null-edge on the UV argument: nullIf knocks one residue class out
+    val k = 2 + rnd.nextInt(7); val r = rnd.nextInt(k)
+    val (uvS, uvD) =
+      if (rnd.nextBoolean()) (s"nullIf(user_id % $k, $r)", s"nullif(user_id % $k, $r)")
+      else ("user_id", "user_id")
+    // metric pool: (inner -State column, outer -Merge expr, duck mirror)
+    val condS = s"event_id % ${2 + rnd.nextInt(5)} = 0"
+    val pool = Seq(
+      ("countIf(true) AS m_cnt", "sumMerge(m_cnt) AS m_cnt",
+        "COUNT(*) AS m_cnt"),
+      (s"countIf($condS) AS m_cif", s"sumMerge(m_cif) AS m_cif",
+        s"COUNT(*) FILTER (WHERE $condS) AS m_cif"),
+      ("sumState(CAST(user_id % 97 AS BIGINT)) AS m_si",
+        "sumMerge(m_si) AS m_si",
+        "CAST(SUM(user_id % 97) AS BIGINT) AS m_si"),
+      ("sumState(CAST(value AS DECIMAL(18,2))) AS m_sd",
+        "CAST(sumMerge(m_sd) AS DOUBLE) AS m_sd",
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS m_sd"),
+      (s"groupBitmapState($uvS) AS m_uv", "groupBitmapMerge(m_uv) AS m_uv",
+        s"COUNT(DISTINCT $uvD) AS m_uv"),
+      (s"groupBitmapStateIf(user_id, $condS) AS m_uvi",
+        "groupBitmapMerge(m_uvi) AS m_uvi",
+        s"COUNT(DISTINCT user_id) FILTER (WHERE $condS) AS m_uvi"))
+    val picked = rnd.shuffle(pool).take(2 + rnd.nextInt(2))
+    // outer keys: event_type alone (rolling the time key away), or both
+    val both = rnd.nextBoolean()
+    val (outerKeys, duckKeys) =
+      if (both) ("event_type, tk", s"event_type, $tk AS tk")
+      else ("event_type", "event_type")
+    val order =
+      if (both) "event_type ASC NULLS FIRST, tk ASC NULLS FIRST"
+      else "event_type ASC NULLS FIRST"
+    FuzzQuery(name,
+      s"SELECT $outerKeys, ${picked.map(_._2).mkString(", ")} FROM (" +
+        s"SELECT event_type, $tk AS tk, ${picked.map(_._1).mkString(", ")} " +
+        s"FROM events$where GROUP BY event_type, $tk" +
+        s") GROUP BY ${if (both) "event_type, tk" else "event_type"} ORDER BY $order",
+      s"SELECT $duckKeys, ${picked.map(_._3).mkString(", ")} " +
+        s"FROM events$where GROUP BY ${if (both) s"event_type, $tk" else "event_type"} " +
+        s"ORDER BY $order")
   }
 
   // ---- predicates (identical text on both sides) ----------------------
