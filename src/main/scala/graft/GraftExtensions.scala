@@ -21,12 +21,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // no-op resolution rule that registers once on first analysis.
     ext.injectResolutionRule { session =>
       functions.ChCompat.register(session)
+      // marker read by mv.Projection.attach: this session already runs
+      // ProjectionRewrite in the main optimizer, don't add a second copy
+      session.conf.set(GraftExtensions.MarkerConf, "true")
       NoopRule
     }
     // CH-projection-style automatic aggregate routing onto registered state
     // tables (no-op until graft.mv.Projection.register is called).
     ext.injectOptimizerRule(_ => mv.ProjectionRewrite)
   }
+}
+
+object GraftExtensions {
+  /** Session-conf marker set when [[GraftExtensions]] injected the
+    * projection rewrite into the session's main optimizer.
+    */
+  val MarkerConf = "spark.graft.extensions.injected"
 }
 
 private object NoopRule

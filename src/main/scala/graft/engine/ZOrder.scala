@@ -43,20 +43,37 @@ object ZOrder {
     require(bits >= 1 && bits * cols.size <= 63,
       s"bits*cols must fit a Long: $bits*${cols.size}")
     val n = 1 << bits
+    // Numeric columns need a quantile stats pass for equi-depth cut points;
+    // ONE multi-column approxQuantile job covers them all (it skips nulls
+    // per column, so it equals the per-column na.drop pass) — k numeric
+    // dimensions must not mean k full scans of a 100 TB source.
+    val numericOf: Map[String, Column] = cols.flatMap { c =>
+      df.schema(c).dataType match {
+        case StringType | BinaryType => None
+        case DateType => Some(c -> col(c).cast(IntegerType).cast(DoubleType))
+        case TimestampType | TimestampNTZType =>
+          Some(c -> col(c).cast(LongType).cast(DoubleType))
+        case _ => Some(c -> col(c).cast(DoubleType))
+      }
+    }.toMap
+    val numericNames = cols.filter(numericOf.contains)
+    val probs = (1 until n).map(_.toDouble / n).toArray
+    val cutsOf: Map[String, Array[Double]] =
+      if (numericNames.isEmpty) Map.empty
+      else {
+        val qNames = numericNames.indices.map(i => s"__zq$i")
+        val qDf = df.select(numericNames.zip(qNames).map { case (c, q) =>
+          numericOf(c).as(q) }: _*)
+        numericNames.zip(
+          qDf.stat.approxQuantile(qNames.toArray, probs, 1.0 / (4 * n))).toMap
+      }
     val ranks: Seq[Column] = cols.map { c =>
       df.schema(c).dataType match {
         case StringType | BinaryType =>
           shiftrightunsigned(xxhash64(col(c)), 64 - bits)
-        case dt =>
-          val numeric: Column = dt match {
-            case DateType => col(c).cast(IntegerType).cast(DoubleType)
-            case TimestampType | TimestampNTZType =>
-              col(c).cast(LongType).cast(DoubleType)
-            case _ => col(c).cast(DoubleType)
-          }
-          val probs = (1 until n).map(_.toDouble / n).toArray
-          val cuts = df.select(numeric.as("__zq")).na.drop()
-            .stat.approxQuantile("__zq", probs, 1.0 / (4 * n))
+        case _ =>
+          val numeric = numericOf(c)
+          val cuts = cutsOf(c)
           if (cuts.isEmpty) lit(0L) // empty input: any constant rank
           else {
             val arr = lit(cuts)
@@ -82,6 +99,9 @@ object ZOrder {
     */
   def writeZOrdered(df: DataFrame, path: String, cols: Seq[String],
       bits: Int = 8, numFiles: Int = 0, mode: String = "overwrite"): Unit = {
+    require(!df.columns.contains("__z"),
+      "writeZOrdered: the input already has a column named __z (it would be " +
+        "overwritten by the clustering value and dropped from the output)")
     val n =
       if (numFiles > 0) numFiles
       else df.sparkSession.sessionState.conf.numShufflePartitions

@@ -74,22 +74,42 @@ object Projection {
     def metric(name: String): Metric = table.metrics.find(_.name == name).get
   }
 
-  // Per-session registries. Weak keys: a dropped session releases its
-  // projections. Guarded by `registry` — registration is rare, lookup is a
-  // cheap read per optimized Aggregate.
-  private val registry =
-    new java.util.WeakHashMap[SparkSession, mutable.ArrayBuffer[Registered]]()
-
-  // While a registration probe is being analyzed/optimized, the rule must
-  // not fire (an already-registered projection on the same source would
-  // rewrite the probe and the extracted definitions would reference the
-  // state table instead of the source).
-  private val registering = new ThreadLocal[Boolean] { override def initialValue = false }
-
-  def entries(spark: SparkSession): Seq[Registered] = registry.synchronized {
-    val b = registry.get(spark)
-    if (b == null || registering.get()) Nil else b.toSeq
+  /** Per-session registration storage, living INSIDE the session (an inert
+    * rule appended to `experimental.extraOptimizations`): the session owns
+    * its projections and a dropped session releases them with no global
+    * map to leak (a weak-keyed map would be pinned forever here — the
+    * entries reference a [[StateTable]] which references the session, a
+    * value→key strong path). `apply` is identity; [[ProjectionRewrite]]
+    * does the work and reads the store via [[Projection.entries]].
+    */
+  private final class Store extends Rule[LogicalPlan] {
+    val buf = mutable.ArrayBuffer.empty[Registered]
+    override def apply(plan: LogicalPlan): LogicalPlan = plan
   }
+
+  // While a registration probe is being analyzed/optimized — or a
+  // StateTable ingest/maintenance action is writing — the rule must not
+  // fire: a probe rewrite would extract definitions referencing the state
+  // table instead of the source, and an ingest rewrite would answer
+  // `toStates` FROM the very table being appended to (losing the batch when
+  // its partition is new, double-counting when it exists — the table is by
+  // construction out of sync with the source mid-ingest).
+  private val suppressed = new ThreadLocal[Boolean] { override def initialValue = false }
+
+  /** Run `f` with [[ProjectionRewrite]] disabled on this thread. Every
+    * [[StateTable]] write/maintenance action runs under this.
+    */
+  private[graft] def suppress[T](f: => T): T = {
+    val prev = suppressed.get(); suppressed.set(true)
+    try f finally suppressed.set(prev)
+  }
+
+  private def store(spark: SparkSession): Option[Store] =
+    spark.experimental.extraOptimizations.collectFirst { case s: Store => s }
+
+  def entries(spark: SparkSession): Seq[Registered] =
+    if (suppressed.get()) Nil
+    else store(spark).map(s => s.synchronized(s.buf.toSeq)).getOrElse(Nil)
 
   /** Register `table` as a projection of `source`. `defs` names each metric
     * of the table and gives the raw-side aggregate whose FINISHED value the
@@ -102,31 +122,29 @@ object Projection {
       defs: Seq[(String, Column)]): Unit = {
     val missing = defs.map(_._1).filterNot(n => table.metrics.exists(_.name == n))
     require(missing.isEmpty, s"projection defs name unknown metrics: ${missing.mkString(",")}")
-    registering.set(true)
-    val entry =
-      try extract(table, source, defs)
-      finally registering.set(false)
-    registry.synchronized {
-      val b = Option(registry.get(spark)).getOrElse {
-        val nb = mutable.ArrayBuffer.empty[Registered]; registry.put(spark, nb); nb
-      }
-      b += entry
-    }
+    val entry = suppress(extract(table, source, defs))
     attach(spark)
+    val s = store(spark).get
+    s.synchronized { s.buf += entry }
   }
 
-  def deregister(spark: SparkSession, table: StateTable): Unit = registry.synchronized {
-    Option(registry.get(spark)).foreach(b => b.filterInPlace(_.table ne table))
-  }
+  def deregister(spark: SparkSession, table: StateTable): Unit =
+    store(spark).foreach(s => s.synchronized(s.buf.filterInPlace(_.table ne table)))
 
-  /** Idempotently add [[ProjectionRewrite]] to the session's user-provided
-    * optimizer batch (sessions built with [[graft.GraftExtensions]] already
-    * carry it).
+  /** Idempotently give the session its projection [[Store]] and — unless
+    * the session was built with [[graft.GraftExtensions]], which injects
+    * [[ProjectionRewrite]] into the main optimizer — the rewrite rule
+    * itself in the user-provided batch. The extensions marker keeps a
+    * register() on an extensions session from running the rule in TWO
+    * optimizer batches per query.
     */
   def attach(spark: SparkSession): Unit = synchronized {
-    val cur = spark.experimental.extraOptimizations
-    if (!cur.contains(ProjectionRewrite))
-      spark.experimental.extraOptimizations = cur :+ ProjectionRewrite
+    var cur = spark.experimental.extraOptimizations
+    if (!cur.exists(_.isInstanceOf[Store])) cur = cur :+ new Store
+    if (!cur.contains(ProjectionRewrite) &&
+        !spark.conf.getOption(graft.GraftExtensions.MarkerConf).contains("true"))
+      cur = cur :+ ProjectionRewrite
+    spark.experimental.extraOptimizations = cur
   }
 
   /** Build the registration entry by OPTIMIZING a probe aggregate of the
@@ -385,19 +403,32 @@ object ProjectionRewrite extends Rule[LogicalPlan] {
           else None
       }.flatten
     }
+    // Extractors so each match evaluates keyOf/dayBound ONCE per node
+    // (a `case s if f(s).isDefined => f(s).get` would scan keyDefs twice).
+    object AsKey {
+      def unapply(s: Expression): Option[Expression] =
+        keyOf(s).map(UnresolvedAttribute.quoted(_))
+    }
+    object LowerDayBound { // key >= d forms
+      def unapply(s: Expression): Option[(Expression, Expression)] = s match {
+        case GreaterThanOrEqual(t, l: Literal) => dayBound(t, l)
+        case org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(l: Literal, t) =>
+          dayBound(t, l)
+        case _ => None
+      }
+    }
+    object UpperDayBound { // key < d forms
+      def unapply(s: Expression): Option[(Expression, Expression)] = s match {
+        case LessThan(t, l: Literal) => dayBound(t, l)
+        case org.apache.spark.sql.catalyst.expressions.GreaterThan(l: Literal, t) =>
+          dayBound(t, l)
+        case _ => None
+      }
+    }
     val out = x.transformDown {
-      case s if keyOf(s).isDefined =>
-        UnresolvedAttribute.quoted(keyOf(s).get)
-      case GreaterThanOrEqual(t, l: Literal) if dayBound(t, l).isDefined =>
-        val (k, d) = dayBound(t, l).get; GreaterThanOrEqual(k, d)
-      case LessThan(t, l: Literal) if dayBound(t, l).isDefined =>
-        val (k, d) = dayBound(t, l).get; LessThan(k, d)
-      case org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(l: Literal, t)
-          if dayBound(t, l).isDefined =>
-        val (k, d) = dayBound(t, l).get; GreaterThanOrEqual(k, d)
-      case org.apache.spark.sql.catalyst.expressions.GreaterThan(l: Literal, t)
-          if dayBound(t, l).isDefined =>
-        val (k, d) = dayBound(t, l).get; LessThan(k, d)
+      case AsKey(k) => k
+      case LowerDayBound(k, d) => GreaterThanOrEqual(k, d)
+      case UpperDayBound(k, d) => LessThan(k, d)
     }
     if (out.exists(_.isInstanceOf[AttributeReference])) None else Some(out)
   }
@@ -437,10 +468,24 @@ object ProjectionRewrite extends Rule[LogicalPlan] {
     df = df.select((e.table.keys ++ needed).map(col): _*)
     stateFilters.foreach(c => df = df.filter(ColumnBridge.column(c)))
     val gCols = gState.zip(gNames).map { case (x, n) => ColumnBridge.column(x).as(n) }
-    val mergeCols = needed.map(n => e.metric(n).merge)
-    val m = df.groupBy(gCols: _*).agg(mergeCols.head, mergeCols.tail: _*)
-    val fin = m.select(gNames.map(col) ++
-      needed.map(n => e.metric(n).finish(col(n)).as(n)): _*)
+    // `needed` may be empty: an aggregate-free Aggregate (SELECT DISTINCT
+    // keys / GROUP BY with no metrics) still routes — the state table holds
+    // exactly the source's groups, so its distinct keys are the answer.
+    // Built as groupBy + dropped dummy aggregate, NOT .distinct(): this runs
+    // mid-optimization, after the batch that replaces Deduplicate with
+    // Aggregate — a Deduplicate node here would reach the planner unreplaced.
+    val fin =
+      if (needed.isEmpty)
+        df.select(gCols: _*).groupBy(gNames.map(col): _*)
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("__d"))
+          .select(gNames.map(col): _*)
+      else {
+        val mergeCols = needed.map(n => e.metric(n).merge)
+        val m = df.groupBy(gCols: _*).agg(mergeCols.head, mergeCols.tail: _*)
+        m.select(gNames.map(col) ++
+          needed.map(n => e.metric(n).finish(col(n)).as(n)): _*)
+      }
     val shaped = fin.select(outExprs.zip(agg.output).map { case (x, o) =>
       ColumnBridge.column(x).cast(o.dataType).as(o.name)
     }: _*)

@@ -59,7 +59,11 @@ final class StateTable(
     batch.groupBy(keys.map(col): _*).agg(stateCols.head, stateCols.tail: _*)
 
   /** Append pre-aggregated state rows for one batch. */
-  def append(states: DataFrame): Unit = {
+  def append(states: DataFrame): Unit = Projection.suppress {
+    // suppress: if this table is registered as a projection of `states`'
+    // source, the ingest aggregate must NOT route onto the table itself —
+    // the table is out of sync with the source for exactly this batch, so
+    // a routed read would lose the batch (new partition) or double it
     states
       .sortWithinPartitions(keys.map(col): _*)
       .write.mode("append").partitionBy(partitionCol).parquet(path)
@@ -105,7 +109,8 @@ final class StateTable(
     if (tag.isEmpty) s"$batchId" else s"$tag.$batchId"
   }
 
-  def appendExactlyOnce(states: DataFrame, batchId: Long, ns: String = ""): Boolean = {
+  def appendExactlyOnce(states: DataFrame, batchId: Long, ns: String = ""): Boolean =
+      Projection.suppress {
     val fs = fileSystem()
     val tok = batchTok(batchId, ns)
     val marker = new Path(path, s"_ledger/batch-$tok")
@@ -220,7 +225,7 @@ final class StateTable(
     * table at `.compact.old` — [[recoverFromCompact]] restores it on the
     * next open.
     */
-  def compact(): Unit = {
+  def compact(): Unit = Projection.suppress {
     val tmp = path + ".compact.tmp"
     val old = path + ".compact.old"
     merged(keys)
@@ -354,7 +359,7 @@ final class StateTable(
     * rewrite with each assignment applied on matching rows (others kept
     * verbatim), same atomic swap as [[deleteWhere]]. */
   def updateWhere(assignments: Seq[(String, org.apache.spark.sql.Column)],
-      cond: org.apache.spark.sql.Column): Unit = {
+      cond: org.apache.spark.sql.Column): Unit = Projection.suppress {
     val tmp = path + ".mutate.tmp"
     val old = path + ".mutate.old"
     val src = read()
@@ -386,7 +391,7 @@ final class StateTable(
     * number of rows removed. Partition-parallel rewrite; states are kept
     * as stored (no merge), so part granularity is unchanged.
     */
-  def deleteWhere(cond: org.apache.spark.sql.Column): Long = {
+  def deleteWhere(cond: org.apache.spark.sql.Column): Long = Projection.suppress {
     val before = read().count()
     val tmp = path + ".mutate.tmp"
     val old = path + ".mutate.old"

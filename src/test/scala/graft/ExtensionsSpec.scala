@@ -52,4 +52,33 @@ class ExtensionsSpec extends SparkSpec {
     graft.functions.Registration.once(spark, "reentry-test")(body())
     assert(runs == 2)
   }
+
+  test("Projection.attach on an extensions session adds no second rewrite " +
+      "rule (the injected copy already runs in the main optimizer)") {
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .appName("graft-ext-attach-test")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      s2.sql("SELECT 1").collect() // force analysis: sets the marker conf
+      assert(s2.conf.getOption(GraftExtensions.MarkerConf).contains("true"))
+      graft.mv.Projection.attach(s2)
+      assert(!s2.experimental.extraOptimizations.contains(graft.mv.ProjectionRewrite),
+        "extensions session must not carry a second ProjectionRewrite copy")
+      assert(s2.experimental.extraOptimizations.nonEmpty,
+        "attach must still install the per-session projection store")
+      // a plain session DOES get the rewrite rule, exactly once
+      graft.mv.Projection.attach(base)
+      graft.mv.Projection.attach(base)
+      assert(base.experimental.extraOptimizations
+        .count(_ eq graft.mv.ProjectionRewrite) == 1)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
 }

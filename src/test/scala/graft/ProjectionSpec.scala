@@ -190,6 +190,52 @@ class ProjectionSpec extends SparkSpec {
     }
   }
 
+  test("ingest never self-routes: appendBatch after registration writes the " +
+      "batch's real states, not a routed read of the table itself") {
+    // metrics chosen so toStates' aggregate is expression-identical to the
+    // registered defs (count/sum — the exact shape that routed pre-fix)
+    val st = new StateTable(spark, tmpDir("proj-ingest-st") + "/st",
+      keys = Seq("day", "kind"), partitionCol = "day",
+      metrics = Seq(CountMetric("cnt"), SumMetric("v_sum", dec(col("v")))))
+    val d7 = Date.valueOf("2024-02-07")
+    st.appendBatch(source.filter(col("day") < lit(d7) || col("day").isNull))
+    // expected day-7 profile, computed BEFORE registration so it can't route
+    val exp = source.filter(col("day") === lit(d7))
+      .groupBy("kind").agg(count(lit(1)).as("cnt"))
+      .orderBy("kind").collect().map(r => (r.getString(0), r.getLong(1)))
+    Projection.register(spark, st, source, Seq(
+      "cnt" -> count(lit(1)), "v_sum" -> sum(dec(col("v")))))
+    try {
+      // the sync path the Projection scaladoc documents: append one day.
+      // Its toStates groupBy matches the projection; day 7 is absent from
+      // the table, so a routed read would append ZERO rows (batch lost).
+      st.appendBatch(source.filter(col("day") === lit(d7)))
+      val got = st.finalized().filter(col("day") === lit(d7))
+        .orderBy("kind").collect().map(r => (r.getString(1), r.getLong(2)))
+      assert(exp.nonEmpty && got.sameElements(exp),
+        s"ingest was routed onto the table itself: got ${got.mkString(",")} " +
+          s"expected ${exp.mkString(",")}")
+      // and appending an ALREADY-PRESENT day must add that batch once more
+      // (states for the batch), not double the table's merged totals
+      st.appendBatch(source.filter(col("day") === lit(d7)))
+      val doubled = st.finalized().filter(col("day") === lit(d7))
+        .orderBy("kind").collect().map(r => (r.getString(1), r.getLong(2)))
+      assert(doubled.map(_._2).sameElements(exp.map(_._2 * 2)))
+    } finally Projection.deregister(spark, st)
+  }
+
+  test("aggregate-free matches route as DISTINCT over state keys instead of " +
+      "crashing the rule") {
+    withProjection { st =>
+      // SELECT DISTINCT key → Aggregate with no aggregate functions
+      assertRoutedAndEqual(st, () => source.select("kind").distinct().orderBy("kind"))
+      // distinct over a function of a key + a second key
+      assertRoutedAndEqual(st, () =>
+        source.select(dayofweek(col("day")).as("dow"), col("kind")).distinct()
+          .orderBy("dow", "kind"))
+    }
+  }
+
   test("deregister restores the raw plan") {
     val st = registered()
     val q = () => source.groupBy("day").agg(count(lit(1)).as("cnt"))

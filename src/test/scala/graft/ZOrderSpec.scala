@@ -106,7 +106,7 @@ class ZOrderSpec extends SparkSpec {
     // hash-bucketing confines each platform to a slice of the files: no
     // platform should appear in every file (4 values, 128 hash buckets)
     val conf = spark.sparkContext.hadoopConfiguration
-    val perFile = new java.io.File(p.stripSuffix("/z") + "/z").listFiles().toSeq
+    val perFile = new java.io.File(p).listFiles().toSeq
       .filter(f => f.getName.endsWith(".parquet"))
       .map(f => spark.read.parquet(f.getPath)
         .select("platform").distinct().count())
