@@ -26,8 +26,14 @@ class FuzzParitySpec extends SparkSpec {
   // 301-320 keyword-named quoted identifiers + OR-bearing PREWHERE
   // companions (the clause-boundary scanner edges); 321-360 two-phase
   // -State/-Merge rollups vs DuckDB's direct aggregation (the MV
-  // invariant at randomized combinator × key × filter × null shapes)
-  private val seeds = 1 to 360
+  // invariant at randomized combinator × key × filter × null shapes);
+  // 361-400 OVER-windows + QUALIFY (ChQualify rewrite vs DuckDB's native
+  // QUALIFY, lagInFrame/leadInFrame spellings, framed decimal sums);
+  // 401-425 ASOF [LEFT] JOIN dialect text (ChAsof rewrite + AsOfJoin
+  // operator) vs a direction-agnostic DuckDB LATERAL limit-1 mirror;
+  // 426-450 exact quantile levels (Inclusive vs DuckDB's own
+  // quantile_cont; Exclusive vs the written-out clamped rank formula)
+  private val seeds = 1 to 450
 
   private def duckdbAvailable: Boolean =
     try Seq("python3", "-c", "import duckdb, pandas").! == 0
@@ -43,12 +49,26 @@ class FuzzParitySpec extends SparkSpec {
       .foreach { case (n, df) => df.createOrReplaceTempView(n) }
     graft.functions.ChCompat.register(spark)
 
+    // the ASOF band's view pair — SAME SQL text the generator mirrors into
+    // the DuckDB WITH clauses, so the two sides cannot drift
+    FuzzGen.asofViewSql.foreach { case (v, q) =>
+      spark.sql(q).createOrReplaceTempView(v) }
+
     val out = tmpDir("graft-fuzz")
     val oracle = new StringBuilder("{")
     var first = true
     FuzzGen.queries(seeds).foreach { q =>
-      val df = spark.sql(
-        if (q.viaChSql) graft.engine.ChSql(q.sparkSql) else q.sparkSql)
+      val df =
+        if (q.viaChSql) {
+          // the engine's full string-dialect chain, composed the way the
+          // declared packs compose it: ChSql shims, then the QUALIFY
+          // rewrite, then the ASOF JOIN rewrite (session-bound)
+          var s2 = graft.engine.ChSql(q.sparkSql)
+          if (graft.engine.ChQualify.applies(s2))
+            s2 = graft.engine.ChQualify.rewrite(s2)
+          if (graft.engine.ChAsof.applies(s2)) graft.engine.ChAsof.sql(spark, s2)
+          else spark.sql(s2)
+        } else spark.sql(q.sparkSql)
       df.coalesce(1).write.mode("overwrite").parquet(s"$out/${q.name}")
       if (!first) oracle.append(",\n")
       first = false

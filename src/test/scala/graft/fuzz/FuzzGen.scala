@@ -133,7 +133,10 @@ object FuzzGen {
   def queryFor(seed: Int): FuzzQuery = {
     val rnd = new Random(seed.toLong * 1000003L + 17L)
     val name = f"fz$seed%03d"
-    if (seed > 320) stateMergeQuery(name, rnd)
+    if (seed > 425) quantileQuery(name, rnd)
+    else if (seed > 400) asofQuery(name, rnd)
+    else if (seed > 360) windowQuery(name, rnd)
+    else if (seed > 320) stateMergeQuery(name, rnd)
     else if (seed > 300) quotedIdentQuery(name, rnd)
     else if (seed > 260) chSqlQuery(name, rnd)
     else if (seed > 200) aggQuery(name, joins(rnd.nextInt(joins.length)), rnd)
@@ -315,6 +318,223 @@ object FuzzGen {
       s"SELECT $duckKeys, ${picked.map(_._3).mkString(", ")} " +
         s"FROM events$where GROUP BY ${if (both) s"event_type, $tk" else "event_type"} " +
         s"ORDER BY $order")
+  }
+
+  // ---- window functions + QUALIFY (seeds past 360) ---------------------
+
+  /** Randomized OVER-window shapes vs DuckDB's independent window engine:
+    * ranking × navigation (incl. the CH lagInFrame/leadInFrame spellings)
+    * × framed aggregates × partitioning × direction, with a QUALIFY clause
+    * (translated by [[graft.engine.ChSql]]/ChQualify on the Spark side,
+    * native on DuckDB's) on a third of the seeds. Determinism discipline:
+    * value-position-sensitive functions (row_number, ntile, lag/lead,
+    * first/last_value, ROWS frames) only ever order by the UNIQUE
+    * event_id; tie-tolerant functions (rank, dense_rank, percent_rank,
+    * cume_dist, RANGE frames) may order by the tied user_id. Decimal lane
+    * for float sums; BIGINT casts on DuckDB's HUGEINT window sums.
+    */
+  private def windowQuery(name: String, rnd: Random): FuzzQuery = {
+    val t = tables.find(_.name == "events").get
+    val part = rnd.nextInt(3) match {
+      case 0 => ""
+      case 1 => "PARTITION BY event_type "
+      case 2 => s"PARTITION BY user_id % ${2 + rnd.nextInt(5)} "
+    }
+    val dir = if (rnd.nextBoolean()) "ASC" else "DESC"
+    val uniqOrd = s"ORDER BY event_id $dir"
+    def rowsFrame(): String = rnd.nextInt(3) match {
+      case 0 => s"ROWS BETWEEN ${1 + rnd.nextInt(9)} PRECEDING AND CURRENT ROW"
+      case 1 => s"ROWS BETWEEN ${1 + rnd.nextInt(5)} PRECEDING AND ${rnd.nextInt(5)} FOLLOWING"
+      case 2 => "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+    }
+    // (sparkExpr, duckExpr) pairs, aliased identically by the caller
+    def draw(alias: String): (String, String) = rnd.nextInt(10) match {
+      case 0 =>
+        val e = s"row_number() OVER ($part$uniqOrd) AS $alias"
+        (e, e)
+      case 1 =>
+        val f = pick(rnd, Seq("rank", "dense_rank"))
+        val e = s"$f() OVER (${part}ORDER BY user_id $dir) AS $alias"
+        (e, e)
+      case 2 =>
+        val f = pick(rnd, Seq("percent_rank", "cume_dist"))
+        val e = s"round($f() OVER (${part}ORDER BY user_id $dir), 6) AS $alias"
+        (e, e)
+      case 3 =>
+        val (s, d) = (pick(rnd, Seq("lag" -> "lag", "lead" -> "lead",
+          "lagInFrame" -> "lag", "leadInFrame" -> "lead")))
+        val off = rnd.nextInt(4); val dflt = -1 - rnd.nextInt(9)
+        ((s"$s(event_id, $off, $dflt) OVER ($part$uniqOrd) AS $alias"),
+          (s"$d(event_id, $off, $dflt) OVER ($part$uniqOrd) AS $alias"))
+      case 4 =>
+        val fr = rowsFrame()
+        (s"CAST(sum(CAST(value AS DECIMAL(18,2))) OVER ($part$uniqOrd $fr) AS DOUBLE) AS $alias",
+          s"CAST(sum(CAST(value AS DECIMAL(18,2))) OVER ($part$uniqOrd $fr) AS DOUBLE) AS $alias")
+      case 5 =>
+        val f = pick(rnd, Seq("min", "max")); val fr = rowsFrame()
+        val e = s"$f(user_id) OVER ($part$uniqOrd $fr) AS $alias"
+        (e, e)
+      case 6 => // whole-partition aggregate, no ORDER BY in the window
+        val p = if (part.isEmpty) "PARTITION BY event_type " else part
+        (s"count(*) OVER (${p.trim}) AS $alias",
+          s"CAST(count(*) OVER (${p.trim}) AS BIGINT) AS $alias")
+      case 7 =>
+        val f = pick(rnd, Seq("first_value", "last_value"))
+        val e = s"$f(event_id) OVER ($part$uniqOrd " +
+          s"ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS $alias"
+        (e, e)
+      case 8 =>
+        val e = s"ntile(${2 + rnd.nextInt(7)}) OVER ($part$uniqOrd) AS $alias"
+        (e, e)
+      case _ => // RANGE frame over tied keys: peers included on both sides
+        val c = 1 + rnd.nextInt(20)
+        (s"sum(CAST(user_id AS BIGINT)) OVER (${part}ORDER BY user_id " +
+          s"RANGE BETWEEN $c PRECEDING AND CURRENT ROW) AS $alias",
+          s"CAST(sum(user_id) OVER (${part}ORDER BY user_id " +
+            s"RANGE BETWEEN $c PRECEDING AND CURRENT ROW) AS BIGINT) AS $alias")
+    }
+    val k = 1 + rnd.nextInt(2)
+    val pairs = (0 until k).map(i => draw(s"w$i"))
+    val where = predicate(t, rnd).map(p => s" WHERE $p").getOrElse("")
+    // QUALIFY references an ALIASED window column (ChQualify's documented
+    // contract — the idiomatic CH form; raw window calls can't live in the
+    // outer WHERE its rewrite produces). DuckDB resolves the alias too.
+    val (qcol, qualify) =
+      if (rnd.nextInt(3) == 0)
+        (s", row_number() OVER ($part$uniqOrd) AS qrn",
+          s" QUALIFY qrn % ${2 + rnd.nextInt(3)} = 0")
+      else ("", "")
+    val spark = s"SELECT event_id, ${pairs.map(_._1).mkString(", ")}$qcol " +
+      s"FROM events$where$qualify ORDER BY event_id"
+    val duck = s"SELECT event_id, ${pairs.map(_._2).mkString(", ")}$qcol " +
+      s"FROM events$where$qualify ORDER BY event_id"
+    FuzzQuery(name, spark, duck, viaChSql = true)
+  }
+
+  // ---- ASOF joins (seeds past 400) -------------------------------------
+
+  /** The ASOF band: CH `ASOF [LEFT] JOIN` dialect text through the
+    * [[graft.engine.ChAsof]] string rewrite + [[graft.operators.AsOfJoin]]
+    * operator, against a hand-mirrored DuckDB LATERAL limit-1 probe (the
+    * direction-agnostic oracle — DuckDB's own ASOF JOIN is not used, so
+    * this is independent of its direction support). The right side is
+    * unique on (user_id, rts) BY CONSTRUCTION (both engines' asof ties on
+    * duplicate right timestamps are tie-break details, not semantics).
+    * Views fz_asof_l / fz_asof_r are created by FuzzParitySpec on the
+    * Spark side and mirrored as WITH clauses here on the DuckDB side —
+    * SAME text, asofViewSql, so they cannot drift.
+    */
+  val asofViewSql: Seq[(String, String)] = Seq(
+    "fz_asof_l" ->
+      ("SELECT event_id, user_id, ts, event_type, value FROM events " +
+        "WHERE event_id % 5 < 3"),
+    "fz_asof_r" ->
+      ("SELECT user_id, ts AS rts, MAX(event_id) AS r_eid, " +
+        "CAST(COUNT(*) AS BIGINT) AS r_n FROM events " +
+        "WHERE event_id % 5 >= 3 GROUP BY user_id, ts"))
+
+  private def asofQuery(name: String, rnd: Random): FuzzQuery = {
+    val (op, revOrd) = pick(rnd, Seq(
+      (">=", "DESC"), (">", "DESC"), ("<=", "ASC"), ("<", "ASC")))
+    val isLeft = rnd.nextBoolean()
+    val joinWord = if (isLeft) "ASOF LEFT JOIN" else "ASOF JOIN"
+    // left-side filter: per-row asof matching commutes with left filtering,
+    // so WHERE after the join is equivalent on both sides
+    val where = rnd.nextInt(3) match {
+      case 0 => ""
+      case 1 => s" WHERE user_id % ${2 + rnd.nextInt(4)} = ${rnd.nextInt(2)}"
+      case _ => s" WHERE event_type IN ('click', 'view', 'purchase')"
+    }
+    // DuckDB mirror: LEFT JOIN LATERAL limit-1 probe; the inner (non-LEFT)
+    // CH form drops unmatched left rows, mirrored by `r_eid IS NOT NULL`
+    val duckWith = asofViewSql.map { case (v, q) => s"$v AS ($q)" }
+      .mkString("WITH ", ", ", " ")
+    val duckJoin =
+      s"FROM fz_asof_l l LEFT JOIN LATERAL (" +
+        s"SELECT rts, r_eid, r_n FROM fz_asof_r r " +
+        s"WHERE r.user_id = l.user_id AND l.ts $op r.rts " +
+        s"ORDER BY r.rts $revOrd LIMIT 1) m ON true"
+    // both sides' WHERE: the user-drawn left filter, plus (duck only) the
+    // inner-form match requirement; duck needs l. qualifiers (user_id is
+    // ambiguous against the lateral subquery's correlation scope)
+    def duckWhere(extraInner: Boolean): String = {
+      val parts =
+        (if (where.isEmpty) Nil
+         else Seq(where.stripPrefix(" WHERE ").replace("user_id", "l.user_id")
+           .replace("event_type", "l.event_type"))) ++
+          (if (extraInner) Seq("r_eid IS NOT NULL") else Nil)
+      if (parts.isEmpty) "" else parts.mkString(" WHERE (", ") AND (", ")")
+    }
+    if (rnd.nextBoolean()) {
+      // row-probe form: enriched rows, totally ordered by the unique left id
+      val spark = s"SELECT event_id, user_id, rts, r_eid, r_n " +
+        s"FROM fz_asof_l l $joinWord fz_asof_r r " +
+        s"ON l.user_id = r.user_id AND l.ts $op r.rts" + where +
+        " ORDER BY event_id"
+      val duck = s"${duckWith}SELECT event_id, l.user_id AS user_id, rts, r_eid, r_n " +
+        duckJoin + duckWhere(!isLeft) + " ORDER BY event_id"
+      FuzzQuery(name, spark, duck, viaChSql = true)
+    } else {
+      // aggregate form: per-event_type match profile
+      val spark = s"SELECT event_type, count(r_eid) AS matched, " +
+        s"CAST(sum(r_n) AS BIGINT) AS total_n, count(*) AS rows_out " +
+        s"FROM fz_asof_l l $joinWord fz_asof_r r " +
+        s"ON l.user_id = r.user_id AND l.ts $op r.rts" + where +
+        " GROUP BY event_type ORDER BY event_type"
+      val duck = s"${duckWith}SELECT l.event_type AS event_type, " +
+        s"CAST(count(r_eid) AS BIGINT) AS matched, " +
+        s"CAST(sum(r_n) AS BIGINT) AS total_n, " +
+        s"CAST(count(*) AS BIGINT) AS rows_out " +
+        duckJoin + duckWhere(!isLeft) +
+        " GROUP BY l.event_type ORDER BY event_type"
+      FuzzQuery(name, spark, duck, viaChSql = true)
+    }
+  }
+
+  // ---- exact quantile levels (seeds past 425) --------------------------
+
+  /** Random levels × argument expressions × groupings for the Excel-
+    * convention exact quantiles: Inclusive (R-7) against DuckDB's OWN
+    * independent quantile_cont; Exclusive against the clamped
+    * h = level·(n+1) rank formula written out over a sorted list.
+    */
+  private def quantileQuery(name: String, rnd: Random): FuzzQuery = {
+    val level = (5 + rnd.nextInt(90)) / 100.0 // 0.05 .. 0.94
+    val ls = f"$level%.2f"
+    // identical argument text on both sides
+    val argS = rnd.nextInt(3) match {
+      case 0 => s"CAST(user_id % ${7 + rnd.nextInt(90)} AS DOUBLE)"
+      case 1 => "CAST(value AS DOUBLE)"
+      case _ => "CAST(event_id % 1000 AS DOUBLE)"
+    }
+    val arg = argS
+    val key = pick(rnd, Seq("event_type", "user_id % 5", "year(CAST(ts AS DATE))"))
+    val where = rnd.nextInt(3) match {
+      case 0 => ""
+      case _ => s" WHERE event_id % ${2 + rnd.nextInt(5)} != 0"
+    }
+    if (rnd.nextBoolean()) {
+      FuzzQuery(name,
+        s"SELECT $key AS k, round(quantileExactInclusive($argS, ${ls}D), 6) AS qv " +
+          s"FROM events$where GROUP BY $key ORDER BY k",
+        s"SELECT $key AS k, round(quantile_cont($arg, $ls), 6) AS qv " +
+          s"FROM events$where GROUP BY $key ORDER BY k")
+    } else {
+      FuzzQuery(name,
+        s"SELECT $key AS k, round(quantileExactExclusive($argS, ${ls}D), 6) AS qv " +
+          s"FROM events$where GROUP BY $key ORDER BY k",
+        s"""WITH g AS (
+           |  SELECT $key AS k, list($arg ORDER BY $arg) l,
+           |         CAST(COUNT(*) AS DOUBLE) n
+           |  FROM events$where GROUP BY $key),
+           |e AS (
+           |  SELECT k, l, n, GREATEST(1.0, LEAST($ls * (n + 1.0), n)) h FROM g)
+           |SELECT k, round(
+           |  l[CAST(FLOOR(h) AS INT)] + (h - FLOOR(h)) *
+           |    (l[LEAST(CAST(FLOOR(h) AS INT) + 1, CAST(n AS INT))] -
+           |     l[CAST(FLOOR(h) AS INT)]), 6) AS qv
+           |FROM e ORDER BY k""".stripMargin)
+    }
   }
 
   // ---- predicates (identical text on both sides) ----------------------
