@@ -383,6 +383,69 @@ object ChSql {
     replaceOnMasked(q, """(?is)\bgroup\s+by\s+(.*?)\s+with\s+(rollup|cube)\b""".r)(
       m => s"GROUP BY ${m.group(2).toUpperCase}(${grp(q, m, 1).trim})")
 
+  /** `ORDER BY keys LIMIT n WITH TIES` → rank-with-ties: the first n rows
+    * PLUS every row tied with the n-th on the ORDER BY values — exactly
+    * `rank() OVER (ORDER BY keys) <= n` (ranks beyond n start past the tie
+    * group). Rewritten as a wrapped subquery with a `* EXCEPT` projection
+    * dropping the helper rank, so the shim stays string-level. Requires
+    * the depth-0 ORDER BY (CH's own WITH TIES contract — tie membership is
+    * order-defined), whose keys must be selectable from the query's own
+    * output (the restriction the LIMIT BY rewrite also places — the rank
+    * computes over the wrapped subquery); anything after the TIES clause
+    * (OFFSET, LIMIT BY) is rejected rather than silently misread. Runs
+    * OUTERMOST in [[apply]]:
+    * SETTINGS/FORMAT suffixes are already stripped and the body shims have
+    * already rewritten the text this wraps.
+    */
+  def withTies(q: String): String = {
+    val masked = maskStrings(q)
+    val anyTies = """(?is)\blimit\s+\d+\s+with\s+ties\b""".r
+    val li = findTopLevelKeyword(masked, 0, "limit")
+    if (li < 0) {
+      // a WITH TIES buried in a subquery would otherwise pass through to
+      // an opaque parser error — name the limitation instead
+      if (anyTies.findFirstIn(masked).isDefined)
+        sys.error("ChSql: LIMIT ... WITH TIES is only supported on the " +
+          "outermost query block — hoist the subquery's tie logic, or use " +
+          "QUALIFY rank() OVER (ORDER BY ...) <= n inside it")
+      return q
+    }
+    val tiesRe = """(?is)^limit\s+(\d+)\s+with\s+ties\s*(;?)\s*$""".r
+    val m = tiesRe.findFirstMatchIn(masked.substring(li)).getOrElse {
+      // a depth-0 LIMIT without (or with trailing clutter after) WITH
+      // TIES: plain LIMIT passes through unless a WITH TIES hides in a
+      // subquery (unsupported, loud) or trails extra clauses (loud)
+      if ("""(?is)^limit\s+\d+\s+with\s+ties\b""".r
+          .findFirstIn(masked.substring(li)).isDefined)
+        sys.error("ChSql: LIMIT n WITH TIES must end the statement " +
+          "(OFFSET / further clauses after WITH TIES are not supported)")
+      if (anyTies.findFirstIn(masked).isDefined)
+        sys.error("ChSql: LIMIT ... WITH TIES is only supported on the " +
+          "outermost query block — hoist the subquery's tie logic, or use " +
+          "QUALIFY rank() OVER (ORDER BY ...) <= n inside it")
+      return q
+    }
+    if (anyTies.findFirstIn(masked.substring(0, li)).isDefined)
+      sys.error("ChSql: LIMIT ... WITH TIES is only supported on the " +
+        "outermost query block — hoist the subquery's tie logic, or use " +
+        "QUALIFY rank() OVER (ORDER BY ...) <= n inside it")
+    val n = m.group(1)
+    val ob = findTopLevelKeyword(masked, 0, "order")
+    require(ob >= 0 && ob < li,
+      "ChSql: LIMIT n WITH TIES needs a top-level ORDER BY " +
+        "(tie membership is order-defined — CH's own contract)")
+    val afterOrder = skipWs(q, ob + "order".length)
+    require(wordAt(masked, afterOrder, "by"),
+      "ChSql: malformed ORDER BY before LIMIT ... WITH TIES")
+    val keys = q.substring(afterOrder + 2, li).trim
+    require(keys.nonEmpty, "ChSql: empty ORDER BY key list before WITH TIES")
+    val body = q.substring(0, ob).trim
+    s"SELECT * EXCEPT (__gf_ties_rank) FROM (" +
+      s"SELECT *, rank() OVER (ORDER BY $keys) AS __gf_ties_rank FROM (" +
+      s"$body) __gf_ties_i) __gf_ties_o " +
+      s"WHERE __gf_ties_rank <= $n ORDER BY $keys" + m.group(2)
+  }
+
   /** Drop CH's `GLOBAL` distribution keyword (GLOBAL [ANY|…] JOIN /
     * GLOBAL [NOT] IN): on CH it forces shipping the right side to every
     * shard; Catalyst owns distribution (broadcast vs shuffle) from
@@ -990,9 +1053,9 @@ object ChSql {
     */
   def apply(q: String): String = {
     def one(s: String): String =
-      withTotals(withRollupCube(stripSettings(stripFormat(prewhere(stripGlobal(
+      withTies(withTotals(withRollupCube(stripSettings(stripFormat(prewhere(stripGlobal(
         scalarWith(tupleIndex(chLiterals(dateDiff(xxHash(runningWindow(
-          chQuotedIdents(s)))))))))))))
+          chQuotedIdents(s))))))))))))))
     splitStatements(q).map(one).mkString(";\n")
   }
 }

@@ -528,6 +528,7 @@ private[functions] object ChCompatAggs {
     f("bitmapSubsetInRange") { es => BitmapSubsetExpr(es(0), es(1), es(2), "range") }
     f("bitmapSubsetLimit") { es => BitmapSubsetExpr(es(0), es(1), es(2), "limit") }
     f("subBitmap") { es => BitmapSubsetExpr(es(0), es(1), es(2), "sub") }
+    f("bitmapTransform") { es => BitmapTransformExpr(es(0), es(1), es(2)) }
 
     // ---- medianExact family (dwm:83,100,114) -------------------------
     f("medianExact") { es => new Percentile(es.head, Literal(0.5)) }

@@ -391,5 +391,31 @@ private[functions] object ChCompatDates {
     }
     // CH dateTrunc spelling of date_trunc (unit first, like Spark)
     f("dateTrunc") { es => TruncTimestamp(es(0), es(1)) }
+    // toMillisecond — the millisecond component (0-999) of a timestamp
+    f("toMillisecond") { es =>
+      Cast(Pmod(
+        IntegralDivide(UnixMicros(Cast(es.head, TimestampType)),
+          Literal(1000L), EvalMode.LEGACY),
+        Literal(1000L), EvalMode.LEGACY), IntegerType)
+    }
+    // hopStart/hopEnd(ts, hop_interval, window_interval) — bounds of the
+    // LATEST hopping window containing ts (CH WindowView semantics): the
+    // start is ts floored to the hop grid, the end is start + window size.
+    f("hopStart") { es =>
+      require(es.length == 3, "hopStart(ts, hop_interval, window_interval)")
+      val hop = ivMicros(es(1), "hopStart")
+      org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
+        TimeWindow(es(0), hop, hop, 0L), Literal("start"))
+    }
+    f("hopEnd") { es =>
+      require(es.length == 3, "hopEnd(ts, hop_interval, window_interval)")
+      val hop = ivMicros(es(1), "hopEnd")
+      val win = ivMicros(es(2), "hopEnd")
+      TimestampAddInterval(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
+          TimeWindow(es(0), hop, hop, 0L), Literal("start")),
+        Literal(new org.apache.spark.unsafe.types.CalendarInterval(
+          0, 0, win)))
+    }
   }
 }

@@ -250,6 +250,52 @@ case class BitmapSubsetExpr(first: Expression, second: Expression,
   override def prettyName: String = s"bitmapSubset_$op"
 }
 
+/** CH `bitmapTransform(bm, from_array, to_array)` — sequential value
+  * remapping on the LIVE bitmap (CH's documented pair-by-pair semantics:
+  * each `from[i]` still present at step i is removed and `to[i]` added, so
+  * overlapping from/to chains compose left to right — the doc example
+  * [5,999,2]→[2,888,20] over {1..10} yields 20, not a kept 2).
+  */
+case class BitmapTransformExpr(first: Expression, second: Expression,
+    third: Expression)
+  extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  private def elems(v: Any, e: Expression): Array[Long] = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val et = e.dataType.asInstanceOf[ArrayType].elementType
+    Array.tabulate(arr.numElements()) { i =>
+      et match {
+        case LongType => arr.getLong(i)
+        case IntegerType => arr.getInt(i).toLong
+        case ShortType => arr.getShort(i).toLong
+        case _ => throw new IllegalArgumentException(
+          s"bitmapTransform: integral arrays required, got ${e.dataType.simpleString}")
+      }
+    }
+  }
+  override def nullSafeEval(b: Any, fromV: Any, toV: Any): Any = {
+    val bm = Bitmaps.fromBytes(b.asInstanceOf[Array[Byte]])
+    val from = elems(fromV, second)
+    val to = elems(toV, third)
+    require(from.length == to.length,
+      s"bitmapTransform: from/to lengths differ (${from.length} vs ${to.length})")
+    var i = 0
+    while (i < from.length) {
+      val f = Bitmaps.toUint32(from(i))
+      if (bm.contains(f)) {
+        bm.remove(f)
+        bm.add(Bitmaps.toUint32(to(i)))
+      }
+      i += 1
+    }
+    Bitmaps.toBytes(bm)
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): BitmapTransformExpr =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "bitmapTransform"
+}
+
 /** CH `arrayAUC(scores, labels)`: exact ROC AUC from one row's parallel
   * arrays — rank-sum form with average ranks on score ties (the same
   * half-credit CH assigns). NULL when either class is absent. */

@@ -234,5 +234,56 @@ private[functions] object ChCompatStrings {
       Coalesce(Seq(LengthOfJsonArray(j), Size(JsonObjectKeys(j))))
     }
 
+    // ---- round-11 dialect tail ----------------------------------------
+    // splitByRegexp(re, s) — CH keeps empty leading/trailing fields
+    // (splitByChar discipline); Spark's limit=-1 matches. Divergence note:
+    // an EMPTY pattern splits to per-character fields in CH; Java's split
+    // yields the same per-character fields, so the two agree there too.
+    f("splitByRegexp") { es =>
+      require(es.length == 2, "splitByRegexp(re, s)")
+      StringSplit(es(1), es(0), Literal(-1))
+    }
+    // CH regexpExtract(haystack, pattern[, index]); index defaults to 1
+    // (the first capture group), same as Spark's regexp_extract
+    f("regexpExtract") { es =>
+      require(es.length == 2 || es.length == 3, "regexpExtract(s, re[, idx])")
+      RegExpExtract(es(0), es(1), if (es.length == 3) es(2) else Literal(1))
+    }
+    // isIPv6String — RFC-4291 textual forms: full 8-group, ::-compressed at
+    // every position, and the IPv4-suffixed tails (::ffff:1.2.3.4 and
+    // general v4-embedded). Same anchored-regex discipline as isIPv4String.
+    f("isIPv6String") { es =>
+      val h = "[0-9A-Fa-f]{1,4}"
+      val v4 = "((25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\\.){3}" +
+        "(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])"
+      val p = s"^($h:){7}$h$$" +
+        s"|^($h:){1,7}:$$" +
+        s"|^($h:){1,6}:$h$$" +
+        s"|^($h:){1,5}(:$h){1,2}$$" +
+        s"|^($h:){1,4}(:$h){1,3}$$" +
+        s"|^($h:){1,3}(:$h){1,4}$$" +
+        s"|^($h:){1,2}(:$h){1,5}$$" +
+        s"|^$h:(:$h){1,6}$$" +
+        s"|^:((:$h){1,7}|:)$$" +
+        s"|^($h:){6}$v4$$" +
+        s"|^($h:){1,5}:$v4$$" +
+        s"|^$h:(:$h){0,4}:$v4$$" +
+        s"|^::($h:){0,5}$v4$$"
+      RLike(es.head, Literal(p))
+    }
+    // toBool — CH accepts true/false/1/0 (and T/F case-insensitively via
+    // the cast); Spark's string→boolean cast implements the same table
+    f("toBool") { es => Cast(es.head, BooleanType) }
+    // widthBucket — identical contract to Spark's width_bucket
+    f("widthBucket") { es =>
+      require(es.length == 4, "widthBucket(x, lo, hi, n)")
+      WidthBucket(es(0), es(1), es(2), es(3))
+    }
+    // mapContainsKeyLike(m, pattern) — any key LIKE pattern
+    f("mapContainsKeyLike") { es =>
+      require(es.length == 2, "mapContainsKeyLike(map, pattern)")
+      val k = UnresolvedNamedLambdaVariable(Seq("__mckl_k"))
+      ArrayExists(MapKeys(es(0)), LambdaFunction(new Like(k, es(1)), Seq(k)))
+    }
   }
 }

@@ -98,6 +98,9 @@ object StatAggregates {
     }
     for (fn <- Seq("erf", "erfc", "lgamma", "tgamma", "digamma"))
       f(fn) { es => MathFnExpr(es.head, fn) }
+    // CH proportionsZTest(successes_x, successes_y, trials_x, trials_y,
+    // conf_level, 'pooled'|'unpooled') — scalar two-proportion z-test
+    f("proportionsZTest") { es => ProportionsZTestExpr(es) }
     f("minSampleSizeConversion") { es => MinSampleSizeExpr(es, conversion = true) }
     // CH's spelling really is "Continous" (sic); accept the corrected one too
     f("minSampleSizeContinous") { es => MinSampleSizeExpr(es, conversion = false) }
@@ -1800,6 +1803,70 @@ case class CountMapFinalizeExpr(child: Expression, stat: String)
   * the continuous-metric twin with a RELATIVE mde. Both return the CH
   * tuple (minimum_sample_size, detect_range_lower, detect_range_upper);
   * normal quantiles ride commons-math3's probit. */
+/** CH `proportionsZTest(sx, sy, tx, ty, conf, usevar)` — two-proportion
+  * z-test, scalar. `usevar` is the literal string 'pooled' (variance from
+  * the pooled proportion) or 'unpooled' (per-sample variances). Returns
+  * (z_statistic, p_value, ci_lower, ci_upper); the confidence interval is
+  * for the difference p_x − p_y at `conf`, using the same standard error
+  * as the statistic (CH's convention). Degenerate inputs (zero trials,
+  * zero standard error) yield NaNs, never errors — mirroring CH.
+  */
+case class ProportionsZTestExpr(children: Seq[Expression])
+  extends Expression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(children.length == 6,
+    "proportionsZTest(successes_x, successes_y, trials_x, trials_y, conf_level, " +
+      "'pooled'|'unpooled')")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("z_statistic", DoubleType, nullable = false),
+    StructField("p_value", DoubleType, nullable = false),
+    StructField("ci_lower", DoubleType, nullable = false),
+    StructField("ci_upper", DoubleType, nullable = false)))
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  private def num(v: Any): Double = v match {
+    case d: Double => d
+    case f: Float => f.toDouble
+    case l: Long => l.toDouble
+    case i: Int => i.toDouble
+    case s: Short => s.toDouble
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) return null
+    val Seq(sx, sy, tx, ty, conf) = vs.take(5).map(num)
+    val pooled = vs(5).toString.toLowerCase match {
+      case "pooled" => true
+      case "unpooled" => false
+      case other => throw new IllegalArgumentException(
+        s"proportionsZTest: usevar must be 'pooled' or 'unpooled', got '$other'")
+    }
+    val nan = InternalRow(Double.NaN, Double.NaN, Double.NaN, Double.NaN)
+    if (tx <= 0 || ty <= 0 || sx < 0 || sy < 0 || sx > tx || sy > ty ||
+      conf <= 0 || conf >= 1) return nan
+    val p1 = sx / tx; val p2 = sy / ty; val d = p1 - p2
+    val se =
+      if (pooled) {
+        val p = (sx + sy) / (tx + ty)
+        math.sqrt(p * (1 - p) * (1 / tx + 1 / ty))
+      } else math.sqrt(p1 * (1 - p1) / tx + p2 * (1 - p2) / ty)
+    if (se == 0 || se.isNaN) return nan
+    val z = d / se
+    val p = StatMath.normalTwoSidedP(z)
+    val norm = new org.apache.commons.math3.distribution.NormalDistribution(0, 1)
+    val zc = norm.inverseCumulativeProbability(1 - (1 - conf) / 2)
+    InternalRow(z, p, d - zc * se, d + zc * se)
+  }
+
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): ProportionsZTestExpr = copy(children = cs)
+  override def prettyName: String = "proportionsZTest"
+}
+
 case class MinSampleSizeExpr(children: Seq[Expression], conversion: Boolean)
   extends Expression
   with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {

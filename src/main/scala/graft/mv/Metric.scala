@@ -41,6 +41,16 @@ final case class CountMetric(name: String) extends Metric {
   val merge: Column = sum(col(name)).as(name)
 }
 
+/** Non-null value counter (`count(x)`); merges by re-sum. Registering this
+  * beside a [[SumMetric]] of the same source lets the projection rule
+  * decompose `avg(x)` onto the pair (over file sources every column is
+  * nullable, so a plain [[CountMetric]] can't stand in for `count(x)`).
+  */
+final case class CountValuesMetric(name: String, src: Column) extends Metric {
+  val state: Column = count(src).as(name)
+  val merge: Column = sum(col(name)).as(name)
+}
+
 /** SimpleAggregateFunction(min). */
 final case class MinMetric(name: String, src: Column) extends Metric {
   val state: Column = min(src).as(name)

@@ -435,18 +435,63 @@ object ProjectionRewrite extends Rule[LogicalPlan] {
 
   /** Rewrite a base-attribute OUTPUT expression onto the rolled-up columns:
     * aggregate calls matching a def become that metric's column, subtrees
-    * matching a grouping expression become that grouping's column. `None`
-    * if an aggregate or base attribute survives (unregistered aggregate, or
-    * a key reference outside every grouping expression).
+    * matching a grouping expression become that grouping's column. An
+    * `avg(x)` with no direct def DECOMPOSES onto registered `sum(x)` +
+    * count defs (what CH projections do natively — avg is never stored,
+    * always sumMerge/countMerge). `None` if an aggregate or base attribute
+    * survives (unregistered aggregate, or a key reference outside every
+    * grouping expression).
     */
   private def overOutputs(x: Expression, e: Projection.Registered,
       gBase: Seq[Expression], gNames: Seq[String],
       needed: mutable.LinkedHashSet[String]): Option[Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal, Divide}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, Count, Sum}
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    def plain(d: AggregateExpression): Boolean = !d.isDistinct && d.filter.isEmpty
+    // avg(x) → (sum-def name, count-def name). Count must be count(x), or
+    // count(*) when x is non-nullable (then the two counts coincide).
+    // Decimals are excluded: Spark's decimal Average carries bespoke
+    // precision/scale arithmetic a plain Divide would not reproduce. For
+    // fractional x the decomposed sum adds partials in a different order
+    // than the raw row-order accumulation — the same (documented) caveat
+    // as routing any registered fractional sum def.
+    object AvgOf {
+      def unapply(ae: AggregateExpression): Option[(String, String)] =
+        ae.aggregateFunction match {
+          case Average(xx, _) if plain(ae) &&
+              !xx.dataType.isInstanceOf[DecimalType] =>
+            val sumN = e.aggDefs.collectFirst {
+              case (n, d) if plain(d) && (d.aggregateFunction match {
+                case Sum(sx, _) => sx.semanticEquals(xx)
+                case _ => false
+              }) => n
+            }
+            val cntN = e.aggDefs.collectFirst {
+              case (n, d) if plain(d) && (d.aggregateFunction match {
+                case Count(Seq(cx)) =>
+                  cx.semanticEquals(xx) ||
+                    (!xx.nullable && cx.isInstanceOf[Literal] && cx.foldable &&
+                      cx.eval() != null)
+                case _ => false
+              }) => n
+            }
+            for (s <- sumN; c <- cntN) yield (s, c)
+          case _ => None
+        }
+    }
     val out = x.transformDown {
       case ae: AggregateExpression if e.aggDefs.exists(_._2.semanticEquals(ae)) =>
         val n = e.aggDefs.find(_._2.semanticEquals(ae)).get._1
         needed += n
         UnresolvedAttribute.quoted(n)
+      case AvgOf(s, c) =>
+        needed += s; needed += c
+        // LEGACY divide: count can be 0 only under a null-heavy sum (both
+        // NULL → NULL), and Spark's own Average finishes with a non-failing
+        // divide for exactly this case
+        Divide(Cast(UnresolvedAttribute.quoted(s), DoubleType),
+          Cast(UnresolvedAttribute.quoted(c), DoubleType), EvalMode.LEGACY)
       case s if gBase.exists(_.semanticEquals(s)) =>
         UnresolvedAttribute.quoted(gNames(gBase.indexWhere(_.semanticEquals(s))))
     }

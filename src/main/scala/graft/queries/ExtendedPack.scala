@@ -425,6 +425,65 @@ object ExtendedPack {
           min(col("event_id")).as("min_id"),
           max(col("event_id")).as("max_id"))
         .orderBy("event_type")
+    },
+
+    // The round-11 dialect tail under the hash gate: splitByRegexp /
+    // regexpExtract / toBool / widthBucket / mapContainsKeyLike /
+    // toMillisecond / hopStart-hopEnd / bitmapTransform /
+    // proportionsZTest — each mirrored by an INDEPENDENT DuckDB spelling
+    // (regexp_split_to_array, closed-form width buckets, CASE-mapped
+    // distinct counts for the bitmap remap, the explicit two-proportion
+    // formulas). p_value is omitted from the gate (DuckDB has no erfc);
+    // ChCompatSpec pins it against python-math vectors instead.
+    "q173_dialect_tail" -> { (s, dir) =>
+      graft.functions.ChCompat.register(s)
+      graft.functions.Bitmaps.register(s)
+      Tables(s, dir).events.createOrReplaceTempView("graft_dt_events")
+      s.sql(
+        """SELECT event_type,
+          |  arrayStringConcat(splitByRegexp('[aeiou]+', event_type), '|') AS sp,
+          |  regexpExtract(event_type, '^(..)', 1) AS rx,
+          |  CAST(toBool(CASE WHEN length(event_type) % 2 = 0
+          |                   THEN 'true' ELSE '0' END) AS INT) AS tb,
+          |  widthBucket(CAST(length(event_type) AS DOUBLE), 3D, 9D, 4) AS wb,
+          |  CAST(mapContainsKeyLike(map(event_type, 1), '%i%') AS INT) AS mk,
+          |  min(toMillisecond(timestampadd(
+          |    MILLISECOND, CAST(event_id % 1000 AS INT), ts))) AS ms_min,
+          |  min(hopStart(ts, INTERVAL 10 MINUTE, INTERVAL 30 MINUTE)) AS hs_min,
+          |  max(hopEnd(ts, INTERVAL 10 MINUTE, INTERVAL 30 MINUTE)) AS he_max,
+          |  bitmapCardinality(bitmapTransform(groupBitmapState(user_id % 50),
+          |    array(1, 2, 3), array(101, 102, 103))) AS bc,
+          |  bitmapMin(bitmapTransform(groupBitmapState(user_id % 50),
+          |    array(1, 2, 3), array(101, 102, 103))) AS bmin,
+          |  bitmapMax(bitmapTransform(groupBitmapState(user_id % 50),
+          |    array(1, 2, 3), array(101, 102, 103))) AS bmax,
+          |  round(proportionsZTest(
+          |    countIf(user_id % 7 = 0), countIf(user_id % 5 = 0),
+          |    count(1), count(1), 0.95D, 'unpooled').z_statistic, 9) AS zs,
+          |  round(proportionsZTest(
+          |    countIf(user_id % 7 = 0), countIf(user_id % 5 = 0),
+          |    count(1), count(1), 0.95D, 'unpooled').ci_lower, 9) AS ci_lo,
+          |  round(proportionsZTest(
+          |    countIf(user_id % 7 = 0), countIf(user_id % 5 = 0),
+          |    count(1), count(1), 0.95D, 'unpooled').ci_upper, 9) AS ci_hi
+          |FROM graft_dt_events
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    },
+
+    // CH `ORDER BY k LIMIT n WITH TIES` through the ChSql rewrite (rank-
+    // with-ties wrap): the first n rows plus every row tied with the n-th.
+    // The outer orderBy adds the total order the gate needs (tie-group
+    // membership is the query's semantics; intra-tie order is not).
+    // DuckDB has no WITH TIES — the oracle mirrors with its own
+    // QUALIFY + rank(), an independent engine path.
+    "q174_with_ties" -> { (s, dir) =>
+      graft.functions.ChCompat.register(s)
+      Tables(s, dir).lineitem.createOrReplaceTempView("graft_wt_lineitem")
+      s.sql(graft.engine.ChSql(
+        """SELECT l_orderkey, l_linenumber, l_quantity
+          |FROM graft_wt_lineitem
+          |ORDER BY l_quantity DESC LIMIT 5 WITH TIES""".stripMargin))
+        .orderBy(col("l_quantity").desc, col("l_orderkey"), col("l_linenumber"))
     }
   )
 
@@ -737,6 +796,65 @@ object ExtendedPack {
         | MAX(event_id) AS max_id
         |FROM events
         |WHERE user_id BETWEEN 100 AND 400 AND event_id BETWEEN 1000 AND 5000
-        |GROUP BY event_type ORDER BY event_type""".stripMargin
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // independent spellings throughout: regexp_split_to_array for
+    // splitByRegexp, a closed-form width bucket, LIKE for the map-key
+    // probe, date_part('milliseconds') % 1000 (DuckDB's field includes the
+    // seconds, ours is the pure ms component), time_bucket for the hop
+    // grid (same epoch-aligned 10-minute lattice), CASE-mapped DISTINCT
+    // re-aggregation for the bitmap remap, and the explicit two-proportion
+    // z formulas with the 0.975 normal quantile as a literal
+    "q173_dialect_tail" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    MIN(CAST(date_part('milliseconds',
+        |      CAST(ts AS TIMESTAMP) + (event_id % 1000) * INTERVAL 1 MILLISECOND)
+        |      AS INT) % 1000) AS ms_min,
+        |    MIN(time_bucket(INTERVAL 10 MINUTE, CAST(ts AS TIMESTAMP))) AS hs_min,
+        |    MAX(time_bucket(INTERVAL 10 MINUTE, CAST(ts AS TIMESTAMP))
+        |        + INTERVAL 30 MINUTE) AS he_max,
+        |    CAST(COUNT(*) FILTER (WHERE user_id % 7 = 0) AS DOUBLE) AS sx,
+        |    CAST(COUNT(*) FILTER (WHERE user_id % 5 = 0) AS DOUBLE) AS sy,
+        |    CAST(COUNT(*) AS DOUBLE) AS n
+        |  FROM events GROUP BY event_type),
+        |b AS (
+        |  SELECT event_type,
+        |    CAST(COUNT(DISTINCT m) AS BIGINT) AS bc,
+        |    CAST(MIN(m) AS BIGINT) AS bmin,
+        |    CAST(MAX(m) AS BIGINT) AS bmax
+        |  FROM (SELECT event_type,
+        |          CASE WHEN user_id % 50 IN (1, 2, 3)
+        |               THEN user_id % 50 + 100 ELSE user_id % 50 END AS m
+        |        FROM events)
+        |  GROUP BY event_type),
+        |z AS (
+        |  SELECT event_type, ms_min, hs_min, he_max,
+        |    (sx / n - sy / n) AS d,
+        |    sqrt((sx / n) * (1 - sx / n) / n + (sy / n) * (1 - sy / n) / n) AS se
+        |  FROM g)
+        |SELECT z.event_type,
+        |  array_to_string(regexp_split_to_array(z.event_type, '[aeiou]+'), '|') AS sp,
+        |  regexp_extract(z.event_type, '^(..)', 1) AS rx,
+        |  CASE WHEN length(z.event_type) % 2 = 0 THEN 1 ELSE 0 END AS tb,
+        |  CASE WHEN length(z.event_type) < 3 THEN 0
+        |       WHEN length(z.event_type) >= 9 THEN 5
+        |       ELSE CAST(FLOOR((length(z.event_type) - 3) / 1.5) AS BIGINT) + 1
+        |  END AS wb,
+        |  CASE WHEN z.event_type LIKE '%i%' THEN 1 ELSE 0 END AS mk,
+        |  ms_min, hs_min, he_max, bc, bmin, bmax,
+        |  round(d / se, 9) AS zs,
+        |  round(d - 1.959963984540054 * se, 9) AS ci_lo,
+        |  round(d + 1.959963984540054 * se, 9) AS ci_hi
+        |FROM z JOIN b ON z.event_type = b.event_type
+        |ORDER BY z.event_type""".stripMargin,
+
+    // DuckDB's own QUALIFY + rank() — an independent spelling of the
+    // rank-with-ties semantics the ChSql WITH TIES rewrite produces
+    "q174_with_ties" ->
+      """SELECT * FROM (
+        |  SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |  QUALIFY rank() OVER (ORDER BY l_quantity DESC) <= 5
+        |) ORDER BY l_quantity DESC, l_orderkey, l_linenumber""".stripMargin
   )
 }

@@ -291,14 +291,21 @@ object MvPack {
           graft.mv.CountMetric("cnt"),
           graft.mv.SumMetric("value_sum", dec("value")),
           graft.mv.BitmapUvMetric("uv", col("user_id")),
-          graft.mv.MaxMetric("max_value", col("value"))))
+          graft.mv.MaxMetric("max_value", col("value")),
+          graft.mv.SumMetric("uid_sum", col("user_id")),
+          graft.mv.CountValuesMetric("uid_cnt", col("user_id"))))
       for (i <- 0 until 3)
         st.appendBatch(src.filter(pmod(col("event_id"), lit(3)) === i))
       graft.mv.Projection.register(s, st, src, Seq(
         "cnt" -> count(lit(1)),
         "value_sum" -> sum(dec("value")),
         "uv" -> count_distinct(col("user_id")),
-        "max_value" -> max(col("value"))))
+        "max_value" -> max(col("value")),
+        "uid_sum" -> sum(col("user_id")),
+        "uid_cnt" -> count(col("user_id"))))
+      // avg_uid has NO registered avg def — the rule decomposes it onto the
+      // uid_sum/uid_cnt pair (exact Long partials, so the routed division
+      // is bit-identical to both raw paths)
       src
         .filter(col("day") >= lit(java.sql.Date.valueOf("2024-01-05")))
         .groupBy("day", "event_type")
@@ -306,7 +313,8 @@ object MvPack {
           count(lit(1)).as("cnt"),
           sum(dec("value")).cast(DoubleType).as("value_sum"),
           count_distinct(col("user_id")).as("uv"),
-          max(col("value")).as("max_value"))
+          max(col("value")).as("max_value"),
+          avg(col("user_id")).as("avg_uid"))
         .orderBy("day", "event_type")
     }
   )
@@ -424,7 +432,8 @@ object MvPack {
          | COUNT(*) AS cnt,
          | ${moneySumSql("value")} AS value_sum,
          | COUNT(DISTINCT user_id) AS uv,
-         | MAX(value) AS max_value
+         | MAX(value) AS max_value,
+         | AVG(user_id) AS avg_uid
          |FROM events
          |WHERE event_id >= 0 AND CAST(ts AS DATE) >= DATE '2024-01-05'
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin

@@ -2449,4 +2449,96 @@ class ChCompatSpec extends SparkSpec {
         |ORDER BY a, b""".stripMargin)).collect()
     assert(cube.length == 1 + 2 + 3 + 6) // +3 b-subtotals
   }
+
+  test("round-11 dialect tail: splitByRegexp / regexpExtract / isIPv6String / " +
+      "toBool / widthBucket / mapContainsKeyLike / toMillisecond / hop " +
+      "bounds / bitmapTransform / proportionsZTest") {
+    graft.functions.ChCompat.register(spark)
+    graft.functions.Bitmaps.register(spark)
+    val r = spark.sql(
+      """SELECT splitByRegexp('\\d+', 'abc123def456ghi') AS sp,
+        |       splitByRegexp('\\d+', '12ab34cd') AS sp2,
+        |       regexpExtract('order-4711-x', 'order-(\\d+)') AS rx,
+        |       regexpExtract('a1b2', '([a-z])(\\d)', 2) AS rx2,
+        |       toBool('true') AS b1, toBool('0') AS b2, toBool(1) AS b3,
+        |       widthBucket(4.3D, 0D, 10D, 5) AS wb,
+        |       mapContainsKeyLike(map('abc', 1, 'def', 2), 'a%') AS mk1,
+        |       mapContainsKeyLike(map('abc', 1, 'def', 2), 'z%') AS mk2,
+        |       toMillisecond(TIMESTAMP '2024-03-05 10:20:30.456') AS ms,
+        |       hopStart(TIMESTAMP '2024-03-05 10:25:00',
+        |                INTERVAL 10 MINUTE, INTERVAL 30 MINUTE) AS hs,
+        |       hopEnd(TIMESTAMP '2024-03-05 10:25:00',
+        |              INTERVAL 10 MINUTE, INTERVAL 30 MINUTE) AS he
+        |""".stripMargin).head()
+    assert(r.getSeq[String](0) == Seq("abc", "def", "ghi"))
+    assert(r.getSeq[String](1) == Seq("", "ab", "cd"))
+    assert(r.getString(2) == "4711" && r.getString(3) == "1")
+    assert(r.getBoolean(4) && !r.getBoolean(5) && r.getBoolean(6))
+    assert(r.getLong(7) == 3L)
+    assert(r.getBoolean(8) && !r.getBoolean(9))
+    assert(r.getInt(10) == 456)
+    assert(r.getTimestamp(11).toString == "2024-03-05 10:20:00.0")
+    assert(r.getTimestamp(12).toString == "2024-03-05 10:50:00.0")
+
+    // isIPv6String vectors: RFC-4291 forms in, near-misses out
+    val valid = Seq("::", "::1", "2001:db8::1", "fe80::1ff:fe23:4567:890a",
+      "2001:0db8:85a3:0000:0000:8a2e:0370:7334", "::ffff:192.168.0.1",
+      "64:ff9b::1.2.3.4", "1:2:3:4:5:6:192.168.0.1")
+    val invalid = Seq("", "1.2.3.4", "g001::1", ":::", "2001:db8::1::2",
+      "1:2:3:4:5:6:7:8:9", "12345::", ":1:2", "2001:db8", "::ffff:299.0.0.1")
+    for (s <- valid)
+      assert(spark.sql(s"SELECT isIPv6String('$s')").head().getBoolean(0), s)
+    for (s <- invalid)
+      assert(!spark.sql(s"SELECT isIPv6String('$s')").head().getBoolean(0), s)
+
+    // bitmapTransform: the CH doc example — sequential live remapping, so
+    // 5→2 lands on an existing member and 2→20 then moves BOTH away
+    val bt = spark.sql(
+      """SELECT bitmapToArray(bitmapTransform(
+        |  bitmapBuild(array(1,2,3,4,5,6,7,8,9,10)),
+        |  array(5, 999, 2), array(2, 888, 20))) AS a""".stripMargin).head()
+    assert(bt.getSeq[Long](0) == Seq(1L, 3L, 4L, 6L, 7L, 8L, 9L, 10L, 20L))
+
+    // LIMIT n WITH TIES through the ChSql rewrite: tie-group semantics on
+    // the engine, plus the two loud rejections
+    spark.sql("SELECT * FROM VALUES (1, 'a'), (2, 'b'), (2, 'c'), (3, 'd') t(x, s)")
+      .createOrReplaceTempView("chwt_t")
+    val ties = spark.sql(graft.engine.ChSql(
+      "SELECT x, s FROM chwt_t ORDER BY x LIMIT 2 WITH TIES"))
+      .orderBy("x", "s").collect()
+    assert(ties.map(r0 => (r0.getInt(0), r0.getString(1))).toSeq ==
+      Seq((1, "a"), (2, "b"), (2, "c"))) // row 2's tie rides along
+    // exactly n when the boundary row is untied (note the ORDER BY keys
+    // must be selectable from the query's own output — the same
+    // restriction the LIMIT BY rewrite places)
+    assert(spark.sql(graft.engine.ChSql(
+      "SELECT x, s FROM chwt_t ORDER BY x, s LIMIT 2 WITH TIES")).count() == 2)
+    val noOrder = intercept[Exception](graft.engine.ChSql(
+      "SELECT x FROM chwt_t LIMIT 2 WITH TIES"))
+    assert(noOrder.getMessage.contains("top-level ORDER BY"))
+    val trailing = intercept[Exception](graft.engine.ChSql(
+      "SELECT x FROM chwt_t ORDER BY x LIMIT 2 WITH TIES OFFSET 1"))
+    assert(trailing.getMessage.contains("must end the statement"))
+    // a subquery's WITH TIES doesn't hijack the outer statement, and a
+    // string literal containing the phrase is inert
+    assert(spark.sql(graft.engine.ChSql(
+      "SELECT 'LIMIT 2 WITH TIES' AS lit_s, x FROM chwt_t ORDER BY x LIMIT 1"))
+      .count() == 1)
+
+    // proportionsZTest against independently computed values (python
+    // math.erfc + NormalDist().inv_cdf)
+    val zt = spark.sql(
+      """SELECT proportionsZTest(10, 11, 100, 90, 0.95D, 'unpooled') AS u,
+        |       proportionsZTest(10, 11, 100, 90, 0.95D, 'pooled') AS p,
+        |       proportionsZTest(10, 11, 0, 90, 0.95D, 'pooled') AS bad
+        |""".stripMargin).head()
+    val u = zt.getStruct(0); val p = zt.getStruct(1); val bad = zt.getStruct(2)
+    assert(math.abs(u.getDouble(0) - -0.4858498688645831) < 1e-12)
+    assert(math.abs(u.getDouble(1) - 0.627073613906803) < 2e-7)
+    assert(math.abs(u.getDouble(2) - -0.1118687529782917) < 1e-9)
+    assert(math.abs(u.getDouble(3) - 0.06742430853384727) < 1e-9)
+    assert(math.abs(p.getDouble(0) - -0.4877896057494059) < 1e-12)
+    assert(math.abs(p.getDouble(1) - 0.625698874574119) < 2e-7)
+    assert(bad.getDouble(0).isNaN && bad.getDouble(1).isNaN)
+  }
 }

@@ -318,6 +318,15 @@ class PlanSpec extends SparkSpec {
     // q172: the z-ordered rewrite happens at construction; the declared
     // plan is the box-filtered scan + group agg + final sort
     "q172_zorder_scan" -> 2,
+    // q173: one group agg over events (scalar tail functions ride the
+    // grouping key; the z-test/bitmap-transform finishers are post-agg
+    // scalars) + the final sort
+    "q173_dialect_tail" -> 2,
+    // q174: the rank-with-ties wrap — the body's rows converge into the
+    // single-partition rank window (a final-LIMIT clause: the window sees
+    // the query OUTPUT, not the corpus — SCALE.md §1); the outer total
+    // order rides the same exchange
+    "q174_with_ties" -> 1,
     // q123: exact anchor — feature-keyed tgt/raw count aggs + the
     // per-doc feature join + doc regroup + final sort (the deliberately
     // join-heavy shape; the hashed q124 path is the scale shape)

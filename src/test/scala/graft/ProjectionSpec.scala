@@ -236,6 +236,50 @@ class ProjectionSpec extends SparkSpec {
     }
   }
 
+  test("avg decomposes onto registered sum + count defs (CH projection " +
+      "semantics: avg is never stored, always sumMerge/countMerge)") {
+    val avgDefs: Seq[(String, Column)] = Seq(
+      "cnt" -> count(lit(1)),
+      "v_cnt" -> count(col("v")),
+      "uid_cnt" -> count(col("uid")),
+      "v_sum_d" -> sum(col("v")),
+      "uid_sum" -> sum(col("uid")))
+    val st = new StateTable(spark, tmpDir("proj-st-avg") + "/st",
+      keys = Seq("day", "kind"), partitionCol = "day",
+      metrics = Seq(CountMetric("cnt"),
+        CountValuesMetric("v_cnt", col("v")),
+        CountValuesMetric("uid_cnt", col("uid")),
+        SumMetric("v_sum_d", col("v")),
+        SumMetric("uid_sum", col("uid"))))
+    for (i <- 0 until 3)
+      st.appendBatch(source.filter(pmod(col("id"), lit(3)) === i))
+    Projection.register(spark, st, source, avgDefs)
+    def check(mk: () => DataFrame): Unit = {
+      val viaStates = mk()
+      assert(routed(viaStates), s"expected routing; plan:\n${planOf(viaStates)}")
+      val got = viaStates.collect().map(_.toString)
+      Projection.deregister(spark, st)
+      val exp = mk().collect().map(_.toString)
+      Projection.register(spark, st, source, avgDefs)
+      assert(got.sameElements(exp),
+        s"routed != raw\nrouted: ${got.take(3).mkString("; ")}\nraw: ${exp.take(3).mkString("; ")}")
+    }
+    try {
+      // fractional avg: v = i*0.25 is dyadic, so partial-order sums are
+      // exact and routed == raw bit-for-bit
+      check(() => source.groupBy("kind").agg(avg(col("v")).as("a")).orderBy("kind"))
+      // integral avg (long-exact partials) + a directly-matched def beside
+      // it + scalar arithmetic over the decomposed value
+      check(() => source.groupBy("day")
+        .agg(avg(col("uid")).as("au"), count(lit(1)).as("c"),
+          (avg(col("uid")) * 2).as("au2"))
+        .orderBy("day"))
+      // DISTINCT avg must NOT decompose (sum/count would be wrong)
+      val q = source.groupBy("kind").agg(expr("avg(DISTINCT uid)").as("ad"))
+      assert(!planOf(q).contains("proj-st"), planOf(q))
+    } finally Projection.deregister(spark, st)
+  }
+
   test("deregister restores the raw plan") {
     val st = registered()
     val q = () => source.groupBy("day").agg(count(lit(1)).as("cnt"))
