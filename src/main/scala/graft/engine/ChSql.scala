@@ -397,6 +397,11 @@ object ChSql {
     * SETTINGS/FORMAT suffixes are already stripped and the body shims have
     * already rewritten the text this wraps.
     */
+  private val nestedTiesMsg =
+    "ChSql: LIMIT ... WITH TIES is only supported on the outermost query " +
+      "block — hoist the subquery's tie logic, or use " +
+      "QUALIFY rank() OVER (ORDER BY ...) <= n inside it"
+
   def withTies(q: String): String = {
     val masked = maskStrings(q)
     val anyTies = """(?is)\blimit\s+\d+\s+with\s+ties\b""".r
@@ -404,10 +409,7 @@ object ChSql {
     if (li < 0) {
       // a WITH TIES buried in a subquery would otherwise pass through to
       // an opaque parser error — name the limitation instead
-      if (anyTies.findFirstIn(masked).isDefined)
-        sys.error("ChSql: LIMIT ... WITH TIES is only supported on the " +
-          "outermost query block — hoist the subquery's tie logic, or use " +
-          "QUALIFY rank() OVER (ORDER BY ...) <= n inside it")
+      if (anyTies.findFirstIn(masked).isDefined) sys.error(nestedTiesMsg)
       return q
     }
     val tiesRe = """(?is)^limit\s+(\d+)\s+with\s+ties\s*(;?)\s*$""".r
@@ -419,16 +421,11 @@ object ChSql {
           .findFirstIn(masked.substring(li)).isDefined)
         sys.error("ChSql: LIMIT n WITH TIES must end the statement " +
           "(OFFSET / further clauses after WITH TIES are not supported)")
-      if (anyTies.findFirstIn(masked).isDefined)
-        sys.error("ChSql: LIMIT ... WITH TIES is only supported on the " +
-          "outermost query block — hoist the subquery's tie logic, or use " +
-          "QUALIFY rank() OVER (ORDER BY ...) <= n inside it")
+      if (anyTies.findFirstIn(masked).isDefined) sys.error(nestedTiesMsg)
       return q
     }
     if (anyTies.findFirstIn(masked.substring(0, li)).isDefined)
-      sys.error("ChSql: LIMIT ... WITH TIES is only supported on the " +
-        "outermost query block — hoist the subquery's tie logic, or use " +
-        "QUALIFY rank() OVER (ORDER BY ...) <= n inside it")
+      sys.error(nestedTiesMsg)
     val n = m.group(1)
     val ob = findTopLevelKeyword(masked, 0, "order")
     require(ob >= 0 && ob < li,

@@ -40,8 +40,9 @@ object ZOrder {
     */
   def zvalue(df: DataFrame, cols: Seq[String], bits: Int = 8): Column = {
     require(cols.nonEmpty, "zvalue needs at least one clustering column")
-    require(bits >= 1 && bits * cols.size <= 63,
-      s"bits*cols must fit a Long: $bits*${cols.size}")
+    require(bits >= 1 && bits <= 16 && bits * cols.size <= 63,
+      s"bits must be 1..16 (the stats pass collects 2^bits-1 cut points " +
+        s"per column) and bits*cols must fit a Long: got $bits*${cols.size}")
     val n = 1 << bits
     // Numeric columns need a quantile stats pass for equi-depth cut points;
     // ONE multi-column approxQuantile job covers them all (it skips nulls

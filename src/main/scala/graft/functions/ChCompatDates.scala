@@ -391,11 +391,13 @@ private[functions] object ChCompatDates {
     }
     // CH dateTrunc spelling of date_trunc (unit first, like Spark)
     f("dateTrunc") { es => TruncTimestamp(es(0), es(1)) }
-    // toMillisecond — the millisecond component (0-999) of a timestamp
+    // toMillisecond — the millisecond component (0-999) of a timestamp.
+    // Pmod FIRST (wall-clock position within the second is sign-free),
+    // divide after: truncating the raw micros first would bucket pre-epoch
+    // fractional milliseconds wrong (-500 µs is ms 999, not ms 0)
     f("toMillisecond") { es =>
-      Cast(Pmod(
-        IntegralDivide(UnixMicros(Cast(es.head, TimestampType)),
-          Literal(1000L), EvalMode.LEGACY),
+      Cast(IntegralDivide(
+        Pmod(UnixMicros(Cast(es.head, TimestampType)), Literal(1000000L)),
         Literal(1000L), EvalMode.LEGACY), IntegerType)
     }
     // hopStart/hopEnd(ts, hop_interval, window_interval) — bounds of the

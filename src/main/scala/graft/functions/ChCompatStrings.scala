@@ -256,6 +256,10 @@ private[functions] object ChCompatStrings {
       val h = "[0-9A-Fa-f]{1,4}"
       val v4 = "((25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\\.){3}" +
         "(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])"
+      // v4-embedded compressed tails: X hex groups, '::', Y hex groups,
+      // then the dotted quad (worth 2 groups). Enumerated per X so the
+      // group-count bound X + Y ≤ 5 stays strict — a collapsed
+      // `(h:)*::(h:)*v4` would admit over-long addresses
       val p = s"^($h:){7}$h$$" +
         s"|^($h:){1,7}:$$" +
         s"|^($h:){1,6}:$h$$" +
@@ -266,9 +270,12 @@ private[functions] object ChCompatStrings {
         s"|^$h:(:$h){1,6}$$" +
         s"|^:((:$h){1,7}|:)$$" +
         s"|^($h:){6}$v4$$" +
-        s"|^($h:){1,5}:$v4$$" +
-        s"|^$h:(:$h){0,4}:$v4$$" +
-        s"|^::($h:){0,5}$v4$$"
+        s"|^::($h:){0,5}$v4$$" +
+        s"|^$h::($h:){0,4}$v4$$" +
+        s"|^$h:$h::($h:){0,3}$v4$$" +
+        s"|^($h:){2}$h::($h:){0,2}$v4$$" +
+        s"|^($h:){3}$h::($h:){0,1}$v4$$" +
+        s"|^($h:){4}$h::$v4$$"
       RLike(es.head, Literal(p))
     }
     // toBool — CH accepts true/false/1/0 (and T/F case-insensitively via

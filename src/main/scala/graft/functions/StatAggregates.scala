@@ -994,6 +994,30 @@ case class IntervalLengthSumAgg(
 /** Special-function helpers for the test p-values (classic public-domain
   * numerics: Lanczos log-gamma, Lentz continued-fraction incomplete beta). */
 private[functions] object StatMath {
+  /** Numeric eval result → Double; loud IllegalArgumentException (not a
+    * MatchError) on a non-numeric input. Shared by the scalar stat
+    * expressions so the arm list cannot drift between them.
+    */
+  def numToDouble(v: Any): Double = v match {
+    case d: Double => d
+    case f: Float => f.toDouble
+    case l: Long => l.toDouble
+    case i: Int => i.toDouble
+    case s: Short => s.toDouble
+    case b: Byte => b.toDouble
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case other => throw new IllegalArgumentException(
+      s"numeric argument required, got ${if (other == null) "NULL" else other.getClass.getSimpleName}: $other")
+  }
+
+  private val stdNormal =
+    new org.apache.commons.math3.distribution.NormalDistribution(null, 0, 1)
+
+  /** Standard normal quantile (probit), shared and allocation-free per
+    * call (the commons-math distribution object is stateless for this).
+    */
+  def probit(p: Double): Double = stdNormal.inverseCumulativeProbability(p)
+
   private val lanczos = Array(
     676.5203681218851, -1259.1392167224028, 771.32342877765313,
     -176.61502916214059, 12.507343278686905, -0.13857109526572012,
@@ -1826,19 +1850,10 @@ case class ProportionsZTestExpr(children: Seq[Expression])
     StructField("ci_upper", DoubleType, nullable = false)))
   override def nullable: Boolean = children.exists(_.nullable)
 
-  private def num(v: Any): Double = v match {
-    case d: Double => d
-    case f: Float => f.toDouble
-    case l: Long => l.toDouble
-    case i: Int => i.toDouble
-    case s: Short => s.toDouble
-    case d: org.apache.spark.sql.types.Decimal => d.toDouble
-  }
-
   override def eval(input: InternalRow): Any = {
     val vs = children.map(_.eval(input))
     if (vs.contains(null)) return null
-    val Seq(sx, sy, tx, ty, conf) = vs.take(5).map(num)
+    val Seq(sx, sy, tx, ty, conf) = vs.take(5).map(StatMath.numToDouble)
     val pooled = vs(5).toString.toLowerCase match {
       case "pooled" => true
       case "unpooled" => false
@@ -1857,8 +1872,7 @@ case class ProportionsZTestExpr(children: Seq[Expression])
     if (se == 0 || se.isNaN) return nan
     val z = d / se
     val p = StatMath.normalTwoSidedP(z)
-    val norm = new org.apache.commons.math3.distribution.NormalDistribution(0, 1)
-    val zc = norm.inverseCumulativeProbability(1 - (1 - conf) / 2)
+    val zc = StatMath.probit(1 - (1 - conf) / 2)
     InternalRow(z, p, d - zc * se, d + zc * se)
   }
 
@@ -1881,21 +1895,11 @@ case class MinSampleSizeExpr(children: Seq[Expression], conversion: Boolean)
     StructField("detect_range_upper", DoubleType, nullable = false)))
   override def nullable: Boolean = children.exists(_.nullable)
 
-  private def num(v: Any): Double = v match {
-    case d: Double => d
-    case f: Float => f.toDouble
-    case l: Long => l.toDouble
-    case i: Int => i.toDouble
-    case s: Short => s.toDouble
-    case d: org.apache.spark.sql.types.Decimal => d.toDouble
-  }
-
   override def eval(input: InternalRow): Any = {
     val vs = children.map(_.eval(input))
     if (vs.contains(null)) return null
-    val xs = vs.map(num)
-    val norm = new org.apache.commons.math3.distribution.NormalDistribution(0, 1)
-    def z(p: Double) = norm.inverseCumulativeProbability(p)
+    val xs = vs.map(StatMath.numToDouble)
+    def z(p: Double) = StatMath.probit(p)
     if (conversion) {
       val Seq(p1, mde, power, alpha) = xs
       val p2 = p1 + mde

@@ -2483,9 +2483,14 @@ class ChCompatSpec extends SparkSpec {
     // isIPv6String vectors: RFC-4291 forms in, near-misses out
     val valid = Seq("::", "::1", "2001:db8::1", "fe80::1ff:fe23:4567:890a",
       "2001:0db8:85a3:0000:0000:8a2e:0370:7334", "::ffff:192.168.0.1",
-      "64:ff9b::1.2.3.4", "1:2:3:4:5:6:192.168.0.1")
+      "64:ff9b::1.2.3.4", "1:2:3:4:5:6:192.168.0.1",
+      // v4-embedded with :: after 2..5 leading groups (reviewer-found gap)
+      "1:2::5:1.2.3.4", "1:2:3::4:1.2.3.4", "1:2:3:4::5:1.2.3.4",
+      "1:2:3:4:5::1.2.3.4")
     val invalid = Seq("", "1.2.3.4", "g001::1", ":::", "2001:db8::1::2",
-      "1:2:3:4:5:6:7:8:9", "12345::", ":1:2", "2001:db8", "::ffff:299.0.0.1")
+      "1:2:3:4:5:6:7:8:9", "12345::", ":1:2", "2001:db8", "::ffff:299.0.0.1",
+      // over-long compressed v4 forms (group-count bound X + Y <= 5)
+      "1:2:3:4:5:6::1.2.3.4", "1:2:3::4:5:6:1.2.3.4")
     for (s <- valid)
       assert(spark.sql(s"SELECT isIPv6String('$s')").head().getBoolean(0), s)
     for (s <- invalid)

@@ -64,9 +64,11 @@ class ExtensionsSpec extends SparkSpec {
         .appName("graft-ext-attach-test")
         .withExtensions(new GraftExtensions)
         .getOrCreate()
-      s2.sql("SELECT 1").collect() // force analysis: sets the marker conf
-      assert(s2.conf.getOption(GraftExtensions.MarkerConf).contains("true"))
+      // attach BEFORE the session's first query: attach itself must force
+      // the analyzer (where the injected builder sets the marker), or a
+      // fresh extensions session would get the duplicate rule after all
       graft.mv.Projection.attach(s2)
+      assert(s2.conf.getOption(GraftExtensions.MarkerConf).contains("true"))
       assert(!s2.experimental.extraOptimizations.contains(graft.mv.ProjectionRewrite),
         "extensions session must not carry a second ProjectionRewrite copy")
       assert(s2.experimental.extraOptimizations.nonEmpty,
