@@ -32,8 +32,12 @@ class FuzzParitySpec extends SparkSpec {
   // 401-425 ASOF [LEFT] JOIN dialect text (ChAsof rewrite + AsOfJoin
   // operator) vs a direction-agnostic DuckDB LATERAL limit-1 mirror;
   // 426-450 exact quantile levels (Inclusive vs DuckDB's own
-  // quantile_cont; Exclusive vs the written-out clamped rank formula)
-  private val seeds = 1 to 450
+  // quantile_cont; Exclusive vs the written-out clamped rank formula);
+  // 451-480 the per-group limit family — LIMIT [o,] n BY / DISTINCT ON /
+  // LIMIT n WITH TIES through the ChLimitBy / ChDistinctOn / withTies
+  // rewrites vs QUALIFY row_number()/rank() and DuckDB's NATIVE
+  // DISTINCT ON
+  private val seeds = 1 to 480
 
   private def duckdbAvailable: Boolean =
     try Seq("python3", "-c", "import duckdb, pandas").! == 0
@@ -61,9 +65,15 @@ class FuzzParitySpec extends SparkSpec {
       val df =
         if (q.viaChSql) {
           // the engine's full string-dialect chain, composed the way the
-          // declared packs compose it: ChSql shims, then the QUALIFY
-          // rewrite, then the ASOF JOIN rewrite (session-bound)
-          var s2 = graft.engine.ChSql(q.sparkSql)
+          // declared packs compose it: DISTINCT ON first (it lowers to
+          // LIMIT 1 BY), then ChSql shims, LIMIT BY, QUALIFY, and the
+          // session-bound ASOF JOIN rewrite last
+          var s2 = q.sparkSql
+          if (graft.engine.ChDistinctOn.applies(s2))
+            s2 = graft.engine.ChDistinctOn.rewrite(s2)
+          s2 = graft.engine.ChSql(s2)
+          if (graft.engine.ChLimitBy.applies(s2))
+            s2 = graft.engine.ChLimitBy.rewrite(s2)
           if (graft.engine.ChQualify.applies(s2))
             s2 = graft.engine.ChQualify.rewrite(s2)
           if (graft.engine.ChAsof.applies(s2)) graft.engine.ChAsof.sql(spark, s2)

@@ -133,7 +133,8 @@ object FuzzGen {
   def queryFor(seed: Int): FuzzQuery = {
     val rnd = new Random(seed.toLong * 1000003L + 17L)
     val name = f"fz$seed%03d"
-    if (seed > 425) quantileQuery(name, rnd)
+    if (seed > 450) groupLimitQuery(name, seed, rnd)
+    else if (seed > 425) quantileQuery(name, rnd)
     else if (seed > 400) asofQuery(name, rnd)
     else if (seed > 360) windowQuery(name, rnd)
     else if (seed > 320) stateMergeQuery(name, rnd)
@@ -534,6 +535,70 @@ object FuzzGen {
            |    (l[LEAST(CAST(FLOOR(h) AS INT) + 1, CAST(n AS INT))] -
            |     l[CAST(FLOOR(h) AS INT)]), 6) AS qv
            |FROM e ORDER BY k""".stripMargin)
+    }
+  }
+
+  // ---- per-group limit family (seeds past 450) -------------------------
+
+  /** CH `LIMIT [o,] n BY cols` / `SELECT DISTINCT ON (cols)` / `LIMIT n
+    * WITH TIES` dialect text through the ChLimitBy / ChDistinctOn /
+    * ChSql.withTies string rewrites, vs independent DuckDB spellings:
+    * QUALIFY row_number() for LIMIT BY, DuckDB's NATIVE `DISTINCT ON`
+    * for the distinct form, QUALIFY rank() for WITH TIES. The WITH TIES
+    * draws select ONLY the ordering column, so intra-tie-group row order
+    * cannot affect the compare (tie rows are identical).
+    */
+  private def groupLimitQuery(name: String, seed: Int, rnd: Random): FuzzQuery = {
+    val dir = if (rnd.nextBoolean()) "ASC" else "DESC"
+    if (seed <= 462) { // LIMIT [o,] n BY event_type
+      val n = 1 + rnd.nextInt(5)
+      val off = if (rnd.nextBoolean()) rnd.nextInt(3) else 0
+      val byClause =
+        if (off == 0) s"LIMIT $n BY event_type"
+        else if (rnd.nextBoolean()) s"LIMIT $off, $n BY event_type"
+        else s"LIMIT $n OFFSET $off BY event_type"
+      val finalLimit = if (rnd.nextBoolean()) s" LIMIT ${5 + rnd.nextInt(20)}" else ""
+      val where = rnd.nextInt(3) match {
+        case 0 => ""
+        case _ => s" WHERE user_id % ${2 + rnd.nextInt(5)} != 1"
+      }
+      val sort = s"ORDER BY value $dir, event_id"
+      FuzzQuery(name,
+        s"SELECT event_type, event_id, user_id, value FROM events$where " +
+          s"$sort $byClause$finalLimit",
+        s"SELECT event_type, event_id, user_id, value FROM events$where " +
+          s"QUALIFY row_number() OVER (PARTITION BY event_type $sort) " +
+          s"BETWEEN ${off + 1} AND ${off + n} $sort$finalLimit",
+        viaChSql = true)
+    } else if (seed <= 470) { // DISTINCT ON — DuckDB's native form mirrors
+      val where = rnd.nextInt(3) match {
+        case 0 => ""
+        case _ => s" WHERE event_id % ${2 + rnd.nextInt(4)} = 0"
+      }
+      val keys = if (rnd.nextBoolean()) "event_type"
+        else s"event_type, user_id % ${2 + rnd.nextInt(3)}"
+      val sort = s"ORDER BY value $dir, event_id"
+      FuzzQuery(name,
+        s"SELECT DISTINCT ON ($keys) event_type, event_id, user_id, value " +
+          s"FROM events$where $sort",
+        s"SELECT * FROM (SELECT DISTINCT ON ($keys) " +
+          s"event_type, event_id, user_id, value FROM events$where $sort) " +
+          s"ORDER BY value $dir, event_id",
+        viaChSql = true)
+    } else { // LIMIT n WITH TIES over a heavily-tied single column
+      val n = 1 + rnd.nextInt(40)
+      val (tbl, c) = pick(rnd, Seq(
+        ("lineitem", "l_quantity"), ("lineitem", "l_linenumber"),
+        ("orders", "o_orderstatus"), ("events", "event_type")))
+      val where = rnd.nextInt(3) match {
+        case 0 => ""
+        case _ => s" WHERE $c IS NOT NULL"
+      }
+      FuzzQuery(name,
+        s"SELECT $c FROM $tbl$where ORDER BY $c $dir LIMIT $n WITH TIES",
+        s"SELECT $c FROM $tbl$where " +
+          s"QUALIFY rank() OVER (ORDER BY $c $dir) <= $n ORDER BY $c $dir",
+        viaChSql = true)
     }
   }
 
