@@ -1,5 +1,7 @@
 package graft.engine
 
+import org.apache.hadoop.fs.Path
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -91,6 +93,71 @@ object ZOrder {
           shiftrightunsigned(r, j).bitwiseAND(lit(1L)), j * k + i))
       }
     }
+  }
+
+  /** `OPTIMIZE ... ZORDER BY` for an existing parquet table: rewrite it
+    * z-order-clustered IN PLACE with a staged atomic swap (write to
+    * `.zorder.tmp`, stage the live table at `.zorder.old`, swap, drop the
+    * stage — readers see the old or the new layout, never a mix; a failed
+    * swap rolls back loudly). For a partitioned table pass `partitionCol`:
+    * the directory layout is preserved and the Morton clustering applies
+    * WITHIN each partition (range-partitioned on (partition, z), so each
+    * partition's files still cover contiguous z-ranges).
+    *
+    * Crash window: between the two renames the table lives only at
+    * `.zorder.old`. [[recover]] (also called on entry here) restores it —
+    * call it at open time from any long-lived process that optimizes, the
+    * same discipline as StateTable's staged-swap recovery.
+    */
+  def optimize(spark: org.apache.spark.sql.SparkSession, path: String,
+      cols: Seq[String], bits: Int = 8, partitionCol: Option[String] = None,
+      numFiles: Int = 0): Unit = {
+    recover(spark, path)
+    val df = spark.read.parquet(path)
+    val tmp = path + ".zorder.tmp"
+    val old = path + ".zorder.old"
+    partitionCol match {
+      case None => writeZOrdered(df, tmp, cols, bits, numFiles)
+      case Some(pc) =>
+        require(!df.columns.contains("__z"),
+          "optimize: the table already has a column named __z")
+        require(df.columns.contains(pc), s"optimize: no partition column $pc")
+        val n =
+          if (numFiles > 0) numFiles
+          else spark.sessionState.conf.numShufflePartitions
+        df.withColumn("__z", zvalue(df, cols, bits))
+          .repartitionByRange(n, col(pc), col("__z"))
+          .sortWithinPartitions(col(pc), col("__z"))
+          .drop("__z")
+          .write.mode("overwrite").partitionBy(pc).parquet(tmp)
+    }
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (p, t, o) = (new Path(path), new Path(tmp), new Path(old))
+    if (fs.exists(o)) fs.delete(o, true)
+    if (!fs.rename(p, o)) sys.error(s"optimize: failed to stage $path -> $old")
+    if (!fs.rename(t, p)) {
+      val restored = fs.rename(o, p)
+      sys.error(s"optimize: failed to swap $tmp -> $path" +
+        (if (restored) " (rolled back)"
+         else s"; ROLLBACK ALSO FAILED — table preserved at $old, restored by recover()"))
+    }
+    fs.delete(o, true)
+  }
+
+  /** Open-time recovery for [[optimize]]'s crash window: a table absent at
+    * its path but present at `.zorder.old` moves back; a leftover stage
+    * beside a live table is dropped. No-op otherwise.
+    */
+  def recover(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(path)
+    val o = new Path(path + ".zorder.old")
+    val t = new Path(path + ".zorder.tmp")
+    if (!fs.exists(p) && fs.exists(o)) {
+      if (!fs.rename(o, p))
+        sys.error(s"recover: failed to restore $o -> $p")
+    } else if (fs.exists(o)) fs.delete(o, true)
+    if (fs.exists(t)) fs.delete(t, true)
   }
 
   /** Write `df` z-order-clustered by `cols` into `numFiles` range slices of

@@ -293,10 +293,18 @@ object ProjectionRewrite extends Rule[LogicalPlan] {
     val (rel, sub, qFilters) = Projection.peel(agg.child).getOrElse {
       dbg("decline: child is not Project/Filter over one file scan"); return None }
     val paths = Projection.rootPaths(rel)
-    entries.iterator
-      .filter(_.basePaths == paths)
-      .flatMap(e => rewriteWith(spark, agg, sub, qFilters, e))
-      .nextOption()
+    // Projection SELECTION (CH's min-marks analog): when several
+    // registered projections match the same query, answer from the one
+    // with the FEWEST keys — coarser keys mean fewer state rows to scan
+    // and merge (a (kind) table is ~|days|x smaller than (day, kind)).
+    // Ties keep registration order.
+    val candidates = entries.filter(_.basePaths == paths)
+    val matched = candidates.flatMap(e =>
+      rewriteWith(spark, agg, sub, qFilters, e).map(p => (e, p)))
+    if (matched.size > 1)
+      dbg(s"selection: ${matched.size} projections match; picking fewest keys " +
+        matched.map(_._1.table.keys.mkString("(", ",", ")")).mkString(", "))
+    matched.minByOption(_._1.table.keys.size).map(_._2)
   }
 
   private def rewriteWith(spark: SparkSession, agg: Aggregate,

@@ -280,6 +280,38 @@ class ProjectionSpec extends SparkSpec {
     } finally Projection.deregister(spark, st)
   }
 
+  test("projection selection: with two matching projections the coarser " +
+      "(fewest-keys) table answers — CH's min-marks analog") {
+    val fine = registered() // (day, kind), registered with the battery defs
+    val coarse = new StateTable(spark, tmpDir("proj-st-coarse") + "/st",
+      keys = Seq("kind"), partitionCol = "kind",
+      metrics = Seq(CountMetric("cnt"), MinMetric("v_min", col("v"))))
+    coarse.appendBatch(source)
+    Projection.register(spark, coarse, source, Seq(
+      "cnt" -> count(lit(1)), "v_min" -> min(col("v"))))
+    try {
+      // both projections can answer a kind-level count; the coarse one must
+      val q = source.groupBy("kind").agg(count(lit(1)).as("cnt")).orderBy("kind")
+      val p = planOf(q)
+      assert(p.contains("proj-st-coarse"), s"expected the coarse table:\n$p")
+      assert(!p.contains("proj-src"), p)
+      val got = q.collect().map(r => (r.getString(0), r.getLong(1)))
+      // a day-level query only the fine projection covers routes to IT
+      // (the coarse candidate declines, it cannot express day)
+      val qd = source.groupBy("day").agg(count(lit(1)).as("cnt"))
+      val pd = planOf(qd)
+      assert(pd.contains("proj-st") && !pd.contains("proj-st-coarse") &&
+        !pd.contains("proj-src"), pd)
+      Projection.deregister(spark, coarse)
+      Projection.deregister(spark, fine)
+      val exp = q.collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(got.sameElements(exp))
+    } finally {
+      Projection.deregister(spark, coarse)
+      Projection.deregister(spark, fine)
+    }
+  }
+
   test("deregister restores the raw plan") {
     val st = registered()
     val q = () => source.groupBy("day").agg(count(lit(1)).as("cnt"))

@@ -90,6 +90,47 @@ class ZOrderSpec extends SparkSpec {
       withNulls.filter(col("a").isNull).count())
   }
 
+  test("optimize: in-place OPTIMIZE-ZORDER swap preserves values and the " +
+      "partition layout, improves skipping, and its crash window recovers") {
+    val base = tmpDir("zorder-opt")
+    val p = base + "/t"
+    // a day-partitioned table written in arrival order (no clustering)
+    val withDay = data.withColumn("day", (col("payload") % 3).cast("string"))
+    withDay.write.partitionBy("day").parquet(p)
+    val before = spark.read.parquet(p)
+      .select("a", "b", "payload", "day").collect().map(_.toString).sorted.toSeq
+    val scatterBefore = hitFraction(p + "/day=0", "a")
+
+    ZOrder.optimize(spark, p, Seq("a", "b"), bits = 7,
+      partitionCol = Some("day"), numFiles = 24)
+
+    val after = spark.read.parquet(p)
+    assert(after.select("a", "b", "payload", "day").collect()
+      .map(_.toString).sorted.toSeq == before, "optimize changed the data")
+    // day dirs preserved
+    assert(new java.io.File(p).listFiles().count(_.getName.startsWith("day=")) == 3)
+    // clustering took: per-file boxes inside a partition now prune
+    val scatterAfter = hitFraction(p + "/day=0", "a")
+    info(f"day=0 a-dimension hit fraction: before=$scatterBefore%.3f after=$scatterAfter%.3f")
+    assert(scatterAfter < scatterBefore,
+      s"optimize did not improve a-pruning: $scatterBefore -> $scatterAfter")
+    // no stage/old leftovers
+    assert(!new java.io.File(p + ".zorder.old").exists())
+    assert(!new java.io.File(p + ".zorder.tmp").exists())
+
+    // crash window: table staged at .old, path missing — recover restores
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(p),
+      new org.apache.hadoop.fs.Path(p + ".zorder.old")))
+    ZOrder.recover(spark, p)
+    assert(spark.read.parquet(p).count() == 60000L)
+    assert(!new java.io.File(p + ".zorder.old").exists())
+    // idempotent on a healthy table
+    ZOrder.recover(spark, p)
+    assert(spark.read.parquet(p).count() == 60000L)
+  }
+
   test("string dimensions hash-bucket: deterministic z-values, full roundtrip") {
     import spark.implicits._
     val df = (0 until 5000)
