@@ -397,11 +397,6 @@ object ChSql {
     * SETTINGS/FORMAT suffixes are already stripped and the body shims have
     * already rewritten the text this wraps.
     */
-  private val nestedTiesMsg =
-    "ChSql: LIMIT ... WITH TIES is only supported on the outermost query " +
-      "block — hoist the subquery's tie logic, or use " +
-      "QUALIFY rank() OVER (ORDER BY ...) <= n inside it"
-
   def withTies(q: String): String = {
     val masked = maskStrings(q)
     val anyTies = """(?is)\blimit\s+\d+\s+with\s+ties\b""".r
@@ -442,6 +437,11 @@ object ChSql {
       s"$body) __gf_ties_i) __gf_ties_o " +
       s"WHERE __gf_ties_rank <= $n ORDER BY $keys" + m.group(2)
   }
+
+  private val nestedTiesMsg =
+    "ChSql: LIMIT ... WITH TIES is only supported on the outermost query " +
+      "block — hoist the subquery's tie logic, or use " +
+      "QUALIFY rank() OVER (ORDER BY ...) <= n inside it"
 
   /** Drop CH's `GLOBAL` distribution keyword (GLOBAL [ANY|…] JOIN /
     * GLOBAL [NOT] IN): on CH it forces shipping the right side to every

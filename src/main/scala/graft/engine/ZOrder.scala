@@ -113,23 +113,25 @@ object ZOrder {
       cols: Seq[String], bits: Int = 8, partitionCol: Option[String] = None,
       numFiles: Int = 0): Unit = {
     recover(spark, path)
-    val df = spark.read.parquet(path)
     val tmp = path + ".zorder.tmp"
     val old = path + ".zorder.old"
-    partitionCol match {
-      case None => writeZOrdered(df, tmp, cols, bits, numFiles)
-      case Some(pc) =>
-        require(!df.columns.contains("__z"),
-          "optimize: the table already has a column named __z")
-        require(df.columns.contains(pc), s"optimize: no partition column $pc")
-        val n =
-          if (numFiles > 0) numFiles
-          else spark.sessionState.conf.numShufflePartitions
-        df.withColumn("__z", zvalue(df, cols, bits))
-          .repartitionByRange(n, col(pc), col("__z"))
-          .sortWithinPartitions(col(pc), col("__z"))
-          .drop("__z")
-          .write.mode("overwrite").partitionBy(pc).parquet(tmp)
+    // partition-column type inference OFF for the round trip: inference
+    // would canonicalize string partition values that look numeric
+    // (code=007 read back as int 7 and rewritten as code=7 — a permanent
+    // value mutation). With inference off the directory values re-write
+    // byte-identical; later reads still infer as before.
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.getOption(inferKey)
+    spark.conf.set(inferKey, "false")
+    try {
+      val df = spark.read.parquet(path)
+      partitionCol.foreach(pc => require(df.columns.contains(pc),
+        s"optimize: no partition column $pc"))
+      writeZOrdered(df, tmp, cols, bits, numFiles,
+        mode = "overwrite", partitionBy = partitionCol)
+    } finally prev match {
+      case Some(v) => spark.conf.set(inferKey, v)
+      case None => spark.conf.unset(inferKey)
     }
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (p, t, o) = (new Path(path), new Path(tmp), new Path(old))
@@ -166,17 +168,23 @@ object ZOrder {
     * EVERY clustered dimension.
     */
   def writeZOrdered(df: DataFrame, path: String, cols: Seq[String],
-      bits: Int = 8, numFiles: Int = 0, mode: String = "overwrite"): Unit = {
+      bits: Int = 8, numFiles: Int = 0, mode: String = "overwrite",
+      partitionBy: Option[String] = None): Unit = {
     require(!df.columns.contains("__z"),
       "writeZOrdered: the input already has a column named __z (it would be " +
         "overwritten by the clustering value and dropped from the output)")
     val n =
       if (numFiles > 0) numFiles
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    df.withColumn("__z", zvalue(df, cols, bits))
-      .repartitionByRange(n, col("__z"))
-      .sortWithinPartitions("__z")
+    // with partitionBy, range-partition on (partition, z): the directory
+    // layout is preserved and each partition's files cover contiguous
+    // z-ranges
+    val rangeCols = partitionBy.map(col).toSeq :+ col("__z")
+    val clustered = df.withColumn("__z", zvalue(df, cols, bits))
+      .repartitionByRange(n, rangeCols: _*)
+      .sortWithinPartitions(rangeCols: _*)
       .drop("__z")
-      .write.mode(mode).parquet(path)
+    val w = clustered.write.mode(mode)
+    partitionBy.fold(w)(pc => w.partitionBy(pc)).parquet(path)
   }
 }

@@ -1451,8 +1451,7 @@ case class MeanZTestAgg(
     val se = math.sqrt(v0 / n0 + v1 / n1)
     val z = diff / se
     val p = StatMath.normalTwoSidedP(z)
-    val zq = new org.apache.commons.math3.distribution.NormalDistribution(0, 1)
-      .inverseCumulativeProbability(1 - (1 - conf) / 2)
+    val zq = StatMath.probit(1 - (1 - conf) / 2)
     InternalRow(z, p, diff - zq * se, diff + zq * se)
   }
 

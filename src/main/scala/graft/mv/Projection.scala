@@ -297,14 +297,19 @@ object ProjectionRewrite extends Rule[LogicalPlan] {
     // registered projections match the same query, answer from the one
     // with the FEWEST keys — coarser keys mean fewer state rows to scan
     // and merge (a (kind) table is ~|days|x smaller than (day, kind)).
-    // Ties keep registration order.
-    val candidates = entries.filter(_.basePaths == paths)
-    val matched = candidates.flatMap(e =>
-      rewriteWith(spark, agg, sub, qFilters, e).map(p => (e, p)))
-    if (matched.size > 1)
-      dbg(s"selection: ${matched.size} projections match; picking fewest keys " +
-        matched.map(_._1.table.keys.mkString("(", ",", ")")).mkString(", "))
-    matched.minByOption(_._1.table.keys.size).map(_._2)
+    // Candidates are tried in key-count order (stable sort keeps
+    // registration-order ties) and the FIRST successful rewrite wins, so
+    // only one replacement plan is ever built/analyzed per Aggregate.
+    entries.filter(_.basePaths == paths)
+      .sortBy(_.table.keys.size)
+      .iterator
+      .flatMap { e =>
+        val r = rewriteWith(spark, agg, sub, qFilters, e)
+        if (r.isDefined) dbg("selection: answering from keys " +
+          e.table.keys.mkString("(", ",", ")"))
+        r
+      }
+      .nextOption()
   }
 
   private def rewriteWith(spark: SparkSession, agg: Aggregate,

@@ -64,20 +64,21 @@ class FuzzParitySpec extends SparkSpec {
     FuzzGen.queries(seeds).foreach { q =>
       val df =
         if (q.viaChSql) {
-          // the engine's full string-dialect chain, composed the way the
-          // declared packs compose it: DISTINCT ON first (it lowers to
-          // LIMIT 1 BY), then ChSql shims, LIMIT BY, QUALIFY, and the
-          // session-bound ASOF JOIN rewrite last
-          var s2 = q.sparkSql
+          // the engine's full string-dialect chain in PRODUCTION order
+          // (ChReplay.runQuery:326-351): ChSql shims, the session-bound
+          // ASOF rewrite, then DISTINCT ON → QUALIFY → LIMIT BY — QUALIFY
+          // before LIMIT BY matters (the reverse buries a QUALIFY inside
+          // ChLimitBy's subquery where its rewrite can't find it)
+          var s2 = graft.engine.ChSql(q.sparkSql)
+          if (graft.engine.ChAsof.applies(s2))
+            s2 = graft.engine.ChAsof.rewrite(spark, s2, n => spark.table(n))
           if (graft.engine.ChDistinctOn.applies(s2))
             s2 = graft.engine.ChDistinctOn.rewrite(s2)
-          s2 = graft.engine.ChSql(s2)
-          if (graft.engine.ChLimitBy.applies(s2))
-            s2 = graft.engine.ChLimitBy.rewrite(s2)
           if (graft.engine.ChQualify.applies(s2))
             s2 = graft.engine.ChQualify.rewrite(s2)
-          if (graft.engine.ChAsof.applies(s2)) graft.engine.ChAsof.sql(spark, s2)
-          else spark.sql(s2)
+          if (graft.engine.ChLimitBy.applies(s2))
+            s2 = graft.engine.ChLimitBy.rewrite(s2)
+          spark.sql(s2)
         } else spark.sql(q.sparkSql)
       df.coalesce(1).write.mode("overwrite").parquet(s"$out/${q.name}")
       if (!first) oracle.append(",\n")
