@@ -36,8 +36,10 @@ class FuzzParitySpec extends SparkSpec {
   // 451-480 the per-group limit family — LIMIT [o,] n BY / DISTINCT ON /
   // LIMIT n WITH TIES through the ChLimitBy / ChDistinctOn / withTies
   // rewrites vs QUALIFY row_number()/rank() and DuckDB's NATIVE
-  // DISTINCT ON
-  private val seeds = 1 to 480
+  // DISTINCT ON; 481-510 projection routing — raw-events aggregates the
+  // ProjectionRewrite must answer from a registered state table (plan
+  // asserted) vs DuckDB's direct aggregation of the raw rows
+  private val seeds = 1 to 510
 
   private def duckdbAvailable: Boolean =
     try Seq("python3", "-c", "import duckdb, pandas").! == 0
@@ -58,10 +60,37 @@ class FuzzParitySpec extends SparkSpec {
     FuzzGen.asofViewSql.foreach { case (v, q) =>
       spark.sql(q).createOrReplaceTempView(v) }
 
+    // the projection band's state table over the FULL events source —
+    // every seed past 480 must be answered from it (mustRoute), while
+    // DuckDB aggregates the raw rows. Deregistered in the finally so no
+    // later suite's events aggregate can route here.
+    import org.apache.spark.sql.functions.{col, count, count_distinct, expr, lit, max, min, sum}
+    val projSrc = t.events.withColumn("day", expr("CAST(ts AS DATE)"))
+    val projSt = new graft.mv.StateTable(spark, tmpDir("fz-proj") + "/st",
+      keys = Seq("day", "event_type"), partitionCol = "day",
+      metrics = Seq(
+        graft.mv.CountMetric("cnt"),
+        graft.mv.SumMetric("v_dec", expr("CAST(value AS DECIMAL(18,2))")),
+        graft.mv.BitmapUvMetric("uv", col("user_id")),
+        graft.mv.MinMetric("v_min", col("value")),
+        graft.mv.MaxMetric("v_max", col("value")),
+        graft.mv.SumMetric("uid_sum", col("user_id")),
+        graft.mv.CountValuesMetric("uid_cnt", col("user_id"))))
+    for (i <- 0 until 3)
+      projSt.appendBatch(projSrc.filter(expr(s"event_id % 3 = $i")))
+    graft.mv.Projection.register(spark, projSt, projSrc, Seq(
+      "cnt" -> count(lit(1)),
+      "v_dec" -> sum(expr("CAST(value AS DECIMAL(18,2))")),
+      "uv" -> count_distinct(col("user_id")),
+      "v_min" -> min(col("value")),
+      "v_max" -> max(col("value")),
+      "uid_sum" -> sum(col("user_id")),
+      "uid_cnt" -> count(col("user_id"))))
+
     val out = tmpDir("graft-fuzz")
     val oracle = new StringBuilder("{")
     var first = true
-    FuzzGen.queries(seeds).foreach { q =>
+    try FuzzGen.queries(seeds).foreach { q =>
       val df =
         if (q.viaChSql) {
           // the engine's full string-dialect chain in PRODUCTION order
@@ -80,11 +109,16 @@ class FuzzParitySpec extends SparkSpec {
             s2 = graft.engine.ChLimitBy.rewrite(s2)
           spark.sql(s2)
         } else spark.sql(q.sparkSql)
+      if (q.mustRoute) {
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("fz-proj") && !plan.contains("events.parquet"),
+          s"${q.name} was not projection-routed:\n$plan")
+      }
       df.coalesce(1).write.mode("overwrite").parquet(s"$out/${q.name}")
       if (!first) oracle.append(",\n")
       first = false
       oracle.append(jsonStr(q.name)).append(": ").append(jsonStr(q.duckSql))
-    }
+    } finally graft.mv.Projection.deregister(spark, projSt)
     oracle.append("}\n")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(out, "oracle_sql.json"),

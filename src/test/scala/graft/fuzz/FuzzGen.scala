@@ -31,8 +31,12 @@ object FuzzGen {
     * against a hand-mirrored DuckDB form, with literal edge cases
     * (doubled quotes, keywords inside strings) in the line of fire.
     */
+  /** `mustRoute`: the harness asserts the Spark plan answered from the
+    * registered projection's state table (no raw events scan) — without
+    * it a silently-declining rewrite would make the band vacuous.
+    */
   final case class FuzzQuery(name: String, sparkSql: String, duckSql: String,
-      viaChSql: Boolean = false)
+      viaChSql: Boolean = false, mustRoute: Boolean = false)
 
   sealed trait Kind
   case object IntK extends Kind
@@ -133,7 +137,8 @@ object FuzzGen {
   def queryFor(seed: Int): FuzzQuery = {
     val rnd = new Random(seed.toLong * 1000003L + 17L)
     val name = f"fz$seed%03d"
-    if (seed > 450) groupLimitQuery(name, seed, rnd)
+    if (seed > 480) projectionQuery(name, rnd)
+    else if (seed > 450) groupLimitQuery(name, seed, rnd)
     else if (seed > 425) quantileQuery(name, rnd)
     else if (seed > 400) asofQuery(name, rnd)
     else if (seed > 360) windowQuery(name, rnd)
@@ -600,6 +605,55 @@ object FuzzGen {
           s"QUALIFY rank() OVER (ORDER BY $c $dir) <= $n ORDER BY $c $dir",
         viaChSql = true)
     }
+  }
+
+  // ---- projection routing (seeds past 480) -----------------------------
+
+  /** Randomized aggregates over the projection-registered events source:
+    * the Spark side is a plain raw-events query the ProjectionRewrite
+    * must answer from the state table (the harness asserts the routed
+    * plan), DuckDB aggregates the raw rows directly — so every seed
+    * differentially proves the routing detour value-invisible at
+    * grouping × metric × key-filter shapes the fixed q171 can't reach.
+    * Groupings/filters are key-expressible BY CONSTRUCTION (the table's
+    * keys are (day = CAST(ts AS DATE), event_type)); the metric pool is
+    * exactly the registered def battery, avg(user_id) exercising the
+    * sum/count decomposition.
+    */
+  private def projectionQuery(name: String, rnd: Random): FuzzQuery = {
+    val groupings: Seq[(String, String)] = pick(rnd, Seq(
+      Seq("event_type" -> "g_et"),
+      Seq("CAST(ts AS DATE)" -> "g_day"),
+      Seq("event_type" -> "g_et", "CAST(ts AS DATE)" -> "g_day"),
+      Seq("year(CAST(ts AS DATE))" -> "g_y", "event_type" -> "g_et"),
+      Seq("month(CAST(ts AS DATE))" -> "g_m")))
+    val pool: Seq[(String, String)] = Seq(
+      ("count(1) AS m_cnt", "CAST(COUNT(*) AS BIGINT) AS m_cnt"),
+      ("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS m_vs",
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS m_vs"),
+      ("count(DISTINCT user_id) AS m_uv",
+        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS m_uv"),
+      ("min(value) AS m_min", "MIN(value) AS m_min"),
+      ("max(value) AS m_max", "MAX(value) AS m_max"),
+      ("count(user_id) AS m_uc", "CAST(COUNT(user_id) AS BIGINT) AS m_uc"),
+      ("avg(user_id) AS m_au", "AVG(user_id) AS m_au"))
+    val picked = rnd.shuffle(pool).take(1 + rnd.nextInt(4))
+    val where = rnd.nextInt(4) match {
+      case 0 => ""
+      case 1 => " WHERE event_type IN ('click', 'view', 'purchase')"
+      case 2 => s" WHERE CAST(ts AS DATE) >= DATE '2024-01-${10 + rnd.nextInt(15)}'"
+      case _ => s" WHERE CAST(ts AS DATE) < DATE '2024-01-${8 + rnd.nextInt(18)}' " +
+        s"AND event_type != 'error'"
+    }
+    val gSel = groupings.map { case (e, a) => s"$e AS $a" }.mkString(", ")
+    val gBy = groupings.map(_._1).mkString(", ")
+    val ord = groupings.map(_._2).map(a => s"$a ASC NULLS FIRST").mkString(", ")
+    FuzzQuery(name,
+      s"SELECT $gSel, ${picked.map(_._1).mkString(", ")} FROM events$where " +
+        s"GROUP BY $gBy ORDER BY $ord",
+      s"SELECT $gSel, ${picked.map(_._2).mkString(", ")} FROM events$where " +
+        s"GROUP BY $gBy ORDER BY $ord",
+      mustRoute = true)
   }
 
   // ---- predicates (identical text on both sides) ----------------------
