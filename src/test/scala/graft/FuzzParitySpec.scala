@@ -38,8 +38,10 @@ class FuzzParitySpec extends SparkSpec {
   // rewrites vs QUALIFY row_number()/rank() and DuckDB's NATIVE
   // DISTINCT ON; 481-510 projection routing — raw-events aggregates the
   // ProjectionRewrite must answer from a registered state table (plan
-  // asserted) vs DuckDB's direct aggregation of the raw rows
-  private val seeds = 1 to 510
+  // asserted) vs DuckDB's direct aggregation of the raw rows; 511-530
+  // WITH ROLLUP/CUBE/TOTALS through the ChSql rewrites vs DuckDB's
+  // native ROLLUP/CUBE/GROUPING SETS super-aggregates
+  private val seeds = 1 to 530
 
   private def duckdbAvailable: Boolean =
     try Seq("python3", "-c", "import duckdb, pandas").! == 0

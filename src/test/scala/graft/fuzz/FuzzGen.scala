@@ -137,7 +137,8 @@ object FuzzGen {
   def queryFor(seed: Int): FuzzQuery = {
     val rnd = new Random(seed.toLong * 1000003L + 17L)
     val name = f"fz$seed%03d"
-    if (seed > 480) projectionQuery(name, rnd)
+    if (seed > 510) rollupQuery(name, rnd)
+    else if (seed > 480) projectionQuery(name, rnd)
     else if (seed > 450) groupLimitQuery(name, seed, rnd)
     else if (seed > 425) quantileQuery(name, rnd)
     else if (seed > 400) asofQuery(name, rnd)
@@ -654,6 +655,58 @@ object FuzzGen {
       s"SELECT $gSel, ${picked.map(_._2).mkString(", ")} FROM events$where " +
         s"GROUP BY $gBy ORDER BY $ord",
       mustRoute = true)
+  }
+
+  // ---- WITH ROLLUP / CUBE / TOTALS (seeds past 510) ---------------------
+
+  /** CH `GROUP BY ... WITH ROLLUP|CUBE|TOTALS` through the ChSql rewrites
+    * vs DuckDB's NATIVE ROLLUP/CUBE/GROUPING SETS — independent
+    * super-aggregate engines computing the same subtotal lattice. Keys are
+    * non-null by construction so NULL marks subtotal rows unambiguously
+    * and (k1, k2) stays a total order across cells, subtotals, and the
+    * grand total (NULLS FIRST).
+    */
+  private def rollupQuery(name: String, rnd: Random): FuzzQuery = {
+    val t = tables.find(_.name == "events").get
+    val keys = pick(rnd, Seq(
+      Seq("event_type"),
+      Seq("event_type", "user_id % 5"),
+      Seq("year(CAST(ts AS DATE))", "event_type"),
+      Seq("event_type", "user_id % 3", "event_id % 2")))
+    val form = rnd.nextInt(3) match {
+      case 0 => "WITH ROLLUP"
+      case 1 => "WITH CUBE"
+      case _ => "WITH TOTALS"
+    }
+    val duckBy = form match {
+      case "WITH ROLLUP" => s"ROLLUP(${keys.mkString(", ")})"
+      case "WITH CUBE" => s"CUBE(${keys.mkString(", ")})"
+      case _ => s"GROUPING SETS ((${keys.mkString(", ")}), ())"
+    }
+    val aggs = rnd.shuffle(Seq(
+      ("count(1) AS m_cnt", "CAST(COUNT(*) AS BIGINT) AS m_cnt"),
+      ("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS m_vs",
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS m_vs"),
+      ("uniqExact(user_id) AS m_uv",
+        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS m_uv"),
+      ("min(event_id) AS m_min", "MIN(event_id) AS m_min"))).take(1 + rnd.nextInt(3))
+    // Non-empty-result predicates ONLY: over EMPTY input Spark's grouping
+    // sets emit no rows at all where DuckDB (and the SQL standard) emit
+    // the () grand-total row — the divergence ChSql's scaladoc documents.
+    // The fixed corpus pins that note; fuzzing it would just re-find it.
+    val where = rnd.nextInt(3) match {
+      case 0 => ""
+      case 1 => s" WHERE user_id % ${2 + rnd.nextInt(5)} != 1"
+      case _ => " WHERE event_type IN ('click', 'view', 'error', 'signup')"
+    }
+    val kSel = keys.zipWithIndex.map { case (k, i) => s"$k AS k$i" }.mkString(", ")
+    val ord = keys.indices.map(i => s"k$i ASC NULLS FIRST").mkString(", ")
+    FuzzQuery(name,
+      s"SELECT $kSel, ${aggs.map(_._1).mkString(", ")} FROM events$where " +
+        s"GROUP BY ${keys.mkString(", ")} $form ORDER BY $ord",
+      s"SELECT $kSel, ${aggs.map(_._2).mkString(", ")} FROM events$where " +
+        s"GROUP BY $duckBy ORDER BY $ord",
+      viaChSql = true)
   }
 
   // ---- predicates (identical text on both sides) ----------------------
