@@ -115,24 +115,33 @@ object ZOrder {
     recover(spark, path)
     val tmp = path + ".zorder.tmp"
     val old = path + ".zorder.old"
-    // partition-column type inference OFF for the round trip: inference
+    val fs0 = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a directory-partitioned table without partitionCol would be read
+    // FLATTENED (partition dirs baked into data columns, with inference
+    // off: as strings) — refuse instead of silently rewriting the layout
+    val hasPartitionDirs = fs0.listStatus(new Path(path)).exists(s =>
+      s.isDirectory && s.getPath.getName.contains("="))
+    require(partitionCol.isDefined || !hasPartitionDirs,
+      "optimize: the table is directory-partitioned — pass partitionCol " +
+        "to preserve its layout")
+    // Partition-column type inference OFF for the round trip: inference
     // would canonicalize string partition values that look numeric
     // (code=007 read back as int 7 and rewritten as code=7 — a permanent
     // value mutation). With inference off the directory values re-write
-    // byte-identical; later reads still infer as before.
-    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val prev = spark.conf.getOption(inferKey)
-    spark.conf.set(inferKey, "false")
-    try {
-      val df = spark.read.parquet(path)
-      partitionCol.foreach(pc => require(df.columns.contains(pc),
-        s"optimize: no partition column $pc"))
-      writeZOrdered(df, tmp, cols, bits, numFiles,
-        mode = "overwrite", partitionBy = partitionCol)
-    } finally prev match {
-      case Some(v) => spark.conf.set(inferKey, v)
-      case None => spark.conf.unset(inferKey)
-    }
+    // byte-identical; later reads still infer as before. The toggle lives
+    // on an ISOLATED child session (newSession shares the SparkContext,
+    // not the conf), so concurrent readers of OTHER partitioned tables in
+    // the calling session keep their inferred types for the whole —
+    // possibly long — rewrite.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    s2.conf.set("spark.sql.shuffle.partitions",
+      spark.sessionState.conf.numShufflePartitions)
+    val df = s2.read.parquet(path)
+    partitionCol.foreach(pc => require(df.columns.contains(pc),
+      s"optimize: no partition column $pc"))
+    writeZOrdered(df, tmp, cols, bits, numFiles,
+      mode = "overwrite", partitionBy = partitionCol)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (p, t, o) = (new Path(path), new Path(tmp), new Path(old))
     if (fs.exists(o)) fs.delete(o, true)

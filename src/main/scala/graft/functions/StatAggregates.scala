@@ -1298,13 +1298,7 @@ case class MathFnExpr(child: Expression, fn: String)
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) return null
-    val x = v match {
-      case d: Double => d
-      case f: Float => f.toDouble
-      case l: Long => l.toDouble
-      case i: Int => i.toDouble
-      case s: Short => s.toDouble
-    }
+    val x = StatMath.numToDouble(v)
     fn match {
       case "erf" => org.apache.commons.math3.special.Erf.erf(x)
       case "erfc" => org.apache.commons.math3.special.Erf.erfc(x)
@@ -1424,13 +1418,7 @@ case class MeanZTestAgg(
     val v = valueChild.eval(row)
     val g = indexChild.eval(row)
     if (v != null && g != null) {
-      val x = v match {
-        case d: Double => d
-        case f: Float => f.toDouble
-        case l: Long => l.toDouble
-        case i: Int => i.toDouble
-        case s: Short => s.toDouble
-      }
+      val x = StatMath.numToDouble(v)
       val gi = g match {
         case b: Boolean => if (b) 1 else 0
         case l: Long => if (l != 0) 1 else 0

@@ -269,11 +269,7 @@ case class AnovaAgg(
   override def update(buf: AnovaBuf, row: InternalRow): AnovaBuf = {
     val v = valueChild.eval(row) match {
       case null => return buf
-      case d: Double => d
-      case f: Float => f.toDouble
-      case l: Long => l.toDouble
-      case i: Int => i.toDouble
-      case s: Short => s.toDouble
+      case x => StatMath.numToDouble(x)
     }
     groupOf(row).foreach(g => buf.add(g, v))
     buf

@@ -63,9 +63,13 @@ class FuzzParitySpec extends SparkSpec {
       spark.sql(q).createOrReplaceTempView(v) }
 
     // the projection band's state table over the FULL events source —
-    // every seed past 480 must be answered from it (mustRoute), while
-    // DuckDB aggregates the raw rows. Deregistered in the finally so no
-    // later suite's events aggregate can route here.
+    // every mustRoute seed must be answered from it, while DuckDB
+    // aggregates the raw rows. The projection is registered ONLY while
+    // the mustRoute seeds run (inside their try, deregistered in the
+    // finally): active registration during the other bands would silently
+    // route THEIR key-expressible events aggregates too, diluting the
+    // raw-path coverage those bands exist for — and a leak past this test
+    // would let later suites' events aggregates route to a stale table.
     import org.apache.spark.sql.functions.{col, count, count_distinct, expr, lit, max, min, sum}
     val projSrc = t.events.withColumn("day", expr("CAST(ts AS DATE)"))
     val projSt = new graft.mv.StateTable(spark, tmpDir("fz-proj") + "/st",
@@ -80,19 +84,20 @@ class FuzzParitySpec extends SparkSpec {
         graft.mv.CountValuesMetric("uid_cnt", col("user_id"))))
     for (i <- 0 until 3)
       projSt.appendBatch(projSrc.filter(expr(s"event_id % 3 = $i")))
-    graft.mv.Projection.register(spark, projSt, projSrc, Seq(
-      "cnt" -> count(lit(1)),
-      "v_dec" -> sum(expr("CAST(value AS DECIMAL(18,2))")),
-      "uv" -> count_distinct(col("user_id")),
-      "v_min" -> min(col("value")),
-      "v_max" -> max(col("value")),
-      "uid_sum" -> sum(col("user_id")),
-      "uid_cnt" -> count(col("user_id"))))
+    def registerProjection(): Unit =
+      graft.mv.Projection.register(spark, projSt, projSrc, Seq(
+        "cnt" -> count(lit(1)),
+        "v_dec" -> sum(expr("CAST(value AS DECIMAL(18,2))")),
+        "uv" -> count_distinct(col("user_id")),
+        "v_min" -> min(col("value")),
+        "v_max" -> max(col("value")),
+        "uid_sum" -> sum(col("user_id")),
+        "uid_cnt" -> count(col("user_id"))))
 
     val out = tmpDir("graft-fuzz")
     val oracle = new StringBuilder("{")
     var first = true
-    try FuzzGen.queries(seeds).foreach { q =>
+    def runOne(q: FuzzGen.FuzzQuery): Unit = {
       val df =
         if (q.viaChSql) {
           // the engine's full string-dialect chain in PRODUCTION order
@@ -120,6 +125,16 @@ class FuzzParitySpec extends SparkSpec {
       if (!first) oracle.append(",\n")
       first = false
       oracle.append(jsonStr(q.name)).append(": ").append(jsonStr(q.duckSql))
+    }
+    // raw-path bands run WITHOUT the projection (else their key-expressible
+    // events aggregates would silently route, diluting the raw coverage);
+    // the routing band runs under its registration, deregistered in the
+    // finally even if registration itself or a seed fails
+    val (routeSeeds, rawSeeds) = FuzzGen.queries(seeds).partition(_.mustRoute)
+    rawSeeds.foreach(runOne)
+    try {
+      registerProjection()
+      routeSeeds.foreach(runOne)
     } finally graft.mv.Projection.deregister(spark, projSt)
     oracle.append("}\n")
     java.nio.file.Files.write(

@@ -667,7 +667,6 @@ object FuzzGen {
     * grand total (NULLS FIRST).
     */
   private def rollupQuery(name: String, rnd: Random): FuzzQuery = {
-    val t = tables.find(_.name == "events").get
     val keys = pick(rnd, Seq(
       Seq("event_type"),
       Seq("event_type", "user_id % 5"),
