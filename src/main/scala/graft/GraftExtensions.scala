@@ -27,8 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       NoopRule
     }
     // CH-projection-style automatic aggregate routing onto registered state
-    // tables (no-op until graft.mv.Projection.register is called).
-    ext.injectOptimizerRule(_ => mv.ProjectionRewrite)
+    // tables (no-op until graft.mv.Projection.register is called). The rule
+    // carries ITS session: a plan optimized while another session is
+    // thread-active still consults only this session's store.
+    ext.injectOptimizerRule(session => new mv.ProjectionRewrite(session))
   }
 }
 

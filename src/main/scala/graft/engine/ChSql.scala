@@ -431,6 +431,31 @@ object ChSql {
       "ChSql: malformed ORDER BY before LIMIT ... WITH TIES")
     val keys = q.substring(afterOrder + 2, li).trim
     require(keys.nonEmpty, "ChSql: empty ORDER BY key list before WITH TIES")
+    // Positional keys (CH `ORDER BY 1 ... WITH TIES` — positional args are
+    // on by default in CH) would be copied verbatim into the rank window,
+    // where `ORDER BY 1` is a CONSTANT ordering: every row ranks 1 and the
+    // whole set comes back. Reject loudly instead of silently misranking —
+    // the same discipline as the shim's other refusals.
+    val maskedKeys = masked.substring(afterOrder + 2, li)
+    var kd = 0; var ks = 0; var ki = 0
+    def checkKey(item: String): Unit = {
+      val bare = item.trim
+        .replaceAll("(?is)\\s+nulls\\s+(first|last)\\s*$", "")
+        .replaceAll("(?is)\\s+(asc|desc)\\s*$", "")
+      require(!bare.matches("\\d+"),
+        "ChSql: positional ORDER BY keys (ORDER BY " + bare + ") are not " +
+          "supported with LIMIT ... WITH TIES — name the column (the key " +
+          "is re-emitted inside rank() OVER, where a bare integer is a " +
+          "constant ordering, not a position)")
+    }
+    while (ki < maskedKeys.length) {
+      val c = maskedKeys.charAt(ki)
+      if (c == '(') kd += 1
+      else if (c == ')') kd -= 1
+      else if (c == ',' && kd == 0) { checkKey(maskedKeys.substring(ks, ki)); ks = ki + 1 }
+      ki += 1
+    }
+    checkKey(maskedKeys.substring(ks))
     val body = q.substring(0, ob).trim
     s"SELECT * EXCEPT (__gf_ties_rank) FROM (" +
       s"SELECT *, rank() OVER (ORDER BY $keys) AS __gf_ties_rank FROM (" +

@@ -99,10 +99,16 @@ object ZOrder {
     * z-order-clustered IN PLACE with a staged atomic swap (write to
     * `.zorder.tmp`, stage the live table at `.zorder.old`, swap, drop the
     * stage — readers see the old or the new layout, never a mix; a failed
-    * swap rolls back loudly). For a partitioned table pass `partitionCol`:
-    * the directory layout is preserved and the Morton clustering applies
-    * WITHIN each partition (range-partitioned on (partition, z), so each
-    * partition's files still cover contiguous z-ranges).
+    * swap rolls back loudly). For a partitioned table pass `partitionCols`
+    * — EVERY directory level, in order (day=X/hour=Y needs
+    * Seq("day", "hour")): the layout is preserved and the Morton
+    * clustering applies WITHIN each leaf partition (range-partitioned on
+    * (partitions..., z), so each partition's files still cover contiguous
+    * z-ranges). The levels are discovered from the directories and must
+    * match `partitionCols` exactly — a missing level would be silently
+    * rewritten out of the layout into the data files (and, with inference
+    * off for the round trip, permanently retyped to string), so any
+    * mismatch refuses loudly instead.
     *
     * Crash window: between the two renames the table lives only at
     * `.zorder.old`. [[recover]] (also called on entry here) restores it —
@@ -110,20 +116,22 @@ object ZOrder {
     * same discipline as StateTable's staged-swap recovery.
     */
   def optimize(spark: org.apache.spark.sql.SparkSession, path: String,
-      cols: Seq[String], bits: Int = 8, partitionCol: Option[String] = None,
+      cols: Seq[String], bits: Int = 8, partitionCols: Seq[String] = Nil,
       numFiles: Int = 0): Unit = {
     recover(spark, path)
     val tmp = path + ".zorder.tmp"
     val old = path + ".zorder.old"
     val fs0 = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // a directory-partitioned table without partitionCol would be read
-    // FLATTENED (partition dirs baked into data columns, with inference
-    // off: as strings) — refuse instead of silently rewriting the layout
-    val hasPartitionDirs = fs0.listStatus(new Path(path)).exists(s =>
-      s.isDirectory && s.getPath.getName.contains("="))
-    require(partitionCol.isDefined || !hasPartitionDirs,
-      "optimize: the table is directory-partitioned — pass partitionCol " +
-        "to preserve its layout")
+    // the ACTUAL directory-partition levels, discovered recursively — a
+    // level partitionCols does not cover would be read FLATTENED (its dirs
+    // baked into data columns, with inference off: as strings) and the
+    // layout silently rewritten; refuse on any mismatch instead
+    val levels = partitionLevels(fs0, new Path(path))
+    require(partitionCols == levels,
+      s"optimize: the table's directory-partition levels are " +
+        s"[${levels.mkString(", ")}] but partitionCols is " +
+        s"[${partitionCols.mkString(", ")}] — pass every level, in order, " +
+        "to preserve the layout")
     // Partition-column type inference OFF for the round trip: inference
     // would canonicalize string partition values that look numeric
     // (code=007 read back as int 7 and rewritten as code=7 — a permanent
@@ -138,10 +146,10 @@ object ZOrder {
     s2.conf.set("spark.sql.shuffle.partitions",
       spark.sessionState.conf.numShufflePartitions)
     val df = s2.read.parquet(path)
-    partitionCol.foreach(pc => require(df.columns.contains(pc),
+    partitionCols.foreach(pc => require(df.columns.contains(pc),
       s"optimize: no partition column $pc"))
     writeZOrdered(df, tmp, cols, bits, numFiles,
-      mode = "overwrite", partitionBy = partitionCol)
+      mode = "overwrite", partitionBy = partitionCols)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (p, t, o) = (new Path(path), new Path(tmp), new Path(old))
     if (fs.exists(o)) fs.delete(o, true)
@@ -153,6 +161,32 @@ object ZOrder {
          else s"; ROLLBACK ALSO FAILED — table preserved at $old, restored by recover()"))
     }
     fs.delete(o, true)
+  }
+
+  /** The table's directory-partition column names, outermost first,
+    * discovered by walking `name=value` directories level by level (all
+    * sibling branches — a hive layout is homogeneous, and a level whose
+    * branches disagree on the column name is corrupt and refused).
+    */
+  private def partitionLevels(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var frontier: Seq[Path] = Seq(root)
+    while (frontier.nonEmpty) {
+      val dirs = frontier.flatMap(p => fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .map(_.getPath))
+      if (dirs.isEmpty) frontier = Nil
+      else {
+        val names = dirs.map(_.getName.takeWhile(_ != '=')).distinct
+        require(names.size == 1,
+          s"optimize: inconsistent partition directory names at level " +
+            s"${out.size}: ${names.mkString(", ")}")
+        out += names.head
+        frontier = dirs
+      }
+    }
+    out.toSeq
   }
 
   /** Open-time recovery for [[optimize]]'s crash window: a table absent at
@@ -178,22 +212,22 @@ object ZOrder {
     */
   def writeZOrdered(df: DataFrame, path: String, cols: Seq[String],
       bits: Int = 8, numFiles: Int = 0, mode: String = "overwrite",
-      partitionBy: Option[String] = None): Unit = {
+      partitionBy: Seq[String] = Nil): Unit = {
     require(!df.columns.contains("__z"),
       "writeZOrdered: the input already has a column named __z (it would be " +
         "overwritten by the clustering value and dropped from the output)")
     val n =
       if (numFiles > 0) numFiles
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    // with partitionBy, range-partition on (partition, z): the directory
-    // layout is preserved and each partition's files cover contiguous
-    // z-ranges
-    val rangeCols = partitionBy.map(col).toSeq :+ col("__z")
+    // with partitionBy, range-partition on (partitions..., z): the
+    // directory layout is preserved and each leaf partition's files cover
+    // contiguous z-ranges
+    val rangeCols = partitionBy.map(col) :+ col("__z")
     val clustered = df.withColumn("__z", zvalue(df, cols, bits))
       .repartitionByRange(n, rangeCols: _*)
       .sortWithinPartitions(rangeCols: _*)
       .drop("__z")
     val w = clustered.write.mode(mode)
-    partitionBy.fold(w)(pc => w.partitionBy(pc)).parquet(path)
+    (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*)).parquet(path)
   }
 }

@@ -264,6 +264,10 @@ case class BitmapTransformExpr(first: Expression, second: Expression,
     val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val et = e.dataType.asInstanceOf[ArrayType].elementType
     Array.tabulate(arr.numElements()) { i =>
+      // a NULL slot read via getLong/getInt would silently come back 0 and
+      // the remap would quietly touch value 0 — reject like a bad type
+      if (arr.isNullAt(i)) throw new IllegalArgumentException(
+        s"bitmapTransform: NULL element at position $i in from/to array")
       et match {
         case LongType => arr.getLong(i)
         case IntegerType => arr.getInt(i).toLong

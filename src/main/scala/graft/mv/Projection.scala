@@ -146,9 +146,9 @@ object Projection {
     spark.sessionState.analyzer
     var cur = spark.experimental.extraOptimizations
     if (!cur.exists(_.isInstanceOf[Store])) cur = cur :+ new Store
-    if (!cur.contains(ProjectionRewrite) &&
+    if (!cur.exists(_.isInstanceOf[ProjectionRewrite]) &&
         !spark.conf.getOption(graft.GraftExtensions.MarkerConf).contains("true"))
-      cur = cur :+ ProjectionRewrite
+      cur = cur :+ new ProjectionRewrite(spark)
     spark.experimental.extraOptimizations = cur
   }
 
@@ -263,8 +263,14 @@ object Projection {
 /** The optimizer rule: see [[Projection]]. Runs in the user-provided batch
   * (after the standard batches), so query-side expressions are compared in
   * optimized normal form — registration optimizes its probe identically.
+  *
+  * The rule instance CARRIES ITS OWNING SESSION rather than consulting
+  * `SparkSession.getActiveSession`: in a multi-session JVM a plan optimized
+  * while a different session happens to be thread-active must still consult
+  * only the owner's projection store — the registrations of some other
+  * session can never route this session's queries.
   */
-object ProjectionRewrite extends Rule[LogicalPlan] {
+final class ProjectionRewrite(owner: SparkSession) extends Rule[LogicalPlan] {
 
   // decline tracing: -Dgraft.projection.debug=1 prints why an Aggregate
   // was not routed (alignment with CH's EXPLAIN for projection selection)
@@ -275,13 +281,11 @@ object ProjectionRewrite extends Rule[LogicalPlan] {
       // scalastyle:on println
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val session = SparkSession.getActiveSession.orNull
-    if (session == null) return plan
-    val entries = Projection.entries(session)
+    val entries = Projection.entries(owner)
     if (entries.isEmpty) return plan
     plan.transformUp {
       case agg: Aggregate =>
-        rewrite(session, agg, entries).getOrElse(agg)
+        rewrite(owner, agg, entries).getOrElse(agg)
     }
   }
 
@@ -360,14 +364,16 @@ object ProjectionRewrite extends Rule[LogicalPlan] {
     // Outputs: aggregate subtrees must each match a def; everything else
     // must reduce to the grouping expressions.
     val needed = mutable.LinkedHashSet.empty[String]
+    val favg = mutable.LinkedHashSet.empty[String]
     val outExprs = agg.aggregateExpressions.map { ne =>
       val x = toBase(stripAlias(ne)).getOrElse {
         dbg("decline: output not inlinable: " + ne); return None }
-      overOutputs(x, e, gBase, gNames, needed).getOrElse {
+      overOutputs(x, e, gBase, gNames, needed, favg).getOrElse {
         dbg("decline: output not covered by defs/groupings: " + x); return None }
     }
 
-    Some(build(spark, agg, e, stateFilters, gState, gNames, needed.toSeq, outExprs))
+    Some(build(spark, agg, e, stateFilters, gState, gNames, needed.toSeq,
+      favg.toSeq, outExprs))
   }
 
   private def stripAlias(ne: NamedExpression): Expression = ne match {
@@ -462,7 +468,8 @@ object ProjectionRewrite extends Rule[LogicalPlan] {
     */
   private def overOutputs(x: Expression, e: Projection.Registered,
       gBase: Seq[Expression], gNames: Seq[String],
-      needed: mutable.LinkedHashSet[String]): Option[Expression] = {
+      needed: mutable.LinkedHashSet[String],
+      favg: mutable.LinkedHashSet[String]): Option[Expression] = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal, Divide}
     import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, Count, Sum}
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -473,9 +480,17 @@ object ProjectionRewrite extends Rule[LogicalPlan] {
     // precision/scale arithmetic a plain Divide would not reproduce. For
     // fractional x the decomposed sum adds partials in a different order
     // than the raw row-order accumulation — the same (documented) caveat
-    // as routing any registered fractional sum def.
+    // as routing any registered fractional sum def. For INTEGRAL x the
+    // stored states are exact Longs but Spark's raw Average accumulates in
+    // DOUBLE — so the decomposition merges those states as Double (the
+    // `__favg_` derived column, see [[build]]): past Long range the routed
+    // path then returns the same finite double as raw instead of wrapping
+    // (non-ANSI) or erroring (ANSI) the way a plain Long sumMerge would;
+    // below 2^53 the partial casts are exact and the division matches raw
+    // bit-for-bit, beyond that only the documented re-ordering rounding
+    // caveat remains.
     object AvgOf {
-      def unapply(ae: AggregateExpression): Option[(String, String)] =
+      def unapply(ae: AggregateExpression): Option[(String, String, Boolean)] =
         ae.aggregateFunction match {
           case Average(xx, _) if plain(ae) &&
               !xx.dataType.isInstanceOf[DecimalType] =>
@@ -494,7 +509,14 @@ object ProjectionRewrite extends Rule[LogicalPlan] {
                 case _ => false
               }) => n
             }
-            for (s <- sumN; c <- cntN) yield (s, c)
+            val integral = xx.dataType match {
+              case org.apache.spark.sql.types.ByteType |
+                   org.apache.spark.sql.types.ShortType |
+                   org.apache.spark.sql.types.IntegerType |
+                   org.apache.spark.sql.types.LongType => true
+              case _ => false
+            }
+            for (s <- sumN; c <- cntN) yield (s, c, integral)
           case _ => None
         }
     }
@@ -503,12 +525,18 @@ object ProjectionRewrite extends Rule[LogicalPlan] {
         val n = e.aggDefs.find(_._2.semanticEquals(ae)).get._1
         needed += n
         UnresolvedAttribute.quoted(n)
-      case AvgOf(s, c) =>
-        needed += s; needed += c
+      case AvgOf(s, c, integral) =>
+        needed += c
         // LEGACY divide: count can be 0 only under a null-heavy sum (both
         // NULL → NULL), and Spark's own Average finishes with a non-failing
-        // divide for exactly this case
-        Divide(Cast(UnresolvedAttribute.quoted(s), DoubleType),
+        // divide for exactly this case. Integral sums merge through the
+        // DOUBLE `__favg_` column (see the AvgOf comment) — never the
+        // def's exact-Long merge, which would error (ANSI) or wrap past
+        // Long range where raw Average stays finite.
+        val sumAttr =
+          if (integral) { favg += s; UnresolvedAttribute.quoted("__favg_" + s) }
+          else { needed += s; UnresolvedAttribute.quoted(s) }
+        Divide(Cast(sumAttr, DoubleType),
           Cast(UnresolvedAttribute.quoted(c), DoubleType), EvalMode.LEGACY)
       case s if gBase.exists(_.semanticEquals(s)) =>
         UnresolvedAttribute.quoted(gNames(gBase.indexWhere(_.semanticEquals(s))))
@@ -526,9 +554,10 @@ object ProjectionRewrite extends Rule[LogicalPlan] {
     */
   private def build(spark: SparkSession, agg: Aggregate, e: Projection.Registered,
       stateFilters: Seq[Expression], gState: Seq[Expression], gNames: Seq[String],
-      needed: Seq[String], outExprs: Seq[Expression]): LogicalPlan = {
+      needed: Seq[String], favg: Seq[String],
+      outExprs: Seq[Expression]): LogicalPlan = {
     var df = e.table.read()
-    df = df.select((e.table.keys ++ needed).map(col): _*)
+    df = df.select((e.table.keys ++ (needed ++ favg).distinct).map(col): _*)
     stateFilters.foreach(c => df = df.filter(ColumnBridge.column(c)))
     val gCols = gState.zip(gNames).map { case (x, n) => ColumnBridge.column(x).as(n) }
     // `needed` may be empty: an aggregate-free Aggregate (SELECT DISTINCT
@@ -538,16 +567,24 @@ object ProjectionRewrite extends Rule[LogicalPlan] {
     // mid-optimization, after the batch that replaces Deduplicate with
     // Aggregate — a Deduplicate node here would reach the planner unreplaced.
     val fin =
-      if (needed.isEmpty)
+      if (needed.isEmpty && favg.isEmpty)
         df.select(gCols: _*).groupBy(gNames.map(col): _*)
           .agg(org.apache.spark.sql.functions.count(
             org.apache.spark.sql.functions.lit(1)).as("__d"))
           .select(gNames.map(col): _*)
       else {
-        val mergeCols = needed.map(n => e.metric(n).merge)
+        // `favg` sum states merge AS DOUBLE (raw Average's accumulator) so
+        // a decomposed integral avg can never overflow where raw stays
+        // finite; the derived column rides beside the exact merges, so a
+        // query selecting both sum(x) and avg(x) gets each from its own.
+        val mergeCols = needed.map(n => e.metric(n).merge) ++
+          favg.map(n => org.apache.spark.sql.functions
+            .sum(col(n).cast(org.apache.spark.sql.types.DoubleType))
+            .as("__favg_" + n))
         val m = df.groupBy(gCols: _*).agg(mergeCols.head, mergeCols.tail: _*)
         m.select(gNames.map(col) ++
-          needed.map(n => e.metric(n).finish(col(n)).as(n)): _*)
+          needed.map(n => e.metric(n).finish(col(n)).as(n)) ++
+          favg.map(n => col("__favg_" + n)): _*)
       }
     val shaped = fin.select(outExprs.zip(agg.output).map { case (x, o) =>
       ColumnBridge.column(x).cast(o.dataType).as(o.name)

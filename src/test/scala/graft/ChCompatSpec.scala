@@ -2503,6 +2503,16 @@ class ChCompatSpec extends SparkSpec {
         |  bitmapBuild(array(1,2,3,4,5,6,7,8,9,10)),
         |  array(5, 999, 2), array(2, 888, 20))) AS a""".stripMargin).head()
     assert(bt.getSeq[Long](0) == Seq(1L, 3L, 4L, 6L, 7L, 8L, 9L, 10L, 20L))
+    // a NULL from/to element would read as 0 via getLong and quietly remap
+    // value 0 — rejected loudly instead
+    val btNull = intercept[Exception](spark.sql(
+      """SELECT bitmapToArray(bitmapTransform(
+        |  bitmapBuild(array(1,2,3)),
+        |  array(1, CAST(NULL AS BIGINT)), array(4, 5))) AS a""".stripMargin)
+      .head())
+    val btNullMsgs = Iterator.iterate[Throwable](btNull)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(btNullMsgs.contains("NULL element"), btNullMsgs)
 
     // LIMIT n WITH TIES through the ChSql rewrite: tie-group semantics on
     // the engine, plus the two loud rejections
@@ -2524,6 +2534,19 @@ class ChCompatSpec extends SparkSpec {
     val trailing = intercept[Exception](graft.engine.ChSql(
       "SELECT x FROM chwt_t ORDER BY x LIMIT 2 WITH TIES OFFSET 1"))
     assert(trailing.getMessage.contains("must end the statement"))
+    // positional ORDER BY keys (on by default in CH) would become a
+    // CONSTANT rank ordering inside the rewrite's window — rejected loudly,
+    // with or without a direction suffix, in any position of the key list
+    for (q <- Seq(
+        "SELECT x FROM chwt_t ORDER BY 1 LIMIT 2 WITH TIES",
+        "SELECT x, s FROM chwt_t ORDER BY 1 DESC LIMIT 2 WITH TIES",
+        "SELECT x, s FROM chwt_t ORDER BY x, 2 LIMIT 2 WITH TIES")) {
+      val pos = intercept[Exception](graft.engine.ChSql(q))
+      assert(pos.getMessage.contains("positional ORDER BY"), q)
+    }
+    // an expression key CONTAINING digits is not positional
+    assert(spark.sql(graft.engine.ChSql(
+      "SELECT x, s FROM chwt_t ORDER BY x + 0, s LIMIT 2 WITH TIES")).count() == 2)
     // a subquery's WITH TIES doesn't hijack the outer statement, and a
     // string literal containing the phrase is inert
     assert(spark.sql(graft.engine.ChSql(

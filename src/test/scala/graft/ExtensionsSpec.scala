@@ -69,7 +69,8 @@ class ExtensionsSpec extends SparkSpec {
       // fresh extensions session would get the duplicate rule after all
       graft.mv.Projection.attach(s2)
       assert(s2.conf.getOption(GraftExtensions.MarkerConf).contains("true"))
-      assert(!s2.experimental.extraOptimizations.contains(graft.mv.ProjectionRewrite),
+      assert(!s2.experimental.extraOptimizations
+        .exists(_.isInstanceOf[graft.mv.ProjectionRewrite]),
         "extensions session must not carry a second ProjectionRewrite copy")
       assert(s2.experimental.extraOptimizations.nonEmpty,
         "attach must still install the per-session projection store")
@@ -77,7 +78,7 @@ class ExtensionsSpec extends SparkSpec {
       graft.mv.Projection.attach(base)
       graft.mv.Projection.attach(base)
       assert(base.experimental.extraOptimizations
-        .count(_ eq graft.mv.ProjectionRewrite) == 1)
+        .count(_.isInstanceOf[graft.mv.ProjectionRewrite]) == 1)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

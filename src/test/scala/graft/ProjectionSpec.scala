@@ -280,6 +280,41 @@ class ProjectionSpec extends SparkSpec {
     } finally Projection.deregister(spark, st)
   }
 
+  test("decomposed integral avg survives Long-sum overflow: the routed merge " +
+      "runs in Double (raw Average's accumulator), matching raw's finite " +
+      "value where an exact-Long sumMerge would error under ANSI") {
+    import spark.implicits._
+    val bigPath = tmpDir("proj-bigavg") + "/src"
+    // 6 rows of 4e18 per key (2 per ingest batch, so each stored Long
+    // partial is 8e18 — in range — while the MERGED sum 2.4e19 overflows
+    // Long; 4e18 = 5^18·2^20 and 2.4e19 = 3·5^18·2^21 are double-exact, so
+    // raw and routed must agree bit-for-bit at exactly 4.0e18)
+    (0 until 12).map(i => (Seq("a", "b")(i % 2), i % 3, 4000000000000000000L))
+      .toDF("k", "b", "x").write.parquet(bigPath)
+    val bigSrc = spark.read.parquet(bigPath)
+    val st = new StateTable(spark, tmpDir("proj-bigavg-st") + "/st",
+      keys = Seq("k"), partitionCol = "k",
+      metrics = Seq(SumMetric("x_sum", col("x")),
+        CountValuesMetric("x_cnt", col("x"))))
+    for (i <- 0 until 3) st.appendBatch(bigSrc.filter(col("b") === i))
+    Projection.register(spark, st, bigSrc,
+      Seq("x_sum" -> sum(col("x")), "x_cnt" -> count(col("x"))))
+    try {
+      val q = bigSrc.groupBy("k").agg(avg(col("x")).as("ax")).orderBy("k")
+      val p = planOf(q)
+      assert(p.contains("proj-bigavg-st") && !p.contains("proj-bigavg/"),
+        s"expected routing:\n$p")
+      val got = q.collect().map(r0 => (r0.getString(0), r0.getDouble(1)))
+      Projection.deregister(spark, st)
+      val exp = bigSrc.groupBy("k").agg(avg(col("x")).as("ax")).orderBy("k")
+        .collect().map(r0 => (r0.getString(0), r0.getDouble(1)))
+      Projection.register(spark, st, bigSrc,
+        Seq("x_sum" -> sum(col("x")), "x_cnt" -> count(col("x"))))
+      assert(got.sameElements(exp), s"${got.toSeq} vs ${exp.toSeq}")
+      assert(got.forall(_._2 == 4.0e18), got.toSeq)
+    } finally Projection.deregister(spark, st)
+  }
+
   test("projection selection: with two matching projections the coarser " +
       "(fewest-keys) table answers — CH's min-marks analog") {
     val fine = registered() // (day, kind), registered with the battery defs
@@ -318,5 +353,39 @@ class ProjectionSpec extends SparkSpec {
     assert(routed(q()))
     Projection.deregister(spark, st)
     assert(!routed(q()))
+  }
+
+  test("cross-session isolation: the rule carries its owning session — a " +
+      "thread-active OTHER session can neither lend nor steal routing") {
+    import org.apache.spark.sql.SparkSession
+    withProjection { st =>
+      val s2 = spark.newSession()
+      Projection.attach(s2)
+      // s2's plan over the SAME files, optimized in s2 (nothing registered
+      // there, so it comes out unrouted)
+      val plan2 = s2.read.parquet(srcPath).withColumn("day", to_date(col("ts")))
+        .groupBy("kind").agg(count(lit(1)).as("cnt"))
+        .queryExecution.optimizedPlan
+      // the owner's plan in unrouted normal form (deregister for the build)
+      Projection.deregister(spark, st)
+      val plan1 = source.groupBy("kind").agg(count(lit(1)).as("cnt"))
+        .queryExecution.optimizedPlan
+      Projection.register(spark, st, source, defs)
+      try {
+        // adversarial thread-active session on BOTH probes: a rule that
+        // consulted getActiveSession would route s2's plan from the
+        // owner's store here...
+        SparkSession.setActiveSession(spark)
+        val out2 = new ProjectionRewrite(s2).apply(plan2)
+        assert(out2 eq plan2,
+          s"another session's registration routed s2's plan:\n$out2")
+        // ...and would LOSE the owner's routing here (a routed plan reads
+        // the state relation and aliases its groupings as __g0)
+        SparkSession.setActiveSession(s2)
+        val out1 = new ProjectionRewrite(spark).apply(plan1)
+        assert((out1 ne plan1) && out1.toString.contains("__g0"),
+          s"owner lost routing with another session thread-active:\n$out1")
+      } finally SparkSession.setActiveSession(spark)
+    }
   }
 }

@@ -102,7 +102,7 @@ class ZOrderSpec extends SparkSpec {
     val scatterBefore = hitFraction(p + "/day=0", "a")
 
     ZOrder.optimize(spark, p, Seq("a", "b"), bits = 7,
-      partitionCol = Some("day"), numFiles = 24)
+      partitionCols = Seq("day"), numFiles = 24)
 
     val after = spark.read.parquet(p)
     assert(after.select("a", "b", "payload", "day").collect()
@@ -152,5 +152,52 @@ class ZOrderSpec extends SparkSpec {
       .map(f => spark.read.parquet(f.getPath)
         .select("platform").distinct().count())
     assert(perFile.exists(_ < 4), s"every file carries all platforms: $perFile")
+  }
+
+  test("optimize: multi-level partitioning must be covered in full, in order " +
+      "— a partial partitionCols refuses instead of flattening a level") {
+    val base = tmpDir("zorder-multi")
+    val p = base + "/t"
+    val df = data.limit(6000)
+      .withColumn("day", (col("payload") % 2).cast("string"))
+      .withColumn("hour", (col("payload") % 3).cast("string"))
+    df.write.partitionBy("day", "hour").parquet(p)
+    val before = spark.read.parquet(p)
+      .select("a", "b", "payload", "day", "hour")
+      .collect().map(_.toString).sorted.toSeq
+
+    // covering only the outer level would silently rewrite hour=Y out of
+    // the directory layout (and retype it to string) — must refuse
+    val e1 = intercept[IllegalArgumentException] {
+      ZOrder.optimize(spark, p, Seq("a", "b"), partitionCols = Seq("day"))
+    }
+    assert(e1.getMessage.contains("hour"), e1.getMessage)
+    // no partitionCols at all on a partitioned table: also refused
+    intercept[IllegalArgumentException] {
+      ZOrder.optimize(spark, p, Seq("a", "b"))
+    }
+    // wrong order: refused (the directory nesting is day/hour)
+    intercept[IllegalArgumentException] {
+      ZOrder.optimize(spark, p, Seq("a", "b"),
+        partitionCols = Seq("hour", "day"))
+    }
+    // refusals left the table untouched
+    assert(spark.read.parquet(p).count() == 6000L)
+    assert(new java.io.File(p).listFiles().count(_.getName.startsWith("day=")) == 2)
+
+    // the full, ordered cover preserves both levels and all values
+    ZOrder.optimize(spark, p, Seq("a", "b"), bits = 6,
+      partitionCols = Seq("day", "hour"), numFiles = 12)
+    val after = spark.read.parquet(p)
+      .select("a", "b", "payload", "day", "hour")
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before, "optimize changed the data")
+    val dayDirs = new java.io.File(p).listFiles()
+      .filter(_.getName.startsWith("day="))
+    assert(dayDirs.length == 2)
+    dayDirs.foreach { d =>
+      assert(d.listFiles().count(_.getName.startsWith("hour=")) == 3,
+        s"hour level lost under ${d.getName}")
+    }
   }
 }
