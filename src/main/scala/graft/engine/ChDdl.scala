@@ -109,7 +109,8 @@ object ChDdl {
   /** `OPTIMIZE TABLE t [PARTITION p] [FINAL]` — the manual background-merge
     * trigger (ref doc:954 `OPTIMIZE TABLE test.mv_union_max FINAL`).
     */
-  final case class OptimizeTable(table: String, finalMerge: Boolean) extends Stmt
+  final case class OptimizeTable(table: String, finalMerge: Boolean,
+      partition: Option[String] = None) extends Stmt
   /** Anything the replayer has no object mapping for. */
   /** `INSERT INTO t [(c1, c2)] SELECT ...` — CH's column-subset insert
     * (doc:848-860: writing only (id, m1) into the union-max table). The
@@ -386,7 +387,16 @@ object ChDdl {
   private def parseOptimize(s: String): OptimizeTable = {
     val m = """(?is)^optimize\s+table\s+([\w.]+)(?:\s+on\s+cluster\s+\S+)?(.*)$""".r
       .findFirstMatchIn(s).getOrElse(sys.error(s"bad optimize: ${s.take(80)}"))
-    OptimizeTable(m.group(1), """(?is)\bfinal\b""".r.findFirstIn(m.group(2)).isDefined)
+    val tail = m.group(2)
+    // `PARTITION 'v'` / `PARTITION v` / `PARTITION ID 'v'` — CH scopes the
+    // merge to one partition; the value is the partition expression's
+    // rendered form (a day string here), quoted or bare
+    val part = """(?is)\bpartition\s+(?:id\s+)?(?:'([^']*)'|([\w-]+))""".r
+      .findFirstMatchIn(tail).map(pm => Option(pm.group(1)).getOrElse(pm.group(2)))
+    part.filter(_.equalsIgnoreCase("final")).foreach(_ =>
+      sys.error(s"bad optimize (PARTITION needs a value): ${s.take(80)}"))
+    OptimizeTable(m.group(1),
+      """(?is)\bfinal\b""".r.findFirstIn(tail).isDefined, part)
   }
 
   private def parseAlter(s: String): AlterTable = {

@@ -123,11 +123,13 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
         .findFirstMatchIn(sql).foreach { m =>
           mvs.remove(m.group(1)); mvSources.remove(m.group(1)); ()
         }
-    case OptimizeTable(name, _) =>
+    case OptimizeTable(name, _, part) =>
       // the manual background-merge trigger (ref doc:954): fold the state
       // table's accumulated parts — a no-op for plain MergeTree bindings,
-      // whose storage has no merge debt here
-      stateTables.get(resolve(name)).foreach(_.compact())
+      // whose storage has no merge debt here; PARTITION 'v' scopes the
+      // fold (and the rewrite) to that one partition directory
+      stateTables.get(resolve(name)).foreach(st =>
+        part.fold(st.compact())(st.compactPartition))
     case Query(sql) => queries += sql
     case ins: InsertSelect => executeInsert(ins)
     case _: Unparsed => ()

@@ -47,7 +47,12 @@ object LshSignatures {
 case class LshSignaturesExpr(child: Expression, tables: Int, bits: Int)
   extends Expression with UnaryLike[Expression] with CodegenFallback {
 
-  require(tables >= 1 && bits >= 1 && bits <= 63, s"bad tables/bits: $tables/$bits")
+  // bits = 0 is the EXHAUSTIVE degenerate table (no hyperplanes → every
+  // vector in one bucket 0 per table): the LSH analog of IVF's
+  // nprobe = nlist, used to put the whole signature/join/rerank machinery
+  // under an exact-equality gate (candidate set = full corpus, so the
+  // top-k provably equals brute force)
+  require(tables >= 1 && bits >= 0 && bits <= 63, s"bad tables/bits: $tables/$bits")
 
   @transient private lazy val elemIsFloat = child.dataType match {
     case ArrayType(FloatType, _) => true

@@ -318,6 +318,66 @@ final class StateTable(
   private def recoverFromCompact(): Unit = {
     recoverStagedSwap(".compact")
     recoverStagedSwap(".mutate")
+    recoverPartitionCompacts()
+  }
+
+  /** Recovery for [[compactPartition]]'s swap window. The staging dirs live
+    * BESIDE the table (`<table>.pcompact.<value>.{tmp,old}`) — an `.old`
+    * dir INSIDE the table would read as a bogus partition value during the
+    * window — so recovery scans the parent: a live-partition-missing `.old`
+    * is authoritative and moves back; anything else is superseded debris.
+    */
+  private def recoverPartitionCompacts(): Unit = {
+    val fs = fileSystem()
+    val parent = new Path(path).getParent
+    if (parent == null || !fs.exists(parent)) return
+    val base = new Path(path).getName + ".pcompact."
+    fs.listStatus(parent).foreach { st =>
+      val nm = st.getPath.getName
+      if (nm.startsWith(base) && nm.endsWith(".old")) {
+        val value = nm.substring(base.length, nm.length - ".old".length)
+        val live = new Path(path, s"$partitionCol=$value")
+        if (!fs.exists(live)) {
+          if (!fs.rename(st.getPath, live))
+            sys.error(s"recover: failed to restore ${st.getPath} -> $live")
+        } else fs.delete(st.getPath, true): Unit
+      } else if (nm.startsWith(base) && nm.endsWith(".tmp"))
+        fs.delete(st.getPath, true): Unit
+    }
+  }
+
+  /** `OPTIMIZE TABLE ... PARTITION 'v' FINAL` — [[compact]] scoped to one
+    * partition directory: only that partition's states are re-merged and
+    * only its directory is rewritten (the partition-pruned scan and the
+    * rewrite both touch ~1/|partitions| of the table — CH's own reason for
+    * partition-scoped OPTIMIZE). Same staged-swap discipline as [[compact]];
+    * the exactly-once ledger lives at the table root and is untouched.
+    * No-op on a partition that doesn't exist (CH parity).
+    */
+  def compactPartition(value: String): Unit = Projection.suppress {
+    val fs = fileSystem()
+    val live = new Path(path, s"$partitionCol=$value")
+    if (!fs.exists(live)) return
+    val tmp = new Path(path + s".pcompact.$value.tmp")
+    val old = new Path(path + s".pcompact.$value.old")
+    // filter on the partition key ABOVE the merge: partitionCol is a
+    // grouping key, so Catalyst pushes it below the Aggregate into the
+    // scan's PartitionFilters — one partition read, not a full-table merge
+    merged(keys)
+      .filter(col(partitionCol) === lit(value).cast(
+        read().schema(partitionCol).dataType))
+      .drop(partitionCol) // hive layout: the value lives in the dirname
+      .sortWithinPartitions(keys.filterNot(_ == partitionCol).map(col): _*)
+      .write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(live, old))
+      sys.error(s"compactPartition: failed to stage $live -> $old")
+    if (!fs.rename(tmp, live)) {
+      fs.rename(old, live)
+      sys.error(s"compactPartition: failed to swap $tmp -> $live")
+    }
+    fs.delete(old, true)
+    cachedSchema = None
   }
 
   private def recoverStagedSwap(suffix: String): Unit = {

@@ -53,6 +53,24 @@ object VectorPack {
         .orderBy("probe_id", "rank")
     },
 
+    // Exhaustive-probe LSH = brute force (the q81/q86 construction for the
+    // LSH family): with bits = 0 every table degenerates to ONE bucket, so
+    // each probe's candidate set is the whole corpus — the multi-table
+    // explode, (tbl, bucket) join, cross-table dedup, and exact-rerank
+    // machinery all run for real, and the top-k must be bit-identical to
+    // q41's brute force. q42's bits = 6 run stays the (rows-only) scale
+    // path this gates; two tables so the dropDuplicates dedup is live.
+    "q175_knn_lsh_full" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val probes = e.filter(col("vec_id").isin(0, 1, 2))
+      val ix = Ann.lshIndex(e, "vec_id", "embedding", tables = 2, bits = 0)
+      Ann.lshTopK(ix, probes, "vec_id", "embedding", k = 10,
+          tables = 2, bits = 0)
+        .select(col("probe_id"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"), col("rank"))
+        .orderBy("probe_id", "rank")
+    },
+
     // IVF-bucketed approximate top-10 (rows-only; the inverted-list scale
     // path — recall vs brute force asserted in AnnSpec).
     "q44_knn_ivf" -> { (s, dir) =>
@@ -79,6 +97,21 @@ object VectorPack {
       graft.text.Curation.clusterBalancedSample(
           Tables(s, dir).embeddings, "vec_id", "embedding",
           k = 8, quota = 20, iterations = 0, salt = ":cbs")
+        .select(col("vec_id"), col("cluster_id"))
+        .orderBy("vec_id")
+    },
+
+    // q129's HASH-GATED TWIN: the identical cluster-balanced-sample
+    // pipeline (seeded centroid pick → nearest-centroid assignment →
+    // per-cluster md5 quota draw) with the centroid pick ordered by
+    // md5(id || salt) instead of xxhash64(id) — every stage is then
+    // DuckDB-expressible, so assignment (cosine argmax, cid tie-break)
+    // and draw are value-gated end-to-end. q129 keeps the production
+    // xxhash64 pick and stays rows-only.
+    "q176_cluster_sample_md5" -> { (s, dir) =>
+      graft.text.Curation.clusterBalancedSample(
+          Tables(s, dir).embeddings, "vec_id", "embedding",
+          k = 8, quota = 20, iterations = 0, salt = ":cbs", md5Pick = true)
         .select(col("vec_id"), col("cluster_id"))
         .orderBy("vec_id")
     },
@@ -304,6 +337,55 @@ object VectorPack {
     // rerank reduces to the exact top-10 (the q81 construction), so the
     // oracle is q41's exact-cosine top-k, verbatim.
     "q86_knn_ivfpq_rerank" ->
+      """WITH p AS (
+        |  SELECT vec_id AS probe_id, embedding AS pvec
+        |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+        |s AS (
+        |  SELECT p.probe_id, e.vec_id AS neighbor_id,
+        |    list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.pvec[i] AS DOUBLE))) AS dot,
+        |    sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+        |    sqrt(list_sum(list_transform(p.pvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+        |  FROM embeddings e, p WHERE e.vec_id <> p.probe_id),
+        |r AS (
+        |  SELECT probe_id, neighbor_id, dot / (na * nb) AS cs,
+        |    CAST(ROW_NUMBER() OVER (
+        |      PARTITION BY probe_id ORDER BY dot / (na * nb) DESC, neighbor_id) AS INT) AS rank
+        |  FROM s)
+        |SELECT probe_id, neighbor_id, ROUND(cs, 6) AS cos_sim, rank
+        |FROM r WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
+
+    // q129's pipeline with the md5-ordered centroid pick: the pick, the
+    // cosine argmax assignment (cid tie-break), and the per-cluster md5
+    // quota draw are each spelled directly; cosine arithmetic is the
+    // q40/q41 fixed-fold-order spelling, bit-identical to cosineVs.
+    "q176_cluster_sample_md5" ->
+      """WITH ord AS (
+        |  SELECT vec_id, embedding,
+        |    ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || ':cbs'), vec_id) AS rn
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT CAST(rn - 1 AS INT) AS cid, embedding AS cvec FROM ord WHERE rn <= 8),
+        |s AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cs
+        |  FROM embeddings e CROSS JOIN c),
+        |a AS (
+        |  SELECT vec_id, cid AS cluster_id
+        |  FROM s
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) = 1)
+        |SELECT vec_id, cluster_id
+        |FROM a
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |  ORDER BY substr(md5(CAST(vec_id AS VARCHAR) || ':cbs'), 1, 13), vec_id) <= 20
+        |ORDER BY vec_id""".stripMargin,
+
+    // Exhaustive LSH (bits = 0: one bucket per table) scores exactly the
+    // brute-force set, so the oracle is q41's exact-cosine top-k, verbatim.
+    "q175_knn_lsh_full" ->
       """WITH p AS (
         |  SELECT vec_id AS probe_id, embedding AS pvec
         |  FROM embeddings WHERE vec_id IN (0, 1, 2)),

@@ -134,8 +134,17 @@ object Ann {
     */
   def pickCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int): Array[(Int, Array[Float])] =
+    pickCentroids(corpus, idCol, vecCol, nlist, xxhash64(col(idCol)))
+
+  /** [[pickCentroids]] with a caller-chosen deterministic order expression
+    * (ties broken by id). The md5-prefix order [[graft.text.Curation]]'s
+    * sampling already uses makes the pick SQL-oracle-mirrorable — xxhash64
+    * has no DuckDB analog, md5 does.
+    */
+  def pickCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, order: Column): Array[(Int, Array[Float])] =
     corpus.select(col(idCol), col(vecCol))
-      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .orderBy(order, col(idCol))
       .limit(nlist)
       .collect()
       .zipWithIndex

@@ -381,10 +381,19 @@ object Curation {
     * outranks cluster quality.
     */
   def clusterBalancedSample(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int, quota: Int, iterations: Int = 0, salt: String = ""): DataFrame = {
+      k: Int, quota: Int, iterations: Int = 0, salt: String = "",
+      md5Pick: Boolean = false): DataFrame = {
     require(k >= 1, s"cluster count must be >= 1: $k")
     import graft.similarity.Ann
-    val cents0 = Ann.pickCentroids(emb, idCol, vecCol, k)
+    // md5Pick orders the seeded centroid pick by md5(id || salt) instead of
+    // xxhash64(id): same uniform deterministic pick, but SQL-oracle-
+    // mirrorable (DuckDB has md5, not xxhash64) — with iterations = 0 the
+    // whole sample then hash-gates end-to-end (q176); the xxhash64 form
+    // stays the production default (one hash, no string round-trip)
+    val cents0 =
+      if (md5Pick) Ann.pickCentroids(emb, idCol, vecCol, k,
+        md5(concat(col(idCol).cast(StringType), lit(salt))))
+      else Ann.pickCentroids(emb, idCol, vecCol, k)
     val cents =
       if (iterations > 0) Ann.refineCentroids(emb, idCol, vecCol, cents0, iterations)
       else cents0

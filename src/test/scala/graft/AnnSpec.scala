@@ -28,26 +28,88 @@ class AnnSpec extends SparkSpec {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
 
-  test("LSH top-k recall@10 >= 0.5 vs brute force") {
-    val probes = emb.filter(col("vec_id").isin(0, 1, 2, 3, 4))
-    val exact = Ann.bruteForceTopK(emb, probes, "vec_id", "embedding", 10)
-      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
-    val ix = Ann.lshIndex(emb, "vec_id", "embedding", tables = 16, bits = 6)
-    val approx = Ann.lshTopK(ix, probes, "vec_id", "embedding", 10, tables = 16, bits = 6)
-      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
-    val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.5, s"LSH recall too low: $recall")
+  /** Five disjoint deterministic probe sets: recall floors are asserted on
+    * the per-seed values AND the mean, at measured-minus-margin (measured
+    * on the round-12 sf0.001 testdata; the margin absorbs a driver
+    * testdata regeneration, which has happened between rounds).
+    */
+  private def probeSeeds: Seq[Seq[Long]] = {
+    val n = emb.count()
+    (0 until 5).map(seed => (0 until 5).map(i => ((seed * 13 + i * 7) % n)))
   }
 
-  test("IVF top-k recall@10 >= 0.5 vs brute force, deterministic centroids") {
+  private def recallVsBrute(mkApprox: org.apache.spark.sql.DataFrame => Set[(Long, Long)])
+      : Seq[Double] =
+    probeSeeds.map { ids =>
+      val probes = emb.filter(col("vec_id").isin(ids: _*))
+      val exact = Ann.bruteForceTopK(emb, probes, "vec_id", "embedding", 10)
+        .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+      val approx = mkApprox(probes)
+      (exact & approx).size.toDouble / exact.size
+    }
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+
+  test("LSH recall@10 vs brute force: floors at measured-minus-margin over " +
+      "5 seeds, and the tables-for-recall lever actually pays") {
+    def lsh(t: Int, b: Int)(probes: org.apache.spark.sql.DataFrame) = {
+      val ix = Ann.lshIndex(emb, "vec_id", "embedding", tables = t, bits = b)
+      pairs(Ann.lshTopK(ix, probes, "vec_id", "embedding", 10, tables = t, bits = b))
+    }
+    // shipped q42 parameters (16 tables x 6 bits): on 500 UNIFORM 64-dim
+    // vectors the top-10 "neighbors" are barely closer than random, the
+    // hardest possible LSH regime — measured per-seed 0.36-0.64, mean 0.504
+    val shipped = recallVsBrute(lsh(16, 6))
+    info(s"lsh 16x6 per-seed recall: ${shipped.map(r => f"$r%.2f").mkString(", ")}")
+    shipped.foreach(r => assert(r >= 0.28, s"per-seed collapse: $shipped"))
+    assert(shipped.sum / shipped.size >= 0.42,
+      s"mean recall regressed: $shipped (measured mean 0.504)")
+    // the recall lever: more, shorter tables — measured per-seed
+    // 0.96-1.00, mean 0.98 at 32x4. A code regression in the signature /
+    // bucket-join path fails HERE even if the noisy shipped point slips.
+    val lever = recallVsBrute(lsh(32, 4))
+    info(s"lsh 32x4 per-seed recall: ${lever.map(r => f"$r%.2f").mkString(", ")}")
+    lever.foreach(r => assert(r >= 0.85, s"high-recall config collapsed: $lever"))
+    assert(lever.sum / lever.size >= 0.92,
+      s"high-recall mean regressed: $lever (measured mean 0.98)")
+    assert(lever.sum > shipped.sum, "more tables must buy recall")
+  }
+
+  test("exhaustive LSH (bits = 0) IS brute force: single bucket per table " +
+      "makes the candidate set the whole corpus (the q175 gate, pinned " +
+      "here in-process too)") {
     val probes = emb.filter(col("vec_id").isin(0, 1, 2, 3, 4))
     val exact = Ann.bruteForceTopK(emb, probes, "vec_id", "embedding", 10)
-      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
-    val ix = Ann.ivfIndex(emb, "vec_id", "embedding", nlist = 16)
-    val approx = Ann.ivfTopK(ix, emb, probes, "vec_id", "embedding", 10, nlist = 16, nprobe = 8)
-      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
-    val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.5, s"IVF recall too low: $recall")
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim"))).sorted.toSeq
+    val ix = Ann.lshIndex(emb, "vec_id", "embedding", tables = 2, bits = 0)
+    val full = Ann.lshTopK(ix, probes, "vec_id", "embedding", 10, tables = 2, bits = 0)
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim"))).sorted.toSeq
+    assert(full == exact, "bits=0 LSH must equal brute force bit-for-bit")
+  }
+
+  test("IVF recall@10 vs brute force: floors at measured-minus-margin over " +
+      "5 seeds, the nprobe lever pays, deterministic centroids") {
+    def ivf(np: Int)(probes: org.apache.spark.sql.DataFrame) = {
+      val ix = Ann.ivfIndex(emb, "vec_id", "embedding", nlist = 16)
+      pairs(Ann.ivfTopK(ix, emb, probes, "vec_id", "embedding", 10, nlist = 16, nprobe = np))
+    }
+    // shipped q44 parameters (nprobe 8 of nlist 16): measured per-seed
+    // 0.62-0.84, mean 0.732 on the uniform corpus
+    val shipped = recallVsBrute(ivf(8))
+    info(s"ivf nprobe=8 per-seed recall: ${shipped.map(r => f"$r%.2f").mkString(", ")}")
+    shipped.foreach(r => assert(r >= 0.52, s"per-seed collapse: $shipped"))
+    assert(shipped.sum / shipped.size >= 0.63,
+      s"mean recall regressed: $shipped (measured mean 0.732)")
+    // nprobe lever: 12 of 16 lists — measured per-seed 0.80-0.96, mean 0.896
+    val lever = recallVsBrute(ivf(12))
+    info(s"ivf nprobe=12 per-seed recall: ${lever.map(r => f"$r%.2f").mkString(", ")}")
+    lever.foreach(r => assert(r >= 0.70, s"high-recall config collapsed: $lever"))
+    assert(lever.sum / lever.size >= 0.80,
+      s"high-recall mean regressed: $lever (measured mean 0.896)")
+    assert(lever.sum >= shipped.sum, "more probed lists must not lose recall")
     // determinism of the assignment
     val a1 = Ann.ivfIndex(emb, "vec_id", "embedding", 8).select("neighbor_id", "list_id")
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet

@@ -474,7 +474,13 @@ class ChDdlReplaySpec extends SparkSpec {
     assert(parseStatement("OPTIMIZE TABLE test.mv_union_max FINAL") ==
       OptimizeTable("test.mv_union_max", finalMerge = true))
     assert(parseStatement("optimize table db.t on cluster c partition '2024-01-01'") ==
-      OptimizeTable("db.t", finalMerge = false))
+      OptimizeTable("db.t", finalMerge = false, Some("2024-01-01")))
+    assert(parseStatement("OPTIMIZE TABLE db.t PARTITION ID '202401' FINAL") ==
+      OptimizeTable("db.t", finalMerge = true, Some("202401")))
+    assert(parseStatement("OPTIMIZE TABLE db.t PARTITION 202401 FINAL") ==
+      OptimizeTable("db.t", finalMerge = true, Some("202401")))
+    intercept[RuntimeException](
+      parseStatement("OPTIMIZE TABLE db.t PARTITION FINAL"))
 
     val replay = new ChReplay(spark, ChReplay.scratchWarehouse("graft-optimize"))
     replay.executeScript(
@@ -505,6 +511,61 @@ class ChDdlReplaySpec extends SparkSpec {
     assert(parts() < before, s"optimize did not fold parts: $before -> ${parts()}")
     assert(st.finalized().collect().map(_.toSeq).toSet == mergedBefore,
       "optimize changed the merged result")
+  }
+
+  test("OPTIMIZE TABLE ... PARTITION 'v' FINAL folds ONE partition, leaves " +
+      "the rest untouched, and its crash window recovers") {
+    import ChDdl._
+    val replay = new ChReplay(spark, ChReplay.scratchWarehouse("graft-popt"))
+    replay.executeScript(
+      """create table dws.popt_local (
+        | day Date,
+        | k UInt64,
+        | v SimpleAggregateFunction(sum, UInt64)
+        |) engine=AggregatingMergeTree()
+        |PARTITION BY day ORDER BY (day, k);""".stripMargin)
+    import spark.implicits._
+    def batch = Seq(("2024-01-01", 1L, 10L), ("2024-01-01", 2L, 5L),
+      ("2024-01-02", 1L, 7L), ("2024-01-02", 3L, 2L))
+      .toDF("day_s", "k", "v")
+      .select(org.apache.spark.sql.functions.to_date(col("day_s")).as("day"),
+        col("k"), col("v"))
+    val st = replay.stateTables("dws.popt_local")
+    (1 to 3).foreach(_ => st.appendBatch(batch))
+    def parts(day: String): Int =
+      new java.io.File(st.path, s"day=$day")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+    val (b1, b2) = (parts("2024-01-01"), parts("2024-01-02"))
+    assert(b1 >= 3 && b2 >= 3, s"expected >=3 parts per partition: $b1/$b2")
+    val mergedBefore = st.finalized().collect().map(_.toSeq).toSet
+
+    replay.execute(parseStatement(
+      "OPTIMIZE TABLE dws.popt_local PARTITION '2024-01-01' FINAL"))
+    assert(parts("2024-01-01") < b1,
+      s"partition optimize did not fold: $b1 -> ${parts("2024-01-01")}")
+    // one row per key on disk in the folded partition (3 appends merged)
+    assert(parts("2024-01-01") >= 1 &&
+      spark.read.parquet(st.path + "/day=2024-01-01").count() == 2)
+    assert(parts("2024-01-02") == b2, "untouched partition was rewritten")
+    assert(st.finalized().collect().map(_.toSeq).toSet == mergedBefore,
+      "partition optimize changed the merged result")
+    // a partition value with no directory is a no-op, not an error
+    replay.execute(parseStatement(
+      "OPTIMIZE TABLE dws.popt_local PARTITION '2030-01-01' FINAL"))
+    assert(st.finalized().collect().map(_.toSeq).toSet == mergedBefore)
+
+    // crash window: partition staged away at .pcompact.<v>.old, live dir
+    // missing — a fresh open (recoverFromCompact) restores it
+    val fs = new org.apache.hadoop.fs.Path(st.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(st.path, "day=2024-01-02"),
+      new org.apache.hadoop.fs.Path(st.path + ".pcompact.2024-01-02.old")))
+    val reopened = new graft.mv.StateTable(spark, st.path, st.keys,
+      st.partitionCol, st.metrics)
+    assert(reopened.finalized().collect().map(_.toSeq).toSet == mergedBefore,
+      "recovery lost the staged partition")
+    assert(!new java.io.File(st.path + ".pcompact.2024-01-02.old").exists())
   }
 
   test("ALTER TABLE mutations: DROP PARTITION and DELETE WHERE") {

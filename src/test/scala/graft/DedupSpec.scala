@@ -225,11 +225,23 @@ class DedupSpec extends SparkSpec {
       if (exactLabels.size > 1) Some(members.keys.toSeq.sorted) else None
     }
     assert(violations.isEmpty, s"LSH clusters crossing exact clusters: $violations")
-    // and the LSH path should find a non-trivial share of the merges
+    // and the LSH path must find most of the merges — floor at measured-
+    // minus-margin (round-12 measurement at (8,5): 406/485 = 0.837; the
+    // margin absorbs a driver testdata regeneration)
     val exactMerged = exact.count { case (id, c) => id != c }
     val lshMerged = lsh.count { case (id, c) => id != c }
     assert(exactMerged > 0, "testdata should contain cosine>=0.3 clusters")
-    assert(lshMerged * 2 >= exactMerged,
-      s"LSH recall collapsed: $lshMerged of $exactMerged merges")
+    assert(lshMerged >= (exactMerged * 0.72).toInt,
+      s"LSH recall collapsed: $lshMerged of $exactMerged merges (measured 0.837)")
+    // the tables-for-recall lever (16x4 measured 477/485 = 0.984): a
+    // regression in the signature/bucket path fails here even if the
+    // shipped point slips
+    val lever = Dedup.semanticClusters(emb, "vec_id", "embedding",
+        threshold = 0.3, tables = 16, bits = 4)
+      .select("vec_id", "cluster_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val leverMerged = lever.count { case (id, c) => id != c }
+    assert(leverMerged >= (exactMerged * 0.90).toInt,
+      s"high-recall config collapsed: $leverMerged of $exactMerged (measured 0.984)")
   }
 }
