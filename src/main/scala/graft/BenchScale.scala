@@ -196,15 +196,25 @@ object BenchScale {
     }
 
     // ---- 3. connected components vs corpus size --------------------------
+    // jobs + total shuffle-write bytes via listener (the pipeline is many
+    // jobs — pair build, relax/jump rounds — so per-plan exchange metrics
+    // don't compose; the listener total is the honest whole-pipeline
+    // number): shuffle volume must scale ~linearly in docs while the round
+    // count stays O(log diameter) (jobs ~constant across decades)
     if (on("cc"))
     for (n <- pts(Seq(20000L, 200000L, 1000000L))) {
       val d = docs(spark, n)
+      val l = new CountListener
+      spark.sparkContext.addSparkListener(l)
       val sec = timed {
         val pairs = Dedup.minhashNearDups(d, "text", "doc_id", 32, 16, 0.5)
         Cluster.connectedComponents(pairs, "id_a", "id_b")
           .write.format("noop").mode("overwrite").save()
       }
-      emit(s"""{"curve":"cc_scaling","docs":$n,"sec":$sec}""")
+      l.drain()
+      spark.sparkContext.removeSparkListener(l)
+      emit(s"""{"curve":"cc_scaling","docs":$n,"sec":$sec,""" +
+        s""""jobs":${l.jobs.get},"shuffle_mb":${l.shuffleBytes.get / 1e6}}""")
     }
 
     // ---- 4. IVF + PQ build/search vs corpus size -------------------------

@@ -40,8 +40,11 @@ class FuzzParitySpec extends SparkSpec {
   // ProjectionRewrite must answer from a registered state table (plan
   // asserted) vs DuckDB's direct aggregation of the raw rows; 511-530
   // WITH ROLLUP/CUBE/TOTALS through the ChSql rewrites vs DuckDB's
-  // native ROLLUP/CUBE/GROUPING SETS super-aggregates
-  private val seeds = 1 to 530
+  // native ROLLUP/CUBE/GROUPING SETS super-aggregates; 531-560 the routed
+  // aggregate under POST-AGGREGATE machinery — HAVING over merged metrics
+  // (incl. decomposed avg), ORDER BY metric + LIMIT above the routing,
+  // and mixed UNION ALL with one branch routed and one provably raw
+  private val seeds = 1 to 560
 
   private def duckdbAvailable: Boolean =
     try Seq("python3", "-c", "import duckdb, pandas").! == 0
@@ -121,6 +124,14 @@ class FuzzParitySpec extends SparkSpec {
         assert(plan.contains("fz-proj") && !plan.contains("events.parquet"),
           s"${q.name} was not projection-routed:\n$plan")
       }
+      if (q.mixedRoute) {
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("fz-proj"),
+          s"${q.name}: the routable union branch was not routed:\n$plan")
+        assert(plan.contains("events.parquet"),
+          s"${q.name}: the unroutable union branch (unregistered aggregate) " +
+            s"was routed away from the raw scan:\n$plan")
+      }
       df.coalesce(1).write.mode("overwrite").parquet(s"$out/${q.name}")
       if (!first) oracle.append(",\n")
       first = false
@@ -130,7 +141,8 @@ class FuzzParitySpec extends SparkSpec {
     // events aggregates would silently route, diluting the raw coverage);
     // the routing band runs under its registration, deregistered in the
     // finally even if registration itself or a seed fails
-    val (routeSeeds, rawSeeds) = FuzzGen.queries(seeds).partition(_.mustRoute)
+    val (routeSeeds, rawSeeds) =
+      FuzzGen.queries(seeds).partition(q => q.mustRoute || q.mixedRoute)
     rawSeeds.foreach(runOne)
     try {
       registerProjection()

@@ -238,4 +238,34 @@ class ScaleSpec extends SparkSpec {
     assert(big == small,
       s"fixed-size partials leaked row volume into the exchange: $small -> $big")
   }
+
+  test("CC fixpoint rounds are size-independent: job count flat and shuffle " +
+      "sub-quadratic across a 10x corpus (the O(log diameter) claim, asserted)") {
+    // BenchScale.docs plants fixed-size (4-doc) near-dup groups, so the
+    // cluster DIAMETER — hence the relax/jump round count, hence the job
+    // count — must not grow with the corpus; only per-round volume may.
+    def cc(n: Long): (Int, Long) = {
+      val l = new BenchScale.CountListener
+      spark.sparkContext.addSparkListener(l)
+      try {
+        val pairs = graft.dedup.Dedup.minhashNearDups(
+          BenchScale.docs(spark, n), "text", "doc_id", 32, 16, 0.5)
+        graft.dedup.Cluster.connectedComponents(pairs, "id_a", "id_b")
+          .write.format("noop").mode("overwrite").save()
+        l.drain()
+        (l.jobs.get, l.shuffleBytes.get)
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    val (jSmall, bSmall) = cc(3000)
+    val (jBig, bBig) = cc(30000)
+    info(s"cc 3k docs: $jSmall jobs, ${bSmall / 1024} KiB shuffled; " +
+      s"30k docs: $jBig jobs, ${bBig / 1024} KiB shuffled")
+    // same diameter => same rounds; +3 absorbs AQE/commit job jitter
+    assert(jBig <= jSmall + 3,
+      s"CC round count grew with corpus size: $jSmall -> $jBig jobs")
+    // shuffle volume ~linear in docs (10x data, wide margin below the
+    // 100x a quadratic all-pairs term would show)
+    assert(bBig <= bSmall * 30,
+      s"CC shuffle grew super-linearly: $bSmall -> $bBig bytes")
+  }
 }

@@ -34,9 +34,14 @@ object FuzzGen {
   /** `mustRoute`: the harness asserts the Spark plan answered from the
     * registered projection's state table (no raw events scan) — without
     * it a silently-declining rewrite would make the band vacuous.
+    * `mixedRoute`: a UNION of a routable branch and a deliberately
+    * unroutable one — the harness asserts the plan reads BOTH the state
+    * table and the raw events scan (partial routing, no cross-branch
+    * contamination).
     */
   final case class FuzzQuery(name: String, sparkSql: String, duckSql: String,
-      viaChSql: Boolean = false, mustRoute: Boolean = false)
+      viaChSql: Boolean = false, mustRoute: Boolean = false,
+      mixedRoute: Boolean = false)
 
   sealed trait Kind
   case object IntK extends Kind
@@ -137,7 +142,8 @@ object FuzzGen {
   def queryFor(seed: Int): FuzzQuery = {
     val rnd = new Random(seed.toLong * 1000003L + 17L)
     val name = f"fz$seed%03d"
-    if (seed > 510) rollupQuery(name, rnd)
+    if (seed > 530) projectionPostAggQuery(name, rnd)
+    else if (seed > 510) rollupQuery(name, rnd)
     else if (seed > 480) projectionQuery(name, rnd)
     else if (seed > 450) groupLimitQuery(name, seed, rnd)
     else if (seed > 425) quantileQuery(name, rnd)
@@ -655,6 +661,86 @@ object FuzzGen {
       s"SELECT $gSel, ${picked.map(_._2).mkString(", ")} FROM events$where " +
         s"GROUP BY $gBy ORDER BY $ord",
       mustRoute = true)
+  }
+
+  // ---- projection routing under post-aggregate clauses (seeds past 530) --
+
+  /** The routed Aggregate with machinery ABOVE it: HAVING over merged
+    * metrics (incl. the avg decomposition and metrics HAVING-only, not
+    * selected), ORDER BY a metric + LIMIT over the routed output, and
+    * mixed UNION ALL where one branch routes and the other (an
+    * unregistered aggregate) must stay raw — each shape differentially
+    * proved value-invisible vs DuckDB on the raw rows, with the plan
+    * asserted routed (or part-routed for the unions).
+    */
+  private def projectionPostAggQuery(name: String, rnd: Random): FuzzQuery = {
+    val groupings: Seq[(String, String)] = pick(rnd, Seq(
+      Seq("event_type" -> "g_et"),
+      Seq("CAST(ts AS DATE)" -> "g_day"),
+      Seq("event_type" -> "g_et", "CAST(ts AS DATE)" -> "g_day"),
+      Seq("month(CAST(ts AS DATE))" -> "g_m", "event_type" -> "g_et")))
+    val gSel = groupings.map { case (e, a) => s"$e AS $a" }.mkString(", ")
+    val gBy = groupings.map(_._1).mkString(", ")
+    val gOrd = groupings.map(_._2).map(a => s"$a ASC NULLS FIRST").mkString(", ")
+    val where = rnd.nextInt(3) match {
+      case 0 => ""
+      case 1 => " WHERE event_type IN ('click', 'view', 'purchase')"
+      case _ => s" WHERE CAST(ts AS DATE) >= DATE '2024-01-${8 + rnd.nextInt(16)}'"
+    }
+    // (spark spelling, duckdb spelling) pairs — identical semantics and
+    // ONE shared threshold per pair; both engines compute the identical
+    // doubles (sums < 2^53), so threshold compares can never disagree at
+    // the boundary
+    val (h1, h2, h3, h4, h5) = (5 + rnd.nextInt(60), 3 + rnd.nextInt(40),
+      100 + rnd.nextInt(400), 200 + rnd.nextInt(500), 300 + rnd.nextInt(600))
+    val havingPool: Seq[(String, String)] = Seq(
+      (s"count(1) > $h1", s"COUNT(*) > $h1"),
+      (s"count(DISTINCT user_id) >= $h2", s"COUNT(DISTINCT user_id) >= $h2"),
+      (s"min(value) < $h3", s"MIN(value) < $h3"),
+      (s"max(value) > $h4", s"MAX(value) > $h4"),
+      (s"avg(user_id) > $h5.5", s"AVG(user_id) > $h5.5"))
+    rnd.nextInt(3) match {
+      case 0 => // HAVING over merged metrics (some HAVING-only)
+        val hs = rnd.shuffle(havingPool).take(1 + rnd.nextInt(2))
+        FuzzQuery(name,
+          s"SELECT $gSel, count(1) AS m_cnt, " +
+            s"CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS m_vs " +
+            s"FROM events$where GROUP BY $gBy " +
+            s"HAVING ${hs.map(_._1).mkString(" AND ")} ORDER BY $gOrd",
+          s"SELECT $gSel, CAST(COUNT(*) AS BIGINT) AS m_cnt, " +
+            s"CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS m_vs " +
+            s"FROM events$where GROUP BY $gBy " +
+            s"HAVING ${hs.map(_._2).mkString(" AND ")} ORDER BY $gOrd",
+          mustRoute = true)
+      case 1 => // ORDER BY a metric + LIMIT above the routed aggregate
+        val n = 2 + rnd.nextInt(12)
+        val dir = if (rnd.nextBoolean()) "DESC" else "ASC"
+        FuzzQuery(name,
+          s"SELECT $gSel, count(1) AS m_cnt, count(DISTINCT user_id) AS m_uv " +
+            s"FROM events$where GROUP BY $gBy " +
+            s"ORDER BY m_cnt $dir, $gOrd LIMIT $n",
+          s"SELECT $gSel, CAST(COUNT(*) AS BIGINT) AS m_cnt, " +
+            s"CAST(COUNT(DISTINCT user_id) AS BIGINT) AS m_uv " +
+            s"FROM events$where GROUP BY $gBy " +
+            s"ORDER BY m_cnt $dir, $gOrd LIMIT $n",
+          mustRoute = true)
+      case _ => // mixed union: one branch routes, the other must stay raw
+        // sum(event_id) is not a registered def — that branch CANNOT route
+        FuzzQuery(name,
+          s"SELECT event_type AS g_et, 'routed' AS src, " +
+            s"CAST(count(1) AS BIGINT) AS m FROM events$where GROUP BY event_type " +
+            s"UNION ALL " +
+            s"SELECT event_type AS g_et, 'raw' AS src, " +
+            s"CAST(sum(event_id) AS BIGINT) AS m FROM events$where GROUP BY event_type " +
+            s"ORDER BY g_et, src",
+          s"SELECT event_type AS g_et, 'routed' AS src, " +
+            s"CAST(COUNT(*) AS BIGINT) AS m FROM events$where GROUP BY event_type " +
+            s"UNION ALL " +
+            s"SELECT event_type AS g_et, 'raw' AS src, " +
+            s"CAST(SUM(event_id) AS BIGINT) AS m FROM events$where GROUP BY event_type " +
+            s"ORDER BY g_et, src",
+          mixedRoute = true)
+    }
   }
 
   // ---- WITH ROLLUP / CUBE / TOTALS (seeds past 510) ---------------------
