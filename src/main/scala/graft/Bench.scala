@@ -104,7 +104,6 @@ object Bench {
       val ts = (1 to reps).map(_ => timed(force(mk())))
       (ts.min, median(ts))
     }
-    def bench(mk: () => DataFrame, reps: Int = 4): Double = benchBoth(mk, reps)._1
 
     // JIT-heavy object-aggregate pipelines (MinHash signatures, the CC
     // label loop) showed up to 3.7× single-run spread in driver runs right
@@ -175,7 +174,7 @@ object Bench {
     // dedup-as-you-ingest. A replay on the SAME index would measure the
     // (empty) idempotent path, so min-of-N runs each rep on a FRESH index
     // with the identical history/warmup/batch split — same steady-state
-    // semantics as bench()'s min-of-4 on the read-only metrics.
+    // semantics as benchBoth's min-of-4 on the read-only metrics.
     try {
       val docs = Tables(spark, sfDir).documents
       def oneRep(): Double = {

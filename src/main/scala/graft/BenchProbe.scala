@@ -24,6 +24,21 @@ object BenchProbe {
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
 
+    if (args.contains("anchor")) {
+      // host calibration only: the Bench anchor (1e9-row two-phase sum),
+      // warm + 3 reps, against the recorded 0.72 s idle floor — run this
+      // before trusting any ad-hoc wall-clock reading on this box
+      def anchor(): Unit =
+        spark.range(1000000000L)
+          .groupBy(pmod(col("id"), lit(1000)).as("g"))
+          .agg(sum(col("id")).as("s"))
+          .write.format("noop").mode("overwrite").save()
+      anchor()
+      for (i <- 1 to 3) timed(s"anchor_$i (floor 0.72 s)") { anchor() }
+      spark.stop()
+      return
+    }
+
     val docs = Tables(spark, sfDir).documents
 
     if (args.contains("rg")) {

@@ -388,15 +388,36 @@ object ChDdl {
     val m = """(?is)^optimize\s+table\s+([\w.]+)(?:\s+on\s+cluster\s+\S+)?(.*)$""".r
       .findFirstMatchIn(s).getOrElse(sys.error(s"bad optimize: ${s.take(80)}"))
     val tail = m.group(2)
-    // `PARTITION 'v'` / `PARTITION v` / `PARTITION ID 'v'` — CH scopes the
-    // merge to one partition; the value is the partition expression's
-    // rendered form (a day string here), quoted or bare
-    val part = """(?is)\bpartition\s+(?:id\s+)?(?:'([^']*)'|([\w-]+))""".r
-      .findFirstMatchIn(tail).map(pm => Option(pm.group(1)).getOrElse(pm.group(2)))
-    part.filter(_.equalsIgnoreCase("final")).foreach(_ =>
-      sys.error(s"bad optimize (PARTITION needs a value): ${s.take(80)}"))
+    // `PARTITION 'v'` / `PARTITION v` / `PARTITION ID 'v'` / the
+    // parenthesized forms CH itself renders — `PARTITION tuple('v')` /
+    // `PARTITION ('v')` — all scope the merge to one partition. Single-
+    // value only: a multi-column partition tuple refuses loudly (this
+    // engine's state tables partition on one column).
+    val pm = """(?is)\bpartition\s+(?:id\s+)?(tuple\s*\([^)]*\)|\([^)]*\)|'[^']*'|[\w-]+)""".r
+      .findFirstMatchIn(tail)
+    val part = pm.map { x =>
+      val raw = x.group(1).trim
+      val inner =
+        if (raw.endsWith(")")) {
+          val body = raw.substring(raw.indexOf('(') + 1, raw.length - 1).trim
+          require(!body.contains(","),
+            s"bad optimize (multi-column PARTITION tuples unsupported): ${s.take(80)}")
+          body
+        } else raw
+      val quoted = inner.length >= 2 && inner.startsWith("'") && inner.endsWith("'")
+      val v = if (quoted) inner.substring(1, inner.length - 1) else inner
+      // a bare FINAL is the clause keyword, not a value — but a QUOTED
+      // 'final' is a legitimate partition value
+      require(v.nonEmpty && (quoted || !v.equalsIgnoreCase("final")),
+        s"bad optimize (PARTITION needs a value): ${s.take(80)}")
+      v
+    }
+    // FINAL detection on the tail WITHOUT the partition clause, so a value
+    // like '2024-final' can never flip the flag
+    val tailNoPart = pm.map(x =>
+      tail.substring(0, x.start) + tail.substring(x.end)).getOrElse(tail)
     OptimizeTable(m.group(1),
-      """(?is)\bfinal\b""".r.findFirstIn(tail).isDefined, part)
+      """(?is)\bfinal\b""".r.findFirstIn(tailNoPart).isDefined, part)
   }
 
   private def parseAlter(s: String): AlterTable = {

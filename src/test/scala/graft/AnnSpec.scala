@@ -53,10 +53,17 @@ class AnnSpec extends SparkSpec {
 
   test("LSH recall@10 vs brute force: floors at measured-minus-margin over " +
       "5 seeds, and the tables-for-recall lever actually pays") {
-    def lsh(t: Int, b: Int)(probes: org.apache.spark.sql.DataFrame) = {
-      val ix = Ann.lshIndex(emb, "vec_id", "embedding", tables = t, bits = b)
-      pairs(Ann.lshTopK(ix, probes, "vec_id", "embedding", 10, tables = t, bits = b))
+    // the index is probe-independent: build + persist ONCE per config (the
+    // signature pass is the heaviest job here — without the persist every
+    // seed would recompute it)
+    val built = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    def lsh(t: Int, b: Int): org.apache.spark.sql.DataFrame => Set[(Long, Long)] = {
+      val ix = Ann.lshIndex(emb, "vec_id", "embedding", tables = t, bits = b).persist()
+      built += ix
+      probes => pairs(Ann.lshTopK(ix, probes, "vec_id", "embedding", 10,
+        tables = t, bits = b))
     }
+    try {
     // shipped q42 parameters (16 tables x 6 bits): on 500 UNIFORM 64-dim
     // vectors the top-10 "neighbors" are barely closer than random, the
     // hardest possible LSH regime — measured per-seed 0.36-0.64, mean 0.504
@@ -74,6 +81,7 @@ class AnnSpec extends SparkSpec {
     assert(lever.sum / lever.size >= 0.92,
       s"high-recall mean regressed: $lever (measured mean 0.98)")
     assert(lever.sum > shipped.sum, "more tables must buy recall")
+    } finally built.foreach(_.unpersist())
   }
 
   test("exhaustive LSH (bits = 0) IS brute force: single bucket per table " +
@@ -92,10 +100,13 @@ class AnnSpec extends SparkSpec {
 
   test("IVF recall@10 vs brute force: floors at measured-minus-margin over " +
       "5 seeds, the nprobe lever pays, deterministic centroids") {
-    def ivf(np: Int)(probes: org.apache.spark.sql.DataFrame) = {
-      val ix = Ann.ivfIndex(emb, "vec_id", "embedding", nlist = 16)
-      pairs(Ann.ivfTopK(ix, emb, probes, "vec_id", "embedding", 10, nlist = 16, nprobe = np))
-    }
+    // one persisted assignment serves every (seed, nprobe) point — the
+    // centroid pick + full-corpus assignment are probe-independent
+    val ivfIx = Ann.ivfIndex(emb, "vec_id", "embedding", nlist = 16).persist()
+    def ivf(np: Int)(probes: org.apache.spark.sql.DataFrame) =
+      pairs(Ann.ivfTopK(ivfIx, emb, probes, "vec_id", "embedding", 10,
+        nlist = 16, nprobe = np))
+    try {
     // shipped q44 parameters (nprobe 8 of nlist 16): measured per-seed
     // 0.62-0.84, mean 0.732 on the uniform corpus
     val shipped = recallVsBrute(ivf(8))
@@ -116,6 +127,7 @@ class AnnSpec extends SparkSpec {
     val a2 = Ann.ivfIndex(emb, "vec_id", "embedding", 8).select("neighbor_id", "list_id")
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(a1 == a2)
+    } finally ivfIx.unpersist()
   }
 
   test("IVF index round-trips through list_id-partitioned parquet") {

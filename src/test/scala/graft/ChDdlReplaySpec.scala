@@ -479,8 +479,22 @@ class ChDdlReplaySpec extends SparkSpec {
       OptimizeTable("db.t", finalMerge = true, Some("202401")))
     assert(parseStatement("OPTIMIZE TABLE db.t PARTITION 202401 FINAL") ==
       OptimizeTable("db.t", finalMerge = true, Some("202401")))
+    // the parenthesized forms CH itself renders for partition expressions
+    assert(parseStatement("OPTIMIZE TABLE db.t PARTITION tuple('2024-01-01') FINAL") ==
+      OptimizeTable("db.t", finalMerge = true, Some("2024-01-01")))
+    assert(parseStatement("OPTIMIZE TABLE db.t PARTITION ('2024-01-01')") ==
+      OptimizeTable("db.t", finalMerge = false, Some("2024-01-01")))
+    // a quoted 'final' is a value; FINAL detection must not read into it
+    assert(parseStatement("OPTIMIZE TABLE db.t PARTITION 'final'") ==
+      OptimizeTable("db.t", finalMerge = false, Some("final")))
+    assert(parseStatement("OPTIMIZE TABLE db.t PARTITION '2024-final'") ==
+      OptimizeTable("db.t", finalMerge = false, Some("2024-final")))
     intercept[RuntimeException](
       parseStatement("OPTIMIZE TABLE db.t PARTITION FINAL"))
+    intercept[RuntimeException](
+      parseStatement("OPTIMIZE TABLE db.t PARTITION tuple('a', 'b') FINAL"))
+    intercept[RuntimeException](
+      parseStatement("OPTIMIZE TABLE db.t PARTITION () FINAL"))
 
     val replay = new ChReplay(spark, ChReplay.scratchWarehouse("graft-optimize"))
     replay.executeScript(

@@ -299,12 +299,23 @@ class ProjectionSpec extends SparkSpec {
     for (i <- 0 until 3) st.appendBatch(bigSrc.filter(col("b") === i))
     Projection.register(spark, st, bigSrc,
       Seq("x_sum" -> sum(col("x")), "x_cnt" -> count(col("x"))))
-    try {
+    // ANSI pinned EXPLICITLY (it is the Spark 4 default, but the claim —
+    // routed avg survives where an exact-Long sumMerge would ERROR — is
+    // specifically an ANSI-mode property and must not silently untest
+    // itself if the session default ever changes)
+    try withSqlConf("spark.sql.ansi.enabled" -> "true") {
       val q = bigSrc.groupBy("k").agg(avg(col("x")).as("ax")).orderBy("k")
       val p = planOf(q)
       assert(p.contains("proj-bigavg-st") && !p.contains("proj-bigavg/"),
         s"expected routing:\n$p")
       val got = q.collect().map(r0 => (r0.getString(0), r0.getDouble(1)))
+      // the premise the double merge exists for: the exact-Long sum of
+      // these states really does overflow (errors under ANSI)
+      val overflow = intercept[Exception](
+        st.read().groupBy("k").agg(sum(col("x_sum"))).collect())
+      val msgs = Iterator.iterate[Throwable](overflow)(_.getCause)
+        .takeWhile(_ != null).map(m => String.valueOf(m.getMessage)).mkString(" | ")
+      assert(msgs.toLowerCase.contains("overflow"), msgs)
       Projection.deregister(spark, st)
       val exp = bigSrc.groupBy("k").agg(avg(col("x")).as("ax")).orderBy("k")
         .collect().map(r0 => (r0.getString(0), r0.getDouble(1)))
