@@ -188,6 +188,12 @@ class PlanSpec extends SparkSpec {
     "q34_ngram_jaccard" -> 1, "q35_minhash_neardup" -> 1, "q36_simhash_neardup" -> 1,
     "q37_langid" -> 2, "q38_multimodal_features" -> 1, "q39_corpus_pipeline" -> 4,
     "q40_cosine_probe" -> 1, "q41_knn_brute" -> 2, "q42_knn_lsh" -> 3,
+    // exhaustive (bits=0) LSH: same shape as q42 — signature explode +
+    // (tbl,bucket) join + dedup + heap rerank
+    "q175_knn_lsh_full" -> 3,
+    // md5-pick cluster sample: q129's shape (assignment scan + the
+    // stratified draw's group/explode/semi-join)
+    "q176_cluster_sample_md5" -> 4,
     "q43_cosine_neardup" -> 1, "q44_knn_ivf" -> 2, "q45_cosine_neardup_exact" -> 1,
     "q46_bpeish_tokens" -> 2, "q47_freq_topk" -> 2, "q48_retention" -> 3,
     // q49: docs-side exchange + window + final sort. The cluster-map side
