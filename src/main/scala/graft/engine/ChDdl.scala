@@ -388,36 +388,66 @@ object ChDdl {
     val m = """(?is)^optimize\s+table\s+([\w.]+)(?:\s+on\s+cluster\s+\S+)?(.*)$""".r
       .findFirstMatchIn(s).getOrElse(sys.error(s"bad optimize: ${s.take(80)}"))
     val tail = m.group(2)
-    // `PARTITION 'v'` / `PARTITION v` / `PARTITION ID 'v'` / the
-    // parenthesized forms CH itself renders — `PARTITION tuple('v')` /
-    // `PARTITION ('v')` — all scope the merge to one partition. Single-
-    // value only: a multi-column partition tuple refuses loudly (this
-    // engine's state tables partition on one column).
-    val pm = """(?is)\bpartition\s+(?:id\s+)?(tuple\s*\([^)]*\)|\([^)]*\)|'[^']*'|[\w-]+)""".r
-      .findFirstMatchIn(tail)
-    val part = pm.map { x =>
-      val raw = x.group(1).trim
-      val inner =
-        if (raw.endsWith(")")) {
-          val body = raw.substring(raw.indexOf('(') + 1, raw.length - 1).trim
-          require(!body.contains(","),
-            s"bad optimize (multi-column PARTITION tuples unsupported): ${s.take(80)}")
-          body
-        } else raw
-      val quoted = inner.length >= 2 && inner.startsWith("'") && inner.endsWith("'")
-      val v = if (quoted) inner.substring(1, inner.length - 1) else inner
+    // `PARTITION 'v'` / `PARTITION v` / the parenthesized forms CH itself
+    // renders — `PARTITION tuple('v')` / `PARTITION ('v')` — all scope the
+    // merge to one partition. The parse is TOTAL from the keyword on: a
+    // PARTITION clause whose value cannot be extracted refuses loudly
+    // (never a silent fall-through to a full-table merge), multi-column
+    // tuples refuse (state tables partition on one column), and
+    // `PARTITION ID 'x'` refuses by name — CH partition IDs are an
+    // engine-internal encoding (a hash for string keys) that this store
+    // cannot resolve; pass the partition VALUE instead.
+    val km = """(?is)\bpartition\b""".r.findFirstMatchIn(tail)
+    val part = km.map { k =>
+      def bad(why: String): Nothing =
+        sys.error(s"bad optimize ($why): ${s.take(80)}")
+      var i = k.end
+      def ws(): Unit = { while (i < tail.length && tail.charAt(i).isWhitespace) i += 1 }
+      ws()
+      if (tail.regionMatches(true, i, "id", 0, 2) &&
+          (i + 2 >= tail.length || !tail.charAt(i + 2).isLetterOrDigit))
+        bad("PARTITION ID is a CH-internal encoding — pass the partition VALUE")
+      // optional tuple( / ( wrapper
+      var wrapped = false
+      if (tail.regionMatches(true, i, "tuple", 0, 5)) { i += 5; ws(); wrapped = true }
+      if (i < tail.length && tail.charAt(i) == '(') {
+        if (!wrapped) wrapped = true
+        i += 1; ws()
+      } else if (wrapped) bad("malformed PARTITION tuple")
+      val (v, quoted) =
+        if (i < tail.length && (tail.charAt(i) == '\'' || tail.charAt(i) == '"')) {
+          val q = tail.charAt(i)
+          val close = tail.indexOf(q, i + 1)
+          if (close < 0) bad("unterminated PARTITION value quote")
+          val out = tail.substring(i + 1, close)
+          i = close + 1
+          (out, true)
+        } else {
+          val start = i
+          while (i < tail.length && !tail.charAt(i).isWhitespace &&
+            tail.charAt(i) != ')' && tail.charAt(i) != ',') i += 1
+          (tail.substring(start, i), false)
+        }
+      ws()
+      if (wrapped) {
+        if (i < tail.length && tail.charAt(i) == ',')
+          bad("multi-column PARTITION tuples unsupported")
+        if (i >= tail.length || tail.charAt(i) != ')')
+          bad("malformed PARTITION tuple")
+        i += 1
+      }
       // a bare FINAL is the clause keyword, not a value — but a QUOTED
       // 'final' is a legitimate partition value
-      require(v.nonEmpty && (quoted || !v.equalsIgnoreCase("final")),
-        s"bad optimize (PARTITION needs a value): ${s.take(80)}")
-      v
+      if (v.isEmpty || (!quoted && v.equalsIgnoreCase("final")))
+        bad("PARTITION needs a value")
+      (v, k.start, i)
     }
     // FINAL detection on the tail WITHOUT the partition clause, so a value
     // like '2024-final' can never flip the flag
-    val tailNoPart = pm.map(x =>
-      tail.substring(0, x.start) + tail.substring(x.end)).getOrElse(tail)
+    val tailNoPart = part.map { case (_, a, b) =>
+      tail.substring(0, a) + tail.substring(b) }.getOrElse(tail)
     OptimizeTable(m.group(1),
-      """(?is)\bfinal\b""".r.findFirstIn(tailNoPart).isDefined, part)
+      """(?is)\bfinal\b""".r.findFirstIn(tailNoPart).isDefined, part.map(_._1))
   }
 
   private def parseAlter(s: String): AlterTable = {

@@ -150,7 +150,7 @@ object ZOrder {
       s"optimize: no partition column $pc"))
     writeZOrdered(df, tmp, cols, bits, numFiles,
       mode = "overwrite", partitionBy = partitionCols)
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fs0
     val (p, t, o) = (new Path(path), new Path(tmp), new Path(old))
     if (fs.exists(o)) fs.delete(o, true)
     if (!fs.rename(p, o)) sys.error(s"optimize: failed to stage $path -> $old")

@@ -329,14 +329,21 @@ final class StateTable(
     */
   private def recoverPartitionCompacts(): Unit = {
     val fs = fileSystem()
-    val parent = new Path(path).getParent
-    if (parent == null || !fs.exists(parent)) return
     val base = new Path(path).getName + ".pcompact."
-    fs.listStatus(parent).foreach { st =>
+    // globStatus on the table's OWN prefix, not a full parent listing — a
+    // warehouse directory with thousands of sibling tables must not make
+    // every open O(siblings). (Escaped partition values are %-encoded,
+    // never glob metacharacters.)
+    val debris =
+      try fs.globStatus(new Path(path + ".pcompact.*"))
+      catch { case _: java.io.FileNotFoundException => null }
+    if (debris == null) return
+    debris.foreach { st =>
       val nm = st.getPath.getName
       if (nm.startsWith(base) && nm.endsWith(".old")) {
-        val value = nm.substring(base.length, nm.length - ".old".length)
-        val live = new Path(path, s"$partitionCol=$value")
+        // <escaped-value> between the markers — already the exact dirname
+        val ev = nm.substring(base.length, nm.length - ".old".length)
+        val live = new Path(path, s"$partitionCol=$ev")
         if (!fs.exists(live)) {
           if (!fs.rename(st.getPath, live))
             sys.error(s"recover: failed to restore ${st.getPath} -> $live")
@@ -356,10 +363,18 @@ final class StateTable(
     */
   def compactPartition(value: String): Unit = Projection.suppress {
     val fs = fileSystem()
-    val live = new Path(path, s"$partitionCol=$value")
+    // the directory name is the HIVE-ESCAPED value (partitionBy %-encodes
+    // ':', '/', '%', ... — ExternalCatalogUtils.escapePathName, the same
+    // encoder the writer used); matching on the raw value would silently
+    // no-op for any value containing a special character. The staging
+    // sibling names reuse the escaped form so recovery maps back to the
+    // exact dirname.
+    val ev = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(value)
+    val live = new Path(path, s"$partitionCol=$ev")
     if (!fs.exists(live)) return
-    val tmp = new Path(path + s".pcompact.$value.tmp")
-    val old = new Path(path + s".pcompact.$value.old")
+    val tmp = new Path(path + s".pcompact.$ev.tmp")
+    val old = new Path(path + s".pcompact.$ev.old")
     // filter on the partition key ABOVE the merge: partitionCol is a
     // grouping key, so Catalyst pushes it below the Aggregate into the
     // scan's PartitionFilters — one partition read, not a full-table merge

@@ -475,10 +475,18 @@ class ChDdlReplaySpec extends SparkSpec {
       OptimizeTable("test.mv_union_max", finalMerge = true))
     assert(parseStatement("optimize table db.t on cluster c partition '2024-01-01'") ==
       OptimizeTable("db.t", finalMerge = false, Some("2024-01-01")))
-    assert(parseStatement("OPTIMIZE TABLE db.t PARTITION ID '202401' FINAL") ==
-      OptimizeTable("db.t", finalMerge = true, Some("202401")))
     assert(parseStatement("OPTIMIZE TABLE db.t PARTITION 202401 FINAL") ==
       OptimizeTable("db.t", finalMerge = true, Some("202401")))
+    // the value parse is TOTAL: dots survive, double quotes work
+    assert(parseStatement("OPTIMIZE TABLE db.t PARTITION 1.5 FINAL") ==
+      OptimizeTable("db.t", finalMerge = true, Some("1.5")))
+    assert(parseStatement("OPTIMIZE TABLE db.t PARTITION \"2024-01-01\" FINAL") ==
+      OptimizeTable("db.t", finalMerge = true, Some("2024-01-01")))
+    // PARTITION ID is a CH-internal encoding (a hash for string keys):
+    // refused by name, never silently treated as a value
+    val idErr = intercept[RuntimeException](
+      parseStatement("OPTIMIZE TABLE db.t PARTITION ID '202401' FINAL"))
+    assert(idErr.getMessage.contains("PARTITION ID"), idErr.getMessage)
     // the parenthesized forms CH itself renders for partition expressions
     assert(parseStatement("OPTIMIZE TABLE db.t PARTITION tuple('2024-01-01') FINAL") ==
       OptimizeTable("db.t", finalMerge = true, Some("2024-01-01")))

@@ -444,4 +444,41 @@ class StateTableSpec extends SparkSpec {
     assertSameResult(st2.finalized(Seq("day", "etype")),
       ref3.finalized(Seq("day", "etype")))
   }
+
+  test("compactPartition folds HIVE-ESCAPED partition values (':' in the " +
+      "value) instead of silently no-opping on the raw dirname") {
+    import spark.implicits._
+    val dir = tmpDir("st-escape") + "/t"
+    val st = new StateTable(spark, dir, keys = Seq("slot", "k"),
+      partitionCol = "slot",
+      metrics = Seq(SumMetric("v", col("v_src")), CountMetric("cnt")))
+    // a partition value partitionBy must %-encode in the directory name
+    val slot = "2024-01-01 00:00:00"
+    def b = Seq((slot, 1L, 10.0), (slot, 2L, 5.0), ("plain", 1L, 7.0))
+      .toDF("slot", "k", "v_src")
+    (1 to 3).foreach(_ => st.appendBatch(b))
+    val escaped = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(slot)
+    assert(escaped != slot, "fixture must exercise escaping")
+    def parts(dirName: String): Int =
+      new java.io.File(dir, dirName).listFiles().count(_.getName.endsWith(".parquet"))
+    val before = parts(s"slot=$escaped")
+    assert(before >= 3, s"expected >=3 parts, got $before")
+    val mergedBefore = st.finalized().collect().map(_.toSeq).toSet
+
+    st.compactPartition(slot) // RAW value, as a user would pass it
+    assert(parts(s"slot=$escaped") < before,
+      "escaped-value partition was not folded")
+    assert(parts("slot=plain") == 3, "untouched partition was rewritten")
+    assert(st.finalized().collect().map(_.toSeq).toSet == mergedBefore)
+    // crash-window recovery round-trips the escaped staging name too
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(dir, s"slot=$escaped"),
+      new org.apache.hadoop.fs.Path(dir + s".pcompact.$escaped.old")))
+    val reopened = new StateTable(spark, dir, st.keys, st.partitionCol, st.metrics)
+    assert(reopened.finalized().collect().map(_.toSeq).toSet == mergedBefore,
+      "recovery lost the escaped-name partition")
+  }
 }
