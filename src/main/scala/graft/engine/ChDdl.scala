@@ -102,7 +102,13 @@ object ChDdl {
       dropPartitions: Seq[String] = Nil,
       deleteWhere: Option[String] = None,
       updateSet: Seq[(String, String)] = Nil,
-      updateWhere: Option[String] = None) extends Stmt
+      updateWhere: Option[String] = None,
+      detachPartitions: Seq[String] = Nil,
+      attachPartitions: Seq[String] = Nil,
+      dropDetachedPartitions: Seq[String] = Nil) extends Stmt
+
+  /** `TRUNCATE TABLE [IF EXISTS] t` — drop the data, keep the definition. */
+  final case class TruncateTable(table: String, ifExists: Boolean) extends Stmt
 
   final case class DropStmt(sql: String) extends Stmt
   final case class Query(sql: String) extends Stmt
@@ -191,6 +197,11 @@ object ChDdl {
     else if (heads("create table")) parseCreateTable(s)
     else if (heads("alter table")) parseAlter(s)
     else if (heads("optimize table")) parseOptimize(s)
+    else if (heads("truncate table")) {
+      val tm = """(?is)^truncate\s+table\s+(if\s+exists\s+)?([\w.]+)""".r
+        .findFirstMatchIn(s).getOrElse(sys.error(s"bad truncate: ${s.take(80)}"))
+      TruncateTable(tm.group(2), tm.group(1) != null)
+    }
     else if (heads("drop")) DropStmt(s)
     else if (heads("select") || heads("with")) Query(s)
     else if (heads("insert into")) parseInsert(s)
@@ -459,8 +470,11 @@ object ChDdl {
     // ALTER subcommands separate on top-level commas, but an
     // unparenthesized MODIFY ORDER BY a, b, c does too — glue fragments
     // that don't open a new subcommand back onto the previous one
-    val subKw = """(?is)^(add|modify|drop|rename|clear|comment|delete|update)\b""".r
+    val subKw = """(?is)^(add|modify|drop|rename|clear|comment|delete|update|detach|attach)\b""".r
     val dropParts = mutable.ArrayBuffer.empty[String]
+    val detachParts = mutable.ArrayBuffer.empty[String]
+    val attachParts = mutable.ArrayBuffer.empty[String]
+    val dropDetached = mutable.ArrayBuffer.empty[String]
     var deleteWhere: Option[String] = None
     val updateSet = mutable.ArrayBuffer.empty[(String, String)]
     var updateWhere: Option[String] = None
@@ -480,10 +494,27 @@ object ChDdl {
         orderBy = Some(keyList(t, "modify\\s+order\\s+by"))
       else if (lower.startsWith("modify column"))
         mods += parseCol(t.replaceAll("(?is)^modify\\s+column\\s+(if\\s+exists\\s+)?", ""))
+      else if (lower.startsWith("drop detached partition"))
+        dropDetached += t.replaceAll("(?is)^drop\\s+detached\\s+partition\\s+", "")
+          .trim.stripPrefix("'").stripSuffix("'")
       else if (lower.startsWith("drop partition"))
         // quoted ('2021-06-05') or bare (20210605) partition value
         dropParts += t.replaceAll("(?is)^drop\\s+partition\\s+", "")
           .trim.stripPrefix("'").stripSuffix("'")
+      else if (lower.startsWith("detach partition"))
+        detachParts += t.replaceAll("(?is)^detach\\s+partition\\s+", "")
+          .trim.stripPrefix("'").stripSuffix("'")
+      else if (lower.startsWith("attach partition"))
+        attachParts += t.replaceAll("(?is)^attach\\s+partition\\s+", "")
+          .trim.stripPrefix("'").stripSuffix("'")
+      else if (lower.startsWith("detach part") || lower.startsWith("attach part"))
+        // PART-granularity moves (the rebalance tool's vocabulary): parts
+        // collapse to partitions in this engine by design (see
+        // engine/Rebalance.scala) — refuse loudly rather than silently
+        // skipping an operational statement
+        sys.error(s"ALTER ${t.take(40)}: PART-level DETACH/ATTACH is not " +
+          "supported — this engine's storage has no sub-partition parts; " +
+          "use DETACH/ATTACH PARTITION")
       else if (lower.startsWith("delete where"))
         deleteWhere = Some(t.replaceAll("(?is)^delete\\s+where\\s+", "").trim)
       else if (lower.startsWith("update ")) {
@@ -503,6 +534,7 @@ object ChDdl {
       // reference and stay unmapped
     }
     AlterTable(head.group(1), adds.toSeq, mods.toSeq, orderBy,
-      dropParts.toSeq, deleteWhere, updateSet.toSeq, updateWhere)
+      dropParts.toSeq, deleteWhere, updateSet.toSeq, updateWhere,
+      detachParts.toSeq, attachParts.toSeq, dropDetached.toSeq)
   }
 }

@@ -123,6 +123,18 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
         .findFirstMatchIn(sql).foreach { m =>
           mvs.remove(m.group(1)); mvSources.remove(m.group(1)); ()
         }
+    case TruncateTable(name, ifExists) =>
+      val t = resolve(name)
+      stateTables.get(t) match {
+        case Some(st) => st.truncate()
+        case None => bindings.get(t) match {
+          case Some(df) => bindings(t) = df.limit(0)
+          case None =>
+            if (!ifExists && !tables.contains(t))
+              sys.error(s"TRUNCATE TABLE $name: unknown table")
+          // a known ENGINE=Null table is already forever-empty — no-op
+        }
+      }
     case OptimizeTable(name, _, part) =>
       // the manual background-merge trigger (ref doc:954): fold the state
       // table's accumulated parts — a no-op for plain MergeTree bindings,
@@ -630,10 +642,16 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     }
     // mutations run against the table's storage (CH executes them as
     // background part rewrites; here they apply synchronously)
-    if (a.dropPartitions.nonEmpty || a.deleteWhere.nonEmpty || a.updateSet.nonEmpty) {
+    if (a.dropPartitions.nonEmpty || a.deleteWhere.nonEmpty || a.updateSet.nonEmpty ||
+        a.detachPartitions.nonEmpty || a.attachPartitions.nonEmpty ||
+        a.dropDetachedPartitions.nonEmpty) {
       val st = stateTables.getOrElse(name,
-        sys.error(s"$name: DROP PARTITION / DELETE / UPDATE needs table storage"))
+        sys.error(s"$name: DROP/DETACH/ATTACH PARTITION / DELETE / UPDATE " +
+          "needs table storage"))
       a.dropPartitions.foreach(st.dropPartition(_): Unit)
+      a.detachPartitions.foreach(st.detachPartition(_): Unit)
+      a.attachPartitions.foreach(st.attachPartition(_): Unit)
+      a.dropDetachedPartitions.foreach(st.dropDetachedPartition(_): Unit)
       a.deleteWhere.foreach { cond =>
         st.deleteWhere(org.apache.spark.sql.functions.expr(ChSql(cond))): Unit
       }

@@ -256,6 +256,15 @@ final class StateTable(
     if (fs.exists(oldLedger) && !fs.rename(oldLedger, new Path(path, "_ledger")))
       sys.error(s"$op: failed to move the exactly-once ledger $oldLedger -> " +
         s"$path/_ledger; superseded copy preserved at $o (recovered on next open)")
+    // detached partitions also live inside the table dir (invisible to
+    // reads, so the rewrite's merged() never saw them) — they must survive
+    // a whole-table swap exactly like the ledger, or a compact() would
+    // silently destroy every detached copy
+    val oldDetached = new Path(o, ".detached")
+    if (fs.exists(oldDetached) &&
+        !fs.rename(oldDetached, new Path(path, ".detached")))
+      sys.error(s"$op: failed to move the detached partitions $oldDetached -> " +
+        s"$path/.detached; superseded copy preserved at $o (recovered on next open)")
     fs.delete(o, true): Unit
   }
 
@@ -363,14 +372,10 @@ final class StateTable(
     */
   def compactPartition(value: String): Unit = Projection.suppress {
     val fs = fileSystem()
-    // the directory name is the HIVE-ESCAPED value (partitionBy %-encodes
-    // ':', '/', '%', ... — ExternalCatalogUtils.escapePathName, the same
-    // encoder the writer used); matching on the raw value would silently
-    // no-op for any value containing a special character. The staging
-    // sibling names reuse the escaped form so recovery maps back to the
-    // exact dirname.
-    val ev = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-      .escapePathName(value)
+    // the directory name is the HIVE-ESCAPED value (see [[escVal]]); the
+    // staging sibling names reuse the escaped form so recovery maps back
+    // to the exact dirname
+    val ev = escVal(value)
     val live = new Path(path, s"$partitionCol=$ev")
     if (!fs.exists(live)) return
     val tmp = new Path(path + s".pcompact.$ev.tmp")
@@ -404,10 +409,14 @@ final class StateTable(
       if (!fs.rename(o, p)) sys.error(s"recover: failed to restore $o -> $path")
     } else if (fs.exists(o)) {
       // swap completed but cleanup didn't — rescue the exactly-once ledger
-      // if the crash hit before its move, then the old copy is superseded
+      // and the detached partitions if the crash hit before their moves,
+      // then the old copy is superseded
       val oldLedger = new Path(o, "_ledger")
       if (fs.exists(oldLedger) && !fs.exists(new Path(path, "_ledger")))
         fs.rename(oldLedger, new Path(path, "_ledger"))
+      val oldDetached = new Path(o, ".detached")
+      if (fs.exists(oldDetached) && !fs.exists(new Path(path, ".detached")))
+        fs.rename(oldDetached, new Path(path, ".detached"))
       fs.delete(o, true)
     }
     if (fs.exists(t)) fs.delete(t, true)
@@ -423,11 +432,94 @@ final class StateTable(
     * outright (metadata-only, no rewrite; CH's partition drop). */
   def dropPartition(value: String): Boolean = {
     val fs = fileSystem()
-    val p = new Path(path, s"$partitionCol=$value")
+    val p = new Path(path, s"$partitionCol=${escVal(value)}")
     val existed = fs.exists(p)
     if (existed) fs.delete(p, true): Unit
     cachedSchema = None
     existed
+  }
+
+  /** The hive-escaped directory form of a partition value — the SAME
+    * encoding the partitionBy writer used (':' '/' '%' ... are %-encoded
+    * in dirnames); matching on the raw value would silently miss any
+    * value containing a special character.
+    */
+  private def escVal(value: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(value)
+
+  /** `ALTER TABLE ... DETACH PARTITION 'v'` — move the partition directory
+    * into the table's own hidden `.detached` area (the CH detached/ dir):
+    * reads stop seeing it immediately (dot-prefixed paths are invisible to
+    * Spark's file index), the bytes stay put for a later [[attachPartition]].
+    * Returns whether the partition existed; refuses if a detached copy of
+    * the same value already exists (CH parity — attach or drop it first).
+    */
+  def detachPartition(value: String): Boolean = {
+    val fs = fileSystem()
+    val ev = escVal(value)
+    val live = new Path(path, s"$partitionCol=$ev")
+    if (!fs.exists(live)) return false
+    val dst = new Path(path, s".detached/$partitionCol=$ev")
+    if (fs.exists(dst))
+      sys.error(s"detachPartition: a detached copy of $partitionCol=$value " +
+        "already exists — ATTACH or DROP DETACHED it first")
+    fs.mkdirs(dst.getParent)
+    if (!fs.rename(live, dst))
+      sys.error(s"detachPartition: failed to move $live -> $dst")
+    cachedSchema = None
+    true
+  }
+
+  /** `ALTER TABLE ... ATTACH PARTITION 'v'` — move a detached partition
+    * back into the live set. Returns whether a detached copy existed;
+    * refuses if the live partition already exists (attaching over live
+    * data would shadow-merge two copies — CH refuses too).
+    */
+  def attachPartition(value: String): Boolean = {
+    val fs = fileSystem()
+    val ev = escVal(value)
+    val src = new Path(path, s".detached/$partitionCol=$ev")
+    if (!fs.exists(src)) return false
+    val live = new Path(path, s"$partitionCol=$ev")
+    if (fs.exists(live))
+      sys.error(s"attachPartition: $partitionCol=$value is already live — " +
+        "DROP or DETACH it before attaching the detached copy")
+    if (!fs.rename(src, live))
+      sys.error(s"attachPartition: failed to move $src -> $live")
+    cachedSchema = None
+    true
+  }
+
+  /** `ALTER TABLE ... DROP DETACHED PARTITION 'v'` — delete a detached
+    * copy outright. Returns whether one existed. */
+  def dropDetachedPartition(value: String): Boolean = {
+    val fs = fileSystem()
+    val p = new Path(path, s".detached/$partitionCol=${escVal(value)}")
+    val existed = fs.exists(p)
+    if (existed) fs.delete(p, true): Unit
+    existed
+  }
+
+  /** `TRUNCATE TABLE` — drop every live partition AND the exactly-once
+    * ledger (a truncated table starts fresh: replaying an old batch
+    * re-ingests, which is what an empty table means; CH's TRUNCATE drops
+    * data the same way). Detached partitions survive, as in CH.
+    */
+  def truncate(): Unit = {
+    // capture the schema BEFORE the data goes: an empty table still has
+    // its definition (CH TRUNCATE keeps it), and a schema-less read of an
+    // empty directory cannot infer one
+    if (cachedSchema.isEmpty)
+      try cachedSchema = Some(read().schema)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    val fs = fileSystem()
+    val root = new Path(path)
+    if (fs.exists(root))
+      fs.listStatus(root).foreach { st =>
+        val nm = st.getPath.getName
+        if (nm.startsWith(s"$partitionCol=") || nm == "_ledger")
+          fs.delete(st.getPath, true): Unit
+      }
   }
 
   /** `ALTER TABLE ... UPDATE a = e WHERE cond` — the CH column mutation:

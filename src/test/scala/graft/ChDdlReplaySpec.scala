@@ -590,6 +590,93 @@ class ChDdlReplaySpec extends SparkSpec {
     assert(!new java.io.File(st.path + ".pcompact.2024-01-02.old").exists())
   }
 
+  test("DETACH / ATTACH PARTITION and TRUNCATE TABLE: the CH operational " +
+      "vocabulary, statement-driven, with detached data surviving OPTIMIZE") {
+    import ChDdl._
+    // parser: partition forms, PART-granularity loud refusal, truncate
+    val alt = parseStatement(
+      "ALTER TABLE db.t DETACH PARTITION '2024-01-01', ATTACH PARTITION " +
+        "'2024-01-02', DROP DETACHED PARTITION 20240103").asInstanceOf[AlterTable]
+    assert(alt.detachPartitions == Seq("2024-01-01"))
+    assert(alt.attachPartitions == Seq("2024-01-02"))
+    assert(alt.dropDetachedPartitions == Seq("20240103"))
+    val partErr = intercept[RuntimeException](parseStatement(
+      "ALTER TABLE db.t DETACH PART 'all_1_1_0'"))
+    assert(partErr.getMessage.contains("PART-level"), partErr.getMessage)
+    assert(parseStatement("TRUNCATE TABLE IF EXISTS db.t") ==
+      TruncateTable("db.t", ifExists = true))
+    assert(parseStatement("truncate table db.t") ==
+      TruncateTable("db.t", ifExists = false))
+
+    val replay = new ChReplay(spark, ChReplay.scratchWarehouse("graft-detach"))
+    replay.executeScript(
+      """create table dws.det_local (
+        | day Date,
+        | k UInt64,
+        | v SimpleAggregateFunction(sum, UInt64)
+        |) engine=AggregatingMergeTree()
+        |PARTITION BY day ORDER BY (day, k);""".stripMargin)
+    import spark.implicits._
+    def batch = Seq(("2024-01-01", 1L, 10L), ("2024-01-02", 1L, 7L))
+      .toDF("day_s", "k", "v")
+      .select(org.apache.spark.sql.functions.to_date(col("day_s")).as("day"),
+        col("k"), col("v"))
+    // def, not val: every ALTER statement rebuilds the aggregating
+    // table's StateTable instance (applyAlter → rebuildStateTable), so a
+    // captured instance goes stale after the first DETACH
+    def st = replay.stateTables("dws.det_local")
+    (1 to 2).foreach(_ => st.appendBatch(batch))
+    def days() = st.finalized().select("day").distinct()
+      .collect().map(_.getDate(0).toString).sorted.toSeq
+    assert(days() == Seq("2024-01-01", "2024-01-02"))
+
+    // DETACH: the partition vanishes from reads, bytes stay
+    replay.execute(parseStatement(
+      "ALTER TABLE dws.det_local DETACH PARTITION '2024-01-01'"))
+    assert(days() == Seq("2024-01-02"))
+    assert(new java.io.File(st.path + "/.detached/day=2024-01-01").exists())
+
+    // OPTIMIZE FINAL (a whole-table staged swap) must NOT destroy the
+    // detached copy
+    replay.execute(parseStatement("OPTIMIZE TABLE dws.det_local FINAL"))
+    assert(new java.io.File(st.path + "/.detached/day=2024-01-01").exists(),
+      "compact destroyed the detached partition")
+    assert(days() == Seq("2024-01-02"))
+
+    // ATTACH: it comes back, values intact (2 appends of 10 = 20)
+    replay.execute(parseStatement(
+      "ALTER TABLE dws.det_local ATTACH PARTITION '2024-01-01'"))
+    assert(days() == Seq("2024-01-01", "2024-01-02"))
+    assert(st.finalized().filter(col("k") === 1 &&
+      col("day") === "2024-01-01").head().getLong(2) == 20L)
+
+    // attaching over a live partition refuses; detach + drop detached works
+    replay.execute(parseStatement(
+      "ALTER TABLE dws.det_local DETACH PARTITION '2024-01-02'"))
+    st.appendBatch(batch.filter(col("day") === "2024-01-02")) // new live copy
+    val liveErr = intercept[RuntimeException](replay.execute(parseStatement(
+      "ALTER TABLE dws.det_local ATTACH PARTITION '2024-01-02'")))
+    assert(liveErr.getMessage.contains("already live"), liveErr.getMessage)
+    replay.execute(parseStatement(
+      "ALTER TABLE dws.det_local DROP DETACHED PARTITION '2024-01-02'"))
+    assert(!new java.io.File(st.path + "/.detached/day=2024-01-02").exists())
+
+    // TRUNCATE: data gone, detached survives, replaying an old batch
+    // re-ingests (fresh ledger), and the schema survives for reads
+    replay.execute(parseStatement(
+      "ALTER TABLE dws.det_local DETACH PARTITION '2024-01-01'"))
+    replay.execute(parseStatement("TRUNCATE TABLE dws.det_local"))
+    assert(st.finalized().count() == 0L)
+    assert(new java.io.File(st.path + "/.detached/day=2024-01-01").exists(),
+      "truncate destroyed the detached partition")
+    st.appendBatch(batch)
+    assert(days() == Seq("2024-01-01", "2024-01-02"))
+    // unknown table: loud without IF EXISTS, no-op with it
+    intercept[RuntimeException](replay.execute(parseStatement(
+      "TRUNCATE TABLE dws.never_created")))
+    replay.execute(parseStatement("TRUNCATE TABLE IF EXISTS dws.never_created"))
+  }
+
   test("ALTER TABLE mutations: DROP PARTITION and DELETE WHERE") {
     import ChDdl._
     // parser: both mutation forms, bare and quoted partition values
