@@ -94,18 +94,34 @@ object ChDdl {
       layout.toUpperCase.startsWith("COMPLEX_KEY") || primaryKeys.length > 1
   }
 
+  /** One partition-directory operation of an ALTER, in STATEMENT order —
+    * `ATTACH PARTITION 'a', DROP PARTITION 'a'` must attach then drop,
+    * not run grouped by kind (CH executes subcommands sequentially).
+    */
+  sealed trait PartitionOp { def value: String }
+  final case class DropPartition(value: String) extends PartitionOp
+  final case class DetachPartition(value: String) extends PartitionOp
+  final case class AttachPartition(value: String) extends PartitionOp
+  final case class DropDetachedPartition(value: String) extends PartitionOp
+
   final case class AlterTable(
       table: String,
       addColumns: Seq[Col],
       modifyColumns: Seq[Col],
       newOrderBy: Option[Seq[String]],
-      dropPartitions: Seq[String] = Nil,
+      partitionOps: Seq[PartitionOp] = Nil,
       deleteWhere: Option[String] = None,
       updateSet: Seq[(String, String)] = Nil,
-      updateWhere: Option[String] = None,
-      detachPartitions: Seq[String] = Nil,
-      attachPartitions: Seq[String] = Nil,
-      dropDetachedPartitions: Seq[String] = Nil) extends Stmt
+      updateWhere: Option[String] = None) extends Stmt {
+    def dropPartitions: Seq[String] =
+      partitionOps.collect { case DropPartition(v) => v }
+    def detachPartitions: Seq[String] =
+      partitionOps.collect { case DetachPartition(v) => v }
+    def attachPartitions: Seq[String] =
+      partitionOps.collect { case AttachPartition(v) => v }
+    def dropDetachedPartitions: Seq[String] =
+      partitionOps.collect { case DropDetachedPartition(v) => v }
+  }
 
   /** `TRUNCATE TABLE [IF EXISTS] t` — drop the data, keep the definition. */
   final case class TruncateTable(table: String, ifExists: Boolean) extends Stmt
@@ -410,48 +426,12 @@ object ChDdl {
     // cannot resolve; pass the partition VALUE instead.
     val km = """(?is)\bpartition\b""".r.findFirstMatchIn(tail)
     val part = km.map { k =>
-      def bad(why: String): Nothing =
-        sys.error(s"bad optimize ($why): ${s.take(80)}")
-      var i = k.end
-      def ws(): Unit = { while (i < tail.length && tail.charAt(i).isWhitespace) i += 1 }
-      ws()
-      if (tail.regionMatches(true, i, "id", 0, 2) &&
-          (i + 2 >= tail.length || !tail.charAt(i + 2).isLetterOrDigit))
-        bad("PARTITION ID is a CH-internal encoding — pass the partition VALUE")
-      // optional tuple( / ( wrapper
-      var wrapped = false
-      if (tail.regionMatches(true, i, "tuple", 0, 5)) { i += 5; ws(); wrapped = true }
-      if (i < tail.length && tail.charAt(i) == '(') {
-        if (!wrapped) wrapped = true
-        i += 1; ws()
-      } else if (wrapped) bad("malformed PARTITION tuple")
-      val (v, quoted) =
-        if (i < tail.length && (tail.charAt(i) == '\'' || tail.charAt(i) == '"')) {
-          val q = tail.charAt(i)
-          val close = tail.indexOf(q, i + 1)
-          if (close < 0) bad("unterminated PARTITION value quote")
-          val out = tail.substring(i + 1, close)
-          i = close + 1
-          (out, true)
-        } else {
-          val start = i
-          while (i < tail.length && !tail.charAt(i).isWhitespace &&
-            tail.charAt(i) != ')' && tail.charAt(i) != ',') i += 1
-          (tail.substring(start, i), false)
-        }
-      ws()
-      if (wrapped) {
-        if (i < tail.length && tail.charAt(i) == ',')
-          bad("multi-column PARTITION tuples unsupported")
-        if (i >= tail.length || tail.charAt(i) != ')')
-          bad("malformed PARTITION tuple")
-        i += 1
-      }
+      val (v, quoted, end) = scanPartitionValue(tail, k.end, s)
       // a bare FINAL is the clause keyword, not a value — but a QUOTED
       // 'final' is a legitimate partition value
-      if (v.isEmpty || (!quoted && v.equalsIgnoreCase("final")))
-        bad("PARTITION needs a value")
-      (v, k.start, i)
+      if (!quoted && v.equalsIgnoreCase("final"))
+        sys.error(s"bad PARTITION (needs a value): ${s.take(80)}")
+      (v, k.start, end)
     }
     // FINAL detection on the tail WITHOUT the partition clause, so a value
     // like '2024-final' can never flip the flag
@@ -459,6 +439,81 @@ object ChDdl {
       tail.substring(0, a) + tail.substring(b) }.getOrElse(tail)
     OptimizeTable(m.group(1),
       """(?is)\bfinal\b""".r.findFirstIn(tailNoPart).isDefined, part.map(_._1))
+  }
+
+  /** TOTAL parse of a PARTITION value at `from` in `text`: quoted (' or "),
+    * the parenthesized forms CH itself renders (`tuple('v')` / `('v')`),
+    * or a bare token. Everything this store cannot honor refuses loudly —
+    * `ID 'x'` (an engine-internal encoding, a hash for string keys),
+    * `ALL`, empty and multi-column tuples, unterminated quotes — never a
+    * silent fall-through. Returns (value, wasQuoted, indexAfter).
+    */
+  private def scanPartitionValue(text: String, from: Int,
+      stmt: String): (String, Boolean, Int) = {
+    def bad(why: String): Nothing = sys.error(s"bad PARTITION ($why): ${stmt.take(80)}")
+    def isIdent(c: Char): Boolean = c == '_' || c.isLetterOrDigit
+    var i = from
+    def ws(): Unit = { while (i < text.length && text.charAt(i).isWhitespace) i += 1 }
+    def nextNonWs(j: Int): Char = {
+      var x = j; while (x < text.length && text.charAt(x).isWhitespace) x += 1
+      if (x < text.length) text.charAt(x) else ' '
+    }
+    def word(w: String): Boolean =
+      text.regionMatches(true, i, w, 0, w.length) &&
+        (i + w.length >= text.length || !isIdent(text.charAt(i + w.length)))
+    ws()
+    // `ID 'x'` — CH always quotes the id, so the refusal only fires on the
+    // real form (a bare value like id_202401 or id-2024 parses as a value)
+    if (word("id") && (nextNonWs(i + 2) == '\'' || nextNonWs(i + 2) == '"'))
+      bad("PARTITION ID is a CH-internal encoding — pass the partition VALUE")
+    if (word("all"))
+      bad("PARTITION ALL is unsupported — name the partition value")
+    // optional tuple( / ( wrapper; `tuple` only counts when '(' follows
+    // (a bare value like tuple5 is a value, not a wrapper)
+    var wrapped = false
+    if (word("tuple") && nextNonWs(i + 5) == '(') { i += 5; ws(); wrapped = true }
+    if (i < text.length && text.charAt(i) == '(') {
+      wrapped = true
+      i += 1; ws()
+    } else if (wrapped) bad("malformed tuple")
+    val (v, quoted) =
+      if (i < text.length && (text.charAt(i) == '\'' || text.charAt(i) == '"')) {
+        val q = text.charAt(i)
+        val close = text.indexOf(q, i + 1)
+        if (close < 0) bad("unterminated value quote")
+        val out = text.substring(i + 1, close)
+        i = close + 1
+        (out, true)
+      } else {
+        val start = i
+        while (i < text.length && !text.charAt(i).isWhitespace &&
+          text.charAt(i) != ')' && text.charAt(i) != ',') i += 1
+        (text.substring(start, i), false)
+      }
+    ws()
+    if (wrapped) {
+      if (i < text.length && text.charAt(i) == ',')
+        bad("multi-column tuples unsupported")
+      if (i >= text.length || text.charAt(i) != ')')
+        bad("malformed tuple")
+      i += 1
+    }
+    if (v.isEmpty) bad("needs a value")
+    (v, quoted, i)
+  }
+
+  /** [[scanPartitionValue]] for an ALTER subcommand fragment: the value
+    * must consume the WHOLE fragment — trailing clauses (`FROM t`, CH's
+    * cross-table partition copy) refuse loudly instead of being swallowed
+    * into a garbage value that silently no-ops downstream.
+    */
+  private def wholePartitionValue(fragment: String, stmt: String): String = {
+    val (v, _, end) = scanPartitionValue(fragment, 0, stmt)
+    val rest = fragment.substring(end).trim
+    if (rest.nonEmpty)
+      sys.error(s"bad PARTITION (trailing '${rest.take(20)}' unsupported — " +
+        s"ATTACH/REPLACE ... FROM and friends are not implemented): ${stmt.take(80)}")
+    v
   }
 
   private def parseAlter(s: String): AlterTable = {
@@ -471,10 +526,7 @@ object ChDdl {
     // unparenthesized MODIFY ORDER BY a, b, c does too — glue fragments
     // that don't open a new subcommand back onto the previous one
     val subKw = """(?is)^(add|modify|drop|rename|clear|comment|delete|update|detach|attach)\b""".r
-    val dropParts = mutable.ArrayBuffer.empty[String]
-    val detachParts = mutable.ArrayBuffer.empty[String]
-    val attachParts = mutable.ArrayBuffer.empty[String]
-    val dropDetached = mutable.ArrayBuffer.empty[String]
+    val partOps = mutable.ArrayBuffer.empty[PartitionOp]
     var deleteWhere: Option[String] = None
     val updateSet = mutable.ArrayBuffer.empty[(String, String)]
     var updateWhere: Option[String] = None
@@ -495,18 +547,20 @@ object ChDdl {
       else if (lower.startsWith("modify column"))
         mods += parseCol(t.replaceAll("(?is)^modify\\s+column\\s+(if\\s+exists\\s+)?", ""))
       else if (lower.startsWith("drop detached partition"))
-        dropDetached += t.replaceAll("(?is)^drop\\s+detached\\s+partition\\s+", "")
-          .trim.stripPrefix("'").stripSuffix("'")
+        partOps += DropDetachedPartition(wholePartitionValue(
+          t.replaceAll("(?is)^drop\\s+detached\\s+partition\\s+", ""), s))
       else if (lower.startsWith("drop partition"))
-        // quoted ('2021-06-05') or bare (20210605) partition value
-        dropParts += t.replaceAll("(?is)^drop\\s+partition\\s+", "")
-          .trim.stripPrefix("'").stripSuffix("'")
+        // the same TOTAL value parse as OPTIMIZE: quoted, bare, tuple('v')
+        // — a form the scanner can't honor refuses loudly, never a
+        // garbage value that silently no-ops downstream
+        partOps += DropPartition(wholePartitionValue(
+          t.replaceAll("(?is)^drop\\s+partition\\s+", ""), s))
       else if (lower.startsWith("detach partition"))
-        detachParts += t.replaceAll("(?is)^detach\\s+partition\\s+", "")
-          .trim.stripPrefix("'").stripSuffix("'")
+        partOps += DetachPartition(wholePartitionValue(
+          t.replaceAll("(?is)^detach\\s+partition\\s+", ""), s))
       else if (lower.startsWith("attach partition"))
-        attachParts += t.replaceAll("(?is)^attach\\s+partition\\s+", "")
-          .trim.stripPrefix("'").stripSuffix("'")
+        partOps += AttachPartition(wholePartitionValue(
+          t.replaceAll("(?is)^attach\\s+partition\\s+", ""), s))
       else if (lower.startsWith("detach part") || lower.startsWith("attach part"))
         // PART-granularity moves (the rebalance tool's vocabulary): parts
         // collapse to partitions in this engine by design (see
@@ -534,7 +588,6 @@ object ChDdl {
       // reference and stay unmapped
     }
     AlterTable(head.group(1), adds.toSeq, mods.toSeq, orderBy,
-      dropParts.toSeq, deleteWhere, updateSet.toSeq, updateWhere,
-      detachParts.toSeq, attachParts.toSeq, dropDetached.toSeq)
+      partOps.toSeq, deleteWhere, updateSet.toSeq, updateWhere)
   }
 }

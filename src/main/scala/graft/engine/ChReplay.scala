@@ -130,9 +130,34 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
         case None => bindings.get(t) match {
           case Some(df) => bindings(t) = df.limit(0)
           case None =>
-            if (!ifExists && !tables.contains(t))
+            // a declared table whose storage is a SAME-NAMED CATALOG
+            // object (the documented bind() alternative). Bindings only
+            // feed the rewrite helpers — plain SELECTs resolve through
+            // the catalog — so the truncate must empty the CATALOG
+            // object too, or every row stays visible: a VIEW is replaced
+            // with an empty same-schema view (the ENGINE=Null trick), a
+            // temp view re-registered empty, and an externally-registered
+            // TABLE refuses loudly (deleting a user's files behind a
+            // registration is not this engine's call). ENGINE=Null is
+            // already forever-empty; declared-but-unbound is empty too.
+            val declared = tables.get(t)
+            if (declared.exists(ct => !ct.engine.equalsIgnoreCase("Null")) &&
+                spark.catalog.tableExists(t)) {
+              val schema = spark.table(t).schema
+              bindings(t) = spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+              val tt = spark.catalog.getTable(t)
+              val emptySel = schema.map(f =>
+                s"CAST(NULL AS ${f.dataType.sql}) AS ${f.name}").mkString(", ")
+              if (tt.tableType == "VIEW")
+                spark.sql(s"CREATE OR REPLACE VIEW $t AS SELECT $emptySel WHERE false")
+              else if (tt.tableType == "TEMPORARY")
+                bindings(t).createOrReplaceTempView(t)
+              else
+                sys.error(s"TRUNCATE TABLE $name: storage is an externally-" +
+                  s"registered ${tt.tableType} — truncate its files directly")
+            } else if (!ifExists && declared.isEmpty)
               sys.error(s"TRUNCATE TABLE $name: unknown table")
-          // a known ENGINE=Null table is already forever-empty — no-op
         }
       }
     case OptimizeTable(name, _, part) =>
@@ -642,16 +667,19 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     }
     // mutations run against the table's storage (CH executes them as
     // background part rewrites; here they apply synchronously)
-    if (a.dropPartitions.nonEmpty || a.deleteWhere.nonEmpty || a.updateSet.nonEmpty ||
-        a.detachPartitions.nonEmpty || a.attachPartitions.nonEmpty ||
-        a.dropDetachedPartitions.nonEmpty) {
+    if (a.partitionOps.nonEmpty || a.deleteWhere.nonEmpty || a.updateSet.nonEmpty) {
       val st = stateTables.getOrElse(name,
         sys.error(s"$name: DROP/DETACH/ATTACH PARTITION / DELETE / UPDATE " +
           "needs table storage"))
-      a.dropPartitions.foreach(st.dropPartition(_): Unit)
-      a.detachPartitions.foreach(st.detachPartition(_): Unit)
-      a.attachPartitions.foreach(st.attachPartition(_): Unit)
-      a.dropDetachedPartitions.foreach(st.dropDetachedPartition(_): Unit)
+      // in STATEMENT order (CH runs subcommands sequentially): `ATTACH
+      // PARTITION 'a', DROP PARTITION 'a'` must attach then drop — grouped
+      // execution would leave 'a' live
+      a.partitionOps.foreach {
+        case ChDdl.DropPartition(v) => st.dropPartition(v): Unit
+        case ChDdl.DetachPartition(v) => st.detachPartition(v): Unit
+        case ChDdl.AttachPartition(v) => st.attachPartition(v): Unit
+        case ChDdl.DropDetachedPartition(v) => st.dropDetachedPartition(v): Unit
+      }
       a.deleteWhere.foreach { cond =>
         st.deleteWhere(org.apache.spark.sql.functions.expr(ChSql(cond))): Unit
       }

@@ -121,12 +121,12 @@ object ZOrder {
     recover(spark, path)
     val tmp = path + ".zorder.tmp"
     val old = path + ".zorder.old"
-    val fs0 = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     // the ACTUAL directory-partition levels, discovered recursively — a
     // level partitionCols does not cover would be read FLATTENED (its dirs
     // baked into data columns, with inference off: as strings) and the
     // layout silently rewritten; refuse on any mismatch instead
-    val levels = partitionLevels(fs0, new Path(path))
+    val levels = partitionLevels(fs, new Path(path))
     require(partitionCols == levels,
       s"optimize: the table's directory-partition levels are " +
         s"[${levels.mkString(", ")}] but partitionCols is " +
@@ -150,7 +150,6 @@ object ZOrder {
       s"optimize: no partition column $pc"))
     writeZOrdered(df, tmp, cols, bits, numFiles,
       mode = "overwrite", partitionBy = partitionCols)
-    val fs = fs0
     val (p, t, o) = (new Path(path), new Path(tmp), new Path(old))
     if (fs.exists(o)) fs.delete(o, true)
     if (!fs.rename(p, o)) sys.error(s"optimize: failed to stage $path -> $old")

@@ -342,10 +342,17 @@ final class StateTable(
     // globStatus on the table's OWN prefix, not a full parent listing — a
     // warehouse directory with thousands of sibling tables must not make
     // every open O(siblings). (Escaped partition values are %-encoded,
-    // never glob metacharacters.)
+    // never glob metacharacters.) A TABLE PATH containing glob
+    // metacharacters would misparse the pattern (or throw) — fall back to
+    // the literal parent listing for those.
     val debris =
-      try fs.globStatus(new Path(path + ".pcompact.*"))
-      catch { case _: java.io.FileNotFoundException => null }
+      if ("*?[]{}\\^".exists(path.contains(_))) {
+        val parent = new Path(path).getParent
+        if (parent == null || !fs.exists(parent)) return
+        fs.listStatus(parent).filter(_.getPath.getName.startsWith(base))
+      } else
+        try fs.globStatus(new Path(path + ".pcompact.*"))
+        catch { case _: java.io.FileNotFoundException => null }
     if (debris == null) return
     debris.foreach { st =>
       val nm = st.getPath.getName
@@ -431,13 +438,24 @@ final class StateTable(
   /** `ALTER TABLE ... DROP PARTITION 'v'` — drop one partition directory
     * outright (metadata-only, no rewrite; CH's partition drop). */
   def dropPartition(value: String): Boolean = {
+    captureSchema()
     val fs = fileSystem()
     val p = new Path(path, s"$partitionCol=${escVal(value)}")
     val existed = fs.exists(p)
     if (existed) fs.delete(p, true): Unit
-    cachedSchema = None
     existed
   }
+
+  /** Remember the table's schema before an operation that can remove the
+    * LAST live partition: an empty table must still read (as empty, with
+    * its definition — CH semantics), and an empty directory cannot infer
+    * one. Removing rows never changes the schema, so the captured value
+    * stays valid; the next append refreshes it anyway.
+    */
+  private def captureSchema(): Unit =
+    if (cachedSchema.isEmpty)
+      try cachedSchema = Some(read().schema)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
 
   /** The hive-escaped directory form of a partition value — the SAME
     * encoding the partitionBy writer used (':' '/' '%' ... are %-encoded
@@ -455,6 +473,7 @@ final class StateTable(
     * the same value already exists (CH parity — attach or drop it first).
     */
   def detachPartition(value: String): Boolean = {
+    captureSchema()
     val fs = fileSystem()
     val ev = escVal(value)
     val live = new Path(path, s"$partitionCol=$ev")
@@ -466,7 +485,6 @@ final class StateTable(
     fs.mkdirs(dst.getParent)
     if (!fs.rename(live, dst))
       sys.error(s"detachPartition: failed to move $live -> $dst")
-    cachedSchema = None
     true
   }
 
@@ -506,12 +524,7 @@ final class StateTable(
     * data the same way). Detached partitions survive, as in CH.
     */
   def truncate(): Unit = {
-    // capture the schema BEFORE the data goes: an empty table still has
-    // its definition (CH TRUNCATE keeps it), and a schema-less read of an
-    // empty directory cannot infer one
-    if (cachedSchema.isEmpty)
-      try cachedSchema = Some(read().schema)
-      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    captureSchema()
     val fs = fileSystem()
     val root = new Path(path)
     if (fs.exists(root))
@@ -590,6 +603,7 @@ final class StateTable(
     * overload above.
     */
   def expire(days: Int, hours: Int, now: java.time.LocalDateTime): Seq[String] = {
+    captureSchema() // TTL can expire the LAST partition; empty must still read
     val fs = FileSystem.get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val root = new Path(path)
     if (!fs.exists(root)) return Nil

@@ -483,10 +483,17 @@ class ChDdlReplaySpec extends SparkSpec {
     assert(parseStatement("OPTIMIZE TABLE db.t PARTITION \"2024-01-01\" FINAL") ==
       OptimizeTable("db.t", finalMerge = true, Some("2024-01-01")))
     // PARTITION ID is a CH-internal encoding (a hash for string keys):
-    // refused by name, never silently treated as a value
+    // refused by name, never silently treated as a value — but only the
+    // real quoted form; a bare value merely STARTING with id/tuple parses
     val idErr = intercept[RuntimeException](
       parseStatement("OPTIMIZE TABLE db.t PARTITION ID '202401' FINAL"))
     assert(idErr.getMessage.contains("PARTITION ID"), idErr.getMessage)
+    assert(parseStatement("OPTIMIZE TABLE db.t PARTITION id_202401 FINAL") ==
+      OptimizeTable("db.t", finalMerge = true, Some("id_202401")))
+    assert(parseStatement("OPTIMIZE TABLE db.t PARTITION id-2024 FINAL") ==
+      OptimizeTable("db.t", finalMerge = true, Some("id-2024")))
+    assert(parseStatement("OPTIMIZE TABLE db.t PARTITION tuple5 FINAL") ==
+      OptimizeTable("db.t", finalMerge = true, Some("tuple5")))
     // the parenthesized forms CH itself renders for partition expressions
     assert(parseStatement("OPTIMIZE TABLE db.t PARTITION tuple('2024-01-01') FINAL") ==
       OptimizeTable("db.t", finalMerge = true, Some("2024-01-01")))
@@ -603,6 +610,20 @@ class ChDdlReplaySpec extends SparkSpec {
     val partErr = intercept[RuntimeException](parseStatement(
       "ALTER TABLE db.t DETACH PART 'all_1_1_0'"))
     assert(partErr.getMessage.contains("PART-level"), partErr.getMessage)
+    // subcommands keep STATEMENT order (CH runs them sequentially)
+    assert(parseStatement("ALTER TABLE db.t ATTACH PARTITION 'a', DROP PARTITION 'a'")
+      .asInstanceOf[AlterTable].partitionOps ==
+      Seq(AttachPartition("a"), DropPartition("a")))
+    // the same TOTAL value parse as OPTIMIZE: tuple form works, ID /
+    // ALL / trailing-FROM refuse loudly instead of silently no-opping
+    assert(parseStatement("ALTER TABLE db.t DROP PARTITION tuple('2024-01-01')")
+      .asInstanceOf[AlterTable].dropPartitions == Seq("2024-01-01"))
+    intercept[RuntimeException](parseStatement(
+      "ALTER TABLE db.t ATTACH PARTITION '2024-01-01' FROM db.src"))
+    intercept[RuntimeException](parseStatement(
+      "ALTER TABLE db.t DETACH PARTITION ID 'abc123'"))
+    intercept[RuntimeException](parseStatement(
+      "ALTER TABLE db.t DROP PARTITION ALL"))
     assert(parseStatement("TRUNCATE TABLE IF EXISTS db.t") ==
       TruncateTable("db.t", ifExists = true))
     assert(parseStatement("truncate table db.t") ==
@@ -675,6 +696,30 @@ class ChDdlReplaySpec extends SparkSpec {
     intercept[RuntimeException](replay.execute(parseStatement(
       "TRUNCATE TABLE dws.never_created")))
     replay.execute(parseStatement("TRUNCATE TABLE IF EXISTS dws.never_created"))
+
+    // the truncate section left a detached '2024-01-01' AND re-appended a
+    // live one — clear the stale detached copy first
+    replay.execute(parseStatement(
+      "ALTER TABLE dws.det_local DROP DETACHED PARTITION '2024-01-01'"))
+    // ordered subcommands: 'x' exists only DETACHED; attach-then-drop
+    // must end with it neither live nor detached (grouped-by-kind
+    // execution would leave it live)
+    replay.execute(parseStatement(
+      "ALTER TABLE dws.det_local DETACH PARTITION '2024-01-01'"))
+    replay.execute(parseStatement(
+      "ALTER TABLE dws.det_local ATTACH PARTITION '2024-01-01', " +
+        "DROP PARTITION '2024-01-01'"))
+    assert(days() == Seq("2024-01-02"))
+    assert(!new java.io.File(st.path + "/.detached/day=2024-01-01").exists())
+
+    // detaching the LAST live partition leaves an empty but READABLE
+    // table (the captured schema survives, CH returns empty)
+    replay.execute(parseStatement(
+      "ALTER TABLE dws.det_local DETACH PARTITION '2024-01-02'"))
+    assert(st.finalized().count() == 0L)
+    replay.execute(parseStatement(
+      "ALTER TABLE dws.det_local ATTACH PARTITION '2024-01-02'"))
+    assert(days() == Seq("2024-01-02"))
   }
 
   test("ALTER TABLE mutations: DROP PARTITION and DELETE WHERE") {
