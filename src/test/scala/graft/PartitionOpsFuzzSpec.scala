@@ -50,9 +50,12 @@ class PartitionOpsFuzzSpec extends SparkSpec {
               case 0L => Map.empty[String, (Long, Long)]
               case n => sys.error(s"expected empty, got $n rows")
             } catch {
-              // a table that never saw an append has no schema to read —
-              // the model allows that only when nothing was ever written
-              case e: org.apache.spark.sql.AnalysisException
+              // a table that never saw an append has no schema (or even a
+              // directory) to read — the model allows that only when
+              // nothing was ever written
+              case _: org.apache.spark.sql.AnalysisException
+                if live.isEmpty => Map.empty[String, (Long, Long)]
+              case _: java.io.FileNotFoundException
                 if live.isEmpty => Map.empty[String, (Long, Long)]
             }
           else
@@ -124,6 +127,100 @@ class PartitionOpsFuzzSpec extends SparkSpec {
         det.remove(v): Unit
       }
       check("final-reattach")
+    }
+  }
+
+  test("the same model through the STATEMENT layer: parsed DDL sequences " +
+      "(incl. multi-subcommand ALTERs, which must run in statement order)") {
+    import spark.implicits._
+    import graft.engine.{ChDdl, ChReplay}
+    for (seed <- 1 to 10) {
+      val rnd = new Random(seed * 104729L + 7L)
+      val replay = new ChReplay(spark, ChReplay.scratchWarehouse(s"graft-popsql$seed"))
+      val tbl = s"dws.pops_$seed"
+      replay.executeScript(
+        s"""create table $tbl (
+           | slot String,
+           | k UInt64,
+           | v SimpleAggregateFunction(sum, UInt64)
+           |) engine=AggregatingMergeTree()
+           |PARTITION BY slot ORDER BY (slot, k);""".stripMargin)
+      def st = replay.stateTables(tbl)
+      def run(sql: String): Unit = replay.execute(ChDdl.parseStatement(sql))
+
+      val live = scala.collection.mutable.Map.empty[String, Long]
+      val det = scala.collection.mutable.Map.empty[String, Long]
+      def check(opName: String): Unit = {
+        val got =
+          if (live.isEmpty) {
+            try assert(st.finalized().count() == 0L,
+              s"seed $seed after $opName: expected empty")
+            catch {
+              case _: org.apache.spark.sql.AnalysisException => ()
+              case _: java.io.FileNotFoundException => ()
+            }
+            Map.empty[String, Long]
+          } else
+            st.finalized().groupBy("slot").agg(sum(col("v")).as("s"))
+              .collect()
+              // date-like slots read back as DATE via partition inference
+              .map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+        assert(got == live.toMap,
+          s"seed $seed after $opName: table=$got model=$live detached=$det")
+      }
+
+      // one model transition for a single partition op; returns whether the
+      // real statement is expected to REFUSE (caller intercepts)
+      def apply1(op: Int, v: String): (String, Boolean) = op match {
+        case 0 =>
+          val refusing = live.contains(v) && det.contains(v)
+          if (!refusing) live.remove(v).foreach(det(v) = _)
+          (s"DETACH PARTITION '$v'", refusing)
+        case 1 =>
+          val refusing = det.contains(v) && live.contains(v)
+          if (!refusing) det.remove(v).foreach(live(v) = _)
+          (s"ATTACH PARTITION '$v'", refusing)
+        case 2 => live.remove(v); (s"DROP PARTITION '$v'", false)
+        case _ => det.remove(v); (s"DROP DETACHED PARTITION '$v'", false)
+      }
+
+      for (step <- 0 until 12) {
+        val v = values(rnd.nextInt(values.length))
+        val opName = s"step$step($v)"
+        rnd.nextInt(7) match {
+          case 0 | 1 => // ingest (the replay path: bind + INSERT SELECT
+            // would need a source table; appendBatch is the MV ingest path)
+            val base = rnd.nextInt(50).toLong
+            st.appendBatch((1 to 2).map(i => (v, i.toLong, base + i))
+              .toDF("slot", "k", "v"))
+            live(v) = live.getOrElse(v, 0L) + 2 * base + 3
+          case 2 =>
+            if (live.contains(v)) run(s"OPTIMIZE TABLE $tbl PARTITION '$v' FINAL")
+            else if (live.nonEmpty) run(s"OPTIMIZE TABLE $tbl FINAL")
+          case 3 =>
+            if (live.nonEmpty || det.nonEmpty || rnd.nextBoolean()) {
+              run(s"TRUNCATE TABLE $tbl"); live.clear()
+            }
+          case 4 => // ONE multi-subcommand ALTER: two ops, STATEMENT order
+            val v2 = values(rnd.nextInt(values.length))
+            val (s1, r1) = apply1(rnd.nextInt(4), v)
+            if (r1) // a refusing first subcommand aborts the statement
+              intercept[RuntimeException](run(s"ALTER TABLE $tbl $s1"))
+            else {
+              val (s2, r2) = apply1(rnd.nextInt(4), v2)
+              if (r2) {
+                // first op applies, second refuses mid-statement — the
+                // model keeps the first op's effect (sequential execution)
+                intercept[RuntimeException](run(s"ALTER TABLE $tbl $s1, $s2"))
+              } else run(s"ALTER TABLE $tbl $s1, $s2")
+            }
+          case _ => // single partition op
+            val (s1, refusing) = apply1(rnd.nextInt(4), v)
+            if (refusing) intercept[RuntimeException](run(s"ALTER TABLE $tbl $s1"))
+            else run(s"ALTER TABLE $tbl $s1")
+        }
+        check(opName)
+      }
     }
   }
 }
