@@ -525,7 +525,7 @@ object ChDdl {
     // ALTER subcommands separate on top-level commas, but an
     // unparenthesized MODIFY ORDER BY a, b, c does too — glue fragments
     // that don't open a new subcommand back onto the previous one
-    val subKw = """(?is)^(add|modify|drop|rename|clear|comment|delete|update|detach|attach)\b""".r
+    val subKw = """(?is)^(add|modify|drop|rename|clear|comment|delete|update|detach|attach|replace|move|fetch|freeze)\b""".r
     val partOps = mutable.ArrayBuffer.empty[PartitionOp]
     var deleteWhere: Option[String] = None
     val updateSet = mutable.ArrayBuffer.empty[(String, String)]
@@ -561,14 +561,26 @@ object ChDdl {
       else if (lower.startsWith("attach partition"))
         partOps += AttachPartition(wholePartitionValue(
           t.replaceAll("(?is)^attach\\s+partition\\s+", ""), s))
-      else if (lower.startsWith("detach part") || lower.startsWith("attach part"))
-        // PART-granularity moves (the rebalance tool's vocabulary): parts
+      else if (lower.startsWith("replace partition") ||
+          lower.startsWith("move partition") ||
+          lower.startsWith("fetch partition"))
+        // cross-table / cross-node partition movement: not implemented —
+        // a silent skip would leave an operator believing data moved
+        sys.error(s"ALTER ${t.take(40)}: REPLACE/MOVE/FETCH PARTITION are " +
+          "not supported — use DETACH/ATTACH PARTITION on the one table, " +
+          "or rewrite through a query")
+      else if (lower.startsWith("detach part") || lower.startsWith("attach part") ||
+          lower.startsWith("drop part") || lower.startsWith("drop detached part") ||
+          lower.startsWith("fetch part") || lower.startsWith("freeze"))
+        // PART-granularity ops (the rebalance tool's vocabulary): parts
         // collapse to partitions in this engine by design (see
         // engine/Rebalance.scala) — refuse loudly rather than silently
-        // skipping an operational statement
-        sys.error(s"ALTER ${t.take(40)}: PART-level DETACH/ATTACH is not " +
+        // skipping an operational statement. (The PARTITION spellings are
+        // matched by the branches above, so only true PART forms and
+        // FREEZE land here.)
+        sys.error(s"ALTER ${t.take(40)}: PART-level operations are not " +
           "supported — this engine's storage has no sub-partition parts; " +
-          "use DETACH/ATTACH PARTITION")
+          "use the PARTITION forms")
       else if (lower.startsWith("delete where"))
         deleteWhere = Some(t.replaceAll("(?is)^delete\\s+where\\s+", "").trim)
       else if (lower.startsWith("update ")) {

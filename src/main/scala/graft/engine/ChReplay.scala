@@ -93,6 +93,16 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     bindings.getOrElse(n, spark.table(n))
   }
 
+  /** `SELECT CAST(NULL AS t) AS c, ... WHERE false` — an empty result of
+    * exactly `schema` (shared by the ENGINE=Null view and TRUNCATE's
+    * catalog-view replacement); names are backtick-quoted so reserved
+    * words and special characters survive.
+    */
+  private def emptySelectSql(schema: org.apache.spark.sql.types.StructType): String =
+    "SELECT " + schema.map(f =>
+      s"CAST(NULL AS ${f.dataType.sql}) AS `${f.name.replace("`", "``")}`")
+      .mkString(", ") + " WHERE false"
+
   def executeScript(script: String): Unit = ChDdl.parse(script).foreach(execute)
 
   def execute(stmt: Stmt): Unit = stmt match {
@@ -105,14 +115,13 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
       // unknown-table error) — bind an empty frame of the declared schema
       // and publish the same emptiness as a catalog view for plain SQL
       else if (ct.engine.equalsIgnoreCase("Null")) {
+        val schema =
+          StructType(ct.cols.map(c => StructField(c.name, valueType(c.chType))))
         bindings(ct.name) = spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(ct.cols.map(c => StructField(c.name, valueType(c.chType)))))
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         if (ct.name.contains('.')) {
           spark.sql(s"CREATE DATABASE IF NOT EXISTS ${ct.name.split('.')(0)}")
-          val sel = ct.cols.map(c =>
-            s"CAST(NULL AS ${valueType(c.chType).sql}) AS ${c.name}").mkString(", ")
-          spark.sql(s"CREATE OR REPLACE VIEW ${ct.name} AS SELECT $sel WHERE false")
+          spark.sql(s"CREATE OR REPLACE VIEW ${ct.name} AS ${emptySelectSql(schema)}")
         }
       }
     case mv: CreateMaterializedView => buildMv(mv)
@@ -125,38 +134,39 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
         }
     case TruncateTable(name, ifExists) =>
       val t = resolve(name)
+      // Bindings only feed the rewrite helpers — plain SELECTs resolve
+      // through the catalog — so if a SAME-NAMED CATALOG object carries
+      // the storage (the documented bind() alternative, possibly BESIDE a
+      // binding), the truncate must empty the catalog object too or every
+      // row stays visible there: a VIEW is replaced with an empty
+      // same-schema view (the ENGINE=Null trick), a temp view
+      // re-registered empty; an externally-registered TABLE refuses
+      // loudly (deleting a user's files behind a registration is not this
+      // engine's call). ENGINE=Null is already forever-empty.
+      def truncateCatalogObject(): Unit =
+        if (tables.get(t).exists(ct => !ct.engine.equalsIgnoreCase("Null")) &&
+            spark.catalog.tableExists(t)) {
+          val schema = spark.table(t).schema
+          bindings(t) = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          val tt = spark.catalog.getTable(t)
+          if (tt.tableType == "VIEW")
+            spark.sql(s"CREATE OR REPLACE VIEW $t AS ${emptySelectSql(schema)}")
+          else if (tt.tableType == "TEMPORARY")
+            bindings(t).createOrReplaceTempView(t)
+          else
+            sys.error(s"TRUNCATE TABLE $name: storage is an externally-" +
+              s"registered ${tt.tableType} — truncate its files directly")
+        }
       stateTables.get(t) match {
         case Some(st) => st.truncate()
         case None => bindings.get(t) match {
-          case Some(df) => bindings(t) = df.limit(0)
+          case Some(df) =>
+            bindings(t) = df.limit(0)
+            truncateCatalogObject()
           case None =>
-            // a declared table whose storage is a SAME-NAMED CATALOG
-            // object (the documented bind() alternative). Bindings only
-            // feed the rewrite helpers — plain SELECTs resolve through
-            // the catalog — so the truncate must empty the CATALOG
-            // object too, or every row stays visible: a VIEW is replaced
-            // with an empty same-schema view (the ENGINE=Null trick), a
-            // temp view re-registered empty, and an externally-registered
-            // TABLE refuses loudly (deleting a user's files behind a
-            // registration is not this engine's call). ENGINE=Null is
-            // already forever-empty; declared-but-unbound is empty too.
-            val declared = tables.get(t)
-            if (declared.exists(ct => !ct.engine.equalsIgnoreCase("Null")) &&
-                spark.catalog.tableExists(t)) {
-              val schema = spark.table(t).schema
-              bindings(t) = spark.createDataFrame(
-                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-              val tt = spark.catalog.getTable(t)
-              val emptySel = schema.map(f =>
-                s"CAST(NULL AS ${f.dataType.sql}) AS ${f.name}").mkString(", ")
-              if (tt.tableType == "VIEW")
-                spark.sql(s"CREATE OR REPLACE VIEW $t AS SELECT $emptySel WHERE false")
-              else if (tt.tableType == "TEMPORARY")
-                bindings(t).createOrReplaceTempView(t)
-              else
-                sys.error(s"TRUNCATE TABLE $name: storage is an externally-" +
-                  s"registered ${tt.tableType} — truncate its files directly")
-            } else if (!ifExists && declared.isEmpty)
+            truncateCatalogObject()
+            if (!ifExists && !tables.contains(t) && !bindings.contains(t))
               sys.error(s"TRUNCATE TABLE $name: unknown table")
         }
       }

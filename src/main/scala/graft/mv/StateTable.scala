@@ -198,9 +198,38 @@ final class StateTable(
   def read(): DataFrame = cachedSchema match {
     case Some(schema) => spark.read.schema(schema).parquet(path)
     case None =>
-      val df = spark.read.option("mergeSchema", "true").parquet(path)
-      cachedSchema = Some(df.schema)
-      df
+      try {
+        val df = spark.read.option("mergeSchema", "true").parquet(path)
+        cachedSchema = Some(df.schema)
+        df
+      } catch {
+        // a table whose every live partition was dropped/detached/
+        // truncated has nothing to infer from — the PERSISTED schema
+        // marker (written by captureSchema before the destructive op)
+        // keeps it readable as EMPTY across reopens and rebuilds, the CH
+        // semantics. Any other analysis error propagates untouched.
+        case e: org.apache.spark.sql.AnalysisException
+            if String.valueOf(e.getMessage).contains("UNABLE_TO_INFER_SCHEMA") =>
+          loadSchemaMarker() match {
+            case Some(s) =>
+              cachedSchema = Some(s)
+              spark.read.schema(s).parquet(path)
+            case None => throw e
+          }
+      }
+  }
+
+  private def schemaMarker = new Path(path, "_schema")
+
+  private def loadSchemaMarker(): Option[org.apache.spark.sql.types.StructType] = {
+    val fs = fileSystem()
+    if (!fs.exists(schemaMarker)) return None
+    val in = fs.open(schemaMarker)
+    val json =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    Some(org.apache.spark.sql.types.DataType.fromJson(json)
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
   /** Merge-on-read at the given (possibly coarser) keys; metric columns
@@ -265,6 +294,11 @@ final class StateTable(
         !fs.rename(oldDetached, new Path(path, ".detached")))
       sys.error(s"$op: failed to move the detached partitions $oldDetached -> " +
         s"$path/.detached; superseded copy preserved at $o (recovered on next open)")
+    // the persisted schema marker rides along too (empty-table readability
+    // must survive the swap)
+    val oldSchema = new Path(o, "_schema")
+    if (fs.exists(oldSchema) && !fs.exists(schemaMarker))
+      fs.rename(oldSchema, schemaMarker): Unit
     fs.delete(o, true): Unit
   }
 
@@ -424,6 +458,9 @@ final class StateTable(
       val oldDetached = new Path(o, ".detached")
       if (fs.exists(oldDetached) && !fs.exists(new Path(path, ".detached")))
         fs.rename(oldDetached, new Path(path, ".detached"))
+      val oldSchema = new Path(o, "_schema")
+      if (fs.exists(oldSchema) && !fs.exists(schemaMarker))
+        fs.rename(oldSchema, schemaMarker)
       fs.delete(o, true)
     }
     if (fs.exists(t)) fs.delete(t, true)
@@ -446,16 +483,35 @@ final class StateTable(
     existed
   }
 
-  /** Remember the table's schema before an operation that can remove the
-    * LAST live partition: an empty table must still read (as empty, with
-    * its definition — CH semantics), and an empty directory cannot infer
-    * one. Removing rows never changes the schema, so the captured value
-    * stays valid; the next append refreshes it anyway.
+  /** PERSIST the table's schema (the `_schema` marker, underscore-prefixed
+    * so readers never see it) before an operation that can remove the LAST
+    * live partition: an empty table must still read (as empty, with its
+    * definition — CH semantics) — including from a REOPENED or rebuilt
+    * instance, so an in-memory cache alone is not enough. Cost discipline:
+    * when the marker already matches the known schema this is ONE
+    * exists()/tiny-read; the full footer scan happens at most once per
+    * table lifetime (only when neither the cache nor the marker knows the
+    * schema yet). A widened schema (ALTER ADD COLUMN) refreshes the marker
+    * the next time a destructive op runs with the wider cache in hand.
     */
-  private def captureSchema(): Unit =
-    if (cachedSchema.isEmpty)
+  private def captureSchema(): Unit = {
+    val fs = fileSystem()
+    if (cachedSchema.isEmpty) {
+      if (fs.exists(schemaMarker)) return // persisted already, no scan
       try cachedSchema = Some(read().schema)
-      catch { case _: org.apache.spark.sql.AnalysisException => () }
+      catch { case _: org.apache.spark.sql.AnalysisException => return }
+    }
+    val json = cachedSchema.get.json
+    val stale = loadSchemaMarker().forall(_.json != json)
+    if (stale) {
+      val tmp = new Path(path, "_schema.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+      if (fs.exists(schemaMarker)) fs.delete(schemaMarker, false)
+      if (!fs.rename(tmp, schemaMarker))
+        sys.error(s"captureSchema: failed to publish $schemaMarker")
+    }
+  }
 
   /** The hive-escaped directory form of a partition value — the SAME
     * encoding the partitionBy writer used (':' '/' '%' ... are %-encoded

@@ -610,6 +610,17 @@ class ChDdlReplaySpec extends SparkSpec {
     val partErr = intercept[RuntimeException](parseStatement(
       "ALTER TABLE db.t DETACH PART 'all_1_1_0'"))
     assert(partErr.getMessage.contains("PART-level"), partErr.getMessage)
+    // every data-mutating partition/part statement this engine cannot
+    // honor refuses loudly — none may silently no-op
+    for (bad <- Seq(
+        "ALTER TABLE db.t DROP PART 'all_1_1_0'",
+        "ALTER TABLE db.t ATTACH PART 'all_1_1_0'",
+        "ALTER TABLE db.t DROP DETACHED PART 'all_1_1_0'",
+        "ALTER TABLE db.t FETCH PARTITION '2024-01-01' FROM '/ch/t'",
+        "ALTER TABLE db.t REPLACE PARTITION '2024-01-01' FROM db.src",
+        "ALTER TABLE db.t MOVE PARTITION '2024-01-01' TO DISK 'd'",
+        "ALTER TABLE db.t FREEZE PARTITION '2024-01-01'"))
+      intercept[RuntimeException](parseStatement(bad))
     // subcommands keep STATEMENT order (CH runs them sequentially)
     assert(parseStatement("ALTER TABLE db.t ATTACH PARTITION 'a', DROP PARTITION 'a'")
       .asInstanceOf[AlterTable].partitionOps ==

@@ -43,6 +43,7 @@ class PartitionOpsFuzzSpec extends SparkSpec {
       def batch(slot: String, base: Long) =
         (1 to 3).map(i => (slot, i.toLong, base + i)).toDF("slot", "k", "v_src")
 
+      var wrote = false
       def check(opName: String): Unit = {
         val got =
           if (live.isEmpty)
@@ -50,13 +51,14 @@ class PartitionOpsFuzzSpec extends SparkSpec {
               case 0L => Map.empty[String, (Long, Long)]
               case n => sys.error(s"expected empty, got $n rows")
             } catch {
-              // a table that never saw an append has no schema (or even a
-              // directory) to read — the model allows that only when
-              // nothing was ever written
+              // only a table that NEVER saw an append may fail to read
+              // (no schema, maybe no directory). Once anything was
+              // written, the persisted schema marker must keep an emptied
+              // table readable-as-empty — across reopens too.
               case _: org.apache.spark.sql.AnalysisException
-                if live.isEmpty => Map.empty[String, (Long, Long)]
+                if !wrote => Map.empty[String, (Long, Long)]
               case _: java.io.FileNotFoundException
-                if live.isEmpty => Map.empty[String, (Long, Long)]
+                if !wrote => Map.empty[String, (Long, Long)]
             }
           else
             st.finalized().groupBy("slot")
@@ -70,7 +72,6 @@ class PartitionOpsFuzzSpec extends SparkSpec {
           s"seed $seed after $opName: table=$got model=$live detached=$det")
       }
 
-      var wrote = false
       for (step <- 0 until 14) {
         val v = values(rnd.nextInt(values.length))
         val op = rnd.nextInt(8)
@@ -150,14 +151,18 @@ class PartitionOpsFuzzSpec extends SparkSpec {
 
       val live = scala.collection.mutable.Map.empty[String, Long]
       val det = scala.collection.mutable.Map.empty[String, Long]
+      var wrote = false
       def check(opName: String): Unit = {
         val got =
           if (live.isEmpty) {
             try assert(st.finalized().count() == 0L,
               s"seed $seed after $opName: expected empty")
             catch {
-              case _: org.apache.spark.sql.AnalysisException => ()
-              case _: java.io.FileNotFoundException => ()
+              // legal only before the FIRST append: after that, the
+              // persisted schema marker must keep empty reads working
+              // (ALTERs rebuild the instance, so this pins the marker)
+              case _: org.apache.spark.sql.AnalysisException if !wrote => ()
+              case _: java.io.FileNotFoundException if !wrote => ()
             }
             Map.empty[String, Long]
           } else
@@ -194,6 +199,7 @@ class PartitionOpsFuzzSpec extends SparkSpec {
             st.appendBatch((1 to 2).map(i => (v, i.toLong, base + i))
               .toDF("slot", "k", "v"))
             live(v) = live.getOrElse(v, 0L) + 2 * base + 3
+            wrote = true
           case 2 =>
             if (live.contains(v)) run(s"OPTIMIZE TABLE $tbl PARTITION '$v' FINAL")
             else if (live.nonEmpty) run(s"OPTIMIZE TABLE $tbl FINAL")
