@@ -477,11 +477,22 @@ object ChDdl {
       i += 1; ws()
     } else if (wrapped) bad("malformed tuple")
     val (v, quoted) =
-      if (i < text.length && (text.charAt(i) == '\'' || text.charAt(i) == '"')) {
-        val q = text.charAt(i)
-        val close = text.indexOf(q, i + 1)
+      if (i < text.length && text.charAt(i) == '"')
+        // CH double quotes are IDENTIFIERS, not string literals — and the
+        // subcommand splitter is single-quote-aware only, so a silently
+        // accepted double-quoted value could re-glue with altered bytes
+        bad("double quotes are identifiers in CH — single-quote the value")
+      else if (i < text.length && text.charAt(i) == '\'') {
+        val close = text.indexOf('\'', i + 1)
         if (close < 0) bad("unterminated value quote")
         val out = text.substring(i + 1, close)
+        // escape forms would make this naive close WRONG — refuse, never
+        // compact/drop a misparsed partition ('it''s' doubled, 'it\'s'
+        // backslashed)
+        if (close + 1 < text.length && text.charAt(close + 1) == '\'')
+          bad("doubled-quote escapes in partition values are unsupported")
+        if (out.nonEmpty && out.last == '\\')
+          bad("backslash escapes in partition values are unsupported")
         i = close + 1
         (out, true)
       } else {
@@ -571,7 +582,8 @@ object ChDdl {
           "or rewrite through a query")
       else if (lower.startsWith("detach part") || lower.startsWith("attach part") ||
           lower.startsWith("drop part") || lower.startsWith("drop detached part") ||
-          lower.startsWith("fetch part") || lower.startsWith("freeze"))
+          lower.startsWith("fetch part") || lower.startsWith("move part") ||
+          lower.startsWith("freeze"))
         // PART-granularity ops (the rebalance tool's vocabulary): parts
         // collapse to partitions in this engine by design (see
         // engine/Rebalance.scala) — refuse loudly rather than silently

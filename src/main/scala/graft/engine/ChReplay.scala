@@ -146,27 +146,29 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
       def truncateCatalogObject(): Unit =
         if (tables.get(t).exists(ct => !ct.engine.equalsIgnoreCase("Null")) &&
             spark.catalog.tableExists(t)) {
+          // refuse BEFORE touching any state: a half-applied truncate
+          // (empty binding installed, catalog refused) would shadow the
+          // populated catalog table with emptiness for the rewrite helpers
+          val tt = spark.catalog.getTable(t)
+          if (tt.tableType != "VIEW" && tt.tableType != "TEMPORARY")
+            sys.error(s"TRUNCATE TABLE $name: storage is an externally-" +
+              s"registered ${tt.tableType} — truncate its files directly")
           val schema = spark.table(t).schema
           bindings(t) = spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-          val tt = spark.catalog.getTable(t)
           if (tt.tableType == "VIEW")
             spark.sql(s"CREATE OR REPLACE VIEW $t AS ${emptySelectSql(schema)}")
-          else if (tt.tableType == "TEMPORARY")
-            bindings(t).createOrReplaceTempView(t)
-          else
-            sys.error(s"TRUNCATE TABLE $name: storage is an externally-" +
-              s"registered ${tt.tableType} — truncate its files directly")
+          else bindings(t).createOrReplaceTempView(t)
         }
       stateTables.get(t) match {
         case Some(st) => st.truncate()
         case None => bindings.get(t) match {
           case Some(df) =>
+            truncateCatalogObject() // refusals fire before any mutation
             bindings(t) = df.limit(0)
-            truncateCatalogObject()
           case None =>
             truncateCatalogObject()
-            if (!ifExists && !tables.contains(t) && !bindings.contains(t))
+            if (!ifExists && !tables.contains(t))
               sys.error(s"TRUNCATE TABLE $name: unknown table")
         }
       }

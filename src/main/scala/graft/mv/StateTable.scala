@@ -67,7 +67,7 @@ final class StateTable(
     states
       .sortWithinPartitions(keys.map(col): _*)
       .write.mode("append").partitionBy(partitionCol).parquet(path)
-    cachedSchema = None // new parts may widen the union schema
+    invalidateSchema() // new parts may widen the union schema
   }
 
   /** Aggregate + append a raw batch (insert-trigger semantics). */
@@ -133,7 +133,7 @@ final class StateTable(
     fs.delete(staging, true)
     fs.mkdirs(marker.getParent)
     fs.create(marker, true).close()
-    cachedSchema = None
+    invalidateSchema()
     true
   }
 
@@ -187,7 +187,7 @@ final class StateTable(
   /** Drop the cached part-schema union so the next read re-merges part
     * footers — call after another process/instance widened the table.
     */
-  def refresh(): Unit = cachedSchema = None
+  def refresh(): Unit = invalidateSchema()
 
   /** Raw state rows as stored (pre-merge). Part schemas are unioned so an
     * ALTER-style widening works on live tables (the reference's
@@ -279,27 +279,34 @@ final class StateTable(
     * it would erase the batch markers and let replayed batches re-ingest
     * (duplicates), the exact failure the ledger exists to prevent.
     */
-  private def finishSwapCleanup(op: String, o: Path): Unit = {
+  /** The hidden artifacts that must SURVIVE every whole-table staged swap
+    * (the rewrite's tmp never contains them): the exactly-once ledger
+    * (losing it lets replayed batches re-ingest), the detached partitions
+    * (losing them destroys quarantined data), and the persisted schema
+    * marker (losing it breaks empty-table reads after a restart).
+    */
+  private val swapArtifacts = Seq("_ledger", ".detached", "_schema")
+
+  /** Move each swap artifact present in the superseded copy `o` back into
+    * the live table (skipping ones the live table already has — a crashed
+    * earlier cleanup may have moved some). Returns the first artifact
+    * whose move FAILED — the caller must then leave `o` in place, or the
+    * artifact is destroyed.
+    */
+  private def rescueSwapArtifacts(o: Path): Option[String] = {
     val fs = fileSystem()
-    val oldLedger = new Path(o, "_ledger")
-    if (fs.exists(oldLedger) && !fs.rename(oldLedger, new Path(path, "_ledger")))
-      sys.error(s"$op: failed to move the exactly-once ledger $oldLedger -> " +
-        s"$path/_ledger; superseded copy preserved at $o (recovered on next open)")
-    // detached partitions also live inside the table dir (invisible to
-    // reads, so the rewrite's merged() never saw them) — they must survive
-    // a whole-table swap exactly like the ledger, or a compact() would
-    // silently destroy every detached copy
-    val oldDetached = new Path(o, ".detached")
-    if (fs.exists(oldDetached) &&
-        !fs.rename(oldDetached, new Path(path, ".detached")))
-      sys.error(s"$op: failed to move the detached partitions $oldDetached -> " +
-        s"$path/.detached; superseded copy preserved at $o (recovered on next open)")
-    // the persisted schema marker rides along too (empty-table readability
-    // must survive the swap)
-    val oldSchema = new Path(o, "_schema")
-    if (fs.exists(oldSchema) && !fs.exists(schemaMarker))
-      fs.rename(oldSchema, schemaMarker): Unit
-    fs.delete(o, true): Unit
+    swapArtifacts.find { a =>
+      val src = new Path(o, a)
+      val dst = new Path(path, a)
+      fs.exists(src) && !fs.exists(dst) && !fs.rename(src, dst)
+    }
+  }
+
+  private def finishSwapCleanup(op: String, o: Path): Unit = {
+    rescueSwapArtifacts(o).foreach(a =>
+      sys.error(s"$op: failed to move the swap artifact $a from $o back " +
+        s"into $path; superseded copy preserved at $o (recovered on next open)"))
+    fileSystem().delete(o, true): Unit
   }
 
   /** MV-on-MV cascade — the reference's dwm → dws layering as a state-to-
@@ -449,18 +456,11 @@ final class StateTable(
     if (!fs.exists(p) && fs.exists(o)) {
       if (!fs.rename(o, p)) sys.error(s"recover: failed to restore $o -> $path")
     } else if (fs.exists(o)) {
-      // swap completed but cleanup didn't — rescue the exactly-once ledger
-      // and the detached partitions if the crash hit before their moves,
-      // then the old copy is superseded
-      val oldLedger = new Path(o, "_ledger")
-      if (fs.exists(oldLedger) && !fs.exists(new Path(path, "_ledger")))
-        fs.rename(oldLedger, new Path(path, "_ledger"))
-      val oldDetached = new Path(o, ".detached")
-      if (fs.exists(oldDetached) && !fs.exists(new Path(path, ".detached")))
-        fs.rename(oldDetached, new Path(path, ".detached"))
-      val oldSchema = new Path(o, "_schema")
-      if (fs.exists(oldSchema) && !fs.exists(schemaMarker))
-        fs.rename(oldSchema, schemaMarker)
+      // swap completed but cleanup didn't — rescue the swap artifacts the
+      // crash left behind, then the old copy is superseded. A FAILED
+      // rescue must keep `o` (the artifact lives only there).
+      rescueSwapArtifacts(o).foreach(a =>
+        sys.error(s"recover: failed to rescue the swap artifact $a from $o"))
       fs.delete(o, true)
     }
     if (fs.exists(t)) fs.delete(t, true)
@@ -496,21 +496,29 @@ final class StateTable(
     */
   private def captureSchema(): Unit = {
     val fs = fileSystem()
-    if (cachedSchema.isEmpty) {
-      if (fs.exists(schemaMarker)) return // persisted already, no scan
+    // FRESHNESS INVARIANT: every schema-changing write (append, staged
+    // ingest, attach, external refresh()) DELETES the marker — so a
+    // present marker was written after the last such write and is
+    // current; trust it without a scan.
+    if (fs.exists(schemaMarker)) return
+    if (cachedSchema.isEmpty)
       try cachedSchema = Some(read().schema)
       catch { case _: org.apache.spark.sql.AnalysisException => return }
-    }
-    val json = cachedSchema.get.json
-    val stale = loadSchemaMarker().forall(_.json != json)
-    if (stale) {
-      val tmp = new Path(path, "_schema.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(json.getBytes("UTF-8")) finally out.close()
-      if (fs.exists(schemaMarker)) fs.delete(schemaMarker, false)
-      if (!fs.rename(tmp, schemaMarker))
-        sys.error(s"captureSchema: failed to publish $schemaMarker")
-    }
+    val tmp = new Path(path, "_schema.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(cachedSchema.get.json.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, schemaMarker))
+      sys.error(s"captureSchema: failed to publish $schemaMarker")
+  }
+
+  /** Drop the cached schema AND the persisted `_schema` marker — call
+    * after any write that can change the file-union schema (see
+    * [[captureSchema]]'s freshness invariant).
+    */
+  private def invalidateSchema(): Unit = {
+    cachedSchema = None
+    val fs = fileSystem()
+    if (fs.exists(schemaMarker)) fs.delete(schemaMarker, false): Unit
   }
 
   /** The hive-escaped directory form of a partition value — the SAME
@@ -560,7 +568,7 @@ final class StateTable(
         "DROP or DETACH it before attaching the detached copy")
     if (!fs.rename(src, live))
       sys.error(s"attachPartition: failed to move $src -> $live")
-    cachedSchema = None
+    invalidateSchema() // the attached copy may carry columns the marker lacks
     true
   }
 

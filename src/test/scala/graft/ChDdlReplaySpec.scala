@@ -477,11 +477,16 @@ class ChDdlReplaySpec extends SparkSpec {
       OptimizeTable("db.t", finalMerge = false, Some("2024-01-01")))
     assert(parseStatement("OPTIMIZE TABLE db.t PARTITION 202401 FINAL") ==
       OptimizeTable("db.t", finalMerge = true, Some("202401")))
-    // the value parse is TOTAL: dots survive, double quotes work
+    // the value parse is TOTAL: dots survive; double quotes (identifiers
+    // in CH, and invisible to the subcommand splitter) refuse, as do
+    // quote-escape forms the naive close-scan would misparse
     assert(parseStatement("OPTIMIZE TABLE db.t PARTITION 1.5 FINAL") ==
       OptimizeTable("db.t", finalMerge = true, Some("1.5")))
-    assert(parseStatement("OPTIMIZE TABLE db.t PARTITION \"2024-01-01\" FINAL") ==
-      OptimizeTable("db.t", finalMerge = true, Some("2024-01-01")))
+    for (bad <- Seq(
+        "OPTIMIZE TABLE db.t PARTITION \"2024-01-01\" FINAL",
+        "OPTIMIZE TABLE db.t PARTITION 'it''s' FINAL",
+        "OPTIMIZE TABLE db.t PARTITION 'it\\' FINAL"))
+      intercept[RuntimeException](parseStatement(bad))
     // PARTITION ID is a CH-internal encoding (a hash for string keys):
     // refused by name, never silently treated as a value — but only the
     // real quoted form; a bare value merely STARTING with id/tuple parses
