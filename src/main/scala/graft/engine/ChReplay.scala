@@ -274,7 +274,7 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     * external parquet catalog table, so the scripts' SELECTs address
     * `dws.x_dis` names verbatim. Re-call after ingests to re-list files.
     */
-  def publish(): Unit =
+  def publish(): Unit = {
     for ((name, st) <- stateTables) {
       val names = name +: aliases.collect { case (a, t) if resolve(t) == name => a }.toSeq
       for (n <- names if n.contains('.')) {
@@ -295,8 +295,12 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
         // discover the day=... directories the StateTable wrote
         spark.sql(s"MSCK REPAIR TABLE $n")
       }
-      publishSystemTables()
     }
+    // once, after the loop: per-table republication was N× redundant, and
+    // a DDL-only replay (tables but no StateTable storage yet) still needs
+    // system.databases/.tables/.columns published
+    publishSystemTables()
+  }
 
   /** Rebuild CH's introspection tables (`system.databases` / `.tables` /
     * `.columns` / `.parts`) as catalog views over a snapshot of the
@@ -345,21 +349,49 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
         tables.get(resolve(n)).toSeq.flatMap(_.cols.map(c =>
           Seq(q(db), q(t), q(c.name), q(c.chType))))
       })
-    mkView("parts", Seq("database", "table", "partition", "active", "bytes_on_disk"),
+    // One row per PART (= one parquet data file), as in CH: `partition` is
+    // the UNESCAPED value (the dirname is hive-escaped — substring past the
+    // FIRST '=' then unescape, so values containing ':' or '=' read back as
+    // written), `name` the part's file name, `rows` its footer record count
+    // (metadata only — no scan). The canonical operational query shape —
+    // `SELECT partition, sum(rows), sum(bytes_on_disk) FROM system.parts
+    // WHERE table = 't' GROUP BY partition` (ref data_rebalance.py:116-205)
+    // — runs verbatim. Detached copies mirror into system.detached_parts
+    // (CH keeps them out of system.parts too).
+    def enumerateParts(stPath: String, sub: String): Seq[(String, String, Long, Long)] = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(stPath), conf)
+      val root = if (sub.isEmpty) new org.apache.hadoop.fs.Path(stPath)
+                 else new org.apache.hadoop.fs.Path(stPath, sub)
+      if (!fs.exists(root)) Nil
+      else fs.listStatus(root).toSeq.filter(_.isDirectory)
+        .filter(_.getPath.getName.contains("="))
+        .flatMap { d =>
+          val dn = d.getPath.getName
+          val value = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(dn.substring(dn.indexOf('=') + 1))
+          fs.listStatus(d.getPath).toSeq
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet") &&
+              !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+            .map { f =>
+              val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+                org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+              val rows = try reader.getRecordCount finally reader.close()
+              (value, f.getPath.getName, rows, f.getLen)
+            }
+        }.sortBy(p => (p._1, p._2))
+    }
+    def partRows(sub: String): Seq[Seq[String]] =
       stateTables.toSeq.sortBy(_._1).flatMap { case (n, st) =>
         val (db, t) = dbTable(n)
-        val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(st.path),
-          spark.sparkContext.hadoopConfiguration)
-        val root = new org.apache.hadoop.fs.Path(st.path)
-        if (!fs.exists(root)) Nil
-        else fs.listStatus(root).toSeq.filter(_.isDirectory)
-          .filter(_.getPath.getName.contains("="))
-          .map { d =>
-            val bytes = fs.getContentSummary(d.getPath).getLength
-            Seq(q(db), q(t), q(d.getPath.getName.split('=').last),
-              "1", bytes.toString)
-          }
-      })
+        enumerateParts(st.path, sub).map { case (value, name, rows, bytes) =>
+          Seq(q(db), q(t), q(value), q(name), rows.toString, "1", bytes.toString)
+        }
+      }
+    val partCols = Seq("database", "table", "partition", "name", "rows", "active",
+      "bytes_on_disk")
+    mkView("parts", partCols, partRows(""))
+    mkView("detached_parts", partCols, partRows(".detached"))
   }
 
   /** Run one of the scripts' SELECTs with three mechanical shims: CH's

@@ -849,11 +849,16 @@ class ChDdlReplaySpec extends SparkSpec {
         |WHERE database = 'dws' AND table = 'sys_local' ORDER BY name""".stripMargin)
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     assert(cols.map(_._1) == Seq("day", "k", "v"))
+    // per-PART granularity (one row per parquet data file, as in CH) — the
+    // canonical operational aggregation over it must work verbatim
     val parts = spark.sql(
-      """SELECT partition, bytes_on_disk FROM system.parts
-        |WHERE table = 'sys_local' ORDER BY partition""".stripMargin).collect()
+      """SELECT partition, sum(rows) AS rows, sum(bytes_on_disk) AS bytes
+        |FROM system.parts WHERE table = 'sys_local'
+        |GROUP BY partition ORDER BY partition""".stripMargin).collect()
     assert(parts.map(_.getString(0)).toSeq == Seq("2024-01-01", "2024-01-02"))
-    assert(parts.forall(_.getAs[Any](1).toString.toLong > 0))
+    assert(parts.forall(_.getAs[Any]("bytes").toString.toLong > 0))
+    // one ingested row per partition -> footer record counts say exactly 1
+    assert(parts.map(_.getAs[Any]("rows").toString.toLong).toSeq == Seq(1L, 1L))
     // an UNQUALIFIED table name (ENGINE=Null admits these) must publish
     // under CH's `default` db instead of aborting with a MatchError
     replay.executeScript("create table bare_null (k UInt64) engine=Null;")
@@ -863,6 +868,78 @@ class ChDdlReplaySpec extends SparkSpec {
       .head().getString(0) == "Null")
     assert(!spark.sql("SELECT name FROM system.databases").collect()
       .map(_.getString(0)).contains("bare_null"))
+  }
+
+  test("system.parts/.detached_parts track the partition lifecycle " +
+      "(insert -> OPTIMIZE PARTITION -> DETACH -> ATTACH -> DROP DETACHED)") {
+    import ChDdl._
+    val replay = new ChReplay(spark, ChReplay.scratchWarehouse("graft-sysparts"))
+    replay.executeScript(
+      """create table dws.sp_local (
+        | day Date,
+        | k UInt64,
+        | v SimpleAggregateFunction(sum, UInt64)
+        |) engine=AggregatingMergeTree()
+        |PARTITION BY day ORDER BY (day, k);""".stripMargin)
+    import spark.implicits._
+    def batch = Seq(("2024-01-01", 1L, 10L), ("2024-01-01", 2L, 5L),
+        ("2024-01-02", 1L, 7L))
+      .toDF("day_s", "k", "v")
+      .select(org.apache.spark.sql.functions.to_date(col("day_s")).as("day"),
+        col("k"), col("v"))
+    val st = replay.stateTables("dws.sp_local")
+    (1 to 3).foreach(_ => st.appendBatch(batch))
+    // (part_count, state rows, bytes) per partition, through the SQL surface
+    // an operator actually types (ref data_rebalance.py:116-205's shape)
+    def partsBy(view: String): Map[String, (Long, Long, Long)] = {
+      replay.publishSystemTables()
+      spark.sql(
+        s"""SELECT partition, count(*) AS parts, sum(rows) AS rows,
+           |       sum(bytes_on_disk) AS bytes
+           |FROM system.$view WHERE table = 'sp_local'
+           |GROUP BY partition""".stripMargin).collect()
+        .map(r => r.getString(0) -> ((r.getAs[Long]("parts"),
+          r.getAs[Any]("rows").toString.toLong,
+          r.getAs[Any]("bytes").toString.toLong))).toMap
+    }
+    val before = partsBy("parts")
+    assert(before.keySet == Set("2024-01-01", "2024-01-02"))
+    // 3 batches x (2 keys / 1 key) of state rows, in >= 3 parts each
+    assert(before("2024-01-01")._2 == 6L && before("2024-01-02")._2 == 3L)
+    assert(before("2024-01-01")._1 >= 3L)
+    assert(partsBy("detached_parts").isEmpty)
+
+    // OPTIMIZE PARTITION folds day-01 to ONE part with one row per key;
+    // day-02's parts are untouched
+    replay.execute(parseStatement(
+      "OPTIMIZE TABLE dws.sp_local PARTITION '2024-01-01' FINAL"))
+    val opt = partsBy("parts")
+    assert(opt("2024-01-01")._1 == 1L && opt("2024-01-01")._2 == 2L,
+      s"optimize visibility: ${opt("2024-01-01")}")
+    assert(opt("2024-01-02") == before("2024-01-02"))
+
+    // DETACH moves day-02 out of system.parts into system.detached_parts,
+    // rows and bytes intact
+    replay.execute(parseStatement(
+      "ALTER TABLE dws.sp_local DETACH PARTITION '2024-01-02'"))
+    assert(!partsBy("parts").contains("2024-01-02"))
+    val dp = partsBy("detached_parts")
+    assert(dp.keySet == Set("2024-01-02"))
+    assert(dp("2024-01-02") == before("2024-01-02"))
+
+    // ATTACH restores it; detached_parts empties
+    replay.execute(parseStatement(
+      "ALTER TABLE dws.sp_local ATTACH PARTITION '2024-01-02'"))
+    assert(partsBy("parts")("2024-01-02") == before("2024-01-02"))
+    assert(partsBy("detached_parts").isEmpty)
+
+    // DETACH + DROP DETACHED removes it from both views
+    replay.execute(parseStatement(
+      "ALTER TABLE dws.sp_local DETACH PARTITION '2024-01-02'"))
+    replay.execute(parseStatement(
+      "ALTER TABLE dws.sp_local DROP DETACHED PARTITION '2024-01-02'"))
+    assert(!partsBy("parts").contains("2024-01-02"))
+    assert(partsBy("detached_parts").isEmpty)
   }
 
   test("SELECT ... FROM t FINAL reads merge-debt-free (simple + state columns)") {

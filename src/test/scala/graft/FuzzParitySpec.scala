@@ -43,8 +43,11 @@ class FuzzParitySpec extends SparkSpec {
   // native ROLLUP/CUBE/GROUPING SETS super-aggregates; 531-560 the routed
   // aggregate under POST-AGGREGATE machinery — HAVING over merged metrics
   // (incl. decomposed avg), ORDER BY metric + LIMIT above the routing,
-  // and mixed UNION ALL with one branch routed and one provably raw
-  private val seeds = 1 to 560
+  // and mixed UNION ALL with one branch routed and one provably raw;
+  // 561-590 the CH array-lambda battery (arrayMap/Filter/Sort/Slice/
+  // push/pop/concat chains + empty-total reducers) vs DuckDB's list_*
+  // battery with its inclusive-end slices and NULL-returning sums
+  private val seeds = 1 to 590
 
   private def duckdbAvailable: Boolean =
     try Seq("python3", "-c", "import duckdb, pandas").! == 0

@@ -142,7 +142,8 @@ object FuzzGen {
   def queryFor(seed: Int): FuzzQuery = {
     val rnd = new Random(seed.toLong * 1000003L + 17L)
     val name = f"fz$seed%03d"
-    if (seed > 530) projectionPostAggQuery(name, rnd)
+    if (seed > 560) arrayQuery(name, rnd)
+    else if (seed > 530) projectionPostAggQuery(name, rnd)
     else if (seed > 510) rollupQuery(name, rnd)
     else if (seed > 480) projectionQuery(name, rnd)
     else if (seed > 450) groupLimitQuery(name, seed, rnd)
@@ -792,6 +793,132 @@ object FuzzGen {
       s"SELECT $kSel, ${aggs.map(_._2).mkString(", ")} FROM events$where " +
         s"GROUP BY $duckBy ORDER BY $ord",
       viaChSql = true)
+  }
+
+  /** The array-lambda band (seeds past 560): CH's array battery — the
+    * lambda-FIRST argument order (arrayMap/Filter/Exists/Count), the
+    * (offset, length) 1-based arraySlice, CH's 0-when-absent indexOf,
+    * sort/reverse/distinct/push/pop/concat composition — chained 0-2 deep
+    * over arrays built row-wise from the table's own integer columns
+    * (BIGINT lanes on both sides), against DuckDB's independently-spelled
+    * list_* battery (list-LAST lambdas, list_slice's INCLUSIVE end index,
+    * coalesce-0 for list_sum/list_position's NULL returns). Reducers are
+    * total on EMPTY arrays too (a filter chain can drain the array):
+    * sum/uniq/has/indexOf/exists/count coalesce to their CH empties, and
+    * min/max agree on NULL-for-empty in both engines. A third of the
+    * seeds source the array from arraySort(groupArray(k)) under GROUP BY
+    * instead of row-wise construction — the collect order is partition-
+    * dependent, so the sort is load-bearing for determinism.
+    */
+  private def arrayQuery(name: String, rnd: Random): FuzzQuery = {
+    val pool = tables.filter(_.of(IntK).size >= 2)
+    val t = pool(rnd.nextInt(pool.length))
+    val intCols = t.of(IntK)
+
+    // base array: 3-5 BIGINT elements derived from two integer columns —
+    // identical element text on both sides, only the constructor differs
+    def base(): (String, String) = {
+      val c1 = pick(rnd, intCols).name
+      val c2 = pick(rnd, intCols).name
+      val k = 1 + rnd.nextInt(9)
+      val elems = Seq(
+        s"CAST($c1 AS BIGINT)", s"CAST($c2 AS BIGINT)",
+        s"CAST($c1 + $c2 AS BIGINT)", s"CAST($c1 % $k + 1 AS BIGINT)",
+        s"CAST($k AS BIGINT)").take(3 + rnd.nextInt(3))
+      (s"array(${elems.mkString(", ")})", s"[${elems.mkString(", ")}]")
+    }
+
+    def step(sp: String, du: String): (String, String) = rnd.nextInt(9) match {
+      case 0 =>
+        val m = 2 + rnd.nextInt(3); val b = rnd.nextInt(6)
+        (s"arrayMap(x -> x * $m + $b, $sp)", s"list_transform($du, x -> x * $m + $b)")
+      case 1 =>
+        // nonneg elements only, so % agrees across engines
+        val d = 2 + rnd.nextInt(3); val r = rnd.nextInt(d)
+        (s"arrayFilter(x -> x % $d = $r, $sp)", s"list_filter($du, x -> x % $d = $r)")
+      case 2 => (s"arraySort($sp)", s"list_sort($du)")
+      case 3 => (s"arrayReverseSort($sp)", s"list_reverse_sort($du)")
+      case 4 => (s"arrayReverse($sp)", s"list_reverse($du)")
+      case 5 =>
+        // CH arrayDistinct keeps first occurrence, DuckDB list_distinct
+        // is unordered — the trailing sort makes the pair comparable
+        (s"arraySort(arrayDistinct($sp))", s"list_sort(list_distinct($du))")
+      case 6 =>
+        val k1 = rnd.nextInt(20); val k2 = rnd.nextInt(20)
+        (s"arrayConcat($sp, array(CAST($k1 AS BIGINT), CAST($k2 AS BIGINT)))",
+         s"list_concat($du, [CAST($k1 AS BIGINT), CAST($k2 AS BIGINT)])")
+      case 7 =>
+        val k = rnd.nextInt(20)
+        if (rnd.nextBoolean())
+          (s"arrayPushBack($sp, CAST($k AS BIGINT))", s"list_append($du, CAST($k AS BIGINT))")
+        else
+          (s"arrayPushFront($sp, CAST($k AS BIGINT))", s"list_prepend(CAST($k AS BIGINT), $du)")
+      case _ =>
+        val o = 1 + rnd.nextInt(2); val len = 1 + rnd.nextInt(3)
+        (s"arraySlice($sp, $o, $len)", s"list_slice($du, $o, ${o + len - 1})")
+    }
+
+    def reducer(sp: String, du: String, alias: String): (String, String) =
+      rnd.nextInt(7) match {
+        case 0 => (s"CAST(arraySum($sp) AS BIGINT) AS $alias",
+                   s"CAST(coalesce(list_sum($du), 0) AS BIGINT) AS $alias")
+        case 1 => (s"CAST(arrayUniq($sp) AS BIGINT) AS $alias",
+                   s"CAST(len(list_distinct($du)) AS BIGINT) AS $alias")
+        case 2 =>
+          val k = rnd.nextInt(30)
+          (s"has($sp, CAST($k AS BIGINT)) AS $alias",
+           s"coalesce(list_contains($du, CAST($k AS BIGINT)), false) AS $alias")
+        case 3 =>
+          val k = rnd.nextInt(30)
+          (s"CAST(indexOf($sp, CAST($k AS BIGINT)) AS BIGINT) AS $alias",
+           s"CAST(coalesce(list_position($du, CAST($k AS BIGINT)), 0) AS BIGINT) AS $alias")
+        case 4 =>
+          val k = rnd.nextInt(100)
+          (s"arrayExists(x -> x > $k, $sp) AS $alias",
+           s"len(list_filter($du, x -> x > $k)) > 0 AS $alias")
+        case 5 =>
+          val k = rnd.nextInt(100)
+          (s"CAST(arrayCount(x -> x > $k, $sp) AS BIGINT) AS $alias",
+           s"CAST(len(list_filter($du, x -> x > $k)) AS BIGINT) AS $alias")
+        case _ =>
+          if (rnd.nextBoolean())
+            (s"CAST(arrayMin($sp) AS BIGINT) AS $alias",
+             s"CAST(list_aggregate($du, 'min') AS BIGINT) AS $alias")
+          else
+            (s"CAST(arrayMax($sp) AS BIGINT) AS $alias",
+             s"CAST(list_aggregate($du, 'max') AS BIGINT) AS $alias")
+      }
+
+    def chain(start: (String, String), maxSteps: Int): (String, String) = {
+      var (sp, du) = start
+      (0 until rnd.nextInt(maxSteps + 1)).foreach { _ =>
+        val (s2, d2) = step(sp, du); sp = s2; du = d2
+      }
+      (sp, du)
+    }
+
+    val where = predicate(t, rnd).map(p => s" WHERE $p").getOrElse("")
+    if (rnd.nextInt(3) == 0 && t.allowGroupArray && t.of(StrK).nonEmpty) {
+      val g = pick(rnd, t.of(StrK)).name
+      val k = pick(rnd, intCols).name
+      val (sp, du) = chain(
+        (s"arraySort(groupArray(CAST($k AS BIGINT)))",
+         s"list_sort(list(CAST($k AS BIGINT)))"), maxSteps = 2)
+      val (rs, rd) = reducer(sp, du, "v")
+      FuzzQuery(name,
+        s"SELECT $g AS g, $rs FROM ${t.name}$where GROUP BY $g ORDER BY g",
+        s"SELECT $g AS g, $rd FROM ${t.name}$where GROUP BY $g ORDER BY g")
+    } else {
+      val pairs = (0 until 1 + rnd.nextInt(2)).map { i =>
+        val (sp, du) = chain(base(), maxSteps = 2)
+        reducer(sp, du, s"a$i")
+      }
+      def render(side: ((String, String)) => String): String = {
+        val sel = (t.uniqueKey ++ pairs.map(side)).mkString(", ")
+        s"SELECT $sel FROM ${t.name}$where ORDER BY ${t.totalOrder.mkString(", ")} LIMIT 60"
+      }
+      FuzzQuery(name, render(_._1), render(_._2))
+    }
   }
 
   // ---- predicates (identical text on both sides) ----------------------
