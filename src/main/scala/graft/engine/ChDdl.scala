@@ -374,6 +374,44 @@ object ChDdl {
       asTable = asTable)
   }
 
+  /** Render a [[CreateTable]] back to canonical CH DDL — the SHOW CREATE
+    * TABLE surface (CH itself prints a normalized form, not the user's
+    * original text). Property: `parseStatement(render(ct)) == ct` for
+    * every descriptor this parser produces — pinned across the whole
+    * reference corpus by ChDdlReplaySpec. One lossy seam: the parser does
+    * not record TTL's base column, so the renderer uses the partition
+    * column when it is a plain name (the reference's only TTL shape, ref
+    * ods.action_001_dis.sql) and the literal `day` otherwise.
+    */
+  def render(ct: CreateTable): String = {
+    val sb = new StringBuilder(s"CREATE TABLE ${ct.name}")
+    ct.asTable.foreach(t => sb.append(s" AS $t"))
+    if (ct.cols.nonEmpty) {
+      sb.append("\n(\n")
+      sb.append(ct.cols.map { c =>
+        val d = c.default.map(x => s" DEFAULT $x").getOrElse("")
+        val cm = c.comment.map(x => s" COMMENT '$x'").getOrElse("")
+        s"    ${c.name} ${c.chType}$d$cm"
+      }.mkString(",\n"))
+      sb.append("\n)")
+    }
+    sb.append(s"\nENGINE = ${ct.engine}")
+    if (ct.engineArgs.nonEmpty || ct.isMergeTree)
+      sb.append(s"(${ct.engineArgs.mkString(", ")})")
+    ct.partitionBy.foreach(p => sb.append(s"\nPARTITION BY $p"))
+    if (ct.primaryKey.nonEmpty)
+      sb.append(s"\nPRIMARY KEY (${ct.primaryKey.mkString(", ")})")
+    if (ct.orderBy.nonEmpty)
+      sb.append(s"\nORDER BY (${ct.orderBy.mkString(", ")})")
+    ct.ttl.foreach { t =>
+      val base = ct.partitionBy.filter(_.matches("\\w+")).getOrElse("day")
+      sb.append(s"\nTTL $base + toIntervalDay(${t.days})")
+      if (t.hours != 0) sb.append(s" + toIntervalHour(${t.hours})")
+    }
+    ct.sampleBy.foreach(x => sb.append(s"\nSAMPLE BY $x"))
+    sb.toString
+  }
+
   private def parseMv(s: String): CreateMaterializedView = {
     val head = """(?is)create\s+materialized\s+view\s+([\w.]+)(?:\s+on\s+cluster\s+\S+)?\s+to\s+([\w.]+)""".r
       .findFirstMatchIn(s).getOrElse(sys.error(s"bad create mv: ${s.take(80)}"))

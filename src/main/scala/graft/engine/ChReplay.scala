@@ -71,6 +71,11 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
 
   val tables = mutable.LinkedHashMap.empty[String, CreateTable]
   val aliases = mutable.LinkedHashMap.empty[String, String]
+  /** The Distributed tables' OWN descriptors — aliases resolve to their
+    * target for execution, but DESCRIBE / SHOW CREATE TABLE / system.columns
+    * must answer with the alias's own declared shape, as CH does.
+    */
+  val aliasDefs = mutable.LinkedHashMap.empty[String, CreateTable]
   val stateTables = mutable.LinkedHashMap.empty[String, StateTable]
   val mvs = mutable.LinkedHashMap.empty[String, MaterializedView]
   val dictionaries = mutable.ArrayBuffer.empty[String]
@@ -108,6 +113,7 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
   def execute(stmt: Stmt): Unit = stmt match {
     case ct: CreateTable if ct.isDistributed =>
       ct.distributedTarget.foreach(t => aliases(ct.name) = t)
+      aliasDefs(ct.name) = ct
     case ct: CreateTable =>
       tables(ct.name) = ct
       if (ct.isAggregating) rebuildStateTable(ct.name)
@@ -346,8 +352,11 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     mkView("columns", Seq("database", "table", "name", "type"),
       allNames.flatMap { n =>
         val (db, t) = dbTable(n)
-        tables.get(resolve(n)).toSeq.flatMap(_.cols.map(c =>
-          Seq(q(db), q(t), q(c.name), q(c.chType))))
+        // an alias's OWN declared shape when it has one (CH lists the
+        // Distributed table's columns, not its target's)
+        tables.get(n).orElse(aliasDefs.get(n)).orElse(tables.get(resolve(n)))
+          .toSeq.flatMap(_.cols.map(c =>
+            Seq(q(db), q(t), q(c.name), q(c.chType))))
       })
     // One row per PART (= one parquet data file), as in CH: `partition` is
     // the UNESCAPED value (the dirname is hive-escaped — substring past the
@@ -404,7 +413,56 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     * choice. Everything else (dictGet, -State/-Merge/-If, toUInt*) runs
     * through the ChCompat dialect unchanged.
     */
+  /** CH's interactive introspection statements, answered like a server
+    * would: `SHOW DATABASES`, `SHOW TABLES [FROM db] [LIKE '...']`,
+    * `DESC[RIBE] [TABLE] t` (declared column order, CH's five-column
+    * shape), `EXISTS [TABLE] t` (one `result` row, 0 for unknown names —
+    * CH returns 0, not an error), and `SHOW CREATE TABLE t` (one
+    * `statement` row of re-rendered canonical DDL — [[ChDdl.render]],
+    * whose output reparses to the identical descriptor). Returns None for
+    * anything else so [[runQuery]] falls through to the SELECT path.
+    */
+  def interactive(sql: String): Option[DataFrame] = {
+    import spark.implicits._
+    val s = sql.trim.stripSuffix(";").trim
+    val showDb = "(?i)^SHOW\\s+DATABASES$".r
+    val showTbl = "(?i)^SHOW\\s+TABLES(?:\\s+FROM\\s+(\\w+))?(?:\\s+LIKE\\s+'([^']*)')?$".r
+    val desc = "(?i)^DESC(?:RIBE)?(?:\\s+TABLE)?\\s+([\\w.]+)$".r
+    val existsRe = "(?i)^EXISTS(?:\\s+TABLE)?\\s+([\\w.]+)$".r
+    val showCreate = "(?i)^SHOW\\s+CREATE\\s+TABLE\\s+([\\w.]+)$".r
+    def descriptor(t: String): CreateTable =
+      tables.getOrElse(t, aliasDefs.getOrElse(t, tables.getOrElse(resolve(t),
+        sys.error(s"unknown table $t (known: ${
+          (tables.keys ++ aliasDefs.keys).toSeq.sorted.mkString(", ")})"))))
+    s match {
+      case showDb() =>
+        publishSystemTables()
+        Some(spark.sql("SELECT name FROM system.databases ORDER BY name"))
+      case showTbl(db, like) =>
+        publishSystemTables()
+        val conds = Option(db).map(d => s"database = '$d'").toSeq ++
+          Option(like).map(p => s"name LIKE '$p'").toSeq
+        val wh = if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
+        Some(spark.sql(s"SELECT name FROM system.tables$wh ORDER BY name"))
+      case desc(t) =>
+        val ct = descriptor(t)
+        Some(ct.cols.map(c => (c.name, c.chType,
+            c.default.map(_ => "DEFAULT").getOrElse(""), c.default.getOrElse(""),
+            c.comment.getOrElse("")))
+          .toDF("name", "type", "default_type", "default_expression", "comment"))
+      case existsRe(t) =>
+        Some(Seq(if (tables.contains(t) || aliases.contains(t)) 1 else 0).toDF("result"))
+      case showCreate(t) =>
+        Some(Seq(ChDdl.render(descriptor(t))).toDF("statement"))
+      case _ => None
+    }
+  }
+
   def runQuery(sql: String, substitutions: Map[String, String] = Map.empty): DataFrame = {
+    interactive(sql) match {
+      case Some(df) => return df
+      case None =>
+    }
     // mechanical dialect shims first (PREWHERE, FORMAT, WITH TOTALS)
     var q = ChSql(sql)
     q = """(?i)\busing\s+(\w+(?:\s*,\s*\w+)+)""".r

@@ -33,22 +33,35 @@ object Rebalance {
         .filter { case (_, (b, a)) => b != a }.toMap
   }
 
-  /** Per-partition file stats of a day-partitioned parquet table. */
+  /** Per-partition file stats of a day-partitioned parquet table —
+    * METADATA ONLY: row counts come from parquet footers, not a scan (the
+    * reference's system.parts reads are metadata lookups too, and a full
+    * count job per stats call would be a table scan at 100 TB). Partition
+    * values are returned hive-UNESCAPED, so they compare (and filter)
+    * against the column's own string values — the escaped dirname form
+    * previously made any value containing ':' '/' '%' read as zero rows
+    * and silently miss the rebalance filter.
+    */
   def partitionStats(spark: SparkSession, path: String, partitionCol: String = "day"):
       Seq[PartitionStat] = {
-    val fs = FileSystem.get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = FileSystem.get(new java.net.URI(path), conf)
     val root = new Path(path)
     if (!fs.exists(root)) return Nil
-    val rowCounts = spark.read.parquet(path)
-      .groupBy(col(partitionCol).cast("string").as("p"))
-      .agg(count(lit(1)).as("rows"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))
       .map { s =>
-        val files = fs.listStatus(s.getPath).filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
-        val value = s.getPath.getName.drop(partitionCol.length + 1)
-        PartitionStat(value, files.length.toLong, files.map(_.getLen).sum, rowCounts.getOrElse(value, 0L))
+        val files = fs.listStatus(s.getPath).toSeq.filter(f =>
+          f.isFile && f.getPath.getName.endsWith(".parquet") &&
+            !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+        val rows = files.map { f =>
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+          try reader.getRecordCount finally reader.close()
+        }.sum
+        val value = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(s.getPath.getName.drop(partitionCol.length + 1))
+        PartitionStat(value, files.length.toLong, files.map(_.getLen).sum, rows)
       }
       .sortBy(_.partition)
   }
@@ -72,7 +85,10 @@ object Rebalance {
         else {
           val avg = sizes.sum / sizes.length
           if (sizes.min <= avg * low && sizes.max >= avg * high)
-            Some(s.getPath.getName.drop(partitionCol.length + 1))
+            // unescaped like partitionStats — rebalance() filters on the
+            // COLUMN value, not the dirname encoding
+            Some(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .unescapePathName(s.getPath.getName.drop(partitionCol.length + 1)))
           else None
         }
       }.sorted

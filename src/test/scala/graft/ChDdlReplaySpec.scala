@@ -942,6 +942,59 @@ class ChDdlReplaySpec extends SparkSpec {
     assert(partsBy("detached_parts").isEmpty)
   }
 
+  test("SHOW CREATE TABLE rendering round-trips every reference descriptor") {
+    import ChDdl._
+    val files = Option(new java.io.File(sqlDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".sql"))
+    assume(files.nonEmpty, s"$sqlDir missing")
+    val cts = files.toSeq.sortBy(_.getName)
+      .flatMap(f => parse(script(f.getName)).collect { case t: CreateTable => t })
+    assert(cts.size >= 10, s"expected a corpus, got ${cts.size} tables")
+    cts.foreach { ct =>
+      val rendered = render(ct)
+      val back = parseStatement(rendered)
+      assert(back == ct,
+        s"round-trip drift for ${ct.name}:\n$rendered\nparsed: $back\norig:   $ct")
+    }
+  }
+
+  test("interactive statements: SHOW / DESCRIBE / EXISTS / SHOW CREATE " +
+      "answer from the catalog like a server") {
+    val replay = new ChReplay(spark, ChReplay.scratchWarehouse("graft-ia"))
+    replay.executeScript(
+      """create table dws.ia_local (
+        | day Date,
+        | k UInt64 default 0 comment 'the key',
+        | v SimpleAggregateFunction(sum, UInt64)
+        |) engine=AggregatingMergeTree()
+        |PARTITION BY day ORDER BY (day, k);
+        |create table dws.ia_dis (day Date, k UInt64)
+        | engine=Distributed(c, dws, ia_local, rand());""".stripMargin)
+    val dbs = replay.runQuery("SHOW DATABASES").collect().map(_.getString(0))
+    assert(dbs.contains("dws") && dbs.contains("system"))
+    assert(replay.runQuery("SHOW TABLES FROM dws").collect()
+      .map(_.getString(0)).toSet == Set("ia_local", "ia_dis"))
+    assert(replay.runQuery("SHOW TABLES FROM dws LIKE '%local'").collect()
+      .map(_.getString(0)).toSeq == Seq("ia_local"))
+    // DESCRIBE: declared order, CH's five-column shape, normalized types
+    val d = replay.runQuery("DESCRIBE TABLE dws.ia_local").collect()
+    assert(d.map(_.getString(0)).toSeq == Seq("day", "k", "v"))
+    assert(d(1).getString(1) == "UInt64" && d(1).getString(2) == "DEFAULT" &&
+      d(1).getString(3) == "0" && d(1).getString(4) == "the key")
+    // a Distributed alias describes ITS OWN declared columns, as in CH
+    assert(replay.runQuery("DESC dws.ia_dis").collect()
+      .map(_.getString(0)).toSeq == Seq("day", "k"))
+    assert(replay.runQuery("EXISTS TABLE dws.ia_local").head().getInt(0) == 1)
+    assert(replay.runQuery("EXISTS dws.nope").head().getInt(0) == 0)
+    val ddl = replay.runQuery("SHOW CREATE TABLE dws.ia_local").head().getString(0)
+    assert(ChDdl.parseStatement(ddl) == replay.tables("dws.ia_local"),
+      s"SHOW CREATE output does not reparse to the descriptor:\n$ddl")
+    // trailing semicolons and the bare DESC spelling both land
+    assert(replay.runQuery("SHOW CREATE TABLE dws.ia_dis;").head()
+      .getString(0).contains("ENGINE = Distributed(c, dws, ia_local, rand())"))
+    intercept[RuntimeException](replay.runQuery("SHOW CREATE TABLE dws.nope"))
+  }
+
   test("SELECT ... FROM t FINAL reads merge-debt-free (simple + state columns)") {
     val replay = new ChReplay(spark, ChReplay.scratchWarehouse("graft-selfinal"))
     replay.executeScript(

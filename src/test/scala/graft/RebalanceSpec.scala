@@ -46,4 +46,27 @@ class RebalanceSpec extends SparkSpec {
     // skew predicate no longer fires on the rewritten partition
     assert(Rebalance.detectSkew(spark, dir, "day").isEmpty)
   }
+
+  test("hive-escaped partition values: stats, skew and rebalance address " +
+      "the real value, and row counts come from footers") {
+    val dir = tmpDir("rebalance-esc") + "/t"
+    import spark.implicits._
+    // ':' is %-escaped in the dirname — the exact class of value the
+    // dirname-keyed row counts and rebalance filter used to silently miss
+    val v = "2024-01-01 00:00:00"
+    def write(n: Int): Unit = (1 to n).map(i => (v, i.toLong)).toDF("stamp", "uid")
+      .coalesce(1).write.partitionBy("stamp").mode("append").parquet(dir)
+    write(5000); write(1) // one big part + one tiny part -> skew fires
+
+    val stats = Rebalance.partitionStats(spark, dir, "stamp")
+    assert(stats.map(_.partition) == Seq(v), s"expected unescaped value, got $stats")
+    assert(stats.head.rows == 5001L && stats.head.files == 2L)
+
+    val skewed = Rebalance.detectSkew(spark, dir, "stamp")
+    assert(skewed == Seq(v))
+
+    val report = Rebalance.rebalance(spark, dir, "stamp", skewed, targetFiles = 2)
+    assert(report.consistent, s"reconciliation failed: ${report.inconsistent}")
+    assert(report.before(v) == 5001L && report.after(v) == 5001L)
+  }
 }
