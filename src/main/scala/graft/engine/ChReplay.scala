@@ -315,41 +315,57 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     * so the views are literal VALUES rewritten in place.
     */
   def publishSystemTables(): Unit = {
-    def q(s: String): String = "'" + s.replace("'", "''") + "'"
+    publishCatalogViews()
+    publishPartsViews()
+  }
+
+  /** Spark string-literal escaping for the VALUES views: backslash FIRST
+    * (Spark processes `\x` escapes in literals by default — an unescaped
+    * backslash in a partition value would corrupt the value or, before a
+    * closing quote, abort the whole CREATE VIEW), then quote doubling.
+    */
+  private def qlit(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+  private def mkSysView(name: String, cols: Seq[String], rows: Seq[Seq[String]]): Unit = {
     spark.sql("CREATE DATABASE IF NOT EXISTS system")
+    val body =
+      if (rows.isEmpty)
+        cols.map(c => s"CAST(NULL AS STRING) AS $c").mkString("SELECT ", ", ", " WHERE false")
+      else rows.map(_.mkString("(", ", ", ")"))
+        .mkString(s"SELECT * FROM VALUES ", ", ", s" AS t(${cols.mkString(", ")})")
+    spark.sql(s"CREATE OR REPLACE VIEW system.$name AS $body")
+  }
 
-    def mkView(name: String, cols: Seq[String], rows: Seq[Seq[String]]): Unit = {
-      val body =
-        if (rows.isEmpty)
-          cols.map(c => s"CAST(NULL AS STRING) AS $c").mkString("SELECT ", ", ", " WHERE false")
-        else rows.map(_.mkString("(", ", ", ")"))
-          .mkString(s"SELECT * FROM VALUES ", ", ", s" AS t(${cols.mkString(", ")})")
-      spark.sql(s"CREATE OR REPLACE VIEW system.$name AS $body")
-    }
+  // a table created without a database qualifier (the ENGINE=Null branch
+  // admits these) lands in CH's `default` db; destructuring split('.')
+  // into exactly two parts would MatchError on it and abort publish()
+  private def dbTable(n: String): (String, String) = n.indexOf('.') match {
+    case -1 => ("default", n)
+    case i  => (n.substring(0, i), n.substring(i + 1))
+  }
 
+  /** The metadata-only views (databases/tables/columns) — cheap, no
+    * filesystem access; what the interactive SHOW statements refresh.
+    */
+  def publishCatalogViews(): Unit = {
+    def q(s: String): String = qlit(s)
     val engineOf: String => String = n =>
       if (aliases.contains(n)) "Distributed"
       else if (tables.get(n).exists(_.isAggregating)) "AggregatingMergeTree"
       else if (tables.get(n).exists(_.engine.equalsIgnoreCase("Null"))) "Null"
       else if (tables.contains(n)) "MergeTree"
       else "View"
-    // a table created without a database qualifier (the ENGINE=Null branch
-    // admits these) lands in CH's `default` db; destructuring split('.')
-    // into exactly two parts would MatchError on it and abort publish()
-    def dbTable(n: String): (String, String) = n.indexOf('.') match {
-      case -1 => ("default", n)
-      case i  => (n.substring(0, i), n.substring(i + 1))
-    }
     val allNames = (tables.keys ++ aliases.keys).toSeq.distinct.sorted
-    mkView("databases", Seq("name"),
+    mkSysView("databases", Seq("name"),
       (allNames.map(dbTable(_)._1).distinct.sorted :+ "system")
         .map(d => Seq(q(d))))
-    mkView("tables", Seq("database", "name", "engine"),
+    mkSysView("tables", Seq("database", "name", "engine"),
       allNames.map { n =>
         val (db, t) = dbTable(n)
         Seq(q(db), q(t), q(engineOf(n)))
       })
-    mkView("columns", Seq("database", "table", "name", "type"),
+    mkSysView("columns", Seq("database", "table", "name", "type"),
       allNames.flatMap { n =>
         val (db, t) = dbTable(n)
         // an alias's OWN declared shape when it has one (CH lists the
@@ -358,15 +374,24 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
           .toSeq.flatMap(_.cols.map(c =>
             Seq(q(db), q(t), q(c.name), q(c.chType))))
       })
-    // One row per PART (= one parquet data file), as in CH: `partition` is
-    // the UNESCAPED value (the dirname is hive-escaped — substring past the
-    // FIRST '=' then unescape, so values containing ':' or '=' read back as
-    // written), `name` the part's file name, `rows` its footer record count
-    // (metadata only — no scan). The canonical operational query shape —
-    // `SELECT partition, sum(rows), sum(bytes_on_disk) FROM system.parts
-    // WHERE table = 't' GROUP BY partition` (ref data_rebalance.py:116-205)
-    // — runs verbatim. Detached copies mirror into system.detached_parts
-    // (CH keeps them out of system.parts too).
+  }
+
+  /** One row per PART (= one parquet data file), as in CH: `partition` is
+    * the UNESCAPED value (the dirname is hive-escaped — substring past the
+    * FIRST '=' then unescape, so values containing ':' or '=' read back as
+    * written), `name` the part's file name, `rows` its footer record count
+    * (metadata only — no scan; the part definition and the footer read are
+    * [[Rebalance.dataFiles]]/[[Rebalance.footerRows]], shared with the
+    * rebalance tool so the two views can never disagree). The canonical
+    * operational query shape — `SELECT partition, sum(rows),
+    * sum(bytes_on_disk) FROM system.parts WHERE table = 't' GROUP BY
+    * partition` (ref data_rebalance.py:116-205) — runs verbatim. Detached
+    * copies mirror into system.detached_parts (CH keeps them out of
+    * system.parts too). Split from [[publishCatalogViews]] because this
+    * one costs a footer read per data file — the interactive SHOW
+    * statements must not pay it just to list names.
+    */
+  def publishPartsViews(): Unit = {
     def enumerateParts(stPath: String, sub: String): Seq[(String, String, Long, Long)] = {
       val conf = spark.sparkContext.hadoopConfiguration
       val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(stPath), conf)
@@ -379,28 +404,23 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
           val dn = d.getPath.getName
           val value = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
             .unescapePathName(dn.substring(dn.indexOf('=') + 1))
-          fs.listStatus(d.getPath).toSeq
-            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet") &&
-              !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
-            .map { f =>
-              val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-                org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
-              val rows = try reader.getRecordCount finally reader.close()
-              (value, f.getPath.getName, rows, f.getLen)
-            }
+          Rebalance.dataFiles(fs, d.getPath).map { f =>
+            (value, f.getPath.getName, Rebalance.footerRows(conf, f.getPath), f.getLen)
+          }
         }.sortBy(p => (p._1, p._2))
     }
     def partRows(sub: String): Seq[Seq[String]] =
       stateTables.toSeq.sortBy(_._1).flatMap { case (n, st) =>
         val (db, t) = dbTable(n)
         enumerateParts(st.path, sub).map { case (value, name, rows, bytes) =>
-          Seq(q(db), q(t), q(value), q(name), rows.toString, "1", bytes.toString)
+          Seq(qlit(db), qlit(t), qlit(value), qlit(name), rows.toString, "1",
+            bytes.toString)
         }
       }
     val partCols = Seq("database", "table", "partition", "name", "rows", "active",
       "bytes_on_disk")
-    mkView("parts", partCols, partRows(""))
-    mkView("detached_parts", partCols, partRows(".detached"))
+    mkSysView("parts", partCols, partRows(""))
+    mkSysView("detached_parts", partCols, partRows(".detached"))
   }
 
   /** Run one of the scripts' SELECTs with three mechanical shims: CH's
@@ -420,7 +440,15 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     * CH returns 0, not an error), and `SHOW CREATE TABLE t` (one
     * `statement` row of re-rendered canonical DDL — [[ChDdl.render]],
     * whose output reparses to the identical descriptor). Returns None for
-    * anything else so [[runQuery]] falls through to the SELECT path.
+    * anything else so [[runQuery]] falls through to the SELECT path —
+    * including DESCRIBE / SHOW CREATE of names this replay does not own
+    * but the Spark catalog does (system.*, externally bound tables):
+    * those fall through to Spark's native statements. Two deliberate
+    * deviations from a server: the unqualified `SHOW TABLES` lists every
+    * database (this engine has no USE statement, so there is no "current"
+    * database to scope to), and only the cheap metadata views refresh
+    * here — parts views rebuild on [[publish]] / [[publishSystemTables]],
+    * not per name listing.
     */
   def interactive(sql: String): Option[DataFrame] = {
     import spark.implicits._
@@ -430,29 +458,33 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     val desc = "(?i)^DESC(?:RIBE)?(?:\\s+TABLE)?\\s+([\\w.]+)$".r
     val existsRe = "(?i)^EXISTS(?:\\s+TABLE)?\\s+([\\w.]+)$".r
     val showCreate = "(?i)^SHOW\\s+CREATE\\s+TABLE\\s+([\\w.]+)$".r
+    def known(t: String): Boolean =
+      tables.contains(t) || aliasDefs.contains(t) || tables.contains(resolve(t))
+    def catalogHas(t: String): Boolean =
+      try spark.catalog.tableExists(t) catch { case _: Exception => false }
     def descriptor(t: String): CreateTable =
       tables.getOrElse(t, aliasDefs.getOrElse(t, tables.getOrElse(resolve(t),
         sys.error(s"unknown table $t (known: ${
           (tables.keys ++ aliasDefs.keys).toSeq.sorted.mkString(", ")})"))))
     s match {
       case showDb() =>
-        publishSystemTables()
+        publishCatalogViews()
         Some(spark.sql("SELECT name FROM system.databases ORDER BY name"))
       case showTbl(db, like) =>
-        publishSystemTables()
-        val conds = Option(db).map(d => s"database = '$d'").toSeq ++
-          Option(like).map(p => s"name LIKE '$p'").toSeq
+        publishCatalogViews()
+        val conds = Option(db).map(d => s"database = ${qlit(d)}").toSeq ++
+          Option(like).map(p => s"name LIKE ${qlit(p)}").toSeq
         val wh = if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
         Some(spark.sql(s"SELECT name FROM system.tables$wh ORDER BY name"))
-      case desc(t) =>
+      case desc(t) if known(t) || !catalogHas(t) =>
         val ct = descriptor(t)
         Some(ct.cols.map(c => (c.name, c.chType,
             c.default.map(_ => "DEFAULT").getOrElse(""), c.default.getOrElse(""),
             c.comment.getOrElse("")))
           .toDF("name", "type", "default_type", "default_expression", "comment"))
       case existsRe(t) =>
-        Some(Seq(if (tables.contains(t) || aliases.contains(t)) 1 else 0).toDF("result"))
-      case showCreate(t) =>
+        Some(Seq(if (known(t) || catalogHas(t)) 1 else 0).toDF("result"))
+      case showCreate(t) if known(t) || !catalogHas(t) =>
         Some(Seq(ChDdl.render(descriptor(t))).toDF("statement"))
       case _ => None
     }

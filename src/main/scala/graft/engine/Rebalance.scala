@@ -21,6 +21,30 @@ import org.apache.spark.sql.functions._
 object Rebalance {
 
   final case class PartitionStat(partition: String, files: Long, bytes: Long, rows: Long)
+
+  /** The parquet data files directly under `dir` — THE definition of a
+    * "part" (hidden, underscore-prefixed and non-parquet sidecar files
+    * excluded), shared by [[partitionStats]], [[detectSkew]] and
+    * system.parts publication so the three views of a directory can
+    * never disagree about what counts.
+    */
+  def dataFiles(fs: FileSystem, dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+    fs.listStatus(dir).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet") &&
+        !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+      .sortBy(_.getPath.getName)
+
+  /** Footer record count of one parquet file — metadata only, no scan. */
+  def footerRows(conf: org.apache.hadoop.conf.Configuration, f: Path): Long = {
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+    try reader.getRecordCount finally reader.close()
+  }
+
+  /** The hive-UNESCAPED partition value of a `col=value` directory name. */
+  def dirValue(dirName: String, partitionCol: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .unescapePathName(dirName.drop(partitionCol.length + 1))
   final case class Report(
       rebalanced: Seq[String],
       before: Map[String, Long],
@@ -51,17 +75,10 @@ object Rebalance {
     fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))
       .map { s =>
-        val files = fs.listStatus(s.getPath).toSeq.filter(f =>
-          f.isFile && f.getPath.getName.endsWith(".parquet") &&
-            !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
-        val rows = files.map { f =>
-          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
-          try reader.getRecordCount finally reader.close()
-        }.sum
-        val value = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .unescapePathName(s.getPath.getName.drop(partitionCol.length + 1))
-        PartitionStat(value, files.length.toLong, files.map(_.getLen).sum, rows)
+        val files = dataFiles(fs, s.getPath)
+        val rows = files.map(f => footerRows(conf, f.getPath)).sum
+        PartitionStat(dirValue(s.getPath.getName, partitionCol),
+          files.length.toLong, files.map(_.getLen).sum, rows)
       }
       .sortBy(_.partition)
   }
@@ -78,17 +95,16 @@ object Rebalance {
     fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))
       .flatMap { s =>
-        val sizes = fs.listStatus(s.getPath)
-          .filter(f => f.isFile && !f.getPath.getName.startsWith("_") && f.getLen > 0)
-          .map(_.getLen.toDouble)
+        // same part definition as partitionStats/system.parts — a stray
+        // sidecar file must not be able to flag a healthy partition skewed
+        val sizes = dataFiles(fs, s.getPath).filter(_.getLen > 0).map(_.getLen.toDouble)
         if (sizes.length < 2) None
         else {
           val avg = sizes.sum / sizes.length
           if (sizes.min <= avg * low && sizes.max >= avg * high)
             // unescaped like partitionStats — rebalance() filters on the
             // COLUMN value, not the dirname encoding
-            Some(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-              .unescapePathName(s.getPath.getName.drop(partitionCol.length + 1)))
+            Some(dirValue(s.getPath.getName, partitionCol))
           else None
         }
       }.sorted

@@ -993,6 +993,32 @@ class ChDdlReplaySpec extends SparkSpec {
     assert(replay.runQuery("SHOW CREATE TABLE dws.ia_dis;").head()
       .getString(0).contains("ENGINE = Distributed(c, dws, ia_local, rand())"))
     intercept[RuntimeException](replay.runQuery("SHOW CREATE TABLE dws.nope"))
+
+    // names the replay does not own but the Spark catalog does fall
+    // through to the NATIVE statements instead of erroring
+    replay.publishSystemTables()
+    assert(replay.runQuery("DESCRIBE TABLE system.parts").collect()
+      .map(_.getString(0)).contains("partition"))
+    assert(replay.runQuery("EXISTS TABLE system.parts").head().getInt(0) == 1)
+    // backslashes in LIKE patterns reach LIKE intact: '\_' is the escaped
+    // literal underscore (matches), and a trailing lone escape is LIKE's
+    // own well-formed error — not a corrupted listing statement
+    assert(replay.runQuery("SHOW TABLES FROM dws LIKE 'ia\\_l%'").collect()
+      .map(_.getString(0)).toSeq == Seq("ia_local"))
+    intercept[org.apache.spark.sql.AnalysisException](
+      replay.runQuery("SHOW TABLES FROM dws LIKE '%\\'").collect())
+
+    // a partition value containing a backslash survives the VALUES views
+    import spark.implicits._
+    val bst = new graft.mv.StateTable(spark, tmpDir("ia-esc") + "/bs",
+      keys = Seq("grp", "k"), partitionCol = "grp",
+      metrics = Seq(graft.mv.CountMetric("cnt")))
+    bst.appendBatch(Seq(("a\\b", 1L)).toDF("grp", "k"))
+    replay.stateTables("dws.bs_local") = bst
+    replay.publishSystemTables()
+    val pv = spark.sql("SELECT partition FROM system.parts WHERE table = 'bs_local'")
+      .collect().map(_.getString(0)).toSeq
+    assert(pv == Seq("a\\b"), s"backslash partition value corrupted: $pv")
   }
 
   test("SELECT ... FROM t FINAL reads merge-debt-free (simple + state columns)") {

@@ -828,7 +828,7 @@ object FuzzGen {
       (s"array(${elems.mkString(", ")})", s"[${elems.mkString(", ")}]")
     }
 
-    def step(sp: String, du: String): (String, String) = rnd.nextInt(9) match {
+    def step(sp: String, du: String): (String, String) = rnd.nextInt(10) match {
       case 0 =>
         val m = 2 + rnd.nextInt(3); val b = rnd.nextInt(6)
         (s"arrayMap(x -> x * $m + $b, $sp)", s"list_transform($du, x -> x * $m + $b)")
@@ -853,9 +853,16 @@ object FuzzGen {
           (s"arrayPushBack($sp, CAST($k AS BIGINT))", s"list_append($du, CAST($k AS BIGINT))")
         else
           (s"arrayPushFront($sp, CAST($k AS BIGINT))", s"list_prepend(CAST($k AS BIGINT), $du)")
-      case _ =>
+      case 8 =>
         val o = 1 + rnd.nextInt(2); val len = 1 + rnd.nextInt(3)
         (s"arraySlice($sp, $o, $len)", s"list_slice($du, $o, ${o + len - 1})")
+      case _ =>
+        // both sides are EMPTY-safe: graft's pops return [] on [], and
+        // list_slice clamps (len([])-1 = -1 / begin 2 past the end -> [])
+        if (rnd.nextBoolean())
+          (s"arrayPopBack($sp)", s"list_slice($du, 1, len($du) - 1)")
+        else
+          (s"arrayPopFront($sp)", s"list_slice($du, 2, len($du))")
     }
 
     def reducer(sp: String, du: String, alias: String): (String, String) =
