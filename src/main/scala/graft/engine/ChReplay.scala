@@ -327,11 +327,17 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
   private def qlit(s: String): String =
     "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 
-  private def mkSysView(name: String, cols: Seq[String], rows: Seq[Seq[String]]): Unit = {
-    spark.sql("CREATE DATABASE IF NOT EXISTS system")
+  /** `emptySchema` keeps the zero-row view's column types identical to the
+    * populated form (all-STRING nulls would flip e.g. sum(rows) from BIGINT
+    * to DOUBLE the moment a table empties — schema must not depend on
+    * emptiness).
+    */
+  private def mkSysView(name: String, cols: Seq[String], rows: Seq[Seq[String]],
+      emptySchema: Option[StructType] = None): Unit = {
     val body =
       if (rows.isEmpty)
-        cols.map(c => s"CAST(NULL AS STRING) AS $c").mkString("SELECT ", ", ", " WHERE false")
+        emptySchema.map(emptySelectSql).getOrElse(
+          cols.map(c => s"CAST(NULL AS STRING) AS $c").mkString("SELECT ", ", ", " WHERE false"))
       else rows.map(_.mkString("(", ", ", ")"))
         .mkString(s"SELECT * FROM VALUES ", ", ", s" AS t(${cols.mkString(", ")})")
     spark.sql(s"CREATE OR REPLACE VIEW system.$name AS $body")
@@ -349,7 +355,7 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     * filesystem access; what the interactive SHOW statements refresh.
     */
   def publishCatalogViews(): Unit = {
-    def q(s: String): String = qlit(s)
+    spark.sql("CREATE DATABASE IF NOT EXISTS system")
     val engineOf: String => String = n =>
       if (aliases.contains(n)) "Distributed"
       else if (tables.get(n).exists(_.isAggregating)) "AggregatingMergeTree"
@@ -359,11 +365,11 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     val allNames = (tables.keys ++ aliases.keys).toSeq.distinct.sorted
     mkSysView("databases", Seq("name"),
       (allNames.map(dbTable(_)._1).distinct.sorted :+ "system")
-        .map(d => Seq(q(d))))
+        .map(d => Seq(qlit(d))))
     mkSysView("tables", Seq("database", "name", "engine"),
       allNames.map { n =>
         val (db, t) = dbTable(n)
-        Seq(q(db), q(t), q(engineOf(n)))
+        Seq(qlit(db), qlit(t), qlit(engineOf(n)))
       })
     mkSysView("columns", Seq("database", "table", "name", "type"),
       allNames.flatMap { n =>
@@ -372,7 +378,7 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
         // Distributed table's columns, not its target's)
         tables.get(n).orElse(aliasDefs.get(n)).orElse(tables.get(resolve(n)))
           .toSeq.flatMap(_.cols.map(c =>
-            Seq(q(db), q(t), q(c.name), q(c.chType))))
+            Seq(qlit(db), qlit(t), qlit(c.name), qlit(c.chType))))
       })
   }
 
@@ -413,15 +419,35 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
       stateTables.toSeq.sortBy(_._1).flatMap { case (n, st) =>
         val (db, t) = dbTable(n)
         enumerateParts(st.path, sub).map { case (value, name, rows, bytes) =>
-          Seq(qlit(db), qlit(t), qlit(value), qlit(name), rows.toString, "1",
-            bytes.toString)
+          // rows/bytes as explicit BIGINT — a bare small literal would type
+          // INT and the column's type would depend on the data's magnitude
+          Seq(qlit(db), qlit(t), qlit(value), qlit(name),
+            s"CAST($rows AS BIGINT)", "1", s"CAST($bytes AS BIGINT)")
         }
       }
+    spark.sql("CREATE DATABASE IF NOT EXISTS system")
     val partCols = Seq("database", "table", "partition", "name", "rows", "active",
       "bytes_on_disk")
-    mkSysView("parts", partCols, partRows(""))
-    mkSysView("detached_parts", partCols, partRows(".detached"))
+    val partSchema = StructType(Seq(
+      StructField("database", org.apache.spark.sql.types.StringType),
+      StructField("table", org.apache.spark.sql.types.StringType),
+      StructField("partition", org.apache.spark.sql.types.StringType),
+      StructField("name", org.apache.spark.sql.types.StringType),
+      StructField("rows", org.apache.spark.sql.types.LongType),
+      StructField("active", org.apache.spark.sql.types.IntegerType),
+      StructField("bytes_on_disk", org.apache.spark.sql.types.LongType)))
+    mkSysView("parts", partCols, partRows(""), Some(partSchema))
+    mkSysView("detached_parts", partCols, partRows(".detached"), Some(partSchema))
   }
+
+  /** Parts views exist-on-demand for interactive sessions that never
+    * called [[publish]] — created (possibly empty) when missing, refreshed
+    * only by the publish calls (they cost a footer read per data file).
+    */
+  private def ensurePartsViews(): Unit =
+    if (!spark.catalog.tableExists("system.parts") ||
+        !spark.catalog.tableExists("system.detached_parts"))
+      publishPartsViews()
 
   /** Run one of the scripts' SELECTs with three mechanical shims: CH's
     * paren-less `USING a,b` becomes `USING (a,b)`; literal date
@@ -447,8 +473,9 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     * deviations from a server: the unqualified `SHOW TABLES` lists every
     * database (this engine has no USE statement, so there is no "current"
     * database to scope to), and only the cheap metadata views refresh
-    * here — parts views rebuild on [[publish]] / [[publishSystemTables]],
-    * not per name listing.
+    * here — parts views are created when missing but rebuild only on
+    * [[publish]] / [[publishSystemTables]] (they cost a footer read per
+    * data file, which a name listing must not pay).
     */
   def interactive(sql: String): Option[DataFrame] = {
     import spark.implicits._
@@ -466,14 +493,39 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
       tables.getOrElse(t, aliasDefs.getOrElse(t, tables.getOrElse(resolve(t),
         sys.error(s"unknown table $t (known: ${
           (tables.keys ++ aliasDefs.keys).toSeq.sorted.mkString(", ")})"))))
+    // CH string-literal unescaping for the captured LIKE pattern: `\\` is
+    // a literal backslash and any other `\c` drops the backslash (CH's
+    // unknown-escape rule) — so CH's `'ia\_l%'` means WILDCARD underscore
+    // and its literal-underscore form `'ia\\_l%'` reaches Spark's LIKE as
+    // the escaped `\_`, matching CH's own pattern semantics.
+    def chUnescape(p: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < p.length) {
+        val c = p.charAt(i)
+        if (c == '\\' && i + 1 < p.length) {
+          sb.append(p.charAt(i + 1) match {
+            case 'n' => '\n'
+            case 't' => '\t'
+            case 'r' => '\r'
+            case 'b' => '\b'
+            case 'f' => '\f'
+            case '0' => '\u0000'
+            case other => other
+          })
+          i += 2
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
     s match {
       case showDb() =>
-        publishCatalogViews()
+        publishCatalogViews(); ensurePartsViews()
         Some(spark.sql("SELECT name FROM system.databases ORDER BY name"))
       case showTbl(db, like) =>
-        publishCatalogViews()
+        publishCatalogViews(); ensurePartsViews()
         val conds = Option(db).map(d => s"database = ${qlit(d)}").toSeq ++
-          Option(like).map(p => s"name LIKE ${qlit(p)}").toSeq
+          Option(like).map(p => s"name LIKE ${qlit(chUnescape(p))}").toSeq
         val wh = if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
         Some(spark.sql(s"SELECT name FROM system.tables$wh ORDER BY name"))
       case desc(t) if known(t) || !catalogHas(t) =>

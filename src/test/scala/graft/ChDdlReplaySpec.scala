@@ -1000,13 +1000,23 @@ class ChDdlReplaySpec extends SparkSpec {
     assert(replay.runQuery("DESCRIBE TABLE system.parts").collect()
       .map(_.getString(0)).contains("partition"))
     assert(replay.runQuery("EXISTS TABLE system.parts").head().getInt(0) == 1)
-    // backslashes in LIKE patterns reach LIKE intact: '\_' is the escaped
-    // literal underscore (matches), and a trailing lone escape is LIKE's
-    // own well-formed error — not a corrupted listing statement
+    // LIKE patterns carry CH STRING-LITERAL semantics: CH converts the
+    // unknown escape '\_' to '_' (a WILDCARD), and the CH way to match a
+    // literal underscore is '\\_'. dws.iaglocal distinguishes the two
+    // readings: the wildcard matches it, the escaped literal must not.
+    replay.executeScript("create table dws.iaglocal (k UInt64) engine=Null;")
+    assert(replay.runQuery("SHOW TABLES FROM dws LIKE 'ia_l%'").collect()
+      .map(_.getString(0)).toSeq == Seq("ia_local", "iaglocal"))
     assert(replay.runQuery("SHOW TABLES FROM dws LIKE 'ia\\_l%'").collect()
-      .map(_.getString(0)).toSeq == Seq("ia_local"))
+      .map(_.getString(0)).toSeq == Seq("ia_local", "iaglocal"),
+      "CH drops the backslash of an unknown escape — '\\_' is the wildcard")
+    assert(replay.runQuery("SHOW TABLES FROM dws LIKE 'ia\\\\_l%'").collect()
+      .map(_.getString(0)).toSeq == Seq("ia_local"),
+      "CH's '\\\\_' is the escaped LITERAL underscore")
+    // a trailing lone escape is LIKE's own well-formed error — not a
+    // corrupted listing statement
     intercept[org.apache.spark.sql.AnalysisException](
-      replay.runQuery("SHOW TABLES FROM dws LIKE '%\\'").collect())
+      replay.runQuery("SHOW TABLES FROM dws LIKE '%\\\\'").collect())
 
     // a partition value containing a backslash survives the VALUES views
     import spark.implicits._
