@@ -426,28 +426,40 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
         }
       }
     spark.sql("CREATE DATABASE IF NOT EXISTS system")
-    val partCols = Seq("database", "table", "partition", "name", "rows", "active",
-      "bytes_on_disk")
-    val partSchema = StructType(Seq(
-      StructField("database", org.apache.spark.sql.types.StringType),
-      StructField("table", org.apache.spark.sql.types.StringType),
-      StructField("partition", org.apache.spark.sql.types.StringType),
-      StructField("name", org.apache.spark.sql.types.StringType),
-      StructField("rows", org.apache.spark.sql.types.LongType),
-      StructField("active", org.apache.spark.sql.types.IntegerType),
-      StructField("bytes_on_disk", org.apache.spark.sql.types.LongType)))
     mkSysView("parts", partCols, partRows(""), Some(partSchema))
     mkSysView("detached_parts", partCols, partRows(".detached"), Some(partSchema))
   }
 
+  /** The parts views' one schema definition — the populated VALUES form
+    * derives its column list from this, so the two can never drift.
+    */
+  private val partSchema = StructType(Seq(
+    StructField("database", StringType),
+    StructField("table", StringType),
+    StructField("partition", StringType),
+    StructField("name", StringType),
+    StructField("rows", LongType),
+    StructField("active", IntegerType),
+    StructField("bytes_on_disk", LongType)))
+  private def partCols: Seq[String] = partSchema.fieldNames.toSeq
+
   /** Parts views exist-on-demand for interactive sessions that never
-    * called [[publish]] — created (possibly empty) when missing, refreshed
-    * only by the publish calls (they cost a footer read per data file).
+    * called [[publish]]: when real parts exist this publishes them ONCE
+    * (empty views over live data would lie, and the per-file footer cost
+    * amortizes — the views then exist, so later listings skip this); a
+    * parts-less session just gets correctly-typed empty views. Refresh
+    * stays on the publish calls.
     */
   private def ensurePartsViews(): Unit =
     if (!spark.catalog.tableExists("system.parts") ||
-        !spark.catalog.tableExists("system.detached_parts"))
-      publishPartsViews()
+        !spark.catalog.tableExists("system.detached_parts")) {
+      if (stateTables.nonEmpty) publishPartsViews()
+      else {
+        spark.sql("CREATE DATABASE IF NOT EXISTS system")
+        mkSysView("parts", partCols, Nil, Some(partSchema))
+        mkSysView("detached_parts", partCols, Nil, Some(partSchema))
+      }
+    }
 
   /** Run one of the scripts' SELECTs with three mechanical shims: CH's
     * paren-less `USING a,b` becomes `USING (a,b)`; literal date
@@ -481,7 +493,8 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     import spark.implicits._
     val s = sql.trim.stripSuffix(";").trim
     val showDb = "(?i)^SHOW\\s+DATABASES$".r
-    val showTbl = "(?i)^SHOW\\s+TABLES(?:\\s+FROM\\s+(\\w+))?(?:\\s+LIKE\\s+'([^']*)')?$".r
+    val showTbl =
+      "(?i)^SHOW\\s+TABLES(?:\\s+FROM\\s+(\\w+))?(?:\\s+LIKE\\s+'((?:[^'\\\\]|\\\\.|'')*)')?$".r
     val desc = "(?i)^DESC(?:RIBE)?(?:\\s+TABLE)?\\s+([\\w.]+)$".r
     val existsRe = "(?i)^EXISTS(?:\\s+TABLE)?\\s+([\\w.]+)$".r
     val showCreate = "(?i)^SHOW\\s+CREATE\\s+TABLE\\s+([\\w.]+)$".r
@@ -493,27 +506,23 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
       tables.getOrElse(t, aliasDefs.getOrElse(t, tables.getOrElse(resolve(t),
         sys.error(s"unknown table $t (known: ${
           (tables.keys ++ aliasDefs.keys).toSeq.sorted.mkString(", ")})"))))
-    // CH string-literal unescaping for the captured LIKE pattern: `\\` is
-    // a literal backslash and any other `\c` drops the backslash (CH's
-    // unknown-escape rule) — so CH's `'ia\_l%'` means WILDCARD underscore
-    // and its literal-underscore form `'ia\\_l%'` reaches Spark's LIKE as
-    // the escaped `\_`, matching CH's own pattern semantics.
+    // CH string-literal unescaping for the captured LIKE pattern — the
+    // shared ChSql.chEscape table (`\\` stays a literal backslash, any
+    // unknown `\c` drops the backslash, `''` is the doubled-quote escape):
+    // CH's `'ia\_l%'` therefore means WILDCARD underscore while its
+    // literal-underscore form `'ia\\_l%'` reaches Spark's LIKE as the
+    // escaped `\_`, matching CH's own pattern semantics.
     def chUnescape(p: String): String = {
       val sb = new StringBuilder
       var i = 0
       while (i < p.length) {
         val c = p.charAt(i)
         if (c == '\\' && i + 1 < p.length) {
-          sb.append(p.charAt(i + 1) match {
-            case 'n' => '\n'
-            case 't' => '\t'
-            case 'r' => '\r'
-            case 'b' => '\b'
-            case 'f' => '\f'
-            case '0' => '\u0000'
-            case other => other
-          })
-          i += 2
+          val (dec, used) = ChSql.chEscape(p, i + 1)
+          sb.append(dec)
+          i += 1 + used
+        } else if (c == '\'' && i + 1 < p.length && p.charAt(i + 1) == '\'') {
+          sb.append('\''); i += 2
         } else { sb.append(c); i += 1 }
       }
       sb.toString
@@ -528,19 +537,41 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
           Option(like).map(p => s"name LIKE ${qlit(chUnescape(p))}").toSeq
         val wh = if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
         Some(spark.sql(s"SELECT name FROM system.tables$wh ORDER BY name"))
-      case desc(t) if known(t) || !catalogHas(t) =>
-        val ct = descriptor(t)
-        Some(ct.cols.map(c => (c.name, c.chType,
-            c.default.map(_ => "DEFAULT").getOrElse(""), c.default.getOrElse(""),
-            c.comment.getOrElse("")))
-          .toDF("name", "type", "default_type", "default_expression", "comment"))
+      // a SHOW TABLES form the scanner does not recognize must refuse, not
+      // fall through: Spark's native SHOW TABLES has GLOB pattern semantics
+      // and a different output schema — a silent handoff would return
+      // plausible-looking wrong rows
+      case other if "(?i)^SHOW\\s+TABLES\\b".r.findFirstIn(other).isDefined =>
+        sys.error(s"unsupported SHOW TABLES form (FROM <db> / LIKE '<pattern>'): $s")
+      case desc(t) =>
+        ensureSystemFor(t)
+        if (!known(t) && catalogHas(t)) None // native DESCRIBE answers
+        else {
+          val ct = descriptor(t)
+          Some(ct.cols.map(c => (c.name, c.chType,
+              c.default.map(_ => "DEFAULT").getOrElse(""), c.default.getOrElse(""),
+              c.comment.getOrElse("")))
+            .toDF("name", "type", "default_type", "default_expression", "comment"))
+        }
       case existsRe(t) =>
+        ensureSystemFor(t)
         Some(Seq(if (known(t) || catalogHas(t)) 1 else 0).toDF("result"))
-      case showCreate(t) if known(t) || !catalogHas(t) =>
-        Some(Seq(ChDdl.render(descriptor(t))).toDF("statement"))
+      case showCreate(t) =>
+        ensureSystemFor(t)
+        if (!known(t) && catalogHas(t)) None // native SHOW CREATE answers
+        else Some(Seq(ChDdl.render(descriptor(t))).toDF("statement"))
       case _ => None
     }
   }
+
+  /** Make a `system.*` name introspectable before DESCRIBE/EXISTS/SHOW
+    * CREATE consult the catalog — a fresh session that never published
+    * would otherwise report system tables unknown (CH's always exist).
+    */
+  private def ensureSystemFor(t: String): Unit =
+    if (t.toLowerCase.startsWith("system.")) {
+      publishCatalogViews(); ensurePartsViews()
+    }
 
   def runQuery(sql: String, substitutions: Map[String, String] = Map.empty): DataFrame = {
     interactive(sql) match {

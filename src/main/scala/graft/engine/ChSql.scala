@@ -542,6 +542,33 @@ object ChSql {
     body
   }
 
+  /** Decode ONE ClickHouse string-literal escape — the text at `j` is the
+    * char(s) following a backslash. Control escapes decode, `\xHH` decodes
+    * the hex byte, and any other `\c` means `c` (CH's unknown-escape
+    * rule). Returns (decoded string, source chars consumed after the
+    * backslash). The single definition shared by the quoted-identifier
+    * scanner below and ChReplay's SHOW TABLES LIKE pattern decoding —
+    * two inline copies of this table had already drifted once.
+    */
+  def chEscape(s: String, j: Int): (String, Int) = s.charAt(j) match {
+    case 'n' => ("\n", 1)
+    case 't' => ("\t", 1)
+    case 'r' => ("\r", 1)
+    case '0' => ("\u0000", 1)
+    case 'b' => ("\b", 1)
+    case 'f' => ("\f", 1)
+    case 'a' => ("\u0007", 1)
+    case 'v' => ("\u000B", 1)
+    case 'x' if j + 2 < s.length &&
+        s.charAt(j + 1).isValidHexDigit && s.charAt(j + 2).isValidHexDigit =>
+      (Integer.parseInt(s.substring(j + 1, j + 3), 16).toChar.toString, 3)
+    case other => (other.toString, 1)
+  }
+
+  private implicit class HexChar(private val c: Char) extends AnyVal {
+    def isValidHexDigit: Boolean = Character.digit(c, 16) >= 0
+  }
+
   /** CH double-quoted identifiers → Spark backtick identifiers. In
     * ClickHouse `"name"` is ALWAYS an identifier (string literals are
     * single-quoted only); Spark's default parser reads `"name"` as a
@@ -567,15 +594,11 @@ object ChSql {
         while (j < q.length && !closed) {
           val d = q.charAt(j)
           if (d == '\\' && j + 1 < q.length) {
-            // CH quoted identifiers use string-literal escape rules:
-            // control escapes decode, \x for anything else means x
-            name += (q.charAt(j + 1) match {
-              case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
-              case '0' => '\u0000'; case 'b' => '\b'; case 'f' => '\f'
-              case 'a' => '\u0007'; case 'v' => '\u000B'
-              case other => other
-            })
-            j += 2
+            // CH quoted identifiers use string-literal escape rules --
+            // the shared chEscape table
+            val (dec, used) = chEscape(q, j + 1)
+            name ++= dec
+            j += 1 + used
           }
           else if (d == '"') {
             if (j + 1 < q.length && q.charAt(j + 1) == '"') { name += '"'; j += 2 }

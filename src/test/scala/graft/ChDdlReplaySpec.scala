@@ -1029,6 +1029,25 @@ class ChDdlReplaySpec extends SparkSpec {
     val pv = spark.sql("SELECT partition FROM system.parts WHERE table = 'bs_local'")
       .collect().map(_.getString(0)).toSeq
     assert(pv == Seq("a\\b"), s"backslash partition value corrupted: $pv")
+
+    // a quote-bearing LIKE pattern parses (doubled-quote escape) instead
+    // of falling anywhere else; nothing matches it
+    assert(replay.runQuery("SHOW TABLES FROM dws LIKE '%''x'").collect().isEmpty)
+    // unrecognized SHOW TABLES forms refuse instead of silently handing
+    // off to Spark's native statement (GLOB semantics, different schema)
+    intercept[RuntimeException](replay.runQuery("SHOW TABLES IN dws"))
+
+    // a FRESH replay that never published can still introspect system
+    // tables (CH's always exist) — with correctly TYPED empty parts views
+    spark.sql("DROP VIEW IF EXISTS system.parts")
+    spark.sql("DROP VIEW IF EXISTS system.detached_parts")
+    val fresh = new ChReplay(spark, ChReplay.scratchWarehouse("graft-ia2"))
+    assert(fresh.runQuery("EXISTS TABLE system.parts").head().getInt(0) == 1)
+    assert(fresh.runQuery("DESCRIBE TABLE system.parts").collect()
+      .map(_.getString(0)).contains("partition"))
+    assert(spark.sql("SELECT sum(rows) AS r FROM system.parts").schema("r")
+      .dataType == org.apache.spark.sql.types.LongType,
+      "empty parts view must keep the populated form's BIGINT rows")
   }
 
   test("SELECT ... FROM t FINAL reads merge-debt-free (simple + state columns)") {
