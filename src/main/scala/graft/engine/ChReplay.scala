@@ -42,6 +42,18 @@ import graft.mv.{BitmapUvMetric, EntropyMetric, HllUvMetric, MaterializedView, M
   *    run (see [[runQuery]] for the two mechanical dialect shims).
   */
 object ChReplay {
+  // the interactive-statement scanners, compiled once (runQuery calls
+  // interactive() for every statement — per-call Pattern.compile on the
+  // hot SELECT path would be pure waste)
+  private val ShowDbRe =
+    "(?i)^SHOW\\s+DATABASES(?:\\s+LIKE\\s+'((?:[^'\\\\]|\\\\.|'')*)')?$".r
+  private val ShowTblRe =
+    "(?i)^SHOW\\s+TABLES(?:\\s+FROM\\s+(\\w+))?(?:\\s+LIKE\\s+'((?:[^'\\\\]|\\\\.|'')*)')?$".r
+  private val DescRe = "(?i)^DESC(?:RIBE)?(?:\\s+TABLE)?\\s+([\\w.]+)$".r
+  private val ExistsRe = "(?i)^EXISTS(?:\\s+TABLE)?\\s+([\\w.]+)$".r
+  private val ShowCreateRe = "(?i)^SHOW\\s+CREATE\\s+TABLE\\s+([\\w.]+)$".r
+  private val ShowRe = "(?i)^SHOW\\b".r
+
   /** Where the reference's .sql scripts live — overridable per deployment
     * via `-Dgraft.reference.scripts=...` or `GRAFT_REFERENCE_SCRIPTS`.
     */
@@ -428,6 +440,7 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     spark.sql("CREATE DATABASE IF NOT EXISTS system")
     mkSysView("parts", partCols, partRows(""), Some(partSchema))
     mkSysView("detached_parts", partCols, partRows(".detached"), Some(partSchema))
+    partsViewsEmptySnapshot = stateTables.isEmpty
   }
 
   /** The parts views' one schema definition — the populated VALUES form
@@ -443,23 +456,24 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     StructField("bytes_on_disk", LongType)))
   private def partCols: Seq[String] = partSchema.fieldNames.toSeq
 
+  /** True when the last parts publication saw NO state tables — an empty
+    * snapshot pinned by early introspection must republish once tables
+    * appear, or every later listing would read a plausible-looking empty
+    * system.parts over live data.
+    */
+  private var partsViewsEmptySnapshot = false
+
   /** Parts views exist-on-demand for interactive sessions that never
-    * called [[publish]]: when real parts exist this publishes them ONCE
-    * (empty views over live data would lie, and the per-file footer cost
-    * amortizes — the views then exist, so later listings skip this); a
-    * parts-less session just gets correctly-typed empty views. Refresh
-    * stays on the publish calls.
+    * called [[publish]] — published once when missing (the per-file
+    * footer cost amortizes: the views then exist, so later listings skip
+    * this), and re-published when the only existing snapshot predates the
+    * first state table. Refresh beyond that stays on the publish calls.
     */
   private def ensurePartsViews(): Unit =
     if (!spark.catalog.tableExists("system.parts") ||
-        !spark.catalog.tableExists("system.detached_parts")) {
-      if (stateTables.nonEmpty) publishPartsViews()
-      else {
-        spark.sql("CREATE DATABASE IF NOT EXISTS system")
-        mkSysView("parts", partCols, Nil, Some(partSchema))
-        mkSysView("detached_parts", partCols, Nil, Some(partSchema))
-      }
-    }
+        !spark.catalog.tableExists("system.detached_parts") ||
+        (partsViewsEmptySnapshot && stateTables.nonEmpty))
+      publishPartsViews()
 
   /** Run one of the scripts' SELECTs with three mechanical shims: CH's
     * paren-less `USING a,b` becomes `USING (a,b)`; literal date
@@ -492,12 +506,8 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
   def interactive(sql: String): Option[DataFrame] = {
     import spark.implicits._
     val s = sql.trim.stripSuffix(";").trim
-    val showDb = "(?i)^SHOW\\s+DATABASES$".r
-    val showTbl =
-      "(?i)^SHOW\\s+TABLES(?:\\s+FROM\\s+(\\w+))?(?:\\s+LIKE\\s+'((?:[^'\\\\]|\\\\.|'')*)')?$".r
-    val desc = "(?i)^DESC(?:RIBE)?(?:\\s+TABLE)?\\s+([\\w.]+)$".r
-    val existsRe = "(?i)^EXISTS(?:\\s+TABLE)?\\s+([\\w.]+)$".r
-    val showCreate = "(?i)^SHOW\\s+CREATE\\s+TABLE\\s+([\\w.]+)$".r
+    import ChReplay.{DescRe => desc, ExistsRe => existsRe, ShowCreateRe => showCreate,
+      ShowDbRe => showDb, ShowRe => showAny, ShowTblRe => showTbl}
     def known(t: String): Boolean =
       tables.contains(t) || aliasDefs.contains(t) || tables.contains(resolve(t))
     def catalogHas(t: String): Boolean =
@@ -528,21 +538,17 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
       sb.toString
     }
     s match {
-      case showDb() =>
+      case showDb(like) =>
         publishCatalogViews(); ensurePartsViews()
-        Some(spark.sql("SELECT name FROM system.databases ORDER BY name"))
+        val wh = Option(like)
+          .map(p => s" WHERE name LIKE ${qlit(chUnescape(p))}").getOrElse("")
+        Some(spark.sql(s"SELECT name FROM system.databases$wh ORDER BY name"))
       case showTbl(db, like) =>
         publishCatalogViews(); ensurePartsViews()
         val conds = Option(db).map(d => s"database = ${qlit(d)}").toSeq ++
           Option(like).map(p => s"name LIKE ${qlit(chUnescape(p))}").toSeq
         val wh = if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
         Some(spark.sql(s"SELECT name FROM system.tables$wh ORDER BY name"))
-      // a SHOW TABLES form the scanner does not recognize must refuse, not
-      // fall through: Spark's native SHOW TABLES has GLOB pattern semantics
-      // and a different output schema — a silent handoff would return
-      // plausible-looking wrong rows
-      case other if "(?i)^SHOW\\s+TABLES\\b".r.findFirstIn(other).isDefined =>
-        sys.error(s"unsupported SHOW TABLES form (FROM <db> / LIKE '<pattern>'): $s")
       case desc(t) =>
         ensureSystemFor(t)
         if (!known(t) && catalogHas(t)) None // native DESCRIBE answers
@@ -560,6 +566,14 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
         ensureSystemFor(t)
         if (!known(t) && catalogHas(t)) None // native SHOW CREATE answers
         else Some(Seq(ChDdl.render(descriptor(t))).toDF("statement"))
+      // any OTHER SHOW form must refuse, not fall through: Spark's native
+      // SHOW statements have GLOB pattern semantics and different output
+      // schemas — a silent handoff would return plausible-looking wrong
+      // rows (the TABLES-only guard here originally left SHOW DATABASES
+      // LIKE on exactly that path)
+      case other if ChReplay.ShowRe.findFirstIn(other).isDefined =>
+        sys.error("unsupported SHOW form (DATABASES [LIKE] / TABLES " +
+          s"[FROM <db>] [LIKE] / CREATE TABLE <t>): $s")
       case _ => None
     }
   }
@@ -570,7 +584,8 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     */
   private def ensureSystemFor(t: String): Unit =
     if (t.toLowerCase.startsWith("system.")) {
-      publishCatalogViews(); ensurePartsViews()
+      if (!spark.catalog.tableExists("system.tables")) publishCatalogViews()
+      ensurePartsViews()
     }
 
   def runQuery(sql: String, substitutions: Map[String, String] = Map.empty): DataFrame = {

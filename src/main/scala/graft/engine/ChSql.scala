@@ -543,12 +543,16 @@ object ChSql {
   }
 
   /** Decode ONE ClickHouse string-literal escape — the text at `j` is the
-    * char(s) following a backslash. Control escapes decode, `\xHH` decodes
-    * the hex byte, and any other `\c` means `c` (CH's unknown-escape
-    * rule). Returns (decoded string, source chars consumed after the
-    * backslash). The single definition shared by the quoted-identifier
-    * scanner below and ChReplay's SHOW TABLES LIKE pattern decoding —
-    * two inline copies of this table had already drifted once.
+    * char(s) following a backslash, per CH's parseComplexEscapeSequence:
+    * control escapes decode, `\xHH` decodes the hex byte, `\N` (the NULL
+    * spelling) decodes to the empty string, the quoting-relevant set
+    * (backslash, quotes, backtick, slash, equals) decodes to the bare
+    * char — and any OTHER `\c` KEEPS the backslash ("for convenience
+    * using LIKE", so CH's `'100\%'` stays the escaped literal percent;
+    * dropping the backslash here once inverted LIKE semantics). Returns
+    * (decoded string, source chars consumed after the backslash). The
+    * single definition shared by the quoted-identifier scanner below and
+    * ChReplay's SHOW ... LIKE pattern decoding.
     */
   def chEscape(s: String, j: Int): (String, Int) = s.charAt(j) match {
     case 'n' => ("\n", 1)
@@ -559,10 +563,13 @@ object ChSql {
     case 'f' => ("\f", 1)
     case 'a' => ("\u0007", 1)
     case 'v' => ("\u000B", 1)
+    case 'N' => ("", 1)
     case 'x' if j + 2 < s.length &&
         s.charAt(j + 1).isValidHexDigit && s.charAt(j + 2).isValidHexDigit =>
       (Integer.parseInt(s.substring(j + 1, j + 3), 16).toChar.toString, 3)
-    case other => (other.toString, 1)
+    case c @ ('\\' | '\'' | '"' | '`' | '/' | '=') => (c.toString, 1)
+    case other if other.isControl => (other.toString, 1)
+    case other => ("\\" + other, 1)
   }
 
   private implicit class HexChar(private val c: Char) extends AnyVal {

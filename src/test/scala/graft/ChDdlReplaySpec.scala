@@ -1000,19 +1000,25 @@ class ChDdlReplaySpec extends SparkSpec {
     assert(replay.runQuery("DESCRIBE TABLE system.parts").collect()
       .map(_.getString(0)).contains("partition"))
     assert(replay.runQuery("EXISTS TABLE system.parts").head().getInt(0) == 1)
-    // LIKE patterns carry CH STRING-LITERAL semantics: CH converts the
-    // unknown escape '\_' to '_' (a WILDCARD), and the CH way to match a
-    // literal underscore is '\\_'. dws.iaglocal distinguishes the two
-    // readings: the wildcard matches it, the escaped literal must not.
+    // LIKE patterns carry CH STRING-LITERAL semantics, per CH's lexer
+    // (parseComplexEscapeSequence): the unknown escape '\_' KEEPS its
+    // backslash ("for convenience using LIKE"), so BOTH '\_' and '\\_'
+    // mean the escaped LITERAL underscore; only a bare '_' is the
+    // wildcard. dws.iaglocal distinguishes the readings: the wildcard
+    // matches it, the escaped literal must not.
     replay.executeScript("create table dws.iaglocal (k UInt64) engine=Null;")
     assert(replay.runQuery("SHOW TABLES FROM dws LIKE 'ia_l%'").collect()
       .map(_.getString(0)).toSeq == Seq("ia_local", "iaglocal"))
     assert(replay.runQuery("SHOW TABLES FROM dws LIKE 'ia\\_l%'").collect()
-      .map(_.getString(0)).toSeq == Seq("ia_local", "iaglocal"),
-      "CH drops the backslash of an unknown escape — '\\_' is the wildcard")
+      .map(_.getString(0)).toSeq == Seq("ia_local"),
+      "CH keeps the backslash of '\\_' — the escaped literal underscore")
     assert(replay.runQuery("SHOW TABLES FROM dws LIKE 'ia\\\\_l%'").collect()
       .map(_.getString(0)).toSeq == Seq("ia_local"),
-      "CH's '\\\\_' is the escaped LITERAL underscore")
+      "'\\\\_' decodes to the same escaped literal underscore")
+    // SHOW DATABASES takes LIKE too; other SHOW forms refuse loudly
+    assert(replay.runQuery("SHOW DATABASES LIKE 'dw%'").collect()
+      .map(_.getString(0)).toSeq == Seq("dws"))
+    intercept[RuntimeException](replay.runQuery("SHOW DICTIONARIES"))
     // a trailing lone escape is LIKE's own well-formed error — not a
     // corrupted listing statement
     intercept[org.apache.spark.sql.AnalysisException](
