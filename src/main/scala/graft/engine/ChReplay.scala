@@ -438,9 +438,10 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
         }
       }
     spark.sql("CREATE DATABASE IF NOT EXISTS system")
-    mkSysView("parts", partCols, partRows(""), Some(partSchema))
+    val live = partRows("")
+    mkSysView("parts", partCols, live, Some(partSchema))
     mkSysView("detached_parts", partCols, partRows(".detached"), Some(partSchema))
-    partsViewsEmptySnapshot = stateTables.isEmpty
+    partsViewsEmptySnapshot = live.isEmpty
   }
 
   /** The parts views' one schema definition — the populated VALUES form
@@ -456,10 +457,12 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     StructField("bytes_on_disk", LongType)))
   private def partCols: Seq[String] = partSchema.fieldNames.toSeq
 
-  /** True when the last parts publication saw NO state tables — an empty
-    * snapshot pinned by early introspection must republish once tables
-    * appear, or every later listing would read a plausible-looking empty
-    * system.parts over live data.
+  /** True when the last parts publication enumerated ZERO parts — an
+    * empty snapshot pinned by early introspection (before the first table
+    * or before its first insert) must republish once parts can exist, or
+    * every later listing would read a plausible-looking empty
+    * system.parts over live data. Re-enumerating a still-empty table per
+    * listing costs one directory listing, not footer reads.
     */
   private var partsViewsEmptySnapshot = false
 
@@ -507,7 +510,7 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     import spark.implicits._
     val s = sql.trim.stripSuffix(";").trim
     import ChReplay.{DescRe => desc, ExistsRe => existsRe, ShowCreateRe => showCreate,
-      ShowDbRe => showDb, ShowRe => showAny, ShowTblRe => showTbl}
+      ShowDbRe => showDb, ShowTblRe => showTbl}
     def known(t: String): Boolean =
       tables.contains(t) || aliasDefs.contains(t) || tables.contains(resolve(t))
     def catalogHas(t: String): Boolean =
@@ -517,11 +520,10 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
         sys.error(s"unknown table $t (known: ${
           (tables.keys ++ aliasDefs.keys).toSeq.sorted.mkString(", ")})"))))
     // CH string-literal unescaping for the captured LIKE pattern — the
-    // shared ChSql.chEscape table (`\\` stays a literal backslash, any
-    // unknown `\c` drops the backslash, `''` is the doubled-quote escape):
-    // CH's `'ia\_l%'` therefore means WILDCARD underscore while its
-    // literal-underscore form `'ia\\_l%'` reaches Spark's LIKE as the
-    // escaped `\_`, matching CH's own pattern semantics.
+    // shared ChSql.chEscape table. Per CH's lexer, an unknown escape KEEPS
+    // its backslash (the LIKE-convenience rule), so `'ia\_l%'` and
+    // `'ia\\_l%'` BOTH decode to the escaped-literal-underscore pattern;
+    // only a bare `_` is the wildcard. `''` is the doubled-quote escape.
     def chUnescape(p: String): String = {
       val sb = new StringBuilder
       var i = 0
@@ -537,16 +539,37 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
       }
       sb.toString
     }
+    // The decoded CH pattern, translated for Spark's stricter LIKE: Spark
+    // only allows the escape char before `_`, `%` or itself and ERRORS on
+    // anything else, while CH's matcher escape-matches any char literally.
+    // A kept `\c` (c not a wildcard) means the literal c in CH — which is
+    // what bare c means too, so dropping the backslash preserves the match
+    // exactly and keeps Spark from throwing on patterns CH accepts.
+    def sparkLikePattern(p: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < p.length) {
+        val c = p.charAt(i)
+        if (c == '\\' && i + 1 < p.length) {
+          val n = p.charAt(i + 1)
+          if (n == '_' || n == '%' || n == '\\') { sb.append(c); sb.append(n) }
+          else sb.append(n)
+          i += 2
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+    def likeLit(p: String): String = qlit(sparkLikePattern(chUnescape(p)))
     s match {
       case showDb(like) =>
         publishCatalogViews(); ensurePartsViews()
         val wh = Option(like)
-          .map(p => s" WHERE name LIKE ${qlit(chUnescape(p))}").getOrElse("")
+          .map(p => s" WHERE name LIKE ${likeLit(p)}").getOrElse("")
         Some(spark.sql(s"SELECT name FROM system.databases$wh ORDER BY name"))
       case showTbl(db, like) =>
         publishCatalogViews(); ensurePartsViews()
         val conds = Option(db).map(d => s"database = ${qlit(d)}").toSeq ++
-          Option(like).map(p => s"name LIKE ${qlit(chUnescape(p))}").toSeq
+          Option(like).map(p => s"name LIKE ${likeLit(p)}").toSeq
         val wh = if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
         Some(spark.sql(s"SELECT name FROM system.tables$wh ORDER BY name"))
       case desc(t) =>

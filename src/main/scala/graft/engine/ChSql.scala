@@ -560,6 +560,7 @@ object ChSql {
     case 'r' => ("\r", 1)
     case '0' => ("\u0000", 1)
     case 'b' => ("\b", 1)
+    case 'e' => ("\u001B", 1)
     case 'f' => ("\f", 1)
     case 'a' => ("\u0007", 1)
     case 'v' => ("\u000B", 1)
@@ -568,7 +569,9 @@ object ChSql {
         s.charAt(j + 1).isValidHexDigit && s.charAt(j + 2).isValidHexDigit =>
       (Integer.parseInt(s.substring(j + 1, j + 3), 16).toChar.toString, 3)
     case c @ ('\\' | '\'' | '"' | '`' | '/' | '=') => (c.toString, 1)
-    case other if other.isControl => (other.toString, 1)
+    // CH's keep-backslash exclusion uses isControlASCII (0x00-0x1F, 0x7F)
+    // — Java's isControl also covers 0x80-0x9F, which CH keeps
+    case other if other < ' ' || other == '\u007F' => (other.toString, 1)
     case other => ("\\" + other, 1)
   }
 

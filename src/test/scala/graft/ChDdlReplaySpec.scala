@@ -1054,6 +1054,37 @@ class ChDdlReplaySpec extends SparkSpec {
     assert(spark.sql("SELECT sum(rows) AS r FROM system.parts").schema("r")
       .dataType == org.apache.spark.sql.types.LongType,
       "empty parts view must keep the populated form's BIGINT rows")
+
+    // a non-wildcard escape matches its char literally (CH's kept
+    // backslash, translated) instead of tripping Spark's stricter LIKE
+    // escape validation
+    assert(replay.runQuery("SHOW TABLES FROM dws LIKE 'ia\\glocal'").collect()
+      .map(_.getString(0)).toSeq == Seq("iaglocal"))
+
+    // an empty parts snapshot pinned BEFORE the first insert republishes
+    // once parts exist — a listing must not read plausible-looking
+    // emptiness over live data forever
+    spark.sql("DROP VIEW IF EXISTS system.parts")
+    spark.sql("DROP VIEW IF EXISTS system.detached_parts")
+    val r3 = new ChReplay(spark, ChReplay.scratchWarehouse("graft-ia3"))
+    r3.executeScript(
+      """create table dws.ps_local (
+        | day Date,
+        | k UInt64,
+        | v SimpleAggregateFunction(sum, UInt64)
+        |) engine=AggregatingMergeTree()
+        |PARTITION BY day ORDER BY (day, k);""".stripMargin)
+    assert(r3.runQuery("SHOW TABLES FROM dws").collect()
+      .map(_.getString(0)).toSeq == Seq("ps_local")) // pins the empty snapshot
+    def psParts(): Long = spark.sql(
+      "SELECT count(*) FROM system.parts WHERE table = 'ps_local'").head().getLong(0)
+    assert(psParts() == 0L)
+    r3.stateTables("dws.ps_local").appendBatch(
+      Seq(("2024-01-01", 1L, 10L)).toDF("day_s", "k", "v")
+        .select(org.apache.spark.sql.functions.to_date(col("day_s")).as("day"),
+          col("k"), col("v")))
+    r3.runQuery("SHOW DATABASES").collect() // any listing re-ensures
+    assert(psParts() == 1L, "the pinned-empty snapshot must republish once parts exist")
   }
 
   test("SELECT ... FROM t FINAL reads merge-debt-free (simple + state columns)") {
