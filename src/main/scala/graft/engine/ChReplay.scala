@@ -439,9 +439,13 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
       }
     spark.sql("CREATE DATABASE IF NOT EXISTS system")
     val live = partRows("")
+    val detached = partRows(".detached")
     mkSysView("parts", partCols, live, Some(partSchema))
-    mkSysView("detached_parts", partCols, partRows(".detached"), Some(partSchema))
-    partsViewsEmptySnapshot = live.isEmpty
+    mkSysView("detached_parts", partCols, detached, Some(partSchema))
+    // both sides empty: re-ensuring costs only directory listings (there
+    // are no files to read footers from). A detached-only table must NOT
+    // pin the flag, or every listing would re-read its footers.
+    partsViewsEmptySnapshot = live.isEmpty && detached.isEmpty
   }
 
   /** The parts views' one schema definition — the populated VALUES form
@@ -469,8 +473,10 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
   /** Parts views exist-on-demand for interactive sessions that never
     * called [[publish]] — published once when missing (the per-file
     * footer cost amortizes: the views then exist, so later listings skip
-    * this), and re-published when the only existing snapshot predates the
-    * first state table. Refresh beyond that stays on the publish calls.
+    * this), and re-published while the existing snapshot enumerated ZERO
+    * parts and state tables exist (so a snapshot pinned before the first
+    * insert repopulates on the next listing). Refresh beyond that stays
+    * on the publish calls.
     */
   private def ensurePartsViews(): Unit =
     if (!spark.catalog.tableExists("system.parts") ||
@@ -502,9 +508,11 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     * deviations from a server: the unqualified `SHOW TABLES` lists every
     * database (this engine has no USE statement, so there is no "current"
     * database to scope to), and only the cheap metadata views refresh
-    * here — parts views are created when missing but rebuild only on
-    * [[publish]] / [[publishSystemTables]] (they cost a footer read per
-    * data file, which a name listing must not pay).
+    * here — parts views are created when missing (and re-created while a
+    * zero-parts snapshot is the only one, so pre-insert pins repopulate)
+    * but otherwise rebuild only on [[publish]] / [[publishSystemTables]]
+    * (they cost a footer read per data file, which a name listing must
+    * not pay).
     */
   def interactive(sql: String): Option[DataFrame] = {
     import spark.implicits._
@@ -541,10 +549,12 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     }
     // The decoded CH pattern, translated for Spark's stricter LIKE: Spark
     // only allows the escape char before `_`, `%` or itself and ERRORS on
-    // anything else, while CH's matcher escape-matches any char literally.
-    // A kept `\c` (c not a wildcard) means the literal c in CH — which is
-    // what bare c means too, so dropping the backslash preserves the match
-    // exactly and keeps Spark from throwing on patterns CH accepts.
+    // anything else, while CH's matcher (likePatternToRegexp, and the doc:
+    // "the backslash loses its special meaning ... if it precedes a
+    // character different than % _ or \") treats such a backslash as a
+    // LITERAL backslash followed by the char. So a kept `\c` becomes
+    // Spark's `\\c` — escaped literal backslash, then c — matching
+    // exactly the names CH would match.
     def sparkLikePattern(p: String): String = {
       val sb = new StringBuilder
       var i = 0
@@ -553,7 +563,7 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
         if (c == '\\' && i + 1 < p.length) {
           val n = p.charAt(i + 1)
           if (n == '_' || n == '%' || n == '\\') { sb.append(c); sb.append(n) }
-          else sb.append(n)
+          else { sb.append('\\'); sb.append('\\'); sb.append(n) }
           i += 2
         } else { sb.append(c); i += 1 }
       }

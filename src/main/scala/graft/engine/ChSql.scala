@@ -569,9 +569,9 @@ object ChSql {
         s.charAt(j + 1).isValidHexDigit && s.charAt(j + 2).isValidHexDigit =>
       (Integer.parseInt(s.substring(j + 1, j + 3), 16).toChar.toString, 3)
     case c @ ('\\' | '\'' | '"' | '`' | '/' | '=') => (c.toString, 1)
-    // CH's keep-backslash exclusion uses isControlASCII (0x00-0x1F, 0x7F)
-    // — Java's isControl also covers 0x80-0x9F, which CH keeps
-    case other if other < ' ' || other == '\u007F' => (other.toString, 1)
+    // CH's keep-backslash exclusion uses isControlASCII (<= 0x1F only —
+    // DEL and Java's wider isControl range 0x80-0x9F keep the backslash)
+    case other if other < ' ' => (other.toString, 1)
     case other => ("\\" + other, 1)
   }
 
