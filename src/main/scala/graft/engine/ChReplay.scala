@@ -442,10 +442,7 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     val detached = partRows(".detached")
     mkSysView("parts", partCols, live, Some(partSchema))
     mkSysView("detached_parts", partCols, detached, Some(partSchema))
-    // both sides empty: re-ensuring costs only directory listings (there
-    // are no files to read footers from). A detached-only table must NOT
-    // pin the flag, or every listing would re-read its footers.
-    partsViewsEmptySnapshot = live.isEmpty && detached.isEmpty
+    liveSnapshotEmpty = live.isEmpty
   }
 
   /** The parts views' one schema definition — the populated VALUES form
@@ -461,14 +458,29 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     StructField("bytes_on_disk", LongType)))
   private def partCols: Seq[String] = partSchema.fieldNames.toSeq
 
-  /** True when the last parts publication enumerated ZERO parts — an
-    * empty snapshot pinned by early introspection (before the first table
-    * or before its first insert) must republish once parts can exist, or
-    * every later listing would read a plausible-looking empty
-    * system.parts over live data. Re-enumerating a still-empty table per
-    * listing costs one directory listing, not footer reads.
+  /** True when the last parts publication saw ZERO LIVE parts — a
+    * snapshot pinned before the first insert (or while everything was
+    * detached) must republish once live parts appear, or every later
+    * listing would read a plausible-looking empty system.parts over live
+    * data. While it waits, each listing pays [[anyLivePart]]'s directory
+    * probes only — never footer reads (a detached-only table would
+    * otherwise re-read all its detached footers per listing).
     */
-  private var partsViewsEmptySnapshot = false
+  private var liveSnapshotEmpty = false
+
+  /** Does any state table have at least one live part? Directory listings
+    * only — the cheap existence probe behind the stale-empty-snapshot
+    * repair.
+    */
+  private def anyLivePart: Boolean =
+    stateTables.values.exists { st =>
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(st.path),
+        spark.sparkContext.hadoopConfiguration)
+      val root = new org.apache.hadoop.fs.Path(st.path)
+      fs.exists(root) && fs.listStatus(root).exists(d =>
+        d.isDirectory && d.getPath.getName.contains("=") &&
+          Rebalance.dataFiles(fs, d.getPath).nonEmpty)
+    }
 
   /** Parts views exist-on-demand for interactive sessions that never
     * called [[publish]] — published once when missing (the per-file
@@ -481,7 +493,7 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
   private def ensurePartsViews(): Unit =
     if (!spark.catalog.tableExists("system.parts") ||
         !spark.catalog.tableExists("system.detached_parts") ||
-        (partsViewsEmptySnapshot && stateTables.nonEmpty))
+        (liveSnapshotEmpty && anyLivePart))
       publishPartsViews()
 
   /** Run one of the scripts' SELECTs with three mechanical shims: CH's

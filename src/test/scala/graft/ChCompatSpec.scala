@@ -479,6 +479,15 @@ class ChCompatSpec extends SparkSpec {
     // rules), they don't just drop the backslash
     assert(ChSql.chQuotedIdents("SELECT \"a\\nb\" FROM t") ==
       "SELECT `a\nb` FROM t")
+    // the shared escape table pins CH's lexer edges: \e is ESC, \N the
+    // empty NULL spelling, ASCII controls (<= 0x1F) drop the backslash,
+    // DEL and unknown chars KEEP it (the LIKE-convenience rule)
+    assert(ChSql.chEscape("e", 0) == ("\u001B", 1))
+    assert(ChSql.chEscape("N", 0) == ("", 1))
+    assert(ChSql.chEscape("\u0001q", 0) == ("\u0001", 1))
+    assert(ChSql.chEscape("\u007Fq", 0) == ("\\\u007F", 1))
+    assert(ChSql.chEscape("gq", 0) == ("\\g", 1))
+    assert(ChSql.chEscape("x41", 0) == ("A", 3))
     // apply() is per-statement: strips anchor inside each statement and
     // a trio call windows by ITS OWN statement's ORDER BY
     assert(norm(ChSql("SELECT 1 FORMAT JSON; SELECT 2 FORMAT CSV")) ==

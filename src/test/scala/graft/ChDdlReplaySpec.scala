@@ -1086,6 +1086,24 @@ class ChDdlReplaySpec extends SparkSpec {
           col("k"), col("v")))
     r3.runQuery("SHOW DATABASES").collect() // any listing re-ensures
     assert(psParts() == 1L, "the pinned-empty snapshot must republish once parts exist")
+
+    // a DETACHED-ONLY snapshot stays cheap while it waits (no live parts:
+    // listings probe directories only) and repopulates once live parts
+    // reappear via ATTACH
+    r3.execute(ChDdl.parseStatement(
+      "ALTER TABLE dws.ps_local DETACH PARTITION '2024-01-01'"))
+    r3.publishSystemTables() // snapshot: live empty, detached nonEmpty
+    assert(psParts() == 0L)
+    r3.runQuery("SHOW DATABASES").collect() // listing while live-empty
+    assert(psParts() == 0L)
+    assert(spark.sql(
+      "SELECT count(*) FROM system.detached_parts WHERE table = 'ps_local'")
+      .head().getLong(0) == 1L)
+    r3.execute(ChDdl.parseStatement(
+      "ALTER TABLE dws.ps_local ATTACH PARTITION '2024-01-01'"))
+    r3.runQuery("SHOW DATABASES").collect() // live part appeared -> republish
+    assert(psParts() == 1L,
+      "a detached-only pin must repopulate once live parts reappear")
   }
 
   test("SELECT ... FROM t FINAL reads merge-debt-free (simple + state columns)") {
