@@ -415,9 +415,7 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
       val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(stPath), conf)
       val root = if (sub.isEmpty) new org.apache.hadoop.fs.Path(stPath)
                  else new org.apache.hadoop.fs.Path(stPath, sub)
-      if (!fs.exists(root)) Nil
-      else fs.listStatus(root).toSeq.filter(_.isDirectory)
-        .filter(_.getPath.getName.contains("="))
+      partDirs(fs, root)
         .flatMap { d =>
           val dn = d.getPath.getName
           val value = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
@@ -443,6 +441,7 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     mkSysView("parts", partCols, live, Some(partSchema))
     mkSysView("detached_parts", partCols, detached, Some(partSchema))
     liveSnapshotEmpty = live.isEmpty
+    detachedSnapshotEmpty = detached.isEmpty
   }
 
   /** The parts views' one schema definition — the populated VALUES form
@@ -458,42 +457,54 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     StructField("bytes_on_disk", LongType)))
   private def partCols: Seq[String] = partSchema.fieldNames.toSeq
 
-  /** True when the last parts publication saw ZERO LIVE parts — a
-    * snapshot pinned before the first insert (or while everything was
-    * detached) must republish once live parts appear, or every later
-    * listing would read a plausible-looking empty system.parts over live
-    * data. While it waits, each listing pays [[anyLivePart]]'s directory
-    * probes only — never footer reads (a detached-only table would
-    * otherwise re-read all its detached footers per listing).
+  /** Per-side (live / `.detached`) emptiness of the last parts snapshot —
+    * a side pinned empty before data appeared there must republish once a
+    * part exists on that side, or every later listing would read a
+    * plausible-looking empty view over real data. While a side waits,
+    * each listing pays [[anyPartAt]]'s directory probes only — never
+    * footer reads (a detached-only table must not re-read its detached
+    * footers per listing).
     */
   private var liveSnapshotEmpty = false
+  private var detachedSnapshotEmpty = false
 
-  /** Does any state table have at least one live part? Directory listings
-    * only — the cheap existence probe behind the stale-empty-snapshot
-    * repair.
+  /** The `col=value` partition directories under a parts root — the ONE
+    * dir-level definition of where parts live, shared by the publication
+    * enumeration and the emptiness probe so the two can never disagree.
     */
-  private def anyLivePart: Boolean =
+  private def partDirs(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq
+      .filter(d => d.isDirectory && d.getPath.getName.contains("="))
+
+  /** Does any state table have at least one part on this side (`""` =
+    * live, `".detached"`)? Directory listings only — the cheap existence
+    * probe behind the stale-empty-snapshot repair.
+    */
+  private def anyPartAt(sub: String): Boolean =
     stateTables.values.exists { st =>
       val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(st.path),
         spark.sparkContext.hadoopConfiguration)
-      val root = new org.apache.hadoop.fs.Path(st.path)
-      fs.exists(root) && fs.listStatus(root).exists(d =>
-        d.isDirectory && d.getPath.getName.contains("=") &&
-          Rebalance.dataFiles(fs, d.getPath).nonEmpty)
+      val root = if (sub.isEmpty) new org.apache.hadoop.fs.Path(st.path)
+                 else new org.apache.hadoop.fs.Path(st.path, sub)
+      partDirs(fs, root).exists(d => Rebalance.dataFiles(fs, d.getPath).nonEmpty)
     }
 
   /** Parts views exist-on-demand for interactive sessions that never
     * called [[publish]] — published once when missing (the per-file
     * footer cost amortizes: the views then exist, so later listings skip
-    * this), and re-published while the existing snapshot enumerated ZERO
-    * parts and state tables exist (so a snapshot pinned before the first
-    * insert repopulates on the next listing). Refresh beyond that stays
-    * on the publish calls.
+    * this), and re-published when a side whose snapshot was EMPTY now has
+    * a part (directory probe, no footer reads) — so a snapshot pinned
+    * before the first insert, or before a DETACH populated the detached
+    * side, repopulates on the next listing. Refresh beyond that stays on
+    * the publish calls.
     */
   private def ensurePartsViews(): Unit =
     if (!spark.catalog.tableExists("system.parts") ||
         !spark.catalog.tableExists("system.detached_parts") ||
-        (liveSnapshotEmpty && anyLivePart))
+        (liveSnapshotEmpty && anyPartAt("")) ||
+        (detachedSnapshotEmpty && anyPartAt(".detached")))
       publishPartsViews()
 
   /** Run one of the scripts' SELECTs with three mechanical shims: CH's

@@ -1087,22 +1087,24 @@ class ChDdlReplaySpec extends SparkSpec {
     r3.runQuery("SHOW DATABASES").collect() // any listing re-ensures
     assert(psParts() == 1L, "the pinned-empty snapshot must republish once parts exist")
 
-    // a DETACHED-ONLY snapshot stays cheap while it waits (no live parts:
-    // listings probe directories only) and repopulates once live parts
-    // reappear via ATTACH
+    // BOTH sides self-repair through listings alone: a DETACH after the
+    // detached side was pinned empty surfaces in detached_parts on the
+    // next listing, the now-empty live side reads 0, and an ATTACH then
+    // repopulates the live side the same way — no explicit publish calls
+    def psDetached(): Long = spark.sql(
+      "SELECT count(*) FROM system.detached_parts WHERE table = 'ps_local'")
+      .head().getLong(0)
     r3.execute(ChDdl.parseStatement(
       "ALTER TABLE dws.ps_local DETACH PARTITION '2024-01-01'"))
-    r3.publishSystemTables() // snapshot: live empty, detached nonEmpty
-    assert(psParts() == 0L)
-    r3.runQuery("SHOW DATABASES").collect() // listing while live-empty
-    assert(psParts() == 0L)
-    assert(spark.sql(
-      "SELECT count(*) FROM system.detached_parts WHERE table = 'ps_local'")
-      .head().getLong(0) == 1L)
+    r3.runQuery("SHOW DATABASES").collect() // detached side was pinned empty
+    assert(psParts() == 0L && psDetached() == 1L,
+      "a detach after an empty detached pin must surface on the next listing")
+    r3.runQuery("SHOW DATABASES").collect() // waiting listing: stays consistent
+    assert(psParts() == 0L && psDetached() == 1L)
     r3.execute(ChDdl.parseStatement(
       "ALTER TABLE dws.ps_local ATTACH PARTITION '2024-01-01'"))
-    r3.runQuery("SHOW DATABASES").collect() // live part appeared -> republish
-    assert(psParts() == 1L,
+    r3.runQuery("SHOW DATABASES").collect() // live part reappeared -> republish
+    assert(psParts() == 1L && psDetached() == 0L,
       "a detached-only pin must repopulate once live parts reappear")
   }
 
