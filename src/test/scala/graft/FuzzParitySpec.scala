@@ -46,8 +46,12 @@ class FuzzParitySpec extends SparkSpec {
   // and mixed UNION ALL with one branch routed and one provably raw;
   // 561-590 the CH array-lambda battery (arrayMap/Filter/Sort/Slice/
   // push/pop/concat chains + empty-total reducers) vs DuckDB's list_*
-  // battery with its inclusive-end slices and NULL-returning sums
-  private val seeds = 1 to 590
+  // battery with its inclusive-end slices and NULL-returning sums;
+  // 591-620 the CH calendar battery (toStartOf* truncations, Monday=1
+  // weekdays, ISO weeks, toYYYYMM, last-day/month-name/formatDateTime,
+  // addDate/subDate, time-of-day + epoch-anchored truncation) vs
+  // DuckDB's isodow/weekofyear/date_trunc/strftime/INTERVAL/epoch
+  private val seeds = 1 to 620
 
   private def duckdbAvailable: Boolean =
     try Seq("python3", "-c", "import duckdb, pandas").! == 0

@@ -142,7 +142,8 @@ object FuzzGen {
   def queryFor(seed: Int): FuzzQuery = {
     val rnd = new Random(seed.toLong * 1000003L + 17L)
     val name = f"fz$seed%03d"
-    if (seed > 560) arrayQuery(name, rnd)
+    if (seed > 590) dateQuery(name, rnd)
+    else if (seed > 560) arrayQuery(name, rnd)
     else if (seed > 530) projectionPostAggQuery(name, rnd)
     else if (seed > 510) rollupQuery(name, rnd)
     else if (seed > 480) projectionQuery(name, rnd)
@@ -920,6 +921,85 @@ object FuzzGen {
         val (sp, du) = chain(base(), maxSteps = 2)
         reducer(sp, du, s"a$i")
       }
+      def render(side: ((String, String)) => String): String = {
+        val sel = (t.uniqueKey ++ pairs.map(side)).mkString(", ")
+        s"SELECT $sel FROM ${t.name}$where ORDER BY ${t.totalOrder.mkString(", ")} LIMIT 60"
+      }
+      FuzzQuery(name, render(_._1), render(_._2))
+    }
+  }
+
+  /** The date/time band (seeds past 590): CH's calendar battery — the
+    * toStartOf* truncation family (DATE-typed like CH), toMonday,
+    * Monday=1 toDayOfWeek, ISO weeks, toYYYYMM packing, last-day /
+    * month-name / formatDateTime rendering, addDate/subDate arithmetic,
+    * and (timestamp columns) time-of-day extraction plus epoch-anchored
+    * hour/day truncation — against DuckDB's independently-spelled
+    * calendar functions (isodow, weekofyear, date_trunc + CAST,
+    * last_day, monthname, strftime, INTERVAL arithmetic, epoch). A third
+    * of the seeds GROUP BY the drawn expression (ordinal-keyed on both
+    * sides) instead of probing row-wise.
+    */
+  private def dateQuery(name: String, rnd: Random): FuzzQuery = {
+    val pool = tables.filter(_.of(TimeK).nonEmpty)
+    val t = pool(rnd.nextInt(pool.length))
+    val c = pick(rnd, t.of(TimeK)).name
+    val isTs = t.name == "events" // ts is a timestamp; the other cols are DATEs
+
+    def draw(alias: String): (String, String) = {
+      val base = Seq[() => (String, String)](
+        () => (s"toYear($c) AS $alias", s"year($c) AS $alias"),
+        () => (s"toQuarter($c) AS $alias", s"quarter($c) AS $alias"),
+        () => (s"toMonth($c) AS $alias", s"month($c) AS $alias"),
+        () => (s"toDayOfMonth($c) AS $alias", s"day($c) AS $alias"),
+        // CH counts Monday = 1, DuckDB's ISO spelling agrees
+        () => (s"toDayOfWeek($c) AS $alias", s"isodow($c) AS $alias"),
+        () => (s"toDayOfYear($c) AS $alias", s"dayofyear($c) AS $alias"),
+        () => (s"toISOWeek($c) AS $alias", s"weekofyear($c) AS $alias"),
+        () => (s"CAST(toYYYYMM($c) AS BIGINT) AS $alias",
+               s"CAST(year($c)*100 + month($c) AS BIGINT) AS $alias"),
+        () => (s"toStartOfMonth($c) AS $alias",
+               s"CAST(date_trunc('month', $c) AS DATE) AS $alias"),
+        () => (s"toStartOfQuarter($c) AS $alias",
+               s"CAST(date_trunc('quarter', $c) AS DATE) AS $alias"),
+        () => (s"toStartOfYear($c) AS $alias",
+               s"CAST(date_trunc('year', $c) AS DATE) AS $alias"),
+        () => (s"toMonday($c) AS $alias",
+               s"CAST(date_trunc('week', $c) AS DATE) AS $alias"),
+        () => (s"toLastDayOfMonth($c) AS $alias",
+               s"last_day(CAST($c AS DATE)) AS $alias"),
+        () => (s"monthName($c) AS $alias", s"monthname($c) AS $alias"),
+        () => (s"formatDateTime($c, '%Y-%m-%d') AS $alias",
+               s"strftime($c, '%Y-%m-%d') AS $alias"),
+        () => { val k = 1 + rnd.nextInt(40)
+          (s"CAST(addDate($c, $k) AS DATE) AS $alias",
+           s"CAST($c + INTERVAL ($k) DAY AS DATE) AS $alias") },
+        () => { val k = 1 + rnd.nextInt(40)
+          (s"CAST(subDate($c, $k) AS DATE) AS $alias",
+           s"CAST($c - INTERVAL ($k) DAY AS DATE) AS $alias") })
+      val tod = Seq[() => (String, String)](
+        () => (s"toHour($c) AS $alias", s"hour($c) AS $alias"),
+        () => (s"toMinute($c) AS $alias", s"minute($c) AS $alias"),
+        () => (s"toSecond($c) AS $alias", s"second($c) AS $alias"),
+        // epoch-anchored truncation: integer compare, no timestamp-dtype
+        // friction (both sessions run UTC)
+        () => (s"CAST(toUnixTimestamp(toStartOfHour($c)) AS BIGINT) AS $alias",
+               s"CAST(epoch(date_trunc('hour', $c)) AS BIGINT) AS $alias"),
+        () => (s"CAST(toUnixTimestamp(toStartOfDay($c)) AS BIGINT) AS $alias",
+               s"CAST(epoch(date_trunc('day', $c)) AS BIGINT) AS $alias"))
+      pick(rnd, if (isTs) base ++ tod else base)()
+    }
+
+    val where = predicate(t, rnd).map(p => s" WHERE $p").getOrElse("")
+    if (rnd.nextInt(3) == 0) {
+      val (gs, gd) = draw("g")
+      FuzzQuery(name,
+        s"SELECT $gs, count(1) AS cnt FROM ${t.name}$where " +
+          "GROUP BY 1 ORDER BY 1 NULLS FIRST",
+        s"SELECT $gd, CAST(count(*) AS BIGINT) AS cnt FROM ${t.name}$where " +
+          "GROUP BY 1 ORDER BY 1 NULLS FIRST")
+    } else {
+      val pairs = (0 until 1 + rnd.nextInt(3)).map(i => draw(s"e$i"))
       def render(side: ((String, String)) => String): String = {
         val sel = (t.uniqueKey ++ pairs.map(side)).mkString(", ")
         s"SELECT $sel FROM ${t.name}$where ORDER BY ${t.totalOrder.mkString(", ")} LIMIT 60"
