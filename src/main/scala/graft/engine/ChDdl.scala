@@ -386,15 +386,7 @@ object ChDdl {
   def render(ct: CreateTable): String = {
     val sb = new StringBuilder(s"CREATE TABLE ${ct.name}")
     ct.asTable.foreach(t => sb.append(s" AS $t"))
-    if (ct.cols.nonEmpty) {
-      sb.append("\n(\n")
-      sb.append(ct.cols.map { c =>
-        val d = c.default.map(x => s" DEFAULT $x").getOrElse("")
-        val cm = c.comment.map(x => s" COMMENT '$x'").getOrElse("")
-        s"    ${c.name} ${c.chType}$d$cm"
-      }.mkString(",\n"))
-      sb.append("\n)")
-    }
+    if (ct.cols.nonEmpty) { sb.append("\n"); sb.append(renderCols(ct.cols)) }
     sb.append(s"\nENGINE = ${ct.engine}")
     if (ct.engineArgs.nonEmpty || ct.isMergeTree)
       sb.append(s"(${ct.engineArgs.mkString(", ")})")
@@ -411,6 +403,26 @@ object ChDdl {
     ct.sampleBy.foreach(x => sb.append(s"\nSAMPLE BY $x"))
     sb.toString
   }
+
+  private def renderCols(cols: Seq[Col]): String =
+    cols.map { c =>
+      val d = c.default.map(x => s" DEFAULT $x").getOrElse("")
+      val cm = c.comment.map(x => s" COMMENT '$x'").getOrElse("")
+      s"    ${c.name} ${c.chType}$d$cm"
+    }.mkString("(\n", ",\n", "\n)")
+
+  /** SHOW CREATE DICTIONARY — same render→reparse identity as tables. */
+  def render(d: CreateDictionary): String =
+    s"CREATE DICTIONARY ${d.name}\n${renderCols(d.cols)}\n" +
+      s"PRIMARY KEY ${d.primaryKeys.mkString(", ")}\n" +
+      s"SOURCE(CLICKHOUSE(DB '${d.sourceDb}' TABLE '${d.sourceTable}'))\n" +
+      s"LIFETIME(MIN ${d.lifetimeMin} MAX ${d.lifetimeMax})\n" +
+      s"LAYOUT(${d.layout}())"
+
+  /** SHOW CREATE of a materialized view — render→reparse identity. */
+  def render(mv: CreateMaterializedView): String =
+    s"CREATE MATERIALIZED VIEW ${mv.name} TO ${mv.to}\n${renderCols(mv.cols)}\n" +
+      s"AS ${mv.select}"
 
   private def parseMv(s: String): CreateMaterializedView = {
     val head = """(?is)create\s+materialized\s+view\s+([\w.]+)(?:\s+on\s+cluster\s+\S+)?\s+to\s+([\w.]+)""".r

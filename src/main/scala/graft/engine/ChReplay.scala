@@ -51,7 +51,11 @@ object ChReplay {
     "(?i)^SHOW\\s+TABLES(?:\\s+FROM\\s+(\\w+))?(?:\\s+LIKE\\s+'((?:[^'\\\\]|\\\\.|'')*)')?$".r
   private val DescRe = "(?i)^DESC(?:RIBE)?(?:\\s+TABLE)?\\s+([\\w.]+)$".r
   private val ExistsRe = "(?i)^EXISTS(?:\\s+TABLE)?\\s+([\\w.]+)$".r
-  private val ShowCreateRe = "(?i)^SHOW\\s+CREATE\\s+TABLE\\s+([\\w.]+)$".r
+  private val ShowCreateRe =
+    "(?i)^SHOW\\s+CREATE\\s+(?:TABLE|VIEW)\\s+([\\w.]+)$".r
+  private val ShowCreateDictRe = "(?i)^SHOW\\s+CREATE\\s+DICTIONARY\\s+([\\w.]+)$".r
+  private val ShowDictRe =
+    "(?i)^SHOW\\s+DICTIONARIES(?:\\s+FROM\\s+(\\w+))?(?:\\s+LIKE\\s+'((?:[^'\\\\]|\\\\.|'')*)')?$".r
   private val ShowRe = "(?i)^SHOW\\b".r
 
   /** Where the reference's .sql scripts live — overridable per deployment
@@ -92,6 +96,7 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
   val mvs = mutable.LinkedHashMap.empty[String, MaterializedView]
   val dictionaries = mutable.ArrayBuffer.empty[String]
   private val dictDdls = mutable.LinkedHashMap.empty[String, CreateDictionary]
+  private val mvDdls = mutable.LinkedHashMap.empty[String, CreateMaterializedView]
   val queries = mutable.ArrayBuffer.empty[String]
   private val mvSources = mutable.LinkedHashMap.empty[String, String]
   private val bindings = mutable.Map.empty[String, DataFrame]
@@ -148,7 +153,8 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     case DropStmt(sql) =>
       """(?is)drop\s+(?:table|view|dictionary)\s+(?:if\s+exists\s+)?([\w.]+)""".r
         .findFirstMatchIn(sql).foreach { m =>
-          mvs.remove(m.group(1)); mvSources.remove(m.group(1)); ()
+          mvs.remove(m.group(1)); mvSources.remove(m.group(1))
+          mvDdls.remove(m.group(1)); ()
         }
     case TruncateTable(name, ifExists) =>
       val t = resolve(name)
@@ -392,6 +398,18 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
           .toSeq.flatMap(_.cols.map(c =>
             Seq(qlit(db), qlit(t), qlit(c.name), qlit(c.chType))))
       })
+    mkSysView("dictionaries",
+      Seq("database", "name", "source", "layout", "lifetime_min", "lifetime_max"),
+      dictDdls.toSeq.sortBy(_._1).map { case (n, d) =>
+        val (db, t) = dbTable(n)
+        Seq(qlit(db), qlit(t), qlit(d.sourceName), qlit(d.layout),
+          s"CAST(${d.lifetimeMin} AS INT)", s"CAST(${d.lifetimeMax} AS INT)")
+      },
+      Some(StructType(Seq(
+        StructField("database", StringType), StructField("name", StringType),
+        StructField("source", StringType), StructField("layout", StringType),
+        StructField("lifetime_min", IntegerType),
+        StructField("lifetime_max", IntegerType)))))
   }
 
   /** One row per PART (= one parquet data file), as in CH: `partition` is
@@ -540,10 +558,19 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
   def interactive(sql: String): Option[DataFrame] = {
     import spark.implicits._
     val s = sql.trim.stripSuffix(";").trim
-    import ChReplay.{DescRe => desc, ExistsRe => existsRe, ShowCreateRe => showCreate,
-      ShowDbRe => showDb, ShowTblRe => showTbl}
+    import ChReplay.{DescRe => desc, ExistsRe => existsRe,
+      ShowCreateDictRe => showCreateDict, ShowCreateRe => showCreate,
+      ShowDbRe => showDb, ShowDictRe => showDict, ShowTblRe => showTbl}
     def known(t: String): Boolean =
-      tables.contains(t) || aliasDefs.contains(t) || tables.contains(resolve(t))
+      tables.contains(t) || aliasDefs.contains(t) || dictDdls.contains(t) ||
+        mvDdls.contains(t) || tables.contains(resolve(t))
+    // the declared column list of ANY named object — tables, Distributed
+    // aliases (their OWN shape), dictionaries, materialized views
+    def declared(t: String): Option[Seq[Col]] =
+      tables.get(t).orElse(aliasDefs.get(t)).map(_.cols)
+        .orElse(dictDdls.get(t).map(_.cols))
+        .orElse(mvDdls.get(t).map(_.cols))
+        .orElse(tables.get(resolve(t)).map(_.cols))
     def catalogHas(t: String): Boolean =
       try spark.catalog.tableExists(t) catch { case _: Exception => false }
     def descriptor(t: String): CreateTable =
@@ -605,12 +632,21 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
           Option(like).map(p => s"name LIKE ${likeLit(p)}").toSeq
         val wh = if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
         Some(spark.sql(s"SELECT name FROM system.tables$wh ORDER BY name"))
+      case showDict(db, like) =>
+        publishCatalogViews()
+        val conds = Option(db).map(d => s"database = ${qlit(d)}").toSeq ++
+          Option(like).map(p => s"name LIKE ${likeLit(p)}").toSeq
+        val wh = if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
+        Some(spark.sql(s"SELECT name FROM system.dictionaries$wh ORDER BY name"))
       case desc(t) =>
         ensureSystemFor(t)
         if (!known(t) && catalogHas(t)) None // native DESCRIBE answers
         else {
-          val ct = descriptor(t)
-          Some(ct.cols.map(c => (c.name, c.chType,
+          val cols = declared(t).getOrElse(sys.error(
+            s"unknown table $t (known: ${
+              (tables.keys ++ aliasDefs.keys ++ dictDdls.keys ++ mvDdls.keys)
+                .toSeq.sorted.mkString(", ")})"))
+          Some(cols.map(c => (c.name, c.chType,
               c.default.map(_ => "DEFAULT").getOrElse(""), c.default.getOrElse(""),
               c.comment.getOrElse("")))
             .toDF("name", "type", "default_type", "default_expression", "comment"))
@@ -620,8 +656,16 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
         Some(Seq(if (known(t) || catalogHas(t)) 1 else 0).toDF("result"))
       case showCreate(t) =>
         ensureSystemFor(t)
-        if (!known(t) && catalogHas(t)) None // native SHOW CREATE answers
+        if (mvDdls.contains(t))
+          Some(Seq(ChDdl.render(mvDdls(t))).toDF("statement"))
+        else if (dictDdls.contains(t)) // CH answers generically here too
+          Some(Seq(ChDdl.render(dictDdls(t))).toDF("statement"))
+        else if (!known(t) && catalogHas(t)) None // native SHOW CREATE answers
         else Some(Seq(ChDdl.render(descriptor(t))).toDF("statement"))
+      case showCreateDict(t) =>
+        Some(Seq(ChDdl.render(dictDdls.getOrElse(t, sys.error(
+          s"unknown dictionary $t (known: ${
+            dictDdls.keys.toSeq.sorted.mkString(", ")})")))).toDF("statement"))
       // any OTHER SHOW form must refuse, not fall through: Spark's native
       // SHOW statements have GLOB pattern semantics and different output
       // schemas — a silent handoff would return plausible-looking wrong
@@ -629,7 +673,8 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
       // LIKE on exactly that path)
       case other if ChReplay.ShowRe.findFirstIn(other).isDefined =>
         sys.error("unsupported SHOW form (DATABASES [LIKE] / TABLES " +
-          s"[FROM <db>] [LIKE] / CREATE TABLE <t>): $s")
+          "[FROM <db>] [LIKE] / DICTIONARIES [FROM <db>] [LIKE] / " +
+          s"CREATE TABLE|VIEW|DICTIONARY <t>): $s")
       case _ => None
     }
   }
@@ -878,6 +923,7 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
       }: _*)
     }
     mvs(mv.name) = MaterializedView.fromSql(mv.name, mv.select, mv.sourceTable, st, conform)
+    mvDdls(mv.name) = mv
     mvSources(mv.name) = mv.sourceTable
   }
 

@@ -947,8 +947,8 @@ class ChDdlReplaySpec extends SparkSpec {
     val files = Option(new java.io.File(sqlDir).listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".sql"))
     assume(files.nonEmpty, s"$sqlDir missing")
-    val cts = files.toSeq.sortBy(_.getName)
-      .flatMap(f => parse(script(f.getName)).collect { case t: CreateTable => t })
+    val stmts = files.toSeq.sortBy(_.getName).flatMap(f => parse(script(f.getName)))
+    val cts = stmts.collect { case t: CreateTable => t }
     assert(cts.size >= 10, s"expected a corpus, got ${cts.size} tables")
     cts.foreach { ct =>
       val rendered = render(ct)
@@ -956,6 +956,15 @@ class ChDdlReplaySpec extends SparkSpec {
       assert(back == ct,
         s"round-trip drift for ${ct.name}:\n$rendered\nparsed: $back\norig:   $ct")
     }
+    // the whole object vocabulary round-trips, not just tables
+    val dicts = stmts.collect { case d: CreateDictionary => d }
+    assert(dicts.nonEmpty)
+    dicts.foreach(d => assert(parseStatement(render(d)) == d,
+      s"dictionary round-trip drift:\n${render(d)}"))
+    val mvDefs = stmts.collect { case m: CreateMaterializedView => m }
+    assert(mvDefs.nonEmpty)
+    mvDefs.foreach(m => assert(parseStatement(render(m)) == m,
+      s"mv round-trip drift:\n${render(m)}"))
   }
 
   test("interactive statements: SHOW / DESCRIBE / EXISTS / SHOW CREATE " +
@@ -1015,10 +1024,45 @@ class ChDdlReplaySpec extends SparkSpec {
     assert(replay.runQuery("SHOW TABLES FROM dws LIKE 'ia\\\\_l%'").collect()
       .map(_.getString(0)).toSeq == Seq("ia_local"),
       "'\\\\_' decodes to the same escaped literal underscore")
-    // SHOW DATABASES takes LIKE too; other SHOW forms refuse loudly
+    // SHOW DATABASES takes LIKE too; unknown SHOW forms refuse loudly
     assert(replay.runQuery("SHOW DATABASES LIKE 'dw%'").collect()
       .map(_.getString(0)).toSeq == Seq("dws"))
-    intercept[RuntimeException](replay.runQuery("SHOW DICTIONARIES"))
+    intercept[RuntimeException](replay.runQuery("SHOW PROCESSLIST"))
+
+    // dictionaries and MVs join the introspection vocabulary
+    import spark.implicits._
+    replay.bind("dws.ia_src", Seq((1L, 30L)).toDF("uid", "age"))
+    replay.executeScript(
+      """create dictionary dws.ia_dict (
+        | uid UInt64,
+        | age UInt8 default 0
+        |) primary key uid
+        |source(clickhouse(db 'dws' table 'ia_src'))
+        |lifetime(min 1 max 2)
+        |layout(FLAT());
+        |create materialized view dws.ia_mv to dws.ia_local (
+        | day Date,
+        | k UInt64,
+        | v UInt64
+        |) as select day, k, v from dws.ia_src;""".stripMargin)
+    assert(replay.runQuery("SHOW DICTIONARIES FROM dws").collect()
+      .map(_.getString(0)).toSeq == Seq("ia_dict"))
+    val dictDdl = replay.runQuery("SHOW CREATE DICTIONARY dws.ia_dict")
+      .head().getString(0)
+    assert(ChDdl.parseStatement(dictDdl).isInstanceOf[ChDdl.CreateDictionary],
+      s"dictionary DDL does not reparse:\n$dictDdl")
+    assert(dictDdl.contains("LIFETIME(MIN 1 MAX 2)") && dictDdl.contains("LAYOUT(FLAT())"))
+    assert(replay.runQuery("DESC dws.ia_dict").collect()
+      .map(_.getString(0)).toSeq == Seq("uid", "age"))
+    assert(replay.runQuery("EXISTS dws.ia_dict").head().getInt(0) == 1)
+    val mvDdl = replay.runQuery("SHOW CREATE TABLE dws.ia_mv").head().getString(0)
+    assert(mvDdl.startsWith("CREATE MATERIALIZED VIEW dws.ia_mv TO dws.ia_local"),
+      s"got:\n$mvDdl")
+    assert(ChDdl.parseStatement(mvDdl).isInstanceOf[ChDdl.CreateMaterializedView])
+    assert(spark.sql(
+      "SELECT source, layout, lifetime_max FROM system.dictionaries WHERE name = 'ia_dict'")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq ==
+      Seq(("dws.ia_src", "FLAT", 2)))
     // a trailing lone escape is LIKE's own well-formed error — not a
     // corrupted listing statement
     intercept[org.apache.spark.sql.AnalysisException](
