@@ -49,10 +49,12 @@ object ChReplay {
     "(?i)^SHOW\\s+DATABASES(?:\\s+LIKE\\s+'((?:[^'\\\\]|\\\\.|'')*)')?$".r
   private val ShowTblRe =
     "(?i)^SHOW\\s+TABLES(?:\\s+FROM\\s+(\\w+))?(?:\\s+LIKE\\s+'((?:[^'\\\\]|\\\\.|'')*)')?$".r
-  private val DescRe = "(?i)^DESC(?:RIBE)?(?:\\s+TABLE)?\\s+([\\w.]+)$".r
-  private val ExistsRe = "(?i)^EXISTS(?:\\s+TABLE)?\\s+([\\w.]+)$".r
-  private val ShowCreateRe =
-    "(?i)^SHOW\\s+CREATE\\s+(?:TABLE|VIEW)\\s+([\\w.]+)$".r
+  private val DescRe =
+    "(?i)^DESC(?:RIBE)?(?:\\s+(TABLE|DICTIONARY|VIEW))?\\s+([\\w.]+)$".r
+  private val ExistsRe =
+    "(?i)^EXISTS(?:\\s+(TABLE|DICTIONARY|VIEW))?\\s+([\\w.]+)$".r
+  private val ShowCreateRe = "(?i)^SHOW\\s+CREATE\\s+TABLE\\s+([\\w.]+)$".r
+  private val ShowCreateViewRe = "(?i)^SHOW\\s+CREATE\\s+VIEW\\s+([\\w.]+)$".r
   private val ShowCreateDictRe = "(?i)^SHOW\\s+CREATE\\s+DICTIONARY\\s+([\\w.]+)$".r
   private val ShowDictRe =
     "(?i)^SHOW\\s+DICTIONARIES(?:\\s+FROM\\s+(\\w+))?(?:\\s+LIKE\\s+'((?:[^'\\\\]|\\\\.|'')*)')?$".r
@@ -115,6 +117,22 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     bindings.getOrElse(n, spark.table(n))
   }
 
+  /** The declared column list of ANY named object — tables, Distributed
+    * aliases (their OWN shape, as CH describes them), dictionaries,
+    * materialized views; alias targets resolve last. The ONE lookup chain
+    * shared by DESCRIBE, system.columns and the error reporting.
+    */
+  private def declaredCols(t: String): Option[Seq[Col]] =
+    tables.get(t).orElse(aliasDefs.get(t)).map(_.cols)
+      .orElse(dictDdls.get(t).map(_.cols))
+      .orElse(mvDdls.get(t).map(_.cols))
+      .orElse(tables.get(resolve(t)).map(_.cols))
+
+  /** Every introspectable object name, for unknown-name error messages. */
+  private def knownNames: String =
+    (tables.keys ++ aliasDefs.keys ++ dictDdls.keys ++ mvDdls.keys)
+      .toSeq.sorted.mkString(", ")
+
   /** `SELECT CAST(NULL AS t) AS c, ... WHERE false` — an empty result of
     * exactly `schema` (shared by the ENGINE=Null view and TRUNCATE's
     * catalog-view replacement); names are backtick-quoted so reserved
@@ -153,8 +171,15 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     case DropStmt(sql) =>
       """(?is)drop\s+(?:table|view|dictionary)\s+(?:if\s+exists\s+)?([\w.]+)""".r
         .findFirstMatchIn(sql).foreach { m =>
-          mvs.remove(m.group(1)); mvSources.remove(m.group(1))
-          mvDdls.remove(m.group(1)); ()
+          val n = m.group(1)
+          mvs.remove(n); mvSources.remove(n); mvDdls.remove(n)
+          // DROP DICTIONARY must leave every introspection surface AND the
+          // lifetime ticker and dictGet registry (CH's EXISTS returns 0)
+          if (dictDdls.remove(n).isDefined) {
+            dictionaries -= n
+            Dictionaries.drop(n)
+          }
+          ()
         }
     case TruncateTable(name, ifExists) =>
       val t = resolve(name)
@@ -374,13 +399,20 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     */
   def publishCatalogViews(): Unit = {
     spark.sql("CREATE DATABASE IF NOT EXISTS system")
+    // CH lists MVs (engine MaterializedView) and DDL dictionaries (engine
+    // Dictionary) in system.tables too — EXISTS/DESCRIBE answering for a
+    // name that SHOW TABLES omits would be an internally inconsistent
+    // catalog
     val engineOf: String => String = n =>
       if (aliases.contains(n)) "Distributed"
+      else if (mvDdls.contains(n)) "MaterializedView"
+      else if (dictDdls.contains(n)) "Dictionary"
       else if (tables.get(n).exists(_.isAggregating)) "AggregatingMergeTree"
       else if (tables.get(n).exists(_.engine.equalsIgnoreCase("Null"))) "Null"
       else if (tables.contains(n)) "MergeTree"
       else "View"
-    val allNames = (tables.keys ++ aliases.keys).toSeq.distinct.sorted
+    val allNames = (tables.keys ++ aliases.keys ++ mvDdls.keys ++ dictDdls.keys)
+      .toSeq.distinct.sorted
     mkSysView("databases", Seq("name"),
       (allNames.map(dbTable(_)._1).distinct.sorted :+ "system")
         .map(d => Seq(qlit(d))))
@@ -392,11 +424,8 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     mkSysView("columns", Seq("database", "table", "name", "type"),
       allNames.flatMap { n =>
         val (db, t) = dbTable(n)
-        // an alias's OWN declared shape when it has one (CH lists the
-        // Distributed table's columns, not its target's)
-        tables.get(n).orElse(aliasDefs.get(n)).orElse(tables.get(resolve(n)))
-          .toSeq.flatMap(_.cols.map(c =>
-            Seq(qlit(db), qlit(t), qlit(c.name), qlit(c.chType))))
+        declaredCols(n).toSeq.flatten.map(c =>
+          Seq(qlit(db), qlit(t), qlit(c.name), qlit(c.chType)))
       })
     mkSysView("dictionaries",
       Seq("database", "name", "source", "layout", "lifetime_min", "lifetime_max"),
@@ -561,22 +590,12 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     import ChReplay.{DescRe => desc, ExistsRe => existsRe,
       ShowCreateDictRe => showCreateDict, ShowCreateRe => showCreate,
       ShowDbRe => showDb, ShowDictRe => showDict, ShowTblRe => showTbl}
-    def known(t: String): Boolean =
-      tables.contains(t) || aliasDefs.contains(t) || dictDdls.contains(t) ||
-        mvDdls.contains(t) || tables.contains(resolve(t))
-    // the declared column list of ANY named object — tables, Distributed
-    // aliases (their OWN shape), dictionaries, materialized views
-    def declared(t: String): Option[Seq[Col]] =
-      tables.get(t).orElse(aliasDefs.get(t)).map(_.cols)
-        .orElse(dictDdls.get(t).map(_.cols))
-        .orElse(mvDdls.get(t).map(_.cols))
-        .orElse(tables.get(resolve(t)).map(_.cols))
+    def known(t: String): Boolean = declaredCols(t).isDefined
     def catalogHas(t: String): Boolean =
       try spark.catalog.tableExists(t) catch { case _: Exception => false }
     def descriptor(t: String): CreateTable =
       tables.getOrElse(t, aliasDefs.getOrElse(t, tables.getOrElse(resolve(t),
-        sys.error(s"unknown table $t (known: ${
-          (tables.keys ++ aliasDefs.keys).toSeq.sorted.mkString(", ")})"))))
+        sys.error(s"unknown table $t (known: $knownNames)"))))
     // CH string-literal unescaping for the captured LIKE pattern — the
     // shared ChSql.chEscape table. Per CH's lexer, an unknown escape KEEPS
     // its backslash (the LIKE-convenience rule), so `'ia\_l%'` and
@@ -620,40 +639,50 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
       sb.toString
     }
     def likeLit(p: String): String = qlit(sparkLikePattern(chUnescape(p)))
+    // one assembly for all three name listings (db filter + CH LIKE)
+    def listing(view: String, db: String, like: String): DataFrame = {
+      publishCatalogViews(); ensurePartsViews()
+      val conds = Option(db).map(d => s"database = ${qlit(d)}").toSeq ++
+        Option(like).map(p => s"name LIKE ${likeLit(p)}").toSeq
+      val wh = if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
+      spark.sql(s"SELECT name FROM system.$view$wh ORDER BY name")
+    }
+    def describe(cols: Seq[Col]): DataFrame =
+      cols.map(c => (c.name, c.chType,
+          c.default.map(_ => "DEFAULT").getOrElse(""), c.default.getOrElse(""),
+          c.comment.getOrElse("")))
+        .toDF("name", "type", "default_type", "default_expression", "comment")
     s match {
-      case showDb(like) =>
-        publishCatalogViews(); ensurePartsViews()
-        val wh = Option(like)
-          .map(p => s" WHERE name LIKE ${likeLit(p)}").getOrElse("")
-        Some(spark.sql(s"SELECT name FROM system.databases$wh ORDER BY name"))
-      case showTbl(db, like) =>
-        publishCatalogViews(); ensurePartsViews()
-        val conds = Option(db).map(d => s"database = ${qlit(d)}").toSeq ++
-          Option(like).map(p => s"name LIKE ${likeLit(p)}").toSeq
-        val wh = if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
-        Some(spark.sql(s"SELECT name FROM system.tables$wh ORDER BY name"))
-      case showDict(db, like) =>
-        publishCatalogViews()
-        val conds = Option(db).map(d => s"database = ${qlit(d)}").toSeq ++
-          Option(like).map(p => s"name LIKE ${likeLit(p)}").toSeq
-        val wh = if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
-        Some(spark.sql(s"SELECT name FROM system.dictionaries$wh ORDER BY name"))
-      case desc(t) =>
+      case showDb(like) => Some(listing("databases", null, like))
+      case showTbl(db, like) => Some(listing("tables", db, like))
+      case showDict(db, like) => Some(listing("dictionaries", db, like))
+      case desc(kind, t) =>
         ensureSystemFor(t)
-        if (!known(t) && catalogHas(t)) None // native DESCRIBE answers
-        else {
-          val cols = declared(t).getOrElse(sys.error(
-            s"unknown table $t (known: ${
-              (tables.keys ++ aliasDefs.keys ++ dictDdls.keys ++ mvDdls.keys)
-                .toSeq.sorted.mkString(", ")})"))
-          Some(cols.map(c => (c.name, c.chType,
-              c.default.map(_ => "DEFAULT").getOrElse(""), c.default.getOrElse(""),
-              c.comment.getOrElse("")))
-            .toDF("name", "type", "default_type", "default_expression", "comment"))
+        Option(kind).map(_.toUpperCase) match {
+          case Some("DICTIONARY") =>
+            Some(describe(dictDdls.getOrElse(t, sys.error(
+              s"unknown dictionary $t (known: ${
+                dictDdls.keys.toSeq.sorted.mkString(", ")})")).cols))
+          case Some("VIEW") =>
+            Some(describe(mvDdls.getOrElse(t, sys.error(
+              s"unknown view $t (known: ${
+                mvDdls.keys.toSeq.sorted.mkString(", ")})")).cols))
+          case _ =>
+            if (!known(t) && catalogHas(t)) None // native DESCRIBE answers
+            else Some(describe(declaredCols(t).getOrElse(
+              sys.error(s"unknown table $t (known: $knownNames)"))))
         }
-      case existsRe(t) =>
+      case existsRe(kind, t) =>
         ensureSystemFor(t)
-        Some(Seq(if (known(t) || catalogHas(t)) 1 else 0).toDF("result"))
+        // CH's kind-qualified EXISTS answers for that kind only
+        val exists = Option(kind).map(_.toUpperCase) match {
+          case Some("DICTIONARY") => dictDdls.contains(t)
+          case Some("VIEW") => mvDdls.contains(t) ||
+            (try spark.catalog.getTable(t).tableType == "VIEW"
+             catch { case _: Exception => false })
+          case _ => known(t) || catalogHas(t)
+        }
+        Some(Seq(if (exists) 1 else 0).toDF("result"))
       case showCreate(t) =>
         ensureSystemFor(t)
         if (mvDdls.contains(t))
@@ -662,6 +691,11 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
           Some(Seq(ChDdl.render(dictDdls(t))).toDF("statement"))
         else if (!known(t) && catalogHas(t)) None // native SHOW CREATE answers
         else Some(Seq(ChDdl.render(descriptor(t))).toDF("statement"))
+      case ChReplay.ShowCreateViewRe(t) =>
+        // CH errors on SHOW CREATE VIEW of a non-view; only MVs qualify here
+        Some(Seq(ChDdl.render(mvDdls.getOrElse(t, sys.error(
+          s"$t is not a VIEW (known views: ${
+            mvDdls.keys.toSeq.sorted.mkString(", ")})")))).toDF("statement"))
       case showCreateDict(t) =>
         Some(Seq(ChDdl.render(dictDdls.getOrElse(t, sys.error(
           s"unknown dictionary $t (known: ${

@@ -1063,6 +1063,35 @@ class ChDdlReplaySpec extends SparkSpec {
       "SELECT source, layout, lifetime_max FROM system.dictionaries WHERE name = 'ia_dict'")
       .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq ==
       Seq(("dws.ia_src", "FLAT", 2)))
+
+    // system.tables lists MVs and dictionaries with their CH engines —
+    // EXISTS answering for a name SHOW TABLES omits would be inconsistent
+    val shown = replay.runQuery("SHOW TABLES FROM dws").collect()
+      .map(_.getString(0)).toSet
+    assert(shown.contains("ia_mv") && shown.contains("ia_dict"), s"got $shown")
+    assert(spark.sql(
+      "SELECT engine FROM system.tables WHERE name = 'ia_mv'")
+      .head().getString(0) == "MaterializedView")
+    assert(spark.sql(
+      "SELECT engine FROM system.tables WHERE name = 'ia_dict'")
+      .head().getString(0) == "Dictionary")
+
+    // kind-qualified forms answer for that kind only
+    assert(replay.runQuery("EXISTS DICTIONARY dws.ia_dict").head().getInt(0) == 1)
+    assert(replay.runQuery("EXISTS DICTIONARY dws.ia_local").head().getInt(0) == 0)
+    assert(replay.runQuery("DESCRIBE DICTIONARY dws.ia_dict").collect()
+      .map(_.getString(0)).toSeq == Seq("uid", "age"))
+    assert(replay.runQuery("SHOW CREATE VIEW dws.ia_mv").head().getString(0)
+      .startsWith("CREATE MATERIALIZED VIEW"))
+    intercept[RuntimeException](replay.runQuery("SHOW CREATE VIEW dws.ia_local"))
+
+    // DROP DICTIONARY clears EVERY introspection surface
+    replay.executeScript("drop dictionary dws.ia_dict;")
+    assert(replay.runQuery("EXISTS DICTIONARY dws.ia_dict").head().getInt(0) == 0)
+    assert(replay.runQuery("SHOW DICTIONARIES FROM dws").collect().isEmpty)
+    intercept[RuntimeException](replay.runQuery("SHOW CREATE DICTIONARY dws.ia_dict"))
+    assert(!replay.runQuery("SHOW TABLES FROM dws").collect()
+      .map(_.getString(0)).contains("ia_dict"))
     // a trailing lone escape is LIKE's own well-formed error — not a
     // corrupted listing statement
     intercept[org.apache.spark.sql.AnalysisException](
