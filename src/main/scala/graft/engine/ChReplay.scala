@@ -169,15 +169,51 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     case d: CreateDictionary => buildDictionary(d)
     case a: AlterTable => applyAlter(a)
     case DropStmt(sql) =>
-      """(?is)drop\s+(?:table|view|dictionary)\s+(?:if\s+exists\s+)?([\w.]+)""".r
+      """(?is)drop\s+(table|view|dictionary)\s+(?:if\s+exists\s+)?([\w.]+)""".r
         .findFirstMatchIn(sql).foreach { m =>
-          val n = m.group(1)
-          mvs.remove(n); mvSources.remove(n); mvDdls.remove(n)
-          // DROP DICTIONARY must leave every introspection surface AND the
-          // lifetime ticker and dictGet registry (CH's EXISTS returns 0)
-          if (dictDdls.remove(n).isDefined) {
-            dictionaries -= n
-            Dictionaries.drop(n)
+          val kind = m.group(1).toLowerCase
+          val n = m.group(2)
+          // KIND-AWARE, like CH: DROP TABLE of a dictionary (and DROP
+          // DICTIONARY of anything else) errors instead of silently
+          // destroying an object of a different kind. Unknown names stay
+          // tolerated no-ops (the scripts replay drops of not-yet-created
+          // objects).
+          if (kind == "dictionary") {
+            if (mvDdls.contains(n) || tables.contains(n) || aliases.contains(n))
+              sys.error(s"DROP DICTIONARY $n: not a dictionary")
+            // clears every introspection surface AND the lifetime ticker
+            // and dictGet registry (CH's EXISTS returns 0 after)
+            if (dictDdls.remove(n).isDefined) {
+              dictionaries -= n
+              Dictionaries.drop(n)
+            }
+          } else {
+            if (dictDdls.contains(n))
+              sys.error(s"DROP ${kind.toUpperCase} $n: it is a DICTIONARY — " +
+                "use DROP DICTIONARY")
+            // the MV drop-recreate flow (ref dwm script :87,:156,:195)
+            mvs.remove(n); mvSources.remove(n); mvDdls.remove(n)
+            // plain tables and Distributed aliases leave the catalog too —
+            // EXISTS answering 1 for a dropped name would contradict the
+            // catalog-consistency invariant. Dropping an alias drops ONLY
+            // the alias (CH: the local table survives); dropping a state
+            // table deletes its storage (CH drops data).
+            aliases.remove(n); aliasDefs.remove(n); bindings.remove(n)
+            if (tables.remove(n).isDefined) {
+              stateTables.remove(n).foreach { st =>
+                val fs = org.apache.hadoop.fs.FileSystem.get(
+                  new java.net.URI(st.path), spark.sparkContext.hadoopConfiguration)
+                fs.delete(new org.apache.hadoop.fs.Path(st.path), true): Unit
+              }
+              if (n.contains('.')) {
+                val obj = try Option(spark.catalog.getTable(n))
+                          catch { case _: org.apache.spark.sql.AnalysisException => None }
+                obj.foreach { o =>
+                  if (o.tableType == "VIEW") spark.sql(s"DROP VIEW IF EXISTS $n")
+                  else spark.sql(s"DROP TABLE IF EXISTS $n")
+                }
+              }
+            }
           }
           ()
         }
@@ -639,9 +675,13 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
       sb.toString
     }
     def likeLit(p: String): String = qlit(sparkLikePattern(chUnescape(p)))
-    // one assembly for all three name listings (db filter + CH LIKE)
-    def listing(view: String, db: String, like: String): DataFrame = {
-      publishCatalogViews(); ensurePartsViews()
+    // one assembly for all three name listings (db filter + CH LIKE);
+    // `parts` gates ensurePartsViews — a dictionary listing must never pay
+    // the parts-view probes
+    def listing(view: String, db: String, like: String,
+        parts: Boolean = true): DataFrame = {
+      publishCatalogViews()
+      if (parts) ensurePartsViews()
       val conds = Option(db).map(d => s"database = ${qlit(d)}").toSeq ++
         Option(like).map(p => s"name LIKE ${likeLit(p)}").toSeq
       val wh = if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
@@ -655,7 +695,7 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     s match {
       case showDb(like) => Some(listing("databases", null, like))
       case showTbl(db, like) => Some(listing("tables", db, like))
-      case showDict(db, like) => Some(listing("dictionaries", db, like))
+      case showDict(db, like) => Some(listing("dictionaries", db, like, parts = false))
       case desc(kind, t) =>
         ensureSystemFor(t)
         Option(kind).map(_.toUpperCase) match {
@@ -677,9 +717,11 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
         // CH's kind-qualified EXISTS answers for that kind only
         val exists = Option(kind).map(_.toUpperCase) match {
           case Some("DICTIONARY") => dictDdls.contains(t)
-          case Some("VIEW") => mvDdls.contains(t) ||
-            (try spark.catalog.getTable(t).tableType == "VIEW"
-             catch { case _: Exception => false })
+          // Spark tableType is a STORAGE detail (Null tables and
+          // registerParquet back CH tables with catalog views) — only a
+          // materialized view is a VIEW to CH here, and EXISTS VIEW = 1
+          // must imply SHOW CREATE VIEW succeeds
+          case Some("VIEW") => mvDdls.contains(t)
           case _ => known(t) || catalogHas(t)
         }
         Some(Seq(if (exists) 1 else 0).toDF("result"))

@@ -1092,6 +1092,36 @@ class ChDdlReplaySpec extends SparkSpec {
     intercept[RuntimeException](replay.runQuery("SHOW CREATE DICTIONARY dws.ia_dict"))
     assert(!replay.runQuery("SHOW TABLES FROM dws").collect()
       .map(_.getString(0)).contains("ia_dict"))
+
+    // EXISTS VIEW means materialized view, not Spark catalog storage (a
+    // Null table is BACKED by a catalog view but is a TABLE to CH)
+    assert(replay.runQuery("EXISTS VIEW dws.ia_mv").head().getInt(0) == 1)
+    assert(replay.runQuery("EXISTS VIEW dws.iaglocal").head().getInt(0) == 0)
+
+    // DROP is kind-aware like CH: wrong-kind drops refuse loudly
+    intercept[RuntimeException](replay.executeScript("drop dictionary dws.ia_local;"))
+    replay.executeScript(
+      """create dictionary dws.ia_dict2 (
+        | uid UInt64
+        |) primary key uid
+        |source(clickhouse(db 'dws' table 'ia_src'))
+        |lifetime(min 0 max 0)
+        |layout(FLAT());""".stripMargin)
+    intercept[RuntimeException](replay.executeScript("drop table dws.ia_dict2;"))
+    assert(replay.runQuery("EXISTS DICTIONARY dws.ia_dict2").head().getInt(0) == 1)
+
+    // dropping the Distributed alias leaves the local table (CH parity)
+    replay.executeScript("drop table dws.ia_dis;")
+    assert(replay.runQuery("EXISTS dws.ia_dis").head().getInt(0) == 0)
+    assert(replay.runQuery("EXISTS dws.ia_local").head().getInt(0) == 1)
+
+    // dropping a state table clears the catalog AND its storage
+    val iaPath = replay.stateTables("dws.ia_local").path
+    replay.executeScript("drop table dws.ia_local;")
+    assert(replay.runQuery("EXISTS TABLE dws.ia_local").head().getInt(0) == 0)
+    assert(!replay.runQuery("SHOW TABLES FROM dws").collect()
+      .map(_.getString(0)).contains("ia_local"))
+    assert(!new java.io.File(iaPath).exists(), "DROP TABLE must drop storage")
     // a trailing lone escape is LIKE's own well-formed error — not a
     // corrupted listing statement
     intercept[org.apache.spark.sql.AnalysisException](
