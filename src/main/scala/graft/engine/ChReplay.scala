@@ -143,6 +143,21 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
       s"CAST(NULL AS ${f.dataType.sql}) AS `${f.name.replace("`", "``")}`")
       .mkString(", ") + " WHERE false"
 
+  /** Drop whichever catalog object type carries `name` (publish() creates
+    * external TABLEs, the Null-engine path creates VIEWs) — one definition
+    * shared by [[publish]] and the DROP handler.
+    */
+  private def dropCatalogObject(name: String): Unit =
+    if (name.contains('.')) {
+      val existing =
+        try Option(spark.catalog.getTable(name))
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      existing.foreach { t =>
+        if (t.tableType == "VIEW") spark.sql(s"DROP VIEW IF EXISTS $name")
+        else spark.sql(s"DROP TABLE IF EXISTS $name")
+      }
+    }
+
   def executeScript(script: String): Unit = ChDdl.parse(script).foreach(execute)
 
   def execute(stmt: Stmt): Unit = stmt match {
@@ -178,42 +193,59 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
           // destroying an object of a different kind. Unknown names stay
           // tolerated no-ops (the scripts replay drops of not-yet-created
           // objects).
-          if (kind == "dictionary") {
-            if (mvDdls.contains(n) || tables.contains(n) || aliases.contains(n))
-              sys.error(s"DROP DICTIONARY $n: not a dictionary")
-            // clears every introspection surface AND the lifetime ticker
-            // and dictGet registry (CH's EXISTS returns 0 after)
-            if (dictDdls.remove(n).isDefined) {
-              dictionaries -= n
-              Dictionaries.drop(n)
-            }
-          } else {
-            if (dictDdls.contains(n))
-              sys.error(s"DROP ${kind.toUpperCase} $n: it is a DICTIONARY — " +
-                "use DROP DICTIONARY")
-            // the MV drop-recreate flow (ref dwm script :87,:156,:195)
+          def dropMv(): Boolean = {
+            val was = mvDdls.contains(n)
             mvs.remove(n); mvSources.remove(n); mvDdls.remove(n)
-            // plain tables and Distributed aliases leave the catalog too —
-            // EXISTS answering 1 for a dropped name would contradict the
-            // catalog-consistency invariant. Dropping an alias drops ONLY
-            // the alias (CH: the local table survives); dropping a state
-            // table deletes its storage (CH drops data).
-            aliases.remove(n); aliasDefs.remove(n); bindings.remove(n)
-            if (tables.remove(n).isDefined) {
-              stateTables.remove(n).foreach { st =>
-                val fs = org.apache.hadoop.fs.FileSystem.get(
-                  new java.net.URI(st.path), spark.sparkContext.hadoopConfiguration)
-                fs.delete(new org.apache.hadoop.fs.Path(st.path), true): Unit
+            was
+          }
+          kind match {
+            case "dictionary" =>
+              if (mvDdls.contains(n) || tables.contains(n) ||
+                  aliases.contains(n) || aliasDefs.contains(n))
+                sys.error(s"DROP DICTIONARY $n: not a dictionary")
+              // clears every introspection surface AND the lifetime ticker
+              // and dictGet registry (CH's EXISTS returns 0 after)
+              if (dictDdls.remove(n).isDefined) {
+                dictionaries -= n
+                Dictionaries.drop(n)
               }
-              if (n.contains('.')) {
-                val obj = try Option(spark.catalog.getTable(n))
-                          catch { case _: org.apache.spark.sql.AnalysisException => None }
-                obj.foreach { o =>
-                  if (o.tableType == "VIEW") spark.sql(s"DROP VIEW IF EXISTS $n")
-                  else spark.sql(s"DROP TABLE IF EXISTS $n")
-                }
+            case "view" =>
+              // only materialized views are VIEWs to CH — DROP VIEW of a
+              // table/alias/dictionary refuses ("is not a View")
+              if (tables.contains(n) || aliases.contains(n) ||
+                  aliasDefs.contains(n) || dictDdls.contains(n))
+                sys.error(s"DROP VIEW $n: is not a View")
+              dropMv(): Unit
+            case _ => // table
+              if (dictDdls.contains(n))
+                sys.error(s"DROP TABLE $n: it is a DICTIONARY — " +
+                  "use DROP DICTIONARY")
+              // CH allows DROP TABLE of an MV — the scripts' drop-recreate
+              // flow (ref dwm script :87,:156,:195)
+              if (!dropMv()) {
+                // plain tables and Distributed aliases leave the catalog
+                // too — EXISTS answering 1 for a dropped name would
+                // contradict the catalog-consistency invariant. Dropping an
+                // alias drops ONLY the alias (CH: the local table
+                // survives); dropping a state table deletes its storage
+                // (CH drops data) and deregisters the catalog objects of
+                // aliases that resolved to it (their selects must error,
+                // not read a stale registration over a deleted location).
+                val wasAlias = aliases.remove(n).isDefined |
+                  aliasDefs.remove(n).isDefined
+                bindings.remove(n)
+                if (tables.remove(n).isDefined) {
+                  stateTables.remove(n).foreach { st =>
+                    val fs = org.apache.hadoop.fs.FileSystem.get(
+                      new java.net.URI(st.path),
+                      spark.sparkContext.hadoopConfiguration)
+                    fs.delete(new org.apache.hadoop.fs.Path(st.path), true): Unit
+                    aliases.collect { case (a, t) if resolve(t) == n => a }
+                      .foreach(dropCatalogObject)
+                  }
+                  dropCatalogObject(n)
+                } else if (wasAlias) dropCatalogObject(n)
               }
-            }
           }
           ()
         }
@@ -367,13 +399,7 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
         // the name may exist as a VIEW (e.g. Catalog.registerParquet from a
         // previous consumer of the same name) — DROP TABLE refuses views,
         // so drop whichever object type is actually there
-        val existing =
-          try Option(spark.catalog.getTable(n))
-          catch { case _: org.apache.spark.sql.AnalysisException => None }
-        existing.foreach { t =>
-          if (t.tableType == "VIEW") spark.sql(s"DROP VIEW IF EXISTS $n")
-          else spark.sql(s"DROP TABLE IF EXISTS $n")
-        }
+        dropCatalogObject(n)
         spark.sql(
           s"CREATE TABLE $n USING parquet OPTIONS (mergeSchema 'true') LOCATION '${st.path}'")
         // partitioned external tables track partitions in the catalog —
@@ -693,7 +719,7 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
           c.comment.getOrElse("")))
         .toDF("name", "type", "default_type", "default_expression", "comment")
     s match {
-      case showDb(like) => Some(listing("databases", null, like))
+      case showDb(like) => Some(listing("databases", null, like, parts = false))
       case showTbl(db, like) => Some(listing("tables", db, like))
       case showDict(db, like) => Some(listing("dictionaries", db, like, parts = false))
       case desc(kind, t) =>

@@ -1122,6 +1122,12 @@ class ChDdlReplaySpec extends SparkSpec {
     assert(!replay.runQuery("SHOW TABLES FROM dws").collect()
       .map(_.getString(0)).contains("ia_local"))
     assert(!new java.io.File(iaPath).exists(), "DROP TABLE must drop storage")
+
+    // DROP VIEW is strict: refuses tables, detaches materialized views
+    intercept[RuntimeException](replay.executeScript("drop view dws.iaglocal;"))
+    assert(replay.runQuery("EXISTS VIEW dws.ia_mv").head().getInt(0) == 1)
+    replay.executeScript("drop view dws.ia_mv;")
+    assert(replay.runQuery("EXISTS VIEW dws.ia_mv").head().getInt(0) == 0)
     // a trailing lone escape is LIKE's own well-formed error — not a
     // corrupted listing statement
     intercept[org.apache.spark.sql.AnalysisException](
@@ -1187,7 +1193,7 @@ class ChDdlReplaySpec extends SparkSpec {
       Seq(("2024-01-01", 1L, 10L)).toDF("day_s", "k", "v")
         .select(org.apache.spark.sql.functions.to_date(col("day_s")).as("day"),
           col("k"), col("v")))
-    r3.runQuery("SHOW DATABASES").collect() // any listing re-ensures
+    r3.runQuery("SHOW TABLES FROM dws").collect() // any listing re-ensures
     assert(psParts() == 1L, "the pinned-empty snapshot must republish once parts exist")
 
     // BOTH sides self-repair through listings alone: a DETACH after the
@@ -1199,14 +1205,14 @@ class ChDdlReplaySpec extends SparkSpec {
       .head().getLong(0)
     r3.execute(ChDdl.parseStatement(
       "ALTER TABLE dws.ps_local DETACH PARTITION '2024-01-01'"))
-    r3.runQuery("SHOW DATABASES").collect() // detached side was pinned empty
+    r3.runQuery("SHOW TABLES FROM dws").collect() // detached side was pinned empty
     assert(psParts() == 0L && psDetached() == 1L,
       "a detach after an empty detached pin must surface on the next listing")
-    r3.runQuery("SHOW DATABASES").collect() // waiting listing: stays consistent
+    r3.runQuery("SHOW TABLES FROM dws").collect() // waiting listing: stays consistent
     assert(psParts() == 0L && psDetached() == 1L)
     r3.execute(ChDdl.parseStatement(
       "ALTER TABLE dws.ps_local ATTACH PARTITION '2024-01-01'"))
-    r3.runQuery("SHOW DATABASES").collect() // live part reappeared -> republish
+    r3.runQuery("SHOW TABLES FROM dws").collect() // live part reappeared -> republish
     assert(psParts() == 1L && psDetached() == 0L,
       "a detached-only pin must repopulate once live parts reappear")
   }
