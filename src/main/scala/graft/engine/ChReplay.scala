@@ -143,6 +143,13 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
       s"CAST(NULL AS ${f.dataType.sql}) AS `${f.name.replace("`", "``")}`")
       .mkString(", ") + " WHERE false"
 
+  /** The alias names that resolve (transitively) to `name` — the ONE
+    * definition of which catalog objects publish() registers for a local
+    * table and DROP must clean up after it.
+    */
+  private def aliasesTo(name: String): Seq[String] =
+    aliases.collect { case (a, t) if resolve(t) == name => a }.toSeq
+
   /** Drop whichever catalog object type carries `name` (publish() creates
     * external TABLEs, the Null-engine path creates VIEWs) — one definition
     * shared by [[publish]] and the DROP handler.
@@ -240,8 +247,13 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
                       new java.net.URI(st.path),
                       spark.sparkContext.hadoopConfiguration)
                     fs.delete(new org.apache.hadoop.fs.Path(st.path), true): Unit
-                    aliases.collect { case (a, t) if resolve(t) == n => a }
-                      .foreach(dropCatalogObject)
+                    aliasesTo(n).foreach(dropCatalogObject)
+                    // published parts snapshots would keep listing the
+                    // dropped table's parts over deleted files — the same
+                    // stale-registration hazard as the alias catalog
+                    // objects, repaired the same way
+                    if (spark.catalog.tableExists("system.parts"))
+                      publishPartsViews()
                   }
                   dropCatalogObject(n)
                 } else if (wasAlias) dropCatalogObject(n)
@@ -393,7 +405,7 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     */
   def publish(): Unit = {
     for ((name, st) <- stateTables) {
-      val names = name +: aliases.collect { case (a, t) if resolve(t) == name => a }.toSeq
+      val names = name +: aliasesTo(name)
       for (n <- names if n.contains('.')) {
         spark.sql(s"CREATE DATABASE IF NOT EXISTS ${n.split('.')(0)}")
         // the name may exist as a VIEW (e.g. Catalog.registerParquet from a
@@ -719,7 +731,12 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
           c.comment.getOrElse("")))
         .toDF("name", "type", "default_type", "default_expression", "comment")
     s match {
-      case showDb(like) => Some(listing("databases", null, like, parts = false))
+      // SHOW DATABASES ensures parts views too: ANY listing must leave
+      // system.parts queryable afterwards (steady-state cost is two
+      // catalog existence checks; the directory probes run only while a
+      // snapshot side is pinned empty, the footer publication at most
+      // once per missing/empty-pinned state)
+      case showDb(like) => Some(listing("databases", null, like))
       case showTbl(db, like) => Some(listing("tables", db, like))
       case showDict(db, like) => Some(listing("dictionaries", db, like, parts = false))
       case desc(kind, t) =>

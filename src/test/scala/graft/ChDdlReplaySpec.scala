@@ -1122,6 +1122,10 @@ class ChDdlReplaySpec extends SparkSpec {
     assert(!replay.runQuery("SHOW TABLES FROM dws").collect()
       .map(_.getString(0)).contains("ia_local"))
     assert(!new java.io.File(iaPath).exists(), "DROP TABLE must drop storage")
+    assert(spark.sql(
+      "SELECT count(*) FROM system.parts WHERE table = 'ia_local'")
+      .head().getLong(0) == 0L,
+      "a dropped table's parts must leave the published snapshot")
 
     // DROP VIEW is strict: refuses tables, detaches materialized views
     intercept[RuntimeException](replay.executeScript("drop view dws.iaglocal;"))
