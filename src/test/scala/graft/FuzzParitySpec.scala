@@ -50,8 +50,12 @@ class FuzzParitySpec extends SparkSpec {
   // 591-620 the CH calendar battery (toStartOf* truncations, Monday=1
   // weekdays, ISO weeks, toYYYYMM, last-day/month-name/formatDateTime,
   // addDate/subDate, time-of-day + epoch-anchored truncation) vs
-  // DuckDB's isodow/weekofyear/date_trunc/strftime/INTERVAL/epoch
-  private val seeds = 1 to 620
+  // DuckDB's isodow/weekofyear/date_trunc/strftime/INTERVAL/epoch;
+  // 621-650 the CH string battery (split/rejoin, CH-arg-order position,
+  // countSubstrings, pad/trim, replace/regexp, base64 round-trips,
+  // multiSearchAny, starts/endsWith) vs DuckDB's string_split/
+  // position-IN/lpad/regexp_replace('g')/encode-base64 spellings
+  private val seeds = 1 to 650
 
   private def duckdbAvailable: Boolean =
     try Seq("python3", "-c", "import duckdb, pandas").! == 0

@@ -142,7 +142,8 @@ object FuzzGen {
   def queryFor(seed: Int): FuzzQuery = {
     val rnd = new Random(seed.toLong * 1000003L + 17L)
     val name = f"fz$seed%03d"
-    if (seed > 590) dateQuery(name, rnd)
+    if (seed > 620) stringQuery(name, rnd)
+    else if (seed > 590) dateQuery(name, rnd)
     else if (seed > 560) arrayQuery(name, rnd)
     else if (seed > 530) projectionPostAggQuery(name, rnd)
     else if (seed > 510) rollupQuery(name, rnd)
@@ -992,6 +993,93 @@ object FuzzGen {
 
     val where = predicate(t, rnd).map(p => s" WHERE $p").getOrElse("")
     if (rnd.nextInt(3) == 0) {
+      val (gs, gd) = draw("g")
+      FuzzQuery(name,
+        s"SELECT $gs, count(1) AS cnt FROM ${t.name}$where " +
+          "GROUP BY 1 ORDER BY 1 NULLS FIRST",
+        s"SELECT $gd, CAST(count(*) AS BIGINT) AS cnt FROM ${t.name}$where " +
+          "GROUP BY 1 ORDER BY 1 NULLS FIRST")
+    } else {
+      val pairs = (0 until 1 + rnd.nextInt(3)).map(i => draw(s"e$i"))
+      def render(side: ((String, String)) => String): String = {
+        val sel = (t.uniqueKey ++ pairs.map(side)).mkString(", ")
+        s"SELECT $sel FROM ${t.name}$where ORDER BY ${t.totalOrder.mkString(", ")} LIMIT 60"
+      }
+      FuzzQuery(name, render(_._1), render(_._2))
+    }
+  }
+
+  /** The string band (seeds past 620): CH's string battery — split +
+    * rejoin (splitByChar/arrayStringConcat), CH-argument-order position,
+    * non-overlapping countSubstrings, pad/trim families, literal and
+    * regexp replacement, base64 round-trips, UTF8-suffixed basics,
+    * multiSearchAny, starts/endsWith — against DuckDB's independently-
+    * spelled battery (string_split/array_to_string, `position(n IN h)`,
+    * the length-difference counting identity, lpad/rpad/trim,
+    * replace/regexp_replace('g'), encode/to_base64/from_base64/decode,
+    * contains-OR chains). Base strings derive from the table's own
+    * string columns with engine-identical builders (concat/upper/lower),
+    * and needles include absent ones (position/count must agree on 0).
+    */
+  private def stringQuery(name: String, rnd: Random): FuzzQuery = {
+    val pool = tables.filter(_.of(StrK).size >= 2)
+    val t = pool(rnd.nextInt(pool.length))
+    def sc = pick(rnd, t.of(StrK)).name
+
+    // derived base string — IDENTICAL SQL text on both sides
+    def base(): String = rnd.nextInt(4) match {
+      case 0 => sc
+      case 1 => s"concat(upper($sc), '-', $sc)"
+      case 2 => s"concat($sc, '#', $sc)"
+      case _ => s"lower(concat($sc, '_', $sc))"
+    }
+    val needles = Seq("A", "E", "R", "-", "1", "o", "ING", "UR", "zq")
+
+    def draw(alias: String): (String, String) = {
+      val b = base()
+      val n = pick(rnd, needles)
+      rnd.nextInt(15) match {
+        case 0 => (s"arrayStringConcat(splitByChar('-', $b), '|') AS $alias",
+                   s"array_to_string(string_split($b, '-'), '|') AS $alias")
+        case 1 => (s"CAST(arrayCount(x -> true, splitByChar('-', $b)) AS BIGINT) AS $alias",
+                   s"CAST(len(string_split($b, '-')) AS BIGINT) AS $alias")
+        case 2 => (s"CAST(position($b, '$n') AS BIGINT) AS $alias",
+                   s"CAST(position('$n' IN $b) AS BIGINT) AS $alias")
+        case 3 => (s"CAST(countSubstrings($b, '$n') AS BIGINT) AS $alias",
+                   s"CAST((length($b) - length(replace($b, '$n', ''))) / " +
+                     s"length('$n') AS BIGINT) AS $alias")
+        case 4 =>
+          val w = 8 + rnd.nextInt(8)
+          (s"leftPad($b, $w, '*') AS $alias", s"lpad($b, $w, '*') AS $alias")
+        case 5 =>
+          val w = 8 + rnd.nextInt(8)
+          (s"rightPad($b, $w, '.') AS $alias", s"rpad($b, $w, '.') AS $alias")
+        case 6 => (s"trimBoth(concat('  ', $b, ' ')) AS $alias",
+                   s"trim(concat('  ', $b, ' ')) AS $alias")
+        case 7 => (s"trimLeft(concat('  ', $b)) AS $alias",
+                   s"ltrim(concat('  ', $b)) AS $alias")
+        case 8 => (s"replaceAll($b, '$n', '@') AS $alias",
+                   s"replace($b, '$n', '@') AS $alias")
+        case 9 => (s"replaceRegexpAll($b, '[AEIOU]', '#') AS $alias",
+                   s"regexp_replace($b, '[AEIOU]', '#', 'g') AS $alias")
+        case 10 => (s"base64Decode(base64Encode($b)) AS $alias",
+                    s"decode(from_base64(to_base64(encode($b)))) AS $alias")
+        case 11 =>
+          val o = 1 + rnd.nextInt(3); val l = 1 + rnd.nextInt(5)
+          (s"substringUTF8($b, $o, $l) AS $alias", s"substring($b, $o, $l) AS $alias")
+        case 12 => (s"reverseUTF8($b) AS $alias", s"reverse($b) AS $alias")
+        case 13 => (s"multiSearchAny($b, array('$n', 'zq')) AS $alias",
+                    s"(contains($b, '$n') OR contains($b, 'zq')) AS $alias")
+        case _ =>
+          if (rnd.nextBoolean())
+            (s"startsWith($b, '$n') AS $alias", s"starts_with($b, '$n') AS $alias")
+          else
+            (s"endsWith($b, '$n') AS $alias", s"ends_with($b, '$n') AS $alias")
+      }
+    }
+
+    val where = predicate(t, rnd).map(p => s" WHERE $p").getOrElse("")
+    if (rnd.nextInt(4) == 0) {
       val (gs, gd) = draw("g")
       FuzzQuery(name,
         s"SELECT $gs, count(1) AS cnt FROM ${t.name}$where " +
