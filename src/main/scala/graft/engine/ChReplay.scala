@@ -227,6 +227,17 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
               if (dictDdls.contains(n))
                 sys.error(s"DROP TABLE $n: it is a DICTIONARY — " +
                   "use DROP DICTIONARY")
+              // an MV whose captured StateTable targets n would keep
+              // appending into the deleted path after the drop (CH fails
+              // such inserts with table-does-not-exist; a silent write
+              // into deleted storage is worse) — demand the MVs go first
+              if (stateTables.contains(n)) {
+                val dependents = mvDdls.collect {
+                  case (mvName, mv) if resolve(mv.to) == n => mvName }
+                if (dependents.nonEmpty)
+                  sys.error(s"DROP TABLE $n: materialized view(s) " +
+                    s"${dependents.mkString(", ")} target it — drop them first")
+              }
               // CH allows DROP TABLE of an MV — the scripts' drop-recreate
               // flow (ref dwm script :87,:156,:195)
               if (!dropMv()) {
@@ -290,7 +301,7 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
           else bindings(t).createOrReplaceTempView(t)
         }
       stateTables.get(t) match {
-        case Some(st) => st.truncate()
+        case Some(st) => st.truncate(); partsViewsDirty = true
         case None => bindings.get(t) match {
           case Some(df) =>
             truncateCatalogObject() // refusals fire before any mutation
@@ -306,8 +317,10 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
       // table's accumulated parts — a no-op for plain MergeTree bindings,
       // whose storage has no merge debt here; PARTITION 'v' scopes the
       // fold (and the rewrite) to that one partition directory
-      stateTables.get(resolve(name)).foreach(st =>
-        part.fold(st.compact())(st.compactPartition))
+      stateTables.get(resolve(name)).foreach { st =>
+        part.fold(st.compact())(st.compactPartition)
+        partsViewsDirty = true
+      }
     case Query(sql) => queries += sql
     case ins: InsertSelect => executeInsert(ins)
     case _: Unparsed => ()
@@ -562,7 +575,7 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     mkSysView("parts", partCols, live, Some(partSchema))
     mkSysView("detached_parts", partCols, detached, Some(partSchema))
     liveSnapshotEmpty = live.isEmpty
-    detachedSnapshotEmpty = detached.isEmpty
+    partsViewsDirty = false
   }
 
   /** The parts views' one schema definition — the populated VALUES form
@@ -578,16 +591,24 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     StructField("bytes_on_disk", LongType)))
   private def partCols: Seq[String] = partSchema.fieldNames.toSeq
 
-  /** Per-side (live / `.detached`) emptiness of the last parts snapshot —
-    * a side pinned empty before data appeared there must republish once a
-    * part exists on that side, or every later listing would read a
-    * plausible-looking empty view over real data. While a side waits,
-    * each listing pays [[anyPartAt]]'s directory probes only — never
-    * footer reads (a detached-only table must not re-read its detached
-    * footers per listing).
+  /** Emptiness of the last snapshot's LIVE side — a snapshot pinned
+    * before the first insert must republish once a live part exists, or
+    * every later listing would read a plausible-looking empty view over
+    * real data. While it waits, each listing pays [[anyPartAt]]'s
+    * directory probes only (never footer reads); the probe stops the
+    * moment a non-empty snapshot publishes. Detached parts need no probe:
+    * they appear/vanish ONLY through this replay's own statements, which
+    * set [[partsViewsDirty]] instead.
     */
   private var liveSnapshotEmpty = false
-  private var detachedSnapshotEmpty = false
+
+  /** Set by every statement that moves parts (ALTER partition ops,
+    * OPTIMIZE, TRUNCATE, DROP of a state table) — the next listing
+    * republishes the parts views, so statement effects are visible
+    * without an explicit publish and without per-listing probes in the
+    * steady state.
+    */
+  private var partsViewsDirty = false
 
   /** The `col=value` partition directories under a parts root — the ONE
     * dir-level definition of where parts live, shared by the publication
@@ -624,8 +645,8 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
   private def ensurePartsViews(): Unit =
     if (!spark.catalog.tableExists("system.parts") ||
         !spark.catalog.tableExists("system.detached_parts") ||
-        (liveSnapshotEmpty && anyPartAt("")) ||
-        (detachedSnapshotEmpty && anyPartAt(".detached")))
+        partsViewsDirty ||
+        (liveSnapshotEmpty && anyPartAt("")))
       publishPartsViews()
 
   /** Run one of the scripts' SELECTs with three mechanical shims: CH's
@@ -731,11 +752,11 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
           c.comment.getOrElse("")))
         .toDF("name", "type", "default_type", "default_expression", "comment")
     s match {
-      // SHOW DATABASES ensures parts views too: ANY listing must leave
-      // system.parts queryable afterwards (steady-state cost is two
-      // catalog existence checks; the directory probes run only while a
-      // snapshot side is pinned empty, the footer publication at most
-      // once per missing/empty-pinned state)
+      // the DATABASE and TABLE listings ensure parts views (they are the
+      // table-shaped introspection surface — system.parts must be
+      // queryable after them; steady-state cost is two catalog existence
+      // checks, the live-side probe only while a pre-insert pin waits).
+      // SHOW DICTIONARIES reads dictionary metadata only and skips it.
       case showDb(like) => Some(listing("databases", null, like))
       case showTbl(db, like) => Some(listing("tables", db, like))
       case showDict(db, like) => Some(listing("dictionaries", db, like, parts = false))
@@ -1133,6 +1154,7 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
         case ChDdl.AttachPartition(v) => st.attachPartition(v): Unit
         case ChDdl.DropDetachedPartition(v) => st.dropDetachedPartition(v): Unit
       }
+      if (a.partitionOps.nonEmpty) partsViewsDirty = true
       a.deleteWhere.foreach { cond =>
         st.deleteWhere(org.apache.spark.sql.functions.expr(ChSql(cond))): Unit
       }

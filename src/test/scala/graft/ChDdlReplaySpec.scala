@@ -1115,7 +1115,17 @@ class ChDdlReplaySpec extends SparkSpec {
     assert(replay.runQuery("EXISTS dws.ia_dis").head().getInt(0) == 0)
     assert(replay.runQuery("EXISTS dws.ia_local").head().getInt(0) == 1)
 
-    // dropping a state table clears the catalog AND its storage
+    // DROP VIEW is strict: refuses tables, detaches materialized views —
+    // and a state table with a dependent MV refuses to drop (the MV's
+    // captured StateTable would write into deleted storage)
+    intercept[RuntimeException](replay.executeScript("drop view dws.iaglocal;"))
+    assert(replay.runQuery("EXISTS VIEW dws.ia_mv").head().getInt(0) == 1)
+    intercept[RuntimeException](replay.executeScript("drop table dws.ia_local;"))
+    replay.executeScript("drop view dws.ia_mv;")
+    assert(replay.runQuery("EXISTS VIEW dws.ia_mv").head().getInt(0) == 0)
+
+    // with the MV gone, dropping the state table clears the catalog AND
+    // its storage
     val iaPath = replay.stateTables("dws.ia_local").path
     replay.executeScript("drop table dws.ia_local;")
     assert(replay.runQuery("EXISTS TABLE dws.ia_local").head().getInt(0) == 0)
@@ -1126,12 +1136,6 @@ class ChDdlReplaySpec extends SparkSpec {
       "SELECT count(*) FROM system.parts WHERE table = 'ia_local'")
       .head().getLong(0) == 0L,
       "a dropped table's parts must leave the published snapshot")
-
-    // DROP VIEW is strict: refuses tables, detaches materialized views
-    intercept[RuntimeException](replay.executeScript("drop view dws.iaglocal;"))
-    assert(replay.runQuery("EXISTS VIEW dws.ia_mv").head().getInt(0) == 1)
-    replay.executeScript("drop view dws.ia_mv;")
-    assert(replay.runQuery("EXISTS VIEW dws.ia_mv").head().getInt(0) == 0)
     // a trailing lone escape is LIKE's own well-formed error — not a
     // corrupted listing statement
     intercept[org.apache.spark.sql.AnalysisException](

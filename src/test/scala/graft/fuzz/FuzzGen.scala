@@ -991,22 +991,7 @@ object FuzzGen {
       pick(rnd, if (isTs) base ++ tod else base)()
     }
 
-    val where = predicate(t, rnd).map(p => s" WHERE $p").getOrElse("")
-    if (rnd.nextInt(3) == 0) {
-      val (gs, gd) = draw("g")
-      FuzzQuery(name,
-        s"SELECT $gs, count(1) AS cnt FROM ${t.name}$where " +
-          "GROUP BY 1 ORDER BY 1 NULLS FIRST",
-        s"SELECT $gd, CAST(count(*) AS BIGINT) AS cnt FROM ${t.name}$where " +
-          "GROUP BY 1 ORDER BY 1 NULLS FIRST")
-    } else {
-      val pairs = (0 until 1 + rnd.nextInt(3)).map(i => draw(s"e$i"))
-      def render(side: ((String, String)) => String): String = {
-        val sel = (t.uniqueKey ++ pairs.map(side)).mkString(", ")
-        s"SELECT $sel FROM ${t.name}$where ORDER BY ${t.totalOrder.mkString(", ")} LIMIT 60"
-      }
-      FuzzQuery(name, render(_._1), render(_._2))
-    }
+    batteryQuery(name, t, rnd, draw, groupOdds = 3)
   }
 
   /** The string band (seeds past 620): CH's string battery — split +
@@ -1078,8 +1063,20 @@ object FuzzGen {
       }
     }
 
+    batteryQuery(name, t, rnd, draw, groupOdds = 4)
+  }
+
+  /** Shared probe/grouped assembly for the function-battery bands (date,
+    * string): with probability 1/groupOdds the drawn expression becomes a
+    * GROUP BY key (ordinal-keyed on both sides, count beside it);
+    * otherwise 1-3 row-wise probes ride the unique key with the band's
+    * total ordering and LIMIT. The rnd call order matches the bands'
+    * original inline tails, so seeds keep generating identical queries.
+    */
+  private def batteryQuery(name: String, t: Tbl, rnd: Random,
+      draw: String => (String, String), groupOdds: Int): FuzzQuery = {
     val where = predicate(t, rnd).map(p => s" WHERE $p").getOrElse("")
-    if (rnd.nextInt(4) == 0) {
+    if (rnd.nextInt(groupOdds) == 0) {
       val (gs, gd) = draw("g")
       FuzzQuery(name,
         s"SELECT $gs, count(1) AS cnt FROM ${t.name}$where " +
