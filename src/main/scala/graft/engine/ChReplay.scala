@@ -59,6 +59,7 @@ object ChReplay {
   private val ShowDictRe =
     "(?i)^SHOW\\s+DICTIONARIES(?:\\s+FROM\\s+(\\w+))?(?:\\s+LIKE\\s+'((?:[^'\\\\]|\\\\.|'')*)')?$".r
   private val ShowRe = "(?i)^SHOW\\b".r
+  private val SystemPartsRe = "(?i)\\bsystem\\s*\\.\\s*(?:detached_)?parts\\b".r
 
   /** Where the reference's .sql scripts live — overridable per deployment
     * via `-Dgraft.reference.scripts=...` or `GRAFT_REFERENCE_SCRIPTS`.
@@ -260,11 +261,9 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
                     fs.delete(new org.apache.hadoop.fs.Path(st.path), true): Unit
                     aliasesTo(n).foreach(dropCatalogObject)
                     // published parts snapshots would keep listing the
-                    // dropped table's parts over deleted files — the same
-                    // stale-registration hazard as the alias catalog
-                    // objects, repaired the same way
-                    if (spark.catalog.tableExists("system.parts"))
-                      publishPartsViews()
+                    // dropped table's parts over deleted files — dirty
+                    // them like every other part-moving statement
+                    partsViewsDirty = true
                   }
                   dropCatalogObject(n)
                 } else if (wasAlias) dropCatalogObject(n)
@@ -301,7 +300,7 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
           else bindings(t).createOrReplaceTempView(t)
         }
       stateTables.get(t) match {
-        case Some(st) => st.truncate(); partsViewsDirty = true
+        case Some(st) => try st.truncate() finally partsViewsDirty = true
         case None => bindings.get(t) match {
           case Some(df) =>
             truncateCatalogObject() // refusals fire before any mutation
@@ -318,8 +317,8 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
       // whose storage has no merge debt here; PARTITION 'v' scopes the
       // fold (and the rewrite) to that one partition directory
       stateTables.get(resolve(name)).foreach { st =>
-        part.fold(st.compact())(st.compactPartition)
-        partsViewsDirty = true
+        try part.fold(st.compact())(st.compactPartition)
+        finally partsViewsDirty = true
       }
     case Query(sql) => queries += sql
     case ins: InsertSelect => executeInsert(ins)
@@ -602,11 +601,14 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     */
   private var liveSnapshotEmpty = false
 
-  /** Set by every statement that moves parts (ALTER partition ops,
-    * OPTIMIZE, TRUNCATE, DROP of a state table) — the next listing
-    * republishes the parts views, so statement effects are visible
-    * without an explicit publish and without per-listing probes in the
-    * steady state.
+  /** Set by every statement that moves parts — ALTER partition ops and
+    * DELETE/UPDATE rewrites (including PARTIAL application when an op
+    * fails mid-statement), OPTIMIZE, TRUNCATE, DROP of a state table.
+    * Consumed by the next listing AND by any [[runQuery]] whose SQL
+    * references system.parts/detached_parts, so statement effects are
+    * visible without explicit publish calls and steady-state listings
+    * pay only two catalog existence checks. No-op partition statements
+    * (dropping a missing partition) do NOT set it.
     */
   private var partsViewsDirty = false
 
@@ -834,6 +836,9 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
       case Some(df) => return df
       case None =>
     }
+    // a SELECT that reads the parts views must see the effects of every
+    // prior part-moving statement, same as the listings do
+    if (ChReplay.SystemPartsRe.findFirstIn(sql).isDefined) ensurePartsViews()
     // mechanical dialect shims first (PREWHERE, FORMAT, WITH TOTALS)
     var q = ChSql(sql)
     q = """(?i)\busing\s+(\w+(?:\s*,\s*\w+)+)""".r
@@ -1148,22 +1153,29 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
       // in STATEMENT order (CH runs subcommands sequentially): `ATTACH
       // PARTITION 'a', DROP PARTITION 'a'` must attach then drop — grouped
       // execution would leave 'a' live
-      a.partitionOps.foreach {
-        case ChDdl.DropPartition(v) => st.dropPartition(v): Unit
-        case ChDdl.DetachPartition(v) => st.detachPartition(v): Unit
-        case ChDdl.AttachPartition(v) => st.attachPartition(v): Unit
-        case ChDdl.DropDetachedPartition(v) => st.dropDetachedPartition(v): Unit
+      var moved = false
+      try a.partitionOps.foreach {
+        case ChDdl.DropPartition(v) => moved |= st.dropPartition(v)
+        case ChDdl.DetachPartition(v) => moved |= st.detachPartition(v)
+        case ChDdl.AttachPartition(v) => moved |= st.attachPartition(v)
+        case ChDdl.DropDetachedPartition(v) => moved |= st.dropDetachedPartition(v)
+      } catch {
+        // an op that fails MID-statement leaves the earlier ops' effects
+        // on disk — they must not stay invisible to the snapshot
+        case e: Throwable => partsViewsDirty = true; throw e
       }
-      if (a.partitionOps.nonEmpty) partsViewsDirty = true
+      if (moved) partsViewsDirty = true
       a.deleteWhere.foreach { cond =>
-        st.deleteWhere(org.apache.spark.sql.functions.expr(ChSql(cond))): Unit
+        try st.deleteWhere(org.apache.spark.sql.functions.expr(ChSql(cond))): Unit
+        finally partsViewsDirty = true
       }
       if (a.updateSet.nonEmpty)
-        st.updateWhere(
+        try st.updateWhere(
           a.updateSet.map { case (c, e) =>
             c -> org.apache.spark.sql.functions.expr(ChSql(e)) },
           org.apache.spark.sql.functions.expr(ChSql(
             a.updateWhere.getOrElse("true"))))
+        finally partsViewsDirty = true
     }
   }
 }

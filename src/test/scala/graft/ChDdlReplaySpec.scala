@@ -1132,7 +1132,8 @@ class ChDdlReplaySpec extends SparkSpec {
     assert(!replay.runQuery("SHOW TABLES FROM dws").collect()
       .map(_.getString(0)).contains("ia_local"))
     assert(!new java.io.File(iaPath).exists(), "DROP TABLE must drop storage")
-    assert(spark.sql(
+    // a parts read through the replay consumes the statement-dirty flag
+    assert(replay.runQuery(
       "SELECT count(*) FROM system.parts WHERE table = 'ia_local'")
       .head().getLong(0) == 0L,
       "a dropped table's parts must leave the published snapshot")
