@@ -59,7 +59,9 @@ object ChReplay {
   private val ShowDictRe =
     "(?i)^SHOW\\s+DICTIONARIES(?:\\s+FROM\\s+(\\w+))?(?:\\s+LIKE\\s+'((?:[^'\\\\]|\\\\.|'')*)')?$".r
   private val ShowRe = "(?i)^SHOW\\b".r
-  private val SystemPartsRe = "(?i)\\bsystem\\s*\\.\\s*(?:detached_)?parts\\b".r
+  // matches the bare and backtick-quoted spellings alike
+  private val SystemPartsRe =
+    "(?i)\\bsystem\\s*`?\\s*\\.\\s*`?\\s*(?:detached_)?parts\\b".r
 
   /** Where the reference's .sql scripts live — overridable per deployment
     * via `-Dgraft.reference.scripts=...` or `GRAFT_REFERENCE_SCRIPTS`.
@@ -408,7 +410,13 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
       sys.error(s"$n: no TTL declared in its DDL"))
     val st = stateTables.getOrElse(n,
       sys.error(s"$n: TTL enforcement needs StateTable storage"))
-    st.expire(ttl.days, ttl.hours, now)
+    // expiry moves parts like any ALTER — the snapshot must not keep
+    // listing the dropped partitions (dirty even on partial failure)
+    val dropped =
+      try st.expire(ttl.days, ttl.hours, now)
+      catch { case e: Throwable => partsViewsDirty = true; throw e }
+    if (dropped.nonEmpty) partsViewsDirty = true
+    dropped
   }
 
   /** Register every state table (and its Distributed aliases) as an
