@@ -59,9 +59,11 @@ object ChReplay {
   private val ShowDictRe =
     "(?i)^SHOW\\s+DICTIONARIES(?:\\s+FROM\\s+(\\w+))?(?:\\s+LIKE\\s+'((?:[^'\\\\]|\\\\.|'')*)')?$".r
   private val ShowRe = "(?i)^SHOW\\b".r
-  // matches the bare and backtick-quoted spellings alike
+  // matches the bare, backtick-quoted and double-quoted spellings alike
+  // (the dialect converts "x" identifiers to backticks AFTER this gate
+  // runs on the raw text)
   private val SystemPartsRe =
-    "(?i)\\bsystem\\s*`?\\s*\\.\\s*`?\\s*(?:detached_)?parts\\b".r
+    "(?i)\\bsystem\\s*[`\"]?\\s*\\.\\s*[`\"]?\\s*(?:detached_)?parts\\b".r
 
   /** Where the reference's .sql scripts live — overridable per deployment
     * via `-Dgraft.reference.scripts=...` or `GRAFT_REFERENCE_SCRIPTS`.

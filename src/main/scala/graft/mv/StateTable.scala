@@ -681,7 +681,12 @@ final class StateTable(
              .isBefore(now)
            catch { case _: Exception => false })
       }
-    dropped.foreach(p => fs.delete(p, true))
+    // a false return (no exception) would silently report the partition
+    // dropped while its files keep serving rows — refuse loudly instead
+    dropped.foreach { p =>
+      if (!fs.delete(p, true) && fs.exists(p))
+        sys.error(s"expire: failed to delete partition directory $p")
+    }
     dropped.map(_.getName)
   }
 }
