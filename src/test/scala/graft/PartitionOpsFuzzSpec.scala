@@ -172,6 +172,19 @@ class PartitionOpsFuzzSpec extends SparkSpec {
               .map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
         assert(got == live.toMap,
           s"seed $seed after $opName: table=$got model=$live detached=$det")
+        // the introspection surface must agree with the model too — read
+        // through runQuery so the statement-dirty flag's repair path is
+        // what keeps the snapshots fresh (appends publish explicitly, as
+        // a real ingest pipeline does)
+        def names(view: String): Set[String] =
+          replay.runQuery(s"SELECT DISTINCT partition FROM system.$view " +
+              s"WHERE table = '${tbl.split('.').last}'")
+            .collect().map(_.getString(0)).toSet
+        assert(names("parts") == live.keySet,
+          s"seed $seed after $opName: system.parts=${names("parts")} model=$live")
+        assert(names("detached_parts") == det.keySet,
+          s"seed $seed after $opName: system.detached_parts=" +
+            s"${names("detached_parts")} model=$det")
       }
 
       // one model transition for a single partition op; returns whether the
@@ -200,6 +213,9 @@ class PartitionOpsFuzzSpec extends SparkSpec {
               .toDF("slot", "k", "v"))
             live(v) = live.getOrElse(v, 0L) + 2 * base + 3
             wrote = true
+            // direct appends bypass the statement layer — publish, as a
+            // real ingest pipeline does after writing
+            replay.publishSystemTables()
           case 2 =>
             if (live.contains(v)) run(s"OPTIMIZE TABLE $tbl PARTITION '$v' FINAL")
             else if (live.nonEmpty) run(s"OPTIMIZE TABLE $tbl FINAL")
