@@ -54,8 +54,11 @@ class FuzzParitySpec extends SparkSpec {
   // 621-650 the CH string battery (split/rejoin, CH-arg-order position,
   // countSubstrings, pad/trim, replace/regexp, base64 round-trips,
   // multiSearchAny, starts/endsWith) vs DuckDB's string_split/
-  // position-IN/lpad/regexp_replace('g')/encode-base64 spellings
-  private val seeds = 1 to 650
+  // position-IN/lpad/regexp_replace('g')/encode-base64 spellings;
+  // 651-680 the CH JSON family (name-keyed JSONExtract*/Has, sorted
+  // keys, JSONLength's array-or-object contract, raw extraction, missing
+  // keys) vs DuckDB's path-keyed json_extract battery
+  private val seeds = 1 to 680
 
   private def duckdbAvailable: Boolean =
     try Seq("python3", "-c", "import duckdb, pandas").! == 0

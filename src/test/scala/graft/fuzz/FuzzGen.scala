@@ -142,7 +142,8 @@ object FuzzGen {
   def queryFor(seed: Int): FuzzQuery = {
     val rnd = new Random(seed.toLong * 1000003L + 17L)
     val name = f"fz$seed%03d"
-    if (seed > 620) stringQuery(name, rnd)
+    if (seed > 650) jsonQuery(name, rnd)
+    else if (seed > 620) stringQuery(name, rnd)
     else if (seed > 590) dateQuery(name, rnd)
     else if (seed > 560) arrayQuery(name, rnd)
     else if (seed > 530) projectionPostAggQuery(name, rnd)
@@ -1063,6 +1064,52 @@ object FuzzGen {
       }
     }
 
+    batteryQuery(name, t, rnd, draw, groupOdds = 4)
+  }
+
+  /** The JSON band (seeds past 650): CH's JSON family — name-keyed
+    * JSONExtractString/Int/Float, JSONHas (incl. missing keys, where this
+    * engine and DuckDB agree on NULL/false), sorted JSONExtractKeys,
+    * JSONLength's array-length-or-key-count contract, raw extraction —
+    * over per-row JSON built from the table's own columns with an
+    * engine-identical concat builder (CAST AS STRING is a VARCHAR alias
+    * in DuckDB; the categorical string columns carry no quotes to
+    * escape), against DuckDB's path-keyed json_extract battery.
+    */
+  private def jsonQuery(name: String, rnd: Random): FuzzQuery = {
+    val pool = tables.filter(t => t.of(IntK).nonEmpty && t.of(StrK).nonEmpty)
+    val t = pool(rnd.nextInt(pool.length))
+    val ik = pick(rnd, t.of(IntK)).name
+    val ik2 = pick(rnd, t.of(IntK)).name
+    val sc = pick(rnd, t.of(StrK)).name
+    val j = s"""concat('{"id":', CAST($ik AS STRING), ',"tag":"', $sc, """ +
+      s"""'","f":', CAST($ik2 AS STRING), '.5,"arr":[1,', CAST($ik2 AS STRING), ']}')"""
+
+    def draw(alias: String): (String, String) = rnd.nextInt(9) match {
+      case 0 => (s"JSONExtractString($j, 'tag') AS $alias",
+                 s"json_extract_string($j, '$$.tag') AS $alias")
+      case 1 => (s"JSONExtractInt($j, 'id') AS $alias",
+                 s"CAST(json_extract($j, '$$.id') AS BIGINT) AS $alias")
+      case 2 => (s"JSONExtractFloat($j, 'f') AS $alias",
+                 s"CAST(json_extract($j, '$$.f') AS DOUBLE) AS $alias")
+      case 3 => (s"JSONHas($j, 'tag') AS $alias",
+                 s"json_extract($j, '$$.tag') IS NOT NULL AS $alias")
+      case 4 => // missing key: NULL through the typed casts, false for Has
+        if (rnd.nextBoolean())
+          (s"JSONExtractInt($j, 'zz') AS $alias",
+           s"CAST(json_extract($j, '$$.zz') AS BIGINT) AS $alias")
+        else
+          (s"JSONHas($j, 'zz') AS $alias",
+           s"json_extract($j, '$$.zz') IS NOT NULL AS $alias")
+      case 5 => (s"arrayStringConcat(arraySort(JSONExtractKeys($j)), ',') AS $alias",
+                 s"array_to_string(list_sort(json_keys($j)), ',') AS $alias")
+      case 6 => (s"CAST(JSONLength($j, 'arr') AS BIGINT) AS $alias",
+                 s"CAST(json_array_length($j, '$$.arr') AS BIGINT) AS $alias")
+      case 7 => (s"CAST(JSONLength($j) AS BIGINT) AS $alias",
+                 s"CAST(len(json_keys($j)) AS BIGINT) AS $alias")
+      case _ => (s"JSONExtractRaw($j, 'arr') AS $alias",
+                 s"CAST(json_extract($j, '$$.arr') AS VARCHAR) AS $alias")
+    }
     batteryQuery(name, t, rnd, draw, groupOdds = 4)
   }
 
