@@ -314,8 +314,28 @@ object ChDdl {
     }
     Col(name, chType,
       default = clause("default").filter(_.nonEmpty),
-      comment = clause("comment").map(_.stripPrefix("'").stripSuffix("'")),
+      // store the TRUE text: CH string-literal escapes ('' and \-escapes)
+      // are undone here and re-applied by renderCols, so the descriptor
+      // carries "it's" — not "it''s" — and render(parse(x)) still
+      // round-trips (defaults stay raw EXPRESSION text, where quotes are
+      // part of the syntax, so they render verbatim)
+      comment = clause("comment")
+        .map(x => unescapeStringLiteral(x.stripPrefix("'").stripSuffix("'"))),
       after = clause("after").filter(_.nonEmpty))
+  }
+
+  /** Undo CH string-literal escaping: `''` and `\'` → `'`, `\x` → `x`. */
+  private def unescapeStringLiteral(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) { sb.append(s.charAt(i + 1)); i += 2 }
+      else if (c == '\'' && i + 1 < s.length && s.charAt(i + 1) == '\'') {
+        sb.append('\''); i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** Clause keywords that terminate an unparenthesized key list. */
@@ -407,7 +427,12 @@ object ChDdl {
   private def renderCols(cols: Seq[Col]): String =
     cols.map { c =>
       val d = c.default.map(x => s" DEFAULT $x").getOrElse("")
-      val cm = c.comment.map(x => s" COMMENT '$x'").getOrElse("")
+      // the stored comment is true text — escape for the literal, so a
+      // programmatically-built Col with a bare quote renders valid DDL
+      // (backslash FIRST, or the quote-escape's own backslashes double)
+      val cm = c.comment
+        .map(x => s" COMMENT '${x.replace("\\", "\\\\").replace("'", "''")}'")
+        .getOrElse("")
       s"    ${c.name} ${c.chType}$d$cm"
     }.mkString("(\n", ",\n", "\n)")
 
@@ -506,7 +531,7 @@ object ChDdl {
     def ws(): Unit = { while (i < text.length && text.charAt(i).isWhitespace) i += 1 }
     def nextNonWs(j: Int): Char = {
       var x = j; while (x < text.length && text.charAt(x).isWhitespace) x += 1
-      if (x < text.length) text.charAt(x) else ' '
+      if (x < text.length) text.charAt(x) else ' '
     }
     def word(w: String): Boolean =
       text.regionMatches(true, i, w, 0, w.length) &&

@@ -64,6 +64,13 @@ object ChReplay {
   // runs on the raw text)
   private val SystemPartsRe =
     "(?i)\\bsystem\\s*[`\"]?\\s*\\.\\s*[`\"]?\\s*(?:detached_)?parts\\b".r
+  // the metadata views' twin of SystemPartsRe: a SELECT touching these
+  // must see every CREATE/DROP that ran since the last publish — the
+  // refresh is metadata-only (no filesystem cost), so runQuery just
+  // republishes on sight instead of tracking a dirty flag
+  private val SystemCatalogRe =
+    ("(?i)\\bsystem\\s*[`\"]?\\s*\\.\\s*[`\"]?\\s*" +
+      "(?:databases|tables|columns|dictionaries)\\b").r
 
   /** Where the reference's .sql scripts live — overridable per deployment
     * via `-Dgraft.reference.scripts=...` or `GRAFT_REFERENCE_SCRIPTS`.
@@ -362,7 +369,10 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
           else if (c.isSimpleAggState) lit(0L).cast(stateType(c)).as(c.name)
           else lit(null).cast(stateType(c)).as(c.name)
         }: _*)
-        st.append(conformed)
+        // the append adds parts — a published snapshot must not keep
+        // serving the pre-insert listing (CH's system.parts is always
+        // current); dirty even on partial failure, like the ALTER paths
+        try st.append(conformed) finally partsViewsDirty = true
       case None =>
         // ENGINE=Null discards the rows but still fires the MVs watching
         // the table — CH's feed-the-views-without-storing pattern
@@ -381,7 +391,12 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
   def insert(tableName: String, batch: DataFrame): Unit = {
     val t = resolve(tableName)
     val watching = mvSources.collect { case (mv, src) if resolve(src) == t => mv }.toSeq
-    watching.foreach(mv => mvs(mv).processBatch(batch))
+    // each processBatch appends parts to the MV's target state table —
+    // same snapshot-staleness rule as a direct INSERT (dirty even when a
+    // batch fails half-written)
+    if (watching.nonEmpty)
+      try watching.foreach(mv => mvs(mv).processBatch(batch))
+      finally partsViewsDirty = true
   }
 
   /** The Structured-Streaming twin of [[insert]]: attach every MV watching
@@ -499,16 +514,21 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     // Dictionary) in system.tables too — EXISTS/DESCRIBE answering for a
     // name that SHOW TABLES omits would be an internally inconsistent
     // catalog
+    // aliasDefs, not aliases: a Distributed CREATE whose target tuple
+    // failed to parse registers a descriptor but no resolution entry —
+    // EXISTS/DESCRIBE answer for it via declaredCols, so SHOW TABLES and
+    // engine reporting must list it too (catalog consistency)
     val engineOf: String => String = n =>
-      if (aliases.contains(n)) "Distributed"
+      if (aliases.contains(n) || aliasDefs.contains(n)) "Distributed"
       else if (mvDdls.contains(n)) "MaterializedView"
       else if (dictDdls.contains(n)) "Dictionary"
       else if (tables.get(n).exists(_.isAggregating)) "AggregatingMergeTree"
       else if (tables.get(n).exists(_.engine.equalsIgnoreCase("Null"))) "Null"
       else if (tables.contains(n)) "MergeTree"
       else "View"
-    val allNames = (tables.keys ++ aliases.keys ++ mvDdls.keys ++ dictDdls.keys)
-      .toSeq.distinct.sorted
+    val allNames =
+      (tables.keys ++ aliases.keys ++ aliasDefs.keys ++ mvDdls.keys ++ dictDdls.keys)
+        .toSeq.distinct.sorted
     mkSysView("databases", Seq("name"),
       (allNames.map(dbTable(_)._1).distinct.sorted :+ "system")
         .map(d => Seq(qlit(d))))
@@ -849,6 +869,10 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     // a SELECT that reads the parts views must see the effects of every
     // prior part-moving statement, same as the listings do
     if (ChReplay.SystemPartsRe.findFirstIn(sql).isDefined) ensurePartsViews()
+    // and one reading the metadata views must see every CREATE/DROP —
+    // republishing is metadata-only, so it runs on sight (this also
+    // creates the views for a session that never called publish)
+    if (ChReplay.SystemCatalogRe.findFirstIn(sql).isDefined) publishCatalogViews()
     // mechanical dialect shims first (PREWHERE, FORMAT, WITH TOTALS)
     var q = ChSql(sql)
     q = """(?i)\busing\s+(\w+(?:\s*,\s*\w+)+)""".r

@@ -1335,4 +1335,84 @@ class ChDdlReplaySpec extends SparkSpec {
     spark.sql("REFRESH TABLE test.mv_union_max")
     assert(merged() == golden)
   }
+
+  test("system views stay current after INSERT and DDL without explicit publish") {
+    import ChDdl._
+    val replay = new ChReplay(spark, ChReplay.scratchWarehouse("graft-sysfresh"))
+    replay.executeScript(
+      """create table dws.fr_local (
+        | day Date,
+        | k UInt64,
+        | v SimpleAggregateFunction(sum, UInt64)
+        |) engine=AggregatingMergeTree()
+        |PARTITION BY day ORDER BY (day, k);""".stripMargin)
+    import spark.implicits._
+    replay.stateTables("dws.fr_local").appendBatch(
+      Seq(("2024-01-01", 1L, 10L)).toDF("day_s", "k", "v")
+        .select(org.apache.spark.sql.functions.to_date(col("day_s")).as("day"),
+          col("k"), col("v")))
+    replay.publishSystemTables() // pin a non-empty snapshot
+    def partRows(): Long = replay.runQuery(
+      "SELECT sum(rows) AS r FROM system.parts WHERE table = 'fr_local'")
+      .head().getAs[Any]("r").toString.toLong
+    assert(partRows() == 1L)
+    // an INSERT INTO a non-empty state table dirties the pinned snapshot —
+    // the next parts SELECT must see the new part WITHOUT a publish call
+    // (CH's system.parts is always current)
+    replay.execute(parseStatement(
+      """INSERT INTO dws.fr_local (day, k, v)
+        |SELECT toDate('2024-01-02') AS day, 2 AS k, toUInt64(5) AS v
+        |FROM system.one""".stripMargin))
+    assert(partRows() == 2L, "insert-added part invisible to system.parts")
+    // the MV-fired append path dirties it too
+    replay.executeScript(
+      """create table ods.fr_src (day Date, k UInt64, v UInt64) engine=Null;
+        |create materialized view dws.fr_mv to dws.fr_local
+        | (day Date, k UInt64, v SimpleAggregateFunction(sum, UInt64))
+        | as select day, k, sum(v) as v from ods.fr_src group by day, k;""".stripMargin)
+    replay.insert("ods.fr_src",
+      Seq(("2024-01-03", 3L, 1L)).toDF("day_s", "k", "v")
+        .select(org.apache.spark.sql.functions.to_date(col("day_s")).as("day"),
+          col("k"), col("v")))
+    assert(partRows() == 3L, "MV-fired append invisible to system.parts")
+    // a CREATE after the snapshot must reach a plain SELECT on the
+    // metadata views too (no SHOW/DESC/publish in between)
+    replay.executeScript("create table dws.fr_late (k UInt64) engine=Null;")
+    assert(replay.runQuery(
+      "SELECT engine FROM system.tables WHERE name = 'fr_late'")
+      .head().getString(0) == "Null")
+    assert(replay.runQuery(
+      "SELECT count(*) AS c FROM system.columns WHERE table = 'fr_late'")
+      .head().getLong(0) == 1L)
+  }
+
+  test("Distributed descriptor without a parsable target still lists as Distributed") {
+    val replay = new ChReplay(spark, ChReplay.scratchWarehouse("graft-distbad"))
+    // a 2-arg Distributed: no (db, table) target tuple -> no alias entry,
+    // but EXISTS/DESCRIBE answer for it, so SHOW TABLES/system.tables must
+    // list it with the Distributed engine (catalog consistency)
+    replay.executeScript(
+      "create table dws.orphan_dis (k UInt64) engine=Distributed(c, rand());")
+    assert(replay.runQuery("EXISTS TABLE dws.orphan_dis").head().getInt(0) == 1)
+    assert(replay.runQuery("SHOW TABLES FROM dws").collect()
+      .map(_.getString(0)).contains("orphan_dis"))
+    assert(replay.runQuery(
+      "SELECT engine FROM system.tables WHERE name = 'orphan_dis'")
+      .head().getString(0) == "Distributed")
+  }
+
+  test("column COMMENT with quotes/backslashes renders valid DDL and round-trips") {
+    import ChDdl._
+    // parser stores the TRUE text (escapes undone)
+    val parsed = parseCol("v UInt64 comment 'it''s \\'quoted\\''")
+    assert(parsed.comment.contains("it's 'quoted'"))
+    // a programmatically-built Col with bare quotes/backslashes renders
+    // DDL that reparses to the same descriptor (the advertised property)
+    val ct = CreateTable("dws.cmt", Seq(
+      Col("k", "UInt64"),
+      Col("v", "String", comment = Some("it's a \\ 'test'"))),
+      "MergeTree", Nil, None, Nil, Seq("k"), None, None, None)
+    val back = parseStatement(render(ct))
+    assert(back == ct, s"comment round-trip drift:\n${render(ct)}\n$back")
+  }
 }
