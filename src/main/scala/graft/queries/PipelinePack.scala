@@ -99,9 +99,11 @@ object PipelinePack {
     // mid-fusion on the testdata's small vocabulary — 100 merges fuse
     // every word whole and the count collapses to the word count). Training
     // is deterministic (lexicographic tie-breaks, (count,word) vocab
-    // cut) but the merge loop is not expressible in DuckDB SQL — rows-
-    // only in the gate; BpeSpec pins the classic-example merges, rank-
-    // order application, reconstruction, and monotonicity.
+    // cut); rows-only in the gate at this 40-merge depth, with the SAME
+    // train+encode path hash-gated exactly by q177_bpe_exact's 5-merge
+    // DuckDB replay (unrolled training rounds + recursive-CTE apply);
+    // BpeSpec additionally pins the classic-example merges, rank-order
+    // application, reconstruction, and monotonicity.
     "q125_bpe_encode" -> { (s, dir) =>
       graft.text.Bpe.register(s)
       val docs = Tables(s, dir).documents
@@ -110,6 +112,26 @@ object PipelinePack {
           graft.text.Bpe.tokenCount(col("text"), merges).as("n_bpe"),
           size(split(col("text"), " ")).as("n_ws_tokens"),
           length(regexp_replace(col("text"), " ", "")).as("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // The exact-oracle twin of q125: the SAME production train + encode
+    // path (Bpe.train driver loop, BpeEncodeExpr greedy apply) under a
+    // 5-merge budget DuckDB replays move-for-move — unrolled training
+    // rounds (weighted pair counts → (cnt DESC, a, b) argmax → fuse pass)
+    // and a recursive-CTE apply loop whose fuse pass is a left-to-right
+    // list_reduce fold, provably identical to the Scala pass (a fused
+    // symbol a+b can never equal a, so fold-compare-last is the greedy
+    // scan). Hash-gates pieces AND counts, so the encode path — not just
+    // q102's pair counting — is oracle-proven.
+    "q177_bpe_exact" -> { (s, dir) =>
+      graft.text.Bpe.register(s)
+      val docs = Tables(s, dir).documents
+      val merges = graft.text.Bpe.train(docs, "text", numMerges = 5)
+      docs
+        .withColumn("p", graft.text.Bpe.encode(col("text"), merges))
+        .select(col("doc_id"), size(col("p")).as("n_bpe"),
+          array_join(col("p"), "|").as("pieces"))
         .orderBy("doc_id")
     },
 
@@ -306,7 +328,93 @@ object PipelinePack {
     }
   )
 
+  // ---- q177's DuckDB BPE replay -------------------------------------
+  // Symbol sequences ride as chr(31)-delimited strings with leading and
+  // trailing delimiters, so substring containment of  ␟a␟b␟  is EXACT
+  // adjacent-pair presence (symbols never contain the delimiter). One
+  // fuse pass = left-to-right fold: fuse when the accumulator ends with
+  // ␟a and the next symbol is b — equivalent to Bpe.applyMerges' scan
+  // because a fused symbol a+b can never equal a (b is nonempty), so a
+  // fresh fusion is never re-consumed within the pass.
+  private def bpeFuse(s: String, a: String, b: String): String =
+    s"""(list_reduce(list_prepend(chr(1), list_filter(string_split($s, chr(31)), z -> z <> '')),
+       |    (acc, x) -> CASE WHEN x = $b AND ends_with(acc, chr(31) || $a)
+       |      THEN left(acc, length(acc) - length($a) - 1) || chr(31) || $a || $b
+       |      ELSE acc || chr(31) || x END)[2:] || chr(31))""".stripMargin
+  private def bpeHasPair(s: String, a: String, b: String): String =
+    s"contains($s, chr(31) || $a || chr(31) || $b || chr(31))"
+
+  /** Train(5 merges) + encode, replayed exactly: unrolled rounds of
+    * weighted pair counts over the word-frequency dictionary, the
+    * (cnt DESC, a, b) argmax, and the dictionary fuse pass; then the
+    * apply loop as a recursive CTE (lowest-rank pair present → one fuse
+    * pass → repeat) — Bpe.train/applyMerges move-for-move.
+    */
+  private val bpeOracleSql: String = {
+    val numMerges = 5
+    val syms = "(chr(31) || array_to_string(list_concat(" +
+      "chars[1:len(chars)-1], [chars[len(chars)] || '</w>']), chr(31)) || chr(31))"
+    val head =
+      s"""WITH RECURSIVE words AS (
+         |  SELECT w, count(*) AS cnt FROM (
+         |    SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS w
+         |    FROM documents) GROUP BY w ORDER BY cnt DESC, w LIMIT 50000),
+         |vocab0 AS (
+         |  SELECT w, cnt, $syms AS s
+         |  FROM (SELECT w, cnt, string_split_regex(w, '') AS chars FROM words))""".stripMargin
+    val rounds = (0 until numMerges).map { k =>
+      s"""pairs$k AS (
+         |  SELECT syms[i] AS a, syms[i+1] AS b, sum(cnt) AS pc
+         |  FROM (SELECT cnt, list_filter(string_split(s, chr(31)), z -> z <> '') AS syms
+         |        FROM vocab$k),
+         |       unnest(range(1, len(syms))) AS u(i)
+         |  GROUP BY 1, 2),
+         |best$k AS (SELECT a, b FROM pairs$k ORDER BY pc DESC, a, b LIMIT 1),
+         |vocab${k + 1} AS (
+         |  SELECT v.w, v.cnt, ${bpeFuse("v.s", "m.a", "m.b")} AS s
+         |  FROM vocab$k v CROSS JOIN best$k m)""".stripMargin
+    }
+    val mergesCte = "merges AS (" + (0 until numMerges)
+      .map(k => s"SELECT $k AS rank, a, b FROM best$k")
+      .mkString(" UNION ALL ") + ")"
+    val encode =
+      s"""enc(w, s) AS (
+         |  SELECT w, s FROM vocab0
+         |  UNION ALL
+         |  SELECT e.w, ${bpeFuse("e.s", "m.a", "m.b")}
+         |  FROM (SELECT w, s,
+         |          (SELECT min(rank) FROM merges mm
+         |           WHERE ${bpeHasPair("s", "mm.a", "mm.b")}) AS r
+         |        FROM enc) e
+         |  JOIN merges m ON m.rank = e.r),
+         |final AS (
+         |  SELECT w, s FROM enc
+         |  WHERE (SELECT min(rank) FROM merges mm
+         |         WHERE ${bpeHasPair("s", "mm.a", "mm.b")}) IS NULL),
+         |wcount AS (
+         |  SELECT w, len(list_filter(string_split(s, chr(31)), z -> z <> '')) AS np,
+         |         array_to_string(list_filter(string_split(s, chr(31)), z -> z <> ''), '|') AS pieces
+         |  FROM final),
+         |docw AS (
+         |  SELECT doc_id, ws[pos] AS w, pos FROM (
+         |    SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+         |    FROM documents),
+         |    unnest(generate_series(1, len(ws))) AS u(pos))""".stripMargin
+    val tail =
+      """SELECT d.doc_id,
+        |  CAST(COALESCE(agg.n_bpe, 0) AS INT) AS n_bpe,
+        |  COALESCE(agg.pieces, '') AS pieces
+        |FROM documents d LEFT JOIN (
+        |  SELECT doc_id, SUM(wc.np) AS n_bpe,
+        |         string_agg(wc.pieces, '|' ORDER BY dw.pos) AS pieces
+        |  FROM docw dw JOIN wcount wc ON wc.w = dw.w
+        |  GROUP BY doc_id) agg USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
+    (Seq(head) ++ rounds ++ Seq(mergesCte, encode)).mkString(",\n") + "\n" + tail
+  }
+
   val oracle: Map[String, String] = Map(
+    "q177_bpe_exact" -> bpeOracleSql,
     "q27_dataset_split" ->
       """WITH s AS (
         |  SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 1)

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -233,21 +234,50 @@ object TextPack {
         .orderBy("doc_id")
     },
 
-    // Compression-ratio boilerplate signal (CCNet-family pipelines drop
-    // pages that deflate too well — repetition compresses). Declared
-    // rows-only: the ratio is the JDK zlib's output size, which no SQL
-    // oracle can mirror; TextSpec pins the ordering properties (repeated
-    // text ≪ prose < random) and determinism instead.
+    // Compressibility boilerplate signal (CCNet-family pipelines drop
+    // pages that compress too well — repetition compresses). The signal
+    // is the ORDER-1 SHANNON BOUND — per-doc bigram conditional entropy
+    // H(next char | char), the bits/char an order-1 coder approaches —
+    // which both engines compute exactly (integer bigram counts, one
+    // log2 per bigram type), unlike the raw JDK-zlib output size whose
+    // byte count no SQL oracle can mirror. zlib `compression_ratio`
+    // stays in the library (TextFunctions) pinned by TextSpec's
+    // ordering/determinism properties; this declared form hash-gates
+    // the same repetition-compresses decision on an oracle-stable
+    // statistic. Threshold 1.9 bits/char sits ≥1e-4 from every doc at
+    // sf0.01 AND sf0.1 (float noise is ~1e-12 — no knife edge). Scale
+    // shape: bigram counts collapse per (doc, bigram) in the groupBy's
+    // map-side combine (≤ charset² rows per doc reach the wire), then
+    // everything per-doc rides ONE doc_id repartition — both windows
+    // and the final per-doc fold reuse it (subset-clustering rule).
     "q157_compression_quality" -> { (s, dir) =>
-      TextFunctions.register(s)
-      docs(s, dir).createOrReplaceTempView("graft_cq_docs")
-      s.sql(
-        """SELECT doc_id,
-          |       round(compression_ratio(text), 6) AS cr,
-          |       length(text) AS n_chars,
-          |       compression_ratio(text) < 0.35 AS boilerplate_suspect
-          |FROM graft_cq_docs
-          |ORDER BY doc_id""".stripMargin)
+      val d = docs(s, dir)
+      val n = length(col("text"))
+      val chars = split(col("text"), "")
+      val bg = d.select(col("doc_id"),
+        explode(zip_with(
+          slice(chars, lit(1), greatest(n - 1, lit(0))),
+          slice(chars, lit(2), greatest(n - 1, lit(0))),
+          (a, b) => concat(a, b))).as("bg"))
+      val c = bg.groupBy(col("doc_id"), col("bg"))
+        .agg(count(lit(1)).as("c"))
+        .repartition(col("doc_id"))
+      val wx = Window.partitionBy(col("doc_id"), substring(col("bg"), 1, 1))
+      val wd = Window.partitionBy(col("doc_id"))
+      val h = c
+        .withColumn("cx", sum(col("c")).over(wx))
+        .withColumn("nb", sum(col("c")).over(wd))
+        .groupBy("doc_id")
+        .agg((-sum(col("c").cast(DoubleType) *
+            log2(col("c").cast(DoubleType) / col("cx"))) / max(col("nb")))
+          .as("h1"))
+      d.select(col("doc_id"), col("n_chars"))
+        .join(h, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_chars"),
+          round(col("h1"), 6).as("h1_bits_r6"),
+          round(col("h1") / 8, 6).as("cr_bound_r6"),
+          coalesce(col("h1") < 1.9, lit(false)).as("boilerplate_suspect"))
+        .orderBy("doc_id")
     },
 
     // Benchmark decontamination under the gate: the "eval set" is 20-token
@@ -301,6 +331,31 @@ object TextPack {
   )
 
   val oracle: Map[String, String] = Map(
+    // Mirror of the order-1 entropy bound: integer bigram counts, the
+    // same -(SUM(c·log2(c/cx)))/N expression shape, rounded at the edge.
+    "q157_compression_quality" ->
+      """WITH bg AS (
+        |  SELECT doc_id, chars[i] || chars[i+1] AS bg
+        |  FROM (SELECT doc_id, string_split_regex(text, '') AS chars
+        |        FROM documents),
+        |       unnest(range(1, len(chars))) AS u(i)),
+        |c AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+        |cx AS (
+        |  SELECT doc_id, bg, c,
+        |         sum(c) OVER (PARTITION BY doc_id, substr(bg, 1, 1)) AS cx,
+        |         sum(c) OVER (PARTITION BY doc_id) AS nb
+        |  FROM c),
+        |h AS (
+        |  SELECT doc_id,
+        |         -SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE) / cx)) / MAX(nb) AS h1
+        |  FROM cx GROUP BY doc_id)
+        |SELECT d.doc_id, d.n_chars,
+        |       round(h.h1, 6) AS h1_bits_r6,
+        |       round(h.h1 / 8, 6) AS cr_bound_r6,
+        |       COALESCE(h.h1 < 1.9, false) AS boilerplate_suspect
+        |FROM documents d LEFT JOIN h USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
     // Same messy construction, DuckDB's RE2 doing the normalization;
     // 'g' = global replace (Spark's regexp_replace default).
     // Mirror: list shingles for the duplicate fractions, a windowed mode

@@ -442,8 +442,13 @@ class PlanSpec extends SparkSpec {
     "q155_tumble_windows" -> 3,
     // q156: two row_number windows (1 each) + the bucket join + final sort
     "q156_qualify_distinct_on" -> 4,
-    // q157: the docs loader's compute-spread repartition + final sort
-    "q157_compression_quality" -> 2,
+    // q157: bigram-count groupBy, the one doc_id repartition both windows
+    // and the per-doc fold reuse, + final sort
+    "q157_compression_quality" -> 3,
+    // q177: the corpus is scanned once into the word-frequency collect
+    // (the training dictionary); encode is a scalar expression — the one
+    // exchange is the final sort
+    "q177_bpe_exact" -> 1,
     // q158: one group agg (the expanded -If buckets ride it) + final sort
     "q158_resample" -> 2,
     // q159: partial-state agg + merge re-agg + final sort

@@ -37,17 +37,18 @@ class QueriesSpec extends SparkSpec {
       // float log-weights have no stable cross-engine bit pattern; the
       // integer anchor q123 hash-gates the shared featurization/counting
       "q124_dsir_select",
-      // the BPE merge loop is not expressible in DuckDB SQL; BpeSpec
-      // pins the classic-example merges and the reconstruction property
+      // the 40-merge production form stays rows-only; the SAME train+
+      // encode path hash-gates exactly via q177_bpe_exact's 5-merge
+      // DuckDB replay (round 13)
       "q125_bpe_encode",
       // the seeded centroid pick is xxhash64-ordered (no DuckDB mirror);
       // CurationSpec pins determinism, quotas, and balance
-      "q129_cluster_sample",
+      "q129_cluster_sample"),
       // (q130 graduated to the hash gate in round 9: 1e-6/1e-4-rounded
       // NLL/ppl anchors absorb cross-libm ln/exp ulps)
-      // deflate output size is the JDK zlib's, not expressible in SQL;
-      // TextSpec pins the repetition-ordering and determinism properties
-      "q157_compression_quality"),
+      // (q157 graduated in round 13: the declared signal is now the
+      // order-1 entropy bound, oracle-exact; zlib compression_ratio
+      // stays in the library behind TextSpec)
       s"rows-only set changed: $rowsOnly — update COVERAGE.md's ledger")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size - rowsOnly.size)
   }
