@@ -103,6 +103,17 @@ object ChDdl {
   final case class DetachPartition(value: String) extends PartitionOp
   final case class AttachPartition(value: String) extends PartitionOp
   final case class DropDetachedPartition(value: String) extends PartitionOp
+  /** PART-granularity ops — the rebalance tool's vocabulary
+    * (ref data_rebalance.py:175-184). One part ≙ one parquet data file,
+    * the same definition system.parts publishes; `value` is the part
+    * (file) name. [[FetchPart]] carries the donor locator — CH's
+    * zookeeper path `/clickhouse/tables/{layer}-{shard}/{db}.{table}`
+    * (data_rebalance.py:175), whose last segment names the donor table.
+    */
+  final case class DetachPart(value: String) extends PartitionOp
+  final case class AttachPart(value: String) extends PartitionOp
+  final case class DropDetachedPart(value: String) extends PartitionOp
+  final case class FetchPart(value: String, fromPath: String) extends PartitionOp
 
   final case class AlterTable(
       table: String,
@@ -602,6 +613,15 @@ object ChDdl {
     v
   }
 
+  /** The quoted part name of a `<kw> PART '<name>'` subcommand — total:
+    * a missing or unquoted name refuses with the whole statement.
+    */
+  private def quotedPartName(t: String, kwRe: String, stmt: String): String =
+    ("""(?is)^""" + kwRe + """\s+'([^']*)'\s*$""").r.findFirstMatchIn(t)
+      .map(_.group(1))
+      .getOrElse(sys.error(
+        s"bad PART name (expected a quoted '<name>'): ${stmt.take(80)}"))
+
   private def parseAlter(s: String): AlterTable = {
     val head = """(?is)alter\s+table\s+([\w.]+)(?:\s+on\s+cluster\s+\S+)?\s*""".r
       .findFirstMatchIn(s).getOrElse(sys.error(s"bad alter: ${s.take(80)}"))
@@ -655,19 +675,32 @@ object ChDdl {
         sys.error(s"ALTER ${t.take(40)}: REPLACE/MOVE/FETCH PARTITION are " +
           "not supported — use DETACH/ATTACH PARTITION on the one table, " +
           "or rewrite through a query")
-      else if (lower.startsWith("detach part") || lower.startsWith("attach part") ||
-          lower.startsWith("drop part") || lower.startsWith("drop detached part") ||
-          lower.startsWith("fetch part") || lower.startsWith("move part") ||
+      // PART-granularity ops (the rebalance tool's vocabulary, ref
+      // data_rebalance.py:175-184): one part ≙ one parquet data file.
+      // Part names are ALWAYS quoted (the tool interpolates them as
+      // '{part_name}'); an unquoted form refuses below rather than
+      // parsing garbage.
+      else if (lower.startsWith("fetch part"))
+        partOps += """(?is)^fetch\s+part\s+'([^']*)'\s+from\s+'([^']*)'\s*$""".r
+          .findFirstMatchIn(t)
+          .map(m => FetchPart(m.group(1), m.group(2)))
+          .getOrElse(sys.error(s"bad FETCH PART (expected FETCH PART " +
+            s"'<name>' FROM '<path>'): ${t.take(80)}"))
+      else if (lower.startsWith("drop detached part"))
+        partOps += DropDetachedPart(quotedPartName(t,
+          "drop\\s+detached\\s+part", s))
+      else if (lower.startsWith("detach part"))
+        partOps += DetachPart(quotedPartName(t, "detach\\s+part", s))
+      else if (lower.startsWith("attach part"))
+        partOps += AttachPart(quotedPartName(t, "attach\\s+part", s))
+      else if (lower.startsWith("drop part") || lower.startsWith("move part") ||
           lower.startsWith("freeze"))
-        // PART-granularity ops (the rebalance tool's vocabulary): parts
-        // collapse to partitions in this engine by design (see
-        // engine/Rebalance.scala) — refuse loudly rather than silently
-        // skipping an operational statement. (The PARTITION spellings are
-        // matched by the branches above, so only true PART forms and
-        // FREEZE land here.)
-        sys.error(s"ALTER ${t.take(40)}: PART-level operations are not " +
-          "supported — this engine's storage has no sub-partition parts; " +
-          "use the PARTITION forms")
+        // remaining PART forms the reference never issues — refuse loudly
+        // rather than silently skipping an operational statement. (The
+        // PARTITION spellings are matched by the branches above.)
+        sys.error(s"ALTER ${t.take(40)}: this PART-level operation is not " +
+          "supported — use DETACH/ATTACH/DROP DETACHED/FETCH PART or the " +
+          "PARTITION forms")
       else if (lower.startsWith("delete where"))
         deleteWhere = Some(t.replaceAll("(?is)^delete\\s+where\\s+", "").trim)
       else if (lower.startsWith("update ")) {

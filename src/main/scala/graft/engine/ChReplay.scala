@@ -68,9 +68,13 @@ object ChReplay {
   // must see every CREATE/DROP that ran since the last publish — the
   // refresh is metadata-only (no filesystem cost), so runQuery just
   // republishes on sight instead of tracking a dirty flag
+  // cluster('c', db, t) / clusterAllReplicas('c', db, t) — the FROM-side
+  // table functions of the rebalance tool's statements
+  private val ClusterFnRe =
+    """(?i)\bcluster(?:AllReplicas)?\s*\(\s*'[^']*'\s*,\s*(\w+)\s*,\s*(\w+)\s*\)""".r
   private val SystemCatalogRe =
     ("(?i)\\bsystem\\s*[`\"]?\\s*\\.\\s*[`\"]?\\s*" +
-      "(?:databases|tables|columns|dictionaries)\\b").r
+      "(?:databases|tables|columns|dictionaries|clusters|macros|processes)\\b").r
 
   /** Where the reference's .sql scripts live — overridable per deployment
     * via `-Dgraft.reference.scripts=...` or `GRAFT_REFERENCE_SCRIPTS`.
@@ -543,6 +547,34 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
         declaredCols(n).toSeq.flatten.map(c =>
           Seq(qlit(db), qlit(t), qlit(c.name), qlit(c.chType)))
       })
+    // the rebalance tool's topology surface (ref data_rebalance.py:117,
+    // 186-199): a static 1-shard/1-replica cluster named `cluster`
+    // (config/clickhouse/metrika.xml:4-17), the metrika macros kv
+    // (metrika.xml:24-28), and a typed-EMPTY processes view (a
+    // single-driver engine has no concurrent server queries to list —
+    // the tool's `query LIKE '%FETCH PART%'` probe correctly reads
+    // nothing running)
+    mkSysView("clusters",
+      Seq("cluster", "shard_num", "shard_weight", "replica_num",
+        "host_name", "host_address", "port", "is_local"),
+      Seq(Seq(qlit("cluster"), "CAST(1 AS INT)", "CAST(1 AS INT)",
+        "CAST(1 AS INT)", qlit("localhost"), qlit("127.0.0.1"),
+        "CAST(9000 AS INT)", "CAST(1 AS INT)")))
+    mkSysView("macros", Seq("macro", "substitution"),
+      Seq(Seq(qlit("layer"), qlit("cluster")),
+        Seq(qlit("replica"), qlit("ck01")),
+        Seq(qlit("shard"), qlit("shard1"))))
+    mkSysView("processes",
+      Seq("is_initial_query", "user", "query_id", "address", "elapsed",
+        "query"),
+      Nil,
+      Some(StructType(Seq(
+        StructField("is_initial_query", IntegerType),
+        StructField("user", StringType),
+        StructField("query_id", StringType),
+        StructField("address", StringType),
+        StructField("elapsed", DoubleType),
+        StructField("query", StringType)))))
     mkSysView("dictionaries",
       Seq("database", "name", "source", "layout", "lifetime_min", "lifetime_max"),
       dictDdls.toSeq.sortBy(_._1).map { case (n, d) =>
@@ -595,7 +627,8 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
           // rows/bytes as explicit BIGINT — a bare small literal would type
           // INT and the column's type would depend on the data's magnitude
           Seq(qlit(db), qlit(t), qlit(value), qlit(name),
-            s"CAST($rows AS BIGINT)", "1", s"CAST($bytes AS BIGINT)")
+            s"CAST($rows AS BIGINT)", "1", s"CAST($bytes AS BIGINT)",
+            qlit("default"))
         }
       }
     spark.sql("CREATE DATABASE IF NOT EXISTS system")
@@ -617,7 +650,10 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     StructField("name", StringType),
     StructField("rows", LongType),
     StructField("active", IntegerType),
-    StructField("bytes_on_disk", LongType)))
+    StructField("bytes_on_disk", LongType),
+    // single-node storage has one disk; the rebalance tool's statements
+    // filter `disk_name<>'hdfs'` (ref data_rebalance.py:140,150,173,198)
+    StructField("disk_name", StringType)))
   private def partCols: Seq[String] = partSchema.fieldNames.toSeq
 
   /** Emptiness of the last snapshot's LIVE side — a snapshot pinned
@@ -866,15 +902,23 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
       case Some(df) => return df
       case None =>
     }
+    // CH cluster table functions (ref data_rebalance.py:116-205): on the
+    // 1-shard topology system.clusters publishes, cluster(c, db, t) and
+    // clusterAllReplicas(c, db, t) ARE the local table — rewritten to a
+    // subquery that also supplies the functions' `_shard_num` virtual
+    // column (shard 1). Rewritten FIRST so the system-view freshness
+    // gates below see the dotted names.
+    val sql0 = ChReplay.ClusterFnRe.replaceAllIn(sql,
+      m => s"(SELECT CAST(1 AS INT) AS _shard_num, * FROM ${m.group(1)}.${m.group(2)})")
     // a SELECT that reads the parts views must see the effects of every
     // prior part-moving statement, same as the listings do
-    if (ChReplay.SystemPartsRe.findFirstIn(sql).isDefined) ensurePartsViews()
+    if (ChReplay.SystemPartsRe.findFirstIn(sql0).isDefined) ensurePartsViews()
     // and one reading the metadata views must see every CREATE/DROP —
     // republishing is metadata-only, so it runs on sight (this also
     // creates the views for a session that never called publish)
-    if (ChReplay.SystemCatalogRe.findFirstIn(sql).isDefined) publishCatalogViews()
+    if (ChReplay.SystemCatalogRe.findFirstIn(sql0).isDefined) publishCatalogViews()
     // mechanical dialect shims first (PREWHERE, FORMAT, WITH TOTALS)
-    var q = ChSql(sql)
+    var q = ChSql(sql0)
     q = """(?i)\busing\s+(\w+(?:\s*,\s*\w+)+)""".r
       .replaceAllIn(q, m => "USING (" + m.group(1).replaceAll("\\s+", "") + ")")
     for ((from, to) <- substitutions) q = q.replace(from, to)
@@ -1193,6 +1237,23 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
         case ChDdl.DetachPartition(v) => moved |= st.detachPartition(v)
         case ChDdl.AttachPartition(v) => moved |= st.attachPartition(v)
         case ChDdl.DropDetachedPartition(v) => moved |= st.dropDetachedPartition(v)
+        // PART granularity (the rebalance tool's statements) — these
+        // ERROR on unknown names (CH parity), so reaching past one means
+        // a part moved
+        case ChDdl.DetachPart(p) => st.detachPart(p); moved = true
+        case ChDdl.AttachPart(p) => st.attachPart(p); moved = true
+        case ChDdl.DropDetachedPart(p) => st.dropDetachedPart(p); moved = true
+        case ChDdl.FetchPart(p, from) =>
+          // CH's FROM is the donor's zookeeper path
+          // `/clickhouse/tables/{layer}-{shard}/{db}.{table}` (ref
+          // data_rebalance.py:175); the single-node analog resolves the
+          // last segment as the donor TABLE and copies from its storage
+          val donorName = from.substring(from.lastIndexOf('/') + 1)
+          val donor = stateTables.getOrElse(resolve(donorName),
+            sys.error(s"FETCH PART FROM '$from': the path's last segment " +
+              s"('$donorName') names no table with storage — known: " +
+              stateTables.keys.toSeq.sorted.mkString(", ")))
+          st.fetchPart(donor.path, p); moved = true
       } catch {
         // an op that fails MID-statement leaves the earlier ops' effects
         // on disk — they must not stay invisible to the snapshot

@@ -13,7 +13,12 @@ case class HostNameExpr()
   extends LeafExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   override def dataType: DataType = StringType
   override def nullable: Boolean = false
-  override lazy val deterministic: Boolean = false
+  // DETERMINISTIC, as in CH: hostName() is a per-server constant (every
+  // row evaluated on one server sees one value), and the rebalance
+  // tool GROUPS BY it (ref data_rebalance.py:144) — Spark rejects
+  // non-deterministic grouping keys, and re-evaluation yields the same
+  // value on the same host, which is the definition Spark's flag asks
+  // about (values differing ACROSS executors is the function's point)
   // resolved once per executor JVM, not per row
   @transient private lazy val host: org.apache.spark.unsafe.types.UTF8String =
     org.apache.spark.unsafe.types.UTF8String.fromString(

@@ -582,6 +582,102 @@ final class StateTable(
     existed
   }
 
+  /** The partition directory holding the data file named `part` on one
+    * side of the table (`""` = live, `".detached"`) — one parquet data
+    * file IS one part, the same definition system.parts publishes, so
+    * the PART statements and the views can never disagree on what a
+    * name means. Part file names are unique per table (Spark writes
+    * `part-NNNNN-<uuid>` names), so the first hit is the only hit.
+    */
+  private def findPartDir(sub: String, part: String): Option[Path] = {
+    val fs = fileSystem()
+    val root = if (sub.isEmpty) new Path(path) else new Path(path, sub)
+    if (!fs.exists(root)) return None
+    fs.listStatus(root).iterator
+      .filter(d => d.isDirectory && d.getPath.getName.contains("="))
+      .map(_.getPath)
+      .find(d => fs.exists(new Path(d, part)))
+  }
+
+  /** `ALTER TABLE ... DETACH PART 'name'` (ref data_rebalance.py:184) —
+    * move ONE data file into the same partition's `.detached` mirror.
+    * Unknown names error, as in CH (`No part <name>`): the rebalance
+    * flow checks existence first (part_is_exists), so a miss here is an
+    * operator mistake, never a tolerated no-op.
+    */
+  def detachPart(part: String): Unit = {
+    captureSchema()
+    val fs = fileSystem()
+    val dir = findPartDir("", part).getOrElse(
+      sys.error(s"detachPart: no live part '$part'"))
+    val dst = new Path(path, s".detached/${dir.getName}/$part")
+    if (fs.exists(dst))
+      sys.error(s"detachPart: a detached copy of '$part' already exists — " +
+        "ATTACH or DROP DETACHED it first")
+    fs.mkdirs(dst.getParent)
+    if (!fs.rename(new Path(dir, part), dst))
+      sys.error(s"detachPart: failed to move $part -> $dst")
+  }
+
+  /** `ALTER TABLE ... ATTACH PART 'name'` (ref data_rebalance.py:181) —
+    * mount a detached data file back into its live partition (creating
+    * the partition directory if the part is the first occupant, the
+    * FETCH-then-ATTACH rebalance flow's normal case).
+    */
+  def attachPart(part: String): Unit = {
+    captureSchema()
+    val fs = fileSystem()
+    val dir = findPartDir(".detached", part).getOrElse(
+      sys.error(s"attachPart: no detached part '$part'"))
+    val live = new Path(path, dir.getName)
+    val dst = new Path(live, part)
+    if (fs.exists(dst))
+      sys.error(s"attachPart: a live part named '$part' already exists")
+    fs.mkdirs(live)
+    if (!fs.rename(new Path(dir, part), dst))
+      sys.error(s"attachPart: failed to move $part -> $dst")
+    invalidateSchema() // the attached part may carry columns the marker lacks
+  }
+
+  /** `ALTER TABLE ... DROP DETACHED PART 'name'` (ref
+    * data_rebalance.py:179) — delete one detached data file outright.
+    */
+  def dropDetachedPart(part: String): Unit = {
+    val fs = fileSystem()
+    val dir = findPartDir(".detached", part).getOrElse(
+      sys.error(s"dropDetachedPart: no detached part '$part'"))
+    fs.delete(new Path(dir, part), false): Unit
+  }
+
+  /** `ALTER TABLE ... FETCH PART 'name' FROM '<donor>'` (ref
+    * data_rebalance.py:175) — COPY one live data file from a donor
+    * table's storage into THIS table's `.detached` area, under the same
+    * partition directory name; an ATTACH PART then mounts it, exactly
+    * the tool's fetch-then-attach sequence. The donor keeps its copy
+    * (CH fetches from a replica without removing it); the detach+drop
+    * on the source is the tool's own follow-up statement pair.
+    */
+  def fetchPart(donorPath: String, part: String): Unit = {
+    val fs = fileSystem()
+    val donorRoot = new Path(donorPath)
+    val srcDir = {
+      if (!fs.exists(donorRoot))
+        sys.error(s"fetchPart: donor path $donorPath does not exist")
+      fs.listStatus(donorRoot).iterator
+        .filter(d => d.isDirectory && d.getPath.getName.contains("="))
+        .map(_.getPath)
+        .find(d => fs.exists(new Path(d, part)))
+        .getOrElse(sys.error(s"fetchPart: donor has no live part '$part'"))
+    }
+    val dst = new Path(path, s".detached/${srcDir.getName}/$part")
+    if (fs.exists(dst))
+      sys.error(s"fetchPart: a detached copy of '$part' already exists")
+    fs.mkdirs(dst.getParent)
+    if (!org.apache.hadoop.fs.FileUtil.copy(fs, new Path(srcDir, part),
+        fs, dst, false /* keep source */, fs.getConf))
+      sys.error(s"fetchPart: copy ${new Path(srcDir, part)} -> $dst failed")
+  }
+
   /** `TRUNCATE TABLE` — drop every live partition AND the exactly-once
     * ledger (a truncated table starts fresh: replaying an old batch
     * re-ingests, which is what an empty table means; CH's TRUNCATE drops

@@ -612,15 +612,21 @@ class ChDdlReplaySpec extends SparkSpec {
     assert(alt.detachPartitions == Seq("2024-01-01"))
     assert(alt.attachPartitions == Seq("2024-01-02"))
     assert(alt.dropDetachedPartitions == Seq("20240103"))
-    val partErr = intercept[RuntimeException](parseStatement(
-      "ALTER TABLE db.t DETACH PART 'all_1_1_0'"))
-    assert(partErr.getMessage.contains("PART-level"), partErr.getMessage)
+    // PART-granularity forms parse since round 13 (the rebalance tool's
+    // vocabulary; one part = one data file)
+    val partAlt = parseStatement(
+      "ALTER TABLE db.t DETACH PART 'p1', ATTACH PART 'p2', " +
+        "DROP DETACHED PART 'p3', FETCH PART 'p4' FROM '/clickhouse/tables/l-s/db.t'")
+      .asInstanceOf[AlterTable]
+    assert(partAlt.partitionOps == Seq(DetachPart("p1"), AttachPart("p2"),
+      DropDetachedPart("p3"), FetchPart("p4", "/clickhouse/tables/l-s/db.t")))
     // every data-mutating partition/part statement this engine cannot
-    // honor refuses loudly — none may silently no-op
+    // honor refuses loudly — none may silently no-op (incl. unquoted
+    // part names, which the tool never emits)
     for (bad <- Seq(
         "ALTER TABLE db.t DROP PART 'all_1_1_0'",
-        "ALTER TABLE db.t ATTACH PART 'all_1_1_0'",
-        "ALTER TABLE db.t DROP DETACHED PART 'all_1_1_0'",
+        "ALTER TABLE db.t DETACH PART all_1_1_0",
+        "ALTER TABLE db.t FETCH PART 'p' FROM noquotes",
         "ALTER TABLE db.t FETCH PARTITION '2024-01-01' FROM '/ch/t'",
         "ALTER TABLE db.t REPLACE PARTITION '2024-01-01' FROM db.src",
         "ALTER TABLE db.t MOVE PARTITION '2024-01-01' TO DISK 'd'",
@@ -1399,6 +1405,190 @@ class ChDdlReplaySpec extends SparkSpec {
     assert(replay.runQuery(
       "SELECT engine FROM system.tables WHERE name = 'orphan_dis'")
       .head().getString(0) == "Distributed")
+  }
+
+  test("data_rebalance.py's statement vocabulary replays verbatim " +
+      "(clusters/macros/processes + FETCH/ATTACH/DETACH/DROP DETACHED PART)") {
+    import ChDdl._
+    val replay = new ChReplay(spark, ChReplay.scratchWarehouse("graft-rebal13"))
+    replay.executeScript(
+      """create table dws.rb_src_local (
+        | day Date, k UInt64, v SimpleAggregateFunction(sum, UInt64)
+        |) engine=AggregatingMergeTree() PARTITION BY day ORDER BY (day, k);
+        |create table dws.rb_dst_local (
+        | day Date, k UInt64, v SimpleAggregateFunction(sum, UInt64)
+        |) engine=AggregatingMergeTree() PARTITION BY day ORDER BY (day, k);""".stripMargin)
+    import spark.implicits._
+    def batch(rows: Seq[(Long, Long)]) =
+      rows.map { case (k, v) => ("2024-01-01", k, v) }.toDF("day_s", "k", "v")
+        .select(org.apache.spark.sql.functions.to_date(col("day_s")).as("day"),
+          col("k"), col("v"))
+    val src = replay.stateTables("dws.rb_src_local")
+    src.appendBatch(batch(Seq((1L, 10L), (2L, 5L))))
+    src.appendBatch(batch(Seq((3L, 7L))))
+    // direct StateTable appends publish explicitly, as a real ingest
+    // pipeline does (only STATEMENT effects ride the dirty flag) — and a
+    // PRIOR test's replay may own the current system.* snapshots
+    replay.publishSystemTables()
+
+    // get_nodes (ref data_rebalance.py:115-118), verbatim template with
+    // cluster='cluster' (the metrika.xml topology)
+    val nodes = replay.runQuery(
+      """select shard_num,host_address
+        |        from system.clusters
+        |        where cluster='cluster'
+        |        order by shard_num,replica_num""".stripMargin).collect()
+    assert(nodes.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "127.0.0.1")))
+
+    // get_layer / get_shard (:186-188) — the macros kv
+    assert(replay.runQuery(
+      "select substitution from system.macros where macro='layer'")
+      .head().getString(0) == "cluster")
+    assert(replay.runQuery(
+      "select substitution from system.macros where macro='shard'")
+      .head().getString(0) == "shard1")
+
+    // get_parts (:163-174), verbatim with the tool's substitutions — the
+    // cluster() table function resolves to the local table and supplies
+    // _shard_num; tiny test parts clear the 100-BYTE floor
+    val parts = replay.runQuery(
+      """select _shard_num
+        |        ,name as part_name
+        |        ,rows
+        |        ,toUInt32(bytes_on_disk/1024/1024) as bytes_on_disk
+        |        ,disk_name
+        |    from cluster('cluster',system,parts)
+        |    where database='dws'
+        |        and table='rb_src_local'
+        |        and partition='2024-01-01'
+        |        and bytes_on_disk>100
+        |        and disk_name<>'hdfs'""".stripMargin).collect()
+    assert(parts.length >= 2, s"expected >=2 source parts, got ${parts.length}")
+    assert(parts.forall(_.getInt(0) == 1))
+    val partName = parts.map(_.getString(1)).min
+    val partRows = parts.filter(_.getString(1) == partName).head.getLong(2)
+
+    // part_is_exists (:192)
+    assert(replay.runQuery(
+      s"select 1 from system.parts where name='$partName'").count() == 1L)
+
+    // check_fetch_part_running (:199) — the processes view is typed-empty
+    // (a single-driver engine has no concurrent server queries), so the
+    // probe correctly reads nothing running; the escaped-quote LIKE
+    // pattern must parse
+    assert(replay.runQuery(
+      s"select 1 from system.processes where query like '%FETCH PART \\'$partName\\'%'")
+      .count() == 0L)
+
+    // check_partitions (:194-198) before: all rows live on the source
+    def checkPartitions(table: String): Long = {
+      val r = replay.runQuery(
+        s"""select sum(rows) as rows,sum(toUInt32(bytes_on_disk/1024/1024)) as bytes
+           |               FROM cluster('cluster', system, parts)
+           |              where database='dws'
+           |               and table='$table'
+           |               and partition='2024-01-01'
+           |               and bytes_on_disk>100
+           |               and disk_name<>'hdfs'""".stripMargin).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val srcRowsBefore = checkPartitions("rb_src_local")
+    assert(srcRowsBefore == 3L && checkPartitions("rb_dst_local") == 0L)
+
+    // fetch_part (:175): the znode path's last segment names the donor;
+    // the part lands DETACHED on the target (CH fetch semantics)
+    replay.execute(parseStatement(
+      s"ALTER TABLE dws.rb_dst_local FETCH PART '$partName' " +
+        "FROM '/clickhouse/tables/cluster-shard1/dws.rb_src_local'"))
+    assert(replay.runQuery(
+      s"select 1 from system.detached_parts where table='rb_dst_local' and name='$partName'")
+      .count() == 1L)
+
+    // set_drop_detached (:177) — tolerated (session setting, a no-op here)
+    replay.executeScript("set allow_drop_detached = 1;")
+
+    // attach_part (:181): mounts the fetched part; detached side empties
+    replay.execute(parseStatement(
+      s"ALTER TABLE dws.rb_dst_local ATTACH PART '$partName'"))
+    assert(replay.runQuery(
+      s"select 1 from system.parts where table='rb_dst_local' and name='$partName'")
+      .count() == 1L)
+    assert(replay.runQuery(
+      "select 1 from system.detached_parts where table='rb_dst_local'")
+      .count() == 0L)
+    assert(checkPartitions("rb_dst_local") == partRows)
+
+    // detach_part (:184) + drop_detach_part (:179) on the source — the
+    // tool's cleanup pair; reconciliation: total rows conserved
+    replay.execute(parseStatement(
+      s"ALTER TABLE dws.rb_src_local DETACH PART '$partName'"))
+    assert(checkPartitions("rb_src_local") == srcRowsBefore - partRows)
+    replay.execute(parseStatement(
+      s"ALTER TABLE dws.rb_src_local DROP DETACHED PART '$partName'"))
+    assert(replay.runQuery(
+      "select 1 from system.detached_parts where table='rb_src_local'")
+      .count() == 0L)
+    assert(checkPartitions("rb_src_local") + checkPartitions("rb_dst_local")
+      == srcRowsBefore)
+    // the moved data answers queries on the target
+    assert(replay.runQuery(
+      "SELECT sum(v) AS v FROM dws.rb_dst_local FINAL").head().getLong(0) > 0L)
+
+    // get_partitions (:120-160), the tool's skew detector, runs verbatim
+    // (clusterAllReplicas over system.one/system.parts, hostName(),
+    // parseDateTimeBestEffortOrZero): with its 100 MiB hardcoded floor no
+    // test part qualifies — 0 rows, no error
+    val skewSql =
+      """select partition
+        |    from (
+        |        SELECT
+        |            a.shard,
+        |            a.partition,
+        |            sum(b.partition_bytes) AS partition_bytes
+        |        FROM (
+        |            select t1.shard
+        |                ,t2.partition
+        |            from (
+        |                select hostName() AS shard from clusterAllReplicas('cluster', system, one)
+        |            )t1
+        |            cross join (
+        |                select distinct partition
+        |                from clusterAllReplicas('cluster', system, parts)
+        |                WHERE (database = 'dws') AND (table = 'rb_src_local')
+        |                    AND (toDate(parseDateTimeBestEffortOrZero(toString(partition))) <= (today() - 7))
+        |                    AND (bytes_on_disk > ((100 * 1024) * 1024))
+        |                    AND disk_name<>'hdfs'
+        |                group by partition
+        |            )t2
+        |        )a
+        |        left join(
+        |            select hostName() as shard
+        |                ,partition
+        |                ,sum(toUInt32(bytes_on_disk/1024/1024)) AS partition_bytes
+        |            from clusterAllReplicas('cluster', system, parts)
+        |            WHERE (database = 'dws') AND (table = 'rb_src_local')
+        |                AND (toDate(parseDateTimeBestEffortOrZero(toString(partition))) <= (today() - 7))
+        |                AND (bytes_on_disk > ((100 * 1024) * 1024))
+        |                AND disk_name<>'hdfs'
+        |            group by shard,partition
+        |        )b
+        |        on a.shard=b.shard and a.partition=b.partition
+        |        group by a.shard,
+        |            a.partition
+        |    )
+        |    GROUP BY partition
+        |    HAVING (min(partition_bytes) <= (avg(partition_bytes) * 0.7))
+        |    and (max(partition_bytes) >= (avg(partition_bytes) * 1.3))
+        |    order by partition desc""".stripMargin
+    assert(replay.runQuery(skewSql).count() == 0L)
+    // with the floor lowered to the test scale, the old partition surfaces
+    // (1-shard min==max==avg, so the 1.0/1.0 rates fire)
+    val skewSmall = skewSql
+      .replace("(100 * 1024) * 1024", "1")
+      .replace("* 0.7", "* 1.0").replace("* 1.3", "* 1.0")
+    assert(replay.runQuery(skewSmall).collect().map(_.getString(0)).toSeq ==
+      Seq("2024-01-01"))
   }
 
   test("column COMMENT with quotes/backslashes renders valid DDL and round-trips") {
