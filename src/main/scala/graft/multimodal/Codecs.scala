@@ -4,12 +4,14 @@ import java.util.zip.Inflater
 
 /** Pure-JVM pixel/sample decoders for the formats that need NO external
   * codec library: PNG (zlib rides `java.util.zip.Inflater`, plus the five
-  * scanline filters), uncompressed 24/32-bit BMP, and 16-bit PCM WAV.
+  * scanline filters), uncompressed 24/32-bit BMP, 16-bit PCM WAV, and
+  * IMA/DVI ADPCM WAV (the first COMPRESSED audio codec — 4-bit adaptive
+  * differential coding is spec-simple enough to decode from raw bytes).
   * These take their formats OUT of the stub seam — real pixels/samples
   * decode at any scale with nothing but the JDK. JPEG (DCT entropy
-  * coding) and compressed video/audio stay behind
-  * [[Multimodal.decodeStub]]: those genuinely need codec libraries this
-  * environment does not ship.
+  * coding) rides the JDK's bundled `javax.imageio`; compressed VIDEO and
+  * non-IMA audio codecs stay behind [[Multimodal.decodeStub]]: those
+  * genuinely need codec libraries this environment does not ship.
   *
   * All decoders return None on anything malformed/unsupported — corrupt
   * blobs are data, not errors (same contract as the header parsers), and
@@ -269,6 +271,129 @@ object Codecs {
     val samples = new Array[Short](n)
     var k = 0
     while (k < n) { samples(k) = le16(blob, dataAt + k * 2).toShort; k += 1 }
+    Some(Pcm(rate, channels, samples))
+  }
+
+  // ---- IMA ADPCM -----------------------------------------------------------
+
+  // the IMA-spec quantizer step table (89 entries) and index adjustments —
+  // fixed constants every conformant encoder/decoder shares
+  private val AdpcmSteps: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private val AdpcmIndexAdj: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** Mutable one-channel IMA decoder state (predictor + step index). */
+  private final class AdpcmState(var pred: Int, var idx: Int) {
+    /** Decode one 4-bit code to a 16-bit sample (the standard
+      * shift-approximation: diff ≈ (2·mag+1)·step/8 via step>>3 + bits).
+      */
+    def decode(n: Int): Short = {
+      val step = AdpcmSteps(idx)
+      var diff = step >> 3
+      if ((n & 1) != 0) diff += step >> 2
+      if ((n & 2) != 0) diff += step >> 1
+      if ((n & 4) != 0) diff += step
+      pred = if ((n & 8) != 0) pred - diff else pred + diff
+      if (pred > 32767) pred = 32767 else if (pred < -32768) pred = -32768
+      idx = idx + AdpcmIndexAdj(n & 7)
+      if (idx < 0) idx = 0 else if (idx > 88) idx = 88
+      pred.toShort
+    }
+  }
+
+  /** IMA/DVI ADPCM WAV decode (audioFormat 0x11) — the first COMPRESSED
+    * audio codec decoded for real behind the multimodal seam, still with
+    * no external library. WAVE block layout: per channel a 4-byte header
+    * (int16 predictor = the block's first sample, uint8 step index,
+    * reserved byte), then 4-bit codes low-nibble-first; stereo data
+    * interleaves per-channel 4-byte (8-code) groups. `samplesPerBlock`
+    * from the fmt extension bounds each block's output (the final block
+    * may be short). Returns None for anything that is not a well-formed
+    * fmt-17 WAV, so [[decodeWav]]'s PCM path and this one can chain.
+    */
+  def decodeImaAdpcmWav(blob: Array[Byte]): Option[Pcm] = {
+    if (blob.length < 12 || blob(0) != 'R' || blob(1) != 'I' || blob(2) != 'F' ||
+        blob(3) != 'F' || new String(blob, 8, 4, "US-ASCII") != "WAVE") return None
+    var rate = 0; var channels = 0; var bits = 0; var fmt = 0
+    var blockAlign = 0; var spbDeclared = 0
+    var dataAt = -1; var dataLen = 0
+    var i = 12
+    while (i + 8 <= blob.length) {
+      val id = new String(blob, i, 4, "US-ASCII")
+      val size = le32(blob, i + 4)
+      if (id == "fmt " && i + 8 + 16 <= blob.length) {
+        fmt = le16(blob, i + 8)
+        channels = le16(blob, i + 10)
+        rate = le32(blob, i + 12).toInt
+        blockAlign = le16(blob, i + 20)
+        bits = le16(blob, i + 22)
+        if (size >= 20 && i + 8 + 20 <= blob.length)
+          spbDeclared = le16(blob, i + 26)
+      } else if (id == "data") {
+        dataAt = i + 8
+        dataLen = math.min(size, (blob.length - dataAt).toLong).toInt
+      }
+      val next = i.toLong + 8L + size + (size & 1L)
+      if (next <= i || next > blob.length) i = blob.length else i = next.toInt
+    }
+    if (fmt != 0x11 || bits != 4 || rate <= 0 || channels <= 0 || channels > 2 ||
+        dataAt < 0 || blockAlign < channels * 4) return None
+    // samples per block per channel: header sample + 2 codes per data byte
+    val spb =
+      if (spbDeclared > 0) spbDeclared
+      else (blockAlign / channels - 4) * 2 + 1
+    val nBlocks = dataLen / blockAlign
+    val out = new Array[Short](nBlocks * spb * channels)
+    var pos = 0
+    var blk = 0
+    while (blk < nBlocks) {
+      val base = dataAt + blk * blockAlign
+      // per-channel headers: predictor IS the first output sample
+      val st = new Array[AdpcmState](channels)
+      var c = 0
+      while (c < channels) {
+        val h = base + c * 4
+        val pred = le16(blob, h).toShort.toInt // sign-extended
+        var idx = blob(h + 2) & 0xFF
+        if (idx > 88) idx = 88
+        st(c) = new AdpcmState(pred, idx)
+        out(pos + c) = pred.toShort
+        c += 1
+      }
+      pos += channels
+      var emitted = 1 // per channel
+      // data area: 4-byte groups per channel, interleaved when stereo
+      var p = base + channels * 4
+      val blockEnd = base + blockAlign
+      while (p < blockEnd && emitted < spb) {
+        // decode one interleave round: 4 bytes (8 codes) per channel
+        var s = 0
+        while (s < 8 && emitted + s < spb) {
+          c = 0
+          while (c < channels) {
+            val byte = blob(p + c * 4 + s / 2) & 0xFF
+            val code = if ((s & 1) == 0) byte & 0xF else byte >> 4
+            out(pos + (s * channels) + c) = st(c).decode(code)
+            c += 1
+          }
+          s += 1
+        }
+        pos += s * channels
+        emitted += s
+        p += channels * 4
+      }
+      // spb bounds the block (a short final interleave round emitted
+      // fewer); any remaining positions in `out` past real data are
+      // trimmed below
+      blk += 1
+    }
+    val samples = if (pos == out.length) out else java.util.Arrays.copyOf(out, pos)
     Some(Pcm(rate, channels, samples))
   }
 }

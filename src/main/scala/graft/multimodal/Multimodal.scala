@@ -15,11 +15,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * The *Spark plumbing* here is real and tested — schema, partition-batched
   * processing (the Scala analog of `mapInPandas` batches), deterministic
   * output shape. Pixel/sample decode is REAL for every image format plus
-  * PCM audio: [[Codecs]] hand-decodes PNG (JDK Inflater + scanline
-  * un-filtering), uncompressed BMP, and 16-bit WAV from raw bytes, and
-  * [[imageIoFeatures]] decodes JPEG/GIF through the JDK's own bundled
-  * `javax.imageio` readers — no external library anywhere. Only
-  * COMPRESSED AUDIO/VIDEO falls back to [[decodeStub]], the remaining
+  * PCM and IMA-ADPCM audio: [[Codecs]] hand-decodes PNG (JDK Inflater +
+  * scanline un-filtering), uncompressed BMP, 16-bit PCM WAV, and
+  * compressed IMA/DVI ADPCM WAV from raw bytes, and [[imageIoFeatures]]
+  * decodes JPEG/GIF through the JDK's own bundled `javax.imageio`
+  * readers — no external library anywhere. Only compressed VIDEO (and
+  * non-IMA audio codecs) falls back to [[decodeStub]], the remaining
   * seam where an ffmpeg-class binding would plug in.
   */
 object Multimodal {
@@ -149,14 +150,16 @@ object Multimodal {
       .orElse(imageIoImage(blob))
 
   /** Feature dispatch: real pixels/samples wherever the JVM can decode —
-    * [[Codecs]] (PNG/BMP/PCM-WAV, pure bytes) then [[imageIoFeatures]]
-    * (JPEG/GIF via the JDK's bundled readers). The stub histogram now
-    * covers ONLY compressed audio/video, which genuinely need external
-    * codec libraries (ffmpeg-class) this environment doesn't ship.
+    * [[Codecs]] (PNG/BMP, PCM and IMA-ADPCM WAV, pure bytes) then
+    * [[imageIoFeatures]] (JPEG/GIF via the JDK's bundled readers). The
+    * stub histogram now covers ONLY compressed VIDEO and non-IMA audio
+    * codecs, which genuinely need external codec libraries
+    * (ffmpeg-class) this environment doesn't ship.
     */
   private[graft] def decodeFeatures(blob: Array[Byte]): Array[Float] =
     Codecs.decodePng(blob).orElse(Codecs.decodeBmp(blob)).map(imageFeatures)
       .orElse(Codecs.decodeWav(blob).map(audioFeatures))
+      .orElse(Codecs.decodeImaAdpcmWav(blob).map(audioFeatures))
       .orElse(imageIoFeatures(blob))
       .getOrElse(decodeStub(blob))
 

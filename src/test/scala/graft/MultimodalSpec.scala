@@ -426,6 +426,111 @@ class MultimodalSpec extends SparkSpec {
     assert(pcm.samples.toSeq == samples.toSeq)
   }
 
+  test("IMA-ADPCM WAV decodes for real: pinned vectors, block reset, " +
+      "spb truncation, encoder round-trip, feature dispatch") {
+    import graft.multimodal.{Codecs, Multimodal}
+    // fmt-17 WAV builder: 20-byte fmt (16 + cbSize/samplesPerBlock ext)
+    def adpcmWav(rate: Int, ch: Int, blockAlign: Int, spb: Int,
+        data: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(48 + data.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(40 + data.length).put("WAVE".getBytes)
+        .put("fmt ".getBytes).putInt(20).putShort(0x11).putShort(ch.toShort)
+        .putInt(rate).putInt(rate * blockAlign / spb).putShort(blockAlign.toShort)
+        .putShort(4).putShort(2).putShort(spb.toShort)
+        .put("data".getBytes).putInt(data.length).put(data)
+      b.array()
+    }
+    def header(pred: Int, idx: Int): Array[Byte] =
+      Array((pred & 0xFF).toByte, ((pred >> 8) & 0xFF).toByte, idx.toByte, 0.toByte)
+
+    // mono: header pred=100 idx=0, codes (low nibble first) 4,7,8,1,2,F,B,3
+    // — expected samples computed with an independent reference decoder
+    val monoData = header(100, 0) ++
+      Array(0x74, 0x18, 0xF2, 0x3B).map(_.toByte)
+    val monoExpected = Seq(100, 107, 123, 121, 127, 137, 112, 87, 111)
+    val mono = Codecs.decodeImaAdpcmWav(adpcmWav(8000, 1, 8, 9, monoData))
+      .getOrElse(fail("mono adpcm did not decode"))
+    assert((mono.sampleRate, mono.channels) == (8000, 1))
+    assert(mono.samples.map(_.toInt).toSeq == monoExpected)
+
+    // two identical blocks: per-block header resets the predictor/index
+    val mono2 = Codecs.decodeImaAdpcmWav(
+      adpcmWav(8000, 1, 8, 9, monoData ++ monoData))
+      .getOrElse(fail("two-block adpcm did not decode"))
+    assert(mono2.samples.map(_.toInt).toSeq == monoExpected ++ monoExpected)
+
+    // declared samplesPerBlock BOUNDS the block (trailing codes unused)
+    val monoTrunc = Codecs.decodeImaAdpcmWav(adpcmWav(8000, 1, 8, 5, monoData))
+      .getOrElse(fail("truncated adpcm did not decode"))
+    assert(monoTrunc.samples.map(_.toInt).toSeq == monoExpected.take(5))
+
+    // stereo: per-channel headers then interleaved 4-byte code groups
+    val stData = header(-200, 5) ++ header(500, 10) ++
+      Array(0x10, 0x32, 0x54, 0x76).map(_.toByte) ++ // ch0 codes 0..7
+      Array(0x98, 0xBA, 0xDC, 0xFE).map(_.toByte)    // ch1 codes 8..F
+    val ch0 = Seq(-200, -199, -196, -190, -183, -174, -161, -139, -93)
+    val ch1 = Seq(500, 498, 492, 482, 471, 457, 435, 399, 323)
+    val st = Codecs.decodeImaAdpcmWav(adpcmWav(44100, 2, 16, 9, stData))
+      .getOrElse(fail("stereo adpcm did not decode"))
+    assert((st.sampleRate, st.channels) == (44100, 2))
+    assert(st.samples.map(_.toInt).toSeq ==
+      ch0.zip(ch1).flatMap { case (l, r) => Seq(l, r) })
+
+    // encoder round-trip: a test-side IMA encoder (the canonical greedy
+    // bit construction) over a sine sweep — decode must track the input
+    // (ADPCM is lossy; the adaptive step keeps error a fraction of the
+    // signal once locked on)
+    val stepsT = Array(7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25,
+      28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+      143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+      544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707,
+      1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+      5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+      16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+    val adjT = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+    val signal = (0 until 489).map(i =>
+      (8000 * math.sin(i / 12.0)).toInt.toShort).toArray
+    var pred = signal(0).toInt; var idx = 0
+    val codes = new Array[Int](signal.length - 1)
+    for (k <- 1 until signal.length) {
+      val step = stepsT(idx)
+      var delta = signal(k) - pred
+      var code = 0
+      if (delta < 0) { code = 8; delta = -delta }
+      if (delta >= step) { code |= 4; delta -= step }
+      if (delta >= (step >> 1)) { code |= 2; delta -= step >> 1 }
+      if (delta >= (step >> 2)) { code |= 1 }
+      // decoder-mirror state update
+      val n = code
+      var diff = step >> 3
+      if ((n & 1) != 0) diff += step >> 2
+      if ((n & 2) != 0) diff += step >> 1
+      if ((n & 4) != 0) diff += step
+      pred = if ((n & 8) != 0) pred - diff else pred + diff
+      pred = math.max(-32768, math.min(32767, pred))
+      idx = math.max(0, math.min(88, idx + adjT(n & 7)))
+      codes(k - 1) = code
+    }
+    // one block: blockAlign = 4 + codes/2, spb = signal length
+    val dataBytes = codes.grouped(2)
+      .map(g => ((g.lift(1).getOrElse(0) << 4) | g(0)).toByte).toArray
+    val rt = Codecs.decodeImaAdpcmWav(adpcmWav(8000, 1, 4 + dataBytes.length,
+        signal.length, header(signal(0), 0) ++ dataBytes))
+      .getOrElse(fail("round-trip adpcm did not decode"))
+    assert(rt.samples.length == signal.length)
+    val tailErr = (100 until signal.length)
+      .map(i => math.abs(rt.samples(i) - signal(i))).max
+    assert(tailErr <= 1200, s"ADPCM tracking error $tailErr after lock-on")
+
+    // feature dispatch: the ADPCM blob reaches audioFeatures, not the stub
+    val blob = adpcmWav(8000, 1, 8, 9, monoData)
+    assert(Multimodal.decodeFeatures(blob).toSeq ==
+      Multimodal.audioFeatures(mono).toSeq)
+    assert(Multimodal.decodeFeatures(blob).toSeq !=
+      Multimodal.decodeStub(blob).toSeq)
+  }
+
   test("extractFeatures uses REAL pixels for decodable formats, stub for the rest") {
     import spark.implicits._
     import graft.multimodal.Codecs
