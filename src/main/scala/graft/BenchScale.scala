@@ -90,10 +90,17 @@ object BenchScale {
   final class CountListener extends SparkListener {
     val jobs = new AtomicInteger
     val shuffleBytes = new AtomicLong
+    val spillMemBytes = new AtomicLong
+    val spillDiskBytes = new AtomicLong
     override def onJobStart(e: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
       val m = e.taskMetrics
-      if (m != null) { shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten); () }
+      if (m != null) {
+        shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spillMemBytes.addAndGet(m.memoryBytesSpilled)
+        spillDiskBytes.addAndGet(m.diskBytesSpilled)
+        ()
+      }
     }
     def drain(): Unit = Thread.sleep(1000)
   }
@@ -119,7 +126,8 @@ object BenchScale {
     // optional section filter: any of ingest/probe/cc/ivf/compact — run
     // only the named curves (default: all), e.g. `runMain graft.BenchScale cc`
     val sections = args.toSet.intersect(
-      Set("ingest", "probe", "cc", "ivf", "compact", "tfidf", "spans", "stats"))
+      Set("ingest", "probe", "cc", "ivf", "compact", "tfidf", "spans", "stats",
+        "hotkey"))
     def on(s: String): Boolean = sections.isEmpty || sections.contains(s)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -372,6 +380,76 @@ object BenchScale {
           s""""ms_per_krow":${sec * 1e6 / n},"exchange_records":$recs,""" +
           s""""exchange_mb":${bytes / 1e6}}""")
       } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+
+    // ---- 9. hot-key window/aggregate operators ---------------------------
+    // SCALE.md argued (did not measure) that the window-pass operators
+    // "spill in the window sort" under a pathological hot key. This
+    // measures it: ONE uid holds half the events (1M at full scale),
+    // driven through the q63/q64/q66 operators; and a CC point whose
+    // graph holds one 1e5-doc component in its worst (chain) diameter.
+    // spill_* record what actually spilled — 0 with wall time in budget
+    // is evidence too (the hot partition fit the executor's sort memory).
+    if (on("hotkey")) {
+      val hotN = 1000000L / div
+      val bgN = 1000000L / div
+      // hot uid 0 carries hotN events; bgN more spread over 100k uids
+      val events = spark.range(hotN + bgN).select(
+        when(col("id") < hotN, 0L)
+          .otherwise(pmod(col("id"), lit(100000)) + 1).as("uid"),
+        timestamp_seconds(lit(1700000000L) + col("id")).as("ts"),
+        pmod(col("id"), lit(3)).cast("int").as("etype"))
+      def measure(op: String, hotSize: Long = hotN)(f: => Unit): Unit = {
+        val l = new CountListener
+        spark.sparkContext.addSparkListener(l)
+        val sec = timed(f)
+        l.drain()
+        spark.sparkContext.removeSparkListener(l)
+        emit(s"""{"curve":"hotkey","op":"$op","hot_rows":$hotSize,"sec":$sec,""" +
+          s""""jobs":${l.jobs.get},"shuffle_mb":${l.shuffleBytes.get / 1e6},""" +
+          s""""spill_mem_mb":${l.spillMemBytes.get / 1e6},""" +
+          s""""spill_disk_mb":${l.spillDiskBytes.get / 1e6}}""")
+      }
+      measure("asof") {
+        // right side shares the skew (the hot uid's quote timeline is
+        // long too) — the tagged-union window sorts hot-uid rows from
+        // BOTH sides in one partition
+        val right = spark.range((hotN + bgN) / 10).select(
+          when(col("id") < hotN / 10, 0L)
+            .otherwise(pmod(col("id"), lit(100000)) + 1).as("uid"),
+          timestamp_seconds(lit(1700000000L) + col("id") * 7).as("rts"),
+          (col("id") % 1000).as("quote"))
+        graft.operators.AsOfJoin.asof(events, right, Seq("uid"), "ts", "rts")
+          .write.format("noop").mode("overwrite").save()
+      }
+      measure("sessionize") {
+        graft.operators.Sessionize.sessionize(events, "uid", "ts", 1800)
+          .write.format("noop").mode("overwrite").save()
+      }
+      measure("sequence_match") {
+        // the TypedImperativeAggregate collects (ts, mask) per uid — the
+        // hot group's buffer holds 1M events on one task
+        graft.functions.SequenceMatch.register(spark)
+        events.groupBy("uid").agg(
+          graft.functions.SequenceMatch.sequence_match("(?1).*(?2).*(?3)",
+            col("ts"), col("etype") === 0, col("etype") === 1,
+            col("etype") === 2).as("m"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      measure("cc_hot_cluster", 100000L / div) {
+        // one 1e5-node CHAIN (worst diameter — pointer jumping must halve
+        // it ~log2(1e5) times) + background pairs; partition skew rides
+        // the min-label hot key (every round funnels the component's
+        // labels toward one id)
+        val n = 100000L / div
+        val chain = spark.range(n)
+          .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+        val bg = spark.range(n)
+          .select((col("id") * 2 + 2 * n).as("id_a"),
+            (col("id") * 2 + 2 * n + 1).as("id_b"))
+        Cluster.connectedComponents(chain.unionAll(bg), "id_a", "id_b")
+          .write.format("noop").mode("overwrite").save()
+      }
     }
 
     emit(s"""{"metric":"bench_scale_done","quick":$quick,"x10":$x10}""")
