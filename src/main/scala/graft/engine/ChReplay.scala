@@ -605,7 +605,8 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     * statements must not pay it just to list names.
     */
   def publishPartsViews(): Unit = {
-    def enumerateParts(stPath: String, sub: String): Seq[(String, String, Long, Long)] = {
+    def enumerateParts(stPath: String, sub: String)
+        : Seq[(String, String, Long, Long, Long)] = {
       val conf = spark.sparkContext.hadoopConfiguration
       val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(stPath), conf)
       val root = if (sub.isEmpty) new org.apache.hadoop.fs.Path(stPath)
@@ -616,19 +617,21 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
           val value = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
             .unescapePathName(dn.substring(dn.indexOf('=') + 1))
           Rebalance.dataFiles(fs, d.getPath).map { f =>
-            (value, f.getPath.getName, Rebalance.footerRows(conf, f.getPath), f.getLen)
+            (value, f.getPath.getName, Rebalance.footerRows(conf, f.getPath),
+              f.getLen, f.getModificationTime)
           }
         }.sortBy(p => (p._1, p._2))
     }
     def partRows(sub: String): Seq[Seq[String]] =
       stateTables.toSeq.sortBy(_._1).flatMap { case (n, st) =>
         val (db, t) = dbTable(n)
-        enumerateParts(st.path, sub).map { case (value, name, rows, bytes) =>
+        enumerateParts(st.path, sub).map { case (value, name, rows, bytes, mtime) =>
           // rows/bytes as explicit BIGINT — a bare small literal would type
           // INT and the column's type would depend on the data's magnitude
           Seq(qlit(db), qlit(t), qlit(value), qlit(name),
             s"CAST($rows AS BIGINT)", "1", s"CAST($bytes AS BIGINT)",
-            qlit("default"))
+            qlit("default"),
+            s"CAST(${qlit(java.time.Instant.ofEpochMilli(mtime).toString)} AS TIMESTAMP)")
         }
       }
     spark.sql("CREATE DATABASE IF NOT EXISTS system")
@@ -653,7 +656,10 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     StructField("bytes_on_disk", LongType),
     // single-node storage has one disk; the rebalance tool's statements
     // filter `disk_name<>'hdfs'` (ref data_rebalance.py:140,150,173,198)
-    StructField("disk_name", StringType)))
+    StructField("disk_name", StringType),
+    // the part file's mtime — check_attach_part_is_exists filters
+    // `toDate(modification_time)=today()` (ref data_rebalance.py:201-206)
+    StructField("modification_time", TimestampType)))
   private def partCols: Seq[String] = partSchema.fieldNames.toSeq
 
   /** Emptiness of the last snapshot's LIVE side — a snapshot pinned

@@ -599,6 +599,17 @@ final class StateTable(
       .find(d => fs.exists(new Path(d, part)))
   }
 
+  /** Remove a partition directory a part-level move just EMPTIED (no
+    * data files left — .crc sidecars don't count). A leftover empty dir
+    * would wrongly block later whole-partition DETACH/ATTACH ("already
+    * exists") while being invisible to reads and the parts views — in
+    * CH a partition with no parts simply does not exist.
+    */
+  private def pruneEmptyPartDir(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Unit =
+    if (fs.exists(dir) && graft.engine.Rebalance.dataFiles(fs, dir).isEmpty)
+      fs.delete(dir, true): Unit
+
   /** `ALTER TABLE ... DETACH PART 'name'` (ref data_rebalance.py:184) —
     * move ONE data file into the same partition's `.detached` mirror.
     * Unknown names error, as in CH (`No part <name>`): the rebalance
@@ -617,6 +628,7 @@ final class StateTable(
     fs.mkdirs(dst.getParent)
     if (!fs.rename(new Path(dir, part), dst))
       sys.error(s"detachPart: failed to move $part -> $dst")
+    pruneEmptyPartDir(fs, dir)
   }
 
   /** `ALTER TABLE ... ATTACH PART 'name'` (ref data_rebalance.py:181) —
@@ -636,6 +648,7 @@ final class StateTable(
     fs.mkdirs(live)
     if (!fs.rename(new Path(dir, part), dst))
       sys.error(s"attachPart: failed to move $part -> $dst")
+    pruneEmptyPartDir(fs, dir)
     invalidateSchema() // the attached part may carry columns the marker lacks
   }
 
@@ -647,6 +660,7 @@ final class StateTable(
     val dir = findPartDir(".detached", part).getOrElse(
       sys.error(s"dropDetachedPart: no detached part '$part'"))
     fs.delete(new Path(dir, part), false): Unit
+    pruneEmptyPartDir(fs, dir)
   }
 
   /** `ALTER TABLE ... FETCH PART 'name' FROM '<donor>'` (ref

@@ -1519,6 +1519,21 @@ class ChDdlReplaySpec extends SparkSpec {
       .count() == 0L)
     assert(checkPartitions("rb_dst_local") == partRows)
 
+    // check_attach_part_is_exists (:201-206): did the attach land today —
+    // rows + size + modification_time filters (values quoted; the tool's
+    // own template interpolates {database}/{table} unquoted, which CH
+    // would reject as unknown identifiers — a latent tool bug, not a
+    // shape this replay should reproduce)
+    val partBytesMb = parts.filter(_.getString(1) == partName).head.getLong(3)
+    assert(replay.runQuery(
+      s"""select 1 from system.parts
+         |    where database='dws'
+         |    and table='rb_dst_local'
+         |    and rows=$partRows
+         |    and toUInt32(bytes_on_disk/1024/1024)=$partBytesMb
+         |    and toDate(modification_time)=today()""".stripMargin)
+      .count() == 1L)
+
     // detach_part (:184) + drop_detach_part (:179) on the source — the
     // tool's cleanup pair; reconciliation: total rows conserved
     replay.execute(parseStatement(

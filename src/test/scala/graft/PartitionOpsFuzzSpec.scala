@@ -187,6 +187,31 @@ class PartitionOpsFuzzSpec extends SparkSpec {
             s"${names("detached_parts")} model=$det")
       }
 
+      // (partition value, file name, that file's sum) on one side — the
+      // FS-level side channel the model uses to know exactly what a PART
+      // statement must move (one part ≙ one data file)
+      def partsOn(sub: String): Seq[(String, String, Long)] = {
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(st.path), spark.sparkContext.hadoopConfiguration)
+        val root = if (sub.isEmpty) new org.apache.hadoop.fs.Path(st.path)
+                   else new org.apache.hadoop.fs.Path(st.path, sub)
+        if (!fs.exists(root)) Nil
+        else fs.listStatus(root).toSeq
+          .filter(d => d.isDirectory && d.getPath.getName.contains("="))
+          .sortBy(_.getPath.getName)
+          .flatMap { d =>
+            val value = org.apache.spark.sql.catalyst.catalog
+              .ExternalCatalogUtils
+              .unescapePathName(d.getPath.getName.split("=", 2)(1))
+            graft.engine.Rebalance.dataFiles(fs, d.getPath)
+              .sortBy(_.getPath.getName).map { f =>
+                val s = spark.read.parquet(f.getPath.toString)
+                  .agg(sum(col("v"))).head().getLong(0)
+                (value, f.getPath.getName, s)
+              }
+          }
+      }
+
       // one model transition for a single partition op; returns whether the
       // real statement is expected to REFUSE (caller intercepts)
       def apply1(op: Int, v: String): (String, Boolean) = op match {
@@ -222,6 +247,32 @@ class PartitionOpsFuzzSpec extends SparkSpec {
           case 3 =>
             if (live.nonEmpty || det.nonEmpty || rnd.nextBoolean()) {
               run(s"TRUNCATE TABLE $tbl"); live.clear()
+            }
+          case 5 => // PART-granularity statements (round 13: one part =
+            // one data file, unknown names ERROR — CH parity)
+            val side = rnd.nextInt(3)
+            val kw = Seq("DETACH PART", "ATTACH PART",
+              "DROP DETACHED PART")(side)
+            val pool = partsOn(if (side == 0) "" else ".detached")
+            if (pool.isEmpty || rnd.nextInt(5) == 0)
+              intercept[RuntimeException](
+                run(s"ALTER TABLE $tbl $kw 'no-such-part'"))
+            else {
+              val (pv, name, s) = pool(rnd.nextInt(pool.length))
+              run(s"ALTER TABLE $tbl $kw '$name'")
+              side match {
+                case 0 => // live -> detached
+                  val rem = live(pv) - s
+                  if (rem == 0L) live.remove(pv): Unit else live(pv) = rem
+                  det(pv) = det.getOrElse(pv, 0L) + s
+                case 1 => // detached -> live
+                  val rem = det(pv) - s
+                  if (rem == 0L) det.remove(pv): Unit else det(pv) = rem
+                  live(pv) = live.getOrElse(pv, 0L) + s
+                case _ => // detached copy deleted
+                  val rem = det(pv) - s
+                  if (rem == 0L) det.remove(pv): Unit else det(pv) = rem
+              }
             }
           case 4 => // ONE multi-subcommand ALTER: two ops, STATEMENT order
             val v2 = values(rnd.nextInt(values.length))
