@@ -308,41 +308,75 @@ object ChDdl {
     require(nameEnd > 0, s"bad column def: $t")
     // the doc's DDL quotes names with backticks (`id` UInt32); scripts don't
     val name = t.substring(0, nameEnd).stripPrefix("`").stripSuffix("`")
-    var rest = t.substring(nameEnd).trim
-    // the type runs to the first top-level `default`/`comment`/`after`
-    val kw = """(?i)\b(default|comment|after)\b""".r
-    // type text itself contains no keywords in CH — safe to cut at first hit
-    val typeEnd = kw.findFirstMatchIn(rest).map(_.start).getOrElse(rest.length)
+    val rest = t.substring(nameEnd).trim
+    // the type runs to the first `default`/`comment`/`after` keyword
+    // OUTSIDE a string literal — a COMMENT body saying 'drop after load'
+    // must not grow a phantom AFTER clause (quoted spans are opaque to
+    // the cut)
+    val kws = topLevelKws(rest)
+    val typeEnd = kws.headOption.map(_._1).getOrElse(rest.length)
     val chType = rest.substring(0, typeEnd).trim.replaceAll("\\s+", "")
-    rest = rest.substring(typeEnd)
-    def clause(k: String): Option[String] = {
-      val m = ("""(?i)\b""" + k + """\b""").r.findFirstMatchIn(rest)
-      m.map { mm =>
-        val tail = rest.substring(mm.end).trim
-        val stop = kw.findFirstMatchIn(tail).map(_.start).getOrElse(tail.length)
-        tail.substring(0, stop).trim
+    def clause(k: String): Option[String] =
+      kws.find(_._2 == k).map { case (at, w) =>
+        val end = kws.collectFirst { case (p, _) if p > at => p }
+          .getOrElse(rest.length)
+        rest.substring(at + w.length, end).trim
       }
-    }
     Col(name, chType,
       default = clause("default").filter(_.nonEmpty),
-      // store the TRUE text: CH string-literal escapes ('' and \-escapes)
-      // are undone here and re-applied by renderCols, so the descriptor
-      // carries "it's" — not "it''s" — and render(parse(x)) still
-      // round-trips (defaults stay raw EXPRESSION text, where quotes are
-      // part of the syntax, so they render verbatim)
+      // store the TRUE text: CH string-literal escapes ('' and \-escapes
+      // per ChSql.chEscape, the one shared decode) are undone here and
+      // re-applied by renderCols, so the descriptor carries "it's" — not
+      // "it''s" — and render(parse(x)) still round-trips (defaults stay
+      // raw EXPRESSION text, where quotes are part of the syntax, so
+      // they render verbatim)
       comment = clause("comment")
         .map(x => unescapeStringLiteral(x.stripPrefix("'").stripSuffix("'"))),
       after = clause("after").filter(_.nonEmpty))
   }
 
-  /** Undo CH string-literal escaping: `''` and `\'` → `'`, `\x` → `x`. */
+  /** Absolute positions of `default`/`comment`/`after` keywords OUTSIDE
+    * single-quoted string literals (CH syntax: `''` and `\`-escapes stay
+    * inside the literal), in text order — the one scan parseCol's type
+    * cut and clause extraction share.
+    */
+  private def topLevelKws(s: String): Seq[(Int, String)] = {
+    val out = Seq.newBuilder[(Int, String)]
+    def isIdent(c: Char): Boolean = c == '_' || c.isLetterOrDigit
+    var i = 0
+    var inQ = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) {
+        if (c == '\\' && i + 1 < s.length) i += 2
+        else if (c == '\'' && i + 1 < s.length && s.charAt(i + 1) == '\'') i += 2
+        else { if (c == '\'') inQ = false; i += 1 }
+      } else if (c == '\'') { inQ = true; i += 1 }
+      else {
+        for (w <- Seq("default", "comment", "after"))
+          if (s.regionMatches(true, i, w, 0, w.length) &&
+              (i == 0 || !isIdent(s.charAt(i - 1))) &&
+              (i + w.length >= s.length || !isIdent(s.charAt(i + w.length))))
+            out += ((i, w))
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Undo CH string-literal escaping: `''` → `'`, and every `\`-escape
+    * per [[ChSql.chEscape]] (the shared parseComplexEscapeSequence
+    * semantics — `\n` is a NEWLINE, not the letter n).
+    */
   private def unescapeStringLiteral(s: String): String = {
     val sb = new StringBuilder
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '\\' && i + 1 < s.length) { sb.append(s.charAt(i + 1)); i += 2 }
-      else if (c == '\'' && i + 1 < s.length && s.charAt(i + 1) == '\'') {
+      if (c == '\\' && i + 1 < s.length) {
+        val (decoded, consumed) = ChSql.chEscape(s, i + 1)
+        sb.append(decoded); i += 1 + consumed
+      } else if (c == '\'' && i + 1 < s.length && s.charAt(i + 1) == '\'') {
         sb.append('\''); i += 2
       } else { sb.append(c); i += 1 }
     }
@@ -439,13 +473,31 @@ object ChDdl {
     cols.map { c =>
       val d = c.default.map(x => s" DEFAULT $x").getOrElse("")
       // the stored comment is true text — escape for the literal, so a
-      // programmatically-built Col with a bare quote renders valid DDL
-      // (backslash FIRST, or the quote-escape's own backslashes double)
+      // programmatically-built Col with a bare quote (or a newline, which
+      // unescaped would break the statement) renders valid DDL that
+      // unescapeStringLiteral inverts exactly
       val cm = c.comment
-        .map(x => s" COMMENT '${x.replace("\\", "\\\\").replace("'", "''")}'")
+        .map(x => s" COMMENT '${escapeStringLiteral(x)}'")
         .getOrElse("")
       s"    ${c.name} ${c.chType}$d$cm"
     }.mkString("(\n", ",\n", "\n)")
+
+  /** The render-side inverse of [[unescapeStringLiteral]]: backslash
+    * FIRST (the other escapes' own backslashes must not re-double),
+    * quote doubling, and the control chars [[ChSql.chEscape]] decodes
+    * (a raw newline inside a rendered literal would break the DDL).
+    */
+  private def escapeStringLiteral(x: String): String =
+    x.flatMap {
+      case '\\' => "\\\\"
+      case '\'' => "''"
+      case '\n' => "\\n"
+      case '\t' => "\\t"
+      case '\r' => "\\r"
+      case '\u0000' => "\\0"
+      case c if c < ' ' => f"\\x${c.toInt}%02x"
+      case c => c.toString
+    }
 
   /** SHOW CREATE DICTIONARY — same render→reparse identity as tables. */
   def render(d: CreateDictionary): String =

@@ -183,7 +183,19 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
 
   def executeScript(script: String): Unit = ChDdl.parse(script).foreach(execute)
 
-  def execute(stmt: Stmt): Unit = stmt match {
+  def execute(stmt: Stmt): Unit = {
+    // any statement that can change the catalog-object maps dirties the
+    // metadata views (set BEFORE executing — a half-applied DDL must
+    // not leave a stale snapshot either)
+    stmt match {
+      case _: CreateTable | _: CreateMaterializedView | _: CreateDictionary |
+          _: AlterTable | _: DropStmt => catalogViewsDirty = true
+      case _ => ()
+    }
+    executeStmt(stmt)
+  }
+
+  private def executeStmt(stmt: Stmt): Unit = stmt match {
     case ct: CreateTable if ct.isDistributed =>
       ct.distributedTarget.foreach(t => aliases(ct.name) = t)
       aliasDefs(ct.name) = ct
@@ -587,6 +599,7 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
         StructField("source", StringType), StructField("layout", StringType),
         StructField("lifetime_min", IntegerType),
         StructField("lifetime_max", IntegerType)))))
+    catalogViewsDirty = false
   }
 
   /** One row per PART (= one parquet data file), as in CH: `partition` is
@@ -672,6 +685,14 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     * set [[partsViewsDirty]] instead.
     */
   private var liveSnapshotEmpty = false
+
+  /** True when the catalog-object maps (tables/aliases/mvDdls/dictDdls)
+    * changed since the last [[publishCatalogViews]] — set by execute()'s
+    * DDL branches, consumed by runQuery's metadata-view gate. Starts
+    * true: a fresh instance sharing a session with an older one must
+    * replace the other instance's snapshots on first read.
+    */
+  private var catalogViewsDirty = true
 
   /** Set by every statement that moves parts — ALTER partition ops and
     * DELETE/UPDATE rewrites (including PARTIAL application when an op
@@ -920,9 +941,14 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     // prior part-moving statement, same as the listings do
     if (ChReplay.SystemPartsRe.findFirstIn(sql0).isDefined) ensurePartsViews()
     // and one reading the metadata views must see every CREATE/DROP —
-    // republishing is metadata-only, so it runs on sight (this also
-    // creates the views for a session that never called publish)
-    if (ChReplay.SystemCatalogRe.findFirstIn(sql0).isDefined) publishCatalogViews()
+    // republish only when a DDL statement ran since the last publish (or
+    // this instance never published): the rebalance tool POLLS
+    // system.processes in a loop, and steady-state polls must not pay 7
+    // view replacements each (the parts views' dirty-flag discipline,
+    // applied to the cheap views too)
+    if (ChReplay.SystemCatalogRe.findFirstIn(sql0).isDefined &&
+        (catalogViewsDirty || !spark.catalog.tableExists("system.tables")))
+      publishCatalogViews()
     // mechanical dialect shims first (PREWHERE, FORMAT, WITH TOTALS)
     var q = ChSql(sql0)
     q = """(?i)\busing\s+(\w+(?:\s*,\s*\w+)+)""".r

@@ -13,17 +13,19 @@ case class HostNameExpr()
   extends LeafExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   override def dataType: DataType = StringType
   override def nullable: Boolean = false
-  // DETERMINISTIC, as in CH: hostName() is a per-server constant (every
-  // row evaluated on one server sees one value), and the rebalance
-  // tool GROUPS BY it (ref data_rebalance.py:144) — Spark rejects
-  // non-deterministic grouping keys, and re-evaluation yields the same
-  // value on the same host, which is the definition Spark's flag asks
-  // about (values differing ACROSS executors is the function's point)
-  // resolved once per executor JVM, not per row
-  @transient private lazy val host: org.apache.spark.unsafe.types.UTF8String =
-    org.apache.spark.unsafe.types.UTF8String.fromString(
-      java.net.InetAddress.getLocalHost.getHostName)
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = host
+  // The SERVER's hostname, captured ONCE at plan construction on the
+  // driver and shipped with the expression — so the value is genuinely
+  // DETERMINISTIC (identical on retries, speculative tasks, and
+  // recomputed partitions), which Spark's optimizer contract requires
+  // and which lets the rebalance tool GROUP BY hostName() (ref
+  // data_rebalance.py:144). This matches CH semantics on the published
+  // 1-shard topology, where "the server" is one node; an
+  // executor-local capture would instead vary across task placement —
+  // a contract violation under recomputation in any real cluster.
+  private val host: String = java.net.InetAddress.getLocalHost.getHostName
+  @transient private lazy val hostUtf8: org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(host)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = hostUtf8
   override def prettyName: String = "hostName"
 }
 

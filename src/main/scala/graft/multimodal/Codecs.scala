@@ -344,11 +344,19 @@ object Codecs {
     }
     if (fmt != 0x11 || bits != 4 || rate <= 0 || channels <= 0 || channels > 2 ||
         dataAt < 0 || blockAlign < channels * 4) return None
-    // samples per block per channel: header sample + 2 codes per data byte
+    // stereo interleaves FULL 8-byte (8-code-per-channel) groups — a
+    // data region that is not a whole number of groups would make ch1's
+    // 4-byte run read past the block (encoders always align; refuse)
+    if (channels == 2 && (blockAlign - 8) % 8 != 0) return None
+    // samples per block per channel: header sample + 2 codes per data
+    // byte. The BLOCK's capacity also CAPS a declared samplesPerBlock —
+    // an adversarial header (up to 65535) must neither read past the
+    // block nor size the output beyond what the data can hold.
+    val capacity = (blockAlign / channels - 4) * 2 + 1
     val spb =
-      if (spbDeclared > 0) spbDeclared
-      else (blockAlign / channels - 4) * 2 + 1
+      if (spbDeclared > 0) math.min(spbDeclared, capacity) else capacity
     val nBlocks = dataLen / blockAlign
+    if (nBlocks.toLong * spb * channels > (1L << 28)) return None
     val out = new Array[Short](nBlocks * spb * channels)
     var pos = 0
     var blk = 0

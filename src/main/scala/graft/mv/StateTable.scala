@@ -590,8 +590,16 @@ final class StateTable(
     * `part-NNNNN-<uuid>` names), so the first hit is the only hit.
     */
   private def findPartDir(sub: String, part: String): Option[Path] = {
-    val fs = fileSystem()
     val root = if (sub.isEmpty) new Path(path) else new Path(path, sub)
+    findPartDirUnder(fileSystem(), root, part)
+  }
+
+  /** The ONE "which partition dir under `root` holds this part file"
+    * definition — shared by this table's own sides and [[fetchPart]]'s
+    * donor scan, so the two can never drift.
+    */
+  private def findPartDirUnder(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path, part: String): Option[Path] = {
     if (!fs.exists(root)) return None
     fs.listStatus(root).iterator
       .filter(d => d.isDirectory && d.getPath.getName.contains("="))
@@ -659,7 +667,10 @@ final class StateTable(
     val fs = fileSystem()
     val dir = findPartDir(".detached", part).getOrElse(
       sys.error(s"dropDetachedPart: no detached part '$part'"))
-    fs.delete(new Path(dir, part), false): Unit
+    // a failed delete must refuse loudly like every other part op — a
+    // silent no-op would report the copy gone while it occupies disk
+    if (!fs.delete(new Path(dir, part), false))
+      sys.error(s"dropDetachedPart: failed to delete ${new Path(dir, part)}")
     pruneEmptyPartDir(fs, dir)
   }
 
@@ -674,15 +685,10 @@ final class StateTable(
   def fetchPart(donorPath: String, part: String): Unit = {
     val fs = fileSystem()
     val donorRoot = new Path(donorPath)
-    val srcDir = {
-      if (!fs.exists(donorRoot))
-        sys.error(s"fetchPart: donor path $donorPath does not exist")
-      fs.listStatus(donorRoot).iterator
-        .filter(d => d.isDirectory && d.getPath.getName.contains("="))
-        .map(_.getPath)
-        .find(d => fs.exists(new Path(d, part)))
-        .getOrElse(sys.error(s"fetchPart: donor has no live part '$part'"))
-    }
+    if (!fs.exists(donorRoot))
+      sys.error(s"fetchPart: donor path $donorPath does not exist")
+    val srcDir = findPartDirUnder(fs, donorRoot, part)
+      .getOrElse(sys.error(s"fetchPart: donor has no live part '$part'"))
     val dst = new Path(path, s".detached/${srcDir.getName}/$part")
     if (fs.exists(dst))
       sys.error(s"fetchPart: a detached copy of '$part' already exists")

@@ -355,13 +355,18 @@ object PipelinePack {
     val syms = "(chr(31) || array_to_string(list_concat(" +
       "chars[1:len(chars)-1], [chars[len(chars)] || '</w>']), chr(31)) || chr(31))"
     val head =
-      s"""WITH RECURSIVE words AS (
+      s"""WITH RECURSIVE words_all AS (
          |  SELECT w, count(*) AS cnt FROM (
          |    SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS w
-         |    FROM documents) GROUP BY w ORDER BY cnt DESC, w LIMIT 50000),
+         |    FROM documents) GROUP BY w),
+         |words AS (
+         |  SELECT w, cnt FROM words_all ORDER BY cnt DESC, w LIMIT 50000),
          |vocab0 AS (
          |  SELECT w, cnt, $syms AS s
-         |  FROM (SELECT w, cnt, string_split_regex(w, '') AS chars FROM words))""".stripMargin
+         |  FROM (SELECT w, cnt, string_split_regex(w, '') AS chars FROM words)),
+         |allw AS (
+         |  SELECT w, $syms AS s
+         |  FROM (SELECT w, string_split_regex(w, '') AS chars FROM words_all))""".stripMargin
     val rounds = (0 until numMerges).map { k =>
       s"""pairs$k AS (
          |  SELECT syms[i] AS a, syms[i+1] AS b, sum(cnt) AS pc
@@ -377,9 +382,13 @@ object PipelinePack {
     val mergesCte = "merges AS (" + (0 until numMerges)
       .map(k => s"SELECT $k AS rank, a, b FROM best$k")
       .mkString(" UNION ALL ") + ")"
+    // encode seeds from ALL corpus words (allw), not the LIMIT-capped
+    // training dictionary — Bpe.encode applies merges to every word, so
+    // above 50k distinct words the two sets differ and a vocab0 seed
+    // would silently drop out-of-dictionary words from the oracle
     val encode =
       s"""enc(w, s) AS (
-         |  SELECT w, s FROM vocab0
+         |  SELECT w, s FROM allw
          |  UNION ALL
          |  SELECT e.w, ${bpeFuse("e.s", "m.a", "m.b")}
          |  FROM (SELECT w, s,

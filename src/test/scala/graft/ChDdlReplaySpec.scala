@@ -1611,13 +1611,25 @@ class ChDdlReplaySpec extends SparkSpec {
     // parser stores the TRUE text (escapes undone)
     val parsed = parseCol("v UInt64 comment 'it''s \\'quoted\\''")
     assert(parsed.comment.contains("it's 'quoted'"))
-    // a programmatically-built Col with bare quotes/backslashes renders
-    // DDL that reparses to the same descriptor (the advertised property)
-    val ct = CreateTable("dws.cmt", Seq(
-      Col("k", "UInt64"),
-      Col("v", "String", comment = Some("it's a \\ 'test'"))),
-      "MergeTree", Nil, None, Nil, Seq("k"), None, None, None)
-    val back = parseStatement(render(ct))
-    assert(back == ct, s"comment round-trip drift:\n${render(ct)}\n$back")
+    // keywords INSIDE the literal must not cut the clause: 'drop after
+    // load' is one comment, not a comment plus a phantom AFTER clause
+    val kwIn = parseCol("v String comment 'drop after load'")
+    assert(kwIn.comment.contains("drop after load") && kwIn.after.isEmpty,
+      s"keyword-in-literal corrupted the descriptor: $kwIn")
+    val kwIn2 = parseCol("v String default 'by default' comment 'x'")
+    assert(kwIn2.default.contains("'by default'") && kwIn2.comment.contains("x"))
+    // CH escape semantics: \n is a NEWLINE (ChSql.chEscape), not 'n'
+    assert(parseCol("v String comment 'a\\nb'").comment.contains("a\nb"))
+    // a programmatically-built Col with bare quotes/backslashes/control
+    // chars renders DDL that reparses to the same descriptor
+    for (cmt <- Seq("it's a \\ 'test'", "use default 5 after load",
+        "line1\nline2\ttab", "100\\% kept")) {
+      val ct = CreateTable("dws.cmt", Seq(
+        Col("k", "UInt64"),
+        Col("v", "String", comment = Some(cmt))),
+        "MergeTree", Nil, None, Nil, Seq("k"), None, None, None)
+      val back = parseStatement(render(ct))
+      assert(back == ct, s"comment round-trip drift for ${cmt.take(30)}:\n${render(ct)}\n$back")
+    }
   }
 }

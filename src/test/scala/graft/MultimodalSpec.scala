@@ -523,6 +523,24 @@ class MultimodalSpec extends SparkSpec {
       .map(i => math.abs(rt.samples(i) - signal(i))).max
     assert(tailErr <= 1200, s"ADPCM tracking error $tailErr after lock-on")
 
+    // malformed headers are DATA, not crashes: a declared spb far past
+    // the block's code capacity caps (never reads past the block or
+    // allocates past the data); a stereo blockAlign that breaks the
+    // 8-byte group interleave refuses with None
+    val overdeclared = Codecs.decodeImaAdpcmWav(
+      adpcmWav(8000, 1, 8, 65535, monoData))
+      .getOrElse(fail("overdeclared spb did not decode"))
+    assert(overdeclared.samples.map(_.toInt).toSeq == monoExpected,
+      "spb cap must clamp to the block's capacity")
+    // mono blockAlign 9 with a partial trailing byte: in-bounds decode
+    val odd = Codecs.decodeImaAdpcmWav(
+      adpcmWav(8000, 1, 9, 100, monoData ++ Array(0x11.toByte)))
+    assert(odd.exists(_.samples.length == 11),
+      s"odd blockAlign capacity: ${odd.map(_.samples.length)}")
+    assert(Codecs.decodeImaAdpcmWav(adpcmWav(44100, 2, 10, 3,
+      header(0, 0) ++ header(0, 0) ++ Array(0x10.toByte, 0x32.toByte))).isEmpty,
+      "stereo blockAlign not 8-group-aligned must refuse")
+
     // feature dispatch: the ADPCM blob reaches audioFeatures, not the stub
     val blob = adpcmWav(8000, 1, 8, 9, monoData)
     assert(Multimodal.decodeFeatures(blob).toSeq ==
