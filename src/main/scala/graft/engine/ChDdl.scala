@@ -337,21 +337,28 @@ object ChDdl {
 
   /** Absolute positions of `default`/`comment`/`after` keywords OUTSIDE
     * single-quoted string literals (CH syntax: `''` and `\`-escapes stay
-    * inside the literal), in text order — the one scan parseCol's type
-    * cut and clause extraction share.
+    * inside the literal) and OUTSIDE backtick-quoted identifiers (a
+    * column literally named `after` may appear in a DEFAULT expression),
+    * in text order — the one scan parseCol's type cut and clause
+    * extraction share.
     */
   private def topLevelKws(s: String): Seq[(Int, String)] = {
     val out = Seq.newBuilder[(Int, String)]
     def isIdent(c: Char): Boolean = c == '_' || c.isLetterOrDigit
     var i = 0
-    var inQ = false
+    var inQ = false  // single-quoted string literal
+    var inBq = false // backtick-quoted identifier (`` escapes a backtick)
     while (i < s.length) {
       val c = s.charAt(i)
       if (inQ) {
         if (c == '\\' && i + 1 < s.length) i += 2
         else if (c == '\'' && i + 1 < s.length && s.charAt(i + 1) == '\'') i += 2
         else { if (c == '\'') inQ = false; i += 1 }
+      } else if (inBq) {
+        if (c == '`' && i + 1 < s.length && s.charAt(i + 1) == '`') i += 2
+        else { if (c == '`') inBq = false; i += 1 }
       } else if (c == '\'') { inQ = true; i += 1 }
+      else if (c == '`') { inBq = true; i += 1 }
       else {
         for (w <- Seq("default", "comment", "after"))
           if (s.regionMatches(true, i, w, 0, w.length) &&

@@ -69,9 +69,17 @@ object ChReplay {
   // refresh is metadata-only (no filesystem cost), so runQuery just
   // republishes on sight instead of tracking a dirty flag
   // cluster('c', db, t) / clusterAllReplicas('c', db, t) — the FROM-side
-  // table functions of the rebalance tool's statements
+  // table functions of the rebalance tool's statements. CH also accepts
+  // quoted args ('db', 'tbl') and the 2-arg dotted form (db.tbl); each
+  // arg is a bare or quoted [\w.]+ and the second is optional.
   private val ClusterFnRe =
-    """(?i)\bcluster(?:AllReplicas)?\s*\(\s*'[^']*'\s*,\s*(\w+)\s*,\s*(\w+)\s*\)""".r
+    ("""(?i)\bcluster(?:AllReplicas)?\s*\(\s*'[^']*'\s*,\s*""" +
+      """(?:'([\w.]+)'|([\w.]+))\s*(?:,\s*(?:'(\w+)'|(\w+))\s*)?\)""").r
+  private def clusterFnTarget(m: scala.util.matching.Regex.Match): String = {
+    val first = Option(m.group(1)).getOrElse(m.group(2))
+    val second = Option(m.group(3)).orElse(Option(m.group(4)))
+    second.map(t => s"$first.$t").getOrElse(first)
+  }
   private val SystemCatalogRe =
     ("(?i)\\bsystem\\s*[`\"]?\\s*\\.\\s*[`\"]?\\s*" +
       "(?:databases|tables|columns|dictionaries|clusters|macros|processes)\\b").r
@@ -429,7 +437,10 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     val t = resolve(tableName)
     mvSources.collect { case (mvName, src) if resolve(src) == t => mvName }.toSeq
       .map(n => mvs(n).attach(stream, trigger,
-        checkpointDir.map(d => s"$d/${n.replace('.', '_')}")))
+        checkpointDir.map(d => s"$d/${n.replace('.', '_')}"),
+        // each micro-batch appends parts to the MV's target — same
+        // snapshot-staleness rule as insert()'s batch path
+        onBatch = () => partsViewsDirty = true))
   }
 
   /** Enforce a table's DDL-declared TTL (`TTL day + toIntervalDay(d) +
@@ -565,12 +576,17 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     // (metrika.xml:24-28), and a typed-EMPTY processes view (a
     // single-driver engine has no concurrent server queries to list —
     // the tool's `query LIKE '%FETCH PART%'` probe correctly reads
-    // nothing running)
+    // nothing running). host_name comes from the SAME InetAddress
+    // capture hostName() serves — in CH the is_local replica's
+    // host_name and hostName() agree, and a statement correlating them
+    // must not read two identities.
+    val localHost = java.net.InetAddress.getLocalHost
     mkSysView("clusters",
       Seq("cluster", "shard_num", "shard_weight", "replica_num",
         "host_name", "host_address", "port", "is_local"),
       Seq(Seq(qlit("cluster"), "CAST(1 AS INT)", "CAST(1 AS INT)",
-        "CAST(1 AS INT)", qlit("localhost"), qlit("127.0.0.1"),
+        "CAST(1 AS INT)", qlit(localHost.getHostName),
+        qlit(localHost.getHostAddress),
         "CAST(9000 AS INT)", "CAST(1 AS INT)")))
     mkSysView("macros", Seq("macro", "substitution"),
       Seq(Seq(qlit("layer"), qlit("cluster")),
@@ -692,7 +708,7 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     * true: a fresh instance sharing a session with an older one must
     * replace the other instance's snapshots on first read.
     */
-  private var catalogViewsDirty = true
+  @volatile private var catalogViewsDirty = true
 
   /** Set by every statement that moves parts — ALTER partition ops and
     * DELETE/UPDATE rewrites (including PARTIAL application when an op
@@ -703,7 +719,9 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     * pay only two catalog existence checks. No-op partition statements
     * (dropping a missing partition) do NOT set it.
     */
-  private var partsViewsDirty = false
+  // volatile: streaming foreachBatch callbacks set it from their own
+  // thread; the next runQuery on the caller's thread must see it
+  @volatile private var partsViewsDirty = false
 
   /** The `col=value` partition directories under a parts root — the ONE
     * dir-level definition of where parts live, shared by the publication
@@ -834,7 +852,10 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     // the parts-view probes
     def listing(view: String, db: String, like: String,
         parts: Boolean = true): DataFrame = {
-      publishCatalogViews()
+      // same dirty-flag gate as runQuery's metadata-view path — a
+      // steady-state SHOW must not pay 7 view replacements
+      if (catalogViewsDirty || !spark.catalog.tableExists("system.tables"))
+        publishCatalogViews()
       if (parts) ensurePartsViews()
       val conds = Option(db).map(d => s"database = ${qlit(d)}").toSeq ++
         Option(like).map(p => s"name LIKE ${likeLit(p)}").toSeq
@@ -936,7 +957,7 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     // column (shard 1). Rewritten FIRST so the system-view freshness
     // gates below see the dotted names.
     val sql0 = ChReplay.ClusterFnRe.replaceAllIn(sql,
-      m => s"(SELECT CAST(1 AS INT) AS _shard_num, * FROM ${m.group(1)}.${m.group(2)})")
+      m => s"(SELECT CAST(1 AS INT) AS _shard_num, * FROM ${ChReplay.clusterFnTarget(m)})")
     // a SELECT that reads the parts views must see the effects of every
     // prior part-moving statement, same as the listings do
     if (ChReplay.SystemPartsRe.findFirstIn(sql0).isDefined) ensurePartsViews()

@@ -68,7 +68,8 @@ final class MaterializedView(
     * re-resolved per batch (dictionary LIFETIME refresh, SURVEY §2.8 ST4).
     */
   def attach(stream: DataFrame, trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
-      checkpoint: Option[String] = None): StreamingQuery = {
+      checkpoint: Option[String] = None,
+      onBatch: () => Unit = () => ()): StreamingQuery = {
     // with a checkpoint, batch ids are stable across restarts — use the
     // exactly-once path so a crash-and-replay can't double-ingest; without
     // one, ids restart at 0 on every attach and must not be deduped on
@@ -77,8 +78,12 @@ final class MaterializedView(
       .queryName(name)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (exactlyOnce) { processBatchExactlyOnce(batch, id); () }
-        else processBatch(batch)
+        // onBatch runs even when the exactly-once ledger skips a replayed
+        // id — the owner's invalidation must err toward freshness
+        try {
+          if (exactlyOnce) { processBatchExactlyOnce(batch, id); () }
+          else processBatch(batch)
+        } finally onBatch()
       }
     checkpoint.foreach(c => w = w.option("checkpointLocation", c))
     w.start()

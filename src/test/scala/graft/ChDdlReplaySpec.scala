@@ -1381,6 +1381,22 @@ class ChDdlReplaySpec extends SparkSpec {
         .select(org.apache.spark.sql.functions.to_date(col("day_s")).as("day"),
           col("k"), col("v")))
     assert(partRows() == 3L, "MV-fired append invisible to system.parts")
+    // the STREAMING twin: a micro-batch append through attachStreams
+    // must dirty the snapshot like insert() does (the foreachBatch
+    // callback runs on the stream's thread — volatile flag)
+    val srcDir = ChReplay.scratchWarehouse("graft-fr-src")
+    Seq(("2024-01-04", 4L, 2L)).toDF("day_s", "k", "v")
+      .select(org.apache.spark.sql.functions.to_date(col("day_s")).as("day"),
+        col("k"), col("v"))
+      .coalesce(1).write.parquet(s"$srcDir/b0")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$srcDir/b0").schema)
+      .parquet(s"$srcDir/*")
+    val qs = replay.attachStreams("ods.fr_src", stream,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    try qs.foreach(_.awaitTermination(60000): Unit) finally qs.foreach(_.stop())
+    assert(partRows() == 4L, "streamed micro-batch invisible to system.parts")
+
     // a CREATE after the snapshot must reach a plain SELECT on the
     // metadata views too (no SHOW/DESC/publish in between)
     replay.executeScript("create table dws.fr_late (k UInt64) engine=Null;")
@@ -1439,7 +1455,13 @@ class ChDdlReplaySpec extends SparkSpec {
         |        where cluster='cluster'
         |        order by shard_num,replica_num""".stripMargin).collect()
     assert(nodes.map(r => (r.getInt(0), r.getString(1))).toSeq ==
-      Seq((1, "127.0.0.1")))
+      Seq((1, java.net.InetAddress.getLocalHost.getHostAddress)))
+    // the three published identities agree: hostName() == the is_local
+    // replica's host_name (a correlating statement must not read two)
+    assert(replay.runQuery(
+      """SELECT count(*) AS c FROM system.clusters
+        |WHERE is_local = 1 AND host_name = hostName()""".stripMargin)
+      .head().getLong(0) == 1L)
 
     // get_layer / get_shard (:186-188) — the macros kv
     assert(replay.runQuery(
@@ -1472,6 +1494,7 @@ class ChDdlReplaySpec extends SparkSpec {
     // part_is_exists (:192)
     assert(replay.runQuery(
       s"select 1 from system.parts where name='$partName'").count() == 1L)
+
 
     // check_fetch_part_running (:199) — the processes view is typed-empty
     // (a single-driver engine has no concurrent server queries), so the
@@ -1518,6 +1541,17 @@ class ChDdlReplaySpec extends SparkSpec {
       "select 1 from system.detached_parts where table='rb_dst_local'")
       .count() == 0L)
     assert(checkPartitions("rb_dst_local") == partRows)
+
+    // CH's other cluster-fn spellings resolve too: quoted args and the
+    // 2-arg dotted form (these read the data table itself — register it
+    // now that both tables have parts to infer from)
+    replay.publish()
+    assert(replay.runQuery(
+      "select count(*) from cluster('cluster', 'dws', 'rb_src_local')")
+      .head().getLong(0) == 3L)
+    assert(replay.runQuery(
+      "select count(*) from clusterAllReplicas('cluster', dws.rb_src_local)")
+      .head().getLong(0) == 3L)
 
     // check_attach_part_is_exists (:201-206): did the attach land today —
     // rows + size + modification_time filters (values quoted; the tool's
