@@ -371,24 +371,12 @@ object ChDdl {
     out.result()
   }
 
-  /** Undo CH string-literal escaping: `''` → `'`, and every `\`-escape
-    * per [[ChSql.chEscape]] (the shared parseComplexEscapeSequence
-    * semantics — `\n` is a NEWLINE, not the letter n).
+  /** Undo CH string-literal escaping — [[ChSql.chUnescapeLiteral]], the
+    * one shared full-literal decoder (parseComplexEscapeSequence
+    * semantics: `\n` is a NEWLINE, not the letter n; `''` → `'`).
     */
-  private def unescapeStringLiteral(s: String): String = {
-    val sb = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '\\' && i + 1 < s.length) {
-        val (decoded, consumed) = ChSql.chEscape(s, i + 1)
-        sb.append(decoded); i += 1 + consumed
-      } else if (c == '\'' && i + 1 < s.length && s.charAt(i + 1) == '\'') {
-        sb.append('\''); i += 2
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
+  private def unescapeStringLiteral(s: String): String =
+    ChSql.chUnescapeLiteral(s)
 
   /** Clause keywords that terminate an unparenthesized key list. */
   private val clauseKw =

@@ -805,25 +805,11 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
       tables.getOrElse(t, aliasDefs.getOrElse(t, tables.getOrElse(resolve(t),
         sys.error(s"unknown table $t (known: $knownNames)"))))
     // CH string-literal unescaping for the captured LIKE pattern — the
-    // shared ChSql.chEscape table. Per CH's lexer, an unknown escape KEEPS
-    // its backslash (the LIKE-convenience rule), so `'ia\_l%'` and
-    // `'ia\\_l%'` BOTH decode to the escaped-literal-underscore pattern;
-    // only a bare `_` is the wildcard. `''` is the doubled-quote escape.
-    def chUnescape(p: String): String = {
-      val sb = new StringBuilder
-      var i = 0
-      while (i < p.length) {
-        val c = p.charAt(i)
-        if (c == '\\' && i + 1 < p.length) {
-          val (dec, used) = ChSql.chEscape(p, i + 1)
-          sb.append(dec)
-          i += 1 + used
-        } else if (c == '\'' && i + 1 < p.length && p.charAt(i + 1) == '\'') {
-          sb.append('\''); i += 2
-        } else { sb.append(c); i += 1 }
-      }
-      sb.toString
-    }
+    // shared ChSql.chUnescapeLiteral decoder. Per CH's lexer, an unknown
+    // escape KEEPS its backslash (the LIKE-convenience rule), so
+    // `'ia\_l%'` and `'ia\\_l%'` BOTH decode to the escaped-literal-
+    // underscore pattern; only a bare `_` is the wildcard.
+    def chUnescape(p: String): String = ChSql.chUnescapeLiteral(p)
     // The decoded CH pattern, translated for Spark's stricter LIKE: Spark
     // only allows the escape char before `_`, `%` or itself and ERRORS on
     // anything else, while CH's matcher (likePatternToRegexp, and the doc:

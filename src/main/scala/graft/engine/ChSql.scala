@@ -579,6 +579,28 @@ object ChSql {
     def isValidHexDigit: Boolean = Character.digit(c, 16) >= 0
   }
 
+  /** Decode a WHOLE CH string-literal body (quotes already stripped):
+    * every `\`-escape via [[chEscape]] plus the `''` doubled-quote form.
+    * The one full-literal decoder — shared by ChDdl's COMMENT clause and
+    * ChReplay's SHOW ... LIKE pattern handling, so an escape-rule change
+    * lands everywhere at once.
+    */
+  def chUnescapeLiteral(p: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < p.length) {
+      val c = p.charAt(i)
+      if (c == '\\' && i + 1 < p.length) {
+        val (dec, used) = chEscape(p, i + 1)
+        sb.append(dec)
+        i += 1 + used
+      } else if (c == '\'' && i + 1 < p.length && p.charAt(i + 1) == '\'') {
+        sb.append('\''); i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** CH double-quoted identifiers → Spark backtick identifiers. In
     * ClickHouse `"name"` is ALWAYS an identifier (string literals are
     * single-quoted only); Spark's default parser reads `"name"` as a

@@ -410,7 +410,10 @@ private[functions] object ChCompatArrays {
         Cast(Literal(0L), TimestampType)))
     }
     // introspection scalars (doc:507-607 byteSize sizing experiments;
-    // hostName is the doc's which-shard probe — in Spark, which executor;
+    // hostName is the doc's which-shard probe — here the SERVER'S name,
+    // captured once on the driver at plan construction (deterministic,
+    // groupable, and consistent with system.clusters' is_local row — see
+    // HostNameExpr's contract note);
     // toTypeName reports Spark type names, not CH's — doc:897's debug aid)
     f("hostName") { _ => HostNameExpr() }
     f("byteSize") { es => ByteSizeExpr(es.head) }

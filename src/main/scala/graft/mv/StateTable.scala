@@ -529,12 +529,34 @@ final class StateTable(
   private def escVal(value: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(value)
 
+  /** Move every part file under `src` into `dir` (renames, so .crc
+    * sidecars follow on a checksummed fs), refusing on a name collision
+    * (Spark's UUID part names make one practically impossible — a real
+    * one means two DIFFERENT parts claim one identity, which must not
+    * silently overwrite), then remove the emptied `src`.
+    */
+  private def mergePartDirInto(fs: org.apache.hadoop.fs.FileSystem,
+      src: Path, dir: Path, op: String): Unit = {
+    fs.mkdirs(dir)
+    for (f <- fs.listStatus(src)) {
+      val t = new Path(dir, f.getPath.getName)
+      if (fs.exists(t))
+        sys.error(s"$op: ${dir.getName} already holds a part named " +
+          s"${f.getPath.getName}")
+      if (!fs.rename(f.getPath, t))
+        sys.error(s"$op: failed to move ${f.getPath} -> $t")
+    }
+    fs.delete(src, true): Unit
+  }
+
   /** `ALTER TABLE ... DETACH PARTITION 'v'` — move the partition directory
     * into the table's own hidden `.detached` area (the CH detached/ dir):
     * reads stop seeing it immediately (dot-prefixed paths are invisible to
     * Spark's file index), the bytes stay put for a later [[attachPartition]].
-    * Returns whether the partition existed; refuses if a detached copy of
-    * the same value already exists (CH parity — attach or drop it first).
+    * Returns whether the partition existed. Detached parts of a value
+    * ACCUMULATE, as in CH — when a detached copy already exists (e.g. an
+    * interrupted FETCH/ATTACH left part files there), the live parts merge
+    * in file-by-file instead of wedging the statement.
     */
   def detachPartition(value: String): Boolean = {
     captureSchema()
@@ -543,19 +565,20 @@ final class StateTable(
     val live = new Path(path, s"$partitionCol=$ev")
     if (!fs.exists(live)) return false
     val dst = new Path(path, s".detached/$partitionCol=$ev")
-    if (fs.exists(dst))
-      sys.error(s"detachPartition: a detached copy of $partitionCol=$value " +
-        "already exists — ATTACH or DROP DETACHED it first")
-    fs.mkdirs(dst.getParent)
-    if (!fs.rename(live, dst))
-      sys.error(s"detachPartition: failed to move $live -> $dst")
+    if (!fs.exists(dst)) {
+      fs.mkdirs(dst.getParent)
+      if (!fs.rename(live, dst))
+        sys.error(s"detachPartition: failed to move $live -> $dst")
+    } else mergePartDirInto(fs, live, dst, "detachPartition")
     true
   }
 
-  /** `ALTER TABLE ... ATTACH PARTITION 'v'` — move a detached partition
-    * back into the live set. Returns whether a detached copy existed;
-    * refuses if the live partition already exists (attaching over live
-    * data would shadow-merge two copies — CH refuses too).
+  /** `ALTER TABLE ... ATTACH PARTITION 'v'` — move the detached parts of
+    * `v` back into the live set. Returns whether a detached copy existed.
+    * As in CH, attached parts JOIN an already-live partition (rows add —
+    * for an aggregating table the copies merge on read); the previous
+    * refuse-when-live behavior wedged valid rebalance sequences once
+    * PART-granularity states existed.
     */
   def attachPartition(value: String): Boolean = {
     val fs = fileSystem()
@@ -563,11 +586,10 @@ final class StateTable(
     val src = new Path(path, s".detached/$partitionCol=$ev")
     if (!fs.exists(src)) return false
     val live = new Path(path, s"$partitionCol=$ev")
-    if (fs.exists(live))
-      sys.error(s"attachPartition: $partitionCol=$value is already live — " +
-        "DROP or DETACH it before attaching the detached copy")
-    if (!fs.rename(src, live))
-      sys.error(s"attachPartition: failed to move $src -> $live")
+    if (!fs.exists(live)) {
+      if (!fs.rename(src, live))
+        sys.error(s"attachPartition: failed to move $src -> $live")
+    } else mergePartDirInto(fs, src, live, "attachPartition")
     invalidateSchema() // the attached copy may carry columns the marker lacks
     true
   }
@@ -689,6 +711,14 @@ final class StateTable(
       sys.error(s"fetchPart: donor path $donorPath does not exist")
     val srcDir = findPartDirUnder(fs, donorRoot, part)
       .getOrElse(sys.error(s"fetchPart: donor has no live part '$part'"))
+    // structure check, as CH does at FETCH time: a donor partitioned by a
+    // DIFFERENT column would plant a foreign <col>=<v> dir that corrupts
+    // every later read of this table (conflicting partition columns) —
+    // refuse now, not at the delayed read
+    if (!srcDir.getName.startsWith(s"$partitionCol="))
+      sys.error(s"fetchPart: donor partitions by " +
+        s"'${srcDir.getName.takeWhile(_ != '=')}' but this table " +
+        s"partitions by '$partitionCol' — structures must match")
     val dst = new Path(path, s".detached/${srcDir.getName}/$part")
     if (fs.exists(dst))
       sys.error(s"fetchPart: a detached copy of '$part' already exists")

@@ -693,15 +693,18 @@ class ChDdlReplaySpec extends SparkSpec {
     assert(st.finalized().filter(col("k") === 1 &&
       col("day") === "2024-01-01").head().getLong(2) == 20L)
 
-    // attaching over a live partition refuses; detach + drop detached works
+    // attaching into a live partition MERGES (CH semantics: detached
+    // parts join the live set; the aggregating table merges the copies
+    // on read): detached holds 2 appends of 7 = 14, the new live copy 7
+    // — the attach lands at 21, and the detached side empties
     replay.execute(parseStatement(
       "ALTER TABLE dws.det_local DETACH PARTITION '2024-01-02'"))
     st.appendBatch(batch.filter(col("day") === "2024-01-02")) // new live copy
-    val liveErr = intercept[RuntimeException](replay.execute(parseStatement(
-      "ALTER TABLE dws.det_local ATTACH PARTITION '2024-01-02'")))
-    assert(liveErr.getMessage.contains("already live"), liveErr.getMessage)
     replay.execute(parseStatement(
-      "ALTER TABLE dws.det_local DROP DETACHED PARTITION '2024-01-02'"))
+      "ALTER TABLE dws.det_local ATTACH PARTITION '2024-01-02'"))
+    assert(st.finalized().filter(col("k") === 1 &&
+      col("day") === "2024-01-02").head().getLong(2) == 21L,
+      "attach must merge into the live partition")
     assert(!new java.io.File(st.path + "/.detached/day=2024-01-02").exists())
 
     // TRUNCATE: data gone, detached survives, replaying an old batch
@@ -1567,6 +1570,19 @@ class ChDdlReplaySpec extends SparkSpec {
          |    and toUInt32(bytes_on_disk/1024/1024)=$partBytesMb
          |    and toDate(modification_time)=today()""".stripMargin)
       .count() == 1L)
+
+    // FETCH into a table partitioned by a DIFFERENT column refuses at
+    // fetch time (CH checks structure match) — a foreign partition dir
+    // would corrupt every later read
+    replay.executeScript(
+      """create table dws.rb_badpart (
+        | day Date, k UInt64, v SimpleAggregateFunction(sum, UInt64)
+        |) engine=AggregatingMergeTree() PARTITION BY k ORDER BY (k, day);""".stripMargin)
+    val mismatch = intercept[RuntimeException](replay.execute(parseStatement(
+      s"ALTER TABLE dws.rb_badpart FETCH PART '$partName' " +
+        "FROM '/clickhouse/tables/cluster-shard1/dws.rb_src_local'")))
+    assert(mismatch.getMessage.contains("structures must match"),
+      mismatch.getMessage)
 
     // detach_part (:184) + drop_detach_part (:179) on the source — the
     // tool's cleanup pair; reconciliation: total rows conserved

@@ -89,21 +89,20 @@ class PartitionOpsFuzzSpec extends SparkSpec {
             if (live.nonEmpty) st.compact()
           case 2 => // OPTIMIZE PARTITION v FINAL — never visible
             st.compactPartition(v)
-          case 3 => // DETACH
-            if (live.contains(v) && det.contains(v))
-              intercept[RuntimeException](st.detachPartition(v))
-            else {
-              val r = st.detachPartition(v)
-              assert(r == live.contains(v), s"$opName detach returned $r")
-              live.remove(v).foreach(det(v) = _)
+          case 3 => // DETACH — merges into any detached copy (CH:
+            // detached parts of a value accumulate)
+            val r = st.detachPartition(v)
+            assert(r == live.contains(v), s"$opName detach returned $r")
+            live.remove(v).foreach { lv =>
+              val dv = det.getOrElse(v, (0L, 0L))
+              det(v) = (dv._1 + lv._1, dv._2 + lv._2)
             }
-          case 4 => // ATTACH
-            if (det.contains(v) && live.contains(v))
-              intercept[RuntimeException](st.attachPartition(v))
-            else {
-              val r = st.attachPartition(v)
-              assert(r == det.contains(v), s"$opName attach returned $r")
-              det.remove(v).foreach(live(v) = _)
+          case 4 => // ATTACH — joins the live set alongside existing rows
+            val r = st.attachPartition(v)
+            assert(r == det.contains(v), s"$opName attach returned $r")
+            det.remove(v).foreach { dv =>
+              val lv = live.getOrElse(v, (0L, 0L))
+              live(v) = (lv._1 + dv._1, lv._2 + dv._2)
             }
           case 5 => // DROP PARTITION
             val r = st.dropPartition(v)
@@ -212,19 +211,18 @@ class PartitionOpsFuzzSpec extends SparkSpec {
           }
       }
 
-      // one model transition for a single partition op; returns whether the
-      // real statement is expected to REFUSE (caller intercepts)
-      def apply1(op: Int, v: String): (String, Boolean) = op match {
+      // one model transition for a single partition op — DETACH/ATTACH
+      // merge (CH: detached parts accumulate; attached parts join the
+      // live set), so no partition statement refuses any more
+      def apply1(op: Int, v: String): String = op match {
         case 0 =>
-          val refusing = live.contains(v) && det.contains(v)
-          if (!refusing) live.remove(v).foreach(det(v) = _)
-          (s"DETACH PARTITION '$v'", refusing)
+          live.remove(v).foreach(s => det(v) = det.getOrElse(v, 0L) + s)
+          s"DETACH PARTITION '$v'"
         case 1 =>
-          val refusing = det.contains(v) && live.contains(v)
-          if (!refusing) det.remove(v).foreach(live(v) = _)
-          (s"ATTACH PARTITION '$v'", refusing)
-        case 2 => live.remove(v); (s"DROP PARTITION '$v'", false)
-        case _ => det.remove(v); (s"DROP DETACHED PARTITION '$v'", false)
+          det.remove(v).foreach(s => live(v) = live.getOrElse(v, 0L) + s)
+          s"ATTACH PARTITION '$v'"
+        case 2 => live.remove(v); s"DROP PARTITION '$v'"
+        case _ => det.remove(v); s"DROP DETACHED PARTITION '$v'"
       }
 
       for (step <- 0 until 12) {
@@ -276,21 +274,11 @@ class PartitionOpsFuzzSpec extends SparkSpec {
             }
           case 4 => // ONE multi-subcommand ALTER: two ops, STATEMENT order
             val v2 = values(rnd.nextInt(values.length))
-            val (s1, r1) = apply1(rnd.nextInt(4), v)
-            if (r1) // a refusing first subcommand aborts the statement
-              intercept[RuntimeException](run(s"ALTER TABLE $tbl $s1"))
-            else {
-              val (s2, r2) = apply1(rnd.nextInt(4), v2)
-              if (r2) {
-                // first op applies, second refuses mid-statement — the
-                // model keeps the first op's effect (sequential execution)
-                intercept[RuntimeException](run(s"ALTER TABLE $tbl $s1, $s2"))
-              } else run(s"ALTER TABLE $tbl $s1, $s2")
-            }
+            val s1 = apply1(rnd.nextInt(4), v)
+            val s2 = apply1(rnd.nextInt(4), v2)
+            run(s"ALTER TABLE $tbl $s1, $s2")
           case _ => // single partition op
-            val (s1, refusing) = apply1(rnd.nextInt(4), v)
-            if (refusing) intercept[RuntimeException](run(s"ALTER TABLE $tbl $s1"))
-            else run(s"ALTER TABLE $tbl $s1")
+            run(s"ALTER TABLE $tbl ${apply1(rnd.nextInt(4), v)}")
         }
         check(opName)
       }
