@@ -84,6 +84,25 @@ object ChReplay {
     ("(?i)\\bsystem\\s*[`\"]?\\s*\\.\\s*[`\"]?\\s*" +
       "(?:databases|tables|columns|dictionaries|clusters|macros|processes)\\b").r
 
+  /** Last publisher of each session-global system.* snapshot, per
+    * session and kind ∈ {"catalog", "parts"}. Weakly keyed by the
+    * SESSION (the session object itself, strongly referenced elsewhere
+    * while alive — a tuple key would be weakly-unreachable at once and
+    * evaporate): a retired SparkSession must not be pinned by this map.
+    */
+  private val snapshotOwners =
+    new java.util.WeakHashMap[SparkSession, mutable.Map[String, AnyRef]]
+  private[engine] def snapshotOwner(s: SparkSession, kind: String): Option[AnyRef] =
+    snapshotOwners.synchronized {
+      Option(snapshotOwners.get(s)).flatMap(_.get(kind))
+    }
+  private[engine] def claimSnapshot(s: SparkSession, kind: String,
+      owner: AnyRef): Unit =
+    snapshotOwners.synchronized {
+      snapshotOwners.computeIfAbsent(s, _ => mutable.Map.empty)
+        .update(kind, owner)
+    }
+
   /** Where the reference's .sql scripts live — overridable per deployment
     * via `-Dgraft.reference.scripts=...` or `GRAFT_REFERENCE_SCRIPTS`.
     */
@@ -616,6 +635,7 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
         StructField("lifetime_min", IntegerType),
         StructField("lifetime_max", IntegerType)))))
     catalogViewsDirty = false
+    claimSnapshot("catalog")
   }
 
   /** One row per PART (= one parquet data file), as in CH: `partition` is
@@ -670,6 +690,7 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     mkSysView("detached_parts", partCols, detached, Some(partSchema))
     liveSnapshotEmpty = live.isEmpty
     partsViewsDirty = false
+    claimSnapshot("parts")
   }
 
   /** The parts views' one schema definition — the populated VALUES form
@@ -710,6 +731,19 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     */
   @volatile private var catalogViewsDirty = true
 
+  /** Did THIS instance publish the session's current snapshot of `kind`
+    * (`"catalog"` / `"parts"`)? The system.* views are session-global,
+    * so when several ChReplay instances share one SparkSession (the test
+    * harness does; a notebook could), instance-local dirty flags can't
+    * see another instance's overwrite — the companion registry records
+    * the last publisher per (session, kind), and a non-owner republishes
+    * on its next read regardless of its own flag.
+    */
+  private def ownsSnapshot(kind: String): Boolean =
+    ChReplay.snapshotOwner(spark, kind).exists(_ eq this)
+  private def claimSnapshot(kind: String): Unit =
+    ChReplay.claimSnapshot(spark, kind, this)
+
   /** Set by every statement that moves parts — ALTER partition ops and
     * DELETE/UPDATE rewrites (including PARTIAL application when an op
     * fails mid-statement), OPTIMIZE, TRUNCATE, DROP of a state table.
@@ -720,8 +754,11 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     * (dropping a missing partition) do NOT set it.
     */
   // volatile: streaming foreachBatch callbacks set it from their own
-  // thread; the next runQuery on the caller's thread must see it
-  @volatile private var partsViewsDirty = false
+  // thread; the next runQuery on the caller's thread must see it.
+  // Starts TRUE like catalogViewsDirty: a fresh instance sharing a
+  // session with an older one must replace the other instance's
+  // snapshot on its first parts read, not serve it as its own.
+  @volatile private var partsViewsDirty = true
 
   /** The `col=value` partition directories under a parts root — the ONE
     * dir-level definition of where parts live, shared by the publication
@@ -758,7 +795,7 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
   private def ensurePartsViews(): Unit =
     if (!spark.catalog.tableExists("system.parts") ||
         !spark.catalog.tableExists("system.detached_parts") ||
-        partsViewsDirty ||
+        partsViewsDirty || !ownsSnapshot("parts") ||
         (liveSnapshotEmpty && anyPartAt("")))
       publishPartsViews()
 
@@ -838,9 +875,10 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     // the parts-view probes
     def listing(view: String, db: String, like: String,
         parts: Boolean = true): DataFrame = {
-      // same dirty-flag gate as runQuery's metadata-view path — a
-      // steady-state SHOW must not pay 7 view replacements
-      if (catalogViewsDirty || !spark.catalog.tableExists("system.tables"))
+      // same dirty-flag + ownership gate as runQuery's metadata-view
+      // path — a steady-state SHOW must not pay 7 view replacements
+      if (catalogViewsDirty || !ownsSnapshot("catalog") ||
+          !spark.catalog.tableExists("system.tables"))
         publishCatalogViews()
       if (parts) ensurePartsViews()
       val conds = Option(db).map(d => s"database = ${qlit(d)}").toSeq ++
@@ -927,7 +965,8 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     */
   private def ensureSystemFor(t: String): Unit =
     if (t.toLowerCase.startsWith("system.")) {
-      if (!spark.catalog.tableExists("system.tables")) publishCatalogViews()
+      if (catalogViewsDirty || !ownsSnapshot("catalog") ||
+          !spark.catalog.tableExists("system.tables")) publishCatalogViews()
       ensurePartsViews()
     }
 
@@ -954,7 +993,8 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     // view replacements each (the parts views' dirty-flag discipline,
     // applied to the cheap views too)
     if (ChReplay.SystemCatalogRe.findFirstIn(sql0).isDefined &&
-        (catalogViewsDirty || !spark.catalog.tableExists("system.tables")))
+        (catalogViewsDirty || !ownsSnapshot("catalog") ||
+          !spark.catalog.tableExists("system.tables")))
       publishCatalogViews()
     // mechanical dialect shims first (PREWHERE, FORMAT, WITH TOTALS)
     var q = ChSql(sql0)

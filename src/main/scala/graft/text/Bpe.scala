@@ -85,8 +85,22 @@ object Bpe {
         }
       }
       if (pairs.isEmpty) return merges.toSeq
-      // max by count, ties lexicographic — deterministic
-      val (best, bestCnt) = pairs.minBy { case ((a, b), c) => (-c, a, b) }
+      // max by count, ties lexicographic by CODE POINT (== UTF-8 byte
+      // order, the collation Spark's UTF8String sorts and DuckDB's
+      // ORDER BY use — java.lang.String's UTF-16-unit order disagrees
+      // for supplementary-plane vs U+E000..U+FFFF symbols, and the q177
+      // oracle replays this very tie-break) — deterministic
+      val (best, bestCnt) = pairs.min(new Ordering[((String, String), Long)] {
+        def compare(p: ((String, String), Long),
+            q: ((String, String), Long)): Int = {
+          val byCnt = java.lang.Long.compare(q._2, p._2) // count DESC
+          if (byCnt != 0) byCnt
+          else {
+            val byLeft = codePointCompare(p._1._1, q._1._1)
+            if (byLeft != 0) byLeft else codePointCompare(p._1._2, q._1._2)
+          }
+        }
+      })
       if (bestCnt <= 0) return merges.toSeq
       merges += Merge(i, best._1, best._2)
       val fused = best._1 + best._2
@@ -143,6 +157,22 @@ object Bpe {
     */
   def tokenCount(text: Column, merges: Seq[Merge]): Column =
     size(encode(text, merges))
+
+  /** Compare by Unicode CODE POINT (equivalently UTF-8 byte order for
+    * valid strings) — the collation Spark and DuckDB sort strings with.
+    */
+  private[text] def codePointCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
 
   /** Greedy BPE apply for one word's symbol sequence under a rank map. */
   private[text] def applyMerges(word: String,
