@@ -57,8 +57,12 @@ class FuzzParitySpec extends SparkSpec {
   // position-IN/lpad/regexp_replace('g')/encode-base64 spellings;
   // 651-680 the CH JSON family (name-keyed JSONExtract*/Has, sorted
   // keys, JSONLength's array-or-object contract, raw extraction, missing
-  // keys) vs DuckDB's path-keyed json_extract battery
-  private val seeds = 1 to 680
+  // keys) vs DuckDB's path-keyed json_extract battery;
+  // 681-710 the CH bit/int-math battery (bitAnd/Or/Xor/Not, shifts,
+  // bitCount, bitTest, intDiv, multiIf, nullif/ifnull null
+  // edges) vs DuckDB's operator spellings (& | xor ~ << >> bit_count
+  // // CASE) — all-integer, bit-exact by construction
+  private val seeds = 1 to 710
 
   private def duckdbAvailable: Boolean =
     try Seq("python3", "-c", "import duckdb, pandas").! == 0

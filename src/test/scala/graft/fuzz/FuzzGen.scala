@@ -142,7 +142,8 @@ object FuzzGen {
   def queryFor(seed: Int): FuzzQuery = {
     val rnd = new Random(seed.toLong * 1000003L + 17L)
     val name = f"fz$seed%03d"
-    if (seed > 650) jsonQuery(name, rnd)
+    if (seed > 680) bitMathQuery(name, rnd)
+    else if (seed > 650) jsonQuery(name, rnd)
     else if (seed > 620) stringQuery(name, rnd)
     else if (seed > 590) dateQuery(name, rnd)
     else if (seed > 560) arrayQuery(name, rnd)
@@ -1111,6 +1112,63 @@ object FuzzGen {
                  s"CAST(json_extract($j, '$$.arr') AS VARCHAR) AS $alias")
     }
     batteryQuery(name, t, rnd, draw, groupOdds = 4)
+  }
+
+  /** The bit/int-math band (seeds past 680): CH's exact-integer scalar
+    * battery — bitAnd/Or/Xor/Not, shifts, bitCount, bitTest, intDiv,
+    * multiIf — against DuckDB's independently-spelled operators
+    * (`&`/`|`/xor()/`~`/`<<`/`>>`/bit_count/`//`/CASE). All-integer
+    * arithmetic: no libm, no rounding band, bit-exact by construction
+    * (shift counts stay below the width so neither engine's wrap rule
+    * fires). nullIf/ifnull ride the same spelling on both engines,
+    * injecting the null edge through the typed casts.
+    */
+  private def bitMathQuery(name: String, rnd: Random): FuzzQuery = {
+    val pool = tables.filter(_.of(IntK).nonEmpty)
+    val t = pool(rnd.nextInt(pool.length))
+    def draw(alias: String): (String, String) = {
+      val ik = pick(rnd, t.of(IntK)).name
+      val k = 1 + rnd.nextInt(255)
+      rnd.nextInt(11) match {
+        case 0 => (s"CAST(bitAnd($ik, $k) AS BIGINT) AS $alias",
+                   s"CAST(($ik & $k) AS BIGINT) AS $alias")
+        case 1 => (s"CAST(bitOr($ik, $k) AS BIGINT) AS $alias",
+                   s"CAST(($ik | $k) AS BIGINT) AS $alias")
+        case 2 => (s"CAST(bitXor($ik, $k) AS BIGINT) AS $alias",
+                   s"CAST(xor(CAST($ik AS BIGINT), CAST($k AS BIGINT)) AS BIGINT) AS $alias")
+        case 3 => (s"CAST(bitNot($ik) AS BIGINT) AS $alias",
+                   s"CAST((~CAST($ik AS BIGINT)) AS BIGINT) AS $alias")
+        case 4 =>
+          val s = 1 + rnd.nextInt(11)
+          (s"CAST(bitShiftLeft($ik % 256, $s) AS BIGINT) AS $alias",
+           s"CAST(((CAST($ik AS BIGINT) % 256) << $s) AS BIGINT) AS $alias")
+        case 5 =>
+          val s = 1 + rnd.nextInt(7)
+          (s"CAST(bitShiftRight($ik, $s) AS BIGINT) AS $alias",
+           s"CAST((CAST($ik AS BIGINT) >> $s) AS BIGINT) AS $alias")
+        case 6 => (s"CAST(bitCount($ik) AS INT) AS $alias",
+                   s"CAST(bit_count(CAST($ik AS BIGINT)) AS INT) AS $alias")
+        case 7 =>
+          val b = rnd.nextInt(8)
+          (s"CAST(bitTest($ik, $b) AS INT) AS $alias",
+           s"CAST(((CAST($ik AS BIGINT) >> $b) & 1) AS INT) AS $alias")
+        case 8 =>
+          val d = 2 + rnd.nextInt(8)
+          (s"CAST(intDiv($ik, $d) AS BIGINT) AS $alias",
+           s"CAST(($ik // $d) AS BIGINT) AS $alias")
+        case 9 =>
+          val (c1, c2) = (1 + rnd.nextInt(9), 1 + rnd.nextInt(9))
+          (s"CAST(multiIf($ik % 7 = 0, $c1, $ik % 3 = 0, $c2, -1) AS BIGINT) AS $alias",
+           s"CAST(CASE WHEN $ik % 7 = 0 THEN $c1 WHEN $ik % 3 = 0 THEN $c2 " +
+             s"ELSE -1 END AS BIGINT) AS $alias")
+        case _ =>
+          val d = 2 + rnd.nextInt(8)
+          // identical spelling both sides; nullif injects the null edge
+          val e = s"CAST(ifnull(nullif($ik % $d, 0), -1) AS BIGINT) AS $alias"
+          (e, e)
+      }
+    }
+    batteryQuery(name, t, rnd, draw, groupOdds = 5)
   }
 
   /** Shared probe/grouped assembly for the function-battery bands (date,
