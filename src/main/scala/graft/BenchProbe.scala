@@ -24,6 +24,24 @@ object BenchProbe {
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
 
+    if (args.contains("sess")) {
+      // hot-key scaling probe for the window-pass operators: wall time
+      // vs single-uid partition size (2n total rows, n on uid 0)
+      for (n <- Seq(1000000L, 2000000L, 4000000L, 8000000L)) {
+        val events = spark.range(2 * n).select(
+          when(col("id") < n, 0L)
+            .otherwise(pmod(col("id"), lit(100000)) + 1).as("uid"),
+          timestamp_seconds(lit(1700000000L) + col("id")).as("ts"),
+          pmod(col("id"), lit(3)).cast("int").as("etype"))
+        timed(s"sessionize hot=$n") {
+          graft.operators.Sessionize.sessionize(events, "uid", "ts", 1800)
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+      spark.stop()
+      return
+    }
+
     if (args.contains("anchor")) {
       // host calibration only: the Bench anchor (1e9-row two-phase sum),
       // warm + 3 reps, against the recorded 0.72 s idle floor — run this

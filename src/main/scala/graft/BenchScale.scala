@@ -391,8 +391,16 @@ object BenchScale {
     // spill_* record what actually spilled — 0 with wall time in budget
     // is evidence too (the hot partition fit the executor's sort memory).
     if (on("hotkey")) {
-      val hotN = 1000000L / div
-      val bgN = 1000000L / div
+      // x10: one decade up — a 1e7-event hot uid through the same paths.
+      // At that size the ops contaminate each other's wall clock inside
+      // one JVM (a 22M-row asof leaves GC/memory churn that tripled the
+      // next op's reading) — `hotkey <op>` runs ONE op per JVM for
+      // honest decade points.
+      val hotOps = args.toSet.intersect(
+        Set("asof", "sessionize", "sequence_match", "cc_hot_cluster"))
+      def opOn(o: String): Boolean = hotOps.isEmpty || hotOps.contains(o)
+      val hotN = (if (x10) 10000000L else 1000000L) / div
+      val bgN = hotN
       // hot uid 0 carries hotN events; bgN more spread over 100k uids
       val events = spark.range(hotN + bgN).select(
         when(col("id") < hotN, 0L)
@@ -410,7 +418,7 @@ object BenchScale {
           s""""spill_mem_mb":${l.spillMemBytes.get / 1e6},""" +
           s""""spill_disk_mb":${l.spillDiskBytes.get / 1e6}}""")
       }
-      measure("asof") {
+      if (opOn("asof")) measure("asof") {
         // right side shares the skew (the hot uid's quote timeline is
         // long too) — the tagged-union window sorts hot-uid rows from
         // BOTH sides in one partition
@@ -422,11 +430,11 @@ object BenchScale {
         graft.operators.AsOfJoin.asof(events, right, Seq("uid"), "ts", "rts")
           .write.format("noop").mode("overwrite").save()
       }
-      measure("sessionize") {
+      if (opOn("sessionize")) measure("sessionize") {
         graft.operators.Sessionize.sessionize(events, "uid", "ts", 1800)
           .write.format("noop").mode("overwrite").save()
       }
-      measure("sequence_match") {
+      if (opOn("sequence_match")) measure("sequence_match") {
         // the TypedImperativeAggregate collects (ts, mask) per uid — the
         // hot group's buffer holds 1M events on one task
         graft.functions.SequenceMatch.register(spark)
@@ -436,12 +444,13 @@ object BenchScale {
             col("etype") === 2).as("m"))
           .write.format("noop").mode("overwrite").save()
       }
-      measure("cc_hot_cluster", 100000L / div) {
+      val ccN = (if (x10) 1000000L else 100000L) / div
+      if (opOn("cc_hot_cluster")) measure("cc_hot_cluster", ccN) {
         // one 1e5-node CHAIN (worst diameter — pointer jumping must halve
         // it ~log2(1e5) times) + background pairs; partition skew rides
         // the min-label hot key (every round funnels the component's
         // labels toward one id)
-        val n = 100000L / div
+        val n = ccN
         val chain = spark.range(n)
           .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
         val bg = spark.range(n)
