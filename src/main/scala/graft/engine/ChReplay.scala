@@ -74,10 +74,17 @@ object ChReplay {
   // arg is a bare or quoted [\w.]+ and the second is optional.
   private val ClusterFnRe =
     ("""(?i)\bcluster(?:AllReplicas)?\s*\(\s*'[^']*'\s*,\s*""" +
-      """(?:'([\w.]+)'|([\w.]+))\s*(?:,\s*(?:'(\w+)'|(\w+))\s*)?\)""").r
-  private def clusterFnTarget(m: scala.util.matching.Regex.Match): String = {
-    val first = Option(m.group(1)).getOrElse(m.group(2))
-    val second = Option(m.group(3)).orElse(Option(m.group(4)))
+      """(?:'([^']*)'|([\w.]+))\s*(?:,\s*(?:'([^']*)'|(\w+))\s*)?\)""").r
+  /** The `db.table` a cluster-fn match names. The match ran on MASKED
+    * text (quoted contents blanked), so quoted args read their ORIGINAL
+    * slice via [[ChSql.grp]]; bare args are identical either way.
+    */
+  private def clusterFnTarget(q: String,
+      m: scala.util.matching.Regex.Match): String = {
+    def orig(g: Int): Option[String] =
+      Option(m.group(g)).map(_ => ChSql.grp(q, m, g))
+    val first = orig(1).orElse(orig(2)).get
+    val second = orig(3).orElse(orig(4))
     second.map(t => s"$first.$t").getOrElse(first)
   }
   private val SystemCatalogRe =
@@ -91,16 +98,20 @@ object ChReplay {
     * evaporate): a retired SparkSession must not be pinned by this map.
     */
   private val snapshotOwners =
-    new java.util.WeakHashMap[SparkSession, mutable.Map[String, AnyRef]]
+    new java.util.WeakHashMap[SparkSession,
+      mutable.Map[String, java.lang.ref.WeakReference[AnyRef]]]
   private[engine] def snapshotOwner(s: SparkSession, kind: String): Option[AnyRef] =
     snapshotOwners.synchronized {
-      Option(snapshotOwners.get(s)).flatMap(_.get(kind))
+      Option(snapshotOwners.get(s)).flatMap(_.get(kind)).flatMap(r => Option(r.get))
     }
   private[engine] def claimSnapshot(s: SparkSession, kind: String,
       owner: AnyRef): Unit =
     snapshotOwners.synchronized {
+      // the owner rides a WeakReference: a strong value would chain to
+      // the owner's own `spark` field and pin the weak KEY forever
+      // (WeakHashMap's documented value→key pitfall)
       snapshotOwners.computeIfAbsent(s, _ => mutable.Map.empty)
-        .update(kind, owner)
+        .update(kind, new java.lang.ref.WeakReference[AnyRef](owner))
     }
 
   /** Where the reference's .sql scripts live — overridable per deployment
@@ -213,10 +224,16 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
   def execute(stmt: Stmt): Unit = {
     // any statement that can change the catalog-object maps dirties the
     // metadata views (set BEFORE executing — a half-applied DDL must
-    // not leave a stale snapshot either)
+    // not leave a stale snapshot either). ALTERs dirty only when they
+    // carry schema subcommands: the rebalance loop's pure partition/PART
+    // moves (and DELETE/UPDATE rewrites) change no catalog metadata, and
+    // each would otherwise force a 7-view republish on the next poll.
     stmt match {
+      case a: AlterTable =>
+        if (a.addColumns.nonEmpty || a.modifyColumns.nonEmpty ||
+            a.newOrderBy.nonEmpty) catalogViewsDirty = true
       case _: CreateTable | _: CreateMaterializedView | _: CreateDictionary |
-          _: AlterTable | _: DropStmt => catalogViewsDirty = true
+          _: DropStmt => catalogViewsDirty = true
       case _ => ()
     }
     executeStmt(stmt)
@@ -598,14 +615,19 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     // nothing running). host_name comes from the SAME InetAddress
     // capture hostName() serves — in CH the is_local replica's
     // host_name and hostName() agree, and a statement correlating them
-    // must not read two identities.
-    val localHost = java.net.InetAddress.getLocalHost
+    // must not read two identities. An unresolvable local hostname
+    // (container without /etc/hosts) must not take SHOW TABLES down
+    // with it — fall back to the loopback identity.
+    val (lhName, lhAddr) =
+      try {
+        val lh = java.net.InetAddress.getLocalHost
+        (lh.getHostName, lh.getHostAddress)
+      } catch { case _: java.net.UnknownHostException => ("localhost", "127.0.0.1") }
     mkSysView("clusters",
       Seq("cluster", "shard_num", "shard_weight", "replica_num",
         "host_name", "host_address", "port", "is_local"),
       Seq(Seq(qlit("cluster"), "CAST(1 AS INT)", "CAST(1 AS INT)",
-        "CAST(1 AS INT)", qlit(localHost.getHostName),
-        qlit(localHost.getHostAddress),
+        "CAST(1 AS INT)", qlit(lhName), qlit(lhAddr),
         "CAST(9000 AS INT)", "CAST(1 AS INT)")))
     mkSysView("macros", Seq("macro", "substitution"),
       Seq(Seq(qlit("layer"), qlit("cluster")),
@@ -977,12 +999,20 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     }
     // CH cluster table functions (ref data_rebalance.py:116-205): on the
     // 1-shard topology system.clusters publishes, cluster(c, db, t) and
-    // clusterAllReplicas(c, db, t) ARE the local table — rewritten to a
-    // subquery that also supplies the functions' `_shard_num` virtual
-    // column (shard 1). Rewritten FIRST so the system-view freshness
-    // gates below see the dotted names.
-    val sql0 = ChReplay.ClusterFnRe.replaceAllIn(sql,
-      m => s"(SELECT CAST(1 AS INT) AS _shard_num, * FROM ${ChReplay.clusterFnTarget(m)})")
+    // clusterAllReplicas(c, db, t) ARE the local table. The `_shard_num`
+    // VIRTUAL column materializes only when the query names it — CH
+    // excludes virtuals from SELECT *, so an unconditional injection
+    // would grow a phantom column there. Matching runs on the string-
+    // MASKED text (house rule for every regex rewrite: a literal
+    // containing "cluster('x', a, b)" must not trigger). Rewritten FIRST
+    // so the system-view freshness gates below see the dotted names.
+    val needsShardNum = "(?i)\\b_shard_num\\b".r
+      .findFirstIn(ChSql.maskStrings(sql)).isDefined
+    val sql0 = ChSql.replaceOnMasked(sql, ChReplay.ClusterFnRe) { m =>
+      val target = ChReplay.clusterFnTarget(sql, m)
+      if (needsShardNum) s"(SELECT CAST(1 AS INT) AS _shard_num, * FROM $target)"
+      else target
+    }
     // a SELECT that reads the parts views must see the effects of every
     // prior part-moving statement, same as the listings do
     if (ChReplay.SystemPartsRe.findFirstIn(sql0).isDefined) ensurePartsViews()
@@ -1151,13 +1181,51 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     val aliasOrdinal = items.zipWithIndex.flatMap { case (item, idx) =>
       """(?is)\bas\s+(\w+)\s*$""".r.findFirstMatchIn(item.trim).map(_.group(1).toLowerCase -> (idx + 1))
     }.toMap
-    """(?is)\b(group\s+by)\s+([\w\s,]+?)(?=\border\s+by\b|\bhaving\b|\blimit\b|\bsettings\b|$)""".r
-      .replaceAllIn(q, m => {
-        val terms = m.group(2).split(",").map(_.trim).filter(_.nonEmpty).map { t =>
-          aliasOrdinal.get(t.toLowerCase).map(_.toString).getOrElse(t)
-        }
-        m.group(1) + " " + terms.mkString(", ") + "\n"
-      })
+    // alias → its expression text (the item minus the trailing AS name);
+    // greedy .* pins the LAST `AS`, so `CAST(x AS INT) AS y` keeps its
+    // inner cast
+    val aliasExpr = items.flatMap { item =>
+      """(?is)^(.*)\bas\s+(\w+)\s*$""".r.findFirstMatchIn(item.trim)
+        .map(m => m.group(2).toLowerCase -> m.group(1).trim)
+    }.toMap
+    val groupByDone =
+      """(?is)\b(group\s+by)\s+([\w\s,]+?)(?=\border\s+by\b|\bhaving\b|\blimit\b|\bsettings\b|$)""".r
+        .replaceAllIn(q, m => {
+          val terms = m.group(2).split(",").map(_.trim).filter(_.nonEmpty).map { t =>
+            aliasOrdinal.get(t.toLowerCase).map(_.toString).getOrElse(t)
+          }
+          m.group(1) + " " + terms.mkString(", ") + "\n"
+        })
+    rewriteWhereAliases(groupByDone, aliasExpr)
+  }
+
+  /** CH's alias preference in WHERE (the GROUP BY shim's sibling): a
+    * WHERE identifier naming a SELECT alias resolves to the ALIAS
+    * EXPRESSION — CH's default (prefer_column_name_to_alias = 0), and
+    * the reading the rebalance tool's own get_parts depends on
+    * (`toUInt32(bytes_on_disk/1024/1024) AS bytes_on_disk ... WHERE
+    * bytes_on_disk > 100` means a 100 MiB floor, per the tool's comment
+    * — Spark's column preference would read 100 BYTES). Inlines the
+    * alias's expression parenthesized; one pass over the alternation so
+    * inserted text is never re-substituted, literal spans left alone,
+    * qualified (`t.name`) and backticked references untouched.
+    */
+  private def rewriteWhereAliases(q: String,
+      aliasExpr: Map[String, String]): String = {
+    if (aliasExpr.isEmpty) return q
+    val names = aliasExpr.keys.map(java.util.regex.Pattern.quote).mkString("|")
+    val nameRe = ("(?i)(?<![\\w.`])(" + names + ")\\b").r
+    val whereRe =
+      ("""(?is)\b(where)\s+(.+?)""" +
+        """(?=\bgroup\s+by\b|\border\s+by\b|\bhaving\b|\bqualify\b|""" +
+        """\blimit\b|\bsettings\b|\bwindow\b|$)""").r
+    ChSql.replaceOnMasked(q, whereRe) { m =>
+      val body = ChSql.grp(q, m, 2)
+      val rewritten = ChSql.mapCode(body)(run =>
+        nameRe.replaceAllIn(run, mm => java.util.regex.Matcher.quoteReplacement(
+          "(" + aliasExpr(mm.group(1).toLowerCase) + ")")))
+      "WHERE " + rewritten
+    }
   }
 
   // ---- builders ------------------------------------------------------------

@@ -719,6 +719,24 @@ final class StateTable(
       sys.error(s"fetchPart: donor partitions by " +
         s"'${srcDir.getName.takeWhile(_ != '=')}' but this table " +
         s"partitions by '$partitionCol' — structures must match")
+    // and the part's COLUMNS must match this table's data schema (name +
+    // type), or the mismatch would surface far away as a schema-merge or
+    // cast failure on a later ATTACH+read. Both footers are metadata
+    // reads. Skipped only when this table has neither data nor a schema
+    // marker to compare against (nothing yet to corrupt).
+    val donorSchema = spark.read
+      .parquet(new Path(srcDir, part).toString).schema
+    val mySchema =
+      try Some(read().schema.filter(_.name != partitionCol))
+      catch { case _: Exception => None }
+    mySchema.foreach { mine =>
+      val donorFields = donorSchema.map(f => (f.name, f.dataType)).toSet
+      val myFields = mine.map(f => (f.name, f.dataType)).toSet
+      if (donorFields != myFields)
+        sys.error(s"fetchPart: donor part schema ${donorSchema.simpleString} " +
+          s"does not match this table's ${mine.map(_.toString).mkString("[", ", ", "]")} " +
+          "— structures must match")
+    }
     val dst = new Path(path, s".detached/${srcDir.getName}/$part")
     if (fs.exists(dst))
       sys.error(s"fetchPart: a detached copy of '$part' already exists")

@@ -48,7 +48,17 @@ object Bpe {
   private def toSymbols(word: String): Vector[String] = {
     if (word.isEmpty) Vector.empty
     else {
-      val cs = word.map(_.toString).toVector
+      // split by CODE POINT, not UTF-16 unit: a supplementary-plane char
+      // must be ONE symbol, not two lone surrogates — both for textual
+      // sanity and because the q177 DuckDB oracle splits by code point
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < word.length) {
+        val cp = word.codePointAt(i)
+        b += word.substring(i, i + Character.charCount(cp))
+        i += Character.charCount(cp)
+      }
+      val cs = b.result()
       cs.init :+ (cs.last + EndOfWord)
     }
   }

@@ -72,4 +72,20 @@ class BpeSpec extends SparkSpec {
       .filter($"glued" =!= $"orig")
     assert(bad.count() === 0)
   }
+
+  test("supplementary-plane characters are ONE symbol, not two surrogates") {
+    graft.text.Bpe.register(spark)
+    // U+1D11E (musical G clef) needs a surrogate pair in UTF-16 — a
+    // code-unit split would shear it into two invalid half symbols,
+    // diverging from the q177 DuckDB oracle's code-point split
+    val clef = new String(Character.toChars(0x1D11E))
+    val df = Seq(s"$clef$clef a", s"$clef$clef a").toDF("text")
+    val merges = Bpe.train(df, "text", 1)
+    // the only repeated pair is (clef, clef</w>): whole-char symbols
+    assert(merges.head.left == clef &&
+      merges.head.right == clef + Bpe.EndOfWord, merges)
+    val pieces = df.select(Bpe.encode($"text", merges)).head().getSeq[String](0)
+    assert(pieces == Seq(clef + clef + Bpe.EndOfWord, "a" + Bpe.EndOfWord),
+      pieces)
+  }
 }

@@ -1476,8 +1476,13 @@ class ChDdlReplaySpec extends SparkSpec {
 
     // get_parts (:163-174), verbatim with the tool's substitutions — the
     // cluster() table function resolves to the local table and supplies
-    // _shard_num; tiny test parts clear the 100-BYTE floor
-    val parts = replay.runQuery(
+    // _shard_num. CH WHERE-alias semantics make the filter read the
+    // ALIASED MiB value (`toUInt32(bytes_on_disk/1024/1024) AS
+    // bytes_on_disk ... WHERE bytes_on_disk>100` — the tool's own
+    // comment says "exclude parts under 100M"), so at test scale the
+    // VERBATIM form correctly returns nothing; the reconciliation flow
+    // then runs on the floor scaled to test-part sizes
+    val getParts =
       """select _shard_num
         |        ,name as part_name
         |        ,rows
@@ -1488,7 +1493,11 @@ class ChDdlReplaySpec extends SparkSpec {
         |        and table='rb_src_local'
         |        and partition='2024-01-01'
         |        and bytes_on_disk>100
-        |        and disk_name<>'hdfs'""".stripMargin).collect()
+        |        and disk_name<>'hdfs'""".stripMargin
+    assert(replay.runQuery(getParts).count() == 0L,
+      "the verbatim 100 MiB floor must exclude all test-scale parts")
+    val parts = replay.runQuery(
+      getParts.replace("bytes_on_disk>100", "bytes_on_disk>=0")).collect()
     assert(parts.length >= 2, s"expected >=2 source parts, got ${parts.length}")
     assert(parts.forall(_.getInt(0) == 1))
     val partName = parts.map(_.getString(1)).min
