@@ -612,17 +612,11 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     // (metrika.xml:24-28), and a typed-EMPTY processes view (a
     // single-driver engine has no concurrent server queries to list —
     // the tool's `query LIKE '%FETCH PART%'` probe correctly reads
-    // nothing running). host_name comes from the SAME InetAddress
-    // capture hostName() serves — in CH the is_local replica's
-    // host_name and hostName() agree, and a statement correlating them
-    // must not read two identities. An unresolvable local hostname
-    // (container without /etc/hosts) must not take SHOW TABLES down
-    // with it — fall back to the loopback identity.
-    val (lhName, lhAddr) =
-      try {
-        val lh = java.net.InetAddress.getLocalHost
-        (lh.getHostName, lh.getHostAddress)
-      } catch { case _: java.net.UnknownHostException => ("localhost", "127.0.0.1") }
+    // nothing running). host_name is THE capture hostName() serves
+    // (one shared, DNS-failure-guarded identity) — in CH the is_local
+    // replica's host_name and hostName() agree, and a statement
+    // correlating them must not read two identities.
+    val (lhName, lhAddr) = graft.functions.HostNameExpr.localHostIdentity
     mkSysView("clusters",
       Seq("cluster", "shard_num", "shard_weight", "replica_num",
         "host_name", "host_address", "port", "is_local"),
@@ -814,6 +808,15 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     * side, repopulates on the next listing. Refresh beyond that stays on
     * the publish calls.
     */
+  /** The metadata-view freshness gate — dirty flag, cross-instance
+    * ownership, existence — in ONE place (the parts twin is
+    * [[ensurePartsViews]]); every reader of the cheap views calls this.
+    */
+  private def ensureCatalogViews(): Unit =
+    if (catalogViewsDirty || !ownsSnapshot("catalog") ||
+        !spark.catalog.tableExists("system.tables"))
+      publishCatalogViews()
+
   private def ensurePartsViews(): Unit =
     if (!spark.catalog.tableExists("system.parts") ||
         !spark.catalog.tableExists("system.detached_parts") ||
@@ -897,11 +900,8 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     // the parts-view probes
     def listing(view: String, db: String, like: String,
         parts: Boolean = true): DataFrame = {
-      // same dirty-flag + ownership gate as runQuery's metadata-view
-      // path — a steady-state SHOW must not pay 7 view replacements
-      if (catalogViewsDirty || !ownsSnapshot("catalog") ||
-          !spark.catalog.tableExists("system.tables"))
-        publishCatalogViews()
+      // a steady-state SHOW must not pay 7 view replacements
+      ensureCatalogViews()
       if (parts) ensurePartsViews()
       val conds = Option(db).map(d => s"database = ${qlit(d)}").toSeq ++
         Option(like).map(p => s"name LIKE ${likeLit(p)}").toSeq
@@ -987,8 +987,7 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     */
   private def ensureSystemFor(t: String): Unit =
     if (t.toLowerCase.startsWith("system.")) {
-      if (catalogViewsDirty || !ownsSnapshot("catalog") ||
-          !spark.catalog.tableExists("system.tables")) publishCatalogViews()
+      ensureCatalogViews()
       ensurePartsViews()
     }
 
@@ -1002,7 +1001,11 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     // clusterAllReplicas(c, db, t) ARE the local table. The `_shard_num`
     // VIRTUAL column materializes only when the query names it — CH
     // excludes virtuals from SELECT *, so an unconditional injection
-    // would grow a phantom column there. Matching runs on the string-
+    // would grow a phantom column there. (Known boundary: a query that
+    // BOTH selects * AND names _shard_num elsewhere, e.g. in ORDER BY,
+    // still gains the column — exact virtual-column scoping needs a real
+    // metadata column, which a plain subquery cannot express; the tool's
+    // statements never combine the two.) Matching runs on the string-
     // MASKED text (house rule for every regex rewrite: a literal
     // containing "cluster('x', a, b)" must not trigger). Rewritten FIRST
     // so the system-view freshness gates below see the dotted names.
@@ -1022,10 +1025,8 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     // system.processes in a loop, and steady-state polls must not pay 7
     // view replacements each (the parts views' dirty-flag discipline,
     // applied to the cheap views too)
-    if (ChReplay.SystemCatalogRe.findFirstIn(sql0).isDefined &&
-        (catalogViewsDirty || !ownsSnapshot("catalog") ||
-          !spark.catalog.tableExists("system.tables")))
-      publishCatalogViews()
+    if (ChReplay.SystemCatalogRe.findFirstIn(sql0).isDefined)
+      ensureCatalogViews()
     // mechanical dialect shims first (PREWHERE, FORMAT, WITH TOTALS)
     var q = ChSql(sql0)
     q = """(?i)\busing\s+(\w+(?:\s*,\s*\w+)+)""".r
@@ -1214,11 +1215,17 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
       aliasExpr: Map[String, String]): String = {
     if (aliasExpr.isEmpty) return q
     val names = aliasExpr.keys.map(java.util.regex.Pattern.quote).mkString("|")
-    val nameRe = ("(?i)(?<![\\w.`])(" + names + ")\\b").r
+    // (?!\s*\() — an identifier followed by '(' is a FUNCTION call, which
+    // CH resolves in the function namespace, never to an alias (an alias
+    // named `floor` must not corrupt `floor(x)`)
+    val nameRe = ("(?i)(?<![\\w.`])(" + names + ")\\b(?!\\s*\\()").r
+    // the set-operation keywords terminate the body too: an unparenthesized
+    // UNION branch is a SIBLING select, not part of this WHERE
     val whereRe =
       ("""(?is)\b(where)\s+(.+?)""" +
         """(?=\bgroup\s+by\b|\border\s+by\b|\bhaving\b|\bqualify\b|""" +
-        """\blimit\b|\bsettings\b|\bwindow\b|$)""").r
+        """\blimit\b|\bsettings\b|\bwindow\b|""" +
+        """\bunion\b|\bexcept\b|\bintersect\b|$)""").r
     ChSql.replaceOnMasked(q, whereRe) { m =>
       val body = ChSql.grp(q, m, 2)
       val rewritten = ChSql.mapCode(body)(run =>

@@ -9,6 +9,20 @@ import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
+object HostNameExpr {
+  /** (host name, host address) of THIS server — the ONE capture behind
+    * both hostName() and system.clusters' is_local row, so a statement
+    * correlating the two identities always agrees; falls back to the
+    * loopback identity when the local hostname does not resolve (a
+    * container without /etc/hosts must not lose the function).
+    */
+  val localHostIdentity: (String, String) =
+    try {
+      val lh = java.net.InetAddress.getLocalHost
+      (lh.getHostName, lh.getHostAddress)
+    } catch { case _: java.net.UnknownHostException => ("localhost", "127.0.0.1") }
+}
+
 case class HostNameExpr()
   extends LeafExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   override def dataType: DataType = StringType
@@ -22,7 +36,7 @@ case class HostNameExpr()
   // 1-shard topology, where "the server" is one node; an
   // executor-local capture would instead vary across task placement —
   // a contract violation under recomputation in any real cluster.
-  private val host: String = java.net.InetAddress.getLocalHost.getHostName
+  private val host: String = HostNameExpr.localHostIdentity._1
   @transient private lazy val hostUtf8: org.apache.spark.unsafe.types.UTF8String =
     org.apache.spark.unsafe.types.UTF8String.fromString(host)
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = hostUtf8
