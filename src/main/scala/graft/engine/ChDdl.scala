@@ -348,6 +348,7 @@ object ChDdl {
     var i = 0
     var inQ = false  // single-quoted string literal
     var inBq = false // backtick-quoted identifier (`` escapes a backtick)
+    var inDq = false // double-quoted identifier (CH-legal; "" escapes)
     while (i < s.length) {
       val c = s.charAt(i)
       if (inQ) {
@@ -357,8 +358,13 @@ object ChDdl {
       } else if (inBq) {
         if (c == '`' && i + 1 < s.length && s.charAt(i + 1) == '`') i += 2
         else { if (c == '`') inBq = false; i += 1 }
+      } else if (inDq) {
+        if (c == '\\' && i + 1 < s.length) i += 2
+        else if (c == '"' && i + 1 < s.length && s.charAt(i + 1) == '"') i += 2
+        else { if (c == '"') inDq = false; i += 1 }
       } else if (c == '\'') { inQ = true; i += 1 }
       else if (c == '`') { inBq = true; i += 1 }
+      else if (c == '"') { inDq = true; i += 1 }
       else {
         for (w <- Seq("default", "comment", "after"))
           if (s.regionMatches(true, i, w, 0, w.length) &&

@@ -1124,10 +1124,35 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
       java.util.regex.Matcher.quoteReplacement(subs(m.group(1).toInt)))
   }
 
-  /** The single-block rewrite: `q` contains no nested SELECT (subqueries
-    * are masked), so its select list and GROUP BY belong to one scope.
+  /** The flat-text rewrite: `q` contains no nested SELECT (subqueries
+    * are masked), but may still hold SIBLING branches joined by
+    * top-level set operations — each branch is its own alias scope in
+    * CH, so the text splits at the set-op keywords (masked match — a
+    * literal 'union' must not split) and each branch rewrites against
+    * its OWN select list.
     */
   private def rewriteFlatBlock(q: String): String = {
+    val setOpRe = """(?i)\b(?:union(?:\s+all|\s+distinct)?|except|intersect)\b""".r
+    val cuts = setOpRe.findAllMatchIn(ChSql.maskStrings(q))
+      .map(m => (m.start, m.end)).toSeq
+    if (cuts.isEmpty) rewriteFlatBranch(q)
+    else {
+      val sb = new StringBuilder
+      var last = 0
+      for ((s, e) <- cuts) {
+        sb.append(rewriteFlatBranch(q.substring(last, s)))
+        sb.append(q.substring(s, e))
+        last = e
+      }
+      sb.append(rewriteFlatBranch(q.substring(last)))
+      sb.toString
+    }
+  }
+
+  /** One branch's rewrite: select list, GROUP BY and WHERE belong to a
+    * single scope here.
+    */
+  private def rewriteFlatBranch(q: String): String = {
     val selM = """(?is)^\s*select\s+""".r.findFirstMatchIn(q).getOrElse(return q)
     // first top-level FROM bounds the select list; a quoted literal may
     // contain ' from ' or commas, so track single-quote state like
@@ -1230,7 +1255,11 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
       val body = ChSql.grp(q, m, 2)
       val rewritten = ChSql.mapCode(body)(run =>
         nameRe.replaceAllIn(run, mm => java.util.regex.Matcher.quoteReplacement(
-          "(" + aliasExpr(mm.group(1).toLowerCase) + ")")))
+          // the CAST type position (`CAST(x AS date)`) is never an alias
+          // reference in CH — keep the identifier when `AS` precedes it
+          if (run.substring(0, mm.start(1)).matches("(?is).*\\bas\\s+"))
+            mm.group(0)
+          else "(" + aliasExpr(mm.group(1).toLowerCase) + ")")))
       "WHERE " + rewritten
     }
   }

@@ -604,6 +604,18 @@ final class StateTable(
     existed
   }
 
+  /** A part name must be a PLAIN FILE NAME — path separators or dot
+    * traversals would make the exists-probes resolve OUTSIDE the claimed
+    * side (e.g. `DROP DETACHED PART '../../day=x/f'` deleting LIVE data
+    * while reporting a detached-side op). CH likewise rejects names
+    * outside its part-name grammar.
+    */
+  private def requirePlainPartName(op: String, part: String): Unit =
+    if (part.isEmpty || part.contains('/') || part.contains('\\') ||
+        part.startsWith("."))
+      sys.error(s"$op: malformed part name '$part' — a part is a plain " +
+        "data-file name (no path separators, no leading dot)")
+
   /** The partition directory holding the data file named `part` on one
     * side of the table (`""` = live, `".detached"`) — one parquet data
     * file IS one part, the same definition system.parts publishes, so
@@ -647,6 +659,7 @@ final class StateTable(
     * operator mistake, never a tolerated no-op.
     */
   def detachPart(part: String): Unit = {
+    requirePlainPartName("detachPart", part)
     captureSchema()
     val fs = fileSystem()
     val dir = findPartDir("", part).getOrElse(
@@ -667,6 +680,7 @@ final class StateTable(
     * FETCH-then-ATTACH rebalance flow's normal case).
     */
   def attachPart(part: String): Unit = {
+    requirePlainPartName("attachPart", part)
     captureSchema()
     val fs = fileSystem()
     val dir = findPartDir(".detached", part).getOrElse(
@@ -686,6 +700,7 @@ final class StateTable(
     * data_rebalance.py:179) — delete one detached data file outright.
     */
   def dropDetachedPart(part: String): Unit = {
+    requirePlainPartName("dropDetachedPart", part)
     val fs = fileSystem()
     val dir = findPartDir(".detached", part).getOrElse(
       sys.error(s"dropDetachedPart: no detached part '$part'"))
@@ -705,6 +720,7 @@ final class StateTable(
     * on the source is the tool's own follow-up statement pair.
     */
   def fetchPart(donorPath: String, part: String): Unit = {
+    requirePlainPartName("fetchPart", part)
     val fs = fileSystem()
     val donorRoot = new Path(donorPath)
     if (!fs.exists(donorRoot))

@@ -1665,6 +1665,31 @@ class ChDdlReplaySpec extends SparkSpec {
       Seq("2024-01-01"))
   }
 
+  test("CH WHERE-alias preference: alias inlined, function/CAST/sibling scopes kept") {
+    import spark.implicits._
+    val replay = new ChReplay(spark, ChReplay.scratchWarehouse("graft-walias"))
+    Seq((1L, 1000L), (2L, 2000L), (3L, 300L)).toDF("id", "b")
+      .createOrReplaceTempView("t_walias")
+    // the alias SHADOWS the column: CH resolves the WHERE ref to the
+    // ALIAS (intDiv(b,1000)), so row 3 (300/1000 = 0) filters out —
+    // Spark's native column preference would keep all three
+    val r = replay.runQuery(
+      "SELECT id, intDiv(b, 1000) AS b FROM t_walias WHERE b >= 1 ORDER BY id")
+    assert(r.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // an identifier followed by '(' is a FUNCTION, and one after AS is a
+    // CAST target type — neither resolves against aliases
+    val r2 = replay.runQuery(
+      "SELECT id, intDiv(b, 1000) AS floor, b AS double FROM t_walias " +
+        "WHERE floor(CAST(b AS double)) > 500 ORDER BY id")
+    assert(r2.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // set-operation branches are SIBLING scopes: each WHERE resolves its
+    // own branch's aliases
+    val r3 = replay.runQuery(
+      "SELECT intDiv(b, 1000) AS v FROM t_walias WHERE v >= 1 " +
+        "UNION ALL SELECT id AS w FROM t_walias WHERE w > 2 ORDER BY 1")
+    assert(r3.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("column COMMENT with quotes/backslashes renders valid DDL and round-trips") {
     import ChDdl._
     // parser stores the TRUE text (escapes undone)
