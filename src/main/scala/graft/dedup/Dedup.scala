@@ -107,14 +107,31 @@ object Dedup {
     // explode shingles, build signatures with the tight-loop aggregate —
     // the distributed formulation (shuffle keyed by doc id), and ~100×
     // faster than evaluating k hashes in interpreted lambdas per shingle
+    val sigs = minhashSignatures(df, textCol, idCol, numHashes, shingleSize)
+    lshCandidatePairs(sigs,
+      sig => lshBuckets(sig, bands, rowsPerBand),
+      (a, b) => estJaccard(a, b, numHashes),
+      threshold)
+  }
+
+  /** The banding/verify back half of MinHash+LSH, shared verbatim by the
+    * production xxhash64 family ([[minhashNearDups]]) and its md5 twin
+    * ([[minhashNearDupsMd5]], the DuckDB-mirrorable form the gate
+    * hash-checks): band explode → bucket self-join → pair dedup →
+    * signature re-join → agreement estimate ≥ threshold.
+    */
+  private def lshCandidatePairs(
+      sigDf: DataFrame,
+      buckets: Column => Column,
+      est: (Column, Column) => Column,
+      threshold: Double): DataFrame = {
     // persist: `sigs` feeds the band explode AND both verification joins
     // below, and the signature pipeline (tokenize + shingle + k-hash
     // aggregate) dominates the job's cost — without this the whole subtree
     // runs three times. Persist the COMPACT (id, sig) form, before the band
     // explode: caching the exploded rows would store each signature `bands`
     // times and pay columnar encode/decode on the multiplied width.
-    val sigs = minhashSignatures(df, textCol, idCol, numHashes, shingleSize)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = sigDf.persist(StorageLevel.MEMORY_AND_DISK)
     // SLIM band rows: the bucket self-join shuffles (bk, id) ONLY — the
     // numHashes-long signature array must not ride the bands× explosion
     // (it multiplies the self-join's shuffle by ~sig_bytes/16 per side; at
@@ -123,7 +140,7 @@ object Dedup {
     // number O(pairs), not O(docs × bands), and hot-bucket quadratic
     // candidates stay 24-byte rows.
     val withBk = sigs.select(
-      col("id"), explode(lshBuckets(col("sig"), bands, rowsPerBand)).as("bk"))
+      col("id"), explode(buckets(col("sig"))).as("bk"))
     val a = withBk.select(col("bk"), col("id").as("id_a"))
     val b = withBk.select(col("bk"), col("id").as("id_b"))
     a.join(b, Seq("bk"))
@@ -131,9 +148,65 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-      .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b"), numHashes))
+      .withColumn("est_jaccard", est(col("sig_a"), col("sig_b")))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** MinHash signatures from the md5 hash family: sig[j] = MIN over
+    * distinct shingles of the first 16 hex chars of md5("j:" ∥ shingle),
+    * compared as (ASCII, lowercase-hex) strings. Same exploded-shingle
+    * front and same one-shuffle-by-id shape as [[minhashSignatures]] —
+    * only the hash family differs, chosen because BOTH engines compute
+    * md5 of UTF-8 text bit-identically, so the DuckDB oracle can replay
+    * the signature (and everything downstream of it) value-exactly. The
+    * k min-aggregates get map-side partial combine like the production
+    * aggregate; the production xxhash64 family stays the scale path
+    * (8 B/lane vs 16 B and one hash vs k string md5s per shingle).
+    */
+  def minhashSignaturesMd5(
+      df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int, shingleSize: Int = 3): DataFrame = {
+    graft.text.TextFunctions.register(df.sparkSession) // shingles_n
+    val mins = (0 until numHashes).map { j =>
+      min(substring(md5(concat(lit(s"$j:"), col("sh"))), 1, 16)).as(s"__h$j")
+    }
+    graft.engine.Warehouse
+      .spreadForCompute(df.select(col(idCol).as("id"), col(textCol).as("__text")), "id")
+      .select(col("id"), tokens(col("__text")).as("toks"))
+      .select(col("id"), explode(array_distinct(shingles(col("toks"), shingleSize))).as("sh"))
+      .groupBy("id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(j => col(s"__h$j")): _*).as("sig"))
+  }
+
+  /** [[minhashNearDups]] with the md5 hash family — the gate's hash-green
+    * twin (q178): identical pipeline ([[lshCandidatePairs]] verbatim —
+    * banding, bucket self-join, pair dedup, agreement verify), md5-derived
+    * signatures and band keys so DuckDB mirrors every stage value-exactly.
+    */
+  def minhashNearDupsMd5(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.4,
+      shingleSize: Int = 3): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    val sigs = minhashSignaturesMd5(df, textCol, idCol, numHashes, shingleSize)
+    lshCandidatePairs(sigs,
+      // band key = md5 of the band's slice joined by '|' (hex strings
+      // never contain '|', so the join is collision-free)
+      sig => array((0 until bands).map { b =>
+        struct(lit(b).as("b"),
+          md5(concat_ws("|", slice(sig, b * rowsPerBand + 1, rowsPerBand))).as("h"))
+      }: _*),
+      (a, b) => (size(filter(zip_with(a, b, (x, y) => x === y), p => p))
+        .cast(DoubleType) / numHashes),
+      threshold)
   }
 
   /** Exact n-gram (token-shingle) Jaccard near-dup pairs: docs joined on
@@ -233,23 +306,88 @@ object Dedup {
         call_function("shiftright", col("sh"), lit(offsets(c))).bitwiseAND(lit(mask)).as("v"))
     }
     graft.functions.Simhash.register(df.sparkSession)
-    // persist: the simhash pipeline feeds both sides of the chunk self-join.
-    // Cache the compact (id, sh) form — the chunk explode is a cheap
-    // re-derivation per side (see minhashNearDups' note).
     val sigs = graft.engine.Warehouse
       .spreadForCompute(df.select(col(idCol).as("id"), col(textCol).as("__text")), "id")
       .select(col("id"), tokens(col("__text")).as("toks"))
       .select(col("id"), simhash64FromTokens(col("toks")).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    chunkCandidates(sigs, chunkExprs, hamming64, maxHamming)
+  }
+
+  /** The chunk-blocking back half of SimHash near-dup, shared verbatim by
+    * the production xxhash64 family ([[simhashNearDups]]) and its md5
+    * twin ([[simhashNearDupsMd5]]): chunk explode → chunk self-join →
+    * pair dedup → exact Hamming verify. `sigs` must be (id, sh).
+    */
+  private def chunkCandidates(
+      sigDf: DataFrame, chunkExprs: Seq[Column],
+      hamming: (Column, Column) => Column, maxHamming: Int): DataFrame = {
+    // persist: the simhash pipeline feeds both sides of the chunk self-join.
+    // Cache the compact (id, sh) form — the chunk explode is a cheap
+    // re-derivation per side (see minhashNearDups' note).
+    val sigs = sigDf.persist(StorageLevel.MEMORY_AND_DISK)
     val chunked = sigs.withColumn("chunk", explode(array(chunkExprs: _*)))
     val a = chunked.select(col("chunk"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = chunked.select(col("chunk"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("chunk"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", hamming64(col("sh_a"), col("sh_b")))
+      .withColumn("hamming", hamming(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** 64-bit md5-family SimHash as a BIT STRING: per token, the 64 bits of
+    * the first 16 hex chars of md5(token) (MSB first); per bit, each
+    * token occurrence votes +1/−1; the doc's bit is '1' iff the vote sum
+    * is > 0 (ties → '0'). Returned as a 64-char '0'/'1' string so the
+    * DuckDB oracle compares it without unsigned-64 casts. Same
+    * occurrence-weighted majority vote as [[simhash64]]; only the hash
+    * family (and the carrier type) differ.
+    */
+  def simhashBitsMd5(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    graft.engine.Warehouse
+      .spreadForCompute(df.select(col(idCol).as("id"), col(textCol).as("__text")), "id")
+      // conv(hex, 16, 2) is Hive/Spark unsigned-64 base conversion; lpad
+      // restores the dropped leading zeros so char p is always bit p
+      .select(col("id"), explode(tokens(col("__text"))).as("t"))
+      .select(col("id"),
+        lpad(conv(substring(md5(col("t")), 1, 16), 16, 2), 64, "0").as("bits"))
+      // one row per (doc, bit): the vote sum is a plain shuffle-keyed
+      // aggregate with map-side combine — no per-doc token collection
+      .select(col("id"), explode(transform(sequence(lit(1), lit(64)), p =>
+        struct(p.as("p"),
+          when(col("bits").substr(p, lit(1)) === "1", 1).otherwise(-1).as("v")))).as("pv"))
+      .groupBy(col("id"), col("pv.p").as("p"))
+      .agg(sum(col("pv.v")).as("s"))
+      .groupBy("id")
+      .agg(concat_ws("", transform(array_sort(collect_list(struct(col("p"), col("s")))),
+        x => when(x.getField("s") > 0, "1").otherwise("0"))).as("sh"))
+  }
+
+  /** [[simhashNearDups]] with the md5 hash family — the gate's hash-green
+    * twin (q179): identical pigeonhole blocking ([[chunkCandidates]]
+    * verbatim — `maxHamming + 1` disjoint chunks, chunk self-join, exact
+    * Hamming verify) over the DuckDB-mirrorable bit-string simhash.
+    */
+  def simhashNearDupsMd5(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming out of range: $maxHamming")
+    val chunks = maxHamming + 1
+    val widths = Array.tabulate(chunks)(c => 64 / chunks + (if (c < 64 % chunks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val chunkExprs: Seq[Column] = (0 until chunks).map { c =>
+      struct(lit(c).as("c"),
+        substring(col("sh"), offsets(c) + 1, widths(c)).as("v"))
+    }
+    def hammingBits(a: Column, b: Column): Column =
+      aggregate(transform(sequence(lit(1), lit(64)),
+          i => when(a.substr(i, lit(1)) =!= b.substr(i, lit(1)), 1L).otherwise(0L)),
+        lit(0L), (acc, x) => acc + x)
+    chunkCandidates(simhashBitsMd5(df, textCol, idCol), chunkExprs,
+      hammingBits, maxHamming)
   }
 
   /** SemDeDup-style semantic deduplication: documents whose embeddings sit

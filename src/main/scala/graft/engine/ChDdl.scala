@@ -337,15 +337,23 @@ object ChDdl {
 
   /** Absolute positions of `default`/`comment`/`after` keywords OUTSIDE
     * single-quoted string literals (CH syntax: `''` and `\`-escapes stay
-    * inside the literal) and OUTSIDE backtick-quoted identifiers (a
+    * inside the literal), OUTSIDE backtick-quoted identifiers (a
     * column literally named `after` may appear in a DEFAULT expression),
-    * in text order — the one scan parseCol's type cut and clause
-    * extraction share.
+    * and at PAREN DEPTH 0 (a named-tuple field `Tuple(after UInt32)` or a
+    * function-call operand `coalesce(comment, '')` is not a clause), in
+    * text order — the one scan parseCol's type cut and clause extraction
+    * share. Remaining boundary: an UNPARENTHESIZED depth-0 expression
+    * ending in one of the words (e.g. `DEFAULT x + comment`) still cuts —
+    * that needs full expression parsing, and CH itself requires such a
+    * column be backticked in practice.
     */
   private def topLevelKws(s: String): Seq[(Int, String)] = {
     val out = Seq.newBuilder[(Int, String)]
     def isIdent(c: Char): Boolean = c == '_' || c.isLetterOrDigit
     var i = 0
+    var depth = 0    // paren depth: a keyword INSIDE parens is a type
+                     // argument or function-call operand (`Tuple(after
+                     // UInt32)`, `coalesce(comment, '')`), never a clause
     var inQ = false  // single-quoted string literal
     var inBq = false // backtick-quoted identifier (`` escapes a backtick)
     var inDq = false // double-quoted identifier (CH-legal; "" escapes)
@@ -366,11 +374,14 @@ object ChDdl {
       else if (c == '`') { inBq = true; i += 1 }
       else if (c == '"') { inDq = true; i += 1 }
       else {
-        for (w <- Seq("default", "comment", "after"))
-          if (s.regionMatches(true, i, w, 0, w.length) &&
-              (i == 0 || !isIdent(s.charAt(i - 1))) &&
-              (i + w.length >= s.length || !isIdent(s.charAt(i + w.length))))
-            out += ((i, w))
+        if (c == '(') depth += 1
+        else if (c == ')') { if (depth > 0) depth -= 1 }
+        else if (depth == 0)
+          for (w <- Seq("default", "comment", "after"))
+            if (s.regionMatches(true, i, w, 0, w.length) &&
+                (i == 0 || !isIdent(s.charAt(i - 1))) &&
+                (i + w.length >= s.length || !isIdent(s.charAt(i + w.length))))
+              out += ((i, w))
         i += 1
       }
     }

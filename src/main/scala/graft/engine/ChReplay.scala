@@ -1132,7 +1132,16 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     * its OWN select list.
     */
   private def rewriteFlatBlock(q: String): String = {
-    val setOpRe = """(?i)\b(?:union(?:\s+all|\s+distinct)?|except|intersect)\b""".r
+    // A bare EXCEPT/INTERSECT keyword is only a SET OPERATION when a new
+    // branch follows: (optionally ALL/DISTINCT, then) SELECT or a masked
+    // subquery "(NUL N NUL)" — subqueries were masked before this runs.
+    // Without the lookahead the column-modifier form `SELECT * EXCEPT
+    // (col)` (which ChSql.scala / ChLimitBy.scala themselves emit) would
+    // cut here, and the non-SELECT tail would silently skip the alias
+    // rewrites. A literal `(col)` list keeps its plain text, so the
+    // masked-paren alternative cannot false-match it.
+    val setOpRe =
+      """(?i)\b(?:union(?:\s+all|\s+distinct)?|except|intersect)\b(?=\s*(?:(?:all|distinct)\b\s*)?(?:select\b|\(\x00))""".r
     val cuts = setOpRe.findAllMatchIn(ChSql.maskStrings(q))
       .map(m => (m.start, m.end)).toSeq
     if (cuts.isEmpty) rewriteFlatBranch(q)
@@ -1244,23 +1253,51 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     // CH resolves in the function namespace, never to an alias (an alias
     // named `floor` must not corrupt `floor(x)`)
     val nameRe = ("(?i)(?<![\\w.`])(" + names + ")\\b(?!\\s*\\()").r
+    // one guarded substitution pass over a code run
+    def subst(run: String, m: Map[String, String], skip: String): String =
+      nameRe.replaceAllIn(run, mm => java.util.regex.Matcher.quoteReplacement {
+        val n = mm.group(1).toLowerCase
+        // the CAST type position (`CAST(x AS date)`) is never an alias
+        // reference in CH — keep the identifier when `AS` precedes it
+        if (n == skip || run.substring(0, mm.start(1)).matches("(?is).*\\bas\\s+"))
+          mm.group(0)
+        else "(" + m(n) + ")"
+      })
+    // CH resolves alias chains TRANSITIVELY (`a+1 AS x, x*2 AS y ...
+    // WHERE y > 0` means (a+1)*2 > 0), so close the map to a fixed point
+    // before inlining. Rounds are bounded by the alias count: a genuine
+    // cycle (which CH rejects as circular) stops expanding there and the
+    // unresolved name falls through to Spark's resolver — a loud error,
+    // not a silent wrong answer. An alias is never substituted into its
+    // OWN expression (skip = self), so `x+1 AS x` keeps the column read.
+    val closed = {
+      var cur = aliasExpr
+      var rounds = 0
+      var changed = true
+      while (changed && rounds < aliasExpr.size) {
+        changed = false
+        cur = cur.map { case (n, e) =>
+          val e2 = ChSql.mapCode(e)(run => subst(run, cur, skip = n))
+          if (e2 != e) changed = true
+          n -> e2
+        }
+        rounds += 1
+      }
+      cur
+    }
     // the set-operation keywords terminate the body too: an unparenthesized
-    // UNION branch is a SIBLING select, not part of this WHERE
+    // UNION branch is a SIBLING select, not part of this WHERE. HAVING gets
+    // the same alias preference (CH resolves it identically); its body ends
+    // at the same terminators, HAVING itself never nests.
     val whereRe =
-      ("""(?is)\b(where)\s+(.+?)""" +
+      ("""(?is)\b(where|having)\s+(.+?)""" +
         """(?=\bgroup\s+by\b|\border\s+by\b|\bhaving\b|\bqualify\b|""" +
         """\blimit\b|\bsettings\b|\bwindow\b|""" +
         """\bunion\b|\bexcept\b|\bintersect\b|$)""").r
     ChSql.replaceOnMasked(q, whereRe) { m =>
       val body = ChSql.grp(q, m, 2)
-      val rewritten = ChSql.mapCode(body)(run =>
-        nameRe.replaceAllIn(run, mm => java.util.regex.Matcher.quoteReplacement(
-          // the CAST type position (`CAST(x AS date)`) is never an alias
-          // reference in CH — keep the identifier when `AS` precedes it
-          if (run.substring(0, mm.start(1)).matches("(?is).*\\bas\\s+"))
-            mm.group(0)
-          else "(" + aliasExpr(mm.group(1).toLowerCase) + ")")))
-      "WHERE " + rewritten
+      val rewritten = ChSql.mapCode(body)(run => subst(run, closed, skip = null))
+      m.group(1).toUpperCase + " " + rewritten
     }
   }
 

@@ -254,7 +254,11 @@ object Codecs {
     while (i + 8 <= blob.length) {
       val id = new String(blob, i, 4, "US-ASCII")
       val size = le32(blob, i + 4)
-      if (id == "fmt " && i + 8 + 16 <= blob.length) {
+      // the DECLARED chunk size must also cover the 16 base fmt fields —
+      // a truncated fmt chunk must not parse channels/rate/blockAlign
+      // from the NEXT chunk's bytes (same strictness as the data region
+      // and the >= 20 extension read)
+      if (id == "fmt " && size >= 16 && i + 8 + 16 <= blob.length) {
         fmt = le16(blob, i + 8)
         channels = le16(blob, i + 10)
         rate = le32(blob, i + 12).toInt
@@ -327,7 +331,11 @@ object Codecs {
     while (i + 8 <= blob.length) {
       val id = new String(blob, i, 4, "US-ASCII")
       val size = le32(blob, i + 4)
-      if (id == "fmt " && i + 8 + 16 <= blob.length) {
+      // the DECLARED chunk size must also cover the 16 base fmt fields —
+      // a truncated fmt chunk must not parse channels/rate/blockAlign
+      // from the NEXT chunk's bytes (same strictness as the data region
+      // and the >= 20 extension read)
+      if (id == "fmt " && size >= 16 && i + 8 + 16 <= blob.length) {
         fmt = le16(blob, i + 8)
         channels = le16(blob, i + 10)
         rate = le32(blob, i + 12).toInt

@@ -108,6 +108,35 @@ object TextPack {
         .orderBy("id_a", "id_b")
     },
 
+    // q35's HASH-GATED TWIN (the q176/q129 pattern): the identical
+    // MinHash+LSH pipeline — Dedup.lshCandidatePairs verbatim: band
+    // explode, bucket self-join, pair dedup, signature re-join, agreement
+    // estimate — with the hash family swapped from seeded xxhash64 to
+    // md5, which both engines compute bit-identically over UTF-8 text.
+    // This puts the banding/blocking machinery itself (not just its
+    // recall properties) under the DuckDB value gate; q35 keeps the
+    // production family and stays rows-only. Parameters are q35's
+    // verbatim (64 hashes, 16 bands of 4, threshold 0.4) — ONLY the
+    // hash family differs.
+    "q178_minhash_md5" -> { (s, dir) =>
+      Dedup.minhashNearDupsMd5(Tables(s, dir).documents, "text", "doc_id",
+          numHashes = 64, bands = 16, threshold = 0.4)
+        .orderBy("id_a", "id_b")
+    },
+
+    // q36's HASH-GATED TWIN: the identical pigeonhole chunk-blocking
+    // pipeline — Dedup.chunkCandidates verbatim: 4 disjoint 16-bit
+    // chunks, chunk self-join, pair dedup, exact Hamming verify — over
+    // the md5-family bit-string simhash (per-token md5 bits, occurrence-
+    // weighted majority vote), so DuckDB replays signature, blocking,
+    // and verify value-exactly. q36 keeps the production xxhash64
+    // simhash and stays rows-only.
+    "q179_simhash_md5" -> { (s, dir) =>
+      Dedup.simhashNearDupsMd5(Tables(s, dir).documents, "text", "doc_id",
+          maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    },
+
     // Language ID heuristic (rows-only; sanity-checked in TextSpec).
     // Language ID: stopword-vote argmax, exactly mirrored by the DuckDB
     // oracle (list lambdas for token hits, replace-count for zh chars,
@@ -620,6 +649,70 @@ object TextPack {
         |  SELECT doc_id, md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS h
         |  FROM tok, UNNEST(generate_series(1, len(toks) - 2)) AS t(i))
         |SELECT doc_id, MIN(h) AS fp FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q178: the md5-family MinHash+LSH replay, stage for stage — distinct
+    // 3-shingles, 64 per-seed MIN(md5) lanes, 16 band keys from md5 of
+    // the '|'-joined 4-lane slice, bucket self-join, pair dedup,
+    // agreement/64 ≥ 0.4. est_jaccard = k/64 is binary-exact in DOUBLE,
+    // so the hash compare is safe.
+    "q178_minhash_md5" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+        |  FROM tok, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)),
+        |hx AS (
+        |  SELECT doc_id, j, MIN(substr(md5(CAST(j AS VARCHAR) || ':' || sh), 1, 16)) AS h
+        |  FROM sh, UNNEST(generate_series(0, 63)) AS tj(j)
+        |  GROUP BY doc_id, j),
+        |sig AS (SELECT doc_id, list(h ORDER BY j) AS sig FROM hx GROUP BY doc_id),
+        |bk AS (
+        |  SELECT doc_id, b, md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS h
+        |  FROM sig, UNNEST(generate_series(0, 15)) AS tb(b)),
+        |pairs AS (
+        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM bk x JOIN bk y ON x.b = y.b AND x.h = y.h AND x.doc_id < y.doc_id),
+        |est AS (
+        |  SELECT id_a, id_b,
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 64.0 AS est_jaccard
+        |  FROM pairs JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)
+        |SELECT id_a, id_b, est_jaccard FROM est
+        |WHERE est_jaccard >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    // q179: the md5-family SimHash replay — per-token 64 md5 bits (MSB
+    // first: nibble = strpos in the hex alphabet, bit = MSB-first divisor
+    // then parity), occurrence-weighted ±1 votes summed per (doc, bit),
+    // '1' iff sum > 0, 4 disjoint 16-bit chunks, chunk self-join, exact
+    // Hamming ≤ 3 on the bit strings.
+    "q179_simhash_md5" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS t
+        |  FROM documents),
+        |pv AS (
+        |  SELECT doc_id, p,
+        |    SUM(CASE WHEN (strpos('0123456789abcdef', substr(md5(t), 1 + (p-1)//4, 1)) - 1)
+        |              // CASE (p-1)%4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END % 2 = 1
+        |        THEN 1 ELSE -1 END) AS s
+        |  FROM tok, UNNEST(generate_series(1, 64)) AS tp(p)
+        |  GROUP BY doc_id, p),
+        |sh AS (
+        |  SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sh
+        |  FROM pv GROUP BY doc_id),
+        |ck AS (
+        |  SELECT doc_id, sh, c, substr(sh, c*16 + 1, 16) AS cv
+        |  FROM sh, UNNEST(generate_series(0, 3)) AS tc(c)),
+        |pairs AS (
+        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.sh AS sh_a, y.sh AS sh_b
+        |  FROM ck x JOIN ck y ON x.c = y.c AND x.cv = y.cv AND x.doc_id < y.doc_id),
+        |ham AS (
+        |  SELECT id_a, id_b,
+        |    CAST(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CASE WHEN substr(sh_a, i, 1) <> substr(sh_b, i, 1) THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        |  FROM pairs)
+        |SELECT id_a, id_b, hamming FROM ham
+        |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
 
     "q34_ngram_jaccard" ->
       """WITH tok AS (

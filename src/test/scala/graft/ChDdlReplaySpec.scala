@@ -185,6 +185,45 @@ class ChDdlReplaySpec extends SparkSpec {
     assert(got == Seq(("a, from b", 0L, 33L), ("a, from b", 1L, 12L)))
   }
 
+  test("runQuery: SELECT * EXCEPT (col) is a column modifier, not a set operation") {
+    val replay = new ChReplay(spark, tmpDir("graft-aliasq3"))
+    spark.range(0, 10).selectExpr("id % 3 AS k", "id AS v").createOrReplaceTempView("aliasq_t")
+    // the set-op splitter must NOT cut at the EXCEPT column modifier: a
+    // false cut leaves the tail (which doesn't start with SELECT)
+    // unrewritten, so the CH WHERE-alias preference below is silently
+    // lost and Spark errors on the alias reference in WHERE
+    val got = replay.runQuery(
+      "SELECT * EXCEPT (v), k % 2 AS m FROM aliasq_t WHERE m = 1 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L), (1L, 1L), (1L, 1L)))
+    // a REAL set operation still splits: each branch keeps its own
+    // GROUP BY alias scope
+    val setOp = replay.runQuery(
+      "SELECT k % 2 AS k, CAST(sum(v) AS BIGINT) AS s FROM aliasq_t GROUP BY k " +
+        "UNION ALL SELECT k % 2 AS k, CAST(count(*) AS BIGINT) AS s " +
+        "FROM aliasq_t GROUP BY k ORDER BY s")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(setOp == Seq((1L, 3L), (0L, 7L), (1L, 12L), (0L, 33L)), s"got $setOp")
+  }
+
+  test("runQuery: WHERE alias chains resolve transitively; HAVING gets the alias preference") {
+    val replay = new ChReplay(spark, tmpDir("graft-aliasq4"))
+    spark.range(0, 10).selectExpr("id % 3 AS k", "id AS v").createOrReplaceTempView("aliasq_t")
+    // CH resolves y → x*2 → (v+1)*2 transitively; a single-pass inline
+    // would leave the bare `x` in WHERE for Spark to reject
+    val got = replay.runQuery(
+      "SELECT v + 1 AS x, x * 2 AS y FROM aliasq_t WHERE y > 10 ORDER BY x")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((6L, 12L), (7L, 14L), (8L, 16L), (9L, 18L), (10L, 20L)))
+    // HAVING: the alias (k % 2, shadowing source column k) must win, as in
+    // WHERE — CH resolves HAVING identifiers with the same preference
+    val hav = replay.runQuery(
+      "SELECT k % 2 AS k, CAST(sum(v) AS BIGINT) AS s FROM aliasq_t " +
+        "GROUP BY k HAVING k = 1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(hav == Seq((1L, 12L)), s"got $hav")
+  }
+
   test("runQuery: alias shadowing rewrites inside subqueries (CH resolution at depth)") {
     val replay = new ChReplay(spark, tmpDir("graft-aliasq2"))
     spark.range(0, 10).selectExpr("id % 3 AS k", "id AS v").createOrReplaceTempView("aliasq_t")
@@ -1704,6 +1743,17 @@ class ChDdlReplaySpec extends SparkSpec {
     assert(kwIn2.default.contains("'by default'") && kwIn2.comment.contains("x"))
     // CH escape semantics: \n is a NEWLINE (ChSql.chEscape), not 'n'
     assert(parseCol("v String comment 'a\\nb'").comment.contains("a\nb"))
+    // keywords INSIDE PARENS are type arguments / call operands, not
+    // clauses: a named-tuple field `after` must stay in the type, and a
+    // DEFAULT calling a function whose operand is a column named
+    // `comment` must keep the whole call expression
+    val tup = parseCol("v Tuple(after UInt32, comment String)")
+    assert(tup.chType == "Tuple(afterUInt32,commentString)" &&
+      tup.after.isEmpty && tup.comment.isEmpty,
+      s"paren-nested keyword corrupted the descriptor: $tup")
+    val fnDef = parseCol("v String default coalesce(comment, '') comment 'x'")
+    assert(fnDef.default.contains("coalesce(comment, '')") &&
+      fnDef.comment.contains("x"), s"got $fnDef")
     // a programmatically-built Col with bare quotes/backslashes/control
     // chars renders DDL that reparses to the same descriptor
     for (cmt <- Seq("it's a \\ 'test'", "use default 5 after load",

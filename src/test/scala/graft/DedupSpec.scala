@@ -55,6 +55,29 @@ class DedupSpec extends SparkSpec {
       assert(math.abs(est - ex) < 0.25, s"pair ($a,$b): est=$est exact=$ex")
   }
 
+  test("md5-family twins behave like their production families on the planted corpus") {
+    // q178's pipeline: same recall property as the xxhash64 minhash —
+    // every high-exact-Jaccard pair must surface as a candidate
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minhashNearDupsMd5(docs, "text", "doc_id",
+        numHashes = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(exact.subsetOf(mh.keySet), s"missed pairs: ${exact -- mh.keySet}")
+    // the exact dup (0,1) must agree on EVERY lane
+    assert(mh.get((0L, 1L)).contains(1.0), s"exact dup est: ${mh.get((0L, 1L))}")
+    // q179's signature: 64-char '0'/'1' string, deterministic, identical
+    // docs identical, and the exact dup pair at Hamming 0 through the
+    // full blocking pipeline
+    val bits = Dedup.simhashBitsMd5(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(bits.values.forall(s => s.length == 64 && s.forall(c => c == '0' || c == '1')))
+    assert(bits(0L) == bits(1L))
+    val sh = Dedup.simhashNearDupsMd5(docs, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(sh.get((0L, 1L)).contains(0L), s"exact dup hamming: ${sh.get((0L, 1L))}")
+  }
+
   test("simhash: identical docs at distance 0, planted near-dups closer than unrelated") {
     import spark.implicits._
     val sigs = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sh"))

@@ -541,6 +541,23 @@ class MultimodalSpec extends SparkSpec {
       header(0, 0) ++ header(0, 0) ++ Array(0x10.toByte, 0x32.toByte))).isEmpty,
       "stereo blockAlign not 8-group-aligned must refuse")
 
+    // a TRUNCATED fmt chunk (declared size < 16) must refuse, not parse
+    // channels/rate/blockAlign from the NEXT chunk's bytes — for both the
+    // ADPCM and the PCM decoder
+    def truncFmtWav(fmtTag: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(12 + 8 + 12 + 8 + 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(28).put("WAVE".getBytes)
+        .put("fmt ".getBytes).putInt(12) // declares only 12 fmt bytes
+        .putShort(fmtTag.toShort).putShort(1).putInt(8000).putInt(8000)
+        .put("data".getBytes).putInt(8).putLong(0L)
+      b.array()
+    }
+    assert(Codecs.decodeImaAdpcmWav(truncFmtWav(0x11)).isEmpty,
+      "truncated fmt chunk must not decode (ADPCM)")
+    assert(Codecs.decodeWav(truncFmtWav(1)).isEmpty,
+      "truncated fmt chunk must not decode (PCM)")
+
     // feature dispatch: the ADPCM blob reaches audioFeatures, not the stub
     val blob = adpcmWav(8000, 1, 8, 9, monoData)
     assert(Multimodal.decodeFeatures(blob).toSeq ==

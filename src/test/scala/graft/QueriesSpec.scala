@@ -29,6 +29,10 @@ class QueriesSpec extends SparkSpec {
     // algorithms with no SQL mirror), and that nothing new joins that set
     // silently.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // q35/q36 keep the production xxhash64 families; their banding/
+    // blocking pipelines hash-gate exactly via the md5-family twins
+    // q178_minhash_md5 / q179_simhash_md5 (round 14), which run
+    // Dedup.lshCandidatePairs / chunkCandidates verbatim
     assert(rowsOnly == Set("q35_minhash_neardup", "q36_simhash_neardup",
       "q42_knn_lsh", "q43_cosine_neardup", "q44_knn_ivf", "q67_knn_pq",
       // sipHash64/xxHash64/intHash64 have no DuckDB implementation; the
