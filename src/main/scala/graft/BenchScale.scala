@@ -397,7 +397,8 @@ object BenchScale {
       // next op's reading) — `hotkey <op>` runs ONE op per JVM for
       // honest decade points.
       val hotOps = args.toSet.intersect(
-        Set("asof", "sessionize", "sequence_match", "cc_hot_cluster"))
+        Set("asof", "sessionize", "sequence_match", "cc_hot_cluster",
+          "cc_hot_star"))
       def opOn(o: String): Boolean = hotOps.isEmpty || hotOps.contains(o)
       val hotN = (if (x10) 10000000L else 1000000L) / div
       val bgN = hotN
@@ -457,6 +458,23 @@ object BenchScale {
           .select((col("id") * 2 + 2 * n).as("id_a"),
             (col("id") * 2 + 2 * n + 1).as("id_b"))
         Cluster.connectedComponents(chain.unionAll(bg), "id_a", "id_b")
+          .write.format("noop").mode("overwrite").save()
+      }
+      if (opOn("cc_hot_star")) measure("cc_hot_star", ccN) {
+        // the chain's opposite pole: the SAME node count in a diameter-2
+        // STAR (node 0 at the center). Pointer jumping's round count is
+        // O(log diameter), so this must resolve in ~2 rounds — the
+        // chain-vs-star job-count gap is the direct evidence that CC's
+        // cost is diameter-driven, not size-driven. The star is also the
+        // min-label HOT KEY worst case: every edge relaxes toward label 0
+        // in one aggregate (map-side combine is the guard being measured).
+        val n = ccN
+        val star = spark.range(1, n)
+          .select(lit(0L).as("id_a"), col("id").as("id_b"))
+        val bg = spark.range(n)
+          .select((col("id") * 2 + 2 * n).as("id_a"),
+            (col("id") * 2 + 2 * n + 1).as("id_b"))
+        Cluster.connectedComponents(star.unionAll(bg), "id_a", "id_b")
           .write.format("noop").mode("overwrite").save()
       }
     }

@@ -63,4 +63,23 @@ class ClusterSpec extends SparkSpec {
     val got = comps(edges, maxIters = 12)
     assert(got.values.toSet == Set(0L) && got.size == 64)
   }
+
+  test("maxIters failure is loud: an over-tight round bound throws, never loops") {
+    // the round cap is the guard against a (hypothetical) bug breaking the
+    // monotone-label invariant: the failure mode must be an exception
+    // naming the bound, not silent non-termination or a wrong labeling
+    val edges = (0L until 63L).map(i => (i, i + 1))
+    val e = intercept[IllegalStateException] { comps(edges, maxIters = 1) }
+    assert(e.getMessage.contains("no fixpoint after 1 rounds"))
+  }
+
+  test("star resolves in the minimum rounds (diameter-2 graph)") {
+    // the bench's cc_hot_star shape in miniature: every leaf is one hop
+    // from the center, so the seed relax already labels everything 0 and
+    // the loop must exit on its FIRST convergence check (maxIters = 1
+    // suffices — compare the chain above, which needs several)
+    val edges = (1L until 200L).map(i => (0L, i))
+    val got = comps(edges, maxIters = 1)
+    assert(got.values.toSet == Set(0L) && got.size == 200)
+  }
 }
