@@ -9,7 +9,9 @@ import java.util.zip.Inflater
   * differential coding is spec-simple enough to decode from raw bytes).
   * These take their formats OUT of the stub seam — real pixels/samples
   * decode at any scale with nothing but the JDK. JPEG (DCT entropy
-  * coding) rides the JDK's bundled `javax.imageio`; compressed VIDEO and
+  * coding) rides the JDK's bundled `javax.imageio`; MJPEG-in-AVI video
+  * composes [[parseAvi]]'s frame ranges with that JPEG decode (every
+  * frame is a keyframe JPEG). INTER-FRAME video codecs (H.264-class) and
   * non-IMA audio codecs stay behind [[Multimodal.decodeStub]]: those
   * genuinely need codec libraries this environment does not ship.
   *
@@ -411,5 +413,91 @@ object Codecs {
     }
     val samples = if (pos == out.length) out else java.util.Arrays.copyOf(out, pos)
     Some(Pcm(rate, channels, samples))
+  }
+
+  // ---- AVI (RIFF video container) -------------------------------------------
+
+  /** Parsed AVI video stream: header metadata plus the byte ranges of the
+    * video frames in the movi list, in stream order. `handler` is the
+    * stream's codec fourcc (strh fccHandler, falling back to strf
+    * biCompression) — "MJPG" frames are complete JPEG images the existing
+    * JPEG decoder reads for real.
+    */
+  final case class Avi(width: Int, height: Int, usPerFrame: Long,
+      totalFrames: Int, handler: String, frames: Array[(Long, Long)])
+
+  /** AVI container parse — the RIFF walk [[decodeWav]] uses, extended one
+    * level of nesting (LIST chunks carry a 4cc subtype then children):
+    * `LIST hdrl` → `avih` (frame timing, declared dimensions) and the
+    * first `LIST strl` whose `strh` is a video stream (fccType 'vids',
+    * recording its stream INDEX — movi chunk ids are '<nn>dc'/'<nn>db'
+    * with nn = the zero-padded stream number); `LIST movi` → that
+    * stream's frame chunk ranges (offset, size into the blob), including
+    * inside `LIST rec ` groupings (interleaved-AVI framing). Defensive
+    * like the WAV walk: sizes advance in Long, truncated/overflowing
+    * declarations stop the walk, `maxFrames` bounds the range list so a
+    * forged header cannot force a huge allocation. Returns None when the
+    * blob is not RIFF-AVI or has no video stream.
+    */
+  def parseAvi(blob: Array[Byte], maxFrames: Int = 4096): Option[Avi] = {
+    if (blob.length < 12 || blob(0) != 'R' || blob(1) != 'I' || blob(2) != 'F' ||
+        blob(3) != 'F' || new String(blob, 8, 4, "US-ASCII") != "AVI ") return None
+    var usPerFrame = 0L; var totalFrames = 0
+    var w = 0; var h = 0
+    var handler = ""
+    var videoStream = -1 // index among ALL streams, in strl order
+    var streamIdx = 0
+    val frames = Array.newBuilder[(Long, Long)]
+    var nFrames = 0
+
+    def fourcc(i: Int): String = new String(blob, i, 4, "US-ASCII")
+
+    // walk children of [at, end): top level, or a LIST's payload after its
+    // 4-byte subtype. `inMovi` collects the video stream's frame chunks.
+    def walk(at: Int, end: Int, inMovi: Boolean): Unit = {
+      var i = at
+      while (i + 8 <= end) {
+        val id = fourcc(i)
+        val size = le32(blob, i + 4)
+        val payload = i + 8
+        val pEnd = math.min(end.toLong, payload.toLong + size).toInt
+        if (id == "LIST" && size >= 4 && payload + 4 <= end) {
+          val sub = fourcc(payload)
+          // hdrl/strl/odml metadata and movi/rec  framing all recurse; a
+          // movi context propagates through rec  groupings
+          walk(payload + 4, pEnd, inMovi || sub == "movi")
+        } else if (id == "avih" && payload + 40 <= pEnd) {
+          usPerFrame = le32(blob, payload)
+          totalFrames = le32(blob, payload + 16).toInt
+          w = le32(blob, payload + 32).toInt
+          h = le32(blob, payload + 36).toInt
+        } else if (id == "strh" && payload + 8 <= pEnd) {
+          if (fourcc(payload) == "vids" && videoStream < 0) {
+            videoStream = streamIdx
+            handler = fourcc(payload + 4).trim
+          }
+          streamIdx += 1
+        } else if (id == "strf" && videoStream == streamIdx - 1 &&
+            payload + 20 <= pEnd) {
+          // BITMAPINFOHEADER of the just-declared video stream: take its
+          // dimensions when avih carried none, and biCompression when
+          // strh's handler was blank (both layouts ship in the wild)
+          if (w <= 0) w = le32(blob, payload + 4).toInt
+          if (h <= 0) h = math.abs(le32(blob, payload + 8).toInt)
+          if (handler.isEmpty) handler = fourcc(payload + 16).trim
+        } else if (inMovi && videoStream >= 0 && nFrames < maxFrames &&
+            id.length == 4 && (id.endsWith("dc") || id.endsWith("db")) &&
+            id.startsWith(f"$videoStream%02d") && size > 0 &&
+            payload.toLong + size <= blob.length) {
+          frames += ((payload.toLong, size))
+          nFrames += 1
+        }
+        val next = i.toLong + 8L + size + (size & 1L)
+        if (next <= i || next > end) i = end else i = next.toInt
+      }
+    }
+    walk(12, blob.length, inMovi = false)
+    if (videoStream < 0 || w <= 0 || h <= 0) None
+    else Some(Avi(w, h, usPerFrame, totalFrames, handler, frames.result()))
   }
 }

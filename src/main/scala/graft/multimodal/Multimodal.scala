@@ -19,8 +19,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * scanline un-filtering), uncompressed BMP, 16-bit PCM WAV, and
   * compressed IMA/DVI ADPCM WAV from raw bytes, and [[imageIoFeatures]]
   * decodes JPEG/GIF through the JDK's own bundled `javax.imageio`
-  * readers — no external library anywhere. Only compressed VIDEO (and
-  * non-IMA audio codecs) falls back to [[decodeStub]], the remaining
+  * readers — no external library anywhere. VIDEO decodes real frames for
+  * MJPEG-in-AVI ([[Codecs.parseAvi]] frame ranges + the JPEG decoder:
+  * [[sampleFrames]] emits real per-frame pixels, [[aviPosterImage]] real
+  * whole-blob features). Only INTER-FRAME video codecs (H.264-class) and
+  * non-IMA compressed audio fall back to [[decodeStub]], the remaining
   * seam where an ffmpeg-class binding would plug in.
   */
 object Multimodal {
@@ -37,9 +40,9 @@ object Multimodal {
       StructField("duration_ms", LongType))))))
 
   /** STUB decoder for the formats that need external codec libraries
-    * (JPEG, compressed video/audio): a deterministic 16-bin byte
-    * histogram, L1-normalized — shape-compatible with the real feature
-    * extractors below, trivially reproducible in tests.
+    * (inter-frame video, non-IMA compressed audio): a deterministic
+    * 16-bin byte histogram, L1-normalized — shape-compatible with the
+    * real feature extractors below, trivially reproducible in tests.
     */
   private[graft] def decodeStub(blob: Array[Byte]): Array[Float] = {
     val bins = new Array[Float](16)
@@ -149,11 +152,30 @@ object Multimodal {
     Codecs.decodePng(blob).orElse(Codecs.decodeBmp(blob))
       .orElse(imageIoImage(blob))
 
+  /** First decodable video frame of an MJPEG-in-AVI blob (the poster
+    * frame) as real pixels: the AVI walk yields the frame's byte range,
+    * and the payload is a complete JPEG the existing decoder reads — no
+    * new codec. MJPEG variants that strip the Huffman tables from frames
+    * (legal in the AVI spec, rare in practice) fail the JPEG decode and
+    * fall through to None. The frame-size cap mirrors imageIoImage's
+    * header bound.
+    */
+  private[graft] def aviPosterImage(blob: Array[Byte]): Option[Codecs.Image] =
+    Codecs.parseAvi(blob).flatMap(_.frames.headOption).flatMap { case (off, sz) =>
+      if (sz <= 0 || sz > 64L * 1024 * 1024) None
+      else {
+        val fb = java.util.Arrays.copyOfRange(blob, off.toInt, (off + sz).toInt)
+        decodeImage(fb)
+      }
+    }
+
   /** Feature dispatch: real pixels/samples wherever the JVM can decode —
-    * [[Codecs]] (PNG/BMP, PCM and IMA-ADPCM WAV, pure bytes) then
-    * [[imageIoFeatures]] (JPEG/GIF via the JDK's bundled readers). The
-    * stub histogram now covers ONLY compressed VIDEO and non-IMA audio
-    * codecs, which genuinely need external codec libraries
+    * [[Codecs]] (PNG/BMP, PCM and IMA-ADPCM WAV, pure bytes), then
+    * [[imageIoFeatures]] (JPEG/GIF via the JDK's bundled readers), then
+    * [[aviPosterImage]] (MJPEG-in-AVI video: real first-frame pixels —
+    * per-frame features come from [[sampleFrames]]). The stub histogram
+    * now covers ONLY inter-frame video codecs (H.264-class) and non-IMA
+    * compressed audio, which genuinely need external codec libraries
     * (ffmpeg-class) this environment doesn't ship.
     */
   private[graft] def decodeFeatures(blob: Array[Byte]): Array[Float] =
@@ -161,6 +183,7 @@ object Multimodal {
       .orElse(Codecs.decodeWav(blob).map(audioFeatures))
       .orElse(Codecs.decodeImaAdpcmWav(blob).map(audioFeatures))
       .orElse(imageIoFeatures(blob))
+      .orElse(aviPosterImage(blob).map(imageFeatures))
       .getOrElse(decodeStub(blob))
 
   /** Batched per-partition feature extraction — the mapInPandas shape:
@@ -230,20 +253,23 @@ object Multimodal {
     * `frames` samples on a true sync-sample (keyframe) byte range —
     * `frames` evenly spaced picks over the stss list, each substring an
     * exact [offset, offset+size) payload ([[IsoBmff.syncSampleRanges]],
-    * pure byte arithmetic, no codec). Everything else falls back to equal
-    * chunks (the blind split a payload without a sample index forces).
-    * Emits one feature row per sampled frame — the explode-shaped operator
-    * a video pipeline needs.
+    * pure byte arithmetic, no codec) — and AVI blobs land on movi video
+    * chunks ([[Codecs.parseAvi]]; every MJPEG frame is a keyframe, and
+    * the sampled payload is a complete JPEG the feature pass then decodes
+    * for REAL pixels). Everything else falls back to equal chunks (the
+    * blind split a payload without a sample index forces). Emits one
+    * feature row per sampled frame — the explode-shaped operator a video
+    * pipeline needs.
     */
   def sampleFrames(media: DataFrame, frames: Int): DataFrame = {
     val spark = org.apache.spark.sql.SparkSession.active
-    graft.functions.Registration.once(spark, "mp4_sync_samples") {
+    graft.functions.Registration.once(spark, "video_samples") {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "mp4_sync_samples", exprs => Mp4SyncSamplesExpr(exprs.head), "built-in")
+        "video_samples", exprs => VideoSamplesExpr(exprs.head), "built-in")
     }
     val pick = s"element_at(__sync, cast(frame_idx * __n / $frames as int) + 1)"
     val chunked = media
-      .withColumn("__sync", call_function("mp4_sync_samples", col("blob")))
+      .withColumn("__sync", call_function("video_samples", col("blob")))
       .withColumn("__n", coalesce(size(col("__sync")), lit(0)))
       .withColumn("frame_idx", explode(sequence(lit(0), lit(frames - 1))))
       .withColumn("frame_blob",
@@ -410,6 +436,7 @@ case class MediaMetaExpr(child: Expression)
     val b = v.asInstanceOf[Array[Byte]]
     try {
       if (b.length >= 12 && fourcc(b, 0) == "RIFF" && fourcc(b, 8) == "WAVE") wav(b)
+      else if (b.length >= 12 && fourcc(b, 0) == "RIFF" && fourcc(b, 8) == "AVI ") avi(b)
       else if (b.length >= 12 && fourcc(b, 4) == "ftyp") mp4(b)
       else if (b.length >= 4 && (b(0) & 0xFF) == 0x1A && (b(1) & 0xFF) == 0x45 &&
           (b(2) & 0xFF) == 0xDF && (b(3) & 0xFF) == 0xA3) matroska(b)
@@ -426,6 +453,22 @@ case class MediaMetaExpr(child: Expression)
       case _: RuntimeException => row("unknown")
     }
   }
+
+  /** AVI header metadata through the one full-container walk
+    * ([[Codecs.parseAvi]]): dimensions from avih (or the video strf),
+    * duration from usPerFrame × totalFrames. A RIFF-AVI magic with no
+    * parseable video stream still identifies as "avi", fields null.
+    */
+  private def avi(b: Array[Byte]): InternalRow =
+    Codecs.parseAvi(b) match {
+      case Some(a) =>
+        val dur: java.lang.Long =
+          if (a.usPerFrame > 0 && a.totalFrames > 0)
+            a.usPerFrame * a.totalFrames / 1000L
+          else null
+        row("avi", w = a.width, h = a.height, durMs = dur)
+      case None => row("avi")
+    }
 
   /** RIFF chunk walk: chunks are [id:4][size:le32][payload], word-aligned. */
   private def wav(b: Array[Byte]): InternalRow = {
@@ -761,4 +804,36 @@ case class Mp4SyncSamplesExpr(child: Expression)
   override protected def withNewChildInternal(c: Expression): Mp4SyncSamplesExpr =
     copy(child = c)
   override def prettyName: String = "mp4_sync_samples"
+}
+
+/** video_samples(blob) → array<struct<offset BIGINT, size BIGINT>> of the
+  * first video stream's frame byte ranges for ANY container the library
+  * parses: MP4 keyframes ([[IsoBmff.syncSampleRanges]]) or AVI movi video
+  * chunks ([[Codecs.parseAvi]] — all MJPEG frames are keyframes). NULL
+  * when neither container yields ranges — the dispatch signal
+  * [[Multimodal.sampleFrames]] uses to choose frame-aware sampling over
+  * blind equal chunking.
+  */
+case class VideoSamplesExpr(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("offset", LongType, nullable = false),
+    StructField("size", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val b = v.asInstanceOf[Array[Byte]]
+    val ranges = IsoBmff.syncSampleRanges(b) match {
+      case rs if rs.nonEmpty => rs
+      case _ => Codecs.parseAvi(b).map(_.frames).getOrElse(Array.empty[(Long, Long)])
+    }
+    if (ranges.isEmpty) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      ranges.map { case (o, s) => InternalRow(o, s) })
+  }
+
+  override protected def withNewChildInternal(c: Expression): VideoSamplesExpr =
+    copy(child = c)
+  override def prettyName: String = "video_samples"
 }

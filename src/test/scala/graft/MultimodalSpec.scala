@@ -130,6 +130,111 @@ class MultimodalSpec extends SparkSpec {
     assert(fake.select("n_bytes").collect().forall(_.getLong(0) == 30L))
   }
 
+  // --- a hand-built MJPEG AVI whose frames are REAL JPEGs -----------------
+  private def le(xs: Int*): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(4 * xs.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    xs.foreach(b.putInt)
+    b.array()
+  }
+  private def riffChunk(id: String, payload: Array[Byte]): Array[Byte] = {
+    val pad = payload.length & 1
+    java.nio.ByteBuffer.allocate(8 + payload.length + pad)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put(id.getBytes("US-ASCII")).putInt(payload.length).put(payload).array()
+  }
+  private def riffList(sub: String, children: Array[Byte]*): Array[Byte] =
+    riffChunk("LIST", sub.getBytes("US-ASCII") ++ children.flatten)
+
+  private def jpegOf(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** RIFF-AVI: LIST hdrl(avih + LIST strl(strh vids/MJPG + strf)) +
+    * LIST movi(00dc frames). 40000 µs/frame = 25 fps.
+    */
+  private def craftAvi(framesJpeg: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+    val avih = riffChunk("avih",
+      le(40000, 0, 0, 0, framesJpeg.length, 0, 1, 0, w, h, 0, 0, 0, 0))
+    val strh = riffChunk("strh",
+      "vids".getBytes("US-ASCII") ++ "MJPG".getBytes("US-ASCII") ++
+        le(0, 0, 0, 1, 25, 0, framesJpeg.length, 0, 0, 0) ++ new Array[Byte](8))
+    val strf = riffChunk("strf",
+      le(40, w, h) ++ Array[Byte](1, 0, 24, 0) ++ "MJPG".getBytes("US-ASCII") ++
+        le(w * h * 3, 0, 0, 0, 0))
+    val hdrl = riffList("hdrl", avih, riffList("strl", strh, strf))
+    val movi = riffList("movi", framesJpeg.map(j => riffChunk("00dc", j)): _*)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    java.nio.ByteBuffer.allocate(8 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(body.length).put(body).array()
+  }
+
+  test("MJPEG-in-AVI decodes REAL video frames: parse, meta, sampling, poster features") {
+    import spark.implicits._
+    import graft.multimodal.Codecs
+    // four visually distinct 16x16 frames (JPEG is lossy; solid colors
+    // survive roundtrip closely enough for feature comparison by equality
+    // against the SAME decoder output)
+    val colors = Seq(0xFF0000, 0x00FF00, 0x0000FF, 0xFFFFFF)
+    val jpegs = colors.map(jpegOf(16, 16, _))
+    val blob = craftAvi(jpegs, 16, 16)
+
+    // container parse: video stream found, MJPG handler, one range per
+    // frame, each range holding a complete JPEG (SOI marker at offset 0)
+    val avi = Codecs.parseAvi(blob).getOrElse(fail("AVI did not parse"))
+    assert((avi.width, avi.height, avi.handler, avi.totalFrames) == (16, 16, "MJPG", 4))
+    assert(avi.usPerFrame == 40000L)
+    assert(avi.frames.length == 4)
+    for (((off, sz), j) <- avi.frames.zip(jpegs))
+      assert(blob.slice(off.toInt, (off + sz).toInt).toSeq == j.toSeq,
+        "frame range does not hold its JPEG verbatim")
+
+    // mediaMeta: avi fourcc with dimensions and duration (4 × 40 ms)
+    val meta = Seq(Tuple1(blob)).toDF("blob")
+      .select(Multimodal.mediaMeta(col("blob")).as("m"))
+      .select("m.format", "m.width", "m.height", "m.duration_ms")
+      .collect().head
+    assert((meta.getString(0), meta.getInt(1), meta.getInt(2), meta.getLong(3)) ==
+      ("avi", 16, 16, 160L))
+
+    // sampleFrames: frame-aware picks (frames 0 and 2 of 4), REAL pixels —
+    // the features are the JPEG decoder's, not the stub histogram
+    val media = Seq((1L, "video", blob)).toDF("media_id", "modality", "blob")
+    val out = Multimodal.sampleFrames(media, frames = 2)
+      .select("frame_idx", "features", "n_bytes").collect().sortBy(_.getInt(0))
+    assert(out.length == 2)
+    for ((r, pick) <- out.zip(Seq(0, 2))) {
+      val expected = Multimodal.decodeFeatures(jpegs(pick)).toSeq
+      assert(r.getLong(2) == jpegs(pick).length.toLong)
+      assert(r.getSeq[Float](1) == expected,
+        s"frame $pick features are not the real JPEG decode's")
+      assert(r.getSeq[Float](1) != Multimodal.decodeStub(jpegs(pick)).toSeq,
+        s"frame $pick fell through to the stub")
+    }
+
+    // whole-blob features: the poster frame (frame 0) decodes for real
+    assert(Multimodal.decodeFeatures(blob).toSeq ==
+      Multimodal.decodeFeatures(jpegs.head).toSeq)
+    assert(Multimodal.decodeFeatures(blob).toSeq != Multimodal.decodeStub(blob).toSeq)
+
+    // malformed AVIs are data, not crashes: truncated header parses to
+    // None; a frame chunk whose size runs past the blob is skipped
+    assert(Codecs.parseAvi(blob.take(32)).isEmpty)
+    val forged = blob.clone()
+    val at = forged.indices.find(i => i + 4 <= forged.length &&
+      new String(forged, i, 4, "US-ASCII") == "00dc").get
+    java.nio.ByteBuffer.wrap(forged, at + 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(Int.MaxValue)
+    assert(Codecs.parseAvi(forged).forall(_.frames.length < 4),
+      "an overflowing frame size must not produce an out-of-bounds range")
+  }
+
   test("imageMeta parses real PNG/JPEG/GIF/BMP headers from raw bytes") {
     import spark.implicits._
     def png(w: Int, h: Int): Array[Byte] = {
