@@ -186,6 +186,10 @@ class PlanSpec extends SparkSpec {
     "q28_doc_chunks" -> 1, "q29_pack_sequences" -> 2, "q30_dedup_exact" -> 3,
     "q31_doc_stats" -> 1, "q32_quality" -> 2, "q33_fingerprint" -> 2,
     "q34_ngram_jaccard" -> 1, "q35_minhash_neardup" -> 1, "q36_simhash_neardup" -> 1,
+    // md5-family twins: the SAME lshCandidatePairs/chunkCandidates
+    // pipelines as q35/q36 (the persist boundary hides the signature
+    // subtree's exchanges, identically), so the same budget of 1
+    "q178_minhash_md5" -> 1, "q179_simhash_md5" -> 1,
     "q37_langid" -> 2, "q38_multimodal_features" -> 1, "q39_corpus_pipeline" -> 4,
     "q40_cosine_probe" -> 1, "q41_knn_brute" -> 2, "q42_knn_lsh" -> 3,
     // exhaustive (bits=0) LSH: same shape as q42 — signature explode +
