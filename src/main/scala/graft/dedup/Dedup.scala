@@ -131,6 +131,11 @@ object Dedup {
     // runs three times. Persist the COMPACT (id, sig) form, before the band
     // explode: caching the exploded rows would store each signature `bands`
     // times and pay columnar encode/decode on the multiplied width.
+    // Lifetime: the cache stays pinned for the session (the caller's
+    // result is lazy, so there is no safe unpersist point inside this
+    // function); it is bounded by the (id, sig) table — numHashes×8 B
+    // (or ×16 B for the md5 twin) per doc — and spills to disk, the
+    // standard cost of a reusable signature table in a dedup run.
     val sigs = sigDf.persist(StorageLevel.MEMORY_AND_DISK)
     // SLIM band rows: the bucket self-join shuffles (bk, id) ONLY — the
     // numHashes-long signature array must not ride the bands× explosion

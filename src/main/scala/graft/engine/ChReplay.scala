@@ -1223,13 +1223,27 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
       """(?is)^(.*)\bas\s+(\w+)\s*$""".r.findFirstMatchIn(item.trim)
         .map(m => m.group(2).toLowerCase -> m.group(1).trim)
     }.toMap
+    // a star item (`*`, `t.*`, `* EXCEPT (...)`) expands to an unknown
+    // number of columns, so ITEM INDEX ≠ output ordinal — substitute the
+    // alias EXPRESSION (parenthesized) instead of an ordinal there; both
+    // forms carry CH's alias-over-source-column preference into Spark
+    val hasStar = items.exists { it =>
+      val t = it.trim
+      t == "*" || t.startsWith("* ") || t.startsWith("*\t") ||
+        """(?s)^\w+\s*\.\s*\*.*""".r.matches(t)
+    }
     val groupByDone =
       """(?is)\b(group\s+by)\s+([\w\s,]+?)(?=\border\s+by\b|\bhaving\b|\blimit\b|\bsettings\b|$)""".r
         .replaceAllIn(q, m => {
           val terms = m.group(2).split(",").map(_.trim).filter(_.nonEmpty).map { t =>
-            aliasOrdinal.get(t.toLowerCase).map(_.toString).getOrElse(t)
+            if (hasStar) aliasExpr.get(t.toLowerCase).map(e => s"($e)").getOrElse(t)
+            else aliasOrdinal.get(t.toLowerCase).map(_.toString).getOrElse(t)
           }
-          m.group(1) + " " + terms.mkString(", ") + "\n"
+          // quote the WHOLE replacement: replaceAllIn interprets $/\ in
+          // the returned string, and an inlined alias expression may
+          // legitimately contain either
+          java.util.regex.Matcher.quoteReplacement(
+            m.group(1) + " " + terms.mkString(", ") + "\n")
         })
     rewriteWhereAliases(groupByDone, aliasExpr)
   }
@@ -1263,6 +1277,10 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
           mm.group(0)
         else "(" + m(n) + ")"
       })
+    // fast bail: no WHERE/HAVING anywhere ⇒ nothing to rewrite, and the
+    // alias closure below (up to |aliases| regex passes) is skipped on
+    // the replay hot path
+    if ("""(?i)\b(?:where|having)\b""".r.findFirstIn(q).isEmpty) return q
     // CH resolves alias chains TRANSITIVELY (`a+1 AS x, x*2 AS y ...
     // WHERE y > 0` means (a+1)*2 > 0), so close the map to a fixed point
     // before inlining. Rounds are bounded by the alias count: a genuine
@@ -1270,11 +1288,16 @@ final class ChReplay(spark: SparkSession, warehouseDir: String) {
     // unresolved name falls through to Spark's resolver — a loud error,
     // not a silent wrong answer. An alias is never substituted into its
     // OWN expression (skip = self), so `x+1 AS x` keeps the column read.
+    // Total text is capped: a self-doubling chain (x1 = x0||x0, …) grows
+    // the closure exponentially, so past the cap expansion stops and the
+    // remaining alias names again fall through to Spark — never an OOM.
+    val maxClosureChars = 1 << 20
     val closed = {
       var cur = aliasExpr
       var rounds = 0
       var changed = true
-      while (changed && rounds < aliasExpr.size) {
+      while (changed && rounds < aliasExpr.size &&
+          cur.valuesIterator.map(_.length.toLong).sum < maxClosureChars) {
         changed = false
         cur = cur.map { case (n, e) =>
           val e2 = ChSql.mapCode(e)(run => subst(run, cur, skip = n))

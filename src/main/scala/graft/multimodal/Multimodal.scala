@@ -780,32 +780,6 @@ private[graft] object IsoBmff {
   }
 }
 
-/** mp4_sync_samples(blob) → array<struct<offset BIGINT, size BIGINT>> of
-  * the first video trak's keyframe byte ranges, NULL for anything that is
-  * not an MP4 with a parseable video sample table — the dispatch signal
-  * [[Multimodal.sampleFrames]] uses to choose keyframe-aware sampling
-  * over blind equal chunking.
-  */
-case class Mp4SyncSamplesExpr(child: Expression)
-  extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(StructType(Seq(
-    StructField("offset", LongType, nullable = false),
-    StructField("size", LongType, nullable = false))), containsNull = false)
-  override def nullable: Boolean = true
-
-  override def nullSafeEval(v: Any): Any = {
-    val ranges = IsoBmff.syncSampleRanges(v.asInstanceOf[Array[Byte]])
-    if (ranges.isEmpty) null
-    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      ranges.map { case (o, s) => InternalRow(o, s) })
-  }
-
-  override protected def withNewChildInternal(c: Expression): Mp4SyncSamplesExpr =
-    copy(child = c)
-  override def prettyName: String = "mp4_sync_samples"
-}
-
 /** video_samples(blob) → array<struct<offset BIGINT, size BIGINT>> of the
   * first video stream's frame byte ranges for ANY container the library
   * parses: MP4 keyframes ([[IsoBmff.syncSampleRanges]]) or AVI movi video

@@ -196,6 +196,19 @@ class ChDdlReplaySpec extends SparkSpec {
       "SELECT * EXCEPT (v), k % 2 AS m FROM aliasq_t WHERE m = 1 ORDER BY k")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == Seq((1L, 1L), (1L, 1L), (1L, 1L)))
+    // a star item expands to an UNKNOWN number of output columns, so the
+    // GROUP BY alias rewrite must inline the alias EXPRESSION, not an
+    // item-index ordinal (item 2 here is the alias, but output position 2
+    // is a star-expanded column)
+    spark.range(0, 10).selectExpr("id % 2 AS a", "id % 3 AS k", "id AS v")
+      .createOrReplaceTempView("aliasq_t3")
+    val star = replay.runQuery(
+      "SELECT * EXCEPT (v, k), v % 3 AS m, CAST(sum(v) AS BIGINT) AS s " +
+        "FROM aliasq_t3 GROUP BY a, m ORDER BY a, m")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(star == Seq((0L, 0L, 6L), (0L, 1L, 4L), (0L, 2L, 10L),
+      (1L, 0L, 12L), (1L, 1L, 8L), (1L, 2L, 5L)), s"got $star")
+
     // a REAL set operation still splits: each branch keeps its own
     // GROUP BY alias scope
     val setOp = replay.runQuery(
