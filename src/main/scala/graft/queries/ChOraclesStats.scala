@@ -670,7 +670,7 @@ object ChOraclesStats {
         |       '0,0,1;0,1' AS rspl,
         |       (SELECT MIN(auc) FROM auc) AS auc
         |FROM li
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, prod, rotl""".stripMargin,
 
     // same-definition DuckDB text built-ins per metric
     "q143_string_distance" ->

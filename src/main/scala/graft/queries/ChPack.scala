@@ -885,7 +885,7 @@ object ChPack {
           |                                a -> concat_ws(',', a))) AS rspl,
           |       a.auc
           |FROM li CROSS JOIN (SELECT min(auc) AS auc FROM auc) a
-          |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+          |ORDER BY l_orderkey, l_linenumber, prod, rotl""".stripMargin)
     },
 
     // The CH date-helper battery: timeSlot(s), epoch-relative unit

@@ -38,7 +38,11 @@ object RelationalPack {
       val li = Tables(s, dir).lineitem
       li.filter(col("l_quantity") > 45 && col("l_discount") <= 0.02 && col("l_returnflag") =!= "A")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")
-        .orderBy("l_orderkey", "l_linenumber")
+        // TOTAL order: the generated lineitem carries duplicate
+        // (l_orderkey, l_linenumber) pairs, and the gate compares rows
+        // positionally — a two-key sort leaves tie order engine-defined
+        // (first diverged at the sf1 rehearsal, round 14)
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")
     },
 
     // P5: LIKE pattern match (ref data_rebalance.py:199).
@@ -205,7 +209,8 @@ object RelationalPack {
         .select(col("l_orderkey"), col("l_linenumber"),
           floor(col("l_extendedprice") / 1000).cast(LongType).as("price_k"),
           pmod(col("l_partkey"), lit(100)).as("part_bucket"))
-        .orderBy("l_orderkey", "l_linenumber")
+        // TOTAL order over every projected column (see q02's note)
+        .orderBy("l_orderkey", "l_linenumber", "price_k", "part_bucket")
     },
 
     // A13: exact median (ref medianExact, dwm.mainpage_stat_mv_dis.sql:83).
@@ -273,7 +278,7 @@ object RelationalPack {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
         |FROM lineitem
         |WHERE l_quantity > 45 AND l_discount <= 0.02 AND l_returnflag <> 'A'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag""".stripMargin,
 
     "q03_like" ->
       """SELECT p_partkey, p_name, p_type FROM part
@@ -372,7 +377,8 @@ object RelationalPack {
       """SELECT l_orderkey, l_linenumber,
         | CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS price_k,
         | l_partkey % 100 AS part_bucket
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, price_k, part_bucket""".stripMargin,
 
     "q19_median" ->
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty, COUNT(*) AS cnt
