@@ -4,16 +4,19 @@ import java.util.zip.Inflater
 
 /** Pure-JVM pixel/sample decoders for the formats that need NO external
   * codec library: PNG (zlib rides `java.util.zip.Inflater`, plus the five
-  * scanline filters), uncompressed 24/32-bit BMP, 16-bit PCM WAV, and
-  * IMA/DVI ADPCM WAV (the first COMPRESSED audio codec — 4-bit adaptive
-  * differential coding is spec-simple enough to decode from raw bytes).
-  * These take their formats OUT of the stub seam — real pixels/samples
-  * decode at any scale with nothing but the JDK. JPEG (DCT entropy
-  * coding) rides the JDK's bundled `javax.imageio`; MJPEG-in-AVI video
-  * composes [[parseAvi]]'s frame ranges with that JPEG decode (every
-  * frame is a keyframe JPEG). INTER-FRAME video codecs (H.264-class) and
-  * non-IMA audio codecs stay behind [[Multimodal.decodeStub]]: those
-  * genuinely need codec libraries this environment does not ship.
+  * scanline filters), uncompressed 24/32-bit BMP, 16-bit PCM WAV, and the
+  * ADPCM/companded WAV family — IMA/DVI ADPCM, Microsoft ADPCM, and ITU-T
+  * G.711 µ-law/A-law (adaptive-differential and logarithmic-companding
+  * coders are spec-simple enough to decode from raw bytes). These take
+  * their formats OUT of the stub seam — real pixels/samples decode at any
+  * scale with nothing but the JDK. JPEG (DCT entropy coding) rides the
+  * JDK's bundled `javax.imageio`; AVI video composes [[parseAvi]]'s frame
+  * ranges with either that JPEG decode (MJPEG — every frame is a keyframe
+  * JPEG) or [[decodeBmp]] (uncompressed DIB frames are headerless BMPs —
+  * [[dibPrefix]] synthesizes the 54-byte header). INTER-FRAME video
+  * codecs (H.264-class) and perceptual audio codecs (MP3/AAC-class) stay
+  * behind [[Multimodal.decodeStub]]: those genuinely need codec libraries
+  * this environment does not ship.
   *
   * All decoders return None on anything malformed/unsupported — corrupt
   * blobs are data, not errors (same contract as the header parsers), and
@@ -210,10 +213,19 @@ object Codecs {
     * format ([[decodeBmp]] reads it straight back). Any input channel
     * count: gray replicates to RGB, alpha drops.
     */
-  def encodeBmp(img: Image): Array[Byte] = {
-    val rowBytes = (img.width * 3 + 3) / 4 * 4
-    val dataSize = rowBytes * img.height
-    val out = new Array[Byte](54 + dataSize)
+  /** 54-byte BMP header (BITMAPFILEHEADER + BITMAPINFOHEADER) for an
+    * uncompressed bottom-up (or, with `height < 0`, top-down) DIB of the
+    * given dimensions — rows pad to 4-byte boundaries, biCompression
+    * BI_RGB. Prepending this to a raw DIB payload yields a file
+    * [[decodeBmp]] reads back; [[encodeBmp]] and the AVI DIB-frame path
+    * ([[dibPrefix]]) both build on it.
+    */
+  def bmpHeaderFor(width: Int, height: Int, bitCount: Int): Array[Byte] = {
+    require(width > 0 && height != 0 && (bitCount == 24 || bitCount == 32),
+      s"unsupported DIB shape: ${width}x$height @$bitCount")
+    val rowBytes = (width * (bitCount / 8) + 3) / 4 * 4
+    val dataSize = rowBytes * math.abs(height)
+    val out = new Array[Byte](54)
     def le16(i: Int, v: Int): Unit = {
       out(i) = (v & 0xFF).toByte; out(i + 1) = ((v >> 8) & 0xFF).toByte
     }
@@ -223,8 +235,16 @@ object Codecs {
     }
     out(0) = 'B'; out(1) = 'M'
     le32w(2, 54 + dataSize); le32w(10, 54)
-    le32w(14, 40); le32w(18, img.width); le32w(22, img.height)
-    le16(26, 1); le16(28, 24); le32w(30, 0); le32w(34, dataSize)
+    le32w(14, 40); le32w(18, width); le32w(22, height)
+    le16(26, 1); le16(28, bitCount); le32w(30, 0); le32w(34, dataSize)
+    out
+  }
+
+  def encodeBmp(img: Image): Array[Byte] = {
+    val rowBytes = (img.width * 3 + 3) / 4 * 4
+    val dataSize = rowBytes * img.height
+    val out = new Array[Byte](54 + dataSize)
+    System.arraycopy(bmpHeaderFor(img.width, img.height, 24), 0, out, 0, 54)
     val c = img.channels
     var y = 0
     while (y < img.height) {
@@ -246,25 +266,38 @@ object Codecs {
 
   // ---- WAV -----------------------------------------------------------------
 
-  /** 16-bit PCM WAV sample decode (audioFormat 1). */
-  def decodeWav(blob: Array[Byte]): Option[Pcm] = {
+  /** Parsed RIFF-WAVE chunk layout shared by every WAV decoder: the base
+    * fmt fields, the fmt payload's position/length (codec-specific
+    * decoders read their own extension fields from it, already capped to
+    * the blob), and the data region. Generic well-formedness lives here —
+    * RIFF/WAVE magic, a fmt chunk whose DECLARED size covers the 16 base
+    * fields (a truncated fmt must not parse channels/rate/blockAlign from
+    * the NEXT chunk's bytes), a data chunk, positive rate/channels —
+    * codec checks (format tag, bit depth, block shape) stay in each
+    * decoder.
+    */
+  private final case class WavLayout(fmt: Int, channels: Int, rate: Int,
+      blockAlign: Int, bits: Int, fmtAt: Int, fmtLen: Int,
+      dataAt: Int, dataLen: Int)
+
+  private def parseWavLayout(blob: Array[Byte]): Option[WavLayout] = {
     if (blob.length < 12 || blob(0) != 'R' || blob(1) != 'I' || blob(2) != 'F' ||
         blob(3) != 'F' || new String(blob, 8, 4, "US-ASCII") != "WAVE") return None
     var rate = 0; var channels = 0; var bits = 0; var fmt = 0
+    var blockAlign = 0; var fmtAt = -1; var fmtLen = 0
     var dataAt = -1; var dataLen = 0
     var i = 12
     while (i + 8 <= blob.length) {
       val id = new String(blob, i, 4, "US-ASCII")
       val size = le32(blob, i + 4)
-      // the DECLARED chunk size must also cover the 16 base fmt fields —
-      // a truncated fmt chunk must not parse channels/rate/blockAlign
-      // from the NEXT chunk's bytes (same strictness as the data region
-      // and the >= 20 extension read)
       if (id == "fmt " && size >= 16 && i + 8 + 16 <= blob.length) {
-        fmt = le16(blob, i + 8)
-        channels = le16(blob, i + 10)
-        rate = le32(blob, i + 12).toInt
-        bits = le16(blob, i + 22)
+        fmtAt = i + 8
+        fmtLen = math.min(size, (blob.length - fmtAt).toLong).toInt
+        fmt = le16(blob, fmtAt)
+        channels = le16(blob, fmtAt + 2)
+        rate = le32(blob, fmtAt + 4).toInt
+        blockAlign = le16(blob, fmtAt + 12)
+        bits = le16(blob, fmtAt + 14)
       } else if (id == "data") {
         dataAt = i + 8
         dataLen = math.min(size, (blob.length - dataAt).toLong).toInt
@@ -272,13 +305,68 @@ object Codecs {
       val next = i.toLong + 8L + size + (size & 1L)
       if (next <= i || next > blob.length) i = blob.length else i = next.toInt
     }
-    if (fmt != 1 || bits != 16 || rate <= 0 || channels <= 0 || dataAt < 0) return None
-    val n = dataLen / 2
-    val samples = new Array[Short](n)
-    var k = 0
-    while (k < n) { samples(k) = le16(blob, dataAt + k * 2).toShort; k += 1 }
-    Some(Pcm(rate, channels, samples))
+    if (fmtAt < 0 || dataAt < 0 || rate <= 0 || channels <= 0) None
+    else Some(WavLayout(fmt, channels, rate, blockAlign, bits, fmtAt, fmtLen,
+      dataAt, dataLen))
   }
+
+  /** 16-bit PCM WAV sample decode (audioFormat 1). */
+  def decodeWav(blob: Array[Byte]): Option[Pcm] =
+    parseWavLayout(blob).flatMap { l =>
+      if (l.fmt != 1 || l.bits != 16) None
+      else {
+        val n = l.dataLen / 2
+        val samples = new Array[Short](n)
+        var k = 0
+        while (k < n) { samples(k) = le16(blob, l.dataAt + k * 2).toShort; k += 1 }
+        Some(Pcm(l.rate, l.channels, samples))
+      }
+    }
+
+  // ---- G.711 µ-law / A-law --------------------------------------------------
+
+  /** ITU-T G.711 µ-law expansion: one companded byte → linear 16-bit, by
+    * the public segment formula (complement; mantissa·8 + bias 0x84,
+    * shifted by the 3-bit segment; bias removed; sign applied). Peak
+    * ±32124 — the G.711 table values every conformant decoder shares.
+    */
+  private def ulawExpand(b: Byte): Short = {
+    val u = (~b) & 0xFF
+    val mag = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+    (if ((u & 0x80) != 0) 0x84 - mag else mag - 0x84).toShort
+  }
+
+  /** ITU-T G.711 A-law expansion (toggle 0x55; segment 0 is linear,
+    * segments 1-7 shift mantissa·16 + 0x108). Peak ±32256. Note A-law's
+    * sign convention is inverted relative to µ-law: a SET sign bit means
+    * positive.
+    */
+  private def alawExpand(b: Byte): Short = {
+    val a = (b ^ 0x55) & 0xFF
+    val seg = (a >> 4) & 0x07
+    val mag =
+      if (seg == 0) ((a & 0x0F) << 4) + 8
+      else (((a & 0x0F) << 4) + 0x108) << (seg - 1)
+    (if ((a & 0x80) != 0) mag else -mag).toShort
+  }
+
+  /** G.711 companded WAV decode — audioFormat 6 (A-law) or 7 (µ-law),
+    * 8 bits per sample, one byte per sample expanded to linear 16-bit.
+    * The standard telephony/voice-corpus encoding; pure arithmetic, no
+    * tables beyond the spec constants above.
+    */
+  def decodeG711Wav(blob: Array[Byte]): Option[Pcm] =
+    parseWavLayout(blob).flatMap { l =>
+      if ((l.fmt != 6 && l.fmt != 7) || l.bits != 8) None
+      else {
+        val n = l.dataLen
+        val samples = new Array[Short](n)
+        var k = 0
+        if (l.fmt == 7) while (k < n) { samples(k) = ulawExpand(blob(l.dataAt + k)); k += 1 }
+        else while (k < n) { samples(k) = alawExpand(blob(l.dataAt + k)); k += 1 }
+        Some(Pcm(l.rate, l.channels, samples))
+      }
+    }
 
   // ---- IMA ADPCM -----------------------------------------------------------
 
@@ -324,36 +412,14 @@ object Codecs {
     * fmt-17 WAV, so [[decodeWav]]'s PCM path and this one can chain.
     */
   def decodeImaAdpcmWav(blob: Array[Byte]): Option[Pcm] = {
-    if (blob.length < 12 || blob(0) != 'R' || blob(1) != 'I' || blob(2) != 'F' ||
-        blob(3) != 'F' || new String(blob, 8, 4, "US-ASCII") != "WAVE") return None
-    var rate = 0; var channels = 0; var bits = 0; var fmt = 0
-    var blockAlign = 0; var spbDeclared = 0
-    var dataAt = -1; var dataLen = 0
-    var i = 12
-    while (i + 8 <= blob.length) {
-      val id = new String(blob, i, 4, "US-ASCII")
-      val size = le32(blob, i + 4)
-      // the DECLARED chunk size must also cover the 16 base fmt fields —
-      // a truncated fmt chunk must not parse channels/rate/blockAlign
-      // from the NEXT chunk's bytes (same strictness as the data region
-      // and the >= 20 extension read)
-      if (id == "fmt " && size >= 16 && i + 8 + 16 <= blob.length) {
-        fmt = le16(blob, i + 8)
-        channels = le16(blob, i + 10)
-        rate = le32(blob, i + 12).toInt
-        blockAlign = le16(blob, i + 20)
-        bits = le16(blob, i + 22)
-        if (size >= 20 && i + 8 + 20 <= blob.length)
-          spbDeclared = le16(blob, i + 26)
-      } else if (id == "data") {
-        dataAt = i + 8
-        dataLen = math.min(size, (blob.length - dataAt).toLong).toInt
-      }
-      val next = i.toLong + 8L + size + (size & 1L)
-      if (next <= i || next > blob.length) i = blob.length else i = next.toInt
-    }
-    if (fmt != 0x11 || bits != 4 || rate <= 0 || channels <= 0 || channels > 2 ||
-        dataAt < 0 || blockAlign < channels * 4) return None
+    val l = parseWavLayout(blob).orNull
+    if (l == null) return None
+    val rate = l.rate; val channels = l.channels; val blockAlign = l.blockAlign
+    val dataAt = l.dataAt; val dataLen = l.dataLen
+    // samplesPerBlock lives in the fmt extension (>= 20 bytes of payload)
+    val spbDeclared = if (l.fmtLen >= 20) le16(blob, l.fmtAt + 18) else 0
+    if (l.fmt != 0x11 || l.bits != 4 || channels > 2 ||
+        blockAlign < channels * 4) return None
     // stereo interleaves FULL 8-byte (8-code-per-channel) groups — a
     // data region that is not a whole number of groups would make ch1's
     // 4-byte run read past the block (encoders always align; refuse)
@@ -415,6 +481,109 @@ object Codecs {
     Some(Pcm(rate, channels, samples))
   }
 
+  // ---- Microsoft ADPCM ------------------------------------------------------
+
+  // the MS-ADPCM delta adaptation table — spec constants shared by every
+  // conformant decoder (indexed by the unsigned 4-bit code)
+  private val MsAdaptTable: Array[Int] = Array(
+    230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409, 307, 230, 230, 230)
+
+  /** Microsoft ADPCM WAV decode (audioFormat 2) — the OTHER 4-bit ADPCM
+    * that ships in the wild. Unlike IMA's fixed step table, MS-ADPCM
+    * predicts each sample from the previous TWO through per-block
+    * coefficient pairs chosen from a table the fmt extension itself
+    * carries (wNumCoef pairs after wSamplesPerBlock; the standard set is
+    * 7). Block layout, channel-interleaved per field: uint8 predictor
+    * index, int16 initial delta, int16 sample1 (the NEWER seed), int16
+    * sample2 — then 4-bit codes high-nibble-first, alternating channels.
+    * Each block emits sample2, sample1, then the decoded codes:
+    * predSample = (sample1·coef1 + sample2·coef2)/256 + signedCode·delta
+    * (clamped), delta = max(16, adaptTable(code)·delta/256). Refuses
+    * (None) on a missing/short coefficient extension, a block whose
+    * predictor index exceeds the declared table, or any non-fmt-2 WAV —
+    * so the PCM/IMA/G.711 paths and this one can chain.
+    */
+  def decodeMsAdpcmWav(blob: Array[Byte]): Option[Pcm] = {
+    val l = parseWavLayout(blob).orNull
+    if (l == null) return None
+    val channels = l.channels; val blockAlign = l.blockAlign
+    if (l.fmt != 2 || l.bits != 4 || channels > 2 ||
+        blockAlign < 7 * channels + channels) return None
+    // fmt extension: cbSize(2) wSamplesPerBlock(2) wNumCoef(2) then
+    // wNumCoef int16 pairs — all required by the spec; refuse without it
+    if (l.fmtLen < 22) return None
+    val spbDeclared = le16(blob, l.fmtAt + 18)
+    val nCoef = le16(blob, l.fmtAt + 20)
+    if (nCoef <= 0 || nCoef > 256 || l.fmtLen < 22 + nCoef * 4) return None
+    val coef1 = new Array[Int](nCoef)
+    val coef2 = new Array[Int](nCoef)
+    var ci = 0
+    while (ci < nCoef) {
+      coef1(ci) = le16(blob, l.fmtAt + 22 + ci * 4).toShort.toInt
+      coef2(ci) = le16(blob, l.fmtAt + 24 + ci * 4).toShort.toInt
+      ci += 1
+    }
+    // samples per block per channel: 2 header seeds + one code per nibble;
+    // the block's capacity caps a forged wSamplesPerBlock (same guard as
+    // the IMA path)
+    val capacity = (blockAlign - 7 * channels) * 2 / channels + 2
+    val spb =
+      if (spbDeclared > 0) math.min(spbDeclared, capacity) else capacity
+    if (spb < 2) return None
+    val nBlocks = l.dataLen / blockAlign
+    if (nBlocks.toLong * spb * channels > (1L << 28)) return None
+    val out = new Array[Short](nBlocks * spb * channels)
+    var pos = 0
+    val pIdx = new Array[Int](channels)
+    val delta = new Array[Int](channels)
+    val s1 = new Array[Int](channels)
+    val s2 = new Array[Int](channels)
+    var blk = 0
+    while (blk < nBlocks) {
+      val base = l.dataAt + blk * blockAlign
+      var c = 0
+      while (c < channels) {
+        pIdx(c) = blob(base + c) & 0xFF
+        if (pIdx(c) >= nCoef) return None // malformed: refuse, don't guess
+        delta(c) = le16(blob, base + channels + c * 2).toShort.toInt
+        s1(c) = le16(blob, base + 3 * channels + c * 2).toShort.toInt
+        s2(c) = le16(blob, base + 5 * channels + c * 2).toShort.toInt
+        // the two seed samples are emitted oldest-first
+        out(pos + c) = s2(c).toShort
+        out(pos + channels + c) = s1(c).toShort
+        c += 1
+      }
+      pos += 2 * channels
+      var emitted = 2L * channels // across channels, frame-interleaved
+      val target = spb.toLong * channels
+      var p = base + 7 * channels
+      val blockEnd = base + blockAlign
+      while (p < blockEnd && emitted < target) {
+        val byte = blob(p) & 0xFF
+        var half = 0
+        while (half < 2 && emitted < target) {
+          val code = if (half == 0) byte >> 4 else byte & 0xF // high first
+          c = (emitted % channels).toInt
+          val signed = if (code >= 8) code - 16 else code
+          var pred = (s1(c) * coef1(pIdx(c)) + s2(c) * coef2(pIdx(c))) / 256 +
+            signed * delta(c)
+          if (pred > 32767) pred = 32767 else if (pred < -32768) pred = -32768
+          out(pos + (emitted - 2L * channels).toInt) = pred.toShort
+          s2(c) = s1(c); s1(c) = pred
+          delta(c) = MsAdaptTable(code) * delta(c) / 256
+          if (delta(c) < 16) delta(c) = 16
+          emitted += 1
+          half += 1
+        }
+        p += 1
+      }
+      pos += (emitted - 2L * channels).toInt
+      blk += 1
+    }
+    val samples = if (pos == out.length) out else java.util.Arrays.copyOf(out, pos)
+    Some(Pcm(l.rate, channels, samples))
+  }
+
   // ---- AVI (RIFF video container) -------------------------------------------
 
   /** Parsed AVI video stream: header metadata plus the byte ranges of the
@@ -424,7 +593,28 @@ object Codecs {
     * JPEG decoder reads for real.
     */
   final case class Avi(width: Int, height: Int, usPerFrame: Long,
-      totalFrames: Int, handler: String, frames: Array[(Long, Long)])
+      totalFrames: Int, handler: String, bitCount: Int, topDown: Boolean,
+      frames: Array[(Long, Long)])
+
+  /** BMP header to prepend to an uncompressed-DIB AVI frame payload, or
+    * empty when the stream is not raw DIB. An AVI 'db'/'dc' chunk of a
+    * BI_RGB stream is literally a BMP with the 54-byte header stripped —
+    * rows bottom-up (top-down when strf declared a negative biHeight),
+    * 4-byte-padded, BGR — so [[bmpHeaderFor]] + the payload round-trips
+    * through [[decodeBmp]] with zero new pixel code. Guarded by an exact
+    * size check: only a frame whose byte count equals rowBytes·height is
+    * a whole uncompressed raster (anything else — partial/compressed —
+    * stays un-prefixed and undecodable, which is honest).
+    */
+  def dibPrefix(avi: Avi, frameSize: Long): Array[Byte] = {
+    val raw = avi.handler.isEmpty || avi.handler == "DIB" || avi.handler == "RGB"
+    if (!raw || (avi.bitCount != 24 && avi.bitCount != 32) ||
+        avi.width <= 0 || avi.height <= 0) return Array.emptyByteArray
+    val rowBytes = (avi.width.toLong * (avi.bitCount / 8) + 3) / 4 * 4
+    if (frameSize != rowBytes * avi.height) Array.emptyByteArray
+    else bmpHeaderFor(avi.width, if (avi.topDown) -avi.height else avi.height,
+      avi.bitCount)
+  }
 
   /** AVI container parse — the RIFF walk [[decodeWav]] uses, extended one
     * level of nesting (LIST chunks carry a 4cc subtype then children):
@@ -445,6 +635,7 @@ object Codecs {
     var usPerFrame = 0L; var totalFrames = 0
     var w = 0; var h = 0
     var handler = ""
+    var bitCount = 0; var topDown = false
     var videoStream = -1 // index among ALL streams, in strl order
     var streamIdx = 0
     val frames = Array.newBuilder[(Long, Long)]
@@ -481,9 +672,13 @@ object Codecs {
             payload + 20 <= pEnd) {
           // BITMAPINFOHEADER of the just-declared video stream: take its
           // dimensions when avih carried none, and biCompression when
-          // strh's handler was blank (both layouts ship in the wild)
+          // strh's handler was blank (both layouts ship in the wild);
+          // biBitCount and the biHeight sign (negative = top-down rows)
+          // feed [[dibPrefix]]'s raw-frame reconstruction
           if (w <= 0) w = le32(blob, payload + 4).toInt
           if (h <= 0) h = math.abs(le32(blob, payload + 8).toInt)
+          if (le32(blob, payload + 8).toInt < 0) topDown = true
+          bitCount = le16(blob, payload + 14)
           if (handler.isEmpty) handler = fourcc(payload + 16).trim
         } else if (inMovi && videoStream >= 0 && nFrames < maxFrames &&
             id.length == 4 && (id.endsWith("dc") || id.endsWith("db")) &&
@@ -498,6 +693,7 @@ object Codecs {
     }
     walk(12, blob.length, inMovi = false)
     if (videoStream < 0 || w <= 0 || h <= 0) None
-    else Some(Avi(w, h, usPerFrame, totalFrames, handler, frames.result()))
+    else Some(Avi(w, h, usPerFrame, totalFrames, handler, bitCount, topDown,
+      frames.result()))
   }
 }

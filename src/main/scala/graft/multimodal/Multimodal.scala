@@ -15,16 +15,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * The *Spark plumbing* here is real and tested — schema, partition-batched
   * processing (the Scala analog of `mapInPandas` batches), deterministic
   * output shape. Pixel/sample decode is REAL for every image format plus
-  * PCM and IMA-ADPCM audio: [[Codecs]] hand-decodes PNG (JDK Inflater +
-  * scanline un-filtering), uncompressed BMP, 16-bit PCM WAV, and
-  * compressed IMA/DVI ADPCM WAV from raw bytes, and [[imageIoFeatures]]
-  * decodes JPEG/GIF through the JDK's own bundled `javax.imageio`
-  * readers — no external library anywhere. VIDEO decodes real frames for
-  * MJPEG-in-AVI ([[Codecs.parseAvi]] frame ranges + the JPEG decoder:
-  * [[sampleFrames]] emits real per-frame pixels, [[aviPosterImage]] real
-  * whole-blob features). Only INTER-FRAME video codecs (H.264-class) and
-  * non-IMA compressed audio fall back to [[decodeStub]], the remaining
-  * seam where an ffmpeg-class binding would plug in.
+  * the whole WAV family: [[Codecs]] hand-decodes PNG (JDK Inflater +
+  * scanline un-filtering), uncompressed BMP, 16-bit PCM WAV, compressed
+  * IMA/DVI and Microsoft ADPCM WAV, and G.711 µ-law/A-law WAV from raw
+  * bytes, and [[imageIoFeatures]] decodes JPEG/GIF through the JDK's own
+  * bundled `javax.imageio` readers — no external library anywhere. VIDEO
+  * decodes real frames for MJPEG-in-AVI ([[Codecs.parseAvi]] frame
+  * ranges + the JPEG decoder) and uncompressed-DIB AVI (a raw frame is a
+  * headerless BMP — [[Codecs.dibPrefix]]): [[sampleFrames]] emits real
+  * per-frame pixels, [[aviPosterImage]] real whole-blob features. Only
+  * INTER-FRAME video codecs (H.264-class) and perceptual audio codecs
+  * (MP3/AAC-class) fall back to [[decodeStub]], the remaining seam where
+  * an ffmpeg-class binding would plug in.
   */
 object Multimodal {
 
@@ -40,7 +42,7 @@ object Multimodal {
       StructField("duration_ms", LongType))))))
 
   /** STUB decoder for the formats that need external codec libraries
-    * (inter-frame video, non-IMA compressed audio): a deterministic
+    * (inter-frame video, perceptual audio codecs): a deterministic
     * 16-bin byte histogram, L1-normalized — shape-compatible with the
     * real feature extractors below, trivially reproducible in tests.
     */
@@ -152,39 +154,56 @@ object Multimodal {
     Codecs.decodePng(blob).orElse(Codecs.decodeBmp(blob))
       .orElse(imageIoImage(blob))
 
-  /** First decodable video frame of an MJPEG-in-AVI blob (the poster
-    * frame) as real pixels: the AVI walk yields the frame's byte range,
-    * and the payload is a complete JPEG the existing decoder reads — no
-    * new codec. MJPEG variants that strip the Huffman tables from frames
-    * (legal in the AVI spec, rare in practice) fail the JPEG decode and
-    * fall through to None. The frame-size cap mirrors imageIoImage's
-    * header bound.
+  /** First decodable video frame of an AVI blob (the poster frame) as
+    * real pixels: the AVI walk yields the frame's byte range, and the
+    * payload is either a complete JPEG (MJPEG) the existing decoder
+    * reads, or a raw DIB raster ([[Codecs.dibPrefix]] synthesizes the
+    * BMP header the payload lacks) — no new codec either way. MJPEG
+    * variants that strip the Huffman tables from frames (legal in the
+    * AVI spec, rare in practice) fail the JPEG decode and fall through
+    * to None. The frame-size cap mirrors imageIoImage's header bound.
     */
   private[graft] def aviPosterImage(blob: Array[Byte]): Option[Codecs.Image] =
-    Codecs.parseAvi(blob).flatMap(_.frames.headOption).flatMap { case (off, sz) =>
-      if (sz <= 0 || sz > 64L * 1024 * 1024) None
-      else {
-        val fb = java.util.Arrays.copyOfRange(blob, off.toInt, (off + sz).toInt)
-        decodeImage(fb)
+    Codecs.parseAvi(blob).flatMap { avi =>
+      avi.frames.headOption.flatMap { case (off, sz) =>
+        if (sz <= 0 || sz > 64L * 1024 * 1024) None
+        else {
+          val prefix = Codecs.dibPrefix(avi, sz)
+          val fb = new Array[Byte](prefix.length + sz.toInt)
+          System.arraycopy(prefix, 0, fb, 0, prefix.length)
+          System.arraycopy(blob, off.toInt, fb, prefix.length, sz.toInt)
+          decodeImage(fb)
+        }
       }
     }
 
   /** Feature dispatch: real pixels/samples wherever the JVM can decode —
-    * [[Codecs]] (PNG/BMP, PCM and IMA-ADPCM WAV, pure bytes), then
-    * [[imageIoFeatures]] (JPEG/GIF via the JDK's bundled readers), then
-    * [[aviPosterImage]] (MJPEG-in-AVI video: real first-frame pixels —
-    * per-frame features come from [[sampleFrames]]). The stub histogram
-    * now covers ONLY inter-frame video codecs (H.264-class) and non-IMA
-    * compressed audio, which genuinely need external codec libraries
-    * (ffmpeg-class) this environment doesn't ship.
+    * [[Codecs]] (PNG/BMP; PCM, IMA/MS-ADPCM and G.711 WAV, pure bytes),
+    * then [[imageIoFeatures]] (JPEG/GIF via the JDK's bundled readers),
+    * then [[aviPosterImage]] (MJPEG or raw-DIB AVI video: real
+    * first-frame pixels — per-frame features come from [[sampleFrames]]).
+    * The stub histogram now covers ONLY inter-frame video codecs
+    * (H.264-class) and perceptual audio codecs (MP3/AAC-class), which
+    * genuinely need external codec libraries (ffmpeg-class) this
+    * environment doesn't ship.
     */
   private[graft] def decodeFeatures(blob: Array[Byte]): Array[Float] =
     Codecs.decodePng(blob).orElse(Codecs.decodeBmp(blob)).map(imageFeatures)
-      .orElse(Codecs.decodeWav(blob).map(audioFeatures))
-      .orElse(Codecs.decodeImaAdpcmWav(blob).map(audioFeatures))
+      .orElse(decodeAudio(blob).map(audioFeatures))
       .orElse(imageIoFeatures(blob))
       .orElse(aviPosterImage(blob).map(imageFeatures))
       .getOrElse(decodeStub(blob))
+
+  /** Full audio sample decode across the WAV family [[Codecs]] reads for
+    * real: 16-bit PCM, IMA/DVI ADPCM, G.711 µ-law/A-law, and Microsoft
+    * ADPCM — each decoder refuses anything but its own format tag, so
+    * the chain is a clean dispatch on the fmt chunk.
+    */
+  private[graft] def decodeAudio(blob: Array[Byte]): Option[Codecs.Pcm] =
+    Codecs.decodeWav(blob)
+      .orElse(Codecs.decodeImaAdpcmWav(blob))
+      .orElse(Codecs.decodeG711Wav(blob))
+      .orElse(Codecs.decodeMsAdpcmWav(blob))
 
   /** Batched per-partition feature extraction — the mapInPandas shape:
     * rows are processed in fixed-size batches so a real decoder could
@@ -254,9 +273,10 @@ object Multimodal {
     * `frames` evenly spaced picks over the stss list, each substring an
     * exact [offset, offset+size) payload ([[IsoBmff.syncSampleRanges]],
     * pure byte arithmetic, no codec) — and AVI blobs land on movi video
-    * chunks ([[Codecs.parseAvi]]; every MJPEG frame is a keyframe, and
-    * the sampled payload is a complete JPEG the feature pass then decodes
-    * for REAL pixels). Everything else falls back to equal chunks (the
+    * chunks ([[Codecs.parseAvi]]; every MJPEG frame is a complete keyframe
+    * JPEG, and a raw-DIB frame gets its synthesized BMP header prepended,
+    * so the feature pass decodes REAL pixels either way). Everything else
+    * falls back to equal chunks (the
     * blind split a payload without a sample index forces). Emits one
     * feature row per sampled frame — the explode-shaped operator a video
     * pipeline needs.
@@ -274,7 +294,10 @@ object Multimodal {
       .withColumn("frame_idx", explode(sequence(lit(0), lit(frames - 1))))
       .withColumn("frame_blob",
         when(col("__n") > 0,
-          expr(s"substring(blob, cast($pick.offset as int) + 1, cast($pick.size as int))"))
+          // prefix makes the slice self-contained (empty except for raw
+          // DIB frames, which need their synthesized BMP header)
+          expr(s"concat($pick.prefix, " +
+            s"substring(blob, cast($pick.offset as int) + 1, cast($pick.size as int)))"))
           .otherwise(
             expr(s"substring(blob, cast(frame_idx * length(blob) / $frames as int) + 1, " +
               s"cast(length(blob) / $frames as int))")))
@@ -780,31 +803,45 @@ private[graft] object IsoBmff {
   }
 }
 
-/** video_samples(blob) → array<struct<offset BIGINT, size BIGINT>> of the
-  * first video stream's frame byte ranges for ANY container the library
-  * parses: MP4 keyframes ([[IsoBmff.syncSampleRanges]]) or AVI movi video
-  * chunks ([[Codecs.parseAvi]] — all MJPEG frames are keyframes). NULL
-  * when neither container yields ranges — the dispatch signal
-  * [[Multimodal.sampleFrames]] uses to choose frame-aware sampling over
-  * blind equal chunking.
+/** video_samples(blob) → array<struct<offset BIGINT, size BIGINT,
+  * prefix BINARY>> of the first video stream's frame byte ranges for ANY
+  * container the library parses: MP4 keyframes
+  * ([[IsoBmff.syncSampleRanges]]) or AVI movi video chunks
+  * ([[Codecs.parseAvi]] — all MJPEG frames are keyframes). `prefix` is
+  * the bytes to PREPEND to the sliced range to make it a self-contained
+  * decodable blob: empty for frames that already are (JPEG payloads,
+  * MP4 samples), a synthesized 54-byte BMP header for uncompressed-DIB
+  * AVI frames (a headerless raster needs the stream's dimensions to
+  * decode — [[Codecs.dibPrefix]]). NULL when neither container yields
+  * ranges — the dispatch signal [[Multimodal.sampleFrames]] uses to
+  * choose frame-aware sampling over blind equal chunking.
   */
 case class VideoSamplesExpr(child: Expression)
   extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("offset", LongType, nullable = false),
-    StructField("size", LongType, nullable = false))), containsNull = false)
+    StructField("size", LongType, nullable = false),
+    StructField("prefix", BinaryType, nullable = false))), containsNull = false)
   override def nullable: Boolean = true
 
   override def nullSafeEval(v: Any): Any = {
     val b = v.asInstanceOf[Array[Byte]]
+    var prefixFor: Long => Array[Byte] = _ => Array.emptyByteArray
     val ranges = IsoBmff.syncSampleRanges(b) match {
       case rs if rs.nonEmpty => rs
-      case _ => Codecs.parseAvi(b).map(_.frames).getOrElse(Array.empty[(Long, Long)])
+      case _ =>
+        Codecs.parseAvi(b) match {
+          case Some(avi) =>
+            // per-frame: only a whole-raster-sized frame gets the header
+            prefixFor = sz => Codecs.dibPrefix(avi, sz)
+            avi.frames
+          case None => Array.empty[(Long, Long)]
+        }
     }
     if (ranges.isEmpty) null
     else new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      ranges.map { case (o, s) => InternalRow(o, s) })
+      ranges.map { case (o, s) => InternalRow(o, s, prefixFor(s)) })
   }
 
   override protected def withNewChildInternal(c: Expression): VideoSamplesExpr =

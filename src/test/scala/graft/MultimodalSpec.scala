@@ -155,20 +155,26 @@ class MultimodalSpec extends SparkSpec {
     bos.toByteArray
   }
 
-  /** RIFF-AVI: LIST hdrl(avih + LIST strl(strh vids/MJPG + strf)) +
-    * LIST movi(00dc frames). 40000 µs/frame = 25 fps.
+  /** RIFF-AVI: LIST hdrl(avih + LIST strl(strh vids + strf)) +
+    * LIST movi(00dc frames). 40000 µs/frame = 25 fps. `handler` is the
+    * strh fccHandler AND the strf biCompression fourcc ("MJPG", or
+    * four NULs = biCompression 0 = BI_RGB raw DIB); `strfHeight` lets a test declare the
+    * top-down (negative) form.
     */
-  private def craftAvi(framesJpeg: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+  private def craftAvi(frames: Seq[Array[Byte]], w: Int, h: Int,
+      handler: String = "MJPG", bitCount: Int = 24,
+      strfHeight: Option[Int] = None): Array[Byte] = {
     val avih = riffChunk("avih",
-      le(40000, 0, 0, 0, framesJpeg.length, 0, 1, 0, w, h, 0, 0, 0, 0))
+      le(40000, 0, 0, 0, frames.length, 0, 1, 0, w, h, 0, 0, 0, 0))
     val strh = riffChunk("strh",
-      "vids".getBytes("US-ASCII") ++ "MJPG".getBytes("US-ASCII") ++
-        le(0, 0, 0, 1, 25, 0, framesJpeg.length, 0, 0, 0) ++ new Array[Byte](8))
+      "vids".getBytes("US-ASCII") ++ handler.getBytes("US-ASCII") ++
+        le(0, 0, 0, 1, 25, 0, frames.length, 0, 0, 0) ++ new Array[Byte](8))
     val strf = riffChunk("strf",
-      le(40, w, h) ++ Array[Byte](1, 0, 24, 0) ++ "MJPG".getBytes("US-ASCII") ++
-        le(w * h * 3, 0, 0, 0, 0))
+      le(40, w, strfHeight.getOrElse(h)) ++
+        Array[Byte](1, 0, bitCount.toByte, 0) ++ handler.getBytes("US-ASCII") ++
+        le(w * h * bitCount / 8, 0, 0, 0, 0))
     val hdrl = riffList("hdrl", avih, riffList("strl", strh, strf))
-    val movi = riffList("movi", framesJpeg.map(j => riffChunk("00dc", j)): _*)
+    val movi = riffList("movi", frames.map(j => riffChunk("00dc", j)): _*)
     val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
     java.nio.ByteBuffer.allocate(8 + body.length)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -669,6 +675,264 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.audioFeatures(mono).toSeq)
     assert(Multimodal.decodeFeatures(blob).toSeq !=
       Multimodal.decodeStub(blob).toSeq)
+  }
+
+  test("G.711 µ-law/A-law WAV decodes for real: pinned table values, " +
+      "whole-domain sign symmetry, companding round-trip, dispatch") {
+    import graft.multimodal.{Codecs, Multimodal}
+    def g711Wav(fmtTag: Int, rate: Int, ch: Int, data: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(44 + data.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(36 + data.length).put("WAVE".getBytes)
+        .put("fmt ".getBytes).putInt(16).putShort(fmtTag.toShort).putShort(ch.toShort)
+        .putInt(rate).putInt(rate * ch).putShort(ch.toShort).putShort(8)
+        .put("data".getBytes).putInt(data.length).put(data)
+      b.array()
+    }
+    def decode(fmtTag: Int, bytes: Int*): Seq[Int] =
+      Codecs.decodeG711Wav(g711Wav(fmtTag, 8000, 1, bytes.map(_.toByte).toArray))
+        .getOrElse(fail(s"fmt-$fmtTag wav did not decode")).samples.map(_.toInt).toSeq
+
+    // pinned values from the public G.711 expansion tables: µ-law peaks
+    // ±32124 (0x00 most-negative, 0x80 most-positive, 0x7F/0xFF zero);
+    // A-law peaks ±32256 with the INVERTED sign convention (0x55 = -8,
+    // 0xD5 = +8 — the smallest magnitudes)
+    assert(decode(7, 0x00, 0x80, 0x7F, 0xFF) == Seq(-32124, 32124, 0, 0))
+    assert(decode(6, 0x2A, 0xAA, 0x55, 0xD5) == Seq(-32256, 32256, -8, 8))
+
+    // whole-domain sign symmetry: flipping the (pre-complement) sign bit
+    // negates the decoded value for every one of the 256 code points, in
+    // both laws — the structural property of the segment format
+    val allBytes = (0 until 256).toSeq
+    for (law <- Seq(6, 7)) {
+      val vals = decode(law, allBytes: _*)
+      val flipped = decode(law, allBytes.map(_ ^ 0x80): _*)
+      assert(vals.zip(flipped).forall { case (a, b) => a == -b },
+        s"law $law: sign-bit flip must negate the expansion")
+    }
+
+    // companding round-trip: a test-side µ-law COMPRESSOR (the public
+    // bias-and-segment-search construction: bias 0x84, segment ends
+    // 0xFF·2^seg-ish, XOR mask by sign) over a sine sweep — expansion
+    // must land within the segment's quantization half-step of the input
+    val segEnd = Array(0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF, 0x3FFF, 0x7FFF)
+    def ulawCompress(s0: Int): Int = {
+      val mask = if (s0 < 0) 0x7F else 0xFF
+      val s = math.min(math.abs(s0), 32635) + 0x84
+      var seg = 0
+      while (seg < 8 && s > segEnd(seg)) seg += 1
+      (((seg << 4) | ((s >> (seg + 3)) & 0x0F)) ^ mask) & 0xFF
+    }
+    val signal = (0 until 512).map(i => (14000 * math.sin(i / 9.0)).toInt)
+    val rt = decode(7, signal.map(ulawCompress): _*)
+    signal.zip(rt).foreach { case (x, y) =>
+      // segment seg spans biased values ~[2^(seg+7), 2^(seg+8)) at step
+      // 2^(seg+3), so half-step error is at most (|x|+0x84)/32 (+8 for
+      // the linear segment 0)
+      assert(math.abs(x - y) <= (math.abs(x) + 0x84) / 32 + 8,
+        s"µ-law round-trip: $x decoded to $y")
+    }
+
+    // codec checks: a fmt-6/7 WAV must be 8-bit; fmt-1 never reaches this
+    // decoder; the stereo layout carries channels through
+    assert(Codecs.decodeG711Wav(g711Wav(7, 8000, 1, Array[Byte](1, 2))
+      .patch(34, Array[Byte](16, 0), 2)).isEmpty, "16-bit fmt-7 must refuse")
+    assert(Codecs.decodeG711Wav(wavOf16bitPcm).isEmpty, "fmt-1 PCM must refuse")
+    val st = Codecs.decodeG711Wav(g711Wav(6, 16000, 2, Array.fill[Byte](8)(0x55)))
+      .getOrElse(fail("stereo A-law did not decode"))
+    assert((st.sampleRate, st.channels, st.samples.length) == (16000, 2, 8))
+
+    // feature dispatch: a G.711 blob reaches audioFeatures, not the stub
+    val blob = g711Wav(7, 8000, 1,
+      (0 until 256).map(i => ulawCompress(100 * (i - 128)).toByte).toArray)
+    val pcm = Codecs.decodeG711Wav(blob).get
+    assert(Multimodal.decodeFeatures(blob).toSeq ==
+      Multimodal.audioFeatures(pcm).toSeq)
+    assert(Multimodal.decodeFeatures(blob).toSeq !=
+      Multimodal.decodeStub(blob).toSeq)
+  }
+
+  /** 16-bit stereo PCM fixture shared by the cross-codec refusal checks. */
+  private def wavOf16bitPcm: Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(48)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(40).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(16).putShort(1).putShort(2)
+      .putInt(16000).putInt(16000 * 4).putShort(4).putShort(16)
+      .put("data".getBytes).putInt(4).putInt(0)
+    b.array()
+  }
+
+  test("MS-ADPCM WAV decodes for real: pinned two-tap prediction, block " +
+      "reset, stereo interleave, malformed refusals, dispatch") {
+    import graft.multimodal.{Codecs, Multimodal}
+    // fmt-2 WAV builder: 50-byte fmt = 16 base + cbSize(2) + spb(2) +
+    // nCoef(2) + the 7 standard coefficient pairs (28) — the layout every
+    // MS-ADPCM file carries
+    val stdCoefs = Seq((256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+      (460, -208), (392, -232))
+    def msWav(rate: Int, ch: Int, blockAlign: Int, spb: Int,
+        data: Array[Byte], coefs: Seq[(Int, Int)] = stdCoefs): Array[Byte] = {
+      val fmtLen = 22 + coefs.length * 4
+      val b = java.nio.ByteBuffer.allocate(28 + fmtLen + data.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(20 + fmtLen + data.length).put("WAVE".getBytes)
+        .put("fmt ".getBytes).putInt(fmtLen).putShort(2).putShort(ch.toShort)
+        .putInt(rate).putInt(rate * blockAlign / math.max(1, spb))
+        .putShort(blockAlign.toShort).putShort(4)
+        .putShort((fmtLen - 18).toShort).putShort(spb.toShort)
+        .putShort(coefs.length.toShort)
+      coefs.foreach { case (c1, c2) => b.putShort(c1.toShort).putShort(c2.toShort) }
+      b.put("data".getBytes).putInt(data.length).put(data)
+      b.array()
+    }
+    def monoHeader(pIdx: Int, delta: Int, s1: Int, s2: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(7).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(pIdx.toByte).putShort(delta.toShort).putShort(s1.toShort).putShort(s2.toShort)
+      b.array()
+    }
+
+    // mono, predictor 1 (coef 512/-256 — the genuine two-tap 2·s1 − s2
+    // form), delta 32, seeds s1=1000 s2=900; codes high-nibble-first
+    // 1,7,F,8. Expected values hand-derived from the spec recurrence:
+    //   pred = (s1·512 + s2·(−256))/256 + signedCode·delta (clamped)
+    //   delta = max(16, adaptTable(code)·delta/256)
+    // code 1: 1100+32=1132, delta 230·32/256=28
+    // code 7: (1132·2−1000)+7·28=1264+196=1460, delta 614·28/256=67
+    // code F(−1): (1460·2−1132)−67=1788−67=1721, delta 230·67/256=60
+    // code 8(−8): (1721·2−1460)−480=1982−480=1502
+    val monoData = monoHeader(1, 32, 1000, 900) ++ Array(0x17, 0xF8).map(_.toByte)
+    val monoExpected = Seq(900, 1000, 1132, 1460, 1721, 1502)
+    val mono = Codecs.decodeMsAdpcmWav(msWav(8000, 1, 9, 6, monoData))
+      .getOrElse(fail("mono ms-adpcm did not decode"))
+    assert((mono.sampleRate, mono.channels) == (8000, 1))
+    assert(mono.samples.map(_.toInt).toSeq == monoExpected)
+
+    // two identical blocks: the per-block header resets everything
+    val mono2 = Codecs.decodeMsAdpcmWav(msWav(8000, 1, 9, 6, monoData ++ monoData))
+      .getOrElse(fail("two-block ms-adpcm did not decode"))
+    assert(mono2.samples.map(_.toInt).toSeq == monoExpected ++ monoExpected)
+
+    // declared samplesPerBlock BOUNDS the block; a forged huge spb caps
+    // at the block's nibble capacity
+    val monoTrunc = Codecs.decodeMsAdpcmWav(msWav(8000, 1, 9, 4, monoData))
+      .getOrElse(fail("truncated ms-adpcm did not decode"))
+    assert(monoTrunc.samples.map(_.toInt).toSeq == monoExpected.take(4))
+    val overdeclared = Codecs.decodeMsAdpcmWav(msWav(8000, 1, 9, 65535, monoData))
+      .getOrElse(fail("overdeclared spb did not decode"))
+    assert(overdeclared.samples.map(_.toInt).toSeq == monoExpected)
+
+    // stereo: per-FIELD channel interleave in the header, nibbles
+    // alternating ch0/ch1 from the high nibble; predictor 0 (coef 256/0)
+    // makes each step pred = s1 + code·delta — values hand-derived
+    val stHdr = java.nio.ByteBuffer.allocate(14).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put(0.toByte).put(0.toByte)                    // bpred ch0, ch1
+      .putShort(16).putShort(16)                       // idelta
+      .putShort(100).putShort(-100)                    // sample1 (newer)
+      .putShort(50).putShort(-50)                      // sample2 (older)
+      .array()
+    // nibbles: 2(ch0) 1(ch1) 9(ch0,−7) A(ch1,−6)
+    val stData = stHdr ++ Array(0x21, 0x9A).map(_.toByte)
+    val st = Codecs.decodeMsAdpcmWav(msWav(44100, 2, 16, 4, stData))
+      .getOrElse(fail("stereo ms-adpcm did not decode"))
+    assert((st.sampleRate, st.channels) == (44100, 2))
+    // frames: (s2) 50,−50 | (s1) 100,−100 | 100+32, −100+16 | 132−112, −84−96
+    assert(st.samples.map(_.toInt).toSeq ==
+      Seq(50, -50, 100, -100, 132, -84, 20, -180))
+
+    // malformed inputs are DATA, refused — never guessed at: a predictor
+    // index past the declared coefficient table, a fmt without the
+    // coefficient extension, and a non-fmt-2 WAV
+    assert(Codecs.decodeMsAdpcmWav(msWav(8000, 1, 9, 6,
+      monoHeader(7, 32, 1000, 900) ++ Array(0x17, 0xF8).map(_.toByte))).isEmpty,
+      "predictor index >= nCoef must refuse")
+    assert(Codecs.decodeMsAdpcmWav(msWav(8000, 1, 9, 6, monoData, coefs = Nil)).isEmpty,
+      "a fmt-2 WAV without its coefficient table must refuse")
+    assert(Codecs.decodeMsAdpcmWav(wavOf16bitPcm).isEmpty, "fmt-1 PCM must refuse")
+    assert(Codecs.decodeWav(msWav(8000, 1, 9, 6, monoData)).isEmpty,
+      "the PCM decoder must not eat a fmt-2 WAV")
+
+    // feature dispatch: the MS-ADPCM blob reaches audioFeatures via the
+    // audio chain, not the stub
+    val blob = msWav(8000, 1, 9, 6, monoData)
+    assert(Multimodal.decodeFeatures(blob).toSeq ==
+      Multimodal.audioFeatures(mono).toSeq)
+    assert(Multimodal.decodeFeatures(blob).toSeq !=
+      Multimodal.decodeStub(blob).toSeq)
+  }
+
+  test("uncompressed-DIB AVI decodes REAL video frames: the synthesized " +
+      "BMP header makes each raw raster a decodable BMP") {
+    import spark.implicits._
+    import graft.multimodal.Codecs
+    // four 2x2 solid-color frames, built by encoding a known Image as BMP
+    // and STRIPPING the 54-byte header — exactly what a BI_RGB AVI frame
+    // chunk holds (bottom-up 4-byte-padded BGR rows)
+    val colors = Seq((255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255))
+    val images = colors.map { case (r, g, b) =>
+      Codecs.Image(2, 2, 3, Array.fill(4)(Array(r.toByte, g.toByte, b.toByte)).flatten)
+    }
+    val dibs = images.map(img => Codecs.encodeBmp(img).drop(54))
+    assert(dibs.head.length == 16) // rowBytes (2·3 → pad 8) × 2 rows
+    val nulFcc = new String(Array.fill(4)(0.toChar)) // biCompression 0 = BI_RGB
+    val blob = craftAvi(dibs, 2, 2, handler = nulFcc)
+
+    // parse: biCompression 0 + fccHandler NULs → handler "", bitCount 24
+    val avi = Codecs.parseAvi(blob).getOrElse(fail("DIB AVI did not parse"))
+    assert((avi.handler, avi.bitCount, avi.topDown) == ("", 24, false))
+    assert(avi.frames.length == 4)
+
+    // dibPrefix: exactly a header decodeBmp accepts, only for a
+    // whole-raster-sized frame
+    val prefix = Codecs.dibPrefix(avi, dibs.head.length)
+    assert(prefix.length == 54)
+    for ((dib, img) <- dibs.zip(images)) {
+      val decoded = Codecs.decodeBmp(prefix ++ dib)
+        .getOrElse(fail("prefixed DIB frame did not decode"))
+      assert(decoded.pixels.toSeq == img.pixels.toSeq, "frame pixels differ")
+    }
+    assert(Codecs.dibPrefix(avi, dibs.head.length - 1).isEmpty,
+      "a partial frame must not be prefixed")
+    val mjpgAvi = Codecs.parseAvi(craftAvi(dibs, 2, 2)).get
+    assert(Codecs.dibPrefix(mjpgAvi, dibs.head.length).isEmpty,
+      "an MJPG stream must not be prefixed")
+
+    // sampleFrames: REAL per-frame pixels (frames 0 and 2), features are
+    // the BMP decoder's — not the stub histogram of the raw slice
+    val media = Seq((1L, "video", blob)).toDF("media_id", "modality", "blob")
+    val out = Multimodal.sampleFrames(media, frames = 2)
+      .select("frame_idx", "features", "n_bytes").collect().sortBy(_.getInt(0))
+    assert(out.length == 2)
+    for ((r, pick) <- out.zip(Seq(0, 2))) {
+      assert(r.getLong(2) == 54L + dibs(pick).length, "prefix + raster bytes")
+      assert(r.getSeq[Float](1) == Multimodal.imageFeatures(images(pick)).toSeq,
+        s"frame $pick features are not the real DIB decode's")
+    }
+
+    // whole-blob features: the poster frame decodes for real
+    assert(Multimodal.decodeFeatures(blob).toSeq ==
+      Multimodal.imageFeatures(images.head).toSeq)
+    assert(Multimodal.decodeFeatures(blob).toSeq != Multimodal.decodeStub(blob).toSeq)
+
+    // top-down form: a negative strf biHeight flips row order in the
+    // synthesized header, and the decode matches the original image again
+    val tdBlob = craftAvi(images.map { img =>
+      // top-down payload = rows in natural order (no flip), same padding
+      val rowBytes = 8
+      val outB = new Array[Byte](rowBytes * 2)
+      for (y <- 0 until 2; x <- 0 until 2) {
+        val s = (y * 2 + x) * 3
+        outB(y * rowBytes + x * 3) = img.pixels(s + 2)     // B
+        outB(y * rowBytes + x * 3 + 1) = img.pixels(s + 1) // G
+        outB(y * rowBytes + x * 3 + 2) = img.pixels(s)     // R
+      }
+      outB
+    }, 2, 2, handler = nulFcc, strfHeight = Some(-2))
+    val tdAvi = Codecs.parseAvi(tdBlob).getOrElse(fail("top-down AVI did not parse"))
+    assert(tdAvi.topDown && tdAvi.height == 2)
+    assert(Multimodal.decodeFeatures(tdBlob).toSeq ==
+      Multimodal.imageFeatures(images.head).toSeq,
+      "top-down DIB poster must decode to the same pixels")
   }
 
   test("extractFeatures uses REAL pixels for decodable formats, stub for the rest") {
