@@ -33,5 +33,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // ASCII, so pin the JVM's filename/IO encodings to UTF-8 for forked runs
   "-Dfile.encoding=UTF-8",
   "-Dsun.jnu.encoding=UTF-8",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs 32 executor-cores inside ONE driver heap: 8g was
+  // 250 MB/concurrent task — far below any production executor sizing
+  // (guide §5) and measured as the bench's bimodality source (object
+  // aggregates + session caches + broadcast builds GC-thrashing: full
+  // bench 19.6 s @8g vs 15.0 s @16g at equal anchor, r14). 16g = 500
+  // MB/task, still modest; env-overridable as before.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

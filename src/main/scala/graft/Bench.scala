@@ -108,8 +108,11 @@ object Bench {
     // JIT-heavy object-aggregate pipelines (MinHash signatures, the CC
     // label loop) showed up to 3.7× single-run spread in driver runs right
     // after the test suite (round-8 q35: 1.54 s driver vs 0.41 s idle);
-    // min-of-6 tightens the floor estimate where the noise concentrates
-    val wideReps = Set("q35_minhash_neardup", "q49_dup_clusters")
+    // min-of-6 tightens the floor estimate where the noise concentrates.
+    // q34 joined in r14: the shingle self-join family showed the same
+    // bimodality (isolated-JVM floor 0.88 s vs in-bench mins of 1.7-4.2 s
+    // across runs at equal anchor) — same mechanism, same remedy.
+    val wideReps = Set("q34_ngram_jaccard", "q35_minhash_neardup", "q49_dup_clusters")
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val medians = scala.collection.mutable.LinkedHashMap[String, Double]()

@@ -22,6 +22,13 @@ object RelationalPack {
     // shape; ref's PV sums dwm.mainpage_stat_mv_dis.sql:47-50).
     "q01_pricing_summary" -> { (s, dir) =>
       val li = Tables(s, dir).lineitem
+      // NOT spread (r14 measured): hash-spreading the filtered rows does
+      // parallelize the decimal partial agg (448→106 ms stage), but the
+      // single-row-group scan that feeds the exchange stays one task, and
+      // the added shuffle + 32-way JIT warmup ate the win (bench min
+      // 1.109→1.079, median 1.134→1.745) — reverted, single partial agg
+      // at the scan remains the right 100 TB shape (map-side combine,
+      // tiny exchange).
       li.filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampNTZType))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(

@@ -158,6 +158,8 @@ object TextPack {
     // payloads co-locate), one small aggregation; every stage is the
     // declared-and-gated form of an operator proven alone (q37/q32/q30).
     "q39_corpus_pipeline" -> { (s, dir) =>
+      graft.functions.ComputeOnce.register(s)
+      import graft.functions.ComputeOnce.once
       val scored = docs(s, dir)
         .select(col("doc_id"), col("lang"), col("text"),
           TextFunctions.tokens(col("text")).as("toks"))
@@ -166,10 +168,18 @@ object TextPack {
         // HOFs, no CSE)
         .select(col("doc_id"), col("lang"), col("text"), col("toks"),
           transform(col("toks"), t => lower(t)).as("ltoks"))
+        // the three score columns are PINNED (ComputeOnce): without the
+        // pin, PushDownPredicates inlines them into the `kept` filter and
+        // sinks it below this projection AND below docs()'s spread
+        // exchange — the whole tokenize+langid+quality pass then runs
+        // twice per row, with one copy on the single scan task (measured:
+        // a 958 ms one-task Filter stage at sf0.1, the query's dominant
+        // cost). Pinned, each score is computed exactly once, after the
+        // spread. Values are bit-identical — only placement changes.
         .select(col("doc_id"), col("lang"), col("text"),
-          TextFunctions.langIdFromTokens(col("ltoks"), col("text")).as("lang_pred"),
-          size(col("toks")).as("n_tokens"),
-          TextFunctions.qualityScoreFromTokens(col("toks"), col("text")).as("quality"))
+          once(TextFunctions.langIdFromTokens(col("ltoks"), col("text"))).as("lang_pred"),
+          once(size(col("toks"))).as("n_tokens"),
+          once(TextFunctions.qualityScoreFromTokens(col("toks"), col("text"))).as("quality"))
       val kept = scored.filter(
         col("quality") >= lit(0.6) && col("n_tokens") >= 5 && col("lang_pred") =!= "und")
       // min_by dedup, not a row_number window: partial aggregation absorbs

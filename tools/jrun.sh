@@ -15,5 +15,5 @@ for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.refl
   OPENS="$OPENS --add-opens $p=ALL-UNNAMED"
 done
 exec java $OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -Dfile.encoding=UTF-8 -Dsun.jnu.encoding=UTF-8 -Xmx${SPARK_DRIVER_MEM:-8g} \
+  -Dfile.encoding=UTF-8 -Dsun.jnu.encoding=UTF-8 -Xmx${SPARK_DRIVER_MEM:-16g} \
   -cp "$CP" "$@"
