@@ -146,6 +146,14 @@ object TextFunctions {
 
   // ---- quality scoring ----------------------------------------------------
 
+  /** Java regex `\p{Punct}` (POSIX punct, ASCII-only without
+    * UNICODE_CHARACTER_CLASS): `!"#$%&'()*+,-./:;<=>?@[\]^_`{|}~` — spelled
+    * out so [[qualityFeaturesFromTokens]]' CharSetCount counts exactly what
+    * the regex class matched.
+    */
+  private val PunctChars: Seq[String] =
+    """!"#$%&'()*+,-./:;<=>?@[\]^_`{|}~""".map(_.toString)
+
   private val defaultStopwords = Seq(
     "the", "a", "an", "of", "to", "in", "and", "or", "is", "are", "was",
     "for", "on", "with", "as", "at", "by", "it", "this", "that")
@@ -170,8 +178,14 @@ object TextFunctions {
     // evaluate interpreted with a per-element linear array_contains scan;
     // TokenSetCount is one primitive loop + O(1) set probes per token
     val stopCnt = tokenSetCount(toks, stopwords, lowercase = true)
-    val punctCnt = size(regexp_extract_all(text, lit("[\\p{Punct}]"), lit(0)))
-    val digitCnt = size(regexp_extract_all(text, lit("[0-9]"), lit(0)))
+    // one-pass char-set counters, not size(regexp_extract_all(...)): the
+    // regex form materializes an array of one-char strings per row just to
+    // count it, in the hottest projection of the text family (q32/q39/
+    // q62/q104). [\p{Punct}] is Java's FIXED ASCII punct class and [0-9]
+    // ten digits — both exactly a CharSetCount over single BMP chars, so
+    // counts (and the hash gate) are unchanged.
+    val punctCnt = charSetCount(text, PunctChars)
+    val digitCnt = charSetCount(text, "0123456789".map(_.toString))
     val uniqTok = size(array_distinct(toks))
     struct(
       nChar.as("n_chars"),
