@@ -145,8 +145,13 @@ object TextPack {
       docs(s, dir)
         .select(col("doc_id"), col("text"),
           transform(TextFunctions.tokens(col("text")), t => lower(t)).as("ltoks"))
+        // argmax struct materialized once; the verdict reads the column
+        // twice (see langBestFromTokens' doc — conditional branches get
+        // no CSE, so the inline form pays the 5 hit passes up to twice)
+        .select(col("doc_id"), col("text"),
+          TextFunctions.langBestFromTokens(col("ltoks"), col("text")).as("__lang_best"))
         .select(col("doc_id"),
-          TextFunctions.langIdFromTokens(col("ltoks"), col("text")).as("lang_pred"))
+          TextFunctions.langIdFromBest(col("__lang_best")).as("lang_pred"))
         .orderBy("doc_id")
     },
 
@@ -168,6 +173,12 @@ object TextPack {
         // HOFs, no CSE)
         .select(col("doc_id"), col("lang"), col("text"), col("toks"),
           transform(col("toks"), t => lower(t)).as("ltoks"))
+        // the langid argmax struct materialized ONCE: the verdict below
+        // reads it twice (condition + branch), and conditional branches
+        // are not subexpression-eliminated — inline, the 5 hit-count
+        // passes would run up to twice per row (see langBestFromTokens)
+        .select(col("doc_id"), col("lang"), col("text"), col("toks"),
+          TextFunctions.langBestFromTokens(col("ltoks"), col("text")).as("__lang_best"))
         // the three score columns are PINNED (ComputeOnce): without the
         // pin, PushDownPredicates inlines them into the `kept` filter and
         // sinks it below this projection AND below docs()'s spread
@@ -177,7 +188,7 @@ object TextPack {
         // cost). Pinned, each score is computed exactly once, after the
         // spread. Values are bit-identical — only placement changes.
         .select(col("doc_id"), col("lang"), col("text"),
-          once(TextFunctions.langIdFromTokens(col("ltoks"), col("text"))).as("lang_pred"),
+          once(TextFunctions.langIdFromBest(col("__lang_best"))).as("lang_pred"),
           once(size(col("toks"))).as("n_tokens"),
           once(TextFunctions.qualityScoreFromTokens(col("toks"), col("text"))).as("quality"))
       val kept = scored.filter(

@@ -243,7 +243,20 @@ object TextFunctions {
     * would re-split and re-lower the text once per language list (the same
     * re-evaluation trap as minhashSignature's shingles).
     */
-  def langIdFromTokens(ltoks: Column, text: Column): Column = {
+  def langIdFromTokens(ltoks: Column, text: Column): Column =
+    langIdFromBest(langBestFromTokens(ltoks, text))
+
+  /** The argmax struct `(hits, lang)` behind [[langIdFromTokens]] — the
+    * expensive half (4 token-set passes + 1 char-set pass + the struct
+    * greatest). Pipelines that can should MATERIALIZE this as its own
+    * projected column and derive the verdict with [[langIdFromBest]]:
+    * the verdict references the struct twice (condition + branch), and
+    * conditional-branch subtrees are not common-subexpression-eliminated,
+    * so an inline composition evaluates this whole tree up to twice per
+    * row (CollapseProject keeps a multi-referenced non-cheap projection
+    * un-inlined — the same trap and the same remedy as `toks`/`ltoks`).
+    */
+  def langBestFromTokens(ltoks: Column, text: Column): Column = {
     val scores = langStopwords.map { case (lang, words) =>
       val hits =
         if (lang == "zh")
@@ -256,9 +269,14 @@ object TextFunctions {
         else tokenSetCount(ltoks, words, lowercase = false)
       struct(hits.as("hits"), lit(lang).as("lang"))
     }
-    val best = greatest(scores: _*) // struct compare: hits first, then lang
-    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+    greatest(scores: _*) // struct compare: hits first, then lang
   }
+
+  /** Verdict over a (preferably materialized) [[langBestFromTokens]]
+    * column: the argmax language, 'und' when nothing hit.
+    */
+  def langIdFromBest(best: Column): Column =
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
 }
 
 /** Count of array elements present in a fixed word set — the hot inner
