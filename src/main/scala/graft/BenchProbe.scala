@@ -114,6 +114,18 @@ object BenchProbe {
     timed("full_dedupAndAppend") { ix2.dedupAndAppend(batch2, "text", "doc_id", 0.4).count(): Unit }
     val ix3 = freshIx()
     timed("full_dedupAndAppend_2") { ix3.dedupAndAppend(batch2, "text", "doc_id", 0.4).count(): Unit }
+    // warm sub-phase split of the timed ingest rep (r14): signature/banding
+    // alone, then the fused history probe alone, on yet another fresh index
+    // so neither benefits from the other's shuffle files
+    val ix4 = freshIx()
+    timed("banded_signatures") { ix4.banded(batch2, "text", "doc_id").count(): Unit }
+    val b4 = ix4.banded(batch2, "text", "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    b4.count()
+    timed("history_probe_only") { ix4.historyDupIds(b4, 0.4).count(): Unit }
+    timed("dedupAndAppend_after_warm") {
+      ix4.dedupAndAppend(batch2, "text", "doc_id", 0.4).count(): Unit
+    }
     spark.stop()
   }
 }
