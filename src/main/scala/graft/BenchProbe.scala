@@ -81,6 +81,41 @@ object BenchProbe {
       return
     }
 
+    if (args.contains("q39")) {
+      // expression-level bisect of the q39 scoring stage: time each
+      // cumulative slice of the scored projection (noop-forced, spread
+      // like the query) to find which expression family owns the CPU
+      import graft.text.TextFunctions
+      TextFunctions.register(spark)
+      val base = graft.engine.Warehouse.spreadForCompute(
+        docs.select(col("doc_id"), col("lang"), col("text")), "doc_id")
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      def probe(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+        noop(df) // warm
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); noop(df); (System.nanoTime() - t0) / 1e9
+        }
+        println(f"$name%-26s min ${ts.min}%.3f  med ${ts.sorted.apply(1)}%.3f")
+      }
+      probe("base")(base)
+      probe("toks")(base.select(col("doc_id"), TextFunctions.tokens(col("text")).as("t")))
+      probe("ltoks")(base.select(col("doc_id"), TextFunctions.lowerTokens(col("text")).as("t")))
+      probe("toks_distinct")(base.select(col("doc_id"),
+        size(array_distinct(TextFunctions.tokens(col("text")))).as("u")))
+      probe("lang_best")(base
+        .select(col("doc_id"), col("text"), TextFunctions.lowerTokens(col("text")).as("lt"))
+        .select(col("doc_id"),
+          TextFunctions.langBestFromTokens(col("lt"), col("text")).as("b")))
+      probe("quality")(base
+        .select(col("doc_id"), col("text"), TextFunctions.tokens(col("text")).as("t"))
+        .select(col("doc_id"),
+          TextFunctions.qualityScoreFromTokens(col("t"), col("text")).as("q")))
+      probe("full_scored")(SparkEntry.queries("q39_corpus_pipeline")(spark, sfDir))
+      spark.stop()
+      return
+    }
+
     if (args.contains("q49")) {
       // phase split of the dup-cluster pipeline: pair generation vs CC vs
       // the full declared query (join + window + sort tail)

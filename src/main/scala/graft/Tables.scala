@@ -60,14 +60,30 @@ object Tables {
     * testdata tables are immutable, so the resolved DataFrame (logical
     * plan + file index + schema — NO row data) is safe to share for the
     * session's lifetime. Every action still scans the parquet files
-    * themselves; only the listing/footer metadata is reused. WeakHashMap
-    * on the session so entries die with it (Registration's pattern).
+    * themselves; only the listing/footer metadata is reused.
+    *
+    * Lifetime: the map is weak-keyed on the session, but a cached
+    * DataFrame strongly references its session (Dataset.sparkSession), so
+    * the values pin the weak keys — weakness alone never collects an
+    * entry (r14 ADVICE). Stopped sessions are therefore purged explicitly
+    * on every access: a long-lived JVM (the 52-suite test runner) holds at
+    * most the LIVE sessions' metadata plus one dead session until the next
+    * Tables call, not every session it ever created.
+    *
+    * NOTE for future self-joining callers: cached resolution means
+    * repeated `t(name)` calls return the same plan instance with identical
+    * attribute ExprIds — a self-join of a base table goes through
+    * DeduplicateRelations, and df("c")-qualified join conditions can turn
+    * ambiguous. Use name-based or aliased join conditions (every current
+    * query does; the sweep pins it).
     */
   private val resolvedCache =
     new java.util.WeakHashMap[SparkSession, java.util.HashMap[String, DataFrame]]
 
   private def resolved(spark: SparkSession, dir: String, name: String): DataFrame =
     resolvedCache.synchronized {
+      val it = resolvedCache.keySet.iterator
+      while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
       var perSession = resolvedCache.get(spark)
       if (perSession == null) {
         perSession = new java.util.HashMap[String, DataFrame]

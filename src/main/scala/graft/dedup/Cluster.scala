@@ -86,10 +86,7 @@ object Cluster {
     // across bench reps that lag lets dead label/edge blocks pile up in
     // the block manager and evict live ones. Only ever called on leaves
     // whose every consumer is already materialized (by its checksum).
-    def release(df: DataFrame): Unit = df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-      case _ => ()
-    }
+    def release(df: DataFrame): Unit = Blocks.release(df)
 
     // seed labels with one aggregation: label(v) = min(v, min neighbor) —
     // equivalent to (distinct nodes + one relax round) in a single shuffle

@@ -23,23 +23,12 @@ object Warehouse {
     * no-op on already-wide inputs (a 100 TB scan has thousands of splits;
     * the guard keeps the extra exchange off the big-data path).
     */
-  def spreadForCompute(df: DataFrame, key: String): DataFrame =
-    spreadForCompute(df, Seq(key))
-
-  /** Multi-key form: when the keys are exactly a downstream window's
-    * PARTITION BY or an aggregation's GROUP BY (prefix), the repartition
-    * SATISFIES that operator's required distribution, so the spread
-    * REPLACES the exchange the operator would have planned instead of
-    * adding one (guide: two operations keyed the same way share one
-    * exchange) — with the per-row work moved to the parallel side of it,
-    * and the partition count pinned at the session's shuffle parallelism
-    * (REPARTITION_BY_NUM is exempt from AQE's byte-based coalescing,
-    * which under-parallelizes CPU-dense, byte-light rows).
-    */
-  def spreadForCompute(df: DataFrame, keys: Seq[String]): DataFrame = {
+  def spreadForCompute(df: DataFrame, key: String): DataFrame = {
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    // REPARTITION_BY_NUM is exempt from AQE's byte-based coalescing, which
+    // under-parallelizes CPU-dense, byte-light rows
     if (df.rdd.getNumPartitions < math.max(2, target / 2))
-      df.repartition(target, keys.map(org.apache.spark.sql.functions.col): _*)
+      df.repartition(target, org.apache.spark.sql.functions.col(key))
     else df
   }
 

@@ -144,7 +144,7 @@ object TextPack {
     "q37_langid" -> { (s, dir) =>
       docs(s, dir)
         .select(col("doc_id"), col("text"),
-          transform(TextFunctions.tokens(col("text")), t => lower(t)).as("ltoks"))
+          TextFunctions.lowerTokens(col("text")).as("ltoks"))
         // argmax struct materialized once; the verdict reads the column
         // twice (see langBestFromTokens' doc — conditional branches get
         // no CSE, so the inline form pays the 5 hit passes up to twice)
@@ -164,15 +164,40 @@ object TextPack {
     // declared-and-gated form of an operator proven alone (q37/q32/q30).
     "q39_corpus_pipeline" -> { (s, dir) =>
       graft.functions.ComputeOnce.register(s)
+      TextFunctions.register(s)
       import graft.functions.ComputeOnce.once
-      val scored = docs(s, dir)
+      // the CHEAP conjunct of the gate runs AT THE SCAN (guide §2.3
+      // "shuffle fewer bytes" / r14 verdict): ws_token_count is a
+      // zero-allocation byte scan, so short docs are dropped for one pass
+      // over the text and never shuffle. The n_tokens >= 5 conjunct below
+      // is then redundant but kept verbatim (a plain attribute compare)
+      // so the declared gate is unchanged.
+      val pre = Tables(s, dir).documents
+        .filter(TextFunctions.tokenCount(col("text")) >= 5)
+      // DEDUP FIRST (guide §2.4 remove-shuffles-outright): lang_pred,
+      // n_tokens and quality are pure functions of text, so identical
+      // texts score identically and a duplicate group passes or fails the
+      // gate AS A WHOLE — score-then-dedup and dedup-then-score keep the
+      // same winner (min doc_id over the group, whose lang rides the
+      // min_by struct) and the same card rows. Deduping first means
+      //  (a) the text exchange IS the compute spread — r14's shape paid a
+      //      doc_id spread exchange AND the text exchange; this moves the
+      //      whole corpus exactly once, and
+      //  (b) the scoring pipeline runs once per DISTINCT text (at corpus
+      //      scale, the duplicated fraction never tokenizes twice).
+      // min_by dedup, not a row_number window: partial aggregation absorbs
+      // a hot duplicated text map-side (see Dedup.exact's scale note).
+      val deduped = pre
+        .groupBy(col("text"))
+        .agg(min_by(struct(col("doc_id"), col("lang")), col("doc_id")).as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"), col("text"))
+      val scored = deduped
         .select(col("doc_id"), col("lang"), col("text"),
           TextFunctions.tokens(col("text")).as("toks"))
-        // lowered tokens materialized once; langId's per-language filter
-        // lambdas then read the array instead of re-tokenizing (interpreted
-        // HOFs, no CSE)
+        // lowered tokens via the same one-pass primitive (byte-identical
+        // to transform(toks, lower) — per-token toLowerCase)
         .select(col("doc_id"), col("lang"), col("text"), col("toks"),
-          transform(col("toks"), t => lower(t)).as("ltoks"))
+          TextFunctions.lowerTokens(col("text")).as("ltoks"))
         // the langid argmax struct materialized ONCE: the verdict below
         // reads it twice (condition + branch), and conditional branches
         // are not subexpression-eliminated — inline, the 5 hit-count
@@ -180,30 +205,22 @@ object TextPack {
         .select(col("doc_id"), col("lang"), col("text"), col("toks"),
           TextFunctions.langBestFromTokens(col("ltoks"), col("text")).as("__lang_best"))
         // the three score columns are PINNED (ComputeOnce): without the
-        // pin, PushDownPredicates inlines them into the `kept` filter and
-        // sinks it below this projection AND below docs()'s spread
-        // exchange — the whole tokenize+langid+quality pass then runs
-        // twice per row, with one copy on the single scan task (measured:
-        // a 958 ms one-task Filter stage at sf0.1, the query's dominant
-        // cost). Pinned, each score is computed exactly once, after the
-        // spread. Values are bit-identical — only placement changes.
-        .select(col("doc_id"), col("lang"), col("text"),
+        // pin, PushDownPredicates inlines them into the `kept` filter
+        // below this projection — the scoring tree would evaluate twice
+        // per surviving row (r14's measured q39 defect). Pinned, each
+        // score is computed exactly once, where it is projected — which
+        // sits ABOVE the dedup aggregate, so the pin cannot block any
+        // further pushdown. Values are bit-identical; only placement
+        // changes.
+        .select(col("doc_id"), col("lang"),
           once(TextFunctions.langIdFromBest(col("__lang_best"))).as("lang_pred"),
           once(size(col("toks"))).as("n_tokens"),
           once(TextFunctions.qualityScoreFromTokens(col("toks"), col("text"))).as("quality"))
       val kept = scored.filter(
         col("quality") >= lit(0.6) && col("n_tokens") >= 5 && col("lang_pred") =!= "und")
-      // min_by dedup, not a row_number window: partial aggregation absorbs
-      // a hot duplicated text map-side (see Dedup.exact's scale note)
-      val deduped = kept
-        .groupBy(col("text"))
-        .agg(min_by(
-          struct(col("doc_id"), col("lang"), col("lang_pred"),
-            col("n_tokens"), col("quality")), col("doc_id")).as("r"))
-        .select(col("r.*"))
       // label × prediction card: surfaces the langid confusion structure of
       // the kept corpus, not just its size
-      deduped.groupBy("lang", "lang_pred")
+      kept.groupBy("lang", "lang_pred")
         .agg(count(lit(1)).as("kept_docs"),
           sum(col("n_tokens").cast(LongType)).as("total_tokens"),
           sum(col("quality").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_quality"))

@@ -85,9 +85,29 @@ object TextFunctions {
   private[text] def charSetCount(text: Column, chars: Seq[String]): Column =
     call_function("char_set_count", text, array(chars.map(lit): _*))
 
-  /** Whitespace tokens, empties dropped. */
-  def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => t =!= "")
+  /** Whitespace tokens, empties dropped — byte-identical to
+    * `filter(split(text, "\\s+"), t => t =!= "")` (the declared-oracle
+    * semantics: maximal runs of non-`[ \t\n\x0B\f\r]` bytes), via the
+    * one-pass primitive [[WsTokensExpr]]. The HOF form ran interpreted —
+    * a regex split (String/array churn) plus a per-element lambda
+    * dispatch per row — and was the dominant allocation source of every
+    * text query's hot projection (q31/q32/q34/q37/q39); the primitive
+    * does one byte scan and wraps token slices of a single buffer.
+    */
+  def tokens(text: Column): Column = wsTokens(text, lowercase = false)
+
+  /** Lowercased whitespace tokens — byte-identical to
+    * `transform(tokens(text), t => lower(t))` (per-token
+    * UTF8String.toLowerCase, exactly what the interpreted transform+Lower
+    * chain computed), in the same single pass. The langid pipelines'
+    * `ltoks` column.
+    */
+  def lowerTokens(text: Column): Column = wsTokens(text, lowercase = true)
+
+  private def wsTokens(text: Column, lowercase: Boolean): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      WsTokensExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), lowercase))
 
   /** BPE-ish subword-ish tokens: letter runs, digit runs, single punctuation
     * marks — the usual pre-tokenizer regex shape.
@@ -95,7 +115,15 @@ object TextFunctions {
   def bpeishTokens(text: Column): Column =
     regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Token count without materializing the array — one byte scan, zero
+    * allocation (equals `size(tokens(text))` by construction). Cheap
+    * enough to run BELOW a spread exchange as a pre-filter, so rows that
+    * fail a length gate never shuffle (guide §2.3).
+    */
+  def tokenCount(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      WsTokenCountExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
 
   /** n-token shingles joined by single spaces (for MinHash / Jaccard),
     * via the one-pass [[ShinglesExpr]] (the HOF transform-of-slice form
@@ -234,7 +262,7 @@ object TextFunctions {
     * rarely whitespace-tokenizes, so zh also scores on character hits.
     */
   def langId(text: Column): Column =
-    langIdFromTokens(transform(tokens(text), lower _), text)
+    langIdFromTokens(lowerTokens(text), text)
 
   /** As [[langId]], from a *materialized* lowercased token-array column —
     * prefer this in pipelines: the four non-CJK language scores each run a
@@ -418,6 +446,144 @@ case class ShinglesExpr(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): ShinglesExpr =
     copy(child = c)
   override def prettyName: String = "shingles_n"
+}
+
+/** One-pass whitespace tokenizer — the primitive form of
+  * `filter(split(text, "\\s+"), t => t =!= "")` (and, with `lowercase`,
+  * of `transform(filter(split(text, "\\s+"), t => t =!= ""), lower)`).
+  *
+  * Byte-identical by construction: Java's `\s` is exactly
+  * `[ \t\n\x0B\f\r]` — six ASCII bytes, and UTF-8 continuation/lead bytes
+  * are ≥ 0x80, so maximal runs of non-whitespace BYTES are maximal runs
+  * of non-whitespace CHARACTERS; `split(_, -1)` can only produce empty
+  * strings at the boundaries, which the `=!= ""` filter drops, so the
+  * non-empty results are exactly those runs. The lowercase variant applies
+  * UTF8String.toLowerCase PER TOKEN, exactly like the transform+Lower
+  * chain (full-string lowercasing could differ on context-sensitive
+  * mappings such as final sigma).
+  *
+  * Why it exists: the HOF chain evaluates interpreted — a regex split
+  * (Pattern machinery, a String[] and per-element UTF8String round trips)
+  * plus one lambda dispatch per element — and was the dominant
+  * per-row allocation source of the text family (q31/q32/q34/q37/q39's
+  * shared front). This is one scan over the string's bytes and one
+  * UTF8String wrapper per token over a single shared buffer.
+  *
+  * Lowercasing delegates to the SAME entry point as the `Lower`
+  * expression (CollationSupport.Lower.exec with the input type's
+  * collation and the session ICU flag) — NOT UTF8String.toLowerCase,
+  * whose per-codepoint mapping misses context-sensitive cases (Greek
+  * final sigma: Σ word-finally must lower to ς, not σ; caught by
+  * TextSpec's fuzz equivalence test).
+  */
+case class WsTokensExpr(child: Expression, lowercase: Boolean)
+  extends Expression with UnaryLike[Expression] with CodegenFallback {
+
+  @transient private lazy val collationId: Int = child.dataType match {
+    case st: StringType => st.collationId
+    case _ => 0
+  }
+  @transient private lazy val useICU: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get.getConf(
+      org.apache.spark.sql.internal.SQLConf.ICU_CASE_MAPPINGS_ENABLED)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ws_tokens requires string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  private def isWs(b: Byte): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0D)
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val s = v.asInstanceOf[UTF8String]
+    val bytes = s.getBytes // zero-copy when the string owns its buffer
+    val n = bytes.length
+    // pass 1: count tokens (exact-size output array, no buffer growth)
+    var cnt = 0
+    var i = 0
+    var inTok = false
+    while (i < n) {
+      val ws = isWs(bytes(i))
+      if (!ws && !inTok) cnt += 1
+      inTok = !ws
+      i += 1
+    }
+    if (cnt == 0) return WsTokensExpr.emptyArray
+    // pass 2: fill
+    val out = new Array[Any](cnt)
+    var k = 0
+    i = 0
+    while (i < n) {
+      if (!isWs(bytes(i))) {
+        val start = i
+        while (i < n && !isWs(bytes(i))) i += 1
+        val t = UTF8String.fromBytes(bytes, start, i - start)
+        out(k) =
+          if (lowercase)
+            org.apache.spark.sql.catalyst.util.CollationSupport.Lower
+              .exec(t, collationId, useICU)
+          else t
+        k += 1
+      } else i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WsTokensExpr =
+    copy(child = c)
+  override def prettyName: String = if (lowercase) "ws_tokens_lower" else "ws_tokens"
+}
+
+object WsTokensExpr {
+  private val emptyArray =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+}
+
+/** Whitespace-token count without materializing the array — one byte scan,
+  * zero allocation; equals `size(`[[WsTokensExpr]]`)` on non-null input
+  * (null → null). Cheap enough to gate rows below a spread exchange.
+  */
+case class WsTokenCountExpr(child: Expression)
+  extends Expression with UnaryLike[Expression] with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ws_token_count requires string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable
+
+  private def isWs(b: Byte): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0D)
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    var cnt = 0
+    var i = 0
+    var inTok = false
+    while (i < bytes.length) {
+      val ws = isWs(bytes(i))
+      if (!ws && !inTok) cnt += 1
+      inTok = !ws
+      i += 1
+    }
+    cnt
+  }
+
+  override protected def withNewChildInternal(c: Expression): WsTokenCountExpr =
+    copy(child = c)
+  override def prettyName: String = "ws_token_count"
 }
 
 /** compressed-bytes / raw-bytes under java.util.zip Deflater level 6 —

@@ -190,7 +190,9 @@ class PlanSpec extends SparkSpec {
     // pipelines as q35/q36 (the persist boundary hides the signature
     // subtree's exchanges, identically), so the same budget of 1
     "q178_minhash_md5" -> 1, "q179_simhash_md5" -> 1,
-    "q37_langid" -> 2, "q38_multimodal_features" -> 1, "q39_corpus_pipeline" -> 4,
+    // q39: one corpus exchange (the text dedup, which doubles as the
+    // compute spread — dedup-first restructure, r15) + card agg + sort
+    "q37_langid" -> 2, "q38_multimodal_features" -> 1, "q39_corpus_pipeline" -> 3,
     "q40_cosine_probe" -> 1, "q41_knn_brute" -> 2, "q42_knn_lsh" -> 3,
     // exhaustive (bits=0) LSH: same shape as q42 — signature explode +
     // (tbl,bucket) join + dedup + heap rerank

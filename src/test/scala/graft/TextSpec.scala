@@ -120,4 +120,40 @@ class TextSpec extends SparkSpec {
     assert(spark.sql("SELECT compression_ratio('') c").head().getDouble(0) == 1.0)
     assert(spark.sql("SELECT compression_ratio(CAST(NULL AS STRING)) c").head().isNullAt(0))
   }
+
+  test("WsTokensExpr ≡ filter(split(text,'\\\\s+'), _ =!= '') and its lowered twin, byte-for-byte") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val wsChars = " \t\n\f\r"
+    def randText(): String = (1 to rnd.nextInt(40)).map { _ =>
+      rnd.nextInt(5) match {
+        case 0 => wsChars(rnd.nextInt(wsChars.length)).toString
+        case 1 => "Ünïço∂é文字ΣΑΒ"(rnd.nextInt(11)).toString
+        case _ => ('!' + rnd.nextInt(90)).toChar.toString
+      }
+    }.mkString
+    val edge = Seq(
+      "", " ", "  \t\n ", "a", " a", "a ", "  a  b  ", "a\tb\nc\rd\fef",
+      "ΣΑΒ ΓΔΣ word-final-sigma ΒΣ", "中文 没有 空格", "MIXED Case Tokens HERE",
+      null.asInstanceOf[String])
+    val df = (edge ++ (1 to 300).map(_ => randText())).toDF("text")
+    // reference forms: the exact HOF chains the primitives replaced
+    val ref = df.select(
+      filter(split(col("text"), "\\s+"), t => t =!= "").as("rt"),
+      transform(filter(split(col("text"), "\\s+"), t => t =!= ""), t => lower(t)).as("rl"))
+    val got = df.select(
+      tokens(col("text")).as("gt"),
+      lowerTokens(col("text")).as("gl"),
+      tokenCount(col("text")).as("gc"))
+    // element nullability differs only in declared containsNull, values must match
+    val rs = ref.collect().zip(got.collect())
+    rs.foreach { case (r, g) =>
+      assert(r.isNullAt(0) == g.isNullAt(0))
+      if (!r.isNullAt(0)) {
+        assert(r.getSeq[String](0) == g.getSeq[String](0), s"tokens differ: $r vs $g")
+        assert(r.getSeq[String](1) == g.getSeq[String](1), s"lowered differ: $r vs $g")
+        assert(g.getInt(2) == g.getSeq[String](0).size, s"count differs: $g")
+      } else assert(g.isNullAt(2))
+    }
+  }
 }
