@@ -16,14 +16,15 @@ private[graft] object Blocks {
     * pure noise for this module's DELIBERATE eager releases (every
     * consumer is materialized first, the leaf is dead by construction),
     * and in r14 it flooded every bench/test tail, burying real warnings.
-    * Lower that one logger to ERROR, once, on first release. The
-    * org.apache.spark.rdd.RDD logger carries no other warning this
-    * codebase can trigger (its remaining WARNs guard checkpoint/persist
-    * misuse patterns not used here).
+    * Lower that logger to ERROR, once, on first release. Spark's Logging
+    * names the logger after the CONCRETE RDD subclass (the flood logs as
+    * `WARN MapPartitionsRDD:`), so the level is set on the
+    * org.apache.spark.rdd package — whose other WARNs all guard
+    * checkpoint/persist misuse patterns this codebase does not use.
     */
   private lazy val silenced: Unit =
     try org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.RDD", org.apache.logging.log4j.Level.ERROR)
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     catch { case _: Throwable => () }
 
   /** Drop a retired checkpoint leaf's blocks eagerly. Only ever call on

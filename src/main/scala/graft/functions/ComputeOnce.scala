@@ -30,6 +30,15 @@ import org.apache.spark.sql.types.DataType
   * ONLY on projections that are (a) expensive per row and (b) immediately
   * consumed by a filter/aggregate in the same pipeline — a blanket pin
   * would block legitimate pushdowns (the §4.4 trade-off, verbatim).
+  *
+  * Operator constraint (because `deterministic = false`): CheckAnalysis
+  * rejects nondeterministic expressions outside Project/Filter/Aggregate/
+  * Window, so `once(...)` inside a JOIN KEY, SORT expression, or GROUPING
+  * expression fails analysis with an opaque AnalysisException — keep pins
+  * in plain projections. The pin also blocks ALL predicate pushdown
+  * through its projection (including partition pruning), which is why the
+  * q39 usage sits ABOVE the dedup aggregate where nothing can push
+  * further anyway.
   */
 case class ComputeOnce(child: Expression) extends UnaryExpression {
   override def dataType: DataType = child.dataType

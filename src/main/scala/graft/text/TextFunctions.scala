@@ -196,6 +196,13 @@ object TextFunctions {
     * prefer this in pipelines that project several features: the lambda
     * subtrees are interpreted (no CSE), so an inline `tokens(text)` would
     * re-split once per projected expression (see [[shingles]]' note).
+    *
+    * Null-text note (r14 ADVICE): punct_cnt/digit_cnt come from
+    * [[CharSetCount]], which returns NULL on null text, while the r13
+    * `size(regexp_extract_all(...))` form returned -1 under legacy
+    * sizeOfNull — a difference only visible on rows with NULL text, which
+    * the declared corpus (and every gated query) does not contain; the
+    * downstream quality gates drop null-text rows under either convention.
     */
   def qualityFeaturesFromTokens(
       toks: Column, text: Column,
@@ -375,6 +382,19 @@ case class CharSetCount(child: Expression, chars: Seq[String])
     s
   }
 
+  /** ASCII sets (the punct/digit counters — the hot quality projection)
+    * count on the raw UTF-8 bytes: an ASCII char is a single byte, and
+    * multi-byte sequences use only bytes ≥ 0x80, so a byte compare below
+    * 128 is exact — no per-row String allocation. Non-ASCII sets (the zh
+    * marker chars) keep the decoded-char path.
+    */
+  @transient private lazy val asciiSet: Array[Boolean] =
+    if (chars.forall(_.charAt(0) < 128)) {
+      val a = new Array[Boolean](128)
+      chars.foreach(c => a(c.charAt(0)) = true)
+      a
+    } else null
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
@@ -387,12 +407,23 @@ case class CharSetCount(child: Expression, chars: Seq[String])
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) return null
-    val s = v.asInstanceOf[UTF8String].toString
+    val u = v.asInstanceOf[UTF8String]
     var cnt = 0
-    var i = 0
-    while (i < s.length) {
-      if (set.contains(s.charAt(i))) cnt += 1
-      i += 1
+    if (asciiSet != null) {
+      val n = u.numBytes()
+      var i = 0
+      while (i < n) {
+        val b = u.getByte(i)
+        if (b >= 0 && asciiSet(b)) cnt += 1
+        i += 1
+      }
+    } else {
+      val s = u.toString
+      var i = 0
+      while (i < s.length) {
+        if (set.contains(s.charAt(i))) cnt += 1
+        i += 1
+      }
     }
     cnt
   }
